@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Embeddings, VectorFunctions => VF}
+import graft.functions.{Embeddings, VectorAggregates => VA, VectorFunctions => VF}
 
 /**
  * Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
@@ -226,6 +226,55 @@ object SparkEntry {
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
   // ======================================================================
+  // Vector aggregates (SURVEY §2.4)
+  // ======================================================================
+
+  /** vector_avg per label group, exploded to scalar rows. */
+  private def vaAvg(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(VA.vector_avg(col("embedding")).as("avg_vec"))
+      .select(col("label"), posexplode(col("avg_vec")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("val"))
+
+  private val vaAvgSql =
+    """SELECT label, pos, CAST(CAST(sum(v) / count(*) AS REAL) AS DOUBLE) AS val
+      |FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |             unnest(embedding::DOUBLE[]) AS v FROM embeddings)
+      |GROUP BY label, pos""".stripMargin
+
+  private def vaSum(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(VA.vector_sum(col("embedding")).as("sum_vec"))
+      .select(col("label"), posexplode(col("sum_vec")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("val"))
+
+  private val vaSumSql =
+    """SELECT label, pos, CAST(CAST(sum(v) AS REAL) AS DOUBLE) AS val
+      |FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |             unnest(embedding::DOUBLE[]) AS v FROM embeddings)
+      |GROUP BY label, pos""".stripMargin
+
+  /** Element-wise min and max across rows per label group. */
+  private def vaMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(
+        VA.vector_min_agg(col("embedding")).as("min_vec"),
+        VA.vector_max_agg(col("embedding")).as("max_vec"))
+      .select(col("label"), posexplode(arrays_zip(col("min_vec"), col("max_vec"))))
+      .select(col("label"), col("pos"),
+        col("col.min_vec").cast("double").as("vmin"),
+        col("col.max_vec").cast("double").as("vmax"))
+
+  private val vaMinMaxSql =
+    """SELECT label, pos, min(v)::DOUBLE AS vmin, max(v)::DOUBLE AS vmax
+      |FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |             unnest(embedding) AS v FROM embeddings)
+      |GROUP BY label, pos""".stripMargin
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -241,6 +290,9 @@ object SparkEntry {
     "v_norm_stats" -> (vNormStats(_, _)),
     "v_elementwise" -> (vElementwise(_, _)),
     "v_normalize" -> (vNormalize(_, _)),
+    "va_avg" -> (vaAvg(_, _)),
+    "va_sum" -> (vaSum(_, _)),
+    "va_minmax" -> (vaMinMax(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -255,5 +307,8 @@ object SparkEntry {
     "v_norm_stats" -> vNormStatsSql,
     "v_elementwise" -> vElementwiseSql,
     "v_normalize" -> vNormalizeSql,
+    "va_avg" -> vaAvgSql,
+    "va_sum" -> vaSumSql,
+    "va_minmax" -> vaMinMaxSql,
   )
 }

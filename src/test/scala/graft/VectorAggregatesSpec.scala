@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorAggregates => VA, VectorParsers => P}
+
+class VectorAggregatesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("vector_avg / vector_sum element-wise with NULL skip (sql/04_aggregates.sql:49-55)") {
+    val df = Seq(
+      (1, Some(Seq(1f, 2f))),
+      (1, Some(Seq(3f, 4f))),
+      (1, None),
+      (2, Some(Seq(10f, 20f)))
+    ).toDF("g", "v")
+    val rows = df.groupBy($"g").agg(VA.vector_avg($"v").as("avg"), VA.vector_sum($"v").as("sum"))
+      .orderBy($"g").collect()
+    assert(rows(0).getSeq[Float](1) == Seq(2f, 3f))
+    assert(rows(0).getSeq[Float](2) == Seq(4f, 6f))
+    assert(rows(1).getSeq[Float](1) == Seq(10f, 20f))
+  }
+
+  test("all-NULL group yields NULL (sql/04_aggregates.sql:103-109)") {
+    val df = Seq((1, Option.empty[Seq[Float]]), (1, Option.empty[Seq[Float]])).toDF("g", "v")
+    val r = df.groupBy($"g").agg(VA.vector_avg($"v").as("avg")).collect()(0)
+    assert(r.isNullAt(1))
+  }
+
+  test("vector_min/max aggregates element-wise across rows (sql/04_aggregates.sql:17-22)") {
+    val df = Seq(Seq(1f, 9f), Seq(5f, 2f), Seq(3f, 3f)).toDF("v")
+    val r = df.agg(VA.vector_min_agg($"v").as("mn"), VA.vector_max_agg($"v").as("mx")).collect()(0)
+    assert(r.getSeq[Float](0) == Seq(1f, 2f))
+    assert(r.getSeq[Float](1) == Seq(5f, 9f))
+  }
+
+  test("dimension mismatch raises (aggregates.c:74-79)") {
+    val df = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
+    val ex = intercept[Exception](df.agg(VA.vector_avg($"v")).collect())
+    assert(ex.getMessage.contains("consistent") ||
+      Option(ex.getCause).exists(_.getMessage.contains("consistent")))
+  }
+
+  test("parsers: dense vector round-trip; empty rejected (sql/01_types_basic.sql:12-31)") {
+    assert(P.parseVector("[1.0, 2.5e-1, -3]").toSeq == Seq(1.0f, 0.25f, -3.0f))
+    intercept[IllegalArgumentException](P.parseVector("[]"))
+    intercept[IllegalArgumentException](P.parseVector("1,2"))
+    assert(P.renderVector(Array(1f, 2f)) == "[1,2]")
+  }
+
+  test("parsers: vecmap (neurondb--1.0.sql:124-142)") {
+    val m = P.parseVecMap("{dim:5, nnz:2, indices:[0,3], values:[1.5,2.5]}")
+    assert(m.dim == 5 && m.indices.toSeq == Seq(0, 3) && m.values.toSeq == Seq(1.5f, 2.5f))
+    assert(P.sparseToDense(m).toSeq == Seq(1.5f, 0f, 0f, 2.5f, 0f))
+    intercept[IllegalArgumentException](P.parseVecMap("{dim:2, indices:[5], values:[1]}"))
+  }
+
+  test("parsers: learned sparse_vector (sparse_vector_types.c:37,126-129)") {
+    val s = P.parseSparseVector("{vocab_size:30522, model:SPLADE, tokens:[100,200], weights:[0.5,0.8]}")
+    assert(s.vocabSize == 30522 && s.model == "SPLADE")
+    val t = P.parseSparseVector("{vocab_size:30522, model:BM25, tokens:[200,300], weights:[2.0,1.0]}")
+    assert(math.abs(P.sparseDot(s, t) - 0.8 * 2.0) < 1e-6)
+    intercept[IllegalArgumentException](
+      P.parseSparseVector("{vocab_size:10, model:XX, tokens:[1], weights:[1]}"))
+  }
+
+  test("parsers: vgraph with self-loops (sql/01_types_basic.sql:86-89)") {
+    val g = P.parseVGraph("{nodes:3, edges:[[0,1],[1,1],[1,2]]}")
+    assert(g.nodes == 3 && g.edges.toSeq == Seq((0, 1), (1, 1), (1, 2)))
+    intercept[IllegalArgumentException](P.parseVGraph("{nodes:2, edges:[[0,5]]}"))
+  }
+
+  test("dense->sparse cast round-trip") {
+    val d = Array(0f, 1.5f, 0f, -2f)
+    assert(P.sparseToDense(P.denseToSparse(d)).toSeq == d.toSeq)
+  }
+}
