@@ -226,6 +226,71 @@ object SparkEntry {
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
   // ======================================================================
+  // kNN operators / IVF index / vec_join (SURVEY §2.1, §2.5)
+  // ======================================================================
+
+  /** IVF probe with nprobe=nlists is exhaustive, so it must reproduce the
+    * brute-force top-10 exactly (BASELINE.md recall convention). */
+  private def ivfKnnExact(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val model = operators.Ivf.build(
+      Tables.read(s, dir, "embeddings"), "embedding", nlists = 16, seed = 42L)
+    model.search(q, k = 10, nprobe = 16)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
+  private val ivfKnnExactSql = vL2KnnSql // identical contract to brute force
+
+  /** vec_join: all pairs within L2 threshold 1.2 (~1% of pairs). */
+  private def vecJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    operators.Knn.vecJoin(e, e, "embedding", "embedding", "l2", threshold = 1.2)
+      .filter(col("l_vec_id") < col("r_vec_id"))
+      .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
+  private val vecJoinPairsSql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 1.2""".stripMargin
+
+  /** build_knn_graph: top-3 neighbors per node over the first 100 vectors. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100), "vec_id", "embedding", k = 3)
+      .select(col("src"), col("dst"), col("rank"), round(col("distance"), 6).as("dist"))
+
+  private val knnGraphSql =
+    """SELECT src, dst, rank, dist FROM (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank,
+      |    round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+      |WHERE rank <= 3""".stripMargin
+
+  /** faceted_vector_search: top-3 per label facet. */
+  private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    operators.Knn.searchFaceted(
+      Tables.read(s, dir, "embeddings"), "embedding", "label", q, 3, "l2", tieBreak = Seq("vec_id"))
+      .select(col("label"), col("vec_id"), col("rank"), round(col("distance"), 6).as("dist"))
+  }
+
+  private val facetedKnnSql =
+    s"""SELECT label, vec_id, rank, dist FROM (
+       |  SELECT label, vec_id,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY list_distance(embedding::DOUBLE[], $qvecSql), vec_id) AS rank,
+       |    round(list_distance(embedding::DOUBLE[], $qvecSql), 6) AS dist
+       |  FROM embeddings)
+       |WHERE rank <= 3""".stripMargin
+
+  // ======================================================================
   // Vector aggregates (SURVEY §2.4)
   // ======================================================================
 
@@ -293,6 +358,10 @@ object SparkEntry {
     "va_avg" -> (vaAvg(_, _)),
     "va_sum" -> (vaSum(_, _)),
     "va_minmax" -> (vaMinMax(_, _)),
+    "ivf_knn_exact" -> (ivfKnnExact(_, _)),
+    "vec_join_pairs" -> (vecJoinPairs(_, _)),
+    "knn_graph" -> (knnGraph(_, _)),
+    "faceted_knn" -> (facetedKnn(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,5 +379,9 @@ object SparkEntry {
     "va_avg" -> vaAvgSql,
     "va_sum" -> vaSumSql,
     "va_minmax" -> vaMinMaxSql,
+    "ivf_knn_exact" -> ivfKnnExactSql,
+    "vec_join_pairs" -> vecJoinPairsSql,
+    "knn_graph" -> knnGraphSql,
+    "faceted_knn" -> facetedKnnSql,
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/**
+ * IVF (inverted-file) ANN index, the Spark-native answer to the
+ * reference's `ivf` access method (`NeuronDB/src/index/ivf_am.c`:
+ * k-means build `:371-376`, nprobe probe `ivfrescan:1440-1505`,
+ * defaults nlists=100 / nprobe=10 `:54-55`).
+ *
+ * Build: MLlib KMeans (k-means|| seeding, explicit seed so results are
+ * reproducible — the reference's `rand()` seeding is a documented
+ * non-goal, SURVEY §7.4) assigns every row a `cluster_id`. The assigned
+ * table is repartitioned by cluster so each posting list is co-located —
+ * on a real cluster this would be written bucketed-by-cluster so probes
+ * prune at the file level.
+ *
+ * Search: route the query to the `nprobe` nearest centroids driver-side
+ * (tiny argmin over nlists rows), filter the assigned table to those
+ * clusters — Catalyst pushes the `cluster_id IN (...)` filter to the scan
+ * — then exact top-k over the surviving ~nprobe/nlists fraction of rows.
+ * `nprobe = nlists` probes everything, so it must equal brute force
+ * exactly (BASELINE.md's recall convention).
+ *
+ * HNSW is deliberately not ported: a pointer-chasing in-memory graph is
+ * the wrong shape for a distributed scan engine (SURVEY §7.4); IVF covers
+ * the same ANN contract with tunable recall.
+ */
+object Ivf {
+
+  case class IvfModel(
+      centroids: Array[Array[Float]],
+      assigned: DataFrame, // original columns + cluster_id
+      vecCol: String) {
+
+    /** Nearest-centroid ids for a query, closest first. */
+    def route(query: Array[Float], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (VectorOps.l2(query, c), i) }
+        .sortBy(_._1)
+        .take(math.max(1, nprobe))
+        .map(_._2).toSeq
+
+    /** ANN top-k: probe nprobe posting lists, exact rescore inside them. */
+    def search(query: Array[Float], k: Int = 10, nprobe: Int = 10,
+               metric: String = "l2"): DataFrame = {
+      val probes = route(query, nprobe)
+      Knn.search(
+        assigned.filter(col("cluster_id").isin(probes: _*)),
+        vecCol, query, k, metric)
+    }
+  }
+
+  /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */
+  def build(df: DataFrame, vecCol: String, nlists: Int = 100, seed: Long = 42L,
+            maxIter: Int = 20): IvfModel = {
+    val toMl = udf((v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray))
+    val featured = df.withColumn("__features", toMl(col(vecCol)))
+    val kmeans = new KMeans()
+      .setK(nlists).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cluster_id")
+    val model = kmeans.fit(featured)
+    val assigned = model.transform(featured)
+      .drop("__features")
+      .repartition(col("cluster_id"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    IvfModel(centroids, assigned, vecCol)
+  }
+
+  /**
+   * Cluster-blocked similarity join for large×large inputs: assign both
+   * sides to the same centroids, shuffle-join on `cluster_id`, compute
+   * distances only within blocks. Trades the O(|L|·|R|) cross product for
+   * O(sum of per-cluster products) — the standard IVF blocking scheme.
+   * Pairs whose members fall in different clusters are missed (recall<1),
+   * like any single-assignment blocking; raise nlists quality or use
+   * multi-probe assignment when recall matters more than cost.
+   */
+  def join(model: IvfModel, other: DataFrame, otherVecCol: String,
+           metric: String = "l2", threshold: Double): DataFrame = {
+    val bCentroids = other.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => {
+      val q = v.toArray
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      val cs = bCentroids.value
+      while (i < cs.length) {
+        val d = VectorOps.l2(q, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
+      }
+      best
+    })
+    val l = model.assigned.select(
+      model.assigned.columns.map(c => col(c).as(if (c == "cluster_id") c else s"l_$c")).toSeq: _*)
+    val r = other.withColumn("cluster_id", assignUdf(col(otherVecCol)))
+      .select((other.columns.map(c => col(c).as(s"r_$c")) :+ col("cluster_id")).toSeq: _*)
+    l.join(r, "cluster_id")
+      .withColumn("distance",
+        Knn.distCol(metric)(col(s"l_${model.vecCol}"), col(s"r_$otherVecCol")))
+      .filter(col("distance") <= threshold)
+  }
+}

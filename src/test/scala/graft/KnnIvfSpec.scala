@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Knn}
+
+class KnnIvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").cache()
+  private lazy val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 7L)
+
+  test("brute-force top-k is ordered and k-sized") {
+    val hits = Knn.search(emb, "embedding", q, k = 5).collect()
+    assert(hits.length == 5)
+    val dists = hits.map(_.getAs[Double]("distance"))
+    assert(dists.sameElements(dists.sorted))
+    assert(hits.head.getAs[Long]("vec_id") == 7L && dists.head == 0.0)
+  }
+
+  test("IVF nprobe=nlists equals brute force exactly (BASELINE.md recall convention)") {
+    val model = Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val exact = Knn.search(emb, "embedding", q, k = 10).select("vec_id").as[Long].collect().toSet
+    val ivf = model.search(q, k = 10, nprobe = 8).select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF reduced nprobe hits reference tuner recall band >=0.90 (planner.c:220-233)") {
+    val model = Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val queries = Seq(1L, 33L, 99L, 200L, 404L).map(Tables.queryVector(spark, "/root/testdata/sf0.001", _))
+    val recalls = queries.map { qv =>
+      val exact = Knn.search(emb, "embedding", qv, k = 10).select("vec_id").as[Long].collect().toSet
+      val approx = model.search(qv, k = 10, nprobe = 4).select("vec_id").as[Long].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.90, s"mean recall@10 $mean below tuner band, per-query $recalls")
+  }
+
+  test("vecJoin threshold + top-k per left") {
+    val small = emb.filter($"vec_id" < 30).select($"vec_id", $"embedding")
+    val joined = Knn.vecJoin(small, small, "embedding", "embedding", "l2", kPerLeft = 2)
+    val counts = joined.groupBy($"l_vec_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 2)) // self (d=0) + nearest other
+  }
+
+  test("graphKnn BFS respects maxHops (operators.c:743-949)") {
+    val nodes = emb.filter($"vec_id" < 6).withColumnRenamed("vec_id", "id")
+    // path graph 0-1-2-3-4-5
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val within2 = Knn.graphKnn(nodes, edges, "id", "embedding", Seq(0L), q, k = 10, maxHops = 2)
+      .select("id").as[Long].collect().toSet
+    assert(within2 == Set(0L, 1L, 2L))
+  }
+
+  test("vecRoute argmin (operators.c:1155-1228)") {
+    val cents = Array(Array(0f, 0f), Array(10f, 10f), Array(5f, 0f))
+    assert(Knn.vecRoute(Array(4f, 1f), cents) == 2)
+    assert(Knn.vecRoute(Array(9f, 9f), cents) == 1)
+  }
+
+  test("Ivf.join blocks by cluster and finds near pairs") {
+    val model = Ivf.build(emb, "embedding", nlists = 4, seed = 42L)
+    val joined = Ivf.join(model, emb.select($"vec_id".as("other_id"), $"embedding"),
+      "embedding", "l2", threshold = 0.01)
+    // every vector joins with itself at distance 0 within its own cluster
+    assert(joined.filter($"l_vec_id" === $"r_other_id").count() == emb.count())
+  }
+
+  test("top-k plan is TakeOrderedAndProject (no global sort)") {
+    val plan = Knn.search(emb, "embedding", q, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan: $plan")
+  }
+}
