@@ -340,6 +340,159 @@ object SparkEntry {
       |GROUP BY label, pos""".stripMargin
 
   // ======================================================================
+  // Hybrid / lexical search + rerank (SURVEY §2.6, §2.7)
+  // ======================================================================
+
+  private val hybridQText = "fast query merge join"
+
+  /** Reference-parity pairwise BM25 with its fixed corpus constants
+    * (sparse_search.c:508-600): idf = ln(900.5/100.5) for every term. */
+  private def bm25Pair(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        round(operators.Bm25.bm25_score(lit(hybridQText), col("text")), 6).as("bm25"))
+
+  private val bm25PairSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+       |SELECT doc_id, round(
+       |  ln(900.5/100.5) * (tf_fast  * 2.5) / (tf_fast  + 1.5*(0.25 + 0.75*dl/100.0)) +
+       |  ln(900.5/100.5) * (tf_query * 2.5) / (tf_query + 1.5*(0.25 + 0.75*dl/100.0)) +
+       |  ln(900.5/100.5) * (tf_merge * 2.5) / (tf_merge + 1.5*(0.25 + 0.75*dl/100.0)) +
+       |  ln(900.5/100.5) * (tf_join  * 2.5) / (tf_join  + 1.5*(0.25 + 0.75*dl/100.0)), 6) AS bm25
+       |FROM (
+       |  SELECT doc_id, len(t)::DOUBLE AS dl,
+       |    len(list_filter(t, x -> x = 'fast'))::DOUBLE  AS tf_fast,
+       |    len(list_filter(t, x -> x = 'query'))::DOUBLE AS tf_query,
+       |    len(list_filter(t, x -> x = 'merge'))::DOUBLE AS tf_merge,
+       |    len(list_filter(t, x -> x = 'join'))::DOUBLE  AS tf_join
+       |  FROM toks)""".stripMargin
+
+  /** hybrid_search over embeddings⋈documents: w·(1−l2) + (1−w)·bm25. */
+  private def hybridSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.read(s, dir, "embeddings")
+      .join(Tables.read(s, dir, "documents"),
+        col("vec_id") === col("doc_id"))
+    operators.Hybrid.hybridSearch(corpus, "doc_id", "embedding", "text",
+      qvec(s, dir), hybridQText, vectorWeight = 0.7, k = 20)
+      .select(col("doc_id"), round(col("hybrid_score"), 6).as("score"))
+  }
+
+  private val hybridSearchSql =
+    s"""WITH scored AS (
+       |  SELECT d.doc_id,
+       |    0.7 * (1.0 - list_distance(e.embedding::DOUBLE[], $qvecSql)) + 0.3 * (
+       |      SELECT round(
+       |        ln(900.5/100.5) * (len(list_filter(t, x -> x='fast'))::DOUBLE  * 2.5) / (len(list_filter(t, x -> x='fast'))::DOUBLE  + 1.5*(0.25+0.75*len(t)/100.0)) +
+       |        ln(900.5/100.5) * (len(list_filter(t, x -> x='query'))::DOUBLE * 2.5) / (len(list_filter(t, x -> x='query'))::DOUBLE + 1.5*(0.25+0.75*len(t)/100.0)) +
+       |        ln(900.5/100.5) * (len(list_filter(t, x -> x='merge'))::DOUBLE * 2.5) / (len(list_filter(t, x -> x='merge'))::DOUBLE + 1.5*(0.25+0.75*len(t)/100.0)) +
+       |        ln(900.5/100.5) * (len(list_filter(t, x -> x='join'))::DOUBLE  * 2.5) / (len(list_filter(t, x -> x='join'))::DOUBLE  + 1.5*(0.25+0.75*len(t)/100.0)), 12)
+       |      FROM (SELECT regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t)
+       |    ) AS hybrid_score
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+       |SELECT doc_id, round(hybrid_score, 6) AS score
+       |FROM scored ORDER BY hybrid_score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** RRF over the l2 ranking and the inner-product ranking. */
+  private def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val e = Tables.read(s, dir, "embeddings")
+    val byL2 = e.withColumn("d", VF.l2Udf(col("embedding"), lit(q)))
+    val byIp = e.withColumn("d", VF.ipUdf(col("embedding"), lit(q)))
+    operators.Hybrid.rrfFusion("vec_id",
+      Seq((byL2, "d", false), (byIp, "d", false)), kParam = 60.0)
+      .select(col("vec_id"), round(col("rrf_score"), 6).as("rrf"))
+  }
+
+  private val rrfFusionSql =
+    s"""WITH l2r AS (SELECT vec_id, row_number() OVER (
+       |    ORDER BY list_distance(embedding::DOUBLE[], $qvecSql), vec_id) AS r FROM embeddings),
+       |  ipr AS (SELECT vec_id, row_number() OVER (
+       |    ORDER BY -list_inner_product(embedding::DOUBLE[], $qvecSql), vec_id) AS r FROM embeddings)
+       |SELECT l2r.vec_id, round(1.0/(60.0 + l2r.r) + 1.0/(60.0 + ipr.r), 6) AS rrf
+       |FROM l2r JOIN ipr ON l2r.vec_id = ipr.vec_id""".stripMargin
+
+  /** temporal_vector_search: similarity decayed by exp(-λ·age_days).
+    * events.ts is parquet TIMESTAMP(NANOS) read as long nanos (see
+    * Verify session config); `div 1000` then /1e6 reproduces DuckDB's
+    * micro-truncated `epoch(ts)` exactly. */
+  private def temporalKnn(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.read(s, dir, "embeddings")
+      .join(Tables.read(s, dir, "events"), col("vec_id") === col("event_id"))
+      .select(col("vec_id"), col("embedding"),
+        (expr("ts div 1000") / lit(1e6)).as("ts_sec"))
+    operators.Hybrid.temporalVectorSearch(df, "vec_id", "embedding", "ts_sec",
+      qvec(s, dir), decay = 0.01, k = 20)
+      .select(col("vec_id"), round(col("temporal_score"), 6).as("score"))
+  }
+
+  private val temporalKnnSql =
+    s"""WITH j AS (
+       |  SELECT e.vec_id, e.embedding, ev.ts
+       |  FROM embeddings e JOIN events ev ON e.vec_id = ev.event_id),
+       |scored AS (
+       |  SELECT vec_id,
+       |    (1.0 - list_distance(embedding::DOUBLE[], $qvecSql)) *
+       |      exp(-0.01 * ((SELECT max(epoch(ts)) FROM j) - epoch(ts)) / 86400.0) AS score
+       |  FROM j)
+       |SELECT vec_id, round(score, 6) AS score
+       |FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
+  /** multi_vector_search with max-fusion over two query vectors. */
+  private def multiVectorQ(s: SparkSession, dir: String): DataFrame = {
+    val q0 = qvec(s, dir)
+    val q1 = Tables.queryVector(s, dir, 1L)
+    operators.Hybrid.multiVectorSearch(
+      Tables.read(s, dir, "embeddings"), "vec_id", "embedding", Seq(q0, q1), "max", k = 20)
+      .select(col("vec_id"), round(col("fused_score"), 6).as("score"))
+  }
+
+  private val multiVectorSql =
+    s"""WITH q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1)
+       |SELECT vec_id, round(greatest(
+       |    1.0 - list_distance(embedding::DOUBLE[], $qvecSql),
+       |    1.0 - list_distance(embedding::DOUBLE[], (SELECT v FROM q1))), 6) AS score
+       |FROM embeddings
+       |ORDER BY greatest(
+       |    1.0 - list_distance(embedding::DOUBLE[], $qvecSql),
+       |    1.0 - list_distance(embedding::DOUBLE[], (SELECT v FROM q1))) DESC, vec_id
+       |LIMIT 20""".stripMargin
+
+  /** ltr_rerank_pointwise: linear scorer over lineitem features. */
+  private def ltrRerank(s: SparkSession, dir: String): DataFrame =
+    operators.Rerank.ltrRerank(
+      Tables.read(s, dir, "lineitem"),
+      Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      Seq(0.3, 0.0001, -2.0), bias = 1.0, k = 20, idCol = "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("ltr_score"), 6).as("score"))
+
+  private val ltrRerankSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_quantity*0.3 + l_extendedprice*0.0001 + l_discount*(-2.0) + 1.0, 6) AS score
+      |FROM lineitem
+      |ORDER BY l_quantity*0.3 + l_extendedprice*0.0001 + l_discount*(-2.0) + 1.0 DESC, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** rerank_ensemble_borda over the l2 and ip rankings. */
+  private def bordaRerank(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val e = Tables.read(s, dir, "embeddings")
+      .withColumn("d_l2", VF.l2Udf(col("embedding"), lit(q)))
+      .withColumn("d_ip", VF.ipUdf(col("embedding"), lit(q)))
+    operators.Rerank.ensembleBorda(e, "vec_id", Seq(("d_l2", false), ("d_ip", false)))
+      .select(col("vec_id"), col("borda_score"))
+  }
+
+  private val bordaRerankSql =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |  l2r AS (SELECT vec_id, row_number() OVER (
+       |    ORDER BY list_distance(embedding::DOUBLE[], $qvecSql), vec_id) AS r FROM embeddings),
+       |  ipr AS (SELECT vec_id, row_number() OVER (
+       |    ORDER BY -list_inner_product(embedding::DOUBLE[], $qvecSql), vec_id) AS r FROM embeddings)
+       |SELECT l2r.vec_id, ((SELECT n FROM n) - l2r.r) + ((SELECT n FROM n) - ipr.r) AS borda_score
+       |FROM l2r JOIN ipr ON l2r.vec_id = ipr.vec_id""".stripMargin
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -362,6 +515,13 @@ object SparkEntry {
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
+    "bm25_pair" -> (bm25Pair(_, _)),
+    "hybrid_search" -> (hybridSearchQ(_, _)),
+    "rrf_fusion" -> (rrfFusionQ(_, _)),
+    "temporal_knn" -> (temporalKnn(_, _)),
+    "multi_vector" -> (multiVectorQ(_, _)),
+    "ltr_rerank" -> (ltrRerank(_, _)),
+    "borda_rerank" -> (bordaRerank(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,5 +543,12 @@ object SparkEntry {
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
     "faceted_knn" -> facetedKnnSql,
+    "bm25_pair" -> bm25PairSql,
+    "hybrid_search" -> hybridSearchSql,
+    "rrf_fusion" -> rrfFusionSql,
+    "temporal_knn" -> temporalKnnSql,
+    "multi_vector" -> multiVectorSql,
+    "ltr_rerank" -> ltrRerankSql,
+    "borda_rerank" -> bordaRerankSql,
   )
 }

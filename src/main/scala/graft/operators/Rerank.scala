@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embeddings, VectorOps}
+
+/**
+ * Reranking operators (SURVEY §2.7; reference `src/ml/reranking.c`,
+ * `ml_mmr.c`, `ml_ltr.c`, `ml_rerank_ensemble.c`).
+ *
+ * The external-model rerankers (`rerank_llm`, `rerank_cohere`, ...) are
+ * API-shaped in the reference; here they all route to the deterministic
+ * local scorer (embedding cosine similarity over the djb2 fallback
+ * embedder) — same contract, no network, reproducible.
+ */
+object Rerank {
+
+  /** `ltr_score_features` / `ltr_rerank_pointwise`
+    * (`NeuronDB/neurondb--1.0.sql:1835-1845`): linear model
+    * dot(features, weights) + bias as a column. */
+  def ltrScore(features: Seq[Column], weights: Seq[Double], bias: Double): Column = {
+    require(features.size == weights.size, "features/weights length mismatch")
+    features.zip(weights).map { case (f, w) => f * lit(w) }
+      .reduceOption(_ + _).getOrElse(lit(0.0)) + lit(bias)
+  }
+
+  def ltrRerank(df: DataFrame, features: Seq[Column], weights: Seq[Double],
+                bias: Double, k: Int, idCol: String): DataFrame =
+    df.withColumn("ltr_score", ltrScore(features, weights, bias))
+      .orderBy(col("ltr_score").desc, col(idCol))
+      .limit(k)
+
+  /** `rerank_ensemble_weighted(ids, scores[][], w, normalize)`
+    * (`NeuronDB/neurondb--1.0.sql:1819-1829`). */
+  def ensembleWeighted(df: DataFrame, scoreCols: Seq[String], weights: Seq[Double],
+                       normalize: Boolean = true): DataFrame = {
+    require(scoreCols.size == weights.size)
+    def normed(c: String): Column =
+      if (!normalize) col(c)
+      else {
+        val mn = min(col(c)).over(Window.partitionBy())
+        val mx = max(col(c)).over(Window.partitionBy())
+        when(mx === mn, lit(0.0)).otherwise((col(c) - mn) / (mx - mn))
+      }
+    df.withColumn("ensemble_score",
+      scoreCols.zip(weights).map { case (c, w) => lit(w) * normed(c) }.reduce(_ + _))
+  }
+
+  /** `rerank_ensemble_borda(ranks[][])`: Borda count — each ranking awards
+    * (n − rank) points, summed. Higher is better. */
+  def ensembleBorda(df: DataFrame, idCol: String,
+                    rankings: Seq[(String, Boolean)]): DataFrame = {
+    val n = df.count()
+    val withRanks = rankings.zipWithIndex.foldLeft(df) { case (acc, ((scoreCol, desc), i)) =>
+      val ord = if (desc) col(scoreCol).desc else col(scoreCol).asc
+      acc.withColumn(s"__r_$i", row_number().over(Window.orderBy(ord, col(idCol))))
+    }
+    val points = rankings.indices.map(i => lit(n) - col(s"__r_$i")).reduce(_ + _)
+    withRanks.withColumn("borda_score", points.cast("long"))
+      .drop(rankings.indices.map(i => s"__r_$i"): _*)
+  }
+
+  /** `rerank_cross_encoder(q, docs, model, k)` fallback path
+    * (`NeuronDB/neurondb--1.0.sql:813`; SURVEY §2.7): deterministic local
+    * scorer = cosine similarity of fallback embeddings. */
+  def crossEncoder(df: DataFrame, idCol: String, textCol: String, query: String,
+                   model: String = "all-MiniLM-L6-v2", k: Int = 10): DataFrame = {
+    val qEmb = Embeddings.embedText(query, model)
+    val scoreUdf = udf((text: String) =>
+      1.0 - VectorOps.cosineDistance(Embeddings.embedText(text, model), qEmb))
+    df.withColumn("ce_score", scoreUdf(col(textCol)))
+      .orderBy(col("ce_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * MMR diversification, `mmr_rerank(qvec, doc_vecs, λ, k)`
+   * (`NeuronDB/src/ml/ml_mmr.c:75-236`): greedy
+   * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s). Relevance and
+   * redundancy both cosine similarity (`ml_mmr.c:36,155-181`).
+   * Driver-side over the collected candidate set — candidates are top-N
+   * of a distributed search, N is small by construction.
+   */
+  def mmr(query: Array[Float], candidates: Seq[(Long, Array[Float])],
+          lambda: Double = 0.5, k: Int = 10): Seq[(Long, Double)] = {
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      try VectorOps.cosineSimilarity(a, b) catch { case _: IllegalArgumentException => 0.0 }
+    val rel = candidates.map { case (id, v) => id -> sim(query, v) }.toMap
+    val byId = candidates.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(candidates.map(_._1): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val (bestId, bestScore) = remaining.iterator.map { id =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _) => sim(byId(id), byId(sid)) }.max
+        (id, lambda * rel(id) - (1.0 - lambda) * redundancy)
+      }.maxBy { case (id, s) => (s, -id) } // deterministic tie-break: lowest id
+      selected += ((bestId, bestScore))
+      remaining -= bestId
+    }
+    selected.toSeq
+  }
+
+  /** `diverse_vector_search(table, q, λ, k)`
+    * (`NeuronDB/neurondb--1.0.sql:803`): distributed top-N candidates,
+    * then MMR on the driver. */
+  def diverseSearch(df: DataFrame, idCol: String, vecCol: String,
+                    query: Array[Float], lambda: Double, k: Int,
+                    candidateFactor: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = Knn.search(df, vecCol, query, k * candidateFactor, "cosine")
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    mmr(query, cands, lambda, k).toDF(idCol, "mmr_score")
+  }
+
+  /**
+   * Two-stage rerank, `rerank_index_create/get_candidates`
+   * (`NeuronDB/neurondb--1.0.sql:4282-4306`): coarse candidate search on
+   * quantized vectors (cheap, wide net) then exact rescore on the
+   * surviving candidates with full-precision vectors.
+   */
+  def twoStage(df: DataFrame, idCol: String, vecCol: String, coarseCol: String,
+               query: Array[Float], coarseQuery: Array[Float],
+               k: Int, candidateFactor: Int = 4): DataFrame = {
+    val coarse = Knn.search(df, coarseCol, coarseQuery, k * candidateFactor,
+      "l2", distName = "coarse_distance")
+    Knn.search(coarse, vecCol, query, k)
+  }
+}
