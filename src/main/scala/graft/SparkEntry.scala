@@ -493,6 +493,84 @@ object SparkEntry {
        |FROM l2r JOIN ipr ON l2r.vec_id = ipr.vec_id""".stripMargin
 
   // ======================================================================
+  // Quantization codecs / chunking / RAG (SURVEY §2.8, §2.9)
+  // ======================================================================
+
+  /** binary quantize→dequantize round-trip: sign bit → ±1. */
+  private def quantBinary(s: SparkSession, dir: String): DataFrame = {
+    val rt = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      functions.Quantization.binaryToVector(functions.Quantization.toBinary(a), a.length)
+    })
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(rt(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
+  }
+
+  private val quantBinarySql =
+    """SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |  unnest(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END)) AS val
+      |FROM embeddings""".stripMargin
+
+  /** ternary quantize→dequantize: threshold max_abs/3 → {-1,0,+1}. */
+  private def quantTernary(s: SparkSession, dir: String): DataFrame = {
+    val rt = udf((v: Seq[Float]) => {
+      val a = v.toArray
+      functions.Quantization.ternaryToVector(functions.Quantization.toTernary(a), a.length)
+    })
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(rt(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
+  }
+
+  private val quantTernarySql =
+    """WITH t AS (SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) / 3.0 AS REAL) AS thr
+      |  FROM embeddings)
+      |SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |  unnest(list_transform(embedding, x ->
+      |    CASE WHEN x > thr THEN 1.0 WHEN x < -thr THEN -1.0 ELSE 0.0 END)) AS val
+      |FROM t""".stripMargin
+
+  /** int8 max-abs codes; DuckDB replicates float scaling + banker's rint. */
+  private def quantInt8(s: SparkSession, dir: String): DataFrame = {
+    val enc = udf((v: Seq[Float]) => functions.Quantization.toInt8(v.toArray).map(_.toInt))
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(enc(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").as("code"))
+  }
+
+  private val quantInt8Sql =
+    """WITH t AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+      |  FROM embeddings)
+      |SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |  unnest(list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0 ELSE
+      |    CAST(roundbankers(greatest(-128.0, least(127.0,
+      |      CAST(x * CAST(127.0 / maxabs AS REAL) AS REAL)::DOUBLE)), 0) AS INT) END)) AS code
+      |FROM t""".stripMargin
+
+  /** chunk(doc, 128, 32): substring windows, stride 96. */
+  private def chunkText(s: SparkSession, dir: String): DataFrame =
+    operators.Rag.chunkDocuments(Tables.read(s, dir, "documents"), "doc_id", "text", 128, 32)
+      .select(col("doc_id"), col("chunk_index"), col("chunk"))
+
+  private val chunkTextSql =
+    """SELECT doc_id, CAST(start / 96 AS INT) AS chunk_index,
+      |  substr(text, CAST(start AS INT) + 1, 128) AS chunk
+      |FROM (SELECT doc_id, text, unnest(range(0, length(text), 96)) AS start
+      |      FROM documents WHERE length(text) > 0)""".stripMargin
+
+  /** rag_query end-to-end (chunk → djb2 embed → cosine kNN); embedder not
+    * expressible in SQL → rows-only check. */
+  private def ragQuery(s: SparkSession, dir: String): DataFrame = {
+    val index = operators.Rag.buildChunkIndex(
+      Tables.read(s, dir, "documents").limit(200), "doc_id", "text", size = 256, overlap = 64)
+    operators.Rag.ragQuery(index, "fast merge join strategy", k = 5)
+      .select(col("doc_id"), col("chunk_index"), round(col("distance"), 6).as("dist"))
+  }
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -522,6 +600,11 @@ object SparkEntry {
     "multi_vector" -> (multiVectorQ(_, _)),
     "ltr_rerank" -> (ltrRerank(_, _)),
     "borda_rerank" -> (bordaRerank(_, _)),
+    "quant_binary" -> (quantBinary(_, _)),
+    "quant_ternary" -> (quantTernary(_, _)),
+    "quant_int8" -> (quantInt8(_, _)),
+    "chunk_text" -> (chunkText(_, _)),
+    "rag_query" -> (ragQuery(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,5 +633,10 @@ object SparkEntry {
     "multi_vector" -> multiVectorSql,
     "ltr_rerank" -> ltrRerankSql,
     "borda_rerank" -> bordaRerankSql,
+    "quant_binary" -> quantBinarySql,
+    "quant_ternary" -> quantTernarySql,
+    "quant_int8" -> quantInt8Sql,
+    "chunk_text" -> chunkTextSql,
+    // rag_query: djb2 embedder not SQL-expressible -> rows-only check
   )
 }
