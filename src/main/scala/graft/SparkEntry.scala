@@ -571,6 +571,111 @@ object SparkEntry {
   }
 
   // ======================================================================
+  // ML unified API + extras (SURVEY §2.10)
+  // ======================================================================
+
+  /** linear_regression (MLlib normal-equation solver) vs DuckDB regr_*. */
+  private def mlLinreg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.read(s, dir, "lineitem")
+      .withColumn("features", array(col("l_quantity").cast("float")))
+    val tm = ml.UnifiedApi.train("linear_regression", li, "features", Some("l_extendedprice"))
+    val lr = tm.model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    Seq((lr.coefficients(0), lr.intercept)).toDF("slope", "intercept")
+      .select(round(col("slope"), 6).as("slope"), round(col("intercept"), 3).as("intercept"))
+  }
+
+  private val mlLinregSql =
+    """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept
+      |FROM lineitem""".stripMargin
+
+  /** knn classifier: majority of 5 nearest (self included), deterministic
+    * tie-breaks, over the first 100 vectors. */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    ml.Extras.knnClassify(e, e.filter(col("vec_id") < 100), "embedding", "label",
+      k = 5, idCol = "vec_id")
+      .select(col("vec_id"), col("predicted_label"))
+  }
+
+  private val knnClassifySql =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS id, b.label AS train_label,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.label) AS rnk
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 100),
+      |votes AS (
+      |  SELECT id, train_label, count(*) AS votes FROM pairs WHERE rnk <= 5 GROUP BY 1, 2)
+      |SELECT id AS vec_id, train_label AS predicted_label FROM (
+      |  SELECT id, train_label,
+      |    row_number() OVER (PARTITION BY id ORDER BY votes DESC, train_label) AS vr
+      |  FROM votes) WHERE vr = 1""".stripMargin
+
+  /** detect_outliers_zscore on events.value, threshold 3. */
+  private def zscoreOutliersQ(s: SparkSession, dir: String): DataFrame =
+    ml.Extras.zscoreOutliers(
+      Tables.read(s, dir, "events").select(col("event_id"), col("value")), "value", 3.0)
+      .select(col("event_id"), round(col("zscore"), 6).as("z"))
+
+  private val zscoreOutliersSql =
+    """SELECT event_id, round((value - mu) / sigma, 6) AS z
+      |FROM (SELECT event_id, value,
+      |        avg(value) OVER () AS mu, stddev(value) OVER () AS sigma
+      |      FROM events)
+      |WHERE abs((value - mu) / sigma) > 3.0""".stripMargin
+
+  /** detect_centroid_drift between the two halves of the embedding table. */
+  private def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.read(s, dir, "embeddings")
+    val d = ml.Extras.centroidDrift(
+      e.filter(col("vec_id") < 250), e.filter(col("vec_id") >= 250), "embedding", "embedding")
+    Seq(d).toDF("drift").select(round(col("drift"), 6).as("drift"))
+  }
+
+  private val centroidDriftSql =
+    """WITH ca AS (
+      |  SELECT pos, CAST(CAST(sum(v) / count(*) AS REAL) AS DOUBLE) AS m
+      |  FROM (SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding::DOUBLE[]) AS v
+      |        FROM embeddings WHERE vec_id < 250) GROUP BY pos),
+      |cb AS (
+      |  SELECT pos, CAST(CAST(sum(v) / count(*) AS REAL) AS DOUBLE) AS m
+      |  FROM (SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding::DOUBLE[]) AS v
+      |        FROM embeddings WHERE vec_id >= 250) GROUP BY pos)
+      |SELECT round(sqrt(sum((ca.m - cb.m) * (ca.m - cb.m))), 6) AS drift
+      |FROM ca JOIN cb USING (pos)""".stripMargin
+
+  /** recall@10 of the cosine ranking against the l2 ranking. */
+  private def recallAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.read(s, dir, "embeddings")
+    val q = qvec(s, dir)
+    val byL2 = operators.Knn.search(e, "embedding", q, 10, "l2")
+      .select("vec_id").as[Long].collect().toSeq
+    val byCos = operators.Knn.search(e, "embedding", q, 10, "cosine")
+      .select("vec_id").as[Long].collect().toSeq
+    Seq(ml.Extras.recallAtK(byCos, byL2, 10)).toDF("recall")
+  }
+
+  private val recallAtKSql =
+    s"""WITH a AS (SELECT vec_id FROM embeddings
+       |  ORDER BY list_distance(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10),
+       |b AS (SELECT vec_id FROM embeddings
+       |  ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10)
+       |SELECT (SELECT count(*) FROM a JOIN b USING (vec_id)) / 10.0 AS recall""".stripMargin
+
+  /** kmeans via the unified API: cluster sizes are seed-deterministic but
+    * not SQL-expressible → rows-only check. */
+  private def mlKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val tm = ml.UnifiedApi.train("kmeans", e, "embedding", None, Map("k" -> "8"))
+    ml.UnifiedApi.predict(tm.modelId, e)
+      .groupBy(col("prediction")).agg(count(lit(1)).as("cluster_size"))
+  }
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -605,6 +710,12 @@ object SparkEntry {
     "quant_int8" -> (quantInt8(_, _)),
     "chunk_text" -> (chunkText(_, _)),
     "rag_query" -> (ragQuery(_, _)),
+    "ml_linreg" -> (mlLinreg(_, _)),
+    "knn_classify" -> (knnClassify(_, _)),
+    "zscore_outliers" -> (zscoreOutliersQ(_, _)),
+    "centroid_drift" -> (centroidDrift(_, _)),
+    "recall_at_k" -> (recallAtK(_, _)),
+    "ml_kmeans" -> (mlKmeans(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -638,5 +749,11 @@ object SparkEntry {
     "quant_int8" -> quantInt8Sql,
     "chunk_text" -> chunkTextSql,
     // rag_query: djb2 embedder not SQL-expressible -> rows-only check
+    "ml_linreg" -> mlLinregSql,
+    "knn_classify" -> knnClassifySql,
+    "zscore_outliers" -> zscoreOutliersSql,
+    "centroid_drift" -> centroidDriftSql,
+    "recall_at_k" -> recallAtKSql,
+    // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in spec)
   )
 }

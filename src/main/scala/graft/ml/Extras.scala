@@ -1,0 +1,246 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Knn
+
+/**
+ * ML operators that have no MLlib estimator (SURVEY §2.10 long tail):
+ * kNN classify/regress, z-score outliers, drift detection, retrieval
+ * quality metrics, Davies-Bouldin, DBSCAN, ARIMA.
+ */
+object Extras {
+
+  // ------------------------------------------------------------------
+  // kNN classifier / regressor (reference `ml_knn.c`, SQL :972-1008):
+  // brute-force neighbor scan re-expressed as vec-join + window top-k.
+  // ------------------------------------------------------------------
+
+  /** Majority vote over the k nearest train rows; deterministic
+    * tie-break (higher count, then lower label). */
+  def knnClassify(train: DataFrame, test: DataFrame, vecCol: String, labelCol: String,
+                  k: Int = 5, idCol: String = "id"): DataFrame = {
+    val t = train.select(col(vecCol).as("train_vec"), col(labelCol).as("train_label"))
+    val q = test.select(col(idCol), col(vecCol))
+    val joined = q.crossJoin(broadcast(t))
+      .withColumn("distance", Knn.distCol("l2")(col(vecCol), col("train_vec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("distance"), col("train_label"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col(idCol), col("train_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("votes").desc, col("train_label"))))
+      .filter(col("vote_rank") === 1)
+      .select(col(idCol), col("train_label").as("predicted_label"))
+  }
+
+  /** Mean of the k nearest train labels. */
+  def knnRegress(train: DataFrame, test: DataFrame, vecCol: String, labelCol: String,
+                 k: Int = 5, idCol: String = "id"): DataFrame = {
+    val t = train.select(col(vecCol).as("train_vec"), col(labelCol).as("train_label"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("distance"))
+    test.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(t))
+      .withColumn("distance", Knn.distCol("l2")(col(vecCol), col("train_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col(idCol))
+      .agg(avg("train_label").as("predicted_value"))
+  }
+
+  // ------------------------------------------------------------------
+  // Outliers / drift (ml_outlier_detection.c:99,390; ml_drift_detection.c)
+  // ------------------------------------------------------------------
+
+  /** `detect_outliers_zscore(table, col, threshold=3)`: |x−μ|/σ > τ.
+    * Sample stddev, matching both engines' default. */
+  def zscoreOutliers(df: DataFrame, valueCol: String, threshold: Double = 3.0): DataFrame = {
+    val stats = df.agg(avg(col(valueCol)).as("mu"), stddev(col(valueCol)).as("sigma")).head()
+    val mu = stats.getDouble(0); val sigma = stats.getDouble(1)
+    df.withColumn("zscore", (col(valueCol) - lit(mu)) / lit(sigma))
+      .filter(abs(col("zscore")) > threshold)
+  }
+
+  /** `detect_centroid_drift(t1,c1,t2,c2)`: L2 between the two datasets'
+    * mean vectors (one aggregation each — scales as a reduce). */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecColA: String, vecColB: String): Double = {
+    def centroid(df: DataFrame, c: String): Array[Float] = {
+      val r = df.agg(graft.functions.VectorAggregates.vector_avg(col(c))).head()
+      r.getSeq[Float](0).toArray
+    }
+    VectorOps.l2(centroid(a, vecColA), centroid(b, vecColB))
+  }
+
+  /** `compute_distribution_divergence` (KL / JS) over equi-width
+    * histograms of a numeric column. */
+  def distributionDivergence(a: DataFrame, b: DataFrame, col1: String, col2: String,
+                             bins: Int = 20, method: String = "js"): Double = {
+    val allMin = math.min(a.agg(min(col(col1))).head().getDouble(0),
+      b.agg(min(col(col2))).head().getDouble(0))
+    val allMax = math.max(a.agg(max(col(col1))).head().getDouble(0),
+      b.agg(max(col(col2))).head().getDouble(0))
+    val width = (allMax - allMin) / bins max 1e-12
+    def hist(df: DataFrame, c: String): Array[Double] = {
+      val counts = df.select(least(lit(bins - 1),
+          floor((col(c) - allMin) / width)).cast("int").as("bin"))
+        .groupBy("bin").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum.toDouble max 1.0
+      Array.tabulate(bins)(i => (counts.getOrElse(i, 0L) + 1e-10) / total)
+    }
+    val p = hist(a, col1); val q = hist(b, col2)
+    def kl(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+    method match {
+      case "kl" => kl(p, q)
+      case "js" =>
+        val m = p.zip(q).map { case (pi, qi) => (pi + qi) / 2 }
+        0.5 * kl(p, m) + 0.5 * kl(q, m)
+      case other => throw new IllegalArgumentException(s"unknown divergence: $other")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Retrieval quality metrics (ml_recall_metrics.c:1-50; SQL :1635-1656)
+  // ------------------------------------------------------------------
+
+  def recallAtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double =
+    if (relevant.isEmpty) 0.0
+    else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / relevant.size
+
+  def precisionAtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double =
+    if (k == 0) 0.0
+    else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / math.min(k, retrieved.size).max(1)
+
+  def f1AtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double = {
+    val pr = precisionAtK(retrieved, relevant, k)
+    val rc = recallAtK(retrieved, relevant, k)
+    if (pr + rc == 0) 0.0 else 2 * pr * rc / (pr + rc)
+  }
+
+  def meanReciprocalRank(rankedLists: Seq[Seq[Long]], relevant: Seq[Set[Long]]): Double = {
+    require(rankedLists.size == relevant.size)
+    val rr = rankedLists.zip(relevant).map { case (ranked, rel) =>
+      ranked.zipWithIndex.collectFirst { case (id, i) if rel(id) => 1.0 / (i + 1) }.getOrElse(0.0)
+    }
+    if (rr.isEmpty) 0.0 else rr.sum / rr.size
+  }
+
+  def ndcgAtK(retrieved: Seq[Long], relevance: Map[Long, Double], k: Int): Double = {
+    def dcg(ids: Seq[Long]): Double =
+      ids.take(k).zipWithIndex.map { case (id, i) =>
+        relevance.getOrElse(id, 0.0) / (math.log(i + 2) / math.log(2))
+      }.sum
+    val ideal = dcg(relevance.toSeq.sortBy(-_._2).map(_._1))
+    if (ideal == 0) 0.0 else dcg(retrieved) / ideal
+  }
+
+  /** `davies_bouldin_index` (`ml_davies_bouldin.c`): avg over clusters of
+    * max pairwise (s_i + s_j) / d(c_i, c_j). Driver-side over per-cluster
+    * aggregates (k centroids, not rows). */
+  def daviesBouldin(df: DataFrame, vecCol: String, clusterCol: String): Double = {
+    val agg = df.groupBy(col(clusterCol))
+      .agg(graft.functions.VectorAggregates.vector_avg(col(vecCol)).as("centroid"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
+    val scatters = agg.keys.map { cid =>
+      val centroid = agg(cid)
+      val mean = df.filter(col(clusterCol) === cid)
+        .withColumn("d", graft.functions.VectorFunctions.l2Udf(col(vecCol), lit(centroid)))
+        .agg(avg("d")).head().getDouble(0)
+      cid -> mean
+    }.toMap
+    val ids = agg.keys.toSeq
+    val ratios = ids.map { i =>
+      ids.filter(_ != i).map { j =>
+        (scatters(i) + scatters(j)) / VectorOps.l2(agg(i), agg(j))
+      }.max
+    }
+    ratios.sum / ids.size
+  }
+
+  // ------------------------------------------------------------------
+  // ARIMA (ml_timeseries.c:105-786): difference d times, OLS AR(p) fit on
+  // lag features (window over time), MA terms zero-initialized, recursive
+  // forecast on the driver.
+  // ------------------------------------------------------------------
+
+  case class ArimaModel(p: Int, d: Int, coeffs: Array[Double], intercept: Double,
+                        lastValues: Array[Double], lastOriginal: Array[Double])
+
+  def arimaFit(series: Array[Double], p: Int = 2, d: Int = 1): ArimaModel = {
+    require(series.length > p + d + 1, "series too short for ARIMA fit")
+    var s = series
+    for (_ <- 1 to d) s = s.sliding(2).map(w => w(1) - w(0)).toArray
+    // OLS on lag matrix
+    val n = s.length - p
+    val x = Array.tabulate(n, p)((i, j) => s(i + p - 1 - j))
+    val y = Array.tabulate(n)(i => s(i + p))
+    val (coef, intercept) = olsFit(x, y)
+    ArimaModel(p, d, coef, intercept, s.takeRight(p), series.takeRight(d))
+  }
+
+  def arimaForecast(m: ArimaModel, steps: Int): Array[Double] = {
+    val hist = scala.collection.mutable.ArrayBuffer(m.lastValues.toSeq: _*)
+    val diffs = Array.newBuilder[Double]
+    for (_ <- 1 to steps) {
+      val next = m.intercept +
+        (0 until m.p).map(j => m.coeffs(j) * hist(hist.size - 1 - j)).sum
+      diffs += next
+      hist += next
+    }
+    // integrate d times from the last original values
+    var out = diffs.result()
+    if (m.d > 0) {
+      var base = m.lastOriginal.last
+      out = out.map { dv => base += dv; base }
+    }
+    out
+  }
+
+  /** Tiny dense OLS via normal equations with Gaussian elimination. */
+  private def olsFit(x: Array[Array[Double]], y: Array[Double]): (Array[Double], Double) = {
+    val n = x.length; val k = x.head.length
+    // augment with intercept column
+    val a = Array.ofDim[Double](k + 1, k + 1)
+    val b = new Array[Double](k + 1)
+    for (i <- 0 until n) {
+      val row = x(i) :+ 1.0
+      for (r <- 0 to k) {
+        b(r) += row(r) * y(i)
+        for (c <- 0 to k) a(r)(c) += row(r) * row(c)
+      }
+    }
+    // solve a * w = b
+    val w = solve(a, b)
+    (w.take(k), w(k))
+  }
+
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (i <- 0 until n) {
+      var piv = i
+      for (r <- i + 1 until n) if (math.abs(a(r)(i)) > math.abs(a(piv)(i))) piv = r
+      val tmp = a(i); a(i) = a(piv); a(piv) = tmp
+      val tb = b(i); b(i) = b(piv); b(piv) = tb
+      val d = if (a(i)(i) == 0.0) 1e-12 else a(i)(i)
+      for (r <- i + 1 until n) {
+        val f = a(r)(i) / d
+        for (c <- i until n) a(r)(c) -= f * a(i)(c)
+        b(r) -= f * b(i)
+      }
+    }
+    val x = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      var s = b(i)
+      for (c <- i + 1 until n) s -= a(i)(c) * x(c)
+      x(i) = s / (if (a(i)(i) == 0.0) 1e-12 else a(i)(i))
+    }
+    x
+  }
+}
