@@ -676,6 +676,115 @@ object SparkEntry {
   }
 
   // ======================================================================
+  // Training-pipeline ops: dedup / text analysis / multimodal (north star)
+  // ======================================================================
+
+  /** Exact dedup groups on events.props (100 distinct payloads). */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.exactGroups(Tables.read(s, dir, "events"), "event_id", "props")
+      .select(col("props"), col("n_dups"), col("keeper"))
+
+  private val dedupExactSql =
+    """SELECT props, count(*) AS n_dups, min(event_id) AS keeper
+      |FROM events GROUP BY props HAVING count(*) > 1""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (distance <= 0.62). */
+  private def dedupCosine(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.cosinePairs(Tables.read(s, dir, "embeddings"), "vec_id", "embedding", 0.62)
+      .select(col("a_id"), col("b_id"), round(col("cosine_distance"), 6).as("dist"))
+
+  private val dedupCosineSql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 0.62""".stripMargin
+
+  /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.ngramJaccardPairs(
+      Tables.read(s, dir, "documents").filter(col("doc_id") < 100),
+      "doc_id", "text", n = 1, threshold = 0.9)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+
+  private val ngramJaccardSql =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS grams
+      |  FROM documents WHERE doc_id < 100),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |      len(list_distinct(list_concat(a.grams, b.grams))) AS j
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.9""".stripMargin
+
+  /** Token counts + punctuation/stopword components + rolling-hash
+    * fingerprint — the raw inputs of quality scoring, all exact. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.TextAnalysis.wsTokenCountUdf(col("text")).as("ws_tokens"),
+        functions.TextAnalysis.bpeTokenCountUdf(col("text")).as("bpe_tokens"),
+        functions.TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
+
+  private val textStatsSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+      |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+      |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(range(1, length(text) + 1), i -> unicode(text[i]))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** lang-ID + quality score (heuristics; composite formulas covered by
+    * unit tests -> rows-only check). */
+  private def langQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.TextAnalysis.langIdUdf(col("text")).as("lang_guess"),
+        round(functions.TextAnalysis.qualityUdf(col("text")), 6).as("quality"))
+
+  /** MinHash-LSH near-dup detection: 20 planted duplicates must be found
+    * (rows-only; the hash family is not SQL-expressible). */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    operators.Dedup.minhashLshPairs(docs.unionByName(planted), "doc_id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 1)
+  }
+
+  /** SimHash near-dup pairs (rows-only). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    operators.Dedup.simhashPairs(docs.unionByName(planted), "doc_id", "text", maxHamming = 2)
+  }
+
+  /** Multimodal plumbing: text bytes as media payload, stub byte-histogram
+    * features; the 'a'/'e'/space ratios are exact in both engines. */
+  private def multimodalHist(s: SparkSession, dir: String): DataFrame = {
+    val media = operators.Multimodal.asMedia(
+      Tables.read(s, dir, "documents").filter(length(col("text")) > 0), "doc_id", "text")
+    operators.Multimodal.extractFeatures(media)
+      .select(col("media_id").as("doc_id"),
+        col("features").getItem(97).cast("double").as("f_a"),
+        col("features").getItem(101).cast("double").as("f_e"),
+        col("features").getItem(32).cast("double").as("f_space"))
+  }
+
+  private val multimodalHistSql =
+    """SELECT doc_id,
+      |  CAST((length(text) - length(replace(text, 'a', ''))) / CAST(length(text) AS REAL) AS REAL)::DOUBLE AS f_a,
+      |  CAST((length(text) - length(replace(text, 'e', ''))) / CAST(length(text) AS REAL) AS REAL)::DOUBLE AS f_e,
+      |  CAST((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS REAL) AS REAL)::DOUBLE AS f_space
+      |FROM documents WHERE length(text) > 0""".stripMargin
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -716,6 +825,14 @@ object SparkEntry {
     "centroid_drift" -> (centroidDrift(_, _)),
     "recall_at_k" -> (recallAtK(_, _)),
     "ml_kmeans" -> (mlKmeans(_, _)),
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_cosine" -> (dedupCosine(_, _)),
+    "ngram_jaccard" -> (ngramJaccard(_, _)),
+    "text_stats" -> (textStats(_, _)),
+    "lang_quality" -> (langQuality(_, _)),
+    "minhash_lsh" -> (minhashLsh(_, _)),
+    "simhash_pairs" -> (simhashPairs(_, _)),
+    "multimodal_hist" -> (multimodalHist(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,5 +872,12 @@ object SparkEntry {
     "centroid_drift" -> centroidDriftSql,
     "recall_at_k" -> recallAtKSql,
     // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in spec)
+    "dedup_exact" -> dedupExactSql,
+    "dedup_cosine" -> dedupCosineSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "text_stats" -> textStatsSql,
+    "multimodal_hist" -> multimodalHistSql,
+    // lang_quality / minhash_lsh / simhash_pairs: heuristic or seeded-hash
+    // operators, not SQL-expressible -> rows-only checks + unit specs
   )
 }

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/**
+ * Text analysis for training-data pipelines (BASELINE north star):
+ * language-ID heuristic, quality scoring, token counting, document
+ * fingerprinting. All pure, deterministic functions of the text.
+ */
+object TextAnalysis {
+
+  // ---------------- language id ----------------
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was"),
+    "de" -> Set("der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "dass", "es", "für", "mit", "als", "war"),
+    "fr" -> Set("le", "la", "les", "et", "ou", "de", "à", "dans", "est", "que", "il", "pour", "avec", "comme", "était"),
+    "es" -> Set("el", "la", "los", "y", "o", "de", "a", "en", "es", "que", "lo", "para", "con", "como", "era"),
+    "it" -> Set("il", "la", "i", "e", "o", "di", "a", "in", "è", "che", "lo", "per", "con", "come", "era"))
+
+  /**
+   * n-gram/stopword heuristic: script detection first (CJK / Cyrillic /
+   * Arabic ranges), then argmax stopword hit-rate over the Latin
+   * languages; "und" (undetermined) when nothing matches. Deterministic
+   * tie-break: alphabetical.
+   */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var cyr = 0; var ar = 0; var total = 0
+    text.codePoints().forEach { cp =>
+      if (Character.isLetter(cp)) {
+        total += 1
+        val block = Character.UnicodeScript.of(cp)
+        if (block == Character.UnicodeScript.HAN || block == Character.UnicodeScript.HIRAGANA ||
+          block == Character.UnicodeScript.KATAKANA || block == Character.UnicodeScript.HANGUL) cjk += 1
+        else if (block == Character.UnicodeScript.CYRILLIC) cyr += 1
+        else if (block == Character.UnicodeScript.ARABIC) ar += 1
+      }
+    }
+    if (total > 0) {
+      if (cjk.toDouble / total > 0.3) return "zh"
+      if (cyr.toDouble / total > 0.3) return "ru"
+      if (ar.toDouble / total > 0.3) return "ar"
+    }
+    val toks = TextFunctions.tokenize(text)
+    if (toks.isEmpty) return "und"
+    val scores = stopwords.map { case (lang, sw) =>
+      lang -> toks.count(sw.contains).toDouble / toks.size
+    }
+    val (bestLang, bestScore) = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
+    if (bestScore > 0.02) bestLang else "und"
+  }
+
+  // ---------------- quality ----------------
+
+  /**
+   * Composite quality score in [0,1] from length, punctuation ratio,
+   * stopword ratio, and mean word length — the standard cheap filters a
+   * pretraining pipeline applies before expensive scoring.
+   */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = TextFunctions.tokenize(text)
+    if (toks.isEmpty) return 0.0
+    val nChars = text.length.toDouble
+    val punct = text.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+    val punctRatio = punct / nChars
+    val sw = stopwords.values.flatten.toSet
+    val stopRatio = toks.count(sw.contains).toDouble / toks.size
+    val meanWordLen = toks.map(_.length).sum.toDouble / toks.size
+    // component scores, each in [0,1]
+    val lengthScore = math.min(1.0, toks.size / 100.0)
+    val punctScore = if (punctRatio <= 0.2) 1.0 else math.max(0.0, 1.0 - (punctRatio - 0.2) * 5)
+    val stopScore = math.min(1.0, stopRatio / 0.1)
+    val wordLenScore =
+      if (meanWordLen >= 3.0 && meanWordLen <= 10.0) 1.0
+      else if (meanWordLen < 3.0) meanWordLen / 3.0
+      else math.max(0.0, 1.0 - (meanWordLen - 10.0) / 10.0)
+    0.25 * lengthScore + 0.25 * punctScore + 0.25 * stopScore + 0.25 * wordLenScore
+  }
+
+  // ---------------- token counting ----------------
+
+  /** Whitespace token count. */
+  def whitespaceTokenCount(text: String): Int =
+    if (text == null || text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+
+  /** BPE-ish subword estimate: alnum runs contribute ceil(len/4) tokens
+    * (≈4 chars/token, the common planning rule), plus one per
+    * non-space symbol. */
+  def bpeTokenCount(text: String): Int = {
+    if (text == null) return 0
+    var count = 0
+    var runLen = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) runLen += 1
+      else {
+        if (runLen > 0) { count += (runLen + 3) / 4; runLen = 0 }
+        if (!Character.isWhitespace(c)) count += 1
+      }
+      i += 1
+    }
+    if (runLen > 0) count += (runLen + 3) / 4
+    count
+  }
+
+  // ---------------- fingerprinting ----------------
+
+  /** Rabin-Karp rolling polynomial hash of the whole document:
+    * h = Σ c_i·B^i mod M with B=31, M=1e9+7, over code points. */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val M = 1000000007L
+    var h = 0L
+    text.codePoints().forEach { cp => h = (h * 31 + cp) % M }
+    h
+  }
+
+  /** Rolling window fingerprints (winnowing-style candidates): hash of
+    * every `window`-token span, for fine-grained overlap detection. */
+  def windowFingerprints(text: String, window: Int = 8): Seq[Long] = {
+    val toks = TextFunctions.tokenize(text)
+    if (toks.size < window) Seq(fingerprint(toks.mkString(" ")))
+    else toks.sliding(window).map(w => fingerprint(w.mkString(" "))).toSeq
+  }
+
+  // ---------------- registration ----------------
+
+  val langIdUdf = udf((t: String) => langId(t))
+  val qualityUdf = udf((t: String) => qualityScore(t))
+  val wsTokenCountUdf = udf((t: String) => whitespaceTokenCount(t))
+  val bpeTokenCountUdf = udf((t: String) => bpeTokenCount(t))
+  val fingerprintUdf = udf((t: String) => fingerprint(t))
+  val windowFingerprintsUdf = udf((t: String, w: Int) => windowFingerprints(t, w))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("lang_id", langIdUdf)
+    spark.udf.register("quality_score", qualityUdf)
+    spark.udf.register("ws_token_count", wsTokenCountUdf)
+    spark.udf.register("bpe_token_count", bpeTokenCountUdf)
+    spark.udf.register("doc_fingerprint", fingerprintUdf)
+    spark.udf.register("window_fingerprints", windowFingerprintsUdf)
+  }
+}

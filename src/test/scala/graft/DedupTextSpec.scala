@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal}
+
+class DedupTextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest id per group") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("id", "text")
+    val groups = Dedup.exactGroups(df, "id", "text").collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 3 && groups.head.getLong(2) == 1)
+    val kept = Dedup.exactDedup(df, "id", "text").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("minhash estimates jaccard within tolerance") {
+    val a = Dedup.wordShingles("the quick brown fox jumps over the lazy dog wow", 2)
+    val b = Dedup.wordShingles("the quick brown fox jumps over a lazy dog wow", 2)
+    val exact = Dedup.exactJaccard(a, b)
+    val est = Dedup.estimatedJaccard(
+      Dedup.minhashSignature(a, 256), Dedup.minhashSignature(b, 256))
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    // determinism
+    assert(Dedup.minhashSignature(a, 64).toSeq == Dedup.minhashSignature(a, 64).toSeq)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "spark shuffle partition join aggregate window sort merge scan filter"),
+      (2L, "spark shuffle partition join aggregate window sort merge scan filters"), // near-dup of 1
+      (3L, "completely different vocabulary about cooking pasta and tomato sauce"),
+      (4L, "yet another unrelated document on mountain hiking trails and weather")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5, shingleN = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small; pairs found") {
+    val t1 = "spark shuffle partition join aggregate window sort"
+    val t2 = "spark shuffle partition join aggregate window sorted"
+    val t3 = "cooking pasta with tomato sauce and basil for dinner tonight"
+    assert(Dedup.hammingDistance64(Dedup.simhash(t1), Dedup.simhash(t1)) == 0)
+    val near = Dedup.hammingDistance64(Dedup.simhash(t1), Dedup.simhash(t2))
+    val far = Dedup.hammingDistance64(Dedup.simhash(t1), Dedup.simhash(t3))
+    assert(near < far, s"near=$near far=$far")
+    val df = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langId: script detection + stopword argmax") {
+    assert(TextAnalysis.langId("the cat and the dog went to the park and it was fun") == "en")
+    assert(TextAnalysis.langId("der Hund und die Katze ist im Haus und das war gut") == "de")
+    assert(TextAnalysis.langId("这是一个中文句子用于测试语言检测功能") == "zh")
+    assert(TextAnalysis.langId("") == "und")
+    assert(TextAnalysis.langId("qwzx bnmp vrtk") == "und")
+  }
+
+  test("qualityScore ranks clean prose above junk") {
+    val clean = "the quick brown fox jumps over the lazy dog and it was a fine day in the park " * 3
+    val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    assert(TextAnalysis.qualityScore(clean) > TextAnalysis.qualityScore(junk))
+    assert(TextAnalysis.qualityScore("") == 0.0)
+    assert(TextAnalysis.qualityScore(clean) > 0.7)
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(TextAnalysis.whitespaceTokenCount("one two  three") == 3)
+    assert(TextAnalysis.whitespaceTokenCount("  ") == 0)
+    // "hello" -> ceil(5/4)=2, "," -> 1, "world" -> 2
+    assert(TextAnalysis.bpeTokenCount("hello, world") == 5)
+  }
+
+  test("fingerprint: deterministic rolling hash, window fingerprints overlap detection") {
+    val t = "a b c d e f g h i j k l"
+    assert(TextAnalysis.fingerprint(t) == TextAnalysis.fingerprint(t))
+    assert(TextAnalysis.fingerprint(t) != TextAnalysis.fingerprint(t + " m"))
+    val w1 = TextAnalysis.windowFingerprints("one two three four five six seven eight nine", 4).toSet
+    val w2 = TextAnalysis.windowFingerprints("zzz two three four five six qqq", 4).toSet
+    assert((w1 & w2).nonEmpty) // shared 4-token span detected
+  }
+
+  test("multimodal: media schema plumbing, stub features, frame sampling") {
+    val docs = Seq((1L, "aab"), (2L, "zzzz")).toDF("id", "text")
+    val media = Multimodal.asMedia(docs, "id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "width", "height", "duration_ms"))
+    val feats = Multimodal.extractFeatures(media)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(math.abs(feats(1L)(97) - 2f / 3) < 1e-6) // 'a' ratio
+    assert(feats(2L)(122) == 1f)                    // all 'z'
+    val frames = Multimodal.frameSampleStub(media.filter($"media_id" === 2), 2, 2)
+    assert(frames.select("frame_index").as[Int].collect().toSeq == Seq(0)) // frames 0,1 -> stride 2 keeps 0
+    val near = Multimodal.crossModalSearch(Multimodal.extractFeatures(media), "aab".getBytes, 1)
+    assert(near.select("media_id").as[Long].head() == 1L)
+  }
+}
