@@ -116,28 +116,28 @@ object SparkEntry {
   // Distance metrics + kNN top-k (SURVEY §2.3, §2.5)
   // ======================================================================
 
-  private def knnBy(s: SparkSession, dir: String, distUdf: (Column, Column) => Column): DataFrame = {
+  private def knnBy(s: SparkSession, dir: String, metric: String): DataFrame = {
     val q = qvec(s, dir)
     Tables.read(s, dir, "embeddings")
-      .withColumn("dist", distUdf(col("embedding"), lit(q)))
+      .withColumn("dist", operators.Knn.distCol(metric)(col("embedding"), lit(q)))
       .orderBy(col("dist"), col("vec_id"))
       .select(col("vec_id"), round(col("dist"), 6).as("dist"))
       .limit(10)
   }
 
-  private def vL2Knn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, VF.l2Udf(_, _))
+  private def vL2Knn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, "l2")
   private val vL2KnnSql =
     s"""SELECT vec_id, round(list_distance(embedding::DOUBLE[], $qvecSql), 6) AS dist
        |FROM embeddings
        |ORDER BY list_distance(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10""".stripMargin
 
-  private def vCosineKnn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, VF.cosineUdf(_, _))
+  private def vCosineKnn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, "cosine")
   private val vCosineKnnSql =
     s"""SELECT vec_id, round(1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql), 6) AS dist
        |FROM embeddings
        |ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10""".stripMargin
 
-  private def vIpKnn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, VF.ipUdf(_, _))
+  private def vIpKnn(s: SparkSession, dir: String): DataFrame = knnBy(s, dir, "ip")
   private val vIpKnnSql =
     s"""SELECT vec_id, round(-list_inner_product(embedding::DOUBLE[], $qvecSql), 6) AS dist
        |FROM embeddings
@@ -748,13 +748,16 @@ object SparkEntry {
         round(functions.TextAnalysis.qualityUdf(col("text")), 6).as("quality"))
 
   /** MinHash-LSH near-dup detection: 20 planted duplicates must be found
-    * (rows-only; the hash family is not SQL-expressible). */
+    * (rows-only; the hash family is not SQL-expressible). 3-word shingles
+    * keep LSH buckets sparse — this corpus's vocabulary is tiny, so
+    * unigram shingles would put most docs in shared buckets and the
+    * candidate set would degenerate toward the cross product. */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.filter(col("doc_id") < 20)
       .withColumn("doc_id", col("doc_id") + 100000)
     operators.Dedup.minhashLshPairs(docs.unionByName(planted), "doc_id", "text",
-      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 1)
+      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 3)
   }
 
   /** SimHash near-dup pairs (rows-only). */

@@ -54,28 +54,24 @@ object Dedup {
     h
   }
 
-  private final val MersennePrime = (1L << 61) - 1
-
-  /** Seeded universal hash family h_i(x) = (a_i·x + b_i) mod p. */
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime))
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer; with per-hash
+    * seed offsets it gives the independent uniform hash family minhash
+    * needs, at two multiplies per hash (no modular arithmetic). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   def minhashSignature(shingles: Set[String], numHashes: Int = 128,
                        seed: Long = 42L): Array[Long] = {
-    val params = hashParams(numHashes, seed)
     val out = Array.fill(numHashes)(Long.MaxValue)
     shingles.foreach { s =>
       val x = djb2(s).toLong & 0xFFFFFFFFL
       var i = 0
       while (i < numHashes) {
-        val (a, b) = params(i)
-        // (a*x + b) mod p via BigInt-free mulmod: a,x < 2^61, use Math.multiplyHigh-free path
-        val h = ((java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(x))
-          .add(java.math.BigInteger.valueOf(b)))
-          .mod(java.math.BigInteger.valueOf(MersennePrime))).longValue()
+        val h = mix64(x ^ mix64(seed + i))
         if (h < out(i)) out(i) = h
         i += 1
       }
@@ -191,13 +187,16 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs under a distance threshold. */
+  /** Embedding-cosine near-dup pairs under a distance threshold. The
+    * `a_id < b_id` prune is part of the join condition so distances are
+    * computed for half the cross product, not filtered afterwards. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   maxCosineDistance: Double): DataFrame = {
-    val e = df.select(col(idCol), col(vecCol))
-    Knn.vecJoin(e, e, vecCol, vecCol, "cosine", threshold = maxCosineDistance)
-      .filter(col(s"l_$idCol") < col(s"r_$idCol"))
-      .select(col(s"l_$idCol").as("a_id"), col(s"r_$idCol").as("b_id"),
-        col("distance").as("cosine_distance"))
+    val l = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val r = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    l.join(broadcast(r), col("a_id") < col("b_id"))
+      .withColumn("cosine_distance", Knn.distCol("cosine")(col("a_vec"), col("b_vec")))
+      .filter(col("cosine_distance") <= maxCosineDistance)
+      .select("a_id", "b_id", "cosine_distance")
   }
 }

@@ -31,7 +31,7 @@ object Hybrid {
                    filter: Option[Column] = None): DataFrame = {
     val base = filter.map(df.filter).getOrElse(df)
     base
-      .withColumn("vector_score", lit(1.0) - VF.l2Udf(col(vecCol), lit(queryVec)))
+      .withColumn("vector_score", lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(queryVec)))
       .withColumn("fts_score", Bm25.bm25_score(lit(queryText), col(textCol)))
       .withColumn("hybrid_score",
         lit(vectorWeight) * col("vector_score") + lit(1.0 - vectorWeight) * col("fts_score"))
@@ -56,7 +56,7 @@ object Hybrid {
                         queries: Seq[Array[Float]], strategy: String = "max",
                         k: Int = 10): DataFrame = {
     val sims = queries.zipWithIndex.map { case (q, i) =>
-      (lit(1.0) - VF.l2Udf(col(vecCol), lit(q))).as(s"sim_$i")
+      (lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(q))).as(s"sim_$i")
     }
     val simCols = queries.indices.map(i => col(s"sim_$i"))
     val fused = strategy match {
@@ -84,7 +84,7 @@ object Hybrid {
     val tsSec = col(tsCol).cast("double")
     val maxSec = df.agg(max(tsSec)).head().getDouble(0)
     val ageDays = (lit(maxSec) - tsSec) / lit(86400.0)
-    df.withColumn("similarity", lit(1.0) - VF.l2Udf(col(vecCol), lit(queryVec)))
+    df.withColumn("similarity", lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(queryVec)))
       .withColumn("temporal_score", col("similarity") * exp(lit(-decay) * ageDays))
       .orderBy(col("temporal_score").desc, col(idCol))
       .limit(k)

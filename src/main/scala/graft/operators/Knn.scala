@@ -21,11 +21,14 @@ import graft.functions.{VectorFunctions => VF, VectorOps}
  */
 object Knn {
 
+  /** Hot metrics go through native Catalyst expressions (no per-element
+    * boxing, codegen-friendly — see graft.plans.DistanceExpressions);
+    * long-tail metrics stay UDFs. Same kernels, identical results. */
   def distCol(metric: String)(a: Column, b: Column): Column = metric match {
-    case "l2" | "euclidean"     => VF.l2Udf(a, b)
-    case "cosine"               => VF.cosineUdf(a, b)
-    case "ip" | "inner_product" => VF.ipUdf(a, b)
-    case "l1" | "manhattan"     => VF.l1Udf(a, b)
+    case "l2" | "euclidean"     => graft.plans.DistanceExpressions.l2(a, b)
+    case "cosine"               => graft.plans.DistanceExpressions.cosine(a, b)
+    case "ip" | "inner_product" => graft.plans.DistanceExpressions.innerProduct(a, b)
+    case "l1" | "manhattan"     => graft.plans.DistanceExpressions.l1(a, b)
     case "hamming"              => VF.hammingUdf(a, b).cast("double")
     case "chebyshev"            => VF.chebyshevUdf(a, b)
     case other => throw new IllegalArgumentException(s"unknown metric: $other")

