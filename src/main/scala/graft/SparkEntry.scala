@@ -788,6 +788,64 @@ object SparkEntry {
       |FROM documents WHERE length(text) > 0""".stripMargin
 
   // ======================================================================
+  // Comparisons / histograms / anomaly / topics (coverage sweep)
+  // ======================================================================
+
+  /** PG-style lexicographic vector comparison operators. */
+  private def vCompare(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val a = e.select(col("vec_id"), col("embedding").as("a_vec"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b_vec"))
+    a.join(b, "vec_id")
+      .select(col("vec_id"),
+        VF.ltUdf(col("a_vec"), col("b_vec")).as("lt"),
+        VF.leUdf(col("a_vec"), col("b_vec")).as("le"),
+        VF.eqUdf(col("a_vec"), col("b_vec")).as("eq"),
+        VF.gtUdf(col("a_vec"), col("b_vec")).as("gt"))
+  }
+
+  private val vCompareSql =
+    """SELECT a.vec_id,
+      |  a.embedding < b.embedding AS lt,
+      |  a.embedding <= b.embedding AS le,
+      |  a.embedding = b.embedding AS eq,
+      |  a.embedding > b.embedding AS gt
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin
+
+  /** similarity_histogram: cosine-similarity distribution vs the query. */
+  private def simHistogram(s: SparkSession, dir: String): DataFrame =
+    ml.AutoMl.similarityHistogram(
+      Tables.read(s, dir, "embeddings"), "embedding", qvec(s, dir), bins = 20)
+
+  private val simHistogramSql =
+    s"""SELECT CAST(least(19, floor((list_cosine_similarity(embedding::DOUBLE[], $qvecSql) + 1.0) / 2.0 * 20)) AS INT) AS bin,
+       |  count(*) AS n
+       |FROM embeddings GROUP BY 1""".stripMargin
+
+  /** isolation forest anomaly scores (seeded; rows-only). */
+  private def iforestScores(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val forest = ml.IsolationForest.fit(e, "embedding", numTrees = 50, sampleSize = 128)
+    ml.IsolationForest.score(e, "embedding", forest)
+      .select(col("vec_id"), round(col("anomaly_score"), 6).as("score"))
+  }
+
+  /** topic discovery over document embeddings (rows-only). */
+  private def topicsQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.read(s, dir, "embeddings")
+      .join(Tables.read(s, dir, "documents"), col("vec_id") === col("doc_id"))
+    ml.AutoMl.discoverTopics(corpus, "text", "embedding", k = 5, topTerms = 5)
+      .select(col("topic"), concat_ws(" ", col("top_terms")).as("terms"))
+  }
+
+  /** PCA whitening of embeddings (rows-only; sign-indeterminate axes). */
+  private def whitenQ(s: SparkSession, dir: String): DataFrame =
+    ml.AutoMl.whitenEmbeddings(
+      Tables.read(s, dir, "embeddings"), "embedding", k = 8)
+      .select(col("vec_id"), posexplode(col("whitened")))
+      .select(col("vec_id"), col("pos"), round(col("col"), 4).as("val"))
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -836,6 +894,11 @@ object SparkEntry {
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
+    "v_compare" -> (vCompare(_, _)),
+    "sim_histogram" -> (simHistogram(_, _)),
+    "iforest_scores" -> (iforestScores(_, _)),
+    "topics" -> (topicsQ(_, _)),
+    "whiten" -> (whitenQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -880,7 +943,10 @@ object SparkEntry {
     "ngram_jaccard" -> ngramJaccardSql,
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,
-    // lang_quality / minhash_lsh / simhash_pairs: heuristic or seeded-hash
-    // operators, not SQL-expressible -> rows-only checks + unit specs
+    "v_compare" -> vCompareSql,
+    "sim_histogram" -> simHistogramSql,
+    // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
+    // topics / whiten: heuristic, seeded-hash, or eigen-solver operators,
+    // not SQL-expressible -> rows-only checks + unit specs
   )
 }

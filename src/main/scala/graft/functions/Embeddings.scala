@@ -78,9 +78,41 @@ object Embeddings {
   val chunkUdf: UserDefinedFunction =
     udf((doc: String, size: Int, overlap: Int) => chunkText(doc, size, overlap))
 
+  /** `embed_text_batch` (`neurondb--1.0.sql:712`): batch form — in Spark
+    * the set-orientation is the DataFrame itself, but the array form is
+    * kept for API parity. */
+  def embedTextBatch(texts: Seq[String], model: String): Seq[Array[Float]] =
+    texts.map(embedText(_, model))
+
+  /** Modality-keyed fallbacks: `embed_image` / `embed_multimodal` /
+    * `clip_embed(input, modality)` / `imagebind_embed`
+    * (`neurondb--1.0.sql:717-747,6915-6948`) — the deterministic fallback
+    * keyed by modality+model, as the reference does when providers are
+    * unavailable (SURVEY §2.9). */
+  def embedModality(input: String, modality: String, model: String): Array[Float] =
+    embedText(input, s"$modality:$model")
+
+  val embedImageUdf: UserDefinedFunction =
+    udf((input: String, model: String) => embedModality(input, "image", model))
+  val clipEmbedUdf: UserDefinedFunction =
+    udf((input: String, modality: String) => embedModality(input, modality, "clip"))
+  val imagebindEmbedUdf: UserDefinedFunction =
+    udf((input: String, modality: String) => embedModality(input, modality, "imagebind"))
+
+  /** `neurondb.detokenize`: whitespace join, inverse of the simple
+    * tokenizer (`neurondb--1.0.sql:5117-5466`). */
+  def detokenize(tokens: Seq[String]): String =
+    if (tokens == null) "" else tokens.mkString(" ")
+
+  val detokenizeUdf: UserDefinedFunction = udf((t: Seq[String]) => detokenize(t))
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("embed_text", embedTextUdf)
     spark.udf.register("embed_text_dim", embedTextDimUdf)
     spark.udf.register("chunk_text", chunkUdf)
+    spark.udf.register("embed_image", embedImageUdf)
+    spark.udf.register("clip_embed", clipEmbedUdf)
+    spark.udf.register("imagebind_embed", imagebindEmbedUdf)
+    spark.udf.register("detokenize", detokenizeUdf)
   }
 }

@@ -64,6 +64,39 @@ object VectorFunctions {
   val whereUdf: UserDefinedFunction = udf((c: Seq[Float], a: Seq[Float], b: Seq[Float]) => VectorOps.where(arr(c), arr(a), arr(b)))
   val preprocessUdf: UserDefinedFunction = udf((a: Seq[Float], m: String) => VectorOps.preprocess(arr(a), m))
 
+  // -- comparisons / hash (NeuronDB/neurondb--1.0.sql:2217-2294) ---------
+  // PG-style lexicographic array comparison; hash is djb2 over the float
+  // bit patterns (content-based, dimension-sensitive).
+
+  private def cmp(a: Seq[Float], b: Seq[Float]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Float.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    a.length.compareTo(b.length)
+  }
+
+  def vectorHash(a: Seq[Float]): Int = {
+    var h = 5381
+    a.foreach { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      var s = 0
+      while (s < 32) { h = ((h << 5) + h) ^ ((bits >>> s) & 0xFF); s += 8 }
+    }
+    h
+  }
+
+  val eqUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) == 0)
+  val neUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) != 0)
+  val ltUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) < 0)
+  val leUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) <= 0)
+  val gtUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) > 0)
+  val geUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) >= 0)
+  val hashUdf: UserDefinedFunction = udf((a: Seq[Float]) => vectorHash(a))
+
   // -- element access / per-vector stats --------------------------------
   val getUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int) => VectorOps.get(arr(a), i))
   val setUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int, v: Double) => VectorOps.set(arr(a), i, v))
@@ -142,6 +175,13 @@ object VectorFunctions {
     "vector_quantile" -> quantileUdf,
     "vector_dims" -> dimsUdf,
     "preprocess" -> preprocessUdf,
+    "vector_eq" -> eqUdf,
+    "vector_ne" -> neUdf,
+    "vector_lt" -> ltUdf,
+    "vector_le" -> leUdf,
+    "vector_gt" -> gtUdf,
+    "vector_ge" -> geUdf,
+    "vector_hash" -> hashUdf,
   )
 
   /** Register every function for `spark.sql` use under its reference name. */

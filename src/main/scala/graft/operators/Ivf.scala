@@ -57,6 +57,48 @@ object Ivf {
     }
   }
 
+  /** Index diagnostics (`index_statistics`/`index_health`/
+    * `index_tune_ivf`/`index_recommend_type`,
+    * `neurondb--1.0.sql:2611-2688`; `src/index/index_tuning.c`,
+    * `index_validator.c`): posting-list size distribution, imbalance, and
+    * an nprobe recommendation targeting the reference tuner's recall band
+    * (`src/planner/planner.c:220-233`). */
+  def statistics(model: IvfModel): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    val sizes = model.assigned.groupBy("cluster_id").count()
+      .agg(min("count"), max("count"), avg("count"), stddev("count"), count(lit(1))).head()
+    val nlists = model.centroids.length.toDouble
+    Map(
+      "nlists" -> nlists,
+      "populated_lists" -> sizes.getLong(4).toDouble,
+      "min_list_size" -> sizes.getLong(0).toDouble,
+      "max_list_size" -> sizes.getLong(1).toDouble,
+      "avg_list_size" -> sizes.getDouble(2),
+      "imbalance" -> sizes.getLong(1).toDouble / math.max(1.0, sizes.getDouble(2)))
+  }
+
+  /** Recommend nprobe for a target recall by sampling queries and finding
+    * the smallest probe count whose recall@k clears the target. */
+  def recommendNprobe(model: IvfModel, sampleQueries: Seq[Array[Float]],
+                      k: Int = 10, targetRecall: Double = 0.9): Int = {
+    val nlists = model.centroids.length
+    val exact = sampleQueries.map { q =>
+      Knn.search(model.assigned, model.vecCol, q, k)
+        .select(model.assigned.columns.head).collect().map(_.get(0)).toSet
+    }
+    var nprobe = 1
+    while (nprobe < nlists) {
+      val recalls = sampleQueries.zip(exact).map { case (q, truth) =>
+        val got = model.search(q, k, nprobe)
+          .select(model.assigned.columns.head).collect().map(_.get(0)).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      if (recalls.sum / recalls.size >= targetRecall) return nprobe
+      nprobe *= 2
+    }
+    nlists
+  }
+
   /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */
   def build(df: DataFrame, vecCol: String, nlists: Int = 100, seed: Long = 42L,
             maxIter: Int = 20): IvfModel = {

@@ -75,6 +75,24 @@ object Rerank {
       .limit(k)
   }
 
+  /** External-provider rerankers (`rerank_llm`/`rerank_cohere`/
+    * `rerank_colbert` `neurondb--1.0.sql:819-834`; `rerank_flash`/
+    * `rerank_long_context` `:6881-6905`): all API-shaped in the reference;
+    * here they are names for the same deterministic local scorer — the
+    * contract (score + top-k) is identical, the scoring model is the
+    * offline fallback. */
+  def rerankLlm(df: DataFrame, idCol: String, textCol: String, query: String,
+                model: String = "all-MiniLM-L6-v2", k: Int = 10): DataFrame =
+    crossEncoder(df, idCol, textCol, query, model, k)
+  def rerankCohere(df: DataFrame, idCol: String, textCol: String, query: String,
+                   k: Int = 10): DataFrame = crossEncoder(df, idCol, textCol, query, k = k)
+  def rerankColbert(df: DataFrame, idCol: String, textCol: String, query: String,
+                    k: Int = 10): DataFrame = crossEncoder(df, idCol, textCol, query, k = k)
+  def rerankFlash(df: DataFrame, idCol: String, textCol: String, query: String,
+                  k: Int = 10): DataFrame = crossEncoder(df, idCol, textCol, query, k = k)
+  def rerankLongContext(df: DataFrame, idCol: String, textCol: String, query: String,
+                        k: Int = 10): DataFrame = crossEncoder(df, idCol, textCol, query, k = k)
+
   /**
    * MMR diversification, `mmr_rerank(qvec, doc_vecs, λ, k)`
    * (`NeuronDB/src/ml/ml_mmr.c:75-236`): greedy

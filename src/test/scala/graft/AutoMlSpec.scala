@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{AutoMl, IsolationForest, UnifiedApi}
+
+class AutoMlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def blob(cx: Double, cy: Double, n: Int, label: Double, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((Seq((cx + rnd.nextGaussian() * 0.2).toFloat,
+      (cy + rnd.nextGaussian() * 0.2).toFloat), label))
+  }
+
+  private lazy val blobs =
+    (blob(0, 0, 60, 0.0, 11) ++ blob(4, 4, 60, 1.0, 12)).zipWithIndex
+      .map { case ((v, l), i) => (i.toLong, v, l) }
+      .toDF("id", "features", "label")
+
+  test("autoTrain picks a winning classifier and reports a leaderboard") {
+    val r = AutoMl.autoTrain(blobs, "features", "label", "classification",
+      Seq("logistic_regression", "decision_tree"))
+    assert(r.bestMetric >= 0.9)
+    assert(r.leaderboard.size == 2 && r.leaderboard.head._2 >= r.leaderboard.last._2)
+  }
+
+  test("gridSearch finds the better regularization") {
+    val (bestParams, bestMetric) = AutoMl.gridSearch(blobs, "logistic_regression",
+      "features", "label", Map("regularization" -> Seq("0.0", "10.0")), "accuracy")
+    assert(bestParams("regularization") == "0.0" && bestMetric >= 0.9)
+  }
+
+  test("crossValidate returns stable accuracy on separable data") {
+    val (mean, sd) = AutoMl.crossValidate(blobs, "decision_tree", "features", "label",
+      folds = 3, metricName = "accuracy")
+    assert(mean > 0.85 && sd < 0.2)
+  }
+
+  test("featureImportance from tree models; unsupported model errors") {
+    val withNoise = blobs.withColumn("features",
+      concat(col("features"), array(lit(0.5f)))) // constant third feature
+    val tm = UnifiedApi.train("random_forest", withNoise, "features", Some("label"))
+    val imp = AutoMl.featureImportance(tm.modelId)
+    assert(imp.length == 3 && imp(2) < 0.05 && math.abs(imp.sum - 1.0) < 1e-6)
+    val lr = UnifiedApi.train("logistic_regression", blobs, "features", Some("label"))
+    intercept[IllegalArgumentException](AutoMl.featureImportance(lr.modelId))
+  }
+
+  test("isolation forest scores an outlier above inliers") {
+    val pts = (blob(0, 0, 200, 0.0, 13).map(_._1) :+ Seq(25f, 25f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val forest = IsolationForest.fit(pts, "vec", numTrees = 50, sampleSize = 64)
+    val scores = IsolationForest.score(pts, "vec", forest)
+      .select("id", "anomaly_score").as[(Long, Double)].collect().toMap
+    val outlier = scores(200L)
+    val inlierMax = scores.filter(_._1 != 200L).values.max
+    assert(outlier > inlierMax, s"outlier $outlier vs inlier max $inlierMax")
+    assert(outlier > 0.6)
+  }
+
+  test("whitened embeddings have ~unit variance per component") {
+    val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val white = AutoMl.whitenEmbeddings(emb, "embedding", k = 4)
+    val varByPos = white.select(posexplode(col("whitened")))
+      .groupBy("pos").agg(variance(col("col")).as("v"))
+      .select("v").as[Double].collect()
+    varByPos.foreach(v => assert(math.abs(v - 1.0) < 0.05, s"variance $v"))
+  }
+
+  test("topic discovery groups vocabulary by cluster") {
+    val corpus = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .join(Tables.read(spark, "/root/testdata/sf0.001", "documents"),
+        col("vec_id") === col("doc_id"))
+    val topics = AutoMl.discoverTopics(corpus, "text", "embedding", k = 3, topTerms = 4)
+    assert(topics.count() == 3)
+    assert(topics.select(size(col("top_terms"))).as[Int].collect().forall(_ == 4))
+  }
+
+  test("lexicographic vector comparison + content hash") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = Seq((Seq(1f, 2f), Seq(1f, 3f))).toDF("a", "b")
+    val r = df.select(VF.ltUdf($"a", $"b"), VF.eqUdf($"a", $"a"), VF.geUdf($"b", $"a")).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(VF.vectorHash(Seq(1f, 2f)) == VF.vectorHash(Seq(1f, 2f)))
+    assert(VF.vectorHash(Seq(1f, 2f)) != VF.vectorHash(Seq(2f, 1f)))
+  }
+}
