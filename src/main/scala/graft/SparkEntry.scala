@@ -229,13 +229,21 @@ object SparkEntry {
   // kNN operators / IVF index / vec_join (SURVEY §2.1, §2.5)
   // ======================================================================
 
+  /** IVF index cache: CREATE INDEX is a one-time build in the reference;
+    * probes reuse it. Keyed by sf dir, cached assignments. */
+  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, operators.Ivf.IvfModel]
+  private def ivfModel(s: SparkSession, dir: String): operators.Ivf.IvfModel =
+    ivfCache.getOrElseUpdate(dir, {
+      val m = operators.Ivf.build(
+        Tables.read(s, dir, "embeddings"), "embedding", nlists = 16, seed = 42L)
+      m.copy(assigned = m.assigned.cache())
+    })
+
   /** IVF probe with nprobe=nlists is exhaustive, so it must reproduce the
     * brute-force top-10 exactly (BASELINE.md recall convention). */
   private def ivfKnnExact(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
-    val model = operators.Ivf.build(
-      Tables.read(s, dir, "embeddings"), "embedding", nlists = 16, seed = 42L)
-    model.search(q, k = 10, nprobe = 16)
+    ivfModel(s, dir).search(q, k = 10, nprobe = 16)
       .select(col("vec_id"), round(col("distance"), 6).as("dist"))
   }
 
