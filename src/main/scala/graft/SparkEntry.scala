@@ -846,6 +846,28 @@ object SparkEntry {
       .select(col("topic"), concat_ws(" ", col("top_terms")).as("terms"))
   }
 
+  /** Sparse kernels validated against the dense oracle: a dense vector
+    * viewed as sparse must give the same L2/dot. */
+  private def sparseL2(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val qIdx = q.indices.toArray
+    val toIdx = udf((v: Seq[Float]) => v.indices.toArray)
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(functions.SparseOps.sparseL2Udf(
+          lit(q.length), toIdx(col("embedding")), col("embedding"),
+          lit(q.length), lit(qIdx), lit(q)), 6).as("dist"),
+        round(functions.SparseOps.sparseDotUdf(
+          lit(q.length), toIdx(col("embedding")), col("embedding"),
+          lit(q.length), lit(qIdx), lit(q)), 6).as("dot"))
+  }
+
+  private val sparseL2Sql =
+    s"""SELECT vec_id,
+       |  round(list_distance(embedding::DOUBLE[], $qvecSql), 6) AS dist,
+       |  round(list_inner_product(embedding::DOUBLE[], $qvecSql), 6) AS dot
+       |FROM embeddings""".stripMargin
+
   /** PCA whitening of embeddings (rows-only; sign-indeterminate axes). */
   private def whitenQ(s: SparkSession, dir: String): DataFrame =
     ml.AutoMl.whitenEmbeddings(
@@ -904,6 +926,7 @@ object SparkEntry {
     "multimodal_hist" -> (multimodalHist(_, _)),
     "v_compare" -> (vCompare(_, _)),
     "sim_histogram" -> (simHistogram(_, _)),
+    "sparse_l2" -> (sparseL2(_, _)),
     "iforest_scores" -> (iforestScores(_, _)),
     "topics" -> (topicsQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
@@ -953,6 +976,7 @@ object SparkEntry {
     "multimodal_hist" -> multimodalHistSql,
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
+    "sparse_l2" -> sparseL2Sql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten: heuristic, seeded-hash, or eigen-solver operators,
     // not SQL-expressible -> rows-only checks + unit specs

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+import graft.functions.VectorParsers.SparseVec
+
+/**
+ * Sparse-vector kernels for the `vecmap` / `sparsevec` surface
+ * (`NeuronDB/neurondb--1.0.sql:613-652` vecmap l2/cosine/ip/l1 +
+ * add/sub/mul_scalar/norm; `:2413-2437` sparsevec l2/cosine/ip +
+ * norm/normalize). Same numeric contract as the dense kernels: double
+ * accumulation, dimension-mismatch errors, zero-norm cosine → 1.0.
+ *
+ * All kernels are merge-joins over index-sorted entries — O(nnz), never
+ * O(dim) — so they hold for vocab-sized dims (30k+) at any nnz.
+ */
+object SparseOps {
+
+  private def sorted(v: SparseVec): SparseVec =
+    if (v.indices.length <= 1 || v.indices.sliding(2).forall(w => w(0) < w(1))) v
+    else {
+      val pairs = v.indices.zip(v.values).sortBy(_._1)
+      SparseVec(v.dim, pairs.map(_._1), pairs.map(_._2))
+    }
+
+  @inline private def checkDims(a: SparseVec, b: SparseVec): Unit =
+    if (a.dim != b.dim)
+      throw new IllegalArgumentException(
+        s"vector dimensions must match: ${a.dim} vs ${b.dim}")
+
+  /** Merge fold over aligned entries: f(idx, aVal, bVal) with 0 for absent. */
+  @inline private def mergeFold(a0: SparseVec, b0: SparseVec)(f: (Double, Double) => Unit): Unit = {
+    val a = sorted(a0); val b = sorted(b0)
+    var i = 0; var j = 0
+    while (i < a.indices.length && j < b.indices.length) {
+      val c = a.indices(i).compareTo(b.indices(j))
+      if (c == 0) { f(a.values(i), b.values(j)); i += 1; j += 1 }
+      else if (c < 0) { f(a.values(i), 0.0); i += 1 }
+      else { f(0.0, b.values(j)); j += 1 }
+    }
+    while (i < a.indices.length) { f(a.values(i), 0.0); i += 1 }
+    while (j < b.indices.length) { f(0.0, b.values(j)); j += 1 }
+  }
+
+  def dot(a: SparseVec, b: SparseVec): Double = {
+    checkDims(a, b)
+    var s = 0.0
+    mergeFold(a, b)((x, y) => if (x != 0.0 && y != 0.0) s += x * y)
+    s
+  }
+
+  def l2(a: SparseVec, b: SparseVec): Double = {
+    checkDims(a, b)
+    var s = 0.0
+    mergeFold(a, b) { (x, y) => val d = x - y; s += d * d }
+    math.sqrt(s)
+  }
+
+  def l1(a: SparseVec, b: SparseVec): Double = {
+    checkDims(a, b)
+    var s = 0.0
+    mergeFold(a, b)((x, y) => s += math.abs(x - y))
+    s
+  }
+
+  def norm(a: SparseVec): Double = {
+    var s = 0.0
+    a.values.foreach(v => s += v.toDouble * v.toDouble)
+    math.sqrt(s)
+  }
+
+  /** Zero-norm rule matches the dense kernel (distance.c:151-153). */
+  def cosineDistance(a: SparseVec, b: SparseVec): Double = {
+    checkDims(a, b)
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot(a, b) / (na * nb)
+  }
+
+  def innerProductDistance(a: SparseVec, b: SparseVec): Double = -dot(a, b)
+
+  def normalize(a: SparseVec): SparseVec = {
+    val n = norm(a)
+    if (n == 0.0) a
+    else SparseVec(a.dim, a.indices.clone(), a.values.map(v => (v / n).toFloat))
+  }
+
+  def add(a: SparseVec, b: SparseVec): SparseVec = combine(a, b, 1.0)
+  def sub(a: SparseVec, b: SparseVec): SparseVec = combine(a, b, -1.0)
+
+  private def combine(a0: SparseVec, b0: SparseVec, sign: Double): SparseVec = {
+    checkDims(a0, b0)
+    val a = sorted(a0); val b = sorted(b0)
+    val idx = Array.newBuilder[Int]; val vals = Array.newBuilder[Float]
+    var i = 0; var j = 0
+    def push(index: Int, v: Double): Unit = if (v != 0.0) { idx += index; vals += v.toFloat }
+    while (i < a.indices.length && j < b.indices.length) {
+      val c = a.indices(i).compareTo(b.indices(j))
+      if (c == 0) { push(a.indices(i), a.values(i) + sign * b.values(j)); i += 1; j += 1 }
+      else if (c < 0) { push(a.indices(i), a.values(i).toDouble); i += 1 }
+      else { push(b.indices(j), sign * b.values(j)); j += 1 }
+    }
+    while (i < a.indices.length) { push(a.indices(i), a.values(i).toDouble); i += 1 }
+    while (j < b.indices.length) { push(b.indices(j), sign * b.values(j)); j += 1 }
+    SparseVec(a.dim, idx.result(), vals.result())
+  }
+
+  def mulScalar(a: SparseVec, s: Double): SparseVec =
+    SparseVec(a.dim, a.indices.clone(), a.values.map(v => (v * s).toFloat))
+
+  // -- Spark UDFs over (dim, indices, values) triples --------------------
+
+  private def sv(dim: Int, idx: Seq[Int], vals: Seq[Float]) =
+    SparseVec(dim, idx.toArray, vals.toArray)
+
+  val sparseL2Udf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
+                         d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
+    l2(sv(d1, i1, v1), sv(d2, i2, v2)))
+  val sparseCosineUdf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
+                             d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
+    cosineDistance(sv(d1, i1, v1), sv(d2, i2, v2)))
+  val sparseDotUdf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
+                          d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
+    dot(sv(d1, i1, v1), sv(d2, i2, v2)))
+  val sparseNormUdf = udf((d: Int, i: Seq[Int], v: Seq[Float]) => norm(sv(d, i, v)))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("sparsevec_l2_distance", sparseL2Udf)
+    spark.udf.register("sparsevec_cosine_distance", sparseCosineUdf)
+    spark.udf.register("sparse_vector_dot_product", sparseDotUdf)
+    spark.udf.register("sparsevec_norm", sparseNormUdf)
+  }
+}
