@@ -875,6 +875,48 @@ object SparkEntry {
       .select(col("vec_id"), posexplode(col("whitened")))
       .select(col("vec_id"), col("pos"), round(col("col"), 4).as("val"))
 
+  /** ANN at reduced nprobe with measured recall@10 against brute force
+    * (BASELINE.md: reduced-nprobe runs report recall, target >=0.90).
+    * Rows-only: IVF assignment is not SQL-expressible. */
+  private def ivfAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = ivfModel(s, dir)
+    val e = Tables.read(s, dir, "embeddings")
+    val rows = Seq(0L, 7L, 33L, 99L, 200L).map { qid =>
+      val q = Tables.queryVector(s, dir, qid)
+      val exact = operators.Knn.search(e, "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val ann = model.search(q, 10, nprobe = 12)
+        .select("vec_id").as[Long].collect().toSet
+      (qid, (exact & ann).size.toDouble / exact.size)
+    }
+    rows.toDF("query_id", "recall_at_10")
+  }
+
+  /** davies_bouldin_index over label clusters (rows-only). */
+  private def daviesBouldinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val db = ml.Extras.daviesBouldin(
+      Tables.read(s, dir, "embeddings"), "embedding", "label")
+    Seq(db).toDF("davies_bouldin").select(round(col("davies_bouldin"), 6).as("davies_bouldin"))
+  }
+
+  /** ARIMA(2,1) fit + 5-step forecast of the daily event-value mean
+    * (rows-only; multi-lag OLS not expressible in the oracle). */
+  private def arimaForecastQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.read(s, dir, "events")
+      .groupBy((expr("ts div 1000") / lit(1e6) / lit(86400.0)).cast("long").as("day"))
+      .agg(avg("value").as("v"))
+      .orderBy("day")
+      .select("v").as[Double].collect()
+    val m = ml.Extras.arimaFit(daily, p = 2, d = 1)
+    ml.Extras.arimaForecast(m, 5).toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+      .toDF("step", "forecast")
+      .select(col("step"), round(col("forecast"), 6).as("forecast"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -930,6 +972,9 @@ object SparkEntry {
     "iforest_scores" -> (iforestScores(_, _)),
     "topics" -> (topicsQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
+    "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
+    "davies_bouldin" -> (daviesBouldinQ(_, _)),
+    "arima_forecast" -> (arimaForecastQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
