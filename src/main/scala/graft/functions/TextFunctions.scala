@@ -36,8 +36,39 @@ object TextFunctions {
 
   def tokens(c: Column): Column = tokenizeUdf(c)
 
+  /**
+   * Wordpiece-lite token ids, the offline stand-in for
+   * `neurondb_hf_tokenize` (`NeuronDB/neurondb--1.0.sql:5117-5466`,
+   * `src/onnx/neurondb_tokenizer.c` — an ONNX-backed HF tokenizer):
+   * greedy longest-prefix splitting of each word into pieces of at most
+   * `maxPiece` chars, each piece hashed into a fixed vocab (djb2 %
+   * vocabSize). Deterministic; continuation pieces get the `##` prefix
+   * before hashing, like wordpiece.
+   */
+  def hfTokenize(text: String, vocabSize: Int = 30522, maxPiece: Int = 6): Seq[Int] = {
+    def pieceId(piece: String): Int = {
+      var h = 5381
+      piece.getBytes("UTF-8").foreach(b => h = ((h << 5) + h) ^ (b & 0xFF))
+      ((h.toLong & 0xFFFFFFFFL) % vocabSize).toInt
+    }
+    tokenize(text).flatMap { word =>
+      val pieces = Seq.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val end = math.min(word.length, i + maxPiece)
+        val raw = word.substring(i, end)
+        pieces += (if (i == 0) raw else "##" + raw)
+        i = end
+      }
+      pieces.result().map(pieceId)
+    }
+  }
+
+  val hfTokenizeUdf: UserDefinedFunction = udf((t: String) => hfTokenize(t))
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("tokenize", tokenizeUdf)
     spark.udf.register("token_count", tokenCountUdf)
+    spark.udf.register("hf_tokenize", hfTokenizeUdf)
   }
 }
