@@ -114,6 +114,7 @@ object VectorFunctions {
   val medianUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.median(arr(a)))
   val quantileUdf: UserDefinedFunction = udf((a: Seq[Float], q: Double) => VectorOps.quantile(arr(a), q))
   val dimsUdf: UserDefinedFunction = udf((a: Seq[Float]) => if (a == null) 0 else a.length)
+  val castDimensionUdf: UserDefinedFunction = udf((a: Seq[Float], d: Int) => VectorOps.castDimension(arr(a), d))
 
   private val byName: Map[String, UserDefinedFunction] = Map(
     "vector_l2_distance" -> l2Udf,
@@ -174,6 +175,7 @@ object VectorFunctions {
     "vector_median" -> medianUdf,
     "vector_quantile" -> quantileUdf,
     "vector_dims" -> dimsUdf,
+    "vector_cast_dimension" -> castDimensionUdf,
     "preprocess" -> preprocessUdf,
     "vector_eq" -> eqUdf,
     "vector_ne" -> neUdf,

@@ -365,6 +365,15 @@ object VectorOps {
   def prepend(v: Double, a: Array[Float]): Array[Float] = v.toFloat +: a
   def concat(a: Array[Float], b: Array[Float]): Array[Float] = a ++ b
 
+  /** `vector_cast_dimension` (NeuronDB/neurondb--1.0.sql:1959): truncate
+    * or zero-pad to the target dimensionality. */
+  def castDimension(a: Array[Float], dim: Int): Array[Float] = {
+    if (dim <= 0) throw new IllegalArgumentException("target dimension must be positive")
+    if (a.length == dim) a.clone()
+    else if (a.length > dim) a.take(dim)
+    else a ++ new Array[Float](dim - a.length)
+  }
+
   // ---------------------------------------------------------------------
   // Per-vector statistics (NeuronDB/src/core/vector_ops.c:382-578,
   // src/vector/vector_advanced.c:78-257)

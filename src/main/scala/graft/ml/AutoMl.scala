@@ -110,6 +110,29 @@ object AutoMl {
     }
   }
 
+  /** `create_ensemble` (`ml_mlops_advanced.c`): majority vote over several
+    * trained classifiers' predictions; ties break toward the lower label. */
+  def ensemblePredict(modelIds: Seq[Long], df: DataFrame, idCol: String): DataFrame = {
+    require(modelIds.nonEmpty, "ensemble needs at least one model")
+    val votes = modelIds.zipWithIndex.map { case (mid, i) =>
+      UnifiedApi.predict(mid, df).select(col(idCol), col("prediction").as(s"p_$i"))
+    }.reduce(_.join(_, idCol))
+    val predCols = modelIds.indices.map(i => col(s"p_$i"))
+    val voteArr = array(predCols: _*)
+    val majority = udf((ps: Seq[Double]) =>
+      ps.groupBy(identity).toSeq.sortBy { case (l, vs) => (-vs.size, l) }.head._1)
+    votes.withColumn("prediction", majority(voteArr))
+      .select(col(idCol), col("prediction"))
+  }
+
+  /** `create_ab_test`: deterministic hash-split traffic routing between
+    * two deployed models. */
+  def abTestAssign(df: DataFrame, idCol: String, modelA: Long, modelB: Long,
+                   fractionA: Double = 0.5, seed: Long = 42L): DataFrame =
+    df.withColumn("assigned_model",
+      when(pmod(hash(col(idCol), lit(seed.toInt)), lit(100)) < (fractionA * 100).toInt,
+        lit(modelA)).otherwise(lit(modelB)))
+
   /** `similarity_histogram`: bucketed distribution of pairwise cosine
     * similarity to a query (equi-width bins over [-1, 1]). */
   def similarityHistogram(df: DataFrame, vecCol: String, query: Array[Float],

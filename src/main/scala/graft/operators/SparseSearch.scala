@@ -69,6 +69,13 @@ object SparseSearch {
     (s.tokens, s.weights)
   })
 
+  /** `splade_embed(text)` / `colbertv2_embed(text)`
+    * (`neurondb--1.0.sql:6748-6775`): ONNX-model paths in the reference;
+    * here the deterministic term-hash embedder tagged with the matching
+    * model name, vocab 30522 (the BERT vocab size the reference uses). */
+  def spladeEmbed(text: String): LearnedSparse = termHashEmbed(text, 30522, "SPLADE")
+  def colbertv2Embed(text: String): LearnedSparse = termHashEmbed(text, 30522, "COLBERT")
+
   /** Corpus helper: documents -> (idCol, tokens, weights) learned-sparse columns. */
   def embedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__sp", termHashEmbedUdf(col(textCol)))

@@ -76,6 +76,39 @@ class AutoMlSpec extends SparkSpecBase {
     assert(topics.select(size(col("top_terms"))).as[Int].collect().forall(_ == 4))
   }
 
+  test("ensemble majority vote + AB assignment") {
+    val m1 = UnifiedApi.train("logistic_regression", blobs, "features", Some("label"))
+    val m2 = UnifiedApi.train("decision_tree", blobs, "features", Some("label"))
+    val m3 = UnifiedApi.train("naive_bayes", blobs, "features", Some("label"))
+    val ens = AutoMl.ensemblePredict(Seq(m1.modelId, m2.modelId, m3.modelId), blobs, "id")
+    val joined = ens.join(blobs.select(col("id"), col("label")), "id")
+    val acc = joined.filter(col("prediction") === col("label")).count().toDouble / blobs.count()
+    assert(acc >= 0.95)
+    val ab = AutoMl.abTestAssign(blobs, "id", 1L, 2L, 0.5)
+    val counts = ab.groupBy("assigned_model").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(1L, 2L) && counts.values.forall(_ > 20))
+    // deterministic routing
+    val ab2 = AutoMl.abTestAssign(blobs, "id", 1L, 2L, 0.5)
+    assert(ab.select("id", "assigned_model").collect().toSeq ==
+      ab2.select("id", "assigned_model").collect().toSeq)
+  }
+
+  test("llm facade: deterministic stub complete/embed/rerank dispatch") {
+    import graft.ml.Llm
+    val c = Llm.complete("what is spark", "m")
+    assert(c == Llm.complete("what is spark", "m") && c.startsWith("[stub-completion"))
+    assert(Llm.llm("embed", Map("text" -> "x")).asInstanceOf[Array[Float]].length == 384)
+    assert(Llm.llm("rerank", Map("query" -> "a b", "doc" -> "a b")).asInstanceOf[Double] > 0.99)
+    intercept[IllegalArgumentException](Llm.llm("teleport", Map.empty))
+  }
+
+  test("vector_cast_dimension pads and truncates (neurondb--1.0.sql:1959)") {
+    import graft.functions.{VectorOps => V}
+    assert(V.castDimension(Array(1f, 2f, 3f), 2).toSeq == Seq(1f, 2f))
+    assert(V.castDimension(Array(1f, 2f), 4).toSeq == Seq(1f, 2f, 0f, 0f))
+    intercept[IllegalArgumentException](V.castDimension(Array(1f), 0))
+  }
+
   test("lexicographic vector comparison + content hash") {
     import graft.functions.{VectorFunctions => VF}
     val df = Seq((Seq(1f, 2f), Seq(1f, 3f))).toDF("a", "b")
