@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Catalyst optimizer rule: promote registered distance UDF calls to the
+ * native expressions in [[DistanceExpressions]].
+ *
+ * Users of the SQL surface (`GraftFunctions.registerAll` +
+ * `spark.sql("... vector_l2_distance(a, b) ...")`) get Scala UDFs — one
+ * boxed Float per element per row. This rule rewrites those calls by
+ * registered name into the allocation-lean native expressions, so the SQL
+ * path and the Column API path execute identically. The rewrite only
+ * fires for two-argument calls on `array<float>` inputs; anything else is
+ * left to the UDF (which remains the semantic reference).
+ *
+ * This is preference-order (c) from SURVEY §7.3 in miniature: a
+ * `Rule[LogicalPlan]` packaged both as a `SparkSessionExtensions`
+ * injector ([[GraftExtensions]], for `spark.sql.extensions`) and as
+ * [[GraftOptimizations.install]] for an already-running session.
+ */
+object PromoteDistanceUdfs extends Rule[LogicalPlan] {
+
+  private val promotions: Map[String, (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression] = Map(
+    "vector_l2_distance" -> (L2DistanceExpr(_, _)),
+    "vector_cosine_distance" -> (CosineDistanceExpr(_, _)),
+    "vector_inner_product" -> (InnerProductExpr(_, _)),
+    "vector_dot" -> (DotProductExpr(_, _)),
+    "vector_l1_distance" -> (L1DistanceExpr(_, _)))
+
+  private def isFloatArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case udf: ScalaUDF if udf.udfName.exists(promotions.contains) &&
+        udf.children.size == 2 && udf.children.forall(isFloatArray) =>
+      promotions(udf.udfName.get)(udf.children.head, udf.children(1))
+  }
+}
+
+/** Builder-time injection: `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` or `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => PromoteDistanceUdfs)
+}
+
+/** Runtime installation on a live session. */
+object GraftOptimizations {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(PromoteDistanceUdfs))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PromoteDistanceUdfs
+}
