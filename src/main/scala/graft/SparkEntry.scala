@@ -893,6 +893,13 @@ object SparkEntry {
     rows.toDF("query_id", "recall_at_10")
   }
 
+  /** LOF density-based anomaly scores over the first 200 vectors
+    * (rows-only). */
+  private def lofScores(s: SparkSession, dir: String): DataFrame =
+    ml.Lof.score(Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
+      "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), round(col("lof"), 6).as("lof"))
+
   /** davies_bouldin_index over label clusters (rows-only). */
   private def daviesBouldinQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -975,6 +982,7 @@ object SparkEntry {
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "davies_bouldin" -> (daviesBouldinQ(_, _)),
     "arima_forecast" -> (arimaForecastQ(_, _)),
+    "lof_scores" -> (lofScores(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -57,6 +57,28 @@ object Ivf {
     }
   }
 
+  /** Persist the index partitioned by cluster id: probes then prune at
+    * the FILE level — `spark.read.parquet(...).filter(cluster_id IN ...)`
+    * reads only the probed clusters' directories. This is the on-disk
+    * shape the 100 TB deployment uses (SCALING.md); centroids ride along
+    * as a tiny side table. */
+  def writePartitioned(model: IvfModel, path: String): Unit = {
+    model.assigned.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/assigned")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                      vecCol: String): IvfModel = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    IvfModel(centroids, spark.read.parquet(s"$path/assigned"), vecCol)
+  }
+
   /** Index diagnostics (`index_statistics`/`index_health`/
     * `index_tune_ivf`/`index_recommend_type`,
     * `neurondb--1.0.sql:2611-2688`; `src/index/index_tuning.c`,
