@@ -38,6 +38,15 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Scale path for exact dedup: shuffle the 8-byte xxhash64 of the text
+    * instead of the text itself. Collision probability ~2^-64 per pair —
+    * the standard large-corpus trade; use [[exactDedup]] when the shuffle
+    * can afford full payloads. */
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   // ---------------- shingles / minhash ----------------
 
   def wordShingles(text: String, n: Int = 3): Set[String] = {

@@ -120,12 +120,21 @@ object Hybrid {
     * columns, optionally min-max normalized first. */
   def fuseScores(df: DataFrame, lexCol: String, semCol: String,
                  lexWeight: Double, normalize: Boolean = true): DataFrame = {
+    // min/max as aggregated scalars, not all-rows windows: one tiny
+    // reduce instead of a single-partition window at scale
+    val bounds: Map[String, (Double, Double)] =
+      if (!normalize) Map.empty
+      else {
+        val r = df.agg(min(col(lexCol)), max(col(lexCol)),
+          min(col(semCol)), max(col(semCol))).head()
+        Map(lexCol -> (r.getDouble(0), r.getDouble(1)),
+          semCol -> (r.getDouble(2), r.getDouble(3)))
+      }
     def normed(c: String): Column =
       if (!normalize) col(c)
       else {
-        val mn = min(col(c)).over(Window.partitionBy())
-        val mx = max(col(c)).over(Window.partitionBy())
-        when(mx === mn, lit(0.0)).otherwise((col(c) - mn) / (mx - mn))
+        val (mn, mx) = bounds(c)
+        if (mx == mn) lit(0.0) else (col(c) - mn) / (mx - mn)
       }
     df.withColumn("fused_score",
       lit(lexWeight) * normed(lexCol) + lit(1.0 - lexWeight) * normed(semCol))

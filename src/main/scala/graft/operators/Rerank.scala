@@ -37,12 +37,21 @@ object Rerank {
   def ensembleWeighted(df: DataFrame, scoreCols: Seq[String], weights: Seq[Double],
                        normalize: Boolean = true): DataFrame = {
     require(scoreCols.size == weights.size)
+    // scalar min/max via one reduce (no single-partition window)
+    val bounds: Map[String, (Double, Double)] =
+      if (!normalize) Map.empty
+      else {
+        val aggs = scoreCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        scoreCols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
     def normed(c: String): Column =
       if (!normalize) col(c)
       else {
-        val mn = min(col(c)).over(Window.partitionBy())
-        val mx = max(col(c)).over(Window.partitionBy())
-        when(mx === mn, lit(0.0)).otherwise((col(c) - mn) / (mx - mn))
+        val (mn, mx) = bounds(c)
+        if (mx == mn) lit(0.0) else (col(c) - mn) / (mx - mn)
       }
     df.withColumn("ensemble_score",
       scoreCols.zip(weights).map { case (c, w) => lit(w) * normed(c) }.reduce(_ + _))
