@@ -167,6 +167,77 @@ object SparkEntry {
        |  len(list_filter(range(1, len(embedding)+1), i -> embedding[i] <> qv[i]::FLOAT)) AS hamming
        |FROM embeddings, q""".stripMargin
 
+  /** Support-based long-tail metrics (|x|>1e-10 support semantics). */
+  private def vDistances2(s: SparkSession, dir: String): DataFrame = {
+    val qc = lit(qvec(s, dir))
+    Tables.read(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        round(VF.jaccardUdf(col("embedding"), qc), 6).as("jaccard"),
+        round(VF.diceUdf(col("embedding"), qc), 6).as("dice"),
+        round(VF.canberraUdf(col("embedding"), qc), 6).as("canberra"),
+        round(VF.brayCurtisUdf(col("embedding"), qc), 6).as("braycurtis"),
+        round(VF.sokalMichenerUdf(col("embedding"), qc), 6).as("sokal"),
+        round(VF.rogersTanimotoUdf(col("embedding"), qc), 6).as("rogers"),
+        round(VF.russellRaoUdf(col("embedding"), qc), 6).as("russell"),
+        round(VF.matchingCoefficientUdf(col("embedding"), qc), 6).as("matching"))
+  }
+
+  private val vDistances2Sql =
+    s"""WITH q AS (SELECT $qvecSql AS qv),
+       |c AS (
+       |  SELECT vec_id, len(embedding) AS dim,
+       |    len(list_filter(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE) > 1e-10 AND abs(qv[i]) > 1e-10)) AS n11,
+       |    len(list_filter(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE) <= 1e-10 AND abs(qv[i]) <= 1e-10)) AS n00,
+       |    len(list_filter(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE) > 1e-10 OR abs(qv[i]) > 1e-10)) AS nunion,
+       |    len(list_filter(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE) > 1e-10)) AS na,
+       |    len(list_filter(range(1, len(embedding)+1),
+       |      i -> abs(qv[i]) > 1e-10)) AS nb,
+       |    list_sum(list_transform(range(1, len(embedding)+1), i ->
+       |      CASE WHEN abs(embedding[i]::DOUBLE) + abs(qv[i]) > 0
+       |           THEN abs(embedding[i]::DOUBLE - qv[i]) / (abs(embedding[i]::DOUBLE) + abs(qv[i]))
+       |           ELSE 0 END)) AS canberra_sum,
+       |    list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE - qv[i]))) AS bc_num,
+       |    list_sum(list_transform(range(1, len(embedding)+1),
+       |      i -> abs(embedding[i]::DOUBLE + qv[i]))) AS bc_den
+       |  FROM embeddings, q)
+       |SELECT vec_id,
+       |  round(CASE WHEN nunion = 0 THEN 0.0 ELSE 1.0 - n11::DOUBLE / nunion END, 6) AS jaccard,
+       |  round(CASE WHEN na = 0 AND nb = 0 THEN 0.0
+       |             WHEN na = 0 OR nb = 0 THEN 1.0
+       |             ELSE 1.0 - 2.0 * n11 / (na + nb) END, 6) AS dice,
+       |  round(canberra_sum, 6) AS canberra,
+       |  round(bc_num / bc_den, 6) AS braycurtis,
+       |  round((dim - n11 - n00)::DOUBLE / dim, 6) AS sokal,
+       |  round(CASE WHEN n11 + n00 + 2.0*(dim - n11 - n00) = 0 THEN 0.0
+       |             ELSE 2.0*(dim - n11 - n00) / (n11 + n00 + 2.0*(dim - n11 - n00)) END, 6) AS rogers,
+       |  round(1.0 - n11::DOUBLE / dim, 6) AS russell,
+       |  round((n11 + n00)::DOUBLE / dim, 6) AS matching
+       |FROM c""".stripMargin
+
+  /** Diagonal-inverse-covariance Mahalanobis, cov from |v1|+0.5. */
+  private def vMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val covInv = Tables.queryVector(s, dir, 1L).map(v => math.abs(v) + 0.5f)
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(VF.mahalanobisUdf(col("embedding"), lit(q), lit(covInv)), 6).as("mahalanobis"))
+  }
+
+  private val vMahalanobisSql =
+    s"""WITH q AS (SELECT $qvecSql AS qv),
+       |civ AS (SELECT list_transform(embedding,
+       |  x -> CAST(abs(x)::DOUBLE + 0.5 AS REAL)::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id = 1)
+       |SELECT vec_id, round(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+       |  i -> (embedding[i]::DOUBLE - qv[i]) * (embedding[i]::DOUBLE - qv[i]) * cv[i]))), 6) AS mahalanobis
+       |FROM embeddings, q, civ""".stripMargin
+
   // ======================================================================
   // Per-vector norms / stats / element-wise transforms (SURVEY §2.2)
   // ======================================================================
@@ -375,6 +446,40 @@ object SparkEntry {
        |    len(list_filter(t, x -> x = 'merge'))::DOUBLE AS tf_merge,
        |    len(list_filter(t, x -> x = 'join'))::DOUBLE  AS tf_join
        |  FROM toks)""".stripMargin
+
+  /** Corpus-statistics BM25 (the real scorer behind hybrid search):
+    * postings + idf over the documents table for the 4-term query. */
+  private def bm25Corpus(s: SparkSession, dir: String): DataFrame = {
+    val idx = operators.Bm25.buildIndex(Tables.read(s, dir, "documents"), "doc_id", "text")
+    idx.score(hybridQText)
+      .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+  }
+
+  private val bm25CorpusSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks),
+      |tf AS (
+      |  SELECT doc_id, len(t)::DOUBLE AS dl,
+      |    len(list_filter(t, x -> x = 'fast'))::DOUBLE  AS tf_fast,
+      |    len(list_filter(t, x -> x = 'query'))::DOUBLE AS tf_query,
+      |    len(list_filter(t, x -> x = 'merge'))::DOUBLE AS tf_merge,
+      |    len(list_filter(t, x -> x = 'join'))::DOUBLE  AS tf_join
+      |  FROM toks),
+      |df AS (
+      |  SELECT
+      |    sum(CASE WHEN tf_fast  > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_fast,
+      |    sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_query,
+      |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_merge,
+      |    sum(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join
+      |  FROM tf)
+      |SELECT doc_id, round(
+      |  CASE WHEN tf_fast  > 0 THEN ln((n - df_fast  + 0.5)/(df_fast  + 0.5) + 1.0) * (tf_fast  * 2.2)/(tf_fast  + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END +
+      |  CASE WHEN tf_query > 0 THEN ln((n - df_query + 0.5)/(df_query + 0.5) + 1.0) * (tf_query * 2.2)/(tf_query + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END +
+      |  CASE WHEN tf_merge > 0 THEN ln((n - df_merge + 0.5)/(df_merge + 0.5) + 1.0) * (tf_merge * 2.2)/(tf_merge + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END +
+      |  CASE WHEN tf_join  > 0 THEN ln((n - df_join  + 0.5)/(df_join  + 0.5) + 1.0) * (tf_join  * 2.2)/(tf_join  + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END, 6) AS bm25
+      |FROM tf, stats, df
+      |WHERE tf_fast + tf_query + tf_merge + tf_join > 0""".stripMargin
 
   /** hybrid_search over embeddings⋈documents: w·(1−l2) + (1−w)·bm25. */
   private def hybridSearchQ(s: SparkSession, dir: String): DataFrame = {
@@ -937,6 +1042,9 @@ object SparkEntry {
     "v_cosine_knn" -> (vCosineKnn(_, _)),
     "v_ip_knn" -> (vIpKnn(_, _)),
     "v_distances" -> (vDistances(_, _)),
+    "v_distances2" -> (vDistances2(_, _)),
+    "v_mahalanobis" -> (vMahalanobis(_, _)),
+    "bm25_corpus" -> (bm25Corpus(_, _)),
     "v_norm_stats" -> (vNormStats(_, _)),
     "v_elementwise" -> (vElementwise(_, _)),
     "v_normalize" -> (vNormalize(_, _)),
@@ -994,6 +1102,9 @@ object SparkEntry {
     "v_cosine_knn" -> vCosineKnnSql,
     "v_ip_knn" -> vIpKnnSql,
     "v_distances" -> vDistancesSql,
+    "v_distances2" -> vDistances2Sql,
+    "v_mahalanobis" -> vMahalanobisSql,
+    "bm25_corpus" -> bm25CorpusSql,
     "v_norm_stats" -> vNormStatsSql,
     "v_elementwise" -> vElementwiseSql,
     "v_normalize" -> vNormalizeSql,

@@ -66,7 +66,8 @@ object Bm25 {
       postings
         .filter(col("term").isin(terms: _*))
         .join(docFreq.filter(col("term").isin(terms: _*)), "term")
-        .join(docLen, postings("doc_id") === docLen(idCol))
+        .join(docLen.withColumnRenamed(idCol, "__dl_id"),
+          postings("doc_id") === col("__dl_id"))
         .withColumn("term_score",
           idf(col("df_t")) * (col("tf") * (k1 + 1.0)) /
             (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
