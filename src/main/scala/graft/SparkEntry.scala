@@ -112,6 +112,23 @@ object SparkEntry {
       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
 
+  /** Semi/anti join shapes (EXISTS / NOT EXISTS). */
+  private def q5SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.read(s, dir, "customer")
+    val bigOrders = Tables.read(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    val withBig = customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_semi")
+    val withoutBig = customer.join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+    withBig.select(col("c_custkey"), lit("has_big_order").as("status"))
+      .unionByName(withoutBig.select(col("c_custkey"), lit("no_big_order").as("status")))
+  }
+
+  private val q5SemiAntiSql =
+    """SELECT c_custkey, 'has_big_order' AS status FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'no_big_order' AS status FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin
+
   // ======================================================================
   // Distance metrics + kNN top-k (SURVEY §2.3, §2.5)
   // ======================================================================
@@ -1038,6 +1055,7 @@ object SparkEntry {
     "q2_join" -> (q2Join(_, _)),
     "q3_topk" -> (q3Topk(_, _)),
     "q4_window" -> (q4Window(_, _)),
+    "q5_semi_anti" -> (q5SemiAnti(_, _)),
     "v_l2_knn" -> (vL2Knn(_, _)),
     "v_cosine_knn" -> (vCosineKnn(_, _)),
     "v_ip_knn" -> (vIpKnn(_, _)),
@@ -1098,6 +1116,7 @@ object SparkEntry {
     "q2_join" -> q2JoinSql,
     "q3_topk" -> q3TopkSql,
     "q4_window" -> q4WindowSql,
+    "q5_semi_anti" -> q5SemiAntiSql,
     "v_l2_knn" -> vL2KnnSql,
     "v_cosine_knn" -> vCosineKnnSql,
     "v_ip_knn" -> vIpKnnSql,
