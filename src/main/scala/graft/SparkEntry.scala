@@ -112,6 +112,16 @@ object SparkEntry {
       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
 
+  /** JSON metadata containment filter (`metadata @> '{"k":…}'`). */
+  private def jsonFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "events")
+      .filter(functions.Json.contains(col("props"), Map("k" -> "42")))
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  private val jsonFilterSql =
+    """SELECT event_id, event_type, value FROM events
+      |WHERE json_extract_string(props, '$.k') = '42'""".stripMargin
+
   /** Semi/anti join shapes (EXISTS / NOT EXISTS). */
   private def q5SemiAnti(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables.read(s, dir, "customer")
@@ -1056,6 +1066,7 @@ object SparkEntry {
     "q3_topk" -> (q3Topk(_, _)),
     "q4_window" -> (q4Window(_, _)),
     "q5_semi_anti" -> (q5SemiAnti(_, _)),
+    "json_filter" -> (jsonFilter(_, _)),
     "v_l2_knn" -> (vL2Knn(_, _)),
     "v_cosine_knn" -> (vCosineKnn(_, _)),
     "v_ip_knn" -> (vIpKnn(_, _)),
@@ -1117,6 +1128,7 @@ object SparkEntry {
     "q3_topk" -> q3TopkSql,
     "q4_window" -> q4WindowSql,
     "q5_semi_anti" -> q5SemiAntiSql,
+    "json_filter" -> jsonFilterSql,
     "v_l2_knn" -> vL2KnnSql,
     "v_cosine_knn" -> vCosineKnnSql,
     "v_ip_knn" -> vIpKnnSql,
