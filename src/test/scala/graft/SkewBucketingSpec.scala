@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewBucketingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted join returns exactly the unsalted join's result") {
+    // heavily skewed left: 90% of rows share key 1
+    val left = ((1 to 900).map(i => (1L, s"l$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"x$i")))
+      .toDF("k", "lv")
+    val right = Seq((1L, "r1"), (2L, "r2"), (50L, "r50")).toDF("k", "rv")
+    val expected = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.length == expected.length)
+    assert(salted.toSeq == expected.toSeq)
+  }
+
+  test("salted join spreads a hot key over saltFactor partitions") {
+    val left = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+    val right = Seq((1L, "r")).toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
+    // the pre-join left side carries 8 distinct shuffle keys, not 1
+    val saltCounts = left.withColumn("__salt",
+        pmod(hash(struct(left.columns.map(col).toSeq: _*), lit(42)), lit(8)))
+      .groupBy("__salt").count().count()
+    assert(saltCounts > 1)
+    assert(salted.count() == 1000)
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    for (t <- Seq("bucketed_a", "bucketed_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    Skew.writeBucketed(a, "bucketed_a", "k", 4)
+    Skew.writeBucketed(b, "bucketed_b", "k", 4)
+    // force the sort-merge path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Skew.bucketedTable(spark, "bucketed_a")
+        .join(Skew.bucketedTable(spark, "bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"bucketed join still shuffles: $plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used: $plan")
+      assert(joined.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
