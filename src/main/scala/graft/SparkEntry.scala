@@ -112,6 +112,19 @@ object SparkEntry {
       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
 
+  /** Rollup aggregation (super-aggregate rows; PG-inherited surface the
+    * reference gets for free — Spark built-in here, SURVEY §2.4 note). */
+  private def q6Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val q6RollupSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** JSON metadata containment filter (`metadata @> '{"k":…}'`). */
   private def jsonFilter(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "events")
@@ -1066,6 +1079,7 @@ object SparkEntry {
     "q3_topk" -> (q3Topk(_, _)),
     "q4_window" -> (q4Window(_, _)),
     "q5_semi_anti" -> (q5SemiAnti(_, _)),
+    "q6_rollup" -> (q6Rollup(_, _)),
     "json_filter" -> (jsonFilter(_, _)),
     "v_l2_knn" -> (vL2Knn(_, _)),
     "v_cosine_knn" -> (vCosineKnn(_, _)),
@@ -1128,6 +1142,7 @@ object SparkEntry {
     "q3_topk" -> q3TopkSql,
     "q4_window" -> q4WindowSql,
     "q5_semi_anti" -> q5SemiAntiSql,
+    "q6_rollup" -> q6RollupSql,
     "json_filter" -> jsonFilterSql,
     "v_l2_knn" -> vL2KnnSql,
     "v_cosine_knn" -> vCosineKnnSql,

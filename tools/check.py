@@ -26,7 +26,8 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    out = sorted((tuple(norm_cell(r[i]) for i in order) for r in rows),
+                 key=repr)  # repr-key: NULLs (None) sort deterministically
     return [cols[i] for i in order], out
 
 def main(sf_dir, out_dir):
