@@ -17,11 +17,23 @@ import graft.functions.VectorParsers.SparseVec
  */
 object SparseOps {
 
+  /** Index-sort + coalesce: duplicate indices are summed (a duplicate
+    * left as-is would make dot/l2/add silently treat one coordinate as
+    * two distinct ones). */
   private def sorted(v: SparseVec): SparseVec =
     if (v.indices.length <= 1 || v.indices.sliding(2).forall(w => w(0) < w(1))) v
     else {
       val pairs = v.indices.zip(v.values).sortBy(_._1)
-      SparseVec(v.dim, pairs.map(_._1), pairs.map(_._2))
+      val idx = Array.newBuilder[Int]
+      val vals = Array.newBuilder[Float]
+      var i = 0
+      while (i < pairs.length) {
+        val cur = pairs(i)._1
+        var s = 0.0
+        while (i < pairs.length && pairs(i)._1 == cur) { s += pairs(i)._2; i += 1 }
+        idx += cur; vals += s.toFloat
+      }
+      SparseVec(v.dim, idx.result(), vals.result())
     }
 
   @inline private def checkDims(a: SparseVec, b: SparseVec): Unit =

@@ -6,12 +6,21 @@ import org.apache.spark.sql.functions.udf
 
 /**
  * Tokenization matching the reference's `bm25_tokenize`
- * (`NeuronDB/src/search/sparse_search.c:448-476`): runs of alphanumeric
- * characters, lowercased; everything else is a separator. This replaces
- * the PG `tsvector` machinery the reference borrows for FTS — stemming is
- * deliberately not replicated (documented divergence, SURVEY §2.6).
+ * (`NeuronDB/src/search/sparse_search.c:449-477`): runs of ASCII
+ * alphanumerics (C `isalnum` — non-ASCII letters are separators, exactly
+ * like the reference's byte-wise scan), lowercased, and capped at 255
+ * chars per token (a longer run continues as a new token, matching the
+ * reference's `j < 255` rescan). This replaces the PG `tsvector`
+ * machinery the reference borrows for FTS — stemming is deliberately not
+ * replicated (documented divergence, SURVEY §2.6).
  */
 object TextFunctions {
+
+  @inline private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  @inline private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
   def tokenize(text: String): Seq[String] = {
     if (text == null) return Seq.empty
@@ -20,8 +29,10 @@ object TextFunctions {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
-      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      if (isAsciiAlnum(c)) {
+        sb.append(asciiLower(c))
+        if (sb.length == 255) { out += sb.toString; sb.clear() }
+      } else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
       i += 1
     }
     if (sb.nonEmpty) out += sb.toString

@@ -112,9 +112,12 @@ object Extras {
     if (relevant.isEmpty) 0.0
     else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / relevant.size
 
+  /** Denominator is k even when fewer than k docs were retrieved —
+    * matching the reference's `precision_at_k` (ml_recall_metrics.c:181),
+    * which penalizes short result lists rather than inflating precision. */
   def precisionAtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double =
     if (k == 0) 0.0
-    else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / math.min(k, retrieved.size).max(1)
+    else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / k
 
   def f1AtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double = {
     val pr = precisionAtK(retrieved, relevant, k)

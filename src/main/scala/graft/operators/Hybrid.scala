@@ -79,15 +79,23 @@ object Hybrid {
    * results are reproducible.
    */
   def temporalVectorSearch(df: DataFrame, idCol: String, vecCol: String, tsCol: String,
-                           queryVec: Array[Float], decay: Double, k: Int): DataFrame = {
+                           queryVec: Array[Float], decay: Double, k: Int,
+                           anchor: Option[Double] = None): DataFrame = {
     // epoch seconds regardless of timestamp/numeric input type
     val tsSec = col(tsCol).cast("double")
-    val maxSec = df.agg(max(tsSec)).head().getDouble(0)
-    val ageDays = (lit(maxSec) - tsSec) / lit(86400.0)
-    df.withColumn("similarity", lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(queryVec)))
+    // corpus-max anchor rides along as a broadcast 1-row aggregate in the
+    // SAME plan (no eager head() action); pass `anchor` to skip it entirely
+    val withAnchor = anchor match {
+      case Some(a) => df.withColumn("__anchor", lit(a))
+      case None    => df.crossJoin(broadcast(df.agg(max(tsSec).as("__anchor"))))
+    }
+    val ageDays = (col("__anchor") - tsSec) / lit(86400.0)
+    withAnchor
+      .withColumn("similarity", lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(queryVec)))
       .withColumn("temporal_score", col("similarity") * exp(lit(-decay) * ageDays))
       .orderBy(col("temporal_score").desc, col(idCol))
       .limit(k)
+      .drop("__anchor")
   }
 
   /** Scalar RRF, `rrf_fusion(k, dense_rank, sparse_rank, k_param=60)`
@@ -98,16 +106,15 @@ object Hybrid {
   /**
    * `reciprocal_rank_fusion` (`NeuronDB/neurondb--1.0.sql:774`) over any
    * number of rankings: each input is (DataFrame, scoreCol, descending);
-   * rank within each via window, union, sum(1/(k+rank)) per id. Rankings
-   * are typically already top-N sized, so the union/groupBy is tiny.
+   * rank within each ([[DistributedRank.withRank]] — range-partitioned, no
+   * single-partition window, safe on full tables), union, sum(1/(k+rank))
+   * per id.
    */
   def rrfFusion(idCol: String, rankings: Seq[(DataFrame, String, Boolean)],
                 kParam: Double = 60.0): DataFrame = {
     val contribs = rankings.map { case (df, scoreCol, desc) =>
       val ord = if (desc) col(scoreCol).desc else col(scoreCol).asc
-      val w = Window.orderBy(ord, col(idCol))
-      df.select(col(idCol), col(scoreCol))
-        .withColumn("r", row_number().over(w))
+      DistributedRank.withRank(df.select(col(idCol), col(scoreCol)), Seq(ord, col(idCol)), "r")
         .select(col(idCol), (lit(1.0) / (lit(kParam) + col("r"))).as("contrib"))
     }
     contribs.reduce(_ unionAll _)
@@ -125,8 +132,8 @@ object Hybrid {
     val bounds: Map[String, (Double, Double)] =
       if (!normalize) Map.empty
       else {
-        val r = df.agg(min(col(lexCol)), max(col(lexCol)),
-          min(col(semCol)), max(col(semCol))).head()
+        val r = df.agg(min(col(lexCol).cast("double")), max(col(lexCol).cast("double")),
+          min(col(semCol).cast("double")), max(col(semCol).cast("double"))).head()
         Map(lexCol -> (r.getDouble(0), r.getDouble(1)),
           semCol -> (r.getDouble(2), r.getDouble(3)))
       }

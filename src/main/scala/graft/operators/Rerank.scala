@@ -41,7 +41,9 @@ object Rerank {
     val bounds: Map[String, (Double, Double)] =
       if (!normalize) Map.empty
       else {
-        val aggs = scoreCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        // cast→double so Float/Int score columns don't ClassCastException
+        val aggs = scoreCols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
         scoreCols.zipWithIndex.map { case (c, i) =>
           c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
@@ -58,17 +60,21 @@ object Rerank {
   }
 
   /** `rerank_ensemble_borda(ranks[][])`: Borda count — each ranking awards
-    * (n − rank) points, summed. Higher is better. */
+    * (n − rank) points, summed. Higher is better. Ranks come from
+    * [[DistributedRank.withRank]] (no single-partition window) and `n`
+    * rides along as a broadcast 1-row aggregate in the same plan — no
+    * separate `count()` action. */
   def ensembleBorda(df: DataFrame, idCol: String,
                     rankings: Seq[(String, Boolean)]): DataFrame = {
-    val n = df.count()
     val withRanks = rankings.zipWithIndex.foldLeft(df) { case (acc, ((scoreCol, desc), i)) =>
       val ord = if (desc) col(scoreCol).desc else col(scoreCol).asc
-      acc.withColumn(s"__r_$i", row_number().over(Window.orderBy(ord, col(idCol))))
+      DistributedRank.withRank(acc, Seq(ord, col(idCol)), s"__r_$i")
     }
-    val points = rankings.indices.map(i => lit(n) - col(s"__r_$i")).reduce(_ + _)
-    withRanks.withColumn("borda_score", points.cast("long"))
-      .drop(rankings.indices.map(i => s"__r_$i"): _*)
+    val total = df.agg(count(lit(1)).as("__n"))
+    val points = rankings.indices.map(i => col("__n") - col(s"__r_$i")).reduce(_ + _)
+    withRanks.crossJoin(broadcast(total))
+      .withColumn("borda_score", points.cast("long"))
+      .drop("__n" +: rankings.indices.map(i => s"__r_$i"): _*)
   }
 
   /** `rerank_cross_encoder(q, docs, model, k)` fallback path
