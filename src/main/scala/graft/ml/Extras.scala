@@ -112,12 +112,14 @@ object Extras {
     if (relevant.isEmpty) 0.0
     else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / relevant.size
 
-  /** Denominator is k even when fewer than k docs were retrieved —
-    * matching the reference's `precision_at_k` (ml_recall_metrics.c:181),
-    * which penalizes short result lists rather than inflating precision. */
-  def precisionAtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double =
-    if (k == 0) 0.0
-    else (retrieved.take(k).toSet & relevant.toSet).size.toDouble / k
+  /** The reference clamps k to n_retrieved before dividing
+    * (ml_recall_metrics.c:161-162,181) — a short result list is NOT
+    * penalized; precision is over the items actually returned. */
+  def precisionAtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double = {
+    val d = math.min(k, retrieved.size)
+    if (d == 0) 0.0
+    else (retrieved.take(d).toSet & relevant.toSet).size.toDouble / d
+  }
 
   def f1AtK(retrieved: Seq[Long], relevant: Seq[Long], k: Int): Double = {
     val pr = precisionAtK(retrieved, relevant, k)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed global ranking — `row_number()` over a total order WITHOUT
@@ -14,9 +15,14 @@ import org.apache.spark.sql.functions._
  * add per-partition offsets. The offsets come from a tiny per-partition
  * count aggregate (≤ `spark.sql.shuffle.partitions` rows) turned into a
  * prefix sum with a small self-join — no global window anywhere, so the
- * plan never collapses to one task. The whole thing stays lazy (one action)
- * and Catalyst's ReuseExchange dedupes the range shuffle between the
- * ranking branch and the counting branch.
+ * plan never collapses to one task.
+ *
+ * The ranged frame is persisted (MEMORY_AND_DISK) before fanning out:
+ * `spark_partition_id()` plus RangePartitioner's sampled boundaries are only
+ * consistent across the rank branch and the count branch if both read ONE
+ * materialization. Relying on ReuseExchange instead would silently corrupt
+ * ranks whenever reuse is defeated (AQE replan, exchange-reuse disabled,
+ * canonicalization mismatch).
  *
  * The order must be TOTAL (callers append an id tiebreak) — otherwise ranks
  * at range-partition boundaries would depend on partitioner sampling.
@@ -34,6 +40,7 @@ object DistributedRank {
     val cnt = s"__${rankCol}_cnt"
 
     val ranged = df.repartitionByRange(p, ord: _*).withColumn(pid, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // local rank inside each range partition (window is partitioned → no
     // "No Partition Defined" single-task collapse)

@@ -89,7 +89,9 @@ object Hybrid {
       case Some(a) => df.withColumn("__anchor", lit(a))
       case None    => df.crossJoin(broadcast(df.agg(max(tsSec).as("__anchor"))))
     }
-    val ageDays = (col("__anchor") - tsSec) / lit(86400.0)
+    // null anchor (empty input) or null timestamp → zero age, i.e. no decay:
+    // the row still ranks by raw similarity instead of silently nulling out
+    val ageDays = coalesce((col("__anchor") - tsSec) / lit(86400.0), lit(0.0))
     withAnchor
       .withColumn("similarity", lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(queryVec)))
       .withColumn("temporal_score", col("similarity") * exp(lit(-decay) * ageDays))
