@@ -20,7 +20,8 @@ object Bench {
     "hybrid_search", "bm25_pair", "rrf_fusion",           // hybrid/lexical
     "ltr_rerank", "temporal_knn",                         // rerank / temporal
     "quant_int8", "chunk_text",                           // codecs / chunking
-    "knn_classify", "ml_kmeans", "zscore_outliers",       // ML
+    "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
+    "ml_kmeans", "zscore_outliers",
     "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup
     "text_stats", "multimodal_hist")                      // text / multimodal
 

@@ -853,6 +853,57 @@ object SparkEntry {
       |WHERE a.vec_id < b.vec_id
       |  AND 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 0.62""".stripMargin
 
+  /** Scale path for dedup_cosine: IVF cluster-blocked similarity join
+    * (shuffle join on cluster_id, no broadcast of either side). Exhaustive
+    * probing (nprobe = nlists) provably equals the cross join, so it runs
+    * against the SAME oracle as dedup_cosine; the nprobe dial between 1
+    * and nlists is the production recall/cost trade (measured by
+    * ivf_join_recall). */
+  private def ivfJoinExact(s: SparkSession, dir: String): DataFrame =
+    operators.Ivf.join(ivfModel(s, dir), Tables.read(s, dir, "embeddings"), "embedding",
+        metric = "cosine", threshold = 0.62, nprobe = 16)
+      .filter(col("l_vec_id") < col("r_vec_id"))
+      .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"),
+        round(col("distance"), 6).as("dist"))
+
+  /** Pair recall of the blocked join at realistic probe widths vs the
+    * exact pair set (rows-only, same reporting shape as ivf_ann_recall). */
+  private def ivfJoinRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = ivfModel(s, dir)
+    val e = Tables.read(s, dir, "embeddings")
+    val exact = operators.Dedup.cosinePairs(e, "vec_id", "embedding", 0.62)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val rows = Seq(1, 2, 4, 8).map { np =>
+      val got = operators.Ivf.join(m, e, "embedding", "cosine", 0.62, nprobe = np)
+        .filter(col("l_vec_id") < col("r_vec_id"))
+        .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"))
+        .as[(Long, Long)].collect().toSet
+      (np, got.size.toLong, exact.size.toLong,
+        if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size)
+    }
+    rows.toDF("nprobe", "blocked_pairs", "exact_pairs", "recall")
+  }
+
+  /** Scale path for exact dedup: shuffle the 8-byte xxhash64 fingerprint
+    * instead of full payloads; keepers must equal the payload-group path. */
+  private def fingerprintDedupQ(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.fingerprintDedup(Tables.read(s, dir, "events"), "event_id", "props")
+      .select(col("event_id").as("keeper"))
+
+  private val fingerprintDedupSql =
+    "SELECT min(event_id) AS keeper FROM events GROUP BY props"
+
+  /** knn_classify without broadcasting the train table: exact IVF
+    * radius-bound k-NN join + the identical majority vote — same oracle
+    * as knn_classify. */
+  private def knnClassifyBlockedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    ml.Extras.knnClassifyBlocked(e, e.filter(col("vec_id") < 100), "embedding", "label",
+      k = 5, idCol = "vec_id")
+      .select(col("vec_id"), col("predicted_label"))
+  }
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -1118,6 +1169,10 @@ object SparkEntry {
     "ml_kmeans" -> (mlKmeans(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_cosine" -> (dedupCosine(_, _)),
+    "ivf_join_exact" -> (ivfJoinExact(_, _)),
+    "ivf_join_recall" -> (ivfJoinRecall(_, _)),
+    "fingerprint_dedup" -> (fingerprintDedupQ(_, _)),
+    "knn_classify_blocked" -> (knnClassifyBlockedQ(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "text_stats" -> (textStats(_, _)),
     "lang_quality" -> (langQuality(_, _)),
@@ -1181,6 +1236,10 @@ object SparkEntry {
     // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in spec)
     "dedup_exact" -> dedupExactSql,
     "dedup_cosine" -> dedupCosineSql,
+    "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
+    "fingerprint_dedup" -> fingerprintDedupSql,
+    "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    // ivf_join_recall: recall report, rows-only by design
     "ngram_jaccard" -> ngramJaccardSql,
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,

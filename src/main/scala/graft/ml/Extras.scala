@@ -38,6 +38,25 @@ object Extras {
       .select(col(idCol), col("train_label").as("predicted_label"))
   }
 
+  /** [[knnClassify]] for train sides too big to broadcast: exact k-NN via
+    * the IVF radius-bound join ([[graft.operators.Ivf.knnJoin]]) — shuffle
+    * joins on `cluster_id`, nothing but centroids+radii broadcast — then
+    * the identical majority vote. Same results as the broadcast path. */
+  def knnClassifyBlocked(train: DataFrame, test: DataFrame, vecCol: String, labelCol: String,
+                         k: Int = 5, idCol: String = "id", nlists: Int = 16,
+                         initProbes: Int = 4): DataFrame = {
+    val model = graft.operators.Ivf.build(
+      train.select(col(vecCol), col(labelCol)), vecCol, nlists)
+    graft.operators.Ivf.knnJoin(model, test.select(col(idCol), col(vecCol)),
+        vecCol, idCol, k, tieBreak = Seq(labelCol))
+      .groupBy(col(idCol), col(s"t_$labelCol").as("train_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("votes").desc, col("train_label"))))
+      .filter(col("vote_rank") === 1)
+      .select(col(idCol), col("train_label").as("predicted_label"))
+  }
+
   /** Mean of the k nearest train labels. */
   def knnRegress(train: DataFrame, test: DataFrame, vecCol: String, labelCol: String,
                  k: Int = 5, idCol: String = "id"): DataFrame = {

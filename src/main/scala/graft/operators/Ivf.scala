@@ -142,29 +142,114 @@ object Ivf {
    * sides to the same centroids, shuffle-join on `cluster_id`, compute
    * distances only within blocks. Trades the O(|L|·|R|) cross product for
    * O(sum of per-cluster products) — the standard IVF blocking scheme.
-   * Pairs whose members fall in different clusters are missed (recall<1),
-   * like any single-assignment blocking; raise nlists quality or use
-   * multi-probe assignment when recall matters more than cost.
+   *
+   * `nprobe` is the right side's multi-probe width: each right row joins
+   * its `nprobe` nearest posting lists. nprobe=1 is the cheapest (misses
+   * pairs whose members fall in different clusters, recall<1); larger
+   * values buy recall linearly in cost; **nprobe = nlists is exhaustive
+   * assignment and provably equals the cross join** — that is the
+   * oracle-verified configuration, and the recall/cost dial between 1 and
+   * nlists is the production setting. A pair is emitted at most once (the
+   * left row sits in exactly one posting list).
    */
   def join(model: IvfModel, other: DataFrame, otherVecCol: String,
-           metric: String = "l2", threshold: Double): DataFrame = {
+           metric: String = "l2", threshold: Double, nprobe: Int = 1): DataFrame = {
     val bCentroids = other.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => {
+    val p = math.max(1, nprobe)
+    val probeUdf = udf((v: Seq[Float]) => {
       val q = v.toArray
-      var best = 0; var bestD = Double.MaxValue; var i = 0
       val cs = bCentroids.value
-      while (i < cs.length) {
-        val d = VectorOps.l2(q, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
-      }
-      best
+      val ds = Array.tabulate(cs.length)(i => (VectorOps.l2(q, cs(i)), i))
+      ds.sortBy(_._1).take(math.min(p, cs.length)).map(_._2).toSeq
     })
     val l = model.assigned.select(
       model.assigned.columns.map(c => col(c).as(if (c == "cluster_id") c else s"l_$c")).toSeq: _*)
-    val r = other.withColumn("cluster_id", assignUdf(col(otherVecCol)))
+    val r = other.withColumn("cluster_id", explode(probeUdf(col(otherVecCol))))
       .select((other.columns.map(c => col(c).as(s"r_$c")) :+ col("cluster_id")).toSeq: _*)
     l.join(r, "cluster_id")
       .withColumn("distance",
         Knn.distCol(metric)(col(s"l_${model.vecCol}"), col(s"r_$otherVecCol")))
       .filter(col("distance") <= threshold)
+  }
+
+  /** Per-cluster covering radius, max over members of d(member, centroid):
+    * the bound that makes [[knnJoin]] exact. One tiny aggregate (nlists
+    * rows to the driver). */
+  def radii(model: IvfModel): Array[Double] = {
+    val bc = model.assigned.sparkSession.sparkContext.broadcast(model.centroids)
+    val dUdf = udf((v: Seq[Float], cid: Int) => VectorOps.l2(v.toArray, bc.value(cid)))
+    val rows = model.assigned
+      .select(col("cluster_id"), dUdf(col(model.vecCol), col("cluster_id")).as("d"))
+      .groupBy("cluster_id").agg(max("d").as("r"))
+      .collect()
+    val out = new Array[Double](model.centroids.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /**
+   * EXACT distributed k-NN join — every query row gets its true k nearest
+   * train rows, with no broadcast of the train table (only centroids +
+   * radii, nlists-sized, are broadcast). The scale shape for
+   * `knn_classify`/`knn_regress`/`vec_join(k)` on large train sides.
+   *
+   * Two passes, both shuffle joins on `cluster_id`:
+   *  1. probe the `initProbes` nearest posting lists → candidate k-th
+   *     distance D_k per query (an upper bound on the true k-th distance);
+   *  2. probe every cluster whose lower bound d(q,c) − radius(c) ≤ D_k —
+   *     by the triangle inequality that set contains ALL true top-k
+   *     members — and take the exact top-k inside it.
+   *
+   * Pruning power tracks the data's cluster structure: tight clusters
+   * prune hard, unclusterable high-dim data degrades to a scan of most
+   * lists (but never loses exactness). Queries with fewer than k
+   * first-pass candidates fall back to probing everything.
+   *
+   * Output: query columns + `t_`-prefixed train columns + `distance` +
+   * `rank` (1..k, ordered by distance then `tieBreak` train columns).
+   */
+  def knnJoin(model: IvfModel, queries: DataFrame, qVecCol: String, qIdCol: String,
+              k: Int, metric: String = "l2", initProbes: Int = 4,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    require(metric == "l2" || metric == "euclidean",
+      s"knnJoin bounds need a metric space; got $metric (map cosine to normalized-L2 first)")
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val br = spark.sparkContext.broadcast(radii(model))
+
+    val train = model.assigned.select(
+      model.assigned.columns.map(c => col(c).as(if (c == "cluster_id") c else s"t_$c")).toSeq: _*)
+    val dist = Knn.distCol(metric)(col(qVecCol), col(s"t_${model.vecCol}"))
+    val ord = (col("distance") +: tieBreak.map(c => col(s"t_$c"))).toSeq
+
+    // pass 1: nearest initProbes lists → per-query candidate k-th distance
+    val probe1 = udf((v: Seq[Float]) => {
+      val q = v.toArray; val cs = bc.value
+      val ds = Array.tabulate(cs.length)(i => (VectorOps.l2(q, cs(i)), i))
+      ds.sortBy(_._1).take(math.min(math.max(1, initProbes), cs.length)).map(_._2).toSeq
+    })
+    val cand1 = queries.select(col(qIdCol), col(qVecCol), explode(probe1(col(qVecCol))).as("cluster_id"))
+      .join(train, "cluster_id")
+      .withColumn("distance", dist)
+    val dk = cand1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("distance"))))
+      .filter(col("__rn") === k)
+      .select(col(qIdCol), col("distance").as("__dk"))
+
+    // pass 2: every list whose lower bound beats D_k (null D_k → all lists)
+    val probe2 = udf((v: Seq[Float], dkv: java.lang.Double) => {
+      val q = v.toArray; val cs = bc.value; val rs = br.value
+      val bound = if (dkv == null) Double.MaxValue else dkv.doubleValue + 1e-9
+      (0 until cs.length).filter(i => VectorOps.l2(q, cs(i)) - rs(i) <= bound)
+    })
+    queries.join(dk, Seq(qIdCol), "left")
+      .select(col(qIdCol), col(qVecCol), explode(probe2(col(qVecCol), col("__dk"))).as("cluster_id"))
+      .join(train, "cluster_id")
+      .withColumn("distance", dist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+      .drop("cluster_id")
   }
 }
