@@ -829,6 +829,161 @@ object SparkEntry {
   }
 
   // ======================================================================
+  // Graph / sparse / keyword / MMR / tenancy surfaces
+  // ======================================================================
+
+  /** graph_knn: nodes reachable from vec 0 within 2 BFS hops over the k=3
+    * kNN graph of the first 100 vectors, ranked by distance to the query. */
+  private def graphKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+    val edges = operators.Knn.buildKnnGraph(nodes, "vec_id", "embedding", k = 3)
+      .select(col("src"), col("dst"))
+    operators.Knn.graphKnn(nodes, edges, "vec_id", "embedding",
+        startIds = Seq(0L), query = qvec(s, dir), k = 5, maxHops = 2)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
+  private val graphKnnQSql =
+    s"""WITH nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+       |    FROM nodes a, nodes b WHERE a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |hop1 AS (SELECT DISTINCT dst AS id FROM edges WHERE src = 0),
+       |hop2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN hop1 h ON e.src = h.id),
+       |visited AS (SELECT 0 AS id UNION SELECT id FROM hop1 UNION SELECT id FROM hop2)
+       |SELECT n.vec_id, round(list_distance(n.embedding::DOUBLE[], $qvecSql), 6) AS dist
+       |FROM nodes n JOIN visited v ON n.vec_id = v.id
+       |ORDER BY list_distance(n.embedding::DOUBLE[], $qvecSql), n.vec_id LIMIT 5""".stripMargin
+
+  /** ln-damped term weights, the sparse-search convention on both sides. */
+  private def termWeights(text: String): Seq[(String, Double)] =
+    functions.TextFunctions.termFreqs(text).toSeq.map { case (t, n) => (t, 1.0 + math.log(n)) }
+
+  private def termPostings(s: SparkSession, dir: String): DataFrame = {
+    val tfUdf = udf((text: String) => termWeights(text))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), explode(tfUdf(col("text"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("token"), col("p._2").as("weight"))
+  }
+
+  private val termPostingsSql =
+    """tf AS (
+      |  SELECT doc_id, t.term AS token, count(*) AS n
+      |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+      |  GROUP BY 1, 2),
+      |post AS (SELECT doc_id, token, 1.0 + ln(n) AS w FROM tf),
+      |q AS (SELECT unnest(['fast','query','merge','join']) AS token, 1.0 AS qw)""".stripMargin
+
+  /** sparse_search: posting-list join on the query's tokens, per-doc dot
+    * product, top-10. */
+  private def sparseSearchQ(s: SparkSession, dir: String): DataFrame =
+    operators.SparseSearch.searchTerms(termPostings(s, dir), termWeights(hybridQText), 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private val sparseSearchSql =
+    s"""WITH $termPostingsSql
+       |SELECT doc_id, round(sum(post.w * q.qw), 6) AS score
+       |FROM post JOIN q USING (token)
+       |GROUP BY doc_id ORDER BY sum(post.w * q.qw) DESC, doc_id LIMIT 10""".stripMargin
+
+  /** semantic_keyword_search: vector ranking restricted to docs containing
+    * every keyword. */
+  private def semanticKeywordQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.read(s, dir, "embeddings")
+      .join(Tables.read(s, dir, "documents"), col("vec_id") === col("doc_id"))
+    operators.Hybrid.semanticKeywordSearch(corpus, "doc_id", "embedding", "text",
+        qvec(s, dir), Seq("vector", "merge"), k = 10)
+      .select(col("doc_id"), round(col("distance"), 6).as("dist"))
+  }
+
+  private val semanticKeywordSql =
+    s"""SELECT d.doc_id, round(list_distance(e.embedding::DOUBLE[], $qvecSql), 6) AS dist
+       |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |WHERE position('vector' IN lower(d.text)) > 0
+       |  AND position('merge' IN lower(d.text)) > 0
+       |ORDER BY list_distance(e.embedding::DOUBLE[], $qvecSql), d.doc_id LIMIT 10""".stripMargin
+
+  /** hybrid_dense_sparse_search: weighted outer-join fusion of the dense
+    * (1 − L2) scores and the sparse term-overlap scores. */
+  private def denseSparseQ(s: SparkSession, dir: String): DataFrame = {
+    val dense = Tables.read(s, dir, "embeddings").select(col("vec_id").as("id"),
+      (lit(1.0) - operators.Knn.distCol("l2")(col("embedding"), lit(qvec(s, dir)))).as("d_score"))
+    val sparse = operators.SparseSearch
+      .searchTerms(termPostings(s, dir), termWeights(hybridQText), Int.MaxValue / 2)
+      .select(col("doc_id").as("id"), col("score").as("s_score"))
+    operators.Hybrid.denseSparseSearch(dense, sparse, "id", "d_score", "s_score",
+        denseWeight = 0.6, sparseWeight = 0.4, k = 15)
+      .select(col("id"), round(col("fused_score"), 6).as("fused"))
+  }
+
+  private val denseSparseSql =
+    s"""WITH $termPostingsSql,
+       |sparse AS (
+       |  SELECT doc_id AS id, sum(post.w * q.qw) AS s_score
+       |  FROM post JOIN q USING (token) GROUP BY 1),
+       |dense AS (
+       |  SELECT vec_id AS id, 1.0 - list_distance(embedding::DOUBLE[], $qvecSql) AS d_score
+       |  FROM embeddings)
+       |SELECT id, round(0.6 * coalesce(d_score, 0) + 0.4 * coalesce(s_score, 0), 6) AS fused
+       |FROM dense FULL OUTER JOIN sparse USING (id)
+       |ORDER BY 0.6 * coalesce(d_score, 0) + 0.4 * coalesce(s_score, 0) DESC, id LIMIT 15""".stripMargin
+
+  /** diverse_vector_search / MMR: top-20 cosine candidates, greedy
+    * λ·relevance − (1−λ)·max-redundancy selection of 5. */
+  private def mmrRerankQ(s: SparkSession, dir: String): DataFrame =
+    operators.Rerank.diverseSearch(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+        qvec(s, dir), lambda = 0.5, k = 5, candidateFactor = 4)
+      .select(col("vec_id"), round(col("mmr_score"), 6).as("mmr"))
+
+  /** The greedy loop unrolled: sN picks step N's argmax (score desc, id
+    * asc), pN accumulates the selected set for the redundancy max. */
+  private val mmrRerankSql = {
+    def step(n: Int): String =
+      s"""s$n AS (
+         |  SELECT c.id, c.embedding, c.rel,
+         |    0.5 * c.rel - 0.5 * (SELECT max(list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[])) FROM p${n - 1} p) AS score
+         |  FROM cand c WHERE c.id NOT IN (SELECT id FROM p${n - 1})
+         |  ORDER BY score DESC, c.id LIMIT 1),
+         |p$n AS (SELECT id, embedding FROM p${n - 1} UNION ALL SELECT id, embedding FROM s$n)""".stripMargin
+    s"""WITH cand AS (
+       |  SELECT vec_id AS id, embedding,
+       |    list_cosine_similarity(embedding::DOUBLE[], $qvecSql) AS rel
+       |  FROM embeddings
+       |  ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql) LIMIT 20),
+       |s1 AS (SELECT id, embedding, rel, 0.5 * rel AS score FROM cand ORDER BY score DESC, id LIMIT 1),
+       |p1 AS (SELECT id, embedding FROM s1),
+       |${step(2)},
+       |${step(3)},
+       |${step(4)},
+       |${step(5)}
+       |SELECT id AS vec_id, round(score, 6) AS mmr FROM (
+       |  SELECT id, score FROM s1 UNION ALL SELECT id, score FROM s2
+       |  UNION ALL SELECT id, score FROM s3 UNION ALL SELECT id, score FROM s4
+       |  UNION ALL SELECT id, score FROM s5)""".stripMargin
+  }
+
+  /** Tenant/RLS scan: one tenant's rows, predicate pushed to the scan. */
+  private def tenantScanQ(s: SparkSession, dir: String): DataFrame =
+    operators.Tenancy.rlsScan(Tables.read(s, dir, "events"), "user_id", 7L)
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  private val tenantScanSql =
+    "SELECT event_id, event_type, value FROM events WHERE user_id = 7"
+
+  /** Per-tenant quota accounting: rows + payload bytes in one aggregate. */
+  private def tenantUsageQ(s: SparkSession, dir: String): DataFrame =
+    operators.Tenancy.usage(Tables.read(s, dir, "events"), "user_id", Seq("props"))
+      .select(col("user_id"), col("n_rows"), col("n_bytes"))
+
+  private val tenantUsageSql =
+    """SELECT user_id, count(*) AS n_rows, sum(strlen(props))::BIGINT AS n_bytes
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ======================================================================
   // Training-pipeline ops: dedup / text analysis / multimodal (north star)
   // ======================================================================
 
@@ -1173,6 +1328,13 @@ object SparkEntry {
     "ivf_join_recall" -> (ivfJoinRecall(_, _)),
     "fingerprint_dedup" -> (fingerprintDedupQ(_, _)),
     "knn_classify_blocked" -> (knnClassifyBlockedQ(_, _)),
+    "graph_knn" -> (graphKnnQ(_, _)),
+    "sparse_search" -> (sparseSearchQ(_, _)),
+    "semantic_keyword" -> (semanticKeywordQ(_, _)),
+    "dense_sparse" -> (denseSparseQ(_, _)),
+    "mmr_rerank" -> (mmrRerankQ(_, _)),
+    "tenant_scan" -> (tenantScanQ(_, _)),
+    "tenant_usage" -> (tenantUsageQ(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "text_stats" -> (textStats(_, _)),
     "lang_quality" -> (langQuality(_, _)),
@@ -1239,6 +1401,13 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "graph_knn" -> graphKnnQSql,
+    "sparse_search" -> sparseSearchSql,
+    "semantic_keyword" -> semanticKeywordSql,
+    "dense_sparse" -> denseSparseSql,
+    "mmr_rerank" -> mmrRerankSql,
+    "tenant_scan" -> tenantScanSql,
+    "tenant_usage" -> tenantUsageSql,
     // ivf_join_recall: recall report, rows-only by design
     "ngram_jaccard" -> ngramJaccardSql,
     "text_stats" -> textStatsSql,

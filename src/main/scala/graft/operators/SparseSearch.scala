@@ -46,6 +46,21 @@ object SparseSearch {
       .limit(k)
   }
 
+  /** Term-keyed variant of [[search]] for raw-token postings (no hash
+    * vocabulary): identical posting-join + dot-product + top-k plan, with
+    * string terms as the join key. */
+  def searchTerms(postings: DataFrame, query: Seq[(String, Double)], k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val q = query.toDF("token", "q_weight")
+    postings
+      .join(broadcast(q), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("weight") * col("q_weight")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic learned-sparse stand-in: token -> hash bucket in a
     * fixed vocab, weight = tf-damped (1 + ln(tf)). Same text ⇒ same
     * sparse vector, offline. */
