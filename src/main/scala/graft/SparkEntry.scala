@@ -966,6 +966,36 @@ object SparkEntry {
        |  UNION ALL SELECT id, score FROM s5)""".stripMargin
   }
 
+  /** DBSCAN over the first 300 embeddings: eps-join → cores → distributed
+    * min-label components → border attach. The oracle replays the exact
+    * semantics with a recursive transitive-closure CTE. */
+  private def dbscanLabelsQ(s: SparkSession, dir: String): DataFrame =
+    ml.Dbscan.fit(Tables.read(s, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", eps = 1.2, minPts = 4)
+      .select(col("id").as("vec_id"), col("cluster"))
+
+  private val dbscanLabelsSql =
+    """WITH RECURSIVE pts AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 300),
+      |pairs AS (SELECT a.id AS a, b.id AS b FROM pts a, pts b
+      |          WHERE list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 1.2),
+      |deg AS (SELECT a, count(*) AS deg FROM pairs GROUP BY a),
+      |cores AS (SELECT a AS id FROM deg WHERE deg >= 4),
+      |ce AS (SELECT p.a, p.b FROM pairs p JOIN cores c1 ON p.a = c1.id
+      |       JOIN cores c2 ON p.b = c2.id WHERE p.a <> p.b),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM ce
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a),
+      |corecluster AS (
+      |  SELECT c.id, least(c.id, coalesce(min(r.dst), c.id)) AS cluster
+      |  FROM cores c LEFT JOIN reach r ON r.src = c.id GROUP BY c.id),
+      |border AS (
+      |  SELECT p.a AS id, min(cc.cluster) AS cluster
+      |  FROM pairs p JOIN corecluster cc ON p.b = cc.id GROUP BY p.a)
+      |SELECT pts.id AS vec_id, coalesce(cc.cluster, bc.cluster, -1) AS cluster
+      |FROM pts LEFT JOIN corecluster cc ON pts.id = cc.id
+      |         LEFT JOIN border bc ON pts.id = bc.id""".stripMargin
+
   /** Tenant/RLS scan: one tenant's rows, predicate pushed to the scan. */
   private def tenantScanQ(s: SparkSession, dir: String): DataFrame =
     operators.Tenancy.rlsScan(Tables.read(s, dir, "events"), "user_id", 7L)
@@ -1333,6 +1363,7 @@ object SparkEntry {
     "semantic_keyword" -> (semanticKeywordQ(_, _)),
     "dense_sparse" -> (denseSparseQ(_, _)),
     "mmr_rerank" -> (mmrRerankQ(_, _)),
+    "dbscan_labels" -> (dbscanLabelsQ(_, _)),
     "tenant_scan" -> (tenantScanQ(_, _)),
     "tenant_usage" -> (tenantUsageQ(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -1406,6 +1437,7 @@ object SparkEntry {
     "semantic_keyword" -> semanticKeywordSql,
     "dense_sparse" -> denseSparseSql,
     "mmr_rerank" -> mmrRerankSql,
+    "dbscan_labels" -> dbscanLabelsSql,
     "tenant_scan" -> tenantScanSql,
     "tenant_usage" -> tenantUsageSql,
     // ivf_join_recall: recall report, rows-only by design

@@ -15,9 +15,8 @@ import graft.operators.Knn
  *   2. core points = neighbor count ≥ minPts (self included, matching the
  *      reference's region query);
  *   3. clusters = connected components of the core-core eps graph —
- *      union-find over the collected core edges (edges are
- *      O(cores · avg-degree), far smaller than the input; a Pregel-style
- *      min-label propagation replaces it beyond driver memory);
+ *      iterative min-label propagation over the edge DataFrame
+ *      ([[connectedComponents]]), nothing collected to the driver;
  *   4. border points join any core neighbor's cluster (lowest cluster id
  *      for determinism); everything else is noise (-1).
  *
@@ -25,45 +24,67 @@ import graft.operators.Knn
  */
 object Dbscan {
 
+  /**
+   * Connected components by min-label propagation: every node starts as
+   * its own label; each round takes the min of its label and its
+   * neighbors' labels; fixpoint = min node id of the component. Each
+   * round is one shuffle join + aggregate; rounds ≤ graph diameter.
+   * `localCheckpoint` cuts the growing lineage so round N's plan does not
+   * replay rounds 1..N−1.
+   *
+   * Input: undirected edges (a, b); output: (id, label) for every
+   * endpoint. Isolated nodes (no edges) don't appear — callers coalesce
+   * to the node's own id.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "label")
+      i += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   def fit(df: DataFrame, idCol: String, vecCol: String,
           eps: Double, minPts: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val pairs = Knn.vecJoin(pts, pts, "vec", "vec", "l2", threshold = eps)
       .select(col("l_id").as("a"), col("r_id").as("b"))
       .cache()
 
     val degrees = pairs.groupBy("a").agg(count(lit(1)).as("deg"))
-    val cores = degrees.filter(col("deg") >= minPts).select(col("a").as("id"))
+    val cores = degrees.filter(col("deg") >= minPts).select(col("a").as("id")).cache()
 
-    // union-find over core-core edges
-    val coreSet = cores.as[Long].collect().toSet
+    // core-core eps edges (no self loops), components distributed
     val coreEdges = pairs
       .filter(col("a") < col("b"))
-      .as[(Long, Long)].collect()
-      .filter { case (a, b) => coreSet(a) && coreSet(b) }
-
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    coreSet.foreach(c => parent(c) = c)
-    coreEdges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    // normalize to min-id representative
-    val clusterOf = coreSet.map(c => c -> find(c)).toMap
-    val minRep = clusterOf.groupBy(_._2).map { case (rep, members) =>
-      rep -> members.keys.min
-    }
-    val coreCluster = coreSet.map(c => c -> minRep(clusterOf(c))).toSeq.toDF("id", "cluster")
+      .join(cores.withColumnRenamed("id", "a"), "a")
+      .join(cores.withColumnRenamed("id", "b"), "b")
+      .select("a", "b")
+    val comp = connectedComponents(coreEdges)
+    // isolated cores (minPts of border neighbors, no core neighbor) keep
+    // their own id as the cluster label
+    val coreCluster = cores
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
 
     // border points: nearest label = min cluster among core neighbors
     val borderCluster = pairs
