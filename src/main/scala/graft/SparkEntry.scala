@@ -1305,6 +1305,45 @@ object SparkEntry {
       .select(col("step"), round(col("forecast"), 6).as("forecast"))
   }
 
+  /** OCSVM anomaly scores over the first 300 embeddings. The simplified
+    * reference semantics (strided support set, mean RBF kernel,
+    * nu-quantile threshold) are fully SQL-expressible, so this is a green
+    * oracle row, not rows-only. */
+  private def ocsvmScoresQ(s: SparkSession, dir: String): DataFrame =
+    ml.Ocsvm.score(Tables.read(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", nu = 0.1, gamma = 1.0)
+
+  private val ocsvmScoresSql =
+    """WITH pts AS (SELECT vec_id AS id, embedding,
+      |             row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      |             FROM embeddings WHERE vec_id < 300),
+      |n AS (SELECT count(*) AS n FROM pts),
+      |sv AS (SELECT p.embedding FROM pts p, n
+      |       WHERE p.rn IN (SELECT (i * n.n) // 30 FROM range(0, 30) t(i))),
+      |scores AS (SELECT p.id,
+      |           avg(exp(-1.0 * list_distance(p.embedding::DOUBLE[],
+      |                                        s.embedding::DOUBLE[]) ^ 2)) AS score
+      |           FROM pts p CROSS JOIN sv s GROUP BY p.id),
+      |thr AS (SELECT score AS t FROM scores ORDER BY score LIMIT 1 OFFSET 30)
+      |SELECT id AS vec_id, round(score, 6) AS score,
+      |       round(score, 6) < round((SELECT t FROM thr), 6) AS is_anomaly
+      |FROM scores""".stripMargin
+
+  /** t-SNE landmark reduction of the first 200 embeddings to 2-d
+    * (rows-only; iterative seeded optimizer, determinism in Ml2Spec). */
+  private def tsneReduceQ(s: SparkSession, dir: String): DataFrame =
+    ml.Dimensionality.reduce(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
+      "vec_id", "embedding", method = "tsne",
+      sampleLimit = 100, iterations = 120, perplexity = 10.0)
+
+  /** UMAP landmark reduction (rows-only, reference-shaped loop). */
+  private def umapReduceQ(s: SparkSession, dir: String): DataFrame =
+    ml.Dimensionality.reduce(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
+      "vec_id", "embedding", method = "umap",
+      sampleLimit = 100, iterations = 80, nNeighbors = 10)
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1382,6 +1421,9 @@ object SparkEntry {
     "davies_bouldin" -> (daviesBouldinQ(_, _)),
     "arima_forecast" -> (arimaForecastQ(_, _)),
     "lof_scores" -> (lofScores(_, _)),
+    "ocsvm_scores" -> (ocsvmScoresQ(_, _)),
+    "tsne_reduce" -> (tsneReduceQ(_, _)),
+    "umap_reduce" -> (umapReduceQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1447,8 +1489,10 @@ object SparkEntry {
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,
+    "ocsvm_scores" -> ocsvmScoresSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
-    // topics / whiten: heuristic, seeded-hash, or eigen-solver operators,
-    // not SQL-expressible -> rows-only checks + unit specs
+    // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
+    // eigen-solver, or iterative-optimizer operators, not SQL-expressible
+    // -> rows-only checks + unit specs
   )
 }

@@ -79,6 +79,94 @@ object AutoMl {
     if (higherIsBetter) scored.maxBy(_._2) else scored.minBy(_._2)
   }
 
+  /** Core of `neurondb_bayesian_optimize` (`ml_hyperparameter_tuning.c:598`,
+    * acquisition "ei"): the reference ships a deterministic demo sampler; we
+    * implement a real GP-free TPE (Bergstra et al. 2011) over the same
+    * categorical grid space. After `nStartup` seeded-random trials, each
+    * step splits history at the `gamma` quantile into good/bad sets, scores
+    * every grid value by the Laplace-smoothed density ratio l(v)/g(v), and
+    * evaluates the unseen candidate maximizing the product — classic
+    * expected-improvement-proportional selection for categorical TPE.
+    * Deterministic under `seed`. Returns (bestParams, bestScore, trials). */
+  def tpeOptimize(grid: Map[String, Seq[String]], numTrials: Int, seed: Long = 42L,
+                  nStartup: Int = 5, gamma: Double = 0.25, nCandidates: Int = 32)
+                 (eval: Map[String, String] => Double)
+      : (Map[String, String], Double, Seq[(Map[String, String], Double)]) = {
+    require(numTrials >= 1, "numTrials must be positive")
+    val rnd = new scala.util.Random(seed)
+    val keys = grid.keys.toSeq.sorted
+    def randomCombo(): Map[String, String] =
+      keys.map(k => k -> grid(k)(rnd.nextInt(grid(k).size))).toMap
+    val total = grid.values.map(_.size.toLong).product
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Map[String, String], Double)]
+    val seen = scala.collection.mutable.Set.empty[Map[String, String]]
+
+    def nextUnseenRandom(): Option[Map[String, String]] = {
+      if (seen.size >= total) return None
+      var c = randomCombo()
+      while (seen(c)) c = randomCombo()
+      Some(c)
+    }
+
+    def tpeCandidate(): Option[Map[String, String]] = {
+      val sortedHist = history.sortBy(-_._2)
+      val nGood = math.max(1, math.ceil(gamma * history.size).toInt)
+      val (good, bad) = sortedHist.splitAt(nGood)
+      // per-param density ratio with Laplace smoothing
+      val ratio: Map[String, Map[String, Double]] = keys.map { k =>
+        val vals = grid(k)
+        k -> vals.map { v =>
+          val l = (good.count(_._1(k) == v) + 1.0) / (good.size + vals.size)
+          val g = (bad.count(_._1(k) == v) + 1.0) / (bad.size + vals.size)
+          v -> l / g
+        }.toMap
+      }.toMap
+      // sample candidates ∝ ratio per param, keep the best unseen by
+      // the product score
+      def sampleBy(k: String): String = {
+        val r = ratio(k)
+        val vals = grid(k)
+        val totalW = vals.map(r).sum
+        var u = rnd.nextDouble() * totalW
+        vals.find { v => u -= r(v); u <= 0 }.getOrElse(vals.last)
+      }
+      val cands = (1 to nCandidates)
+        .map(_ => keys.map(k => k -> sampleBy(k)).toMap)
+        .filterNot(seen)
+      if (cands.isEmpty) nextUnseenRandom()
+      else Some(cands.maxBy(c => keys.map(k => math.log(ratio(k)(c(k)))).sum))
+    }
+
+    var t = 0
+    var exhausted = false
+    while (t < numTrials && !exhausted) {
+      val pick = if (history.size < nStartup) nextUnseenRandom() else tpeCandidate()
+      pick match {
+        case Some(params) =>
+          seen += params
+          history += params -> eval(params)
+          t += 1
+        case None => exhausted = true
+      }
+    }
+    val best = history.maxBy(_._2)
+    (best._1, best._2, history.toSeq)
+  }
+
+  /** `neurondb_bayesian_optimize`: TPE over trained-model metrics, same
+    * train/eval contract as [[gridSearch]]/[[randomSearch]]. */
+  def bayesianSearch(df: DataFrame, algorithm: String, featuresCol: String, labelCol: String,
+                     grid: Map[String, Seq[String]], metricName: String, numTrials: Int,
+                     seed: Long = 42L, higherIsBetter: Boolean = true): (Map[String, String], Double) = {
+    val (train, test) = trainTestSplit(df)
+    val sign = if (higherIsBetter) 1.0 else -1.0
+    val (params, score, _) = tpeOptimize(grid, numTrials, seed) { p =>
+      val tm = UnifiedApi.train(algorithm, train, featuresCol, Some(labelCol), p)
+      sign * UnifiedApi.evaluate(tm.modelId, test)(metricName)
+    }
+    (params, sign * score)
+  }
+
   /** `cross_validate`: k-fold metric mean/stddev. */
   def crossValidate(df: DataFrame, algorithm: String, featuresCol: String, labelCol: String,
                     folds: Int = 5, metricName: String = "accuracy",

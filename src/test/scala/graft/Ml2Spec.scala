@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{AutoMl, Dimensionality, Ocsvm}
+
+/** OCSVM, t-SNE/UMAP landmark reduction, TPE hyperparameter search. */
+class Ml2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def blob(cx: Double, cy: Double, n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq((cx + rnd.nextGaussian() * 0.2).toFloat,
+      (cy + rnd.nextGaussian() * 0.2).toFloat))
+  }
+
+  test("OCSVM flags far outliers, not cluster members (ml_anomaly_detection.c:737)") {
+    val vecs = blob(0, 0, 60, 7) ++ Seq(Seq(9f, 9f), Seq(-8f, 10f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val out = Ocsvm.score(df, "id", "vec", nu = 0.1, gamma = 1.0).collect()
+    val anomalies = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(anomalies.contains(60L) && anomalies.contains(61L),
+      s"far points must score anomalous, got $anomalies")
+    // nu-quantile threshold: fraction flagged is near nu, never the majority
+    assert(anomalies.size <= 12)
+    // scores in [0, 1]: mean of RBF kernels, rounded to 6 places (a far
+    // outlier's exp(-gamma*d2) underflows the rounding to exactly 0.0)
+    assert(out.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("OCSVM parameter validation matches reference errors") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(2f, 1f))).toDF("id", "vec")
+    intercept[IllegalArgumentException](Ocsvm.score(df, "id", "vec", nu = 0.0))
+    intercept[IllegalArgumentException](Ocsvm.score(df, "id", "vec", nu = 1.5))
+    intercept[IllegalArgumentException](Ocsvm.score(df, "id", "vec", gamma = -1.0))
+  }
+
+  test("tsneLocal separates two blobs and is seed-deterministic") {
+    val xs = (blob(0, 0, 15, 1) ++ blob(10, 10, 15, 2))
+      .map(_.map(_.toDouble).toArray).toArray
+    val y1 = Dimensionality.tsneLocal(xs, perplexity = 5, iterations = 300, seed = 42)
+    val y2 = Dimensionality.tsneLocal(xs, perplexity = 5, iterations = 300, seed = 42)
+    assert(y1.flatten.toSeq == y2.flatten.toSeq, "same seed must reproduce exactly")
+    def centroid(ys: Seq[Array[Double]]) =
+      Array(ys.map(_(0)).sum / ys.size, ys.map(_(1)).sum / ys.size)
+    val (a, b) = (centroid(y1.take(15).toSeq), centroid(y1.drop(15).toSeq))
+    val between = math.hypot(a(0) - b(0), a(1) - b(1))
+    val spread = y1.take(15).map(p => math.hypot(p(0) - a(0), p(1) - a(1))).max
+    assert(between > spread, s"blob gap $between must exceed intra spread $spread")
+  }
+
+  test("umapLocal keeps neighbors close, is seed-deterministic") {
+    val xs = (blob(0, 0, 12, 3) ++ blob(8, 8, 12, 4))
+      .map(_.map(_.toDouble).toArray).toArray
+    val y1 = Dimensionality.umapLocal(xs, nNeighbors = 5, iterations = 100, seed = 7)
+    val y2 = Dimensionality.umapLocal(xs, nNeighbors = 5, iterations = 100, seed = 7)
+    assert(y1.flatten.toSeq == y2.flatten.toSeq)
+    // attractive-only reference loop: same-blob pairs end up closer on
+    // average than cross-blob pairs
+    def d(i: Int, j: Int) = math.hypot(y1(i)(0) - y1(j)(0), y1(i)(1) - y1(j)(1))
+    val within = (for (i <- 0 until 12; j <- i + 1 until 12) yield d(i, j)).sum / 66
+    val across = (for (i <- 0 until 12; j <- 12 until 24) yield d(i, j)).sum / 144
+    assert(within < across)
+  }
+
+  test("reduce: landmark placement covers non-landmark rows deterministically") {
+    val vecs = blob(0, 0, 30, 5) ++ blob(6, 6, 30, 6)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val out = Dimensionality.reduce(df, "id", "vec", method = "tsne",
+      sampleLimit = 20, iterations = 100, perplexity = 5, seed = 42)
+    val rows = out.collect()
+    assert(rows.length == 60 && rows.forall(_.getSeq[Float](1).length == 2))
+    val again = Dimensionality.reduce(df, "id", "vec", method = "tsne",
+      sampleLimit = 20, iterations = 100, perplexity = 5, seed = 42).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Dimensionality.reduce(df, "id", "vec", method = "pca_nope"))
+  }
+
+  test("TPE beats random search on a fixed budget (ml_hyperparameter_tuning.c:598)") {
+    // deterministic multimodal objective over a 6x6x6 grid: one sharp
+    // optimum, a decoy ridge, additive structure TPE can exploit
+    val vals = (0 until 6).map(_.toString)
+    val grid = Map("a" -> vals, "b" -> vals, "c" -> vals)
+    def objective(p: Map[String, String]): Double = {
+      val (a, b, c) = (p("a").toInt, p("b").toInt, p("c").toInt)
+      -math.pow(a - 4, 2) - math.pow(b - 1, 2) - math.pow(c - 3, 2) +
+        (if (a == 0 && b == 5) 3.0 else 0.0)
+    }
+    val budget = 40
+    val (bestP, bestScore, trials) = AutoMl.tpeOptimize(grid, budget, seed = 11)(objective)
+    assert(trials.size == budget)
+    assert(trials.map(_._1).distinct.size == budget, "TPE must not re-evaluate combos")
+    // random baseline, same budget: best over seeds 1..5 of pure sampling
+    val rndBest = (1 to 5).map { s =>
+      val rnd = new scala.util.Random(s)
+      (1 to budget).map { _ =>
+        objective(grid.keys.toSeq.sorted.map(k => k -> vals(rnd.nextInt(6))).toMap)
+      }.max
+    }
+    assert(bestScore >= rndBest.max,
+      s"TPE $bestScore must match/beat random ${rndBest.max}")
+    assert(bestScore == 0.0 && bestP == Map("a" -> "4", "b" -> "1", "c" -> "3"),
+      s"40/216 budget should find the optimum, got $bestP -> $bestScore")
+    // exhausts small spaces instead of looping
+    val tiny = Map("x" -> Seq("0", "1"))
+    val (_, _, t2) = AutoMl.tpeOptimize(tiny, 10, seed = 3)(p => p("x").toDouble)
+    assert(t2.size == 2)
+  }
+}
