@@ -50,7 +50,8 @@ object Ocsvm {
     // reference stride: sv_idx -> (sv_idx * n) / n_sv, 0-based over id order
     val svRanks = (0L until nSv).map(i => i * n / nSv + 1L) // 1-based rank
 
-    val ranked = DistributedRank.withRank(pts, Seq(col("id")), "__rn")
+    val ranked = DistributedRank.withRank(pts, col("id"), descending = false,
+      col("id"), "__rn")
     val svs: Array[Array[Float]] = ranked
       .filter(col("__rn").isin(svRanks: _*))
       .select("vec").collect().map(_.getSeq[Float](0).toArray)

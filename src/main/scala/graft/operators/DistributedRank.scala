@@ -3,60 +3,93 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed global ranking — `row_number()` over a total order WITHOUT
  * the single-partition `Window.orderBy(...)` anti-pattern (one task sorts
  * the whole input and everything OOMs at scale).
  *
- * Shape: range-partition on the order keys (so partition i holds rows that
- * globally precede partition i+1), rank locally inside each partition, then
- * add per-partition offsets. The offsets come from a tiny per-partition
- * count aggregate (≤ `spark.sql.shuffle.partitions` rows) turned into a
- * prefix sum with a small self-join — no global window anywhere, so the
- * plan never collapses to one task.
+ * Shape: bucket every row by VALUE against a fixed array of quantile
+ * boundaries (one `approxQuantile` pass, collected once and closed over),
+ * rank locally inside each bucket with a partitioned window, then add
+ * per-bucket prefix-sum offsets from a tiny (≤ shuffle-partitions rows)
+ * count aggregate. No global window anywhere, so the plan never collapses
+ * to one task.
  *
- * The ranged frame is persisted (MEMORY_AND_DISK) before fanning out:
- * `spark_partition_id()` plus RangePartitioner's sampled boundaries are only
- * consistent across the rank branch and the count branch if both read ONE
- * materialization. Relying on ReuseExchange instead would silently corrupt
- * ranks whenever reuse is defeated (AQE replan, exchange-reuse disabled,
- * canonicalization mismatch).
+ * Because the bucket id is a PURE FUNCTION of the row's key value — not of
+ * `spark_partition_id()` over a sampled RangePartitioner — the rank branch
+ * and the count branch agree even when they recompute the input
+ * independently. That removes both failure modes of the earlier designs:
+ * the silent rank corruption when exchange reuse is defeated (AQE replan,
+ * reuse disabled), and the persist-and-never-unpersist cache leak that a
+ * materialization-based fix required. Nothing is cached; at 100 TB the
+ * operator is three streaming scans (quantiles, ranks, counts) instead of
+ * a full-table persist.
  *
- * The order must be TOTAL (callers append an id tiebreak) — otherwise ranks
- * at range-partition boundaries would depend on partitioner sampling.
+ * The order must be TOTAL: `tieBreak` must be unique per row (callers pass
+ * their id column). Keys must be numeric-castable and non-NaN; null keys
+ * rank first ascending / last descending (Spark's default null ordering).
  */
 object DistributedRank {
 
-  /** Adds `rankCol` = global 1-based row_number under `ord` (must be a
-    * total order, e.g. `Seq(col("score").desc, col("id"))`). */
-  def withRank(df: DataFrame, ord: Seq[Column], rankCol: String): DataFrame = {
+  /** Adds `rankCol` = global 1-based row_number ordering by `key`
+    * (ascending unless `descending`), ties broken by the unique
+    * ascending `tieBreak`. */
+  def withRank(df: DataFrame, key: Column, descending: Boolean,
+               tieBreak: Column, rankCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val pid = s"__${rankCol}_pid"
+    val b = s"__${rankCol}_bkt"
     val lr = s"__${rankCol}_lr"
     val off = s"__${rankCol}_off"
     val cnt = s"__${rankCol}_cnt"
+    val keyName = s"__${rankCol}_key"
 
-    val ranged = df.repartitionByRange(p, ord: _*).withColumn(pid, spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // signed key so ascending bucket ids follow the requested order
+    val keyD = if (descending) -key.cast("double") else key.cast("double")
+    val withKey = df.withColumn(keyName, keyD)
 
-    // local rank inside each range partition (window is partitioned → no
+    // p-1 quantile boundaries, computed ONCE and closed over — every
+    // branch below assigns identical buckets no matter how often the
+    // input recomputes
+    val bounds: Array[Double] =
+      if (p == 1) Array.empty
+      else withKey.stat.approxQuantile(keyName, (1 until p).map(_.toDouble / p).toArray, 0.001)
+    val uniq = bounds.distinct.sorted
+    val nullBucket = if (descending) uniq.length else 0
+    val bucketUdf = udf { (k: Any) =>
+      k match {
+        case null => nullBucket
+        case d: Double =>
+          var lo = 0
+          var hi = uniq.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (d <= uniq(mid)) hi = mid else lo = mid + 1
+          }
+          lo
+      }
+    }
+    val bucketed = withKey.withColumn(b, bucketUdf(col(keyName)))
+
+    val ord: Seq[Column] =
+      Seq(if (descending) key.desc else key.asc, tieBreak)
+
+    // local rank inside each bucket (window is partitioned → no
     // "No Partition Defined" single-task collapse)
-    val local = ranged.withColumn(lr,
-      row_number().over(Window.partitionBy(col(pid)).orderBy(ord: _*)))
+    val local = bucketed.withColumn(lr,
+      row_number().over(Window.partitionBy(col(b)).orderBy(ord: _*)))
 
-    // per-partition counts → prefix-sum offsets via a tiny (≤p rows)
+    // per-bucket counts → prefix-sum offsets via a tiny (≤p rows)
     // non-equi self-join; broadcast back. Lazy — no driver collect.
-    val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
+    val counts = bucketed.groupBy(col(b)).agg(count(lit(1)).as(cnt))
     val offsets = counts.as("a")
-      .join(counts.as("b"), col(s"b.$pid") < col(s"a.$pid"), "left")
-      .groupBy(col(s"a.$pid").as(pid))
+      .join(counts.as("b"), col(s"b.$b") < col(s"a.$b"), "left")
+      .groupBy(col(s"a.$b").as(b))
       .agg(coalesce(sum(col(s"b.$cnt")), lit(0L)).as(off))
 
-    local.join(broadcast(offsets), pid)
+    local.join(broadcast(offsets), b)
       .withColumn(rankCol, col(off) + col(lr))
-      .drop(pid, lr, off)
+      .drop(b, lr, off, keyName)
   }
 }

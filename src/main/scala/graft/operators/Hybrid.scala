@@ -108,15 +108,15 @@ object Hybrid {
   /**
    * `reciprocal_rank_fusion` (`NeuronDB/neurondb--1.0.sql:774`) over any
    * number of rankings: each input is (DataFrame, scoreCol, descending);
-   * rank within each ([[DistributedRank.withRank]] — range-partitioned, no
+   * rank within each ([[DistributedRank.withRank]] — quantile-bucketed, no
    * single-partition window, safe on full tables), union, sum(1/(k+rank))
    * per id.
    */
   def rrfFusion(idCol: String, rankings: Seq[(DataFrame, String, Boolean)],
                 kParam: Double = 60.0): DataFrame = {
     val contribs = rankings.map { case (df, scoreCol, desc) =>
-      val ord = if (desc) col(scoreCol).desc else col(scoreCol).asc
-      DistributedRank.withRank(df.select(col(idCol), col(scoreCol)), Seq(ord, col(idCol)), "r")
+      DistributedRank.withRank(df.select(col(idCol), col(scoreCol)),
+          col(scoreCol), desc, col(idCol), "r")
         .select(col(idCol), (lit(1.0) / (lit(kParam) + col("r"))).as("contrib"))
     }
     contribs.reduce(_ unionAll _)

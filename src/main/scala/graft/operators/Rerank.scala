@@ -67,8 +67,7 @@ object Rerank {
   def ensembleBorda(df: DataFrame, idCol: String,
                     rankings: Seq[(String, Boolean)]): DataFrame = {
     val withRanks = rankings.zipWithIndex.foldLeft(df) { case (acc, ((scoreCol, desc), i)) =>
-      val ord = if (desc) col(scoreCol).desc else col(scoreCol).asc
-      DistributedRank.withRank(acc, Seq(ord, col(idCol)), s"__r_$i")
+      DistributedRank.withRank(acc, col(scoreCol), desc, col(idCol), s"__r_$i")
     }
     val total = df.agg(count(lit(1)).as("__n"))
     val points = rankings.indices.map(i => col("__n") - col(s"__r_$i")).reduce(_ + _)

@@ -15,7 +15,8 @@ class DistributedRankSpec extends SparkSpecBase {
     // heavy ties (score has only 7 distinct values) + id tiebreak
     val df = spark.range(n).repartition(13)
       .select(col("id"), (col("id") % 7).cast("double").as("score"))
-    val ranked = DistributedRank.withRank(df, Seq(col("score").desc, col("id")), "rank")
+    val ranked = DistributedRank.withRank(df, col("score"), descending = true,
+      col("id"), "rank")
     val ranks = ranked.select("rank").as[Long].collect().sorted
     assert(ranks.toSeq == (1L to n).toSeq)
 
@@ -27,7 +28,8 @@ class DistributedRankSpec extends SparkSpecBase {
   test("withRank is stable across repeated evaluation of the same frame") {
     val df = spark.range(2000).repartition(8)
       .select(col("id"), rand(42).as("score"))
-    val ranked = DistributedRank.withRank(df, Seq(col("score").desc, col("id")), "rank")
+    val ranked = DistributedRank.withRank(df, col("score"), descending = true,
+      col("id"), "rank")
     val a = ranked.select("id", "rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
     val b = ranked.select("id", "rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
