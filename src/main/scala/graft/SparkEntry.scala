@@ -1274,6 +1274,18 @@ object SparkEntry {
     rows.toDF("query_id", "recall_at_10")
   }
 
+  /** Recall@10-vs-nprobe curve over 100 held-out queries in one
+    * distributed pass (rows-only; the tuner-evidence artifact — recall
+    * band reference `planner.c:220-233`). */
+  private def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val model = ivfModel(s, dir)
+    val queries = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    operators.Ivf.recallCurve(model, queries, "vec_id", k = 10)
+      .select(col("nprobe"), round(col("recall_at_10"), 6).as("recall_at_10"))
+  }
+
   /** LOF density-based anomaly scores over the first 200 vectors
     * (rows-only). */
   private def lofScores(s: SparkSession, dir: String): DataFrame =
@@ -1418,6 +1430,7 @@ object SparkEntry {
     "topics" -> (topicsQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
+    "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
     "davies_bouldin" -> (daviesBouldinQ(_, _)),
     "arima_forecast" -> (arimaForecastQ(_, _)),
     "lof_scores" -> (lofScores(_, _)),

@@ -99,26 +99,79 @@ object Ivf {
       "imbalance" -> sizes.getLong(1).toDouble / math.max(1.0, sizes.getDouble(2)))
   }
 
-  /** Recommend nprobe for a target recall by sampling queries and finding
-    * the smallest probe count whose recall@k clears the target. */
+  /**
+   * Recall@k-vs-nprobe curve for a batch of queries in ONE distributed
+   * pass (the evidence artifact the reference reports for its SIFT bench,
+   * `dataset/gen_dataset.py:522`, tuner band `planner.c:220-233`).
+   *
+   * Identity that makes it single-pass: a member x of query q's TRUE
+   * top-k is returned by the IVF probe at width p iff the probe rank of
+   * x's posting list for q is ≤ p — any candidate closer than x is also
+   * true-closer, so x can never be displaced from the candidate top-k.
+   * Hence recall@k(p) = avg over queries of |{x ∈ true-top-k :
+   * probeRank(x) ≤ p}| / k, and the WHOLE curve falls out of the true
+   * top-k pair table:
+   *
+   *   1. map-side explode corpus × queries (queries + per-query centroid
+   *      orderings broadcast — |Q|·nlists ints, tiny);
+   *   2. window rank per query id → keep rank ≤ k (|Q|·k rows);
+   *   3. aggregate `probe_rank ≤ p` per requested p.
+   *
+   * No per-query driver loop, no per-nprobe re-probe: one shuffle of
+   * |Q|·k rows regardless of corpus size.
+   */
+  def recallCurve(model: IvfModel, queries: Array[(Long, Array[Float])],
+                  idCol: String, k: Int = 10,
+                  nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    val nlists = model.centroids.length
+    // per-query probe order of every posting list: probeRank(q)(cluster)
+    val probeRank: Map[Long, Array[Int]] = queries.map { case (qid, q) =>
+      val order = model.route(q, nlists) // all centroids, closest first
+      val rank = new Array[Int](nlists)
+      order.zipWithIndex.foreach { case (c, i) => rank(c) = i + 1 }
+      qid -> rank
+    }.toMap
+    val bQ = spark.sparkContext.broadcast(queries)
+    val bPr = spark.sparkContext.broadcast(probeRank)
+    val pairs = udf { (id: Long, v: Seq[Float], cid: Int) =>
+      val x = v.toArray
+      bQ.value.flatMap { case (qid, q) =>
+        if (excludeSelf && qid == id) None
+        else Some((qid, id, VectorOps.l2(q, x), bPr.value(qid)(cid)))
+      }.toSeq
+    }
+    val topk = model.assigned
+      .select(explode(pairs(col(idCol).cast("long"), col(model.vecCol), col("cluster_id"))).as("p"))
+      .select(col("p._1").as("qid"), col("p._2").as("cid"),
+        col("p._3").as("dist"), col("p._4").as("prank"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
+      .filter(col("rk") <= k)
+    val nq = queries.length
+    nprobes.toDF("nprobe")
+      .crossJoin(topk)
+      .groupBy("nprobe")
+      .agg((sum(when(col("prank") <= col("nprobe"), 1).otherwise(0)) /
+        lit(nq.toDouble * k)).as(s"recall_at_$k"))
+      .orderBy("nprobe")
+  }
+
+  /** Recommend nprobe for a target recall: smallest probe width on the
+    * [[recallCurve]] clearing the target (one distributed pass for all
+    * widths — replaces the per-nprobe re-probe loop). */
   def recommendNprobe(model: IvfModel, sampleQueries: Seq[Array[Float]],
                       k: Int = 10, targetRecall: Double = 0.9): Int = {
     val nlists = model.centroids.length
-    val exact = sampleQueries.map { q =>
-      Knn.search(model.assigned, model.vecCol, q, k)
-        .select(model.assigned.columns.head).collect().map(_.get(0)).toSet
-    }
-    var nprobe = 1
-    while (nprobe < nlists) {
-      val recalls = sampleQueries.zip(exact).map { case (q, truth) =>
-        val got = model.search(q, k, nprobe)
-          .select(model.assigned.columns.head).collect().map(_.get(0)).toSet
-        (got & truth).size.toDouble / truth.size
-      }
-      if (recalls.sum / recalls.size >= targetRecall) return nprobe
-      nprobe *= 2
-    }
-    nlists
+    val widths = Iterator.iterate(1)(_ * 2).takeWhile(_ < nlists).toSeq :+ nlists
+    val qs = sampleQueries.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toArray
+    val idCol = model.assigned.columns.head
+    val curve = recallCurve(model, qs, idCol, k, widths, excludeSelf = false)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    curve.collectFirst { case (p, r) if r >= targetRecall => p }.getOrElse(nlists)
   }
 
   /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */

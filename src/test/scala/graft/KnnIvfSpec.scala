@@ -67,6 +67,28 @@ class KnnIvfSpec extends SparkSpecBase {
     assert(joined.filter($"l_vec_id" === $"r_other_id").count() == emb.count())
   }
 
+  test("recallCurve one-pass matches per-query brute-force recall; recommendNprobe clears target") {
+    val model = Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val qids = Seq(1L, 33L, 99L, 200L, 404L, 17L, 256L, 300L)
+    val queries = qids.map(id => (id, Tables.queryVector(spark, "/root/testdata/sf0.001", id))).toArray
+    val curve = Ivf.recallCurve(model, queries, "vec_id", k = 10,
+        nprobes = Seq(1, 2, 4, 8), excludeSelf = false)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // monotone in nprobe, exhaustive probe == exact
+    assert(Seq(1, 2, 4).forall(p => curve(p) <= curve(p * 2) + 1e-12))
+    assert(math.abs(curve(8) - 1.0) < 1e-12, s"nprobe=nlists must be exact, got $curve")
+    // cross-check one point against the definition: per-query exact-vs-probe
+    val perQuery = queries.map { case (_, qv) =>
+      val exact = Knn.search(emb, "embedding", qv, k = 10).select("vec_id").as[Long].collect().toSet
+      val approx = model.search(qv, k = 10, nprobe = 2).select("vec_id").as[Long].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    assert(math.abs(curve(2) - perQuery.sum / perQuery.size) < 1e-9,
+      s"one-pass curve ${curve(2)} != brute-force mean ${perQuery.sum / perQuery.size}")
+    val rec = Ivf.recommendNprobe(model, queries.map(_._2).toSeq, k = 10, targetRecall = 0.9)
+    assert(curve.getOrElse(rec, 1.0) >= 0.9, s"recall at recommended nprobe=$rec below target")
+  }
+
   test("top-k plan is TakeOrderedAndProject (no global sort)") {
     val plan = Knn.search(emb, "embedding", q, k = 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan: $plan")
