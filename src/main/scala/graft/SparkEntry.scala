@@ -1356,6 +1356,214 @@ object SparkEntry {
       "vec_id", "embedding", method = "umap",
       sampleLimit = 100, iterations = 80, nNeighbors = 10)
 
+  // ------------------------------------------------------------------
+  // RL / XAI / GNN surface (SURVEY §2.10 row 107; reference
+  // `sql/26_ml_new_algorithms.sql:58-180`).
+  // ------------------------------------------------------------------
+
+  /** Bandit pulls derived from the event stream: arm = event_id mod 8,
+    * success = value > 0.5 (binary reward, the Beta-posterior
+    * convention of ml_reinforcement_learning.c:458-471). */
+  private def banditPulls(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "events").select(
+      (col("event_id") % 8).cast("int").as("arm_id"),
+      when(col("value") > 0.5, 1.0).otherwise(0.0).as("reward"))
+
+  private def banditUcbQ(s: SparkSession, dir: String): DataFrame =
+    ml.Rl.multiArmedBandit(banditPulls(s, dir), "ucb", nArms = 8)
+      .select(col("arm_id"), col("pulls"), col("reward_sum"),
+        round(col("probability"), 6).as("probability"))
+
+  private val banditUcbSql =
+    """WITH pulls AS (
+      |  SELECT CAST(event_id % 8 AS INT) AS arm_id,
+      |         CASE WHEN value > 0.5 THEN 1.0 ELSE 0.0 END AS reward
+      |  FROM events),
+      |s AS (SELECT arm_id, COUNT(*) AS pulls, SUM(reward) AS reward_sum
+      |      FROM pulls GROUP BY arm_id),
+      |raw AS (SELECT arm_id, pulls, reward_sum,
+      |               reward_sum / pulls
+      |               + sqrt(2 * ln((SELECT SUM(pulls) FROM s)) / pulls) AS score
+      |        FROM s)
+      |SELECT arm_id, pulls, reward_sum,
+      |       ROUND(score / (SELECT SUM(score) FROM raw), 6) AS probability
+      |FROM raw""".stripMargin
+
+  private def banditThompsonQ(s: SparkSession, dir: String): DataFrame =
+    ml.Rl.multiArmedBandit(banditPulls(s, dir), "thompson", nArms = 8)
+      .select(col("arm_id"), col("pulls"), col("reward_sum"),
+        round(col("probability"), 6).as("probability"))
+
+  private val banditThompsonSql =
+    """WITH pulls AS (
+      |  SELECT CAST(event_id % 8 AS INT) AS arm_id,
+      |         CASE WHEN value > 0.5 THEN 1.0 ELSE 0.0 END AS reward
+      |  FROM events),
+      |s AS (SELECT arm_id, COUNT(*) AS pulls, SUM(reward) AS reward_sum
+      |      FROM pulls GROUP BY arm_id),
+      |raw AS (SELECT arm_id, pulls, reward_sum,
+      |               (1.0 + reward_sum) / (2.0 + pulls) AS score
+      |        FROM s)
+      |SELECT arm_id, pulls, reward_sum,
+      |       ROUND(score / (SELECT SUM(score) FROM raw), 6) AS probability
+      |FROM raw""".stripMargin
+
+  private def banditEgreedyQ(s: SparkSession, dir: String): DataFrame =
+    ml.Rl.multiArmedBandit(banditPulls(s, dir), "epsilon_greedy", nArms = 8,
+        epsilon = 0.2)
+      .select(col("arm_id"), col("pulls"), col("reward_sum"),
+        round(col("probability"), 6).as("probability"))
+
+  private val banditEgreedySql =
+    """WITH pulls AS (
+      |  SELECT CAST(event_id % 8 AS INT) AS arm_id,
+      |         CASE WHEN value > 0.5 THEN 1.0 ELSE 0.0 END AS reward
+      |  FROM events),
+      |s AS (SELECT arm_id, COUNT(*) AS pulls, SUM(reward) AS reward_sum
+      |      FROM pulls GROUP BY arm_id),
+      |best AS (SELECT arm_id FROM s ORDER BY reward_sum / pulls DESC, arm_id LIMIT 1)
+      |SELECT arm_id, pulls, reward_sum,
+      |       ROUND(CASE WHEN arm_id = (SELECT arm_id FROM best)
+      |             THEN 1.0 - 0.2 + 0.2 / 8 ELSE 0.2 / 8 END, 6) AS probability
+      |FROM s""".stripMargin
+
+  /** Q-learning over event-derived experience (rows-only: the Q-table is
+    * an iterated fixpoint, not SQL-expressible; convergence semantics in
+    * RlSpec). */
+  private def qlearningPolicyQ(s: SparkSession, dir: String): DataFrame = {
+    val exp = Tables.read(s, dir, "events").select(
+      (col("event_id") % 10).cast("int").as("state_id"),
+      (col("user_id") % 4).cast("int").as("action_id"),
+      col("value").as("reward"),
+      ((col("event_id") + 1) % 10).cast("int").as("next_state_id"))
+    ml.Rl.qlearningTrain(exp, nStates = 10, nActions = 4,
+        learningRate = 1.0, discountFactor = 0.9, sweeps = 20)
+      .toDf(s)
+      .select(col("state_id"), col("action_id"), round(col("q_value"), 4).as("q"))
+  }
+
+  /** Customer similarity graph: same-nation pairs. Bounded fan-out
+    * (|nation| per node), the standard relational-derived graph. */
+  private def customerEdges(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(s, dir, "customer")
+    cust.select(col("c_custkey").as("k1"), col("c_nationkey").as("n1"))
+      .join(cust.select(col("c_custkey").as("k2"), col("c_nationkey").as("n2")),
+        col("n1") === col("n2") && col("k1") =!= col("k2"))
+      .select(col("k1").as("node_id"), col("k2").as("neighbor_id"))
+  }
+
+  private def nodeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id").as("node_id"), col("embedding").as("features"))
+
+  /** GraphSAGE sampled-neighborhood mean over the customer graph
+    * (deterministic lowest-id sampling; see Gnn.graphsageAggregate). */
+  private def graphsageAggQ(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.read(s, dir, "customer")
+      .filter(col("c_custkey") <= 20).select(col("c_custkey").as("node_id"))
+    ml.Gnn.graphsageAggregate(customerEdges(s, dir), nodeFeatures(s, dir),
+        seeds, nSamples = 5, depth = 2)
+      .select(col("node_id"), posexplode(col("aggregated")))
+      .select(col("node_id"), col("pos"), col("col").cast("double").as("val"))
+  }
+
+  private val graphsageAggSql =
+    """WITH edges AS (
+      |  SELECT c1.c_custkey AS node_id, c2.c_custkey AS neighbor_id
+      |  FROM customer c1 JOIN customer c2
+      |    ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey <> c2.c_custkey),
+      |seeds AS (SELECT c_custkey AS seed FROM customer WHERE c_custkey <= 20),
+      |l1 AS (
+      |  SELECT seed, neighbor_id AS node,
+      |         ROW_NUMBER() OVER (PARTITION BY seed ORDER BY neighbor_id) AS ord
+      |  FROM seeds JOIN edges ON edges.node_id = seed
+      |  QUALIFY ord <= 5),
+      |l1c AS (SELECT seed, COUNT(*) AS used FROM l1 GROUP BY seed),
+      |l2cand AS (
+      |  SELECT l1.seed, e.neighbor_id AS node, l1.ord AS parent_ord,
+      |         ROW_NUMBER() OVER (PARTITION BY l1.seed, l1.ord
+      |                            ORDER BY e.neighbor_id) AS r
+      |  FROM l1 JOIN edges e ON e.node_id = l1.node
+      |  QUALIFY r <= 5),
+      |l2 AS (
+      |  SELECT c.seed, c.node,
+      |         ROW_NUMBER() OVER (PARTITION BY c.seed
+      |                            ORDER BY c.parent_ord, c.node) AS ord2
+      |  FROM l2cand c JOIN l1c u ON u.seed = c.seed
+      |  QUALIFY ord2 <= 10 - u.used),
+      |pool AS (SELECT seed, node FROM l1 UNION ALL SELECT seed, node FROM l2),
+      |poolc AS (SELECT seed, COUNT(*) AS n FROM pool GROUP BY seed),
+      |vals AS (
+      |  SELECT p.seed, unnest(range(0, len(f.embedding))) AS pos,
+      |         unnest(f.embedding::DOUBLE[]) AS v
+      |  FROM pool p JOIN embeddings f ON p.node = f.vec_id)
+      |SELECT v.seed AS node_id, v.pos,
+      |       CAST(CAST(SUM(v.v) / MAX(pc.n) AS REAL) AS DOUBLE) AS val
+      |FROM vals v JOIN poolc pc ON pc.seed = v.seed
+      |GROUP BY 1, 2""".stripMargin
+
+  /** One hop of symmetric-normalized GCN propagation (SGC form) on the
+    * customer graph; output limited to the first 100 nodes. */
+  private def sgcPropagateQ(s: SparkSession, dir: String): DataFrame =
+    ml.Gnn.sgcPropagate(customerEdges(s, dir), nodeFeatures(s, dir), hops = 1)
+      .filter(col("node_id") <= 100)
+      .select(col("node_id"), posexplode(col("features")))
+      .select(col("node_id"), col("pos"), col("col").cast("double").as("val"))
+
+  private val sgcPropagateSql =
+    """WITH und AS (
+      |  SELECT DISTINCT c1.c_custkey AS src, c2.c_custkey AS dst
+      |  FROM customer c1 JOIN customer c2
+      |    ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey <> c2.c_custkey),
+      |wself AS (SELECT src, dst FROM und
+      |          UNION SELECT vec_id, vec_id FROM embeddings),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM wself GROUP BY src),
+      |norm AS (SELECT w.src, w.dst, 1.0 / sqrt(ds.deg * dd.deg) AS w
+      |         FROM wself w JOIN deg ds ON ds.src = w.src
+      |                      JOIN deg dd ON dd.src = w.dst),
+      |vals AS (
+      |  SELECT n.dst AS node_id, t.pos, CAST(t.v * n.w AS REAL) AS v
+      |  FROM norm n JOIN (
+      |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |           unnest(embedding::DOUBLE[]) AS v
+      |    FROM embeddings) t ON t.vec_id = n.src)
+      |SELECT node_id, pos, CAST(CAST(SUM(v) AS REAL) AS DOUBLE) AS val
+      |FROM vals WHERE node_id <= 100
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Sampling SHAP values for a linear model over the embedding features
+    * (rows-only: model training not SQL-expressible; the linear-model
+    * closed form w_i·x_i is asserted in ExplainSpec). */
+  private def shapLinearQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val tm = ml.UnifiedApi.train("linear_regression",
+      e.withColumn("y", col("label").cast("double")), "embedding", Some("y"))
+    ml.Explain.shapValues(tm.modelId, Tables.queryVector(s, dir, 0L), nSamples = 32)
+      .select(col("feature_index"), round(col("shap_value"), 4).as("shap"))
+  }
+
+  /** LIME local-linear importances for the same model (rows-only). */
+  private def limeLinearQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val tm = ml.UnifiedApi.train("linear_regression",
+      e.withColumn("y", col("label").cast("double")), "embedding", Some("y"))
+    ml.Explain.limeExplain(tm.modelId, Tables.queryVector(s, dir, 0L), nSamples = 256)
+      .select(col("feature_index"), round(col("importance"), 4).as("importance"))
+  }
+
+  /** GCN node classification via SGC on the customer graph (rows-only:
+    * MLlib logistic fit; community separation asserted in GnnSpec). */
+  private def gcnNodesQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = nodeFeatures(s, dir)
+    val labels = Tables.read(s, dir, "customer")
+      .select(col("c_custkey").as("node_id"), (col("c_nationkey") % 2).cast("int").as("label"))
+    val tm = ml.Gnn.gcnTrain(customerEdges(s, dir), feats, labels, hops = 2)
+    val propagated = ml.Gnn.sgcPropagate(customerEdges(s, dir), feats, hops = 2)
+    ml.UnifiedApi.predict(tm.modelId, propagated)
+      .filter(col("node_id") <= 100)
+      .select(col("node_id"), col("prediction"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1431,6 +1639,15 @@ object SparkEntry {
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
+    "bandit_ucb" -> (banditUcbQ(_, _)),
+    "bandit_thompson" -> (banditThompsonQ(_, _)),
+    "bandit_egreedy" -> (banditEgreedyQ(_, _)),
+    "qlearning_policy" -> (qlearningPolicyQ(_, _)),
+    "graphsage_agg" -> (graphsageAggQ(_, _)),
+    "sgc_propagate" -> (sgcPropagateQ(_, _)),
+    "shap_linear" -> (shapLinearQ(_, _)),
+    "lime_linear" -> (limeLinearQ(_, _)),
+    "gcn_nodes" -> (gcnNodesQ(_, _)),
     "davies_bouldin" -> (daviesBouldinQ(_, _)),
     "arima_forecast" -> (arimaForecastQ(_, _)),
     "lof_scores" -> (lofScores(_, _)),
@@ -1487,6 +1704,11 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "bandit_ucb" -> banditUcbSql,
+    "bandit_thompson" -> banditThompsonSql,
+    "bandit_egreedy" -> banditEgreedySql,
+    "graphsage_agg" -> graphsageAggSql,
+    "sgc_propagate" -> sgcPropagateSql,
     "graph_knn" -> graphKnnQSql,
     "sparse_search" -> sparseSearchSql,
     "semantic_keyword" -> semanticKeywordSql,

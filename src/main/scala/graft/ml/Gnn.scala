@@ -1,0 +1,145 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorAggregates
+
+/**
+ * Graph-neural-network surface (SURVEY §2.10 GNN extras): GraphSAGE
+ * neighbor sampling/aggregation and GCN node classification.
+ *
+ * Reference: `NeuronDB/src/ml/ml_graph_neural_networks.c`
+ * (`gcn_train` :136-885 — dense n×n adjacency, 2-layer full-batch GD in
+ * C; `graphsage_aggregate` :903-1146 — per-node BFS sampling + mean),
+ * SQL surface `sql/26_ml_new_algorithms.sql:100-136`. Graph schema is
+ * the reference's: edges(node_id, neighbor_id[, weight]),
+ * features(node_id, features).
+ *
+ * Re-architecture: a dense n×n adjacency matrix cannot exist at 10⁹
+ * nodes, so every propagation here is the sparse form — an edge-table
+ * join + groupBy(node) aggregation, i.e. one shuffled SpMV per hop,
+ * which is exactly how Pregel/GraphX shape the same computation. For
+ * training we use the SGC simplification (Wu et al., ICML 2019,
+ * "Simplifying Graph Convolutional Networks"): propagate features k
+ * hops through the symmetric-normalized adjacency, then fit a logistic
+ * model on the propagated features — same task surface (node
+ * classification on D^{-1/2}(A+I)D^{-1/2} aggregation, reference
+ * :62-134) with the nonlinearities dropped, trained distributed by
+ * MLlib instead of single-node C loops.
+ */
+object Gnn {
+
+  /**
+   * `graphsage_aggregate` (ml_graph_neural_networks.c:903-1146),
+   * set-oriented: BFS from every seed at once. Per frontier node, up to
+   * `nSamples` neighbors; per seed, a flat budget of `nSamples · depth`
+   * sampled nodes filled level by level (reference :1002-1057); the
+   * pooled MEAN of the samples' feature vectors is the aggregate
+   * (:1104-1117; multiset — duplicates count twice, the seed itself may
+   * re-enter, exactly as the reference's flat pool does). Nodes without
+   * a feature row contribute zero vectors (:1095-1101).
+   *
+   * Determinism divergence (documented): the reference samples with
+   * `ORDER BY random()` un-seeded (:1016); we take the `nSamples`
+   * LOWEST neighbor ids so results are reproducible and
+   * oracle-checkable. Same cardinalities, same aggregation.
+   *
+   * Each level is one join frontier→edges (shuffle on node id) + one
+   * window per (seed, parent) — frontier-sized, never graph-sized.
+   *
+   * Returns (node_id, aggregated: array<float>), one row per seed.
+   */
+  def graphsageAggregate(edges: DataFrame, features: DataFrame, seeds: DataFrame,
+                         nSamples: Int = 10, depth: Int = 2): DataFrame = {
+    require(nSamples >= 1 && depth >= 1, "n_samples and depth must be positive")
+    val cap = nSamples * depth
+    val e = edges.select(col("node_id").as("src"), col("neighbor_id").as("nb"))
+
+    // Zero vector for featureless sampled nodes needs the corpus dim.
+    val dim = features.select(size(col("features"))).head().getInt(0)
+
+    var frontier = seeds.select(col("node_id").as("seed"),
+      col("node_id").as("node"), lit(0L).as("ord"))
+    var pool: DataFrame = null // (seed, node, level, ord)
+    var level = 1
+    while (level <= depth) {
+      val perParent = Window.partitionBy(col("seed"), col("ord")).orderBy(col("nb"))
+      val perSeed = Window.partitionBy(col("seed")).orderBy(col("ord"), col("nb"))
+      var sampled = frontier.join(e, frontier("node") === e("src"))
+        .withColumn("r", row_number().over(perParent))
+        .filter(col("r") <= nSamples)
+        .select(col("seed"), col("nb").as("node"),
+          lit(level).as("level"), row_number().over(perSeed).as("ord"))
+      if (pool != null) {
+        // Remaining per-seed budget truncates this level in sample order.
+        val used = pool.groupBy(col("seed").as("u_seed")).agg(count(lit(1)).as("used"))
+        sampled = sampled.join(used, sampled("seed") === used("u_seed"), "left")
+          .filter(col("ord") <= lit(cap) - coalesce(col("used"), lit(0L)))
+          .select("seed", "node", "level", "ord")
+      }
+      pool = if (pool == null) sampled else pool.unionByName(sampled)
+      frontier = sampled.select(col("seed"), col("node"),
+        (col("level").cast("long") * cap + col("ord")).as("ord"))
+      level += 1
+    }
+
+    val zero = array_repeat(lit(0.0f), dim)
+    pool.join(features.select(col("node_id").as("f_node"), col("features")),
+        pool("node") === col("f_node"), "left")
+      .select(col("seed").as("node_id"), coalesce(col("features"), zero).as("f"))
+      .groupBy("node_id")
+      .agg(VectorAggregates.vectorAvg(col("f")).as("aggregated"))
+  }
+
+  /**
+   * One hop of symmetric-normalized propagation X ← D^{-1/2}(A+I)D^{-1/2}X
+   * (reference `normalize_adjacency` :62-92 + `gcn_forward` :94-134),
+   * as a sparse edge join instead of a dense matmul. `edges` is treated
+   * as undirected (the reference symmetrizes, :272-273) and self-loops
+   * are added (:217).
+   */
+  def sgcPropagate(edges: DataFrame, features: DataFrame, hops: Int = 2): DataFrame = {
+    val undirected = edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
+      .unionByName(edges.select(col("neighbor_id").as("src"), col("node_id").as("dst")))
+      .distinct()
+    val withSelf = undirected.unionByName(
+      features.select(col("node_id").as("src"), col("node_id").as("dst"))).distinct()
+    val deg = withSelf.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg"))
+    val norm = withSelf
+      .join(deg, col("src") === col("d_node")).drop("d_node")
+      .withColumnRenamed("deg", "deg_src")
+      .join(deg, col("dst") === col("d_node")).drop("d_node")
+      .withColumn("w", lit(1.0) / sqrt(col("deg_src") * col("deg")))
+      .select("src", "dst", "w")
+    val scaleV = udf { (v: Seq[Float], w: Double) =>
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = (v(i) * w).toFloat; i += 1 }
+      out.toSeq
+    }
+    var x = features.select(col("node_id"), col("features"))
+    var h = 0
+    while (h < hops) {
+      x = norm.join(x, norm("src") === x("node_id"))
+        .select(col("dst"), scaleV(col("features"), col("w")).as("wf"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(VectorAggregates.vectorSum(col("wf")).as("features"))
+      h += 1
+    }
+    x
+  }
+
+  /**
+   * `gcn_train` via the SGC reduction: k-hop propagated features into a
+   * distributed logistic regression ([[UnifiedApi]]). Returns the
+   * trained model; `predict` on propagated features classifies nodes.
+   */
+  def gcnTrain(edges: DataFrame, features: DataFrame, labels: DataFrame,
+               hops: Int = 2, params: Map[String, String] = Map.empty): UnifiedApi.TrainedModel = {
+    val propagated = sgcPropagate(edges, features, hops)
+    val train = propagated.join(labels.select(col("node_id"), col("label")), "node_id")
+    UnifiedApi.train("logistic_regression", train, "features", Some("label"), params)
+  }
+}

@@ -36,10 +36,12 @@ object Knn {
 
   /** Exact brute-force top-k: one scan, per-partition heap, driver merge. */
   def search(df: DataFrame, vecCol: String, query: Array[Float], k: Int = 10,
-             metric: String = "l2", distName: String = "distance"): DataFrame =
+             metric: String = "l2", distName: String = "distance"): DataFrame = {
+    graft.Metrics.inc(df.sparkSession, graft.Metrics.QueriesTotal)
     df.withColumn(distName, distCol(metric)(col(vecCol), lit(query)))
       .orderBy(col(distName))
       .limit(k)
+  }
 
   /** Per-facet top-k, the reference's `faceted_vector_search`
     * (`NeuronDB/neurondb--1.0.sql:791`): window rank within facet. */
