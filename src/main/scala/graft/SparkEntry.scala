@@ -1349,12 +1349,102 @@ object SparkEntry {
       "vec_id", "embedding", method = "tsne",
       sampleLimit = 100, iterations = 120, perplexity = 10.0)
 
+  /** Autoencoder reconstruction error over the first 200 embeddings
+    * (rows-only: iterative distributed-GD training; convergence and
+    * determinism asserted in AutoencoderSpec). */
+  private def autoencoderReconQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val m = ml.Dimensionality.autoencoderTrain(e, "embedding", bottleneck = 8,
+      learningRate = 0.2, epochs = 25)
+    ml.Dimensionality.autoencoderReconstruct(m, e, "vec_id", "embedding")
+      .select(col("vec_id"), round(col("sq_error"), 4).as("sq_error"))
+  }
+
   /** UMAP landmark reduction (rows-only, reference-shaped loop). */
   private def umapReduceQ(s: SparkSession, dir: String): DataFrame =
     ml.Dimensionality.reduce(
       Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", method = "umap",
       sampleLimit = 100, iterations = 80, nNeighbors = 10)
+
+  // ------------------------------------------------------------------
+  // Element-op long tail (SURVEY §2.2 rows 9/11/16): arithmetic, element
+  // access, unified preprocess — float4-truncation convention throughout.
+  // ------------------------------------------------------------------
+
+  /** Vector arithmetic `+ − ⊙ ·s neg` over adjacent embedding pairs
+    * (`vector_add/sub/hadamard/scale/neg`, vector.c arithmetic family). */
+  private def vArith(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val a = e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("vb"))
+    a.join(b, "vec_id")
+      .select(col("vec_id"), col("va"), col("vb"),
+        posexplode(VF.addUdf(col("va"), col("vb"))).as(Seq("pos", "add_v")))
+      .select(col("vec_id"), col("pos"), col("add_v").cast("double"),
+        element_at(VF.subUdf(col("va"), col("vb")), col("pos") + 1).cast("double").as("sub_v"),
+        element_at(VF.hadamardUdf(col("va"), col("vb")), col("pos") + 1).cast("double").as("had_v"),
+        element_at(VF.scaleUdf(col("va"), lit(2.5)), col("pos") + 1).cast("double").as("scl_v"),
+        element_at(VF.negUdf(col("va")), col("pos") + 1).cast("double").as("neg_v"))
+  }
+
+  private val vArithSql =
+    """WITH ea AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |                   unnest(embedding::DOUBLE[]) AS xa
+      |            FROM embeddings WHERE vec_id < 20),
+      |     eb AS (SELECT vec_id - 1 AS vec_id,
+      |                   unnest(range(0, len(embedding))) AS pos,
+      |                   unnest(embedding::DOUBLE[]) AS xb
+      |            FROM embeddings WHERE vec_id BETWEEN 1 AND 20)
+      |SELECT ea.vec_id, ea.pos,
+      |  CAST(CAST(xa + xb AS REAL) AS DOUBLE) AS add_v,
+      |  CAST(CAST(xa - xb AS REAL) AS DOUBLE) AS sub_v,
+      |  CAST(CAST(xa * xb AS REAL) AS DOUBLE) AS had_v,
+      |  CAST(CAST(xa * 2.5 AS REAL) AS DOUBLE) AS scl_v,
+      |  CAST(CAST(-xa AS REAL) AS DOUBLE) AS neg_v
+      |FROM ea JOIN eb ON ea.vec_id = eb.vec_id AND ea.pos = eb.pos""".stripMargin
+
+  /** Element access: 1-based get, slice(2..5) with prepend/append
+    * (`vector_get/slice/append/prepend`, vector.c element family). */
+  private def vElementAccess(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        VF.getUdf(col("embedding"), lit(3)).cast("double").as("get3"),
+        posexplode(VF.prependUdf(lit(-1.0),
+          VF.appendUdf(VF.sliceUdf(col("embedding"), lit(2), lit(5)), lit(9.0)))))
+      .select(col("vec_id"), col("get3"), col("pos"), col("col").cast("double").as("val"))
+
+  private val vElementAccessSql =
+    """SELECT vec_id, CAST(embedding[3] AS DOUBLE) AS get3,
+      |  unnest(range(0, 6)) AS pos,
+      |  unnest(list_transform([-1.0] || embedding[2:5] || [9.0],
+      |                        x -> x::DOUBLE)) AS val
+      |FROM embeddings WHERE vec_id < 50""".stripMargin
+
+  /** Unified preprocess dispatch: standardize + minmax legs
+    * (`vector_preprocess`, SURVEY §2.2 row 16). */
+  private def vPreprocess(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(VF.preprocessUdf(col("embedding"), lit("standardize"))).as(Seq("pos", "std_v")))
+      .select(col("vec_id"), col("pos"), col("std_v").cast("double"),
+        element_at(VF.preprocessUdf(col("embedding"), lit("minmax")), col("pos") + 1)
+          .cast("double").as("mm_v"))
+
+  private val vPreprocessSql =
+    """WITH ex AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |                   unnest(embedding::DOUBLE[]) AS v
+      |            FROM embeddings WHERE vec_id < 50),
+      |st AS (SELECT vec_id, AVG(v) AS m, MIN(v) AS lo, MAX(v) AS hi
+      |       FROM ex GROUP BY vec_id),
+      |sd AS (SELECT ex.vec_id,
+      |              sqrt(SUM((v - m) * (v - m)) / COUNT(*)) AS sd
+      |       FROM ex JOIN st ON ex.vec_id = st.vec_id GROUP BY ex.vec_id)
+      |SELECT ex.vec_id, ex.pos,
+      |  CAST(CAST(CASE WHEN sd.sd = 0 THEN 0.0 ELSE (v - m) / sd.sd END AS REAL) AS DOUBLE) AS std_v,
+      |  CAST(CAST(CASE WHEN hi = lo THEN 0.0 ELSE (v - lo) / (hi - lo) END AS REAL) AS DOUBLE) AS mm_v
+      |FROM ex JOIN st ON ex.vec_id = st.vec_id JOIN sd ON ex.vec_id = sd.vec_id""".stripMargin
 
   // ------------------------------------------------------------------
   // RL / XAI / GNN surface (SURVEY §2.10 row 107; reference
@@ -1639,6 +1729,9 @@ object SparkEntry {
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
+    "v_arith" -> (vArith(_, _)),
+    "v_element_access" -> (vElementAccess(_, _)),
+    "v_preprocess" -> (vPreprocess(_, _)),
     "bandit_ucb" -> (banditUcbQ(_, _)),
     "bandit_thompson" -> (banditThompsonQ(_, _)),
     "bandit_egreedy" -> (banditEgreedyQ(_, _)),
@@ -1653,6 +1746,7 @@ object SparkEntry {
     "lof_scores" -> (lofScores(_, _)),
     "ocsvm_scores" -> (ocsvmScoresQ(_, _)),
     "tsne_reduce" -> (tsneReduceQ(_, _)),
+    "autoencoder_recon" -> (autoencoderReconQ(_, _)),
     "umap_reduce" -> (umapReduceQ(_, _)),
   )
 
@@ -1704,6 +1798,9 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "v_arith" -> vArithSql,
+    "v_element_access" -> vElementAccessSql,
+    "v_preprocess" -> vPreprocessSql,
     "bandit_ucb" -> banditUcbSql,
     "bandit_thompson" -> banditThompsonSql,
     "bandit_egreedy" -> banditEgreedySql,

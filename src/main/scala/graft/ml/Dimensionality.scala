@@ -256,4 +256,167 @@ object Dimensionality {
     pts.withColumn("reduced", place(col("id"), col("vec")))
       .select(col("id").as(idCol), col("reduced"))
   }
+
+  // ------------------------------------------------------------------
+  // Autoencoder (reference `train_autoencoder` / `encode_*`,
+  // `ml_dimensionality_reduction.c:833-1400`): d → bottleneck → d MLP,
+  // sigmoid hidden layer, linear output, MSE loss.
+  //
+  // Re-architecture: the reference runs per-sample SGD over an in-memory
+  // copy of the table. Here every epoch is ONE distributed pass — weights
+  // broadcast, each partition accumulates the full-batch gradient into a
+  // flat buffer, partials tree-merge to the driver, one GD step. Model
+  // state is (d·k + k + k·d + d) floats — planner-sized; only the data
+  // pass distributes, so epochs scale with executors, not rows. Xavier
+  // init from a splitmix64 stream (the reference's un-seeded rand() is
+  // its documented reproducibility bug).
+  // ------------------------------------------------------------------
+
+  /** Weights of a trained d→k→d autoencoder (row-major matrices). */
+  final case class AeModel(dim: Int, bottleneck: Int,
+                           w1: Array[Double], b1: Array[Double],
+                           w2: Array[Double], b2: Array[Double],
+                           lossCurve: Array[Double]) {
+    def encodeVec(x: Array[Float]): Array[Float] = {
+      val h = new Array[Float](bottleneck)
+      var j = 0
+      while (j < bottleneck) {
+        var s = b1(j); var i = 0
+        while (i < dim) { s += w1(j * dim + i) * x(i); i += 1 }
+        h(j) = (1.0 / (1.0 + math.exp(-s))).toFloat
+        j += 1
+      }
+      h
+    }
+    def decodeVec(h: Array[Float]): Array[Float] = {
+      val o = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        var s = b2(i); var j = 0
+        while (j < bottleneck) { s += w2(i * bottleneck + j) * h(j); j += 1 }
+        o(i) = s.toFloat
+        i += 1
+      }
+      o
+    }
+  }
+
+  /** Full-batch distributed GD training. One aggregation job per epoch;
+    * gradient buffer layout [w1grad | b1grad | w2grad | b2grad | loss]. */
+  def autoencoderTrain(df: DataFrame, vecCol: String, bottleneck: Int,
+                       learningRate: Double = 0.5, epochs: Int = 100,
+                       seed: Long = 42L): AeModel = {
+    require(bottleneck >= 1, "bottleneck_dim must be positive")
+    val data = df.select(col(vecCol)).rdd
+      .map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = data.first().length
+    val n = data.count().toDouble
+    val k = bottleneck
+
+    def u01(x: Long): Double = graft.ml.Explain.u01(x)
+    val x1 = math.sqrt(6.0 / (dim + k)) // Xavier bounds per layer
+    val w1 = Array.tabulate(k * dim)(i => (u01(seed ^ i.toLong) * 2 - 1) * x1)
+    val b1 = new Array[Double](k)
+    val w2 = Array.tabulate(dim * k)(i => (u01(~seed ^ i.toLong) * 2 - 1) * x1)
+    val b2 = new Array[Double](dim)
+    val losses = new Array[Double](epochs)
+
+    val sc = df.sparkSession.sparkContext
+    val bufLen = k * dim + k + dim * k + dim + 1
+    var epoch = 0
+    while (epoch < epochs) {
+      val bw = sc.broadcast((w1.clone(), b1.clone(), w2.clone(), b2.clone()))
+      // Per-partition partials merged in PARTITION-INDEX order: float sums
+      // are order-sensitive, and a deterministic merge order is what makes
+      // training reproducible across runs (treeAggregate's merge tree is
+      // not). Partials are model-sized, so the collect is bounded.
+      val seqOp: (Array[Double], Array[Float]) => Array[Double] =
+        (buf, x) => {
+          val (w1l, b1l, w2l, b2l) = bw.value
+          // forward
+          val z = new Array[Double](k); val h = new Array[Double](k)
+          var j = 0
+          while (j < k) {
+            var s = b1l(j); var i = 0
+            while (i < dim) { s += w1l(j * dim + i) * x(i); i += 1 }
+            z(j) = s; h(j) = 1.0 / (1.0 + math.exp(-s)); j += 1
+          }
+          val d2 = new Array[Double](dim) // δ_out = 2(x̂−x)/n
+          var i = 0
+          while (i < dim) {
+            var s = b2l(i); var jj = 0
+            while (jj < k) { s += w2l(i * k + jj) * h(jj); jj += 1 }
+            val e = s - x(i)
+            buf(bufLen - 1) += e * e / n
+            d2(i) = 2.0 * e / n
+            i += 1
+          }
+          // backward: W2 & b2 grads, then δ_hidden through σ'
+          i = 0
+          while (i < dim) {
+            var jj = 0
+            while (jj < k) {
+              buf(k * dim + k + i * k + jj) += d2(i) * h(jj); jj += 1
+            }
+            buf(k * dim + k + dim * k + i) += d2(i)
+            i += 1
+          }
+          j = 0
+          while (j < k) {
+            var s = 0.0; i = 0
+            while (i < dim) { s += w2l(i * k + j) * d2(i); i += 1 }
+            val d1 = s * h(j) * (1.0 - h(j))
+            i = 0
+            while (i < dim) { buf(j * dim + i) += d1 * x(i); i += 1 }
+            buf(k * dim + j) += d1
+            j += 1
+          }
+          buf
+        }
+      val partials = data.mapPartitionsWithIndex { (idx, it) =>
+        val buf = it.foldLeft(new Array[Double](bufLen))(seqOp)
+        Iterator((idx, buf))
+      }.collect().sortBy(_._1)
+      val grad = new Array[Double](bufLen)
+      partials.foreach { case (_, p) =>
+        var i = 0; while (i < bufLen) { grad(i) += p(i); i += 1 }
+      }
+      bw.destroy()
+      losses(epoch) = grad(bufLen - 1)
+      var i = 0
+      while (i < k * dim) { w1(i) -= learningRate * grad(i); i += 1 }
+      i = 0
+      while (i < k) { b1(i) -= learningRate * grad(k * dim + i); i += 1 }
+      i = 0
+      while (i < dim * k) { w2(i) -= learningRate * grad(k * dim + k + i); i += 1 }
+      i = 0
+      while (i < dim) { b2(i) -= learningRate * grad(k * dim + k + dim * k + i); i += 1 }
+      epoch += 1
+    }
+    data.unpersist(blocking = false)
+    AeModel(dim, k, w1, b1, w2, b2, losses)
+  }
+
+  /** Encode / reconstruct per row — map-side, model broadcast by closure. */
+  def autoencoderEncode(model: AeModel, df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val enc = udf((v: Seq[Float]) => model.encodeVec(v.toArray).toSeq)
+    df.select(col(idCol), enc(col(vecCol)).as("encoded"))
+  }
+
+  /** Reconstruction + per-row squared error (the reference's
+    * `reconstruction_error` surface). */
+  def autoencoderReconstruct(model: AeModel, df: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    val rec = udf { (v: Seq[Float]) =>
+      val x = v.toArray
+      val xhat = model.decodeVec(model.encodeVec(x))
+      var se = 0.0; var i = 0
+      while (i < x.length) { val d = xhat(i).toDouble - x(i); se += d * d; i += 1 }
+      (xhat.toSeq, se)
+    }
+    df.select(col(idCol), rec(col(vecCol)).as("r"))
+      .select(col(idCol), col("r._1").as("reconstructed"), col("r._2").as("sq_error"))
+  }
 }

@@ -56,4 +56,36 @@ class PlanShapeSpec extends SparkSpecBase {
     val plan = planOf(df)
     assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("bandit per-arm aggregation is two-phase (map-side combine before the shuffle)") {
+    import spark.implicits._
+    val pulls = (0 until 64).map(i => (i % 4, (i % 3).toDouble)).toDF("arm_id", "reward")
+      .repartition(4)
+    // the distributed piece of multiArmedBandit is the per-arm aggregate
+    val agg = pulls.groupBy("arm_id")
+      .agg(count(lit(1)).as("pulls"), sum("reward").as("reward_sum"))
+    val plan = planOf(agg)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg: $plan")
+  }
+
+  test("graphsage levels are shuffle joins — no cartesian product, no global window") {
+    import spark.implicits._
+    val edges = (0 until 50).flatMap(i => Seq((i, (i + 1) % 50), (i, (i + 2) % 50)))
+      .toDF("node_id", "neighbor_id")
+    val feats = (0 until 50).map(i => (i, Seq(i.toFloat, 1f))).toDF("node_id", "features")
+    val seeds = (0 until 5).map(Tuple1(_)).toDF("node_id")
+    val plan = planOf(ml.Gnn.graphsageAggregate(edges, feats, seeds, nSamples = 3, depth = 2))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    // sampling windows partition by (seed, parent) — never a global window
+    assert(!plan.contains("Exchange SinglePartition"), s"single-partition stage in: $plan")
+  }
+
+  test("SGC propagation joins stay sparse (no CartesianProduct) and aggregate two-phase") {
+    import spark.implicits._
+    val edges = (0 until 30).map(i => (i, (i + 1) % 30)).toDF("node_id", "neighbor_id")
+    val feats = (0 until 30).map(i => (i, Seq(i.toFloat))).toDF("node_id", "features")
+    val plan = planOf(ml.Gnn.sgcPropagate(edges, feats, hops = 1))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
 }
