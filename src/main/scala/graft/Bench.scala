@@ -23,7 +23,8 @@ object Bench {
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
     "ml_kmeans", "zscore_outliers",
     "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup
-    "text_stats", "multimodal_hist")                      // text / multimodal
+    "text_stats", "multimodal_hist",                      // text / multimodal
+    "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1293,13 +1293,36 @@ object SparkEntry {
       "vec_id", "embedding", k = 5)
       .select(col("vec_id"), round(col("lof"), 6).as("lof"))
 
-  /** davies_bouldin_index over label clusters (rows-only). */
+  /** davies_bouldin_index over label clusters (oracle: the full
+    * centroid/scatter/max-ratio pipeline re-derived in SQL). */
   private def daviesBouldinQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val db = ml.Extras.daviesBouldin(
       Tables.read(s, dir, "embeddings"), "embedding", "label")
     Seq(db).toDF("davies_bouldin").select(round(col("davies_bouldin"), 6).as("davies_bouldin"))
   }
+
+  private val daviesBouldinSql =
+    """WITH ex AS (SELECT label, vec_id, unnest(range(0, len(embedding))) AS pos,
+      |                   unnest(embedding::DOUBLE[]) AS v
+      |            FROM embeddings),
+      |cent AS (SELECT label, pos,
+      |                CAST(CAST(SUM(v) / COUNT(*) AS REAL) AS DOUBLE) AS c
+      |         FROM ex GROUP BY label, pos),
+      |dists AS (SELECT ex.label, ex.vec_id,
+      |                 sqrt(SUM((ex.v - cent.c) * (ex.v - cent.c))) AS d
+      |          FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      |          GROUP BY ex.label, ex.vec_id),
+      |scat AS (SELECT label, AVG(d) AS s FROM dists GROUP BY label),
+      |cdist AS (SELECT a.label AS la, b.label AS lb,
+      |                 sqrt(SUM((a.c - b.c) * (a.c - b.c))) AS dc
+      |          FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      |          GROUP BY a.label, b.label),
+      |ratio AS (SELECT c.la, MAX((sa.s + sb.s) / c.dc) AS r
+      |          FROM cdist c JOIN scat sa ON sa.label = c.la
+      |                       JOIN scat sb ON sb.label = c.lb
+      |          GROUP BY c.la)
+      |SELECT ROUND(AVG(r), 6) AS davies_bouldin FROM ratio""".stripMargin
 
   /** ARIMA(2,1) fit + 5-step forecast of the daily event-value mean
     * (rows-only; multi-lag OLS not expressible in the oracle). */
@@ -1532,13 +1555,17 @@ object SparkEntry {
       .select(col("state_id"), col("action_id"), round(col("q_value"), 4).as("q"))
   }
 
-  /** Customer similarity graph: same-nation pairs. Bounded fan-out
-    * (|nation| per node), the standard relational-derived graph. */
+  /** Customer similarity graph: same-(nation, custkey mod 10) pairs —
+    * the mod-10 blocking keeps per-node degree BOUNDED as the table
+    * scales (sf0.1: ~60 instead of ~600), the same degree-bounding move
+    * a kNN graph makes. Without it the SpMV shuffle grows with the
+    * square of the nation size. */
   private def customerEdges(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.read(s, dir, "customer")
     cust.select(col("c_custkey").as("k1"), col("c_nationkey").as("n1"))
       .join(cust.select(col("c_custkey").as("k2"), col("c_nationkey").as("n2")),
-        col("n1") === col("n2") && col("k1") =!= col("k2"))
+        col("n1") === col("n2") && (col("k1") % 10) === (col("k2") % 10) &&
+          col("k1") =!= col("k2"))
       .select(col("k1").as("node_id"), col("k2").as("neighbor_id"))
   }
 
@@ -1561,7 +1588,9 @@ object SparkEntry {
     """WITH edges AS (
       |  SELECT c1.c_custkey AS node_id, c2.c_custkey AS neighbor_id
       |  FROM customer c1 JOIN customer c2
-      |    ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey <> c2.c_custkey),
+      |    ON c1.c_nationkey = c2.c_nationkey
+      |   AND c1.c_custkey % 10 = c2.c_custkey % 10
+      |   AND c1.c_custkey <> c2.c_custkey),
       |seeds AS (SELECT c_custkey AS seed FROM customer WHERE c_custkey <= 20),
       |l1 AS (
       |  SELECT seed, neighbor_id AS node,
@@ -1604,7 +1633,9 @@ object SparkEntry {
     """WITH und AS (
       |  SELECT DISTINCT c1.c_custkey AS src, c2.c_custkey AS dst
       |  FROM customer c1 JOIN customer c2
-      |    ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey <> c2.c_custkey),
+      |    ON c1.c_nationkey = c2.c_nationkey
+      |   AND c1.c_custkey % 10 = c2.c_custkey % 10
+      |   AND c1.c_custkey <> c2.c_custkey),
       |wself AS (SELECT src, dst FROM und
       |          UNION SELECT vec_id, vec_id FROM embeddings),
       |deg AS (SELECT src, COUNT(*) AS deg FROM wself GROUP BY src),
@@ -1798,6 +1829,7 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,
     "v_preprocess" -> vPreprocessSql,

@@ -98,10 +98,10 @@ object Extras {
     * histograms of a numeric column. */
   def distributionDivergence(a: DataFrame, b: DataFrame, col1: String, col2: String,
                              bins: Int = 20, method: String = "js"): Double = {
-    val allMin = math.min(a.agg(min(col(col1))).head().getDouble(0),
-      b.agg(min(col(col2))).head().getDouble(0))
-    val allMax = math.max(a.agg(max(col(col1))).head().getDouble(0),
-      b.agg(max(col(col2))).head().getDouble(0))
+    val sa = a.agg(min(col(col1)), max(col(col1))).head()
+    val sb = b.agg(min(col(col2)), max(col(col2))).head()
+    val allMin = math.min(sa.getDouble(0), sb.getDouble(0))
+    val allMax = math.max(sa.getDouble(1), sb.getDouble(1))
     val width = (allMax - allMin) / bins max 1e-12
     def hist(df: DataFrame, c: String): Array[Double] = {
       val counts = df.select(least(lit(bins - 1),
@@ -167,17 +167,19 @@ object Extras {
     * max pairwise (s_i + s_j) / d(c_i, c_j). Driver-side over per-cluster
     * aggregates (k centroids, not rows). */
   def daviesBouldin(df: DataFrame, vecCol: String, clusterCol: String): Double = {
+    val spark = df.sparkSession
     val agg = df.groupBy(col(clusterCol))
       .agg(graft.functions.VectorAggregates.vector_avg(col(vecCol)).as("centroid"))
       .collect()
       .map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
-    val scatters = agg.keys.map { cid =>
-      val centroid = agg(cid)
-      val mean = df.filter(col(clusterCol) === cid)
-        .withColumn("d", graft.functions.VectorFunctions.l2Udf(col(vecCol), lit(centroid)))
-        .agg(avg("d")).head().getDouble(0)
-      cid -> mean
-    }.toMap
+    // one pass for every cluster's scatter: broadcast the (k-sized)
+    // centroid table instead of re-scanning the input per cluster
+    val bC = spark.sparkContext.broadcast(agg.map { case (k, v) => k.toString -> v })
+    val dUdf = udf((cid: String, v: Seq[Float]) => VectorOps.l2(bC.value(cid), v.toArray))
+    val scatters = df
+      .withColumn("d", dUdf(col(clusterCol).cast("string"), col(vecCol)))
+      .groupBy(col(clusterCol)).agg(avg("d").as("s"))
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
     val ids = agg.keys.toSeq
     val ratios = ids.map { i =>
       ids.filter(_ != i).map { j =>

@@ -101,11 +101,10 @@ object Gnn {
    * are added (:217).
    */
   def sgcPropagate(edges: DataFrame, features: DataFrame, hops: Int = 2): DataFrame = {
-    val undirected = edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
+    val withSelf = edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
       .unionByName(edges.select(col("neighbor_id").as("src"), col("node_id").as("dst")))
-      .distinct()
-    val withSelf = undirected.unionByName(
-      features.select(col("node_id").as("src"), col("node_id").as("dst"))).distinct()
+      .unionByName(features.select(col("node_id").as("src"), col("node_id").as("dst")))
+      .distinct() // one dedup pass covers symmetrization AND self-loops
     val deg = withSelf.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg"))
     val norm = withSelf
       .join(deg, col("src") === col("d_node")).drop("d_node")
