@@ -1136,6 +1136,64 @@ object SparkEntry {
         functions.TextAnalysis.langIdUdf(col("text")).as("lang_guess"),
         round(functions.TextAnalysis.qualityUdf(col("text")), 6).as("quality"))
 
+  /** The langId/quality heuristics re-derived in SQL: RE2 script classes
+    * for the CJK/Cyrillic/Arabic branches, per-language stopword
+    * hit-rates with the alphabetical tie-break, and the four quality
+    * component scores (TextAnalysis.scala semantics). */
+  private val langQualitySql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)) AS toks,
+      |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk,
+      |    len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
+      |    len(regexp_extract_all(text, '\p{Arabic}')) AS arb,
+      |    len(regexp_extract_all(text, '\p{L}')) AS letters,
+      |    length(text) AS nchars,
+      |    len(regexp_extract_all(text, '[^\p{L}\p{Nd}\s]')) AS punct
+      |  FROM documents),
+      |sc AS (
+      |  SELECT *, len(toks) AS ntoks,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['der','die','das','und','oder','von','zu','im','ist','dass','es','für','mit','als','war'], t)))::DOUBLE / len(toks) END AS s_de,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','that','it','for','with','as','was'], t)))::DOUBLE / len(toks) END AS s_en,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['el','la','los','y','o','de','a','en','es','que','lo','para','con','como','era'], t)))::DOUBLE / len(toks) END AS s_es,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['le','la','les','et','ou','de','à','dans','est','que','il','pour','avec','comme','était'], t)))::DOUBLE / len(toks) END AS s_fr,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['il','la','i','e','o','di','a','in','è','che','lo','per','con','come','era'], t)))::DOUBLE / len(toks) END AS s_it,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) END AS mwl,
+      |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+      |      ['the','a','an','and','or','of','to','in','is','that','it','for','with','as','was',
+      |       'der','die','das','und','oder','von','zu','im','ist','dass','es','für','mit','als','war',
+      |       'le','la','les','et','ou','de','à','dans','est','que','il','pour','avec','comme','était',
+      |       'el','los','y','o','lo','para','con','como','era',
+      |       'i','e','di','è','che','per','come'], t)))::DOUBLE / len(toks) END AS swr
+      |  FROM base)
+      |SELECT doc_id,
+      |  CASE
+      |    WHEN letters > 0 AND cjk::DOUBLE / letters > 0.3 THEN 'zh'
+      |    WHEN letters > 0 AND cyr::DOUBLE / letters > 0.3 THEN 'ru'
+      |    WHEN letters > 0 AND arb::DOUBLE / letters > 0.3 THEN 'ar'
+      |    WHEN ntoks = 0 THEN 'und'
+      |    WHEN greatest(s_de, s_en, s_es, s_fr, s_it) <= 0.02 THEN 'und'
+      |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'de'
+      |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+      |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+      |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+      |    ELSE 'it' END AS lang_guess,
+      |  ROUND(CASE WHEN nchars = 0 OR ntoks = 0 THEN 0.0 ELSE
+      |    0.25 * least(1.0, ntoks / 100.0)
+      |  + 0.25 * (CASE WHEN punct::DOUBLE / nchars <= 0.2 THEN 1.0
+      |            ELSE greatest(0.0, 1.0 - (punct::DOUBLE / nchars - 0.2) * 5) END)
+      |  + 0.25 * least(1.0, swr / 0.1)
+      |  + 0.25 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+      |            WHEN mwl < 3.0 THEN mwl / 3.0
+      |            ELSE greatest(0.0, 1.0 - (mwl - 10.0) / 10.0) END)
+      |  END, 6) AS quality
+      |FROM sc""".stripMargin
+
   /** MinHash-LSH near-dup detection: 20 planted duplicates must be found
     * (rows-only; the hash family is not SQL-expressible). 3-word shingles
     * keep LSH buckets sparse — this corpus's vocabulary is tiny, so
@@ -1287,11 +1345,31 @@ object SparkEntry {
   }
 
   /** LOF density-based anomaly scores over the first 200 vectors
-    * (rows-only). */
+    * (oracle: full k-dist / reach-dist / lrd pipeline re-derived in SQL). */
   private def lofScores(s: SparkSession, dir: String): DataFrame =
     ml.Lof.score(Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", k = 5)
       .select(col("vec_id"), round(col("lof"), 6).as("lof"))
+
+  private val lofScoresSql =
+    """WITH pts AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |edges AS (
+      |  SELECT src, o, d, rank FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS o,
+      |           list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+      |                      b.vec_id) AS rank
+      |    FROM pts a, pts b WHERE a.vec_id <> b.vec_id)
+      |  WHERE rank <= 5),
+      |kdist AS (SELECT src AS o, d AS k_dist FROM edges WHERE rank = 5),
+      |reach AS (SELECT e.src AS p, e.o, GREATEST(k.k_dist, e.d) AS rd
+      |          FROM edges e JOIN kdist k ON k.o = e.o),
+      |lrd AS (SELECT p, 1.0 / AVG(rd) AS lrd FROM reach GROUP BY p),
+      |nl AS (SELECT e.src AS p, l.lrd AS lrd_o FROM edges e JOIN lrd l ON l.p = e.o)
+      |SELECT nl.p AS vec_id, ROUND(AVG(nl.lrd_o) / MAX(l2.lrd), 6) AS lof
+      |FROM nl JOIN lrd l2 ON l2.p = nl.p
+      |GROUP BY nl.p""".stripMargin
 
   /** davies_bouldin_index over label clusters (oracle: the full
     * centroid/scatter/max-ratio pipeline re-derived in SQL). */
@@ -1325,7 +1403,8 @@ object SparkEntry {
       |SELECT ROUND(AVG(r), 6) AS davies_bouldin FROM ratio""".stripMargin
 
   /** ARIMA(2,1) fit + 5-step forecast of the daily event-value mean
-    * (rows-only; multi-lag OLS not expressible in the oracle). */
+    * (oracle: AR(2) normal equations solved by Cramer's rule in SQL,
+    * forecast recursion unrolled, diffs re-integrated). */
   private def arimaForecastQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.read(s, dir, "events")
@@ -1339,6 +1418,44 @@ object SparkEntry {
       .toDF("step", "forecast")
       .select(col("step"), round(col("forecast"), 6).as("forecast"))
   }
+
+  private val arimaForecastSql =
+    """WITH daily AS (
+      |  SELECT FLOOR(epoch(ts) / 86400.0)::BIGINT AS day, AVG(value) AS v
+      |  FROM events GROUP BY 1),
+      |ord AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+      |diffs AS (SELECT rn, v - LAG(v) OVER (ORDER BY rn) AS s FROM ord
+      |          QUALIFY s IS NOT NULL),
+      |dr AS (SELECT ROW_NUMBER() OVER (ORDER BY rn) AS i, s FROM diffs),
+      |reg AS (SELECT a.s AS y, b.s AS x1, c.s AS x2
+      |        FROM dr a JOIN dr b ON b.i = a.i - 1 JOIN dr c ON c.i = a.i - 2),
+      |m AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x1) AS sx1, SUM(x2) AS sx2,
+      |             SUM(y) AS sy, SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+      |             SUM(x2*x2) AS s22, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+      |      FROM reg),
+      |det AS (SELECT
+      |  s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1) + sx1*(s12*sx2 - s22*sx1) AS dd,
+      |  s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy) + sx1*(s2y*sx2 - s22*sy) AS d1,
+      |  s11*(s2y*n - sx2*sy) - s1y*(s12*n - sx2*sx1) + sx1*(s12*sy - s2y*sx1) AS d2,
+      |  s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1) + s1y*(s12*sx2 - s22*sx1) AS d3
+      |  FROM m),
+      |coef AS (SELECT d1/dd AS p1, d2/dd AS p2, d3/dd AS c0 FROM det),
+      |last2 AS (SELECT
+      |  MAX(CASE WHEN i = (SELECT MAX(i) FROM dr) THEN s END) AS sl,
+      |  MAX(CASE WHEN i = (SELECT MAX(i) FROM dr) - 1 THEN s END) AS sp
+      |  FROM dr),
+      |lastv AS (SELECT v AS base FROM ord WHERE rn = (SELECT MAX(rn) FROM ord)),
+      |f1 AS (SELECT c0, p1, p2, sl, c0 + p1*sl + p2*sp AS v1 FROM coef, last2),
+      |f2 AS (SELECT *, c0 + p1*v1 + p2*sl AS v2 FROM f1),
+      |f3 AS (SELECT *, c0 + p1*v2 + p2*v1 AS v3 FROM f2),
+      |f4 AS (SELECT *, c0 + p1*v3 + p2*v2 AS v4 FROM f3),
+      |f5 AS (SELECT *, c0 + p1*v4 + p2*v3 AS v5 FROM f4)
+      |SELECT step, ROUND(forecast, 6) AS forecast FROM (
+      |  SELECT 1 AS step, base + v1 AS forecast FROM f5, lastv UNION ALL
+      |  SELECT 2, base + v1 + v2 FROM f5, lastv UNION ALL
+      |  SELECT 3, base + v1 + v2 + v3 FROM f5, lastv UNION ALL
+      |  SELECT 4, base + v1 + v2 + v3 + v4 FROM f5, lastv UNION ALL
+      |  SELECT 5, base + v1 + v2 + v3 + v4 + v5 FROM f5, lastv)""".stripMargin
 
   /** OCSVM anomaly scores over the first 300 embeddings. The simplified
     * reference semantics (strided support set, mean RBF kernel,
@@ -1390,6 +1507,33 @@ object SparkEntry {
       Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", method = "umap",
       sampleLimit = 100, iterations = 80, nNeighbors = 10)
+
+  /** `hybrid_search_fusion`: min-max-normalized weighted fusion of an L1
+    * ranking and an inner-product ranking (ml_hybrid_search.c:105); the
+    * bounds ride as a broadcast 1-row aggregate, never a global window. */
+  private def hybridFusionQ(s: SparkSession, dir: String): DataFrame = {
+    val q = lit(qvec(s, dir))
+    val scored = Tables.read(s, dir, "embeddings").select(col("vec_id"),
+      operators.Knn.distCol("l1")(col("embedding"), q).as("lex"),
+      operators.Knn.distCol("ip")(col("embedding"), q).as("sem"))
+    operators.Hybrid.fuseScores(scored, "lex", "sem", lexWeight = 0.4)
+      .select(col("vec_id"), round(col("fused_score"), 6).as("fused_score"))
+  }
+
+  private val hybridFusionSql =
+    s"""WITH q AS (SELECT $qvecSql AS qv),
+       |sc AS (SELECT vec_id,
+       |  list_sum(list_transform(range(1, len(embedding)+1),
+       |           i -> abs(embedding[i]::DOUBLE - qv[i]))) AS lex,
+       |  -list_inner_product(embedding::DOUBLE[], qv) AS sem
+       |  FROM embeddings, q),
+       |b AS (SELECT MIN(lex) AS lmn, MAX(lex) AS lmx,
+       |             MIN(sem) AS smn, MAX(sem) AS smx FROM sc)
+       |SELECT vec_id,
+       |  ROUND(0.4 * CASE WHEN lmx = lmn THEN 0.0 ELSE (lex - lmn) / (lmx - lmn) END
+       |      + 0.6 * CASE WHEN smx = smn THEN 0.0 ELSE (sem - smn) / (smx - smn) END,
+       |        6) AS fused_score
+       |FROM sc, b""".stripMargin
 
   // ------------------------------------------------------------------
   // Element-op long tail (SURVEY §2.2 rows 9/11/16): arithmetic, element
@@ -1760,6 +1904,7 @@ object SparkEntry {
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
+    "hybrid_fusion" -> (hybridFusionQ(_, _)),
     "v_arith" -> (vArith(_, _)),
     "v_element_access" -> (vElementAccess(_, _)),
     "v_preprocess" -> (vPreprocess(_, _)),
@@ -1829,6 +1974,10 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "hybrid_fusion" -> hybridFusionSql,
+    "lof_scores" -> lofScoresSql,
+    "arima_forecast" -> arimaForecastSql,
+    "lang_quality" -> langQualitySql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,

@@ -129,24 +129,26 @@ object Hybrid {
     * columns, optionally min-max normalized first. */
   def fuseScores(df: DataFrame, lexCol: String, semCol: String,
                  lexWeight: Double, normalize: Boolean = true): DataFrame = {
-    // min/max as aggregated scalars, not all-rows windows: one tiny
-    // reduce instead of a single-partition window at scale
-    val bounds: Map[String, (Double, Double)] =
-      if (!normalize) Map.empty
-      else {
-        val r = df.agg(min(col(lexCol).cast("double")), max(col(lexCol).cast("double")),
-          min(col(semCol).cast("double")), max(col(semCol).cast("double"))).head()
-        Map(lexCol -> (r.getDouble(0), r.getDouble(1)),
-          semCol -> (r.getDouble(2), r.getDouble(3)))
-      }
-    def normed(c: String): Column =
-      if (!normalize) col(c)
-      else {
-        val (mn, mx) = bounds(c)
-        if (mx == mn) lit(0.0) else (col(c) - mn) / (mx - mn)
-      }
-    df.withColumn("fused_score",
-      lit(lexWeight) * normed(lexCol) + lit(1.0 - lexWeight) * normed(semCol))
+    if (!normalize)
+      df.withColumn("fused_score",
+        lit(lexWeight) * col(lexCol) + lit(1.0 - lexWeight) * col(semCol))
+    else {
+      // bounds ride along as a broadcast 1-row aggregate (same shape as
+      // temporalVectorSearch's anchor): no eager job at construction
+      // time, no single-partition window — Catalyst plans the 1-row side
+      // as a broadcast nested loop
+      val bounds = df.agg(
+        min(col(lexCol).cast("double")).as("__lmn"), max(col(lexCol).cast("double")).as("__lmx"),
+        min(col(semCol).cast("double")).as("__smn"), max(col(semCol).cast("double")).as("__smx"))
+      def normed(c: String, mn: String, mx: String): Column =
+        when(col(mx) === col(mn), lit(0.0))
+          .otherwise((col(c) - col(mn)) / (col(mx) - col(mn)))
+      df.crossJoin(broadcast(bounds))
+        .withColumn("fused_score",
+          lit(lexWeight) * normed(lexCol, "__lmn", "__lmx") +
+            lit(1.0 - lexWeight) * normed(semCol, "__smn", "__smx"))
+        .drop("__lmn", "__lmx", "__smn", "__smx")
+    }
   }
 
   /** `hybrid_rank(vec_score, text_score, meta_score, weights[])`

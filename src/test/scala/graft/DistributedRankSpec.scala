@@ -35,6 +35,29 @@ class DistributedRankSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("fuseScores min-max-normalizes lazily and matches hand math; degenerate range -> 0") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0, 5.0), (2L, 10.0, 5.0), (3L, 5.0, 5.0))
+      .toDF("id", "lex", "sem").repartition(3)
+    val out = Hybrid.fuseScores(df, "lex", "sem", lexWeight = 0.4)
+      .select("id", "fused_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // lex normalizes over [0,10]; sem is constant -> 0 contribution
+    assert(math.abs(out(1) - 0.0) < 1e-12)
+    assert(math.abs(out(2) - 0.4) < 1e-12)
+    assert(math.abs(out(3) - 0.2) < 1e-12)
+    // un-normalized path is a plain weighted sum
+    val raw = Hybrid.fuseScores(df, "lex", "sem", 0.5, normalize = false)
+      .select("id", "fused_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(raw(2) - 7.5) < 1e-12)
+    // lazy: the normalized plan carries no single-partition exchange
+    val plan = Hybrid.fuseScores(df, "lex", "sem", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") || plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected plan: $plan")
+  }
+
   test("rrfFusion matches hand-computed reciprocal-rank sums") {
     // ranking A (score desc): id 1 > 2 > 3; ranking B (score asc): 3 > 2 > 1
     val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "s")
