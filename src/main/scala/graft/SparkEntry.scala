@@ -1482,12 +1482,17 @@ object SparkEntry {
       |FROM scores""".stripMargin
 
   /** t-SNE landmark reduction of the first 200 embeddings to 2-d
-    * (rows-only; iterative seeded optimizer, determinism in Ml2Spec). */
+    * (rows-only; iterative seeded optimizer, determinism in Ml2Spec).
+    * The 2-d coords are projected to scalar columns — the driver's
+    * row-sort chokes on array-typed cells. */
   private def tsneReduceQ(s: SparkSession, dir: String): DataFrame =
     ml.Dimensionality.reduce(
       Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", method = "tsne",
       sampleLimit = 100, iterations = 120, perplexity = 10.0)
+      .select(col("vec_id"),
+        round(element_at(col("reduced"), 1), 4).as("x"),
+        round(element_at(col("reduced"), 2), 4).as("y"))
 
   /** Autoencoder reconstruction error over the first 200 embeddings
     * (rows-only: iterative distributed-GD training; convergence and
@@ -1501,12 +1506,16 @@ object SparkEntry {
       .select(col("vec_id"), round(col("sq_error"), 4).as("sq_error"))
   }
 
-  /** UMAP landmark reduction (rows-only, reference-shaped loop). */
+  /** UMAP landmark reduction (rows-only, reference-shaped loop; scalar
+    * projection for the same driver row-sort reason as t-SNE). */
   private def umapReduceQ(s: SparkSession, dir: String): DataFrame =
     ml.Dimensionality.reduce(
       Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", method = "umap",
       sampleLimit = 100, iterations = 80, nNeighbors = 10)
+      .select(col("vec_id"),
+        round(element_at(col("reduced"), 1), 4).as("x"),
+        round(element_at(col("reduced"), 2), 4).as("y"))
 
   /** `hybrid_search_fusion`: min-max-normalized weighted fusion of an L1
     * ranking and an inner-product ranking (ml_hybrid_search.c:105); the
