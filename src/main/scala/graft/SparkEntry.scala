@@ -1775,12 +1775,22 @@ object SparkEntry {
       |GROUP BY 1, 2""".stripMargin
 
   /** One hop of symmetric-normalized GCN propagation (SGC form) on the
-    * customer graph; output limited to the first 100 nodes. */
-  private def sgcPropagateQ(s: SparkSession, dir: String): DataFrame =
-    ml.Gnn.sgcPropagate(customerEdges(s, dir), nodeFeatures(s, dir), hops = 1)
+    * customer graph; only the first 100 nodes are wanted, so the target
+    * set pushes down into the propagation (ego-graph SpMV, not
+    * whole-graph). */
+  private def sgcPropagateQ(s: SparkSession, dir: String): DataFrame = {
+    // ids 0..100 of the feature table cover every graph node ≤ 100
+    // (customer keys start at 1; every node self-loops via features)
+    val targets = nodeFeatures(s, dir).filter(col("node_id") <= 100)
+      .select("node_id")
+    // customerEdges emits every ordered pair (condition is symmetric,
+    // k1 ≠ k2), so the operator's symmetrize+dedup shuffle is skippable
+    ml.Gnn.sgcPropagate(customerEdges(s, dir), nodeFeatures(s, dir), hops = 1,
+        targets = Some(targets), assumeSymmetric = true)
       .filter(col("node_id") <= 100)
       .select(col("node_id"), posexplode(col("features")))
       .select(col("node_id"), col("pos"), col("col").cast("double").as("val"))
+  }
 
   private val sgcPropagateSql =
     """WITH und AS (

@@ -45,8 +45,10 @@ object Extras {
   def knnClassifyBlocked(train: DataFrame, test: DataFrame, vecCol: String, labelCol: String,
                          k: Int = 5, idCol: String = "id", nlists: Int = 16,
                          initProbes: Int = 4): DataFrame = {
+    // few k-means sweeps: cluster quality only shapes block BALANCE; the
+    // radius-bound join below is exact for any assignment
     val model = graft.operators.Ivf.build(
-      train.select(col(vecCol), col(labelCol)), vecCol, nlists)
+      train.select(col(vecCol), col(labelCol)), vecCol, nlists, maxIter = 5)
     graft.operators.Ivf.knnJoin(model, test.select(col(idCol), col(vecCol)),
         vecCol, idCol, k, tieBreak = Seq(labelCol))
       .groupBy(col(idCol), col(s"t_$labelCol").as("train_label"))

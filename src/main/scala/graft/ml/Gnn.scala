@@ -98,13 +98,50 @@ object Gnn {
    * (reference `normalize_adjacency` :62-92 + `gcn_forward` :94-134),
    * as a sparse edge join instead of a dense matmul. `edges` is treated
    * as undirected (the reference symmetrizes, :272-273) and self-loops
-   * are added (:217).
+   * are added (:217). Passing `targets` restricts the computation to the
+   * k-hop ego-graph that feeds those output nodes — exact, since hop h
+   * of a node depends only on its neighbors' hop h−1.
    */
-  def sgcPropagate(edges: DataFrame, features: DataFrame, hops: Int = 2): DataFrame = {
-    val withSelf = edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
-      .unionByName(edges.select(col("neighbor_id").as("src"), col("node_id").as("dst")))
-      .unionByName(features.select(col("node_id").as("src"), col("node_id").as("dst")))
-      .distinct() // one dedup pass covers symmetrization AND self-loops
+  def sgcPropagate(edges: DataFrame, features: DataFrame, hops: Int = 2,
+                   targets: Option[DataFrame] = None,
+                   assumeSymmetric: Boolean = false): DataFrame = {
+    // `assumeSymmetric` is the caller's contract that `edges` already
+    // holds BOTH directions of every edge and no self-loops — then the
+    // reverse-union and the full-graph dedup shuffle both drop out
+    // (self-loops are still appended; they cannot collide). At 10⁹ edges
+    // the dedup is the single biggest shuffle in this operator, so a
+    // caller that materializes edges symmetrically gets it for free.
+    val withSelf =
+      if (assumeSymmetric)
+        edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
+          .unionByName(features.select(col("node_id").as("src"), col("node_id").as("dst")))
+      else
+        edges.select(col("node_id").as("src"), col("neighbor_id").as("dst"))
+          .unionByName(edges.select(col("neighbor_id").as("src"), col("node_id").as("dst")))
+          .unionByName(features.select(col("node_id").as("src"), col("node_id").as("dst")))
+          .distinct() // one dedup pass covers symmetrization AND self-loops
+
+    // Ego-graph pushdown: hop h of a node depends only on its neighbors'
+    // hop h−1, so with `targets` the needed-node sets walk backwards:
+    // needed(hops) = targets, needed(h−1) = N(needed(h)). Self-loops make
+    // the sets NESTED (u ∈ N(u)). Degrees stay GLOBAL (normalization is a
+    // whole-graph property), but each SpMV shrinks from graph-sized to
+    // neighborhood-sized — the difference between propagating 10⁹ nodes
+    // and the ~|targets|·deg^hops that feed them.
+    val needed: Array[Option[DataFrame]] = {
+      val a = Array.fill[Option[DataFrame]](hops + 1)(None)
+      targets.foreach { t =>
+        a(hops) = Some(t.select(col(t.columns.head).as("__need")).distinct())
+        var h = hops - 1
+        while (h >= 0) {
+          a(h) = a(h + 1).map(n =>
+            withSelf.join(n, withSelf("dst") === n("__need"), "left_semi")
+              .select(col("src").as("__need")).distinct())
+          h -= 1
+        }
+      }
+      a
+    }
     val deg = withSelf.groupBy(col("src").as("d_node")).agg(count(lit(1)).as("deg"))
     val norm = withSelf
       .join(deg, col("src") === col("d_node")).drop("d_node")
@@ -112,6 +149,7 @@ object Gnn {
       .join(deg, col("dst") === col("d_node")).drop("d_node")
       .withColumn("w", lit(1.0) / sqrt(col("deg_src") * col("deg")))
       .select("src", "dst", "w")
+
     val scaleV = udf { (v: Seq[Float], w: Double) =>
       val out = new Array[Float](v.length)
       var i = 0
@@ -121,7 +159,11 @@ object Gnn {
     var x = features.select(col("node_id"), col("features"))
     var h = 0
     while (h < hops) {
-      x = norm.join(x, norm("src") === x("node_id"))
+      val hopNorm = needed(h + 1) match {
+        case Some(n) => norm.join(n, norm("dst") === n("__need"), "left_semi")
+        case None    => norm
+      }
+      x = hopNorm.join(x, hopNorm("src") === x("node_id"))
         .select(col("dst"), scaleV(col("features"), col("w")).as("wf"))
         .groupBy(col("dst").as("node_id"))
         .agg(VectorAggregates.vectorSum(col("wf")).as("features"))

@@ -57,6 +57,28 @@ class GnnSpec extends SparkSpecBase {
     assert(math.abs(out(1) - (2 / math.sqrt(6) + 1.0 / 3)) < 1e-6)
   }
 
+  test("sgcPropagate with targets equals the untargeted result on those nodes") {
+    val full = Gnn.sgcPropagate(edges, feats, hops = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val some = Gnn.sgcPropagate(edges, feats, hops = 2,
+        targets = Some(Seq(1, 3).toDF("node_id")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // exactly the target rows, each bit-identical to the full propagation
+    // (global degrees: the ego-graph slice must not change normalization)
+    assert(some.keySet == Set(1, 3))
+    assert(some(1) == full(1) && some(3) == full(3))
+  }
+
+  test("sgcPropagate assumeSymmetric matches the dedup path on symmetric input") {
+    // the fixture lists both directions of every edge and no self-loops,
+    // so the contract flag must be a pure plan optimization
+    val full = Gnn.sgcPropagate(edges, feats, hops = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val fast = Gnn.sgcPropagate(edges, feats, hops = 2, assumeSymmetric = true)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(fast == full)
+  }
+
   test("gcnTrain separates two communities") {
     // Two 4-cliques joined by one bridge edge; features = noisy one-hot of
     // the community, labels on 6 of 8 nodes.
