@@ -1779,10 +1779,15 @@ object SparkEntry {
     * set pushes down into the propagation (ego-graph SpMV, not
     * whole-graph). */
   private def sgcPropagateQ(s: SparkSession, dir: String): DataFrame = {
-    // ids 0..100 of the feature table cover every graph node ≤ 100
-    // (customer keys start at 1; every node self-loops via features)
-    val targets = nodeFeatures(s, dir).filter(col("node_id") <= 100)
-      .select("node_id")
+    // The oracle keeps every node ≤ 100 that receives propagated mass —
+    // graph nodes (customer keys, which start at 0) as well as
+    // self-loop-only nodes from the feature table — so the target set is
+    // the union of both id spaces, not just the feature ids.
+    val targets = Tables.read(s, dir, "customer")
+      .filter(col("c_custkey") <= 100).select(col("c_custkey").as("node_id"))
+      .unionByName(nodeFeatures(s, dir).filter(col("node_id") <= 100)
+        .select("node_id"))
+      .distinct()
     // customerEdges emits every ordered pair (condition is symmetric,
     // k1 ≠ k2), so the operator's symmetrize+dedup shuffle is skippable
     ml.Gnn.sgcPropagate(customerEdges(s, dir), nodeFeatures(s, dir), hops = 1,

@@ -106,7 +106,10 @@ object Gnn {
                    targets: Option[DataFrame] = None,
                    assumeSymmetric: Boolean = false): DataFrame = {
     // `assumeSymmetric` is the caller's contract that `edges` already
-    // holds BOTH directions of every edge and no self-loops — then the
+    // holds BOTH directions of every edge, with no self-loops, no
+    // duplicate edge rows, and unique feature node_ids (duplicates that
+    // the dedup path would absorb via distinct() would here silently
+    // inflate degrees and weights) — then the
     // reverse-union and the full-graph dedup shuffle both drop out
     // (self-loops are still appended; they cannot collide). At 10⁹ edges
     // the dedup is the single biggest shuffle in this operator, so a
@@ -132,8 +135,10 @@ object Gnn {
       val a = Array.fill[Option[DataFrame]](hops + 1)(None)
       targets.foreach { t =>
         a(hops) = Some(t.select(col(t.columns.head).as("__need")).distinct())
+        // The propagation loop only reads needed(1)..needed(hops), so the
+        // backward walk stops at h = 1 (needed(0) would be dead plan).
         var h = hops - 1
-        while (h >= 0) {
+        while (h >= 1) {
           a(h) = a(h + 1).map(n =>
             withSelf.join(n, withSelf("dst") === n("__need"), "left_semi")
               .select(col("src").as("__need")).distinct())
@@ -168,6 +173,11 @@ object Gnn {
         .groupBy(col("dst").as("node_id"))
         .agg(VectorAggregates.vectorSum(col("wf")).as("features"))
       h += 1
+    }
+    // hops = 0 is the identity propagation; the loop never restricts the
+    // output, so honor `targets` with an explicit semi-join.
+    if (hops == 0) needed(0).foreach { n =>
+      x = x.join(n, x("node_id") === n("__need"), "left_semi")
     }
     x
   }

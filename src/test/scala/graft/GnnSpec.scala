@@ -63,10 +63,19 @@ class GnnSpec extends SparkSpecBase {
     val some = Gnn.sgcPropagate(edges, feats, hops = 2,
         targets = Some(Seq(1, 3).toDF("node_id")))
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
-    // exactly the target rows, each bit-identical to the full propagation
+    // exactly the target rows, each equal to the full propagation up to
+    // float accumulation order, which differs across physical plans
     // (global degrees: the ego-graph slice must not change normalization)
     assert(some.keySet == Set(1, 3))
-    assert(some(1) == full(1) && some(3) == full(3))
+    for (k <- Seq(1, 3); (a, b) <- some(k).zip(full(k)))
+      assert(math.abs(a - b) < 1e-6, s"node $k: $a vs $b")
+  }
+
+  test("sgcPropagate hops=0 with targets returns only the target feature rows") {
+    val out = Gnn.sgcPropagate(edges, feats, hops = 0,
+        targets = Some(Seq(1, 3).toDF("node_id")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(out == Map(1 -> Seq(0f, 1f), 3 -> Seq(4f, 0f)))
   }
 
   test("sgcPropagate assumeSymmetric matches the dedup path on symmetric input") {
