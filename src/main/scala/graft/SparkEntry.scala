@@ -1854,6 +1854,152 @@ object SparkEntry {
   }
 
   // ======================================================================
+  // Round-5 depth: unit-only operators promoted to oracle-checked queries
+  // ======================================================================
+
+  /** PQ encode + asymmetric-distance top-k (`pq_asymmetric_distance`,
+    * reference `src/ml/ml_product_quantization.c`) with a deterministic
+    * codebook: codeword c of subspace s = slice s of embedding vec_id c.
+    * Exercises the exact encode/ADC kernels ([[operators.Pq]]) the trained
+    * path shares; only the k-means fit is swapped for fixed centroids so
+    * DuckDB can replay it. */
+  private def pqAdcQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = operators.Pq.codebookFrom(cents, m = 8)
+    val encoded = operators.Pq.encodeTable(emb, "embedding", cb)
+    operators.Pq.search(encoded, cb, qvec(s, dir), k = 10, tieBreak = Seq("vec_id"))
+      .select(col("vec_id"), round(col("adc_distance"), 6).as("adc"))
+  }
+
+  /** Encode = per-subspace argmin (strict <, lowest codeword wins ties);
+    * ADC = sqrt of summed query-to-codeword table entries. */
+  private val pqAdcSql =
+    """WITH sv AS (
+      |  SELECT vec_id, t.s, list_slice(embedding::DOUBLE[], t.s*8+1, t.s*8+8) AS sub
+      |  FROM embeddings, range(0, 8) AS t(s)),
+      |cb AS (SELECT vec_id AS c, s, sub AS cw FROM sv WHERE vec_id < 16),
+      |dist AS (
+      |  SELECT v.vec_id, v.s, cb.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (v.sub[i] - cb.cw[i]) * (v.sub[i] - cb.cw[i]))) AS d
+      |  FROM sv v JOIN cb ON cb.s = v.s),
+      |enc AS (
+      |  SELECT vec_id, s, c AS code FROM (
+      |    SELECT vec_id, s, c,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |qd AS (SELECT s, c, d FROM dist WHERE vec_id = 0)
+      |SELECT vec_id, round(adc, 6) AS adc FROM (
+      |  SELECT e.vec_id, sqrt(sum(qd.d)) AS adc
+      |  FROM enc e JOIN qd ON qd.s = e.s AND qd.c = e.code
+      |  GROUP BY e.vec_id)
+      |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+
+  /** Two-stage rerank (`rerank_index_create/get_candidates`): int8-coarse
+    * L2 takes the wide cut (4k candidates), exact L2 rescores the
+    * survivors. Coarse vectors = max-abs int8 codes decoded to the unit
+    * domain — the same codec `quant_int8` proves expressible in DuckDB. */
+  private def twoStageRerankQ(s: SparkSession, dir: String): DataFrame = {
+    // Fully-qualified calls inside the lambda: a local alias would make
+    // the closure capture the (non-serializable) module instance.
+    val coarseUdf = udf((v: Seq[Float]) =>
+      functions.Quantization.int8ToVector(functions.Quantization.toInt8(v.toArray)).toSeq)
+    val emb = Tables.read(s, dir, "embeddings")
+      .withColumn("coarse", coarseUdf(col("embedding")))
+    val q = qvec(s, dir)
+    operators.Rerank.twoStage(emb, "vec_id", "embedding", "coarse",
+        q, functions.Quantization.int8ToVector(functions.Quantization.toInt8(q)), k = 10)
+      .select(col("vec_id"), round(col("coarse_distance"), 6).as("coarse_dist"),
+        round(col("distance"), 6).as("dist"))
+  }
+
+  /** The decode mirrors `quant_int8`'s float steps; float/float division
+    * via double is exact (53 >= 2*24+2, division double-rounding-safe). */
+  private val twoStageRerankSql =
+    s"""WITH t AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+       |  FROM embeddings),
+       |dec AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+       |    CAST(CAST(CAST(roundbankers(greatest(-128.0, least(127.0,
+       |      CAST(CAST(x * CAST(127.0 / maxabs AS REAL) AS REAL) AS DOUBLE))), 0) AS REAL)
+       |      / CAST(127.0 AS REAL) AS REAL) AS DOUBLE) END) AS coarse
+       |  FROM t),
+       |q AS (SELECT embedding::DOUBLE[] AS qe, coarse AS qc FROM dec WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT d.vec_id, d.embedding,
+       |    list_distance(d.coarse, q.qc) AS cd
+       |  FROM dec d, q
+       |  ORDER BY cd, d.vec_id LIMIT 40)
+       |SELECT vec_id, round(cd, 6) AS coarse_dist,
+       |  round(list_distance(cand.embedding::DOUBLE[], q.qe), 6) AS dist
+       |FROM cand, q
+       |ORDER BY list_distance(cand.embedding::DOUBLE[], q.qe), vec_id LIMIT 10""".stripMargin
+
+  /** `vec_route` set-oriented: route vectors to the nearest of the 10
+    * per-label mean centroids (argmin L2, lowest label wins ties). */
+  private def vecRouteQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(s, dir, "embeddings")
+    val cents = emb.groupBy(col("label")).agg(VA.vector_avg(col("embedding")).as("c"))
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val labels = cents.map(_._1)
+    val cvecs = cents.map(_._2)
+    val routeUdf = udf((v: Seq[Float]) =>
+      labels(operators.Knn.vecRoute(v.toArray, cvecs)))
+    emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), routeUdf(col("embedding")).as("route_label"))
+  }
+
+  private val vecRouteSql =
+    """WITH cent AS (
+      |  SELECT label, pos, CAST(CAST(sum(v) / count(*) AS REAL) AS DOUBLE) AS c
+      |  FROM (SELECT label, unnest(range(0, len(embedding))) AS pos,
+      |               unnest(embedding::DOUBLE[]) AS v FROM embeddings)
+      |  GROUP BY label, pos),
+      |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |             unnest(embedding::DOUBLE[]) AS v
+      |      FROM embeddings WHERE vec_id < 100),
+      |d AS (SELECT v.vec_id, c.label, sum((v.v - c.c) * (v.v - c.c)) AS d
+      |      FROM v JOIN cent c ON c.pos = v.pos
+      |      GROUP BY v.vec_id, c.label)
+      |SELECT vec_id, label AS route_label FROM (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, label) AS rn
+      |  FROM d) WHERE rn = 1""".stripMargin
+
+  /** Watermarked tumbling-window aggregation executed as a REAL
+    * Structured-Streaming query (parquet file source → stateful agg →
+    * memory sink, Trigger.AvailableNow), then compared against the batch
+    * oracle — the §2.11 streaming surface under the correctness gate. */
+  private def streamWindowAggQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file stream source wants a directory; glob-filter to one table.
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = streaming.EventStream.windowedCounts(
+      stream, "ts_ts", "event_type", windowDur = "6 hours", watermark = "12 hours")
+    val name = "stream_window_agg_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("window.start").cast("long").as("wstart"), col("event_type"),
+        col("n"), round(col("avg_value"), 6).as("avg_value"))
+  }
+
+  private val streamWindowAggSql =
+    """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+      |  event_type, COUNT(*) AS n, round(AVG(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -1948,6 +2094,10 @@ object SparkEntry {
     "tsne_reduce" -> (tsneReduceQ(_, _)),
     "autoencoder_recon" -> (autoencoderReconQ(_, _)),
     "umap_reduce" -> (umapReduceQ(_, _)),
+    "pq_adc" -> (pqAdcQ(_, _)),
+    "two_stage_rerank" -> (twoStageRerankQ(_, _)),
+    "vec_route_assign" -> (vecRouteQ(_, _)),
+    "stream_window_agg" -> (streamWindowAggQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2027,6 +2177,10 @@ object SparkEntry {
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,
     "ocsvm_scores" -> ocsvmScoresSql,
+    "pq_adc" -> pqAdcSql,
+    "two_stage_rerank" -> twoStageRerankSql,
+    "vec_route_assign" -> vecRouteSql,
+    "stream_window_agg" -> streamWindowAggSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible

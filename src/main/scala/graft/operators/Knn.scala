@@ -34,12 +34,15 @@ object Knn {
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
-  /** Exact brute-force top-k: one scan, per-partition heap, driver merge. */
+  /** Exact brute-force top-k: one scan, per-partition heap, driver merge.
+    * `tieBreak` columns pin the order among equal distances — essential
+    * when distances are quantized and exact ties are common. */
   def search(df: DataFrame, vecCol: String, query: Array[Float], k: Int = 10,
-             metric: String = "l2", distName: String = "distance"): DataFrame = {
+             metric: String = "l2", distName: String = "distance",
+             tieBreak: Seq[String] = Nil): DataFrame = {
     graft.Metrics.inc(df.sparkSession, graft.Metrics.QueriesTotal)
     df.withColumn(distName, distCol(metric)(col(vecCol), lit(query)))
-      .orderBy(col(distName))
+      .orderBy((col(distName) +: tieBreak.map(col)).toSeq: _*)
       .limit(k)
   }
 

@@ -110,6 +110,22 @@ object Pq {
     centers
   }
 
+  /** Build a codebook from explicitly chosen full-dimension centroid
+    * vectors (codeword c of subspace s = slice s of `vectors(c)`).
+    * Deterministic by construction — the oracle-checkable counterpart of
+    * [[train]], and the shape `rerank_index_create` takes when the caller
+    * supplies precomputed centroids. */
+  def codebookFrom(vectors: Array[Array[Float]], m: Int): PqCodebook = {
+    require(vectors.nonEmpty, "codebookFrom requires at least one centroid")
+    val dim = vectors.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      vectors.map(v => v.slice(s * subDim, (s + 1) * subDim))
+    }
+    PqCodebook(m, subDim, codebooks)
+  }
+
   /** Encode a table; codes column is BinaryType, m bytes per row. */
   def encodeTable(df: DataFrame, vecCol: String, codebook: PqCodebook): DataFrame = {
     val bCb = df.sparkSession.sparkContext.broadcast(codebook)
@@ -117,15 +133,17 @@ object Pq {
     df.withColumn("pq_codes", enc(col(vecCol)))
   }
 
-  /** ADC top-k over an encoded table: broadcast lookup table, scan, heap. */
+  /** ADC top-k over an encoded table: broadcast lookup table, scan, heap.
+    * ADC distances collide whenever two rows share all code bytes, so
+    * `tieBreak` columns matter for deterministic cuts. */
   def search(encoded: DataFrame, codebook: PqCodebook, query: Array[Float],
-             k: Int = 10): DataFrame = {
+             k: Int = 10, tieBreak: Seq[String] = Nil): DataFrame = {
     val table = codebook.adcTable(query)
     val bTable = encoded.sparkSession.sparkContext.broadcast(table)
     val bCb = encoded.sparkSession.sparkContext.broadcast(codebook)
     val adc = udf((codes: Array[Byte]) => bCb.value.adcDistance(bTable.value, codes))
     encoded.withColumn("adc_distance", adc(col("pq_codes")))
-      .orderBy(col("adc_distance"))
+      .orderBy((col("adc_distance") +: tieBreak.map(col)).toSeq: _*)
       .limit(k)
   }
 

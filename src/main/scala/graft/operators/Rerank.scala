@@ -160,8 +160,10 @@ object Rerank {
   def twoStage(df: DataFrame, idCol: String, vecCol: String, coarseCol: String,
                query: Array[Float], coarseQuery: Array[Float],
                k: Int, candidateFactor: Int = 4): DataFrame = {
+    // Quantized coarse distances tie often; break on id so the candidate
+    // cut (and therefore the refined result) is deterministic.
     val coarse = Knn.search(df, coarseCol, coarseQuery, k * candidateFactor,
-      "l2", distName = "coarse_distance")
-    Knn.search(coarse, vecCol, query, k)
+      "l2", distName = "coarse_distance", tieBreak = Seq(idCol))
+    Knn.search(coarse, vecCol, query, k, tieBreak = Seq(idCol))
   }
 }

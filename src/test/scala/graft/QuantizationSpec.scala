@@ -106,6 +106,16 @@ class QuantizationSpec extends AnyFunSuite {
     assert(dists(2) > 10 && dists(3) > 10)
   }
 
+  test("PQ: codebookFrom slices full-dim centroids per subspace") {
+    val cb = Pq.codebookFrom(Array(Array(0f, 0f, 10f, 10f), Array(10f, 10f, 0f, 0f)), m = 2)
+    assert(cb.m == 2 && cb.subDim == 2)
+    assert(cb.codebooks(0)(1).toSeq == Seq(10f, 10f))
+    assert(cb.codebooks(1)(1).toSeq == Seq(0f, 0f))
+    // encoding a centroid recovers its own codeword in every subspace
+    assert(cb.encode(Array(10f, 10f, 0f, 0f)).toSeq == Seq[Byte](1, 1))
+    intercept[IllegalArgumentException](Pq.codebookFrom(Array(Array(1f, 2f, 3f)), m = 2))
+  }
+
   test("OPQ rotation is applied as matrix product") {
     val identity = Array(Array(1f, 0f), Array(0f, 1f))
     assert(Pq.applyOpqRotation(Array(3f, 4f), identity).toSeq == Seq(3f, 4f))
