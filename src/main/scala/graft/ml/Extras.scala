@@ -49,6 +49,17 @@ object Extras {
     // radius-bound join below is exact for any assignment
     val model = graft.operators.Ivf.build(
       train.select(col(vecCol), col(labelCol)), vecCol, nlists, maxIter = 5)
+    knnClassifyWithIndex(model, test, vecCol, labelCol, k, idCol)
+  }
+
+  /** [[knnClassifyBlocked]] against a PREBUILT index — the serve path.
+    * Index construction is offline in the reference (CREATE INDEX);
+    * classification reuses it, so the per-query cost is the two
+    * radius-bound join passes, not a k-means fit. The model's assigned
+    * table must carry `labelCol`. */
+  def knnClassifyWithIndex(model: graft.operators.Ivf.IvfModel, test: DataFrame,
+                           vecCol: String, labelCol: String,
+                           k: Int = 5, idCol: String = "id"): DataFrame = {
     graft.operators.Ivf.knnJoin(model, test.select(col(idCol), col(vecCol)),
         vecCol, idCol, k, tieBreak = Seq(labelCol))
       .groupBy(col(idCol), col(s"t_$labelCol").as("train_label"))

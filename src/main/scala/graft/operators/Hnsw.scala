@@ -1,0 +1,335 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/**
+ * HNSW ANN index (`NeuronDB/src/index/hnsw_am.c`, 3,044 LoC: handler
+ * `:288`, build defaults m=16 / ef_construction=200 / ef_search=64 /
+ * ml=0.36 / 16 levels `:81-85`, `hnswbeginscan:881`, `hnswSearch`
+ * ~`:1500-2100`), re-architected for a distributed batch engine as
+ * SURVEY §2.1 prescribes: **shard-local graphs, not one global graph**.
+ *
+ * A single pointer-chasing graph over 10¹¹ vectors cannot exist on one
+ * machine, and a cross-machine graph walk would pay a network hop per
+ * edge. The shape that survives 100 TB is the one every distributed ANN
+ * system uses (e.g. Milvus/Vespa segment indexes): hash-partition the
+ * corpus into `numShards` shards, build an independent in-memory HNSW
+ * per shard inside `mapPartitions` (zero driver involvement, zero
+ * shuffle beyond the initial repartition), persist the adjacency lists
+ * as plain rows partitioned by shard, and serve a query by walking all
+ * shard graphs in parallel and merging the per-shard top-k — the same
+ * scatter-gather contract as [[Knn.search]]'s per-partition heaps.
+ * Shards are sized to executor memory (numShards grows with the corpus;
+ * each shard's graph is O(rows/numShards · m) edges).
+ *
+ * Determinism divergence (documented, same policy as IVF's fixed
+ * seed): the reference assigns node levels with un-seeded `random()`;
+ * we derive the level from a splitmix64 hash of the node id, so builds
+ * are reproducible and results oracle-checkable. Insertion order is
+ * id-sorted within a shard; all heap orderings tie-break on id.
+ *
+ * Graded recall contract (BASELINE.md): ef_search within the tuner
+ * band [8,256] (`planner.c:225-237`) targeting recall ≥ 0.90; the
+ * ef clamp of 100,000 (`hnsw_am.c:938-941`) is enforced in [[search]].
+ */
+object Hnsw {
+
+  /** Build defaults = `hnsw_am.c:81-85`. */
+  case class Params(m: Int = 16, efConstruction: Int = 200,
+                    mL: Double = 0.36, maxLevel: Int = 16)
+
+  /** One graph node: per-level adjacency (level 0 at index 0). The whole
+    * index is just a DataFrame of these — writable, partition-prunable,
+    * no driver-side state. */
+  case class Node(shard: Int, id: Long, vec: Seq[Float], nbrs: Seq[Seq[Long]])
+
+  private[operators] def distFn(metric: String): (Array[Float], Array[Float]) => Double =
+    metric match {
+      case "l2" | "euclidean"     => VectorOps.l2
+      case "cosine"               => VectorOps.cosineDistance
+      case "ip" | "inner_product" => VectorOps.innerProductDistance
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic geometric level: floor(−ln(u)·mL), u ∈ (0,1] hashed
+    * from the id (reference draws u from random(), `hnsw_am.c` insert). */
+  private[operators] def levelFor(id: Long, p: Params): Int = {
+    val u = ((mix64(id) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+    math.min((-math.log(u) * p.mL).toInt, p.maxLevel - 1)
+  }
+
+  /** In-memory builder for ONE shard (runs inside a task; never sees
+    * more than its shard's rows). Standard Malkov-Yashunin insert:
+    * greedy descent above the node's level, ef_construction beam on the
+    * levels it joins, closest-m neighbor selection, capped lists
+    * (m above level 0, 2m at level 0). */
+  private final class Builder(p: Params, dist: (Array[Float], Array[Float]) => Double) {
+    val ids = mutable.ArrayBuffer[Long]()
+    val vecs = mutable.ArrayBuffer[Array[Float]]()
+    val nbrs = mutable.ArrayBuffer[Array[mutable.ArrayBuffer[Int]]]()
+    var entry = -1
+    var topLevel = -1
+
+    private def d(q: Array[Float], n: Int): Double = dist(q, vecs(n))
+
+    private def greedy(q: Array[Float], ep0: Int, level: Int): Int = {
+      var ep = ep0
+      var dEp = d(q, ep)
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(ep)(level)
+        var i = 0
+        while (i < ns.length) {
+          val c = ns(i)
+          val dc = d(q, c)
+          if (dc < dEp || (dc == dEp && ids(c) < ids(ep))) {
+            ep = c; dEp = dc; improved = true
+          }
+          i += 1
+        }
+      }
+      ep
+    }
+
+    /** Beam search on one level; ascending (dist, id) result. */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): Vector[(Double, Int)] = {
+      val visited = mutable.HashSet[Int](ep)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(t => (-t._1, -ids(t._2)))) // pops nearest first
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(t => (t._1, ids(t._2)))) // pops farthest first
+      val d0 = d(q, ep)
+      cand.enqueue((d0, ep)); res.enqueue((d0, ep))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val ns = nbrs(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val e = ns(i)
+            if (!visited(e)) {
+              visited += e
+              val de = d(q, e)
+              if (res.size < ef || de < res.head._1) {
+                cand.enqueue((de, e)); res.enqueue((de, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.reverseIterator.toVector // ascending
+    }
+
+    private def shrink(u: Int, level: Int, cap: Int): Unit = {
+      val v = vecs(u)
+      val kept = nbrs(u)(level)
+        .map(n => (dist(v, vecs(n)), n))
+        .sortBy(t => (t._1, ids(t._2)))
+        .take(cap).map(_._2)
+      nbrs(u)(level) = kept
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val lvl = levelFor(id, p)
+      val node = ids.length
+      ids += id; vecs += v
+      nbrs += Array.fill(lvl + 1)(mutable.ArrayBuffer[Int]())
+      if (entry < 0) { entry = node; topLevel = lvl; return }
+      var ep = entry
+      var lc = topLevel
+      while (lc > lvl) { ep = greedy(v, ep, lc); lc -= 1 }
+      lc = math.min(topLevel, lvl)
+      while (lc >= 0) {
+        val w = searchLayer(v, ep, p.efConstruction, lc)
+        w.take(p.m).foreach { case (_, u) =>
+          nbrs(node)(lc) += u
+          nbrs(u)(lc) += node
+          val cap = if (lc == 0) 2 * p.m else p.m
+          if (nbrs(u)(lc).length > cap) shrink(u, lc, cap)
+        }
+        ep = w.head._2
+        lc -= 1
+      }
+      if (lvl > topLevel) { topLevel = lvl; entry = node }
+    }
+
+    def toNodes(shard: Int): Iterator[Node] =
+      ids.indices.iterator.map { n =>
+        Node(shard, ids(n), vecs(n).toSeq,
+          nbrs(n).map(_.map(ids(_).toLong).toSeq).toSeq)
+      }
+  }
+
+  /**
+   * Build the index: one repartition (the only shuffle), then each task
+   * builds its shard's graph independently. Returns the index as a
+   * DataFrame of [[Node]] rows — `write`/`load` round-trips it through
+   * shard-partitioned parquet so serving reads prune per shard.
+   */
+  def build(df: DataFrame, idCol: String, vecCol: String, numShards: Int = 32,
+            params: Params = Params(), metric: String = "l2"): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dist = distFn(metric)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .repartition(numShards, col("id"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1) // id-sorted insert: deterministic
+        val b = new Builder(params, dist)
+        rows.foreach { case (id, v) => b.insert(id, v.toArray) }
+        b.toNodes(TaskContext.getPartitionId())
+      }
+      .toDF("shard", "id", "vec", "nbrs")
+  }
+
+  def write(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Search-time view of one shard rebuilt from its rows. */
+  private final class ShardGraph(nodes: Array[Node],
+                                 dist: (Array[Float], Array[Float]) => Double) {
+    private val byId = new mutable.HashMap[Long, Node]()
+    nodes.foreach(n => byId(n.id) = n)
+    private val entry: Node =
+      nodes.minBy(n => (-n.nbrs.length, n.id)) // max level, tie → min id
+    private def vecOf(id: Long): Array[Float] = byId(id).vec.toArray
+
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      var ep = entry.id
+      var dEp = dist(q, vecOf(ep))
+      var lc = entry.nbrs.length - 1
+      while (lc > 0) { // greedy descent to level 1
+        var improved = true
+        while (improved) {
+          improved = false
+          byId(ep).nbrs(lc).foreach { c =>
+            val dc = dist(q, vecOf(c))
+            if (dc < dEp || (dc == dEp && c < ep)) { ep = c; dEp = dc; improved = true }
+          }
+        }
+        lc -= 1
+      }
+      val efK = math.max(ef, k)
+      val visited = mutable.HashSet[Long](ep)
+      val cand = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(t => (-t._1, -t._2)))
+      val res = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(identity))
+      cand.enqueue((dEp, ep)); res.enqueue((dEp, ep))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= efK) { cand.clear() }
+        else byId(c).nbrs(0).foreach { e =>
+          if (!visited(e)) {
+            visited += e
+            val de = dist(q, vecOf(e))
+            if (res.size < efK || de < res.head._1) {
+              cand.enqueue((de, e)); res.enqueue((de, e))
+              if (res.size > efK) res.dequeue()
+            }
+          }
+        }
+      }
+      res.dequeueAll.reverseIterator.toSeq // ascending (dist, id)
+        .take(k).map { case (d, id) => (id, d) }
+    }
+  }
+
+  /**
+   * Batch ANN search: queries broadcast (tiny), every shard graph walked
+   * in parallel where its rows live, per-shard top-k merged by one
+   * |Q|·k·shards-row window — never a corpus-sized shuffle.
+   * Returns (qid, id, distance, rank ≤ k).
+   */
+  def searchBatch(index: DataFrame, queries: Array[(Long, Array[Float])],
+                  k: Int = 10, efSearch: Int = 64, metric: String = "l2"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val ef = math.min(math.max(efSearch, 1), 100000) // hnsw_am.c:938-941 clamp
+    val spark = index.sparkSession
+    import spark.implicits._
+    val dist = distFn(metric)
+    val bq = spark.sparkContext.broadcast(queries)
+    index.select(col("shard"), col("id"), col("vec"), col("nbrs"))
+      .repartition(col("shard"))
+      .as[Node]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_.shard).iterator.flatMap { case (_, ns) =>
+          val g = new ShardGraph(ns, dist)
+          bq.value.iterator.flatMap { case (qid, q) =>
+            g.search(q, k, ef).map { case (id, d) => (qid, id, d) }
+          }
+        }
+      }
+      .toDF("qid", "id", "distance")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("distance"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Single-query top-k: (id, distance), ascending. */
+  def search(index: DataFrame, query: Array[Float], k: Int = 10,
+             efSearch: Int = 64, metric: String = "l2"): DataFrame =
+    searchBatch(index, Array((0L, query)), k, efSearch, metric)
+      .select("id", "distance")
+
+  /**
+   * Self-tuning ef_search (`planner.c:220-237` learn_from_query band):
+   * walk the doubling ladder inside [8,256], return the smallest ef
+   * whose measured recall@k against the exact answer clears the target.
+   * One brute-force pass establishes truth for ALL queries; each ladder
+   * step is one [[searchBatch]] pass (offline tuner cost, not serve
+   * path).
+   */
+  def recommendEf(index: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                  sampleQueries: Array[(Long, Array[Float])], k: Int = 10,
+                  targetRecall: Double = 0.9, metric: String = "l2"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dist = distFn(metric)
+    val bq = spark.sparkContext.broadcast(sampleQueries)
+    // one pass: exact top-k per query via map-side explode + window rank
+    val pairs = udf { (id: Long, v: Seq[Float]) =>
+      val x = v.toArray
+      bq.value.map { case (qid, q) => (qid, id, dist(q, x)) }.toSeq
+    }
+    val truth = corpus
+      .select(explode(pairs(col(idCol).cast("long"), col(vecCol))).as("p"))
+      .select(col("p._1").as("qid"), col("p._2").as("id"), col("p._3").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("id"))))
+      .filter(col("rk") <= k)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val denom = sampleQueries.length.toDouble * k
+    val ladder = Iterator.iterate(8)(_ * 2).takeWhile(_ <= 256).toSeq
+    ladder.find { ef =>
+      val got = searchBatch(index, sampleQueries, k, ef, metric)
+        .select(col("qid"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+      val hits = truth.map { case (qid, t) =>
+        (t & got.getOrElse(qid, Set.empty)).size }.sum
+      hits / denom >= targetRecall
+    }.getOrElse(256)
+  }
+}

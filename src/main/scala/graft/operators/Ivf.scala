@@ -28,9 +28,10 @@ import graft.functions.VectorOps
  * `nprobe = nlists` probes everything, so it must equal brute force
  * exactly (BASELINE.md's recall convention).
  *
- * HNSW is deliberately not ported: a pointer-chasing in-memory graph is
- * the wrong shape for a distributed scan engine (SURVEY §7.4); IVF covers
- * the same ANN contract with tunable recall.
+ * A single global pointer-chasing HNSW graph is the wrong shape for a
+ * distributed scan engine (SURVEY §7.4); IVF covers the batch ANN
+ * contract with file-level pruning, and [[Hnsw]] provides the
+ * reference's graph index as shard-local graphs for low-latency serving.
  */
 object Ivf {
 

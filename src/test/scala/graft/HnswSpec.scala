@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, Knn}
+
+class HnswSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").cache()
+  private lazy val index = Hnsw.build(emb, "vec_id", "embedding", numShards = 4).cache()
+
+  test("search returns k ascending-distance rows, self first for a corpus query") {
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 7L)
+    val hits = Hnsw.search(index, q, k = 5, efSearch = 64).collect()
+    assert(hits.length == 5)
+    val dists = hits.map(_.getAs[Double]("distance"))
+    assert(dists.sameElements(dists.sorted))
+    assert(hits.head.getAs[Long]("id") == 7L && dists.head == 0.0)
+  }
+
+  test("recall@10 at ef_search=64 clears the reference tuner band (>=0.90)") {
+    val qids = Seq(1L, 33L, 99L, 200L, 404L)
+    val recalls = qids.map { qid =>
+      val q = Tables.queryVector(spark, "/root/testdata/sf0.001", qid)
+      val exact = Knn.search(emb, "embedding", q, k = 10).select("vec_id").as[Long].collect().toSet
+      val ann = Hnsw.search(index, q, k = 10, efSearch = 64).select("id").as[Long].collect().toSet
+      (exact & ann).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.90, s"mean recall@10 $mean below tuner band, per-query $recalls")
+  }
+
+  test("build and search are deterministic (hash-derived levels, id tiebreaks)") {
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 42L)
+    val a = Hnsw.search(index, q, k = 10).select("id").as[Long].collect().toSeq
+    val again = Hnsw.build(emb, "vec_id", "embedding", numShards = 4)
+    val b = Hnsw.search(again, q, k = 10).select("id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("batch search ranks per query and never duplicates an id within a query") {
+    val qs = Array(1L, 99L).map(i => (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
+    val out = Hnsw.searchBatch(index, qs, k = 8, efSearch = 64)
+      .select($"qid", $"id", $"rank").collect()
+    assert(out.length == 16)
+    qs.foreach { case (qid, _) =>
+      val mine = out.filter(_.getLong(0) == qid)
+      assert(mine.map(_.getLong(1)).distinct.length == 8)
+      assert(mine.map(_.getInt(2)).sorted.sameElements(1 to 8))
+    }
+  }
+
+  test("parquet write/load round-trip serves identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.write(index, dir)
+    val loaded = Hnsw.load(spark, dir)
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 7L)
+    val a = Hnsw.search(index, q, k = 10).select("id").as[Long].collect().toSeq
+    val b = Hnsw.search(loaded, q, k = 10).select("id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("recommendEf lands in the [8,256] ladder and clears the target") {
+    val qs = Array(5L, 50L).map(i => (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
+    val ef = Hnsw.recommendEf(index, emb, "vec_id", "embedding", qs, k = 10, targetRecall = 0.9)
+    assert(ef >= 8 && ef <= 256)
+    val got = Hnsw.searchBatch(index, qs, k = 10, efSearch = ef)
+      .select($"qid", $"id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = qs.map { case (qid, q) =>
+      val exact = Knn.search(emb, "embedding", q, k = 10).select("vec_id").as[Long].collect().toSet
+      (exact & got(qid).map(_._2).toSet).size.toDouble / 10
+    }
+    assert(recalls.sum / recalls.length >= 0.9)
+  }
+
+  test("cosine metric index returns the cosine-nearest neighbor") {
+    val cosIdx = Hnsw.build(emb, "vec_id", "embedding", numShards = 2, metric = "cosine")
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 11L)
+    val exact = Knn.search(emb, "embedding", q, k = 1, metric = "cosine")
+      .select("vec_id").as[Long].head()
+    val ann = Hnsw.search(cosIdx, q, k = 1, efSearch = 64, metric = "cosine")
+      .select("id").as[Long].head()
+    assert(ann == exact)
+  }
+}
