@@ -2038,6 +2038,71 @@ object SparkEntry {
       |  event_type, COUNT(*) AS n, round(AVG(value), 6) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Dedup-at-ingest as a REAL streaming query: file source →
+    * stateful dropDuplicates → memory sink; global exact dedup (the
+    * watermark-bounded variant is the production state-cap knob). */
+  private def streamDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val deduped = streaming.StreamDedup.dedupKeys(stream, Seq("event_type", "props"))
+    val name = "stream_dedup_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select(col("event_type"), col("props"))
+  }
+
+  private val streamDedupSql =
+    "SELECT DISTINCT event_type, props FROM events"
+
+  /** Ranged int8 codec against corpus per-dimension min/max (computed by
+    * the distributed vector_min/max aggregates), code + dequantized value
+    * per element; DuckDB replicates the float scaling and Java's
+    * floor(x+0.5f) rounding. */
+  private def quantRangedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val mm = e.agg(
+      functions.VectorAggregates.vectorMin(col("embedding")).as("mn"),
+      functions.VectorAggregates.vectorMax(col("embedding")).as("mx")).head()
+    val mn = mm.getSeq[Float](0).toArray
+    val mx = mm.getSeq[Float](1).toArray
+    val enc = udf((v: Seq[Float]) => {
+      val q = functions.Quantization.rangedInt8(v.toArray, mn, mx)
+      val d = functions.Quantization.rangedDequantize(q, mn, mx)
+      q.indices.map(i => (q(i).toInt, d(i))).toSeq
+    })
+    e.select(col("vec_id"), posexplode(enc(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col._1").as("code"),
+        round(col("col._2").cast("double"), 6).as("deq"))
+  }
+
+  private val quantRangedSql =
+    """WITH v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |                  unnest(embedding) AS x FROM embeddings),
+      |mm AS (SELECT pos, CAST(min(x) AS REAL) AS mn, CAST(max(x) AS REAL) AS mx
+      |       FROM v GROUP BY pos),
+      |e AS (
+      |  SELECT v.vec_id, v.pos, mn, mx,
+      |    CAST(mx - mn AS REAL) AS rng,
+      |    CASE WHEN mx - mn <= 0 THEN 0.0 ELSE
+      |      CAST(CAST(v.x - mn AS REAL) *
+      |           CAST(127.0 / CAST(mx - mn AS REAL) AS REAL) AS REAL) END AS nrm
+      |  FROM v JOIN mm ON mm.pos = v.pos),
+      |c AS (
+      |  SELECT vec_id, pos, mn, rng,
+      |    CASE WHEN rng <= 0 THEN 0
+      |         WHEN nrm > 127.0 THEN 127
+      |         WHEN nrm < -128.0 THEN -128
+      |         ELSE CAST(floor(CAST(nrm + 0.5 AS REAL)) AS INT) END AS code
+      |  FROM e)
+      |SELECT vec_id, pos, code,
+      |  round(CAST(CAST(mn + CAST(CAST(CAST(code AS REAL) * rng AS REAL) / 127.0 AS REAL)
+      |    AS REAL) AS DOUBLE), 6) AS deq
+      |FROM c""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2139,6 +2204,8 @@ object SparkEntry {
     "two_stage_rerank" -> (twoStageRerankQ(_, _)),
     "vec_route_assign" -> (vecRouteQ(_, _)),
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
+    "stream_dedup" -> (streamDedupQ(_, _)),
+    "quant_ranged" -> (quantRangedQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2222,6 +2289,8 @@ object SparkEntry {
     "two_stage_rerank" -> twoStageRerankSql,
     "vec_route_assign" -> vecRouteSql,
     "stream_window_agg" -> streamWindowAggSql,
+    "stream_dedup" -> streamDedupSql,
+    "quant_ranged" -> quantRangedSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible

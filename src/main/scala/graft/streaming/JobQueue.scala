@@ -62,6 +62,34 @@ object JobQueue {
       .start()
 }
 
+/** Dedup-at-ingest for streaming pipelines — the streaming face of the
+  * batch dedup family (`operators.Dedup`): exact key dedup with
+  * engine-managed state, the shape a 100 TB training-data feed uses to
+  * drop repeats before they ever land. State is bounded by the event-time
+  * watermark when a timestamp column is supplied
+  * (`dropDuplicatesWithinWatermark`); without one, state grows with the
+  * distinct-key count (the key should then be a fingerprint, 8-16 bytes
+  * per entry, as in `Dedup.fingerprintDedup`). */
+object StreamDedup {
+
+  /** Distinct key rows, first occurrence wins. Works on static frames
+    * too (plain dropDuplicates — batch parity for the oracle gate). */
+  def dedupKeys(df: DataFrame, keyCols: Seq[String],
+                tsCol: Option[String] = None,
+                watermark: String = "12 hours"): DataFrame = {
+    val keyed = df.select(keyCols.map(col).toSeq: _*)
+    (tsCol, df.isStreaming) match {
+      case (Some(ts), true) =>
+        df.withColumn("__ts", col(ts).cast("timestamp"))
+          .withWatermark("__ts", watermark)
+          .dropDuplicatesWithinWatermark(keyCols)
+          .select(keyCols.map(col).toSeq: _*)
+      case (_, true)  => keyed.dropDuplicates(keyCols)
+      case (_, false) => keyed.dropDuplicates(keyCols)
+    }
+  }
+}
+
 /** Watermarked windowed aggregation over an event stream — the
   * Structured-Streaming counterpart of exposing `events` as a stream
   * (SURVEY §2.11: watermarks/session windows are Spark built-ins). */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{EventStream, JobQueue}
+import graft.streaming.{EventStream, JobQueue, StreamDedup}
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -60,5 +60,43 @@ class StreamingSpec extends SparkSpecBase {
     ).toDF("ts", "event_type", "value")
     val out = EventStream.windowedCounts(df, "ts", "event_type", "1 hour", "2 hours")
     assert(out.count() == 2) // two different hour windows
+  }
+
+  test("stream dedup keeps one row per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(("click", "a"), ("click", "a"), ("view", "b"))
+    val deduped = StreamDedup.dedupKeys(
+      mem.toDF.toDF("event_type", "props"), Seq("event_type", "props"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sd_sink").start()
+    q.processAllAvailable()
+    mem.addData(("click", "a"), ("view", "c")) // "click/a" already seen in batch 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_type, props FROM sd_sink")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("click", "a"), ("view", "b"), ("view", "c")))
+  }
+
+  test("watermark-bounded stream dedup drops repeats inside the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((ts(0), "k1"), (ts(5), "k1"), (ts(1), "k2"))
+    val deduped = StreamDedup.dedupKeys(
+      mem.toDF.toDF("ts", "key"), Seq("key"), tsCol = Some("ts"), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sdw_sink").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT key FROM sdw_sink").collect().map(_.getString(0)).toSeq
+    assert(rows.sorted == Seq("k1", "k2"))
+  }
+
+  test("stream dedup batch parity: static frame gives plain distinct") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("event_type", "props")
+    val out = StreamDedup.dedupKeys(df, Seq("event_type", "props")).collect()
+    assert(out.length == 2)
   }
 }
