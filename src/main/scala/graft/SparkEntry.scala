@@ -1371,6 +1371,19 @@ object SparkEntry {
     } finally { index.unpersist() }
   }
 
+  /** Recall@10-vs-ef_search ladder over 100 queries against the HNSW
+    * index (rows-only; the HNSW face of ivf_recall_curve — reference
+    * tuner band `planner.c:225-237`, ef ladder [8,256]). */
+  private def hnswRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    operators.Hnsw.recallCurve(hnswIndex(s, dir), e, "vec_id", "embedding",
+        queries, k = 10)
+      .select(col("ef_search"), round(col("recall_at_10"), 6).as("recall_at_10"))
+  }
+
   /** Recall@10-vs-nprobe curve over 100 held-out queries in one
     * distributed pass (rows-only; the tuner-evidence artifact — recall
     * band reference `planner.c:220-233`). */
@@ -2179,6 +2192,7 @@ object SparkEntry {
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
     "hnsw_knn" -> (hnswKnn(_, _)),
+    "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
     "hybrid_fusion" -> (hybridFusionQ(_, _)),
     "v_arith" -> (vArith(_, _)),

@@ -293,6 +293,51 @@ object Hnsw {
     searchBatch(index, Array((0L, query)), k, efSearch, metric)
       .select("id", "distance")
 
+  /** Exact top-k per query in ONE distributed pass (map-side explode of
+    * corpus × broadcast queries + window rank) — the truth table for
+    * [[recallCurve]] and [[recommendEf]]. */
+  private def exactTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: Array[(Long, Array[Float])], k: Int,
+                        metric: String): Map[Long, Set[Long]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dist = distFn(metric)
+    val bq = spark.sparkContext.broadcast(queries)
+    val pairs = udf { (id: Long, v: Seq[Float]) =>
+      val x = v.toArray
+      bq.value.map { case (qid, q) => (qid, id, dist(q, x)) }.toSeq
+    }
+    corpus
+      .select(explode(pairs(col(idCol).cast("long"), col(vecCol))).as("p"))
+      .select(col("p._1").as("qid"), col("p._2").as("id"), col("p._3").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+  }
+
+  /** Recall@k-vs-ef_search curve (the HNSW face of `Ivf.recallCurve`,
+    * the tuner-evidence artifact): one exact pass for truth, one
+    * [[searchBatch]] pass per ladder step. Returns (ef, recall_at_k). */
+  def recallCurve(index: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: Array[(Long, Array[Float])], k: Int = 10,
+                  efs: Seq[Int] = Seq(8, 16, 32, 64, 128, 256),
+                  metric: String = "l2"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = exactTopK(corpus, idCol, vecCol, queries, k, metric)
+    val denom = queries.length.toDouble * k
+    efs.map { ef =>
+      val got = searchBatch(index, queries, k, ef, metric)
+        .select(col("qid"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+      val hits = truth.map { case (qid, t) =>
+        (t & got.getOrElse(qid, Set.empty)).size }.sum
+      (ef, hits / denom)
+    }.toDF("ef_search", s"recall_at_$k")
+  }
+
   /**
    * Self-tuning ef_search (`planner.c:220-237` learn_from_query band):
    * walk the doubling ladder inside [8,256], return the smallest ef
@@ -306,21 +351,7 @@ object Hnsw {
                   targetRecall: Double = 0.9, metric: String = "l2"): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dist = distFn(metric)
-    val bq = spark.sparkContext.broadcast(sampleQueries)
-    // one pass: exact top-k per query via map-side explode + window rank
-    val pairs = udf { (id: Long, v: Seq[Float]) =>
-      val x = v.toArray
-      bq.value.map { case (qid, q) => (qid, id, dist(q, x)) }.toSeq
-    }
-    val truth = corpus
-      .select(explode(pairs(col(idCol).cast("long"), col(vecCol))).as("p"))
-      .select(col("p._1").as("qid"), col("p._2").as("id"), col("p._3").as("d"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d"), col("id"))))
-      .filter(col("rk") <= k)
-      .as[(Long, Long, Double, Int)].collect()
-      .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val truth = exactTopK(corpus, idCol, vecCol, sampleQueries, k, metric)
     val denom = sampleQueries.length.toDouble * k
     val ladder = Iterator.iterate(8)(_ * 2).takeWhile(_ <= 256).toSeq
     ladder.find { ef =>
