@@ -2071,6 +2071,55 @@ object SparkEntry {
   private val streamDedupSql =
     "SELECT DISTINCT event_type, props FROM events"
 
+  /** As-of join: each click matched to the user's latest at-or-before
+    * view (views pre-aggregated per (user, ts) for a deterministic
+    * match). Oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .agg(max("value").as("vvalue"))
+    operators.TemporalJoins.asofBackward(clicks, views, Seq("user_id"),
+        "ts_us", "ts_us", Seq("vvalue"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_ts").cast("long").as("view_ts"),
+        round(col("asof_vvalue"), 6).as("view_value"))
+  }
+
+  private val asofJoinSql =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS vvalue
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, v.ts_us AS view_ts,
+      |       round(v.vvalue, 6) AS view_value
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin
+
+  /** Bounded range join: same-user event pairs within one hour, via
+    * time-bucket blocking (never |E|²); oracle is the brute-force theta
+    * join. */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").cast("double").as("ts_us"))
+    operators.TemporalJoins.rangeJoin(ev, ev, "user_id", "ts_us", "ts_us", 3.6e9)
+      .filter(col("event_id") < col("r_event_id"))
+      .select(col("event_id").as("a_id"), col("r_event_id").as("b_id"),
+        col("ts_diff").cast("long").as("diff_us"))
+  }
+
+  private val rangeJoinSql =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |       epoch_us(a.ts) - epoch_us(b.ts) AS diff_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin
+
   /** Ranged int8 codec against corpus per-dimension min/max (computed by
     * the distributed vector_min/max aggregates), code + dequantized value
     * per element; DuckDB replicates the float scaling and Java's
@@ -2220,6 +2269,8 @@ object SparkEntry {
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
     "quant_ranged" -> (quantRangedQ(_, _)),
+    "asof_join" -> (asofJoinQ(_, _)),
+    "range_join" -> (rangeJoinQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2305,6 +2356,8 @@ object SparkEntry {
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "quant_ranged" -> quantRangedSql,
+    "asof_join" -> asofJoinSql,
+    "range_join" -> rangeJoinSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible
