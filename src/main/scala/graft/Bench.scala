@@ -23,6 +23,7 @@ object Bench {
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
     "ml_kmeans", "zscore_outliers",
     "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup
+    "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 

@@ -88,4 +88,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in: $plan")
     assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("range join plans as an equi-join on (bucket, key) — no nested loop over pairs") {
+    val ev = Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").cast("double").as("ts_us"))
+    val plan = planOf(operators.TemporalJoins.rangeJoin(ev, ev, "user_id", "ts_us", "ts_us", 3.6e9))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space materialized: $plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join in: $plan")
+  }
+
+  test("asof join is one union + per-key window — no join operator, no global window") {
+    val ev = Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val views = ev.withColumnRenamed("event_id", "vid").withColumn("v", lit(1.0))
+    val plan = planOf(operators.TemporalJoins.asofBackward(
+      ev, views.select("user_id", "ts_us", "v"), Seq("user_id"), "ts_us", "ts_us", Seq("v")))
+    assert(!plan.contains("Join"), s"asof should not join: $plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"global window in: $plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("HNSW batch search merges per-shard top-k by a per-query window — no global sort") {
+    val emb = Tables.read(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val idx = operators.Hnsw.build(emb, "vec_id", "embedding", numShards = 2)
+    val qs = Array((0L, Tables.queryVector(spark, dir, 0L)))
+    val plan = planOf(operators.Hnsw.searchBatch(idx, qs, k = 5))
+    assert(!plan.contains("Exchange SinglePartition"), s"single-partition stage in: $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
