@@ -2051,6 +2051,40 @@ object SparkEntry {
       |  event_type, COUNT(*) AS n, round(AVG(value), 6) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Gap-based session windows as a REAL streaming query (file source →
+    * stateful session_window agg → memory sink); oracle re-derives the
+    * sessions with gaps-and-islands SQL (new session when the gap to the
+    * previous event STRICTLY exceeds 30 min — session_window merges
+    * touching windows). */
+  private def streamSessionAggQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = streaming.EventStream.sessionCounts(
+      stream, "ts_ts", "user_id", gap = "30 minutes", watermark = "12 hours")
+    val name = "stream_session_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"),
+        col("n"), round(col("sum_value"), 6).as("sum_value"))
+  }
+
+  private val streamSessionAggSql =
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      |m AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+      |       THEN 1 ELSE 0 END AS new_s FROM o),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS session_start, count(*) AS n,
+      |       round(sum(value), 6) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** Dedup-at-ingest as a REAL streaming query: file source →
     * stateful dropDuplicates → memory sink; global exact dedup (the
     * watermark-bounded variant is the production state-cap knob). */
@@ -2268,6 +2302,7 @@ object SparkEntry {
     "vec_route_assign" -> (vecRouteQ(_, _)),
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
+    "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "quant_ranged" -> (quantRangedQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
@@ -2355,6 +2390,7 @@ object SparkEntry {
     "vec_route_assign" -> vecRouteSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_session_agg" -> streamSessionAggSql,
     "quant_ranged" -> quantRangedSql,
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,

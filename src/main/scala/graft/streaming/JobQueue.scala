@@ -106,4 +106,18 @@ object EventStream {
     base.groupBy(window(col("__ts"), windowDur), col(typeCol))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
   }
+
+  /** Gap-based session windows per key (`session_window` — dynamic
+    * windows that extend while events arrive within `gap` of the last
+    * one; a new session starts when the gap is reached). Works on static
+    * frames too, which is what the oracle gate compares against a
+    * gaps-and-islands SQL formulation. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val withTs = events.withColumn("__ts", col(tsCol).cast("timestamp"))
+    val base = if (withTs.isStreaming) withTs.withWatermark("__ts", watermark) else withTs
+    base.groupBy(session_window(col("__ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
 }

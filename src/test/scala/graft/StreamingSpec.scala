@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() == 2) // two different hour windows
   }
 
+  test("session windows merge touching windows and split only past the gap") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 2.0), // exactly 30m: MERGES (touching)
+      (java.sql.Timestamp.valueOf("2024-01-01 11:01:00"), 1L, 4.0), // 31m: new session
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 8.0)
+    ).toDF("ts", "user_id", "value")
+    val out = EventStream.sessionCounts(df, "ts", "user_id", gap = "30 minutes")
+      .select($"user_id", $"n", $"sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("session windows run as a real stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((ts(0), 1L, 1.0), (ts(10), 1L, 2.0), (ts(50), 1L, 4.0))
+    val agg = EventStream.sessionCounts(
+      mem.toDF.toDF("ts", "user_id", "value"), "ts", "user_id", "30 minutes", "2 hours")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_sink").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT n, sum_value FROM sess_sink")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((2L, 3.0), (1L, 4.0)))
+  }
+
   test("stream dedup keeps one row per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
