@@ -2105,6 +2105,55 @@ object SparkEntry {
   private val streamDedupSql =
     "SELECT DISTINCT event_type, props FROM events"
 
+  /** Salted join on a pathologically skewed key (event_type: 5 values
+    * over the whole table — a single key bigger than any task at scale).
+    * Results must equal the plain join exactly; the salt only reshapes
+    * the shuffle. */
+  private def skewSaltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    val dim = ev.groupBy("event_type").agg(round(avg("value"), 6).as("type_avg"))
+    operators.Skew.saltedJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        dim, "event_type", saltFactor = 8)
+      .select(col("event_id"), col("event_type"), col("type_avg"))
+  }
+
+  private val skewSaltedJoinSql =
+    """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, d.type_avg
+      |FROM events e JOIN d USING (event_type)""".stripMargin
+
+  /** End-to-end curation pipeline — the composition a training-data feed
+    * runs: language-ID + quality gate → exact dedup (min-id keeper) →
+    * token accounting. Every stage is an already-verified operator; this
+    * query verifies they compose. */
+  private def curationPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        functions.TextAnalysis.langIdUdf(col("text")).as("lang_guess"),
+        round(functions.TextAnalysis.qualityUdf(col("text")), 6).as("quality"))
+      .filter(col("quality") >= 0.75 && col("lang_guess") === "en")
+    operators.Dedup.exactDedup(scored, "doc_id", "text")
+      .select(col("doc_id"),
+        functions.TextAnalysis.bpeTokenCountUdf(col("text")).as("bpe_tokens"),
+        col("quality"))
+  }
+
+  private lazy val curationPipelineSql =
+    s"""WITH lq AS ($langQualitySql),
+       |kept AS (
+       |  SELECT d.doc_id, d.text, lq.quality,
+       |    row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rn
+       |  FROM documents d JOIN lq ON lq.doc_id = d.doc_id
+       |  WHERE lq.quality >= 0.75 AND lq.lang_guess = 'en')
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+       |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+       |    + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  quality
+       |FROM kept WHERE rn = 1""".stripMargin
+
   /** As-of join: each click matched to the user's latest at-or-before
     * view (views pre-aggregated per (user, ts) for a deterministic
     * match). Oracle is DuckDB's native ASOF LEFT JOIN. */
@@ -2306,6 +2355,8 @@ object SparkEntry {
     "quant_ranged" -> (quantRangedQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
+    "skew_salted_join" -> (skewSaltedJoinQ(_, _)),
+    "curation_pipeline" -> (curationPipelineQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2394,6 +2445,8 @@ object SparkEntry {
     "quant_ranged" -> quantRangedSql,
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
+    "curation_pipeline" -> curationPipelineSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible
