@@ -1745,9 +1745,10 @@ object SparkEntry {
       |             THEN 1.0 - 0.2 + 0.2 / 8 ELSE 0.2 / 8 END, 6) AS probability
       |FROM s""".stripMargin
 
-  /** Q-learning over event-derived experience (rows-only: the Q-table is
-    * an iterated fixpoint, not SQL-expressible; convergence semantics in
-    * RlSpec). */
+  /** Q-learning over event-derived experience. With lr=1 each sweep
+    * assigns q(s,a) ← avg(r) + γ·max_a' q(next(s),a'), and next state is
+    * (s+1)%10 for every row of a group — so the fixpoint unrolls into 20
+    * tiny 40-row CTE steps and the full iteration is oracle-checkable. */
   private def qlearningPolicyQ(s: SparkSession, dir: String): DataFrame = {
     val exp = Tables.read(s, dir, "events").select(
       (col("event_id") % 10).cast("int").as("state_id"),
@@ -1758,6 +1759,21 @@ object SparkEntry {
         learningRate = 1.0, discountFactor = 0.9, sweeps = 20)
       .toDf(s)
       .select(col("state_id"), col("action_id"), round(col("q_value"), 4).as("q"))
+  }
+
+  private lazy val qlearningPolicySql: String = {
+    val steps = (1 to 20).map { k =>
+      s"""q$k AS (SELECT r.s, r.a, r.avg_r + 0.9 * coalesce(m${k - 1}.mx, 0) AS q
+         |  FROM r LEFT JOIN m${k - 1} ON m${k - 1}.s = (r.s + 1) % 10),
+         |m$k AS (SELECT s, max(q) AS mx FROM q$k GROUP BY s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH exp AS (SELECT CAST(event_id % 10 AS INT) AS s,
+       |    CAST(user_id % 4 AS INT) AS a, value AS r FROM events),
+       |r AS (SELECT s, a, avg(r) AS avg_r FROM exp GROUP BY 1, 2),
+       |q0 AS (SELECT s, a, 0.0 AS q FROM r),
+       |m0 AS (SELECT s, max(q) AS mx FROM q0 GROUP BY s),
+       |$steps
+       |SELECT s AS state_id, a AS action_id, round(q, 4) AS q FROM q20""".stripMargin
   }
 
   /** Customer similarity graph: same-(nation, custkey mod 10) pairs —
@@ -2416,6 +2432,7 @@ object SparkEntry {
     "v_element_access" -> vElementAccessSql,
     "v_preprocess" -> vPreprocessSql,
     "bandit_ucb" -> banditUcbSql,
+    "qlearning_policy" -> qlearningPolicySql,
     "bandit_thompson" -> banditThompsonSql,
     "bandit_egreedy" -> banditEgreedySql,
     "graphsage_agg" -> graphsageAggSql,
