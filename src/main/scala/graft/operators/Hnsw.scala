@@ -2,7 +2,6 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -180,8 +179,11 @@ object Hnsw {
 
   /**
    * Build the index: one repartition (the only shuffle), then each task
-   * builds its shard's graph independently. Returns the index as a
-   * DataFrame of [[Node]] rows — `write`/`load` round-trips it through
+   * builds its shards' graphs independently. A row's shard is the STABLE
+   * function `pmod(murmur3(id), numShards)` — not the task's partition
+   * index — so [[insert]] can locate and rebuild exactly the shards a
+   * batch of new rows touches. Returns the index as a DataFrame of
+   * [[Node]] rows — `write`/`load` round-trips it through
    * shard-partitioned parquet so serving reads prune per shard.
    */
   def build(df: DataFrame, idCol: String, vecCol: String, numShards: Int = 32,
@@ -190,16 +192,44 @@ object Hnsw {
     val spark = df.sparkSession
     import spark.implicits._
     val dist = distFn(metric)
-    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .repartition(numShards, col("id"))
-      .as[(Long, Seq[Float])]
+    df.select(pmod(hash(col(idCol).cast("long")), lit(numShards)).as("shard"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .repartition(numShards, col("shard"))
+      .as[(Int, Long, Seq[Float])]
       .mapPartitions { it =>
-        val rows = it.toArray.sortBy(_._1) // id-sorted insert: deterministic
-        val b = new Builder(params, dist)
-        rows.foreach { case (id, v) => b.insert(id, v.toArray) }
-        b.toNodes(TaskContext.getPartitionId())
+        it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val b = new Builder(params, dist)
+          rows.sortBy(_._2) // id-sorted insert: deterministic
+            .foreach { case (_, id, v) => b.insert(id, v.toArray) }
+          b.toNodes(shard)
+        }
       }
       .toDF("shard", "id", "vec", "nbrs")
+  }
+
+  /**
+   * Incremental maintenance (`hnswinsert`'s batch analog): route new
+   * rows to their shards by the same stable hash, rebuild ONLY the
+   * touched shards from their existing members plus the new rows, and
+   * keep every untouched shard's rows as-is. Because the per-shard build
+   * is deterministic and id-sorted, the result is bit-identical to a
+   * full rebuild over the union — at the cost of |touched shards| /
+   * numShards of the work.
+   */
+  def insert(index: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+             numShards: Int = 32, params: Params = Params(),
+             metric: String = "l2"): DataFrame = {
+    val newRows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("shard", pmod(hash(col("id")), lit(numShards)))
+    val touched = newRows.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val untouched = index.filter(!col("shard").isin(touched: _*))
+    val members = index.filter(col("shard").isin(touched: _*))
+      .select(col("id"), col("vec"))
+      .unionByName(newRows.select(col("id"), col("vec")))
+    val rebuilt = build(members, "id", "vec", numShards, params, metric)
+    untouched.select("shard", "id", "vec", "nbrs")
+      .unionByName(rebuilt.select("shard", "id", "vec", "nbrs"))
   }
 
   def write(index: DataFrame, path: String): Unit =

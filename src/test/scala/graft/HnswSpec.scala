@@ -73,6 +73,32 @@ class HnswSpec extends SparkSpecBase {
     assert(recalls.sum / recalls.length >= 0.9)
   }
 
+  test("incremental insert is bit-identical to a full rebuild over the union") {
+    val old = emb.filter($"vec_id" < 400)
+    val fresh = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    val base = Hnsw.build(old, "vec_id", "embedding", numShards = 4)
+    val incremental = Hnsw.insert(base, fresh, "vec_id", "embedding", numShards = 4)
+    val full = Hnsw.build(emb.filter($"vec_id" < 450), "vec_id", "embedding", numShards = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"shard", $"id", $"nbrs".cast("string")).as[(Int, Long, String)]
+        .collect().toSet
+    assert(key(incremental) == key(full))
+  }
+
+  test("incremental insert leaves untouched shards' rows as-is") {
+    val old = emb.filter($"vec_id" < 400)
+    val base = Hnsw.build(old, "vec_id", "embedding", numShards = 8).cache()
+    val one = emb.filter($"vec_id" === 450L) // lands in exactly one shard
+    val touchedShard = one
+      .select(pmod(hash($"vec_id".cast("long")), lit(8)).cast("int")).head().getInt(0)
+    val after = Hnsw.insert(base, one, "vec_id", "embedding", numShards = 8)
+    val before = base.filter($"shard" =!= touchedShard)
+      .select($"id", $"nbrs".cast("string")).as[(Long, String)].collect().toSet
+    val kept = after.filter($"shard" =!= touchedShard)
+      .select($"id", $"nbrs".cast("string")).as[(Long, String)].collect().toSet
+    assert(kept == before)
+  }
+
   test("cosine metric index returns the cosine-nearest neighbor") {
     val cosIdx = Hnsw.build(emb, "vec_id", "embedding", numShards = 2, metric = "cosine")
     val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 11L)
