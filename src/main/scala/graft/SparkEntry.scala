@@ -2121,6 +2121,31 @@ object SparkEntry {
   private val streamDedupSql =
     "SELECT DISTINCT event_type, props FROM events"
 
+  /** Deterministic 20% content-hash sample — the md5-prefix rule renders
+    * identically in DuckDB, so the EXACT membership is the oracle, not
+    * just the rate. */
+  private def hashSampleQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.hashSample(Tables.read(s, dir, "events"), "event_id", 0.2)
+      .select(col("event_id"), col("event_type"))
+
+  private val hashSampleSql =
+    """SELECT event_id, event_type FROM events
+      |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '33333333'""".stripMargin
+
+  /** Stratified draw: exactly 10 rows per event_type in md5-hash order
+    * (deterministic, engine-portable). */
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedTake(Tables.read(s, dir, "events"),
+        Seq("event_type"), "event_id", n = 10)
+      .select(col("event_type"), col("event_id"))
+
+  private val stratifiedSampleSql =
+    """SELECT event_type, event_id FROM (
+      |  SELECT event_type, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rn
+      |  FROM events) WHERE rn <= 10""".stripMargin
+
   /** Salted join on a pathologically skewed key (event_type: 5 values
     * over the whole table — a single key bigger than any task at scale).
     * Results must equal the plain join exactly; the salt only reshapes
@@ -2373,6 +2398,8 @@ object SparkEntry {
     "range_join" -> (rangeJoinQ(_, _)),
     "skew_salted_join" -> (skewSaltedJoinQ(_, _)),
     "curation_pipeline" -> (curationPipelineQ(_, _)),
+    "hash_sample" -> (hashSampleQ(_, _)),
+    "stratified_sample" -> (stratifiedSampleQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2464,6 +2491,8 @@ object SparkEntry {
     "range_join" -> rangeJoinSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "curation_pipeline" -> curationPipelineSql,
+    "hash_sample" -> hashSampleSql,
+    "stratified_sample" -> stratifiedSampleSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible

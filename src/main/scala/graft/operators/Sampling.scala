@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines (north-star
+ * addition, next to [[Dedup]]/[[TemporalJoins]]): train/val splits and
+ * stratified draws that are a PURE FUNCTION of row content — no RNG
+ * state, no partition-order dependence, no seed plumbing across 1000
+ * executors.
+ *
+ * The rule: a row's sampling coordinate is the md5 hex prefix of its
+ * key rendered as a string. Lowercase-hex string comparison is monotone
+ * in the hash value, md5 renders identically in every engine, and the
+ * whole predicate pushes into any SQL dialect verbatim — which is what
+ * makes these samples oracle-checkable AND reproducible when a pipeline
+ * is re-run months later on different cluster topology (`Spark.sample`'s
+ * seeded Bernoulli draw is partition-order dependent; this is not).
+ * Same id ⇒ same split, forever — membership is stable under corpus
+ * growth, the property leakage-safe train/test protocols need.
+ */
+object Sampling {
+
+  /** md5 hex prefix (8 hex digits = 32 uniform bits) of the key. */
+  private[operators] def coord(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 8)
+
+  /** Hex threshold for a fraction: rows with coord < threshold are kept;
+    * 8-digit zero-padded so string compare equals numeric compare. */
+  private[operators] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(coord(col(keyCol)) < lit(hexThreshold(fraction)))
+
+  /**
+   * Disjoint deterministic splits (e.g. train/val/test = 0.8/0.1/0.1):
+   * consecutive hash ranges; every row lands in exactly one split.
+   * Returns one DataFrame per fraction (fractions must sum to ≤ 1; any
+   * remainder is dropped).
+   */
+  def split(df: DataFrame, keyCol: String, fractions: Seq[Double]): Seq[DataFrame] = {
+    require(fractions.nonEmpty && fractions.sum <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
+    val bounds = fractions.scanLeft(0.0)(_ + _)
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.filter(coord(col(keyCol)) >= lit(hexThreshold(lo)) &&
+        coord(col(keyCol)) < lit(hexThreshold(hi)))
+    }.toSeq
+  }
+
+  /** Exactly min(n, stratum size) rows per stratum, chosen by hash order
+    * (deterministic; one shuffle on the strata key, heap-limited by
+    * WindowGroupLimit — never a global sort). */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(coord(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

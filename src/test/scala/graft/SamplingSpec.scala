@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ev = Tables.read(spark, "/root/testdata/sf0.001", "events").cache()
+
+  test("hash sample is deterministic and close to the asked fraction") {
+    val a = Sampling.hashSample(ev, "event_id", 0.2).select("event_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ev, "event_id", 0.2).select("event_id").as[Long].collect().toSet
+    assert(a == b)
+    val frac = a.size.toDouble / ev.count()
+    assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
+  }
+
+  test("sample membership is monotone in the fraction (stable under widening)") {
+    val small = Sampling.hashSample(ev, "event_id", 0.1).select("event_id").as[Long].collect().toSet
+    val big = Sampling.hashSample(ev, "event_id", 0.3).select("event_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("split is a disjoint cover in the asked proportions") {
+    val Seq(train, valid, test) = Sampling.split(ev, "event_id", Seq(0.8, 0.1, 0.1))
+    val t = train.select("event_id").as[Long].collect().toSet
+    val v = valid.select("event_id").as[Long].collect().toSet
+    val s = test.select("event_id").as[Long].collect().toSet
+    assert((t & v).isEmpty && (t & s).isEmpty && (v & s).isEmpty)
+    assert(t.size + v.size + s.size == ev.count())
+    assert(t.size > v.size && t.size > s.size)
+  }
+
+  test("stratified take returns exactly n per stratum, deterministically") {
+    val out = Sampling.stratifiedTake(ev, Seq("event_type"), "event_id", n = 7)
+    val counts = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7L) && counts.size == 5)
+    val again = Sampling.stratifiedTake(ev, Seq("event_type"), "event_id", n = 7)
+      .select("event_id").as[Long].collect().toSet
+    assert(again == out.select("event_id").as[Long].collect().toSet)
+  }
+}
