@@ -391,6 +391,51 @@ object SparkEntry {
       |WHERE a.vec_id < b.vec_id
       |  AND list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 1.2""".stripMargin
 
+  /** vec_join k-per-left: 3 nearest within threshold per query row
+    * (deterministic id tiebreak pins equal distances). */
+  private def vecJoinTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    operators.Knn.vecJoin(e.filter(col("vec_id") < 200), e, "embedding", "embedding",
+        "l2", threshold = 2.0, kPerLeft = 3, tieBreak = Seq("vec_id"))
+      .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
+  private val vecJoinTopkSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS d,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+      |               b.vec_id) AS rk
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 200
+      |    AND list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= 2.0)
+      |SELECT a_id, b_id, round(d, 6) AS dist FROM p WHERE rk <= 3""".stripMargin
+
+  /** rerank_ensemble_weighted over two min-max-normalized score columns
+    * (0.6·negL2 + 0.4·innerProduct). */
+  private def weightedEnsembleQ(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val e = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"),
+        (-VF.l2Udf(col("embedding"), lit(q))).as("s1"),
+        (-VF.ipUdf(col("embedding"), lit(q))).as("s2"))
+    operators.Rerank.ensembleWeighted(e, Seq("s1", "s2"), Seq(0.6, 0.4))
+      .select(col("vec_id"), round(col("ensemble_score"), 6).as("score"))
+  }
+
+  private val weightedEnsembleSql =
+    s"""WITH sc AS (
+       |  SELECT vec_id,
+       |    -list_distance(embedding::DOUBLE[], $qvecSql) AS s1,
+       |    list_inner_product(embedding::DOUBLE[], $qvecSql) AS s2
+       |  FROM embeddings),
+       |b AS (SELECT min(s1) AS mn1, max(s1) AS mx1, min(s2) AS mn2, max(s2) AS mx2 FROM sc)
+       |SELECT vec_id,
+       |  round(0.6 * (s1 - mn1) / (mx1 - mn1) + 0.4 * (s2 - mn2) / (mx2 - mn2), 6) AS score
+       |FROM sc, b""".stripMargin
+
   /** build_knn_graph: top-3 neighbors per node over the first 100 vectors. */
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     operators.Knn.buildKnnGraph(
@@ -2400,6 +2445,8 @@ object SparkEntry {
     "curation_pipeline" -> (curationPipelineQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
+    "vec_join_topk" -> (vecJoinTopkQ(_, _)),
+    "weighted_ensemble" -> (weightedEnsembleQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2493,6 +2540,8 @@ object SparkEntry {
     "curation_pipeline" -> curationPipelineSql,
     "hash_sample" -> hashSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "vec_join_topk" -> vecJoinTopkSql,
+    "weighted_ensemble" -> weightedEnsembleSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible

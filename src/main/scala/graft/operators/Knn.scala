@@ -72,7 +72,8 @@ object Knn {
    */
   def vecJoin(left: DataFrame, right: DataFrame, leftCol: String, rightCol: String,
               metric: String = "l2", threshold: Double = Double.MaxValue,
-              kPerLeft: Int = Int.MaxValue, broadcastRight: Boolean = true): DataFrame = {
+              kPerLeft: Int = Int.MaxValue, broadcastRight: Boolean = true,
+              tieBreak: Seq[String] = Nil): DataFrame = {
     val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
     val r0 = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
     val r = if (broadcastRight) broadcast(r0) else r0
@@ -80,7 +81,10 @@ object Knn {
       .withColumn("distance", distCol(metric)(col(s"l_$leftCol"), col(s"r_$rightCol")))
       .filter(col("distance") <= threshold)
     if (kPerLeft != Int.MaxValue) {
-      val w = Window.partitionBy(l.columns.map(col).toSeq: _*).orderBy(col("distance"))
+      // tieBreak names right-side columns (pre-prefix) that pin the order
+      // among equal distances — required for deterministic k cuts
+      val ord = (col("distance") +: tieBreak.map(c => col(s"r_$c"))).toSeq
+      val w = Window.partitionBy(l.columns.map(col).toSeq: _*).orderBy(ord: _*)
       joined = joined.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= kPerLeft).drop("rank")
     }
