@@ -175,6 +175,30 @@ object Ivf {
     curve.collectFirst { case (p, r) if r >= targetRecall => p }.getOrElse(nlists)
   }
 
+  /** Incremental maintenance (the `ivfinsert` analog): new rows route to
+    * their nearest EXISTING centroid (broadcast, nlists-sized) and append
+    * to that posting list — no refit, no touch of existing rows. On the
+    * partitioned layout this is an append of new files into the routed
+    * clusters' directories. Centroids drift from the true means as data
+    * accumulates; `statistics().imbalance` is the rebuild trigger. */
+  def insert(model: IvfModel, df: DataFrame): IvfModel = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val assign = udf((v: Seq[Float]) => {
+      val q = v.toArray
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cs.length) {
+        val d = VectorOps.l2(q, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    })
+    val newAssigned = df.withColumn("cluster_id", assign(col(model.vecCol)))
+    model.copy(assigned = model.assigned.unionByName(newAssigned)
+      .repartition(col("cluster_id")))
+  }
+
   /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */
   def build(df: DataFrame, vecCol: String, nlists: Int = 100, seed: Long = 42L,
             maxIter: Int = 20): IvfModel = {

@@ -93,4 +93,25 @@ class KnnIvfSpec extends SparkSpecBase {
     val plan = Knn.search(emb, "embedding", q, k = 5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan: $plan")
   }
+
+  test("Ivf.insert routes new rows to their nearest centroid; exhaustive search still exact") {
+    val old = emb.filter($"vec_id" < 400)
+    val fresh = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    val model = Ivf.insert(Ivf.build(old, "embedding", nlists = 8, seed = 42L), fresh)
+    assert(model.assigned.count() == 450)
+    // every new row sits in its argmin-centroid list
+    val bad = model.assigned.filter($"vec_id" >= 400).collect().count { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val best = model.centroids.zipWithIndex
+        .minBy { case (c, i) => (graft.functions.VectorOps.l2(v, c), i) }._2
+      r.getAs[Int]("cluster_id") != best
+    }
+    assert(bad == 0)
+    // nprobe = nlists stays exhaustive over old + new
+    val qv = Tables.queryVector(spark, "/root/testdata/sf0.001", 420L)
+    val exact = Knn.search(emb.filter($"vec_id" < 450), "embedding", qv, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = model.search(qv, k = 5, nprobe = 8).select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact)
+  }
 }
