@@ -2146,6 +2146,33 @@ object SparkEntry {
       |       round(sum(value), 6) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Streaming quota admission via flatMapGroupsWithState (custom
+    * GroupState carrying per-tenant cumulative counts across batches);
+    * which boundary rows are admitted is engine order, but per-tenant
+    * admitted counts are exactly min(total, cap) — the oracle. */
+  private def streamQuotaQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select((col("user_id") % 7).cast("string").as("tenant"), col("event_id"))
+    val admitted = streaming.StreamQuota.admit(stream, "tenant", "event_id", maxRows = 1200)
+      .toDF("tenant", "id", "admitted")
+    val name = "stream_quota_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = admitted.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).groupBy("tenant")
+      .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted_n"),
+        count(lit(1)).as("total_n"))
+  }
+
+  private val streamQuotaSql =
+    """SELECT CAST(user_id % 7 AS VARCHAR) AS tenant,
+      |  least(count(*), 1200) AS admitted_n, count(*) AS total_n
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Dedup-at-ingest as a REAL streaming query: file source →
     * stateful dropDuplicates → memory sink; global exact dedup (the
     * watermark-bounded variant is the production state-cap knob). */
@@ -2438,6 +2465,7 @@ object SparkEntry {
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
+    "stream_quota" -> (streamQuotaQ(_, _)),
     "quant_ranged" -> (quantRangedQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
@@ -2533,6 +2561,7 @@ object SparkEntry {
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_session_agg" -> streamSessionAggSql,
+    "stream_quota" -> streamQuotaSql,
     "quant_ranged" -> quantRangedSql,
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,

@@ -123,6 +123,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.sorted == Seq("k1", "k2"))
   }
 
+  test("stream quota carries cumulative usage across micro-batches (GroupState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+    val admitted = graft.streaming.StreamQuota.admit(
+      mem.toDF.toDF("tenant", "id"), "tenant", "id", maxRows = 4)
+    val q = admitted.toDF("tenant", "id", "admitted")
+      .writeStream.outputMode("append").format("memory").queryName("quota_sink").start()
+    q.processAllAvailable()
+    mem.addData(("a", 4L), ("a", 5L), ("a", 6L)) // only ONE more fits tenant a's cap
+    q.processAllAvailable()
+    q.stop()
+    val byTenant = spark.sql("SELECT tenant, count(*) FILTER (WHERE admitted) AS ok, count(*) AS n FROM quota_sink GROUP BY tenant")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTenant("a") == ((4L, 6L)), s"cap not enforced across batches: $byTenant")
+    assert(byTenant("b") == ((1L, 1L)))
+  }
+
+  test("stream quota batch parity: admitted counts are min(total, cap)") {
+    val df = (1L to 10L).map(i => (s"t${i % 2}", i)).toDF("tenant", "id")
+    val out = graft.streaming.StreamQuota.admit(df, "tenant", "id", maxRows = 3)
+      .toDF("tenant", "id", "admitted")
+      .groupBy("tenant").agg(sum(when($"admitted", 1).otherwise(0)).as("ok"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("t0" -> 3L, "t1" -> 3L))
+  }
+
   test("stream dedup batch parity: static frame gives plain distinct") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("event_type", "props")
     val out = StreamDedup.dedupKeys(df, Seq("event_type", "props")).collect()
