@@ -238,6 +238,35 @@ object Hnsw {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /**
+   * Deletion (the vacuum analog of [[insert]]): rebuild the shards that
+   * contain deleted ids from their surviving members; untouched shards
+   * keep their rows verbatim. Tombstone-free — the graph never serves a
+   * deleted node, and determinism again makes the result bit-identical
+   * to a full rebuild without the deleted rows.
+   */
+  def delete(index: DataFrame, ids: Seq[Long], numShards: Int = 32,
+             params: Params = Params(), metric: String = "l2"): DataFrame = {
+    if (ids.isEmpty) return index
+    val shards = ids.map(idShard(_, numShards)).distinct
+    val untouched = index.filter(!col("shard").isin(shards: _*))
+    val members = index.filter(col("shard").isin(shards: _*))
+      .filter(!col("id").isin(ids: _*))
+      .select(col("id"), col("vec"))
+    untouched.select("shard", "id", "vec", "nbrs")
+      .unionByName(build(members, "id", "vec", numShards, params, metric)
+        .select("shard", "id", "vec", "nbrs"))
+  }
+
+  /** The stable shard of an id — must mirror the hash used in [[build]]
+    * (Catalyst murmur3 over a long, seed 42). */
+  private[graft] def idShard(id: Long, numShards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+      id, org.apache.spark.sql.types.LongType, 42L).toInt
+    val m = h % numShards
+    if (m < 0) m + numShards else m
+  }
+
   /** Search-time view of one shard rebuilt from its rows. */
   private final class ShardGraph(nodes: Array[Node],
                                  dist: (Array[Float], Array[Float]) => Double) {

@@ -99,6 +99,26 @@ class HnswSpec extends SparkSpecBase {
     assert(kept == before)
   }
 
+  test("delete rebuilds only touched shards and equals a from-scratch build") {
+    val base = Hnsw.build(emb.filter($"vec_id" < 450), "vec_id", "embedding", numShards = 4)
+    val dropped = Seq(410L, 420L, 430L)
+    val after = Hnsw.delete(base, dropped, numShards = 4)
+    val full = Hnsw.build(emb.filter($"vec_id" < 450 && !$"vec_id".isin(dropped: _*)),
+      "vec_id", "embedding", numShards = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"shard", $"id", $"nbrs".cast("string")).as[(Int, Long, String)]
+        .collect().toSet
+    assert(key(after) == key(full))
+    assert(!after.select("id").as[Long].collect().toSet.exists(dropped.contains))
+  }
+
+  test("idShard mirrors the build's pmod(hash(id), n) exactly") {
+    val fromSql = emb.limit(0).sparkSession.range(0, 100)
+      .select($"id", pmod(hash($"id"), lit(4)).as("s"))
+      .as[(Long, Int)].collect()
+    fromSql.foreach { case (id, s) => assert(Hnsw.idShard(id, 4) == s, s"id $id") }
+  }
+
   test("cosine metric index returns the cosine-nearest neighbor") {
     val cosIdx = Hnsw.build(emb, "vec_id", "embedding", numShards = 2, metric = "cosine")
     val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 11L)
