@@ -1169,6 +1169,37 @@ object SparkEntry {
       |  FROM g a, g b WHERE a.doc_id < b.doc_id)
       |SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.9""".stripMargin
 
+  /** Duplicate components: unigram-Jaccard pairs → connected components
+    * by distributed min-label propagation; singleton docs are their own
+    * component. Oracle walks the same graph with a recursive CTE. */
+  private def dupComponentsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+    val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
+    operators.Dedup.dupGroups(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private val dupComponentsSql =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS grams
+      |  FROM documents WHERE doc_id < 100),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM p
+      |      UNION ALL SELECT b_id, a_id FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+      |m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(least(m.mn, d.doc_id), d.doc_id) AS BIGINT) AS component
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      |LEFT JOIN m ON m.src = d.doc_id""".stripMargin
+
   /** Token counts + punctuation/stopword components + rolling-hash
     * fingerprint — the raw inputs of quality scoring, all exact. */
   private def textStats(s: SparkSession, dir: String): DataFrame =
@@ -2475,6 +2506,7 @@ object SparkEntry {
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
     "vec_join_topk" -> (vecJoinTopkQ(_, _)),
     "weighted_ensemble" -> (weightedEnsembleQ(_, _)),
+    "dup_components" -> (dupComponentsQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2571,6 +2603,7 @@ object SparkEntry {
     "stratified_sample" -> stratifiedSampleSql,
     "vec_join_topk" -> vecJoinTopkSql,
     "weighted_ensemble" -> weightedEnsembleSql,
+    "dup_components" -> dupComponentsSql,
     // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
     // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
     // eigen-solver, or iterative-optimizer operators, not SQL-expressible

@@ -196,6 +196,32 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /**
+   * Near-dup pairs → duplicate GROUPS: connected components of the pair
+   * graph via distributed min-label propagation
+   * ([[graft.ml.Dbscan.connectedComponents]] — one shuffle join +
+   * aggregate per round, rounds ≤ component diameter, nothing on the
+   * driver). The component id is the minimum member id; a row not in any
+   * pair is its own singleton component. This is the step that turns
+   * pairwise LSH/Jaccard/cosine output into "keep one per group":
+   * keepers are exactly the rows with `id == component`.
+   */
+  def dupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val comp = graft.ml.Dbscan.connectedComponents(
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+  }
+
+  /** Drop all but the min-id member of each near-dup component. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    df.join(dupGroups(df, idCol, pairs, aCol, bCol)
+        .filter(col("id") === col("component")).select("id"),
+      df(idCol).cast("long") === col("id"), "left_semi")
+
   /** Embedding-cosine near-dup pairs under a distance threshold. The
     * `a_id < b_id` prune is part of the join condition so distances are
     * computed for half the cross product, not filtered afterwards. */

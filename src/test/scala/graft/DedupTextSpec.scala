@@ -85,6 +85,19 @@ class DedupTextSpec extends SparkSpecBase {
     assert((w1 & w2).nonEmpty) // shared 4-token span detected
   }
 
+  test("dupGroups chains pairs into components; dedupByPairs keeps min id per group") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"))
+      .toDF("doc_id", "text")
+    // chain 1-2, 2-3 (one component), isolated 4 and 5
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val comp = Dedup.dupGroups(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("multimodal: media schema plumbing, stub features, frame sampling") {
     val docs = Seq((1L, "aab"), (2L, "zzzz")).toDF("id", "text")
     val media = Multimodal.asMedia(docs, "id", "text")
