@@ -43,7 +43,7 @@ abstract class FloatArrayBinaryExpression extends BinaryExpression {
   protected def eval2(a: Array[Float], b: Array[Float]): Double
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    eval2(a.asInstanceOf[ArrayData].toFloatArray, b.asInstanceOf[ArrayData].toFloatArray)
+    eval2(a.asInstanceOf[ArrayData].toFloatArray(), b.asInstanceOf[ArrayData].toFloatArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
