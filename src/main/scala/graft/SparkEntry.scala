@@ -606,14 +606,16 @@ object SparkEntry {
        |SELECT doc_id, round(hybrid_score, 6) AS score
        |FROM scored ORDER BY hybrid_score DESC, doc_id LIMIT 20""".stripMargin
 
-  /** RRF over the l2 ranking and the inner-product ranking. */
+  /** RRF over the l2 ranking and the inner-product ranking — both score
+    * columns live on one frame, so the fused form shares a single
+    * quantile pass and needs no union/groupBy. */
   private def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
     val e = Tables.read(s, dir, "embeddings")
-    val byL2 = e.withColumn("d", VF.l2Udf(col("embedding"), lit(q)))
-    val byIp = e.withColumn("d", VF.ipUdf(col("embedding"), lit(q)))
-    operators.Hybrid.rrfFusion("vec_id",
-      Seq((byL2, "d", false), (byIp, "d", false)), kParam = 60.0)
+      .withColumn("d_l2", VF.l2Udf(col("embedding"), lit(q)))
+      .withColumn("d_ip", VF.ipUdf(col("embedding"), lit(q)))
+    operators.Hybrid.rrfFusionColumns(e, "vec_id",
+      Seq(("d_l2", false), ("d_ip", false)), kParam = 60.0)
       .select(col("vec_id"), round(col("rrf_score"), 6).as("rrf"))
   }
 

@@ -36,25 +36,45 @@ object DistributedRank {
     * (ascending unless `descending`), ties broken by the unique
     * ascending `tieBreak`. */
   def withRank(df: DataFrame, key: Column, descending: Boolean,
-               tieBreak: Column, rankCol: String): DataFrame = {
+               tieBreak: Column, rankCol: String): DataFrame =
+    withRanks(df, Seq((key, descending)), tieBreak, Seq(rankCol))
+
+  /** Several global rankings over the SAME frame: ONE approxQuantile
+    * pass covers every key (multi-column sketch), so N rankings cost
+    * N+1 scans instead of 2N — the shape fusion operators (RRF, Borda)
+    * want when their score columns live on one table. */
+  def withRanks(df: DataFrame, keys: Seq[(Column, Boolean)],
+                tieBreak: Column, rankCols: Seq[String]): DataFrame = {
+    require(keys.size == rankCols.size && keys.nonEmpty, "one rankCol per key")
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keyNames = rankCols.map(rc => s"__${rc}_key")
+    // signed keys so ascending bucket ids follow each requested order
+    val withKeys = keys.zip(keyNames).foldLeft(df) { case (acc, ((key, desc), kn)) =>
+      acc.withColumn(kn, if (desc) -key.cast("double") else key.cast("double"))
+    }
+    // p-1 quantile boundaries per key, computed ONCE (single pass for
+    // all keys) and closed over — every branch below assigns identical
+    // buckets no matter how often the input recomputes
+    val boundsAll: Seq[Array[Double]] =
+      if (p == 1) keyNames.map(_ => Array.empty[Double])
+      else withKeys.stat
+        .approxQuantile(keyNames.toArray, (1 until p).map(_.toDouble / p).toArray, 0.001)
+        .toSeq
+    keys.indices.foldLeft(withKeys) { (acc, i) =>
+      rankByBuckets(acc, keys(i)._1, keys(i)._2, tieBreak, rankCols(i),
+        keyNames(i), boundsAll(i))
+    }.drop(keyNames: _*)
+  }
+
+  /** One key's bucket-rank-offset pipeline against precomputed bounds. */
+  private def rankByBuckets(withKey: DataFrame, key: Column, descending: Boolean,
+                            tieBreak: Column, rankCol: String,
+                            keyName: String, bounds: Array[Double]): DataFrame = {
     val b = s"__${rankCol}_bkt"
     val lr = s"__${rankCol}_lr"
     val off = s"__${rankCol}_off"
     val cnt = s"__${rankCol}_cnt"
-    val keyName = s"__${rankCol}_key"
-
-    // signed key so ascending bucket ids follow the requested order
-    val keyD = if (descending) -key.cast("double") else key.cast("double")
-    val withKey = df.withColumn(keyName, keyD)
-
-    // p-1 quantile boundaries, computed ONCE and closed over — every
-    // branch below assigns identical buckets no matter how often the
-    // input recomputes
-    val bounds: Array[Double] =
-      if (p == 1) Array.empty
-      else withKey.stat.approxQuantile(keyName, (1 until p).map(_.toDouble / p).toArray, 0.001)
     val uniq = bounds.distinct.sorted
     val nullBucket = if (descending) uniq.length else 0
     val bucketUdf = udf { (k: Any) =>

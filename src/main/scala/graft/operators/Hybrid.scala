@@ -124,6 +124,22 @@ object Hybrid {
       .agg(sum("contrib").as("rrf_score"))
   }
 
+  /** [[rrfFusion]] when every ranking is a score COLUMN of one frame
+    * (the reference's array-of-scores form): all rankings share a single
+    * quantile pass ([[DistributedRank.withRanks]]) and the fused score
+    * is a row-local sum — N rankings cost N+1 scans and zero extra
+    * shuffles versus 2N scans + a union/groupBy. */
+  def rrfFusionColumns(df: DataFrame, idCol: String,
+                       scoreCols: Seq[(String, Boolean)],
+                       kParam: Double = 60.0): DataFrame = {
+    val rankCols = scoreCols.indices.map(i => s"__rrf_r$i")
+    DistributedRank.withRanks(df,
+        scoreCols.map { case (c, d) => (col(c), d) }, col(idCol), rankCols)
+      .withColumn("rrf_score",
+        rankCols.map(rc => lit(1.0) / (lit(kParam) + col(rc))).reduce(_ + _))
+      .select(col(idCol), col("rrf_score"))
+  }
+
   /** `hybrid_search_fusion(ids, lex[], sem[], w, normalize)`
     * (`NeuronDB/src/ml/ml_hybrid_search.c:105`): weighted sum of two score
     * columns, optionally min-max normalized first. */

@@ -66,9 +66,10 @@ object Rerank {
     * separate `count()` action. */
   def ensembleBorda(df: DataFrame, idCol: String,
                     rankings: Seq[(String, Boolean)]): DataFrame = {
-    val withRanks = rankings.zipWithIndex.foldLeft(df) { case (acc, ((scoreCol, desc), i)) =>
-      DistributedRank.withRank(acc, col(scoreCol), desc, col(idCol), s"__r_$i")
-    }
+    // all rankings share one frame → single quantile pass for every key
+    val withRanks = DistributedRank.withRanks(df,
+      rankings.map { case (c, d) => (col(c), d) }, col(idCol),
+      rankings.indices.map(i => s"__r_$i"))
     val total = df.agg(count(lit(1)).as("__n"))
     val points = rankings.indices.map(i => col("__n") - col(s"__r_$i")).reduce(_ + _)
     withRanks.crossJoin(broadcast(total))
