@@ -1449,6 +1449,28 @@ object SparkEntry {
     } finally { index.unpersist() }
   }
 
+  /** IVF-PQ (IVFADC) serve path: codes-only ADC scan of probed lists +
+    * exact rerank; recall@10 vs brute force per query (rows-only —
+    * k-means codebooks not SQL-expressible; the ADC arithmetic itself is
+    * oracle-verified by pq_adc). */
+  private def ivfpqKnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.read(s, dir, "embeddings")
+    val model = operators.IvfPq.build(e, "vec_id", "embedding", nlists = 16, m = 8)
+    model.encoded.persist()
+    try {
+      val rows = Seq(0L, 7L, 33L, 99L, 200L).map { qid =>
+        val q = Tables.queryVector(s, dir, qid)
+        val exact = operators.Knn.search(e, "embedding", q, 10)
+          .select("vec_id").as[Long].collect().toSet
+        val got = operators.IvfPq.search(model, q, 10, nprobe = 12, rerankPool = 128)
+          .select("vec_id").as[Long].collect().toSet
+        (qid, (exact & got).size.toDouble / exact.size)
+      }
+      rows.toDF("query_id", "recall_at_10")
+    } finally { model.encoded.unpersist() }
+  }
+
   /** Recall@10-vs-ef_search ladder over 100 queries against the HNSW
     * index (rows-only; the HNSW face of ivf_recall_curve — reference
     * tuner band `planner.c:225-237`, ef ladder [8,256]). */
@@ -2471,6 +2493,7 @@ object SparkEntry {
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
     "hnsw_knn" -> (hnswKnn(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
+    "ivfpq_knn_recall" -> (ivfpqKnnRecall(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
     "hybrid_fusion" -> (hybridFusionQ(_, _)),
     "v_arith" -> (vArith(_, _)),

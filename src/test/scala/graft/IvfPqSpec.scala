@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPq, Knn}
+
+class IvfPqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings").cache()
+  private lazy val model = IvfPq.build(emb, "vec_id", "embedding", nlists = 8, m = 8)
+
+  test("exhaustive probes + full rerank pool equal brute force exactly") {
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 7L)
+    val exact = Knn.search(emb, "embedding", q, k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val adc = IvfPq.search(model, q, k = 10, nprobe = 8, rerankPool = 1000)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(adc == exact)
+  }
+
+  test("reduced probes + small pool stay in the recall band (>=0.90 mean)") {
+    val recalls = Seq(1L, 33L, 99L, 200L, 404L).map { qid =>
+      val q = Tables.queryVector(spark, "/root/testdata/sf0.001", qid)
+      val exact = Knn.search(emb, "embedding", q, k = 10).select("vec_id").as[Long].collect().toSet
+      val got = IvfPq.search(model, q, k = 10, nprobe = 4, rerankPool = 64)
+        .select("vec_id").as[Long].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.90, s"mean recall $mean, per-query $recalls")
+  }
+
+  test("search output is deterministic and ascending by exact distance") {
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 42L)
+    val a = IvfPq.search(model, q, k = 10).select("vec_id").as[Long].collect().toSeq
+    val b = IvfPq.search(model, q, k = 10).select("vec_id").as[Long].collect().toSeq
+    assert(a == b)
+    val dists = IvfPq.search(model, q, k = 10).select("distance").as[Double].collect()
+    assert(dists.sameElements(dists.sorted))
+  }
+}
