@@ -776,13 +776,62 @@ object SparkEntry {
       |FROM (SELECT doc_id, text, unnest(range(0, length(text), 96)) AS start
       |      FROM documents WHERE length(text) > 0)""".stripMargin
 
-  /** rag_query end-to-end (chunk → djb2 embed → cosine kNN); embedder not
-    * expressible in SQL → rows-only check. */
+  /** rag_query end-to-end (chunk → djb2 embed → cosine kNN), fully
+    * oracle-checked: the byte-fold embedder unrolls into a DuckDB
+    * recursive CTE (ASCII corpus ⇒ codepoints are the UTF-8 bytes);
+    * (doc_id, chunk_index) tiebreaks pin the k-cut among duplicate
+    * chunks. */
   private def ragQuery(s: SparkSession, dir: String): DataFrame = {
     val index = operators.Rag.buildChunkIndex(
-      Tables.read(s, dir, "documents").limit(200), "doc_id", "text", size = 256, overlap = 64)
-    operators.Rag.ragQuery(index, "fast merge join strategy", k = 5)
+      Tables.read(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", size = 256, overlap = 64)
+    operators.Rag.ragQuery(index, "fast merge join strategy", k = 5,
+        tieBreak = Seq("doc_id", "chunk_index"))
       .select(col("doc_id"), col("chunk_index"), round(col("distance"), 6).as("dist"))
+  }
+
+  /** djb2 step as SQL: h' = ((h<<5)+h) xor byte with 32-bit wrap. */
+  private def djb2Fold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(5381 AS BIGINT), $listExpr), " +
+      "(h, c) -> xor((h * 33) % 4294967296, c))"
+
+  private val ragQuerySql: String = {
+    val model = "all-MiniLM-L6-v2"
+    val question = "fast merge join strategy"
+    def bytesOf(sqlStr: String) =
+      s"list_transform(range(1, length($sqlStr) + 1), i -> CAST(unicode($sqlStr[i]) AS BIGINT))"
+    s"""WITH RECURSIVE chunks AS (
+       |  SELECT doc_id, CAST(start / 192 AS INT) AS chunk_index,
+       |         substr(text, CAST(start AS INT) + 1, 256) AS chunk
+       |  FROM (SELECT doc_id, text, unnest(range(0, length(text), 192)) AS start
+       |        FROM documents WHERE doc_id < 200 AND length(text) > 0)),
+       |base AS (
+       |  SELECT doc_id, chunk_index, ${djb2Fold(bytesOf("chunk"))} AS h
+       |  FROM chunks
+       |  UNION ALL
+       |  SELECT -1, -1, ${djb2Fold(bytesOf(s"'$question'"))}),
+       |dims AS (
+       |  SELECT doc_id, chunk_index, 0 AS i,
+       |         xor((h * 33) % 4294967296,
+       |             CAST(unicode('$model'[1]) AS BIGINT)) AS h
+       |  FROM base
+       |  UNION ALL
+       |  SELECT doc_id, chunk_index, i + 1,
+       |         xor((h * 33) % 4294967296,
+       |             CAST(unicode('$model'[(i + 1) % ${model.length} + 1]) AS BIGINT))
+       |  FROM dims WHERE i < 383),
+       |emb AS (
+       |  SELECT doc_id, chunk_index,
+       |         array_agg(CAST(CAST(CAST(h % 2000 - 1000 AS DOUBLE) / 1000.0 AS REAL)
+       |                   AS DOUBLE) ORDER BY i) AS e
+       |  FROM dims GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.doc_id, c.chunk_index,
+       |         1.0 - list_cosine_similarity(c.e, q.e) AS d
+       |  FROM emb c, (SELECT e FROM emb WHERE doc_id = -1) q
+       |  WHERE c.doc_id >= 0)
+       |SELECT doc_id, chunk_index, round(d, 6) AS dist
+       |FROM scored ORDER BY d, doc_id, chunk_index LIMIT 5""".stripMargin
   }
 
   // ======================================================================
@@ -2570,7 +2619,7 @@ object SparkEntry {
     "quant_ternary" -> quantTernarySql,
     "quant_int8" -> quantInt8Sql,
     "chunk_text" -> chunkTextSql,
-    // rag_query: djb2 embedder not SQL-expressible -> rows-only check
+    "rag_query" -> ragQuerySql,
     "ml_linreg" -> mlLinregSql,
     "knn_classify" -> knnClassifySql,
     "zscore_outliers" -> zscoreOutliersSql,

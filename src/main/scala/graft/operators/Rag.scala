@@ -29,11 +29,14 @@ object Rag {
     chunkDocuments(docs, idCol, textCol, size, overlap)
       .withColumn("embedding", Embeddings.embed_text(col("chunk"), lit(model)))
 
-  /** `rag_query`: embed the question, kNN over chunk embeddings. */
+  /** `rag_query`: embed the question, kNN over chunk embeddings.
+    * `tieBreak` pins the k-cut among identical chunks (duplicate docs
+    * produce identical embeddings, so exact distance ties are real). */
   def ragQuery(chunkIndex: DataFrame, question: String, k: Int = 5,
-               model: String = "all-MiniLM-L6-v2"): DataFrame = {
+               model: String = "all-MiniLM-L6-v2",
+               tieBreak: Seq[String] = Nil): DataFrame = {
     val qv = Embeddings.embedText(question, model)
-    Knn.search(chunkIndex, "embedding", qv, k, "cosine")
+    Knn.search(chunkIndex, "embedding", qv, k, "cosine", tieBreak = tieBreak)
   }
 
   /**
