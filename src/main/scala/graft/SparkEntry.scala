@@ -795,11 +795,14 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(5381 AS BIGINT), $listExpr), " +
       "(h, c) -> xor((h * 33) % 4294967296, c))"
 
+  /** ASCII codepoints = UTF-8 bytes of a SQL string expression. */
+  private def sqlBytesOf(sqlStr: String): String =
+    s"list_transform(range(1, length($sqlStr) + 1), i -> CAST(unicode($sqlStr[i]) AS BIGINT))"
+
   private val ragQuerySql: String = {
     val model = "all-MiniLM-L6-v2"
     val question = "fast merge join strategy"
-    def bytesOf(sqlStr: String) =
-      s"list_transform(range(1, length($sqlStr) + 1), i -> CAST(unicode($sqlStr[i]) AS BIGINT))"
+    def bytesOf(sqlStr: String) = sqlBytesOf(sqlStr)
     s"""WITH RECURSIVE chunks AS (
        |  SELECT doc_id, CAST(start / 192 AS INT) AS chunk_index,
        |         substr(text, CAST(start AS INT) + 1, 256) AS chunk
@@ -1351,13 +1354,60 @@ object SparkEntry {
       numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 3)
   }
 
-  /** SimHash near-dup pairs (rows-only). */
+  /** SimHash near-dup pairs — fully oracle-checked: the 64-bit signature
+    * is pure integer arithmetic (per-term djb2 pair + tf bit votes), so
+    * DuckDB re-derives signatures, 16-bit band buckets, and Hamming
+    * verification exactly. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.filter(col("doc_id") < 20)
       .withColumn("doc_id", col("doc_id") + 100000)
     operators.Dedup.simhashPairs(docs.unionByName(planted), "doc_id", "text", maxHamming = 2)
   }
+
+  /** Signature bits 0-31 come from djb2(reverse(term)), 32-63 from
+    * djb2(term) — the two unsigned halves of Dedup.simhash's packed
+    * long, so no 64-bit arithmetic is needed in SQL. */
+  private lazy val simhashPairsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+       |tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM d)
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT doc_id, term, tf,
+       |    ${djb2Fold(sqlBytesOf("term"))} AS u1,
+       |    ${djb2Fold(sqlBytesOf("reverse(term)"))} AS u2
+       |  FROM tf),
+       |w AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(tf * (2 * ((CASE WHEN bb.b < 32 THEN u2 >> bb.b
+       |                         ELSE u1 >> (bb.b - 32) END) & 1) - 1)) AS wt
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN wt > 0 AND b < 32 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
+       |    sum(CASE WHEN wt > 0 AND b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
+       |  FROM w GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, lo, hi,
+       |    unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bucket,
+       |    unnest([0, 1, 2, 3]) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2""".stripMargin
 
   /** Multimodal plumbing: text bytes as media payload, stub byte-histogram
     * features; the 'a'/'e'/space ratios are exact in both engines. */
@@ -2678,9 +2728,11 @@ object SparkEntry {
     "vec_join_topk" -> vecJoinTopkSql,
     "weighted_ensemble" -> weightedEnsembleSql,
     "dup_components" -> dupComponentsSql,
-    // lang_quality / minhash_lsh / simhash_pairs / iforest_scores /
-    // topics / whiten / tsne_reduce / umap_reduce: heuristic, seeded-hash,
-    // eigen-solver, or iterative-optimizer operators, not SQL-expressible
-    // -> rows-only checks + unit specs
+    "simhash_pairs" -> simhashPairsSql,
+    // minhash_lsh (splitmix64's wrapping 64-bit multiplies overflow
+    // DuckDB's checked arithmetic) / iforest_scores / topics / whiten /
+    // tsne_reduce / umap_reduce: seeded-hash, eigen-solver, or
+    // iterative-optimizer operators, not SQL-expressible -> rows-only
+    // checks + unit specs
   )
 }
