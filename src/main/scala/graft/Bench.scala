@@ -45,10 +45,13 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 
+    // optional args = subset of query names to time (targeted re-measure)
+    val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
+
     // best-of-2: a single run is hostage to transient machine load / GC
     // pauses on a shared box; the min of two runs is the honest "what the
     // plan costs" number and is what a steady-state cluster would see
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

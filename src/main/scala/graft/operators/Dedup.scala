@@ -73,20 +73,62 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  def minhashSignature(shingles: Set[String], numHashes: Int = 128,
-                       seed: Long = 42L): Array[Long] = {
+  /** Sorted distinct djb2 hashes of a doc's word shingles. This is the
+    * single tokenization pass per document: both the minhash signature and
+    * the exact-Jaccard verify run off this array, so candidate
+    * verification never re-shingles text (a doc in k buckets would
+    * otherwise be re-tokenized O(candidate-degree) times). Within-doc
+    * djb2-32 collisions merge shingles with probability ~|S|²/2³³ — the
+    * standard fingerprint trade, same as [[fingerprintDedup]]. */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val hs = wordShingles(text, n).iterator
+      .map(s => djb2(s).toLong & 0xFFFFFFFFL).toArray
+    java.util.Arrays.sort(hs)
+    // distinct-in-place on the sorted array (hash collisions only)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(w - 1) != hs(i)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  def minhashSignatureFromHashes(hashes: Array[Long], numHashes: Int = 128,
+                                 seed: Long = 42L): Array[Long] = {
     val out = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { s =>
-      val x = djb2(s).toLong & 0xFFFFFFFFL
+    var j = 0
+    while (j < hashes.length) {
+      val x = hashes(j)
       var i = 0
       while (i < numHashes) {
         val h = mix64(x ^ mix64(seed + i))
         if (h < out(i)) out(i) = h
         i += 1
       }
+      j += 1
     }
     out
   }
+
+  def minhashSignature(shingles: Set[String], numHashes: Int = 128,
+                       seed: Long = 42L): Array[Long] = {
+    val hs = shingles.iterator.map(s => djb2(s).toLong & 0xFFFFFFFFL).toArray
+    minhashSignatureFromHashes(hs, numHashes, seed)
+  }
+
+  /** Exact Jaccard of two sorted distinct hash arrays (merge intersect). */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
 
   def estimatedJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
     require(sigA.length == sigB.length)
@@ -101,6 +143,14 @@ object Dedup {
    * MinHash-LSH near-dup pairs: signature → (band, bandHash) buckets →
    * same-bucket candidate pairs → exact Jaccard filter. The shuffle key is
    * the band bucket, so cost tracks true near-duplicate density.
+   *
+   * Each document is tokenized exactly once ([[shingleHashes]]); the
+   * verify stage intersects the stored sorted hash arrays instead of
+   * re-shingling raw text per candidate pair. The intermediate cache is
+   * released before returning: the result is local-checkpointed (lineage
+   * truncated, blocks reclaimed by the context cleaner once the result is
+   * unreferenced), so callers see a plain DataFrame with no persisted
+   * upstream.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 32,
@@ -108,28 +158,33 @@ object Dedup {
                       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigUdf = udf((text: String) =>
-      minhashSignature(wordShingles(text, shingleN), numHashes, seed))
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", sigUdf(col("text")))
-      .cache()
-    val bandUdf = udf((sig: Seq[Long]) =>
-      (0 until bands).map(b => (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).hashCode())))
-    val buckets = sigs.select(col("id"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
-    val candidates = buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
-      .distinct()
-    val jacUdf = udf((a: String, b: String) =>
-      exactJaccard(wordShingles(a, shingleN), wordShingles(b, shingleN)))
-    candidates
-      .join(sigs.select(col("id").as("a_id"), col("text").as("a_text")), "a_id")
-      .join(sigs.select(col("id").as("b_id"), col("text").as("b_text")), "b_id")
-      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("a_id", "b_id", "jaccard")
+    val prepUdf = udf((text: String) => {
+      val sh = shingleHashes(text, shingleN)
+      (sh, minhashSignatureFromHashes(sh, numHashes, seed))
+    })
+    val sigs = df.select(col(idCol).as("id"), prepUdf(col(textCol)).as("p"))
+      .select(col("id"), col("p._1").as("sh"), col("p._2").as("sig"))
+      .persist()
+    try {
+      val bandUdf = udf((sig: Seq[Long]) =>
+        (0 until bands).map(b => (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).hashCode())))
+      val buckets = sigs.select(col("id"), explode(bandUdf(col("sig"))).as("bb"))
+        .select(col("id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+      val candidates = buckets.as("l").join(buckets.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+        .distinct()
+      val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+        sortedJaccard(a.toArray, b.toArray))
+      candidates
+        .join(sigs.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sigs.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .withColumn("jaccard", jacUdf(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select("a_id", "b_id", "jaccard")
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
   }
 
   // ---------------- simhash ----------------
@@ -184,16 +239,68 @@ object Dedup {
   val ngramJaccardUdf = udf((a: String, b: String, n: Int) =>
     exactJaccard(wordShingles(a, n), wordShingles(b, n)))
 
-  /** Exact n-gram Jaccard over all pairs of a (small or pre-blocked) set. */
+  /** FNV-1a 64-bit — genuine 64-bit fingerprints for exact hash-set
+    * Jaccard (collision within a compared pair's union ~|U|²/2⁶⁵). */
+  @inline private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Sorted distinct 64-bit fingerprints of a doc's word n-grams. */
+  def shingleHashes64(text: String, n: Int = 3): Array[Long] = {
+    val hs = wordShingles(text, n).iterator.map(fnv1a64).toArray
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(w - 1) != hs(i)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs, minhash-blocked: never |D|² on raw text.
+   * Each of the `numHashes` minhash rows is its own LSH band (one row per
+   * band), so any pair sharing at least ONE minhash value becomes a
+   * candidate; a qualifying pair (jaccard ≥ t) is missed with probability
+   * (1−t)^numHashes — ~1e-128 at t=0.9, k=128 — while non-candidates are
+   * pruned before the exact verify. The verify intersects stored sorted
+   * 64-bit gram fingerprints, so the result equals all-pairs string-set
+   * Jaccard up to ~2⁻⁶⁴ fingerprint collisions; the all-pairs shape
+   * survives only inside shared-bucket verification.
+   */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val l = df.select(col(idCol).as("a_id"), col(textCol).as("a_text"))
-    val r = df.select(col(idCol).as("b_id"), col(textCol).as("b_text"))
-    l.crossJoin(broadcast(r))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", ngramJaccardUdf(col("a_text"), col("b_text"), lit(n)))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+                        n: Int = 3, threshold: Double = 0.2,
+                        numHashes: Int = 128, seed: Long = 42L): DataFrame = {
+    val prepUdf = udf((text: String) => {
+      val sh = shingleHashes64(text, n)
+      (sh, minhashSignatureFromHashes(sh, numHashes, seed))
+    })
+    val sigs = df.select(col(idCol).as("id"), prepUdf(col(textCol)).as("p"))
+      .select(col("id"), col("p._1").as("sh"), col("p._2").as("sig"))
+      .persist()
+    try {
+      val buckets = sigs.select(col("id"), posexplode(col("sig")))
+        .toDF("id", "band", "bucket")
+      val candidates = buckets.as("l").join(buckets.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+        .distinct()
+      val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+        sortedJaccard(a.toArray, b.toArray))
+      candidates
+        .join(sigs.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sigs.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .withColumn("jaccard", jacUdf(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
   }
 
   /**
