@@ -933,6 +933,18 @@ object SparkEntry {
        |  ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10)
        |SELECT (SELECT count(*) FROM a JOIN b USING (vec_id)) / 10.0 AS recall""".stripMargin
 
+  /** Bit-reproducible Lloyd's k-means, FULL oracle: integer-scaled
+    * coordinates make the per-cluster sums exact, so 4 unrolled Lloyd
+    * iterations match the DuckDB CTE recurrence bit-for-bit (same trick as
+    * `qlearning_policy` / `rag_query`). k=5, first-5-by-id init. */
+  private def kmeansFixpointQ(s: SparkSession, dir: String): DataFrame =
+    ml.KmeansFixpoint.assign(Tables.read(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 5, iters = 4)
+
+  private val kmeansFixpointSql =
+    ml.KmeansFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      k = 5, iters = 4, dim = 64)
+
   /** kmeans via the unified API: cluster sizes are seed-deterministic but
     * not SQL-expressible → rows-only check. */
   private def mlKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -2562,6 +2574,7 @@ object SparkEntry {
     "centroid_drift" -> (centroidDrift(_, _)),
     "recall_at_k" -> (recallAtK(_, _)),
     "ml_kmeans" -> (mlKmeans(_, _)),
+    "kmeans_fixpoint" -> (kmeansFixpointQ(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_cosine" -> (dedupCosine(_, _)),
     "ivf_join_exact" -> (ivfJoinExact(_, _)),
@@ -2675,7 +2688,9 @@ object SparkEntry {
     "zscore_outliers" -> zscoreOutliersSql,
     "centroid_drift" -> centroidDriftSql,
     "recall_at_k" -> recallAtKSql,
-    // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in spec)
+    // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in
+    // spec); kmeans_fixpoint below is the FULL-oracle Lloyd counterpart
+    "kmeans_fixpoint" -> kmeansFixpointSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cosine" -> dedupCosineSql,
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join

@@ -1,0 +1,125 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed Lloyd's k-means with a bit-reproducible arithmetic contract,
+ * the oracle-checkable counterpart of the MLlib-backed `kmeans_train`
+ * (reference: `ml_kmeans.c:41-120` — same fixed-iteration Lloyd loop, same
+ * first-k deterministic init).
+ *
+ * Reproducibility contract (every step is exact or IEEE-754-identical in
+ * any engine, so a SQL unroll of the same recurrence matches bit-for-bit):
+ *
+ *  - coordinates are scaled to integers once: `floor(x * 1e6 + 0.5)` —
+ *    float→double widening and the single multiply/floor are exact IEEE;
+ *  - per-cluster coordinate sums are INTEGER sums — associative, so the
+ *    shuffle/combine order Spark picks cannot change the result;
+ *  - each centroid coordinate is ONE double division `sum.toDouble / n`;
+ *  - distances accumulate in coordinate order (left fold), identical to
+ *    the oracle's `list_reduce`; argmin tie-breaks on the lower cluster id.
+ *
+ * Execution shape is the classic scalable Lloyd: broadcast k·d centroids,
+ * one map-side-combined groupBy of k·d cells per iteration, nothing on the
+ * driver but the k×d centroid matrix. The `iters` is a fixed count (not a
+ * convergence test) so the plan depth is static — at 100 TB each iteration
+ * is one scan + one tiny shuffle.
+ */
+object KmeansFixpoint {
+
+  /** Assign every row to a cluster after `iters` Lloyd rounds from
+    * first-k-by-id init. Returns (idCol, cluster). */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iters > 0)
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * scale + 0.5)).as("xs"))
+
+    // init: the k smallest-id rows, cluster id = rank by id
+    var centers: Array[Array[Double]] =
+      pts.orderBy("id").limit(k).collect()
+        .map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    require(centers.length == k, s"need at least $k rows, got ${centers.length}")
+    val dim = centers.head.length
+
+    def assignUdf = {
+      val bc = spark.sparkContext.broadcast(centers)
+      udf((xs: Seq[Long]) => {
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var s = 0.0
+          var j = 0
+          while (j < cc.length) { val t = xs(j).toDouble - cc(j); s += t * t; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      })
+    }
+
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = pts.withColumn("cluster", assignUdf(col("xs")))
+      if (i < iters) {
+        // integer per-coordinate sums: k·d cells, map-side combined
+        val cells = assigned
+          .select(col("cluster"), posexplode(col("xs")).as(Seq("j", "x")))
+          .groupBy("cluster", "j")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centers.map(_.clone())
+        cells.foreach { r =>
+          next(r.getAs[Int]("cluster"))(r.getAs[Int]("j")) =
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
+        }
+        centers = next
+      }
+    }
+    assigned.select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** The DuckDB unroll of the identical recurrence: one CTE pair
+    * (assign aᵢ, recenter cᵢ) per iteration over integer-scaled points.
+    * Generated, not hand-written, so k/iters/dim stay in one place. */
+  def oracleSql(table: String, idCol: String, vecCol: String,
+                k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS (
+      |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
+      |  FROM $table),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, list_transform(xs, x -> CAST(x AS DOUBLE)) AS c
+      |  FROM (SELECT id, xs FROM pts ORDER BY id LIMIT $k))""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+        |a$i AS (
+        |  SELECT id, xs, cid AS cluster FROM (
+        |    SELECT p.id, p.xs, c.cid,
+        |      row_number() OVER (PARTITION BY p.id ORDER BY
+        |        list_reduce(list_transform(range(1, ${dim + 1}),
+        |          j -> (CAST(p.xs[j] AS DOUBLE) - c.c[j]) * (CAST(p.xs[j] AS DOUBLE) - c.c[j])),
+        |          (acc, x) -> acc + x), c.cid) AS rn
+        |    FROM pts p CROSS JOIN $prev c) t WHERE rn = 1)""".stripMargin
+      if (i < iters) {
+        sb ++= s""",
+          |s$i AS (
+          |  SELECT cluster, j, CAST(sum(x) AS DOUBLE) / count(*) AS cj
+          |  FROM (SELECT cluster, unnest(xs) AS x, unnest(range(1, ${dim + 1})) AS j FROM a$i) u
+          |  GROUP BY cluster, j),
+          |c$i AS (
+          |  SELECT p.cid, coalesce(n.c, p.c) AS c
+          |  FROM $prev p LEFT JOIN (SELECT cluster AS cid, list(cj ORDER BY j) AS c FROM s$i GROUP BY cluster) n
+          |    ON n.cid = p.cid)""".stripMargin
+      }
+    }
+    sb ++= s"\nSELECT id AS $idCol, cluster FROM a$iters"
+    sb.toString
+  }
+}
