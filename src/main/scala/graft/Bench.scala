@@ -16,6 +16,7 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "q1_agg", "q2_join", "q3_topk", "q4_window",          // relational core
     "v_l2_knn", "v_cosine_knn", "ivf_knn_exact", "hnsw_knn", // kNN / ANN
+    "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn",         // on-disk serve paths
     "vec_join_pairs", "knn_graph", "faceted_knn",         // similarity joins
     "hybrid_search", "bm25_pair", "rrf_fusion",           // hybrid/lexical
     "ltr_rerank", "temporal_knn",                         // rerank / temporal
@@ -41,7 +42,10 @@ object Bench {
 
     // JVM/codegen warmup + one-time index build (CREATE INDEX is offline
     // in the reference; probes are what gets measured)
-    for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn"))
+    // (disk-serve warmups also write the partitioned index once, so the
+    // timed runs measure the probe-side read, not the offline build)
+    for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
+                  "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 

@@ -358,6 +358,70 @@ object SparkEntry {
       operators.Hnsw.build(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
         numShards = 8).cache())
 
+  /** On-disk index roots, written once per sf dir (CREATE INDEX is an
+    * offline build in the reference; these queries time/verify the READ
+    * side of the partitioned serving layout). */
+  private val diskIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def diskIndexRoot(s: SparkSession, dir: String): String =
+    diskIdxCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+      operators.Ivf.writePartitioned(ivfModel(s, dir), s"$root/ivf")
+      operators.Hnsw.write(hnswIndex(s, dir), s"$root/hnsw")
+      operators.IvfPq.writePartitioned(
+        operators.IvfPq.build(Tables.read(s, dir, "embeddings"),
+          "vec_id", "embedding", nlists = 16, m = 8),
+        s"$root/ivfpq")
+      root
+    })
+
+  /** IVF ANN served from the DISK layout: 12 of 16 posting lists probed,
+    * pruned at the FILE level (`cluster_id` is a partition column —
+    * pinned in PlanShapeSpec). Rows-only (approximate by contract);
+    * `ivf_disk_exact` oracle-proves the same path exhaustively. */
+  private def ivfDiskKnn(s: SparkSession, dir: String): DataFrame =
+    operators.Ivf.loadPartitioned(s, s"${diskIndexRoot(s, dir)}/ivf", "embedding")
+      .search(qvec(s, dir), k = 10, nprobe = 12)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+
+  /** Exhaustive probe (nprobe = nlists) of the on-disk IVF layout must
+    * reproduce brute-force top-10 — the parquet round-trip of the
+    * partitioned index is itself oracle-verified. */
+  private def ivfDiskExact(s: SparkSession, dir: String): DataFrame =
+    operators.Ivf.loadPartitioned(s, s"${diskIndexRoot(s, dir)}/ivf", "embedding")
+      .search(qvec(s, dir), k = 10, nprobe = 16)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+
+  /** HNSW served from the DISK layout through the executor graph cache
+    * (first batch deserializes each shard graph once; repeats walk the
+    * memoized graphs — bit-identical by construction, HnswSpec pins it). */
+  private def hnswDiskKnn(s: SparkSession, dir: String): DataFrame =
+    operators.Hnsw.searchBatchFromDisk(s, s"${diskIndexRoot(s, dir)}/hnsw",
+        Array((0L, qvec(s, dir))), k = 10, efSearch = 64)
+      .select(col("id"), round(col("distance"), 6).as("dist"))
+
+  /** IVFADC serve path from the DISK layout: codes-only ADC scan of the
+    * probed partitions (the raw vector column never enters the candidate
+    * scan — pinned in PlanShapeSpec) + broadcast-pool exact rerank.
+    * Rows-only; `ivfpq_disk_exact` is the oracle-proved exhaustive form,
+    * `ivfpq_knn_recall` the measured recall. */
+  private def ivfpqKnn(s: SparkSession, dir: String): DataFrame =
+    operators.IvfPq.search(
+        operators.IvfPq.loadPartitioned(s, s"${diskIndexRoot(s, dir)}/ivfpq",
+          "embedding", "vec_id"),
+        qvec(s, dir), k = 10, nprobe = 12, rerankPool = 128)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+
+  /** IVFADC with nprobe = nlists and rerank pool ≥ corpus provably equals
+    * brute force — oracle-checks the whole disk round trip (codes,
+    * centroids, codebook) and the ADC→rerank composition. */
+  private def ivfpqDiskExact(s: SparkSession, dir: String): DataFrame = {
+    val m = operators.IvfPq.loadPartitioned(s, s"${diskIndexRoot(s, dir)}/ivfpq",
+      "embedding", "vec_id")
+    operators.IvfPq.search(m, qvec(s, dir), k = 10, nprobe = 16,
+        rerankPool = m.encoded.count().toInt)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   /** HNSW serve-path probe at the reference defaults (k=10, ef=64) —
     * rows-only: the walk is approximate by contract; recall evidence is
     * `hnsw_ann_recall`. */
@@ -2604,6 +2668,11 @@ object SparkEntry {
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
     "hnsw_knn" -> (hnswKnn(_, _)),
+    "ivf_disk_knn" -> (ivfDiskKnn(_, _)),
+    "ivf_disk_exact" -> (ivfDiskExact(_, _)),
+    "hnsw_disk_knn" -> (hnswDiskKnn(_, _)),
+    "ivfpq_knn" -> (ivfpqKnn(_, _)),
+    "ivfpq_disk_exact" -> (ivfpqDiskExact(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
     "ivfpq_knn_recall" -> (ivfpqKnnRecall(_, _)),
     "ivf_recall_curve" -> (ivfRecallCurve(_, _)),
@@ -2668,6 +2737,10 @@ object SparkEntry {
     "va_sum" -> vaSumSql,
     "va_minmax" -> vaMinMaxSql,
     "ivf_knn_exact" -> ivfKnnExactSql,
+    // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
+    // rows-only; the *_disk_exact forms below carry the full oracle
+    "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force
+    "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
     "faceted_knn" -> facetedKnnSql,

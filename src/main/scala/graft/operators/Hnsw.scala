@@ -268,7 +268,7 @@ object Hnsw {
   }
 
   /** Search-time view of one shard rebuilt from its rows. */
-  private final class ShardGraph(nodes: Array[Node],
+  private[graft] final class ShardGraph(nodes: Array[Node],
                                  dist: (Array[Float], Array[Float]) => Double) {
     private val byId = new mutable.HashMap[Long, Node]()
     nodes.foreach(n => byId(n.id) = n)
@@ -315,14 +315,46 @@ object Hnsw {
     }
   }
 
+  /** Executor-JVM memo of deserialized shard graphs, keyed by (index
+    * fingerprint, shard, metric). A ShardGraph is rebuilt from rows on
+    * every [[searchBatch]] call otherwise — for a hot serving index the
+    * HashMap/entry construction dominates repeat-batch latency. Bounded:
+    * cleared wholesale past 512 entries (an index rewrite changes the
+    * fingerprint, so stale entries are never served, only evicted). */
+  private[graft] val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), ShardGraph]
+  private[graft] val graphBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Content fingerprint of an on-disk index: file names, sizes, mtimes.
+    * Cheap (one listing), and any rewrite-in-place changes it. */
+  def indexFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.toString.hashCode
+      h = h * 31 + f.getLen
+      h = h * 31 + f.getModificationTime
+    }
+    s"$path@${java.lang.Long.toHexString(h)}"
+  }
+
   /**
    * Batch ANN search: queries broadcast (tiny), every shard graph walked
    * in parallel where its rows live, per-shard top-k merged by one
    * |Q|·k·shards-row window — never a corpus-sized shuffle.
    * Returns (qid, id, distance, rank ≤ k).
+   *
+   * `cacheKey` (set by [[searchBatchFromDisk]]) memoizes the deserialized
+   * per-shard graphs in the executor JVM, so repeated batches against the
+   * same index skip graph reconstruction; results are bit-identical
+   * either way (the graph is a pure function of the shard's rows).
    */
   def searchBatch(index: DataFrame, queries: Array[(Long, Array[Float])],
-                  k: Int = 10, efSearch: Int = 64, metric: String = "l2"): DataFrame = {
+                  k: Int = 10, efSearch: Int = 64, metric: String = "l2",
+                  cacheKey: Option[String] = None): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
     val ef = math.min(math.max(efSearch, 1), 100000) // hnsw_am.c:938-941 clamp
     val spark = index.sparkSession
@@ -333,8 +365,16 @@ object Hnsw {
       .repartition(col("shard"))
       .as[Node]
       .mapPartitions { it =>
-        it.toArray.groupBy(_.shard).iterator.flatMap { case (_, ns) =>
-          val g = new ShardGraph(ns, dist)
+        it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, ns) =>
+          val g = cacheKey match {
+            case Some(fp) =>
+              if (graphCache.size > 512) graphCache.clear()
+              graphCache.getOrElseUpdate((fp, shard, metric), {
+                graphBuilds.incrementAndGet()
+                new ShardGraph(ns, dist)
+              })
+            case None => new ShardGraph(ns, dist)
+          }
           bq.value.iterator.flatMap { case (qid, q) =>
             g.search(q, k, ef).map { case (id, d) => (qid, id, d) }
           }
@@ -345,6 +385,17 @@ object Hnsw {
         Window.partitionBy("qid").orderBy(col("distance"), col("id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Serve from a [[write]]-persisted index with the executor graph
+    * cache keyed by the on-disk fingerprint: the steady-state low-latency
+    * path — first batch builds each shard graph once, later batches walk
+    * the memoized graphs. */
+  def searchBatchFromDisk(spark: SparkSession, path: String,
+                          queries: Array[(Long, Array[Float])],
+                          k: Int = 10, efSearch: Int = 64,
+                          metric: String = "l2"): DataFrame =
+    searchBatch(load(spark, path), queries, k, efSearch, metric,
+      Some(indexFingerprint(spark, path)))
 
   /** Single-query top-k: (id, distance), ascending. */
   def search(index: DataFrame, query: Array[Float], k: Int = 10,

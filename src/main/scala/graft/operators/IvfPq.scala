@@ -36,18 +36,64 @@ object IvfPq {
   }
 
   /** IVFADC top-k: ADC candidates from the probed lists, exact rerank
-    * of the pool, deterministic id tiebreaks at both stages. */
+    * of the pool, deterministic id tiebreaks at both stages.
+    *
+    * The ADC stage scans ONLY (id, pq_codes) of the probed lists — the
+    * raw vector column never enters the candidate scan, which is the
+    * whole point of the codes-only memory shape. The exact rerank joins
+    * the broadcast candidate pool (≤ rerankPool rows) back against the
+    * probed partitions, touching raw vectors for the pool alone. */
   def search(model: IvfPqModel, query: Array[Float], k: Int = 10,
              nprobe: Int = 8, rerankPool: Int = 64,
              metric: String = "l2"): DataFrame = {
     val probes = model.ivf.route(query, nprobe)
     val probed = model.encoded.filter(col("cluster_id").isin(probes: _*))
-    Pq.search(probed, model.codebook, query,
+    val pool = Pq.search(
+        probed.select(col(model.idCol), col("pq_codes")),
+        model.codebook, query,
         k = math.max(k, rerankPool), tieBreak = Seq(model.idCol))
+      .select(model.idCol)
+    probed.drop("pq_codes")
+      .join(broadcast(pool), model.idCol)
       .withColumn("distance",
         Knn.distCol(metric)(col(model.ivf.vecCol), lit(query)))
       .orderBy(col("distance"), col(model.idCol))
       .limit(k)
-      .drop("adc_distance", "pq_codes", "cluster_id")
+      .drop("cluster_id")
+  }
+
+  /** Persist the IVFADC index: codes partitioned by cluster id (probes
+    * prune at the FILE level), centroids and the PQ codebook as tiny side
+    * tables — the serving layout where the scanned bytes per probe are
+    * m-byte codes, not float vectors. */
+  def writePartitioned(model: IvfPqModel, path: String): Unit = {
+    model.encoded.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/encoded")
+    val spark = model.encoded.sparkSession
+    import spark.implicits._
+    model.ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.codebook.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (center, c) => (s, c, center.toSeq) }
+    }.toSeq.toDF("subspace", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                      vecCol: String, idCol: String): IvfPqModel = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val encoded = spark.read.parquet(s"$path/encoded")
+    IvfPqModel(
+      Ivf.IvfModel(centroids, encoded.drop("pq_codes"), vecCol),
+      Pq.PqCodebook(m, codebooks.head.head.length, codebooks),
+      encoded, idCol)
   }
 }

@@ -60,6 +60,33 @@ class HnswSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("executor graph cache: repeat disk batches skip rebuilds, results bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_cache").toString
+    Hnsw.write(index, dir)
+    val qs = Seq(0L, 7L, 33L).map(i =>
+      (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i))).toArray
+
+    def run() = {
+      val t0 = System.nanoTime()
+      val rows = Hnsw.searchBatchFromDisk(spark, dir, qs, k = 10)
+        .select("qid", "id", "distance").as[(Long, Long, Double)].collect().sorted.toSeq
+      (rows, (System.nanoTime() - t0) / 1e6)
+    }
+    val before = Hnsw.graphBuilds.get()
+    val (r1, t1) = run()
+    val afterFirst = Hnsw.graphBuilds.get()
+    assert(afterFirst - before > 0, "first disk batch should build shard graphs")
+    val (r2, t2) = run()
+    assert(Hnsw.graphBuilds.get() == afterFirst,
+      "second disk batch must hit the executor graph cache (zero rebuilds)")
+    assert(r1 == r2, "cached serving must be bit-identical")
+    info(f"first batch ${t1}%.0f ms (builds graphs), second ${t2}%.0f ms (cache hit)")
+    // an index rewrite changes the fingerprint -> graphs rebuilt, never stale
+    Hnsw.write(index, dir)
+    run()
+    assert(Hnsw.graphBuilds.get() > afterFirst, "rewritten index must re-deserialize")
+  }
+
   test("recommendEf lands in the [8,256] ladder and clears the target") {
     val qs = Array(5L, 50L).map(i => (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
     val ef = Hnsw.recommendEf(index, emb, "vec_id", "embedding", qs, k = 10, targetRecall = 0.9)

@@ -110,6 +110,45 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("Window"), plan)
   }
 
+  test("on-disk IVF probe prunes at the FILE level: scan reads exactly nprobe partitions") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val model = operators.Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("plan_ivf_").toString
+    operators.Ivf.writePartitioned(model, root)
+    val loaded = operators.Ivf.loadPartitioned(spark, root, "embedding")
+    val df = loaded.search(Tables.queryVector(spark, dir, 0L), k = 5, nprobe = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"no partition filter on cluster_id: $plan")
+    // the partition filter lists exactly the nprobe probed clusters —
+    // for a partition column Spark prunes non-matching dirs from the scan
+    val probed = "PartitionFilters: \\[cluster_id#\\d+ IN \\(([-\\d,]+)\\)"
+      .r.findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(probed.contains(3), s"expected 3 probed partitions, got $probed in: $plan")
+  }
+
+  test("on-disk IVFADC candidate scan is codes-only (raw vectors never enter the ADC stage)") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val model = operators.IvfPq.build(emb, "vec_id", "embedding", nlists = 4, m = 8)
+    val root = java.nio.file.Files.createTempDirectory("plan_ivfpq_").toString
+    operators.IvfPq.writePartitioned(model, root)
+    val loaded = operators.IvfPq.loadPartitioned(spark, root, "embedding", "vec_id")
+    val df = operators.IvfPq.search(loaded, Tables.queryVector(spark, dir, 0L),
+      k = 5, nprobe = 2, rerankPool = 32)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(_.contains("FileScan parquet")).toSeq
+    val adcScan = scans.find(s =>
+      s.contains("pq_codes") && s.contains("ReadSchema"))
+    assert(adcScan.isDefined, s"no codes scan found in: ${scans.mkString("\n")}")
+    assert(!adcScan.get.contains("embedding"),
+      s"ADC stage reads raw vectors: ${adcScan.get}")
+    // both stages prune to the probed partitions
+    assert(scans.count(_.contains("PartitionFilters: [cluster_id")) >= 2,
+      s"a stage is not partition-pruned: ${scans.mkString("\n")}")
+    // the rerank pool joins back by broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("HNSW batch search merges per-shard top-k by a per-query window — no global sort") {
     val emb = Tables.read(spark, dir, "embeddings").filter(col("vec_id") < 200)
     val idx = operators.Hnsw.build(emb, "vec_id", "embedding", numShards = 2)
