@@ -1504,6 +1504,41 @@ object SparkEntry {
       |  CAST((length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS REAL) AS REAL)::DOUBLE AS f_space
       |FROM documents WHERE length(text) > 0""".stripMargin
 
+  /** REAL image decode, FULL oracle: embeddings quantize to 8×8 grayscale
+    * pixels, Spark round-trips them through ACTUAL PNG bytes
+    * (ImageIO encode → `Multimodal.decodeImage`) and fingerprints the
+    * raster with the integer average-hash. PNG is lossless, so the oracle
+    * re-derives the identical pixels/aHash from the same quantization in
+    * pure integer SQL — any decoder defect breaks the hash match. */
+  private def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((v: Seq[Float]) =>
+      operators.Multimodal.encodePng8x8(v.map(x =>
+        math.max(0L, math.min(255L,
+          math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
+    val media = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
+    operators.Multimodal.decodeImages(media)
+      .select(col("vec_id"),
+        col("img_width").as("width"), col("img_height").as("height"),
+        col("img_ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+        shiftrightunsigned(col("img_ahash"), 32).as("ahash_hi"))
+  }
+
+  private val imageDecodeSql =
+    """WITH px AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    greatest(0, least(255, CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5) AS BIGINT)))) AS p
+      |  FROM embeddings),
+      |t AS (SELECT vec_id, p, list_reduce(p, (a, b) -> a + b) AS tot FROM px)
+      |SELECT vec_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  list_reduce(list_transform(range(1, 33),
+      |    i -> CASE WHEN p[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b) AS ahash_lo,
+      |  list_reduce(list_transform(range(33, 65),
+      |    i -> CASE WHEN p[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b) AS ahash_hi
+      |FROM t""".stripMargin
+
   // ======================================================================
   // Comparisons / histograms / anomaly / topics (coverage sweep)
   // ======================================================================
@@ -2659,6 +2694,7 @@ object SparkEntry {
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
+    "image_decode" -> (imageDecode(_, _)),
     "v_compare" -> (vCompare(_, _)),
     "sim_histogram" -> (simHistogram(_, _)),
     "sparse_l2" -> (sparseL2(_, _)),
@@ -2795,6 +2831,7 @@ object SparkEntry {
     "ngram_jaccard" -> ngramJaccardSql,
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,
+    "image_decode" -> imageDecodeSql,
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,

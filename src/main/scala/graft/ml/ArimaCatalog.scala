@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Parquet analog of the reference's ARIMA catalog tables
+ * (`neurondb.arima_models` / `neurondb.arima_history`,
+ * `neurondb--1.0.sql:1766-1785`): fitted per-series models persist as
+ * catalog rows and forecasts are served by model id, so a fit is paid
+ * once and replayed anywhere — the same contract [[ModelCatalog]] gives
+ * MLlib models, in the storage-appropriate form (the whole model IS its
+ * coefficient row; no side payload needed).
+ *
+ * [[fitMany]] is the scale shape: one `groupBy(series_id)` shuffle,
+ * each series fit inside its own group (sorted in-group, OLS on the lag
+ * matrix per [[Extras.arimaFit]]), so a million independent series fit
+ * in parallel with nothing on the driver.
+ */
+object ArimaCatalog {
+
+  case class ArimaRow(model_id: Long, series_id: Long, p: Int, d: Int,
+                      coeffs: Seq[Double], intercept: Double,
+                      last_values: Seq[Double], last_original: Seq[Double],
+                      n_obs: Long, created_at: String)
+
+  private def toRow(modelId: Long, seriesId: Long, m: Extras.ArimaModel,
+                    nObs: Long, createdAt: String): ArimaRow =
+    ArimaRow(modelId, seriesId, m.p, m.d, m.coeffs.toSeq, m.intercept,
+      m.lastValues.toSeq, m.lastOriginal.toSeq, nObs, createdAt)
+
+  private def toModel(r: org.apache.spark.sql.Row): Extras.ArimaModel =
+    Extras.ArimaModel(r.getAs[Int]("p"), r.getAs[Int]("d"),
+      r.getAs[Seq[Double]]("coeffs").toArray, r.getAs[Double]("intercept"),
+      r.getAs[Seq[Double]]("last_values").toArray,
+      r.getAs[Seq[Double]]("last_original").toArray)
+
+  /** Persist one fitted model as a catalog row. */
+  def save(spark: SparkSession, path: String, modelId: Long, seriesId: Long,
+           m: Extras.ArimaModel, nObs: Long,
+           createdAt: String = "1970-01-01T00:00:00Z"): Unit = {
+    import spark.implicits._
+    Seq(toRow(modelId, seriesId, m, nObs, createdAt)).toDF()
+      .write.mode(SaveMode.Append).parquet(s"$path/arima_models")
+  }
+
+  def catalog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/arima_models")
+
+  /** Reload a fitted model by id (latest row wins on id collision). */
+  def load(spark: SparkSession, path: String, modelId: Long): Extras.ArimaModel = {
+    val rows = catalog(spark, path).filter(col("model_id") === modelId)
+      .orderBy(col("created_at").desc).limit(1).collect()
+    require(rows.nonEmpty, s"no ARIMA model with id $modelId")
+    toModel(rows.head)
+  }
+
+  /** `arima_predict(model_id, steps)`: forecast from the persisted row. */
+  def forecastById(spark: SparkSession, path: String, modelId: Long,
+                   steps: Int): DataFrame = {
+    import spark.implicits._
+    Extras.arimaForecast(load(spark, path, modelId), steps)
+      .toSeq.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("step", "forecast")
+  }
+
+  /** Fit one ARIMA per series in a single distributed pass and persist
+    * every fit: groupBy(series) → in-group time sort → per-group OLS.
+    * model_id = series_id (one live model per series, reference
+    * convention). Returns the catalog rows written. */
+  def fitMany(df: DataFrame, seriesCol: String, timeCol: String,
+              valueCol: String, path: String, p: Int = 2, d: Int = 1,
+              createdAt: String = "1970-01-01T00:00:00Z"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fitted = df
+      .select(col(seriesCol).cast("long").as("sid"),
+        struct(col(timeCol).cast("long").as("t"),
+          col(valueCol).cast("double").as("v")).as("tv"))
+      .groupBy("sid")
+      .agg(sort_array(collect_list(col("tv"))).as("tvs"))
+      .as[(Long, Seq[(Long, Double)])]
+      .flatMap { case (sid, tvs) =>
+        val series = tvs.map(_._2).toArray
+        if (series.length <= p + d + 1) Iterator.empty
+        else Iterator.single(
+          toRow(sid, sid, Extras.arimaFit(series, p, d), series.length, createdAt))
+      }
+      .toDF()
+    fitted.write.mode(SaveMode.Append).parquet(s"$path/arima_models")
+    spark.read.parquet(s"$path/arima_models")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ml.{ArimaCatalog, Extras}
+
+class ArimaCatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val series = Array.tabulate(40)(i => 10.0 + 0.5 * i + math.sin(i) * 0.3)
+
+  test("catalog row round-trip: forecast by model id equals direct forecast") {
+    val path = java.nio.file.Files.createTempDirectory("arima_cat").toString
+    val m = Extras.arimaFit(series, p = 2, d = 1)
+    ArimaCatalog.save(spark, path, modelId = 7L, seriesId = 7L, m, nObs = series.length)
+
+    val direct = Extras.arimaForecast(m, 5).toSeq
+    val viaCatalog = ArimaCatalog.forecastById(spark, path, 7L, 5)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    assert(viaCatalog == direct)
+
+    val row = ArimaCatalog.catalog(spark, path).collect().head
+    assert(row.getAs[Long]("model_id") == 7L && row.getAs[Int]("p") == 2
+      && row.getAs[Int]("d") == 1 && row.getAs[Long]("n_obs") == 40L)
+  }
+
+  test("load of a missing id fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("arima_cat2").toString
+    ArimaCatalog.save(spark, path, 1L, 1L, Extras.arimaFit(series), series.length)
+    intercept[IllegalArgumentException] {
+      ArimaCatalog.load(spark, path, 99L)
+    }
+  }
+
+  test("fitMany fits per series distributed and persists one row per fittable series") {
+    val path = java.nio.file.Files.createTempDirectory("arima_many").toString
+    // series 1 and 2 are long enough; series 3 is too short to fit
+    val rows =
+      (0 until 30).map(t => (1L, t.toLong, 5.0 + t)) ++
+      (0 until 30).map(t => (2L, t.toLong, 100.0 - 2.0 * t + math.cos(t))) ++
+      (0 until 3).map(t => (3L, t.toLong, 1.0))
+    val cat = ArimaCatalog.fitMany(rows.toDF("sid", "t", "v"), "sid", "t", "v", path)
+    assert(cat.select("series_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // per-series fit equals the local fit of the same (time-sorted) series
+    val s2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3).toArray
+    val local = Extras.arimaForecast(Extras.arimaFit(s2, 2, 1), 3).toSeq
+    val byId = ArimaCatalog.forecastById(spark, path, 2L, 3)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    assert(byId == local)
+  }
+}

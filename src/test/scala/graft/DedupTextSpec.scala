@@ -112,4 +112,29 @@ class DedupTextSpec extends SparkSpecBase {
     val near = Multimodal.crossModalSearch(Multimodal.extractFeatures(media), "aab".getBytes, 1)
     assert(near.select("media_id").as[Long].head() == 1L)
   }
+
+  test("multimodal: REAL PNG decode round-trips pixels exactly; aHash is the mean-threshold bits") {
+    val px = Array.tabulate(64)(i => (i * 4) % 256)
+    val bytes = Multimodal.encodePng8x8(px)
+    // a real PNG came out (magic header), and ImageIO decodes it back losslessly
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val dec = Multimodal.decodeImage(bytes).get
+    assert(dec.width == 8 && dec.height == 8)
+    assert(dec.pixels.toSeq == px.toSeq)
+    // aHash: bit i set iff p(i)*n > sum
+    val total = px.map(_.toLong).sum
+    val expected = px.zipWithIndex.foldLeft(0L) { case (h, (p, i)) =>
+      if (p * 64L > total) h | (1L << i) else h
+    }
+    assert(Multimodal.aHash64(dec.pixels) == expected)
+    // undecodable bytes -> None (the stub fallback path)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // decodeImages surfaces dims/hash as columns, NULLs for non-images
+    val df = Seq((1L, bytes), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeImages(df)
+      .select("media_id", "img_width", "img_ahash")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(8), Some(expected)))
+    assert(out(2L) == (None, None))
+  }
 }
