@@ -1485,6 +1485,81 @@ object SparkEntry {
        |FROM cand
        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2""".stripMargin
 
+  /** splitmix64 (`Dedup.mix64`) as chained CTEs in DuckDB's CHECKED
+    * integer arithmetic: values live in HUGEINT mod 2⁶⁴, `x >>> k` is
+    * `x // 2^k` (non-negative domain), and each wrapping 64×64 multiply
+    * is split into 32-bit halves — `(z·c) mod 2⁶⁴ = zl·cl +
+    * ((zl·ch + zh·cl) mod 2³²)·2³²  (mod 2⁶⁴)` — so every intermediate
+    * fits HUGEINT. Emits CTEs `<prefix>1..<prefix>6`; the last holds
+    * `carry..., z` with `z = mix64(zExpr)`. */
+  private def mix64Ctes(prefix: String, src: String, carry: Seq[String],
+                        zExpr: String): String = {
+    val M = "18446744073709551616::HUGEINT"   // 2^64
+    val B = "4294967296::HUGEINT"             // 2^32
+    def mul(ch: Long, cl: Long): String =
+      s"((z % $B) * $cl::HUGEINT + (((z % $B) * $ch::HUGEINT + " +
+        s"(z // $B) * $cl::HUGEINT) % $B) * $B) % $M"
+    val cols = carry.map(_ + ", ").mkString
+    // 0x9E3779B97F4A7C15; 0xBF58476D1CE4E5B9 = (3210233709, 484763065);
+    // 0x94D049BB133111EB = (2496678331, 321982955)
+    s"""${prefix}1 AS (SELECT $cols(($zExpr)::HUGEINT + 11400714819323198485::HUGEINT) % $M AS z FROM $src),
+       |${prefix}2 AS (SELECT ${cols}xor(z, z // 1073741824::HUGEINT) AS z FROM ${prefix}1),
+       |${prefix}3 AS (SELECT $cols${mul(3210233709L, 484763065L)} AS z FROM ${prefix}2),
+       |${prefix}4 AS (SELECT ${cols}xor(z, z // 134217728::HUGEINT) AS z FROM ${prefix}3),
+       |${prefix}5 AS (SELECT $cols${mul(2496678331L, 321982955L)} AS z FROM ${prefix}4),
+       |${prefix}6 AS (SELECT ${cols}xor(z, z // 2147483648::HUGEINT) AS z FROM ${prefix}5)""".stripMargin
+  }
+
+  /** FULL oracle for MinHash-LSH: DuckDB re-derives the whole pipeline —
+    * word 3-gram shingles, 32-bit djb2 shingle hashes, the splitmix64 hash
+    * family ([[mix64Ctes]] beats the wrapping-multiply problem that made
+    * this rows-only through round 5), per-band signature slices, exact
+    * slice-equality candidates, and the sorted-set Jaccard verify. Matches
+    * `Dedup.minhashLshPairs(numHashes=64, bands=16, t=0.8, n=3, seed=42)`
+    * bit-for-bit: both sides are pure integer arithmetic until the final
+    * |∩|/|∪| division of exact integers (identical IEEE result). */
+  private lazy val minhashLshSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM d),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN ts
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) END AS gs
+       |  FROM toks),
+       |x AS (
+       |  SELECT DISTINCT doc_id, CAST(${djb2Fold(sqlBytesOf("g"))} AS HUGEINT) AS x
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+       |seeds0 AS (SELECT unnest(range(0, 64)) AS i),
+       |${mix64Ctes("sm", "seeds0", Seq("i"), "42 + i")},
+       |seeds AS (SELECT i, z AS m FROM sm6),
+       |hx0 AS (SELECT x.doc_id, s.i, xor(x.x, s.m) AS v FROM x, seeds s),
+       |${mix64Ctes("hh", "hx0", Seq("doc_id", "i"), "v")},
+       |sig AS (SELECT doc_id, i, min(z) AS sv FROM hh6 GROUP BY 1, 2),
+       |slices AS (SELECT doc_id, i // 4 AS band, list(sv ORDER BY i) AS slice
+       |           FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM slices a JOIN slices b
+       |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM x GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN x xa ON xa.doc_id = c.a_id
+       |  JOIN x xb ON xb.doc_id = c.b_id AND xb.x = xa.x
+       |  GROUP BY 1, 2)
+       |SELECT i.a_id, i.b_id,
+       |  CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.a_id
+       |JOIN sizes sb ON sb.doc_id = i.b_id
+       |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.8""".stripMargin
+
   /** Multimodal plumbing: text bytes as media payload, stub byte-histogram
     * features; the 'a'/'e'/space ratios are exact in both engines. */
   private def multimodalHist(s: SparkSession, dir: String): DataFrame = {
@@ -2854,10 +2929,9 @@ object SparkEntry {
     "weighted_ensemble" -> weightedEnsembleSql,
     "dup_components" -> dupComponentsSql,
     "simhash_pairs" -> simhashPairsSql,
-    // minhash_lsh (splitmix64's wrapping 64-bit multiplies overflow
-    // DuckDB's checked arithmetic) / iforest_scores / topics / whiten /
-    // tsne_reduce / umap_reduce: seeded-hash, eigen-solver, or
-    // iterative-optimizer operators, not SQL-expressible -> rows-only
-    // checks + unit specs
+    "minhash_lsh" -> minhashLshSql,
+    // iforest_scores / topics / whiten / tsne_reduce / umap_reduce:
+    // seeded-forest, eigen-solver, or iterative-optimizer operators,
+    // not SQL-expressible -> rows-only checks + unit specs
   )
 }

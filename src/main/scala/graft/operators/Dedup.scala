@@ -140,7 +140,7 @@ object Dedup {
     else (a & b).size.toDouble / (a | b).size
 
   /**
-   * MinHash-LSH near-dup pairs: signature → (band, bandHash) buckets →
+   * MinHash-LSH near-dup pairs: signature → (band, band-slice) buckets →
    * same-bucket candidate pairs → exact Jaccard filter. The shuffle key is
    * the band bucket, so cost tracks true near-duplicate density.
    *
@@ -166,8 +166,13 @@ object Dedup {
       .select(col("id"), col("p._1").as("sh"), col("p._2").as("sig"))
       .persist()
     try {
+      // Bucket key is the band's EXACT signature slice (joined by array
+      // equality), not a 32-bit hash of it: no bucket-collision false
+      // candidates, and the whole pipeline stays pure integer arithmetic
+      // end-to-end (DuckDB re-derives it for the full oracle). Shuffle key
+      // grows from 4 bytes to rowsPerBand longs — noise next to the payload.
       val bandUdf = udf((sig: Seq[Long]) =>
-        (0 until bands).map(b => (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).hashCode())))
+        (0 until bands).map(b => (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))))
       val buckets = sigs.select(col("id"), explode(bandUdf(col("sig"))).as("bb"))
         .select(col("id"), col("bb._1").as("band"), col("bb._2").as("bucket"))
       val candidates = buckets.as("l").join(buckets.as("r"),
