@@ -2293,6 +2293,106 @@ object SparkEntry {
       .select(col("feature_index"), round(col("importance"), 4).as("importance"))
   }
 
+  /** Sampling SHAP over a DEPLOYED fixed-coefficient linear model
+    * (`UnifiedApi.registerLinear` — the model-import face): with the
+    * scorer a known closed form, the ENTIRE pipeline — splitmix64 coin
+    * flips, masked perturbations, linear scoring, Monte-Carlo average —
+    * is re-derived by the DuckDB oracle. `shap_linear` keeps exercising
+    * the MLlib-trained face (rows-only). */
+  private def shapFixedQ(s: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.queryVector(s, dir, 0L)
+    val w = Array.tabulate(inst.length)(k => (k + 1) / 64.0)
+    val tm = ml.UnifiedApi.registerLinear(w, 0.25, "embedding")
+    ml.Explain.shapValues(tm.modelId, inst, nSamples = 32)
+      .select(col("feature_index"), round(col("shap_value"), 4).as("shap"))
+  }
+
+  /** LIME over the same deployed linear scorer — noise stream, float
+    * perturbation arithmetic, Gaussian kernel, and the per-coordinate
+    * weighted least squares all oracle-verified. */
+  private def limeFixedQ(s: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.queryVector(s, dir, 0L)
+    val w = Array.tabulate(inst.length)(k => (k + 1) / 64.0)
+    val tm = ml.UnifiedApi.registerLinear(w, 0.25, "embedding")
+    ml.Explain.limeExplain(tm.modelId, inst, nSamples = 256)
+      .select(col("feature_index"), round(col("importance"), 4).as("importance"))
+  }
+
+  /** SHAP oracle: the coin flip u01(seed ⊕ i≪40 ⊕ j≪20 ⊕ k) < 0.5 is
+    * exact in SQL — u01 = (mix64(key) ≫ 11)/2⁵³ is an integer scaled by a
+    * power of two (both engines compute the identical double), and the
+    * linear score replays the model's left-to-right fold, so the only
+    * reordered float op is the final 64-term Monte-Carlo sum (≈1e-15,
+    * invisible at round-4). */
+  private lazy val shapFixedSql: String =
+    s"""WITH inst AS (
+       |  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+       |  FROM embeddings WHERE vec_id = 0),
+       |mk AS (
+       |  SELECT i, j, k, xor(xor(xor(CAST(42 AS BIGINT), i << 40), j << 20), k) AS key
+       |  FROM range(0, 64) t1(i), range(0, 32) t2(j), range(0, 64) t3(k)
+       |  WHERE k <> i),
+       |${mix64Ctes("sc", "mk", Seq("i", "j", "k"), "key")},
+       |coin AS (
+       |  SELECT i, j, k,
+       |    ((z // 2048)::DOUBLE / 9007199254740992.0) < 0.5 AS keep FROM sc6),
+       |grid AS (
+       |  SELECT i, j, sgn, k
+       |  FROM range(0, 64) t1(i), range(0, 32) t2(j),
+       |       (SELECT unnest([1, -1]) AS sgn), range(0, 64) t3(k)),
+       |xp AS (
+       |  SELECT g.i, g.j, g.sgn, g.k,
+       |    CASE WHEN g.k = g.i THEN CASE WHEN g.sgn > 0 THEN x[g.k + 1] ELSE 0.0 END
+       |         WHEN c.keep THEN x[g.k + 1] ELSE 0.0 END AS xv
+       |  FROM grid g CROSS JOIN inst
+       |  LEFT JOIN coin c ON c.i = g.i AND c.j = g.j AND c.k = g.k),
+       |preds AS (
+       |  SELECT i, j, sgn,
+       |    list_reduce(list_prepend(0.25,
+       |      list((CAST(k + 1 AS DOUBLE) / 64.0) * xv ORDER BY k)),
+       |      (a, c) -> a + c) AS pred
+       |  FROM xp GROUP BY 1, 2, 3)
+       |SELECT CAST(i AS INTEGER) AS feature_index,
+       |  round(sum(sgn * pred) / 32.0, 4) AS shap
+       |FROM preds GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** LIME oracle: perturbations replay the FLOAT arithmetic
+    * (x + ((u01−0.5)·0.2)::REAL in REAL domain), the kernel distance is
+    * the same left-to-right double fold of REAL squares, and exp/number
+    * reordering sit ≥10 orders below the round-4 output. */
+  private lazy val limeFixedSql: String =
+    s"""WITH inst AS (SELECT embedding AS xf FROM embeddings WHERE vec_id = 0),
+       |nk AS (
+       |  SELECT j, k, xor(xor(CAST(42 AS BIGINT), j << 24), k) AS key
+       |  FROM range(0, 256) t1(j), range(0, 64) t2(k)),
+       |${mix64Ctes("ln", "nk", Seq("j", "k"), "key")},
+       |pert AS (
+       |  SELECT j, k,
+       |    xf[k + 1] + CAST(((z // 2048)::DOUBLE / 9007199254740992.0 - 0.5) * 0.2 AS REAL) AS v
+       |  FROM ln6 CROSS JOIN inst),
+       |dd AS (
+       |  SELECT p.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST((p.v - xf[p.k + 1]) * (p.v - xf[p.k + 1]) AS DOUBLE) ORDER BY p.k)),
+       |      (a, c) -> a + c) AS d2
+       |  FROM pert p CROSS JOIN inst GROUP BY 1),
+       |kw AS (SELECT j, exp(-d2 / 0.5) AS w FROM dd),
+       |preds AS (
+       |  SELECT j,
+       |    list_reduce(list_prepend(0.25,
+       |      list((CAST(k + 1 AS DOUBLE) / 64.0) * CAST(v AS DOUBLE) ORDER BY k)),
+       |      (a, c) -> a + c) AS pred
+       |  FROM pert GROUP BY 1),
+       |agg AS (
+       |  SELECT p.k AS feature_index,
+       |    sum(kw.w * CAST(p.v AS DOUBLE) * pr.pred) AS num,
+       |    sum(kw.w * CAST(p.v AS DOUBLE) * CAST(p.v AS DOUBLE)) AS den
+       |  FROM pert p JOIN kw ON kw.j = p.j JOIN preds pr ON pr.j = p.j
+       |  GROUP BY 1)
+       |SELECT CAST(feature_index AS INTEGER) AS feature_index,
+       |  round(CASE WHEN den > 1e-10 THEN num / den ELSE 0.0 END, 4) AS importance
+       |FROM agg ORDER BY 1""".stripMargin
+
   /** GCN node classification via SGC on the customer graph (rows-only:
     * MLlib logistic fit; community separation asserted in GnnSpec). */
   private def gcnNodesQ(s: SparkSession, dir: String): DataFrame = {
@@ -2799,6 +2899,8 @@ object SparkEntry {
     "sgc_propagate" -> (sgcPropagateQ(_, _)),
     "shap_linear" -> (shapLinearQ(_, _)),
     "lime_linear" -> (limeLinearQ(_, _)),
+    "shap_fixed" -> (shapFixedQ(_, _)),
+    "lime_fixed" -> (limeFixedQ(_, _)),
     "gcn_nodes" -> (gcnNodesQ(_, _)),
     "davies_bouldin" -> (daviesBouldinQ(_, _)),
     "arima_forecast" -> (arimaForecastQ(_, _)),
@@ -2930,6 +3032,8 @@ object SparkEntry {
     "dup_components" -> dupComponentsSql,
     "simhash_pairs" -> simhashPairsSql,
     "minhash_lsh" -> minhashLshSql,
+    "shap_fixed" -> shapFixedSql,
+    "lime_fixed" -> limeFixedSql,
     // iforest_scores / topics / whiten / tsne_reduce / umap_reduce:
     // seeded-forest, eigen-solver, or iterative-optimizer operators,
     // not SQL-expressible -> rows-only checks + unit specs

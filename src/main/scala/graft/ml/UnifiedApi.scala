@@ -42,6 +42,45 @@ object UnifiedApi {
   def model(id: Long): TrainedModel =
     registry.getOrElse(id, throw new NoSuchElementException(s"no model with id $id"))
 
+  /** Fixed-coefficient linear scorer: prediction = b + Σ wₖ·xₖ with
+    * LEFT-TO-RIGHT summation, so the exact IEEE result is reproducible by
+    * any external auditor (the DuckDB oracle replays the same fold). */
+  private class FixedLinear(val w: Array[Double], val b: Double)
+      extends Transformer {
+    override val uid: String = org.apache.spark.ml.util.Identifiable.randomUID("fixedLinear")
+    override def transform(df: org.apache.spark.sql.Dataset[_]): DataFrame = {
+      val wts = w
+      val bias = b
+      val pred = udf((v: org.apache.spark.ml.linalg.Vector) => {
+        var s = bias
+        var k = 0
+        while (k < wts.length) { s += wts(k) * v(k); k += 1 }
+        s
+      })
+      df.withColumn("prediction", pred(col("features")))
+    }
+    override def transformSchema(schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      schema.add("prediction", org.apache.spark.sql.types.DoubleType)
+    override def copy(extra: org.apache.spark.ml.param.ParamMap): FixedLinear = this
+  }
+
+  /** Deploy a model with KNOWN coefficients into the registry — the
+    * model-import face of the reference's versioning/deploy surface
+    * (`neurondb.ml_models` rows carry serialized params;
+    * `neurondb--1.0.sql:961-1012`). Unlike [[train]], nothing is fitted:
+    * the scorer is the pure closed form, which makes every downstream
+    * pipeline over it (SHAP, LIME, ensembles) independently verifiable. */
+  def registerLinear(weights: Array[Double], intercept: Double,
+                     featuresCol: String): TrainedModel = {
+    val id = nextId.getAndIncrement()
+    val tm = TrainedModel(id, "fixed_linear",
+      Map("intercept" -> intercept.toString),
+      new FixedLinear(weights, intercept), Map.empty, featuresCol, None)
+    registry(id) = tm
+    tm
+  }
+
   /** `neurondb.list_algorithms()` (`neurondb--1.0.sql:5040-5071`). */
   def listAlgorithms: Seq[String] = Seq(
     "linear_regression", "ridge", "lasso", "elastic_net", "logistic_regression",

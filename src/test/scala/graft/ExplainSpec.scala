@@ -32,6 +32,24 @@ class ExplainSpec extends SparkSpecBase {
     }
   }
 
+  test("registerLinear deploys a fixed scorer: predictions and SHAP are the exact closed form") {
+    val w = Array(2.0, -3.0, 0.5)
+    val tm = UnifiedApi.registerLinear(w, 0.25, "vec")
+    val preds = UnifiedApi.predict(tm.modelId,
+        Seq((Seq(1.0f, 1.0f, 1.0f), 0)).toDF("vec", "ignore"))
+      .select("prediction").collect().map(_.getDouble(0))
+    // left-to-right fold: ((0.25 + 2) + -3) + 0.5
+    assert(preds.head == ((0.25 + 2.0) - 3.0) + 0.5)
+    val x = Array(0.4f, 0.2f, 1.0f)
+    val shap = Explain.shapValues(tm.modelId, x, nSamples = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    (0 to 2).foreach { i =>
+      // fixed scorer ⇒ no fit noise at all: w_i·x_i to float-widening ulps
+      assert(math.abs(shap(i) - w(i) * x(i)) < 1e-12,
+        s"shap($i)=${shap(i)} want ${w(i) * x(i)}")
+    }
+  }
+
   test("shapValues is deterministic across runs") {
     val x = Array(0.4f, 0.2f, 1.0f)
     val a = Explain.shapValues(modelId, x, nSamples = 16).collect().map(_.getDouble(1)).toSeq
