@@ -1665,6 +1665,45 @@ object SparkEntry {
       .select(col("topic"), concat_ws(" ", col("top_terms")).as("terms"))
   }
 
+  /** Topic discovery, FULL oracle: the deterministic Lloyd's fixpoint
+    * (`KmeansFixpoint`, same CTE unroll as `kmeans_fixpoint`) assigns
+    * clusters bit-for-bit, and the per-cluster top terms are plain
+    * integer term counts with a total (tf desc, term) order — so the
+    * whole topics pipeline is re-derived in SQL. `topics` keeps the
+    * MLlib-kmeans face (rows-only). */
+  private def topicsFixedQ(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ml.KmeansFixpoint.assign(
+      Tables.read(s, dir, "embeddings"), "vec_id", "embedding", k = 5, iters = 4)
+    val docs = Tables.read(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("tf").desc, col("term"))
+    docs.join(assigned, col("doc_id") === col("vec_id"))
+      .select(col("cluster"), explode(functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy(col("cluster").as("topic"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("term")))),
+        x => x.getField("term")), " ").as("terms"))
+  }
+
+  private lazy val topicsFixedSql: String =
+    s"""WITH km AS (
+       |${ml.KmeansFixpoint.oracleSql("embeddings", "vec_id", "embedding", k = 5, iters = 4, dim = 64)}),
+       |tf AS (
+       |  SELECT km.cluster, t.term, count(*) AS tf
+       |  FROM km JOIN documents d ON d.doc_id = km.vec_id,
+       |       unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS t(term)
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT cluster, term,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY tf DESC, term) AS rank
+       |  FROM tf)
+       |SELECT CAST(cluster AS INTEGER) AS topic,
+       |  string_agg(term, ' ' ORDER BY rank) AS terms
+       |FROM rk WHERE rank <= 5 GROUP BY 1""".stripMargin
+
   /** Sparse kernels validated against the dense oracle: a dense vector
     * viewed as sparse must give the same L2/dot. */
   private def sparseL2(s: SparkSession, dir: String): DataFrame = {
@@ -1693,6 +1732,20 @@ object SparkEntry {
       Tables.read(s, dir, "embeddings"), "embedding", k = 8)
       .select(col("vec_id"), posexplode(col("whitened")))
       .select(col("vec_id"), col("pos"), round(col("col"), 4).as("val"))
+
+  /** PCA whitening, FULL oracle: [[ml.WhitenFixpoint]] — integer-scaled
+    * Gram sums (exact), fixed-count power iteration with deflation, all
+    * scalar ops left-to-right (+,−,×,÷,√ only), so the DuckDB CTE unroll
+    * reproduces projections bit-for-bit. `whiten` keeps the MLlib-PCA
+    * face (rows-only; sign-indeterminate eigensolver). */
+  private def whitenFixedQ(s: SparkSession, dir: String): DataFrame =
+    ml.WhitenFixpoint.whiten(Tables.read(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 10)
+      .select(col("vec_id"), col("pos"), round(col("val"), 6).as("val"))
+
+  private lazy val whitenFixedSql: String =
+    ml.WhitenFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      k = 4, iters = 10, dim = 64)
 
   /** ANN at reduced nprobe with measured recall@10 against brute force
     * (BASELINE.md: reduced-nprobe runs report recall, target >=0.90).
@@ -2875,6 +2928,8 @@ object SparkEntry {
     "sparse_l2" -> (sparseL2(_, _)),
     "iforest_scores" -> (iforestScores(_, _)),
     "topics" -> (topicsQ(_, _)),
+    "topics_fixpoint" -> (topicsFixedQ(_, _)),
+    "whiten_fixpoint" -> (whitenFixedQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
@@ -3034,6 +3089,8 @@ object SparkEntry {
     "minhash_lsh" -> minhashLshSql,
     "shap_fixed" -> shapFixedSql,
     "lime_fixed" -> limeFixedSql,
+    "topics_fixpoint" -> topicsFixedSql,
+    "whiten_fixpoint" -> whitenFixedSql,
     // iforest_scores / topics / whiten / tsne_reduce / umap_reduce:
     // seeded-forest, eigen-solver, or iterative-optimizer operators,
     // not SQL-expressible -> rows-only checks + unit specs

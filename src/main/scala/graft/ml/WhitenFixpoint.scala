@@ -1,0 +1,160 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PCA whitening with a bit-reproducible arithmetic contract — the
+ * oracle-checkable counterpart of the MLlib-PCA-backed
+ * `AutoMl.whitenEmbeddings` (reference `ml_pca_whitening.c:36-90`), the
+ * same role [[KmeansFixpoint]] plays for `kmeans_train`.
+ *
+ * Reproducibility contract (each step exact or an IEEE-754-identical
+ * op sequence, so a SQL unroll matches bit-for-bit):
+ *
+ *  - coordinates integer-scaled once (`floor(x·1e6 + 0.5)` — exact);
+ *  - the Gram matrix Σ xᵢxⱼ and coordinate sums are INTEGER sums —
+ *    associative, shuffle-order-free, and ≤2⁴⁹ here so their double
+ *    widenings are exact;
+ *  - covariance, the fixed-count power iterations (matvec, norm,
+ *    normalize), deflation C ← C − λvvᵀ, and the final projection all
+ *    run left-to-right in coordinate order — the identical rounding
+ *    sequence in any IEEE engine (only +,−,×,÷,√ — no libm).
+ *
+ * Execution shape is Gram-matrix PCA: one map-side-combined d² cell
+ * aggregation (the only corpus-sized pass), a k·d·iters loop on the
+ * d×d matrix (driver, tiny), one projection pass. At 100 TB the d²
+ * cells are a constant-size shuffle; integer sums hold to 2⁶³.
+ */
+object WhitenFixpoint {
+
+  /** Whitened top-k projection of every row: (idCol, pos, val) with
+    * `val = ((x−μ)·vₑ) / √(λₑ + eps)` in the scaled domain. */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 4, iters: Int = 10, scale: Double = 1e6,
+             eps: Double = 1e-8): DataFrame = {
+    require(k > 0 && iters > 0)
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale + 0.5)).as("xs"))
+    val px = pts.select(col("id"), posexplode(col("xs")).as(Seq("j", "x")))
+
+    val n = pts.count()
+    val sums = px.groupBy("j").agg(sum("x").as("s")).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("s"))).toMap
+    val dim = sums.size
+    val ppRows = px.as("a").join(px.as("b"), "id")
+      .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+      .agg(sum(col("a.x") * col("b.x")).as("p")).collect()
+    val gram = Array.ofDim[Long](dim, dim)
+    ppRows.foreach(r =>
+      gram(r.getAs[Int]("i"))(r.getAs[Int]("jj")) = r.getAs[Long]("p"))
+
+    val mu = Array.tabulate(dim)(j => sums(j).toDouble / n)
+    val c = Array.tabulate(dim, dim)((i, j) => gram(i)(j).toDouble / n - mu(i) * mu(j))
+
+    val vs = Array.ofDim[Double](k, dim)
+    val lams = new Array[Double](k)
+    for (e <- 0 until k) {
+      val u = Array.fill(dim)(1.0)
+      var lam = 0.0
+      for (_ <- 1 to iters) {
+        val w = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += c(i)(j) * u(j); j += 1 }
+          w(i) = acc
+          i += 1
+        }
+        var nrm = 0.0
+        i = 0
+        while (i < dim) { nrm += w(i) * w(i); i += 1 }
+        lam = math.sqrt(nrm)
+        i = 0
+        while (i < dim) { u(i) = w(i) / lam; i += 1 }
+      }
+      vs(e) = u.clone()
+      lams(e) = lam
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) = c(i)(j) - lam * (u(i) * u(j)); j += 1 }
+        i += 1
+      }
+    }
+
+    val bc = spark.sparkContext.broadcast((vs, lams, mu))
+    val kk = k
+    val epsV = eps
+    val projUdf = udf((xs: Seq[Long]) => {
+      val (vv, ll, m) = bc.value
+      (0 until kk).map { e =>
+        var acc = 0.0
+        var j = 0
+        while (j < m.length) { acc += (xs(j).toDouble - m(j)) * vv(e)(j); j += 1 }
+        acc / math.sqrt(ll(e) + epsV)
+      }
+    })
+    pts.select(col("id").as(idCol), posexplode(projUdf(col("xs"))).as(Seq("pos", "val")))
+  }
+
+  /** DuckDB unroll of the identical recurrence: Gram/μ/covariance CTEs,
+    * then per eigenvector `iters` (matvec, norm, normalize) CTE triples
+    * with `list_reduce` folds in coordinate order, deflation between
+    * eigenvectors, and one projection CTE per component. Generated so
+    * k/iters/dim stay in one place. */
+  def oracleSql(table: String, idCol: String, vecCol: String,
+                k: Int, iters: Int, dim: Int): String = {
+    val fold = "(a, b) -> a + b"
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS MATERIALIZED (
+      |  SELECT $idCol AS id,
+      |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
+      |  FROM $table),
+      |px AS MATERIALIZED (SELECT id, unnest(range(1, ${dim + 1})) AS j, unnest(xs) AS x FROM pts),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM pts),
+      |mu AS MATERIALIZED (SELECT j, CAST(sum(x) AS DOUBLE) / (SELECT n FROM nn) AS v FROM px GROUP BY j),
+      |pp AS MATERIALIZED (SELECT a.j AS i, b.j AS j, sum(a.x * b.x) AS p
+      |       FROM px a JOIN px b USING (id) GROUP BY 1, 2),
+      |c_0 AS MATERIALIZED (SELECT p.i, p.j,
+      |    CAST(p.p AS DOUBLE) / (SELECT n FROM nn) - mi.v * mj.v AS v
+      |  FROM pp p JOIN mu mi ON mi.j = p.i JOIN mu mj ON mj.j = p.j),
+      |u_0_0 AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS i, 1.0 AS v)""".stripMargin
+    for (e <- 0 until k) {
+      if (e > 0)
+        sb ++= s""",
+          |u_${e}_0 AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS i, 1.0 AS v)""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""",
+          |w_${e}_$t AS MATERIALIZED (
+          |  SELECT c.i, list_reduce(list_prepend(0.0, list(c.v * u.v ORDER BY c.j)), $fold) AS v
+          |  FROM c_$e c JOIN u_${e}_${t - 1} u ON u.i = c.j GROUP BY c.i),
+          |nrm_${e}_$t AS MATERIALIZED (
+          |  SELECT sqrt(list_reduce(list_prepend(0.0, list(v * v ORDER BY i)), $fold)) AS v
+          |  FROM w_${e}_$t),
+          |u_${e}_$t AS MATERIALIZED (SELECT i, w.v / (SELECT v FROM nrm_${e}_$t) AS v FROM w_${e}_$t w)""".stripMargin
+      }
+      if (e + 1 < k)
+        sb ++= s""",
+          |c_${e + 1} AS MATERIALIZED (
+          |  SELECT c.i, c.j, c.v - (SELECT v FROM nrm_${e}_$iters) * (ui.v * uj.v) AS v
+          |  FROM c_$e c JOIN u_${e}_$iters ui ON ui.i = c.i
+          |             JOIN u_${e}_$iters uj ON uj.i = c.j)""".stripMargin
+    }
+    for (e <- 0 until k) {
+      sb ++= s""",
+        |pr_$e AS MATERIALIZED (
+        |  SELECT px.id, $e AS pos,
+        |    list_reduce(list_prepend(0.0,
+        |      list((CAST(px.x AS DOUBLE) - mu.v) * u.v ORDER BY px.j)), $fold)
+        |      / sqrt((SELECT v FROM nrm_${e}_$iters) + 1e-8) AS val
+        |  FROM px JOIN mu ON mu.j = px.j JOIN u_${e}_$iters u ON u.i = px.j
+        |  GROUP BY px.id)""".stripMargin
+    }
+    val union = (0 until k).map(e => s"SELECT * FROM pr_$e").mkString(" UNION ALL ")
+    sb ++= s"\nSELECT id AS $idCol, CAST(pos AS INTEGER) AS pos, round(val, 6) AS val FROM ($union)"
+    sb.toString
+  }
+}
