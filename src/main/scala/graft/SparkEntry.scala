@@ -1657,6 +1657,20 @@ object SparkEntry {
       .select(col("vec_id"), round(col("anomaly_score"), 6).as("score"))
   }
 
+  /** Isolation forest, FULL oracle: [[ml.IforestFixpoint]] re-keys every
+    * random choice to a pure hash of (tree, node) instead of a serial
+    * RNG, so the DuckDB unroll replays sampling, level-synchronous tree
+    * growth, and the path-length scores bit-for-bit. `iforest_scores`
+    * keeps the classic serial-RNG face (rows-only). */
+  private def iforestFixedQ(s: SparkSession, dir: String): DataFrame =
+    ml.IforestFixpoint.score(Tables.read(s, dir, "embeddings"),
+        "vec_id", "embedding", numTrees = 20, sampleSize = 64, maxDepth = 6)
+      .select(col("vec_id"), round(col("anomaly_score"), 6).as("score"))
+
+  private lazy val iforestFixedSql: String =
+    ml.IforestFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      numTrees = 20, sampleSize = 64, maxDepth = 6, dim = 64)
+
   /** topic discovery over document embeddings (rows-only). */
   private def topicsQ(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.read(s, dir, "embeddings")
@@ -2930,6 +2944,7 @@ object SparkEntry {
     "topics" -> (topicsQ(_, _)),
     "topics_fixpoint" -> (topicsFixedQ(_, _)),
     "whiten_fixpoint" -> (whitenFixedQ(_, _)),
+    "iforest_fixpoint" -> (iforestFixedQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
@@ -3091,6 +3106,7 @@ object SparkEntry {
     "lime_fixed" -> limeFixedSql,
     "topics_fixpoint" -> topicsFixedSql,
     "whiten_fixpoint" -> whitenFixedSql,
+    "iforest_fixpoint" -> iforestFixedSql,
     // iforest_scores / topics / whiten / tsne_reduce / umap_reduce:
     // seeded-forest, eigen-solver, or iterative-optimizer operators,
     // not SQL-expressible -> rows-only checks + unit specs
