@@ -2340,6 +2340,89 @@ object SparkEntry {
       |FROM vals WHERE node_id <= 100
       |GROUP BY 1, 2""".stripMargin
 
+  /** GCN head, replayable oracle: the SGC-propagated features (same
+    * derivation as `sgc_propagate`, float-rounded hence exact in SQL)
+    * feed `Gnn.logisticGdFixpoint` — fixed-count full-batch logistic GD,
+    * zero init, left-to-right dot products. Only unordered cross-row
+    * gradient sums and exp ulps separate the engines (~1e-14 after 10
+    * rounds), 10 orders below the round-4 output. `gcn_nodes` keeps the
+    * MLlib L-BFGS face (rows-only). */
+  private def gcnFixedQ(s: SparkSession, dir: String): DataFrame = {
+    val targets = Tables.read(s, dir, "customer")
+      .filter(col("c_custkey") <= 100).select(col("c_custkey").as("node_id"))
+      .unionByName(nodeFeatures(s, dir).filter(col("node_id") <= 100)
+        .select("node_id"))
+      .distinct()
+    val feats = ml.Gnn.sgcPropagate(customerEdges(s, dir), nodeFeatures(s, dir),
+        hops = 1, targets = Some(targets), assumeSymmetric = true)
+      .filter(col("node_id") <= 100)
+    val labels = Tables.read(s, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey").as("node_id"), (col("c_nationkey") % 2).as("label"))
+    ml.Gnn.logisticGdFixpoint(feats, labels, iters = 10, lr = 0.5)
+      .select(col("node_id"), round(col("prob"), 4).as("prob"))
+  }
+
+  private lazy val gcnFixedSql: String = {
+    val iters = 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH und AS MATERIALIZED (
+      |  SELECT DISTINCT c1.c_custkey AS src, c2.c_custkey AS dst
+      |  FROM customer c1 JOIN customer c2
+      |    ON c1.c_nationkey = c2.c_nationkey
+      |   AND c1.c_custkey % 10 = c2.c_custkey % 10
+      |   AND c1.c_custkey <> c2.c_custkey),
+      |wself AS MATERIALIZED (SELECT src, dst FROM und
+      |          UNION SELECT vec_id, vec_id FROM embeddings),
+      |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM wself GROUP BY src),
+      |norm AS MATERIALIZED (SELECT w.src, w.dst, 1.0 / sqrt(ds.deg * dd.deg) AS w
+      |         FROM wself w JOIN deg ds ON ds.src = w.src
+      |                      JOIN deg dd ON dd.src = w.dst),
+      |vals AS MATERIALIZED (
+      |  SELECT n.dst AS node_id, t.pos, CAST(t.v * n.w AS REAL) AS v
+      |  FROM norm n JOIN (
+      |    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+      |           unnest(embedding::DOUBLE[]) AS v
+      |    FROM embeddings) t ON t.vec_id = n.src),
+      |feat AS MATERIALIZED (
+      |  SELECT node_id, pos, CAST(CAST(SUM(v) AS REAL) AS DOUBLE) AS val
+      |  FROM vals WHERE node_id <= 100
+      |  GROUP BY 1, 2),
+      |fl AS MATERIALIZED (
+      |  SELECT node_id, list_append(list(val ORDER BY pos), 1.0) AS xs
+      |  FROM feat GROUP BY 1),
+      |lab AS MATERIALIZED (
+      |  SELECT c_custkey AS node_id, CAST(c_nationkey % 2 AS DOUBLE) AS y
+      |  FROM customer WHERE c_custkey <= 100),
+      |tr AS MATERIALIZED (SELECT fl.node_id, fl.xs, lab.y
+      |  FROM fl JOIN lab USING (node_id)),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM tr),
+      |w_0 AS MATERIALIZED (
+      |  SELECT list_transform(range(1, 66), j -> 0.0) AS w)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |p_$i AS MATERIALIZED (
+        |  SELECT t.node_id, t.xs, t.y,
+        |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(t.xs) + 1), j -> w.w[j] * t.xs[j])),
+        |      (a, b) -> a + b)))) AS p
+        |  FROM tr t, w_${i - 1} w),
+        |g_$i AS MATERIALIZED (
+        |  SELECT rr.j, sum((t.y - t.p) * t.xs[rr.j]) AS g
+        |  FROM p_$i t, range(1, 66) rr(j) GROUP BY rr.j),
+        |w_$i AS MATERIALIZED (
+        |  SELECT list(w.w[g.j] + 0.5 * (g.g / (SELECT n FROM nn)) ORDER BY g.j) AS w
+        |  FROM g_$i g, w_${i - 1} w)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT fl.node_id,
+      |  round(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+      |    list_transform(range(1, len(fl.xs) + 1), j -> w.w[j] * fl.xs[j])),
+      |    (a, b) -> a + b)))), 4) AS prob
+      |FROM fl, w_$iters w""".stripMargin
+    sb.toString
+  }
+
   /** Sampling SHAP values for a linear model over the embedding features
     * (rows-only: model training not SQL-expressible; the linear-model
     * closed form w_i·x_i is asserted in ExplainSpec). */
@@ -2945,6 +3028,7 @@ object SparkEntry {
     "topics_fixpoint" -> (topicsFixedQ(_, _)),
     "whiten_fixpoint" -> (whitenFixedQ(_, _)),
     "iforest_fixpoint" -> (iforestFixedQ(_, _)),
+    "gcn_fixpoint" -> (gcnFixedQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
@@ -3107,8 +3191,15 @@ object SparkEntry {
     "topics_fixpoint" -> topicsFixedSql,
     "whiten_fixpoint" -> whitenFixedSql,
     "iforest_fixpoint" -> iforestFixedSql,
-    // iforest_scores / topics / whiten / tsne_reduce / umap_reduce:
-    // seeded-forest, eigen-solver, or iterative-optimizer operators,
-    // not SQL-expressible -> rows-only checks + unit specs
+    "gcn_fixpoint" -> gcnFixedSql,
+    // Remaining rows-only queries fall into exactly three classes:
+    //  - MLlib faces with an oracle-verified fixpoint sibling
+    //    (ml_kmeans/whiten/topics/iforest_scores/gcn_nodes/
+    //     shap_linear/lime_linear);
+    //  - ANN recall/serve reports whose exact counterparts ARE oracled
+    //    (hnsw_*/ivf_*recall/ivf_disk_knn/ivfpq_knn*);
+    //  - exp-heavy iterative optimizers whose replay drift compounds
+    //    past any rounding (tsne_reduce/umap_reduce/autoencoder_recon)
+    //    -> unit specs assert their contracts instead.
   )
 }

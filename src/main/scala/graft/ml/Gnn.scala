@@ -193,4 +193,60 @@ object Gnn {
     val train = propagated.join(labels.select(col("node_id"), col("label")), "node_id")
     UnifiedApi.train("logistic_regression", train, "features", Some("label"), params)
   }
+
+  /**
+   * Deterministic logistic head for the SGC reduction — the
+   * oracle-replayable counterpart of [[gcnTrain]]'s MLlib L-BFGS fit:
+   * full-batch gradient descent with a FIXED iteration count, zero init,
+   * and an appended bias coordinate. Per iteration: broadcast the 65
+   * weights, ONE map-side-combined gradient aggregation (d+1 cells),
+   * update on the driver — the classic scalable GD shape.
+   *
+   * Replay contract: per-row dot products fold left-to-right in
+   * coordinate order (same as the oracle's `list_reduce`); only the
+   * cross-row gradient sums are order-free float adds, so engines agree
+   * to ~1e-14 after `iters` rounds — 10 orders below the round-4 output.
+   *
+   * Returns (node_id, prob) for EVERY feature row (labeled or not).
+   */
+  def logisticGdFixpoint(features: DataFrame, labels: DataFrame,
+                         iters: Int = 10, lr: Double = 0.5): DataFrame = {
+    val spark = features.sparkSession
+    val withBias = udf((v: Seq[Float]) => {
+      val out = new Array[Double](v.length + 1)
+      var j = 0
+      while (j < v.length) { out(j) = v(j).toDouble; j += 1 }
+      out(v.length) = 1.0
+      out.toSeq
+    })
+    val fl = features.select(col("node_id"), withBias(col("features")).as("xs"))
+    val train = fl.join(
+      labels.select(col("node_id"), col("label").cast("double").as("y")), "node_id")
+      .persist()
+    try {
+      val n = train.count()
+      val dim1 = fl.head().getSeq[Double](1).length
+      var w = new Array[Double](dim1)
+      def probUdf(wts: Array[Double]) = {
+        val bw = spark.sparkContext.broadcast(wts)
+        udf((xs: Seq[Double]) => {
+          val ww = bw.value
+          var z = 0.0
+          var j = 0
+          while (j < ww.length) { z += ww(j) * xs(j); j += 1 }
+          1.0 / (1.0 + math.exp(-z))
+        })
+      }
+      for (_ <- 1 to iters) {
+        val p = probUdf(w)
+        val grads = train
+          .select(col("xs"), (col("y") - p(col("xs"))).as("r"))
+          .select(col("r"), posexplode(col("xs")).as(Seq("j", "x")))
+          .groupBy("j").agg(sum(col("r") * col("x")).as("g"))
+          .collect().map(r => (r.getAs[Int]("j"), r.getAs[Double]("g"))).toMap
+        w = Array.tabulate(dim1)(j => w(j) + lr * (grads.getOrElse(j, 0.0) / n))
+      }
+      fl.select(col("node_id"), probUdf(w)(col("xs")).as("prob"))
+    } finally train.unpersist()
+  }
 }

@@ -109,4 +109,27 @@ class GnnSpec extends SparkSpecBase {
     assert(pred(3) == 0.0, s"node 3 → ${pred(3)}")
     assert(pred(7) == 1.0, s"node 7 → ${pred(7)}")
   }
+
+  test("logisticGdFixpoint separates the same communities and is repartition-invariant") {
+    val cliqueEdges = (for {
+      c <- 0 to 1; i <- 0 to 3; j <- 0 to 3 if i < j
+    } yield (c * 4 + i, c * 4 + j)) :+ ((3, 4))
+    val e = cliqueEdges.toDF("node_id", "neighbor_id")
+    val f = (0 to 7).map { n =>
+      val c = n / 4
+      (n, Seq(if (c == 0) 1f else 0.1f, if (c == 1) 1f else 0.1f, (n % 4) / 10f))
+    }.toDF("node_id", "features")
+    val labels = Seq((0, 0), (1, 0), (2, 0), (4, 1), (5, 1), (6, 1)).toDF("node_id", "label")
+    val propagated = Gnn.sgcPropagate(e, f, hops = 2)
+    val probs = Gnn.logisticGdFixpoint(propagated, labels, iters = 30, lr = 1.0)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(probs(3) < 0.5, s"node 3 → ${probs(3)}")
+    assert(probs(7) > 0.5, s"node 7 → ${probs(7)}")
+    val again = Gnn.logisticGdFixpoint(propagated.repartition(5), labels,
+        iters = 30, lr = 1.0)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // cross-row gradient sums are the one unordered float reduce: equal
+    // to well below the oracle's round-4 output
+    (0 to 7).foreach(n => assert(math.abs(probs(n) - again(n)) < 1e-9))
+  }
 }
