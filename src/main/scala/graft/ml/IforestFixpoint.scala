@@ -65,17 +65,30 @@ object IforestFixpoint {
             numTrees: Int = 20, sampleSize: Int = 64,
             maxDepth: Int = 6): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(rows.nonEmpty, "empty input")
-    val dim = rows.head._2.length
-    val byId = rows.toMap
+    // Per-tree hash-ranked samples selected DISTRIBUTED (explode trees,
+    // window-rank on the hash), so the driver collects only the
+    // numTrees·sampleSize sampled rows — never the corpus.
+    val rankUdf = udf((t: Int, id: Long) =>
+      rank53(mix64(SampleSalt ^ (t.toLong << 32) ^ id)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("t").orderBy(col("rk"), col("id"))
+    val sampledRows = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("t", explode(lit((0 until numTrees).toArray)))
+      .withColumn("rk", rankUdf(col("t"), col("id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sampleSize)
+      .select("t", "id", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    require(sampledRows.nonEmpty, "empty input")
+    val dim = sampledRows.head._3.length
+    val byId = sampledRows.map(r => (r._2, r._3)).toMap
 
-    // per-tree hash-ranked sample, without replacement
-    val samples: Array[Array[Long]] = Array.tabulate(numTrees) { t =>
-      rows.map(_._1)
-        .sortBy(id => (rank53(mix64(SampleSalt ^ (t.toLong << 32) ^ id)), id))
-        .take(math.min(sampleSize, rows.length))
+    val samples: Array[Array[Long]] = {
+      val byTree = sampledRows.groupBy(_._1)
+      Array.tabulate(numTrees)(t =>
+        byTree(t).sortBy(r => (rank53(mix64(SampleSalt ^ (t.toLong << 32) ^ r._2)), r._2))
+          .map(_._2))
     }
 
     // level-synchronous build; assignment = (tree, id, heapPath)
@@ -109,7 +122,7 @@ object IforestFixpoint {
       nodes((t, p, maxDepth)) = BNode(leaf = true, members.size, 0, 0.0)
     }
 
-    val cS = cFactor(math.min(sampleSize, rows.length))
+    val cS = cFactor(samples(0).length) // = min(sampleSize, n) by rank cap
     val bNodes = spark.sparkContext.broadcast(nodes.toMap)
     val nT = numTrees
     val mD = maxDepth

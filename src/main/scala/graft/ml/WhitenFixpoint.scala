@@ -37,18 +37,32 @@ object WhitenFixpoint {
     val spark = df.sparkSession
     val pts = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => floor(x.cast("double") * scale + 0.5)).as("xs"))
-    val px = pts.select(col("id"), posexplode(col("xs")).as(Seq("j", "x")))
-
-    val n = pts.count()
-    val sums = px.groupBy("j").agg(sum("x").as("s")).collect()
-      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("s"))).toMap
-    val dim = sums.size
-    val ppRows = px.as("a").join(px.as("b"), "id")
-      .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
-      .agg(sum(col("a.x") * col("b.x")).as("p")).collect()
-    val gram = Array.ofDim[Long](dim, dim)
-    ppRows.foreach(r =>
-      gram(r.getAs[Int]("i"))(r.getAs[Int]("jj")) = r.getAs[Long]("p"))
+    // One pass for n, Σx, and the Gram matrix: per-partition integer
+    // buffers of d²+d+1 longs, merged element-wise. Integer addition is
+    // associative, so ANY combine order gives the identical result —
+    // this is what lets the d² cells ride a model-sized aggregate
+    // instead of an n·d² shuffle (the join-on-id formulation would ship
+    // every coordinate pair; this ships one 32 KB buffer per partition).
+    val dim = pts.select(size(col("xs"))).head().getInt(0)
+    val zero = new Array[Long](dim * dim + dim + 1)
+    val agg = pts.select(col("xs")).rdd.map(_.getSeq[Long](0).toArray)
+      .treeAggregate(zero)(
+        (buf, xs) => {
+          var i = 0
+          while (i < dim) {
+            val xi = xs(i)
+            var j = 0
+            while (j < dim) { buf(i * dim + j) += xi * xs(j); j += 1 }
+            buf(dim * dim + i) += xi
+            i += 1
+          }
+          buf(dim * dim + dim) += 1L
+          buf
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val n = agg(dim * dim + dim)
+    val gram = Array.tabulate(dim, dim)((i, j) => agg(i * dim + j))
+    val sums = Array.tabulate(dim)(j => agg(dim * dim + j))
 
     val mu = Array.tabulate(dim)(j => sums(j).toDouble / n)
     val c = Array.tabulate(dim, dim)((i, j) => gram(i)(j).toDouble / n - mu(i) * mu(j))
