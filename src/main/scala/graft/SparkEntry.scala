@@ -1657,6 +1657,21 @@ object SparkEntry {
       .select(col("vec_id"), round(col("anomaly_score"), 6).as("score"))
   }
 
+  /** Autoencoder, replayable oracle: [[ml.AeFixpoint]] — same u01-hash
+    * Xavier init as the production trainer, fixed epoch count, ordered
+    * per-row folds; only unordered cross-row gradient sums and exp ulps
+    * separate the engines, far below the round-4 output.
+    * `autoencoder_recon` keeps the partition-ordered production face. */
+  private def aeFixedQ(s: SparkSession, dir: String): DataFrame =
+    ml.AeFixpoint.score(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
+      "vec_id", "embedding", d = 8, k = 2, epochs = 12, lr = 0.5)
+      .select(col("vec_id"), round(col("sq_error"), 4).as("sq_error"))
+
+  private lazy val aeFixedSql: String =
+    ml.AeFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      filter = "vec_id < 200", d = 8, k = 2, epochs = 12, lr = 0.5, seed = 42L)
+
   /** Isolation forest, FULL oracle: [[ml.IforestFixpoint]] re-keys every
     * random choice to a pure hash of (tree, node) instead of a serial
     * RNG, so the DuckDB unroll replays sampling, level-synchronous tree
@@ -3029,6 +3044,7 @@ object SparkEntry {
     "whiten_fixpoint" -> (whitenFixedQ(_, _)),
     "iforest_fixpoint" -> (iforestFixedQ(_, _)),
     "gcn_fixpoint" -> (gcnFixedQ(_, _)),
+    "autoencoder_fixpoint" -> (aeFixedQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
     "ivf_ann_recall" -> (ivfAnnRecall(_, _)),
     "hnsw_ann_recall" -> (hnswAnnRecall(_, _)),
@@ -3192,6 +3208,7 @@ object SparkEntry {
     "whiten_fixpoint" -> whitenFixedSql,
     "iforest_fixpoint" -> iforestFixedSql,
     "gcn_fixpoint" -> gcnFixedSql,
+    "autoencoder_fixpoint" -> aeFixedSql,
     // Remaining rows-only queries fall into exactly three classes:
     //  - MLlib faces with an oracle-verified fixpoint sibling
     //    (ml_kmeans/whiten/topics/iforest_scores/gcn_nodes/
