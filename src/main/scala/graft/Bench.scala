@@ -23,6 +23,7 @@ object Bench {
     "quant_int8", "chunk_text",                           // codecs / chunking
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
     "ml_kmeans", "zscore_outliers",
+    "whiten_fixpoint", "iforest_fixpoint",                // Gram-aggregate PCA, hash forest
     "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup
     "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
