@@ -2707,15 +2707,54 @@ object SparkEntry {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // avg as REAL, not round-6: the cross-engine sum-order noise (~1e-15
+    // relative) can straddle a decimal rounding boundary (seen at sf0.1);
+    // float granularity sits 9 orders above the noise, so the cast is the
+    // robust equality the driver's hash compare needs.
     s.table(name)
       .select(col("window.start").cast("long").as("wstart"), col("event_type"),
-        col("n"), round(col("avg_value"), 6).as("avg_value"))
+        col("n"), col("avg_value").cast("float").as("avg_value"))
   }
 
   private val streamWindowAggSql =
     """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
-      |  event_type, COUNT(*) AS n, round(AVG(value), 6) AS avg_value
+      |  event_type, COUNT(*) AS n, CAST(AVG(value) AS REAL) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Stream-stream time-bounded join as a REAL streaming query: view →
+    * click attribution on user_id within 1 hour, both sides watermarked
+    * (state engine-evicted at watermark+bound), inner join in append
+    * mode — the canonical impression×click pipeline shape. Oracle: the
+    * plain batch time-bounded join. */
+  private def streamStreamJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("l_id"), col("user_id").as("key"),
+        col("ts_ts").as("l_ts"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("key"),
+        col("ts_ts").as("r_ts"))
+    val joined = streaming.EventStream.timeBoundedJoin(views, clicks,
+      bound = "1 hour", watermark = "12 hours")
+    val name = "stream_stream_join_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select(col("l_id").as("view_id"), col("r_id").as("click_id"),
+      col("lag_us"))
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin
 
   /** Gap-based session windows as a REAL streaming query (file source →
     * stateful session_window agg → memory sink); oracle re-derives the
@@ -3085,6 +3124,7 @@ object SparkEntry {
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
+    "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
     "quant_ranged" -> (quantRangedQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
@@ -3189,6 +3229,7 @@ object SparkEntry {
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_session_agg" -> streamSessionAggSql,
+    "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,
     "quant_ranged" -> quantRangedSql,
     "asof_join" -> asofJoinSql,

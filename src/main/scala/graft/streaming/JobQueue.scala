@@ -107,6 +107,31 @@ object EventStream {
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
   }
 
+  /**
+   * Stream-stream time-bounded inner join — the canonical
+   * impression×click attribution shape of a training-data pipeline:
+   * right events join left events with the same key when they land
+   * within `(0, bound]` after them. Both sides carry watermarks, so the
+   * engine evicts join state once `watermark + bound` passes — state is
+   * O(in-flight window), never O(stream). Works on static frames too
+   * (plain join — batch parity for the oracle gate).
+   *
+   * Columns: left must carry (`l_id`, `key`, `l_ts`); right (`r_id`,
+   * `key`, `r_ts`). Returns (l_id, r_id, lag_us).
+   */
+  def timeBoundedJoin(left: DataFrame, right: DataFrame,
+                      bound: String = "1 hour",
+                      watermark: String = "12 hours"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark("l_ts", watermark) else left
+    val r = if (right.isStreaming) right.withWatermark("r_ts", watermark) else right
+    l.join(r.withColumnRenamed("key", "r_key"),
+        col("key") === col("r_key") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bound"))
+      .select(col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+  }
+
   /** Gap-based session windows per key (`session_window` — dynamic
     * windows that extend while events arrive within `gap` of the last
     * one; a new session starts when the gap is reached). Works on static

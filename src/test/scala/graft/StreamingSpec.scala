@@ -123,6 +123,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.sorted == Seq("k1", "k2"))
   }
 
+  test("stream-stream time-bounded join matches across micro-batches and bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    views.addData((1L, 7L, ts(0)), (2L, 8L, ts(0)))
+    val joined = EventStream.timeBoundedJoin(
+      views.toDF.toDF("l_id", "key", "l_ts"),
+      clicks.toDF.toDF("r_id", "key", "r_ts"),
+      bound = "30 minutes", watermark = "2 hours")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_sink").start()
+    q.processAllAvailable()
+    // click for view 1 inside the bound (later micro-batch: state joins
+    // across batches); click for view 2 outside the bound; wrong-key click
+    clicks.addData((10L, 7L, ts(10)), (11L, 8L, ts(45)), (12L, 9L, ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT l_id, r_id FROM ssj_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 10L)))
+  }
+
   test("stream quota carries cumulative usage across micro-batches (GroupState)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
