@@ -149,6 +149,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("LSH band-slice buckets (array keys) still plan as a hash join, not nested-loop") {
+    // minhashLshPairs joins candidates on (band, slice array<long>); array
+    // equality must remain a shuffle/hash-joinable key — a fallback to
+    // BroadcastNestedLoopJoin would be O(n²) over bucket rows.
+    import spark.implicits._
+    val buckets = Seq((1L, 0, Seq(1L, 2L)), (2L, 0, Seq(1L, 2L)), (3L, 1, Seq(9L, 9L)))
+      .toDF("id", "band", "bucket")
+    val joined = buckets.as("l").join(buckets.as("r"),
+      col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+    val plan = planOf(joined)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(joined.count() == 1)
+  }
+
   test("HNSW batch search merges per-shard top-k by a per-query window — no global sort") {
     val emb = Tables.read(spark, dir, "embeddings").filter(col("vec_id") < 200)
     val idx = operators.Hnsw.build(emb, "vec_id", "embedding", numShards = 2)
