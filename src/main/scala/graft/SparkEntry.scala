@@ -1009,6 +1009,61 @@ object SparkEntry {
     ml.KmeansFixpoint.oracleSql("embeddings", "vec_id", "embedding",
       k = 5, iters = 4, dim = 64)
 
+  /** ANN recall curve with the MEASUREMENT itself under the oracle: IVF
+    * over the bit-exact Lloyd-fixpoint quantizer, recall@10-vs-nprobe by
+    * the probe-rank identity (`Ivf.recallCurve`'s single-pass form). The
+    * true top-k uses pure INTEGER squared distances on the scaled
+    * coordinates; probe ranks are double folds over exact inputs — every
+    * number in the curve is engine-independent. The MLlib-quantizer
+    * recall reports (`ivf_ann_recall` etc.) stay rows-only faces. */
+  private def ivfRecallFixpointQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.read(s, dir, "embeddings")
+    val (assigned, centers) = ml.KmeansFixpoint.fit(e, "vec_id", "embedding",
+      k = 5, iters = 4)
+    val pts = e.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1e6 + 0.5)).as("xs"))
+    val bc = s.sparkContext.broadcast(centers)
+    val prankUdf = udf((q: Seq[Long]) => {
+      val cs = bc.value
+      val ds = cs.zipWithIndex.map { case (c, ci) =>
+        var acc = 0.0
+        var j = 0
+        while (j < c.length) { val t = q(j).toDouble - c(j); acc += t * t; j += 1 }
+        (acc, ci)
+      }
+      val rank = new Array[Int](cs.length)
+      ds.sortBy(identity).map(_._2).zipWithIndex
+        .foreach { case (c, i) => rank(c) = i + 1 }
+      rank.toSeq
+    })
+    val queries = pts.filter(col("id") < 20)
+      .select(col("id").as("qid"), col("xs").as("qxs"), prankUdf(col("xs")).as("prank"))
+    val d2Udf = udf((a: Seq[Long], b: Seq[Long]) => {
+      var acc = 0L
+      var j = 0
+      while (j < a.length) { val t = a(j) - b(j); acc += t * t; j += 1 }
+      acc
+    })
+    val topk = queries.crossJoin(pts)
+      .withColumn("d2", d2Udf(col("qxs"), col("xs")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .filter(col("rk") <= 10)
+    val hits = topk.join(assigned.select(col("vec_id").as("id"), col("cluster")), "id")
+      .withColumn("pr", element_at(col("prank"), col("cluster") + 1))
+    import s.implicits._
+    Seq(1, 2, 3, 5).toDF("nprobe").crossJoin(hits)
+      .groupBy("nprobe")
+      .agg((sum(when(col("pr") <= col("nprobe"), 1).otherwise(0)) / lit(200.0))
+        .as("recall_at_10"))
+      .orderBy("nprobe")
+  }
+
+  private lazy val ivfRecallFixpointSql: String =
+    ml.KmeansFixpoint.recallOracleSql("embeddings", "vec_id", "embedding",
+      k = 5, iters = 4, dim = 64, maxQid = 20, kTop = 10, nprobes = Seq(1, 2, 3, 5))
+
   /** kmeans via the unified API: cluster sizes are seed-deterministic but
     * not SQL-expressible → rows-only check. */
   private def mlKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -3053,6 +3108,7 @@ object SparkEntry {
     "recall_at_k" -> (recallAtK(_, _)),
     "ml_kmeans" -> (mlKmeans(_, _)),
     "kmeans_fixpoint" -> (kmeansFixpointQ(_, _)),
+    "ivf_recall_fixpoint" -> (ivfRecallFixpointQ(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_cosine" -> (dedupCosine(_, _)),
     "ivf_join_exact" -> (ivfJoinExact(_, _)),
@@ -3187,6 +3243,7 @@ object SparkEntry {
     // ml_kmeans: no SQL oracle -> rows-only check (seeded determinism in
     // spec); kmeans_fixpoint below is the FULL-oracle Lloyd counterpart
     "kmeans_fixpoint" -> kmeansFixpointSql,
+    "ivf_recall_fixpoint" -> ivfRecallFixpointSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cosine" -> dedupCosineSql,
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join

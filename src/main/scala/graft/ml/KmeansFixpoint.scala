@@ -31,7 +31,14 @@ object KmeansFixpoint {
   /** Assign every row to a cluster after `iters` Lloyd rounds from
     * first-k-by-id init. Returns (idCol, cluster). */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+             k: Int, iters: Int, scale: Double = 1e6): DataFrame =
+    fit(df, idCol, vecCol, k, iters, scale)._1
+
+  /** [[assign]] plus the final centroid matrix (scaled-integer domain,
+    * the centers the last assignment used) — the coarse quantizer an
+    * IVF layer probes. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int, scale: Double = 1e6): (DataFrame, Array[Array[Double]]) = {
     require(k > 0 && iters > 0)
     val spark = df.sparkSession
     val pts = df.select(col(idCol).cast("long").as("id"),
@@ -81,14 +88,61 @@ object KmeansFixpoint {
         centers = next
       }
     }
-    assigned.select(col("id").as(idCol), col("cluster"))
+    (assigned.select(col("id").as(idCol), col("cluster")), centers)
   }
 
   /** The DuckDB unroll of the identical recurrence: one CTE pair
     * (assign aᵢ, recenter cᵢ) per iteration over integer-scaled points.
     * Generated, not hand-written, so k/iters/dim stay in one place. */
   def oracleSql(table: String, idCol: String, vecCol: String,
-                k: Int, iters: Int, dim: Int): String = {
+                k: Int, iters: Int, dim: Int): String =
+    ctesSql(table, idCol, vecCol, k, iters, dim) +
+      s"\nSELECT id AS $idCol, cluster FROM a$iters"
+
+  /**
+   * FULL oracle for an IVF recall curve over the fixpoint quantizer:
+   * recall@k(p) = avg over queries of |{x ∈ true-top-k : probe rank of
+   * x's posting list ≤ p}| / k (the single-pass identity
+   * `Ivf.recallCurve` uses). With centroids bit-exact from the Lloyd
+   * fixpoint, probe ranks (double folds over exact inputs), the true
+   * top-k (pure INTEGER squared distances on the scaled coords), and
+   * the final hit ratio are all engine-independent — the recall
+   * MEASUREMENT itself is verified, not just reported.
+   */
+  def recallOracleSql(table: String, idCol: String, vecCol: String,
+                      k: Int, iters: Int, dim: Int,
+                      maxQid: Long, kTop: Int, nprobes: Seq[Int]): String = {
+    val fold = "(a, b) -> a + b"
+    val nq = maxQid // query ids are 0..maxQid-1, dense in the fixtures
+    ctesSql(table, idCol, vecCol, k, iters, dim) + s""",
+      |qd AS (SELECT id AS qid, xs AS qxs FROM pts WHERE id < $maxQid),
+      |prank AS (
+      |  SELECT q.qid, c.cid,
+      |    row_number() OVER (PARTITION BY q.qid ORDER BY
+      |      list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+      |        j -> (CAST(q.qxs[j] AS DOUBLE) - c.c[j]) * (CAST(q.qxs[j] AS DOUBLE) - c.c[j]))), $fold),
+      |      c.cid) AS pr
+      |  FROM qd q CROSS JOIN c${iters - 1} c),
+      |topk AS (
+      |  SELECT qid, id FROM (
+      |    SELECT q.qid, p.id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_reduce(list_transform(range(1, ${dim + 1}),
+      |          j -> (q.qxs[j] - p.xs[j]) * (q.qxs[j] - p.xs[j])), $fold),
+      |        p.id) AS rk
+      |    FROM qd q CROSS JOIN pts p) WHERE rk <= $kTop),
+      |hits AS (
+      |  SELECT t.qid, t.id, pr.pr
+      |  FROM topk t JOIN a$iters a ON a.id = t.id
+      |  JOIN prank pr ON pr.qid = t.qid AND pr.cid = a.cluster)
+      |SELECT np.nprobe,
+      |  sum(CASE WHEN h.pr <= np.nprobe THEN 1 ELSE 0 END) / ${nq * kTop}.0 AS recall_at_$kTop
+      |FROM (SELECT unnest([${nprobes.mkString(", ")}]) AS nprobe) np
+      |CROSS JOIN hits h GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def ctesSql(table: String, idCol: String, vecCol: String,
+                      k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pts AS (
       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
@@ -119,7 +173,6 @@ object KmeansFixpoint {
           |    ON n.cid = p.cid)""".stripMargin
       }
     }
-    sb ++= s"\nSELECT id AS $idCol, cluster FROM a$iters"
     sb.toString
   }
 }
