@@ -1540,30 +1540,10 @@ object SparkEntry {
        |FROM cand
        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 2""".stripMargin
 
-  /** splitmix64 (`Dedup.mix64`) as chained CTEs in DuckDB's CHECKED
-    * integer arithmetic: values live in HUGEINT mod 2⁶⁴, `x >>> k` is
-    * `x // 2^k` (non-negative domain), and each wrapping 64×64 multiply
-    * is split into 32-bit halves — `(z·c) mod 2⁶⁴ = zl·cl +
-    * ((zl·ch + zh·cl) mod 2³²)·2³²  (mod 2⁶⁴)` — so every intermediate
-    * fits HUGEINT. Emits CTEs `<prefix>1..<prefix>6`; the last holds
-    * `carry..., z` with `z = mix64(zExpr)`. */
+  /** Shared splitmix64 CTE generator — see [[functions.Mix64Sql]]. */
   private def mix64Ctes(prefix: String, src: String, carry: Seq[String],
-                        zExpr: String): String = {
-    val M = "18446744073709551616::HUGEINT"   // 2^64
-    val B = "4294967296::HUGEINT"             // 2^32
-    def mul(ch: Long, cl: Long): String =
-      s"((z % $B) * $cl::HUGEINT + (((z % $B) * $ch::HUGEINT + " +
-        s"(z // $B) * $cl::HUGEINT) % $B) * $B) % $M"
-    val cols = carry.map(_ + ", ").mkString
-    // 0x9E3779B97F4A7C15; 0xBF58476D1CE4E5B9 = (3210233709, 484763065);
-    // 0x94D049BB133111EB = (2496678331, 321982955)
-    s"""${prefix}1 AS (SELECT $cols(($zExpr)::HUGEINT + 11400714819323198485::HUGEINT) % $M AS z FROM $src),
-       |${prefix}2 AS (SELECT ${cols}xor(z, z // 1073741824::HUGEINT) AS z FROM ${prefix}1),
-       |${prefix}3 AS (SELECT $cols${mul(3210233709L, 484763065L)} AS z FROM ${prefix}2),
-       |${prefix}4 AS (SELECT ${cols}xor(z, z // 134217728::HUGEINT) AS z FROM ${prefix}3),
-       |${prefix}5 AS (SELECT $cols${mul(2496678331L, 321982955L)} AS z FROM ${prefix}4),
-       |${prefix}6 AS (SELECT ${cols}xor(z, z // 2147483648::HUGEINT) AS z FROM ${prefix}5)""".stripMargin
-  }
+                        zExpr: String): String =
+    functions.Mix64Sql.ctes(prefix, src, carry, zExpr)
 
   /** FULL oracle for MinHash-LSH: DuckDB re-derives the whole pipeline —
     * word 3-gram shingles, 32-bit djb2 shingle hashes, the splitmix64 hash

@@ -155,23 +155,9 @@ object IforestFixpoint {
   // DuckDB unroll
   // ------------------------------------------------------------------
 
-  /** splitmix64 stages over HUGEINT mod 2⁶⁴ (same decomposition as the
-    * minhash oracle); emits `<p>1..<p>6`, last holds carry..., z. */
   private def mixCtes(p: String, src: String, carry: Seq[String],
-                      zExpr: String): String = {
-    val M = "18446744073709551616::HUGEINT"
-    val B = "4294967296::HUGEINT"
-    def mul(ch: Long, cl: Long): String =
-      s"((z % $B) * $cl::HUGEINT + (((z % $B) * $ch::HUGEINT + " +
-        s"(z // $B) * $cl::HUGEINT) % $B) * $B) % $M"
-    val cols = carry.map(_ + ", ").mkString
-    s"""${p}1 AS MATERIALIZED (SELECT $cols((($zExpr)::HUGEINT + 18446744073709551616::HUGEINT) % $M + 11400714819323198485::HUGEINT) % $M AS z FROM $src),
-       |${p}2 AS MATERIALIZED (SELECT ${cols}xor(z, z // 1073741824::HUGEINT) AS z FROM ${p}1),
-       |${p}3 AS MATERIALIZED (SELECT $cols${mul(3210233709L, 484763065L)} AS z FROM ${p}2),
-       |${p}4 AS MATERIALIZED (SELECT ${cols}xor(z, z // 134217728::HUGEINT) AS z FROM ${p}3),
-       |${p}5 AS MATERIALIZED (SELECT $cols${mul(2496678331L, 321982955L)} AS z FROM ${p}4),
-       |${p}6 AS MATERIALIZED (SELECT ${cols}xor(z, z // 2147483648::HUGEINT) AS z FROM ${p}5)""".stripMargin
-  }
+                      zExpr: String): String =
+    graft.functions.Mix64Sql.ctes(p, src, carry, zExpr)
 
   /** The xor-key `salt ⊕ (t≪32) ⊕ x` on BIGINT (Scala Long semantics);
     * result may be negative — mixCtes folds it into [0,2⁶⁴). */
