@@ -220,23 +220,29 @@ object Dedup {
     * sharing any band are candidates; verify by full Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // Signatures hashed once and persisted for the self-join; released
+    // before returning (localCheckpoint truncates lineage, same contract
+    // as minhashLshPairs — callers never inherit a pinned upstream).
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", simhashUdf(col("text")))
-      .cache()
-    val bandUdf = udf((sig: Long) =>
-      (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xFFFFL).toInt)))
-    val buckets = withSig.select(col("id"), col("sim"), explode(bandUdf(col("sim"))).as("bb"))
-      .select(col("id"), col("sim"), col("bb._1").as("band"), col("bb._2").as("bucket"))
-    val hamUdf = udf((a: Long, b: Long) => hammingDistance64(a, b))
-    buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
-        col("l.sim").as("a_sim"), col("r.sim").as("b_sim"))
-      .distinct()
-      .withColumn("hamming", hamUdf(col("a_sim"), col("b_sim")))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .persist()
+    try {
+      val bandUdf = udf((sig: Long) =>
+        (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xFFFFL).toInt)))
+      val buckets = withSig.select(col("id"), col("sim"), explode(bandUdf(col("sim"))).as("bb"))
+        .select(col("id"), col("sim"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+      val hamUdf = udf((a: Long, b: Long) => hammingDistance64(a, b))
+      buckets.as("l").join(buckets.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+          col("l.sim").as("a_sim"), col("r.sim").as("b_sim"))
+        .distinct()
+        .withColumn("hamming", hamUdf(col("a_sim"), col("b_sim")))
+        .filter(col("hamming") <= maxHamming)
+        .select("a_id", "b_id", "hamming")
+        .localCheckpoint(true)
+    } finally withSig.unpersist()
   }
 
   // ---------------- n-gram jaccard / embedding cosine ----------------
