@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Evidence artifact: wall-clock growth of the shuffle-bound operator
+ * families when the corpus grows 10× (the question the 100 TB design
+ * hangs on — RECALL_SCALE.json is the accuracy face, this is the cost
+ * face). Deterministic hash-expansion of the sf fixtures (NOT used by
+ * any correctness query); each op timed at 1× and 10×, ratio reported.
+ *
+ * Document replicas append one token, so they stay near-duplicates of
+ * their base — the 10× corpus has 10-deep dup groups, exercising the
+ * LSH candidate path at realistic dup density (cost should track that
+ * density, never |D|²).
+ */
+object ScaleBench {
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  @inline private def unoise(key: Long): Float =
+    ((mix64(key) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+
+  private def expandDocs(docs: DataFrame, s: Int): DataFrame =
+    docs.select(col("doc_id").cast("long").as("base_id"), col("text"))
+      .withColumn("r", explode(lit((0 until s).toArray)))
+      .select((col("base_id") + col("r").cast("long") * 1000000L).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("r"))).as("text"))
+
+  private def expandEmb(emb: DataFrame, s: Int): DataFrame = {
+    val jitter = udf((id: Long, r: Int, v: Seq[Float]) => {
+      val out = new Array[Float](v.length)
+      val key = id * 1000003L + r * 7919L
+      var j = 0
+      while (j < v.length) { out(j) = v(j) + 0.02f * unoise(key + j); j += 1 }
+      out.toSeq
+    })
+    emb.select(col("vec_id").cast("long").as("base_id"), col("embedding"))
+      .withColumn("r", explode(lit((0 until s).toArray)))
+      .select((col("base_id") + col("r").cast("long") * 1000000L).as("vec_id"),
+        jitter(col("base_id"), col("r"), col("embedding")).as("embedding"))
+  }
+
+  private def expandEvents(ev: DataFrame, s: Int): DataFrame =
+    ev.select(col("event_id").cast("long").as("base_id"), col("ts"),
+        col("user_id").cast("long").as("base_user"), col("event_type"), col("value"))
+      .withColumn("r", explode(lit((0 until s).toArray)))
+      .select((col("base_id") + col("r").cast("long") * 10000000L).as("event_id"),
+        col("ts"), (col("base_user") + col("r").cast("long") * 100000L).as("user_id"),
+        col("event_type"), col("value"))
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "SCALE_BENCH.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.read(spark, sfDir, "documents")
+    val emb0 = Tables.read(spark, sfDir, "embeddings")
+    val ev0 = Tables.read(spark, sfDir, "events")
+
+    def opsAt(s: Int): Seq[(String, Long, Double)] = {
+      val docs = expandDocs(docs0, s).cache(); docs.count()
+      val emb = expandEmb(emb0, s).cache(); emb.count()
+      val ev = expandEvents(ev0, s).cache(); ev.count()
+      val out = Seq.newBuilder[(String, Long, Double)]
+
+      val (n1, t1) = time(operators.Dedup.fingerprintDedup(docs, "doc_id", "text").count())
+      out += (("fingerprint_dedup", n1, t1))
+      val (n2, t2) = time(operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, jaccardThreshold = 0.8).count())
+      out += (("minhash_lsh_pairs", n2, t2))
+      val qUdf = udf((t: String) => functions.TextAnalysis.qualityScore(t))
+      val (n3, t3) = time(docs.select(avg(qUdf(col("text")))).count())
+      out += (("text_quality_scan", n3, t3))
+      val (model, t4) = time {
+        val m = operators.Ivf.build(emb, "embedding", nlists = 100)
+        m.assigned.cache().count()
+        m
+      }
+      out += (("ivf_build", emb.count(), t4))
+      val (n5, t5) = time(operators.Ivf.join(model, emb, "embedding",
+        metric = "cosine", threshold = 0.02, nprobe = 1).count())
+      out += (("ivf_blocked_join", n5, t5))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").cast("double").as("lts"),
+          col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").cast("double").as("rts"),
+          col("event_id").as("click_id"))
+      val (n6, t6) = time(operators.TemporalJoins.asofBackward(views, clicks,
+        Seq("user_id"), "lts", "rts", Seq("click_id")).count())
+      out += (("asof_join", n6, t6))
+      model.assigned.unpersist(); docs.unpersist(); emb.unpersist(); ev.unpersist()
+      out.result()
+    }
+
+    val at1 = opsAt(1)
+    val at10 = opsAt(10)
+    val lines = at1.zip(at10).map { case ((op, r1, s1), (_, r10, s10)) =>
+      f"""{"op":"$op","rows_1x":$r1,"sec_1x":$s1%.3f,"rows_10x":$r10,"sec_10x":$s10%.3f,"time_ratio":${s10 / s1}%.2f}"""
+    }
+    val out = lines.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
+    println(out)
+    spark.stop()
+  }
+}

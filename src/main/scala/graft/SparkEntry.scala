@@ -3288,13 +3288,15 @@ object SparkEntry {
     "gcn_fixpoint" -> gcnFixedSql,
     "autoencoder_fixpoint" -> aeFixedSql,
     // Remaining rows-only queries fall into exactly three classes:
-    //  - MLlib faces with an oracle-verified fixpoint sibling
+    //  - production faces with an oracle-verified fixpoint sibling
     //    (ml_kmeans/whiten/topics/iforest_scores/gcn_nodes/
-    //     shap_linear/lime_linear);
+    //     autoencoder_recon/shap_linear/lime_linear);
     //  - ANN recall/serve reports whose exact counterparts ARE oracled
-    //    (hnsw_*/ivf_*recall/ivf_disk_knn/ivfpq_knn*);
-    //  - exp-heavy iterative optimizers whose replay drift compounds
-    //    past any rounding (tsne_reduce/umap_reduce/autoencoder_recon)
-    //    -> unit specs assert their contracts instead.
+    //    (hnsw_*/ivf_*recall/ivf_disk_knn/ivfpq_knn* — and
+    //     ivf_recall_fixpoint puts one full recall CURVE under the
+    //     oracle);
+    //  - discontinuous-dynamics optimizers no rounding can absorb
+    //    (tsne_reduce: sign-adaptive gains; umap_reduce: binary-searched
+    //    sigma) -> unit specs assert their contracts instead.
   )
 }
