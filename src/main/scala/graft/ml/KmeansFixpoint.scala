@@ -141,8 +141,11 @@ object KmeansFixpoint {
       |CROSS JOIN hits h GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  private def ctesSql(table: String, idCol: String, vecCol: String,
-                      k: Int, iters: Int, dim: Int): String = {
+  /** The WITH-clause body (pts, c0..c_{iters−1}, a1..a_iters) shared by
+    * [[oracleSql]], [[recallOracleSql]], and composite oracles (IVFADC
+    * recall) that layer more CTEs on the same quantizer. */
+  private[graft] def ctesSql(table: String, idCol: String, vecCol: String,
+                             k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pts AS (
       |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
