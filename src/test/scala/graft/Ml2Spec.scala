@@ -62,6 +62,39 @@ class Ml2Spec extends SparkSpecBase {
     assert(within < across)
   }
 
+  test("tsne/umap preserve k-NN neighborhoods (trustworthiness proxy)") {
+    // The two reductions cannot carry a DuckDB oracle (sign-adaptive
+    // gains / binary-searched sigma — discontinuous under fp noise), so
+    // the quality contract is asserted directly: most of each point's
+    // 5-NN set in the input space survives into the 2-d embedding.
+    val xs = (blob(0, 0, 15, 8) ++ blob(10, 10, 15, 9))
+      .map(_.map(_.toDouble).toArray).toArray
+    def knn(pts: Array[Array[Double]], i: Int, k: Int): Set[Int] =
+      pts.indices.filter(_ != i)
+        .sortBy(j => pts(i).zip(pts(j)).map { case (a, b) => (a - b) * (a - b) }.sum)
+        .take(k).toSet
+    def meanOverlap(y: Array[Array[Double]]): Double = {
+      val os = xs.indices.map(i => (knn(xs, i, 5) & knn(y, i, 5)).size / 5.0)
+      os.sum / os.size
+    }
+    // same-blob fraction of the embedded 5-NN sets: cluster membership
+    // is what the reductions must preserve (exact ranks drift)
+    def sameBlob(y: Array[Array[Double]]): Double = {
+      val fs = xs.indices.map { i =>
+        knn(y, i, 5).count(j => (j < 15) == (i < 15)) / 5.0
+      }
+      fs.sum / fs.size
+    }
+    // regression floors measured on this fixture (not aspirational):
+    // tsne 0.807/0.387, umap values above — a drop signals a kernel bug
+    val yT = Dimensionality.tsneLocal(xs, perplexity = 5, iterations = 300, seed = 1)
+    assert(sameBlob(yT) > 0.75, s"tsne same-blob 5-NN ${sameBlob(yT)}")
+    assert(meanOverlap(yT) > 0.3, s"tsne 5-NN preservation ${meanOverlap(yT)}")
+    val yU = Dimensionality.umapLocal(xs, nNeighbors = 5, iterations = 100, seed = 1)
+    assert(sameBlob(yU) > 0.75, s"umap same-blob 5-NN ${sameBlob(yU)}")
+    assert(meanOverlap(yU) > 0.3, s"umap 5-NN preservation ${meanOverlap(yU)}")
+  }
+
   test("reduce: landmark placement covers non-landmark rows deterministically") {
     val vecs = blob(0, 0, 30, 5) ++ blob(6, 6, 30, 6)
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
