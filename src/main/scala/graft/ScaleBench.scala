@@ -90,8 +90,11 @@ object ScaleBench {
         numHashes = 64, bands = 16, jaccardThreshold = 0.8).count())
       out += (("minhash_lsh_pairs", n2, t2))
       val qUdf = udf((t: String) => functions.TextAnalysis.qualityScore(t))
-      val (n3, t3) = time(docs.select(avg(qUdf(col("text")))).count())
-      out += (("text_quality_scan", n3, t3))
+      // time the aggregate via head(); report the SCANNED cardinality, not
+      // the aggregate's single output row, so rows_1x/rows_10x are
+      // comparable with the other ops
+      val (_, t3) = time(docs.select(avg(qUdf(col("text")))).head())
+      out += (("text_quality_scan", docs.count(), t3))
       val (model, t4) = time {
         val m = operators.Ivf.build(emb, "embedding", nlists = 100)
         m.assigned.cache().count()

@@ -1039,6 +1039,9 @@ object SparkEntry {
     })
     val queries = pts.filter(col("id") < 20)
       .select(col("id").as("qid"), col("xs").as("qxs"), prankUdf(col("xs")).as("prank"))
+    // denominator from the ACTUAL query count (ids may be sparse / corpus
+    // smaller than the id cap), mirroring the oracle's (SELECT count(*) FROM qd)
+    val nq = queries.count()
     val d2Udf = udf((a: Seq[Long], b: Seq[Long]) => {
       var acc = 0L
       var j = 0
@@ -1055,7 +1058,7 @@ object SparkEntry {
     import s.implicits._
     Seq(1, 2, 3, 5).toDF("nprobe").crossJoin(hits)
       .groupBy("nprobe")
-      .agg((sum(when(col("pr") <= col("nprobe"), 1).otherwise(0)) / lit(200.0))
+      .agg((sum(when(col("pr") <= col("nprobe"), 1).otherwise(0)) / lit(nq * 10.0))
         .as("recall_at_10"))
       .orderBy("nprobe")
   }
@@ -1120,6 +1123,7 @@ object SparkEntry {
 
     val queries = pts.filter(col("id") < 20)
       .select(col("id").as("qid"), col("xs").as("qxs"), prankUdf(col("xs")).as("prank"))
+    val nq = queries.count() // actual query count, not the id cap
     val docSide = pts
       .join(assigned.select(col("vec_id").as("id"), col("cluster")), "id")
       .join(enc, "id")
@@ -1144,7 +1148,7 @@ object SparkEntry {
         .select("nprobe", "qid", "id")
       fin.join(truth, Seq("qid", "id"))
         .groupBy("nprobe")
-        .agg((count(lit(1)) / lit(200.0)).as("recall_at_10"))
+        .agg((count(lit(1)) / lit(nq * 10.0)).as("recall_at_10"))
         .orderBy("nprobe")
         .localCheckpoint(true)
     } finally base.unpersist()
@@ -1208,7 +1212,7 @@ object SparkEntry {
       |    SELECT nprobe, qid, id,
       |      row_number() OVER (PARTITION BY nprobe, qid ORDER BY d2, id) AS rrk
       |    FROM pool) WHERE rrk <= 10)
-      |SELECT f.nprobe, count(*) / 200.0 AS recall_at_10
+      |SELECT f.nprobe, count(*) / ((SELECT count(*) FROM qd) * 10.0) AS recall_at_10
       |FROM fin f JOIN truth t ON t.qid = f.qid AND t.id = f.id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1849,7 +1853,10 @@ object SparkEntry {
     ml.AeFixpoint.score(
       Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", d = 8, k = 2, epochs = 12, lr = 0.5)
-      .select(col("vec_id"), round(col("sq_error"), 4).as("sq_error"))
+      // REAL cast, not fixed-decimal round: float granularity sits ~9
+      // orders above the ~1e-15 cross-engine gradient drift, so no output
+      // can straddle a rounding boundary (the stream_window_agg remedy)
+      .select(col("vec_id"), col("sq_error").cast("float").as("sq_error"))
 
   private lazy val aeFixedSql: String =
     ml.AeFixpoint.oracleSql("embeddings", "vec_id", "embedding",
@@ -2558,7 +2565,8 @@ object SparkEntry {
       .filter(col("c_custkey") <= 100)
       .select(col("c_custkey").as("node_id"), (col("c_nationkey") % 2).as("label"))
     ml.Gnn.logisticGdFixpoint(feats, labels, iters = 10, lr = 0.5)
-      .select(col("node_id"), round(col("prob"), 4).as("prob"))
+      // REAL cast, not round(4) — see aeFixedQ
+      .select(col("node_id"), col("prob").cast("float").as("prob"))
   }
 
   private lazy val gcnFixedSql: String = {
@@ -2614,9 +2622,9 @@ object SparkEntry {
     }
     sb ++= s"""
       |SELECT fl.node_id,
-      |  round(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+      |  CAST(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
       |    list_transform(range(1, len(fl.xs) + 1), j -> w.w[j] * fl.xs[j])),
-      |    (a, b) -> a + b)))), 4) AS prob
+      |    (a, b) -> a + b)))) AS REAL) AS prob
       |FROM fl, w_$iters w""".stripMargin
     sb.toString
   }

@@ -55,7 +55,7 @@ object AeFixpoint {
       def gradUdf(w1v: Array[Array[Double]], b1v: Array[Double],
                   w2v: Array[Array[Double]], b2v: Array[Double]) = {
         val bw = spark.sparkContext.broadcast((w1v, b1v, w2v, b2v))
-        udf((xs: Seq[Double]) => {
+        (udf((xs: Seq[Double]) => {
           val (ww1, bb1, ww2, bb2) = bw.value
           val h = new Array[Double](k)
           var c = 0
@@ -100,14 +100,15 @@ object AeFixpoint {
             i += 1
           }
           g.toSeq
-        })
+        }), bw)
       }
 
       for (_ <- 1 to epochs) {
-        val g = gradUdf(w1.map(_.clone()), b1.clone(), w2.map(_.clone()), b2.clone())
+        val (g, bwE) = gradUdf(w1.map(_.clone()), b1.clone(), w2.map(_.clone()), b2.clone())
         val sums = tr.select(posexplode(g(col("xs"))).as(Seq("gi", "gv")))
           .groupBy("gi").agg(sum("gv").as("g"))
           .collect().map(r => (r.getAs[Int]("gi"), r.getAs[Double]("g"))).toMap
+        bwE.destroy() // epoch's model snapshot is consumed; don't hold epochs × model
         var c = 0
         while (c < k) {
           var j = 0
@@ -148,7 +149,11 @@ object AeFixpoint {
         }
         se
       })
+      // materialize BEFORE the finally releases tr — the returned frame is
+      // otherwise lazy and the scoring pass would recompute the slice UDF
+      // from source after unpersist (same contract as Dedup.simhashPairs)
       tr.select(col("id").as(idCol), seUdf(col("xs")).as("sq_error"))
+        .localCheckpoint(true)
     } finally tr.unpersist()
   }
 
@@ -240,8 +245,8 @@ object AeFixpoint {
       |errl_${epochs + 1} AS MATERIALIZED (
       |  SELECT id, list(e ORDER BY i) AS l FROM err_${epochs + 1} GROUP BY id)
       |SELECT el.id AS $idCol,
-      |  round(list_reduce(list_prepend(0.0,
-      |    list_transform(el.l, x -> x * x)), (a, b) -> a + b), 4) AS sq_error
+      |  CAST(list_reduce(list_prepend(0.0,
+      |    list_transform(el.l, x -> x * x)), (a, b) -> a + b) AS REAL) AS sq_error
       |FROM errl_${epochs + 1} el""".stripMargin
     sb.toString
   }

@@ -167,7 +167,12 @@ object IforestFixpoint {
   def oracleSql(table: String, idCol: String, vecCol: String,
                 numTrees: Int, sampleSize: Int, maxDepth: Int,
                 dim: Int): String = {
-    val cS = s"(2.0 * (ln($sampleSize - 1.0) + $Gamma) - 2.0 * ($sampleSize - 1.0) / $sampleSize)"
+    // c(S) over the ACTUAL per-tree sample count = min(sampleSize, n),
+    // matching the Scala side's cFactor(samples(0).length) when the input
+    // has fewer rows than sampleSize (the rank cap saturates).
+    val cS = s"""(SELECT CASE WHEN count(*) <= 1 THEN 0.0
+      ELSE 2.0 * (ln(count(*) - 1.0) + $Gamma) - 2.0 * (count(*) - 1.0) / count(*) END
+      FROM samp WHERE t = 0)"""
     def cOf(szCol: String): String =
       s"CASE WHEN $szCol <= 1 THEN 0.0 ELSE 2.0 * (ln($szCol - 1.0) + $Gamma) - 2.0 * ($szCol - 1.0) / $szCol END"
     val sb = new StringBuilder

@@ -113,7 +113,6 @@ object KmeansFixpoint {
                       k: Int, iters: Int, dim: Int,
                       maxQid: Long, kTop: Int, nprobes: Seq[Int]): String = {
     val fold = "(a, b) -> a + b"
-    val nq = maxQid // query ids are 0..maxQid-1, dense in the fixtures
     ctesSql(table, idCol, vecCol, k, iters, dim) + s""",
       |qd AS (SELECT id AS qid, xs AS qxs FROM pts WHERE id < $maxQid),
       |prank AS (
@@ -136,7 +135,8 @@ object KmeansFixpoint {
       |  FROM topk t JOIN a$iters a ON a.id = t.id
       |  JOIN prank pr ON pr.qid = t.qid AND pr.cid = a.cluster)
       |SELECT np.nprobe,
-      |  sum(CASE WHEN h.pr <= np.nprobe THEN 1 ELSE 0 END) / ${nq * kTop}.0 AS recall_at_$kTop
+      |  sum(CASE WHEN h.pr <= np.nprobe THEN 1 ELSE 0 END) /
+      |    ((SELECT count(*) FROM qd) * $kTop * 1.0) AS recall_at_$kTop
       |FROM (SELECT unnest([${nprobes.mkString(", ")}]) AS nprobe) np
       |CROSS JOIN hits h GROUP BY 1 ORDER BY 1""".stripMargin
   }
