@@ -318,12 +318,36 @@ object Hnsw {
   /** Executor-JVM memo of deserialized shard graphs, keyed by (index
     * fingerprint, shard, metric). A ShardGraph is rebuilt from rows on
     * every [[searchBatch]] call otherwise — for a hot serving index the
-    * HashMap/entry construction dominates repeat-batch latency. Bounded:
-    * cleared wholesale past 512 entries (an index rewrite changes the
-    * fingerprint, so stale entries are never served, only evicted). */
-  private[graft] val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, String), ShardGraph]
+    * HashMap/entry construction dominates repeat-batch latency. Bounded
+    * by per-entry LRU (access-ordered), so one index's overflow evicts
+    * the COLDEST entries, never a hot index's shards — no latency cliff
+    * on multi-index serving. An index rewrite changes the fingerprint,
+    * so stale entries are never served, only aged out. */
+  @volatile private[graft] var graphCacheCapacity = 512
+  private[graft] val graphCache: java.util.Map[(String, Int, String), ShardGraph] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int, String), ShardGraph](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, String), ShardGraph]): Boolean =
+          size() > graphCacheCapacity
+      })
   private[graft] val graphBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Get-or-build without holding the cache lock during construction:
+    * a concurrent first-touch of the same shard may build twice, but the
+    * graph is a pure function of the rows (bit-identical), so last-write
+    * -wins is safe — and unrelated shards are never blocked behind a
+    * heavy deserialization. */
+  private def cachedGraph(key: (String, Int, String))
+                         (mk: => ShardGraph): ShardGraph = {
+    val hit = graphCache.get(key) // refreshes LRU recency
+    if (hit != null) hit
+    else {
+      val g = mk
+      graphCache.put(key, g)
+      g
+    }
+  }
 
   /** Content fingerprint of an on-disk index: file names, sizes, mtimes.
     * Cheap (one listing), and any rewrite-in-place changes it. */
@@ -368,11 +392,10 @@ object Hnsw {
         it.toArray.groupBy(_.shard).iterator.flatMap { case (shard, ns) =>
           val g = cacheKey match {
             case Some(fp) =>
-              if (graphCache.size > 512) graphCache.clear()
-              graphCache.getOrElseUpdate((fp, shard, metric), {
+              cachedGraph((fp, shard, metric)) {
                 graphBuilds.incrementAndGet()
                 new ShardGraph(ns, dist)
-              })
+              }
             case None => new ShardGraph(ns, dist)
           }
           bq.value.iterator.flatMap { case (qid, q) =>

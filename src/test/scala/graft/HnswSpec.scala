@@ -87,6 +87,38 @@ class HnswSpec extends SparkSpecBase {
     assert(Hnsw.graphBuilds.get() > afterFirst, "rewritten index must re-deserialize")
   }
 
+  test("graph cache LRU: a hot index survives an unrelated index's overflow") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_lru").toString
+    Hnsw.write(index, dir)
+    val qs = Array((7L, Tables.queryVector(spark, "/root/testdata/sf0.001", 7L)))
+    val oldCap = Hnsw.graphCacheCapacity
+    Hnsw.graphCacheCapacity = 6 // index has 4 shards; 2 slots of slack
+    Hnsw.graphCache.clear()
+    try {
+      Hnsw.searchBatchFromDisk(spark, dir, qs, k = 5).count()
+      val hotBuilds = Hnsw.graphBuilds.get()
+      val hotKeys = Hnsw.graphCache.keySet.asScala.toSeq
+      assert(hotKeys.nonEmpty && hotKeys.size <= 6)
+      // an unrelated index floods the cache while the hot one keeps serving
+      val dummy = new Hnsw.ShardGraph(
+        Array(Hnsw.Node(0, 1L, Seq(0f), Seq(Seq.empty[Long]))), (_, _) => 0.0)
+      for (i <- 0 until 20) {
+        Hnsw.graphCache.put((s"other@$i", 0, "l2"), dummy)
+        hotKeys.foreach(Hnsw.graphCache.get) // hot index stays recent
+      }
+      assert(Hnsw.graphCache.size() <= 6, "LRU must bound the cache")
+      Hnsw.searchBatchFromDisk(spark, dir, qs, k = 5).count()
+      assert(Hnsw.graphBuilds.get() == hotBuilds,
+        "hot index must not rebuild after an unrelated index's overflow")
+      assert(hotKeys.forall(Hnsw.graphCache.containsKey),
+        "every hot shard graph must survive the flood")
+    } finally {
+      Hnsw.graphCacheCapacity = oldCap
+      Hnsw.graphCache.clear()
+    }
+  }
+
   test("recommendEf lands in the [8,256] ladder and clears the target") {
     val qs = Array(5L, 50L).map(i => (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
     val ef = Hnsw.recommendEf(index, emb, "vec_id", "embedding", qs, k = 10, targetRecall = 0.9)
