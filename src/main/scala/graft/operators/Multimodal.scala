@@ -156,6 +156,97 @@ object Multimodal {
       .drop("img")
   }
 
+  // ------------- real audio metadata decode (RIFF/WAVE parse) -------------
+
+  /** Parsed WAV header (`embed_multimodal`'s audio branch metadata;
+    * reference surface `ml_multimodal.c`): fmt-chunk fields plus the
+    * data-chunk size and the frame count / duration they imply. */
+  case class WavMeta(audioFormat: Int, channels: Int, sampleRate: Int,
+                     bitsPerSample: Int, dataBytes: Long, frames: Long,
+                     durationMs: Long)
+
+  /** Encode interleaved PCM16 samples as a real RIFF/WAVE byte stream
+    * (44-byte canonical header + little-endian data chunk) — the
+    * fixture-side generator for the audio decode path, the role
+    * [[encodePng8x8]] plays for images. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+                     channels: Int): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1, "need positive rate/channels")
+    require(samples.length % channels == 0, "samples must be whole frames")
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    val blockAlign = channels * 2
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign); bb.putShort(blockAlign.toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL RIFF chunk-walk parse: validates the RIFF/WAVE container, then
+    * walks chunks in any order (skipping unknown ones, honoring the
+    * odd-size pad byte) to find `fmt ` and `data`. Returns None for
+    * anything that is not a well-formed PCM-style WAV — the byte-histogram
+    * stub stays the fallback, exactly like undecodable images. */
+  def decodeWavMeta(payload: Array[Byte]): Option[WavMeta] = {
+    if (payload == null || payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    bb.getInt // declared RIFF size; trust the actual buffer instead
+    if (fourcc() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val sz = bb.getInt
+      if (sz < 0 || sz > bb.remaining()) return None // truncated/corrupt
+      val next = bb.position() + sz + (sz & 1) // chunks pad to even offsets
+      if (id == "fmt " && sz >= 16) {
+        val audioFormat = bb.getShort & 0xFFFF
+        val ch = bb.getShort & 0xFFFF
+        val rate = bb.getInt
+        bb.getInt; bb.getShort // byteRate, blockAlign (derived; ignored)
+        val bits = bb.getShort & 0xFFFF
+        fmt = Some((audioFormat, ch, rate, bits))
+      } else if (id == "data") dataBytes = sz.toLong
+      if (next > bb.limit()) return None
+      bb.position(next)
+    }
+    fmt.collect {
+      case (af, ch, rate, bits)
+          if dataBytes >= 0 && ch > 0 && rate > 0 && bits >= 8 =>
+        val blockAlign = ch * (bits / 8)
+        val frames = dataBytes / blockAlign
+        WavMeta(af, ch, rate, bits, dataBytes, frames, frames * 1000L / rate)
+    }
+  }
+
+  /** Audio metadata extraction over a media table: REAL header parse per
+    * row (partition-local, no shuffle); rows that are not well-formed
+    * WAV yield NULLs — the same column contract as [[decodeImages]]. */
+  def decodeAudioMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf((payload: Array[Byte]) =>
+      decodeWavMeta(payload).map(m =>
+        (m.channels, m.sampleRate, m.bitsPerSample, m.frames, m.durationMs)))
+    media.withColumn("wav", dec(col(payloadCol)))
+      .withColumn("audio_channels", col("wav._1"))
+      .withColumn("audio_sample_rate", col("wav._2"))
+      .withColumn("audio_bits", col("wav._3"))
+      .withColumn("audio_frames", col("wav._4"))
+      .withColumn("audio_duration_ms", col("wav._5"))
+      .drop("wav")
+  }
+
   /**
    * STUB resize: a real implementation re-encodes pixels; the stub
    * truncates/pads bytes to `targetBytes` so downstream batch shapes are

@@ -137,4 +137,34 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(1L) == (Some(8), Some(expected)))
     assert(out(2L) == (None, None))
   }
+
+  test("multimodal: REAL WAV header parse round-trips the encoded fmt/data fields") {
+    val samples = Array.tabulate(300)(i => (i * 111 - 15000).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRate = 22050, channels = 2)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val m = Multimodal.decodeWavMeta(bytes).get
+    assert(m.audioFormat == 1 && m.channels == 2 && m.sampleRate == 22050)
+    assert(m.bitsPerSample == 16 && m.dataBytes == 600)
+    assert(m.frames == 150 && m.durationMs == 150L * 1000 / 22050)
+    // chunk walk: an unknown odd-sized chunk BEFORE fmt/data still parses
+    val extra = java.nio.ByteBuffer.allocate(bytes.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(bytes.take(12))                    // RIFF..WAVE
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+    extra.put(Array[Byte](1, 2, 3, 0))           // 3 bytes + pad to even
+    extra.put(bytes.drop(12))                    // original fmt + data
+    assert(Multimodal.decodeWavMeta(extra.array()).contains(m))
+    // not-a-WAV and truncated payloads -> None, never a throw
+    assert(Multimodal.decodeWavMeta("definitely not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWavMeta(bytes.take(20)).isEmpty)
+    assert(Multimodal.decodeWavMeta(null).isEmpty)
+    // DataFrame face: columns for WAVs, NULLs for junk
+    val df = Seq((1L, bytes), (2L, "junk junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df)
+      .select("media_id", "audio_sample_rate", "audio_frames")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(22050), Some(150L)))
+    assert(out(2L) == (None, None))
+  }
 }
