@@ -399,6 +399,39 @@ object SparkEntry {
         Array((0L, qvec(s, dir))), k = 10, efSearch = 64)
       .select(col("id"), round(col("distance"), 6).as("dist"))
 
+  /** HNSW EXHAUSTIVE contract, FULL oracle: at ef ≥ shard size the
+    * best-first level-0 expansion cannot terminate before scoring every
+    * reachable node (the early-exit `dc > res.head && |res| ≥ ef` can
+    * never fire first — reference contract `hnsw_am.c:938-975`, ef clamp
+    * 100000), so the DISK serve path must equal brute-force top-k — and
+    * the brute-force side IS SQL-expressible. The graph walk itself
+    * stays un-SQL-able; its exhaustive-limit CONTRACT is what this row
+    * hash-matches, converting the HNSW family from spec-only evidence to
+    * an oracle-checked CORRECTNESS row (multi-query, multi-shard: every
+    * shard graph, the parquet round-trip, and the rank merge are all
+    * under the hash). */
+  private def hnswExhaustive(s: SparkSession, dir: String): DataFrame = {
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    operators.Hnsw.searchBatchFromDisk(s, s"${diskIndexRoot(s, dir)}/hnsw",
+        qs, k = 10, efSearch = 100000)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
+  private val hnswExhaustiveSql =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id IN (0, 7, 33, 99)),
+      |r AS (
+      |  SELECT q.qid, e.vec_id AS id,
+      |    list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d,
+      |    row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]),
+      |               e.vec_id) AS rk
+      |  FROM embeddings e, q)
+      |SELECT qid, CAST(rk AS INT) AS rank, id, round(d, 6) AS dist
+      |FROM r WHERE rk <= 10""".stripMargin
+
   /** IVFADC serve path from the DISK layout: codes-only ADC scan of the
     * probed partitions (the raw vector column never enters the candidate
     * scan — pinned in PlanShapeSpec) + broadcast-pool exact rerank.
@@ -1801,6 +1834,49 @@ object SparkEntry {
       |    (a, b) -> a + b) AS ahash_hi
       |FROM t""".stripMargin
 
+  /** REAL audio metadata decode, FULL oracle: per document a real
+    * RIFF/WAVE PCM16 payload is synthesized (rate/channels/frames are
+    * closed forms of doc_id and n_chars), Spark round-trips it through
+    * actual WAV bytes (`Multimodal.encodeWavPcm16` →
+    * `Multimodal.decodeWavMeta`'s chunk walk), and the oracle re-derives
+    * the same fields from the closed forms — any header-math or parse
+    * defect breaks the hash match. The audio BRANCH is now real the way
+    * `image_decode` is; only codec-level sample decode (MP3 et al.)
+    * stays out of scope. */
+  private def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((docId: Long, nChars: Long) => {
+      val rate = Array(8000, 16000, 22050, 44100)((docId % 4).toInt)
+      val channels = 1 + (docId % 2).toInt
+      val frames = 50 + (nChars % 200).toInt
+      val samples = new Array[Short](frames * channels)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = (((docId * 31 + i * 7) % 65536) - 32768).toShort
+        i += 1
+      }
+      operators.Multimodal.encodeWavPcm16(samples, rate, channels)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), wavUdf(col("doc_id"), col("n_chars")).as("payload"))
+    operators.Multimodal.decodeAudioMeta(media)
+      .select(col("doc_id"),
+        col("audio_channels").as("channels"),
+        col("audio_sample_rate").as("sample_rate"),
+        col("audio_bits").as("bits"),
+        col("audio_frames").as("n_frames"),
+        col("audio_duration_ms").as("duration_ms"))
+  }
+
+  private val audioMetaSql =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1] AS INT) AS sample_rate,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(50 + n_chars % 200 AS BIGINT) AS n_frames,
+      |  ((50 + n_chars % 200) * 1000)
+      |    // ([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]) AS duration_ms
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Comparisons / histograms / anomaly / topics (coverage sweep)
   // ======================================================================
@@ -2202,6 +2278,21 @@ object SparkEntry {
       .select(col("vec_id"),
         round(element_at(col("reduced"), 1), 4).as("x"),
         round(element_at(col("reduced"), 2), 4).as("y"))
+
+  /** t-SNE, replayable oracle: [[ml.TsneFixpoint]] — the defining
+    * Student-t / KL attraction-repulsion recurrence with Cauchy input
+    * affinities (no sigma search) and fixed-step GD (no adaptive
+    * gains), all-rational arithmetic unrolled in DuckDB CTEs — the
+    * cross-engine match is BIT-exact, not drift-below-rounding.
+    * `tsne_reduce` keeps the production face (perplexity search +
+    * adaptive gains, trustworthiness floor in Ml2Spec). */
+  private def tsneFixedQ(s: SparkSession, dir: String): DataFrame =
+    ml.TsneFixpoint.embed(Tables.read(s, dir, "embeddings"),
+      "vec_id", "embedding", n = 60, d = 8, iters = 10)
+
+  private lazy val tsneFixedSql: String =
+    ml.TsneFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      n = 60, d = 8, iters = 10)
 
   /** Autoencoder reconstruction error over the first 200 embeddings
     * (rows-only: iterative distributed-GD training; convergence and
@@ -3267,6 +3358,7 @@ object SparkEntry {
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
+    "audio_meta" -> (audioMeta(_, _)),
     "v_compare" -> (vCompare(_, _)),
     "sim_histogram" -> (simHistogram(_, _)),
     "sparse_l2" -> (sparseL2(_, _)),
@@ -3284,6 +3376,7 @@ object SparkEntry {
     "ivf_disk_knn" -> (ivfDiskKnn(_, _)),
     "ivf_disk_exact" -> (ivfDiskExact(_, _)),
     "hnsw_disk_knn" -> (hnswDiskKnn(_, _)),
+    "hnsw_exhaustive" -> (hnswExhaustive(_, _)),
     "ivfpq_knn" -> (ivfpqKnn(_, _)),
     "ivfpq_disk_exact" -> (ivfpqDiskExact(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
@@ -3309,6 +3402,7 @@ object SparkEntry {
     "lof_scores" -> (lofScores(_, _)),
     "ocsvm_scores" -> (ocsvmScoresQ(_, _)),
     "tsne_reduce" -> (tsneReduceQ(_, _)),
+    "tsne_fixpoint" -> (tsneFixedQ(_, _)),
     "autoencoder_recon" -> (autoencoderReconQ(_, _)),
     "umap_reduce" -> (umapReduceQ(_, _)),
     "pq_adc" -> (pqAdcQ(_, _)),
@@ -3356,6 +3450,7 @@ object SparkEntry {
     // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force
+    "hnsw_exhaustive" -> hnswExhaustiveSql, // ef >= shard size == brute force
     "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
@@ -3414,6 +3509,7 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
+    "audio_meta" -> audioMetaSql,
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,
@@ -3445,6 +3541,7 @@ object SparkEntry {
     "iforest_fixpoint" -> iforestFixedSql,
     "gcn_fixpoint" -> gcnFixedSql,
     "autoencoder_fixpoint" -> aeFixedSql,
+    "tsne_fixpoint" -> tsneFixedSql,
     // Remaining rows-only queries fall into exactly three classes:
     //  - production faces with an oracle-verified fixpoint sibling
     //    (ml_kmeans/whiten/topics/iforest_scores/gcn_nodes/

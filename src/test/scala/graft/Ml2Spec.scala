@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ml.{AutoMl, Dimensionality, Ocsvm}
+import graft.ml.{AutoMl, Dimensionality, Ocsvm, TsneFixpoint}
 
 /** OCSVM, t-SNE/UMAP landmark reduction, TPE hyperparameter search. */
 class Ml2Spec extends SparkSpecBase {
@@ -46,6 +46,40 @@ class Ml2Spec extends SparkSpecBase {
     val between = math.hypot(a(0) - b(0), a(1) - b(1))
     val spread = y1.take(15).map(p => math.hypot(p(0) - a(0), p(1) - a(1))).max
     assert(between > spread, s"blob gap $between must exceed intra spread $spread")
+  }
+
+  test("TsneFixpoint: deterministic, finite, gradient moves every point, pulls a planted twin") {
+    val base = blob(0, 0, 20, 5).map(_.map(_.toDouble)) // 8-d padded below
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, (v ++ Seq.fill(8 - v.length.min(8))(0.0)).take(8).map(_.toFloat))
+    } :+ (20L, base.head.take(8).padTo(8, 0.0).map(_.toFloat)) // twin of id 0
+    val df = rows.toDF("vec_id", "embedding")
+    val out = TsneFixpoint.embed(df, "vec_id", "embedding", n = 21, d = 8, iters = 10)
+      .orderBy("vec_id").collect()
+    val again = TsneFixpoint.embed(df, "vec_id", "embedding", n = 21, d = 8, iters = 10)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be bit-deterministic")
+    assert(out.length == 21)
+    val ys = out.map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2)))
+    assert(ys.forall { case (_, a, b) =>
+      java.lang.Float.isFinite(a) && java.lang.Float.isFinite(b) })
+    // init is hash-u01 in [-0.01, 0.01]; 10 gradient steps must have
+    // moved every point off its init position
+    val init = ys.map { case (id, _, _) =>
+      ((ml.Explain.u01(42L ^ id) * 2 - 1) * 0.01, (ml.Explain.u01(~42L ^ id) * 2 - 1) * 0.01)
+    }
+    assert(ys.zip(init).forall { case ((_, a, b), (i1, i2)) =>
+      a != i1.toFloat || b != i2.toFloat })
+    // the planted exact twin (max P affinity) ends nearer to id 0 than
+    // the average point does
+    def d2(p: (Long, Float, Float), q: (Long, Float, Float)) = {
+      val dx = p._2 - q._2; val dy = p._3 - q._3; dx * dx + dy * dy
+    }
+    val p0 = ys.find(_._1 == 0L).get
+    val twin = ys.find(_._1 == 20L).get
+    val rest = ys.filter(y => y._1 != 0L && y._1 != 20L)
+    assert(d2(p0, twin) < rest.map(d2(p0, _)).sum / rest.length,
+      "exact twin must be pulled closer than the average point")
   }
 
   test("umapLocal keeps neighbors close, is seed-deterministic") {
