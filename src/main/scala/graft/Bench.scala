@@ -9,29 +9,71 @@ import org.apache.spark.sql.SparkSession
  * Results are forced through the `noop` sink — a bare `count()` would let
  * Catalyst prune the very columns under test (distance UDFs, transforms),
  * timing a row count instead of the operator.
+ *
+ * Protocol (round-7 hardening — single-shot numbers on a shared box were
+ * uninterpretable round-over-round):
+ *  - every query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3); the
+ *    reported number is the per-query MIN — the honest "what the plan
+ *    costs" figure a steady-state cluster would see — and the spread
+ *    (max − min over the runs) is reported alongside so a reader can see
+ *    how noisy the box was;
+ *  - a fixed-work CPU calibration loop (pure JVM splitmix64, no Spark,
+ *    no I/O) runs before and after the suite; its time normalizes
+ *    machine drift across rounds — compare `calib_sec` first, queries
+ *    second.
+ *
+ * The headline set contains only plans one would run at 100× scale:
+ * brute-force reference plans (`vec_join_pairs`) are deliberately NOT
+ * timed here — the blocked `ivf_join_exact` and the end-to-end
+ * `dedup_pipeline` (minhash → components → keepers) stand in for those
+ * families. `q1_agg` keeps the decimal-cast oracle-parity plan and is
+ * benched alongside `q1_agg_typed`, the production-typed variant.
  */
 object Bench {
 
-  /** Headline subset: one representative per operator family. */
+  /** Headline subset: one representative per operator family; every row
+    * is a plan that survives a 100× scale-up. */
   private val headline: Seq[String] = Seq(
-    "q1_agg", "q2_join", "q3_topk", "q4_window",          // relational core
+    "q1_agg",       // decimal-cast ORACLE-PARITY variant (labeled; see q1_agg_typed)
+    "q1_agg_typed", // the production numeric plan users actually get
+    "q2_join", "q3_topk", "q4_window",                    // relational core
     "v_l2_knn", "v_cosine_knn", "ivf_knn_exact", "hnsw_knn", // kNN / ANN
     "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn",         // on-disk serve paths
-    "vec_join_pairs", "knn_graph", "faceted_knn",         // similarity joins
+    "ivf_join_exact",                                     // blocked similarity join
+    "knn_graph", "faceted_knn",                           // graph / faceted kNN
     "hybrid_search", "bm25_pair", "rrf_fusion",           // hybrid/lexical
     "ltr_rerank", "temporal_knn",                         // rerank / temporal
     "quant_int8", "chunk_text",                           // codecs / chunking
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
     "ml_kmeans", "zscore_outliers",
     "whiten_fixpoint", "iforest_fixpoint",                // Gram-aggregate PCA, hash forest
-    "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup
+    "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup primitives
+    "dedup_pipeline",                                     // minhash -> groups -> keepers
     "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
+  /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
+    * zero allocation — a pure cycles yardstick. Returns seconds. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var i = 0L
+    while (i < 200000000L) {
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    if (acc == 42L) System.err.println("calibration sink") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,6 +82,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val calibBefore = calibrate()
 
     // JVM/codegen warmup + one-time index build (CREATE INDEX is offline
     // in the reference; probes are what gets measured)
@@ -53,12 +97,9 @@ object Bench {
     // optional args = subset of query names to time (targeted re-measure)
     val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
 
-    // best-of-2: a single run is hostage to transient machine load / GC
-    // pauses on a shared box; the min of two runs is the honest "what the
-    // plan costs" number and is what a steady-state cluster would see
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -66,12 +107,21 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+        val good = times.filter(_ >= 0)
+        if (good.nonEmpty) (name, good.min, good.max - good.min)
+        else (name, -1.0, 0.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calibAfter = calibrate()
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, s) =>
+      "\"" + k + "\":" + BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"spread":$spread,""" +
+      s""""calib_sec":{"before":$calibBefore,"after":$calibAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

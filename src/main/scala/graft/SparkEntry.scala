@@ -69,6 +69,32 @@ object SparkEntry {
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** q1 with the PRODUCTION numeric plan — native double sums inside
+    * whole-stage codegen, no decimal casts (those exist in `q1_agg`
+    * only as the oracle-parity price). Outputs are REAL-cast so the
+    * ~1e-13-relative unordered-sum drift sits far below the comparison
+    * granularity; this is the number a user's plan actually costs, and
+    * it is benched alongside the decimal-cast oracle variant. */
+  private def q1AggTyped(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("float").as("sum_qty"),
+        sum(col("l_extendedprice")).cast("float").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("float").as("sum_disc_price"),
+        (sum(col("l_discount")) / count(lit(1))).cast("float").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q1AggTypedSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS REAL) AS sum_qty,
+      |  CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
+      |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS REAL) AS sum_disc_price,
+      |  CAST(sum(l_discount) / count(*) AS REAL) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   private def q2Join(s: SparkSession, dir: String): DataFrame = {
     val customer = Tables.read(s, dir, "customer")
     val orders = Tables.read(s, dir, "orders")
@@ -1738,8 +1764,8 @@ object SparkEntry {
     * `Dedup.minhashLshPairs(numHashes=64, bands=16, t=0.8, n=3, seed=42)`
     * bit-for-bit: both sides are pure integer arithmetic until the final
     * |∩|/|∪| division of exact integers (identical IEEE result). */
-  private lazy val minhashLshSql: String =
-    s"""WITH d AS (
+  private lazy val minhashPairsCtes: String =
+    s"""d AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
@@ -1772,13 +1798,49 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN x xa ON xa.doc_id = c.a_id
        |  JOIN x xb ON xb.doc_id = c.b_id AND xb.x = xa.x
-       |  GROUP BY 1, 2)
-       |SELECT i.a_id, i.b_id,
-       |  CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
-       |FROM inter i
-       |JOIN sizes sa ON sa.doc_id = i.a_id
-       |JOIN sizes sb ON sb.doc_id = i.b_id
-       |WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.8""".stripMargin
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT i.a_id, i.b_id,
+       |    CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.8)""".stripMargin
+
+  private lazy val minhashLshSql: String =
+    s"WITH $minhashPairsCtes\nSELECT a_id, b_id, jaccard FROM mh_pairs"
+
+  /** MinHash → pairs → connected components → keeper summary, the
+    * END-TO-END near-dup curation pipeline at the corpus level (the
+    * 100 TB shape: banded buckets, never all-pairs; distributed
+    * min-label propagation; one row per surviving group). FULL oracle:
+    * the pair CTEs are the bit-exact [[minhashPairsCtes]]; components
+    * are re-derived by a recursive reachability CTE. */
+  private def dedupPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val all = docs.unionByName(planted)
+    val pairs = operators.Dedup.minhashLshPairs(all, "doc_id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 3)
+    operators.Dedup.dupGroups(all, "doc_id", pairs)
+      .groupBy("component").agg(count(lit(1)).as("n_members"))
+  }
+
+  private lazy val dedupPipelineSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |e AS (SELECT a_id AS src, b_id AS dst FROM mh_pairs
+       |      UNION ALL SELECT b_id AS src, a_id AS dst FROM mh_pairs),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+       |mm AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+       |comp AS (
+       |  SELECT da.doc_id,
+       |    CAST(coalesce(least(mm.mn, da.doc_id), da.doc_id) AS BIGINT) AS component
+       |  FROM (SELECT doc_id FROM d) da LEFT JOIN mm ON mm.src = da.doc_id)
+       |SELECT component, count(*) AS n_members FROM comp GROUP BY 1""".stripMargin
 
   /** Multimodal plumbing: text bytes as media payload, stub byte-histogram
     * features; the 'a'/'e'/space ratios are exact in both engines. */
@@ -3293,6 +3355,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q1_agg_typed" -> (q1AggTyped(_, _)),
+    "dedup_pipeline" -> (dedupPipelineQ(_, _)),
     "q2_join" -> (q2Join(_, _)),
     "q3_topk" -> (q3Topk(_, _)),
     "q4_window" -> (q4Window(_, _)),
@@ -3427,6 +3491,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q1_agg_typed" -> q1AggTypedSql,
+    "dedup_pipeline" -> dedupPipelineSql,
     "q2_join" -> q2JoinSql,
     "q3_topk" -> q3TopkSql,
     "q4_window" -> q4WindowSql,
