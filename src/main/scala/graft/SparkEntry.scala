@@ -1939,6 +1939,37 @@ object SparkEntry {
       |    // ([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** REAL video (RIFF/AVI) metadata decode, FULL oracle — same design
+    * as [[audioMeta]]: synthesized real AVI headers round-tripped
+    * through `Multimodal.encodeAviHeader` → `decodeAviMeta`'s nested
+    * LIST chunk walk, oracle re-derives the closed forms. */
+  private def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    val aviUdf = udf((docId: Long, nChars: Long) => {
+      val k = (docId % 3).toInt
+      operators.Multimodal.encodeAviHeader(
+        totalFrames = 10 + (nChars % 500).toInt,
+        width = Array(320, 640, 1280)(k),
+        height = Array(240, 480, 720)(k),
+        usPerFrame = Array(41667, 40000, 33333)(k))
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), aviUdf(col("doc_id"), col("n_chars")).as("payload"))
+    operators.Multimodal.decodeVideoMeta(media)
+      .select(col("doc_id"),
+        col("video_width").as("width"), col("video_height").as("height"),
+        col("video_frames").as("n_frames"),
+        col("video_duration_ms").as("duration_ms"))
+  }
+
+  private val videoMetaSql =
+    """SELECT doc_id,
+      |  CAST([320, 640, 1280][CAST(doc_id % 3 AS INT) + 1] AS INT) AS width,
+      |  CAST([240, 480, 720][CAST(doc_id % 3 AS INT) + 1] AS INT) AS height,
+      |  CAST(10 + n_chars % 500 AS BIGINT) AS n_frames,
+      |  ((10 + n_chars % 500) *
+      |    [41667, 40000, 33333][CAST(doc_id % 3 AS INT) + 1]) // 1000 AS duration_ms
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Comparisons / histograms / anomaly / topics (coverage sweep)
   // ======================================================================
@@ -3423,6 +3454,7 @@ object SparkEntry {
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
+    "video_meta" -> (videoMeta(_, _)),
     "v_compare" -> (vCompare(_, _)),
     "sim_histogram" -> (simHistogram(_, _)),
     "sparse_l2" -> (sparseL2(_, _)),
@@ -3576,6 +3608,7 @@ object SparkEntry {
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
     "audio_meta" -> audioMetaSql,
+    "video_meta" -> videoMetaSql,
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,

@@ -247,6 +247,104 @@ object Multimodal {
       .drop("wav")
   }
 
+  // ------------- real video metadata decode (RIFF/AVI parse) -------------
+
+  /** Parsed AVI main header (`avih`): dimensions, frame count, frame
+    * interval and the duration they imply. */
+  case class AviMeta(width: Int, height: Int, totalFrames: Long,
+                     usPerFrame: Long, durationMs: Long)
+
+  /** Encode a minimal-but-valid RIFF/AVI container (hdrl LIST with the
+    * 56-byte `avih` main header) — the fixture-side generator for the
+    * video decode path, completing the [[encodePng8x8]]/
+    * [[encodeWavPcm16]] trio. Carries no movi data by design: the
+    * metadata branch is the real part; codec-level frame decode stays a
+    * documented stub. */
+  def encodeAviHeader(totalFrames: Int, width: Int, height: Int,
+                      usPerFrame: Int): Array[Byte] = {
+    require(totalFrames >= 0 && width > 0 && height > 0 && usPerFrame > 0,
+      "need non-negative frames and positive dims/interval")
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize           // "hdrl" + avih chunk
+    val riffSize = 4 + 8 + hdrlSize           // "AVI " + LIST chunk
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(riffSize)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(hdrlSize)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")); bb.putInt(avihSize)
+    bb.putInt(usPerFrame) // dwMicroSecPerFrame
+    bb.putInt(0)          // dwMaxBytesPerSec
+    bb.putInt(0)          // dwPaddingGranularity
+    bb.putInt(0)          // dwFlags
+    bb.putInt(totalFrames)
+    bb.putInt(0)          // dwInitialFrames
+    bb.putInt(1)          // dwStreams
+    bb.putInt(0)          // dwSuggestedBufferSize
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // dwReserved
+    bb.array()
+  }
+
+  /** REAL RIFF/AVI chunk walk: validates the container, descends into
+    * LIST chunks to find `hdrl`→`avih`, and derives frames/duration.
+    * None for anything that is not a well-formed AVI — same fallback
+    * contract as [[decodeWavMeta]]/[[decodeImage]]. */
+  def decodeAviMeta(payload: Array[Byte]): Option[AviMeta] = {
+    if (payload == null || payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    bb.getInt // declared size; trust the buffer
+    if (fourcc() != "AVI ") return None
+    var result: Option[AviMeta] = None
+    def walk(limit: Int): Unit = {
+      while (result.isEmpty && limit - bb.position() >= 8) {
+        val id = fourcc()
+        val sz = bb.getInt
+        if (sz < 0 || sz > limit - bb.position()) return // truncated
+        val next = bb.position() + sz + (sz & 1)
+        if (id == "LIST" && sz >= 4) {
+          val listEnd = bb.position() + sz
+          val listType = fourcc()
+          if (listType == "hdrl") walk(listEnd)
+        } else if (id == "avih" && sz >= 56) {
+          val usPerFrame = bb.getInt.toLong & 0xFFFFFFFFL
+          bb.getInt; bb.getInt; bb.getInt
+          val totalFrames = bb.getInt.toLong & 0xFFFFFFFFL
+          bb.getInt; bb.getInt; bb.getInt
+          val w = bb.getInt
+          val h = bb.getInt
+          if (w > 0 && h > 0 && usPerFrame > 0)
+            result = Some(AviMeta(w, h, totalFrames, usPerFrame,
+              totalFrames * usPerFrame / 1000L))
+        }
+        bb.position(next)
+      }
+    }
+    walk(bb.limit())
+    result
+  }
+
+  /** Video metadata extraction over a media table — REAL header parse
+    * per row, NULL columns for non-AVI payloads. */
+  def decodeVideoMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf((payload: Array[Byte]) =>
+      decodeAviMeta(payload).map(m =>
+        (m.width, m.height, m.totalFrames, m.usPerFrame, m.durationMs)))
+    media.withColumn("avi", dec(col(payloadCol)))
+      .withColumn("video_width", col("avi._1"))
+      .withColumn("video_height", col("avi._2"))
+      .withColumn("video_frames", col("avi._3"))
+      .withColumn("video_us_per_frame", col("avi._4"))
+      .withColumn("video_duration_ms", col("avi._5"))
+      .drop("avi")
+  }
+
   /**
    * STUB resize: a real implementation re-encodes pixels; the stub
    * truncates/pads bytes to `targetBytes` so downstream batch shapes are

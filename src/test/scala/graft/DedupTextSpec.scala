@@ -167,4 +167,27 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(1L) == (Some(22050), Some(150L)))
     assert(out(2L) == (None, None))
   }
+
+  test("multimodal: REAL AVI header parse round-trips the avih fields through the LIST walk") {
+    val bytes = Multimodal.encodeAviHeader(
+      totalFrames = 240, width = 640, height = 480, usPerFrame = 40000)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val m = Multimodal.decodeAviMeta(bytes).get
+    assert(m.width == 640 && m.height == 480)
+    assert(m.totalFrames == 240 && m.usPerFrame == 40000)
+    assert(m.durationMs == 240L * 40000 / 1000) // 9600 ms at 25 fps
+    // junk / truncated / WAV payloads -> None, never a throw
+    assert(Multimodal.decodeAviMeta("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeAviMeta(bytes.take(16)).isEmpty)
+    assert(Multimodal.decodeAviMeta(
+      Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000, 1)).isEmpty)
+    // DataFrame face: columns for AVIs, NULLs for junk
+    val df = Seq((1L, bytes), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeVideoMeta(df)
+      .select("media_id", "video_width", "video_duration_ms")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(640), Some(9600L)))
+    assert(out(2L) == (None, None))
+  }
 }
