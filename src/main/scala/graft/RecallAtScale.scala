@@ -67,8 +67,13 @@ object RecallAtScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // scales: 1x/10x/100x of the 2k-row sf0.1 base -> n up to 200k at
+    // 128-d, the SIFT-100k shape the reference's loader caps at
+    // (gen_dataset.py:522). Override via args(2) = "1,10,100".
+    val scales = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+                 else Seq(1, 10, 100)
     val base = Tables.read(spark, sfDir, "embeddings")
-    val lines = Seq(1, 10).map { scale =>
+    val lines = scales.map { scale =>
       val corpus = corpusAt(base, scale).cache()
       val n = corpus.count()
       // queries = the replica-0 rows of the first 100 base ids (corpus
