@@ -23,11 +23,12 @@ import org.apache.spark.sql.SparkSession
  *    second.
  *
  * The headline set contains only plans one would run at 100× scale:
- * brute-force reference plans (`vec_join_pairs`) are deliberately NOT
- * timed here — the blocked `ivf_join_exact` and the end-to-end
- * `dedup_pipeline` (minhash → components → keepers) stand in for those
- * families. `q1_agg` keeps the decimal-cast oracle-parity plan and is
- * benched alongside `q1_agg_typed`, the production-typed variant.
+ * brute-force reference plans (`vec_join_pairs`, `dedup_cosine`'s
+ * broadcast all-pairs) are deliberately NOT timed here — the blocked
+ * `ivf_join_exact` and the end-to-end `dedup_pipeline` (minhash →
+ * components → keepers) stand in for those families. `q1_agg` keeps the
+ * decimal-cast oracle-parity plan and is benched alongside
+ * `q1_agg_typed`, the production-typed variant.
  */
 object Bench {
 
@@ -47,7 +48,7 @@ object Bench {
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
     "ml_kmeans", "zscore_outliers",
     "whiten_fixpoint", "iforest_fixpoint",                // Gram-aggregate PCA, hash forest
-    "dedup_exact", "dedup_cosine", "minhash_lsh",         // dedup primitives
+    "dedup_exact", "minhash_lsh",                         // dedup primitives
     "dedup_pipeline",                                     // minhash -> groups -> keepers
     "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
