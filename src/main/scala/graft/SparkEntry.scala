@@ -2387,6 +2387,21 @@ object SparkEntry {
     ml.TsneFixpoint.oracleSql("embeddings", "vec_id", "embedding",
       n = 60, d = 8, iters = 10)
 
+  /** UMAP, replayable oracle: [[ml.UmapFixpoint]] — the cross-entropy
+    * attraction/repulsion gradient over the low-dim Cauchy kernel
+    * (rational at a=b=1), full-batch fixed-step, Cauchy membership
+    * weights instead of the sigma search; bit-exact DuckDB unroll.
+    * With this row the LAST spec-only family is oracle-checked;
+    * `umap_reduce` keeps the production face (per-edge SGD) under its
+    * trustworthiness floor. */
+  private def umapFixedQ(s: SparkSession, dir: String): DataFrame =
+    ml.UmapFixpoint.embed(Tables.read(s, dir, "embeddings"),
+      "vec_id", "embedding", n = 60, d = 8, iters = 10)
+
+  private lazy val umapFixedSql: String =
+    ml.UmapFixpoint.oracleSql("embeddings", "vec_id", "embedding",
+      n = 60, d = 8, iters = 10)
+
   /** Autoencoder reconstruction error over the first 200 embeddings
     * (rows-only: iterative distributed-GD training; convergence and
     * determinism asserted in AutoencoderSpec). */
@@ -3499,6 +3514,7 @@ object SparkEntry {
     "ocsvm_scores" -> (ocsvmScoresQ(_, _)),
     "tsne_reduce" -> (tsneReduceQ(_, _)),
     "tsne_fixpoint" -> (tsneFixedQ(_, _)),
+    "umap_fixpoint" -> (umapFixedQ(_, _)),
     "autoencoder_recon" -> (autoencoderReconQ(_, _)),
     "umap_reduce" -> (umapReduceQ(_, _)),
     "pq_adc" -> (pqAdcQ(_, _)),
@@ -3641,6 +3657,7 @@ object SparkEntry {
     "gcn_fixpoint" -> gcnFixedSql,
     "autoencoder_fixpoint" -> aeFixedSql,
     "tsne_fixpoint" -> tsneFixedSql,
+    "umap_fixpoint" -> umapFixedSql,
     // Remaining rows-only queries fall into exactly three classes:
     //  - production faces with an oracle-verified fixpoint sibling
     //    (ml_kmeans/whiten/topics/iforest_scores/gcn_nodes/

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ml.{AutoMl, Dimensionality, Ocsvm, TsneFixpoint}
+import graft.ml.{AutoMl, Dimensionality, Ocsvm, TsneFixpoint, UmapFixpoint}
 
 /** OCSVM, t-SNE/UMAP landmark reduction, TPE hyperparameter search. */
 class Ml2Spec extends SparkSpecBase {
@@ -80,6 +80,31 @@ class Ml2Spec extends SparkSpecBase {
     val rest = ys.filter(y => y._1 != 0L && y._1 != 20L)
     assert(d2(p0, twin) < rest.map(d2(p0, _)).sum / rest.length,
       "exact twin must be pulled closer than the average point")
+  }
+
+  test("UmapFixpoint: deterministic, finite, attraction pulls a planted twin") {
+    val base = blob(0, 0, 20, 6).map(_.map(_.toDouble))
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.take(8).padTo(8, 0.0).map(_.toFloat))
+    } :+ (20L, base.head.take(8).padTo(8, 0.0).map(_.toFloat)) // twin of id 0
+    val df = rows.toDF("vec_id", "embedding")
+    val out = UmapFixpoint.embed(df, "vec_id", "embedding", n = 21, d = 8, iters = 10)
+      .orderBy("vec_id").collect()
+    val again = UmapFixpoint.embed(df, "vec_id", "embedding", n = 21, d = 8, iters = 10)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be bit-deterministic")
+    assert(out.length == 21)
+    val ys = out.map(r => (r.getLong(0), r.getFloat(1), r.getFloat(2)))
+    assert(ys.forall { case (_, a, b) =>
+      java.lang.Float.isFinite(a) && java.lang.Float.isFinite(b) })
+    def d2(p: (Long, Float, Float), q: (Long, Float, Float)) = {
+      val dx = p._2 - q._2; val dy = p._3 - q._3; dx * dx + dy * dy
+    }
+    val p0 = ys.find(_._1 == 0L).get
+    val twin = ys.find(_._1 == 20L).get
+    val rest = ys.filter(y => y._1 != 0L && y._1 != 20L)
+    assert(d2(p0, twin) < rest.map(d2(p0, _)).sum / rest.length,
+      "exact twin (w=1) must sit closer than the average point")
   }
 
   test("umapLocal keeps neighbors close, is seed-deterministic") {
