@@ -174,4 +174,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange SinglePartition"), s"single-partition stage in: $plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q1_agg_typed keeps double sums in whole-stage codegen — no decimal anywhere") {
+    val df = SparkEntry.queries("q1_agg_typed")(spark, dir)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = planOf(df)
+    assert(!plan.toLowerCase.contains("decimal"),
+      s"decimal cast leaked into the production-typed plan: $plan")
+    assert(plan.contains("*("), s"no whole-stage codegen span in: $plan")
+    assert(plan.contains("partial_sum"), s"no map-side combine in: $plan")
+  }
+
+  test("dedup_pipeline (minhash -> components -> keepers) never plans a cartesian stage") {
+    val plan = planOf(SparkEntry.queries("dedup_pipeline")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
