@@ -2045,6 +2045,22 @@ object SparkEntry {
     ml.IforestFixpoint.oracleSql("embeddings", "vec_id", "embedding",
       numTrees = 20, sampleSize = 64, maxDepth = 6, dim = 64)
 
+  /** Small-input contract of the same forest: n (40) < sampleSize (64)
+    * saturates the per-tree rank cap, so c(S) must derive from the
+    * ACTUAL sample count on both engines — the exact contract that
+    * silently diverged before round 7's fix, now locked by the gate. */
+  private def iforestSmallQ(s: SparkSession, dir: String): DataFrame =
+    ml.IforestFixpoint.score(
+        Tables.read(s, dir, "embeddings").filter(col("vec_id") < 40),
+        "vec_id", "embedding", numTrees = 10, sampleSize = 64, maxDepth = 4)
+      .select(col("vec_id"), round(col("anomaly_score"), 6).as("score"))
+
+  private lazy val iforestSmallSql: String =
+    ml.IforestFixpoint.oracleSql(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40) tsub",
+      "vec_id", "embedding", numTrees = 10, sampleSize = 64, maxDepth = 4,
+      dim = 64)
+
   /** topic discovery over document embeddings (rows-only). */
   private def topicsQ(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.read(s, dir, "embeddings")
@@ -3478,6 +3494,7 @@ object SparkEntry {
     "topics_fixpoint" -> (topicsFixedQ(_, _)),
     "whiten_fixpoint" -> (whitenFixedQ(_, _)),
     "iforest_fixpoint" -> (iforestFixedQ(_, _)),
+    "iforest_small" -> (iforestSmallQ(_, _)),
     "gcn_fixpoint" -> (gcnFixedQ(_, _)),
     "autoencoder_fixpoint" -> (aeFixedQ(_, _)),
     "whiten" -> (whitenQ(_, _)),
@@ -3654,6 +3671,7 @@ object SparkEntry {
     "topics_fixpoint" -> topicsFixedSql,
     "whiten_fixpoint" -> whitenFixedSql,
     "iforest_fixpoint" -> iforestFixedSql,
+    "iforest_small" -> iforestSmallSql,
     "gcn_fixpoint" -> gcnFixedSql,
     "autoencoder_fixpoint" -> aeFixedSql,
     "tsne_fixpoint" -> tsneFixedSql,
