@@ -26,12 +26,23 @@ object ScaleBench {
   @inline private def unoise(key: Long): Float =
     ((mix64(key) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
 
+  /** The sf fixtures are single parquet files (one split); a real corpus
+    * at these sizes arrives as many splits. Hash-repartition the expanded
+    * tables by id so per-row work parallelizes the way a multi-split scan
+    * would — without this, every "per-row, shuffle-free" op is secretly
+    * single-core at 100× and the growth curves measure the artifact. */
+  private def spread(df: DataFrame, byCol: String): DataFrame = {
+    val p = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(p, col(byCol))
+  }
+
   private def expandDocs(docs: DataFrame, s: Int): DataFrame =
-    docs.select(col("doc_id").cast("long").as("base_id"), col("text"))
+    spread(docs.select(col("doc_id").cast("long").as("base_id"), col("text"))
       .withColumn("r", explode(lit((0 until s).toArray)))
       .select((col("base_id") + col("r").cast("long") * 1000000L).as("doc_id"),
         when(col("r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("r"))).as("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("r"))).as("text")),
+      "doc_id")
 
   private def expandEmb(emb: DataFrame, s: Int): DataFrame = {
     val jitter = udf((id: Long, r: Int, v: Seq[Float]) => {
@@ -41,19 +52,21 @@ object ScaleBench {
       while (j < v.length) { out(j) = v(j) + 0.02f * unoise(key + j); j += 1 }
       out.toSeq
     })
-    emb.select(col("vec_id").cast("long").as("base_id"), col("embedding"))
+    spread(emb.select(col("vec_id").cast("long").as("base_id"), col("embedding"))
       .withColumn("r", explode(lit((0 until s).toArray)))
       .select((col("base_id") + col("r").cast("long") * 1000000L).as("vec_id"),
-        jitter(col("base_id"), col("r"), col("embedding")).as("embedding"))
+        jitter(col("base_id"), col("r"), col("embedding")).as("embedding")),
+      "vec_id")
   }
 
   private def expandEvents(ev: DataFrame, s: Int): DataFrame =
-    ev.select(col("event_id").cast("long").as("base_id"), col("ts"),
+    spread(ev.select(col("event_id").cast("long").as("base_id"), col("ts"),
         col("user_id").cast("long").as("base_user"), col("event_type"), col("value"))
       .withColumn("r", explode(lit((0 until s).toArray)))
       .select((col("base_id") + col("r").cast("long") * 10000000L).as("event_id"),
         col("ts"), (col("base_user") + col("r").cast("long") * 100000L).as("user_id"),
-        col("event_type"), col("value"))
+        col("event_type"), col("value")),
+      "event_id")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -117,10 +130,22 @@ object ScaleBench {
       out.result()
     }
 
-    val at1 = opsAt(1)
-    val at10 = opsAt(10)
-    val lines = at1.zip(at10).map { case ((op, r1, s1), (_, r10, s10)) =>
-      f"""{"op":"$op","rows_1x":$r1,"sec_1x":$s1%.3f,"rows_10x":$r10,"sec_10x":$s10%.3f,"time_ratio":${s10 / s1}%.2f}"""
+    // scales: 1x/10x/100x by default (100x: 500k docs / 200k vectors /
+    // ~2M events — the cost face of RECALL_SCALE's 100x row). Override
+    // via args(2) = "1,10".
+    val scales = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
+                 else Seq(1, 10, 100)
+    val results = scales.map(s => opsAt(s))
+    val lines = results.head.indices.map { i =>
+      val op = results.head(i)._1
+      val cells = scales.zip(results.map(_(i))).map { case (s, (_, r, t)) =>
+        f""""rows_${s}x":$r,"sec_${s}x":$t%.3f"""
+      }.mkString(",")
+      val base = results.head(i)._3
+      val ratios = scales.tail.zip(results.tail.map(_(i)))
+        .map { case (s, (_, _, t)) => f""""time_ratio_${s}x":${t / base}%.2f""" }
+        .mkString(",")
+      s"""{"op":"$op",$cells,$ratios}"""
     }
     val out = lines.mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
