@@ -444,6 +444,43 @@ object SparkEntry {
         round(col("distance"), 6).as("dist"))
   }
 
+  /** Incremental-maintenance paths under the SAME exhaustive oracle:
+    * build on the even half, [[operators.Hnsw.insert]] the odd half —
+    * per-shard rebuilds are bit-identical to a from-scratch build, so
+    * the exhaustive search over the maintained index must still equal
+    * brute force over the full corpus (identical oracle SQL). */
+  private def hnswInsertExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val base = operators.Hnsw.build(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", numShards = 4)
+    val full = operators.Hnsw.insert(base, e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", numShards = 4)
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    operators.Hnsw.searchBatch(full, qs, k = 10, efSearch = 100000)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
+  /** Deletion under the same oracle: plant 20 decoy rows (ids shifted
+    * past the corpus, vectors of the first 20 originals → they would
+    * crowd out true top-k as distance-0 twins), delete them, and the
+    * exhaustive search must again equal brute force over the ORIGINAL
+    * corpus — a tombstone leak or a missed shard rebuild breaks the
+    * hash. */
+  private def hnswDeleteExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val withDecoys = operators.Hnsw.build(e.unionByName(decoys),
+      "vec_id", "embedding", numShards = 4)
+    val cleaned = operators.Hnsw.delete(withDecoys,
+      (0L until 20L).map(_ + 5000000L), numShards = 4)
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    operators.Hnsw.searchBatch(cleaned, qs, k = 10, efSearch = 100000)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
   private val hnswExhaustiveSql =
     """WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -3505,6 +3542,8 @@ object SparkEntry {
     "ivf_disk_exact" -> (ivfDiskExact(_, _)),
     "hnsw_disk_knn" -> (hnswDiskKnn(_, _)),
     "hnsw_exhaustive" -> (hnswExhaustive(_, _)),
+    "hnsw_insert_exact" -> (hnswInsertExact(_, _)),
+    "hnsw_delete_exact" -> (hnswDeleteExact(_, _)),
     "ivfpq_knn" -> (ivfpqKnn(_, _)),
     "ivfpq_disk_exact" -> (ivfpqDiskExact(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
@@ -3582,6 +3621,8 @@ object SparkEntry {
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force
     "hnsw_exhaustive" -> hnswExhaustiveSql, // ef >= shard size == brute force
+    "hnsw_insert_exact" -> hnswExhaustiveSql, // maintained index == brute force
+    "hnsw_delete_exact" -> hnswExhaustiveSql, // decoys removed == brute force
     "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
