@@ -426,16 +426,16 @@ object SparkEntry {
       .select(col("id"), round(col("distance"), 6).as("dist"))
 
   /** HNSW EXHAUSTIVE contract, FULL oracle: at ef ≥ shard size the
-    * best-first level-0 expansion cannot terminate before scoring every
-    * reachable node (the early-exit `dc > res.head && |res| ≥ ef` can
-    * never fire first — reference contract `hnsw_am.c:938-975`, ef clamp
-    * 100000), so the DISK serve path must equal brute-force top-k — and
-    * the brute-force side IS SQL-expressible. The graph walk itself
-    * stays un-SQL-able; its exhaustive-limit CONTRACT is what this row
-    * hash-matches, converting the HNSW family from spec-only evidence to
-    * an oracle-checked CORRECTNESS row (multi-query, multi-shard: every
-    * shard graph, the parquet round-trip, and the rank merge are all
-    * under the hash). */
+    * serve path guarantees brute-force-exact results (the walk
+    * degenerates to a scan by construction — `ShardGraph.search`'s
+    * exhaustive guard — because best-first expansion alone would make
+    * exactness contingent on level-0 connectivity, which the closest-m
+    * shrink does not promise; reference ef-clamp contract
+    * `hnsw_am.c:938-975`). The brute-force side IS SQL-expressible, so
+    * this row hash-matches the whole serve pipeline — disk round-trip,
+    * shard partitioning, distance kernels, rank merge — multi-query and
+    * multi-shard. Walk QUALITY at production ef stays covered by
+    * `hnsw_ann_recall`/`hnsw_recall_curve` and the HnswSpec floors. */
   private def hnswExhaustive(s: SparkSession, dir: String): DataFrame = {
     val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
     operators.Hnsw.searchBatchFromDisk(s, s"${diskIndexRoot(s, dir)}/hnsw",

@@ -277,6 +277,15 @@ object Hnsw {
     private def vecOf(id: Long): Array[Float] = byId(id).vec.toArray
 
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      // ef >= |shard| is the documented exhaustive limit (reference ef
+      // clamp contract, hnsw_am.c:938-941): make it a GUARANTEE by
+      // scanning, not a property contingent on level-0 connectivity —
+      // the asymmetric closest-m shrink can in principle orphan a
+      // node's inbound edges, and the hnsw_exhaustive oracle family
+      // asserts brute-force equality
+      if (math.max(ef, k) >= byId.size)
+        return nodes.view.map(n => (dist(q, n.vec.toArray), n.id))
+          .toSeq.sorted.take(k).map { case (d, id) => (id, d) }
       var ep = entry.id
       var dEp = dist(q, vecOf(ep))
       var lc = entry.nbrs.length - 1

@@ -210,7 +210,10 @@ object Multimodal {
       val id = fourcc()
       val sz = bb.getInt
       if (sz < 0 || sz > bb.remaining()) return None // truncated/corrupt
-      val next = bb.position() + sz + (sz & 1) // chunks pad to even offsets
+      // chunks pad to even offsets, but many writers omit the pad on the
+      // FINAL chunk — clamp to the buffer end instead of rejecting a
+      // file whose fmt/data already parsed
+      val next = math.min(bb.position().toLong + sz + (sz & 1), bb.limit().toLong).toInt
       if (id == "fmt " && sz >= 16) {
         val audioFormat = bb.getShort & 0xFFFF
         val ch = bb.getShort & 0xFFFF
@@ -219,7 +222,6 @@ object Multimodal {
         val bits = bb.getShort & 0xFFFF
         fmt = Some((audioFormat, ch, rate, bits))
       } else if (id == "data") dataBytes = sz.toLong
-      if (next > bb.limit()) return None
       bb.position(next)
     }
     fmt.collect {
@@ -307,7 +309,9 @@ object Multimodal {
         val id = fourcc()
         val sz = bb.getInt
         if (sz < 0 || sz > limit - bb.position()) return // truncated
-        val next = bb.position() + sz + (sz & 1)
+        // clamp: the final chunk's pad byte may be absent (same
+        // tolerance as decodeWavMeta) — never throw from position()
+        val next = math.min(bb.position().toLong + sz + (sz & 1), limit.toLong).toInt
         if (id == "LIST" && sz >= 4) {
           val listEnd = bb.position() + sz
           val listType = fourcc()

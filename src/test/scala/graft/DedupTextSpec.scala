@@ -159,6 +159,15 @@ class DedupTextSpec extends SparkSpecBase {
     assert(Multimodal.decodeWavMeta("definitely not audio".getBytes).isEmpty)
     assert(Multimodal.decodeWavMeta(bytes.take(20)).isEmpty)
     assert(Multimodal.decodeWavMeta(null).isEmpty)
+    // a final ODD-size chunk with no pad byte (common in the wild) must
+    // still parse — end-of-buffer is end-of-stream, not corruption
+    val odd = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(bytes.take(12 + 8 + 16))             // RIFF..WAVE + fmt chunk
+    odd.put("data".getBytes("US-ASCII")).putInt(3)
+    odd.put(Array[Byte](1, 2, 3))                // 3 bytes, NO pad
+    val oddMeta = Multimodal.decodeWavMeta(odd.array())
+    assert(oddMeta.exists(w => w.dataBytes == 3 && w.sampleRate == 22050))
     // DataFrame face: columns for WAVs, NULLs for junk
     val df = Seq((1L, bytes), (2L, "junk junk".getBytes)).toDF("media_id", "payload")
     val out = Multimodal.decodeAudioMeta(df)
@@ -182,6 +191,16 @@ class DedupTextSpec extends SparkSpecBase {
     assert(Multimodal.decodeAviMeta(bytes.take(16)).isEmpty)
     assert(Multimodal.decodeAviMeta(
       Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000, 1)).isEmpty)
+    // a container whose ONLY chunk is odd-size with NO pad byte must
+    // return None without throwing (end-of-buffer is end-of-stream;
+    // position(next) used to overshoot the limit and throw)
+    val padless = java.nio.ByteBuffer.allocate(12 + 8 + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    padless.put("RIFF".getBytes("US-ASCII")).putInt(12 + 3)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](7, 8, 9))
+    assert(Multimodal.decodeAviMeta(padless.array()).isEmpty)
     // DataFrame face: columns for AVIs, NULLs for junk
     val df = Seq((1L, bytes), (2L, "junk".getBytes)).toDF("media_id", "payload")
     val out = Multimodal.decodeVideoMeta(df)
