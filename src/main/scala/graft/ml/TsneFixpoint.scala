@@ -42,16 +42,8 @@ object TsneFixpoint {
             eta: Double = 200.0, initScale: Double = 0.01,
             seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.filter(col(idCol) < n)
-      .select(col(idCol).cast("long").as("id"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).iterator.take(d).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    val m = rows.length
-    require(m >= 2, "need at least 2 points")
-    val ids = rows.map(_._1)
-    val xs = rows.map(_._2)
+    val (ids, xs) = FixpointInit.collectPoints(df, idCol, vecCol, n, d)
+    val m = ids.length
 
     // Cauchy input affinities, row sums, symmetrized P — ordered folds
     val w = Array.tabulate(m, m) { (i, j) =>
@@ -73,9 +65,7 @@ object TsneFixpoint {
       else (w(i)(j) / srow(i) + w(j)(i) / srow(j)) / (2.0 * m)
     }
 
-    val y = Array.tabulate(m)(i => Array(
-      (Explain.u01(seed ^ ids(i)) * 2 - 1) * initScale,
-      (Explain.u01(~seed ^ ids(i)) * 2 - 1) * initScale))
+    val y = FixpointInit.hashInit(ids, seed, initScale)
 
     for (_ <- 1 to iters) {
       val q = Array.tabulate(m, m) { (i, j) =>
@@ -124,13 +114,9 @@ object TsneFixpoint {
                 n: Int = 60, d: Int = 8, iters: Int = 10,
                 eta: Double = 200.0, initScale: Double = 0.01,
                 seed: Long = 42L): String = {
-    val u01 = "(z // 2048)::DOUBLE / 9007199254740992.0"
     val fold = "(x, y) -> x + y"
     val sb = new StringBuilder
-    sb ++= s"""WITH pts AS MATERIALIZED (
-      |  SELECT $idCol AS id,
-      |    list_transform($vecCol[1:$d], v -> CAST(v AS DOUBLE)) AS xs
-      |  FROM $table WHERE $idCol < $n),
+    sb ++= s"""WITH ${FixpointInit.initCtes(table, idCol, vecCol, n, d, seed, initScale)},
       |nn AS MATERIALIZED (SELECT count(*) AS m FROM pts),
       |w AS MATERIALIZED (
       |  SELECT a.id AS i, b.id AS j,
@@ -149,18 +135,7 @@ object TsneFixpoint {
       |      (wa.w / sa.s + wb.w / sb.s) / (2.0 * (SELECT m FROM nn))
       |    END AS p
       |  FROM w wa JOIN w wb ON wb.i = wa.j AND wb.j = wa.i
-      |    JOIN srow sa ON sa.i = wa.i JOIN srow sb ON sb.i = wa.j),
-      |${graft.functions.Mix64Sql.ctes("k1", "pts", Seq("id"),
-           s"xor(CAST($seed AS BIGINT), id)")},
-      |${graft.functions.Mix64Sql.ctes("k2", "pts", Seq("id"),
-           s"xor(CAST(${~seed} AS BIGINT), id)")},
-      |y_0 AS MATERIALIZED (
-      |  SELECT a.id,
-      |    ((a.z // 2048)::DOUBLE / 9007199254740992.0 * 2 - 1)
-      |      * CAST($initScale AS DOUBLE) AS y1,
-      |    ((b.z // 2048)::DOUBLE / 9007199254740992.0 * 2 - 1)
-      |      * CAST($initScale AS DOUBLE) AS y2
-      |  FROM k16 a JOIN k26 b ON b.id = a.id)""".stripMargin
+      |    JOIN srow sa ON sa.i = wa.i JOIN srow sb ON sb.i = wa.j)""".stripMargin
     for (t <- 1 to iters) {
       val prev = s"y_${t - 1}"
       sb ++= s""",

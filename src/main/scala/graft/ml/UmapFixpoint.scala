@@ -44,16 +44,8 @@ object UmapFixpoint {
             lr: Double = 0.05, eps: Double = 0.001,
             initScale: Double = 0.01, seed: Long = 7L): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.filter(col(idCol) < n)
-      .select(col(idCol).cast("long").as("id"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).iterator.take(d).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    val m = rows.length
-    require(m >= 2, "need at least 2 points")
-    val ids = rows.map(_._1)
-    val xs = rows.map(_._2)
+    val (ids, xs) = FixpointInit.collectPoints(df, idCol, vecCol, n, d)
+    val m = ids.length
 
     // symmetric Cauchy membership weights (the sigma-search replacement)
     val w = Array.tabulate(m, m) { (i, j) =>
@@ -66,9 +58,7 @@ object UmapFixpoint {
       }
     }
 
-    val y = Array.tabulate(m)(i => Array(
-      (Explain.u01(seed ^ ids(i)) * 2 - 1) * initScale,
-      (Explain.u01(~seed ^ ids(i)) * 2 - 1) * initScale))
+    val y = FixpointInit.hashInit(ids, seed, initScale)
 
     for (_ <- 1 to iters) {
       val g = Array.tabulate(m) { i =>
@@ -111,27 +101,13 @@ object UmapFixpoint {
                 initScale: Double = 0.01, seed: Long = 7L): String = {
     val fold = "(x, y) -> x + y"
     val sb = new StringBuilder
-    sb ++= s"""WITH pts AS MATERIALIZED (
-      |  SELECT $idCol AS id,
-      |    list_transform($vecCol[1:$d], v -> CAST(v AS DOUBLE)) AS xs
-      |  FROM $table WHERE $idCol < $n),
+    sb ++= s"""WITH ${FixpointInit.initCtes(table, idCol, vecCol, n, d, seed, initScale)},
       |w AS MATERIALIZED (
       |  SELECT a.id AS i, b.id AS j,
       |    1.0 / (1.0 + list_reduce(list_prepend(0.0,
       |      list_transform(range(1, ${d + 1}),
       |        c -> (a.xs[c] - b.xs[c]) * (a.xs[c] - b.xs[c]))), $fold)) AS w
-      |  FROM pts a, pts b WHERE a.id <> b.id),
-      |${graft.functions.Mix64Sql.ctes("k1", "pts", Seq("id"),
-           s"xor(CAST($seed AS BIGINT), id)")},
-      |${graft.functions.Mix64Sql.ctes("k2", "pts", Seq("id"),
-           s"xor(CAST(${~seed} AS BIGINT), id)")},
-      |y_0 AS MATERIALIZED (
-      |  SELECT a.id,
-      |    ((a.z // 2048)::DOUBLE / 9007199254740992.0 * 2 - 1)
-      |      * CAST($initScale AS DOUBLE) AS y1,
-      |    ((b.z // 2048)::DOUBLE / 9007199254740992.0 * 2 - 1)
-      |      * CAST($initScale AS DOUBLE) AS y2
-      |  FROM k16 a JOIN k26 b ON b.id = a.id)""".stripMargin
+      |  FROM pts a, pts b WHERE a.id <> b.id)""".stripMargin
     for (t <- 1 to iters) {
       val prev = s"y_${t - 1}"
       sb ++= s""",
