@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
  * plus the `recommendNprobe` / `recommendEf` tuners at both scales.
  * Output: one JSON line per scale, written to RECALL_SCALE.json.
  *
- * Deterministic by construction (splitmix64 noise keyed on
- * (id, replica, dim)), so the artifact is reproducible bit-for-bit.
+ * Determinism, stated precisely: the CORPUS is reproducible
+ * bit-for-bit (splitmix64 noise keyed on (id, replica, dim)), and with
+ * it the IVF and HNSW curves (seeded k-means / hash-leveled graphs over
+ * fixed inputs). The IVFADC leg trains MLlib k-means sub-quantizers
+ * whose float accumulation order follows the partitioning, so its
+ * recall entries can shift at the second decimal across different
+ * SPARK_GRAFT_CPUS settings — compare ADC numbers only between runs at
+ * the same parallelism.
  */
 object RecallAtScale {
 

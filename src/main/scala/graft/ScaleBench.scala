@@ -140,12 +140,15 @@ object ScaleBench {
       val op = results.head(i)._1
       val cells = scales.zip(results.map(_(i))).map { case (s, (_, r, t)) =>
         f""""rows_${s}x":$r,"sec_${s}x":$t%.3f"""
-      }.mkString(",")
+      }
+      // ratios are vs the FIRST scale in the list; the key names the
+      // baseline explicitly so a non-1x-first override can't mislabel
       val base = results.head(i)._3
-      val ratios = scales.tail.zip(results.tail.map(_(i)))
-        .map { case (s, (_, _, t)) => f""""time_ratio_${s}x":${t / base}%.2f""" }
-        .mkString(",")
-      s"""{"op":"$op",$cells,$ratios}"""
+      val ratios = scales.tail.zip(results.tail.map(_(i))).map {
+        case (s, (_, _, t)) =>
+          f""""time_ratio_${s}x_vs_${scales.head}x":${t / base}%.2f"""
+      }
+      s"""{"op":"$op",${(cells ++ ratios).mkString(",")}}"""
     }
     val out = lines.mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
