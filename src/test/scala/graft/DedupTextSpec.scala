@@ -209,4 +209,25 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(1L) == (Some(640), Some(9600L)))
     assert(out(2L) == (None, None))
   }
+
+  test("media parsers never throw on arbitrary bytes (UDF robustness fuzz)") {
+    // deterministic pseudo-random payloads, including RIFF-prefixed ones
+    // that exercise the chunk walkers' bounds checks
+    val rnd = new scala.util.Random(20260813L)
+    val payloads = (0 until 300).map { i =>
+      val n = rnd.nextInt(96)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && n >= 12) { // plant RIFF/WAVE|AVI magics
+        Array[Byte]('R', 'I', 'F', 'F').copyToArray(b, 0)
+        (if (i % 6 == 0) "WAVE" else "AVI ").getBytes("US-ASCII").copyToArray(b, 8)
+      }
+      b
+    } :+ Array.empty[Byte] :+ (null: Array[Byte])
+    payloads.foreach { p =>
+      Multimodal.decodeWavMeta(p)   // Option result, must not throw
+      Multimodal.decodeAviMeta(p)
+      Multimodal.decodeImage(p)
+    }
+  }
 }
