@@ -80,11 +80,14 @@ object Dedup {
     * otherwise be re-tokenized O(candidate-degree) times). Within-doc
     * djb2-32 collisions merge shingles with probability ~|S|²/2³³ — the
     * standard fingerprint trade, same as [[fingerprintDedup]]. */
-  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
-    val hs = wordShingles(text, n).iterator
-      .map(s => djb2(s).toLong & 0xFFFFFFFFL).toArray
+  def shingleHashes(text: String, n: Int = 3): Array[Long] =
+    sortedDistinct(wordShingles(text, n).iterator
+      .map(s => djb2(s).toLong & 0xFFFFFFFFL).toArray)
+
+  /** Sort + distinct-in-place (hash collisions only) — the one
+    * compaction both shingle fingerprints share. */
+  private def sortedDistinct(hs: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(hs)
-    // distinct-in-place on the sorted array (hash collisions only)
     var w = 0
     var i = 0
     while (i < hs.length) {
@@ -261,17 +264,8 @@ object Dedup {
   }
 
   /** Sorted distinct 64-bit fingerprints of a doc's word n-grams. */
-  def shingleHashes64(text: String, n: Int = 3): Array[Long] = {
-    val hs = wordShingles(text, n).iterator.map(fnv1a64).toArray
-    java.util.Arrays.sort(hs)
-    var w = 0
-    var i = 0
-    while (i < hs.length) {
-      if (w == 0 || hs(w - 1) != hs(i)) { hs(w) = hs(i); w += 1 }
-      i += 1
-    }
-    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
-  }
+  def shingleHashes64(text: String, n: Int = 3): Array[Long] =
+    sortedDistinct(wordShingles(text, n).iterator.map(fnv1a64).toArray)
 
   /**
    * Exact n-gram Jaccard pairs, minhash-blocked: never |D|² on raw text.
@@ -326,6 +320,12 @@ object Dedup {
    */
   def dupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
                 aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // a non-numeric id would cast to NULL, every join would miss, and
+    // dedupByPairs would silently return an EMPTY corpus — reject loudly
+    // instead (hash string ids to longs upstream, e.g. xxhash64)
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric, got $idType")
     val comp = graft.ml.Dbscan.connectedComponents(
       pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
     df.select(col(idCol).cast("long").as("id"))
@@ -342,7 +342,13 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs under a distance threshold. The
     * `a_id < b_id` prune is part of the join condition so distances are
-    * computed for half the cross product, not filtered afterwards. */
+    * computed for half the cross product, not filtered afterwards.
+    *
+    * BRUTE-FORCE ORACLE FACE: broadcasts the whole corpus and plans a
+    * nested-loop join — correct at verification scale, never the 100 TB
+    * plan. The scale path is [[Ivf.join]] (cluster-blocked, no
+    * broadcast), oracle-proved equal at exhaustive probing by
+    * `ivf_join_exact` with `ivf_join_recall` measuring the nprobe dial. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   maxCosineDistance: Double): DataFrame = {
     val l = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))

@@ -48,7 +48,11 @@ object Ivf {
         .take(math.max(1, nprobe))
         .map(_._2).toSeq
 
-    /** ANN top-k: probe nprobe posting lists, exact rescore inside them. */
+    /** ANN top-k: probe nprobe posting lists, exact rescore inside them.
+      * Routing and the posting lists themselves are L2-k-means; a
+      * non-L2 `metric` rescore is legitimate but its recall rides the
+      * same nprobe dial as [[Ivf.join]] (measured by `ivf_join_recall`)
+      * — only `nprobe = nlists` is metric-independently exact. */
     def search(query: Array[Float], k: Int = 10, nprobe: Int = 10,
                metric: String = "l2"): DataFrame = {
       val probes = route(query, nprobe)
@@ -66,19 +70,29 @@ object Ivf {
   def writePartitioned(model: IvfModel, path: String): Unit = {
     model.assigned.write.mode("overwrite")
       .partitionBy("cluster_id").parquet(s"$path/assigned")
-    val spark = model.assigned.sparkSession
-    import spark.implicits._
-    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeCentroids(model.assigned.sparkSession, model.centroids, s"$path/centroids")
   }
 
   def loadPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
-                      vecCol: String): IvfModel = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
-    IvfModel(centroids, spark.read.parquet(s"$path/assigned"), vecCol)
+                      vecCol: String): IvfModel =
+    IvfModel(readCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"), vecCol)
+
+  /** The tiny centroid side table's ONE on-disk schema — shared with
+    * [[IvfPq]] so the two layouts cannot drift. */
+  private[operators] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                                        centroids: Array[Array[Float]],
+                                        path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  private[operators] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Array[Array[Float]] =
+    spark.read.parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
 
   /** Index diagnostics (`index_statistics`/`index_health`/
     * `index_tune_ivf`/`index_recommend_type`,
@@ -90,6 +104,7 @@ object Ivf {
     import org.apache.spark.sql.functions._
     val sizes = model.assigned.groupBy("cluster_id").count()
       .agg(min("count"), max("count"), avg("count"), stddev("count"), count(lit(1))).head()
+    require(!sizes.isNullAt(0), "index has no assigned rows")
     val nlists = model.centroids.length.toDouble
     Map(
       "nlists" -> nlists,
@@ -97,6 +112,8 @@ object Ivf {
       "min_list_size" -> sizes.getLong(0).toDouble,
       "max_list_size" -> sizes.getLong(1).toDouble,
       "avg_list_size" -> sizes.getDouble(2),
+      // stddev is NULL for a single populated list
+      "stddev_list_size" -> (if (sizes.isNullAt(3)) 0.0 else sizes.getDouble(3)),
       "imbalance" -> sizes.getLong(1).toDouble / math.max(1.0, sizes.getDouble(2)))
   }
 
@@ -115,17 +132,26 @@ object Ivf {
    *
    *   1. map-side explode corpus × queries (queries + per-query centroid
    *      orderings broadcast — |Q|·nlists ints, tiny);
-   *   2. window rank per query id → keep rank ≤ k (|Q|·k rows);
-   *   3. aggregate `probe_rank ≤ p` per requested p.
+   *   2. partition-local k-heaps per query prune the pair stream IN the
+   *      scan stage, so the window's shuffle carries at most |Q|·k rows
+   *      per input partition — never the |D|·|Q| pair table;
+   *   3. window rank per query id → keep rank ≤ k (|Q|·k rows);
+   *   4. aggregate `probe_rank ≤ p` per requested p, normalized by the
+   *      ACTUAL truth-pair count (a query with fewer than k eligible
+   *      rows contributes its real neighbor count, so the exhaustive
+   *      probe reads 1.0 even on tiny/excludeSelf corpora).
    *
-   * No per-query driver loop, no per-nprobe re-probe: one shuffle of
-   * |Q|·k rows regardless of corpus size.
+   * No per-query driver loop, no per-nprobe re-probe.
    */
   def recallCurve(model: IvfModel, queries: Array[(Long, Array[Float])],
                   idCol: String, k: Int = 10,
                   nprobes: Seq[Int] = Seq(1, 2, 4, 8, 12, 16),
                   excludeSelf: Boolean = true): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
+    val idType = model.assigned.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric, got $idType — a non-castable id " +
+        "would null out and silently empty the curve")
     val spark = model.assigned.sparkSession
     import spark.implicits._
     val nlists = model.centroids.length
@@ -145,19 +171,40 @@ object Ivf {
         else Some((qid, id, VectorOps.l2(q, x), bPr.value(qid)(cid)))
       }.toSeq
     }
-    val topk = model.assigned
+    val kk = k
+    val pruned = model.assigned
       .select(explode(pairs(col(idCol).cast("long"), col(model.vecCol), col("cluster_id"))).as("p"))
       .select(col("p._1").as("qid"), col("p._2").as("cid"),
         col("p._3").as("dist"), col("p._4").as("prank"))
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        // local k-heap per qid, max-heap on (dist, cid) so the global
+        // (dist, cid)-ordered top-k is preserved exactly
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Int)]]
+        it.foreach { case (qid, cid, dist, prank) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long, Int)](Ordering.by(t => (t._1, t._2))))
+          if (h.size < kk) h.enqueue((dist, cid, prank))
+          else if (dist < h.head._1 || (dist == h.head._1 && cid < h.head._2)) {
+            h.dequeue(); h.enqueue((dist, cid, prank))
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (d, c, pr) => (qid, c, d, pr) }
+        }
+      }
+      .toDF("qid", "cid", "dist", "prank")
+    val topk = pruned
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
       .filter(col("rk") <= k)
-    val nq = queries.length
     nprobes.toDF("nprobe")
       .crossJoin(topk)
       .groupBy("nprobe")
       .agg((sum(when(col("prank") <= col("nprobe"), 1).otherwise(0)) /
-        lit(nq.toDouble * k)).as(s"recall_at_$k"))
+        count(lit(1))).as(s"recall_at_$k"))
       .orderBy("nprobe")
   }
 
@@ -165,12 +212,23 @@ object Ivf {
     * [[recallCurve]] clearing the target (one distributed pass for all
     * widths — replaces the per-nprobe re-probe loop). */
   def recommendNprobe(model: IvfModel, sampleQueries: Seq[Array[Float]],
-                      k: Int = 10, targetRecall: Double = 0.9): Int = {
+                      k: Int = 10, targetRecall: Double = 0.9,
+                      idCol: String = ""): Int = {
     val nlists = model.centroids.length
     val widths = Iterator.iterate(1)(_ * 2).takeWhile(_ < nlists).toSeq :+ nlists
     val qs = sampleQueries.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toArray
-    val idCol = model.assigned.columns.head
-    val curve = recallCurve(model, qs, idCol, k, widths, excludeSelf = false)
+    // default to the first NUMERIC column — columns.head alone is wrong
+    // the moment a text/vector column leads the schema (recallCurve
+    // rejects non-numeric ids rather than nulling them out)
+    val id =
+      if (idCol.nonEmpty) idCol
+      else model.assigned.schema.fields
+        .find(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          && f.name != "cluster_id")
+        .map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          "no numeric id column found; pass idCol explicitly"))
+    val curve = recallCurve(model, qs, id, k, widths, excludeSelf = false)
       .collect().map(r => (r.getInt(0), r.getDouble(1)))
     curve.collectFirst { case (p, r) if r >= targetRecall => p }.getOrElse(nlists)
   }
@@ -322,7 +380,10 @@ object Ivf {
       (0 until cs.length).filter(i => VectorOps.l2(q, cs(i)) - rs(i) <= bound)
     })
     queries.join(dk, Seq(qIdCol), "left")
-      .select(col(qIdCol), col(qVecCol), explode(probe2(col(qVecCol), col("__dk"))).as("cluster_id"))
+      // keep EVERY query column (labels, weights…), as the output
+      // contract promises — callers must not pay a re-join to get them
+      .select((queries.columns.map(col) :+
+        explode(probe2(col(qVecCol), col("__dk"))).as("cluster_id")).toSeq: _*)
       .join(train, "cluster_id")
       .withColumn("distance", dist)
       .withColumn("rank", row_number().over(

@@ -42,7 +42,12 @@ object IvfPq {
     * raw vector column never enters the candidate scan, which is the
     * whole point of the codes-only memory shape. The exact rerank joins
     * the broadcast candidate pool (≤ rerankPool rows) back against the
-    * probed partitions, touching raw vectors for the pool alone. */
+    * probed partitions, touching raw vectors for the pool alone.
+    *
+    * `metric` applies to the exact RERANK only: routing and ADC tables
+    * are L2 (the quantizers are L2-k-means), so a non-L2 metric's
+    * recall rides the nprobe/rerankPool dials like [[Ivf.IvfModel.search]]
+    * — exact only at nprobe = nlists with a corpus-sized pool. */
   def search(model: IvfPqModel, query: Array[Float], k: Int = 10,
              nprobe: Int = 8, rerankPool: Int = 64,
              metric: String = "l2"): DataFrame = {
@@ -71,9 +76,7 @@ object IvfPq {
       .partitionBy("cluster_id").parquet(s"$path/encoded")
     val spark = model.encoded.sparkSession
     import spark.implicits._
-    model.ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Ivf.writeCentroids(spark, model.ivf.centroids, s"$path/centroids")
     model.codebook.codebooks.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (center, c) => (s, c, center.toSeq) }
     }.toSeq.toDF("subspace", "code", "center")
@@ -82,8 +85,7 @@ object IvfPq {
 
   def loadPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                       vecCol: String, idCol: String): IvfPqModel = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val centroids = Ivf.readCentroids(spark, s"$path/centroids")
     val cbRows = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val m = cbRows.map(_._1).max + 1

@@ -74,6 +74,29 @@ class BlockedJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("knnJoin carries every query-side column through to the output") {
+    val model = Ivf.build(df, "vec", nlists = 4)
+    val queries = df.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec"),
+        lit("payload").as("extra"), (col("id") * 2).as("weight"))
+    val out = Ivf.knnJoin(model, queries, "vec", "qid", k = 3, tieBreak = Seq("id"))
+    assert(Seq("extra", "weight").forall(out.columns.contains),
+      s"query columns dropped: ${out.columns.mkString(",")}")
+    val row = out.filter(col("qid") === 0).head()
+    assert(row.getAs[String]("extra") == "payload" && row.getAs[Long]("weight") == 0L)
+  }
+
+  test("recallCurve normalizes by actual truth pairs: exhaustive probe reads 1.0 on a tiny corpus") {
+    // 6 rows, k=10 > eligible neighbors (excludeSelf): the old nq*k
+    // denominator capped recall at 5/10 even when probing every list
+    val tiny = vecs.take(6).toSeq.toDF("id", "vec", "label")
+    val model = Ivf.build(tiny, "vec", nlists = 2)
+    val qs = tiny.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val curve = Ivf.recallCurve(model, qs, "id", k = 10, nprobes = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(curve(2) == 1.0, s"exhaustive probe must read 1.0, got ${curve(2)}")
+  }
+
   test("blocked knnClassify matches the broadcast path and never broadcasts the train data") {
     val test = df.filter(col("id") < 40)
     val broadcastPath = Extras.knnClassify(df, test, "vec", "label", k = 5, idCol = "id")

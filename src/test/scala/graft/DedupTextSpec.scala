@@ -210,6 +210,12 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(2L) == (None, None))
   }
 
+  test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
+    val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
+    val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
+    intercept[IllegalArgumentException](Dedup.dupGroups(docs, "id", pairs))
+  }
+
   test("media parsers never throw on arbitrary bytes (UDF robustness fuzz)") {
     // deterministic pseudo-random payloads, including RIFF-prefixed ones
     // that exercise the chunk walkers' bounds checks
