@@ -76,16 +76,25 @@ object Bm25 {
     }
   }
 
-  /** One-pass index build: explode tokens, count tf per (doc, term). */
+  /** One-pass index build: explode tokens, count tf per (doc, term).
+    * The intermediate token cache is released before returning
+    * (localCheckpoint-then-unpersist, the [[Dedup]] contract) — callers
+    * never inherit a pinned upstream. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val tokens = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .cache()
-    val postings = tokens
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id").agg(count("*").as("tf"))
-    val docLen = tokens.select(col("doc_id").as(idCol), size(col("toks")).cast("double").as("dl"))
-    val stats = docLen.agg(count("*"), avg("dl")).head()
-    Bm25Index(postings, docLen, stats.getLong(0), stats.getDouble(1), idCol)
+    try {
+      val postings = tokens
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id").agg(count("*").as("tf"))
+        .localCheckpoint(true)
+      val docLen = tokens
+        .select(col("doc_id").as(idCol), size(col("toks")).cast("double").as("dl"))
+        .localCheckpoint(true)
+      val stats = docLen.agg(count("*"), avg("dl")).head()
+      require(stats.getLong(0) > 0, "cannot build a BM25 index over an empty corpus")
+      Bm25Index(postings, docLen, stats.getLong(0), stats.getDouble(1), idCol)
+    } finally tokens.unpersist()
   }
 }

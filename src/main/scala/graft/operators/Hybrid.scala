@@ -1,10 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorFunctions => VF}
 
 /**
  * Hybrid / fused search operators (SURVEY §2.6).
@@ -46,7 +44,9 @@ object Hybrid {
     val kwFilter = keywords
       .map(w => lower(col(textCol)).contains(w.toLowerCase))
       .reduceOption(_ && _).getOrElse(lit(true))
-    Knn.search(df.filter(kwFilter), vecCol, queryVec, k)
+    // id tie-break: equal distances at the k-cut must not make the
+    // result set run-dependent (same contract as every sibling here)
+    Knn.search(df.filter(kwFilter), vecCol, queryVec, k, tieBreak = Seq(idCol))
   }
 
   /** `multi_vector_search(table, vecs[], strategy, k)`
@@ -55,11 +55,14 @@ object Hybrid {
   def multiVectorSearch(df: DataFrame, idCol: String, vecCol: String,
                         queries: Seq[Array[Float]], strategy: String = "max",
                         k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "multiVectorSearch needs at least one query vector")
     val sims = queries.zipWithIndex.map { case (q, i) =>
       (lit(1.0) - Knn.distCol("l2")(col(vecCol), lit(q))).as(s"sim_$i")
     }
     val simCols = queries.indices.map(i => col(s"sim_$i"))
+    // greatest/least demand >= 2 args; one query fuses to itself
     val fused = strategy match {
+      case "max" | "min" | "avg" if simCols.size == 1 => simCols.head
       case "max" => greatest(simCols: _*)
       case "min" => least(simCols: _*)
       case "avg" => simCols.reduce(_ + _) / simCols.size
@@ -114,6 +117,7 @@ object Hybrid {
    */
   def rrfFusion(idCol: String, rankings: Seq[(DataFrame, String, Boolean)],
                 kParam: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion needs at least one ranking")
     val contribs = rankings.map { case (df, scoreCol, desc) =>
       DistributedRank.withRank(df.select(col(idCol), col(scoreCol)),
           col(scoreCol), desc, col(idCol), "r")

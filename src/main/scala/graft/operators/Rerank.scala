@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embeddings, VectorOps}
@@ -45,8 +44,11 @@ object Rerank {
         val aggs = scoreCols.flatMap(c =>
           Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
+        // empty input → null bounds; degrade to (0,0) (scores norm to 0)
+        // instead of an NPE out of getDouble
         scoreCols.zipWithIndex.map { case (c, i) =>
-          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
         }.toMap
       }
     def normed(c: String): Column =
@@ -77,9 +79,17 @@ object Rerank {
       .drop("__n" +: rankings.indices.map(i => s"__r_$i"): _*)
   }
 
+  /** The ONE deterministic pair scorer every local reranker (and the
+    * streaming rerank job, [[graft.streaming.JobQueue]]) shares: cosine
+    * similarity of fallback embeddings. */
+  def pairScore(query: String, doc: String,
+                model: String = "all-MiniLM-L6-v2"): Double =
+    1.0 - VectorOps.cosineDistance(
+      Embeddings.embedText(query, model), Embeddings.embedText(doc, model))
+
   /** `rerank_cross_encoder(q, docs, model, k)` fallback path
-    * (`NeuronDB/neurondb--1.0.sql:813`; SURVEY §2.7): deterministic local
-    * scorer = cosine similarity of fallback embeddings. */
+    * (`NeuronDB/neurondb--1.0.sql:813`; SURVEY §2.7): [[pairScore]] with
+    * the query embedding hoisted out of the per-row loop. */
   def crossEncoder(df: DataFrame, idCol: String, textCol: String, query: String,
                    model: String = "all-MiniLM-L6-v2", k: Int = 10): DataFrame = {
     val qEmb = Embeddings.embedText(query, model)
@@ -145,7 +155,10 @@ object Rerank {
                     candidateFactor: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cands = Knn.search(df, vecCol, query, k * candidateFactor, "cosine")
+    // id tie-break pins the candidate cut; without it tied cosine
+    // distances at the boundary make the MMR result run-dependent
+    val cands = Knn.search(df, vecCol, query, k * candidateFactor, "cosine",
+        tieBreak = Seq(idCol))
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq

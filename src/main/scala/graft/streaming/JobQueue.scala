@@ -29,14 +29,15 @@ object JobQueue {
     val embedResult = Embeddings.embedTextUdf(
       get_json_object(col("payload"), "$.text"),
       coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
-    val rerankUdf = udf((query: String, doc: String) => {
-      val m = "all-MiniLM-L6-v2"
-      try 1.0 - graft.functions.VectorOps.cosineDistance(
-        Embeddings.embedText(query, m), Embeddings.embedText(doc, m))
-      catch { case _: Exception => 0.0 }
-    })
+    // honors $.model exactly like the embed branch; the scorer is the
+    // shared Rerank.pairScore, not a second copy
+    val rerankUdf = udf((query: String, doc: String, model: String) =>
+      try Rerank.pairScore(query, doc, model)
+      catch { case _: Exception => 0.0 })
     val rerankResult = rerankUdf(
-      get_json_object(col("payload"), "$.query"), get_json_object(col("payload"), "$.doc"))
+      get_json_object(col("payload"), "$.query"),
+      get_json_object(col("payload"), "$.doc"),
+      coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
 
     batch
       .withColumn("status",
@@ -95,16 +96,18 @@ object StreamDedup {
   * (SURVEY §2.11: watermarks/session windows are Spark built-ins). */
 object EventStream {
 
-  /** Per-type event counts in tumbling windows; late data beyond the
-    * watermark is dropped by the engine. Works on static frames too. */
+  /** Per-type event counts + mean of `valueCol` in tumbling windows;
+    * late data beyond the watermark is dropped by the engine. Works on
+    * static frames too. */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
                      windowDur: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame = {
+                     watermark: String = "2 hours",
+                     valueCol: String = "value"): DataFrame = {
     val withTs = events.withColumn("__ts", col(tsCol).cast("timestamp"))
     val streaming = withTs.isStreaming
     val base = if (streaming) withTs.withWatermark("__ts", watermark) else withTs
     base.groupBy(window(col("__ts"), windowDur), col(typeCol))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("avg_value"))
   }
 
   /**
@@ -139,10 +142,11 @@ object EventStream {
     * gaps-and-islands SQL formulation. */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
                     gap: String = "30 minutes",
-                    watermark: String = "2 hours"): DataFrame = {
+                    watermark: String = "2 hours",
+                    valueCol: String = "value"): DataFrame = {
     val withTs = events.withColumn("__ts", col(tsCol).cast("timestamp"))
     val base = if (withTs.isStreaming) withTs.withWatermark("__ts", watermark) else withTs
     base.groupBy(session_window(col("__ts"), gap), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
   }
 }
