@@ -125,10 +125,13 @@ object Explain {
       .select(col("id").cast("int").as("sample_id"))
       .withColumn(tm.featuresCol, perturb(col("sample_id")))
       .withColumn("w", kernelW(col(tm.featuresCol)))
+      // predict's array→Vector conversion overwrites featuresCol when it
+      // is literally named "features"; keep the raw array for the explode
+      .withColumn("__x", col(tm.featuresCol))
 
     UnifiedApi.predict(modelId, design)
       .select(col("w"), col("prediction"),
-        posexplode(col(tm.featuresCol)).as(Seq("feature_index", "x")))
+        posexplode(col("__x")).as(Seq("feature_index", "x")))
       .groupBy("feature_index")
       .agg(sum(col("w") * col("x") * col("prediction")).as("num"),
         sum(col("w") * col("x") * col("x")).as("den"))

@@ -92,6 +92,11 @@ object Extras {
     * Sample stddev, matching both engines' default. */
   def zscoreOutliers(df: DataFrame, valueCol: String, threshold: Double = 3.0): DataFrame = {
     val stats = df.agg(avg(col(valueCol)).as("mu"), stddev(col(valueCol)).as("sigma")).head()
+    // sample stddev is undefined below 2 rows (null) — no row can be an
+    // outlier of a 0/1-row distribution, so return the empty frame rather
+    // than NPE on the unbox
+    if (stats.isNullAt(0) || stats.isNullAt(1))
+      return df.withColumn("zscore", lit(null).cast("double")).filter(lit(false))
     val mu = stats.getDouble(0); val sigma = stats.getDouble(1)
     df.withColumn("zscore", (col(valueCol) - lit(mu)) / lit(sigma))
       .filter(abs(col("zscore")) > threshold)
@@ -111,8 +116,12 @@ object Extras {
     * histograms of a numeric column. */
   def distributionDivergence(a: DataFrame, b: DataFrame, col1: String, col2: String,
                              bins: Int = 20, method: String = "js"): Double = {
-    val sa = a.agg(min(col(col1)), max(col(col1))).head()
-    val sb = b.agg(min(col(col2)), max(col(col2))).head()
+    // cast before aggregating: min/max preserve the input type, and
+    // Row.getDouble on an Integer/Long/Decimal cell throws
+    val sa = a.agg(min(col(col1).cast("double")), max(col(col1).cast("double"))).head()
+    val sb = b.agg(min(col(col2).cast("double")), max(col(col2).cast("double"))).head()
+    require(!sa.isNullAt(0) && !sb.isNullAt(0),
+      "distribution_divergence needs non-empty inputs on both sides")
     val allMin = math.min(sa.getDouble(0), sb.getDouble(0))
     val allMax = math.max(sa.getDouble(1), sb.getDouble(1))
     val width = (allMax - allMin) / bins max 1e-12
@@ -185,6 +194,10 @@ object Extras {
       .agg(graft.functions.VectorAggregates.vector_avg(col(vecCol)).as("centroid"))
       .collect()
       .map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
+    require(!agg.contains(null),
+      "davies_bouldin: null cluster id — filter or impute before scoring")
+    require(agg.size >= 2,
+      s"davies_bouldin needs at least 2 clusters, got ${agg.size}")
     // one pass for every cluster's scatter: broadcast the (k-sized)
     // centroid table instead of re-scanning the input per cluster
     val bC = spark.sparkContext.broadcast(agg.map { case (k, v) => k.toString -> v })
@@ -232,11 +245,18 @@ object Extras {
       diffs += next
       hist += next
     }
-    // integrate d times from the last original values
+    // integrate d times back to the original scale: the last value of the
+    // level-k differenced series is the k-th backward difference of the
+    // stored original tail (length d), so each integration level seeds its
+    // cumulative sum without the model having to store per-level tails
     var out = diffs.result()
     if (m.d > 0) {
-      var base = m.lastOriginal.last
-      out = out.map { dv => base += dv; base }
+      val tails = Iterator.iterate(m.lastOriginal)(
+        t => t.sliding(2).map(w => w(1) - w(0)).toArray).take(m.d).toArray
+      for (k <- m.d - 1 to 0 by -1) {
+        var base = tails(k).last
+        out = out.map { dv => base += dv; base }
+      }
     }
     out
   }

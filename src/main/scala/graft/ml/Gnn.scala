@@ -86,11 +86,18 @@ object Gnn {
     }
 
     val zero = array_repeat(lit(0.0f), dim)
-    pool.join(features.select(col("node_id").as("f_node"), col("features")),
+    val pooled = pool
+      .join(features.select(col("node_id").as("f_node"), col("features")),
         pool("node") === col("f_node"), "left")
       .select(col("seed").as("node_id"), coalesce(col("features"), zero).as("f"))
       .groupBy("node_id")
       .agg(VectorAggregates.vectorAvg(col("f")).as("aggregated"))
+    // a seed with no outgoing edges never enters the pool; the contract is
+    // one row per seed, so it gets the zero vector (the mean of an empty
+    // sample pool, reference :1104-1117) instead of vanishing
+    seeds.select(col("node_id")).distinct()
+      .join(pooled, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("aggregated"), zero).as("aggregated"))
   }
 
   /**

@@ -109,8 +109,10 @@ object UnifiedApi {
             labelCol: Option[String] = None,
             params: Map[String, String] = Map.empty): TrainedModel = {
     val seed = pi(params, "seed", 42)
-    val featured = toFeatures(df, featuresCol)
-    val labeled = labelCol.map(l => featured.withColumn("label", col(l).cast("double")))
+    // lazy: DataFrame analysis is eager, and ALS frames (user,item,rating)
+    // legitimately carry no features column to convert
+    lazy val featured = toFeatures(df, featuresCol)
+    lazy val labeled = labelCol.map(l => featured.withColumn("label", col(l).cast("double")))
 
     def needLabel: DataFrame = labeled.getOrElse(
       throw new IllegalArgumentException(s"$algorithm requires a label column"))
@@ -158,7 +160,10 @@ object UnifiedApi {
           .setMaxDepth(pi(params, "max_depth", 5)).setSeed(seed).fit(needLabel)
       case "neural_network" =>
         val dim = featured.select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0).size
-        val classes = needLabel.agg(countDistinct("label")).head().getLong(0).toInt
+        // MLP wants labels in [0, numClasses): size by max+1, not by the
+        // distinct count (labels {0, 2} would otherwise build a 2-class
+        // head and fail on label 2.0 mid-fit)
+        val classes = needLabel.agg(max("label")).head().getDouble(0).toInt + 1
         val hidden = params.getOrElse("hidden_layers", "16").split(",").map(_.trim.toInt)
         new MultilayerPerceptronClassifier()
           .setLayers(Array(dim) ++ hidden ++ Array(classes))
@@ -180,6 +185,21 @@ object UnifiedApi {
           .setRatingCol(params.getOrElse("rating_col", "rating"))
           .setRank(pi(params, "factors", 10)).setMaxIter(pi(params, "iterations", 10))
           .setSeed(seed).fit(df)
+      case "knn_classify" | "knn_regress" =>
+        throw new IllegalArgumentException(
+          s"$algorithm is transductive — call ml.Extras.knnClassify/knnRegress directly")
+      case "dbscan" =>
+        throw new IllegalArgumentException(
+          "dbscan is transductive — call ml.Dbscan.fit directly")
+      case "arima" =>
+        throw new IllegalArgumentException(
+          "arima fits an ordered series — call ml.Extras.arimaFit/arimaForecast")
+      case "zscore_outliers" =>
+        throw new IllegalArgumentException(
+          "zscore_outliers is a scan, not a model — call ml.Extras.zscoreOutliers")
+      case "isolation_forest" =>
+        throw new IllegalArgumentException(
+          "isolation_forest — call ml.IsolationForest.fit/score directly")
       case other =>
         throw new IllegalArgumentException(
           s"unknown algorithm: $other (see listAlgorithms)")
@@ -191,10 +211,13 @@ object UnifiedApi {
     tm
   }
 
-  /** `neurondb.predict(model_id, features)` (`neurondb--1.0.sql:4921-4971`). */
+  /** `neurondb.predict(model_id, features)` (`neurondb--1.0.sql:4921-4971`).
+    * ALS scores (user, item) frames directly — it never had a vector
+    * features column to convert. */
   def predict(modelId: Long, df: DataFrame): DataFrame = {
     val tm = model(modelId)
-    tm.model.transform(toFeatures(df, tm.featuresCol))
+    if (tm.algorithm == "collaborative_filter") tm.model.transform(df)
+    else tm.model.transform(toFeatures(df, tm.featuresCol))
   }
 
   /** `neurondb.evaluate` → metric map (`neurondb--1.0.sql:5030-5038`;
@@ -231,8 +254,13 @@ object UnifiedApi {
     }
   }
 
-  /** Metrics map → the reference's JSONB metric payload. */
+  /** Metrics map → the reference's JSONB metric payload. NaN/Infinity
+    * serialize as null — interpolating them raw would emit invalid JSON
+    * (gmm/hierarchical inertia is NaN by contract). */
   def metricsJson(metrics: Map[String, Double]): String =
     metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val jv = if (v.isNaN || v.isInfinite) "null" else v.toString
+        s""""$k":$jv"""
+      }.mkString("{", ",", "}")
 }

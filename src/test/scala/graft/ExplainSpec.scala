@@ -87,6 +87,20 @@ class ExplainSpec extends SparkSpecBase {
     }
   }
 
+  test("limeExplain survives a model whose features column is literally named 'features'") {
+    // predict's array→Vector conversion overwrites that column in place;
+    // the explode must read the preserved raw array, not the VectorUDT
+    val w = Array(2.0, -3.0, 0.5)
+    val tm = UnifiedApi.registerLinear(w, 0.0, "features")
+    val got = Explain.limeExplain(tm.modelId, Array(0.4f, 0.2f, 1.0f), nSamples = 50)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(got.size == 3)
+    // the reference's per-coordinate formula is a weighted ratio of means:
+    // coef_k ≈ f(x)/x_k near the instance (f(x)=0.7 here), all finite
+    (0 to 2).foreach(k => assert(!got(k).isNaN && !got(k).isInfinite))
+    assert(math.abs(got(0) - 0.7 / 0.4) < 0.2)
+  }
+
   test("shap rejects non-positive sample counts") {
     intercept[IllegalArgumentException](
       Explain.shapValues(modelId, Array(1f, 1f, 1f), nSamples = 0))

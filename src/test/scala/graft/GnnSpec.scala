@@ -45,6 +45,17 @@ class GnnSpec extends SparkSpecBase {
     assert(out(3) == Seq(0.0f, 0.0f))
   }
 
+  test("graphsageAggregate emits a zero row for seeds with no outgoing edges") {
+    val out = Gnn.graphsageAggregate(edges, feats, Seq(1, 7).toDF("node_id"),
+        nSamples = 10, depth = 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // the one-row-per-seed contract: isolated node 7 gets the empty-pool
+    // mean (zeros) instead of silently vanishing from the output
+    assert(out.keySet == Set(1, 7))
+    assert(out(7) == Seq(0.0f, 0.0f))
+    assert(out(1) == Seq(1.5f, 1.0f))
+  }
+
   test("sgcPropagate one hop matches hand-computed normalized aggregation") {
     val line = Seq((0, 1), (1, 2)).toDF("node_id", "neighbor_id")
     val f = Seq((0, Seq(1f)), (1, Seq(1f)), (2, Seq(1f))).toDF("node_id", "features")

@@ -130,4 +130,61 @@ class MlSpec extends SparkSpecBase {
     val expected = Seq(10 + 2.5 * 61, 10 + 2.5 * 62, 10 + 2.5 * 63)
     fc.toSeq.zip(expected).foreach { case (f, e) => assert(math.abs(f - e) < 1e-6, s"$f vs $e") }
   }
+
+  test("ARIMA d=2 integrates twice: a quadratic series forecasts its own curve") {
+    // second differences of i² are constant 2; one integration pass would
+    // return first-difference levels (~2i), not the parabola
+    val series = (1 to 40).map(i => i.toDouble * i).toArray
+    val m = Extras.arimaFit(series, p = 2, d = 2)
+    val fc = Extras.arimaForecast(m, 3)
+    val expected = Seq(41.0 * 41, 42.0 * 42, 43.0 * 43)
+    fc.toSeq.zip(expected).foreach { case (f, e) => assert(math.abs(f - e) < 1e-3, s"$f vs $e") }
+  }
+
+  test("zscore outliers is empty (not NPE) below 2 rows; divergence casts int columns") {
+    assert(Extras.zscoreOutliers(Seq(5.0).toDF("x"), "x").count() == 0)
+    assert(Extras.zscoreOutliers(Seq.empty[Double].toDF("x"), "x").count() == 0)
+    val ai = (1 to 500).map(i => i % 97).toDF("x") // IntegerType min/max
+    assert(Extras.distributionDivergence(ai, ai, "x", "x") < 1e-9)
+    intercept[IllegalArgumentException](
+      Extras.distributionDivergence(ai, Seq.empty[Int].toDF("x"), "x", "x"))
+  }
+
+  test("davies-bouldin rejects a single-cluster input with a clean error") {
+    val single = Seq((1L, Seq(1f, 2f), 0), (2L, Seq(2f, 1f), 0)).toDF("id", "v", "c")
+    val e = intercept[IllegalArgumentException](Extras.daviesBouldin(single, "v", "c"))
+    assert(e.getMessage.contains("2 clusters"))
+  }
+
+  test("metricsJson serializes NaN/Infinity as null so the payload stays valid JSON") {
+    val s = UnifiedApi.metricsJson(Map("inertia" -> Double.NaN,
+      "silhouette_score" -> 0.5, "spread" -> Double.PositiveInfinity))
+    assert(s == """{"inertia":null,"silhouette_score":0.5,"spread":null}""")
+  }
+
+  test("train() points transductive algorithms at their real entry points") {
+    val df = Seq((1L, Seq(1f), 0.0)).toDF("id", "features", "label")
+    for (algo <- Seq("dbscan", "knn_classify", "arima", "isolation_forest", "zscore_outliers")) {
+      val e = intercept[IllegalArgumentException](UnifiedApi.train(algo, df, "features"))
+      assert(!e.getMessage.contains("unknown algorithm"), s"$algo: ${e.getMessage}")
+    }
+  }
+
+  test("neural_network sizes its output layer for non-contiguous labels {0,2}") {
+    val df = (blob(0, 0, 30, 0.0, 11) ++ blob(5, 5, 30, 2.0, 12)).zipWithIndex
+      .map { case ((v, l), i) => (i.toLong, v, l) }.toDF("id", "features", "label")
+    // labels {0.0, 2.0}: countDistinct would build a 2-class head and fail
+    // on label 2.0 mid-fit; max+1 sizes it to 3
+    val tm = UnifiedApi.train("neural_network", df, "features", Some("label"),
+      Map("iterations" -> "40"))
+    assert(UnifiedApi.evaluate(tm.modelId, df)("accuracy") == 1.0)
+  }
+
+  test("collaborative_filter predict scores (user,item) frames without a features column") {
+    val ratings = (for (u <- 0 until 8; i <- 0 until 8 if (u + i) % 2 == 0)
+      yield (u, i, if (u % 2 == 0) 5.0f else 1.0f)).toDF("user", "item", "rating")
+    val tm = UnifiedApi.train("collaborative_filter", ratings, "features")
+    val scored = UnifiedApi.predict(tm.modelId, Seq((0, 1), (1, 2)).toDF("user", "item"))
+    assert(scored.select("prediction").collect().forall(!_.isNullAt(0)))
+  }
 }
