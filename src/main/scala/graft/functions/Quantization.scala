@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions.udf
  *    the sign for negative unbiased exponents (`fp8_e4m3_to_float`
  *    computes `exp - 7` in uint8); we implement the evident intent
  *    (signed arithmetic), per SURVEY §7.4 "don't replicate bugs blindly".
+ *    Non-finite handling likewise follows the formats' specs rather than
+ *    the reference's exp-only clamp: e4m3 reserves S.1111.111 as NaN and
+ *    saturates finite overflow to ±448; e5m2 keeps IEEE ±Inf/NaN codes.
  */
 object Quantization {
 
@@ -75,10 +78,14 @@ object Quantization {
 
   /** Truncating float32->fp16 with flush-to-zero on subnormals
     * (`quantization.c:141-168`) — NOT java's Float.floatToFloat16 (which
-    * rounds and keeps subnormals). */
+    * rounds and keeps subnormals). NaN encodes as fp16 NaN (not Infinity:
+    * the reference's exp-only overflow test conflates the two, but
+    * [[fp16ToFloat]] decodes NaN payloads faithfully, so round-tripping
+    * must preserve NaN-ness). */
   def floatToFp16(f: Float): Short = {
     val u = java.lang.Float.floatToRawIntBits(f)
     val sign = (u >>> 16) & 0x8000
+    if (f != f) return (sign | 0x7E00).toShort // quiet NaN
     val mantissa = u & 0x7FFFFF
     val exp = ((u >>> 23) & 0xFF) - 127 + 15
     if (exp <= 0) sign.toShort
@@ -144,6 +151,8 @@ object Quantization {
   }
 
   def binaryToVector(q: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 0 && dim <= q.length * 8,
+      s"dim $dim outside encoded capacity ${q.length * 8}")
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -182,6 +191,8 @@ object Quantization {
   }
 
   def ternaryToVector(q: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 0 && dim <= q.length * 4,
+      s"dim $dim outside encoded capacity ${q.length * 4}")
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -216,6 +227,8 @@ object Quantization {
   }
 
   def int4ToVector(q: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 0 && dim <= q.length * 2,
+      s"dim $dim outside encoded capacity ${q.length * 2}")
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -228,13 +241,19 @@ object Quantization {
 
   // ---------------- fp8 (e4m3 / e5m2) ----------------
 
+  /** E4M3 per the OCP FP8 layout: no Infinity; S.1111.111 is NaN. NaN and
+    * ±Inf encode to the NaN code; finite overflow SATURATES to the max
+    * finite ±448 (S.1111.110) — the reference's exp-only clamp to 0x7F
+    * would turn Infinity (and every finite value ≥ 2⁸) into a plausible
+    * 480.0 on decode, silently poisoning downstream distances. */
   def floatToFp8E4M3(f: Float): Byte = {
     if (f == 0.0f) return 0
     val bits = java.lang.Float.floatToRawIntBits(f)
     val sign = (bits >>> 31) & 0x1
+    if (f != f || f.isInfinite) return ((sign << 7) | 0x7F).toByte // NaN code
     val exp = ((bits >>> 23) & 0xFF) - 127
     val mant = (bits >>> 20) & 0x7
-    if (exp > 7) ((sign << 7) | 0x7F).toByte
+    if (exp > 7) ((sign << 7) | 0x7E).toByte // saturate to ±448
     else if (exp < -6) 0
     else ((sign << 7) | (((exp + 7) & 0xF) << 3) | (mant & 0x7)).toByte
   }
@@ -243,20 +262,26 @@ object Quantization {
     val sign = (q >> 7) & 0x1
     val exp = (q >> 3) & 0xF
     val mant = q & 0x7
-    if (exp == 0) 0.0f
+    if ((q & 0x7F) == 0x7F) Float.NaN
+    else if (exp == 0) 0.0f
     else {
       val bits = (sign << 31) | ((exp - 7 + 127) << 23) | (mant << 20)
       java.lang.Float.intBitsToFloat(bits)
     }
   }
 
+  /** E5M2 is IEEE-shaped: S.11111.00 is ±Inf, S.11111.mm (mm≠0) NaN.
+    * NaN encodes as NaN, Infinity and finite overflow as ±Inf — the
+    * IEEE conversion result, instead of the reference's clamp that
+    * decoded overflow as a finite 114688. */
   def floatToFp8E5M2(f: Float): Byte = {
     if (f == 0.0f) return 0
     val bits = java.lang.Float.floatToRawIntBits(f)
     val sign = (bits >>> 31) & 0x1
+    if (f != f) return ((sign << 7) | 0x7F).toByte          // NaN
     val exp = ((bits >>> 23) & 0xFF) - 127
     val mant = (bits >>> 21) & 0x3
-    if (exp > 15) ((sign << 7) | 0x7F).toByte
+    if (exp > 15) ((sign << 7) | 0x7C).toByte               // ±Inf
     else if (exp < -14) 0
     else ((sign << 7) | (((exp + 15) & 0x1F) << 2) | (mant & 0x3)).toByte
   }
@@ -265,7 +290,10 @@ object Quantization {
     val sign = (q >> 7) & 0x1
     val exp = (q >> 2) & 0x1F
     val mant = q & 0x3
-    if (exp == 0) 0.0f
+    if (exp == 0x1F) {
+      if (mant == 0) { if (sign == 0) Float.PositiveInfinity else Float.NegativeInfinity }
+      else Float.NaN
+    } else if (exp == 0) 0.0f
     else {
       val bits = (sign << 31) | ((exp - 15 + 127) << 23) | (mant << 21)
       java.lang.Float.intBitsToFloat(bits)
@@ -383,26 +411,35 @@ object Quantization {
 
   // ---------------- Spark registration ----------------
 
-  val toInt8Udf = udf((v: Seq[Float]) => toInt8(v.toArray))
-  val int8ToVectorUdf = udf((q: Array[Byte]) => int8ToVector(q))
-  val toUint8Udf = udf((v: Seq[Float]) => toUint8(v.toArray))
-  val uint8ToVectorUdf = udf((q: Array[Byte]) => uint8ToVector(q))
-  val toFp16Udf = udf((v: Seq[Float]) => toFp16(v.toArray))
-  val fp16ToVectorUdf = udf((q: Array[Byte]) => fp16ToVector(q))
-  val toBinaryUdf = udf((v: Seq[Float]) => toBinary(v.toArray))
-  val binaryToVectorUdf = udf((q: Array[Byte], dim: Int) => binaryToVector(q, dim))
-  val binaryHammingUdf = udf((a: Array[Byte], b: Array[Byte]) => binaryHamming(a, b))
-  val toTernaryUdf = udf((v: Seq[Float]) => toTernary(v.toArray))
-  val ternaryToVectorUdf = udf((q: Array[Byte], dim: Int) => ternaryToVector(q, dim))
-  val toInt4Udf = udf((v: Seq[Float]) => toInt4(v.toArray))
-  val int4ToVectorUdf = udf((q: Array[Byte], dim: Int) => int4ToVector(q, dim))
-  val autoQuantizeUdf = udf((v: Seq[Float], m: String) => autoQuantize(v.toArray, m))
-  val quantizeAnalyzeUdf = udf((v: Seq[Float], m: String) => analyze(v.toArray, m).toJson)
+  // STRICT like the reference's PG functions: NULL in → NULL out (the
+  // raw lambdas would NPE on nullable embedding columns).
+  val toInt8Udf = udf((v: Seq[Float]) => if (v == null) null else toInt8(v.toArray))
+  val int8ToVectorUdf = udf((q: Array[Byte]) => if (q == null) null else int8ToVector(q))
+  val toUint8Udf = udf((v: Seq[Float]) => if (v == null) null else toUint8(v.toArray))
+  val uint8ToVectorUdf = udf((q: Array[Byte]) => if (q == null) null else uint8ToVector(q))
+  val toFp16Udf = udf((v: Seq[Float]) => if (v == null) null else toFp16(v.toArray))
+  val fp16ToVectorUdf = udf((q: Array[Byte]) => if (q == null) null else fp16ToVector(q))
+  val toBinaryUdf = udf((v: Seq[Float]) => if (v == null) null else toBinary(v.toArray))
+  val binaryToVectorUdf = udf((q: Array[Byte], dim: Int) =>
+    if (q == null) null else binaryToVector(q, dim))
+  val binaryHammingUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) None else Some(binaryHamming(a, b)))
+  val toTernaryUdf = udf((v: Seq[Float]) => if (v == null) null else toTernary(v.toArray))
+  val ternaryToVectorUdf = udf((q: Array[Byte], dim: Int) =>
+    if (q == null) null else ternaryToVector(q, dim))
+  val toInt4Udf = udf((v: Seq[Float]) => if (v == null) null else toInt4(v.toArray))
+  val int4ToVectorUdf = udf((q: Array[Byte], dim: Int) =>
+    if (q == null) null else int4ToVector(q, dim))
+  val autoQuantizeUdf = udf((v: Seq[Float], m: String) =>
+    if (v == null || m == null) null else autoQuantize(v.toArray, m))
+  val quantizeAnalyzeUdf = udf((v: Seq[Float], m: String) =>
+    if (v == null || m == null) null else analyze(v.toArray, m).toJson)
   /** fp16-domain distance (`vector_l2_distance_fp16`, `neurondb--1.0.sql:2027-2036`). */
   val fp16L2Udf = udf((a: Array[Byte], b: Array[Byte]) =>
-    VectorOps.l2(fp16ToVector(a), fp16ToVector(b)))
+    if (a == null || b == null) None else Some(VectorOps.l2(fp16ToVector(a), fp16ToVector(b))))
   val fp16CosineUdf = udf((a: Array[Byte], b: Array[Byte]) =>
-    VectorOps.cosineDistance(fp16ToVector(a), fp16ToVector(b)))
+    if (a == null || b == null) None
+    else Some(VectorOps.cosineDistance(fp16ToVector(a), fp16ToVector(b))))
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("vector_to_int8", toInt8Udf)

@@ -109,10 +109,15 @@ object VectorAggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
   }
 
-  /** Element-wise minimum across rows (NeuronDB/sql/04_aggregates.sql:17-22). */
-  object VectorMin extends ExtremeLike(_ < _)
-  /** Element-wise maximum across rows. */
-  object VectorMax extends ExtremeLike(_ > _)
+  /** Element-wise minimum across rows (NeuronDB/sql/04_aggregates.sql:17-22).
+    * Total order via Float.compare, NOT primitive `<`: all primitive
+    * comparisons against NaN are false, which would make the kept value
+    * depend on partition/merge order. Float.compare ranks NaN above every
+    * number (Spark SQL's own NaN ordering), so min skips NaN and max
+    * prefers it — deterministically, whatever the reduction order. */
+  object VectorMin extends ExtremeLike(java.lang.Float.compare(_, _) < 0)
+  /** Element-wise maximum across rows; NaN ranks greatest (see VectorMin). */
+  object VectorMax extends ExtremeLike(java.lang.Float.compare(_, _) > 0)
 
   private implicit val seqFloatEnc: Encoder[Seq[Float]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()

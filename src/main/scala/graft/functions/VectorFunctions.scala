@@ -10,59 +10,88 @@ import org.apache.spark.sql.functions.udf
  * `NeuronDB/neurondb--1.0.sql` (`vector_l2_distance` et al.) so that a
  * reference user can translate queries 1:1.
  *
+ * NULL semantics: the reference declares these functions STRICT (NULL in
+ * → NULL out, `neurondb--1.0.sql`), and the native Catalyst expressions
+ * in `graft.plans` inherit the same behavior from `BinaryExpression`'s
+ * null-safe eval — so every UDF here propagates NULL instead of crashing,
+ * keeping the SQL surface identical whether or not `PromoteDistanceUdfs`
+ * rewrites a call. (NULL *elements* inside a vector are still an error on
+ * both paths: silently reading them as 0.0 would corrupt distances.)
+ *
  * All functions are plain Scala UDFs over `array<float>` columns; the four
  * hot distances also exist as codegen'd Catalyst expressions (see
  * `graft.plans`) which [[Vectors.dist]] prefers.
  */
 object VectorFunctions {
 
-  private def arr(s: Seq[Float]): Array[Float] = if (s == null) null else s.toArray
+  // STRICT-style combinators: any NULL argument yields NULL output.
+  private def d1(f: Array[Float] => Double): UserDefinedFunction =
+    udf((a: Seq[Float]) => if (a == null) None else Some(f(a.toArray)))
+  private def d2(f: (Array[Float], Array[Float]) => Double): UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) None else Some(f(a.toArray, b.toArray)))
+  private def dS(f: (Array[Float], Double) => Double): UserDefinedFunction =
+    udf((a: Seq[Float], s: Double) => if (a == null) None else Some(f(a.toArray, s)))
+  private def a1(f: Array[Float] => Array[Float]): UserDefinedFunction =
+    udf((a: Seq[Float]) => if (a == null) null else f(a.toArray))
+  private def a2(f: (Array[Float], Array[Float]) => Array[Float]): UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) null else f(a.toArray, b.toArray))
+  private def aS(f: (Array[Float], Double) => Array[Float]): UserDefinedFunction =
+    udf((a: Seq[Float], s: Double) => if (a == null) null else f(a.toArray, s))
 
   // -- distances ---------------------------------------------------------
-  val l2Udf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.l2(arr(a), arr(b)))
-  val squaredL2Udf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.squaredL2(arr(a), arr(b)))
-  val ipUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.innerProductDistance(arr(a), arr(b)))
-  val dotUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.dot(arr(a), arr(b)))
-  val cosineUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosineDistance(arr(a), arr(b)))
-  val cosineSimUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosineSimilarity(arr(a), arr(b)))
-  val l1Udf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.l1(arr(a), arr(b)))
-  val hammingUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.hamming(arr(a), arr(b)))
-  val chebyshevUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.chebyshev(arr(a), arr(b)))
-  val minkowskiUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float], p: Double) => VectorOps.minkowski(arr(a), arr(b), p))
-  val jaccardUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.jaccard(arr(a), arr(b)))
-  val diceUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.dice(arr(a), arr(b)))
-  val mahalanobisUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float], c: Seq[Float]) => VectorOps.mahalanobis(arr(a), arr(b), arr(c)))
-  val brayCurtisUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.brayCurtis(arr(a), arr(b)))
-  val canberraUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.canberra(arr(a), arr(b)))
-  val sokalMichenerUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.sokalMichener(arr(a), arr(b)))
-  val rogersTanimotoUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.rogersTanimoto(arr(a), arr(b)))
-  val russellRaoUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.russellRao(arr(a), arr(b)))
-  val matchingCoefficientUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.matchingCoefficient(arr(a), arr(b)))
+  val l2Udf: UserDefinedFunction = d2(VectorOps.l2)
+  val squaredL2Udf: UserDefinedFunction = d2(VectorOps.squaredL2)
+  val ipUdf: UserDefinedFunction = d2(VectorOps.innerProductDistance)
+  val dotUdf: UserDefinedFunction = d2(VectorOps.dot)
+  val cosineUdf: UserDefinedFunction = d2(VectorOps.cosineDistance)
+  val cosineSimUdf: UserDefinedFunction = d2(VectorOps.cosineSimilarity)
+  val l1Udf: UserDefinedFunction = d2(VectorOps.l1)
+  val hammingUdf: UserDefinedFunction = d2(VectorOps.hamming)
+  val chebyshevUdf: UserDefinedFunction = d2(VectorOps.chebyshev)
+  val minkowskiUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float], p: Double) =>
+    if (a == null || b == null) None else Some(VectorOps.minkowski(a.toArray, b.toArray, p)))
+  val jaccardUdf: UserDefinedFunction = d2(VectorOps.jaccard)
+  val diceUdf: UserDefinedFunction = d2(VectorOps.dice)
+  val mahalanobisUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float], c: Seq[Float]) =>
+    if (a == null || b == null || c == null) None
+    else Some(VectorOps.mahalanobis(a.toArray, b.toArray, c.toArray)))
+  val brayCurtisUdf: UserDefinedFunction = d2(VectorOps.brayCurtis)
+  val canberraUdf: UserDefinedFunction = d2(VectorOps.canberra)
+  val sokalMichenerUdf: UserDefinedFunction = d2(VectorOps.sokalMichener)
+  val rogersTanimotoUdf: UserDefinedFunction = d2(VectorOps.rogersTanimoto)
+  val russellRaoUdf: UserDefinedFunction = d2(VectorOps.russellRao)
+  val matchingCoefficientUdf: UserDefinedFunction = d2(VectorOps.matchingCoefficient)
 
   // -- norms / transforms ------------------------------------------------
-  val normUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.norm(arr(a)))
-  val normalizeUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.normalize(arr(a)))
-  val addUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.add(arr(a), arr(b)))
-  val subUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.sub(arr(a), arr(b)))
-  val hadamardUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.hadamard(arr(a), arr(b)))
-  val divideUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.divide(arr(a), arr(b)))
-  val elemMinUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.elemMin(arr(a), arr(b)))
-  val elemMaxUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.elemMax(arr(a), arr(b)))
-  val mulScalarUdf: UserDefinedFunction = udf((a: Seq[Float], s: Double) => VectorOps.mulScalar(arr(a), s))
-  val negUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.neg(arr(a)))
-  val absUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.abs(arr(a)))
-  val squareUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.square(arr(a)))
-  val sqrtUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.sqrt(arr(a)))
-  val powUdf: UserDefinedFunction = udf((a: Seq[Float], p: Double) => VectorOps.pow(arr(a), p))
-  val scaleUdf: UserDefinedFunction = udf((a: Seq[Float], s: Double) => VectorOps.scale(arr(a), s))
-  val translateUdf: UserDefinedFunction = udf((a: Seq[Float], t: Double) => VectorOps.translate(arr(a), t))
-  val clipUdf: UserDefinedFunction = udf((a: Seq[Float], lo: Double, hi: Double) => VectorOps.clip(arr(a), lo, hi))
-  val crossProductUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.crossProduct(arr(a), arr(b)))
-  val standardizeUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.standardize(arr(a)))
-  val minmaxNormalizeUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.minmaxNormalize(arr(a)))
-  val filterThresholdUdf: UserDefinedFunction = udf((a: Seq[Float], t: Double) => VectorOps.filterThreshold(arr(a), t))
-  val whereUdf: UserDefinedFunction = udf((c: Seq[Float], a: Seq[Float], b: Seq[Float]) => VectorOps.where(arr(c), arr(a), arr(b)))
-  val preprocessUdf: UserDefinedFunction = udf((a: Seq[Float], m: String) => VectorOps.preprocess(arr(a), m))
+  val normUdf: UserDefinedFunction = d1(VectorOps.norm)
+  val normalizeUdf: UserDefinedFunction = a1(VectorOps.normalize)
+  val addUdf: UserDefinedFunction = a2(VectorOps.add)
+  val subUdf: UserDefinedFunction = a2(VectorOps.sub)
+  val hadamardUdf: UserDefinedFunction = a2(VectorOps.hadamard)
+  val divideUdf: UserDefinedFunction = a2(VectorOps.divide)
+  val elemMinUdf: UserDefinedFunction = a2(VectorOps.elemMin)
+  val elemMaxUdf: UserDefinedFunction = a2(VectorOps.elemMax)
+  val mulScalarUdf: UserDefinedFunction = aS(VectorOps.mulScalar)
+  val negUdf: UserDefinedFunction = a1(VectorOps.neg)
+  val absUdf: UserDefinedFunction = a1(VectorOps.abs)
+  val squareUdf: UserDefinedFunction = a1(VectorOps.square)
+  val sqrtUdf: UserDefinedFunction = a1(VectorOps.sqrt)
+  val powUdf: UserDefinedFunction = aS(VectorOps.pow)
+  val scaleUdf: UserDefinedFunction = aS(VectorOps.scale)
+  val translateUdf: UserDefinedFunction = aS(VectorOps.translate)
+  val clipUdf: UserDefinedFunction = udf((a: Seq[Float], lo: Double, hi: Double) =>
+    if (a == null) null else VectorOps.clip(a.toArray, lo, hi))
+  val crossProductUdf: UserDefinedFunction = a2(VectorOps.crossProduct)
+  val standardizeUdf: UserDefinedFunction = a1(VectorOps.standardize)
+  val minmaxNormalizeUdf: UserDefinedFunction = a1(VectorOps.minmaxNormalize)
+  val filterThresholdUdf: UserDefinedFunction = aS(VectorOps.filterThreshold)
+  val whereUdf: UserDefinedFunction = udf((c: Seq[Float], a: Seq[Float], b: Seq[Float]) =>
+    if (c == null || a == null || b == null) null
+    else VectorOps.where(c.toArray, a.toArray, b.toArray))
+  val preprocessUdf: UserDefinedFunction = udf((a: Seq[Float], m: String) =>
+    if (a == null || m == null) null else VectorOps.preprocess(a.toArray, m))
 
   // -- comparisons / hash (NeuronDB/neurondb--1.0.sql:2217-2294) ---------
   // PG-style lexicographic array comparison; hash is djb2 over the float
@@ -79,6 +108,9 @@ object VectorFunctions {
     a.length.compareTo(b.length)
   }
 
+  private def cmpUdf(f: Int => Boolean): UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) => if (a == null || b == null) None else Some(f(cmp(a, b))))
+
   def vectorHash(a: Seq[Float]): Int = {
     var h = 5381
     a.foreach { f =>
@@ -89,32 +121,40 @@ object VectorFunctions {
     h
   }
 
-  val eqUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) == 0)
-  val neUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) != 0)
-  val ltUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) < 0)
-  val leUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) <= 0)
-  val gtUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) > 0)
-  val geUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => cmp(a, b) >= 0)
-  val hashUdf: UserDefinedFunction = udf((a: Seq[Float]) => vectorHash(a))
+  val eqUdf: UserDefinedFunction = cmpUdf(_ == 0)
+  val neUdf: UserDefinedFunction = cmpUdf(_ != 0)
+  val ltUdf: UserDefinedFunction = cmpUdf(_ < 0)
+  val leUdf: UserDefinedFunction = cmpUdf(_ <= 0)
+  val gtUdf: UserDefinedFunction = cmpUdf(_ > 0)
+  val geUdf: UserDefinedFunction = cmpUdf(_ >= 0)
+  val hashUdf: UserDefinedFunction =
+    udf((a: Seq[Float]) => if (a == null) None else Some(vectorHash(a)))
 
   // -- element access / per-vector stats --------------------------------
-  val getUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int) => VectorOps.get(arr(a), i))
-  val setUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int, v: Double) => VectorOps.set(arr(a), i, v))
-  val sliceUdf: UserDefinedFunction = udf((a: Seq[Float], from: Int, to: Int) => VectorOps.slice(arr(a), from, to))
-  val appendUdf: UserDefinedFunction = udf((a: Seq[Float], v: Double) => VectorOps.append(arr(a), v))
-  val prependUdf: UserDefinedFunction = udf((v: Double, a: Seq[Float]) => VectorOps.prepend(v, arr(a)))
-  val concatUdf: UserDefinedFunction = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.concat(arr(a), arr(b)))
-  val elementSumUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.elementSum(arr(a)))
-  val meanUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.mean(arr(a)))
-  val varianceUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.variance(arr(a)))
-  val stddevUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.stddev(arr(a)))
-  val minElemUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.minElem(arr(a)))
-  val maxElemUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.maxElem(arr(a)))
-  val percentileUdf: UserDefinedFunction = udf((a: Seq[Float], p: Double) => VectorOps.percentile(arr(a), p))
-  val medianUdf: UserDefinedFunction = udf((a: Seq[Float]) => VectorOps.median(arr(a)))
-  val quantileUdf: UserDefinedFunction = udf((a: Seq[Float], q: Double) => VectorOps.quantile(arr(a), q))
+  val getUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int) =>
+    if (a == null) None else Some(VectorOps.get(a.toArray, i)))
+  val setUdf: UserDefinedFunction = udf((a: Seq[Float], i: Int, v: Double) =>
+    if (a == null) null else VectorOps.set(a.toArray, i, v))
+  val sliceUdf: UserDefinedFunction = udf((a: Seq[Float], from: Int, to: Int) =>
+    if (a == null) null else VectorOps.slice(a.toArray, from, to))
+  val appendUdf: UserDefinedFunction = aS(VectorOps.append)
+  val prependUdf: UserDefinedFunction = udf((v: Double, a: Seq[Float]) =>
+    if (a == null) null else VectorOps.prepend(v, a.toArray))
+  val concatUdf: UserDefinedFunction = a2(VectorOps.concat)
+  val elementSumUdf: UserDefinedFunction = d1(VectorOps.elementSum)
+  val meanUdf: UserDefinedFunction = d1(VectorOps.mean)
+  val varianceUdf: UserDefinedFunction = d1(VectorOps.variance)
+  val stddevUdf: UserDefinedFunction = d1(VectorOps.stddev)
+  val minElemUdf: UserDefinedFunction = d1(VectorOps.minElem)
+  val maxElemUdf: UserDefinedFunction = d1(VectorOps.maxElem)
+  val percentileUdf: UserDefinedFunction = dS(VectorOps.percentile)
+  val medianUdf: UserDefinedFunction = d1(VectorOps.median)
+  val quantileUdf: UserDefinedFunction = dS(VectorOps.quantile)
+  /** Kept non-STRICT deliberately: the reference's `vector_dims` treats a
+    * missing vector as 0-dimensional in its own catalog views. */
   val dimsUdf: UserDefinedFunction = udf((a: Seq[Float]) => if (a == null) 0 else a.length)
-  val castDimensionUdf: UserDefinedFunction = udf((a: Seq[Float], d: Int) => VectorOps.castDimension(arr(a), d))
+  val castDimensionUdf: UserDefinedFunction = udf((a: Seq[Float], d: Int) =>
+    if (a == null) null else VectorOps.castDimension(a.toArray, d))
 
   private val byName: Map[String, UserDefinedFunction] = Map(
     "vector_l2_distance" -> l2Udf,

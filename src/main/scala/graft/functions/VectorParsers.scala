@@ -32,7 +32,9 @@ object VectorParsers {
     val body = t.substring(1, t.length - 1).trim
     if (body.isEmpty)
       throw new IllegalArgumentException("vector must have at least 1 dimension")
-    body.split(",").map { s =>
+    // limit -1: split drops TRAILING empty segments by default, which
+    // would silently accept '[1,2,]' — the reference rejects it
+    body.split(",", -1).map { s =>
       val v = s.trim
       if (v.isEmpty) throw new IllegalArgumentException(s"malformed vector literal: $text")
       java.lang.Float.parseFloat(v)
@@ -72,18 +74,22 @@ object VectorParsers {
 
   private def parseIntArray(s: String): Array[Int] = {
     val body = s.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) Array.emptyIntArray else body.split(",").map(_.trim.toInt)
+    if (body.isEmpty) Array.emptyIntArray else body.split(",", -1).map(_.trim.toInt)
   }
 
   private def parseFloatArray(s: String): Array[Float] = {
     val body = s.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) Array.emptyFloatArray else body.split(",").map(_.trim.toFloat)
+    if (body.isEmpty) Array.emptyFloatArray else body.split(",", -1).map(_.trim.toFloat)
   }
 
   /** Parse `{dim:5, nnz:2, indices:[0,3], values:[1.5,2.5]}`. */
   def parseVecMap(text: String): SparseVec = {
     val dim = extractField(text, "dim").map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(s"vecmap missing dim: $text"))
+    // parse-time, like parseVector's >=1 rule: a non-positive dim would
+    // otherwise surface as NegativeArraySizeException deep in sparseToDense
+    if (dim < 1)
+      throw new IllegalArgumentException(s"vecmap must have at least 1 dimension, got $dim")
     val indices = extractField(text, "indices").map(parseIntArray)
       .getOrElse(throw new IllegalArgumentException(s"vecmap missing indices: $text"))
     val values = extractField(text, "values").map(parseFloatArray)
@@ -108,6 +114,12 @@ object VectorParsers {
       .getOrElse(throw new IllegalArgumentException(s"sparse_vector missing weights: $text"))
     if (tokens.length != weights.length)
       throw new IllegalArgumentException("sparse_vector tokens/weights length mismatch")
+    if (vocab < 1)
+      throw new IllegalArgumentException(s"sparse_vector vocab_size must be positive, got $vocab")
+    // same parse-time range rule as vecmap's indices: out-of-vocab tokens
+    // would crash or silently mis-bucket any vocab-indexed consumer
+    if (tokens.exists(t => t < 0 || t >= vocab))
+      throw new IllegalArgumentException("sparse_vector token id out of vocab range")
     LearnedSparse(vocab, model, tokens, weights)
   }
 
@@ -128,13 +140,23 @@ object VectorParsers {
   /** Dot product of two learned-sparse vectors by merge-join on tokens
     * (`NeuronDB/neurondb--1.0.sql:6691-6707`). */
   def sparseDot(a: LearnedSparse, b: LearnedSparse): Double = {
-    // tokens may be unsorted in text form; sort once
+    // tokens may be unsorted — and DUPLICATED — in text form; sort once,
+    // then merge by runs so a repeated token contributes the product of
+    // its per-side weight sums (the join-and-sum semantics of the
+    // reference SQL), not just its first pair
     val ai = a.tokens.zip(a.weights).sortBy(_._1)
     val bi = b.tokens.zip(b.weights).sortBy(_._1)
     var i = 0; var j = 0; var sum = 0.0
     while (i < ai.length && j < bi.length) {
       val c = ai(i)._1.compareTo(bi(j)._1)
-      if (c == 0) { sum += ai(i)._2.toDouble * bi(j)._2.toDouble; i += 1; j += 1 }
+      if (c == 0) {
+        val t = ai(i)._1
+        var sa = 0.0
+        while (i < ai.length && ai(i)._1 == t) { sa += ai(i)._2.toDouble; i += 1 }
+        var sb = 0.0
+        while (j < bi.length && bi(j)._1 == t) { sb += bi(j)._2.toDouble; j += 1 }
+        sum += sa * sb
+      }
       else if (c < 0) i += 1
       else j += 1
     }

@@ -43,11 +43,14 @@ abstract class FloatArrayBinaryExpression extends BinaryExpression {
   protected def eval2(a: Array[Float], b: Array[Float]): Double
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    eval2(a.asInstanceOf[ArrayData].toFloatArray(), b.asInstanceOf[ArrayData].toFloatArray())
+    eval2(DistanceExpressions.noNulls(a.asInstanceOf[ArrayData]).toFloatArray(),
+      DistanceExpressions.noNulls(b.asInstanceOf[ArrayData]).toFloatArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorOps.$kernel($a.toFloatArray(), $b.toFloatArray());")
+      s"""${ev.value} = graft.functions.VectorOps.$kernel(
+         |  graft.plans.DistanceExpressions.noNulls($a).toFloatArray(),
+         |  graft.plans.DistanceExpressions.noNulls($b).toFloatArray());""".stripMargin)
 }
 
 case class L2DistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
@@ -86,6 +89,25 @@ case class L1DistanceExpr(left: Expression, right: Expression) extends FloatArra
 }
 
 object DistanceExpressions {
+
+  /** Shared by interpreted eval and codegen (via the object's static
+    * forwarder): reject null ELEMENTS before the bulk copy —
+    * `ArrayData.toFloatArray` silently reads a null slot as 0.0f, which
+    * would corrupt the distance, and the UDF path errors on the same
+    * input during Seq[Float] deserialization. One bitmap-read branch per
+    * element, negligible next to the kernel arithmetic. */
+  def noNulls(a: ArrayData): ArrayData = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vector contains a null element at index $i")
+      i += 1
+    }
+    a
+  }
+
   private def toCol(e: Expression): Column =
     org.apache.spark.sql.classic.GraftShim.column(e)
   private def ex(c: Column): Expression =

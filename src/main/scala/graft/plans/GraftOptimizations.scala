@@ -14,9 +14,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * `spark.sql("... vector_l2_distance(a, b) ...")`) get Scala UDFs — one
  * boxed Float per element per row. This rule rewrites those calls by
  * registered name into the allocation-lean native expressions, so the SQL
- * path and the Column API path execute identically. The rewrite only
- * fires for two-argument calls on `array<float>` inputs; anything else is
- * left to the UDF (which remains the semantic reference).
+ * path and the Column API path execute identically — including NULL
+ * semantics: both sides are STRICT (NULL argument → NULL result, like
+ * the reference's PG functions) and both error on null elements INSIDE
+ * a vector, so installing the rule never changes observable results.
+ * The rewrite only fires for two-argument calls on `array<float>`
+ * inputs; anything else is left to the UDF (which remains the semantic
+ * reference).
  *
  * This is preference-order (c) from SURVEY §7.3 in miniature: a
  * `Rule[LogicalPlan]` packaged both as a `SparkSessionExtensions`

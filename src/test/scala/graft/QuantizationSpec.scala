@@ -58,13 +58,37 @@ class QuantizationSpec extends AnyFunSuite {
     assert(deq(3) == 0f)
   }
 
-  test("fp8 e4m3/e5m2: truncation, overflow to max, signed decode (ml_quantization_fp8.c:62-160)") {
+  test("fp8 e4m3/e5m2: truncation, saturation, signed decode (ml_quantization_fp8.c:62-160)") {
     assert(Q.fp8E4M3ToFloat(Q.floatToFp8E4M3(1.5f)) == 1.5f)
     assert(Q.fp8E4M3ToFloat(Q.floatToFp8E4M3(-0.25f)) == -0.25f) // reference's uint8 bug would flip this
-    assert(Q.floatToFp8E4M3(1e6f) == 0x7F.toByte) // overflow -> max
+    assert(Q.floatToFp8E4M3(1e6f) == 0x7E.toByte) // finite overflow saturates to +448
+    assert(Q.fp8E4M3ToFloat(0x7E.toByte) == 448.0f)
     assert(Q.floatToFp8E4M3(1e-9f) == 0)          // underflow -> 0
     assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(3.0f)) == 3.0f)
     assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(-0.125f)) == -0.125f)
+  }
+
+  test("fp8/fp16 non-finite inputs keep their nature instead of becoming plausible numbers") {
+    // e4m3 (OCP): S.1111.111 is NaN; NaN and ±Inf land there, round-trip NaN
+    assert(Q.fp8E4M3ToFloat(Q.floatToFp8E4M3(Float.NaN)).isNaN)
+    assert(Q.fp8E4M3ToFloat(Q.floatToFp8E4M3(Float.PositiveInfinity)).isNaN)
+    // e5m2 (IEEE-shaped): Inf stays Inf with sign, NaN stays NaN
+    assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(Float.PositiveInfinity)) == Float.PositiveInfinity)
+    assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(Float.NegativeInfinity)) == Float.NegativeInfinity)
+    assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(Float.NaN)).isNaN)
+    assert(Q.fp8E5M2ToFloat(Q.floatToFp8E5M2(1e30f)) == Float.PositiveInfinity) // overflow -> Inf
+    // fp16: NaN encodes as fp16 NaN, not Infinity; Inf still Inf
+    assert(Q.fp16ToFloat(Q.floatToFp16(Float.NaN)).isNaN)
+    assert(Q.fp16ToFloat(Q.floatToFp16(Float.PositiveInfinity)) == Float.PositiveInfinity)
+  }
+
+  test("packed decoders validate dim against encoded capacity") {
+    val two = Array[Byte](0x0F, 0x01)
+    intercept[IllegalArgumentException](Q.binaryToVector(two, 17))  // capacity 16
+    intercept[IllegalArgumentException](Q.binaryToVector(two, -1))
+    intercept[IllegalArgumentException](Q.ternaryToVector(two, 9))  // capacity 8
+    intercept[IllegalArgumentException](Q.int4ToVector(two, 5))     // capacity 4
+    assert(Q.binaryToVector(two, 16).length == 16)
   }
 
   test("ranged int8 quantize/dequantize (vector_quantization.c:203-330)") {

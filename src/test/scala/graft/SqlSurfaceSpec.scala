@@ -59,4 +59,43 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |                                 5, array(2,4), array(3.0F,1.0F)) AS dot""".stripMargin).head()
     assert(r.getDouble(0) == 6.0)
   }
+
+  test("STRICT null semantics: NULL vector in -> NULL out across the surface") {
+    // the reference declares these functions STRICT; a NULL embedding row
+    // must yield NULL, not crash the job
+    val r = spark.sql(
+      """SELECT vector_l2_distance(CAST(NULL AS array<float>), array(1.0F)) AS d,
+        |       vector_normalize(CAST(NULL AS array<float>)) AS nv,
+        |       vector_norm(CAST(NULL AS array<float>)) AS nn,
+        |       vector_eq(CAST(NULL AS array<float>), array(1.0F)) AS eq,
+        |       vector_to_int8(CAST(NULL AS array<float>)) AS q8,
+        |       auto_quantize(CAST(NULL AS array<float>), 'int8') AS aq,
+        |       binary_hamming_distance(CAST(NULL AS binary), X'00') AS bh""".stripMargin).head()
+    (0 to 6).foreach(i => assert(r.isNullAt(i), s"column $i should be NULL"))
+  }
+
+  test("null vector ELEMENTS error on both the UDF and the promoted native path") {
+    graft.plans.GraftOptimizations.install(spark)
+    import spark.implicits._
+    // parquet round-trip: over a LocalRelation, ConvertToLocalRelation
+    // folds the projection before the experimental batch can promote it
+    val dir = java.nio.file.Files.createTempDirectory("badvecs").toString
+    Seq((Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val bad = spark.read.parquet(dir)
+    bad.createOrReplaceTempView("bad_vecs")
+    // SQL path (promoted to the native expression by the optimizer rule)
+    val sqlDf = spark.sql("SELECT vector_l2_distance(a, b) FROM bad_vecs")
+    assert(!sqlDf.queryExecution.optimizedPlan.toString.toLowerCase.contains("scalaudf"))
+    val e1 = intercept[Exception](sqlDf.collect())
+    // Column API path (native expression directly)
+    val e2 = intercept[Exception](
+      bad.select(graft.plans.DistanceExpressions.l2($"a", $"b")).collect())
+    for (e <- Seq(e1, e2)) {
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("").toLowerCase).toSeq
+      assert(msgs.exists(m => m.contains("null element") || m.contains("null value")),
+        s"expected a null-element error, got: ${msgs.headOption}")
+    }
+  }
 }

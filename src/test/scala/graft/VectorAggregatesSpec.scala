@@ -73,4 +73,32 @@ class VectorAggregatesSpec extends SparkSpecBase {
     val d = Array(0f, 1.5f, 0f, -2f)
     assert(P.sparseToDense(P.denseToSparse(d)).toSeq == d.toSeq)
   }
+
+  test("vector_min/max treat NaN deterministically regardless of row order") {
+    // Float.compare ranks NaN above every number: min skips it, max keeps it
+    for (rows <- Seq(Seq(Seq(Float.NaN, 1f), Seq(2f, 2f)),
+                     Seq(Seq(2f, 2f), Seq(Float.NaN, 1f)))) {
+      val r = rows.toDF("v").coalesce(1)
+        .agg(VA.vector_min_agg($"v").as("mn"), VA.vector_max_agg($"v").as("mx")).collect()(0)
+      assert(r.getSeq[Float](0)(0) == 2f && r.getSeq[Float](0)(1) == 1f)
+      assert(r.getSeq[Float](1)(0).isNaN && r.getSeq[Float](1)(1) == 2f)
+    }
+  }
+
+  test("parsers reject trailing commas, non-positive dims, out-of-vocab tokens") {
+    intercept[IllegalArgumentException](P.parseVector("[1,2,]"))
+    intercept[IllegalArgumentException](P.parseVecMap("{dim:0, indices:[], values:[]}"))
+    intercept[IllegalArgumentException](P.parseVecMap("{dim:-5, indices:[], values:[]}"))
+    intercept[IllegalArgumentException](P.parseSparseVector(
+      "{vocab_size:100, model:BM25, tokens:[-3], weights:[0.5]}"))
+    intercept[IllegalArgumentException](P.parseSparseVector(
+      "{vocab_size:100, model:BM25, tokens:[250], weights:[0.5]}"))
+  }
+
+  test("sparseDot sums duplicate-token runs (join-and-sum, neurondb--1.0.sql:6691-6707)") {
+    val a = P.LearnedSparse(10, "BM25", Array(5, 5), Array(1f, 2f))
+    val b = P.LearnedSparse(10, "BM25", Array(5), Array(3f))
+    assert(P.sparseDot(a, b) == 9.0) // (1+2)*3, not first-pair-only 3
+    assert(P.sparseDot(b, a) == 9.0)
+  }
 }
