@@ -42,6 +42,17 @@ object TextFunctions {
   def termFreqs(text: String): Map[String, Int] =
     tokenize(text).groupBy(identity).map { case (t, xs) => (t, xs.size) }
 
+  /** djb2-xor of the UTF-8 bytes folded into `[0, vocabSize)` — THE hash
+    * that defines vocabulary compatibility across the tokenizer
+    * ([[hfTokenize]]) and the term-hash sparse embedders
+    * ([[graft.operators.SparseSearch.termHashEmbed]]); keep exactly one
+    * copy so the deterministic-vocabulary contract can't silently fork. */
+  def djb2Bucket(term: String, vocabSize: Int): Int = {
+    var h = 5381
+    term.getBytes("UTF-8").foreach(b => h = ((h << 5) + h) ^ (b & 0xFF))
+    ((h.toLong & 0xFFFFFFFFL) % vocabSize).toInt
+  }
+
   val tokenizeUdf: UserDefinedFunction = udf((t: String) => tokenize(t))
   val tokenCountUdf: UserDefinedFunction = udf((t: String) => tokenize(t).size)
 
@@ -57,11 +68,7 @@ object TextFunctions {
    * before hashing, like wordpiece.
    */
   def hfTokenize(text: String, vocabSize: Int = 30522, maxPiece: Int = 6): Seq[Int] = {
-    def pieceId(piece: String): Int = {
-      var h = 5381
-      piece.getBytes("UTF-8").foreach(b => h = ((h << 5) + h) ^ (b & 0xFF))
-      ((h.toLong & 0xFFFFFFFFL) % vocabSize).toInt
-    }
+    def pieceId(piece: String): Int = djb2Bucket(piece, vocabSize)
     tokenize(text).flatMap { word =>
       val pieces = Seq.newBuilder[String]
       var i = 0

@@ -41,8 +41,12 @@ object Knn {
              metric: String = "l2", distName: String = "distance",
              tieBreak: Seq[String] = Nil): DataFrame = {
     graft.Metrics.inc(df.sparkSession, graft.Metrics.QueriesTotal)
+    // asc_nulls_last: a null-vector row yields a null distance (the
+    // distance expressions are STRICT), and Spark's default ascending
+    // order is NULLS FIRST — without this, one null embedding in the
+    // corpus becomes every query's "nearest" neighbor
     df.withColumn(distName, distCol(metric)(col(vecCol), lit(query)))
-      .orderBy((col(distName) +: tieBreak.map(col)).toSeq: _*)
+      .orderBy((col(distName).asc_nulls_last +: tieBreak.map(col)).toSeq: _*)
       .limit(k)
   }
 
@@ -53,7 +57,7 @@ object Knn {
                     tieBreak: Seq[String] = Nil): DataFrame = {
     val d = distCol(metric)(col(vecCol), lit(query))
     val w = Window.partitionBy(col(facetCol))
-      .orderBy((col("distance") +: tieBreak.map(col)).toSeq: _*)
+      .orderBy((col("distance").asc_nulls_last +: tieBreak.map(col)).toSeq: _*)
     df.withColumn("distance", d)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kPerFacet)
@@ -74,7 +78,12 @@ object Knn {
               metric: String = "l2", threshold: Double = Double.MaxValue,
               kPerLeft: Int = Int.MaxValue, broadcastRight: Boolean = true,
               tieBreak: Seq[String] = Nil): DataFrame = {
-    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val l0 = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+    // per-ROW id for the k-cut window: partitioning by the left VALUES
+    // would collapse duplicate left rows into one k-budget (and break on
+    // non-orderable column types like maps)
+    val l = if (kPerLeft != Int.MaxValue)
+      l0.withColumn("__lid", monotonically_increasing_id()) else l0
     val r0 = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
     val r = if (broadcastRight) broadcast(r0) else r0
     var joined = l.crossJoin(r)
@@ -84,11 +93,11 @@ object Knn {
       // tieBreak names right-side columns (pre-prefix) that pin the order
       // among equal distances — required for deterministic k cuts
       val ord = (col("distance") +: tieBreak.map(c => col(s"r_$c"))).toSeq
-      val w = Window.partitionBy(l.columns.map(col).toSeq: _*).orderBy(ord: _*)
+      val w = Window.partitionBy(col("__lid")).orderBy(ord: _*)
       joined = joined.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= kPerLeft).drop("rank")
     }
-    joined
+    joined.drop("__lid")
   }
 
   /** Materialize the k-NN graph of a table, the reference's
@@ -99,7 +108,7 @@ object Knn {
     val l = df.select(col(idCol).as("src"), col(vecCol).as("src_vec"))
     val r0 = df.select(col(idCol).as("dst"), col(vecCol).as("dst_vec"))
     val r = if (broadcastRight) broadcast(r0) else r0
-    val w = Window.partitionBy(col("src")).orderBy(col("distance"), col("dst"))
+    val w = Window.partitionBy(col("src")).orderBy(col("distance").asc_nulls_last, col("dst"))
     l.crossJoin(r)
       .filter(col("src") =!= col("dst"))
       .withColumn("distance", distCol(metric)(col("src_vec"), col("dst_vec")))
@@ -150,7 +159,7 @@ object Knn {
     * (`NeuronDB/src/core/operators.c:1112-1150`), done properly. */
   def windowRank(df: DataFrame, partCol: String, vecCol: String,
                  query: Array[Float], metric: String = "l2"): DataFrame = {
-    val w = Window.partitionBy(col(partCol)).orderBy(col("distance"))
+    val w = Window.partitionBy(col(partCol)).orderBy(col("distance").asc_nulls_last)
     df.withColumn("distance", distCol(metric)(col(vecCol), lit(query)))
       .withColumn("rank", row_number().over(w))
   }

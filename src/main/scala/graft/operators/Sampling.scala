@@ -28,19 +28,33 @@ object Sampling {
     substring(md5(key.cast("string").cast("binary")), 1, 8)
 
   /** Hex threshold for a fraction: rows with coord < threshold are kept;
-    * 8-digit zero-padded so string compare equals numeric compare. */
+    * 8-digit zero-padded so string compare equals numeric compare.
+    * Accepts boundary drift up to 1 + 1e-9 from summed fractions. */
   private[operators] def hexThreshold(fraction: Double): String = {
-    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    require(fraction >= 0.0 && fraction <= 1.0 + 1e-9, "fraction must be in [0,1]")
     f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
-  /** Keep ~`fraction` of rows, deterministically by key hash. */
-  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.filter(coord(col(keyCol)) < lit(hexThreshold(fraction)))
+  /** `coord < threshold(fraction)` as a Column — except fraction ≥ 1,
+    * which must keep EVERY row: the 8-hex-digit threshold saturates at
+    * "ffffffff", and a strict `<` there would silently drop the ~1-in-2³²
+    * keys whose coord is exactly "ffffffff" (real rows at trillion scale). */
+  private[operators] def keepBelow(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else coord(key) < lit(hexThreshold(fraction))
+
+  /** Keep ~`fraction` of rows, deterministically by key hash;
+    * fraction 1.0 is exactly the identity. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(keepBelow(col(keyCol), fraction))
+  }
 
   /**
    * Disjoint deterministic splits (e.g. train/val/test = 0.8/0.1/0.1):
-   * consecutive hash ranges; every row lands in exactly one split.
+   * consecutive hash ranges; every row lands in exactly one split when
+   * the fractions sum to 1 (float accumulation drift on the last bound
+   * is absorbed — [0.55, 0.34, 0.11] sums to 1.0000000000000002).
    * Returns one DataFrame per fraction (fractions must sum to ≤ 1; any
    * remainder is dropped).
    */
@@ -49,8 +63,7 @@ object Sampling {
       "fractions must sum to at most 1")
     val bounds = fractions.scanLeft(0.0)(_ + _)
     bounds.sliding(2).map { case Seq(lo, hi) =>
-      df.filter(coord(col(keyCol)) >= lit(hexThreshold(lo)) &&
-        coord(col(keyCol)) < lit(hexThreshold(hi)))
+      df.filter(!keepBelow(col(keyCol), lo) && keepBelow(col(keyCol), hi))
     }.toSeq
   }
 

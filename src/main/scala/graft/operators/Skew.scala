@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join with salting on one key column. `right` is the
-    * smaller (replicated) side. */
+    * smaller (replicated) side. The probe-side salt round-robins on a
+    * per-ROW unique id, NOT a content hash: a hot key whose rows are
+    * byte-identical duplicates (the classic null-sentinel pathology) would
+    * all content-hash to one salt and land on one reducer — zero fan-out
+    * exactly when salting is needed. The join's RESULT is identical for
+    * any salt assignment; only the shuffle placement varies. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int = 8, seed: Long = 42L): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(struct(left.columns.map(col).toSeq: _*), lit(seed.toInt)), lit(saltFactor)))
+      pmod(monotonically_increasing_id() + lit(seed), lit(saltFactor.toLong)).cast("int"))
     val saltedRight = right.crossJoin(
       right.sparkSession.range(saltFactor).select(col("id").cast("int").as("__salt")))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")

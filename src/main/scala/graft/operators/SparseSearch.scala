@@ -32,33 +32,30 @@ object SparseSearch {
         explode(arrays_zip(col(tokensCol), col(weightsCol))).as("p"))
       .select(col("doc_id"), col(s"p.$tokensCol").as("token"), col(s"p.$weightsCol").as("weight"))
 
+  /** The one scoring plan both search entry points share: posting-join on
+    * the (tiny, broadcast) query, per-doc dot product, top-k. */
+  private def scoreAgainst(postings: DataFrame, q: DataFrame, k: Int): DataFrame =
+    postings
+      .join(broadcast(q), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("weight") * col("q_weight")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
   /** `sparse_index_search` / `sparse_search`: dot-product top-k via
     * posting-list join on the query's tokens only. */
   def search(postings: DataFrame, query: LearnedSparse, k: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = query.tokens.zip(query.weights).toSeq.toDF("token", "q_weight")
-    postings
-      .join(broadcast(q), "token")
-      .groupBy("doc_id")
-      .agg(sum(col("weight") * col("q_weight")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    scoreAgainst(postings, query.tokens.zip(query.weights).toSeq.toDF("token", "q_weight"), k)
   }
 
   /** Term-keyed variant of [[search]] for raw-token postings (no hash
-    * vocabulary): identical posting-join + dot-product + top-k plan, with
-    * string terms as the join key. */
+    * vocabulary): same plan, string terms as the join key. */
   def searchTerms(postings: DataFrame, query: Seq[(String, Double)], k: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = query.toDF("token", "q_weight")
-    postings
-      .join(broadcast(q), "token")
-      .groupBy("doc_id")
-      .agg(sum(col("weight") * col("q_weight")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    scoreAgainst(postings, query.toDF("token", "q_weight"), k)
   }
 
   /** Deterministic learned-sparse stand-in: token -> hash bucket in a
@@ -68,10 +65,8 @@ object SparseSearch {
     val tf = TextFunctions.termFreqs(text)
     val buckets = scala.collection.mutable.Map.empty[Int, Double]
     tf.foreach { case (term, n) =>
-      // djb2-xor over the term, same hash family as the dense fallback
-      var h = 5381
-      term.getBytes("UTF-8").foreach(b => h = ((h << 5) + h) ^ (b & 0xFF))
-      val bucket = ((h.toLong & 0xFFFFFFFFL) % vocabSize).toInt
+      // the shared djb2 bucket — bit-identical to hfTokenize's vocabulary
+      val bucket = TextFunctions.djb2Bucket(term, vocabSize)
       val w = 1.0 + math.log(n.toDouble)
       buckets(bucket) = buckets.getOrElse(bucket, 0.0) + w
     }

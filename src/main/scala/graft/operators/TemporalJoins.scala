@@ -38,10 +38,16 @@ object TemporalJoins {
    * should be unique per (key, ts) — pre-aggregate duplicates first,
    * otherwise the match among equal-ts right rows is unspecified.
    */
-  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+  def asofBackward(left: DataFrame, right0: DataFrame, keyCols: Seq[String],
                    lTsCol: String, rTsCol: String, valueCols: Seq[String],
                    tolerance: Option[Double] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    require(!valueCols.contains("ts"),
+      "valueCols may not contain 'ts' — it collides with the asof_ts output; alias it first")
+    // a null right timestamp can never satisfy rTs <= lTs, but it would
+    // sort NULLS FIRST with a non-null payload and become the "match" for
+    // left rows that have no true predecessor
+    val right = right0.filter(col(rTsCol).isNotNull)
     val leftCols = left.columns.toSeq
     // Union frame: all left columns (nulled on right-side rows except the
     // keys), the event time, a side marker (right sorts before left at

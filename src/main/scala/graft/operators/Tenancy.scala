@@ -30,9 +30,13 @@ object Tenancy {
     df.filter(col(tenantCol) === lit(tenantId))
 
   /** General policy form (`ndb_compile_rls_policies`): every policy
-    * predicate must pass — policies AND together. */
+    * predicate must pass — policies AND together. An EMPTY policy list is
+    * default-DENY (empty scan), matching PG-style RLS where a table with
+    * row security and no applicable policies yields no rows — failing
+    * open on a misconfigured tenant would disable isolation silently. */
   def rlsScanPolicies(df: DataFrame, policies: Seq[Column]): DataFrame =
-    policies.foldLeft(df)(_ filter _)
+    if (policies.isEmpty) df.filter(lit(false))
+    else policies.foldLeft(df)(_ filter _)
 
   /** Per-tenant usage accounting: row count + payload bytes over the given
     * size-bearing columns (strings/binaries measured, the reference's

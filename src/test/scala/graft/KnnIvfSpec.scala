@@ -43,6 +43,25 @@ class KnnIvfSpec extends SparkSpecBase {
     assert(counts.forall(_ == 2)) // self (d=0) + nearest other
   }
 
+  test("a null embedding never ranks in the top-k (NULLS LAST ordering)") {
+    val withNull = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((-1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+    val hits = Knn.search(withNull, "embedding", q, k = 5).collect()
+    assert(!hits.map(_.getLong(0)).contains(-1L))
+    assert(hits.forall(!_.isNullAt(hits.head.fieldIndex("distance"))))
+    // faceted + graph variants share the ordering contract
+    val ranked = Knn.windowRank(withNull.withColumn("p", lit(1)), "p", "embedding", q)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(ranked.last == -1L)
+  }
+
+  test("vecJoin gives duplicate left rows k matches EACH") {
+    val dupLeft = Seq((1L, Seq(0f, 0f)), (1L, Seq(0f, 0f))).toDF("id", "v")
+    val right = (1 to 10).map(i => (i.toLong, Seq(i.toFloat, 0f))).toDF("id", "v")
+    val joined = Knn.vecJoin(dupLeft, right, "v", "v", "l2", kPerLeft = 3, tieBreak = Seq("id"))
+    assert(joined.count() == 6) // 3 per duplicate row, not 3 total
+  }
+
   test("graphKnn BFS respects maxHops (operators.c:743-949)") {
     val nodes = emb.filter($"vec_id" < 6).withColumnRenamed("vec_id", "id")
     // path graph 0-1-2-3-4-5

@@ -32,6 +32,16 @@ class SamplingSpec extends SparkSpecBase {
     assert(t.size > v.size && t.size > s.size)
   }
 
+  test("fraction 1.0 is the exact identity; drift-summing fractions split without crashing") {
+    // the 8-hex-digit threshold saturates at "ffffffff"; a strict < there
+    // would drop keys whose md5 coord is exactly "ffffffff"
+    assert(Sampling.hashSample(ev, "event_id", 1.0).count() == ev.count())
+    // 0.55+0.34+0.11 accumulates to 1.0000000000000002 — must not throw,
+    // and must still cover every row exactly once
+    val parts = Sampling.split(ev, "event_id", Seq(0.55, 0.34, 0.11))
+    assert(parts.map(_.count()).sum == ev.count())
+  }
+
   test("stratified take returns exactly n per stratum, deterministically") {
     val out = Sampling.stratifiedTake(ev, Seq("event_type"), "event_id", n = 7)
     val counts = out.groupBy("event_type").count().as[(String, Long)].collect().toMap

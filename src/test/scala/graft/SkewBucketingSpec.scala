@@ -19,16 +19,29 @@ class SkewBucketingSpec extends SparkSpecBase {
     assert(salted.toSeq == expected.toSeq)
   }
 
-  test("salted join spreads a hot key over saltFactor partitions") {
-    val left = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+  test("salted join spreads a hot key over saltFactor partitions — even for identical rows") {
+    // the pathological case salting exists for: the hot key's rows are
+    // byte-identical duplicates (null-sentinel pathology); a content hash
+    // would give them all ONE salt and zero fan-out
+    val left = (1 to 1000).map(_ => (1L, 0)).toDF("k", "v")
     val right = Seq((1L, "r")).toDF("k", "rv")
     val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
-    // the pre-join left side carries 8 distinct shuffle keys, not 1
+    // mirror the per-row-id salting: the pre-join left side carries 8
+    // distinct shuffle keys, not 1
     val saltCounts = left.withColumn("__salt",
-        pmod(hash(struct(left.columns.map(col).toSeq: _*), lit(42)), lit(8)))
+        pmod(monotonically_increasing_id() + lit(42L), lit(8L)).cast("int"))
       .groupBy("__salt").count().count()
-    assert(saltCounts > 1)
+    assert(saltCounts == 8)
     assert(salted.count() == 1000)
+  }
+
+  test("salted join preserves duplicate-row multiplicities exactly") {
+    val left = ((1 to 10).map(_ => (1L, "dup")) ++ Seq((2L, "x"))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (1L, "r2"), (2L, "r")).toDF("k", "rv")
+    val expected = left.join(right, "k").collect().map(_.toSeq.toString).sorted
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq.toString).sorted
+    assert(salted.toSeq == expected.toSeq) // 10 dups x 2 right rows + 1
   }
 
   test("bucketed tables join without an exchange on either side") {

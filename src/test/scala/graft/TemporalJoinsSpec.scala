@@ -39,6 +39,18 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(row.getDouble(0) == 20.0 && row.isNullAt(1))
   }
 
+  test("asof ignores null right timestamps; rejects a 'ts' value column") {
+    val left = Seq((1L, "a", 5.0)).toDF("id", "k", "ts")
+    // the null-ts right row sorts NULLS FIRST and would otherwise become
+    // the match for a left row with no true predecessor
+    val right = Seq(("a", Option.empty[Double], 999.0), ("a", Some(10.0), 100.0))
+      .toDF("k", "ts", "v")
+    val out = TemporalJoins.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v")).head()
+    assert(out.isNullAt(out.fieldIndex("asof_ts")) && out.isNullAt(out.fieldIndex("asof_v")))
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("ts", "v")))
+  }
+
   test("range join emits each qualifying pair exactly once, across bucket borders") {
     // delta = 10; ts pairs straddle bucket boundaries both ways
     val l = Seq((1L, "a", 9.0), (2L, "a", 11.0), (3L, "a", 29.0), (4L, "b", 9.0))

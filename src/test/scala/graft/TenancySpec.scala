@@ -23,6 +23,10 @@ class TenancySpec extends SparkSpecBase {
     assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("rlsScanPolicies with no policies is default-DENY, not full access") {
+    assert(Tenancy.rlsScanPolicies(df, Seq.empty).count() == 0)
+  }
+
   test("usage reports per-tenant rows and payload bytes") {
     val u = Tenancy.usage(df, "tenant", Seq("payload"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
