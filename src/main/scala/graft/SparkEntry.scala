@@ -1671,6 +1671,8 @@ object SparkEntry {
       |  SELECT doc_id,
       |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)) AS toks,
       |    len(regexp_extract_all(text, '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]')) AS cjk,
+      |    len(regexp_extract_all(text, '[\p{Hiragana}\p{Katakana}]')) AS kana,
+      |    len(regexp_extract_all(text, '\p{Hangul}')) AS hangul,
       |    len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
       |    len(regexp_extract_all(text, '\p{Arabic}')) AS arb,
       |    len(regexp_extract_all(text, '\p{L}')) AS letters,
@@ -1699,7 +1701,8 @@ object SparkEntry {
       |  FROM base)
       |SELECT doc_id,
       |  CASE
-      |    WHEN letters > 0 AND cjk::DOUBLE / letters > 0.3 THEN 'zh'
+      |    WHEN letters > 0 AND cjk::DOUBLE / letters > 0.3 THEN
+      |      (CASE WHEN hangul * 2 > cjk THEN 'ko' WHEN kana > 0 THEN 'ja' ELSE 'zh' END)
       |    WHEN letters > 0 AND cyr::DOUBLE / letters > 0.3 THEN 'ru'
       |    WHEN letters > 0 AND arb::DOUBLE / letters > 0.3 THEN 'ar'
       |    WHEN ntoks = 0 THEN 'und'

@@ -27,19 +27,29 @@ object TextAnalysis {
    */
   def langId(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    var cjk = 0; var cyr = 0; var ar = 0; var total = 0
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var ar = 0; var total = 0
     text.codePoints().forEach { cp =>
       if (Character.isLetter(cp)) {
         total += 1
         val block = Character.UnicodeScript.of(cp)
-        if (block == Character.UnicodeScript.HAN || block == Character.UnicodeScript.HIRAGANA ||
-          block == Character.UnicodeScript.KATAKANA || block == Character.UnicodeScript.HANGUL) cjk += 1
+        if (block == Character.UnicodeScript.HAN) han += 1
+        else if (block == Character.UnicodeScript.HIRAGANA ||
+          block == Character.UnicodeScript.KATAKANA) kana += 1
+        else if (block == Character.UnicodeScript.HANGUL) hangul += 1
         else if (block == Character.UnicodeScript.CYRILLIC) cyr += 1
         else if (block == Character.UnicodeScript.ARABIC) ar += 1
       }
     }
     if (total > 0) {
-      if (cjk.toDouble / total > 0.3) return "zh"
+      // the CJK scripts are trivially separable and lumping them all into
+      // "zh" would misroute ja/ko corpora: majority-Hangul → ko; any kana
+      // (Japanese is a kanji+kana mix, Chinese has none) → ja; pure Han → zh
+      val cjk = han + kana + hangul
+      if (cjk.toDouble / total > 0.3) {
+        if (hangul * 2 > cjk) return "ko"
+        if (kana > 0) return "ja"
+        return "zh"
+      }
       if (cyr.toDouble / total > 0.3) return "ru"
       if (ar.toDouble / total > 0.3) return "ar"
     }

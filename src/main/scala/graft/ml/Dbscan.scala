@@ -63,8 +63,15 @@ object Dbscan {
     labels
   }
 
+  /** `maxIter` bounds min-label propagation rounds (≥ the core graph's
+    * diameter); filament-shaped clusters need more than the default. */
   def fit(df: DataFrame, idCol: String, vecCol: String,
-          eps: Double, minPts: Int): DataFrame = {
+          eps: Double, minPts: Int, maxIter: Int = 50): DataFrame = {
+    // same loud reject as Dedup.dupGroups: a non-numeric id casts to NULL
+    // and the whole pipeline degenerates to NULL-key garbage silently
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric, got $idType (hash string ids to longs upstream)")
     val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val pairs = Knn.vecJoin(pts, pts, "vec", "vec", "l2", threshold = eps)
       .select(col("l_id").as("a"), col("r_id").as("b"))
@@ -79,7 +86,7 @@ object Dbscan {
       .join(cores.withColumnRenamed("id", "a"), "a")
       .join(cores.withColumnRenamed("id", "b"), "b")
       .select("a", "b")
-    val comp = connectedComponents(coreEdges)
+    val comp = connectedComponents(coreEdges, maxIter)
     // isolated cores (minPts of border neighbors, no core neighbor) keep
     // their own id as the cluster label
     val coreCluster = cores

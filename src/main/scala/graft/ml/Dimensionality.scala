@@ -205,12 +205,19 @@ object Dimensionality {
              iterations: Int = 1000, nNeighbors: Int = 15,
              minDist: Double = 0.1, placementNeighbors: Int = 10): DataFrame = {
     require(nComponents >= 1, "n_components must be positive")
+    // same loud reject as Dedup.dupGroups: non-numeric ids cast to NULL
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric, got $idType (hash string ids to longs upstream)")
     val spark = df.sparkSession
 
     val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // deterministic landmark choice: smallest xxhash64(id, seed) — a
-    // TakeOrdered top-k, never a global sort
+    // TakeOrdered top-k, never a global sort. Null-vector rows can't be
+    // landmarks (no coordinates to fit) — they get a null reduced column
+    // from the placement UDF, mirroring Knn's null tolerance.
     val landmarks = pts
+      .filter(col("vec").isNotNull)
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h", "id").limit(sampleLimit)
       .select("id", "vec").collect()
@@ -231,7 +238,8 @@ object Dimensionality {
     // landmark rows keep their exact fitted coords; others interpolate
     // from their kPlace nearest landmarks weighted by 1/(1+d²)
     val place = udf { (id: Long, v: Seq[Float]) =>
-      bById.value.get(id) match {
+      if (v == null) null
+      else bById.value.get(id) match {
         case Some(coords) => coords.map(_.toFloat)
         case None =>
           val x = v.toArray

@@ -21,6 +21,10 @@ object Lof {
 
   def score(df: DataFrame, idCol: String, vecCol: String, k: Int = 5,
             broadcastRight: Boolean = true): DataFrame = {
+    // with n <= k no point has a k-th neighbor, kdist is empty, and every
+    // join below would silently produce zero scores for a non-empty input
+    val n = df.count()
+    require(n > k, s"LOF needs more than k=$k rows, got $n")
     // k-NN edges (src, dst, distance, rank)
     val edges = Knn.buildKnnGraph(df, idCol, vecCol, k, "l2", broadcastRight).cache()
 
@@ -34,9 +38,13 @@ object Lof {
       .join(kdist, "o")
       .withColumn("reach_dist", greatest(col("k_dist"), col("distance")))
 
-    // local reachability density: 1 / mean reach_dist over p's neighbors
+    // local reachability density: 1 / mean reach_dist over p's neighbors.
+    // The epsilon floor keeps exact-duplicate neighborhoods (mean reach 0)
+    // at a large-but-finite density instead of a NULL lof (non-ANSI
+    // division) or DivideByZero (ANSI) — duplicate groups then score ~1,
+    // the inlier value, as the LOF limit prescribes
     val lrd = reach.groupBy(col("p"))
-      .agg((lit(1.0) / avg(col("reach_dist"))).as("lrd"))
+      .agg((lit(1.0) / greatest(avg(col("reach_dist")), lit(1e-12))).as("lrd"))
 
     // LOF(p) = mean_o lrd(o) / lrd(p)
     val neighborLrd = edges.select(col("src").as("p"), col("dst").as("o"))

@@ -319,7 +319,8 @@ object Dedup {
    * keepers are exactly the rows with `id == component`.
    */
   def dupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
-                aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+                aCol: String = "a_id", bCol: String = "b_id",
+                maxIter: Int = 50): DataFrame = {
     // a non-numeric id would cast to NULL, every join would miss, and
     // dedupByPairs would silently return an EMPTY corpus — reject loudly
     // instead (hash string ids to longs upstream, e.g. xxhash64)
@@ -327,7 +328,7 @@ object Dedup {
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"idCol '$idCol' must be numeric, got $idType")
     val comp = graft.ml.Dbscan.connectedComponents(
-      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")), maxIter)
     df.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
@@ -335,8 +336,9 @@ object Dedup {
 
   /** Drop all but the min-id member of each near-dup component. */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
-                   aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
-    df.join(dupGroups(df, idCol, pairs, aCol, bCol)
+                   aCol: String = "a_id", bCol: String = "b_id",
+                   maxIter: Int = 50): DataFrame =
+    df.join(dupGroups(df, idCol, pairs, aCol, bCol, maxIter)
         .filter(col("id") === col("component")).select("id"),
       df(idCol).cast("long") === col("id"), "left_semi")
 

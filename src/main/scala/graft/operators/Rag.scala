@@ -48,9 +48,16 @@ object Rag {
    */
   def refreshEmbeddingCache(cache: DataFrame, texts: DataFrame, textCol: String,
                             model: String): DataFrame = {
+    // NULL texts are unembeddable AND uncacheable (a NULL key never equals
+    // anything, so the same row would be re-appended on every refresh);
+    // the length prefix makes the key injective — model names contain ':'
+    // (embedModality's "modality:model"), so sha2(model:text) alone lets
+    // distinct (model, text) pairs collide onto one cache row
     val keyed = texts.select(col(textCol).as("text"))
+      .filter(col("text").isNotNull)
       .distinct()
-      .withColumn("cache_key", sha2(concat(lit(model), lit(":"), col("text")), 256))
+      .withColumn("cache_key", sha2(concat(
+        lit(s"${model.length}:$model:"), col("text")), 256))
     val misses = keyed.join(cache.select("cache_key"), Seq("cache_key"), "left_anti")
       .withColumn("embedding", Embeddings.embed_text(col("text"), lit(model)))
       .withColumn("model_name", lit(model))

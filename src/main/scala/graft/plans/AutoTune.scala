@@ -61,14 +61,15 @@ object AutoTune {
     def nprobeFor(query: String, default: Int = 10): Int =
       state.getOrElse(fingerprint(query), clamp(default))
 
-    /** One adaptation step, reference logic: recall below band → widen;
-      * above band and latency above band → narrow. */
+    /** One adaptation step: recall below band → widen; latency above band
+      * (recall already at/above the band floor) → narrow. Recall takes
+      * precedence — a query that is both slow AND under-recalling widens,
+      * because narrowing would trade correctness for speed. */
     def observe(query: String, nprobe: Int, recall: Double, latencyMs: Double): Int = {
       val fp = fingerprint(query)
       history += Observation(fp, nprobe, recall, latencyMs)
       val next =
         if (recall < recallBand._1) clamp(nprobe + step)
-        else if (recall > recallBand._2 && latencyMs > latencyBandMs._2) clamp(nprobe - step)
         else if (latencyMs > latencyBandMs._2) clamp(nprobe - step)
         else nprobe
       state(fp) = next
@@ -86,6 +87,10 @@ object AutoTune {
       import spark.implicits._
       spark.read.parquet(s"$path/learned_params").as[(Long, Int)]
         .collect().foreach { case (fp, np) => state(fp) = np }
+      // restore the history too — save() overwrites both files, so loading
+      // only the params would truncate accumulated history to whatever
+      // this session observes
+      history ++= spark.read.parquet(s"$path/query_history").as[Observation].collect()
     }
   }
 }

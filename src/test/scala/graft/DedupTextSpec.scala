@@ -61,6 +61,13 @@ class DedupTextSpec extends SparkSpecBase {
     assert(TextAnalysis.langId("qwzx bnmp vrtk") == "und")
   }
 
+  test("langId separates the CJK scripts: kana -> ja, hangul -> ko, pure han -> zh") {
+    assert(TextAnalysis.langId("これは日本語のテスト文です") == "ja")   // kanji + kana mix
+    assert(TextAnalysis.langId("ひらがなだけのぶんしょうです") == "ja") // pure hiragana
+    assert(TextAnalysis.langId("한국어 문장입니다 언어 감지 테스트") == "ko")
+    assert(TextAnalysis.langId("中文和日本語が混ざった文章テスト") == "ja") // any kana wins over han
+  }
+
   test("qualityScore ranks clean prose above junk") {
     val clean = "the quick brown fox jumps over the lazy dog and it was a fine day in the park " * 3
     val junk = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"

@@ -169,6 +169,31 @@ class Ml2Spec extends SparkSpecBase {
       Dimensionality.reduce(df, "id", "vec", method = "pca_nope"))
   }
 
+  test("LOF: duplicates score finite ~1; n <= k rejected; string ids rejected by DBSCAN/reduce") {
+    // k+1 exact copies: mean reach-dist 0 — lof must be a finite ~1, not NULL
+    val dups = (1 to 8).map(i => (i.toLong, Seq(1f, 1f))) :+ (99L, Seq(9f, 9f))
+    val lof = graft.ml.Lof.score(dups.toDF("id", "v"), "id", "v", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lof.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(math.abs(lof(1L) - 1.0) < 0.5) // duplicate group ~ inlier
+    intercept[IllegalArgumentException](
+      graft.ml.Lof.score(dups.take(3).toDF("id", "v"), "id", "v", k = 5))
+    val strIds = Seq(("a", Seq(1f)), ("b", Seq(2f))).toDF("id", "v")
+    intercept[IllegalArgumentException](graft.ml.Dbscan.fit(strIds, "id", "v", 1.0, 1))
+    intercept[IllegalArgumentException](Dimensionality.reduce(strIds, "id", "v"))
+  }
+
+  test("reduce tolerates null vectors: null reduced coords, landmarks unaffected") {
+    val pts = (blob(0, 0, 30, 1) ++ blob(5, 5, 30, 2)).zipWithIndex
+      .map { case (v, i) => (i.toLong, Option(v)) } :+ (999L, Option.empty[Seq[Float]])
+    val out = Dimensionality.reduce(pts.toDF("id", "v"), "id", "v",
+        method = "umap", sampleLimit = 20, iterations = 30)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out.size == 61)
+    assert(out(999L).isEmpty)       // null in, null reduced out
+    assert(out(0L).nonEmpty)
+  }
+
   test("TPE beats random search on a fixed budget (ml_hyperparameter_tuning.c:598)") {
     // deterministic multimodal objective over a 6x6x6 grid: one sharp
     // optimum, a decoy ridge, additive structure TPE can exploit

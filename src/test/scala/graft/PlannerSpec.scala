@@ -46,6 +46,24 @@ class PlannerSpec extends SparkSpecBase {
     assert(t2.nprobeFor("q1") == t.nprobeFor("q1"))
   }
 
+  test("load-observe-save round-trip accumulates history instead of truncating it") {
+    val tmp = java.nio.file.Files.createTempDirectory("tuner2").toString
+    val t = new AutoTune.Tuner(nlists = 16)
+    (1 to 5).foreach(i => t.observe(s"q$i", 4, 0.5, 10))
+    t.save(spark, tmp)
+    val t2 = new AutoTune.Tuner(nlists = 16)
+    t2.load(spark, tmp)
+    t2.observe("q6", 4, 0.5, 10)
+    t2.save(spark, tmp) // overwrites both files — must carry the prior 5
+    assert(spark.read.parquet(s"$tmp/query_history").count() == 6)
+  }
+
+  test("tuner widens when BOTH recall and latency are out of band (correctness first)") {
+    val t = new AutoTune.Tuner(nlists = 32)
+    // under-recalling AND slow: narrowing would trade correctness for speed
+    assert(t.observe("q", 8, recall = 0.5, latencyMs = 500) > 8)
+  }
+
   test("snapshot / timeTravel versions (vector_time_travel)") {
     val tmp = java.nio.file.Files.createTempDirectory("tt").toString + "/tbl"
     val v0 = DataManagement.snapshot(Seq((1L, "a")).toDF("id", "x"), tmp)

@@ -91,6 +91,26 @@ class SearchSpec extends SparkSpecBase {
     assert(math.abs(fused(3L) - 0.40) < 1e-12)
   }
 
+  test("embedding cache: stable size under repeated refresh, null texts skipped, keys injective") {
+    import graft.operators.Rag
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(String, String, String, Seq[Float])]
+      .toDF("cache_key", "model_name", "text", "embedding")
+    val texts = Seq(Some("alpha"), Some("beta"), None).toDF("t")
+    val c1 = Rag.refreshEmbeddingCache(empty, texts, "t", "m")
+    assert(c1.count() == 2) // null text never cached
+    // refresh with the same texts must be a no-op, not append-forever
+    val c2 = Rag.refreshEmbeddingCache(c1, texts, "t", "m")
+    assert(c2.count() == 2)
+    // length-prefixed key: ("image:clip", "t") and ("image", "clip:t") differ
+    val k1 = Rag.refreshEmbeddingCache(empty, Seq("t").toDF("t"), "t", "image:clip")
+      .select("cache_key").head().getString(0)
+    val k2 = Rag.refreshEmbeddingCache(empty, Seq("clip:t").toDF("t"), "t", "image")
+      .select("cache_key").head().getString(0)
+    assert(k1 != k2)
+  }
+
   test("twoStage rescore returns exact top-k despite coarse first stage") {
     val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
       .withColumn("coarse", col("embedding")) // identity 'quantization'
