@@ -28,6 +28,7 @@ object Embeddings {
   @inline private def djb2(hash: Int, b: Int): Int = ((hash << 5) + hash) ^ (b & 0xFF)
 
   def embedText(text: String, model: String, dim: Int = DefaultDim): Array[Float] = {
+    require(dim >= 1, s"embedding dimension must be positive, got $dim")
     var hash = 5381
     val bytes = (if (text == null) "" else text).getBytes("UTF-8")
     var j = 0

@@ -76,7 +76,12 @@ object SparseOps {
     s
   }
 
-  def norm(a: SparseVec): Double = {
+  def norm(a0: SparseVec): Double = {
+    // coalesce first: duplicate indices must sum into ONE coordinate
+    // before squaring, or (0,2,0) represented as {1->1, 1->1} gets norm
+    // sqrt(2) instead of 2 — the exact silent-wrong path sorted() exists
+    // to close for the merge kernels
+    val a = sorted(a0)
     var s = 0.0
     a.values.foreach(v => s += v.toDouble * v.toDouble)
     math.sqrt(s)
@@ -92,7 +97,8 @@ object SparseOps {
 
   def innerProductDistance(a: SparseVec, b: SparseVec): Double = -dot(a, b)
 
-  def normalize(a: SparseVec): SparseVec = {
+  def normalize(a0: SparseVec): SparseVec = {
+    val a = sorted(a0) // coalesced form, so scaling by norm is exact
     val n = norm(a)
     if (n == 0.0) a
     else SparseVec(a.dim, a.indices.clone(), a.values.map(v => (v / n).toFloat))
@@ -126,16 +132,19 @@ object SparseOps {
   private def sv(dim: Int, idx: Seq[Int], vals: Seq[Float]) =
     SparseVec(dim, idx.toArray, vals.toArray)
 
-  val sparseL2Udf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
-                         d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
-    l2(sv(d1, i1, v1), sv(d2, i2, v2)))
-  val sparseCosineUdf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
-                             d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
-    cosineDistance(sv(d1, i1, v1), sv(d2, i2, v2)))
-  val sparseDotUdf = udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
-                          d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
-    dot(sv(d1, i1, v1), sv(d2, i2, v2)))
-  val sparseNormUdf = udf((d: Int, i: Seq[Int], v: Seq[Float]) => norm(sv(d, i, v)))
+  // STRICT like the rest of the SQL surface: any NULL array → NULL result
+  // (null Seqs would NPE in sv's toArray and kill the task)
+  private def sparse2(f: (SparseVec, SparseVec) => Double) =
+    udf((d1: Int, i1: Seq[Int], v1: Seq[Float],
+         d2: Int, i2: Seq[Int], v2: Seq[Float]) =>
+      if (i1 == null || v1 == null || i2 == null || v2 == null) None
+      else Some(f(sv(d1, i1, v1), sv(d2, i2, v2))))
+
+  val sparseL2Udf = sparse2(l2)
+  val sparseCosineUdf = sparse2(cosineDistance)
+  val sparseDotUdf = sparse2(dot)
+  val sparseNormUdf = udf((d: Int, i: Seq[Int], v: Seq[Float]) =>
+    if (i == null || v == null) None else Some(norm(sv(d, i, v))))
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("sparsevec_l2_distance", sparseL2Udf)

@@ -35,10 +35,14 @@ object ArimaCatalog {
       r.getAs[Seq[Double]]("last_values").toArray,
       r.getAs[Seq[Double]]("last_original").toArray)
 
-  /** Persist one fitted model as a catalog row. */
+  /** Persist one fitted model as a catalog row. `createdAt` defaults to
+    * now so a refit actually supersedes the old row under [[load]]'s
+    * latest-wins rule (a constant default made every row tie and let the
+    * stale model win arbitrarily); pass a fixed value only when you want
+    * byte-reproducible catalogs. */
   def save(spark: SparkSession, path: String, modelId: Long, seriesId: Long,
            m: Extras.ArimaModel, nObs: Long,
-           createdAt: String = "1970-01-01T00:00:00Z"): Unit = {
+           createdAt: String = java.time.Instant.now().toString): Unit = {
     import spark.implicits._
     Seq(toRow(modelId, seriesId, m, nObs, createdAt)).toDF()
       .write.mode(SaveMode.Append).parquet(s"$path/arima_models")
@@ -47,10 +51,16 @@ object ArimaCatalog {
   def catalog(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/arima_models")
 
-  /** Reload a fitted model by id (latest row wins on id collision). */
+  /** Reload a fitted model by id. Latest `created_at` wins on id
+    * collision; exact-timestamp ties (fixed createdAt) break
+    * deterministically on the row content hash so repeated loads always
+    * serve the same model. */
   def load(spark: SparkSession, path: String, modelId: Long): Extras.ArimaModel = {
-    val rows = catalog(spark, path).filter(col("model_id") === modelId)
-      .orderBy(col("created_at").desc).limit(1).collect()
+    val cat = catalog(spark, path).filter(col("model_id") === modelId)
+    val rows = cat
+      .withColumn("__tb", xxhash64(to_json(struct(cat.columns.map(col).toSeq: _*))))
+      .orderBy(col("created_at").desc, col("n_obs").desc, col("__tb"))
+      .limit(1).collect()
     require(rows.nonEmpty, s"no ARIMA model with id $modelId")
     toModel(rows.head)
   }
@@ -67,10 +77,12 @@ object ArimaCatalog {
   /** Fit one ARIMA per series in a single distributed pass and persist
     * every fit: groupBy(series) → in-group time sort → per-group OLS.
     * model_id = series_id (one live model per series, reference
-    * convention). Returns the catalog rows written. */
+    * convention). Returns the refreshed catalog (all persisted rows,
+    * including earlier generations). `createdAt` defaults to now — see
+    * [[save]]. */
   def fitMany(df: DataFrame, seriesCol: String, timeCol: String,
               valueCol: String, path: String, p: Int = 2, d: Int = 1,
-              createdAt: String = "1970-01-01T00:00:00Z"): DataFrame = {
+              createdAt: String = java.time.Instant.now().toString): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fitted = df

@@ -226,8 +226,10 @@ object AutoMl {
   def similarityHistogram(df: DataFrame, vecCol: String, query: Array[Float],
                           bins: Int = 20): DataFrame = {
     val sim = lit(1.0) - graft.operators.Knn.distCol("cosine")(col(vecCol), lit(query))
-    df.select(least(lit(bins - 1),
-        floor((sim + 1.0) / 2.0 * bins)).cast("int").as("bin"))
+    // clamp BOTH ends: float error can push sim a hair outside [-1, 1],
+    // and an unclamped bottom would emit a spurious bin −1 row
+    df.select(greatest(lit(0), least(lit(bins - 1),
+        floor((sim + 1.0) / 2.0 * bins))).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 

@@ -27,8 +27,12 @@ object IsolationForest {
     }
   }
 
+  /** c(n) per Liu et al.: c(1)=0, c(2)=1, harmonic form beyond — the raw
+    * formula gives c(2)≈0.154 (and c(1)=0 would make every score 0/0). */
   private def avgPathLength(n: Int): Double =
-    if (n <= 1) 0.0 else 2.0 * (math.log(n - 1) + 0.5772156649) - 2.0 * (n - 1.0) / n
+    if (n <= 1) 0.0
+    else if (n == 2) 1.0
+    else 2.0 * (math.log(n - 1) + 0.5772156649) - 2.0 * (n - 1.0) / n
 
   private def pathLength(node: Node, v: Array[Float], depth: Int): Double = node match {
     case Leaf(size) => depth + avgPathLength(size)
@@ -57,7 +61,10 @@ object IsolationForest {
           sampleSize: Int = 256, seed: Long = 42L): Forest = {
     val sample = df.select(vecCol).limit(sampleSize * 4).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "cannot fit isolation forest on empty input")
+    // with one row c = avgPathLength(1) = 0 and every score is 2^(0/0) = NaN
+    require(sample.length >= 2,
+      s"isolation forest needs at least 2 rows, got ${sample.length}")
+    require(sampleSize >= 2, s"sample_size must be at least 2, got $sampleSize")
     val rnd = new scala.util.Random(seed)
     val maxDepth = math.ceil(math.log(math.min(sampleSize, sample.length).toDouble) /
       math.log(2.0)).toInt

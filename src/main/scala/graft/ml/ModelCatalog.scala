@@ -21,8 +21,17 @@ object ModelCatalog {
              metrics: Map[String, Double], projectId: Long = 0L,
              createdAt: String = "1970-01-01T00:00:00Z"): Unit = {
     import spark.implicits._
+    // escape like metricsJson is careful with NaN: raw interpolation of a
+    // value containing a quote/backslash would persist invalid JSON
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val paramsJson = tm.params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val modelPath = s"$path/models/model_${tm.modelId}"
     tm.model match {
       case w: org.apache.spark.ml.util.MLWritable => w.write.overwrite().save(modelPath)

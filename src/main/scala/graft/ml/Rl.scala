@@ -79,25 +79,30 @@ object Rl {
         coalesce(col("next_state_id").cast("int"), lit(-1)).as("sn"))
       .filter(col("s").between(0, nStates - 1) && col("a").between(0, nActions - 1))
       .withColumn("sn", when(col("sn").between(0, nStates - 1), col("sn")).otherwise(lit(-1)))
+      .persist() // actually reuse the scan: without this every sweep re-reads
+                 // the source (sweeps × full scans, and an unstable source
+                 // would train each sweep on different data)
 
-    val q = Array.fill(nStates)(Array.fill(nActions)(0.0))
-    var sweep = 0
-    while (sweep < sweeps) {
-      // max_a' Q(s',a') is a lookup into the broadcast-sized table.
-      val bMax = spark.sparkContext.broadcast(q.map(_.max))
-      val maxNext = udf((sn: Int) => if (sn < 0) 0.0 else bMax.value(sn))
-      val targets = exp
-        .groupBy(col("s"), col("a"))
-        .agg(avg(col("r") + lit(discountFactor) * maxNext(col("sn"))).as("target"))
-        .collect() // ≤ nStates·nActions rows — Q-table sized, not data sized
-      targets.foreach { row =>
-        val (s, a, t) = (row.getInt(0), row.getInt(1), row.getDouble(2))
-        q(s)(a) += learningRate * (t - q(s)(a))
+    try {
+      val q = Array.fill(nStates)(Array.fill(nActions)(0.0))
+      var sweep = 0
+      while (sweep < sweeps) {
+        // max_a' Q(s',a') is a lookup into the broadcast-sized table.
+        val bMax = spark.sparkContext.broadcast(q.map(_.max))
+        val maxNext = udf((sn: Int) => if (sn < 0) 0.0 else bMax.value(sn))
+        val targets = exp
+          .groupBy(col("s"), col("a"))
+          .agg(avg(col("r") + lit(discountFactor) * maxNext(col("sn"))).as("target"))
+          .collect() // ≤ nStates·nActions rows — Q-table sized, not data sized
+        targets.foreach { row =>
+          val (s, a, t) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+          q(s)(a) += learningRate * (t - q(s)(a))
+        }
+        bMax.destroy()
+        sweep += 1
       }
-      bMax.destroy()
-      sweep += 1
-    }
-    QTable(q)
+      QTable(q)
+    } finally exp.unpersist()
   }
 
   /**
@@ -128,7 +133,11 @@ object Rl {
     val spark = pulls.sparkSession
     import spark.implicits._
 
-    val perArm = pulls.select(col("arm_id").cast("int"), col("reward").cast("double"))
+    // reward IS a success indicator: clamp to [0,1] so Beta posteriors and
+    // the L1 normalization stay probabilities (a raw −5 reward would emit
+    // negative "probability" rows silently)
+    val perArm = pulls.select(col("arm_id").cast("int"),
+        least(greatest(col("reward").cast("double"), lit(0.0)), lit(1.0)).as("reward"))
       .filter(col("arm_id").between(0, nArms - 1))
       .groupBy("arm_id")
       .agg(count(lit(1)).as("pulls"), sum("reward").as("reward_sum"))

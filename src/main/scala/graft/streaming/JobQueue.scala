@@ -30,24 +30,29 @@ object JobQueue {
       get_json_object(col("payload"), "$.text"),
       coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
     // honors $.model exactly like the embed branch; the scorer is the
-    // shared Rerank.pairScore, not a second copy
+    // shared Rerank.pairScore, not a second copy. A scorer exception maps
+    // to NULL, not 0.0: a zero score is a legitimate result, and the
+    // status below must be able to mark the job failed (→ retryable)
+    // rather than persisting a wrong "completed" score.
     val rerankUdf = udf((query: String, doc: String, model: String) =>
-      try Rerank.pairScore(query, doc, model)
-      catch { case _: Exception => 0.0 })
+      try Some(Rerank.pairScore(query, doc, model))
+      catch { case _: Exception => None })
     val rerankResult = rerankUdf(
       get_json_object(col("payload"), "$.query"),
       get_json_object(col("payload"), "$.doc"),
       coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
 
     batch
-      .withColumn("status",
-        when(col("job_type").isin("embed", "rerank", "cache_refresh"), lit("completed"))
-          .when(col("job_type") === "http_call", lit("skipped")) // zero-egress: never dispatched
-          .otherwise(lit("failed")))
       .withColumn("embedding",
         when(col("job_type") === "embed", embedResult).otherwise(lit(null)))
       .withColumn("score",
         when(col("job_type") === "rerank", rerankResult).otherwise(lit(null).cast("double")))
+      .withColumn("status",
+        when(col("job_type") === "rerank",
+          when(col("score").isNotNull, lit("completed")).otherwise(lit("failed")))
+          .when(col("job_type").isin("embed", "cache_refresh"), lit("completed"))
+          .when(col("job_type") === "http_call", lit("skipped")) // zero-egress: never dispatched
+          .otherwise(lit("failed")))
   }
 
   /** Run the queue as a stream: one `foreachBatch` sink appending

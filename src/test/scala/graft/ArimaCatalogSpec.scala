@@ -22,6 +22,23 @@ class ArimaCatalogSpec extends SparkSpecBase {
       && row.getAs[Int]("d") == 1 && row.getAs[Long]("n_obs") == 40L)
   }
 
+  test("a refit supersedes the stale model under latest-wins") {
+    val path = java.nio.file.Files.createTempDirectory("arima_refit").toString
+    val s1 = (1 to 40).map(i => 10.0 + 1.0 * i).toArray
+    val s2 = (1 to 40).map(i => 10.0 + 9.0 * i).toArray
+    ArimaCatalog.save(spark, path, 5L, 5L, Extras.arimaFit(s1), 40,
+      createdAt = "2026-01-01T00:00:00Z")
+    ArimaCatalog.save(spark, path, 5L, 5L, Extras.arimaFit(s2), 40,
+      createdAt = "2026-02-01T00:00:00Z")
+    val fc = ArimaCatalog.forecastById(spark, path, 5L, 1)
+      .select("forecast").head().getDouble(0)
+    assert(math.abs(fc - (10.0 + 9.0 * 41)) < 1e-3, s"stale model served: $fc")
+    // default createdAt is wall-clock now, so two bare saves also order
+    val m3 = Extras.arimaFit(s1)
+    ArimaCatalog.save(spark, path, 6L, 6L, m3, 40)
+    assert(ArimaCatalog.load(spark, path, 6L).coeffs.toSeq == m3.coeffs.toSeq)
+  }
+
   test("load of a missing id fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("arima_cat2").toString
     ArimaCatalog.save(spark, path, 1L, 1L, Extras.arimaFit(series), series.length)

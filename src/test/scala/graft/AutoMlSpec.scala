@@ -58,6 +58,38 @@ class AutoMlSpec extends SparkSpecBase {
     assert(outlier > 0.6)
   }
 
+  test("isolation forest: tiny inputs are defined or rejected, never NaN") {
+    val two = Seq(Seq(0f, 0f), Seq(1f, 1f)).toDF("vec")
+    val f2 = IsolationForest.fit(two, "vec", numTrees = 10, sampleSize = 4)
+    val s2 = IsolationForest.score(two, "vec", f2)
+      .select("anomaly_score").collect().map(_.getDouble(0))
+    assert(s2.forall(s => !s.isNaN && s > 0.0 && s < 1.0))
+    intercept[IllegalArgumentException](
+      IsolationForest.fit(Seq(Seq(1f)).toDF("vec"), "vec"))
+    intercept[IllegalArgumentException](
+      IsolationForest.fit(two, "vec", sampleSize = 1))
+  }
+
+  test("model catalog escapes params into valid JSON; embed_text rejects bad dims") {
+    val tmp = java.nio.file.Files.createTempDirectory("mcat").toString
+    val df = (1 to 50).map(i => (Seq(i.toFloat), 3.0 * i)).toDF("features", "y")
+    val tm = UnifiedApi.train("linear_regression", df, "features", Some("y"),
+      Map("note" -> """quo"te\back""", "k" -> "2"))
+    graft.ml.ModelCatalog.append(spark, tmp, tm, Map("r2" -> 1.0))
+    val params = graft.ml.ModelCatalog.load(spark, tmp)
+      .select("parameters").head().getString(0)
+    // must parse as strict JSON despite the quote/backslash in the value
+    val parsed = spark.range(1).select(
+      from_json(lit(params), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)).as("m")).head().getMap[String, String](0)
+    assert(parsed("note") == """quo"te\back""")
+    intercept[IllegalArgumentException](
+      graft.functions.Embeddings.embedText("hi", "m", dim = -1))
+    intercept[IllegalArgumentException](
+      graft.functions.Embeddings.embedText("hi", "m", dim = 0))
+  }
+
   test("whitened embeddings have ~unit variance per component") {
     val emb = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val white = AutoMl.whitenEmbeddings(emb, "embedding", k = 4)

@@ -65,6 +65,15 @@ class RlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Rl.multiArmedBandit(pulls, "nope", 3))
   }
 
+  test("multiArmedBandit probabilities stay in [0,1] for out-of-range rewards") {
+    val pulls = Seq((0, -5.0), (1, 5.0), (0, 0.5)).toDF("arm_id", "reward")
+    for (algo <- Seq("thompson", "ucb", "epsilon_greedy")) {
+      val probs = graft.ml.Rl.multiArmedBandit(pulls, algo, nArms = 2)
+        .select("probability").collect().map(_.getDouble(0))
+      assert(probs.forall(p => p >= 0.0 && p <= 1.0), s"$algo: ${probs.toSeq}")
+    }
+  }
+
   test("multiArmedBandit includes never-pulled arms with zero stats") {
     val out = Rl.multiArmedBandit(pulls, "thompson", 5).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -35,6 +35,16 @@ class SparseOpsSpec extends AnyFunSuite {
     assert(math.abs(S.norm(S.normalize(a)) - 1.0) < 1e-6)
   }
 
+  test("duplicate indices coalesce in EVERY kernel, norm-based ones included") {
+    // {1->1, 1->1} IS the coordinate vector (0,2,0,...): norm must be 2
+    val dup = SparseVec(4, Array(1, 1), Array(1f, 1f))
+    assert(S.norm(dup) == 2.0)
+    assert(S.dot(dup, dup) == 4.0)
+    assert(math.abs(S.cosineDistance(dup, dup)) < 1e-12) // was -1 pre-coalesce
+    val n = S.normalize(dup)
+    assert(S.norm(n) > 0.999 && S.norm(n) < 1.001)
+  }
+
   test("unsorted indices are handled (text-form vecmaps may be unordered)") {
     val u = SparseVec(6, Array(5, 0, 2), Array(3f, 1f, 2f))
     assert(S.dot(u, b) == S.dot(a, b))
