@@ -219,13 +219,18 @@ object Hnsw {
   def insert(index: DataFrame, df: DataFrame, idCol: String, vecCol: String,
              numShards: Int = 32, params: Params = Params(),
              metric: String = "l2"): DataFrame = {
+    checkShardLayout(index, numShards)
     val newRows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("shard", pmod(hash(col("id")), lit(numShards)))
     val touched = newRows.select("shard").distinct()
       .collect().map(_.getInt(0)).toSeq
     val untouched = index.filter(!col("shard").isin(touched: _*))
+    // UPSERT: a re-sent id replaces its old row — keeping both would give
+    // the shard graph two nodes with one id and ShardGraph.byId would
+    // serve a vector the edges weren't built from
     val members = index.filter(col("shard").isin(touched: _*))
       .select(col("id"), col("vec"))
+      .join(newRows.select("id"), Seq("id"), "left_anti")
       .unionByName(newRows.select(col("id"), col("vec")))
     val rebuilt = build(members, "id", "vec", numShards, params, metric)
     untouched.select("shard", "id", "vec", "nbrs")
@@ -248,6 +253,7 @@ object Hnsw {
   def delete(index: DataFrame, ids: Seq[Long], numShards: Int = 32,
              params: Params = Params(), metric: String = "l2"): DataFrame = {
     if (ids.isEmpty) return index
+    checkShardLayout(index, numShards)
     val shards = ids.map(idShard(_, numShards)).distinct
     val untouched = index.filter(!col("shard").isin(shards: _*))
     val members = index.filter(col("shard").isin(shards: _*))
@@ -256,6 +262,20 @@ object Hnsw {
     untouched.select("shard", "id", "vec", "nbrs")
       .unionByName(build(members, "id", "vec", numShards, params, metric)
         .select("shard", "id", "vec", "nbrs"))
+  }
+
+  /** Maintenance ops must be called with the numShards the index was
+    * BUILT with — a mismatch would route new rows mod numShards' while
+    * existing shards are mod numShards, mixing two incompatible layouts
+    * (duplicated ids in rebuilt shards, orphans in untouched ones) with
+    * no error at serve time. The layout is verifiable from the rows
+    * themselves, so verify it. */
+  private def checkShardLayout(index: DataFrame, numShards: Int): Unit = {
+    val bad = index
+      .filter(pmod(hash(col("id")), lit(numShards)) =!= col("shard"))
+      .limit(1).count()
+    require(bad == 0,
+      s"index shard layout does not match numShards=$numShards — pass the build-time value")
   }
 
   /** The stable shard of an id — must mirror the hash used in [[build]]
@@ -469,15 +489,26 @@ object Hnsw {
     val spark = corpus.sparkSession
     import spark.implicits._
     val truth = exactTopK(corpus, idCol, vecCol, queries, k, metric)
-    val denom = queries.length.toDouble * k
-    efs.map { ef =>
-      val got = searchBatch(index, queries, k, ef, metric)
-        .select(col("qid"), col("id")).as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
-      val hits = truth.map { case (qid, t) =>
-        (t & got.getOrElse(qid, Set.empty)).size }.sum
-      (ef, hits / denom)
-    }.toDF("ef_search", s"recall_at_$k")
+    efs.map(ef => (ef, recallAt(index, queries, truth, k, ef, metric)))
+      .toDF("ef_search", s"recall_at_$k")
+  }
+
+  /** Measured recall@k of one searchBatch pass against exact truth. The
+    * denominator is the TRUTH-SET size sum, not queries·k: a corpus with
+    * fewer than k rows has k-truncated truth sets, and dividing by k
+    * would cap "recall" below 1.0 for an exhaustive (perfect) search. */
+  private def recallAt(index: DataFrame, queries: Array[(Long, Array[Float])],
+                       truth: Map[Long, Set[Long]], k: Int, ef: Int,
+                       metric: String): Double = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val got = searchBatch(index, queries, k, ef, metric)
+      .select(col("qid"), col("id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val denom = math.max(1L, truth.values.map(_.size.toLong).sum).toDouble
+    val hits = truth.map { case (qid, t) =>
+      (t & got.getOrElse(qid, Set.empty)).size }.sum
+    hits / denom
   }
 
   /**
@@ -491,18 +522,10 @@ object Hnsw {
   def recommendEf(index: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                   sampleQueries: Array[(Long, Array[Float])], k: Int = 10,
                   targetRecall: Double = 0.9, metric: String = "l2"): Int = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val truth = exactTopK(corpus, idCol, vecCol, sampleQueries, k, metric)
-    val denom = sampleQueries.length.toDouble * k
     val ladder = Iterator.iterate(8)(_ * 2).takeWhile(_ <= 256).toSeq
-    ladder.find { ef =>
-      val got = searchBatch(index, sampleQueries, k, ef, metric)
-        .select(col("qid"), col("id")).as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
-      val hits = truth.map { case (qid, t) =>
-        (t & got.getOrElse(qid, Set.empty)).size }.sum
-      hits / denom >= targetRecall
-    }.getOrElse(256)
+    ladder.find(ef =>
+      recallAt(index, sampleQueries, truth, k, ef, metric) >= targetRecall
+    ).getOrElse(256)
   }
 }

@@ -83,7 +83,13 @@ object Multimodal {
     if (payload == null || payload.isEmpty) return None
     val img = try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: ImageIO throws CMMException /
+      // ArrayIndexOutOfBounds / IllegalArgument on malformed ICC
+      // profiles and truncated Huffman tables — the never-throw
+      // contract says such rows yield NULLs, not a dead job
+      case scala.util.control.NonFatal(_) => None
+    }
     img.map { bi =>
       val w = bi.getWidth; val h = bi.getHeight
       val px = new Array[Int](w * h)
@@ -141,13 +147,38 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Block-average a grayscale raster down to the 8×8 grid average-hash
+    * operates on — the standard aHash preprocessing. For an 8×8 input
+    * this is exactly the identity (each cell is one pixel), which keeps
+    * the PNG fixture oracle bit-identical. */
+  def gridAverage8x8(width: Int, height: Int, pixels: Array[Int]): Array[Int] = {
+    if (width == 8 && height == 8) return pixels
+    Array.tabulate(64) { i =>
+      val gx = i % 8; val gy = i / 8
+      val x0 = gx * width / 8; val x1 = math.max(x0 + 1, (gx + 1) * width / 8)
+      val y0 = gy * height / 8; val y1 = math.max(y0 + 1, (gy + 1) * height / 8)
+      var s = 0L; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += pixels(y * width + x); n += 1; x += 1 }
+        y += 1
+      }
+      (s / n).toInt
+    }
+  }
+
   /** `embed_image`'s decode+featurize stage over a media table: REAL
     * ImageIO decode per row (partition-local, no shuffle), aHash + dims
-    * out; rows whose payload no codec accepts yield NULLs. */
+    * out; rows whose payload no codec accepts yield NULLs. The hash is
+    * computed over the 8×8 block-averaged grid ([[gridAverage8x8]]) —
+    * hashing the first 64 row-major pixels would fingerprint only the
+    * top-left sliver of real images. */
   def decodeImages(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val dec = udf((payload: Array[Byte]) =>
       decodeImage(payload).map(d =>
-        (d.width, d.height, aHash64(d.pixels.take(64)), d.pixels.toSeq)))
+        (d.width, d.height, aHash64(gridAverage8x8(d.width, d.height, d.pixels)),
+          d.pixels.toSeq)))
     media.withColumn("img", dec(col(payloadCol)))
       .withColumn("img_width", col("img._1"))
       .withColumn("img_height", col("img._2"))
@@ -323,9 +354,12 @@ object Multimodal {
           bb.getInt; bb.getInt; bb.getInt
           val w = bb.getInt
           val h = bb.getInt
-          if (w > 0 && h > 0 && usPerFrame > 0)
-            result = Some(AviMeta(w, h, totalFrames, usPerFrame,
-              totalFrames * usPerFrame / 1000L))
+          if (w > 0 && h > 0 && usPerFrame > 0) {
+            // via Double: two ~2^32 unsigned fields can overflow a Long
+            // product; Double.toLong saturates instead of going negative
+            val durMs = (totalFrames.toDouble * usPerFrame / 1000.0).toLong
+            result = Some(AviMeta(w, h, totalFrames, usPerFrame, durMs))
+          }
         }
         bb.position(next)
       }
@@ -355,8 +389,10 @@ object Multimodal {
    * exercised. Marked loudly so no one mistakes it for image math.
    */
   def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be positive, got $targetBytes")
     val resize = udf((payload: Array[Byte]) =>
-      if (payload.length >= targetBytes) payload.take(targetBytes)
+      if (payload == null) null // dirty rows pass through as NULL, like decode
+      else if (payload.length >= targetBytes) payload.take(targetBytes)
       else payload ++ new Array[Byte](targetBytes - payload.length))
     media.withColumn("payload", resize(col("payload")))
       .withColumn("width", lit(targetBytes)) // stand-in metadata update
@@ -366,8 +402,11 @@ object Multimodal {
     * frame window of the byte stream (real frame extraction is a codec
     * concern; the partition-local batching here is the real part). */
   def frameSampleStub(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be positive, got $frameBytes")
+    require(stride >= 1, s"stride must be positive, got $stride")
     val sample = udf((payload: Array[Byte]) =>
-      payload.grouped(frameBytes).zipWithIndex
+      if (payload == null) Seq.empty[(Int, Array[Byte])]
+      else payload.grouped(frameBytes).zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
         .map { case (frame, i) => (i, frame) }.toSeq)
     media.withColumn("frame", explode(sample(col("payload"))))

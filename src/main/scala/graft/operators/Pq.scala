@@ -71,6 +71,9 @@ object Pq {
     * with deterministic seeding (first-k init after seed-shuffled sample). */
   def train(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 256,
             sampleSize: Int = 10000, iters: Int = 15, seed: Long = 42L): PqCodebook = {
+    // codes are single bytes: k > 256 would make encode() wrap codeword
+    // indices mod 256 and ADC would silently look up the wrong codeword
+    require(k >= 1 && k <= 256, s"PQ codebook size k must be in [1,256], got $k")
     val sample = df.select(vecCol).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train PQ on empty input")
@@ -117,6 +120,8 @@ object Pq {
     * supplies precomputed centroids. */
   def codebookFrom(vectors: Array[Array[Float]], m: Int): PqCodebook = {
     require(vectors.nonEmpty, "codebookFrom requires at least one centroid")
+    require(vectors.length <= 256,
+      s"at most 256 codewords fit a byte code, got ${vectors.length}")
     val dim = vectors.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -129,7 +134,9 @@ object Pq {
   /** Encode a table; codes column is BinaryType, m bytes per row. */
   def encodeTable(df: DataFrame, vecCol: String, codebook: PqCodebook): DataFrame = {
     val bCb = df.sparkSession.sparkContext.broadcast(codebook)
-    val enc = udf((v: Seq[Float]) => bCb.value.encode(v.toArray))
+    // null vector → null codes (the Knn path tolerates null embeddings;
+    // a crash here would make PQ the only operator a dirty corpus kills)
+    val enc = udf((v: Seq[Float]) => if (v == null) null else bCb.value.encode(v.toArray))
     df.withColumn("pq_codes", enc(col(vecCol)))
   }
 
@@ -141,9 +148,10 @@ object Pq {
     val table = codebook.adcTable(query)
     val bTable = encoded.sparkSession.sparkContext.broadcast(table)
     val bCb = encoded.sparkSession.sparkContext.broadcast(codebook)
-    val adc = udf((codes: Array[Byte]) => bCb.value.adcDistance(bTable.value, codes))
+    val adc = udf((codes: Array[Byte]) =>
+      if (codes == null) None else Some(bCb.value.adcDistance(bTable.value, codes)))
     encoded.withColumn("adc_distance", adc(col("pq_codes")))
-      .orderBy((col("adc_distance") +: tieBreak.map(col)).toSeq: _*)
+      .orderBy((col("adc_distance").asc_nulls_last +: tieBreak.map(col)).toSeq: _*)
       .limit(k)
   }
 

@@ -105,6 +105,39 @@ class DedupTextSpec extends SparkSpecBase {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("aHash fingerprints the WHOLE image via the 8x8 grid average") {
+    // two 16x16 images identical in the top-left sliver, different below
+    val flat = Array.fill(256)(100)
+    val split = Array.tabulate(256)(i => if (i < 64) 100 else 250)
+    def hashOf(px: Array[Int]) =
+      Multimodal.aHash64(Multimodal.gridAverage8x8(16, 16, px))
+    assert(hashOf(flat) != hashOf(split)) // take(64) would hash these equal
+    // 8x8 inputs: grid average is the identity, fixture oracle unchanged
+    val px8 = Array.tabulate(64)(i => (i * 4) % 256)
+    assert(Multimodal.gridAverage8x8(8, 8, px8).toSeq == px8.toSeq)
+    // real decode path end-to-end on a 16x16 PNG-like raster via ImageIO
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, split(y * 16 + x))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val d = Multimodal.decodeImage(baos.toByteArray).get
+    assert(d.width == 16 && Multimodal.gridAverage8x8(16, 16, d.pixels).length == 64)
+  }
+
+  test("media stubs tolerate null payloads and reject nonsense strides") {
+    val media = Seq((1L, "video", Option.empty[Array[Byte]], 0, 0, 0L),
+        (2L, "video", Some(Array.fill[Byte](16)(1)), 0, 0, 0L))
+      .toDF("media_id", "media_type", "payload", "width", "height", "duration_ms")
+    assert(Multimodal.resizeStub(media, 8).count() == 2) // null row passes as NULL
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 4, stride = 2)
+    assert(frames.filter($"media_id" === 1L).count() == 0) // null -> no frames
+    assert(frames.filter($"media_id" === 2L).count() == 2) // frames 0 and 2 of 4
+    intercept[IllegalArgumentException](Multimodal.frameSampleStub(media, 4, 0))
+    intercept[IllegalArgumentException](Multimodal.frameSampleStub(media, 0, 1))
+    intercept[IllegalArgumentException](Multimodal.resizeStub(media, 0))
+  }
+
   test("multimodal: media schema plumbing, stub features, frame sampling") {
     val docs = Seq((1L, "aab"), (2L, "zzzz")).toDF("id", "text")
     val media = Multimodal.asMedia(docs, "id", "text")

@@ -171,6 +171,36 @@ class HnswSpec extends SparkSpecBase {
     assert(!after.select("id").as[Long].collect().toSet.exists(dropped.contains))
   }
 
+  test("insert UPSERTS a re-sent id; shard-layout mismatch is rejected loudly") {
+    val base = Hnsw.build(emb.filter($"vec_id" < 100), "vec_id", "embedding", numShards = 4)
+    // re-send id 7 with a DIFFERENT vector: one node, the new vector wins
+    val newVec = Seq((7L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val after = Hnsw.insert(base, newVec, "vec_id", "embedding", numShards = 4)
+    val rows7 = after.filter($"id" === 7L).select($"vec").as[Seq[Float]].collect()
+    assert(rows7.length == 1 && rows7.head == Seq.fill(64)(0.5f))
+    // equals a fresh build whose id-7 row carries the new vector
+    val replaced = emb.filter($"vec_id" < 100 && $"vec_id" =!= 7L)
+      .select($"vec_id", $"embedding").unionByName(newVec)
+    val full = Hnsw.build(replaced, "vec_id", "embedding", numShards = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"shard", $"id", $"nbrs".cast("string")).as[(Int, Long, String)]
+        .collect().toSet
+    assert(key(after) == key(full))
+    // wrong numShards would mix two incompatible layouts — must throw
+    intercept[IllegalArgumentException](
+      Hnsw.insert(base, newVec, "vec_id", "embedding", numShards = 8))
+    intercept[IllegalArgumentException](Hnsw.delete(base, Seq(7L), numShards = 8))
+  }
+
+  test("recallCurve reaches 1.0 on a corpus smaller than k (truth-sized denominator)") {
+    val tiny = emb.filter($"vec_id" < 5)
+    val idx = Hnsw.build(tiny, "vec_id", "embedding", numShards = 2)
+    val qs = Array((0L, Tables.queryVector(spark, "/root/testdata/sf0.001", 0L)))
+    val curve = Hnsw.recallCurve(idx, tiny, "vec_id", "embedding", qs, k = 10,
+        efs = Seq(16)).collect()
+    assert(curve.head.getDouble(1) == 1.0) // exhaustive => perfect, not 0.5
+  }
+
   test("idShard mirrors the build's pmod(hash(id), n) exactly") {
     val fromSql = emb.limit(0).sparkSession.range(0, 100)
       .select($"id", pmod(hash($"id"), lit(4)).as("s"))

@@ -140,6 +140,11 @@ class QuantizationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Pq.codebookFrom(Array(Array(1f, 2f, 3f)), m = 2))
   }
 
+  test("PQ rejects codebooks that cannot fit a byte code") {
+    intercept[IllegalArgumentException](
+      Pq.codebookFrom(Array.fill(257)(Array(1f, 2f)), m = 1))
+  }
+
   test("OPQ rotation is applied as matrix product") {
     val identity = Array(Array(1f, 0f), Array(0f, 1f))
     assert(Pq.applyOpqRotation(Array(3f, 4f), identity).toSeq == Seq(3f, 4f))
