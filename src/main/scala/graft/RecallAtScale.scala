@@ -28,16 +28,7 @@ import org.apache.spark.sql.functions._
  */
 object RecallAtScale {
 
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** Uniform in [-1, 1] from a 64-bit key. */
-  @inline private def unoise(key: Long): Float =
-    ((mix64(key) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+  import graft.functions.DetRandom.unoise
 
   /** 128-d expansion: first half = base + small jitter, second half =
     * correlated copy + larger jitter — replicas cluster near their base
@@ -83,10 +74,13 @@ object RecallAtScale {
       val corpus = corpusAt(base, scale).cache()
       val n = corpus.count()
       // queries = the replica-0 rows of the first 100 base ids (corpus
-      // members at both scales, so the two curves answer the same asks)
+      // members at both scales, so the two curves answer the same asks).
+      // sortBy: collect() returns partition order, and the .take(25)
+      // tuner/ADC subsets downstream must not depend on split layout
       val queries = corpus.filter(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
 
       val ivf = operators.Ivf.build(corpus, "embedding", nlists = 100)
       ivf.assigned.cache().count()
@@ -125,7 +119,8 @@ object RecallAtScale {
       ivf.assigned.unpersist(); corpus.unpersist()
 
       def arr(xs: Seq[(Int, Double)]) =
-        xs.map { case (p, r) => f"[$p,$r%.4f]" }.mkString("[", ",", "]")
+        xs.map { case (p, r) => s"[$p,${functions.DetRandom.fmt(r, 4)}]" }
+          .mkString("[", ",", "]")
       s"""{"scale":$scale,"n":$n,"dims":128,"ivf_nlists":100,""" +
         s""""ivf_recall_vs_nprobe":${arr(ivfCurve.toSeq)},""" +
         s""""recommended_nprobe":$recNprobe,""" +

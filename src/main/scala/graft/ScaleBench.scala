@@ -17,14 +17,7 @@ import org.apache.spark.sql.functions._
  */
 object ScaleBench {
 
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-  @inline private def unoise(key: Long): Float =
-    ((mix64(key) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+  import graft.functions.DetRandom.{mix64, unoise}
 
   /** The sf fixtures are single parquet files (one split); a real corpus
     * at these sizes arrives as many splits. Hash-repartition the expanded
@@ -139,14 +132,14 @@ object ScaleBench {
     val lines = results.head.indices.map { i =>
       val op = results.head(i)._1
       val cells = scales.zip(results.map(_(i))).map { case (s, (_, r, t)) =>
-        f""""rows_${s}x":$r,"sec_${s}x":$t%.3f"""
+        s""""rows_${s}x":$r,"sec_${s}x":${functions.DetRandom.fmt(t, 3)}"""
       }
       // ratios are vs the FIRST scale in the list; the key names the
       // baseline explicitly so a non-1x-first override can't mislabel
       val base = results.head(i)._3
       val ratios = scales.tail.zip(results.tail.map(_(i))).map {
         case (s, (_, _, t)) =>
-          f""""time_ratio_${s}x_vs_${scales.head}x":${t / base}%.2f"""
+          s""""time_ratio_${s}x_vs_${scales.head}x":${functions.DetRandom.fmt(t / base, 2)}"""
       }
       s"""{"op":"$op",${(cells ++ ratios).mkString(",")}}"""
     }

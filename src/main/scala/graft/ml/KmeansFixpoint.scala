@@ -95,8 +95,8 @@ object KmeansFixpoint {
     * (assign aᵢ, recenter cᵢ) per iteration over integer-scaled points.
     * Generated, not hand-written, so k/iters/dim stay in one place. */
   def oracleSql(table: String, idCol: String, vecCol: String,
-                k: Int, iters: Int, dim: Int): String =
-    ctesSql(table, idCol, vecCol, k, iters, dim) +
+                k: Int, iters: Int, dim: Int, scale: Double = 1e6): String =
+    ctesSql(table, idCol, vecCol, k, iters, dim, scale) +
       s"\nSELECT id AS $idCol, cluster FROM a$iters"
 
   /**
@@ -111,9 +111,10 @@ object KmeansFixpoint {
    */
   def recallOracleSql(table: String, idCol: String, vecCol: String,
                       k: Int, iters: Int, dim: Int,
-                      maxQid: Long, kTop: Int, nprobes: Seq[Int]): String = {
+                      maxQid: Long, kTop: Int, nprobes: Seq[Int],
+                      scale: Double = 1e6): String = {
     val fold = "(a, b) -> a + b"
-    ctesSql(table, idCol, vecCol, k, iters, dim) + s""",
+    ctesSql(table, idCol, vecCol, k, iters, dim, scale) + s""",
       |qd AS (SELECT id AS qid, xs AS qxs FROM pts WHERE id < $maxQid),
       |prank AS (
       |  SELECT q.qid, c.cid,
@@ -145,10 +146,11 @@ object KmeansFixpoint {
     * [[oracleSql]], [[recallOracleSql]], and composite oracles (IVFADC
     * recall) that layer more CTEs on the same quantizer. */
   private[graft] def ctesSql(table: String, idCol: String, vecCol: String,
-                             k: Int, iters: Int, dim: Int): String = {
+                             k: Int, iters: Int, dim: Int,
+                             scale: Double = 1e6): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH pts AS (
-      |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
+      |  SELECT $idCol AS id, list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS xs
       |  FROM $table),
       |c0 AS (
       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, list_transform(xs, x -> CAST(x AS DOUBLE)) AS c

@@ -40,7 +40,8 @@ object Llm {
   def llm(op: String, params: Map[String, String]): Any = op match {
     case "complete" => complete(params.getOrElse("prompt", ""), params.getOrElse("model", "stub"))
     case "embed"    => embed(params.getOrElse("text", ""), params.getOrElse("model", "all-MiniLM-L6-v2"))
-    case "rerank"   => rerank(params.getOrElse("query", ""), params.getOrElse("doc", ""))
+    case "rerank"   => rerank(params.getOrElse("query", ""), params.getOrElse("doc", ""),
+      params.getOrElse("model", "all-MiniLM-L6-v2"))
     case other => throw new IllegalArgumentException(s"unknown llm op: $other")
   }
 

@@ -10,7 +10,8 @@ import graft.operators.DistributedRank
  * `ml_anomaly_detection.c:737-900`, SQL `sql/26_ml_new_algorithms.sql`).
  *
  * The reference "simplified OCSVM" skips the QP solver entirely: it takes
- * `n_sv = ⌈nu·n⌉` support vectors by striding the table in insertion order
+ * `n_sv = (int)(nu·n)` support vectors (C truncation — NOT ceil;
+ * `ml_anomaly_detection.c:820`) by striding the table in insertion order
  * (`sv = (sv_idx · n) / n_sv`), scores every point by the mean RBF kernel
  * to that support set (`mean_sv exp(-gamma·‖x−sv‖²)`), and flags scores
  * below the nu-quantile as anomalies. We re-express that set-oriented:
@@ -52,9 +53,13 @@ object Ocsvm {
 
     val ranked = DistributedRank.withRank(pts, col("id"), descending = false,
       col("id"), "__rn")
+    // rank-ordered: collect() alone returns partition order, and the RBF
+    // mean would then sum exp() terms in a partition-dependent order — a
+    // 1-ulp shift that can flip a score sitting on a rounding boundary
     val svs: Array[Array[Float]] = ranked
       .filter(col("__rn").isin(svRanks: _*))
-      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+      .select("__rn", "vec").collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
     val bSvs = spark.sparkContext.broadcast(svs)
 
     val rbfMean = udf { (v: Seq[Float]) =>

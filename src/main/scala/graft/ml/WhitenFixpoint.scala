@@ -120,12 +120,13 @@ object WhitenFixpoint {
     * eigenvectors, and one projection CTE per component. Generated so
     * k/iters/dim stay in one place. */
   def oracleSql(table: String, idCol: String, vecCol: String,
-                k: Int, iters: Int, dim: Int): String = {
+                k: Int, iters: Int, dim: Int,
+                scale: Double = 1e6, eps: Double = 1e-8): String = {
     val fold = "(a, b) -> a + b"
     val sb = new StringBuilder
     sb ++= s"""WITH pts AS MATERIALIZED (
       |  SELECT $idCol AS id,
-      |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xs
+      |    list_transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5) AS BIGINT)) AS xs
       |  FROM $table),
       |px AS MATERIALIZED (SELECT id, unnest(range(1, ${dim + 1})) AS j, unnest(xs) AS x FROM pts),
       |nn AS MATERIALIZED (SELECT count(*) AS n FROM pts),
@@ -163,7 +164,7 @@ object WhitenFixpoint {
         |  SELECT px.id, $e AS pos,
         |    list_reduce(list_prepend(0.0,
         |      list((CAST(px.x AS DOUBLE) - mu.v) * u.v ORDER BY px.j)), $fold)
-        |      / sqrt((SELECT v FROM nrm_${e}_$iters) + 1e-8) AS val
+        |      / sqrt((SELECT v FROM nrm_${e}_$iters) + $eps) AS val
         |  FROM px JOIN mu ON mu.j = px.j JOIN u_${e}_$iters u ON u.i = px.j
         |  GROUP BY px.id)""".stripMargin
     }
