@@ -40,13 +40,18 @@ object Metrics {
   def inc(spark: SparkSession, name: String, n: Long = 1L): Unit =
     counter(spark, name).add(n)
 
-  /** Time a driver-side block into `QuerySeconds` and bump `QueriesTotal`. */
+  /** Time a driver-side block. Under the default name the elapsed time
+    * lands in `QuerySeconds` (whose mean `stats()` reports over
+    * `QueriesTotal`); a CUSTOM name gets its own `<name>_seconds` timer —
+    * folding e.g. an index build into QuerySeconds would corrupt
+    * avg_query_time_ms, which divides by query count only. */
   def timed[T](spark: SparkSession, name: String = QueriesTotal)(body: => T): T = {
     val t0 = System.nanoTime()
     try body
     finally {
       inc(spark, name)
-      timer(spark, QuerySeconds).add((System.nanoTime() - t0) / 1e9)
+      val timerName = if (name == QueriesTotal) QuerySeconds else s"${name}_seconds"
+      timer(spark, timerName).add((System.nanoTime() - t0) / 1e9)
     }
   }
 
@@ -88,8 +93,12 @@ object Metrics {
     counters.toSeq.sortBy(_._1).foreach { case (n, a) =>
       emit(n, "counter", s"Total $n", a.value.doubleValue)
     }
+    // counter, not summary: a bare base-name sample is not a valid
+    // summary series (those need quantile/_sum/_count children) and
+    // OpenMetrics-strict scrapers reject it; these are plain cumulative
+    // totals
     timers.toSeq.sortBy(_._1).foreach { case (n, a) =>
-      emit(n, "summary", s"Aggregate $n", a.value.doubleValue)
+      emit(n, "counter", s"Aggregate $n", a.value.doubleValue)
     }
     sb.result()
   }

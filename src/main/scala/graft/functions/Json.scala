@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions.{get_json_object, lit}
  */
 object Json {
 
+  /** Bracket notation so the key is matched as ONE literal top-level
+    * field: `$.a.b` would traverse into a nested object, which is not
+    * what `@>` containment on the key "a.b" means. */
   def get(metaCol: Column, key: String): Column =
-    get_json_object(metaCol, s"$$.$key")
+    get_json_object(metaCol, s"$$['${key.replace("'", "\\'")}']")
 
   /** `metadata @> {k1:v1, k2:v2, ...}` for scalar values. */
   def contains(metaCol: Column, filters: Map[String, String]): Column =

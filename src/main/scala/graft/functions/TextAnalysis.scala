@@ -19,6 +19,10 @@ object TextAnalysis {
     "es" -> Set("el", "la", "los", "y", "o", "de", "a", "en", "es", "que", "lo", "para", "con", "como", "era"),
     "it" -> Set("il", "la", "i", "e", "o", "di", "a", "in", "è", "che", "lo", "per", "con", "come", "era"))
 
+  /** Merged once — qualityScore runs per-row on corpus-scale paths and
+    * must not rebuild this set per invocation. */
+  private val allStopwords: Set[String] = stopwords.values.flatten.toSet
+
   /**
    * n-gram/stopword heuristic: script detection first (CJK / Cyrillic /
    * Arabic ranges), then argmax stopword hit-rate over the Latin
@@ -76,8 +80,7 @@ object TextAnalysis {
     val nChars = text.length.toDouble
     val punct = text.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
     val punctRatio = punct / nChars
-    val sw = stopwords.values.flatten.toSet
-    val stopRatio = toks.count(sw.contains).toDouble / toks.size
+    val stopRatio = toks.count(allStopwords.contains).toDouble / toks.size
     val meanWordLen = toks.map(_.length).sum.toDouble / toks.size
     // component scores, each in [0,1]
     val lengthScore = math.min(1.0, toks.size / 100.0)
@@ -104,14 +107,16 @@ object TextAnalysis {
     var count = 0
     var runLen = 0
     var i = 0
+    // code points, not UTF-16 chars: an astral-plane letter (emoji, CJK
+    // Ext-B) is ONE symbol, not two surrogate halves that split the run
     while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isLetterOrDigit(c)) runLen += 1
+      val cp = text.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) runLen += 1
       else {
         if (runLen > 0) { count += (runLen + 3) / 4; runLen = 0 }
-        if (!Character.isWhitespace(c)) count += 1
+        if (!Character.isWhitespace(cp)) count += 1
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (runLen > 0) count += (runLen + 3) / 4
     count

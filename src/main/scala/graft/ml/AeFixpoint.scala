@@ -152,8 +152,12 @@ object AeFixpoint {
       // materialize BEFORE the finally releases tr — the returned frame is
       // otherwise lazy and the scoring pass would recompute the slice UDF
       // from source after unpersist (same contract as Dedup.simhashPairs)
-      tr.select(col("id").as(idCol), seUdf(col("xs")).as("sq_error"))
+      val out = tr.select(col("id").as(idCol), seUdf(col("xs")).as("sq_error"))
         .localCheckpoint(true)
+      // checkpoint consumed the scoring broadcast — release it like the
+      // per-epoch snapshots instead of pinning one model per score() call
+      bw.destroy()
+      out
     } finally tr.unpersist()
   }
 

@@ -37,20 +37,31 @@ object JobQueue {
     val rerankUdf = udf((query: String, doc: String, model: String) =>
       try Some(Rerank.pairScore(query, doc, model))
       catch { case _: Exception => None })
-    val rerankResult = rerankUdf(
-      get_json_object(col("payload"), "$.query"),
-      get_json_object(col("payload"), "$.doc"),
+    val qField = get_json_object(col("payload"), "$.query")
+    val dField = get_json_object(col("payload"), "$.doc")
+    val tField = get_json_object(col("payload"), "$.text")
+    val rerankResult = rerankUdf(qField, dField,
       coalesce(get_json_object(col("payload"), "$.model"), lit("all-MiniLM-L6-v2")))
 
+    // Required-field presence gates the result AND the status: the
+    // fallback embedder treats a null text as "", so without the gate a
+    // payload missing $.query/$.doc would "complete" with the maximum
+    // possible score (embed("") vs embed("") similarity = 1.0) and a
+    // missing $.text would persist the embedding of "" — garbage results
+    // indistinguishable from real ones, never retried.
     batch
       .withColumn("embedding",
-        when(col("job_type") === "embed", embedResult).otherwise(lit(null)))
+        when(col("job_type") === "embed" && tField.isNotNull, embedResult)
+          .otherwise(lit(null)))
       .withColumn("score",
-        when(col("job_type") === "rerank", rerankResult).otherwise(lit(null).cast("double")))
+        when(col("job_type") === "rerank" && qField.isNotNull && dField.isNotNull,
+          rerankResult).otherwise(lit(null).cast("double")))
       .withColumn("status",
         when(col("job_type") === "rerank",
           when(col("score").isNotNull, lit("completed")).otherwise(lit("failed")))
-          .when(col("job_type").isin("embed", "cache_refresh"), lit("completed"))
+          .when(col("job_type") === "embed",
+            when(col("embedding").isNotNull, lit("completed")).otherwise(lit("failed")))
+          .when(col("job_type") === "cache_refresh", lit("completed"))
           .when(col("job_type") === "http_call", lit("skipped")) // zero-egress: never dispatched
           .otherwise(lit("failed")))
   }

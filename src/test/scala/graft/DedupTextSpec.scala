@@ -76,6 +76,13 @@ class DedupTextSpec extends SparkSpecBase {
     assert(TextAnalysis.qualityScore(clean) > 0.7)
   }
 
+  test("bpeTokenCount treats an astral-plane letter as one symbol, not two surrogates") {
+    // U+1D483 (mathematical bold italic b) is a LETTER beyond the BMP
+    val astral = new String(Character.toChars(0x1D483))
+    assert(TextAnalysis.bpeTokenCount(s"a${astral}c") == 1) // one 3-cp run -> ceil(3/4)
+    assert(TextAnalysis.bpeTokenCount("abc") == TextAnalysis.bpeTokenCount(s"ab$astral"))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     assert(TextAnalysis.whitespaceTokenCount("one two  three") == 3)
     assert(TextAnalysis.whitespaceTokenCount("  ") == 0)

@@ -31,6 +31,26 @@ class MetricsSpec extends SparkSpecBase {
     assert(Metrics.counter(spark, Metrics.QueriesTotal).value.longValue == 1L)
   }
 
+  test("timed() under a custom name does not pollute avg_query_time_ms") {
+    Metrics.reset()
+    Metrics.timed(spark, Metrics.VectorsIndexed) { Thread.sleep(300) } // an index build
+    Metrics.timed(spark) { 1 + 1 }                                     // a trivial query
+    val row = Metrics.stats(spark).collect().head
+    assert(row.getAs[Long]("queries_total") == 1L)
+    // the 300ms build must not be averaged into the (sub-ms) query time
+    assert(row.getAs[Float]("avg_query_time_ms") < 150.0f)
+    // the custom timer exists under its own name
+    assert(Metrics.prometheusText.contains("graft_vectors_indexed_seconds"))
+  }
+
+  test("json helpers match literal top-level keys, dots and all") {
+    import graft.functions.Json
+    val df = Seq("""{"a":{"b":"nested"},"a.b":"literal"}""").toDF("meta")
+    assert(df.select(Json.get($"meta", "a.b")).head().getString(0) == "literal")
+    assert(df.filter(Json.contains($"meta", Map("a.b" -> "literal"))).count() == 1)
+    assert(df.filter(Json.contains($"meta", Map("a.b" -> "nested"))).count() == 0)
+  }
+
   test("prometheusText renders HELP/TYPE exposition lines and reset zeroes") {
     Metrics.reset()
     Metrics.inc(spark, Metrics.CacheHits, 5)

@@ -23,6 +23,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(math.abs(rerankRow.getAs[Double]("score") - 1.0) < 1e-9) // identical q/doc
   }
 
+  test("jobs with missing required payload fields fail instead of completing with garbage") {
+    val jobs = Seq(
+      (1L, "rerank", """{"doc":"only doc"}""", "t1"),  // no $.query
+      (2L, "embed", """{"model":"m"}""", "t1"),         // no $.text
+      (3L, "rerank", """{"query":"q","doc":"d"}""", "t1")
+    ).toDF("job_id", "job_type", "payload", "tenant_id")
+    val out = JobQueue.processBatch(jobs).collect()
+      .map(r => r.getAs[Long]("job_id") ->
+        ((r.getAs[String]("status"), r.isNullAt(r.fieldIndex("score"))))).toMap
+    // without the gate, job 1 would 'complete' at the maximum score 1.0
+    // (embed("") vs embed("") similarity) and job 2 would persist embed("")
+    assert(out(1L) == (("failed", true)))
+    assert(out(2L)._1 == "failed")
+    assert(out(3L)._1 == "completed" && !out(3L)._2)
+  }
+
   test("job queue runs end-to-end as a stream via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, String)]
