@@ -40,7 +40,8 @@ object Bench {
     "q2_join", "q3_topk", "q4_window",                    // relational core
     "v_l2_knn", "v_cosine_knn", "ivf_knn_exact", "hnsw_knn", // kNN / ANN
     "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn",         // on-disk serve paths
-    "ivf_join_exact",                                     // blocked similarity join
+    "ivf_join_exact", // blocked similarity join, EXHAUSTIVE-probe ORACLE config
+    "ivf_join_prod",  // same join at the production dial (nprobe=4, ~0.9 recall)
     "knn_graph", "faceted_knn",                           // graph / faceted kNN
     "hybrid_search", "bm25_pair", "rrf_fusion",           // hybrid/lexical
     "ltr_rerank", "temporal_knn",                         // rerank / temporal

@@ -84,32 +84,85 @@ object ScaleBench {
     val emb0 = Tables.read(spark, sfDir, "embeddings")
     val ev0 = Tables.read(spark, sfDir, "events")
 
-    def opsAt(s: Int): Seq[(String, Long, Double)] = {
+    // (op, rows, seconds, extra per-scale stats appended to the JSON row)
+    def opsAt(s: Int): Seq[(String, Long, Double, Seq[(String, Double)])] = {
       val docs = expandDocs(docs0, s).cache(); docs.count()
       val emb = expandEmb(emb0, s).cache(); emb.count()
       val ev = expandEvents(ev0, s).cache(); ev.count()
-      val out = Seq.newBuilder[(String, Long, Double)]
+      val out = Seq.newBuilder[(String, Long, Double, Seq[(String, Double)])]
+      def add(op: String, rows: Long, sec: Double,
+              extra: Seq[(String, Double)] = Nil): Unit =
+        out += ((op, rows, sec, extra))
 
       val (n1, t1) = time(operators.Dedup.fingerprintDedup(docs, "doc_id", "text").count())
-      out += (("fingerprint_dedup", n1, t1))
+      add("fingerprint_dedup", n1, t1)
       val (n2, t2) = time(operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 64, bands = 16, jaccardThreshold = 0.8).count())
-      out += (("minhash_lsh_pairs", n2, t2))
+      add("minhash_lsh_pairs", n2, t2)
       val qUdf = udf((t: String) => functions.TextAnalysis.qualityScore(t))
       // time the aggregate via head(); report the SCANNED cardinality, not
       // the aggregate's single output row, so rows_1x/rows_10x are
       // comparable with the other ops
       val (_, t3) = time(docs.select(avg(qUdf(col("text")))).head())
-      out += (("text_quality_scan", docs.count(), t3))
+      add("text_quality_scan", docs.count(), t3)
       val (model, t4) = time {
         val m = operators.Ivf.build(emb, "embedding", nlists = 100)
         m.assigned.cache().count()
         m
       }
-      out += (("ivf_build", emb.count(), t4))
+      add("ivf_build", emb.count(), t4)
       val (n5, t5) = time(operators.Ivf.join(model, emb, "embedding",
         metric = "cosine", threshold = 0.02, nprobe = 1).count())
-      out += (("ivf_blocked_join", n5, t5))
+      add("ivf_blocked_join", n5, t5)
+
+      // Exact large×large kNN join (the flagship two-pass triangle-
+      // inequality operator, Ivf.knnJoin): a FIXED 500-query set against
+      // the growing corpus, k=10. Cost at scale rides pass-2 pruning, so
+      // the avg posting-list count a query actually probes (out of 100)
+      // is reported alongside the time — the "how much of the corpus did
+      // the bound touch" number the 100 TB design hangs on.
+      val queries = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("qid"), col("embedding")).cache()
+      val nQueries = queries.count()
+      val (joined, t6a) = time {
+        val j = operators.Ivf.knnJoin(model, queries, "embedding", "qid",
+          k = 10, metric = "l2").cache()
+        j.count()
+        j
+      }
+      val probed = {
+        val bc = spark.sparkContext.broadcast(model.centroids)
+        val br = spark.sparkContext.broadcast(operators.Ivf.radii(model))
+        val dkPerQ = joined.groupBy("qid").agg(max("distance").as("dk"))
+        val listsUdf = udf((v: Seq[Float], dk: Double) => {
+          val q = v.toArray; val cs = bc.value; val rs = br.value
+          (0 until cs.length).count(i =>
+            functions.VectorOps.l2(q, cs(i)) - rs(i) <= dk + 1e-9)
+        })
+        queries.join(dkPerQ, "qid")
+          .select(avg(listsUdf(col("embedding"), col("dk"))))
+          .head().getDouble(0)
+      }
+      add("knn_join_exact", nQueries * 10, t6a,
+        Seq(("avg_lists_probed", probed)))
+      joined.unpersist(); queries.unpersist()
+
+      // Incremental HNSW maintenance: time inserting a FIXED 1000-row
+      // batch into a numShards=32 index over the scaled corpus. The
+      // touched-shard rebuild makes the cost ~|touched|·(shard size), so
+      // the curve should track corpus growth linearly — the evidence row
+      // for the hnsw_insert_exact path's scale story.
+      val hnswIdx = operators.Hnsw.build(emb, "vec_id", "embedding",
+        numShards = 32).cache()
+      hnswIdx.count()
+      val batch = emb.filter(col("vec_id") < 1000)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      val nBatch = batch.count()
+      val (_, t7) = time(operators.Hnsw.insert(hnswIdx, batch,
+        "vec_id", "embedding", numShards = 32).count())
+      add("hnsw_insert_batch", nBatch, t7,
+        Seq(("index_rows", emb.count().toDouble)))
+      hnswIdx.unpersist()
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), expr("ts div 1000").cast("double").as("lts"),
           col("event_id"))
@@ -118,7 +171,7 @@ object ScaleBench {
           col("event_id").as("click_id"))
       val (n6, t6) = time(operators.TemporalJoins.asofBackward(views, clicks,
         Seq("user_id"), "lts", "rts", Seq("click_id")).count())
-      out += (("asof_join", n6, t6))
+      add("asof_join", n6, t6)
       model.assigned.unpersist(); docs.unpersist(); emb.unpersist(); ev.unpersist()
       out.result()
     }
@@ -131,14 +184,17 @@ object ScaleBench {
     val results = scales.map(s => opsAt(s))
     val lines = results.head.indices.map { i =>
       val op = results.head(i)._1
-      val cells = scales.zip(results.map(_(i))).map { case (s, (_, r, t)) =>
-        s""""rows_${s}x":$r,"sec_${s}x":${functions.DetRandom.fmt(t, 3)}"""
+      val cells = scales.zip(results.map(_(i))).map { case (s, (_, r, t, extra)) =>
+        val extras = extra.map { case (k, v) =>
+          s""","${k}_${s}x":${functions.DetRandom.fmt(v, 3)}"""
+        }.mkString
+        s""""rows_${s}x":$r,"sec_${s}x":${functions.DetRandom.fmt(t, 3)}$extras"""
       }
       // ratios are vs the FIRST scale in the list; the key names the
       // baseline explicitly so a non-1x-first override can't mislabel
       val base = results.head(i)._3
       val ratios = scales.tail.zip(results.tail.map(_(i))).map {
-        case (s, (_, _, t)) =>
+        case (s, (_, _, t, _)) =>
           s""""time_ratio_${s}x_vs_${scales.head}x":${functions.DetRandom.fmt(t / base, 2)}"""
       }
       s"""{"op":"$op",${(cells ++ ratios).mkString(",")}}"""

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
  */
 object ArimaCatalog {
 
+  /** Fixed-width UTC timestamp (always 6 fractional digits) for
+    * `created_at`. [[load]] picks latest-wins by lexicographic string
+    * ordering, and `Instant.now().toString` is variable-width (fraction
+    * omitted when zero, millis vs micros otherwise), so mixed-precision
+    * rows don't order temporally — '…00Z' sorts above '…00.120005Z' and a
+    * refit can lose to an older row. Fixed width makes lexicographic ==
+    * temporal. */
+  private def nowFixedWidth(): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+
   case class ArimaRow(model_id: Long, series_id: Long, p: Int, d: Int,
                       coeffs: Seq[Double], intercept: Double,
                       last_values: Seq[Double], last_original: Seq[Double],
@@ -42,7 +55,7 @@ object ArimaCatalog {
     * byte-reproducible catalogs. */
   def save(spark: SparkSession, path: String, modelId: Long, seriesId: Long,
            m: Extras.ArimaModel, nObs: Long,
-           createdAt: String = java.time.Instant.now().toString): Unit = {
+           createdAt: String = nowFixedWidth()): Unit = {
     import spark.implicits._
     Seq(toRow(modelId, seriesId, m, nObs, createdAt)).toDF()
       .write.mode(SaveMode.Append).parquet(s"$path/arima_models")
@@ -82,7 +95,7 @@ object ArimaCatalog {
     * [[save]]. */
   def fitMany(df: DataFrame, seriesCol: String, timeCol: String,
               valueCol: String, path: String, p: Int = 2, d: Int = 1,
-              createdAt: String = java.time.Instant.now().toString): DataFrame = {
+              createdAt: String = nowFixedWidth()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fitted = df

@@ -242,7 +242,7 @@ object IforestFixpoint {
       |         ELSE $maxDepth + ${cOf("l.sz")} END AS path
       |  FROM s_$maxDepth s LEFT JOIN leaves_$maxDepth l ON l.t = s.t AND l.p = s.p)
       |SELECT id AS $idCol,
-      |  round(pow(2.0, -(sum(path) / $numTrees) / $cS), 6) AS score
+      |  CAST(pow(2.0, -(sum(path) / $numTrees) / $cS) AS REAL) AS score
       |FROM fin GROUP BY 1""".stripMargin
     sb.toString
   }

@@ -95,9 +95,12 @@ object Ocsvm {
         scored.stat.approxQuantile("score", Array(nu), 1e-4)(0)
     pts.unpersist(false) // scored is materialized; drop the input cache
 
+    // float4 output (not round(x, 6)): the RBF mean is an exp chain, and a
+    // fixed-decimal round of a double flakes cross-engine whenever libm
+    // drifts an ulp at a decimal boundary; float granularity doesn't.
     scored
-      .withColumn("score", round(col("score"), 6))
-      .withColumn("is_anomaly", col("score") < round(lit(threshold), 6))
+      .withColumn("score", col("score").cast("float"))
+      .withColumn("is_anomaly", col("score") < lit(threshold.toFloat))
       .select(col("id").as(idCol), col("score"), col("is_anomaly"))
   }
 }

@@ -81,9 +81,11 @@ object Knn {
     val l0 = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
     // per-ROW id for the k-cut window: partitioning by the left VALUES
     // would collapse duplicate left rows into one k-budget (and break on
-    // non-orderable column types like maps)
+    // non-orderable column types like maps). RowIds.withStableId, not
+    // monotonically_increasing_id: the window shuffles on this id, so it
+    // must replay identically if a map task recomputes (SPARK-23207).
     val l = if (kPerLeft != Int.MaxValue)
-      l0.withColumn("__lid", monotonically_increasing_id()) else l0
+      RowIds.withStableId(l0, "__lid") else l0
     val r0 = right.select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
     val r = if (broadcastRight) broadcast(r0) else r0
     var joined = l.crossJoin(r)

@@ -280,6 +280,73 @@ object Multimodal {
       .drop("wav")
   }
 
+  /** REAL 16-bit PCM sample decode: the same RIFF chunk walk as
+    * [[decodeWavMeta]], but it also locates the `data` chunk and reads the
+    * little-endian int16 samples out of it. Only (audioFormat=1 PCM,
+    * bits=16) payloads decode — anything else returns None and stays on
+    * the metadata/stub path, the same narrowing [[decodeImage]] applies
+    * to non-ImageIO formats. Reference surface: the waveform branch of
+    * `embed_multimodal` (`NeuronDB/src/ml/ml_multimodal.c`). */
+  def decodeWavSamples(payload: Array[Byte]): Option[(WavMeta, Array[Short])] = {
+    val meta = decodeWavMeta(payload).getOrElse(return None)
+    if (meta.audioFormat != 1 || meta.bitsPerSample != 16) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(12) // past RIFF size + WAVE; meta parse already validated
+    while (bb.remaining() >= 8) {
+      val id = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      val sz = bb.getInt
+      if (sz < 0 || sz > bb.remaining()) return None
+      if (id == "data") {
+        val n = sz / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort; i += 1 }
+        return Some((meta, out))
+      }
+      bb.position(math.min(bb.position().toLong + sz + (sz & 1),
+        bb.limit().toLong).toInt)
+    }
+    None
+  }
+
+  /** Waveform features over a media table — the audio analog of
+    * [[decodeImages]]' aHash: per-row PCM decode (partition-local, no
+    * shuffle) emitting peak amplitude, per-channel zero-crossing count,
+    * exact int64 energy (sum of squares — lossless, oracle-friendly) and
+    * float RMS. Non-PCM16 rows yield NULLs. */
+  def decodeAudioFeatures(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf((payload: Array[Byte]) =>
+      decodeWavSamples(payload).map { case (m, xs) =>
+        var peak = 0
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i).toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toLong * v
+          // per-channel crossing: compare with the previous frame's sample
+          // of the SAME channel (stride = channel count in the interleaved
+          // stream); strict sign flip, zero counts as non-negative
+          if (i >= m.channels && ((xs(i - m.channels) < 0) != (xs(i) < 0))) zc += 1
+          i += 1
+        }
+        val rms = if (xs.isEmpty) 0f
+          else math.sqrt(sumSq.toDouble / xs.length).toFloat
+        (xs.length, peak, zc, sumSq, rms)
+      })
+    media.withColumn("pcm", dec(col(payloadCol)))
+      .withColumn("audio_n_samples", col("pcm._1"))
+      .withColumn("audio_peak", col("pcm._2"))
+      .withColumn("audio_zero_crossings", col("pcm._3"))
+      .withColumn("audio_energy", col("pcm._4"))
+      .withColumn("audio_rms", col("pcm._5"))
+      .drop("pcm")
+  }
+
   // ------------- real video metadata decode (RIFF/AVI parse) -------------
 
   /** Parsed AVI main header (`avih`): dimensions, frame count, frame

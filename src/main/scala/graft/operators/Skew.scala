@@ -21,17 +21,26 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join with salting on one key column. `right` is the
-    * smaller (replicated) side. The probe-side salt round-robins on a
-    * per-ROW unique id, NOT a content hash: a hot key whose rows are
-    * byte-identical duplicates (the classic null-sentinel pathology) would
-    * all content-hash to one salt and land on one reducer — zero fan-out
-    * exactly when salting is needed. The join's RESULT is identical for
-    * any salt assignment; only the shuffle placement varies. */
+    * smaller (replicated) side. The probe-side salt mixes the row's
+    * content hash with `spark_partition_id()` — both replay identically
+    * when a failed map task recomputes (a `monotonically_increasing_id`
+    * salt does not: under partial stage recomputation the re-run assigns
+    * different ids than the surviving shuffle outputs — the SPARK-23207
+    * class — silently duplicating/dropping joined rows). Mixing in the
+    * partition id keeps fan-out for a hot key whose rows are
+    * byte-identical duplicates (the null-sentinel pathology): each INPUT
+    * partition's block of identical rows lands on one salt, but different
+    * partitions land on different salts, so a reducer's share stays
+    * bounded by input-partition granularity instead of the whole key.
+    * The join's RESULT is identical for any salt assignment; only the
+    * shuffle placement varies. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int = 8, seed: Long = 42L): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    val contentCols = left.columns.map(col).toSeq
     val saltedLeft = left.withColumn("__salt",
-      pmod(monotonically_increasing_id() + lit(seed), lit(saltFactor.toLong)).cast("int"))
+      pmod(hash(contentCols :+ spark_partition_id(): _*).cast("long") + lit(seed),
+        lit(saltFactor.toLong)).cast("int"))
     val saltedRight = right.crossJoin(
       right.sparkSession.range(saltFactor).select(col("id").cast("int").as("__salt")))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")

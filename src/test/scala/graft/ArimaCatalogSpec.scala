@@ -1,6 +1,7 @@
 package graft
 
 import graft.ml.{ArimaCatalog, Extras}
+import org.apache.spark.sql.functions.col
 
 class ArimaCatalogSpec extends SparkSpecBase {
   import spark.implicits._
@@ -37,6 +38,13 @@ class ArimaCatalogSpec extends SparkSpecBase {
     val m3 = Extras.arimaFit(s1)
     ArimaCatalog.save(spark, path, 6L, 6L, m3, 40)
     assert(ArimaCatalog.load(spark, path, 6L).coeffs.toSeq == m3.coeffs.toSeq)
+    // latest-wins is a lexicographic string sort, so the default stamp
+    // must be FIXED-WIDTH: Instant.toString's variable fraction breaks
+    // temporal ordering ('…00Z' sorts above '…00.120005Z')
+    val stamp = ArimaCatalog.catalog(spark, path)
+      .filter(col("model_id") === 6L).head().getAs[String]("created_at")
+    assert(stamp.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z"""),
+      s"default created_at not fixed-width: $stamp")
   }
 
   test("load of a missing id fails loudly") {

@@ -224,6 +224,37 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(2L) == (None, None))
   }
 
+  test("multimodal: REAL PCM16 sample decode round-trips samples; waveform stats exact") {
+    val samples = Array[Short](100, -200, -300, 400, 0, -1, 2, -3)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRate = 8000, channels = 2)
+    val (m, xs) = Multimodal.decodeWavSamples(bytes).get
+    assert(m.channels == 2 && xs.toSeq == samples.toSeq)
+    // non-PCM16 narrows to None (metadata still parses): flip bits field
+    val bb8 = java.nio.ByteBuffer.wrap(bytes.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb8.putShort(34, 8.toShort) // fmt bitsPerSample offset in canonical layout
+    assert(Multimodal.decodeWavSamples(bb8.array()).isEmpty)
+    assert(Multimodal.decodeWavMeta(bb8.array()).nonEmpty)
+    // DataFrame face: per-channel zero-crossings (stride 2), exact energy
+    val df = Seq((1L, bytes), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioFeatures(df)
+      .select("media_id", "audio_n_samples", "audio_peak",
+        "audio_zero_crossings", "audio_energy", "audio_rms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 8 && r1.getInt(2) == 400)
+    // per-channel stride-2 crossings (zero counts as non-negative):
+    // ch0 = 100,-300,0,2 -> 2 flips; ch1 = -200,400,-1,-3 -> 2 flips
+    val expectZc = (2 until samples.length)
+      .count(i => (samples(i - 2) < 0) != (samples(i) < 0))
+    assert(expectZc == 4 && r1.getLong(3) == expectZc)
+    val expectEnergy = samples.map(s => s.toLong * s).sum
+    assert(r1.getLong(4) == expectEnergy)
+    assert(math.abs(r1.getFloat(5) -
+      math.sqrt(expectEnergy.toDouble / 8).toFloat) == 0f)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(5))
+  }
+
   test("multimodal: REAL AVI header parse round-trips the avih fields through the LIST walk") {
     val bytes = Multimodal.encodeAviHeader(
       totalFrames = 240, width = 640, height = 480, usPerFrame = 40000)

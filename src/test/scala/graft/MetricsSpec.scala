@@ -49,6 +49,9 @@ class MetricsSpec extends SparkSpecBase {
     assert(df.select(Json.get($"meta", "a.b")).head().getString(0) == "literal")
     assert(df.filter(Json.contains($"meta", Map("a.b" -> "literal"))).count() == 1)
     assert(df.filter(Json.contains($"meta", Map("a.b" -> "nested"))).count() == 0)
+    // quote-containing keys can't be expressed in a get_json_object
+    // bracket path (escapes unsupported) — reject loudly, never NULL
+    intercept[IllegalArgumentException](Json.get($"meta", "o'brien"))
   }
 
   test("prometheusText renders HELP/TYPE exposition lines and reset zeroes") {

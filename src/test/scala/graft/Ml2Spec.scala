@@ -22,9 +22,9 @@ class Ml2Spec extends SparkSpecBase {
       s"far points must score anomalous, got $anomalies")
     // nu-quantile threshold: fraction flagged is near nu, never the majority
     assert(anomalies.size <= 12)
-    // scores in [0, 1]: mean of RBF kernels, rounded to 6 places (a far
-    // outlier's exp(-gamma*d2) underflows the rounding to exactly 0.0)
-    assert(out.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1.0))
+    // scores in [0, 1]: mean of RBF kernels, emitted as float4 (a far
+    // outlier's exp(-gamma*d2) underflows float granularity to 0.0f)
+    assert(out.forall(r => r.getFloat(1) >= 0 && r.getFloat(1) <= 1.0f))
   }
 
   test("OCSVM parameter validation matches reference errors") {

@@ -19,20 +19,35 @@ class SkewBucketingSpec extends SparkSpecBase {
     assert(salted.toSeq == expected.toSeq)
   }
 
-  test("salted join spreads a hot key over saltFactor partitions — even for identical rows") {
+  test("salted join spreads a hot key over multiple salts — even for identical rows") {
     // the pathological case salting exists for: the hot key's rows are
-    // byte-identical duplicates (null-sentinel pathology); a content hash
-    // would give them all ONE salt and zero fan-out
-    val left = (1 to 1000).map(_ => (1L, 0)).toDF("k", "v")
+    // byte-identical duplicates (null-sentinel pathology); a pure content
+    // hash would give them all ONE salt and zero fan-out. The
+    // deterministic salt mixes in spark_partition_id(), so identical rows
+    // from different input partitions land on different salts.
+    val left = spark.range(1000).repartition(16).select(lit(1L).as("k"), lit(0).as("v"))
     val right = Seq((1L, "r")).toDF("k", "rv")
     val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
-    // mirror the per-row-id salting: the pre-join left side carries 8
-    // distinct shuffle keys, not 1
+    // mirror the implementation's salt: identical rows still fan out
+    // because each input partition contributes to a different salt
     val saltCounts = left.withColumn("__salt",
-        pmod(monotonically_increasing_id() + lit(42L), lit(8L)).cast("int"))
+        pmod(hash(col("k"), col("v"), spark_partition_id()).cast("long") + lit(42L),
+          lit(8L)).cast("int"))
       .groupBy("__salt").count().count()
-    assert(saltCounts == 8)
+    assert(saltCounts > 1, s"expected identical hot-key rows on >1 salt, got $saltCounts")
     assert(salted.count() == 1000)
+  }
+
+  test("salt assignment is deterministic across recomputation (no mono-id)") {
+    // SPARK-23207 class: the salt must replay identically when the stage
+    // recomputes. Evaluate the salted plan twice — row-for-row identical
+    // salt assignment, unlike a monotonically_increasing_id round-robin.
+    val left = ((1 to 200).map(i => (1L, s"l$i")) ++ Seq((2L, "x"))).toDF("k", "lv")
+    def salts() = left.withColumn("__salt",
+        pmod(hash(col("k"), col("lv"), spark_partition_id()).cast("long") + lit(42L),
+          lit(4L)).cast("int"))
+      .collect().map(r => (r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(salts() == salts())
   }
 
   test("salted join preserves duplicate-row multiplicities exactly") {
