@@ -787,9 +787,13 @@ object SparkEntry {
     * quantile pass and needs no union/groupBy. */
   private def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
+    // codegen'd native expressions, not UDFs: DistributedRank's
+    // three-scan shape (quantiles, ranks, counts) re-evaluates the score
+    // columns each pass, so the per-eval cost — and the JIT surface
+    // behind the bench's warmup spread — is multiplied by the scan count
     val e = Tables.read(s, dir, "embeddings")
-      .withColumn("d_l2", VF.l2Udf(col("embedding"), lit(q)))
-      .withColumn("d_ip", VF.ipUdf(col("embedding"), lit(q)))
+      .withColumn("d_l2", operators.Knn.distCol("l2")(col("embedding"), lit(q)))
+      .withColumn("d_ip", operators.Knn.distCol("ip")(col("embedding"), lit(q)))
     operators.Hybrid.rrfFusionColumns(e, "vec_id",
       Seq(("d_l2", false), ("d_ip", false)), kParam = 60.0)
       .select(col("vec_id"), round(col("rrf_score"), 6).as("rrf"))
@@ -1024,13 +1028,17 @@ object SparkEntry {
       .withColumn("features", array(col("l_quantity").cast("float")))
     val tm = ml.UnifiedApi.train("linear_regression", li, "features", Some("l_extendedprice"))
     val lr = tm.model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    // float4, not round(6/3): the normal-equation solve rides unordered
+    // partition-merged sums vs DuckDB's regr_* streaming sums (~1e-12
+    // relative drift on the big moments) — the REAL-over-round rule
     Seq((lr.coefficients(0), lr.intercept)).toDF("slope", "intercept")
-      .select(round(col("slope"), 6).as("slope"), round(col("intercept"), 3).as("intercept"))
+      .select(col("slope").cast("float").as("slope"),
+        col("intercept").cast("float").as("intercept"))
   }
 
   private val mlLinregSql =
-    """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-      |       round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept
+    """SELECT CAST(regr_slope(l_extendedprice, l_quantity) AS REAL) AS slope,
+      |       CAST(regr_intercept(l_extendedprice, l_quantity) AS REAL) AS intercept
       |FROM lineitem""".stripMargin
 
   /** knn classifier: majority of 5 nearest (self included), deterministic
@@ -2374,7 +2382,9 @@ object SparkEntry {
   private def lofScores(s: SparkSession, dir: String): DataFrame =
     ml.Lof.score(Tables.read(s, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", k = 5)
-      .select(col("vec_id"), round(col("lof"), 6).as("lof"))
+      // float4, not round(6): lrd ratios ride small unordered avgs — the
+      // REAL-over-round rule
+      .select(col("vec_id"), col("lof").cast("float").as("lof"))
 
   private val lofScoresSql =
     """WITH pts AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
@@ -2392,7 +2402,7 @@ object SparkEntry {
       |          FROM edges e JOIN kdist k ON k.o = e.o),
       |lrd AS (SELECT p, 1.0 / AVG(rd) AS lrd FROM reach GROUP BY p),
       |nl AS (SELECT e.src AS p, l.lrd AS lrd_o FROM edges e JOIN lrd l ON l.p = e.o)
-      |SELECT nl.p AS vec_id, ROUND(AVG(nl.lrd_o) / MAX(l2.lrd), 6) AS lof
+      |SELECT nl.p AS vec_id, CAST(AVG(nl.lrd_o) / MAX(l2.lrd) AS REAL) AS lof
       |FROM nl JOIN lrd l2 ON l2.p = nl.p
       |GROUP BY nl.p""".stripMargin
 
@@ -2402,7 +2412,10 @@ object SparkEntry {
     import s.implicits._
     val db = ml.Extras.daviesBouldin(
       Tables.read(s, dir, "embeddings"), "embedding", "label")
-    Seq(db).toDF("davies_bouldin").select(round(col("davies_bouldin"), 6).as("davies_bouldin"))
+    // float4, not round(6): scatter/centroid-distance means are unordered
+    // sums past the REAL-squashed centroids — the REAL-over-round rule
+    Seq(db).toDF("davies_bouldin")
+      .select(col("davies_bouldin").cast("float").as("davies_bouldin"))
   }
 
   private val daviesBouldinSql =
@@ -2425,7 +2438,7 @@ object SparkEntry {
       |          FROM cdist c JOIN scat sa ON sa.label = c.la
       |                       JOIN scat sb ON sb.label = c.lb
       |          GROUP BY c.la)
-      |SELECT ROUND(AVG(r), 6) AS davies_bouldin FROM ratio""".stripMargin
+      |SELECT CAST(AVG(r) AS REAL) AS davies_bouldin FROM ratio""".stripMargin
 
   /** ARIMA(2,1) fit + 5-step forecast of the daily event-value mean
     * (oracle: AR(2) normal equations solved by Cramer's rule in SQL,
@@ -2441,7 +2454,9 @@ object SparkEntry {
     ml.Extras.arimaForecast(m, 5).toSeq.zipWithIndex
       .map { case (v, i) => (i + 1, v) }
       .toDF("step", "forecast")
-      .select(col("step"), round(col("forecast"), 6).as("forecast"))
+      // float4, not round(6): the AR fit rides unordered avg/sum
+      // aggregates (~1e-15 cross-engine drift) — the REAL-over-round rule
+      .select(col("step"), col("forecast").cast("float").as("forecast"))
   }
 
   private val arimaForecastSql =
@@ -2475,7 +2490,7 @@ object SparkEntry {
       |f3 AS (SELECT *, c0 + p1*v2 + p2*v1 AS v3 FROM f2),
       |f4 AS (SELECT *, c0 + p1*v3 + p2*v2 AS v4 FROM f3),
       |f5 AS (SELECT *, c0 + p1*v4 + p2*v3 AS v5 FROM f4)
-      |SELECT step, ROUND(forecast, 6) AS forecast FROM (
+      |SELECT step, CAST(forecast AS REAL) AS forecast FROM (
       |  SELECT 1 AS step, base + v1 AS forecast FROM f5, lastv UNION ALL
       |  SELECT 2, base + v1 + v2 FROM f5, lastv UNION ALL
       |  SELECT 3, base + v1 + v2 + v3 FROM f5, lastv UNION ALL
@@ -3327,7 +3342,9 @@ object SparkEntry {
     q.awaitTermination()
     s.table(name)
       .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"),
-        col("n"), round(col("sum_value"), 6).as("sum_value"))
+        // float4, not round(6): per-session unordered double sums — the
+        // REAL-over-round rule (the stream_window_agg remedy)
+        col("n"), col("sum_value").cast("float").as("sum_value"))
   }
 
   private val streamSessionAggSql =
@@ -3338,7 +3355,7 @@ object SparkEntry {
       |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
       |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
       |SELECT user_id, min(t) AS session_start, count(*) AS n,
-      |       round(sum(value), 6) AS sum_value
+      |       CAST(sum(value) AS REAL) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Streaming quota admission via flatMapGroupsWithState (custom
