@@ -2107,6 +2107,98 @@ object SparkEntry {
       |    [41667, 40000, 33333][CAST(doc_id % 3 AS INT) + 1]) // 1000 AS duration_ms
       |FROM documents""".stripMargin
 
+  /** REAL video FRAME decode, FULL oracle — the content step past
+    * [[videoMeta]]'s header parse: per document a complete RIFF/AVI
+    * (hdrl avih + strl strh/strf, movi with one raw 24-bit BGR DIB
+    * `00db` chunk per frame — bottom-up rows, 4-byte stride) is
+    * synthesized from closed-form pixels, Spark round-trips it through
+    * `Multimodal.encodeAviFrames` → `decodeVideoFrames`'s movi walk +
+    * DIB pixel decode (BT.601 luma), and the oracle re-derives frame
+    * count, peak/total luma, the inter-frame motion proxy and the
+    * first-frame aHash from the same closed forms. Every output is an
+    * integer, so the comparison is exact on both engines; any stride,
+    * row-order, chunk-offset, or luma defect breaks the hash match.
+    * Reference surface: `embed_multimodal`'s video branch
+    * (`NeuronDB/neurondb--1.0.sql:6915-6948`, `src/ml/ml_multimodal.c`). */
+  private def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    val aviUdf = udf((docId: Long) => {
+      val nF = 2 + (docId % 6).toInt
+      val frames = Seq.tabulate(nF) { f =>
+        Array.tabulate(64)(i =>
+          ((docId * 31 + f * 17 + (i / 8) * 5 + (i % 8) * 3) % 256).toInt)
+      }
+      operators.Multimodal.encodeAviFrames(frames, 8, 8, usPerFrame = 40000)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), aviUdf(col("doc_id")).as("payload"))
+    operators.Multimodal.decodeVideoFrameFeatures(media)
+      .select(col("doc_id"),
+        col("video_n_frames").as("n_frames"),
+        col("video_peak_luma").as("peak_luma"),
+        col("video_luma_sum").as("luma_sum"),
+        col("video_motion").as("motion"),
+        col("video_first_ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+        shiftrightunsigned(col("video_first_ahash"), 32).as("ahash_hi"))
+  }
+
+  private val videoFramesSql =
+    """WITH fr AS (
+      |  SELECT doc_id, 2 + doc_id % 6 AS nf,
+      |    unnest(range(0, 2 + doc_id % 6)) AS fi
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, nf, fi,
+      |    list_transform(range(0, 64), i ->
+      |      (doc_id * 31 + fi * 17 + (i // 8) * 5 + (i % 8) * 3) % 256) AS p
+      |  FROM fr),
+      |fs AS (
+      |  SELECT doc_id, nf, fi, p,
+      |    list_reduce(p, (a, b) -> a + b) AS s,
+      |    list_max(p) AS mx,
+      |    lag(list_reduce(p, (a, b) -> a + b))
+      |      OVER (PARTITION BY doc_id ORDER BY fi) AS prev_s
+      |  FROM px),
+      |h AS (
+      |  SELECT doc_id, p, list_reduce(p, (a, b) -> a + b) AS tot
+      |  FROM px WHERE fi = 0)
+      |SELECT f.doc_id,
+      |  CAST(max(f.nf) AS INT) AS n_frames,
+      |  CAST(max(f.mx) AS INT) AS peak_luma,
+      |  CAST(sum(f.s) AS BIGINT) AS luma_sum,
+      |  CAST(coalesce(sum(abs(f.s - f.prev_s)), 0) AS BIGINT) AS motion,
+      |  max(list_reduce(list_transform(range(1, 33),
+      |    i -> CASE WHEN h.p[i] * 64 > h.tot THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b)) AS ahash_lo,
+      |  max(list_reduce(list_transform(range(33, 65),
+      |    i -> CASE WHEN h.p[i] * 64 > h.tot THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b)) AS ahash_hi
+      |FROM fs f JOIN h ON h.doc_id = f.doc_id
+      |GROUP BY f.doc_id""".stripMargin
+
+  /** MJPEG face of [[videoFrames]]: the same closed-form rasters are
+    * JPEG-encoded per frame (`00dc` chunks, strf MJPG) and decoded
+    * through the ImageIO branch of `decodeVideoFrames`. JPEG is lossy,
+    * so pixel stats aren't closed-form — rows-only; the DIB sibling
+    * oracles the identical container walk and feature math. */
+  private def videoFramesMjpeg(s: SparkSession, dir: String): DataFrame = {
+    val aviUdf = udf((docId: Long) => {
+      val nF = 2 + (docId % 6).toInt
+      val frames = Seq.tabulate(nF) { f =>
+        Array.tabulate(64)(i =>
+          ((docId * 31 + f * 17 + (i / 8) * 5 + (i % 8) * 3) % 256).toInt)
+      }
+      operators.Multimodal.encodeAviFrames(frames, 8, 8, usPerFrame = 40000,
+        mjpeg = true)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), aviUdf(col("doc_id")).as("payload"))
+    operators.Multimodal.decodeVideoFrameFeatures(media)
+      .filter(col("video_n_frames") === lit(2) + col("doc_id") % 6) // every frame decoded
+      .select(col("doc_id"), col("video_n_frames").as("n_frames"),
+        col("video_peak_luma").as("peak_luma"),
+        col("video_first_ahash").as("ahash"))
+  }
+
   // ======================================================================
   // Comparisons / histograms / anomaly / topics (coverage sweep)
   // ======================================================================
@@ -3650,6 +3742,8 @@ object SparkEntry {
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "video_meta" -> (videoMeta(_, _)),
+    "video_frames" -> (videoFrames(_, _)),
+    "video_frames_mjpeg" -> (videoFramesMjpeg(_, _)),
     "v_compare" -> (vCompare(_, _)),
     "sim_histogram" -> (simHistogram(_, _)),
     "sparse_l2" -> (sparseL2(_, _)),
@@ -3757,6 +3851,7 @@ object SparkEntry {
     "topics" -> "topics_fixpoint",
     "tsne_reduce" -> "tsne_fixpoint",
     "umap_reduce" -> "umap_fixpoint",
+    "video_frames_mjpeg" -> "video_frames",
     "whiten" -> "whiten_fixpoint")
 
   def oracleSql: Map[String, String] = Map(
@@ -3850,6 +3945,7 @@ object SparkEntry {
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,
     "video_meta" -> videoMetaSql,
+    "video_frames" -> videoFramesSql,
     "v_compare" -> vCompareSql,
     "sim_histogram" -> simHistogramSql,
     "sparse_l2" -> sparseL2Sql,

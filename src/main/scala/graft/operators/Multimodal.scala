@@ -450,6 +450,228 @@ object Multimodal {
       .drop("avi")
   }
 
+  // ------------- real video frame decode (movi walk + DIB/MJPEG) -------------
+
+  /** Decoded video: container metadata, the strf compression fourcc
+    * ("\0\0\0\0" for BI_RGB raw, "MJPG" for motion-JPEG), and one
+    * grayscale raster per decoded frame. */
+  case class VideoFrames(meta: AviMeta, compression: String,
+                         frames: Seq[DecodedImage])
+
+  /** Encode a complete RIFF/AVI container — `hdrl` LIST (avih + a strl
+    * LIST with the 56-byte AVISTREAMHEADER and a BITMAPINFOHEADER strf)
+    * plus a `movi` LIST carrying one chunk per frame: `00db` raw 24-bit
+    * BGR DIB frames (bottom-up rows, 4-byte-aligned stride — the BMP
+    * pixel layout) or `00dc` MJPEG frames (each an ordinary JPEG, the
+    * one video codec a stock JVM decodes via ImageIO). The fixture-side
+    * generator for the frame-decode path, completing the
+    * [[encodePng8x8]]/[[encodeWavPcm16]]/[[encodeAviHeader]] set.
+    * `frames` carries row-major grayscale rasters (0..255). */
+  def encodeAviFrames(frames: Seq[Array[Int]], width: Int, height: Int,
+                      usPerFrame: Int, mjpeg: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0,
+      "need positive dims and frame interval")
+    require(frames.forall(_.length == width * height),
+      s"every frame must carry width*height=${width * height} pixels")
+    val frameBytes: Seq[Array[Byte]] =
+      if (mjpeg) frames.map { px =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < px.length) {
+          img.getRaster.setSample(i % width, i / width, 0, px(i)); i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      }
+      else frames.map { px =>
+        // raw DIB: bottom-up row order, BGR triples, rows padded to 4 bytes
+        val stride = ((3 * width + 3) / 4) * 4
+        val out = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          val srcRow = height - 1 - y // bottom-up
+          var x = 0
+          while (x < width) {
+            val v = px(srcRow * width + x).toByte
+            val o = y * stride + 3 * x
+            out(o) = v; out(o + 1) = v; out(o + 2) = v // B=G=R → luma ≡ v
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    val avihSize = 56; val strhSize = 56; val strfSize = 40
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val moviSize = 4 + frameBytes.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    put4("RIFF"); bb.putInt(riffSize); put4("AVI ")
+    put4("LIST"); bb.putInt(hdrlSize); put4("hdrl")
+    put4("avih"); bb.putInt(avihSize)
+    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(frames.length); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    put4("LIST"); bb.putInt(strlSize); put4("strl")
+    put4("strh"); bb.putInt(strhSize)
+    put4("vids"); put4(if (mjpeg) "MJPG" else "DIB ")
+    bb.putInt(0)                      // dwFlags
+    bb.putShort(0); bb.putShort(0)    // wPriority, wLanguage
+    bb.putInt(0)                      // dwInitialFrames
+    bb.putInt(usPerFrame)             // dwScale
+    bb.putInt(1000000)                // dwRate (frames/s = rate/scale)
+    bb.putInt(0)                      // dwStart
+    bb.putInt(frames.length)          // dwLength
+    bb.putInt(frameBytes.map(_.length).maxOption.getOrElse(0)) // dwSuggestedBufferSize
+    bb.putInt(-1)                     // dwQuality (driver default)
+    bb.putInt(0)                      // dwSampleSize
+    bb.putShort(0); bb.putShort(0); bb.putShort(width.toShort); bb.putShort(height.toShort) // rcFrame
+    put4("strf"); bb.putInt(strfSize)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1)                    // biPlanes
+    bb.putShort(24)                   // biBitCount (BGR; MJPEG nominal)
+    if (mjpeg) put4("MJPG") else bb.putInt(0) // biCompression
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    put4("LIST"); bb.putInt(moviSize); put4("movi")
+    frameBytes.foreach { f =>
+      put4(if (mjpeg) "00dc" else "00db"); bb.putInt(f.length)
+      bb.put(f); if ((f.length & 1) == 1) bb.put(0.toByte) // RIFF pad
+    }
+    bb.array()
+  }
+
+  /** REAL frame decode: the full RIFF walk — `hdrl` for avih dims and
+    * the strf compression fourcc, `movi` for the per-frame `##db`/`##dc`
+    * chunks — then per frame either the raw-DIB pixel layout (bottom-up
+    * BGR rows, 4-byte stride, BT.601 luma) or an ImageIO JPEG decode
+    * (MJPEG — each frame is a standalone JPEG). Frames no branch can
+    * decode are skipped, never fatal; None for a payload that is not a
+    * well-formed AVI — the [[decodeImage]] contract. */
+  def decodeVideoFrames(payload: Array[Byte]): Option[VideoFrames] = {
+    if (payload == null || payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    bb.getInt
+    if (fourcc() != "AVI ") return None
+    var meta: Option[AviMeta] = None
+    var compression = "    "
+    val rawFrames = Seq.newBuilder[Array[Byte]]
+    def walk(limit: Int): Unit = {
+      while (limit - bb.position() >= 8) {
+        val id = fourcc()
+        val sz = bb.getInt
+        if (sz < 0 || sz > limit - bb.position()) return // truncated
+        val next = math.min(bb.position().toLong + sz + (sz & 1), limit.toLong).toInt
+        if (id == "LIST" && sz >= 4) {
+          val listEnd = bb.position() + sz
+          val listType = fourcc()
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            walk(listEnd)
+        } else if (id == "avih" && sz >= 56 && meta.isEmpty) {
+          val usPerFrame = bb.getInt.toLong & 0xFFFFFFFFL
+          bb.getInt; bb.getInt; bb.getInt
+          val totalFrames = bb.getInt.toLong & 0xFFFFFFFFL
+          bb.getInt; bb.getInt; bb.getInt
+          val w = bb.getInt; val h = bb.getInt
+          if (w > 0 && h > 0 && usPerFrame > 0)
+            meta = Some(AviMeta(w, h, totalFrames, usPerFrame,
+              (totalFrames.toDouble * usPerFrame / 1000.0).toLong))
+        } else if (id == "strf" && sz >= 40) {
+          bb.getInt; bb.getInt; bb.getInt; bb.getShort; bb.getShort
+          val b = new Array[Byte](4); bb.get(b)
+          compression = new String(b, "US-ASCII")
+        } else if (id.length == 4 &&
+                   (id.substring(2) == "db" || id.substring(2) == "dc")) {
+          val f = new Array[Byte](sz)
+          bb.get(f)
+          rawFrames += f
+        }
+        bb.position(next)
+      }
+    }
+    walk(bb.limit())
+    meta.map { m =>
+      val frames = rawFrames.result().flatMap { f =>
+        if (compression == "MJPG" ||
+            (f.length >= 2 && (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8))
+          decodeImage(f) // each MJPEG frame is a standalone JPEG
+        else decodeDibFrame(f, m.width, m.height)
+      }
+      VideoFrames(m, compression, frames)
+    }
+  }
+
+  /** Raw 24-bit BGR DIB frame → grayscale raster: bottom-up row order,
+    * 4-byte-aligned stride, BT.601 integer luma (B=G=R encodes gray
+    * exactly: (77+150+29)v >> 8 = v). */
+  private def decodeDibFrame(f: Array[Byte], width: Int,
+                             height: Int): Option[DecodedImage] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    if (f.length < stride * height) return None
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val o = srcRow * stride + 3 * x
+        val bch = f(o) & 0xFF; val g = f(o + 1) & 0xFF; val r = f(o + 2) & 0xFF
+        px(y * width + x) = (77 * r + 150 * g + 29 * bch) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, height, px))
+  }
+
+  /** Frame-level video features over a media table — the content step
+    * past [[decodeVideoMeta]]'s header parse, partition-local like every
+    * decode here. Integer outputs only (exact cross-engine): decoded
+    * frame count, peak luma, total luma (int64), first-frame aHash of
+    * the 8×8 grid average, and a motion proxy — Σ|frameSum_f −
+    * frameSum_{f−1}| over consecutive frames (int64, catches cuts and
+    * fades the way per-frame means do, with no float drift). */
+  def decodeVideoFrameFeatures(media: DataFrame,
+                               payloadCol: String = "payload"): DataFrame = {
+    val dec = udf((payload: Array[Byte]) =>
+      decodeVideoFrames(payload).map { vf =>
+        var peak = 0
+        var total = 0L
+        var motion = 0L
+        var prevSum = -1L
+        vf.frames.foreach { fr =>
+          var s = 0L
+          fr.pixels.foreach { p => s += p; if (p > peak) peak = p }
+          total += s
+          if (prevSum >= 0L) motion += math.abs(s - prevSum)
+          prevSum = s
+        }
+        val ahash = vf.frames.headOption.map(fr =>
+          aHash64(gridAverage8x8(fr.width, fr.height, fr.pixels)))
+        (vf.frames.size, vf.meta.width, vf.meta.height, peak, total, motion,
+          ahash.getOrElse(0L))
+      })
+    media.withColumn("vf", dec(col(payloadCol)))
+      .withColumn("video_n_frames", col("vf._1"))
+      .withColumn("video_width", col("vf._2"))
+      .withColumn("video_height", col("vf._3"))
+      .withColumn("video_peak_luma", col("vf._4"))
+      .withColumn("video_luma_sum", col("vf._5"))
+      .withColumn("video_motion", col("vf._6"))
+      .withColumn("video_first_ahash", col("vf._7"))
+      .drop("vf")
+  }
+
   /**
    * STUB resize: a real implementation re-encodes pixels; the stub
    * truncates/pads bytes to `targetBytes` so downstream batch shapes are

