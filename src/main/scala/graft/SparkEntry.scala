@@ -1693,6 +1693,66 @@ object SparkEntry {
       |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Gopher-style repetition signals, FULL oracle — the duplicate-line
+    * and top-2-gram repetition filters (Rae et al. 2021, Table A1) as
+    * exact integer counts (`TextAnalysis.repetitionStats`), so the
+    * filter thresholds stay a caller-side dial and the cross-engine
+    * comparison is integer-exact. The synthetic corpus is single-line,
+    * so the fixture derives a deterministic multi-line text (two copies
+    * of the first 40 chars appended as lines) with the same expression
+    * on both engines, putting the line-grouping branch under the oracle
+    * rather than only the degenerate one-line case. */
+  private def repetitionStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), lit("\n"),
+      substring(col("text"), 1, 40), lit("\n"), substring(col("text"), 1, 40))
+    val st = functions.TextAnalysis.repetitionUdf(t)
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        st.getField("nLines").as("n_lines"),
+        st.getField("dupLineCount").as("dup_line_count"),
+        st.getField("dupLineChars").as("dup_line_chars"),
+        st.getField("n2grams").as("n_2grams"),
+        st.getField("top2gramCount").as("top_2gram_count"))
+  }
+
+  private val repetitionStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS t
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id, trim(x, ' ' || chr(9) || chr(13)) AS l
+      |  FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS x FROM t)
+      |  WHERE trim(x, ' ' || chr(9) || chr(13)) <> ''),
+      |lg AS (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY doc_id, l),
+      |ls AS (
+      |  SELECT doc_id, CAST(sum(c) AS INT) AS n_lines,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS INT) AS dup_line_count,
+      |    CAST(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS BIGINT) AS dup_line_chars
+      |  FROM lg GROUP BY doc_id),
+      |wd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(t, '[ ' || chr(9) || chr(10) || chr(13) || ']+'),
+      |      w -> w <> '') AS ws
+      |  FROM t),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS g
+      |  FROM wd WHERE len(ws) >= 2),
+      |gg AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+      |gs AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_2grams,
+      |              CAST(max(c) AS INT) AS top_2gram_count
+      |       FROM gg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ls.n_lines, 0) AS INT) AS n_lines,
+      |  CAST(coalesce(ls.dup_line_count, 0) AS INT) AS dup_line_count,
+      |  CAST(coalesce(ls.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+      |  CAST(coalesce(gs.n_2grams, 0) AS INT) AS n_2grams,
+      |  CAST(coalesce(gs.top_2gram_count, 0) AS INT) AS top_2gram_count
+      |FROM documents d
+      |LEFT JOIN ls ON ls.doc_id = d.doc_id
+      |LEFT JOIN gs ON gs.doc_id = d.doc_id""".stripMargin
+
   /** lang-ID + quality score (heuristics; composite formulas covered by
     * unit tests -> rows-only check). */
   private def langQuality(s: SparkSession, dir: String): DataFrame =
@@ -3735,6 +3795,7 @@ object SparkEntry {
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "text_stats" -> (textStats(_, _)),
     "lang_quality" -> (langQuality(_, _)),
+    "repetition_stats" -> (repetitionStatsQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
@@ -3919,6 +3980,7 @@ object SparkEntry {
     "lof_scores" -> lofScoresSql,
     "arima_forecast" -> arimaForecastSql,
     "lang_quality" -> langQualitySql,
+    "repetition_stats" -> repetitionStatsSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,

@@ -122,6 +122,55 @@ object TextAnalysis {
     count
   }
 
+  // ---------------- repetition signals (Gopher-style) ----------------
+
+  /** Integer repetition signals per document — the Gopher repetition
+    * filters (Rae et al. 2021, "Scaling Language Models", Table A1)
+    * re-expressed as exact counts so the thresholds stay a caller-side
+    * dial and the oracle comparison is integer-exact:
+    *  - nLines / dupLineCount / dupLineChars: non-empty trimmed lines,
+    *    how many of them sit in a group occurring more than once (every
+    *    occurrence counted), and the codepoint mass of those lines —
+    *    the duplicate-line-fraction numerators;
+    *  - n2grams / top2gramCount: word-2-gram total and the modal
+    *    2-gram's occurrence count — the top-n-gram-fraction numerator.
+    * Trimming/splitting uses the explicit charset [ \t\r] / [ \t\n\r]
+    * (not String.trim / \s) so the SQL oracle's semantics are identical
+    * codepoint-for-codepoint. */
+  case class RepetitionStats(nLines: Int, dupLineCount: Int,
+                             dupLineChars: Long, n2grams: Int,
+                             top2gramCount: Int)
+
+  def repetitionStats(text: String): RepetitionStats = {
+    if (text == null) return RepetitionStats(0, 0, 0L, 0, 0)
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\r'
+    val lines = text.split("\n", -1).iterator
+      .map(_.dropWhile(ws).reverse.dropWhile(ws).reverse)
+      .filter(_.nonEmpty).toSeq
+    var dupCount = 0
+    var dupChars = 0L
+    lines.groupBy(identity).foreach { case (l, occ) =>
+      if (occ.size > 1) {
+        dupCount += occ.size
+        dupChars += occ.size.toLong * l.codePointCount(0, l.length)
+      }
+    }
+    val words = text.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).toArray
+    val n2 = math.max(0, words.length - 1)
+    var top = 0
+    if (n2 > 0) {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < n2) {
+        val g = words(i) + " " + words(i + 1)
+        val c = counts.merge(g, 1, Integer.sum)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    RepetitionStats(lines.size, dupCount, dupChars, n2, top)
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Rabin-Karp rolling polynomial hash of the whole document:
@@ -149,6 +198,7 @@ object TextAnalysis {
   val wsTokenCountUdf = udf((t: String) => whitespaceTokenCount(t))
   val bpeTokenCountUdf = udf((t: String) => bpeTokenCount(t))
   val fingerprintUdf = udf((t: String) => fingerprint(t))
+  val repetitionUdf = udf((t: String) => repetitionStats(t))
   val windowFingerprintsUdf = udf((t: String, w: Int) => windowFingerprints(t, w))
 
   def register(spark: SparkSession): Unit = {
@@ -157,6 +207,7 @@ object TextAnalysis {
     spark.udf.register("ws_token_count", wsTokenCountUdf)
     spark.udf.register("bpe_token_count", bpeTokenCountUdf)
     spark.udf.register("doc_fingerprint", fingerprintUdf)
+    spark.udf.register("repetition_stats", repetitionUdf)
     spark.udf.register("window_fingerprints", windowFingerprintsUdf)
   }
 }

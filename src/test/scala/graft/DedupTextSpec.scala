@@ -337,6 +337,29 @@ class DedupTextSpec extends SparkSpecBase {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(5))
   }
 
+  test("repetitionStats counts duplicate lines and the modal 2-gram exactly") {
+    import graft.functions.TextAnalysis.{repetitionStats => rs}
+    // 4 non-empty lines; "same line" occurs 2x (trim catches the \t/space
+    // variants), "other" once, so dup_line_count = 2 (every occurrence),
+    // dup_line_chars = 2 * 9; blank-only lines are dropped
+    val t = "same line\n \t\nother\n\tsame line \n"
+    val a = rs(t)
+    assert(a.nLines == 3 && a.dupLineCount == 2 && a.dupLineChars == 18)
+    // words across ALL lines: same line other same line -> 2-grams:
+    // "same line" x2, "line other", "other same" -> 4 total, top 2
+    assert(a.n2grams == 4 && a.top2gramCount == 2)
+    // the classic degenerate repeat: "the the the the"
+    val b = rs("the the the the")
+    assert(b.n2grams == 3 && b.top2gramCount == 3)
+    assert(b.nLines == 1 && b.dupLineCount == 0 && b.dupLineChars == 0L)
+    // empty / null / single-word contracts
+    assert(rs(null) == graft.functions.TextAnalysis.RepetitionStats(0, 0, 0L, 0, 0))
+    assert(rs("").nLines == 0 && rs("word").n2grams == 0)
+    // non-BMP chars count as ONE codepoint in dup_line_chars
+    val emoji = "a😀b\na😀b"
+    assert(rs(emoji).dupLineChars == 2 * 3)
+  }
+
   test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
     val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
     val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
