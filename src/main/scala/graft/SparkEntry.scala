@@ -1753,6 +1753,50 @@ object SparkEntry {
       |LEFT JOIN ls ON ls.doc_id = d.doc_id
       |LEFT JOIN gs ON gs.doc_id = d.doc_id""".stripMargin
 
+  /** PII detect + redact, FULL oracle — emails / IPv4 literals /
+    * international phone numbers counted with Spark-native
+    * `regexp_count` and redacted with nested `regexp_replace` (codegen'd
+    * scan-bound plan, zero UDFs; `TextAnalysis.Pii` keeps the patterns
+    * in the RE2∩Java-identical subset). The corpus carries no PII, so
+    * the fixture plants a deterministic contact line per doc (email,
+    * +phone, ip built from doc_id with the same expression on both
+    * engines); the redacted text itself is hash-compared, pinning
+    * replacement semantics, not just counts. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1202555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    val cols = functions.TextAnalysis.Pii.scrub(contact)
+      .map { case (n, c) => c.as(n) }
+    Tables.read(s, dir, "documents").select(col("doc_id") +: cols: _*)
+  }
+
+  private val piiScrubSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+      |         || '@example.com tel +1202555'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      |  FROM documents),
+      |pat AS (SELECT
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+      |  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b' AS ipv4,
+      |  '\+[0-9]{7,15}' AS phone)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, email)) AS INT) AS email_count,
+      |  CAST(len(regexp_extract_all(t, ipv4)) AS INT) AS ipv4_count,
+      |  CAST(len(regexp_extract_all(t, phone)) AS INT) AS phone_count,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    email, '[EMAIL]', 'g'), ipv4, '[IP]', 'g'), phone, '[PHONE]', 'g')
+      |    AS scrubbed,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+      |    email, '[EMAIL]', 'g'), ipv4, '[IP]', 'g'), phone, '[PHONE]', 'g'))
+      |    AS INT) AS scrubbed_chars
+      |FROM t, pat""".stripMargin
+
   /** lang-ID + quality score (heuristics; composite formulas covered by
     * unit tests -> rows-only check). */
   private def langQuality(s: SparkSession, dir: String): DataFrame =
@@ -3796,6 +3840,7 @@ object SparkEntry {
     "text_stats" -> (textStats(_, _)),
     "lang_quality" -> (langQuality(_, _)),
     "repetition_stats" -> (repetitionStatsQ(_, _)),
+    "pii_scrub" -> (piiScrub(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
@@ -3981,6 +4026,7 @@ object SparkEntry {
     "arima_forecast" -> arimaForecastSql,
     "lang_quality" -> langQualitySql,
     "repetition_stats" -> repetitionStatsSql,
+    "pii_scrub" -> piiScrubSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,

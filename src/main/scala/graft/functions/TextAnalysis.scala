@@ -171,6 +171,39 @@ object TextAnalysis {
     RepetitionStats(lines.size, dupCount, dupChars, n2, top)
   }
 
+  // ---------------- PII detection / redaction ----------------
+
+  /** PII scrubbing the way C4/RefinedWeb-class curation pipelines do it:
+    * count and redact emails, IPv4 literals, and international phone
+    * numbers. Patterns are restricted to the RE2-compatible subset that
+    * Java regex evaluates identically (explicit classes, \b, bounded
+    * quantifiers — no lookaround), and the whole transform is Spark
+    * NATIVE `regexp_count`/`regexp_replace` columns — codegen'd,
+    * scan-bound, no UDF in the path. Replacement order is fixed
+    * (email → ipv4 → phone) so the redacted text is deterministic:
+    * emails consume their digits before the phone pass sees them. */
+  object Pii {
+    val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phonePattern = "\\+[0-9]{7,15}"
+
+    /** email/ipv4/phone match counts + the fully redacted text. */
+    def scrub(textCol: org.apache.spark.sql.Column): Seq[(String, org.apache.spark.sql.Column)] = {
+      import org.apache.spark.sql.functions.{regexp_count, regexp_replace, lit, length}
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, lit(emailPattern), lit("[EMAIL]")),
+          lit(ipv4Pattern), lit("[IP]")),
+        lit(phonePattern), lit("[PHONE]"))
+      Seq(
+        "email_count" -> regexp_count(textCol, lit(emailPattern)),
+        "ipv4_count" -> regexp_count(textCol, lit(ipv4Pattern)),
+        "phone_count" -> regexp_count(textCol, lit(phonePattern)),
+        "scrubbed" -> redacted,
+        "scrubbed_chars" -> length(redacted))
+    }
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Rabin-Karp rolling polynomial hash of the whole document:

@@ -360,6 +360,31 @@ class DedupTextSpec extends SparkSpecBase {
     assert(rs(emoji).dupLineChars == 2 * 3)
   }
 
+  test("Pii.scrub counts and redacts emails/ipv4/phones with native regexp columns") {
+    import graft.functions.TextAnalysis.Pii
+    val df = Seq(
+      (1L, "mail a.b+c@x-y.org and 10.20.30.40 then +4915123456789 done"),
+      (2L, "no pii here, just 1234.5 and an @ sign"),
+      (3L, "two mails: a@b.io b@c.de; bad ip 999.999.999.999 still matches the regex")
+    ).toDF("id", "text")
+    val out = df.select(col("id") +: Pii.scrub(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 1 && r1.getInt(2) == 1 && r1.getInt(3) == 1)
+    assert(r1.getString(4) == "mail [EMAIL] and [IP] then [PHONE] done")
+    assert(r1.getInt(5) == r1.getString(4).length)
+    val r2 = out(2L)
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 0 && r2.getInt(3) == 0)
+    assert(r2.getString(4) == "no pii here, just 1234.5 and an @ sign")
+    // the 1-3 digit octet class is a syntactic matcher, not a validator —
+    // 999.999.999.999 matches by design (curation wants recall)
+    assert(out(3L).getInt(1) == 2 && out(3L).getInt(2) == 1)
+    // the plan is UDF-free: only native regexp expressions appear
+    val plan = df.select(Pii.scrub(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("UDF"), s"expected native-only plan, got:\n$plan")
+  }
+
   test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
     val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
     val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
