@@ -96,7 +96,11 @@ object Bench {
     // plan shape nothing earlier in the suite compiles, so its first run
     // paid ~1.5 s of one-time whole-stage codegen that showed up as a
     // spread of ~100% of its steady-state time (r7's noisiest row); with
-    // the shape pre-compiled the spread is honest run-to-run variance
+    // the shape pre-compiled the spread is honest run-to-run variance —
+    // measured: r7 spread 0.97 on a 1.04 s min (93%) -> r8 0.40 on a
+    // 0.91 s min (44%) in a run whose q1_agg spread was itself 0.43,
+    // i.e. rrf_fusion now tracks the suite-wide noise floor instead of
+    // owning a floor of its own
     for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
                   "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -2180,6 +2180,77 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** REAL compressed-codec audio decode, FULL oracle — G.711 µ-law
+    * (audioFormat 7) and A-law (audioFormat 6) WAV payloads, the one
+    * audio codec family whose expansion is pure integer math: per
+    * document the companded code bytes are closed forms of doc_id, Spark
+    * round-trips them through `Multimodal.encodeWavG711` →
+    * `decodeWavSamples`' codec branches (`ulaw2linear`/`alaw2linear`,
+    * the CCITT reference formulas), and the oracle re-derives the same
+    * expansion in integer SQL before recomputing the waveform features.
+    * Half the corpus exercises each law. Past this, only perceptual
+    * codecs (MP3 et al.) stay on the documented stub. */
+  private def audioG711(s: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((docId: Long, nChars: Long) => {
+      val n = 40 + (nChars % 100).toInt
+      val codes = Array.tabulate(n)(i => ((docId * 131 + i * 13) % 256).toByte)
+      operators.Multimodal.encodeWavG711(codes, sampleRate = 8000,
+        channels = 1, aLaw = docId % 2 == 1)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), wavUdf(col("doc_id"), col("n_chars")).as("payload"))
+    operators.Multimodal.decodeAudioFeatures(media)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 1, "alaw").otherwise("ulaw").as("codec"),
+        col("audio_n_samples").as("n_samples"),
+        col("audio_peak").as("peak"),
+        col("audio_zero_crossings").as("zero_crossings"),
+        col("audio_energy").as("energy"),
+        col("audio_rms").as("rms"))
+  }
+
+  private val audioG711Sql =
+    """WITH cs AS (
+      |  SELECT doc_id, 40 + n_chars % 100 AS n, doc_id % 2 = 1 AS alaw,
+      |    list_transform(range(0, 40 + n_chars % 100),
+      |      i -> (doc_id * 131 + i * 13) % 256) AS codes
+      |  FROM documents),
+      |xs AS (
+      |  SELECT doc_id, n, alaw,
+      |    CASE WHEN alaw THEN
+      |      list_transform(codes, c ->
+      |        (CASE WHEN (xor(c, 85) & 128) <> 0 THEN 1 ELSE -1 END) *
+      |        (CASE (xor(c, 85) & 112) // 16
+      |           WHEN 0 THEN (xor(c, 85) & 15) * 16 + 8
+      |           WHEN 1 THEN (xor(c, 85) & 15) * 16 + 264
+      |           ELSE ((xor(c, 85) & 15) * 16 + 264)
+      |                  * (1 << (((xor(c, 85) & 112) // 16) - 1))
+      |         END))
+      |    ELSE
+      |      list_transform(codes, c ->
+      |        CASE WHEN ((255 - c) & 128) <> 0
+      |          THEN 132 - ((((255 - c) & 15) * 8 + 132)
+      |                        * (1 << (((255 - c) & 112) // 16)))
+      |          ELSE (((255 - c) & 15) * 8 + 132)
+      |                 * (1 << (((255 - c) & 112) // 16)) - 132
+      |        END)
+      |    END AS xs
+      |  FROM cs),
+      |agg AS (
+      |  SELECT doc_id, n, alaw, xs,
+      |    CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy
+      |  FROM xs)
+      |SELECT doc_id,
+      |  CASE WHEN alaw THEN 'alaw' ELSE 'ulaw' END AS codec,
+      |  CAST(n AS INT) AS n_samples,
+      |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak,
+      |  CAST(len(list_filter(range(0, n),
+      |    i -> i >= 1 AND ((xs[CAST(i AS INT)] < 0) <> (xs[CAST(i AS INT) + 1] < 0)))) AS BIGINT)
+      |    AS zero_crossings,
+      |  energy,
+      |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
+      |FROM agg""".stripMargin
+
   /** REAL video (RIFF/AVI) metadata decode, FULL oracle — same design
     * as [[audioMeta]]: synthesized real AVI headers round-tripped
     * through `Multimodal.encodeAviHeader` → `decodeAviMeta`'s nested
@@ -3847,6 +3918,7 @@ object SparkEntry {
     "image_decode" -> (imageDecode(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
+    "audio_g711" -> (audioG711(_, _)),
     "video_meta" -> (videoMeta(_, _)),
     "video_frames" -> (videoFrames(_, _)),
     "video_frames_mjpeg" -> (videoFramesMjpeg(_, _)),
@@ -4052,6 +4124,7 @@ object SparkEntry {
     "image_decode" -> imageDecodeSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,
+    "audio_g711" -> audioG711Sql,
     "video_meta" -> videoMetaSql,
     "video_frames" -> videoFramesSql,
     "v_compare" -> vCompareSql,

@@ -220,6 +220,48 @@ object Multimodal {
     bb.array()
   }
 
+  /** Encode G.711 companded codes as a real RIFF/WAVE byte stream —
+    * audioFormat 7 (µ-law) or 6 (A-law), 8 bits per sample. The
+    * fixture-side generator for the compressed-codec decode path. */
+  def encodeWavG711(codes: Array[Byte], sampleRate: Int, channels: Int,
+                    aLaw: Boolean = false): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1, "need positive rate/channels")
+    require(codes.length % channels == 0, "codes must be whole frames")
+    val bb = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + codes.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(if (aLaw) 6 else 7) // WAVE_FORMAT_ALAW / WAVE_FORMAT_MULAW
+    bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels); bb.putShort(channels.toShort)
+    bb.putShort(8)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(codes.length)
+    bb.put(codes)
+    bb.array()
+  }
+
+  /** ITU-T G.711 µ-law expansion (the public-domain CCITT reference
+    * formula): complement, split into sign / 3-bit segment / 4-bit
+    * mantissa, rebias. Pure integer math — exactly reproducible in SQL. */
+  def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (CCITT reference formula): toggle the
+    * even bits (0x55), then segment-wise linear rebuild. */
+  def alaw2linear(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xFF
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** REAL RIFF chunk-walk parse: validates the RIFF/WAVE container, then
     * walks chunks in any order (skipping unknown ones, honoring the
     * odd-size pad byte) to find `fmt ` and `data`. Returns None for
@@ -280,16 +322,22 @@ object Multimodal {
       .drop("wav")
   }
 
-  /** REAL 16-bit PCM sample decode: the same RIFF chunk walk as
-    * [[decodeWavMeta]], but it also locates the `data` chunk and reads the
-    * little-endian int16 samples out of it. Only (audioFormat=1 PCM,
-    * bits=16) payloads decode — anything else returns None and stays on
-    * the metadata/stub path, the same narrowing [[decodeImage]] applies
-    * to non-ImageIO formats. Reference surface: the waveform branch of
-    * `embed_multimodal` (`NeuronDB/src/ml/ml_multimodal.c`). */
+  /** REAL sample decode: the same RIFF chunk walk as [[decodeWavMeta]],
+    * but it also locates the `data` chunk and decodes the samples out of
+    * it — three codec branches:
+    *  - audioFormat 1, bits 16: linear PCM, little-endian int16 reads;
+    *  - audioFormat 7, bits 8: G.711 µ-law, [[ulaw2linear]] expansion;
+    *  - audioFormat 6, bits 8: G.711 A-law, [[alaw2linear]] expansion.
+    * Anything else returns None and stays on the metadata/stub path, the
+    * same narrowing [[decodeImage]] applies to non-ImageIO formats.
+    * Reference surface: the waveform branch of `embed_multimodal`
+    * (`NeuronDB/src/ml/ml_multimodal.c`). */
   def decodeWavSamples(payload: Array[Byte]): Option[(WavMeta, Array[Short])] = {
     val meta = decodeWavMeta(payload).getOrElse(return None)
-    if (meta.audioFormat != 1 || meta.bitsPerSample != 16) return None
+    val pcm16 = meta.audioFormat == 1 && meta.bitsPerSample == 16
+    val g711 = (meta.audioFormat == 6 || meta.audioFormat == 7) &&
+      meta.bitsPerSample == 8
+    if (!pcm16 && !g711) return None
     val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.position(12) // past RIFF size + WAVE; meta parse already validated
@@ -300,10 +348,23 @@ object Multimodal {
       val sz = bb.getInt
       if (sz < 0 || sz > bb.remaining()) return None
       if (id == "data") {
-        val n = sz / 2
-        val out = new Array[Short](n)
-        var i = 0
-        while (i < n) { out(i) = bb.getShort; i += 1 }
+        val out =
+          if (pcm16) {
+            val o = new Array[Short](sz / 2)
+            var i = 0
+            while (i < o.length) { o(i) = bb.getShort; i += 1 }
+            o
+          } else {
+            val o = new Array[Short](sz)
+            val uLaw = meta.audioFormat == 7
+            var i = 0
+            while (i < sz) {
+              val c = bb.get() & 0xFF
+              o(i) = (if (uLaw) ulaw2linear(c) else alaw2linear(c)).toShort
+              i += 1
+            }
+            o
+          }
         return Some((meta, out))
       }
       bb.position(math.min(bb.position().toLong + sz + (sz & 1),

@@ -385,6 +385,39 @@ class DedupTextSpec extends SparkSpecBase {
     assert(!plan.contains("UDF"), s"expected native-only plan, got:\n$plan")
   }
 
+  test("G.711 expansion matches the CCITT reference values; WAV codec branch round-trips") {
+    // canonical spot values from the public G.711 tables
+    assert(Multimodal.ulaw2linear(0xFF) == 0)      // +0
+    assert(Multimodal.ulaw2linear(0x7F) == 0)      // -0
+    assert(Multimodal.ulaw2linear(0x00) == -32124) // negative full scale
+    assert(Multimodal.ulaw2linear(0x80) == 32124)  // positive full scale
+    assert(Multimodal.alaw2linear(0x55) == -8)     // closest-to-zero negative
+    assert(Multimodal.alaw2linear(0xD5) == 8)      // closest-to-zero positive
+    assert(Multimodal.alaw2linear(0x2A) == -32256) // negative full scale
+    assert(Multimodal.alaw2linear(0xAA) == 32256)  // positive full scale
+    // all 256 codes stay within int16 for both laws
+    for (c <- 0 until 256) {
+      assert(Multimodal.ulaw2linear(c) >= -32124 && Multimodal.ulaw2linear(c) <= 32124)
+      assert(Multimodal.alaw2linear(c) >= -32256 && Multimodal.alaw2linear(c) <= 32256)
+    }
+    // WAV round-trip through the audioFormat 7/6 decode branches
+    val codes = Array.tabulate(64)(i => ((i * 37) % 256).toByte)
+    for (aLaw <- Seq(false, true)) {
+      val bytes = Multimodal.encodeWavG711(codes, 8000, 1, aLaw)
+      val (m, xs) = Multimodal.decodeWavSamples(bytes).get
+      assert(m.audioFormat == (if (aLaw) 6 else 7) && m.bitsPerSample == 8)
+      assert(m.frames == 64)
+      val expect = codes.map(c =>
+        if (aLaw) Multimodal.alaw2linear(c & 0xFF) else Multimodal.ulaw2linear(c & 0xFF))
+      assert(xs.map(_.toInt).toSeq == expect.toSeq)
+    }
+    // an 8-bit WAV with any OTHER format tag stays on the None path
+    val bad = Multimodal.encodeWavG711(codes, 8000, 1, aLaw = false)
+    bad(20) = 2 // audioFormat -> MS ADPCM
+    assert(Multimodal.decodeWavSamples(bad).isEmpty)
+    assert(Multimodal.decodeWavMeta(bad).nonEmpty) // metadata still parses
+  }
+
   test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
     val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
     val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
