@@ -1797,6 +1797,51 @@ object SparkEntry {
       |    AS INT) AS scrubbed_chars
       |FROM t, pat""".stripMargin
 
+  /** Corpus-level URL/domain statistics, FULL oracle — the domain
+    * grouping step web-curation pipelines run before per-domain
+    * filtering/balancing: extract URLs with native `regexp_extract_all`
+    * (RE2∩Java-identical pattern), explode, reduce by host. One shuffle
+    * on the (low-cardinality) host key with map-side partial counts —
+    * the 100 TB shape; the per-row extract stays codegen'd and
+    * scan-bound. Fixture plants two deterministic URLs per doc (7 hosts
+    * + a per-doc path; one http, one https) since the corpus carries
+    * none. */
+  private def urlHostStats(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"),
+      lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org/p/"), col("doc_id").cast("string"),
+      lit(" and http://mirror"), (col("doc_id") % 3).cast("string"),
+      lit(".example.net/q"))
+    val urlPattern = "https?://[A-Za-z0-9.-]+[A-Za-z0-9](?:/[A-Za-z0-9./_-]*)?"
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(t, lit(urlPattern), lit(0))).as("url"))
+      .withColumn("host",
+        regexp_replace(regexp_replace(col("url"), lit("^https?://"), lit("")),
+          lit("/.*$"), lit("")))
+      .groupBy("host")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
+  }
+
+  private val urlHostStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |         || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      |         || ' and http://mirror' || CAST(doc_id % 3 AS VARCHAR)
+      |         || '.example.net/q' AS t
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(t,
+      |      'https?://[A-Za-z0-9.-]+[A-Za-z0-9](?:/[A-Za-z0-9./_-]*)?')) AS url
+      |  FROM t)
+      |SELECT regexp_replace(regexp_replace(url, '^https?://', ''), '/.*$', '')
+      |         AS host,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_urls
+      |FROM u GROUP BY 1""".stripMargin
+
   /** lang-ID + quality score (heuristics; composite formulas covered by
     * unit tests -> rows-only check). */
   private def langQuality(s: SparkSession, dir: String): DataFrame =
@@ -3912,6 +3957,7 @@ object SparkEntry {
     "lang_quality" -> (langQuality(_, _)),
     "repetition_stats" -> (repetitionStatsQ(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
+    "url_host_stats" -> (urlHostStats(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
@@ -4099,6 +4145,7 @@ object SparkEntry {
     "lang_quality" -> langQualitySql,
     "repetition_stats" -> repetitionStatsSql,
     "pii_scrub" -> piiScrubSql,
+    "url_host_stats" -> urlHostStatsSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,
