@@ -1842,6 +1842,41 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Eval-set decontamination, FULL oracle — every 50th document plays
+    * the benchmark corpus (derived from the same table on both engines,
+    * no planted text), and each document reports how many of its word
+    * 8-grams appear in the benchmark's gram set. Benchmark docs
+    * self-match; everything else matches only through genuine n-gram
+    * overlap. The plan broadcasts the benchmark grams — no corpus
+    * shuffle before the tiny per-doc count reduce
+    * (`Dedup.decontaminate`). */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    operators.Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
+  }
+
+  private val decontaminateSql =
+    """WITH wd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,
+      |      '[ ' || chr(9) || chr(10) || chr(13) || ']+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 6),
+      |    i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) AS gram
+      |  FROM wd WHERE len(ws) >= 8),
+      |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+      |m AS (
+      |  SELECT dg.doc_id, count(*) AS matched
+      |  FROM dg JOIN bg ON bg.gram = dg.gram
+      |  GROUP BY dg.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_ngrams,
+      |  coalesce(m.matched, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
+
   /** lang-ID + quality score (heuristics; composite formulas covered by
     * unit tests -> rows-only check). */
   private def langQuality(s: SparkSession, dir: String): DataFrame =
@@ -3958,6 +3993,7 @@ object SparkEntry {
     "repetition_stats" -> (repetitionStatsQ(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
+    "decontaminate" -> (decontaminateQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
@@ -4146,6 +4182,7 @@ object SparkEntry {
     "repetition_stats" -> repetitionStatsSql,
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
+    "decontaminate" -> decontaminateSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,

@@ -47,6 +47,47 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  // ---------------- benchmark decontamination ----------------
+
+  /** Distinct word n-grams of a text column, built entirely from native
+    * collection functions (split → filter → sequence/slice/concat_ws) so
+    * the whole extraction stays in whole-stage codegen. Explicit
+    * [ \t\n\r] charset, matching [[graft.functions.TextAnalysis]]'s
+    * oracle-identical tokenization. */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val ws = filter(split(textCol, "[ \\t\\n\\r]+"), w => w =!= lit(""))
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Eval-set decontamination — the GPT-3/PaLM-style contamination check
+    * training pipelines run before a data release: flag every document
+    * sharing at least one word n-gram with a benchmark corpus. Shape for
+    * 100 TB: the benchmark side is SMALL by construction (eval suites,
+    * not training data), so its distinct grams broadcast and the check
+    * is a map-side join over the exploded corpus grams — no corpus
+    * shuffle at all until the tiny per-doc count reduce. Joins on the
+    * gram string; a production run at petabyte scale would shuffle the
+    * 8-byte xxhash64 of the gram instead, the [[fingerprintDedup]]
+    * trade. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val dg = docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val m = dg.join(broadcast(bg), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams")) // grams are distinct per doc
+    docs.select(col(idCol))
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
+        (coalesce(col("matched_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // ---------------- shingles / minhash ----------------
 
   def wordShingles(text: String, n: Int = 3): Set[String] = {

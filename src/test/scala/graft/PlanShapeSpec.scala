@@ -29,6 +29,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join in: $plan")
   }
 
+  test("decontamination broadcasts the benchmark grams — corpus side never shuffles to join") {
+    val plan = planOf(SparkEntry.queries("decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in: $plan")
+  }
+
   test("kNN top-k avoids global sort at any input size") {
     val plan = planOf(SparkEntry.queries("v_l2_knn")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
