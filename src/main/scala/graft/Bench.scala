@@ -53,6 +53,7 @@ object Bench {
     "dedup_pipeline",                                     // minhash -> groups -> keepers
     "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
+    "pii_scrub", "decontaminate",                         // curation (all-native plans)
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
