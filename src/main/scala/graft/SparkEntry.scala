@@ -3826,6 +3826,85 @@ object SparkEntry {
        |  quality
        |FROM kept WHERE rn = 1""".stripMargin
 
+  /** End-to-end curation pipeline v2 — the round-8 curation operators
+    * composed under ONE oracle: repetition gate (modal word-2-gram under
+    * 20% of all 2-grams AND at least 10 2-grams — integer comparisons,
+    * no float thresholds) → eval-set decontamination drop (benchmark =
+    * every 50th doc of the FULL corpus, the eval suite being external
+    * and fixed) → PII scrub of the planted contact line → BPE token
+    * accounting over the redacted text. Every stage is an
+    * already-oracled operator; this verifies they compose. */
+  private def curationPipeline2Q(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val rep = functions.TextAnalysis.repetitionUdf(col("text"))
+    val gated = docs
+      .withColumn("n_2grams", rep.getField("n2grams"))
+      .withColumn("top_2gram_count", rep.getField("top2gramCount"))
+      .filter(col("top_2gram_count") * 5 <= col("n_2grams") &&
+        col("n_2grams") >= 10)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val clean = gated.join(
+      operators.Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
+        .filter(!col("contaminated")).select("doc_id"),
+      "doc_id")
+    val contact = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1202555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    val scrubbed = functions.TextAnalysis.Pii.scrub(contact)
+      .toMap.apply("scrubbed")
+    clean.select(col("doc_id"), col("n_2grams"), col("top_2gram_count"),
+      functions.TextAnalysis.bpeTokenCountUdf(scrubbed).as("bpe_tokens"),
+      length(scrubbed).as("scrubbed_chars"))
+  }
+
+  private val curationPipeline2Sql =
+    """WITH wd AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text,
+      |      '[ ' || chr(9) || chr(10) || chr(13) || ']+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS g
+      |  FROM wd WHERE len(ws) >= 2),
+      |gg AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+      |g2 AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_2grams,
+      |              CAST(max(c) AS INT) AS top_2gram_count
+      |       FROM gg GROUP BY doc_id),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 6),
+      |    i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) AS gram
+      |  FROM wd WHERE len(ws) >= 8),
+      |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+      |m AS (SELECT dg.doc_id, count(*) AS matched
+      |      FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY dg.doc_id),
+      |surv AS (
+      |  SELECT g2.doc_id, g2.n_2grams, g2.top_2gram_count, d.text
+      |  FROM g2 JOIN documents d ON d.doc_id = g2.doc_id
+      |  LEFT JOIN m ON m.doc_id = g2.doc_id
+      |  WHERE g2.top_2gram_count * 5 <= g2.n_2grams AND g2.n_2grams >= 10
+      |    AND coalesce(m.matched, 0) = 0),
+      |scrub AS (
+      |  SELECT doc_id, n_2grams, top_2gram_count,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      text || ' contact: user' || CAST(doc_id AS VARCHAR)
+      |           || '@example.com tel +1202555'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |           || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+      |      '\+[0-9]{7,15}', '[PHONE]', 'g') AS scrubbed
+      |  FROM surv)
+      |SELECT doc_id, n_2grams, top_2gram_count,
+      |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(scrubbed, '[A-Za-z0-9]+'),
+      |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+      |    + len(regexp_extract_all(scrubbed, '[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+      |  CAST(length(scrubbed) AS INT) AS scrubbed_chars
+      |FROM scrub""".stripMargin
+
   /** As-of join: each click matched to the user's latest at-or-before
     * view (views pre-aggregated per (user, ts) for a deterministic
     * match). Oracle is DuckDB's native ASOF LEFT JOIN. */
@@ -4067,6 +4146,7 @@ object SparkEntry {
     "range_join" -> (rangeJoinQ(_, _)),
     "skew_salted_join" -> (skewSaltedJoinQ(_, _)),
     "curation_pipeline" -> (curationPipelineQ(_, _)),
+    "curation_pipeline2" -> (curationPipeline2Q(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
     "vec_join_topk" -> (vecJoinTopkQ(_, _)),
@@ -4228,6 +4308,7 @@ object SparkEntry {
     "range_join" -> rangeJoinSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "curation_pipeline" -> curationPipelineSql,
+    "curation_pipeline2" -> curationPipeline2Sql,
     "hash_sample" -> hashSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "vec_join_topk" -> vecJoinTopkSql,
