@@ -105,6 +105,16 @@ object ScaleBench {
       // comparable with the other ops
       val (_, t3) = time(docs.select(avg(qUdf(col("text")))).head())
       add("text_quality_scan", docs.count(), t3)
+
+      // Eval-set decontamination: a FIXED benchmark (every 50th BASE doc
+      // — the eval suite does not grow with the corpus) against the
+      // scaled corpus. The benchmark grams broadcast, so cost should
+      // track the corpus scan; flagged count grows with the expanded
+      // copies of benchmark docs.
+      val bench = docs0.filter(col("doc_id") % 50 === 0)
+      val (nDec, tDec) = time(operators.Dedup.decontaminate(
+        docs, bench, "doc_id", "text").filter(col("contaminated")).count())
+      add("decontaminate", docs.count(), tDec, Seq(("flagged", nDec.toDouble)))
       val (model, t4) = time {
         val m = operators.Ivf.build(emb, "embedding", nlists = 100)
         m.assigned.cache().count()
