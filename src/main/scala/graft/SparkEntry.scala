@@ -3752,6 +3752,84 @@ object SparkEntry {
   private val streamDedupSql =
     "SELECT DISTINCT event_type, props FROM events"
 
+  /** Curation-at-ingest as a REAL streaming query: file source over the
+    * documents table → per-row repetition/PII/decontamination features →
+    * memory sink. The benchmark gram set is driver-collected and
+    * broadcast (eval suites are small by construction — same trade as
+    * centroids/codebooks), so the stream stays a stateless map: no
+    * watermark, no state store, append mode — the shape that ingests
+    * 100 TB/day without rebalancing. Batch/stream parity is the oracle:
+    * AvailableNow over the same file must equal the batch CTEs. */
+  private def streamCurationQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val benchGrams = Tables.read(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(operators.Dedup.wordNgrams(col("text"), 8)).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = s.sparkContext.broadcast(benchGrams)
+    val matchedUdf = udf((grams: Seq[String]) =>
+      if (grams == null) 0L else grams.count(bc.value.contains).toLong)
+    val contact = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1202555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    val scrubbed = functions.TextAnalysis.Pii.scrub(contact).toMap.apply("scrubbed")
+    val rep = functions.TextAnalysis.repetitionUdf(col("text"))
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("matched_ngrams",
+        matchedUdf(operators.Dedup.wordNgrams(col("text"), 8)))
+      .select(col("doc_id"),
+        rep.getField("n2grams").as("n_2grams"),
+        col("matched_ngrams"),
+        (col("matched_ngrams") > 0).as("contaminated"),
+        length(scrubbed).as("scrubbed_chars"))
+    val name = "stream_curation_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private val streamCurationSql =
+    """WITH wd AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text,
+      |      '[ ' || chr(9) || chr(10) || chr(13) || ']+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS g
+      |  FROM wd WHERE len(ws) >= 2),
+      |g2 AS (SELECT doc_id, CAST(count(*) AS INT) AS n_2grams
+      |       FROM tg GROUP BY doc_id),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 6),
+      |    i -> array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) AS gram
+      |  FROM wd WHERE len(ws) >= 8),
+      |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0),
+      |m AS (SELECT dg.doc_id, count(*) AS matched
+      |      FROM dg JOIN bg ON bg.gram = dg.gram GROUP BY dg.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(g2.n_2grams, 0) AS INT) AS n_2grams,
+      |  CAST(coalesce(m.matched, 0) AS BIGINT) AS matched_ngrams,
+      |  coalesce(m.matched, 0) > 0 AS contaminated,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |    d.text || ' contact: user' || CAST(d.doc_id AS VARCHAR)
+      |         || '@example.com tel +1202555'
+      |         || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0')
+      |         || ' host 10.0.' || CAST(d.doc_id % 256 AS VARCHAR) || '.1',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+      |    '\+[0-9]{7,15}', '[PHONE]', 'g')) AS INT) AS scrubbed_chars
+      |FROM documents d
+      |LEFT JOIN g2 ON g2.doc_id = d.doc_id
+      |LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
+
   /** Deterministic 20% content-hash sample — the md5-prefix rule renders
     * identically in DuckDB, so the EXACT membership is the oracle, not
     * just the rate. */
@@ -4141,6 +4219,7 @@ object SparkEntry {
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
+    "stream_curation" -> (streamCurationQ(_, _)),
     "quant_ranged" -> (quantRangedQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
@@ -4303,6 +4382,7 @@ object SparkEntry {
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,
+    "stream_curation" -> streamCurationSql,
     "quant_ranged" -> quantRangedSql,
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
