@@ -442,6 +442,22 @@ class DedupTextSpec extends SparkSpecBase {
       Multimodal.decodeWavMeta(p)   // Option result, must not throw
       Multimodal.decodeAviMeta(p)
       Multimodal.decodeImage(p)
+      Multimodal.decodeWavSamples(p)   // PCM16 + G.711 branches
+      Multimodal.decodeVideoFrames(p)  // movi walk + DIB/MJPEG branches
+    }
+    // valid containers with corrupted interiors: truncate/flip real
+    // encodes at every boundary-ish offset — walkers must narrow, not die
+    val wav = Multimodal.encodeWavG711(
+      Array.tabulate(32)(i => (i * 9).toByte), 8000, 1)
+    val avi = Multimodal.encodeAviFrames(
+      Seq(Array.tabulate(64)(_ % 256)), 8, 8, 40000)
+    for (cut <- Seq(13, 20, 36, 44, wav.length - 1)) {
+      Multimodal.decodeWavSamples(wav.take(cut))
+      Multimodal.decodeWavMeta(wav.take(cut))
+    }
+    for (cut <- Seq(13, 32, 88, 160, avi.length - 1)) {
+      Multimodal.decodeVideoFrames(avi.take(cut))
+      Multimodal.decodeAviMeta(avi.take(cut))
     }
   }
 }
