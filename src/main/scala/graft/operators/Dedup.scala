@@ -70,13 +70,20 @@ object Dedup {
     * not training data), so its distinct grams broadcast and the check
     * is a map-side join over the exploded corpus grams — no corpus
     * shuffle at all until the tiny per-doc count reduce. Joins on the
-    * gram string; a production run at petabyte scale would shuffle the
-    * 8-byte xxhash64 of the gram instead, the [[fingerprintDedup]]
-    * trade. */
+    * gram string by default; `hashGrams = true` is the petabyte dial —
+    * both sides join on the 8-byte xxhash64 of the gram instead, the
+    * [[fingerprintDedup]] collision trade (~2⁻⁶⁴ per gram pair), which
+    * shrinks the broadcast and the exploded corpus column from gram
+    * strings to longs. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
-    val dg = docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+                    textCol: String, n: Int = 8,
+                    hashGrams: Boolean = false): DataFrame = {
+    // generators must be top-level in a projection: explode first, hash after
+    def gramKey(c: Column): Column = if (hashGrams) xxhash64(c) else c
+    val dg = docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), gramKey(col("g")).as("gram"))
+    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(gramKey(col("g")).as("gram"))
       .distinct()
     val m = dg.join(broadcast(bg), "gram")
       .groupBy(col(idCol))

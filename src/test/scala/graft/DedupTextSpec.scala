@@ -418,6 +418,24 @@ class DedupTextSpec extends SparkSpecBase {
     assert(Multimodal.decodeWavMeta(bad).nonEmpty) // metadata still parses
   }
 
+  test("decontaminate: hashed-gram petabyte dial agrees with the string join") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta different tail"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8, hashGrams = hash)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val byString = run(hash = false)
+    assert(byString == Seq((1L, 3L, true), (2L, 0L, false),
+      (3L, 1L, true), (4L, 0L, false)))
+    assert(run(hash = true) == byString)
+  }
+
   test("dupGroups rejects non-numeric ids instead of silently emptying the corpus") {
     val docs = Seq(("u-1", "a"), ("u-2", "b")).toDF("id", "text")
     val pairs = Seq(("u-1", "u-2")).toDF("a_id", "b_id")
