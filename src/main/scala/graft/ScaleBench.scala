@@ -77,6 +77,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -174,10 +175,10 @@ object ScaleBench {
         Seq(("index_rows", emb.count().toDouble)))
       hnswIdx.unpersist()
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").cast("double").as("lts"),
+        .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").cast("double").as("rts"),
+        .select(col("user_id"), Tables.tsUs(ev).cast("double").as("rts"),
           col("event_id").as("click_id"))
       val (n6, t6) = time(operators.TemporalJoins.asofBackward(views, clicks,
         Seq("user_id"), "lts", "rts", Seq("click_id")).count())

@@ -808,14 +808,16 @@ object SparkEntry {
        |FROM l2r JOIN ipr ON l2r.vec_id = ipr.vec_id""".stripMargin
 
   /** temporal_vector_search: similarity decayed by exp(-λ·age_days).
-    * events.ts is parquet TIMESTAMP(NANOS) read as long nanos (see
-    * Verify session config); `div 1000` then /1e6 reproduces DuckDB's
+    * events.ts epoch-micros via Tables.tsUs (schema-dispatched — the
+    * driver parquet stores TIMESTAMP(MICROS)); /1e6 reproduces DuckDB's
     * micro-truncated `epoch(ts)` exactly. */
   private def temporalKnn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
     val df = Tables.read(s, dir, "embeddings")
-      .join(Tables.read(s, dir, "events"), col("vec_id") === col("event_id"))
+      .join(ev.select(col("event_id"), Tables.tsUs(ev).as("ts_raw_us")),
+        col("vec_id") === col("event_id"))
       .select(col("vec_id"), col("embedding"),
-        (expr("ts div 1000") / lit(1e6)).as("ts_sec"))
+        (col("ts_raw_us") / lit(1e6)).as("ts_sec"))
     operators.Hybrid.temporalVectorSearch(df, "vec_id", "embedding", "ts_sec",
       qvec(s, dir), decay = 0.01, k = 20)
       .select(col("vec_id"), col("temporal_score").cast("float").as("score"))
@@ -2792,8 +2794,9 @@ object SparkEntry {
     * forecast recursion unrolled, diffs re-integrated). */
   private def arimaForecastQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.read(s, dir, "events")
-      .groupBy((expr("ts div 1000") / lit(1e6) / lit(86400.0)).cast("long").as("day"))
+    val evA = Tables.read(s, dir, "events")
+    val daily = evA
+      .groupBy((Tables.tsUs(evA) / lit(1e6) / lit(86400.0)).cast("long").as("day"))
       .agg(avg("value").as("v"))
       .orderBy("day")
       .select("v").as[Double].collect()
@@ -3612,7 +3615,7 @@ object SparkEntry {
     // The file stream source wants a directory; glob-filter to one table.
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
     val agg = streaming.EventStream.windowedCounts(
       stream, "ts_ts", "event_type", windowDur = "6 hours", watermark = "12 hours")
     val name = "stream_window_agg_sink"
@@ -3644,7 +3647,7 @@ object SparkEntry {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("l_id"), col("user_id").as("key"),
         col("ts_ts").as("l_ts"))
@@ -3679,7 +3682,7 @@ object SparkEntry {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
     val agg = streaming.EventStream.sessionCounts(
       stream, "ts_ts", "user_id", gap = "30 minutes", watermark = "12 hours")
     val name = "stream_session_sink"
@@ -3989,9 +3992,9 @@ object SparkEntry {
   private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.read(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), Tables.tsUs(ev).as("ts_us"))
     val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .groupBy(col("user_id"), Tables.tsUs(ev).as("ts_us"))
       .agg(max("value").as("vvalue"))
     operators.TemporalJoins.asofBackward(clicks, views, Seq("user_id"),
         "ts_us", "ts_us", Seq("vvalue"))
@@ -4016,9 +4019,9 @@ object SparkEntry {
     * time-bucket blocking (never |E|²); oracle is the brute-force theta
     * join. */
   private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.read(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").cast("double").as("ts_us"))
+    val evR = Tables.read(s, dir, "events")
+    val ev = evR.select(col("event_id"), col("user_id"),
+        Tables.tsUs(evR).cast("double").as("ts_us"))
     operators.TemporalJoins.rangeJoin(ev, ev, "user_id", "ts_us", "ts_us", 3.6e9)
       .filter(col("event_id") < col("r_event_id"))
       .select(col("event_id").as("a_id"), col("r_event_id").as("b_id"),
