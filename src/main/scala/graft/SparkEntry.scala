@@ -233,7 +233,10 @@ object SparkEntry {
         VF.chebyshevUdf(col("embedding"), qc).cast("float").as("chebyshev"),
         VF.squaredL2Udf(col("embedding"), qc).cast("float").as("sq_l2"),
         VF.minkowskiUdf(col("embedding"), qc, lit(3.0)).cast("float").as("minkowski3"),
-        VF.hammingUdf(col("embedding"), qc).as("hamming"))
+        // LONG, not the UDF's double: the oracle's len() is BIGINT and the
+        // driver's hash comparator is type-sensitive (37.0 != 37) — this,
+        // not float rounding, was the r7/r8 red row.
+        VF.hammingUdf(col("embedding"), qc).cast("long").as("hamming"))
   }
 
   private val vDistancesSql =

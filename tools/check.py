@@ -9,11 +9,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    # Type-tagged normalization: a hash-based comparator (the round
+    # driver's) distinguishes 37 from 37.0, so int-vs-float (and
+    # bool-vs-int) divergence between Spark output and oracle output must
+    # FAIL here too, not slip through Python's cross-type ==. (The r7/r8
+    # v_distances red row was exactly this: Spark emitted hamming as
+    # DOUBLE, the oracle's len() as BIGINT.)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         r = round(v, 6)
-        return 0.0 if r == 0 else r  # fold -0.0
+        return ("f", 0.0 if r == 0 else r)  # fold -0.0
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     try:
