@@ -96,8 +96,9 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("range join plans as an equi-join on (bucket, key) — no nested loop over pairs") {
-    val ev = Tables.read(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), Tables.tsUs(Tables.read(spark, dir, "events")).cast("double").as("ts_us"))
+    val raw = Tables.read(spark, dir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw.schema).cast("double").as("ts_us"))
     val plan = planOf(operators.TemporalJoins.rangeJoin(ev, ev, "user_id", "ts_us", "ts_us", 3.6e9))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair space materialized: $plan")
@@ -106,8 +107,9 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("asof join is one union + per-key window — no join operator, no global window") {
-    val ev = Tables.read(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), Tables.tsUs(Tables.read(spark, dir, "events")).as("ts_us"))
+    val raw = Tables.read(spark, dir, "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw.schema).as("ts_us"))
     val views = ev.withColumnRenamed("event_id", "vid").withColumn("v", lit(1.0))
     val plan = planOf(operators.TemporalJoins.asofBackward(
       ev, views.select("user_id", "ts_us", "v"), Seq("user_id"), "ts_us", "ts_us", Seq("v")))

@@ -67,8 +67,9 @@ class TemporalJoinsSpec extends SparkSpecBase {
   }
 
   test("range join equals the brute-force theta join on events") {
-    val ev = Tables.read(spark, "/root/testdata/sf0.001", "events")
-      .select(col("event_id"), col("user_id"), Tables.tsUs(Tables.read(spark, "/root/testdata/sf0.001", "events")).cast("double").as("ts_us"))
+    val raw = Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw.schema).cast("double").as("ts_us"))
     val blocked = TemporalJoins.rangeJoin(ev, ev, "user_id", "ts_us", "ts_us", 3.6e9)
       .filter(col("event_id") < col("r_event_id"))
       .select(col("event_id"), col("r_event_id"))
