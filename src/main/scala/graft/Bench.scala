@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
  *
  * Protocol (round-7 hardening — single-shot numbers on a shared box were
  * uninterpretable round-over-round):
- *  - every query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3); the
+ *  - every query runs `SPARK_GRAFT_BENCH_RUNS` times (default 5); the
  *    reported number is the per-query MIN — the honest "what the plan
  *    costs" figure a steady-state cluster would see — and the spread
  *    (max − min over the runs) is reported alongside so a reader can see
@@ -76,7 +76,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,6 +111,16 @@ object Bench {
     // optional args = subset of query names to time (targeted re-measure)
     val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
 
+    // Runs stay CONSECUTIVE per query (round-over-round comparability,
+    // and repeat runs legitimately reuse warm shuffle/page-cache state —
+    // interleaved passes were measured to inflate mins ~1.4x). The large
+    // spreads on heavy rows are host contention, not plan nondeterminism:
+    // across four repeated suites this round the spread MIGRATED between
+    // queries (minhash 1.13 -> 4.40 -> 1.20; ivf_join_exact 0.59 -> 0.18
+    // -> 1.74) while the calibration loop itself drifted 1.7-2.0x within
+    // a run, and per-query mins stayed within ~10%. Read spread against
+    // calib drift; the min is the stable figure. Five passes (not three)
+    // give the min better odds of landing on a quiet window.
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to runs).map { _ =>

@@ -174,6 +174,31 @@ object ScaleBench {
       add("hnsw_insert_batch", nBatch, t7,
         Seq(("index_rows", emb.count().toDouble)))
       hnswIdx.unpersist()
+      // Streaming ingest at scale: the STATEFUL dedup-at-ingest shape
+      // (file source → dropDuplicates on the row key → noop sink,
+      // Trigger.AvailableNow) over the expanded events — the one family
+      // whose 100 TB cost is state-store-bound rather than shuffle- or
+      // scan-bound. Keying on the unique event_id makes state grow
+      // linearly with the corpus, so the curve shows what the state
+      // backend does to throughput as rows/sec, reported alongside.
+      locally {
+        import org.apache.spark.sql.streaming.Trigger
+        val streamDir = java.nio.file.Files
+          .createTempDirectory(s"scale_stream_${s}x_").toString
+        ev.write.mode("overwrite").parquet(streamDir)
+        val nEv = ev.count()
+        val schema = spark.read.parquet(streamDir).schema
+        val (_, tS) = time {
+          val stream = spark.readStream.schema(schema).parquet(streamDir)
+          val q = streaming.StreamDedup.dedupKeys(stream, Seq("event_id"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", s"$streamDir/_ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        add("stream_dedup_ingest", nEv, tS,
+          Seq(("rows_per_sec", nEv / math.max(tS, 1e-9))))
+      }
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))
