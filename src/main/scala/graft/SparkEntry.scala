@@ -3989,6 +3989,46 @@ object SparkEntry {
       |  CAST(length(scrubbed) AS INT) AS scrubbed_chars
       |FROM scrub""".stripMargin
 
+  /** Sequence packing — the concat-and-chunk layout step of a training
+    * feed (operators.Packing): seeded splitmix64 shuffle order, global
+    * token axis via the bucket-prefix cumsum (no single-partition
+    * window), fixed-budget sequence spans. Pure integer end to end; the
+    * oracle replays the order key in HUGEINT SQL (folded back to signed
+    * BIGINT so both engines compare identically) and the axis as one
+    * window cumsum. Budget 256, seed 2025, BPE-ish token counts. */
+  private def packSequencesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.TextAnalysis.bpeTokenCountUdf(col("text")).as("toks"))
+    operators.Packing.packSequences(docs, "doc_id", "toks",
+      budget = 256L, seed = 2025L)
+  }
+
+  private lazy val packSequencesSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+       |           w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+       |      + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+       |  FROM documents),
+       |${mix64Ctes("pk", "base", Seq("doc_id", "tok"), "doc_id + 2025")},
+       |ordx AS (
+       |  SELECT doc_id, tok,
+       |    CAST(z - CASE WHEN z >= 9223372036854775808::HUGEINT
+       |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+       |         AS BIGINT) AS ord
+       |  FROM pk6 WHERE tok > 0),
+       |c AS (
+       |  SELECT doc_id, tok, sum(tok) OVER (
+       |    ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ordx)
+       |SELECT doc_id, tok AS tokens,
+       |  CAST(cum - tok AS BIGINT) AS start_pos,
+       |  CAST((cum - tok) // 256 AS BIGINT) AS first_seq,
+       |  CAST((cum - 1) // 256 AS BIGINT) AS last_seq,
+       |  CAST((cum - 1) // 256 - (cum - tok) // 256 + 1 AS BIGINT) AS n_seqs
+       |FROM c""".stripMargin
+
   /** As-of join: each click matched to the user's latest at-or-before
     * view (views pre-aggregated per (user, ts) for a deterministic
     * match). Oracle is DuckDB's native ASOF LEFT JOIN. */
@@ -4232,6 +4272,7 @@ object SparkEntry {
     "skew_salted_join" -> (skewSaltedJoinQ(_, _)),
     "curation_pipeline" -> (curationPipelineQ(_, _)),
     "curation_pipeline2" -> (curationPipeline2Q(_, _)),
+    "pack_sequences" -> (packSequencesQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
     "vec_join_topk" -> (vecJoinTopkQ(_, _)),
@@ -4395,6 +4436,7 @@ object SparkEntry {
     "skew_salted_join" -> skewSaltedJoinSql,
     "curation_pipeline" -> curationPipelineSql,
     "curation_pipeline2" -> curationPipeline2Sql,
+    "pack_sequences" -> packSequencesSql,
     "hash_sample" -> hashSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "vec_join_topk" -> vecJoinTopkSql,
