@@ -3847,6 +3847,28 @@ object SparkEntry {
     """SELECT event_id, event_type FROM events
       |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '33333333'""".stripMargin
 
+  /** Domain-weighted mixture (operators.Sampling.mixtureSample): view
+    * downsampled to 0.25, click upsampled 2.5x (2 whole copies + a
+    * hash-kept half copy), purchase kept whole, signup weight 0,
+    * error absent — the training-feed data-mixture step. Thresholds are
+    * hexThreshold(frac): 0.25 -> 40000000, 0.5 -> 80000000. */
+  private def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixtureSample(Tables.read(s, dir, "events"),
+        "event_type", "event_id",
+        Map("view" -> 0.25, "click" -> 2.5, "purchase" -> 1.0, "signup" -> 0.0))
+      .select(col("event_id"), col("event_type"), col("rep"))
+
+  private val mixtureSampleSql =
+    """WITH spec(event_type, whole, fth) AS (
+      |  VALUES ('view', 0, '40000000'), ('click', 2, '80000000'),
+      |         ('purchase', 1, '00000000'), ('signup', 0, '00000000')),
+      |r AS (SELECT e.event_id, e.event_type, s.whole, s.fth, g.rep
+      |      FROM events e JOIN spec s USING (event_type)
+      |      CROSS JOIN LATERAL (SELECT unnest(range(0, s.whole + 1)) AS rep) g)
+      |SELECT event_id, event_type, rep FROM r
+      |WHERE rep < whole
+      |   OR substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 8) < fth""".stripMargin
+
   /** Stratified draw: exactly 10 rows per event_type in md5-hash order
     * (deterministic, engine-portable). */
   private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
@@ -4274,6 +4296,7 @@ object SparkEntry {
     "curation_pipeline2" -> (curationPipeline2Q(_, _)),
     "pack_sequences" -> (packSequencesQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
+    "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
     "vec_join_topk" -> (vecJoinTopkQ(_, _)),
     "weighted_ensemble" -> (weightedEnsembleQ(_, _)),
@@ -4438,6 +4461,7 @@ object SparkEntry {
     "curation_pipeline2" -> curationPipeline2Sql,
     "pack_sequences" -> packSequencesSql,
     "hash_sample" -> hashSampleSql,
+    "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "vec_join_topk" -> vecJoinTopkSql,
     "weighted_ensemble" -> weightedEnsembleSql,

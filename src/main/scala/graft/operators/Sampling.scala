@@ -67,6 +67,38 @@ object Sampling {
     }.toSeq
   }
 
+  /**
+   * Domain-weighted mixture resample — the data-mixture step of
+   * training-feed assembly (domain reweighting / epochs-per-source):
+   * weight w ∈ [0,1) keeps ~w of the domain's rows; w ≥ 1 replicates
+   * each row floor(w) times and keeps one extra copy with probability
+   * frac(w). Copies are distinguished by the emitted `rep` column; copy
+   * r's keep decision hashes `(key, r)`, so fractional keeps are
+   * independent across replication levels and the whole mixture stays a
+   * pure function of row content (stable under corpus growth, like
+   * every sampler here). Domains absent from `weights` are dropped.
+   *
+   * Scale shape: the weight spec is a broadcast of |domains| rows; the
+   * corpus side is one scan + explode — no shuffle at all.
+   */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spec = weights.toSeq.map { case (d, w) =>
+      require(w >= 0.0 && w.isFinite, s"weight must be finite and >= 0: $d -> $w")
+      (d, math.floor(w).toLong, hexThreshold(w - math.floor(w)))
+    }
+    val specDf = spec.toDF(domainCol, "__whole", "__fth")
+    df.join(broadcast(specDf), domainCol)
+      .withColumn("rep", explode(sequence(lit(0L), col("__whole"))))
+      .filter(col("rep") < col("__whole") ||
+        coord(concat(col(keyCol).cast("string"), lit(":"),
+          col("rep").cast("string"))) < col("__fth"))
+      .drop("__whole", "__fth")
+  }
+
   /** Exactly min(n, stratum size) rows per stratum, chosen by hash order
     * (deterministic; one shuffle on the strata key, heap-limited by
     * WindowGroupLimit — never a global sort). */

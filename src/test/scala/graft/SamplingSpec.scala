@@ -42,6 +42,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(parts.map(_.count()).sum == ev.count())
   }
 
+  test("mixture sample: whole copies exact, fractional copies near the dial, w=0 and absent domains drop") {
+    val out = Sampling.mixtureSample(ev, "event_type", "event_id",
+      Map("view" -> 0.25, "click" -> 2.5, "purchase" -> 1.0, "signup" -> 0.0)).cache()
+    val base = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val got = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    // purchase at w=1.0 is the exact identity
+    assert(got("purchase") == base("purchase"))
+    // click at 2.5: two whole copies guaranteed, fractional half near 0.5
+    val clickRatio = got("click").toDouble / base("click")
+    assert(clickRatio >= 2.0 && (clickRatio - 2.5).abs < 0.25, s"click ratio $clickRatio")
+    // rep column: whole copies are rep 0/1, fractional survivors rep 2
+    val reps = out.filter($"event_type" === "click").groupBy("rep").count()
+      .as[(Long, Long)].collect().toMap
+    assert(reps(0L) == base("click") && reps(1L) == base("click") && reps(2L) < base("click"))
+    // view at 0.25 downsampled near the dial
+    val viewRatio = got("view").toDouble / base("view")
+    assert((viewRatio - 0.25).abs < 0.15, s"view ratio $viewRatio")
+    // weight 0 and unlisted domains vanish
+    assert(!got.contains("signup") && !got.contains("error"))
+    // deterministic: same spec, same rows
+    val again = Sampling.mixtureSample(ev, "event_type", "event_id",
+      Map("view" -> 0.25, "click" -> 2.5, "purchase" -> 1.0, "signup" -> 0.0))
+      .select("event_id", "rep").as[(Long, Long)].collect().toSet
+    assert(again == out.select("event_id", "rep").as[(Long, Long)].collect().toSet)
+    out.unpersist()
+  }
+
   test("stratified take returns exactly n per stratum, deterministically") {
     val out = Sampling.stratifiedTake(ev, Seq("event_type"), "event_id", n = 7)
     val counts = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
