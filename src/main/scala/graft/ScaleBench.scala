@@ -199,6 +199,15 @@ object ScaleBench {
         add("stream_dedup_ingest", nEv, tS,
           Seq(("rows_per_sec", nEv / math.max(tS, 1e-9))))
       }
+      // Sequence packing: seeded order + bucket-prefix global cumsum +
+      // span arithmetic over the expanded docs — the cumsum family's
+      // cost face (approxQuantile pass + windowed cumsum + tiny offsets)
+      val toks = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.bpeTokenCountUdf(col("text")).as("toks"))
+      val (nP, tP) = time(operators.Packing.packSequences(
+        toks, "doc_id", "toks", budget = 4096L, seed = 42L).count())
+      add("pack_sequences", nP, tP)
+
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))
