@@ -226,6 +226,13 @@ object ScaleBench {
     // via args(2) = "1,10".
     val scales = if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
                  else Seq(1, 10, 100)
+    // One discarded warmup pass at the base scale before anything is
+    // recorded: the 1x pass otherwise absorbs all JIT/codegen/first-use
+    // cost, and since it is every ratio's DENOMINATOR, that startup noise
+    // moved the reported multipliers 2-4x between otherwise-identical
+    // runs (minhash 1x measured 2.5 s vs 7.2 s solo-to-solo). Warmed,
+    // the ratios measure scaling, not warmup.
+    opsAt(scales.head)
     val results = scales.map(s => opsAt(s))
     val lines = results.head.indices.map { i =>
       val op = results.head(i)._1
