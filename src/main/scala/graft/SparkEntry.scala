@@ -4011,6 +4011,40 @@ object SparkEntry {
       |  CAST(length(scrubbed) AS INT) AS scrubbed_chars
       |FROM scrub""".stripMargin
 
+  /** Corpus-level boilerplate removal (Dedup.lineDedup): lines appearing
+    * verbatim in ≥3 distinct documents are dropped, per-doc text
+    * rebuilt in line order. The single-line fixture docs get two planted
+    * boilerplate lines (removed everywhere) and one unique Ref line
+    * (kept) — the RefinedWeb/C4 line-dedup rule, exercised end to end
+    * including the text rebuild under the hash. */
+  private def lineDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit("\nSubscribe to our newsletter today"),
+          lit("\nAll rights reserved"),
+          lit("\nRef "), col("doc_id").cast("string")).as("t"))
+    operators.Dedup.lineDedup(docs, "doc_id", "t", minDocs = 3)
+  }
+
+  private val lineDedupSql =
+    """WITH d2 AS (
+      |  SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter today'
+      |       || chr(10) || 'All rights reserved'
+      |       || chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT s.doc_id, g.i - 1 AS idx, s.ls[g.i] AS line
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2) s
+      |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(s.ls) + 1)) AS i) g),
+      |f AS (SELECT line, count(DISTINCT doc_id) AS dfq FROM l GROUP BY 1)
+      |SELECT l.doc_id,
+      |  coalesce(array_to_string(list(l.line ORDER BY l.idx) FILTER (WHERE f.dfq < 3), chr(10)), '') AS clean_text,
+      |  CAST(count(*) FILTER (WHERE f.dfq >= 3) AS BIGINT) AS removed_lines,
+      |  CAST(count(*) AS BIGINT) AS total_lines
+      |FROM l JOIN f USING (line)
+      |GROUP BY l.doc_id""".stripMargin
+
   /** Sequence packing — the concat-and-chunk layout step of a training
     * feed (operators.Packing): seeded splitmix64 shuffle order, global
     * token axis via the bucket-prefix cumsum (no single-partition
@@ -4295,6 +4329,7 @@ object SparkEntry {
     "curation_pipeline" -> (curationPipelineQ(_, _)),
     "curation_pipeline2" -> (curationPipeline2Q(_, _)),
     "pack_sequences" -> (packSequencesQ(_, _)),
+    "line_dedup" -> (lineDedupQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4460,6 +4495,7 @@ object SparkEntry {
     "curation_pipeline" -> curationPipelineSql,
     "curation_pipeline2" -> curationPipeline2Sql,
     "pack_sequences" -> packSequencesSql,
+    "line_dedup" -> lineDedupSql,
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -119,6 +119,35 @@ object Dedup {
         (coalesce(col("matched_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Corpus-level boilerplate line removal (the RefinedWeb / C4 line
+    * dedup rule): a line whose EXACT text appears in ≥ `minDocs`
+    * distinct documents is boilerplate (nav bars, cookie banners,
+    * footers); emit each document's cleaned text (surviving lines
+    * re-joined in original order) plus removal accounting.
+    *
+    * Scale shape: explode to (doc, idx, line), one groupBy on the line
+    * key for distinct-doc frequency, join back on the same key (the
+    * shuffle is co-partitioned with the groupBy), rebuild per doc. Line
+    * frequency is corpus-global — exactly the signal a per-partition
+    * pass cannot see — and the only wide state is the per-line count. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    lines.join(freq, "line")
+      .withColumn("__boiler", col("__df") >= minDocs)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(if(__boiler, null, struct(idx, line)))), s -> s.line)"))
+          .as("clean_text"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("removed_lines"),
+        count(lit(1)).as("total_lines"))
+  }
+
   // ---------------- shingles / minhash ----------------
 
   def wordShingles(text: String, n: Int = 3): Set[String] = {

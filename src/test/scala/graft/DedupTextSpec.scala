@@ -478,4 +478,30 @@ class DedupTextSpec extends SparkSpecBase {
       Multimodal.decodeAviMeta(avi.take(cut))
     }
   }
+
+  test("line dedup removes corpus-frequent lines, keeps order, counts honestly") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOMMON FOOTER\nmiddle one\nSHARED AD"),
+      (2L, "unique beta\nCOMMON FOOTER\nSHARED AD"),
+      (3L, "COMMON FOOTER\nunique gamma\nSHARED AD"),
+      (4L, "only original content here\nCOMMON FOOTER")
+    ).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // COMMON FOOTER in 4 docs, SHARED AD in 3 — both boilerplate at minDocs=3
+    assert(out(1L) == (("unique alpha\nmiddle one", 2L, 4L)))
+    assert(out(2L) == (("unique beta", 2L, 3L)))
+    assert(out(3L) == (("unique gamma", 2L, 3L)))
+    assert(out(4L) == (("only original content here", 1L, 2L)))
+    // at minDocs=4 SHARED AD (3 docs) survives, in original position
+    val loose = Dedup.lineDedup(docs, "id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(3L) == "unique gamma\nSHARED AD")
+    // a doc that is ALL boilerplate cleans to the empty string
+    val allBoiler = Seq((1L, "X\nY"), (2L, "X\nY"), (3L, "X\nY")).toDF("id", "text")
+    val cleaned = Dedup.lineDedup(allBoiler, "id", "text", minDocs = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(cleaned.forall(_ == (("", 2L))))
+  }
 }
