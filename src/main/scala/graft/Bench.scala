@@ -54,6 +54,9 @@ object Bench {
     "asof_join", "range_join",                            // temporal joins
     "text_stats", "multimodal_hist",                      // text / multimodal
     "pii_scrub", "decontaminate",                         // curation (all-native plans)
+    "pack_sequences",                                     // token-axis packing (cumsum family)
+    "training_feed",                                      // line dedup -> mixture -> packing
+    "line_dedup",                                         // corpus-global boilerplate removal
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,

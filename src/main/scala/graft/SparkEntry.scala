@@ -4045,6 +4045,81 @@ object SparkEntry {
       |FROM l JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
 
+  /** End-to-end training-feed assembly — the round-10 curation operators
+    * composed under ONE oracle: boilerplate line removal (corpus-global
+    * frequency) → language-weighted mixture (en 1.0 identity, de 2.5×
+    * upsample, fr 0.5 / es 0.25 downsample, zh dropped) → BPE token
+    * accounting over the CLEANED text → sequence packing (budget 512,
+    * seed 7) of the mixed copies onto the global token axis. Copy
+    * identity rides pack key `doc_id*4 + rep` (rep < 4 by the weight
+    * spec), recovered in the output. Every stage is an already-oracled
+    * operator; this verifies the full feed composes, token axis and all. */
+  private def trainingFeedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit("\nSubscribe to our newsletter today"),
+        lit("\nAll rights reserved"),
+        lit("\nRef "), col("doc_id").cast("string")).as("t"))
+    val cleaned = operators.Dedup.lineDedup(planted, "doc_id", "t", minDocs = 3)
+    val withLang = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    val mixed = operators.Sampling.mixtureSample(withLang, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.5, "es" -> 0.25))
+    val toks = mixed.select(
+      (col("doc_id") * 4 + col("rep")).as("pid"),
+      functions.TextAnalysis.bpeTokenCountUdf(col("clean_text")).as("toks"))
+    operators.Packing.packSequences(toks, "pid", "toks", budget = 512L, seed = 7L)
+      .select(expr("pid div 4").as("doc_id"), (col("pid") % 4).as("rep"),
+        col("tokens"), col("start_pos"), col("first_seq"), col("last_seq"))
+  }
+
+  private lazy val trainingFeedSql =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter today'
+       |       || chr(10) || 'All rights reserved'
+       |       || chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) AS t
+       |  FROM documents),
+       |l AS (
+       |  SELECT s.doc_id, g.i - 1 AS idx, s.ls[g.i] AS line
+       |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2) s
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(s.ls) + 1)) AS i) g),
+       |f AS (SELECT line, count(DISTINCT doc_id) AS dfq FROM l GROUP BY 1),
+       |clean AS (
+       |  SELECT l.doc_id,
+       |    coalesce(array_to_string(list(l.line ORDER BY l.idx) FILTER (WHERE f.dfq < 3), chr(10)), '') AS clean_text
+       |  FROM l JOIN f USING (line) GROUP BY l.doc_id),
+       |spec(lang, whole, fth) AS (
+       |  VALUES ('en', 1, '00000000'), ('de', 2, '80000000'),
+       |         ('fr', 0, '80000000'), ('es', 0, '40000000')),
+       |mix AS (
+       |  SELECT c.doc_id, g.rep
+       |  FROM clean c JOIN documents d USING (doc_id) JOIN spec s ON s.lang = d.lang
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, s.whole + 1)) AS rep) g
+       |  WHERE g.rep < s.whole
+       |     OR substr(md5(CAST(c.doc_id AS VARCHAR) || ':' || CAST(g.rep AS VARCHAR)), 1, 8) < s.fth),
+       |tokd AS (
+       |  SELECT m.doc_id * 4 + m.rep AS pid,
+       |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(c.clean_text, '[A-Za-z0-9]+'),
+       |           w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+       |      + len(regexp_extract_all(c.clean_text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+       |  FROM mix m JOIN clean c USING (doc_id)),
+       |${mix64Ctes("tf", "tokd", Seq("pid", "tok"), "pid + 7")},
+       |ordx AS (
+       |  SELECT pid, tok,
+       |    CAST(z - CASE WHEN z >= 9223372036854775808::HUGEINT
+       |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+       |         AS BIGINT) AS ord
+       |  FROM tf6 WHERE tok > 0),
+       |cc AS (
+       |  SELECT pid, tok, sum(tok) OVER (
+       |    ORDER BY ord, pid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ordx)
+       |SELECT pid // 4 AS doc_id, pid % 4 AS rep, tok AS tokens,
+       |  CAST(cum - tok AS BIGINT) AS start_pos,
+       |  CAST((cum - tok) // 512 AS BIGINT) AS first_seq,
+       |  CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+       |FROM cc""".stripMargin
+
   /** Sequence packing — the concat-and-chunk layout step of a training
     * feed (operators.Packing): seeded splitmix64 shuffle order, global
     * token axis via the bucket-prefix cumsum (no single-partition
@@ -4330,6 +4405,7 @@ object SparkEntry {
     "curation_pipeline2" -> (curationPipeline2Q(_, _)),
     "pack_sequences" -> (packSequencesQ(_, _)),
     "line_dedup" -> (lineDedupQ(_, _)),
+    "training_feed" -> (trainingFeedQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4496,6 +4572,7 @@ object SparkEntry {
     "curation_pipeline2" -> curationPipeline2Sql,
     "pack_sequences" -> packSequencesSql,
     "line_dedup" -> lineDedupSql,
+    "training_feed" -> trainingFeedSql,
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
