@@ -4045,6 +4045,39 @@ object SparkEntry {
       |FROM l JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
 
+  /** n-gram LM perplexity filter (operators.LmFilter): add-0.5-smoothed
+    * bigram LM trained ON the corpus, each doc scored by the mean log
+    * probability of its bigram occurrences — the CCNet-style
+    * model-based quality stage. Counts are exact integers; ln is libm
+    * and the mean an unordered sum, so avg_logp is emitted float4 on
+    * both sides per the REAL convention. */
+  private def lmScoreQ(s: SparkSession, dir: String): DataFrame =
+    operators.LmFilter.scoreCorpus(
+        Tables.read(s, dir, "documents"), "doc_id", "text", k = 0.5)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("avg_logp").cast("float").as("avg_logp"))
+
+  private val lmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT t.doc_id, t.ts[g.i] AS w1, t.ts[g.i + 1] AS w2
+      |  FROM toks t CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts))) AS i) g
+      |  WHERE len(t.ts) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS vs
+      |      FROM (SELECT unnest(ts) AS w FROM toks)),
+      |sc AS (
+      |  SELECT p.doc_id, ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.vs)) AS logp
+      |  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |               avg(logp) AS al
+      |        FROM sc GROUP BY 1)
+      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |       CAST(agg.al AS REAL) AS avg_logp
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** End-to-end training-feed assembly — the round-10 curation operators
     * composed under ONE oracle: boilerplate line removal (corpus-global
     * frequency) → language-weighted mixture (en 1.0 identity, de 2.5×
@@ -4406,6 +4439,7 @@ object SparkEntry {
     "pack_sequences" -> (packSequencesQ(_, _)),
     "line_dedup" -> (lineDedupQ(_, _)),
     "training_feed" -> (trainingFeedQ(_, _)),
+    "lm_score" -> (lmScoreQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4573,6 +4607,7 @@ object SparkEntry {
     "pack_sequences" -> packSequencesSql,
     "line_dedup" -> lineDedupSql,
     "training_feed" -> trainingFeedSql,
+    "lm_score" -> lmScoreSql,
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality filtering via an n-gram language model — the
+ * CCNet/GPT-3-style "perplexity filter" stage of a training-data
+ * pipeline, with the LM trained ON the corpus being scored (no external
+ * model, zero egress): an add-k-smoothed bigram LM over the word stream,
+ * each document scored by the mean log-probability of its bigram
+ * occurrences. Low `avg_logp` (high perplexity) = unusual word
+ * transitions = boilerplate/garble candidates; the threshold stays a
+ * caller-side dial like the Gopher repetition signals.
+ *
+ * Scale shape: training is two count aggregations over the exploded
+ * bigram stream (map-side combined, one shuffle each on the gram key);
+ * scoring joins the stream back to those counts on the SAME keys —
+ * co-partitioned with the counting shuffles, no broadcast of the model
+ * (corpus-sized vocabularies don't broadcast at 100 TB). The only
+ * driver-side value is the vocabulary size (one long).
+ *
+ * Numerics: counts and the smoothed ratio are integer-derived and exact;
+ * `ln` is libm (1-ulp engine drift) and the per-doc mean is an unordered
+ * double sum, so outputs follow the float4 convention — callers/oracles
+ * must CAST the mean to REAL (see SparkEntry scaladoc).
+ */
+object LmFilter {
+
+  /** Per-doc bigram-LM scores: `(idCol, n_bigrams, avg_logp)`.
+    * Docs with fewer than two tokens score `(0, null)`. */
+  def scoreCorpus(df: DataFrame, idCol: String, textCol: String,
+                  k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive: $k")
+    val toks = df.select(col(idCol),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // vocabulary size: the one driver-side scalar (like k centroids)
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val scored = pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("logp", log((col("c12") + lit(k)) / (col("c1") + lit(k * vocab))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+}
