@@ -57,6 +57,7 @@ object Bench {
     "pack_sequences",                                     // token-axis packing (cumsum family)
     "training_feed",                                      // line dedup -> mixture -> packing
     "line_dedup",                                         // corpus-global boilerplate removal
+    "lm_score",                                           // corpus-trained bigram perplexity filter
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
