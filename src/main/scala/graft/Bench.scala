@@ -33,8 +33,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline subset: one representative per operator family; every row
-    * is a plan that survives a 100× scale-up. */
-  private val headline: Seq[String] = Seq(
+    * is a plan that survives a 100× scale-up. Package-visible so
+    * `BenchShapeSpec` can pin the output-line budget and registry
+    * membership. */
+  private[graft] val headline: Seq[String] = Seq(
     "q1_agg",       // decimal-cast ORACLE-PARITY variant (labeled; see q1_agg_typed)
     "q1_agg_typed", // the production numeric plan users actually get
     "q2_join", "q3_topk", "q4_window",                    // relational core
@@ -142,14 +144,26 @@ object Bench {
     }
     val calibAfter = calibrate()
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spread = results.map { case (k, _, s) =>
-      "\"" + k + "\":" + BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    }.mkString("{", ",", "}")
+    // The driver records only the LAST 2000 chars of output (BENCH_r*.json
+    // "tail"); r8's full-precision line outgrew that window and truncated
+    // the headline total. Keep the line under ~1500 chars: 4-decimal
+    // per-query seconds (0.1 ms resolution on 0.05-3 s queries), and the
+    // spread map limited to the 10 noisiest rows (spread > max(0.1 s,
+    // 25% of min) — quiet rows' spread is noise floor, not signal).
+    def f4(x: Double): String =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+    val noisy = results
+      .filter { case (_, v, s) => v >= 0 && s > math.max(0.1, 0.25 * v) }
+      .sortBy { case (_, _, s) => -s }.take(10)
+    val spread = noisy.map { case (k, _, s) => "\"" + k + "\":" + f4(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"spread":$spread,""" +
-      s""""calib_sec":{"before":$calibBefore,"after":$calibAfter},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"spread_noisy":$spread,"spread_quiet_rows":${results.size - noisy.size},""" +
+      s""""calib_sec":{"before":${f4(calibBefore)},"after":${f4(calibAfter)}},"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may truncate in driver tail")
+    println(line)
     spark.stop()
   }
 }
