@@ -1607,6 +1607,50 @@ object SparkEntry {
     rows.toDF("nprobe", "blocked_pairs", "exact_pairs", "recall")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup removal with
+    * cluster blocking — the embedding-space sibling of `dedup_pipeline`.
+    * Centroids here are the 8 smallest-vec_id embeddings (a fixed seed
+    * set the oracle can name; production would pass KMeans centers), so
+    * assignment, within-cluster pair generation, component closure and
+    * keeper choice are all hash-checked end to end. */
+  private def semDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val cents = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    operators.Dedup.semDedup(e, "vec_id", "embedding", cents, "cid", "cvec", 0.62)
+      .select(col("id").as("vec_id"), col("cluster"), col("component"), col("keeper"))
+  }
+
+  private val semDedupSql =
+    """WITH RECURSIVE c AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |ad AS (
+      |  SELECT e.vec_id AS id, c.cid,
+      |    1.0 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cd
+      |  FROM embeddings e CROSS JOIN c),
+      |a AS (
+      |  SELECT id, cid AS cluster FROM (
+      |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cd, cid) AS rn
+      |    FROM ad) WHERE rn = 1),
+      |p AS (
+      |  SELECT x.id AS a_id, y.id AS b_id
+      |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.id < y.id
+      |  JOIN embeddings ea ON ea.vec_id = x.id
+      |  JOIN embeddings eb ON eb.vec_id = y.id
+      |  WHERE 1.0 - list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) <= 0.62),
+      |ed AS (SELECT a_id AS src, b_id AS dst FROM p
+      |       UNION ALL SELECT b_id, a_id FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM ed
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON e2.src = r.dst),
+      |m AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+      |SELECT a.id AS vec_id, a.cluster,
+      |  CAST(coalesce(least(m.mn, a.id), a.id) AS BIGINT) AS component,
+      |  (coalesce(least(m.mn, a.id), a.id) = a.id) AS keeper
+      |FROM a LEFT JOIN m ON m.src = a.id""".stripMargin
+
   /** Scale path for exact dedup: shuffle the 8-byte xxhash64 fingerprint
     * instead of full payloads; keepers must equal the payload-group path. */
   private def fingerprintDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -4341,6 +4385,7 @@ object SparkEntry {
     "ivfpq_recall_fixpoint" -> (ivfpqRecallFixpointQ(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_cosine" -> (dedupCosine(_, _)),
+    "semdedup" -> (semDedupQ(_, _)),
     "ivf_join_exact" -> (ivfJoinExact(_, _)),
     "ivf_join_prod" -> (ivfJoinProd(_, _)),
     "ivf_join_recall" -> (ivfJoinRecall(_, _)),
@@ -4546,6 +4591,7 @@ object SparkEntry {
     "ivfpq_recall_fixpoint" -> ivfpqRecallFixpointSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cosine" -> dedupCosineSql,
+    "semdedup" -> semDedupSql,
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan

@@ -461,4 +461,47 @@ object Dedup {
       .filter(col("cosine_distance") <= maxCosineDistance)
       .select("a_id", "b_id", "cosine_distance")
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup at
+   * corpus scale: assign every embedding to its nearest centroid, then
+   * generate near-dup pairs WITHIN clusters only, close them into
+   * components, keep the min-id member of each. The cluster blocking is
+   * the whole point: pair generation costs Σ|Cᵢ|² instead of |D|², and
+   * the pair join shuffles on the cluster key — at 100 TB the centroids
+   * (k ≪ |D|) broadcast, the corpus never does.
+   *
+   * `centroids` is a SMALL (cid, cvec) frame — in production the
+   * [[graft.ml.KmeansFixpoint]] / MLlib KMeans centers; the oracle query
+   * pins the algebra with fixed seed centroids instead, so assignment,
+   * blocking, closure and keeper choice are all hash-checked without
+   * depending on a trained artifact.
+   *
+   * Ties in the nearest-centroid argmin break to the smallest cid
+   * (lexicographic `min(struct(dist, cid))` — the oracle's
+   * `ORDER BY cd, cid`), so assignment is deterministic even on
+   * duplicate vectors.
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cidCol: String, cvecCol: String,
+               maxCosineDistance: Double, maxIter: Int = 50): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val c = centroids.select(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec"))
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("cd", Knn.distCol("cosine")(col("vec"), col("cvec")))
+      .groupBy("id").agg(min(struct(col("cd"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cluster"))
+    val clustered = e.join(assigned, "id")
+    val pairs = clustered.select(col("id").as("a_id"), col("vec").as("a_vec"), col("cluster"))
+      .join(clustered.select(col("id").as("b_id"), col("vec").as("b_vec"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cd", Knn.distCol("cosine")(col("a_vec"), col("b_vec")))
+      .filter(col("cd") <= maxCosineDistance)
+      .select("a_id", "b_id")
+    val comp = dupGroups(df, idCol, pairs, maxIter = maxIter)
+    assigned.join(comp, "id")
+      .select(col("id"), col("cluster"), col("component"),
+        (col("id") === col("component")).as("keeper"))
+  }
 }

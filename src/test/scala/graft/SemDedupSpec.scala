@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/**
+ * SemDeDup (cluster-blocked semantic dedup) invariants on a hand-built
+ * fixture. The oracle query (`semdedup`) hash-checks the full algebra
+ * against DuckDB at every sf; this spec pins the contract points a hash
+ * can't explain on its own: blocking (cross-cluster near-dups are NOT
+ * paired), keeper/component arithmetic, and argmin tie-breaking.
+ */
+class SemDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Two tight clusters on orthogonal axes + one straggler per cluster.
+  // ids 1,2,3 ≈ x-axis (1≈2 near-dup, 3 rotated away); ids 10,11 ≈ y-axis
+  // near-dups. Cosine distance between the axes is ≈1 — never a pair.
+  private def fixture = Seq(
+    (1L, Array(1.0f, 0.01f, 0f)),
+    (2L, Array(1.0f, 0.012f, 0f)),
+    (3L, Array(0.8f, 0.6f, 0f)),
+    (10L, Array(0.01f, 1.0f, 0f)),
+    (11L, Array(0.011f, 1.0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  private def centroids = Seq(
+    (100L, Array(1.0f, 0f, 0f)),
+    (200L, Array(0f, 1.0f, 0f))
+  ).toDF("cid", "cvec")
+
+  test("blocks pairs by cluster, closes components, keeps min ids") {
+    val out = Dedup.semDedup(fixture, "vec_id", "embedding",
+      centroids, "cid", "cvec", maxCosineDistance = 0.001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    assert(out(1) == ((100L, 1L, true)))   // component head
+    assert(out(2) == ((100L, 1L, false)))  // near-dup of 1, dropped
+    assert(out(3) == ((100L, 3L, true)))   // same cluster, far: own singleton
+    assert(out(10) == ((200L, 10L, true)))
+    assert(out(11) == ((200L, 10L, false)))
+    // exactly one keeper per component
+    val byComp = out.values.groupBy(_._2)
+    assert(byComp.forall { case (comp, ms) => ms.count(_._3) == 1 &&
+      ms.exists { case (_, c, k) => k && c == comp } })
+  }
+
+  test("cross-cluster near-dups are invisible to the blocked pass") {
+    // identical vectors but straddling the centroid boundary get DIFFERENT
+    // clusters and therefore never pair — the SemDeDup recall trade.
+    val df = Seq(
+      (1L, Array(1.0f, 0.999f, 0f)),
+      (2L, Array(0.999f, 1.0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+      centroids, "cid", "cvec", maxCosineDistance = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L && out(2L) == 2L) // both kept as singletons
+  }
+
+  test("argmin ties break to the smallest centroid id") {
+    val dupCents = Seq(
+      (7L, Array(1.0f, 0f, 0f)),
+      (5L, Array(1.0f, 0f, 0f)) // same vector, smaller id
+    ).toDF("cid", "cvec")
+    val df = Seq((1L, Array(1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cluster = Dedup.semDedup(df, "vec_id", "embedding",
+      dupCents, "cid", "cvec", 0.1).select("cluster").as[Long].head()
+    assert(cluster == 5L)
+  }
+}
