@@ -4089,6 +4089,28 @@ object SparkEntry {
       |FROM l JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
 
+  /** Classifier-based quality filtering (ml.QualityClf): logistic
+    * regression over djb2-hashed bag-of-words features, full-batch GD,
+    * trained against the corpus's own lang='en' labels — the
+    * fastText/DCLM-style discriminative sibling of the `lm_score`
+    * perplexity filter. The whole train+score chain sits under one
+    * epoch-unrolled oracle; scores pass through exp (libm) so they are
+    * emitted float4 on both sides.
+    *
+    * NOTE on the label: the driver's synthetic corpus draws every lang's
+    * text from the SAME vocabulary, so `lang='en'` is genuinely
+    * unlearnable here and the trained separation is ≈0 BY CONSTRUCTION —
+    * the oracle pins the 24-epoch training algebra, not model quality.
+    * `QualityClfSpec` proves the trainer separates classes (accuracy
+    * 1.0) on a fixture whose classes use disjoint vocabularies. */
+  private def qualityClfQ(s: SparkSession, dir: String): DataFrame =
+    ml.QualityClf.trainScore(Tables.read(s, dir, "documents"), "doc_id", "text",
+      (col("lang") === "en"), d = 64, epochs = 24, lr = 8.0)
+
+  private val qualityClfSql = ml.QualityClf.oracleSql(
+    "documents", "doc_id", "text", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+    d = 64, epochs = 24, lr = 8.0)
+
   /** n-gram LM perplexity filter (operators.LmFilter): add-0.5-smoothed
     * bigram LM trained ON the corpus, each doc scored by the mean log
     * probability of its bigram occurrences — the CCNet-style
@@ -4485,6 +4507,7 @@ object SparkEntry {
     "line_dedup" -> (lineDedupQ(_, _)),
     "training_feed" -> (trainingFeedQ(_, _)),
     "lm_score" -> (lmScoreQ(_, _)),
+    "quality_clf" -> (qualityClfQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4654,6 +4677,7 @@ object SparkEntry {
     "line_dedup" -> lineDedupSql,
     "training_feed" -> trainingFeedSql,
     "lm_score" -> lmScoreSql,
+    "quality_clf" -> qualityClfSql,
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,

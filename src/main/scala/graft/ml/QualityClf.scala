@@ -1,0 +1,183 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Model-based quality/domain CLASSIFIER filtering — the fastText-style
+ * linear classifier over hashed bag-of-words features that CCNet, GPT-3
+ * ("quality classifier"), LLaMA and DCLM use to score web documents
+ * against a curated-looking positive class. The reference ships no such
+ * classifier; it is part of the training-data north star (SURVEY §2 /
+ * BASELINE pipeline ops) alongside the perplexity filter
+ * ([[graft.operators.LmFilter]]) — that one scores documents by an
+ * n-gram LM, this one by a DISCRIMINATIVE model trained on labels.
+ *
+ * Model: logistic regression, w ∈ R^d + bias, zero-initialized
+ * (convex — no seed stream needed), trained by full-batch gradient
+ * descent for a fixed epoch count.
+ *
+ * Features per document: words = lowercased `[a-z0-9]+` runs; bucket
+ * j = djb2(word) mod d ([[TextFunctions.djb2Bucket]], the repo-wide
+ * term hash); x_j = count_j / total_words (0-vector for empty docs).
+ *
+ * Scale shape: features are computed ONCE and persisted; each epoch is
+ * one broadcast of the (d+1)-cell model and ONE unordered (d+1)-cell
+ * gradient aggregation with map-side partials — the corpus never
+ * shuffles. At 100 TB that is `epochs` scans of a cached projection,
+ * the standard full-batch shape (production would subsample the
+ * training slice; the scoring pass is a single stateless map either
+ * way).
+ *
+ * Oracle contract (fixpoint-family conventions, SCALING.md):
+ * per-row dot products fold left-to-right in coordinate order
+ * (`list_reduce` order), gradients are plain unordered sums
+ * (~1e-15/epoch cross-engine drift), and scores pass through
+ * `exp` (libm) so outputs are emitted float4 on both sides.
+ */
+object QualityClf {
+
+  @inline private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
+
+  /** Hashed-BoW feature vector; exactly mirrors the SQL in [[oracleSql]]. */
+  private def features(text: String, d: Int): Array[Double] = {
+    val out = new Array[Double](d)
+    if (text == null) return out
+    val m = java.util.regex.Pattern.compile("[a-z0-9]+").matcher(text.toLowerCase)
+    var total = 0
+    while (m.find()) {
+      out(TextFunctions.djb2Bucket(m.group(), d)) += 1.0
+      total += 1
+    }
+    if (total > 0) { var j = 0; while (j < d) { out(j) /= total; j += 1 } }
+    out
+  }
+
+  /**
+   * Train on every row of `df` (label = `labelSql` as 0/1 double) and
+   * return (idCol, label BIGINT, score float) — score is the trained
+   * model's P(label=1) per document. One frame so the whole train+score
+   * contract sits under a single oracle.
+   */
+  def trainScore(df: DataFrame, idCol: String, textCol: String,
+                 labelCol: org.apache.spark.sql.Column,
+                 d: Int = 16, epochs: Int = 8, lr: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    val featUdf = udf((t: String) => features(t, d).toSeq)
+    val tr = df.select(col(idCol).cast("long").as("id"),
+      labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
+    try {
+      val n = tr.count()
+      val w = new Array[Double](d)
+      var bias = 0.0
+      for (_ <- 1 to epochs) {
+        val bw = spark.sparkContext.broadcast((w.clone(), bias))
+        val gradUdf = udf((xs: Seq[Double], y: Double) => {
+          val (wv, bv) = bw.value
+          var z = 0.0
+          var j = 0
+          while (j < d) { z += wv(j) * xs(j); j += 1 }
+          val r = sigmoid(z + bv) - y
+          val g = new Array[Double](d + 1)
+          j = 0
+          while (j < d) { g(j) = r * xs(j); j += 1 }
+          g(d) = r
+          g.toSeq
+        })
+        val sums = tr.select(posexplode(gradUdf(col("xs"), col("y"))).as(Seq("gi", "gv")))
+          .groupBy("gi").agg(sum("gv").as("g"))
+          .collect().map(r => (r.getAs[Int]("gi"), r.getAs[Double]("g"))).toMap
+        bw.destroy()
+        var j = 0
+        while (j < d) { w(j) -= lr * (sums.getOrElse(j, 0.0) / n); j += 1 }
+        bias -= lr * (sums.getOrElse(d, 0.0) / n)
+      }
+      val bw = spark.sparkContext.broadcast((w, bias))
+      val scoreUdf = udf((xs: Seq[Double]) => {
+        val (wv, bv) = bw.value
+        var z = 0.0
+        var j = 0
+        while (j < d) { z += wv(j) * xs(j); j += 1 }
+        sigmoid(z + bv)
+      })
+      // materialize BEFORE unpersist (AeFixpoint contract) so the scoring
+      // pass doesn't recompute features from source, then release the
+      // model broadcast
+      val out = tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
+          scoreUdf(col("xs")).cast("float").as("score"))
+        .localCheckpoint(true)
+      bw.destroy()
+      out
+    } finally tr.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB unroll
+  // ------------------------------------------------------------------
+
+  /** djb2 fold over UTF-8/ASCII codepoints, 32-bit wrap — same SQL form
+    * as the rag/simhash oracles. */
+  private def djb2Sql(strExpr: String): String = {
+    val bytes =
+      s"list_transform(range(1, length($strExpr) + 1), i -> CAST(unicode($strExpr[i]) AS BIGINT))"
+    s"list_reduce(list_prepend(CAST(5381 AS BIGINT), $bytes), " +
+      "(h, c) -> xor((h * 33) % 4294967296, c))"
+  }
+
+  /** Epoch-unrolled training + scoring for DuckDB; must mirror
+    * [[trainScore]] bit-for-bit up to unordered-sum drift. */
+  def oracleSql(table: String, idCol: String, textCol: String,
+                labelSql: String, d: Int, epochs: Int, lr: Double): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH docs AS MATERIALIZED (
+      |  SELECT $idCol AS id, CAST($labelSql AS DOUBLE) AS y,
+      |    regexp_extract_all(lower($textCol), '[a-z0-9]+') AS ws
+      |  FROM $table),
+      |wb AS MATERIALIZED (
+      |  SELECT id, CAST(${djb2Sql("w")} % $d AS INTEGER) AS j
+      |  FROM (SELECT id, unnest(ws) AS w FROM docs)),
+      |cnt AS MATERIALIZED (SELECT id, j, count(*)::DOUBLE AS c FROM wb GROUP BY id, j),
+      |tot AS MATERIALIZED (SELECT id, count(*)::DOUBLE AS t FROM wb GROUP BY id),
+      |xs AS MATERIALIZED (
+      |  SELECT d.id, d.y, list(
+      |    CASE WHEN coalesce(t.t, 0) = 0 THEN 0.0
+      |         ELSE coalesce(c.c, 0.0) / t.t END ORDER BY r.j) AS xs
+      |  FROM docs d
+      |  CROSS JOIN range(0, $d) r(j)
+      |  LEFT JOIN cnt c ON c.id = d.id AND c.j = r.j
+      |  LEFT JOIN tot t ON t.id = d.id
+      |  GROUP BY d.id, d.y),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM xs),
+      |w_0 AS MATERIALIZED (SELECT CAST(j AS INTEGER) AS j, 0.0 AS v FROM range(0, $d) t(j)),
+      |b_0 AS MATERIALIZED (SELECT 0.0 AS v)""".stripMargin
+    for (e <- 1 to epochs) {
+      val p = e - 1
+      sb ++= s""",
+        |wl_$e AS MATERIALIZED (SELECT list(v ORDER BY j) AS l FROM w_$p),
+        |r_$e AS MATERIALIZED (
+        |  SELECT x.id, x.y, x.xs,
+        |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, ${d + 1}), j -> w.l[j] * x.xs[j])),
+        |      (a, b) -> a + b) + b.v))) - x.y AS r
+        |  FROM xs x, wl_$e w, b_$p b),
+        |g_$e AS MATERIALIZED (
+        |  SELECT rr.j, sum(t.r * t.xs[rr.j + 1]) AS g
+        |  FROM r_$e t CROSS JOIN range(0, $d) rr(j) GROUP BY rr.j),
+        |w_$e AS MATERIALIZED (
+        |  SELECT w.j, w.v - $lr * (g.g / (SELECT n FROM nn)) AS v
+        |  FROM w_$p w JOIN g_$e g ON g.j = w.j),
+        |b_$e AS MATERIALIZED (
+        |  SELECT b.v - $lr * ((SELECT sum(r) FROM r_$e) / (SELECT n FROM nn)) AS v
+        |  FROM b_$p b)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT x.id AS $idCol, CAST(x.y AS BIGINT) AS label,
+      |  CAST(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+      |    list_transform(range(1, ${d + 1}), j -> w.l[j] * x.xs[j])),
+      |    (a, b) -> a + b) + b.v))) AS REAL) AS score
+      |FROM xs x, (SELECT list(v ORDER BY j) AS l FROM w_$epochs) w, b_$epochs b""".stripMargin
+    sb.toString
+  }
+}
