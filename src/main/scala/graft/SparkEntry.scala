@@ -4089,6 +4089,44 @@ object SparkEntry {
       |FROM l JOIN f USING (line)
       |GROUP BY l.doc_id""".stripMargin
 
+  /** Duplicated-span removal (Dedup.spanDedup): word-8-grams verbatim in
+    * ≥2 distinct docs are cut from every doc, text rebuilt in token
+    * order — the distributed stand-in for Lee et al.'s suffix-array
+    * substring dedup. Exact-integer + string outputs; the oracle replays
+    * gram extraction, flagging, coverage and the ordered rebuild. */
+  private def spanDedupQ(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.spanDedup(Tables.read(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2)
+
+  private val spanDedupSql =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT t.doc_id, r.i AS pos, array_to_string(t.ts[r.i + 1:r.i + 8], ' ') AS gram
+      |  FROM toks t CROSS JOIN LATERAL
+      |    (SELECT unnest(range(0, len(t.ts) - 7)) AS i) r
+      |  WHERE len(t.ts) >= 8),
+      |f AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, g.pos + r.d AS p
+      |  FROM g JOIN f USING (gram) CROSS JOIN range(0, 8) r(d)),
+      |tp AS (
+      |  SELECT t.doc_id, r.i AS p, t.ts[r.i + 1] AS tok
+      |  FROM toks t CROSS JOIN LATERAL (SELECT unnest(range(0, len(t.ts))) AS i) r),
+      |reb AS (
+      |  SELECT tp.doc_id,
+      |    coalesce(array_to_string(list(tp.tok ORDER BY tp.p)
+      |      FILTER (WHERE cov.p IS NULL), ' '), '') AS clean_text,
+      |    CAST(count(cov.p) AS BIGINT) AS removed_tokens,
+      |    CAST(count(*) AS BIGINT) AS total_tokens
+      |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+      |  GROUP BY tp.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(r.clean_text, '') AS clean_text,
+      |  coalesce(r.removed_tokens, 0) AS removed_tokens,
+      |  coalesce(r.total_tokens, 0) AS total_tokens
+      |FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin
+
   /** Classifier-based quality filtering (ml.QualityClf): logistic
     * regression over djb2-hashed bag-of-words features, full-batch GD,
     * trained against the corpus's own lang='en' labels — the
@@ -4508,6 +4546,7 @@ object SparkEntry {
     "training_feed" -> (trainingFeedQ(_, _)),
     "lm_score" -> (lmScoreQ(_, _)),
     "quality_clf" -> (qualityClfQ(_, _)),
+    "span_dedup" -> (spanDedupQ(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4678,6 +4717,7 @@ object SparkEntry {
     "training_feed" -> trainingFeedSql,
     "lm_score" -> lmScoreSql,
     "quality_clf" -> qualityClfSql,
+    "span_dedup" -> spanDedupSql,
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,

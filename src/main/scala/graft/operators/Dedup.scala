@@ -463,6 +463,68 @@ object Dedup {
   }
 
   /**
+   * Duplicated-SPAN removal — the word-n-gram form of exact substring
+   * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+   * Models Better": repeated ≥k-token substrings are memorization fuel
+   * and should be cut from the corpus, not just whole-doc deduped).
+   * Suffix arrays don't distribute; the Spark-shaped equivalent is:
+   *
+   *  1. word n-grams with their start positions (one `posexplode`, no
+   *     self-join — the gram list is built per-row with native
+   *     `transform`/`slice`);
+   *  2. grams verbatim in ≥ `minDocs` DISTINCT docs are flagged (one
+   *     shuffle on the gram key, map-side partial distinct);
+   *  3. every token covered by a flagged gram occurrence is dropped and
+   *     the doc rebuilt in order (ordered `array_sort(collect_list)`
+   *     rebuild, the [[lineDedup]] pattern at token granularity).
+   *
+   * `hashGrams=true` shuffles 8-byte xxhash64 keys instead of ~n-word
+   * gram strings — the 100 TB dial (identical output modulo 2⁻⁶⁴
+   * collisions; `SpanDedupSpec` pins parity). Tokenization is the
+   * corpus-wide `[a-z0-9]+` rule, so the oracle can replay everything.
+   *
+   * Returns (idCol, clean_text, removed_tokens, total_tokens) for EVERY
+   * input row — tokenless docs come back with empty text and zero
+   * counts.
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 8, minDocs: Long = 2,
+                hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val toks = df.select(col(idCol),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("__ts"))
+    val tokpos = toks.select(col(idCol), posexplode(col("__ts")).as(Seq("__p", "__tok")))
+    def gramKey(c: Column): Column = if (hashGrams) xxhash64(c) else c
+    val grams = toks.filter(size(col("__ts")) >= n)
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, size(__ts) - $n), i -> concat_ws(' ', slice(__ts, i + 1, $n)))"))
+        .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__gk"))
+    val flagged = grams.groupBy("__gk")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__gk")
+    val covered = grams.join(flagged, "__gk")
+      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val rebuilt = tokpos.join(covered, Seq(idCol, "__p"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(if(__cov, null, struct(__p, __tok)))), s -> s.__tok)"))
+          .as("clean_text"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("removed_tokens"),
+        count(lit(1)).as("total_tokens"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+  }
+
+  /**
    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup at
    * corpus scale: assign every embedding to its nearest centroid, then
    * generate near-dup pairs WITHIN clusters only, close them into
