@@ -2309,6 +2309,68 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** Decimating audio resample, FULL oracle — the stride-4 downsample
+    * over the same closed-form PCM16 payloads as [[audioSamples]]
+    * (encode → chunk-walk decode → every 4th frame, interleave
+    * preserved), with the decimated stream's stats re-derived by the
+    * oracle from the closed form. Integer selection end to end; only
+    * rms passes through sqrt (IEEE, round-6-safe) but stays float4 for
+    * family consistency. */
+  private def audioResample(s: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((docId: Long, nChars: Long) => {
+      val rate = Array(8000, 16000, 22050, 44100)((docId % 4).toInt)
+      val channels = 1 + (docId % 2).toInt
+      val frames = 50 + (nChars % 200).toInt
+      val samples = new Array[Short](frames * channels)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = (((docId * 31 + i * 7) % 65536) - 32768).toShort
+        i += 1
+      }
+      operators.Multimodal.encodeWavPcm16(samples, rate, channels)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), wavUdf(col("doc_id"), col("n_chars")).as("payload"))
+    operators.Multimodal.decodeAudioResampled(media, factor = 4)
+      .select(col("doc_id"),
+        col("audio_n_samples").as("n_samples"),
+        col("audio_out_rate").as("out_rate"),
+        col("audio_peak").as("peak"),
+        col("audio_zero_crossings").as("zero_crossings"),
+        col("audio_energy").as("energy"),
+        col("audio_rms").as("rms"))
+  }
+
+  private val audioResampleSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |    [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1] AS rate,
+      |    50 + n_chars % 200 AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ch, rate,
+      |    ((frames + 3) // 4) * ch AS n,
+      |    list_transform(
+      |      flatten(list_transform(range(0, frames, 4),
+      |        f -> list_transform(range(0, ch), c -> f * ch + c))),
+      |      i -> (doc_id * 31 + i * 7) % 65536 - 32768) AS ys
+      |  FROM base),
+      |agg AS (
+      |  SELECT doc_id, ch, rate, n, ys,
+      |    CAST(list_sum(list_transform(ys, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(n AS INT) AS n_samples,
+      |  CAST(rate // 4 AS INT) AS out_rate,
+      |  CAST(list_max(list_transform(ys, x -> abs(x))) AS INT) AS peak,
+      |  CAST(len(list_filter(range(0, n),
+      |    i -> i >= ch AND ((ys[CAST(i - ch AS INT) + 1] < 0) <> (ys[CAST(i AS INT) + 1] < 0)))) AS BIGINT)
+      |    AS zero_crossings,
+      |  energy,
+      |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
+      |FROM agg""".stripMargin
+
   /** REAL compressed-codec audio decode, FULL oracle — G.711 µ-law
     * (audioFormat 7) and A-law (audioFormat 6) WAV payloads, the one
     * audio codec family whose expansion is pure integer math: per
@@ -4472,6 +4534,7 @@ object SparkEntry {
     "image_decode" -> (imageDecode(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
+    "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "video_meta" -> (videoMeta(_, _)),
     "video_frames" -> (videoFrames(_, _)),
@@ -4690,6 +4753,7 @@ object SparkEntry {
     "image_decode" -> imageDecodeSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,
+    "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "video_meta" -> videoMetaSql,
     "video_frames" -> videoFramesSql,

@@ -408,6 +408,54 @@ object Multimodal {
       .drop("pcm")
   }
 
+  /** Decimating resample — the stride-k downsampler cheap ingest
+    * pipelines run before audio feature extraction (every k-th FRAME
+    * kept, channel interleave preserved; output rate = rate/k floored).
+    * Pure integer selection, so the whole path stays oracle-exact where
+    * an interpolating resampler would drag libm in. Emits the decimated
+    * stream's length/rate and the same waveform stats as
+    * [[decodeAudioFeatures]]; non-PCM rows yield NULLs. Stateless
+    * per-row map — partition-local at any corpus size. */
+  def decodeAudioResampled(media: DataFrame, factor: Int,
+                           payloadCol: String = "payload"): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    val dec = udf((payload: Array[Byte]) =>
+      decodeWavSamples(payload).map { case (m, xs) =>
+        val ch = m.channels
+        val frames = if (ch == 0) 0 else xs.length / ch
+        val outFrames = (frames + factor - 1) / factor
+        val ys = new Array[Short](outFrames * ch)
+        var f = 0
+        while (f < outFrames) {
+          var c = 0
+          while (c < ch) { ys(f * ch + c) = xs(f * factor * ch + c); c += 1 }
+          f += 1
+        }
+        var peak = 0
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < ys.length) {
+          val v = ys(i).toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toLong * v
+          if (i >= ch && ((ys(i - ch) < 0) != (ys(i) < 0))) zc += 1
+          i += 1
+        }
+        val rms = if (ys.isEmpty) 0f
+          else math.sqrt(sumSq.toDouble / ys.length).toFloat
+        (ys.length, m.sampleRate / factor, peak, zc, sumSq, rms)
+      })
+    media.withColumn("pcm", dec(col(payloadCol)))
+      .withColumn("audio_n_samples", col("pcm._1"))
+      .withColumn("audio_out_rate", col("pcm._2"))
+      .withColumn("audio_peak", col("pcm._3"))
+      .withColumn("audio_zero_crossings", col("pcm._4"))
+      .withColumn("audio_energy", col("pcm._5"))
+      .withColumn("audio_rms", col("pcm._6"))
+      .drop("pcm")
+  }
+
   // ------------- real video metadata decode (RIFF/AVI parse) -------------
 
   /** Parsed AVI main header (`avih`): dimensions, frame count, frame

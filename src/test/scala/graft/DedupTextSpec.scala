@@ -504,4 +504,23 @@ class DedupTextSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(1), r.getLong(2)))
     assert(cleaned.forall(_ == (("", 2L))))
   }
+
+  test("audio decimation keeps every k-th frame with interleave and stats") {
+    // 5 stereo frames; frames 0,2,4 survive factor-2 decimation
+    val xs = Array[Short](1, -1, 9, 9, -3, 3, 9, 9, 5, -5)
+    val wav = Multimodal.encodeWavPcm16(xs, sampleRate = 8000, channels = 2)
+    val media = Seq((1L, wav)).toDF("doc_id", "payload")
+    val r = Multimodal.decodeAudioResampled(media, factor = 2).collect().head
+    assert(r.getAs[Int]("audio_n_samples") == 6)       // ys = [1,-1,-3,3,5,-5]
+    assert(r.getAs[Int]("audio_out_rate") == 4000)
+    assert(r.getAs[Int]("audio_peak") == 5)
+    assert(r.getAs[Long]("audio_zero_crossings") == 4L) // every survivor flips sign
+    assert(r.getAs[Long]("audio_energy") == 70L)
+    // factor=1 is the identity: same stats as the plain feature pass
+    val a = Multimodal.decodeAudioResampled(media, factor = 1).collect().head
+    val b = Multimodal.decodeAudioFeatures(media).collect().head
+    assert(a.getAs[Int]("audio_n_samples") == b.getAs[Int]("audio_n_samples"))
+    assert(a.getAs[Long]("audio_energy") == b.getAs[Long]("audio_energy"))
+    assert(a.getAs[Long]("audio_zero_crossings") == b.getAs[Long]("audio_zero_crossings"))
+  }
 }
