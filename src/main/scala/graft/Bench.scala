@@ -60,6 +60,9 @@ object Bench {
     "training_feed",                                      // line dedup -> mixture -> packing
     "line_dedup",                                         // corpus-global boilerplate removal
     "lm_score",                                           // corpus-trained bigram perplexity filter
+    "quality_clf",                                        // hashed-BoW logistic-regression quality scorer
+    "span_dedup_hashed",                                  // duplicated-span removal, 8-byte gram keys
+    "semdedup",                                           // cluster-blocked semantic dedup
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,

@@ -208,6 +208,41 @@ object ScaleBench {
         toks, "doc_id", "toks", budget = 4096L, seed = 42L).count())
       add("pack_sequences", nP, tP)
 
+      // Duplicated-span removal at the scale dial (hashGrams=true: 8-byte
+      // keys on the gram shuffle). The expanded corpus is 10-deep
+      // near-identical copies, so flagged-gram density is high — the
+      // worst realistic case for the coverage join.
+      // (aggregate over clean_text/removed so the ORDERED REBUILD is
+      // actually executed — a bare count() lets Catalyst skip it; the
+      // text_quality_scan lesson. rows = input cardinality.)
+      val (spRemoved, tSp) = time(operators.Dedup.spanDedup(
+          docs, "doc_id", "text", n = 8, minDocs = 2, hashGrams = true)
+        .agg(sum(length(col("clean_text"))), sum(col("removed_tokens")))
+        .head().getLong(1))
+      add("span_dedup", docs.count(), tSp,
+        Seq(("removed_tokens", spRemoved.toDouble)))
+
+      // SemDeDup with k centroids ∝ corpus size (the paper's recipe —
+      // cluster population stays ~constant, so within-cluster pair cost
+      // per row stays flat and total cost tracks the corpus, not |D|²).
+      // Centroids: the k smallest base vec_ids.
+      val kCents = 8 * s
+      val cents = emb0.orderBy("vec_id").limit(kCents)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (nSem, tSem) = time(operators.Dedup.semDedup(
+          emb, "vec_id", "embedding", cents, "cid", "cvec",
+          maxCosineDistance = 0.02)
+        .filter(col("keeper")).count())
+      add("semdedup", emb.count(), tSem,
+        Seq(("keepers", nSem.toDouble), ("centroids", kCents.toDouble)))
+
+      // Classifier training cost face: epochs × (broadcast + one (d+1)-cell
+      // aggregation) over the growing corpus — should be linear in rows.
+      val (_, tQc) = time(ml.QualityClf.trainScore(
+        docs, "doc_id", "text", col("doc_id") % 2 === 0,
+        d = 64, epochs = 4, lr = 4.0).count())
+      add("quality_clf_train", docs.count(), tQc)
+
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))

@@ -4160,6 +4160,15 @@ object SparkEntry {
     operators.Dedup.spanDedup(Tables.read(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** The 100×-scale dial of `span_dedup`: the gram shuffle carries
+    * 8-byte xxhash64 keys instead of ~8-word strings. Output-identical
+    * to its oracle sibling modulo 2⁻⁶⁴ collisions (SpanDedupSpec pins
+    * equality on real data); rows-only face, timed in the headline
+    * bench as the plan one would actually run. */
+  private def spanDedupHashed(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.spanDedup(Tables.read(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2, hashGrams = true)
+
   private val spanDedupSql =
     """WITH toks AS MATERIALIZED (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
@@ -4610,6 +4619,7 @@ object SparkEntry {
     "lm_score" -> (lmScoreQ(_, _)),
     "quality_clf" -> (qualityClfQ(_, _)),
     "span_dedup" -> (spanDedupQ(_, _)),
+    "span_dedup_hashed" -> (spanDedupHashed(_, _)),
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
@@ -4655,6 +4665,7 @@ object SparkEntry {
     "topics" -> "topics_fixpoint",
     "tsne_reduce" -> "tsne_fixpoint",
     "umap_reduce" -> "umap_fixpoint",
+    "span_dedup_hashed" -> "span_dedup",
     "video_frames_mjpeg" -> "video_frames",
     "whiten" -> "whiten_fixpoint")
 

@@ -198,4 +198,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("span_dedup corpus stages are hash joins/aggregates — no nested loop anywhere") {
+    val plan = planOf(SparkEntry.queries("span_dedup_hashed")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("semdedup: only the tiny centroid set rides a nested-loop; corpus-side joins hash") {
+    val plan = planOf(SparkEntry.queries("semdedup")(spark, dir))
+    // the k-centroid assignment crossJoin is the ONE permitted
+    // nested-loop (k rows broadcast); pair generation and closure must
+    // plan as hash joins on the cluster/id keys
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"expected at most the centroid crossJoin as NLJ, found $nlj in: $plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no hash join for the pair stage in: $plan")
+  }
 }
