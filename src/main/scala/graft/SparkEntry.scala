@@ -1891,6 +1891,121 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM u GROUP BY 1""".stripMargin
 
+  /** KMV distinct-count sketch, FULL oracle — per-language distinct-token
+    * estimates from a k-minimum-values state (k=64). The 100 TB shape:
+    * Spark's partial aggregation merges bounded sorted-hash states
+    * map-side, so the shuffle carries ≤ k longs per language instead of
+    * the distinct-token universe that `countDistinct`'s expand shuffles.
+    * The hash family is splitmix64 over djb2 fingerprints, so DuckDB
+    * re-derives the k-th minimum hash (emitted as unsigned 32-bit halves,
+    * bit-exact) and the (k-1)/U(h_k) estimate exactly; the exact distinct
+    * count rides along as ground truth. */
+  private def kmvDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.read(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+    val sk = operators.Sketches.kmvDistinct(toks, "lang", "u", 64)
+    val exact = toks.groupBy("lang").agg(countDistinct(col("u")).as("n_distinct"))
+    sk.join(exact, "lang")
+  }
+
+  private lazy val kmvDistinctSql =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |td AS (SELECT DISTINCT lang, t FROM toks),
+       |tu AS (SELECT lang, ${djb2Fold(sqlBytesOf("t"))} AS u FROM td),
+       |${mix64Ctes("kv", "tu", Seq("lang"), "u")},
+       |h AS (SELECT DISTINCT lang, z FROM kv6),
+       |r AS (SELECT lang, z,
+       |        row_number() OVER (PARTITION BY lang ORDER BY z) AS rn,
+       |        count(*) OVER (PARTITION BY lang) AS nd
+       |      FROM h),
+       |k AS (SELECT lang, count(*) AS n_kept, max(nd) AS n_distinct, max(z) AS kz
+       |      FROM r WHERE rn <= 64 GROUP BY 1)
+       |SELECT lang, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(kz // 4294967296 AS BIGINT) AS kth_hi,
+       |  CAST(kz % 4294967296 AS BIGINT) AS kth_lo,
+       |  CAST(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |            ELSE 63.0 * 18446744073709551616.0 / CAST(kz AS DOUBLE) END
+       |       AS REAL) AS est_distinct,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct
+       |FROM k""".stripMargin
+
+  /** Count-min sketch heavy hitters, FULL oracle — CMS-estimated counts
+    * (d=4 rows × w=1024 buckets) for the exact top-20 corpus terms. ONE
+    * pass over the raw token stream builds the grid; the mergeable d×w
+    * state — not the term universe — crosses the shuffle (Spark partial
+    * aggregation = the streaming sketch's merge), and the exact
+    * term-count top-k rides along as ground truth, so the oracle checks
+    * the sketch's overestimates themselves: bucket = splitmix64(djb2 ^
+    * row-seed) & 1023, estimate = min over rows of the bucket sums —
+    * pure integer arithmetic on both engines. */
+  private def cmsTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.read(s, dir, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    operators.Sketches.cmsTopK(toks, "term", kTop = 20, d = 4, w = 1024)
+  }
+
+  private lazy val cmsTopkSql = {
+    val seeds = operators.Sketches.cmsRowSeeds(4)
+    def su(i: Int) = java.lang.Long.toUnsignedString(seeds(i))
+    val zExpr = s"xor(u::HUGEINT, CASE r WHEN 0 THEN ${su(0)}::HUGEINT " +
+      s"WHEN 1 THEN ${su(1)}::HUGEINT WHEN 2 THEN ${su(2)}::HUGEINT " +
+      s"ELSE ${su(3)}::HUGEINT END)"
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+       |tu AS (SELECT term, c, ${djb2Fold(sqlBytesOf("term"))} AS u FROM tf),
+       |rr AS (SELECT term, c, u, unnest([0, 1, 2, 3]) AS r FROM tu),
+       |${mix64Ctes("cm", "rr", Seq("term", "c", "r"), zExpr)},
+       |tb AS (SELECT term, c, r, z % 1024 AS bucket FROM cm6),
+       |bs AS (SELECT r, bucket, sum(c) AS bsum FROM tb GROUP BY 1, 2),
+       |est AS (SELECT tb.term, max(tb.c) AS exact_cnt, min(bs.bsum) AS cms_est
+       |        FROM tb JOIN bs ON bs.r = tb.r AND bs.bucket = tb.bucket
+       |        GROUP BY 1)
+       |SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |  CAST(cms_est AS BIGINT) AS cms_est
+       |FROM est ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
+  }
+
+  /** Histogram quantile sketch, FULL oracle — one-scan fixed-bin (B=64)
+    * quantile estimates over `n_chars` next to the EXACT rank quantile
+    * (via DistributedRank — no single-partition sort on either path).
+    * Bin assignment is pure integer math; the interpolation expression
+    * tree is mirrored token-for-token in SQL and emitted float4. */
+  private def histQuantileQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.histQuantiles(
+      Tables.read(s, dir, "documents").select(col("n_chars"), col("doc_id")),
+      "n_chars", "doc_id", bins = 64, ps = Seq(0.5, 0.9, 0.99))
+
+  private val histQuantileSql =
+    """WITH s AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+      |                  CAST(max(n_chars) AS BIGINT) AS hi,
+      |                  count(*) AS n
+      |           FROM documents),
+      |b AS (SELECT least(63, ((n_chars - lo) * 64) // (hi - lo)) AS bin,
+      |             count(*) AS cnt
+      |      FROM documents, s GROUP BY 1),
+      |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM b),
+      |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+      |pick AS (
+      |  SELECT p, bin, cnt, cum - cnt AS cb
+      |  FROM ps, c
+      |  WHERE cum >= p * (SELECT n FROM s)
+      |  QUALIFY row_number() OVER (PARTITION BY p ORDER BY bin) = 1),
+      |ranked AS (
+      |  SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+      |  FROM documents)
+      |SELECT p AS percentile,
+      |  CAST(lo + bin * ((hi - lo) / 64.0)
+      |       + ((hi - lo) / 64.0) * ((p * n - cb) / cnt) AS REAL) AS est,
+      |  CAST((SELECT v FROM ranked
+      |        WHERE rn = CAST(floor(p * (n - 1)) AS BIGINT) + 1) AS BIGINT) AS exact
+      |FROM pick, s""".stripMargin
+
   /** Eval-set decontamination, FULL oracle — every 50th document plays
     * the benchmark corpus (derived from the same table on both engines,
     * no planted text), and each document reports how many of its word
@@ -4536,6 +4651,9 @@ object SparkEntry {
     "repetition_stats" -> (repetitionStatsQ(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
+    "kmv_distinct" -> (kmvDistinctQ(_, _)),
+    "cms_topk" -> (cmsTopkQ(_, _)),
+    "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
@@ -4738,6 +4856,9 @@ object SparkEntry {
     "repetition_stats" -> repetitionStatsSql,
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
+    "kmv_distinct" -> kmvDistinctSql,
+    "cms_topk" -> cmsTopkSql,
+    "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.functions.DetRandom.mix64
+
+/**
+ * Mergeable corpus-statistics sketches — the single-pass, bounded-state
+ * summaries a 100 TB curation run needs where exact `groupBy(term)` /
+ * global sorts stop being affordable. The reference exposes corpus stats
+ * through exact SQL aggregates (`NeuronDB/neurondb--1.0.sql` stats views);
+ * at cluster scale the same questions are answered by sketches whose
+ * states merge associatively, so Spark's partial aggregation gives
+ * map-side combine for free and the shuffle carries O(state) bytes per
+ * group instead of the full distinct universe.
+ *
+ * Every sketch here is DETERMINISTIC (splitmix64 over djb2 token
+ * fingerprints — the repo's shared hash family, re-derivable in DuckDB
+ * HUGEINT SQL via [[graft.functions.Mix64Sql]]), so unlike HLL++/t-digest
+ * the estimates themselves are oracle-checkable bit-for-bit:
+ *
+ *  - KMV (k-minimum-values) distinct-count: state = the k smallest
+ *    distinct 64-bit hashes, estimate (k-1)/U(h_k). Beats
+ *    `countDistinct`'s expand+shuffle of every distinct value: the
+ *    shuffle payload is ≤ k longs per group.
+ *  - Count-min sketch over a token stream: d×w counter grid, point
+ *    estimate = min over rows. One tiny mergeable state replaces the
+ *    full term-frequency table for heavy-hitter queries.
+ *  - Fixed-bin histogram quantiles: B integer-indexed bins (pure integer
+ *    bin math), linear interpolation inside the crossing bin. Mergeable
+ *    (bin counts add); one scan replaces a global sort.
+ */
+object Sketches {
+
+  /** djb2-32 of the UTF-8 bytes, folded to the unsigned 32-bit domain —
+    * the repo's standard string fingerprint (matches `djb2Fold` SQL). */
+  @inline def djb2u(s: String): Long = {
+    var h = 5381
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h = ((h << 5) + h) ^ (bytes(i) & 0xFF); i += 1 }
+    h.toLong & 0xFFFFFFFFL
+  }
+
+  /** Column: unsigned-32 djb2 fingerprint of a string column. */
+  val djb2Udf = udf((s: String) => if (s == null) null else Long.box(djb2u(s)))
+
+  /** Correctly-rounded unsigned-64 → double (BigDecimal path), the same
+    * rounding DuckDB's HUGEINT→DOUBLE cast performs; outputs are float4
+    * anyway per the libm convention, belt and braces. */
+  @inline private[operators] def u64ToDouble(h: Long): Double =
+    new java.math.BigDecimal(java.lang.Long.toUnsignedString(h)).doubleValue()
+
+  private val TWO64: Double = 1.8446744073709552E19 // 2^64, exactly representable
+
+  // ======================================================================
+  // KMV distinct sketch
+  // ======================================================================
+
+  /** Bounded sorted-unsigned-distinct-hash state. Buffer layout: ascending
+    * by UNSIGNED value, no duplicates, length ≤ k. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(b: Array[Long], u: Long): Array[Long] = insert(b, mix64(u))
+
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compareUnsigned(b(mid), h)
+        if (c < 0) lo = mid + 1
+        else if (c > 0) hi = mid
+        else return b // already present
+      }
+      if (b.length >= k && lo >= k) return b // larger than current kth min
+      val keep = math.min(b.length + 1, k)
+      val out = new Array[Long](keep)
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = h
+      System.arraycopy(b, lo, out, lo + 1, keep - lo - 1)
+      out
+    }
+
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.isEmpty) return y
+      if (y.isEmpty) return x
+      val out = new Array[Long](math.min(x.length + y.length, k))
+      var i = 0; var j = 0; var w = 0
+      while (w < out.length && (i < x.length || j < y.length)) {
+        val take =
+          if (i >= x.length) { val v = y(j); j += 1; v }
+          else if (j >= y.length) { val v = x(i); i += 1; v }
+          else {
+            val c = java.lang.Long.compareUnsigned(x(i), y(j))
+            if (c < 0) { val v = x(i); i += 1; v }
+            else if (c > 0) { val v = y(j); j += 1; v }
+            else { val v = x(i); i += 1; j += 1; v }
+          }
+        if (w == 0 || out(w - 1) != take) { out(w) = take; w += 1 }
+      }
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV estimate from a finished state: exact when the sketch saw fewer
+    * than k distinct hashes, else (k-1) / U(h_k) with U = h_k / 2⁶⁴.
+    * float4 output per the repo's libm/conversion convention. */
+  def kmvEstimate(state: Seq[Long], k: Int): Float =
+    if (state == null || state.isEmpty) 0f
+    else if (state.length < k) state.length.toFloat
+    else ((k - 1).toDouble * TWO64 / u64ToDouble(state.last)).toFloat
+
+  /** Per-group KMV distinct estimate over a PRE-FINGERPRINTED unsigned-32
+    * column `uCol` (see [[djb2Udf]]). Output: group, n_kept, kth-min hash
+    * as unsigned 32-bit halves (bit-exact evidence), est_distinct float4.
+    * The shuffle moves ≤ k longs per group — never the distinct values. */
+  def kmvDistinct(df: DataFrame, groupCol: String, uCol: String, k: Int): DataFrame = {
+    val agg = udaf(new KmvAgg(k))
+    val est = udf((s: Seq[Long]) => kmvEstimate(s, k))
+    df.groupBy(col(groupCol))
+      .agg(agg(col(uCol)).as("ks"))
+      .select(
+        col(groupCol),
+        size(col("ks")).cast("long").as("n_kept"),
+        shiftrightunsigned(expr("element_at(ks, size(ks))"), 32).as("kth_hi"),
+        expr("element_at(ks, size(ks))").bitwiseAND(lit(0xFFFFFFFFL)).as("kth_lo"),
+        est(col("ks")).as("est_distinct"))
+  }
+
+  // ======================================================================
+  // Count-min sketch
+  // ======================================================================
+
+  /** Fixed row seeds: mix64(seedBase + r) — inlined as HUGEINT literals in
+    * the SQL oracle, derived identically here. */
+  def cmsRowSeeds(d: Int, seedBase: Long = 1000003L): Array[Long] =
+    Array.tabulate(d)(r => mix64(seedBase + r))
+
+  /** d×w counter grid over a stream of unsigned-32 fingerprints; w must be
+    * a power of two (bucket = mix64(u ^ seed_r) & (w-1), an unsigned mod). */
+  final class CmsAgg(d: Int, w: Int, seedBase: Long = 1000003L)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require((w & (w - 1)) == 0 && w > 0, "w must be a power of two")
+    private val seeds = cmsRowSeeds(d, seedBase)
+
+    def zero: Array[Long] = new Array[Long](d * w)
+
+    def reduce(b: Array[Long], u: Long): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        b(r * w + (mix64(u ^ seeds(r)) & (w - 1)).toInt) += 1L
+        r += 1
+      }
+      b
+    }
+
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Point estimate for fingerprint `u` from a finished grid. */
+  def cmsQuery(grid: Seq[Long], d: Int, w: Int, u: Long,
+               seedBase: Long = 1000003L): Long = {
+    val seeds = cmsRowSeeds(d, seedBase)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val v = grid(r * w + (mix64(u ^ seeds(r)) & (w - 1)).toInt)
+      if (v < best) best = v
+      r += 1
+    }
+    best
+  }
+
+  /** CMS-estimated counts for the exact top-`kTop` fingerprints of a token
+    * stream: ONE pass builds the d×w grid (partial-agg merged — the grid,
+    * not the terms, crosses the shuffle), the exact side is the plain
+    * term-count topk used as ground truth. Output: term, exact_cnt,
+    * cms_est (integer-exact, always ≥ exact_cnt). */
+  def cmsTopK(tokens: DataFrame, termCol: String, kTop: Int,
+              d: Int = 4, w: Int = 1024): DataFrame = {
+    val withU = tokens.withColumn("__u", djb2Udf(col(termCol)))
+    val cmsUdaf = udaf(new CmsAgg(d, w))
+    val gridDf = withU.agg(cmsUdaf(col("__u")).as("grid"))
+    val est = udf((grid: Seq[Long], u: Long) => cmsQuery(grid, d, w, u))
+    val topk = withU.groupBy(col(termCol), col("__u"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(termCol))
+      .limit(kTop)
+    topk.crossJoin(broadcast(gridDf))
+      .select(col(termCol), col("exact_cnt"),
+        est(col("grid"), col("__u")).as("cms_est"))
+  }
+
+  // ======================================================================
+  // Histogram quantiles
+  // ======================================================================
+
+  /** One-scan fixed-bin quantile estimates over an integer column, next to
+    * the EXACT rank-based quantile (via [[DistributedRank]] — no global
+    * single-partition sort). Bin index is pure integer math
+    * (`least(B-1, (v-lo)*B div (hi-lo))`), the interpolation inside the
+    * crossing bin is the fixed expression tree
+    * `lo + bin*wBin + wBin*((p*n - cumBefore)/cnt)` mirrored token-for-token
+    * in the SQL oracle; float4 output. Returns (percentile, est, exact). */
+  def histQuantiles(df: DataFrame, valueCol: String, tieBreak: String,
+                    bins: Int, ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Row2 = df.agg(min(col(valueCol)).cast("long"), max(col(valueCol)).cast("long"),
+      count(lit(1))).head()
+    val (lo, hi, n) = (Row2.getLong(0), Row2.getLong(1), Row2.getLong(2))
+    if (n == 0L || hi == lo) {
+      return ps.map(p => (p, lo.toFloat, lo)).toDF("percentile", "est", "exact")
+    }
+    val binCol = least(lit(bins - 1),
+      expr(s"(($valueCol - $lo) * $bins) div ${hi - lo}"))
+    // tiny side table: ≤ bins rows collected once
+    val binCounts = df.groupBy(binCol.as("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val wBin = (hi - lo).toDouble / bins.toDouble
+    val ests = ps.map { p =>
+      val t = p * n.toDouble
+      var cum = 0.0
+      var out = 0f
+      var found = false
+      for ((bin, cnt) <- binCounts if !found) {
+        if (cum + cnt.toDouble >= t) {
+          out = (lo.toDouble + bin.toDouble * wBin +
+            wBin * ((t - cum) / cnt.toDouble)).toFloat
+          found = true
+        }
+        cum += cnt.toDouble
+      }
+      (p, out)
+    }
+    // exact sibling: value at 1-based rank floor(p*(n-1))+1 on the
+    // (value, tieBreak) total order — distributed rank, no global window
+    val targets = ps.map(p => (math.floor(p * (n - 1).toDouble).toLong + 1L, p)).toMap
+    val ranked = DistributedRank.withRank(
+      df.select(col(valueCol).cast("long").as("v"), col(tieBreak)),
+      col("v"), descending = false, col(tieBreak), "rn")
+    val exact = ranked.filter(col("rn").isin(targets.keys.toSeq: _*))
+      .select(col("rn"), col("v")).collect()
+      .map(r => targets(r.getLong(0)) -> r.getLong(1)).toMap
+    ests.map { case (p, e) => (p, e, exact(p)) }
+      .toDF("percentile", "est", "exact")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.DetRandom.mix64
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---------------- KMV ----------------
+
+  private def kmvState(k: Int, us: Seq[Long]): Array[Long] = {
+    val agg = new Sketches.KmvAgg(k)
+    us.foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+  }
+
+  test("KMV state is the k unsigned-smallest distinct hashes, merge-order invariant") {
+    val k = 16
+    val us = (1L to 500L) ++ (1L to 500L) // duplicates must collapse
+    val expected = (1L to 500L).map(mix64).distinct
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(k)
+    assert(kmvState(k, us).toSeq == expected)
+
+    val agg = new Sketches.KmvAgg(k)
+    val (l, r) = us.splitAt(137)
+    val merged = agg.merge(kmvState(k, l), kmvState(k, r))
+    val mergedRev = agg.merge(kmvState(k, r), kmvState(k, l))
+    assert(merged.toSeq == expected && mergedRev.toSeq == expected)
+  }
+
+  test("KMV estimate is exact below k and within 4/sqrt(k) relative above") {
+    val k = 64
+    assert(Sketches.kmvEstimate(kmvState(k, 1L to 30L), k) == 30f)
+    val n = 20000
+    val est = Sketches.kmvEstimate(kmvState(k, (1L to n.toLong)), k)
+    val rel = math.abs(est - n) / n.toDouble
+    assert(rel < 4.0 / math.sqrt(k), s"KMV rel error $rel (est $est vs $n)")
+  }
+
+  test("kmvDistinct over a grouped frame: bounded state, sane estimates") {
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", (i % 997).toLong))
+    val truth = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.size }
+    val out = Sketches.kmvDistinct(rows.toDF("g", "u"), "g", "u", 64).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == 64L)
+      val est = r.getAs[Float]("est_distinct")
+      val n = truth(r.getString(0)).toDouble
+      val rel = math.abs(est - n) / n
+      assert(rel < 4.0 / math.sqrt(64.0), s"group ${r.getString(0)} est $est truth $n")
+    }
+  }
+
+  // ---------------- CMS ----------------
+
+  test("CMS estimate always dominates the exact count and the grid mass is d*n") {
+    val d = 4; val w = 256
+    val terms = (1 to 2000).map(i => s"t${i % 61}")
+    val toks = terms.toDF("term")
+    val out = Sketches.cmsTopK(toks, "term", kTop = 10, d = d, w = w).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+        s"CMS under-estimated ${r.getString(0)}")
+    }
+    // grid mass: every token increments exactly d counters
+    val agg = new Sketches.CmsAgg(d, w)
+    val grid = terms.map(Sketches.djb2u).foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+    assert(grid.sum == d.toLong * terms.length)
+  }
+
+  test("CMS merge equals single-pass build") {
+    val d = 2; val w = 64
+    val agg = new Sketches.CmsAgg(d, w)
+    val us = (1 to 300).map(i => Sketches.djb2u(s"x$i"))
+    val whole = us.foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+    val (l, r) = us.splitAt(111)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)((b, u) => agg.reduce(b, u)),
+      r.foldLeft(agg.zero)((b, u) => agg.reduce(b, u)))
+    assert(whole.toSeq == merged.toSeq)
+  }
+
+  // ---------------- histogram quantiles ----------------
+
+  test("histQuantiles: exact rank values and in-range interpolated estimates") {
+    val df = (1L to 1000L).map(v => (v, v)).toDF("v", "id")
+    val out = Sketches.histQuantiles(df, "v", "id", bins = 64,
+      ps = Seq(0.5, 0.9, 0.99)).collect().map(r =>
+      (r.getDouble(0), r.getFloat(1), r.getLong(2))).sortBy(_._1)
+    // exact = value at 1-based rank floor(p*(n-1))+1 over 1..1000
+    assert(out.map(_._3).toSeq == Seq(500L, 900L, 990L))
+    out.foreach { case (p, est, exact) =>
+      assert(math.abs(est - exact) <= 1000.0 / 64 + 1, s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("histQuantiles degenerate: constant column returns the constant") {
+    val df = (1L to 50L).map(i => (7L, i)).toDF("v", "id")
+    val out = Sketches.histQuantiles(df, "v", "id", bins = 16, ps = Seq(0.5))
+      .collect().head
+    assert(out.getFloat(1) == 7f && out.getLong(2) == 7L)
+  }
+}
