@@ -2323,6 +2323,74 @@ object SparkEntry {
       |    (a, b) -> a + b) AS ahash_hi
       |FROM t""".stripMargin
 
+  /** Image near-duplicate detection, FULL oracle — the multimodal dedup
+    * step: perceptual aHash fingerprints from REAL PNG round-trips
+    * (`Multimodal.decodeImages`, as `image_decode`), paired by the
+    * generic 4×16-bit banded Hamming join (`Dedup.hammingBandPairs` —
+    * one shuffle on the band key, never all-pairs). Planted variants
+    * replace three embedding dims with constants (pure replacement, no
+    * float arithmetic, so the oracle mirrors it exactly); DuckDB
+    * re-derives pixels, aHash halves, band buckets, and the Hamming
+    * verify in pure integer SQL. */
+  private def imageNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((v: Seq[Float]) =>
+      operators.Multimodal.encodePng8x8(v.map(x =>
+        math.max(0L, math.min(255L,
+          math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
+    val base = Tables.read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CASE WHEN i = 0 THEN CAST(0.91 AS FLOAT) " +
+          "WHEN i = 1 THEN CAST(-0.42 AS FLOAT) " +
+          "WHEN i = 2 THEN CAST(0.13 AS FLOAT) ELSE x END)").as("embedding"))
+    val media = base.unionByName(planted)
+      .select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
+    val decoded = operators.Multimodal.decodeImages(media)
+      .select(col("vec_id"), col("img_ahash"))
+    operators.Dedup.hammingBandPairs(decoded, "vec_id", "img_ahash", maxHamming = 8)
+  }
+
+  private val imageNeardupSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CASE WHEN i = 1 THEN CAST(CAST(0.91 AS DOUBLE) AS REAL)
+      |           WHEN i = 2 THEN CAST(CAST(-0.42 AS DOUBLE) AS REAL)
+      |           WHEN i = 3 THEN CAST(CAST(0.13 AS DOUBLE) AS REAL)
+      |           ELSE embedding[i] END) AS embedding
+      |  FROM embeddings WHERE vec_id < 50),
+      |px AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    greatest(0, least(255, CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5) AS BIGINT)))) AS p
+      |  FROM e),
+      |t AS (SELECT vec_id, p, list_reduce(p, (a, b) -> a + b) AS tot FROM px),
+      |sig AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_transform(range(1, 33),
+      |      i -> CASE WHEN p[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+      |      (a, b) -> a + b) AS lo,
+      |    list_reduce(list_transform(range(33, 65),
+      |      i -> CASE WHEN p[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END),
+      |      (a, b) -> a + b) AS hi
+      |  FROM t),
+      |bands AS (
+      |  SELECT vec_id, lo, hi,
+      |    unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bucket,
+      |    unnest([0, 1, 2, 3]) AS band
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id,
+      |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 8""".stripMargin
+
   /** REAL audio metadata decode, FULL oracle: per document a real
     * RIFF/WAVE PCM16 payload is synthesized (rate/channels/frames are
     * closed forms of doc_id and n_chars), Spark round-trips it through
@@ -4659,6 +4727,7 @@ object SparkEntry {
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
+    "image_neardup" -> (imageNeardupQ(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "audio_resample" -> (audioResample(_, _)),
@@ -4883,6 +4952,7 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
+    "image_neardup" -> imageNeardupSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,
     "audio_resample" -> audioResampleSql,

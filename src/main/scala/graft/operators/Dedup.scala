@@ -320,8 +320,34 @@ object Dedup {
 
   val simhashUdf = udf((text: String) => simhash(text))
 
-  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys; docs
-    * sharing any band are candidates; verify by full Hamming distance. */
+  /** Generic banded Hamming self-join over any 64-bit signature column
+    * (SimHash text signatures, image aHash fingerprints, …): band the 64
+    * bits into 4×16-bit keys; rows sharing any band are candidates,
+    * verified by full Hamming distance. Pigeonhole guarantee: a pair
+    * with hamming ≤ 3 always shares an untouched band, so recall is
+    * exact up to 3 and heuristic above. The 100 TB shape: one shuffle on
+    * the (band, bucket) key — never an all-pairs product. */
+  def hammingBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int): DataFrame = {
+    val bandUdf = udf((sig: Long) =>
+      (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xFFFFL).toInt)))
+    val buckets = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), col("sig"), explode(bandUdf(col("sig"))).as("bb"))
+      .select(col("id"), col("sig"), col("bb._1").as("band"), col("bb._2").as("bucket"))
+    val hamUdf = udf((a: Long, b: Long) => hammingDistance64(a, b))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        col("l.sig").as("a_sig"), col("r.sig").as("b_sig"))
+      .distinct()
+      .withColumn("hamming", hamUdf(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** SimHash near-dup pairs: [[hammingBandPairs]] over [[simhash]]
+    * signatures. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // Signatures hashed once and persisted for the self-join; released
@@ -331,20 +357,7 @@ object Dedup {
       .withColumn("sim", simhashUdf(col("text")))
       .persist()
     try {
-      val bandUdf = udf((sig: Long) =>
-        (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xFFFFL).toInt)))
-      val buckets = withSig.select(col("id"), col("sim"), explode(bandUdf(col("sim"))).as("bb"))
-        .select(col("id"), col("sim"), col("bb._1").as("band"), col("bb._2").as("bucket"))
-      val hamUdf = udf((a: Long, b: Long) => hammingDistance64(a, b))
-      buckets.as("l").join(buckets.as("r"),
-          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
-          col("l.sim").as("a_sim"), col("r.sim").as("b_sim"))
-        .distinct()
-        .withColumn("hamming", hamUdf(col("a_sim"), col("b_sim")))
-        .filter(col("hamming") <= maxHamming)
-        .select("a_id", "b_id", "hamming")
+      hammingBandPairs(withSig, "id", "sim", maxHamming)
         .localCheckpoint(true)
     } finally withSig.unpersist()
   }

@@ -523,4 +523,29 @@ class DedupTextSpec extends SparkSpecBase {
     assert(a.getAs[Long]("audio_energy") == b.getAs[Long]("audio_energy"))
     assert(a.getAs[Long]("audio_zero_crossings") == b.getAs[Long]("audio_zero_crossings"))
   }
+
+  test("hammingBandPairs: pigeonhole recall up to 3 bits, banded blocking beyond") {
+    import spark.implicits._
+    // base signature + variants at hamming 1, 3 (one band touched),
+    // 4-spread (one bit flipped in EVERY band -> no shared band bucket),
+    // and an unrelated far signature
+    val s0 = 0x0123456789ABCDEFL
+    val h1 = s0 ^ 1L                       // bit 0
+    val h3 = s0 ^ 7L                       // bits 0-2, all in band 0
+    val spread4 = s0 ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val far = ~s0
+    val df = Seq((1L, s0), (2L, h1), (3L, h3), (4L, spread4), (5L, far))
+      .toDF("id", "sig")
+    val pairs = Dedup.hammingBandPairs(df, "id", "sig", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // guaranteed: every pair within hamming <= 3 of s0 family shares a band
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(pairs.contains((1L, 3L, 3)))
+    assert(pairs.contains((2L, 3L, 2)))
+    // documented heuristic: hamming 4 spread across all four bands is
+    // invisible to the blocking even though 4 <= maxHamming
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+    // far signature never pairs
+    assert(!pairs.exists(p => p._2 == 5L))
+  }
 }
