@@ -63,6 +63,8 @@ object Bench {
     "quality_clf",                                        // hashed-BoW logistic-regression quality scorer
     "span_dedup_hashed",                                  // duplicated-span removal, 8-byte gram keys
     "semdedup",                                           // cluster-blocked semantic dedup
+    "kmv_distinct", "cms_topk", "hist_quantile",          // corpus-stats sketches
+    "image_neardup",                                      // multimodal aHash near-dup
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,

@@ -243,6 +243,39 @@ object ScaleBench {
         d = 64, epochs = 4, lr = 4.0).count())
       add("quality_clf_train", docs.count(), tQc)
 
+      // Corpus-stats sketches: the KMV distinct estimate's bounded state
+      // (≤ k longs per group crosses the shuffle) vs the exact
+      // countDistinct sibling that expands + shuffles the distinct-token
+      // universe — the gap is the sketch's value at scale. CMS likewise:
+      // one mergeable d×w grid vs the full term-frequency table.
+      // (expanded docs carry no lang column — a 5-way doc_id residue
+      // stands in as the group key; the cost shape is identical)
+      val toksS = docs.select((col("doc_id") % 5).as("grp"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+        .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+      val (nK, tK) = time(operators.Sketches.kmvDistinct(toksS, "grp", "u", 64).count())
+      val (_, tKexact) = time(
+        toksS.groupBy("grp").agg(countDistinct(col("u"))).count())
+      add("kmv_distinct", nK, tK, Seq(("exact_countdistinct_sec", tKexact)))
+      val (nCm, tCm) = time(operators.Sketches.cmsTopK(
+        toksS.select(col("t").as("term")), "term", 20).count())
+      add("cms_topk", nCm, tCm)
+
+      // Multimodal near-dup: PNG round-trip fingerprints + banded Hamming
+      // self-join over the natural corpus (no plants — measures the
+      // fingerprint scan + band-key shuffle, with near-zero pair output).
+      val pngUdf = udf((v: Seq[Float]) =>
+        operators.Multimodal.encodePng8x8(v.map(x =>
+          math.max(0L, math.min(255L,
+            math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
+      val (nIm, tIm) = time {
+        val media = emb.select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
+        val sigs = operators.Multimodal.decodeImages(media)
+          .select(col("vec_id"), col("img_ahash"))
+        operators.Dedup.hammingBandPairs(sigs, "vec_id", "img_ahash", 8).count()
+      }
+      add("image_neardup", emb.count(), tIm, Seq(("pairs", nIm.toDouble)))
+
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))

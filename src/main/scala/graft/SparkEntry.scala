@@ -2020,6 +2020,18 @@ object SparkEntry {
     operators.Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
   }
 
+  /** Same contract through the Bloom-prefilter shape
+    * (`Dedup.decontaminateBloom`): only a bounded ~fpp-sized Bloom of the
+    * benchmark grams is broadcast, the exact verify join runs on the
+    * prefiltered survivor stream, false positives are verified away — so
+    * the output, and therefore the oracle, is IDENTICAL to
+    * `decontaminate`. */
+  private def decontaminateBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    operators.Dedup.decontaminateBloom(docs, bench, "doc_id", "text", n = 8)
+  }
+
   private val decontaminateSql =
     """WITH wd AS (
       |  SELECT doc_id,
@@ -2624,6 +2636,71 @@ object SparkEntry {
       |  energy,
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
+
+  /** REAL predictive-codec audio decode, FULL oracle — IMA/DVI ADPCM
+    * (audioFormat 17), the first STATEFUL codec in the family: every
+    * 4-bit code updates a (predictor, step-index) pair, so decode is a
+    * sequential integer recurrence, not a per-byte table lookup. Per
+    * document the nibble codes and the initial state are closed forms of
+    * doc_id; Spark round-trips them through real WAV bytes
+    * (`Adpcm.encodeWavAdpcmIma` → `decodeWavAdpcm`'s chunk walk +
+    * recurrence), and the oracle replays the recurrence as a RECURSIVE
+    * CTE carrying the same (pred, idx, peak, energy) state — the
+    * fixpoint-oracle technique applied to a codec. */
+  private def audioAdpcm(s: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((docId: Long, nChars: Long) => {
+      val n = 64 + (nChars % 128).toInt
+      val nibbles = Array.tabulate(n)(i => ((docId * 37 + i * 11) % 16).toByte)
+      operators.Adpcm.encodeWavAdpcmIma(nibbles,
+        pred0 = ((docId * 97) % 1024 - 512).toShort,
+        idx0 = (docId % 89).toInt, sampleRate = 8000)
+    })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), wavUdf(col("doc_id"), col("n_chars")).as("payload"))
+    operators.Adpcm.decodeAdpcmFeatures(media)
+      .select(col("doc_id"),
+        col("audio_n_samples").as("n_samples"),
+        col("audio_peak").as("peak"),
+        col("audio_energy").as("energy"),
+        col("audio_final_pred").as("final_pred"),
+        col("audio_final_index").as("final_index"))
+  }
+
+  private val audioAdpcmSql =
+    """WITH RECURSIVE cfg AS (
+      |  SELECT doc_id, CAST(64 + n_chars % 128 AS INT) AS n,
+      |    CAST((doc_id * 97) % 1024 - 512 AS INT) AS pred0,
+      |    CAST(doc_id % 89 AS INT) AS idx0
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, n, 0 AS i, pred0 AS pred, idx0 AS idx,
+      |    0 AS peak, CAST(0 AS BIGINT) AS energy
+      |  FROM cfg
+      |  UNION ALL
+      |  SELECT doc_id, n, i + 1, pred1,
+      |    greatest(0, least(88,
+      |      idx + [-1,-1,-1,-1,2,4,6,8][CAST(nib & 7 AS INT) + 1])),
+      |    greatest(peak, abs(pred1)),
+      |    energy + CAST(pred1 AS BIGINT) * pred1
+      |  FROM (
+      |    SELECT doc_id, n, i, pred, idx, peak, energy, nib,
+      |      greatest(-32768, least(32767,
+      |        pred + (CASE WHEN (nib & 8) <> 0 THEN -1 ELSE 1 END) *
+      |          (stp // 8 + CASE WHEN (nib & 4) <> 0 THEN stp ELSE 0 END
+      |                    + CASE WHEN (nib & 2) <> 0 THEN stp // 2 ELSE 0 END
+      |                    + CASE WHEN (nib & 1) <> 0 THEN stp // 4 ELSE 0 END))) AS pred1
+      |    FROM (
+      |      SELECT doc_id, n, i, pred, idx, peak, energy,
+      |        CAST((doc_id * 37 + i * 11) % 16 AS INT) AS nib,
+      |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+      |         50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,
+      |         337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+      |         2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+      |         15289,16818,18500,20350,22385,24623,27086,29794,32767][idx + 1] AS stp
+      |      FROM st WHERE i < n)))
+      |SELECT doc_id, CAST(n AS INT) AS n_samples, CAST(peak AS INT) AS peak,
+      |  energy, CAST(pred AS INT) AS final_pred, CAST(idx AS INT) AS final_index
+      |FROM st WHERE i = n""".stripMargin
 
   /** REAL video (RIFF/AVI) metadata decode, FULL oracle — same design
     * as [[audioMeta]]: synthesized real AVI headers round-tripped
@@ -3929,6 +4006,57 @@ object SparkEntry {
       |  event_type, COUNT(*) AS n, CAST(AVG(value) AS REAL) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming distinct-count sketch, FULL oracle — per-window/type
+    * distinct-user KMV estimates through a REAL streaming query.
+    * `countDistinct` is unsupported in streaming aggregation (unbounded
+    * state) — this is exactly the hole sketches fill: the KMV
+    * Aggregator's ≤ k-long state is the per-group streaming state, and
+    * because the sketch is deterministic the batch oracle re-derives the
+    * kth-min hash and the estimate bit-for-bit. */
+  private def streamDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
+    val kmv = udaf(new operators.Sketches.KmvAgg(64))
+    val agg = stream.withWatermark("ts_ts", "12 hours")
+      .groupBy(window(col("ts_ts"), "6 hours"), col("event_type"))
+      .agg(kmv(col("user_id")).as("ks"))
+    val name = "stream_distinct_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val est = udf((st: Seq[Long]) => operators.Sketches.kmvEstimate(st, 64))
+    s.table(name).select(
+      col("window.start").cast("long").as("wstart"), col("event_type"),
+      size(col("ks")).cast("long").as("n_kept"),
+      shiftrightunsigned(expr("element_at(ks, size(ks))"), 32).as("kth_hi"),
+      expr("element_at(ks, size(ks))").bitwiseAND(lit(0xFFFFFFFFL)).as("kth_lo"),
+      est(col("ks")).as("est_distinct"))
+  }
+
+  private lazy val streamDistinctSql =
+    s"""WITH g AS (
+       |  SELECT DISTINCT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+       |         event_type, user_id
+       |  FROM events),
+       |${mix64Ctes("sd", "g", Seq("wstart", "event_type"), "user_id")},
+       |h AS (SELECT DISTINCT wstart, event_type, z FROM sd6),
+       |r AS (SELECT wstart, event_type, z,
+       |        row_number() OVER (PARTITION BY wstart, event_type ORDER BY z) AS rn
+       |      FROM h),
+       |k AS (SELECT wstart, event_type, count(*) AS n_kept, max(z) AS kz
+       |      FROM r WHERE rn <= 64 GROUP BY 1, 2)
+       |SELECT wstart, event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(kz // 4294967296 AS BIGINT) AS kth_hi,
+       |  CAST(kz % 4294967296 AS BIGINT) AS kth_lo,
+       |  CAST(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |            ELSE 63.0 * 18446744073709551616.0 / CAST(kz AS DOUBLE) END
+       |       AS REAL) AS est_distinct
+       |FROM k""".stripMargin
+
   /** Stream-stream time-bounded join as a REAL streaming query: view →
     * click attribution on user_id within 1 hour, both sides watermarked
     * (state engine-evicted at watermark+bound), inner join in append
@@ -4723,6 +4851,7 @@ object SparkEntry {
     "cms_topk" -> (cmsTopkQ(_, _)),
     "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
+    "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
@@ -4732,6 +4861,7 @@ object SparkEntry {
     "audio_samples" -> (audioSamples(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
+    "audio_adpcm" -> (audioAdpcm(_, _)),
     "video_meta" -> (videoMeta(_, _)),
     "video_frames" -> (videoFrames(_, _)),
     "video_frames_mjpeg" -> (videoFramesMjpeg(_, _)),
@@ -4790,6 +4920,7 @@ object SparkEntry {
     "vec_route_assign" -> (vecRouteQ(_, _)),
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
+    "stream_distinct" -> (streamDistinctQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -4929,6 +5060,7 @@ object SparkEntry {
     "cms_topk" -> cmsTopkSql,
     "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql,
     "davies_bouldin" -> daviesBouldinSql,
     "v_arith" -> vArithSql,
     "v_element_access" -> vElementAccessSql,
@@ -4957,6 +5089,7 @@ object SparkEntry {
     "audio_samples" -> audioSamplesSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
+    "audio_adpcm" -> audioAdpcmSql,
     "video_meta" -> videoMetaSql,
     "video_frames" -> videoFramesSql,
     "v_compare" -> vCompareSql,
@@ -4968,6 +5101,7 @@ object SparkEntry {
     "vec_route_assign" -> vecRouteSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_distinct" -> streamDistinctSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

@@ -119,6 +119,39 @@ object Dedup {
         (coalesce(col("matched_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — identical OUTPUT to
+    * [[decontaminate]], different 100 TB shape: instead of broadcasting
+    * the benchmark gram SET, broadcast a bounded-size Bloom filter of it
+    * (~1.2 MB per million grams at 1% fpp regardless of gram length),
+    * drop the overwhelming majority of corpus grams at the scan, and run
+    * the exact verify join on the tiny survivor stream as a SHUFFLE join
+    * (survivors ≈ true matches + fpp·|grams| — small by construction, so
+    * the shuffle is cheap and the benchmark side never needs to fit in
+    * driver/executor memory as a set). The verify join removes the
+    * bloom's false positives, so the result is exact — this query shares
+    * `decontaminate`'s oracle verbatim. Spark's BloomFilter is
+    * deterministic (fixed murmur seed, order-independent bit-OR puts). */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val dg = docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val bg = benchmark.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val expected = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("gram", expected, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightUdf = udf((g: String) => bloomB.value.mightContainString(g))
+    val m = dg.filter(mightUdf(col("gram")))
+      .join(bg, "gram") // exact verify on survivors only — no broadcast
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams"))
+    docs.select(col(idCol))
+      .join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_ngrams"), lit(0L)).as("matched_ngrams"),
+        (coalesce(col("matched_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Corpus-level boilerplate line removal (the RefinedWeb / C4 line
     * dedup rule): a line whose EXACT text appears in ≥ `minDocs`
     * distinct documents is boilerplate (nav bars, cookie banners,

@@ -548,4 +548,20 @@ class DedupTextSpec extends SparkSpecBase {
     // far signature never pairs
     assert(!pairs.exists(p => p._2 == 5L))
   }
+
+  test("decontaminateBloom output is exactly decontaminate's (bloom FPs verified away)") {
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 300)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // a deliberately high fpp floods the prefilter with false positives;
+    // the verify join must still remove every one of them
+    val bloom = Dedup.decontaminateBloom(docs, bench, "doc_id", "text", n = 8,
+        fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3), "fixture should contain contaminated docs")
+    assert(exact.exists(!_._3), "fixture should contain clean docs")
+  }
 }
