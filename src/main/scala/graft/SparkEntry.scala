@@ -1891,6 +1891,79 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Systematic weighted resampling, FULL oracle — Madow's systematic
+    * PPS scheme (the particle-filter / data-mixture resampler):
+    * deterministic, exactly k=100 total copies, copies_i ∝ n_chars. The
+    * selection rule is pure integer arithmetic over the id-ordered
+    * cumulative weight axis (`Sampling.systematicSample` — bucket-prefix
+    * cumsum, never a global sort), so the oracle replays it with a
+    * window cumsum and the same ⌊(2kc + W − 1)/(2W)⌋ grid count. */
+  private def systematicSampleQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.systematicSample(
+      Tables.read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+
+  private val systematicSampleSql =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum
+      |  FROM documents WHERE n_chars > 0),
+      |t AS (SELECT max(cum) AS wt FROM b),
+      |g AS (
+      |  SELECT doc_id, w,
+      |    (200 * cum + wt - 1) // (2 * wt)
+      |      - (200 * (cum - w) + wt - 1) // (2 * wt) AS copies
+      |  FROM b, t)
+      |SELECT doc_id, w AS weight, CAST(copies AS BIGINT) AS copies
+      |FROM g WHERE copies > 0""".stripMargin
+
+  /** Adaptive per-group length gating, FULL oracle — drops
+    * outlier-length documents against EACH language's own distribution:
+    * per-lang p05/p95 histogram-quantile cutoffs
+    * (`Sketches.lengthFilterAdaptive` — two tiny aggregates + a
+    * broadcast gate, NO sort or window anywhere in the plan), cutoffs
+    * emitted float4, the interpolation tree mirrored token-for-token. */
+  private def lengthFilterQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.lengthFilterAdaptive(
+      Tables.read(s, dir, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars", bins = 64, pLo = 0.05, pHi = 0.95)
+
+  private val lengthFilterSql =
+    """WITH s AS (SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+      |                  CAST(max(n_chars) AS BIGINT) AS hi, count(*) AS n
+      |           FROM documents GROUP BY 1),
+      |b AS (SELECT d.lang,
+      |        CASE WHEN s.hi = s.lo THEN 0
+      |             ELSE least(63, ((d.n_chars - s.lo) * 64) // (s.hi - s.lo)) END AS bin,
+      |        count(*) AS cnt
+      |      FROM documents d JOIN s ON s.lang = d.lang GROUP BY 1, 2),
+      |c AS (SELECT lang, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM b),
+      |ps AS (SELECT unnest([0.05, 0.95]) AS p),
+      |pick AS (
+      |  SELECT c.lang, ps.p, c.bin, c.cnt, c.cum - c.cnt AS cb
+      |  FROM ps, c JOIN s ON s.lang = c.lang
+      |  WHERE c.cum >= ps.p * s.n
+      |  QUALIFY row_number() OVER (PARTITION BY c.lang, ps.p ORDER BY c.bin) = 1),
+      |est AS (
+      |  SELECT pick.lang, pick.p,
+      |    CAST(CASE WHEN s.hi = s.lo THEN CAST(s.lo AS DOUBLE)
+      |         ELSE s.lo + pick.bin * ((s.hi - s.lo) / 64.0)
+      |              + ((s.hi - s.lo) / 64.0)
+      |                * ((pick.p * s.n - pick.cb) / pick.cnt)
+      |         END AS REAL) AS est
+      |  FROM pick JOIN s ON s.lang = pick.lang),
+      |cuts AS (SELECT lang,
+      |           min(CASE WHEN p = 0.05 THEN est END) AS lo_cut,
+      |           min(CASE WHEN p = 0.95 THEN est END) AS hi_cut
+      |         FROM est GROUP BY 1)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN d.n_chars >= cuts.lo_cut AND d.n_chars <= cuts.hi_cut
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(cuts.lo_cut) AS lo_cut, min(cuts.hi_cut) AS hi_cut
+      |FROM documents d JOIN cuts ON cuts.lang = d.lang
+      |GROUP BY 1""".stripMargin
+
   /** KMV distinct-count sketch, FULL oracle — per-language distinct-token
     * estimates from a k-minimum-values state (k=64). The 100 TB shape:
     * Spark's partial aggregation merges bounded sorted-hash states
@@ -4848,6 +4921,8 @@ object SparkEntry {
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
+    "systematic_sample" -> (systematicSampleQ(_, _)),
+    "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "cms_topk" -> (cmsTopkQ(_, _)),
     "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
@@ -5057,6 +5132,8 @@ object SparkEntry {
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "systematic_sample" -> systematicSampleSql,
+    "length_filter_adaptive" -> lengthFilterSql,
     "cms_topk" -> cmsTopkSql,
     "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,

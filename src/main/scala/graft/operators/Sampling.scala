@@ -111,4 +111,70 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Systematic (low-variance) weighted resampling — deterministic,
+    * EXACTLY k total copies, E[copies_i] ∝ weight_i (Madow's systematic
+    * PPS scheme; the particle-filter resampler): traverse rows in id
+    * order, lay the integer weights end-to-end on an axis of total W,
+    * and give row i one copy per grid point t_j = (2j+1)·W/(2k) that
+    * falls inside its interval. copies_i = g(cum_i) − g(cum_{i-1}) with
+    * g(c) = ⌊(2kc + W − 1) / (2W)⌋ — pure integer arithmetic, so a SQL
+    * oracle replays it exactly. A row with weight ≥ W/k gets its
+    * guaranteed ⌊k·w/W⌋ copies (data-mixture "epochs" with no
+    * randomness at all).
+    *
+    * Scale shape: the cumulative sum is the bucket-prefix pattern
+    * (approxQuantile buckets over the id, partitioned window inside each
+    * bucket, tiny per-bucket offset join — never a single-task global
+    * sort). Bounds: needs 2·k·W < 2⁶³ (k ~ 10⁶ against W ~ 10¹² token
+    * corpora is fine).
+    *
+    * Returns (id, weight, copies) for rows with copies > 0. */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = df.sparkSession
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val base = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+    val bounds: Array[Double] =
+      if (p == 1) Array.empty
+      else base.stat.approxQuantile(
+        Array("__id"), (1 until p).map(_.toDouble / p).toArray, 0.001)(0)
+    val uniq = bounds.distinct.sorted
+    val bucketUdf = udf { (o: Long) =>
+      val d = o.toDouble
+      var lo = 0
+      var hi = uniq.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (d <= uniq(mid)) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val bucketed = base.withColumn("__b", bucketUdf(col("__id")))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__lcum", sum(col("__w")).over(w))
+    val sums = bucketed.groupBy(col("__b")).agg(sum(col("__w")).as("__bsum"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("b.__bsum")), lit(0L)).as("__off"))
+    val withCum = local.join(broadcast(offsets), "__b")
+      .withColumn("__cum", col("__off") + col("__lcum"))
+    val total = withCum.agg(max(col("__cum"))).head().getLong(0)
+    require(total > 0 && 2L * k <= Long.MaxValue / total,
+      s"2*k*W must fit int64 (k=$k, W=$total)")
+    withCum
+      .withColumn("__ge",
+        expr(s"(${2L * k}L * __cum + ${total - 1}L) div ${2L * total}L"))
+      .withColumn("__gs",
+        expr(s"(${2L * k}L * (__cum - __w) + ${total - 1}L) div ${2L * total}L"))
+      .withColumn("copies", col("__ge") - col("__gs"))
+      .filter(col("copies") > 0)
+      .select(col("__id").as(idCol), col("__w").as("weight"), col("copies"))
+  }
 }

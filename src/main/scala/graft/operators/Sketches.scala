@@ -265,4 +265,80 @@ object Sketches {
     ests.map { case (p, e) => (p, e, exact(p)) }
       .toDF("percentile", "est", "exact")
   }
+
+  /** Per-group fixed-bin histogram quantile estimates — the group-wise
+    * face of [[histQuantiles]] with NO sort or window anywhere: one
+    * (min, max, count) aggregate per group, integer bin assignment
+    * against the group's own range, one (group, bin) count aggregate,
+    * and a driver-side interpolation walk over the tiny
+    * (≤ groups·bins) result. A degenerate group (hi == lo) returns its
+    * constant for every percentile. Returns (group, percentile,
+    * est: float4). */
+  def histQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                           bins: Int, ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).cast("long").as("__lo"),
+      max(col(valueCol)).cast("long").as("__hi"),
+      count(lit(1)).as("__n"))
+    val withBin = df.join(broadcast(stats), groupCol)
+      .withColumn("__bin", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          expr(s"(($valueCol - __lo) * $bins) div (__hi - __lo)"))))
+    val counts = withBin.groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(t => (t._2, t._3)).sortBy(_._1) }
+    val statRows = stats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val out = for {
+      (g, (lo, hi, n)) <- statRows.toSeq.sortBy(_._1)
+      p <- ps
+    } yield {
+      val est =
+        if (hi == lo) lo.toFloat
+        else {
+          val wBin = (hi - lo).toDouble / bins.toDouble
+          val t = p * n.toDouble
+          var cum = 0.0
+          var e = 0f
+          var found = false
+          for ((bin, cnt) <- counts(g) if !found) {
+            if (cum + cnt.toDouble >= t) {
+              e = (lo.toDouble + bin.toDouble * wBin +
+                wBin * ((t - cum) / cnt.toDouble)).toFloat
+              found = true
+            }
+            cum += cnt.toDouble
+          }
+          e
+        }
+      (g, p, est)
+    }
+    out.toDF(groupCol, "percentile", "est")
+  }
+
+  /** Adaptive per-group length gating — the curation step that drops
+    * outlier-length documents against EACH group's own distribution
+    * (fixed global cutoffs misfire when languages/domains have different
+    * length profiles): per-group [pLo, pHi] histogram-quantile cutoffs
+    * via [[histQuantilesByGroup]], broadcast back, one scan to gate.
+    * Returns per-group (n_docs, n_kept, lo_cut, hi_cut). */
+  def lengthFilterAdaptive(df: DataFrame, groupCol: String, valueCol: String,
+                           bins: Int, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi: $pLo, $pHi")
+    val qs = histQuantilesByGroup(df, groupCol, valueCol, bins, Seq(pLo, pHi))
+    val cuts = qs.groupBy(col(groupCol)).agg(
+      min(when(col("percentile") === pLo, col("est"))).as("lo_cut"),
+      min(when(col("percentile") === pHi, col("est"))).as("hi_cut"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("__kept",
+        col(valueCol) >= col("lo_cut") && col(valueCol) <= col("hi_cut"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        min(col("lo_cut")).as("lo_cut"),
+        min(col("hi_cut")).as("hi_cut"))
+  }
 }

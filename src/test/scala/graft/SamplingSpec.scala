@@ -77,4 +77,32 @@ class SamplingSpec extends SparkSpecBase {
       .select("event_id").as[Long].collect().toSet
     assert(again == out.select("event_id").as[Long].collect().toSet)
   }
+
+  test("systematic sample: exactly k copies, proportional, deterministic") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L + (i % 7) * 5L)).toDF("id", "w")
+    val out = Sampling.systematicSample(df, "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == 50L, "total copies must be exactly k")
+    assert(out.forall(_._3 > 0))
+    // a heavy row gets its guaranteed floor(k*w/W) copies
+    val W = (1L to 200L).map(i => 10L + (i % 7) * 5L).sum
+    val heavy = Sampling.systematicSample(
+      df.union(Seq((999L, W)).toDF("id", "w")), "id", "w", k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(heavy(999L) >= 50L * W / (2L * W), "heavy row must appear")
+    // deterministic across runs
+    val again = Sampling.systematicSample(df, "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("systematic sample: zero/negative weights are excluded, k=1 picks the midpoint") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, 10L), (3L, -5L), (4L, 10L)).toDF("id", "w")
+    val out = Sampling.systematicSample(df, "id", "w", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // axis = [0,10) for id 2, [10,20) for id 4; midpoint t=10 lands in id 4
+    assert(out.toSeq == Seq((4L, 1L)))
+  }
 }

@@ -101,4 +101,29 @@ class SketchesSpec extends SparkSpecBase {
       .collect().head
     assert(out.getFloat(1) == 7f && out.getLong(2) == 7L)
   }
+
+  test("histQuantilesByGroup matches the global walk per group; adaptive gate counts") {
+    val df = ((1L to 900L).map(v => ("a", v)) ++ (1L to 300L).map(v => ("b", v * 10)))
+      .toDF("g", "v")
+    val qs = Sketches.histQuantilesByGroup(df, "g", "v", bins = 64, ps = Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getFloat(2))).toMap
+    // each group's median estimate must sit near its own distribution
+    assert(math.abs(qs("a") - 450.0) < 900.0 / 64 + 1)
+    assert(math.abs(qs("b") - 1500.0) < 3000.0 / 64 + 10)
+    val gate = Sketches.lengthFilterAdaptive(df, "g", "v", bins = 64,
+      pLo = 0.05, pHi = 0.95).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gate("a")._1 == 900L && gate("b")._1 == 300L)
+    // ~90% survive a [p05, p95] gate in both groups
+    assert(gate("a")._2 > 700L && gate("a")._2 < 900L)
+    assert(gate("b")._2 > 230L && gate("b")._2 < 300L)
+  }
+
+  test("histQuantilesByGroup degenerate group returns its constant") {
+    val df = (Seq.fill(40)(("c", 5L)) ++ (1L to 100L).map(v => ("d", v))).toDF("g", "v")
+    val qs = Sketches.histQuantilesByGroup(df, "g", "v", bins = 16,
+      ps = Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getFloat(2)))
+    assert(qs.filter(_._1 == "c").forall(_._3 == 5f))
+  }
 }
