@@ -362,19 +362,21 @@ object Dedup {
     * the (band, bucket) key — never an all-pairs product. */
   def hammingBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
                        maxHamming: Int): DataFrame = {
-    val bandUdf = udf((sig: Long) =>
-      (0 until 4).map(b => (b, ((sig >>> (16 * b)) & 0xFFFFL).toInt)))
+    // all-native plan: band extraction is shift/mask builtins under
+    // posexplode and the verify is bit_count(xor) — the whole pipeline
+    // stays inside whole-stage codegen (no UDF in the pair hot path)
+    val bands = array((0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*)
     val buckets = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .select(col("id"), col("sig"), explode(bandUdf(col("sig"))).as("bb"))
-      .select(col("id"), col("sig"), col("bb._1").as("band"), col("bb._2").as("bucket"))
-    val hamUdf = udf((a: Long, b: Long) => hammingDistance64(a, b))
+      .select(col("id"), col("sig"), posexplode(bands).as(Seq("band", "bucket")))
     buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
         col("l.sig").as("a_sig"), col("r.sig").as("b_sig"))
       .distinct()
-      .withColumn("hamming", hamUdf(col("a_sig"), col("b_sig")))
+      .withColumn("hamming",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }

@@ -216,4 +216,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"no hash join for the pair stage in: $plan")
   }
+
+  test("KMV sketch aggregates two-phase (the bounded state merges map-side)") {
+    val toks = Tables.read(spark, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+    val plan = operators.Sketches.kmvDistinct(toks, "lang", "u", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation for the KMV state: $plan")
+  }
+
+  test("banded Hamming join is UDF-free and never plans a cartesian stage") {
+    import spark.implicits._
+    val sigs = (1L to 50L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "sig")
+    val df = operators.Dedup.hammingBandPairs(sigs, "id", "sig", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"UDF in the pair hot path: $plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian stage in: $plan")
+  }
+
+  test("adaptive length gate broadcasts the cutoffs — one scan, no sort") {
+    val docs = Tables.read(spark, dir, "documents").select(col("lang"), col("n_chars"))
+    val plan = operators.Sketches.lengthFilterAdaptive(docs, "lang", "n_chars",
+      bins = 64, pLo = 0.05, pHi = 0.95).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cutoffs not broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"sort/window leaked into the gate: $plan")
+  }
 }
