@@ -628,6 +628,44 @@ object SparkEntry {
       |  WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
       |WHERE rank <= 3""".stripMargin
 
+  /** Integer PageRank over the kNN graph, FULL oracle — fixed-point
+    * 10⁶-scaled damping with floor divisions only
+    * (`GraphAnalytics.pagerankInt`), so the 3-iteration SpMV chain
+    * (join on src + groupBy on dst per hop, the `sgc_propagate` shape)
+    * replays exactly as unrolled SQL aggregation CTEs over the same
+    * knn_graph edge derivation. */
+  private def pagerankKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.pagerankInt(edges, iterations = 3)
+      .select(col("id").as("vec_id"), col("score").as("pr_scaled"))
+  }
+
+  private val pagerankKnnSql = {
+    val iters = (1 to 3).map { t =>
+      s"""c$t AS (SELECT e.dst AS id, sum(s${t - 1}.score // d.deg) AS contrib
+         |       FROM e JOIN s${t - 1} ON s${t - 1}.id = e.src
+         |       JOIN d ON d.src = e.src GROUP BY 1),
+         |s$t AS (SELECT n.id,
+         |          150000 + (850000 * coalesce(c$t.contrib, 0)) // 1000000 AS score
+         |        FROM n LEFT JOIN c$t ON c$t.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM n),
+       |$iters
+       |SELECT id AS vec_id, CAST(score AS BIGINT) AS pr_scaled FROM s3""".stripMargin
+  }
+
   /** faceted_vector_search: top-3 per label facet. */
   private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
@@ -4876,6 +4914,7 @@ object SparkEntry {
     "ivf_knn_exact" -> (ivfKnnExact(_, _)),
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
+    "pagerank_knn" -> (pagerankKnnQ(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
     "bm25_pair" -> (bm25Pair(_, _)),
     "hybrid_search" -> (hybridSearchQ(_, _)),
@@ -5095,6 +5134,7 @@ object SparkEntry {
     "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
+    "pagerank_knn" -> pagerankKnnSql,
     "faceted_knn" -> facetedKnnSql,
     "bm25_pair" -> bm25PairSql,
     "hybrid_search" -> hybridSearchSql,

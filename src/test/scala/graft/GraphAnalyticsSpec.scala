@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.GraphAnalytics
+
+class GraphAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("a symmetric cycle is the fixed point: every score stays 10^6") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphAnalytics.pagerankInt(edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.toSet == Set(1000000L), s"cycle drifted: $out")
+  }
+
+  test("hand-computed one-iteration star scores") {
+    // a<-b, a<-c, b<-a: deg(a)=deg(b)=deg(c)=1
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = GraphAnalytics.pagerankInt(edges, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // contrib(a)=2e6 -> 150000+1700000; contrib(b)=1e6 -> 1e6; c gets base
+    assert(out(1L) == 1850000L && out(2L) == 1000000L && out(3L) == 150000L)
+  }
+
+  test("hub accumulates rank over iterations; all-integer determinism") {
+    val n = 20
+    // everyone points at node 0 plus a ring
+    val edges = ((1 until n).map(i => (i.toLong, 0L)) ++
+      (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))).toDF("src", "dst")
+    val a = GraphAnalytics.pagerankInt(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = GraphAnalytics.pagerankInt(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "two runs diverged")
+    val hub = a.toMap.apply(0L)
+    assert(a.filter(_._1 != 0L).forall(_._2 < hub), s"hub not top-ranked: $a")
+  }
+}
