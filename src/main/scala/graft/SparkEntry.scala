@@ -666,6 +666,74 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(score AS BIGINT) AS pr_scaled FROM s3""".stripMargin
   }
 
+  /** Shared SQL prefix: the knn-graph edges (same derivation the
+    * `knn_graph` oracle verifies) symmetrized to an undirected a<b list. */
+  private val knnEdgesUndCtes =
+    """e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+      |    FROM embeddings a, embeddings b
+      |    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+      |  WHERE rank <= 3),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e)""".stripMargin
+
+  /** Per-node triangle counts over the kNN graph, FULL oracle — the
+    * two-join enumeration (`GraphAnalytics.triangleCounts`; each
+    * triangle found once as a<b<c, exploded to corners, reduced) against
+    * the identical enumeration in SQL. */
+  private def triangleCountQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.triangleCounts(edges)
+      .select(col("id").as("vec_id"), col("n_triangles"))
+  }
+
+  private val triangleCountSql =
+    s"""WITH $knnEdgesUndCtes,
+       |n AS (SELECT DISTINCT id FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (
+       |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+       |cnts AS (SELECT id, count(*) AS cnt FROM corners GROUP BY 1)
+       |SELECT n.id AS vec_id, CAST(coalesce(cnts.cnt, 0) AS BIGINT) AS n_triangles
+       |FROM n LEFT JOIN cnts ON cnts.id = n.id""".stripMargin
+
+  /** Common-neighbor link prediction over the kNN graph, FULL oracle —
+    * wedge join on the shared-neighbor key, neighborhood Jaccard, the
+    * adjacency flag, and the deterministic top-20 cut
+    * (`GraphAnalytics.commonNeighbors`). */
+  private def linkPredictQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.commonNeighbors(edges, kTop = 20)
+  }
+
+  private val linkPredictSql =
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+       |cn AS (
+       |  SELECT x.node AS u, y.node AS v, count(*) AS common
+       |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+       |  GROUP BY 1, 2)
+       |SELECT cn.u, cn.v, CAST(common AS BIGINT) AS common,
+       |  CAST(common AS DOUBLE) / (du.d + dv.d - common) AS jaccard,
+       |  coalesce(e2.adj, false) AS adjacent
+       |FROM cn
+       |JOIN deg du ON du.node = cn.u
+       |JOIN deg dv ON dv.node = cn.v
+       |LEFT JOIN (SELECT a, b, true AS adj FROM und) e2
+       |  ON e2.a = cn.u AND e2.b = cn.v
+       |ORDER BY common DESC, cn.u, cn.v LIMIT 20""".stripMargin
+
   /** faceted_vector_search: top-3 per label facet. */
   private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
@@ -4915,6 +4983,8 @@ object SparkEntry {
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
+    "triangle_count" -> (triangleCountQ(_, _)),
+    "link_predict" -> (linkPredictQ(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
     "bm25_pair" -> (bm25Pair(_, _)),
     "hybrid_search" -> (hybridSearchQ(_, _)),
@@ -5135,6 +5205,8 @@ object SparkEntry {
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
     "pagerank_knn" -> pagerankKnnSql,
+    "triangle_count" -> triangleCountSql,
+    "link_predict" -> linkPredictSql,
     "faceted_knn" -> facetedKnnSql,
     "bm25_pair" -> bm25PairSql,
     "hybrid_search" -> hybridSearchSql,

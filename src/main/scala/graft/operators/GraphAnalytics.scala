@@ -27,6 +27,64 @@ import org.apache.spark.sql.functions._
  */
 object GraphAnalytics {
 
+  /** Symmetrized, deduplicated edge list: (a, b) with a < b. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts over the undirected graph —
+    * the standard two-join enumeration (each triangle a<b<c found once),
+    * exploded to its three corners and reduced. Nodes in no triangle
+    * report 0. Scale shape: two shuffle joins on edge endpoints, output
+    * bounded by the triangle count — never an all-pairs product. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val nodes = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val corners = tri.select(col("x").as("id"))
+      .union(tri.select(col("y").as("id")))
+      .union(tri.select(col("z").as("id")))
+    val counts = corners.groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+    nodes.join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cnt"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Common-neighbor link prediction: for every node pair sharing at
+    * least one neighbor, the shared-neighbor count and the Jaccard of
+    * the two neighborhoods (|N(u)∩N(v)| / |N(u)∪N(v)|), with an
+    * `adjacent` flag so existing edges are distinguishable from true
+    * link candidates; top-`kTop` by (common desc, u, v). One shuffle
+    * join on the shared-neighbor key — cost bounded by Σ deg², the
+    * wedge count, not |V|². */
+  def commonNeighbors(edges: DataFrame, kTop: Int): DataFrame = {
+    val und = undirected(edges)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val cn = adj.as("x").join(adj.as("y"),
+        col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+      .agg(count(lit(1)).as("common"))
+    cn.join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .join(und.select(col("a").as("u"), col("b").as("v"), lit(true).as("adj")),
+        Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double") / (col("du") + col("dv") - col("common")))
+          .as("jaccard"),
+        coalesce(col("adj"), lit(false)).as("adjacent"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(kTop)
+  }
+
   /** Integer PageRank over `edges(src, dst)`; returns (id, score) with
     * score = round-scaled 10⁶ fixed-point rank after `iterations`. */
   def pagerankInt(edges: DataFrame, iterations: Int): DataFrame = {

@@ -34,4 +34,26 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     val hub = a.toMap.apply(0L)
     assert(a.filter(_._1 != 0L).forall(_._2 < hub), s"hub not top-ranked: $a")
   }
+
+  test("triangle counts: one triangle plus a tail, found from either edge direction") {
+    // triangle 1-2-3 (mixed directions) + pendant 3-4
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("common neighbors: counts, neighborhood Jaccard and adjacency flag") {
+    // path 1-2-3 plus edge 1-3 closing the triangle, pendant 2-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.commonNeighbors(edges, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // N(1)={2,3}, N(3)={1,2}: common={2}, union={1,2,3} -> 1/3, adjacent
+    assert(out((1L, 3L)) == ((1L, 1.0 / 3.0, true)))
+    // N(1)={2,3}, N(4)={2}: common={2}, union={2,3} -> 1/2, NOT adjacent
+    assert(out((1L, 4L)) == ((1L, 0.5, false)))
+    // N(3)={1,2}, N(4)={2}: common={2} -> 1/2, not adjacent
+    assert(out((3L, 4L)) == ((1L, 0.5, false)))
+  }
 }
