@@ -114,8 +114,12 @@ object Bench {
     // 0.91 s min (44%) in a run whose q1_agg spread was itself 0.43,
     // i.e. rrf_fusion now tracks the suite-wide noise floor instead of
     // owning a floor of its own
+    // image_neardup likewise: its first run pays ImageIO's one-time
+    // plugin/scanner initialization plus the PNG codec JIT (r9 measured
+    // spread 3.4 on a 1.3 s min with the warmup absent)
     for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
-                  "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion"))
+                  "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion",
+                  "image_neardup"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 

@@ -734,6 +734,38 @@ object SparkEntry {
        |  ON e2.a = cn.u AND e2.b = cn.v
        |ORDER BY common DESC, cn.u, cn.v LIMIT 20""".stripMargin
 
+  /** Label-propagation communities over the kNN graph, FULL oracle —
+    * synchronous majority vote with the smallest-label tie-break
+    * (`GraphAnalytics.labelPropagation`; no randomness, no visit order),
+    * so the 3-round chain replays exactly as unrolled SQL
+    * (join + grouped top-1 per round). */
+  private def communityQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.labelPropagation(edges, iterations = 3)
+      .select(col("id").as("vec_id"), col("community"))
+  }
+
+  private val communitySql = {
+    val rounds = (1 to 3).map { t =>
+      s"""c$t AS (SELECT adj.node, l${t - 1}.label, count(*) AS c
+         |       FROM adj JOIN l${t - 1} ON l${t - 1}.id = adj.nb GROUP BY 1, 2),
+         |p$t AS (SELECT node AS id, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |          FROM c$t) WHERE rn = 1),
+         |l$t AS (SELECT n.id, coalesce(p$t.label, n.id) AS label
+         |        FROM n LEFT JOIN p$t ON p$t.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+       |n AS (SELECT DISTINCT node AS id FROM adj),
+       |l0 AS (SELECT id, id AS label FROM n),
+       |$rounds
+       |SELECT id AS vec_id, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
+  }
+
   /** faceted_vector_search: top-3 per label facet. */
   private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
@@ -4985,6 +5017,7 @@ object SparkEntry {
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
     "triangle_count" -> (triangleCountQ(_, _)),
     "link_predict" -> (linkPredictQ(_, _)),
+    "community_labelprop" -> (communityQ(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
     "bm25_pair" -> (bm25Pair(_, _)),
     "hybrid_search" -> (hybridSearchQ(_, _)),
@@ -5207,6 +5240,7 @@ object SparkEntry {
     "pagerank_knn" -> pagerankKnnSql,
     "triangle_count" -> triangleCountSql,
     "link_predict" -> linkPredictSql,
+    "community_labelprop" -> communitySql,
     "faceted_knn" -> facetedKnnSql,
     "bm25_pair" -> bm25PairSql,
     "hybrid_search" -> hybridSearchSql,

@@ -85,6 +85,35 @@ object GraphAnalytics {
       .limit(kTop)
   }
 
+  /** Deterministic label-propagation community detection: labels start
+    * as node ids; each round every node adopts the MAJORITY label of its
+    * neighborhood, ties broken by the SMALLEST label — no randomness,
+    * no visit order (synchronous update), so a fixed iteration count
+    * replays exactly in SQL. Each round is one join on the neighbor key
+    * + a per-node grouped top-1 (partitioned window over per-node label
+    * counts — bounded by degree, never global). Returns (id, community)
+    * after `iterations` rounds. */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val und = undirected(edges)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+    val nodes = adj.select(col("node").as("id")).distinct()
+    var lab = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iterations) {
+      val counts = adj.join(lab.select(col("id").as("nb"), col("label")), "nb")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      val pick = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node").as("id"), col("label"))
+      lab = nodes.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
+    lab.select(col("id"), col("label").as("community"))
+  }
+
   /** Integer PageRank over `edges(src, dst)`; returns (id, score) with
     * score = round-scaled 10⁶ fixed-point rank after `iterations`. */
   def pagerankInt(edges: DataFrame, iterations: Int): DataFrame = {

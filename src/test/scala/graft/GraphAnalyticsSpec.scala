@@ -56,4 +56,24 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     // N(3)={1,2}, N(4)={2}: common={2} -> 1/2, not adjacent
     assert(out((3L, 4L)) == ((1L, 0.5, false)))
   }
+
+  test("label propagation: two cliques joined by a bridge keep distinct communities") {
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = GraphAnalytics.labelPropagation(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique converges to its own minimum label
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L, s"left clique: $out")
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, s"right clique split: $out")
+    assert(out(10L) != out(1L), s"bridge merged the cliques: $out")
+  }
+
+  test("label propagation is deterministic under ties (smallest label wins)") {
+    // node 5 sees exactly one neighbor of each label -> picks the smallest
+    val edges = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val out = GraphAnalytics.labelPropagation(edges, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(5L) == 1L)
+  }
 }
