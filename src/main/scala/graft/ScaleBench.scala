@@ -276,6 +276,19 @@ object ScaleBench {
       }
       add("image_neardup", emb.count(), tIm, Seq(("pairs", nIm.toDouble)))
 
+      // Graph analytics: 3-regular expander over the vector ids (edges
+      // linear in n — the knn-graph shape without the n² build), timing
+      // the iterated SpMV rounds (join on src + groupBy on dst) that
+      // pagerank/label-prop/SGC share.
+      val nV = emb.count()
+      val ring = emb.select(col("vec_id"))
+        .select(col("vec_id").as("src"),
+          explode(array(lit(1L), lit(7L), lit(31L))).as("step"))
+        .select(col("src"), pmod(col("src") * 31 + col("step"), lit(nV)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val (nPr, tPr) = time(operators.GraphAnalytics.pagerankInt(ring, 3).count())
+      add("graph_pagerank", nPr, tPr)
+
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))

@@ -228,8 +228,11 @@ object Sketches {
     import spark.implicits._
     val Row2 = df.agg(min(col(valueCol)).cast("long"), max(col(valueCol)).cast("long"),
       count(lit(1))).head()
+    if (Row2.isNullAt(0)) { // empty input: no rows to rank
+      return ps.map(p => (p, 0f, 0L)).toDF("percentile", "est", "exact")
+    }
     val (lo, hi, n) = (Row2.getLong(0), Row2.getLong(1), Row2.getLong(2))
-    if (n == 0L || hi == lo) {
+    if (hi == lo) {
       return ps.map(p => (p, lo.toFloat, lo)).toDF("percentile", "est", "exact")
     }
     val binCol = least(lit(bins - 1),
@@ -273,7 +276,8 @@ object Sketches {
     * and a driver-side interpolation walk over the tiny
     * (≤ groups·bins) result. A degenerate group (hi == lo) returns its
     * constant for every percentile. Returns (group, percentile,
-    * est: float4). */
+    * est: float4). The group column must be string-typed (the walk
+    * rebuilds the frame driver-side). */
   def histQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
                            bins: Int, ps: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
