@@ -766,6 +766,104 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
   }
 
+  /** Local clustering coefficients over the kNN graph, FULL oracle —
+    * 2T(v)/(deg(v)(deg(v)−1)) from the triangle enumeration + one degree
+    * aggregate (`GraphAnalytics.clusteringCoefficients`); the division
+    * is exact-int → double, deterministic cross-engine. */
+  private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.clusteringCoefficients(edges)
+      .select(col("id").as("vec_id"), col("n_triangles"), col("degree"), col("cc"))
+  }
+
+  private val clusteringCoeffSql =
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT node AS id, count(*) AS degree FROM adj GROUP BY 1),
+       |n AS (SELECT DISTINCT id FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (
+       |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+       |cnts AS (SELECT id, count(*) AS cnt FROM corners GROUP BY 1)
+       |SELECT n.id AS vec_id,
+       |  CAST(coalesce(cnts.cnt, 0) AS BIGINT) AS n_triangles,
+       |  CAST(deg.degree AS BIGINT) AS degree,
+       |  CASE WHEN deg.degree < 2 THEN 0.0
+       |       ELSE 2.0 * coalesce(cnts.cnt, 0) / (deg.degree * (deg.degree - 1))
+       |  END AS cc
+       |FROM n JOIN deg ON deg.id = n.id LEFT JOIN cnts ON cnts.id = n.id""".stripMargin
+
+  /** Hop-bounded SSSP over the kNN graph, FULL oracle — 3 Bellman–Ford
+    * relaxation rounds (`GraphAnalytics.ssspBounded`, min-plus joins,
+    * NULL = unreached). The fixture weights are id-derived integers
+    * (1 + (7·src + 13·dst) mod 97) rather than floor-scaled float
+    * distances: a floor of a libm-adjacent double flips at ulp
+    * boundaries (the v_distances lesson), while the operator's contract
+    * — integer weights — is exactly replayable. */
+  private def ssspBoundedQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3)
+      .select(col("src"), col("dst"),
+        (lit(1L) + pmod(col("src") * 7 + col("dst") * 13, lit(97L))).as("w"))
+    operators.GraphAnalytics.ssspBounded(edges, "w", source = 0L, rounds = 3)
+      .select(col("id").as("vec_id"), col("dist_scaled"))
+  }
+
+  private val ssspBoundedSql = {
+    val rounds = (1 to 3).map { t =>
+      s"""r$t AS (SELECT sym.dst AS id, min(d${t - 1}.d + sym.w) AS cand
+         |       FROM sym JOIN d${t - 1} ON d${t - 1}.id = sym.src
+         |       WHERE d${t - 1}.d IS NOT NULL GROUP BY 1),
+         |d$t AS (SELECT d${t - 1}.id, least(d${t - 1}.d, r$t.cand) AS d
+         |        FROM d${t - 1} LEFT JOIN r$t ON r$t.id = d${t - 1}.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst, 1 + (7 * src + 13 * dst) % 97 AS w FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |sym AS (SELECT src, dst, min(w) AS w FROM (
+       |          SELECT src, dst, w FROM e
+       |          UNION ALL SELECT dst, src, w FROM e) GROUP BY 1, 2),
+       |d0 AS (SELECT DISTINCT src AS id,
+       |         CASE WHEN src = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS d
+       |       FROM sym),
+       |$rounds
+       |SELECT id AS vec_id, CAST(d AS BIGINT) AS dist_scaled FROM d3""".stripMargin
+  }
+
+  /** Hashed TF-IDF sparse vectorizer, FULL oracle — the classic
+    * hashing-trick document vectorizer (`Bm25.tfidfHashed`): tf·ln(N/df)
+    * summed per (doc, djb2-mod-256 bucket); weights float4 per the libm
+    * convention (ln + unordered per-bucket sums). */
+  private def tfidfHashedQ(s: SparkSession, dir: String): DataFrame =
+    operators.Bm25.tfidfHashed(
+      Tables.read(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", dim = 256)
+
+  private val tfidfHashedSql =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT tf.doc_id, ${djb2Fold(sqlBytesOf("tf.term"))} % 256 AS idx,
+       |  CAST(sum(tf.tf * ln(nn.n / df.df)) AS REAL) AS weight
+       |FROM tf JOIN df ON df.term = tf.term, nn
+       |GROUP BY 1, 2""".stripMargin
+
   /** faceted_vector_search: top-3 per label facet. */
   private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
@@ -5018,6 +5116,9 @@ object SparkEntry {
     "triangle_count" -> (triangleCountQ(_, _)),
     "link_predict" -> (linkPredictQ(_, _)),
     "community_labelprop" -> (communityQ(_, _)),
+    "clustering_coeff" -> (clusteringCoeffQ(_, _)),
+    "sssp_bounded" -> (ssspBoundedQ(_, _)),
+    "tfidf_hashed" -> (tfidfHashedQ(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
     "bm25_pair" -> (bm25Pair(_, _)),
     "hybrid_search" -> (hybridSearchQ(_, _)),
@@ -5241,6 +5342,9 @@ object SparkEntry {
     "triangle_count" -> triangleCountSql,
     "link_predict" -> linkPredictSql,
     "community_labelprop" -> communitySql,
+    "clustering_coeff" -> clusteringCoeffSql,
+    "sssp_bounded" -> ssspBoundedSql,
+    "tfidf_hashed" -> tfidfHashedSql,
     "faceted_knn" -> facetedKnnSql,
     "bm25_pair" -> bm25PairSql,
     "hybrid_search" -> hybridSearchSql,

@@ -97,4 +97,26 @@ object Bm25 {
       Bm25Index(postings, docLen, stats.getLong(0), stats.getDouble(1), idCol)
     } finally tokens.unpersist()
   }
+
+  /** Hashed TF-IDF vectorizer — the classic sparse document vectorizer
+    * (hashing-trick vocabulary, the input surface for clustering /
+    * classification): one token pass, tf·ln(N/df) weights summed per
+    * (doc, hash-bucket) with idx = djb2(term) mod `dim` (collisions sum,
+    * the standard trade). Emits sparse triplets (doc, idx, weight);
+    * weight is float4 per the libm convention (ln drifts by ulps
+    * cross-engine and the per-bucket sum is unordered). Two shuffles
+    * (postings groupBy + triplet reduce), nothing driver-side. */
+  def tfidfHashed(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val n = docs.count()
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("idx", Sketches.djb2Udf(col("term")) % dim)
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("tf") * log(lit(n.toDouble) / col("df"))).cast("float").as("weight"))
+  }
 }

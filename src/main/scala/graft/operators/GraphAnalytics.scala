@@ -85,6 +85,51 @@ object GraphAnalytics {
       .limit(kTop)
   }
 
+  /** Local clustering coefficients: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    * over the undirected graph ([[triangleCounts]] + one degree
+    * aggregate); nodes of degree < 2 report 0. The division is
+    * exact-int → double, deterministic cross-engine. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .union(und.select(col("b").as("node"), col("a").as("nb")))
+    val deg = adj.groupBy(col("node").as("id")).agg(count(lit(1)).as("degree"))
+    triangleCounts(edges).join(deg, "id")
+      .select(col("id"), col("n_triangles"), col("degree"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)))
+          .as("cc"))
+  }
+
+  /** Hop-bounded single-source shortest paths (Bellman–Ford rounds) over
+    * INTEGER edge weights — deterministic min-plus joins, one relaxation
+    * per round (join on the frontier key + a min aggregate, the same
+    * SpMV shape as [[pagerankInt]]); a fixed round count replays as
+    * unrolled SQL. Unreached nodes report NULL. Callers with float
+    * distances scale them to integers first (floor(d·10⁶)) so the sums
+    * stay exact. */
+  def ssspBounded(edges: DataFrame, weightCol: String, source: Long,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col(weightCol).cast("long").as("w"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var dist = nodes.withColumn("d",
+      when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
+    for (_ <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.filter(col("d").isNotNull).select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + col("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(col("d"), col("cand")).as("d"))
+    }
+    dist.select(col("id"), col("d").as("dist_scaled"))
+  }
+
   /** Deterministic label-propagation community detection: labels start
     * as node ids; each round every node adopts the MAJORITY label of its
     * neighborhood, ties broken by the SMALLEST label — no randomness,

@@ -76,4 +76,43 @@ class GraphAnalyticsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out(5L) == 1L)
   }
+
+  test("clustering coefficient: closed triangle = 1, open wedge center = 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.clusteringCoefficients(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 1.0)))
+    // node 3 has degree 3, one triangle -> 2*1/(3*2) = 1/3
+    assert(out(3L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(out(4L) == ((0L, 1L, 0.0)))
+  }
+
+  test("bounded SSSP: hop-limited relaxation, NULL for unreached") {
+    // path 0-1-2-3-4 with unit-ish weights; 3 rounds reach node 3, not 4
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 7L), (2L, 3L, 11L), (3L, 4L, 13L))
+      .toDF("src", "dst", "w")
+    val out = GraphAnalytics.ssspBounded(edges, "w", source = 0L, rounds = 3)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(0L) == 0L && out(1L) == 5L && out(2L) == 12L && out(3L) == 23L)
+    assert(out(4L) == -1L, s"node 4 should be unreached in 3 rounds: $out")
+    // a shortcut edge must win over the longer path
+    val out2 = GraphAnalytics.ssspBounded(
+      edges.union(Seq((0L, 2L, 3L)).toDF("src", "dst", "w")), "w", 0L, 3)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out2(2L) == 3L && out2(3L) == 14L)
+  }
+
+  test("tfidf: ubiquitous terms weigh zero, rare terms dominate, bucket sums collide") {
+    import graft.operators.Bm25
+    val docs = Seq((1L, "alpha shared"), (2L, "beta shared"), (3L, "gamma shared"))
+      .toDF("doc_id", "text")
+    val out = Bm25.tfidfHashed(docs, "doc_id", "text", dim = 4096).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2)))
+    // 'shared' has df=N -> ln(1)=0 weight in every doc
+    val sharedIdx = graft.operators.Sketches.djb2u("shared") % 4096
+    assert(out.filter(_._2 == sharedIdx).forall(_._3 == 0f))
+    // each doc's unique term carries ln(3)
+    val a = out.filter(t => t._1 == 1L && t._2 == graft.operators.Sketches.djb2u("alpha") % 4096)
+    assert(a.length == 1 && math.abs(a.head._3 - math.log(3.0)) < 1e-6)
+  }
 }
