@@ -65,6 +65,7 @@ object Bench {
     "semdedup",                                           // cluster-blocked semantic dedup
     "kmv_distinct", "cms_topk", "hist_quantile",          // corpus-stats sketches
     "image_neardup",                                      // multimodal aHash near-dup
+    "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,

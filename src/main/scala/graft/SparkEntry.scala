@@ -864,6 +864,37 @@ object SparkEntry {
        |FROM tf JOIN df ON df.term = tf.term, nn
        |GROUP BY 1, 2""".stripMargin
 
+  /** Bounded 4-core peeling over the kNN graph, FULL oracle — three
+    * synchronous drop-below-k rounds (`GraphAnalytics.kCoreBounded`; all
+    * under-degree nodes removed together, no visit order), replayed as
+    * unrolled degree-aggregate + semi-join SQL rounds. */
+  private def kcoreQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.kCoreBounded(edges, k = 4, rounds = 3)
+      .select(col("id").as("vec_id"), col("degree"), col("in_core"))
+  }
+
+  private val kcoreSql = {
+    val rounds = (1 to 3).map { t =>
+      s"""dg$t AS (SELECT id, count(*) AS d FROM (
+         |  SELECT a AS id FROM l${t - 1} UNION ALL SELECT b FROM l${t - 1}) GROUP BY 1),
+         |kp$t AS (SELECT id FROM dg$t WHERE d >= 4),
+         |l$t AS (SELECT l.a, l.b FROM l${t - 1} l
+         |        JOIN kp$t ka ON ka.id = l.a JOIN kp$t kb ON kb.id = l.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesUndCtes,
+       |n AS (SELECT DISTINCT id FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+       |l0 AS (SELECT a, b FROM und),
+       |$rounds,
+       |fd AS (SELECT id, count(*) AS degree FROM (
+       |  SELECT a AS id FROM l3 UNION ALL SELECT b FROM l3) GROUP BY 1)
+       |SELECT n.id AS vec_id, CAST(coalesce(fd.degree, 0) AS BIGINT) AS degree,
+       |  coalesce(fd.degree, 0) >= 4 AS in_core
+       |FROM n LEFT JOIN fd ON fd.id = n.id""".stripMargin
+  }
+
   /** faceted_vector_search: top-3 per label facet. */
   private def facetedKnn(s: SparkSession, dir: String): DataFrame = {
     val q = qvec(s, dir)
@@ -5119,6 +5150,7 @@ object SparkEntry {
     "clustering_coeff" -> (clusteringCoeffQ(_, _)),
     "sssp_bounded" -> (ssspBoundedQ(_, _)),
     "tfidf_hashed" -> (tfidfHashedQ(_, _)),
+    "kcore_bounded" -> (kcoreQ(_, _)),
     "faceted_knn" -> (facetedKnn(_, _)),
     "bm25_pair" -> (bm25Pair(_, _)),
     "hybrid_search" -> (hybridSearchQ(_, _)),
@@ -5345,6 +5377,7 @@ object SparkEntry {
     "clustering_coeff" -> clusteringCoeffSql,
     "sssp_bounded" -> ssspBoundedSql,
     "tfidf_hashed" -> tfidfHashedSql,
+    "kcore_bounded" -> kcoreSql,
     "faceted_knn" -> facetedKnnSql,
     "bm25_pair" -> bm25PairSql,
     "hybrid_search" -> hybridSearchSql,

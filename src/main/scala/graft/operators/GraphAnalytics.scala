@@ -130,6 +130,39 @@ object GraphAnalytics {
     dist.select(col("id"), col("d").as("dist_scaled"))
   }
 
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node whose CURRENT degree is below k" (all below-threshold nodes
+    * removed together — no visit order, so a fixed round count replays
+    * exactly in SQL). Returns every node with `in_core` = survived all
+    * rounds, plus its final degree (0 for peeled nodes). Each round is
+    * one degree aggregate + one semi-join — degeneracy-order exactness
+    * needs unbounded rounds; the bounded form is the scan-friendly
+    * approximation that converges from above. */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need positive k/rounds: $k, $rounds")
+    val und = undirected(edges)
+    val nodes = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    var live = und
+    for (_ <- 1 to rounds) {
+      val adj = live.select(col("a").as("node"))
+        .union(live.select(col("b").as("node")))
+      val keep = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      live = live
+        .join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select(col("a"), col("b"))
+    }
+    val finalDeg = live.select(col("a").as("id"))
+      .union(live.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    nodes.join(finalDeg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        (coalesce(col("degree"), lit(0L)) >= k).as("in_core"))
+  }
+
   /** Deterministic label-propagation community detection: labels start
     * as node ids; each round every node adopts the MAJORITY label of its
     * neighborhood, ties broken by the SMALLEST label — no randomness,

@@ -115,4 +115,16 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     val a = out.filter(t => t._1 == 1L && t._2 == graft.operators.Sketches.djb2u("alpha") % 4096)
     assert(a.length == 1 && math.abs(a.head._3 - math.log(3.0)) < 1e-6)
   }
+
+  test("k-core peeling: pendant chain peels away, the clique survives") {
+    // 4-clique {1,2,3,4} with a tail 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphAnalytics.kCoreBounded(edges, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._2), s"clique peeled: $out")
+    assert(!out(5L)._2 && !out(6L)._2, s"tail survived: $out")
+    // peeled nodes report degree 0; clique members keep degree 3
+    assert(out(6L)._1 == 0L && out(1L)._1 == 3L)
+  }
 }
