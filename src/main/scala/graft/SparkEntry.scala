@@ -2231,6 +2231,84 @@ object SparkEntry {
       |FROM documents d JOIN cuts ON cuts.lang = d.lang
       |GROUP BY 1""".stripMargin
 
+  /** End-to-end token-budget feed assembly under ONE oracle — the
+    * composition of this round's curation operators: adaptive per-language
+    * length gating (histogram p05/p95 cutoffs) → systematic PPS
+    * resampling (exactly k=500 copies, ∝ n_chars, over the gated corpus)
+    * → BPE-ish token accounting of the selected copies, reported per
+    * language. Every stage is deterministic integer/float4 arithmetic,
+    * so the whole chain replays as one SQL pipeline. */
+  private def budgetFeedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val cuts = operators.Sketches.histQuantilesByGroup(
+        docs.select(col("lang"), col("n_chars")), "lang", "n_chars",
+        bins = 64, ps = Seq(0.05, 0.95))
+      .groupBy(col("lang")).agg(
+        min(when(col("percentile") === 0.05, col("est"))).as("lo_cut"),
+        min(when(col("percentile") === 0.95, col("est"))).as("hi_cut"))
+    val kept = docs.join(broadcast(cuts), "lang")
+      .filter(col("n_chars") >= col("lo_cut") && col("n_chars") <= col("hi_cut"))
+    val picked = operators.Sampling.systematicSample(
+      kept.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", k = 500)
+    val toks = kept.select(col("doc_id"), col("lang"),
+      functions.TextAnalysis.bpeTokenCountUdf(col("text")).as("tokens"))
+    picked.join(toks, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("copies")).as("n_copies"),
+        sum(col("copies") * col("tokens")).as("total_tokens"))
+  }
+
+  private val budgetFeedSql =
+    """WITH s AS (SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+      |                  CAST(max(n_chars) AS BIGINT) AS hi, count(*) AS n
+      |           FROM documents GROUP BY 1),
+      |b AS (SELECT d.lang,
+      |        CASE WHEN s.hi = s.lo THEN 0
+      |             ELSE least(63, ((d.n_chars - s.lo) * 64) // (s.hi - s.lo)) END AS bin,
+      |        count(*) AS cnt
+      |      FROM documents d JOIN s ON s.lang = d.lang GROUP BY 1, 2),
+      |c AS (SELECT lang, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM b),
+      |ps AS (SELECT unnest([0.05, 0.95]) AS p),
+      |pick AS (
+      |  SELECT c.lang, ps.p, c.bin, c.cnt, c.cum - c.cnt AS cb
+      |  FROM ps, c JOIN s ON s.lang = c.lang
+      |  WHERE c.cum >= ps.p * s.n
+      |  QUALIFY row_number() OVER (PARTITION BY c.lang, ps.p ORDER BY c.bin) = 1),
+      |est AS (
+      |  SELECT pick.lang, pick.p,
+      |    CAST(CASE WHEN s.hi = s.lo THEN CAST(s.lo AS DOUBLE)
+      |         ELSE s.lo + pick.bin * ((s.hi - s.lo) / 64.0)
+      |              + ((s.hi - s.lo) / 64.0)
+      |                * ((pick.p * s.n - pick.cb) / pick.cnt)
+      |         END AS REAL) AS est
+      |  FROM pick JOIN s ON s.lang = pick.lang),
+      |cuts AS (SELECT lang,
+      |           min(CASE WHEN p = 0.05 THEN est END) AS lo_cut,
+      |           min(CASE WHEN p = 0.95 THEN est END) AS hi_cut
+      |         FROM est GROUP BY 1),
+      |kept AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars, d.text
+      |  FROM documents d JOIN cuts ON cuts.lang = d.lang
+      |  WHERE d.n_chars >= cuts.lo_cut AND d.n_chars <= cuts.hi_cut),
+      |cw AS (SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS wq,
+      |         sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum
+      |       FROM kept),
+      |t AS (SELECT max(cum) AS wt FROM cw),
+      |cp AS (SELECT doc_id, lang, text,
+      |        (1000 * cum + wt - 1) // (2 * wt)
+      |          - (1000 * (cum - wq) + wt - 1) // (2 * wt) AS copies
+      |       FROM cw, t),
+      |sel AS (SELECT doc_id, lang, text, copies FROM cp WHERE copies > 0),
+      |tok AS (SELECT doc_id, lang, copies,
+      |          CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |                 wd -> CAST(ceil(length(wd) / 4.0) AS BIGINT))), 0)
+      |            + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+      |        FROM sel)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies,
+      |  CAST(sum(copies * tokens) AS BIGINT) AS total_tokens
+      |FROM tok GROUP BY 1""".stripMargin
+
   /** KMV distinct-count sketch, FULL oracle — per-language distinct-token
     * estimates from a k-minimum-values state (k=64). The 100 TB shape:
     * Spark's partial aggregation merges bounded sorted-hash states
@@ -5198,6 +5276,7 @@ object SparkEntry {
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
+    "budget_feed" -> (budgetFeedQ(_, _)),
     "cms_topk" -> (cmsTopkQ(_, _)),
     "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
@@ -5417,6 +5496,7 @@ object SparkEntry {
     "kmv_distinct" -> kmvDistinctSql,
     "systematic_sample" -> systematicSampleSql,
     "length_filter_adaptive" -> lengthFilterSql,
+    "budget_feed" -> budgetFeedSql,
     "cms_topk" -> cmsTopkSql,
     "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,
