@@ -116,18 +116,23 @@ object GraphAnalytics {
       col("dst").cast("long").as("dst"), col(weightCol).cast("long").as("w"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var dist = nodes.withColumn("d",
-      when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
-    for (_ <- 1 to rounds) {
-      val relaxed = sym
-        .join(dist.filter(col("d").isNotNull).select(col("id").as("src"), col("d")), "src")
-        .select(col("dst").as("id"), (col("d") + col("w")).as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      dist = dist.join(relaxed, Seq("id"), "left")
-        .select(col("id"), least(col("d"), col("cand")).as("d"))
-    }
-    dist.select(col("id"), col("d").as("dist_scaled"))
+      .persist() // loop-invariant; see pagerankInt
+    try {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var dist = nodes.withColumn("d",
+          when(col("id") === source, lit(0L)).otherwise(lit(null).cast("long")))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = sym
+          .join(dist.filter(col("d").isNotNull).select(col("id").as("src"), col("d")), "src")
+          .select(col("dst").as("id"), (col("d") + col("w")).as("cand"))
+          .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+        dist = dist.join(relaxed, Seq("id"), "left")
+          .select(col("id"), least(col("d"), col("cand")).as("d"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("id"), col("d").as("dist_scaled"))
+    } finally sym.unpersist()
   }
 
   /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
@@ -140,27 +145,34 @@ object GraphAnalytics {
     * approximation that converges from above. */
   def kCoreBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need positive k/rounds: $k, $rounds")
-    val und = undirected(edges)
-    val nodes = und.select(col("a").as("id"))
-      .union(und.select(col("b").as("id"))).distinct()
-    var live = und
-    for (_ <- 1 to rounds) {
-      val adj = live.select(col("a").as("node"))
-        .union(live.select(col("b").as("node")))
-      val keep = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("node"))
-      live = live
-        .join(keep.select(col("node").as("a")), "a")
-        .join(keep.select(col("node").as("b")), "b")
-        .select(col("a"), col("b"))
-    }
-    val finalDeg = live.select(col("a").as("id"))
-      .union(live.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    nodes.join(finalDeg, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("degree"), lit(0L)).as("degree"),
-        (coalesce(col("degree"), lit(0L)) >= k).as("in_core"))
+    val und = undirected(edges).persist() // shared by nodes + round 1
+    try {
+      val nodes = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id"))).distinct()
+        .localCheckpoint(true)
+      var live = und.select(col("a"), col("b"))
+      for (_ <- 1 to rounds) {
+        val adj = live.select(col("a").as("node"))
+          .union(live.select(col("b").as("node")))
+        val keep = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("node"))
+        // eager cut: the shrinking edge list would otherwise re-derive
+        // every earlier round (and the caller's edges) per round
+        live = live
+          .join(keep.select(col("node").as("a")), "a")
+          .join(keep.select(col("node").as("b")), "b")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+      }
+      val finalDeg = live.select(col("a").as("id"))
+        .union(live.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      nodes.join(finalDeg, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          (coalesce(col("degree"), lit(0L)) >= k).as("in_core"))
+        .localCheckpoint(true)
+    } finally und.unpersist()
   }
 
   /** Deterministic label-propagation community detection: labels start
@@ -173,46 +185,63 @@ object GraphAnalytics {
     * after `iterations` rounds. */
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
-    val und = undirected(edges)
-    val adj = und.select(col("a").as("node"), col("b").as("nb"))
-      .union(und.select(col("b").as("node"), col("a").as("nb")))
-    val nodes = adj.select(col("node").as("id")).distinct()
-    var lab = nodes.withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
-      val counts = adj.join(lab.select(col("id").as("nb"), col("label")), "nb")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
-      val pick = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node").as("id"), col("label"))
-      lab = nodes.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    // adj is loop-invariant: pin it, and cut each round's plan eagerly
+    // (same rationale as pagerankInt)
+    val adj = {
+      val und = undirected(edges)
+      und.select(col("a").as("node"), col("b").as("nb"))
+        .union(und.select(col("b").as("node"), col("a").as("nb")))
+        .persist()
     }
-    lab.select(col("id"), col("label").as("community"))
+    try {
+      val nodes = adj.select(col("node").as("id")).distinct().localCheckpoint(true)
+      var lab = nodes.withColumn("label", col("id"))
+      for (_ <- 1 to iterations) {
+        val counts = adj.join(lab.select(col("id").as("nb"), col("label")), "nb")
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+        val pick = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node").as("id"), col("label"))
+        lab = nodes.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+          .localCheckpoint(true)
+      }
+      lab.select(col("id"), col("label").as("community"))
+    } finally adj.unpersist()
   }
 
   /** Integer PageRank over `edges(src, dst)`; returns (id, score) with
     * score = round-scaled 10⁶ fixed-point rank after `iterations`. */
   def pagerankInt(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
+    // loop-invariant inputs pinned once: without the persist every round
+    // replays the caller's edge derivation (for knn graphs, the whole
+    // neighbor build) from lineage — iterations × that cost
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var s = nodes.withColumn("score", lit(1000000L))
-    for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(s.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("id"), expr("score div deg").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      s = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) +
-            expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
-    }
-    s
+      col("dst").cast("long").as("dst")).persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var s = nodes.withColumn("score", lit(1000000L))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(s.withColumnRenamed("id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("id"), expr("score div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+        // eager per-round cut: keeps the plan depth constant and lets the
+        // final result outlive the unpersist below
+        s = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(150000L) +
+              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
+          .localCheckpoint(true)
+      }
+      s
+    } finally e.unpersist()
   }
 }
