@@ -2309,6 +2309,43 @@ object SparkEntry {
       |  CAST(sum(copies * tokens) AS BIGINT) AS total_tokens
       |FROM tok GROUP BY 1""".stripMargin
 
+  /** Per-language corpus diagnostics, FULL oracle — Shannon entropy of
+    * the term distribution (−Σ (c/T)·ln(c/T), float4 per the libm
+    * convention: ln plus an unordered cross-term sum) and the type-token
+    * ratio (exact-int division). One token pass, two grouped aggregates
+    * — the corpus-health report a curation run emits per shard. */
+  private def corpusEntropyQ(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.read(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy(col("lang")).agg(
+      sum(col("c")).as("tok_total"), count(lit(1)).as("n_types"))
+    tf.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(col("tok_total")).as("n_tokens"),
+        min(col("n_types")).as("n_types"),
+        sum(-(col("c") / col("tok_total")) * log(col("c") / col("tok_total")))
+          .cast("float").as("entropy"),
+        (min(col("n_types")).cast("double") / min(col("tok_total"))).as("ttr"))
+  }
+
+  private val corpusEntropySql =
+    """WITH tf AS (
+      |  SELECT lang, t, count(*) AS c FROM (
+      |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS tok_total, count(*) AS n_types FROM tf GROUP BY 1)
+      |SELECT tf.lang,
+      |  CAST(min(tot.tok_total) AS BIGINT) AS n_tokens,
+      |  CAST(min(tot.n_types) AS BIGINT) AS n_types,
+      |  CAST(sum(-(tf.c / tot.tok_total) * ln(tf.c / tot.tok_total)) AS REAL) AS entropy,
+      |  CAST(min(tot.n_types) AS DOUBLE) / min(tot.tok_total) AS ttr
+      |FROM tf JOIN tot ON tot.lang = tf.lang
+      |GROUP BY 1""".stripMargin
+
   /** KMV distinct-count sketch, FULL oracle — per-language distinct-token
     * estimates from a k-minimum-values state (k=64). The 100 TB shape:
     * Spark's partial aggregation merges bounded sorted-hash states
@@ -5277,6 +5314,7 @@ object SparkEntry {
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
+    "corpus_entropy" -> (corpusEntropyQ(_, _)),
     "cms_topk" -> (cmsTopkQ(_, _)),
     "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
@@ -5497,6 +5535,7 @@ object SparkEntry {
     "systematic_sample" -> systematicSampleSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
+    "corpus_entropy" -> corpusEntropySql,
     "cms_topk" -> cmsTopkSql,
     "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,
