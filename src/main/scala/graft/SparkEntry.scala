@@ -2388,6 +2388,49 @@ object SparkEntry {
        |  CAST(n_distinct AS BIGINT) AS n_distinct
        |FROM k""".stripMargin
 
+  /** Shard-merged KMV distinct, FULL oracle — the INCREMENTAL sketch
+    * pattern: one bounded KMV state per `source` shard (persistable as a
+    * sketch catalog), then a second Aggregator merges the states into a
+    * corpus-wide estimate without re-reading tokens. KMV merge is
+    * lossless for the k-minimum set, so the merged state — and therefore
+    * the kth-min hash and estimate — must equal the whole-corpus sketch
+    * EXACTLY; the oracle re-derives the whole-corpus sketch and checks
+    * that identity. */
+  private def kmvMergeShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.read(s, dir, "documents")
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+    val kmv = udaf(new operators.Sketches.KmvAgg(64))
+    val perShard = toks.groupBy(col("source")).agg(kmv(col("u")).as("ks"))
+    val kmvMerge = udaf(new operators.Sketches.KmvMergeAgg(64))
+    val est = udf((st: Seq[Long]) => operators.Sketches.kmvEstimate(st, 64))
+    perShard.agg(kmvMerge(col("ks")).as("ks"))
+      .select(
+        size(col("ks")).cast("long").as("n_kept"),
+        shiftrightunsigned(expr("element_at(ks, size(ks))"), 32).as("kth_hi"),
+        expr("element_at(ks, size(ks))").bitwiseAND(lit(0xFFFFFFFFL)).as("kth_lo"),
+        est(col("ks")).as("est_distinct"))
+  }
+
+  private lazy val kmvMergeShardsSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |td AS (SELECT DISTINCT t FROM toks),
+       |tu AS (SELECT ${djb2Fold(sqlBytesOf("t"))} AS u FROM td),
+       |${mix64Ctes("km", "tu", Seq(), "u")},
+       |h AS (SELECT DISTINCT z FROM km6),
+       |r AS (SELECT z, row_number() OVER (ORDER BY z) AS rn FROM h),
+       |k AS (SELECT count(*) AS n_kept, max(z) AS kz FROM r WHERE rn <= 64)
+       |SELECT CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(kz // 4294967296 AS BIGINT) AS kth_hi,
+       |  CAST(kz % 4294967296 AS BIGINT) AS kth_lo,
+       |  CAST(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |            ELSE 63.0 * 18446744073709551616.0 / CAST(kz AS DOUBLE) END
+       |       AS REAL) AS est_distinct
+       |FROM k""".stripMargin
+
   /** Count-min sketch heavy hitters, FULL oracle — CMS-estimated counts
     * (d=4 rows × w=1024 buckets) for the exact top-20 corpus terms. ONE
     * pass over the raw token stream builds the grid; the mergeable d×w
@@ -5311,6 +5354,7 @@ object SparkEntry {
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
+    "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
@@ -5532,6 +5576,7 @@ object SparkEntry {
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "kmv_merge_shards" -> kmvMergeShardsSql,
     "systematic_sample" -> systematicSampleSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,

@@ -114,6 +114,22 @@ object Sketches {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Merges FINISHED KMV states (the incremental pattern: per-shard /
+    * per-day sketches persisted, then combined to answer distinct
+    * queries without re-reading raw data). KMV merge is lossless for
+    * the k-minimum set, so merge-of-shards ≡ sketch-of-whole exactly —
+    * an oracle-checkable identity, not an approximation. */
+  final class KmvMergeAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    private val base = new KmvAgg(k)
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], state: Seq[Long]): Array[Long] =
+      if (state == null) b else base.merge(b, state.toArray)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = base.merge(x, y)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** KMV estimate from a finished state: exact when the sketch saw fewer
     * than k distinct hashes, else (k-1) / U(h_k) with U = h_k / 2⁶⁴.
     * float4 output per the repo's libm/conversion convention. */

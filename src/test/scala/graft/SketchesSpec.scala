@@ -126,4 +126,16 @@ class SketchesSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getDouble(1), r.getFloat(2)))
     assert(qs.filter(_._1 == "c").forall(_._3 == 5f))
   }
+
+  test("KmvMergeAgg: merge of per-shard states equals the whole-corpus sketch") {
+    val k = 32
+    val us = (1L to 3000L).map(u => (s"s${u % 7}", u))
+    val whole = kmvState(k, us.map(_._2))
+    val merge = new Sketches.KmvMergeAgg(k)
+    val merged = us.groupBy(_._1).values
+      .map(g => kmvState(k, g.map(_._2)))
+      .foldLeft(merge.zero)((b, st) => merge.reduce(b, st.toSeq))
+    assert(merged.toSeq == whole.toSeq,
+      "shard-merge must be lossless for the k-minimum set")
+  }
 }
