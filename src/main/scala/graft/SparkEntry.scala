@@ -2431,6 +2431,68 @@ object SparkEntry {
        |       AS REAL) AS est_distinct
        |FROM k""".stripMargin
 
+  /** ANALYZE-style table statistics, FULL oracle — the planner-stats
+    * surface (the reference is a Postgres extension; ANALYZE is the
+    * core-PG analog): ONE scan over lineitem computes min/max/null-count
+    * plus a bounded mergeable KMV ndv state for each analyzed column
+    * (two long keys raw, one string via djb2), next to the exact
+    * countDistinct. The oracle re-derives each column's kth-min hash and
+    * estimate through the splitmix64 chain — the estimates themselves
+    * are hash-checked, as in `kmv_distinct`. */
+  private def analyzeTableQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.read(s, dir, "lineitem")
+    val kmvL = udaf(new operators.Sketches.KmvAgg(64))
+    val est = udf((st: Seq[Long]) => operators.Sketches.kmvEstimate(st, 64))
+    li.agg(
+        min(col("l_orderkey")).as("ok_min"), max(col("l_orderkey")).as("ok_max"),
+        countDistinct(col("l_orderkey")).as("ok_ndv"),
+        kmvL(col("l_orderkey")).as("ok_ks"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        countDistinct(col("l_partkey")).as("pk_ndv"),
+        kmvL(col("l_partkey")).as("pk_ks"),
+        min(col("l_returnflag")).as("rf_min"), max(col("l_returnflag")).as("rf_max"),
+        countDistinct(col("l_returnflag")).as("rf_ndv"),
+        kmvL(operators.Sketches.djb2Udf(col("l_returnflag"))).as("rf_ks"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("n_rows"),
+        col("ok_min").cast("long").as("ok_min"), col("ok_max").cast("long").as("ok_max"),
+        col("ok_ndv"), est(col("ok_ks")).as("ok_ndv_est"),
+        col("pk_min").cast("long").as("pk_min"), col("pk_max").cast("long").as("pk_max"),
+        col("pk_ndv"), est(col("pk_ks")).as("pk_ndv_est"),
+        col("rf_min"), col("rf_max"),
+        col("rf_ndv"), est(col("rf_ks")).as("rf_ndv_est"))
+  }
+
+  private lazy val analyzeTableSql = {
+    def kmvBlock(prefix: String, distinctSrc: String): String =
+      s"""${prefix}v AS ($distinctSrc),
+         |${mix64Ctes(prefix, s"${prefix}v", Seq(), "v")},
+         |${prefix}h AS (SELECT DISTINCT z FROM ${prefix}6),
+         |${prefix}r AS (SELECT z, row_number() OVER (ORDER BY z) AS rn FROM ${prefix}h),
+         |${prefix}k AS (
+         |  SELECT CAST(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |              ELSE 63.0 * 18446744073709551616.0 / CAST(max(z) AS DOUBLE) END
+         |         AS REAL) AS e
+         |  FROM ${prefix}r WHERE rn <= 64)""".stripMargin
+    s"""WITH ${kmvBlock("ka", "SELECT DISTINCT l_orderkey AS v FROM lineitem")},
+       |${kmvBlock("kb", "SELECT DISTINCT l_partkey AS v FROM lineitem")},
+       |${kmvBlock("kc", s"SELECT DISTINCT ${djb2Fold(sqlBytesOf("l_returnflag"))} AS v FROM (SELECT DISTINCT l_returnflag FROM lineitem)")}
+       |SELECT count(*) AS n_rows,
+       |  CAST(min(l_orderkey) AS BIGINT) AS ok_min,
+       |  CAST(max(l_orderkey) AS BIGINT) AS ok_max,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ok_ndv,
+       |  (SELECT e FROM kak) AS ok_ndv_est,
+       |  CAST(min(l_partkey) AS BIGINT) AS pk_min,
+       |  CAST(max(l_partkey) AS BIGINT) AS pk_max,
+       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS pk_ndv,
+       |  (SELECT e FROM kbk) AS pk_ndv_est,
+       |  min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+       |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf_ndv,
+       |  (SELECT e FROM kck) AS rf_ndv_est
+       |FROM lineitem""".stripMargin
+  }
+
   /** Count-min sketch heavy hitters, FULL oracle — CMS-estimated counts
     * (d=4 rows × w=1024 buckets) for the exact top-20 corpus terms. ONE
     * pass over the raw token stream builds the grid; the mergeable d×w
@@ -5355,6 +5417,7 @@ object SparkEntry {
     "url_host_stats" -> (urlHostStats(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
     "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
+    "analyze_table" -> (analyzeTableQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
@@ -5577,6 +5640,7 @@ object SparkEntry {
     "url_host_stats" -> urlHostStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
     "kmv_merge_shards" -> kmvMergeShardsSql,
+    "analyze_table" -> analyzeTableSql,
     "systematic_sample" -> systematicSampleSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
