@@ -679,6 +679,43 @@ object SparkEntry {
       |  WHERE rank <= 3),
       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e)""".stripMargin
 
+  /** Personalized PageRank from vec 0 over the kNN graph, FULL oracle —
+    * random walk with restart, the graph-proximity relevance measure
+    * (`GraphAnalytics.personalizedPagerankInt`); all teleport mass at
+    * the source, integer floor arithmetic, unrolled-SQL replay. */
+  private def pprKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.personalizedPagerankInt(edges, source = 0L, iterations = 3)
+      .select(col("id").as("vec_id"), col("score").as("ppr_scaled"))
+  }
+
+  private val pprKnnSql = {
+    val iters = (1 to 3).map { t =>
+      s"""c$t AS (SELECT e.dst AS id, sum(s${t - 1}.score // d.deg) AS contrib
+         |       FROM e JOIN s${t - 1} ON s${t - 1}.id = e.src
+         |       JOIN d ON d.src = e.src GROUP BY 1),
+         |s$t AS (SELECT n.id,
+         |          (CASE WHEN n.id = 0 THEN 150000 ELSE 0 END)
+         |            + (850000 * coalesce(c$t.contrib, 0)) // 1000000 AS score
+         |        FROM n LEFT JOIN c$t ON c$t.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |s0 AS (SELECT id, CAST(CASE WHEN id = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS score FROM n),
+       |$iters
+       |SELECT id AS vec_id, CAST(score AS BIGINT) AS ppr_scaled FROM s3""".stripMargin
+  }
+
   /** Per-node triangle counts over the kNN graph, FULL oracle — the
     * two-join enumeration (`GraphAnalytics.triangleCounts`; each
     * triangle found once as a<b<c, exploded to corners, reduced) against
@@ -5364,6 +5401,7 @@ object SparkEntry {
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
+    "ppr_knn" -> (pprKnnQ(_, _)),
     "triangle_count" -> (triangleCountQ(_, _)),
     "link_predict" -> (linkPredictQ(_, _)),
     "community_labelprop" -> (communityQ(_, _)),
@@ -5595,6 +5633,7 @@ object SparkEntry {
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,
     "pagerank_knn" -> pagerankKnnSql,
+    "ppr_knn" -> pprKnnSql,
     "triangle_count" -> triangleCountSql,
     "link_predict" -> linkPredictSql,
     "community_labelprop" -> communitySql,

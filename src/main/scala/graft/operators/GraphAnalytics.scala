@@ -27,6 +27,42 @@ import org.apache.spark.sql.functions._
  */
 object GraphAnalytics {
 
+  /** Personalized PageRank (random walk with restart) from one source —
+    * the graph-proximity relevance measure retrieval systems layer on a
+    * similarity graph. Same fixed-point integer frame as
+    * [[pagerankInt]], but ALL teleport mass returns to the source:
+    * S₀(source) = 10⁶, else 0;
+    * S_{t+1}(v) = (v = source ? 150000 : 0)
+    *              + (850000 · Σ_{u→v} (S_t(u) // deg(u))) // 10⁶.
+    * Floor divisions only, so the iteration replays exactly in SQL. */
+  def personalizedPagerankInt(edges: DataFrame, source: Long,
+                              iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var s = nodes.withColumn("score",
+        when(col("id") === source, lit(1000000L)).otherwise(lit(0L)))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(s.withColumnRenamed("id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("id"), expr("score div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+        s = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("id") === source, lit(150000L)).otherwise(lit(0L)) +
+              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
+          .localCheckpoint(true)
+      }
+      s
+    } finally e.unpersist()
+  }
+
   /** Symmetrized, deduplicated edge list: (a, b) with a < b. */
   def undirected(edges: DataFrame): DataFrame =
     edges.select(

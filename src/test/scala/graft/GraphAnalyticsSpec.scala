@@ -127,4 +127,18 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     // peeled nodes report degree 0; clique members keep degree 3
     assert(out(6L)._1 == 0L && out(1L)._1 == 3L)
   }
+
+  test("personalized PageRank: mass concentrates near the source, zero off-component") {
+    // component {0,1,2} (triangle) and a disconnected pair {10,11}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val out = GraphAnalytics.personalizedPagerankInt(edges, source = 0L, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) > out(1L) && out(0L) > out(2L), s"source not top: $out")
+    assert(out(10L) == 0L && out(11L) == 0L, s"off-component mass leaked: $out")
+    // hand-check round 1 on the triangle: deg=1 each; contrib(1)=1e6 from 0
+    val one = GraphAnalytics.personalizedPagerankInt(edges, 0L, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one(0L) == 150000L && one(1L) == 850000L && one(2L) == 0L)
+  }
 }
