@@ -4654,6 +4654,69 @@ object SparkEntry {
        |       AS REAL) AS est_distinct
        |FROM k""".stripMargin
 
+  /** Streaming frequency sketch, FULL oracle — the CMS partner of
+    * `stream_distinct`: one d=4×w=1024 count-min grid per 6-hour window
+    * accumulates user-id occurrences through the real streaming path
+    * (the mergeable grid IS the bounded per-window state; an exact
+    * per-user count would hold the full id universe), then each
+    * window's grid answers point queries for a fixed probe set of user
+    * ids. The batch oracle re-derives every probed estimate via bucket
+    * sums — integer-exact. */
+  private def streamCmsTopkQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
+    val cms = udaf(new operators.Sketches.CmsAgg(4, 1024))
+    val agg = stream.withWatermark("ts_ts", "12 hours")
+      .groupBy(window(col("ts_ts"), "6 hours"))
+      .agg(cms(col("user_id")).as("grid"))
+    val name = "stream_cms_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val est = udf((grid: Seq[Long], u: Long) =>
+      operators.Sketches.cmsQuery(grid, 4, 1024, u))
+    s.table(name)
+      .select(col("window.start").cast("long").as("wstart"), col("grid"),
+        explode(lit((0L until 10L).toArray)).as("probe_user"))
+      .select(col("wstart"), col("probe_user"),
+        est(col("grid"), col("probe_user")).as("cms_est"))
+  }
+
+  private lazy val streamCmsTopkSql = {
+    val seeds = operators.Sketches.cmsRowSeeds(4)
+    def su(i: Int) = java.lang.Long.toUnsignedString(seeds(i))
+    val zExpr = s"xor(u::HUGEINT, CASE r WHEN 0 THEN ${su(0)}::HUGEINT " +
+      s"WHEN 1 THEN ${su(1)}::HUGEINT WHEN 2 THEN ${su(2)}::HUGEINT " +
+      s"ELSE ${su(3)}::HUGEINT END)"
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+       |         user_id AS u
+       |  FROM events),
+       |uc AS (SELECT wstart, u, count(*) AS c FROM ev GROUP BY 1, 2),
+       |rr AS (SELECT wstart, u, c, unnest([0, 1, 2, 3]) AS r FROM uc),
+       |${mix64Ctes("sc", "rr", Seq("wstart", "u", "c", "r"), zExpr)},
+       |tb AS (SELECT wstart, u, c, r, z % 1024 AS bucket FROM sc6),
+       |bs AS (SELECT wstart, r, bucket, sum(c) AS bsum FROM tb GROUP BY 1, 2, 3),
+       |probes AS (
+       |  SELECT wstart, probe_user
+       |  FROM (SELECT DISTINCT wstart FROM ev),
+       |       (SELECT unnest(range(0, 10)) AS probe_user)),
+       |pr AS (SELECT wstart, probe_user, probe_user AS u,
+       |              unnest([0, 1, 2, 3]) AS r
+       |       FROM probes),
+       |${mix64Ctes("sp", "pr", Seq("wstart", "probe_user", "r"), zExpr)},
+       |pb AS (SELECT wstart, probe_user, r, z % 1024 AS bucket FROM sp6)
+       |SELECT pb.wstart, pb.probe_user,
+       |  CAST(min(coalesce(bs.bsum, 0)) AS BIGINT) AS cms_est
+       |FROM pb LEFT JOIN bs
+       |  ON bs.wstart = pb.wstart AND bs.r = pb.r AND bs.bucket = pb.bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Stream-stream time-bounded join as a REAL streaming query: view →
     * click attribution on user_id within 1 hour, both sides watermarked
     * (state engine-evicted at watermark+bound), inner join in append
@@ -5533,6 +5596,7 @@ object SparkEntry {
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
     "stream_distinct" -> (streamDistinctQ(_, _)),
+    "stream_cms_topk" -> (streamCmsTopkQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -5729,6 +5793,7 @@ object SparkEntry {
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_distinct" -> streamDistinctSql,
+    "stream_cms_topk" -> streamCmsTopkSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,
