@@ -2468,6 +2468,64 @@ object SparkEntry {
        |       AS REAL) AS est_distinct
        |FROM k""".stripMargin
 
+  /** Dense HyperLogLog distinct sketch, FULL oracle — the CONSTANT-state
+    * partner of `kmv_distinct` (2^p register bytes per group, the shape
+    * of the industry `approx_count_distinct`). The estimate is made
+    * oracle-exact by keeping the harmonic-mean denominator as the
+    * INTEGER Σ 2^(57−M_j) (BigInt / HUGEINT — order-independent), so the
+    * oracle re-derives registers (index = top 8 hash bits, rho =
+    * leading-zero count via `length(bin(rem))`), denominator halves,
+    * positional checksum, and the estimate — linear-counting branch
+    * included — bit-for-bit. Exact distinct rides along as truth. */
+  private def hllDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.read(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+    val sk = operators.Sketches.hllDistinct(toks, "lang", "u", p = 8)
+    val exact = toks.groupBy("lang").agg(countDistinct(col("u")).as("n_distinct"))
+    sk.join(exact, "lang")
+  }
+
+  private lazy val hllDistinctSql =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |td AS (SELECT DISTINCT lang, t FROM toks),
+       |tu AS (SELECT lang, ${djb2Fold(sqlBytesOf("t"))} AS u FROM td),
+       |${mix64Ctes("hg", "tu", Seq("lang"), "u")},
+       |h AS (SELECT DISTINCT lang, z FROM hg6),
+       |rr AS (SELECT lang,
+       |         CAST(z // 72057594037927936 AS BIGINT) AS idx,
+       |         CAST(z % 72057594037927936 AS BIGINT) AS rem FROM h),
+       |regs AS (SELECT lang, idx,
+       |           max(CASE WHEN rem = 0 THEN 57 ELSE 57 - length(bin(rem)) END) AS mj
+       |         FROM rr GROUP BY 1, 2),
+       |ag AS (SELECT lang, count(*) AS occ,
+       |         sum((idx + 1) * mj) AS checksum,
+       |         sum(1::HUGEINT << (57 - mj)) AS s_occ
+       |       FROM regs GROUP BY 1),
+       |fin AS (SELECT lang,
+       |          CAST(256 - occ AS BIGINT) AS n_zero,
+       |          CAST(checksum AS BIGINT) AS checksum,
+       |          s_occ + (256 - occ)::HUGEINT * (1::HUGEINT << 57) AS s
+       |        FROM ag),
+       |est AS (SELECT lang, n_zero, checksum, s,
+       |          (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+       |            * 144115188075855872.0 / CAST(s AS DOUBLE) AS raw
+       |        FROM fin),
+       |ex AS (SELECT lang, count(DISTINCT u) AS n_distinct FROM
+       |         (SELECT lang, z AS u FROM hg6) GROUP BY 1)
+       |SELECT e.lang, e.n_zero,
+       |  CAST(e.s // 4294967296 AS BIGINT) AS s_hi,
+       |  CAST(e.s % 4294967296 AS BIGINT) AS s_lo,
+       |  e.checksum,
+       |  CAST(CASE WHEN e.raw <= 640.0 AND e.n_zero > 0
+       |            THEN 256.0 * ln(256.0 / e.n_zero)
+       |            ELSE e.raw END AS REAL) AS est_distinct,
+       |  CAST(x.n_distinct AS BIGINT) AS n_distinct
+       |FROM est e JOIN ex x ON x.lang = e.lang""".stripMargin
+
   /** ANALYZE-style table statistics, FULL oracle — the planner-stats
     * surface (the reference is a Postgres extension; ANALYZE is the
     * core-PG analog): ONE scan over lineitem computes min/max/null-count
@@ -5518,6 +5576,7 @@ object SparkEntry {
     "url_host_stats" -> (urlHostStats(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
     "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
+    "hll_distinct" -> (hllDistinctQ(_, _)),
     "analyze_table" -> (analyzeTableQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
@@ -5743,6 +5802,7 @@ object SparkEntry {
     "url_host_stats" -> urlHostStatsSql,
     "kmv_distinct" -> kmvDistinctSql,
     "kmv_merge_shards" -> kmvMergeShardsSql,
+    "hll_distinct" -> hllDistinctSql,
     "analyze_table" -> analyzeTableSql,
     "systematic_sample" -> systematicSampleSql,
     "length_filter_adaptive" -> lengthFilterSql,

@@ -156,6 +156,110 @@ object Sketches {
   }
 
   // ======================================================================
+  // HyperLogLog distinct sketch
+  // ======================================================================
+
+  /** Dense HyperLogLog (Flajolet et al. 2007) over the same splitmix64
+    * hash family as KMV — the CONSTANT-state distinct sketch (m = 2^p
+    * bytes per group regardless of k-th-minimum dynamics), the shape the
+    * industry standard `approx_count_distinct` uses. Unlike library
+    * HLL++ implementations the estimate here is ORACLE-EXACT: the
+    * harmonic-mean denominator Σ 2^(−M_j) is kept as the INTEGER
+    * Σ 2^(57−M_j) (BigInt / HUGEINT — order-independent, no float
+    * accumulation), so register contents, denominator and estimate are
+    * all re-derivable bit-for-bit in SQL. Register index = top p hash
+    * bits, rho = leading-zero count of the remaining 64−p bits + 1.
+    *
+    * Reference surface: distinct-count statistics in the reference's
+    * stats views (`NeuronDB/neurondb--1.0.sql`); PG's own planner uses
+    * the same HLL estimator family for ndv.
+    */
+  final class HllAgg(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(p >= 4 && p <= 16, "HLL needs 4 <= p <= 16")
+    private val m = 1 << p
+
+    def zero: Array[Byte] = new Array[Byte](m)
+
+    def reduce(b: Array[Byte], u: Long): Array[Byte] = {
+      val h = mix64(u)
+      val idx = (h >>> (64 - p)).toInt
+      val rem = h & ((1L << (64 - p)) - 1L)
+      // bitlen(rem) = 64 - nlz(rem); rho = (64-p) - bitlen + 1; rem=0 -> 65-p
+      val rho =
+        if (rem == 0L) (65 - p)
+        else (64 - p) - (64 - java.lang.Long.numberOfLeadingZeros(rem)) + 1
+      if (rho > (b(idx) & 0xFF)) b(idx) = rho.toByte
+      b
+    }
+
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) {
+        if ((y(i) & 0xFF) > (x(i) & 0xFF)) x(i) = y(i)
+        i += 1
+      }
+      x
+    }
+
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** HLL evidence row from a finished register array — see [[hllSummary]]. */
+  final case class HllSummary(nZero: Long, sHi: Long, sLo: Long,
+                              checksum: Long, est: Float)
+
+  /** alpha_m for m >= 128 (the published constant expression). */
+  @inline private def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Summarize a register array: V (zeros), S = Σ_j 2^(maxRho − M_j) as
+    * an exact BigInt split into 32-bit halves, a positional checksum
+    * Σ (j+1)·M_j, and the HLL estimate (raw harmonic-mean estimator with
+    * the linear-counting small-range correction; float4 per the libm
+    * convention — the `ln` branch is libm-sensitive). maxRho = 65 − p. */
+  def hllSummary(regs: Array[Byte], p: Int): HllSummary = {
+    val m = 1 << p
+    val maxRho = 65 - p
+    var v = 0L
+    var checksum = 0L
+    var s = BigInt(0)
+    var j = 0
+    while (j < m) {
+      val r = regs(j) & 0xFF
+      if (r == 0) v += 1L
+      checksum += (j + 1).toLong * r
+      s += BigInt(1) << (maxRho - r)
+      j += 1
+    }
+    val mD = m.toDouble
+    val raw = hllAlpha(m) * mD * mD * math.pow(2.0, maxRho.toDouble) / s.toDouble
+    val est =
+      if (raw <= 2.5 * mD && v > 0L) (mD * math.log(mD / v.toDouble)).toFloat
+      else raw.toFloat
+    HllSummary(v, (s >> 32).toLong, (s & 0xFFFFFFFFL).toLong, checksum, est)
+  }
+
+  /** Per-group HLL distinct estimate over a pre-fingerprinted unsigned-32
+    * column (see [[djb2Udf]]). The shuffle carries exactly 2^p bytes per
+    * group — constant, unlike `countDistinct`'s expand. Output: group,
+    * n_zero, s_hi/s_lo (exact integer denominator halves), checksum,
+    * est_distinct float4. */
+  def hllDistinct(df: DataFrame, groupCol: String, uCol: String, p: Int): DataFrame = {
+    val agg = udaf(new HllAgg(p))
+    val summ = udf((regs: Array[Byte]) => hllSummary(regs, p))
+    df.groupBy(col(groupCol))
+      .agg(agg(col(uCol)).as("regs"))
+      .select(col(groupCol), summ(col("regs")).as("s"))
+      .select(col(groupCol),
+        col("s.nZero").as("n_zero"),
+        col("s.sHi").as("s_hi"),
+        col("s.sLo").as("s_lo"),
+        col("s.checksum").as("checksum"),
+        col("s.est").as("est_distinct"))
+  }
+
+  // ======================================================================
   // Count-min sketch
   // ======================================================================
 

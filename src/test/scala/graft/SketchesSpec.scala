@@ -127,6 +127,61 @@ class SketchesSpec extends SparkSpecBase {
     assert(qs.filter(_._1 == "c").forall(_._3 == 5f))
   }
 
+  // ---------------- HLL ----------------
+
+  private def hllState(p: Int, us: Seq[Long]): Array[Byte] = {
+    val agg = new Sketches.HllAgg(p)
+    us.foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+  }
+
+  test("HLL merge of shard states equals the whole-stream sketch (register max)") {
+    val p = 8
+    val us = (1L to 4000L) ++ (1L to 4000L)
+    val whole = hllState(p, us)
+    val agg = new Sketches.HllAgg(p)
+    val (l, r) = us.splitAt(1777)
+    val merged = agg.merge(hllState(p, l), hllState(p, r))
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("HLL estimate: linear-counting branch is near-exact, raw branch within 3/sqrt(m)") {
+    val p = 8 // m = 256
+    // small cardinality -> linear counting: est within a few % of truth
+    val small = Sketches.hllSummary(hllState(p, 1L to 100L), p)
+    assert(math.abs(small.est - 100f) / 100.0 < 0.15,
+      s"linear-counting est ${small.est} vs 100")
+    // large cardinality -> raw harmonic estimator: ~1.04/sqrt(m) stderr
+    val n = 50000
+    val big = Sketches.hllSummary(hllState(p, 1L to n.toLong), p)
+    val rel = math.abs(big.est - n) / n.toDouble
+    assert(rel < 3.0 * 1.04 / math.sqrt(256.0), s"HLL rel error $rel (est ${big.est})")
+    assert(big.nZero == 0L, "50k distinct must touch all 256 registers")
+  }
+
+  test("HLL state is duplicate-insensitive and the denominator halves recompose") {
+    val p = 8
+    val once = Sketches.hllSummary(hllState(p, 1L to 500L), p)
+    val thrice = Sketches.hllSummary(hllState(p, Seq.fill(3)(1L to 500L).flatten), p)
+    assert(once == thrice)
+    // S = sHi*2^32 + sLo must equal the direct register walk
+    val regs = hllState(p, 1L to 500L)
+    val s = regs.foldLeft(BigInt(0))((acc, r) => acc + (BigInt(1) << (57 - (r & 0xFF))))
+    assert((BigInt(once.sHi) << 32) + BigInt(once.sLo) == s)
+  }
+
+  test("hllDistinct over a grouped frame: constant state, sane estimates") {
+    val rows = (1 to 6000).map(i => (s"g${i % 3}", (i % 1499).toLong))
+    val truth = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).distinct.size }
+    val out = Sketches.hllDistinct(rows.toDF("g", "u"), "g", "u", p = 8).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val est = r.getAs[Float]("est_distinct")
+      val n = truth(r.getString(0)).toDouble
+      val rel = math.abs(est - n) / n
+      assert(rel < 3.0 * 1.04 / math.sqrt(256.0), s"group ${r.getString(0)} est $est truth $n")
+    }
+  }
+
   test("KmvMergeAgg: merge of per-shard states equals the whole-corpus sketch") {
     val k = 32
     val us = (1L to 3000L).map(u => (s"s${u % 7}", u))
