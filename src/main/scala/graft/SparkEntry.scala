@@ -2221,6 +2221,29 @@ object SparkEntry {
       |SELECT doc_id, w AS weight, CAST(copies AS BIGINT) AS copies
       |FROM g WHERE copies > 0""".stripMargin
 
+  /** Weighted reservoir sample (Efraimidis–Spirtakis A-ES), FULL
+    * oracle — the one-pass weighted draw WITHOUT replacement,
+    * complement of `systematic_sample`'s with-replacement copies:
+    * u = splitmix64(doc_id) top-53-bits / 2⁵³, key = ln(u)/n_chars,
+    * top k=100 by key. The oracle replays the u derivation through the
+    * splitmix64 CTE chain and the same ln/divide; the key is emitted
+    * float4 (libm convention). Plan: one scan + TakeOrderedAndProject —
+    * no corpus shuffle, shard top-ks merge losslessly. */
+  private def weightedReservoirQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedReservoir(
+      Tables.read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+
+  private lazy val weightedReservoirSql =
+    s"""WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight
+       |           FROM documents WHERE n_chars > 0),
+       |${mix64Ctes("wr", "d", Seq("doc_id", "weight"), "doc_id")},
+       |ks AS (SELECT doc_id, weight,
+       |         ln(CAST(z // 2048 AS DOUBLE) / 9007199254740992.0) / weight AS k
+       |       FROM wr6)
+       |SELECT doc_id, weight, CAST(k AS REAL) AS es_key
+       |FROM ks ORDER BY k DESC, doc_id LIMIT 100""".stripMargin
+
   /** Adaptive per-group length gating, FULL oracle — drops
     * outlier-length documents against EACH language's own distribution:
     * per-lang p05/p95 histogram-quantile cutoffs
@@ -5579,6 +5602,7 @@ object SparkEntry {
     "hll_distinct" -> (hllDistinctQ(_, _)),
     "analyze_table" -> (analyzeTableQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
+    "weighted_reservoir" -> (weightedReservoirQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
     "corpus_entropy" -> (corpusEntropyQ(_, _)),
@@ -5805,6 +5829,7 @@ object SparkEntry {
     "hll_distinct" -> hllDistinctSql,
     "analyze_table" -> analyzeTableSql,
     "systematic_sample" -> systematicSampleSql,
+    "weighted_reservoir" -> weightedReservoirSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
     "corpus_entropy" -> corpusEntropySql,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DetRandom
+
 /**
  * Deterministic sampling for training-data pipelines (north-star
  * addition, next to [[Dedup]]/[[TemporalJoins]]): train/val splits and
@@ -110,6 +112,38 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
+  }
+
+  /** Weighted reservoir sample WITHOUT replacement (Efraimidis &
+    * Spirtakis A-ES, Inf. Proc. Letters 2006) — the one-pass bounded-state
+    * weighted draw: u_i = splitmix64(id)'s top 53 bits scaled to [0,1),
+    * key_i = ln(u_i)/w_i, keep the k rows with the LARGEST key (monotone
+    * image of the paper's u_i^(1/w_i), so P[i in sample] follows
+    * sequential PPS-without-replacement). Deterministic — the draw is a
+    * pure function of the id, stable under corpus growth and re-runs,
+    * like every sampler here; the complement of [[systematicSample]]
+    * (exact copy counts WITH replacement).
+    *
+    * Scale shape: one scan; top-k is `TakeOrderedAndProject` (per-
+    * partition heaps, k rows to the driver) — no shuffle of the corpus,
+    * and shard top-ks merge losslessly (top-k of top-ks), so per-day
+    * samples compose into a corpus sample without re-reading data.
+    *
+    * Returns (id, weight, es_key float4) — key emitted float4 per the
+    * libm convention (ln). */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val u01 = udf { (id: Long) =>
+      (DetRandom.mix64(id) >>> 11).toDouble / 9007199254740992.0 // 2^53
+    }
+    df.select(col(idCol).cast("long").as(idCol),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("__key", log(u01(col(idCol))) / col("weight"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("__key").cast("float").as("es_key"))
   }
 
   /** Systematic (low-variance) weighted resampling — deterministic,

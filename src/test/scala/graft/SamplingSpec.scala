@@ -105,4 +105,40 @@ class SamplingSpec extends SparkSpecBase {
     // axis = [0,10) for id 2, [10,20) for id 4; midpoint t=10 lands in id 4
     assert(out.toSeq == Seq((4L, 1L)))
   }
+
+  test("weighted reservoir: deterministic, partition-invariant, shard top-ks merge") {
+    import spark.implicits._
+    val rows = (1L to 800L).map(i => (i, 1L + (i % 13)))
+    val df = rows.toDF("id", "w")
+    val pick = Sampling.weightedReservoir(df, "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getFloat(2))).sortBy(_._1).toSeq
+    // same result from a different partitioning (pure function of content)
+    val again = Sampling.weightedReservoir(df.repartition(17), "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getFloat(2))).sortBy(_._1).toSeq
+    assert(pick == again)
+    // shard top-ks merge losslessly: top-50 of (top-50(left) U top-50(right))
+    val (l, r) = rows.splitAt(357)
+    val merged = Sampling.weightedReservoir(
+      Sampling.weightedReservoir(l.toDF("id", "w"), "id", "w", 50)
+        .select(col("id"), col("weight").as("w"))
+        .union(Sampling.weightedReservoir(r.toDF("id", "w"), "id", "w", 50)
+          .select(col("id"), col("weight").as("w"))),
+      "id", "w", k = 50)
+      .collect().map(x => (x.getLong(0), x.getFloat(2))).sortBy(_._1).toSeq
+    assert(merged == pick, "shard-merged reservoir must equal the global draw")
+  }
+
+  test("weighted reservoir: inclusion tracks weight; zero weights excluded") {
+    import spark.implicits._
+    // two strata: ids 1..300 weight 1, ids 301..600 weight 30
+    val df = ((1L to 300L).map((_, 1L)) ++ (301L to 600L).map((_, 30L))).toDF("id", "w")
+    val got = Sampling.weightedReservoir(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    val heavy = got.count(_ > 300L)
+    assert(heavy > 80, s"heavy stratum should dominate the draw, got $heavy/100")
+    val withZero = Sampling.weightedReservoir(
+      df.union(Seq((999L, 0L)).toDF("id", "w")), "id", "w", k = 601)
+      .collect().map(_.getLong(0))
+    assert(!withZero.contains(999L) && withZero.length == 600)
+  }
 }
