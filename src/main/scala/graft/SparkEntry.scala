@@ -2221,6 +2221,40 @@ object SparkEntry {
       |SELECT doc_id, w AS weight, CAST(copies AS BIGINT) AS copies
       |FROM g WHERE copies > 0""".stripMargin
 
+  /** Z-order (Morton) layout statistics, FULL oracle — the table-LAYOUT
+    * operator (Delta/Iceberg `OPTIMIZE ZORDER BY` data skipping): each
+    * lineitem row gets the 32-bit Morton code of its 16-bit-quantized
+    * (l_orderkey, l_partkey), buckets are the code's top 10 bits (the
+    * file-boundary stand-in), and the output is each bucket's min-max
+    * envelope in BOTH dimensions + row count — exactly the per-file
+    * stats a pruned scan consults. Pure integer arithmetic end to end
+    * (range quantization by integer div, shift-or-mask bit spread), an
+    * ALL-NATIVE plan, and a hash-exact oracle. `ZorderSpec` measures the
+    * skipping power: a 2-D box reads a small fraction of rows under
+    * z-order vs ~full scan under a single-column sort. */
+  private def zorderLayoutQ(s: SparkSession, dir: String): DataFrame =
+    operators.Zorder.layoutStats(
+      Tables.read(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", shift = 22)
+
+  private lazy val zorderLayoutSql = {
+    val qa = operators.Zorder.quantize16Sql("a", "loa", "hia")
+    val qb = operators.Zorder.quantize16Sql("b", "lob", "hib")
+    s"""WITH s AS (
+       |  SELECT min(l_orderkey) AS loa, max(l_orderkey) AS hia,
+       |         min(l_partkey) AS lob, max(l_partkey) AS hib
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey AS a, l_partkey AS b,
+       |         $qa AS qa, $qb AS qb
+       |  FROM lineitem, s),
+       |z AS (SELECT a, b, ${operators.Zorder.interleaveSql("qa", "qb")} AS zv FROM q)
+       |SELECT zv // 4194304 AS bucket, count(*) AS n,
+       |  min(a) AS a_min, max(a) AS a_max,
+       |  min(b) AS b_min, max(b) AS b_max
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   /** Weighted reservoir sample (Efraimidis–Spirtakis A-ES), FULL
     * oracle — the one-pass weighted draw WITHOUT replacement,
     * complement of `systematic_sample`'s with-replacement copies:
@@ -5603,6 +5637,7 @@ object SparkEntry {
     "analyze_table" -> (analyzeTableQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "weighted_reservoir" -> (weightedReservoirQ(_, _)),
+    "zorder_layout" -> (zorderLayoutQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
     "corpus_entropy" -> (corpusEntropyQ(_, _)),
@@ -5830,6 +5865,7 @@ object SparkEntry {
     "analyze_table" -> analyzeTableSql,
     "systematic_sample" -> systematicSampleSql,
     "weighted_reservoir" -> weightedReservoirSql,
+    "zorder_layout" -> zorderLayoutSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
     "corpus_entropy" -> corpusEntropySql,
