@@ -2255,6 +2255,75 @@ object SparkEntry {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Distributed BPE tokenizer training, FULL oracle — Sennrich et al.
+    * 2016 subword merges learned from the documents corpus: one shuffle
+    * compacts the corpus to its (word, freq) vocabulary, then each of 10
+    * rounds is a pair-count aggregate + one-row argmax + a word-table
+    * rewrite (canonical semantics: overlap-counting get_stats,
+    * lexicographic tie-break, left-to-right non-overlapping merge). The
+    * oracle replays ALL 10 rounds in SQL — pair counts via `list_zip`
+    * of adjacent slices, the LTR merge as a `list_reduce` fold, each
+    * round MATERIALIZED — and must reproduce every (rank, pair, count)
+    * exactly. */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = operators.Bpe.train(
+      Tables.read(s, dir, "documents"), "text", numMerges = 10)
+    s.createDataFrame(merges)
+  }
+
+  /** BPE encode statistics, FULL oracle — the compression evidence of
+    * the learned tokenizer: corpus token counts before/after the 10
+    * merges and the final symbol-vocabulary size, re-derived by the
+    * oracle from its own replay of the merge rounds. */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = operators.Bpe.train(
+      Tables.read(s, dir, "documents"), "text", numMerges = 10)
+    operators.Bpe.encodeStats(words)
+  }
+
+  /** The shared K-round BPE CTE chain (w1..w{K+1}, b1..bK). */
+  private def bpeCtes(k: Int): String = {
+    def round(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT z[1] AS l, z[2] AS r, sum(freq) AS cnt FROM (
+         |    SELECT unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS z, freq FROM w$i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT w, list_reduce(list_transform(syms, x -> [x]),
+         |           (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+         |                            THEN list_append(acc[:len(acc)-1], b.l || b.r)
+         |                            ELSE list_concat(acc, x) END) AS syms, freq
+         |  FROM w$i, b$i b)""".stripMargin
+    s"""wd AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1),
+       |w1 AS MATERIALIZED (
+       |  SELECT w, list_append(list_transform(range(1, length(w)+1), i -> w[i]),
+       |                        '</w>') AS syms, freq
+       |  FROM wd),
+       |${(1 to k).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeTrainSql =
+    s"""WITH ${bpeCtes(10)}
+       |SELECT * FROM (${(1 to 10).map(i =>
+            s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$i")
+            .mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
+
+  private lazy val bpeEncodeSql =
+    s"""WITH ${bpeCtes(10)},
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(freq * (length(w) + 1)) AS BIGINT) AS tokens_before,
+       |    CAST(sum(freq * len(syms)) AS BIGINT) AS tokens_after
+       |  FROM w11),
+       |voc AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_vocab FROM
+       |  (SELECT unnest(syms) AS s FROM w11))
+       |SELECT * FROM base, voc""".stripMargin
+
   /** Weighted reservoir sample (Efraimidis–Spirtakis A-ES), FULL
     * oracle — the one-pass weighted draw WITHOUT replacement,
     * complement of `systematic_sample`'s with-replacement copies:
@@ -5638,6 +5707,8 @@ object SparkEntry {
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "weighted_reservoir" -> (weightedReservoirQ(_, _)),
     "zorder_layout" -> (zorderLayoutQ(_, _)),
+    "bpe_train" -> (bpeTrainQ(_, _)),
+    "bpe_encode" -> (bpeEncodeQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
     "corpus_entropy" -> (corpusEntropyQ(_, _)),
@@ -5866,6 +5937,8 @@ object SparkEntry {
     "systematic_sample" -> systematicSampleSql,
     "weighted_reservoir" -> weightedReservoirSql,
     "zorder_layout" -> zorderLayoutSql,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
     "corpus_entropy" -> corpusEntropySql,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+ * Machine Translation of Rare Words with Subword Units") — the
+ * tokenizer-fitting step of a training-data pipeline, upstream of the
+ * token accounting the repo already does (`budget_feed`, wordpiece-lite
+ * encode). The reference ships a fixed pretrained tokenizer
+ * (`NeuronDB/src/onnx/neurondb_tokenizer.c`); training one from the
+ * corpus is the part a 100 TB curation run adds.
+ *
+ * Scale shape — the classic two-phase trick the original C++ trainer
+ * uses, made distributed:
+ *  1. ONE shuffle over the corpus builds the (word, freq) table; all
+ *     merge learning then runs on that compacted table, whose size is
+ *     the DISTINCT-word vocabulary (≪ corpus; stable as the corpus
+ *     grows), never the corpus itself.
+ *  2. Each merge round is a pair-count aggregate (map-side combined)
+ *     + a driver-side argmax of ONE row + a map over the word table.
+ *     No round ever touches raw documents again.
+ *
+ * Semantics (canonical, oracle-checked): pair counts include
+ * overlapping occurrences weighted by word frequency (get_stats);
+ * argmax tie-break is lexicographic smallest (l, r); a merge rewrites
+ * every word left-to-right non-overlapping (after merging positions
+ * (i, i+1) scanning resumes at i+2).
+ */
+object Bpe {
+
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Canonical left-to-right non-overlapping single-pair merge. */
+  def mergeWord(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = syms.length
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private val symsUdf = udf { (w: String) => w.map(_.toString) :+ "</w>" }
+  private val pairsUdf = udf { (syms: Seq[String]) => syms.zip(syms.tail) }
+
+  /** The compacted (word, initial symbols, freq) table — the one
+    * corpus-wide shuffle. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), symsUdf(col("w")).as("syms"), col("freq"))
+
+  /** Learn `numMerges` merges; returns (ranked merge table, final word
+    * table with columns w / syms / freq). The word table is
+    * localCheckpoint'ed per round: each round's input is materialized,
+    * so lineage stays flat across iterations. */
+  def train(docs: DataFrame, textCol: String,
+            numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = words
+        .select(explode(pairsUdf(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        val mu = udf((syms: Seq[String]) => mergeWord(syms, l, r))
+        val prev = words
+        words = words.withColumn("syms", mu(col("syms"))).localCheckpoint(true)
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Encode-side corpus statistics after the learned merges: distinct
+    * words, corpus token counts before (chars + end marker) and after,
+    * and the symbol-vocabulary size — the compression evidence a
+    * tokenizer fit is judged by. One row. */
+  def encodeStats(finalWords: DataFrame): DataFrame = {
+    val base = finalWords.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("freq") * (length(col("w")) + lit(1L))).as("tokens_before"),
+      sum(col("freq") * size(col("syms")).cast("long")).as("tokens_after"))
+    val vocab = finalWords.select(explode(col("syms")).as("s"))
+      .agg(countDistinct(col("s")).as("n_vocab"))
+    base.crossJoin(vocab)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("mergeWord: canonical left-to-right non-overlapping semantics") {
+    assert(Bpe.mergeWord(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeWord(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.mergeWord(Seq("a", "a", "a", "a", "a"), "a", "a") == Seq("aa", "aa", "a"))
+    assert(Bpe.mergeWord(Seq("l", "o", "w", "</w>"), "l", "o") == Seq("lo", "w", "</w>"))
+    // merged symbol is not a left candidate in the same round
+    assert(Bpe.mergeWord(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // no match is the identity
+    assert(Bpe.mergeWord(Seq("x", "y", "</w>"), "a", "b") == Seq("x", "y", "</w>"))
+  }
+
+  test("train learns the hand-checkable merges of a tiny corpus") {
+    val docs = Seq("low low low lower lowest", "new newer newest newer")
+      .toDF("text")
+    val (merges, words) = Bpe.train(docs, "text", numMerges = 4)
+    assert(merges.length == 4)
+    // "lo" + "w": 'l','o' adjacent in low/lower/lowest = 3+1+1 = 5 occurrences;
+    // 'e','w' in new/newer/newest = 4; first merge must be the most
+    // frequent pair with lexicographic tie-break
+    val m1 = merges.head
+    assert(m1.merge_rank == 1 && m1.cnt >= 4, s"got $m1")
+    // ranks are 1..k and counts never increase against re-derivation order
+    assert(merges.map(_.merge_rank) == (1 to 4))
+    // every learned pair concatenates into a symbol present in the final words
+    val finalSyms = words.select(explode(col("syms"))).as[String].collect().toSet
+    val lastMerge = merges.last
+    assert(finalSyms.contains(lastMerge.lhs + lastMerge.rhs))
+  }
+
+  test("train is deterministic and partition-invariant") {
+    val docs = (1 to 50).map(i => s"banana band bandana ana n$i").toDF("text")
+    val a = Bpe.train(docs, "text", 6)._1
+    val b = Bpe.train(docs.repartition(13), "text", 6)._1
+    assert(a == b)
+  }
+
+  test("encodeStats: merges strictly compress the corpus token count") {
+    val docs = Seq("the cat sat on the mat", "the mats were theirs",
+      "low lower lowest", "banana bandana").toDF("text")
+    val (_, words) = Bpe.train(docs, "text", 5)
+    val st = Bpe.encodeStats(words).head()
+    val (before, after) = (st.getAs[Long]("tokens_before"), st.getAs[Long]("tokens_after"))
+    assert(after < before, s"5 merges must compress: $after vs $before")
+    // token mass is conserved per merge: each application removes exactly
+    // one token instance, so after >= before - 5 * max pair count is loose;
+    // the tight invariant: after = before - sum(applied merge applications) > 0
+    assert(after > 0)
+  }
+}
