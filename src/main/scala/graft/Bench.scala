@@ -49,12 +49,12 @@ object Bench {
     "ltr_rerank", "temporal_knn",                         // rerank / temporal
     "quant_int8", "chunk_text",                           // codecs / chunking
     "knn_classify", "knn_classify_blocked",               // ML (broadcast + blocked kNN)
-    "ml_kmeans", "zscore_outliers",
+    "ml_kmeans",
     "whiten_fixpoint", "iforest_fixpoint",                // Gram-aggregate PCA, hash forest
     "dedup_exact", "minhash_lsh",                         // dedup primitives
     "dedup_pipeline",                                     // minhash -> groups -> keepers
     "asof_join", "range_join",                            // temporal joins
-    "text_stats", "multimodal_hist",                      // text / multimodal
+    "text_stats",                                         // text scan
     "pii_scrub", "decontaminate",                         // curation (all-native plans)
     "pack_sequences",                                     // token-axis packing (cumsum family)
     "training_feed",                                      // line dedup -> mixture -> packing
@@ -64,6 +64,9 @@ object Bench {
     "span_dedup_hashed",                                  // duplicated-span removal, 8-byte gram keys
     "semdedup",                                           // cluster-blocked semantic dedup
     "kmv_distinct", "cms_topk", "hist_quantile",          // corpus-stats sketches
+    "hll_distinct",                                       // constant-state distinct sketch
+    "bpe_train",                                          // tokenizer fit (10 merge rounds)
+    "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
     "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
@@ -156,12 +159,12 @@ object Bench {
 
     // The driver records only the LAST 2000 chars of output (BENCH_r*.json
     // "tail"); r8's full-precision line outgrew that window and truncated
-    // the headline total. Keep the line under ~1500 chars: 4-decimal
-    // per-query seconds (0.1 ms resolution on 0.05-3 s queries), and the
+    // the headline total. Keep the line under ~1500 chars: 3-decimal
+    // per-query seconds (1 ms resolution on 0.05-3 s queries), and the
     // spread map limited to the 10 noisiest rows (spread > max(0.1 s,
     // 25% of min) — quiet rows' spread is noise floor, not signal).
     def f4(x: Double): String =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
     val noisy = results
       .filter { case (_, v, s) => v >= 0 && s > math.max(0.1, 0.25 * v) }

@@ -260,6 +260,37 @@ object ScaleBench {
       val (nCm, tCm) = time(operators.Sketches.cmsTopK(
         toksS.select(col("t").as("term")), "term", 20).count())
       add("cms_topk", nCm, tCm)
+      // HLL: the constant-state sibling — 256 register bytes per group
+      // regardless of scale, vs KMV's k-mins (both dwarfed by the exact
+      // expand; the sketch rows should track the token scan).
+      val (nHl, tHl) = time(operators.Sketches.hllDistinct(toksS, "grp", "u", 8).count())
+      add("hll_distinct", nHl, tHl)
+
+      // BPE training: phase 1 (the word-count shuffle) grows with the
+      // corpus; the 10 merge rounds run on the compacted DISTINCT-word
+      // vocabulary, which replicated text leaves nearly unchanged — so
+      // total cost should converge to the scan cost as s grows. The
+      // distinct-word count rides along to show the compaction.
+      val (nWords, tBpe) = time {
+        val (_, w) = operators.Bpe.train(docs, "text", 10)
+        w.count()
+      }
+      add("bpe_train", docs.count(), tBpe,
+        Seq(("distinct_words", nWords.toDouble)))
+
+      // Z-order layout stats: two scans + a 1024-group aggregate — the
+      // lakehouse OPTIMIZE costing face; should be scan-bound flat.
+      val (nZb, tZo) = time(operators.Zorder.layoutStats(
+        ev.select(col("event_id"), col("user_id")),
+        "event_id", "user_id", shift = 22).count())
+      add("zorder_layout", ev.count(), tZo, Seq(("buckets", nZb.toDouble)))
+
+      // Weighted reservoir: one scan + TakeOrderedAndProject top-100 —
+      // the cheapest possible weighted-draw shape; flat per row.
+      val (_, tWr) = time(operators.Sampling.weightedReservoir(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("w")),
+        "doc_id", "w", k = 100).count())
+      add("weighted_reservoir", docs.count(), tWr)
 
       // Multimodal near-dup: PNG round-trip fingerprints + banded Hamming
       // self-join over the natural corpus (no plants — measures the

@@ -22,7 +22,7 @@ class BenchShapeSpec extends AnyFunSuite {
   }
 
   test("worst-case bench JSON line fits the driver's 2000-char tail") {
-    val numBudget = 8 // "12.3456" + sign slack; queries are seconds-scale
+    val numBudget = 7 // "12.345" + sign slack; queries are seconds-scale, 3-dp
     val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
     val spreadLen = Bench.headline.sortBy(-_.length).take(10)
       .map(n => n.length + 2 + 1 + numBudget).sum + 2
