@@ -233,14 +233,21 @@ object Dedup {
 
   def minhashSignatureFromHashes(hashes: Array[Long], numHashes: Int = 128,
                                  seed: Long = 42L): Array[Long] = {
-    val out = Array.fill(numHashes)(Long.MaxValue)
+    // UNSIGNED per-hash min: the SQL oracle's `min(z)` runs on the
+    // HUGEINT-folded [0, 2⁶⁴) domain, so a signed `<` here would pick a
+    // different shingle whenever the band's minimum hash has the top bit
+    // set — the two engines would then band DIFFERENT slices and the
+    // candidate sets could silently diverge on organic (non-identical)
+    // near-dup pairs. Same cross-engine-convention class as the
+    // v_distances float lesson, caught by audit rather than a red row.
+    val out = Array.fill(numHashes)(-1L) // unsigned max
     var j = 0
     while (j < hashes.length) {
       val x = hashes(j)
       var i = 0
       while (i < numHashes) {
         val h = mix64(x ^ mix64(seed + i))
-        if (h < out(i)) out(i) = h
+        if (java.lang.Long.compareUnsigned(h, out(i)) < 0) out(i) = h
         i += 1
       }
       j += 1
