@@ -3030,6 +3030,98 @@ object SparkEntry {
   private lazy val minhashLshSql: String =
     s"WITH $minhashPairsCtes\nSELECT a_id, b_id, jaccard FROM mh_pairs"
 
+  /** Incremental ingestion dedup, FULL oracle — a new batch (the base
+    * docs under id 100, plus planted EXACT copies and planted
+    * appended-token NEAR copies of catalog docs) checked against the
+    * persisted-corpus CATALOG (docs with id ≥ 100): exact verbatim
+    * matches via fingerprint join + text confirm, near matches via the
+    * banded-LSH join against the catalog's slices with exact-Jaccard
+    * verify and a deterministic best-match pick (max jaccard, tie →
+    * smallest catalog id). The decision table is re-derived end to end
+    * in SQL — splitmix64 chains, band slices, set intersection — one
+    * row per batch doc. The shape never plans batch × corpus. */
+  private def incrementalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val catalog = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") >= 110 && col("doc_id") < 120)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" qq7 qq7 qq7")).as("text")))
+    operators.Dedup.incrementalDedup(catalog, batch, "doc_id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 3)
+  }
+
+  private lazy val incrementalDedupSql =
+    s"""WITH cat AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+       |nw AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 110
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' qq7 qq7 qq7' FROM documents
+       |  WHERE doc_id >= 110 AND doc_id < 120),
+       |d AS MATERIALIZED (
+       |  SELECT 'c' AS side, doc_id, text FROM cat
+       |  UNION ALL SELECT 'n', doc_id, text FROM nw),
+       |toks AS (
+       |  SELECT side, doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM d),
+       |grams AS (
+       |  SELECT side, doc_id,
+       |    CASE WHEN len(ts) < 3 THEN ts
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) END AS gs
+       |  FROM toks),
+       |x AS MATERIALIZED (
+       |  SELECT DISTINCT side, doc_id, CAST(${djb2Fold(sqlBytesOf("g"))} AS HUGEINT) AS x
+       |  FROM (SELECT side, doc_id, unnest(gs) AS g FROM grams)),
+       |seeds0 AS (SELECT unnest(range(0, 64)) AS i),
+       |${mix64Ctes("im", "seeds0", Seq("i"), "42 + i")},
+       |seeds AS (SELECT i, z AS m FROM im6),
+       |ix0 AS (SELECT x.side, x.doc_id, s.i, xor(x.x, s.m) AS v FROM x, seeds s),
+       |${mix64Ctes("ih", "ix0", Seq("side", "doc_id", "i"), "v")},
+       |sig AS (SELECT side, doc_id, i, min(z) AS sv FROM ih6 GROUP BY 1, 2, 3),
+       |slices AS MATERIALIZED (
+       |  SELECT side, doc_id, i // 4 AS band, list(sv ORDER BY i) AS slice
+       |  FROM sig GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cat_id
+       |  FROM slices n JOIN slices c
+       |    ON n.side = 'n' AND c.side = 'c'
+       |   AND n.band = c.band AND n.slice = c.slice),
+       |sizes AS (SELECT side, doc_id, count(*) AS n FROM x GROUP BY 1, 2),
+       |inter AS (
+       |  SELECT c.new_id, c.cat_id, count(*) AS ninter
+       |  FROM cand c
+       |  JOIN x xa ON xa.side = 'n' AND xa.doc_id = c.new_id
+       |  JOIN x xb ON xb.side = 'c' AND xb.doc_id = c.cat_id AND xb.x = xa.x
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.new_id, i.cat_id,
+       |    CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.side = 'n' AND sa.doc_id = i.new_id
+       |  JOIN sizes sb ON sb.side = 'c' AND sb.doc_id = i.cat_id
+       |  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.8),
+       |best AS (
+       |  SELECT new_id, cat_id AS near_of, jaccard,
+       |    row_number() OVER (PARTITION BY new_id
+       |                       ORDER BY jaccard DESC, cat_id) AS rn
+       |  FROM jac),
+       |ex AS (
+       |  SELECT n.doc_id AS new_id, count(c.text) > 0 AS exact_dup
+       |  FROM nw n LEFT JOIN (SELECT DISTINCT text FROM cat) c ON c.text = n.text
+       |  GROUP BY 1)
+       |SELECT n.doc_id, coalesce(e.exact_dup, false) AS exact_dup,
+       |  b.near_of, b.jaccard
+       |FROM nw n
+       |LEFT JOIN ex e ON e.new_id = n.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id""".stripMargin
+
   /** MinHash → pairs → connected components → keeper summary, the
     * END-TO-END near-dup curation pipeline at the corpus level (the
     * 100 TB shape: banded buckets, never all-pairs; distributed
@@ -5717,6 +5809,7 @@ object SparkEntry {
     "decontaminate" -> (decontaminateQ(_, _)),
     "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
+    "incremental_dedup" -> (incrementalDedupQ(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
@@ -6012,6 +6105,7 @@ object SparkEntry {
     "dup_components" -> dupComponentsSql,
     "simhash_pairs" -> simhashPairsSql,
     "minhash_lsh" -> minhashLshSql,
+    "incremental_dedup" -> incrementalDedupSql,
     "shap_fixed" -> shapFixedSql,
     "lime_fixed" -> limeFixedSql,
     "topics_fixpoint" -> topicsFixedSql,

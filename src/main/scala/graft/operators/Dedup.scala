@@ -490,6 +490,87 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
 
+  /**
+   * INCREMENTAL ingestion dedup — a new batch checked against the
+   * already-curated corpus CATALOG without re-deduping the corpus: the
+   * daily-crawl shape, where the 100 TB side is a persisted table of
+   * (text fingerprint, minhash band slices) and only the batch is
+   * scanned fresh. Per batch row:
+   *
+   *  - `exact_dup`: the batch text verbatim-exists in the catalog —
+   *    a join on `xxhash64(text)` confirmed by text equality, so the
+   *    shuffle carries 8-byte keys (the [[fingerprintDedup]] trade,
+   *    made collision-safe by the confirm).
+   *  - `near_of` / `jaccard`: LSH band slices of the batch joined
+   *    against the catalog's band slices (same banded shape as
+   *    [[minhashLshPairs]] — never batch × corpus), candidates verified
+   *    by exact shingle-set Jaccard ≥ `jaccardThreshold`, and the best
+   *    match kept (max Jaccard, tie → smallest catalog id). NULL when
+   *    the batch row is novel.
+   *
+   * Both signals are pure integer arithmetic until the final |∩|/|∪|
+   * division, so the whole decision table is oracle-exact.
+   */
+  def incrementalDedup(catalog: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       jaccardThreshold: Double = 0.8,
+                       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val prepUdf = udf((text: String) => {
+      val sh = shingleHashes(text, shingleN)
+      (sh, minhashSignatureFromHashes(sh, numHashes, seed))
+    })
+    val bandUdf = udf((sig: Seq[Long]) =>
+      (0 until bands).map(b => (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))))
+    def sides(df: DataFrame, prefix: String) = {
+      val s = df.select(col(idCol).as(s"${prefix}_id"),
+          col(textCol).as(s"${prefix}_text"),
+          prepUdf(col(textCol)).as("p"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_text"),
+          col("p._1").as(s"${prefix}_sh"), col("p._2").as(s"${prefix}_sig"))
+      (s, s.select(col(s"${prefix}_id"),
+        explode(bandUdf(col(s"${prefix}_sig"))).as("bb"))
+        .select(col(s"${prefix}_id"), col("bb._1").as("band"),
+          col("bb._2").as("bucket")))
+    }
+    val (catS, catBands) = sides(catalog, "cat")
+    val (newS, newBands) = sides(batch, "new")
+
+    val exact = batch
+      .select(col(idCol).as("new_id"), xxhash64(col(textCol)).as("h"),
+        col(textCol).as("t"))
+      .join(catalog.select(xxhash64(col(textCol)).as("h"),
+          col(textCol).as("ct")).distinct(),
+        Seq("h"), "left")
+      .groupBy("new_id")
+      .agg(max(col("t") === col("ct")).as("exact_dup"))
+      .select(col("new_id"), coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+
+    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      sortedJaccard(a.toArray, b.toArray))
+    val cand = newBands.join(catBands, Seq("band", "bucket"))
+      .select(col("new_id"), col("cat_id")).distinct()
+    val verified = cand
+      .join(newS.select(col("new_id"), col("new_sh")), "new_id")
+      .join(catS.select(col("cat_id"), col("cat_sh")), "cat_id")
+      .withColumn("jaccard", jacUdf(col("new_sh"), col("cat_sh")))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("cat_id"))
+    val best = verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("new_id"), col("cat_id").as("near_of"), col("jaccard"))
+
+    batch.select(col(idCol).as("new_id"))
+      .join(exact, Seq("new_id"), "left")
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id").as(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        col("near_of"), col("jaccard"))
+  }
+
   /** Drop all but the min-id member of each near-dup component. */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "a_id", bCol: String = "b_id",

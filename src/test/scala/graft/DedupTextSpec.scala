@@ -26,6 +26,28 @@ class DedupTextSpec extends SparkSpecBase {
     assert(Dedup.minhashSignature(a, 64).toSeq == Dedup.minhashSignature(a, 64).toSeq)
   }
 
+  test("incremental dedup: exact plants flagged, near plants matched, novel rows null") {
+    val catalog = Seq(
+      (100L, "spark shuffle partition join aggregate window sort merge scan filter"),
+      (101L, "completely different vocabulary about cooking pasta and tomato sauce"),
+      (102L, "spark shuffle partition join aggregate window sort merge scan filter")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (1L, "spark shuffle partition join aggregate window sort merge scan filter"), // exact dup of 100/102
+      (2L, "spark shuffle partition join aggregate window sort merge scan filters"), // near dup
+      (3L, "yet another unrelated document on mountain hiking trails and weather")   // novel
+    ).toDF("id", "text")
+    val out = Dedup.incrementalDedup(catalog, batch, "id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5, shingleN = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L)._1, "verbatim text must flag exact_dup")
+    assert(out(1L)._2 == 100L, "best match ties break to the smallest catalog id")
+    assert(!out(2L)._1 && out(2L)._2 == 100L, "near plant matches its source")
+    assert(!out(3L)._1 && out(3L)._2 == -1L, "novel doc has no match")
+    assert(out.size == 3, "exactly one decision row per batch doc")
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val docs = Seq(
       (1L, "spark shuffle partition join aggregate window sort merge scan filter"),
