@@ -2255,6 +2255,30 @@ object SparkEntry {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Balanced shard layout, FULL oracle — the feed WRITER's manifest:
+    * lineitem assigned to 32 size-balanced shards contiguous in
+    * (l_partkey, then unique line id) order, shard id = (global rank −
+    * 1) div ⌈n/32⌉ with the rank from `DistributedRank` (quantile
+    * buckets + per-bucket windows — no single-task global sort). The
+    * oracle recomputes the rank with a plain `row_number()` and must
+    * reproduce every shard's count and key envelope exactly. */
+  private def shardLayoutQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sharding.shardLayout(
+      Tables.read(s, dir, "lineitem"),
+      col("l_partkey"),
+      col("l_orderkey") * lit(10L) + col("l_linenumber"),
+      numShards = 32)
+
+  private lazy val shardLayoutSql =
+    """WITH r AS (
+      |  SELECT l_partkey AS k,
+      |    row_number() OVER (ORDER BY l_partkey, l_orderkey * 10 + l_linenumber) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lineitem),
+      |s AS (SELECT k, (rn - 1) // greatest(1, (n + 31) // 32) AS shard_id FROM r)
+      |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+      |FROM s GROUP BY 1""".stripMargin
+
   /** Distributed BPE tokenizer training, FULL oracle — Sennrich et al.
     * 2016 subword merges learned from the documents corpus: one shuffle
     * compacts the corpus to its (word, freq) vocabulary, then each of 10
@@ -5799,6 +5823,7 @@ object SparkEntry {
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "weighted_reservoir" -> (weightedReservoirQ(_, _)),
     "zorder_layout" -> (zorderLayoutQ(_, _)),
+    "shard_layout" -> (shardLayoutQ(_, _)),
     "bpe_train" -> (bpeTrainQ(_, _)),
     "bpe_encode" -> (bpeEncodeQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
@@ -6030,6 +6055,7 @@ object SparkEntry {
     "systematic_sample" -> systematicSampleSql,
     "weighted_reservoir" -> weightedReservoirSql,
     "zorder_layout" -> zorderLayoutSql,
+    "shard_layout" -> shardLayoutSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "length_filter_adaptive" -> lengthFilterSql,

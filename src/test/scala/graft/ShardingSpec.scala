@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sharding
+
+class ShardingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("assignShards: exact balanced sizes and key-contiguous shards") {
+    // skewed keys: repartitionByRange's sampling would wobble here
+    val rows = (1L to 1000L).map(i => (i, if (i <= 900) 7L else i))
+    val df = rows.toDF("id", "key")
+    val layout = Sharding.shardLayout(df, col("key"), col("id"), numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(layout.map(_._1).toSeq == (0L until 8L))
+    assert(layout.forall(_._2 == 125L), s"every shard must hold exactly n/8 rows: $layout")
+    // contiguity: shard i's max key <= shard i+1's min key
+    layout.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"shards must be key-contiguous: $a then $b")
+    }
+  }
+
+  test("assignShards is deterministic and the remainder lands in the last shard") {
+    val df = (1L to 103L).map(i => (i, i % 13)).toDF("id", "key")
+    val a = Sharding.assignShards(df, col("key"), col("id"), 4)
+      .select("id", "shard_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sharding.assignShards(df.repartition(7), col("key"), col("id"), 4)
+      .select("id", "shard_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b, "assignment must be partition-invariant")
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 26, 1L -> 26, 2L -> 26, 3L -> 25))
+  }
+
+  test("writeShards round-trip: one directory per shard, sorted within") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_").toString
+    val df = (1L to 64L).map(i => (i, 65L - i)).toDF("id", "key")
+    Sharding.writeShards(df, col("key"), col("id"), numShards = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64L)
+    val perShard = back.groupBy("shard_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perShard.values.forall(_ == 16L), s"got $perShard")
+    // shard 0 holds the 16 smallest keys
+    val s0 = back.filter(col("shard_id") === 0L).select("key").as[Long].collect()
+    assert(s0.sorted.toSeq == (1L to 16L))
+  }
+}
