@@ -5135,6 +5135,89 @@ object SparkEntry {
   private val streamDedupSql =
     "SELECT DISTINCT event_type, props FROM events"
 
+  /** Near-dup dedup AT INGEST as a REAL streaming query: file source
+    * over documents → per-row 64-bit SimHash (the locality fingerprint —
+    * docs with identical tf-weighted token profiles collide) → stateful
+    * dropDuplicates keyed on the signature halves → memory sink. The
+    * state store holds 8 bytes per distinct signature — the bounded-state
+    * ingestion shape; batch parity (DISTINCT over the re-derived
+    * signatures, the `simhash_pairs` CTE chain) is the oracle. */
+  private def streamNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val simUdf = udf((t: String) => operators.Dedup.simhash(t))
+    val sigs = stream
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+      .select(simUdf(col("text")).as("sig"))
+      .select(shiftrightunsigned(col("sig"), 32).as("hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+    val deduped = streaming.StreamDedup.dedupKeys(sigs, Seq("hi", "lo"))
+    val name = "stream_neardup_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).select(col("hi"), col("lo"))
+  }
+
+  private lazy val streamNeardupSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]'))
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT doc_id, term, tf,
+       |    ${djb2Fold(sqlBytesOf("term"))} AS u1,
+       |    ${djb2Fold(sqlBytesOf("reverse(term)"))} AS u2
+       |  FROM tf),
+       |w AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(tf * (2 * ((CASE WHEN bb.b < 32 THEN u2 >> bb.b
+       |                         ELSE u1 >> (bb.b - 32) END) & 1) - 1)) AS wt
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN wt > 0 AND b < 32 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
+       |    sum(CASE WHEN wt > 0 AND b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
+       |  FROM w GROUP BY 1)
+       |SELECT DISTINCT hi, lo FROM sig""".stripMargin
+
+  /** Snapshot diff, FULL oracle — the audit face of the versioned
+    * catalog (`snapshot`/`timeTravel`): old = the documents table, new =
+    * the same table with every 17th doc removed, every 13th doc's text
+    * revised, and 15 fresh ids appended; one row per touched id with
+    * status added/removed/changed. Spark ships (id, xxhash64) through
+    * the full-outer join — unchanged rows never leave it. */
+  private def datasetDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newV = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    operators.DataManagement.snapshotDiff(docs, newV, "doc_id", "text")
+  }
+
+  private val datasetDiffSql =
+    """WITH oldv AS (SELECT doc_id, text FROM documents),
+      |newv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 15)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""".stripMargin
+
   /** Curation-at-ingest as a REAL streaming query: file source over the
     * documents table → per-row repetition/PII/decontamination features →
     * memory sink. The benchmark gram set is driver-collected and
@@ -5902,6 +5985,8 @@ object SparkEntry {
     "vec_route_assign" -> (vecRouteQ(_, _)),
     "stream_window_agg" -> (streamWindowAggQ(_, _)),
     "stream_dedup" -> (streamDedupQ(_, _)),
+    "stream_neardup" -> (streamNeardupQ(_, _)),
+    "dataset_diff" -> (datasetDiffQ(_, _)),
     "stream_distinct" -> (streamDistinctQ(_, _)),
     "stream_cms_topk" -> (streamCmsTopkQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
@@ -6105,6 +6190,8 @@ object SparkEntry {
     "vec_route_assign" -> vecRouteSql,
     "stream_window_agg" -> streamWindowAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_neardup" -> streamNeardupSql,
+    "dataset_diff" -> datasetDiffSql,
     "stream_distinct" -> streamDistinctSql,
     "stream_cms_topk" -> streamCmsTopkSql,
     "stream_session_agg" -> streamSessionAggSql,

@@ -44,6 +44,26 @@ object DataManagement {
     spark.read.parquet(versionDir(path, v))
   }
 
+  /** Snapshot DIFF — the audit face of [[snapshot]]/[[timeTravel]]:
+    * what changed between two corpus versions, as one row per touched
+    * id with status `added` / `removed` / `changed`. Content equality
+    * is an 8-byte `xxhash64` join confirmed by payload equality (the
+    * fingerprint-dedup trade), so the shuffle carries ids + hashes, not
+    * two copies of the corpus; unchanged rows — the overwhelming bulk
+    * at 100 TB — never leave the join. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, payloadCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(idCol).as("id"), xxhash64(col(payloadCol)).as(s"${side}_h"))
+    keyed(oldDf, "old").join(keyed(newDf, "new"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_h").isNull, lit("added"))
+          .when(col("new_h").isNull, lit("removed"))
+          .when(col("old_h") =!= col("new_h"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"))
+  }
+
   /** `compress_cold_tier` (`:3893`): quantize vectors of rows older than
     * the cutoff to int8 payloads, keep hot rows full-precision. */
   def compressColdTier(df: DataFrame, vecCol: String, ageCol: String,

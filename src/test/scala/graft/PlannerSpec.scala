@@ -74,6 +74,14 @@ class PlannerSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](DataManagement.timeTravel(spark, tmp, Some(9L)))
   }
 
+  test("snapshotDiff: added/removed/changed only, unchanged rows absent") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "p")
+    val out = DataManagement.snapshotDiff(oldV, newV, "id", "p")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("vacuum drops null/empty vectors and duplicates") {
     val df = Seq(
       (1L, Some(Seq(1f, 2f))), (1L, Some(Seq(1f, 2f))),

@@ -194,4 +194,21 @@ class StreamingSpec extends SparkSpecBase {
     val out = StreamDedup.dedupKeys(df, Seq("event_type", "props")).collect()
     assert(out.length == 2)
   }
+
+  test("simhash near-dup key: word order collapses, different bags do not") {
+    // simhash is a tf-weighted BAG fingerprint: reordering words leaves
+    // the signature unchanged (the near-dup class stream_neardup keys
+    // on), while a changed bag moves bits
+    val a = graft.operators.Dedup.simhash("the quick brown fox jumps high")
+    val b = graft.operators.Dedup.simhash("high jumps fox brown quick the")
+    val c = graft.operators.Dedup.simhash("a completely different sentence here")
+    assert(a == b && a != c)
+    val df = Seq(
+      ("the quick brown fox jumps high", 1L),
+      ("high jumps fox brown quick the", 2L),
+      ("a completely different sentence here", 3L)).toDF("text", "id")
+      .select(udf((t: String) => graft.operators.Dedup.simhash(t)).apply($"text").as("sig"))
+    val out = StreamDedup.dedupKeys(df, Seq("sig")).collect()
+    assert(out.length == 2, "reordered twin must collapse to one signature")
+  }
 }
