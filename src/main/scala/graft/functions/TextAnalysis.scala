@@ -242,5 +242,24 @@ object TextAnalysis {
     spark.udf.register("doc_fingerprint", fingerprintUdf)
     spark.udf.register("repetition_stats", repetitionUdf)
     spark.udf.register("window_fingerprints", windowFingerprintsUdf)
+    // dedup / layout primitives as SQL names (the CREATE EXTENSION face)
+    spark.udf.register("simhash64",
+      udf((t: String) => graft.operators.Dedup.simhash(t)))
+    spark.udf.register("minhash_signature",
+      udf((t: String, n: Int) => graft.operators.Dedup.minhashSignatureFromHashes(
+        graft.operators.Dedup.shingleHashes(t, 3), n)))
+    spark.udf.register("zorder_key",
+      udf((a: Long, b: Long) => {
+        require(a >= 0 && a <= 0xFFFFL && b >= 0 && b <= 0xFFFFL,
+          "zorder_key expects 16-bit quantized inputs")
+        var z = 0L
+        var j = 0
+        while (j < 16) {
+          z |= ((a >> j) & 1L) << (2 * j + 1)
+          z |= ((b >> j) & 1L) << (2 * j)
+          j += 1
+        }
+        z
+      }))
   }
 }

@@ -60,6 +60,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getDouble(0) == 6.0)
   }
 
+  test("dedup / layout primitives by SQL name") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS sh,
+        |       simhash64('fox brown quick the') AS sh2,
+        |       size(minhash_signature('one two three four five six', 64)) AS msize,
+        |       zorder_key(65535, 0) AS zo,
+        |       zorder_key(0, 65535) AS ze""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1), "simhash is a bag fingerprint")
+    assert(r.getInt(2) == 64)
+    // a's bits land on odd positions, b's on even
+    assert(r.getLong(3) == 0xAAAAAAAAL && r.getLong(4) == 0x55555555L)
+  }
+
   test("STRICT null semantics: NULL vector in -> NULL out across the surface") {
     // the reference declares these functions STRICT; a NULL embedding row
     // must yield NULL, not crash the job
