@@ -1976,6 +1976,44 @@ object SparkEntry {
       .select(col("vec_id"), col("predicted_label"))
   }
 
+  /** Hard-negative mining, FULL oracle — the contrastive-training data
+    * op: for each of 50 anchor embeddings, the rank-1 neighbor
+    * (excluding self) is the POSITIVE and ranks 9–10 are the HARD
+    * NEGATIVES (similar enough to teach the margin, far enough to be
+    * wrong). The plan is the exact two-pass triangle-inequality
+    * `Ivf.knnJoin` (only centroids + radii broadcast — the 100 TB
+    * large×large shape), which provably returns the true top-k; the
+    * oracle recomputes per-anchor ranks with a brute-force window. */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val j = operators.Ivf.knnJoin(ivfModel(s, dir), queries, "embedding", "qid",
+      k = 11, metric = "l2", tieBreak = Seq("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("distance"), col("t_vec_id"))
+    j.filter(col("t_vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || col("rn") === 9 || col("rn") === 10)
+      .select(col("qid"),
+        when(col("rn") === 1, lit("pos")).otherwise(lit("neg")).as("role"),
+        col("t_vec_id").as("nbr_id"), col("rn").cast("long").as("rn"))
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |           WHERE vec_id < 50),
+      |d AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS dist
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, vec_id,
+      |        row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |      FROM d)
+      |SELECT qid, CASE WHEN rn = 1 THEN 'pos' ELSE 'neg' END AS role,
+      |  vec_id AS nbr_id, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn IN (1, 9, 10)""".stripMargin
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -5885,6 +5923,7 @@ object SparkEntry {
     "ivf_join_recall" -> (ivfJoinRecall(_, _)),
     "fingerprint_dedup" -> (fingerprintDedupQ(_, _)),
     "knn_classify_blocked" -> (knnClassifyBlockedQ(_, _)),
+    "hard_negatives" -> (hardNegativesQ(_, _)),
     "graph_knn" -> (graphKnnQ(_, _)),
     "sparse_search" -> (sparseSearchQ(_, _)),
     "semantic_keyword" -> (semanticKeywordQ(_, _)),
@@ -6126,6 +6165,7 @@ object SparkEntry {
     "ivf_join_exact" -> dedupCosineSql, // exhaustive blocking == cross join
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
+    "hard_negatives" -> hardNegativesSql,
     "hybrid_fusion" -> hybridFusionSql,
     "lof_scores" -> lofScoresSql,
     "arima_forecast" -> arimaForecastSql,
