@@ -87,6 +87,32 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  /** Apply a learned merge table to text — the SERVE face of [[train]]:
+    * each word is split to chars + the end marker and the merges are
+    * replayed IN RANK ORDER (the canonical greedy encode). The merge
+    * list is tiny (the vocab budget) and closed over — broadcast to
+    * executors with the UDF; one scan, no shuffle. Returns the frame
+    * with `tokens` (all subword tokens in order) and `n_tokens`. */
+  def encodeWithMerges(docs: DataFrame, textCol: String,
+                       merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.merge_rank).map(m => (m.lhs, m.rhs)).toArray
+    val encUdf = udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else
+        "[a-z0-9]+".r.findAllIn(text.toLowerCase).flatMap { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+          var i = 0
+          while (i < ordered.length) {
+            syms = mergeWord(syms, ordered(i)._1, ordered(i)._2)
+            i += 1
+          }
+          syms
+        }.toSeq
+    }
+    docs.withColumn("tokens", encUdf(col(textCol)))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Encode-side corpus statistics after the learned merges: distinct
     * words, corpus token counts before (chars + end marker) and after,
     * and the symbol-vocabulary size — the compression evidence a

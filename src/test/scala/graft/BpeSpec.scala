@@ -42,6 +42,22 @@ class BpeSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("encodeWithMerges agrees with the trainer's own word table") {
+    val docs = Seq("low lower lowest low", "newest newer new lowest").toDF("text")
+    val (merges, words) = Bpe.train(docs, "text", 6)
+    // corpus re-encoded with the learned merges must give the same total
+    // token mass as the trainer's final word table
+    val encoded = Bpe.encodeWithMerges(docs, "text", merges)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val fromWords = words.select(
+      sum(col("freq") * size(col("syms")).cast("long"))).head().getLong(0)
+    assert(encoded == fromWords)
+    // unseen text still encodes (falls back to chars where no merge applies)
+    val cold = Bpe.encodeWithMerges(Seq("zq").toDF("text"), "text", merges)
+      .select(col("tokens")).head().getSeq[String](0)
+    assert(cold == Seq("z", "q", "</w>"))
+  }
+
   test("encodeStats: merges strictly compress the corpus token count") {
     val docs = Seq("the cat sat on the mat", "the mats were theirs",
       "low lower lowest", "banana bandana").toDF("text")
