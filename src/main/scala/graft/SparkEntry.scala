@@ -2014,6 +2014,41 @@ object SparkEntry {
       |  vec_id AS nbr_id, CAST(rn AS BIGINT) AS rn
       |FROM r WHERE rn IN (1, 9, 10)""".stripMargin
 
+  /** Deterministic MLM token masking, FULL oracle — the denoising-
+    * objective data prep (BERT/T5): ~15% of each document's tokens
+    * replaced by `<mask>`, the coin for position i of doc d drawn from
+    * the splitmix64 stream keyed (d, i) — reproducible, partition-order
+    * independent, and replayed exactly by the oracle (the comparison
+    * u < 0.15 is on exact dyadic u, no float boundary). One scan, no
+    * shuffle. */
+  private def tokenMaskQ(s: SparkSession, dir: String): DataFrame =
+    operators.Augment.tokenMask(
+      Tables.read(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", rate = 0.15)
+      .select(col("doc_id"), col("masked_text"), col("n_tokens"), col("n_masked"))
+
+  private lazy val tokenMaskSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]')),
+       |t0 AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+       |${mix64Ctes("tm", "t0", Seq("doc_id", "pos", "tok"),
+                    "doc_id * 131071 + pos")},
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 < 0.15
+       |         THEN '<mask>' ELSE tok END AS ot,
+       |    CASE WHEN CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 < 0.15
+       |         THEN 1 ELSE 0 END AS msk
+       |  FROM tm6)
+       |SELECT doc_id, string_agg(ot, ' ' ORDER BY pos) AS masked_text,
+       |  CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(msk) AS BIGINT) AS n_masked
+       |FROM m GROUP BY 1""".stripMargin
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -5924,6 +5959,7 @@ object SparkEntry {
     "fingerprint_dedup" -> (fingerprintDedupQ(_, _)),
     "knn_classify_blocked" -> (knnClassifyBlockedQ(_, _)),
     "hard_negatives" -> (hardNegativesQ(_, _)),
+    "token_mask" -> (tokenMaskQ(_, _)),
     "graph_knn" -> (graphKnnQ(_, _)),
     "sparse_search" -> (sparseSearchQ(_, _)),
     "semantic_keyword" -> (semanticKeywordQ(_, _)),
@@ -6166,6 +6202,7 @@ object SparkEntry {
     "fingerprint_dedup" -> fingerprintDedupSql,
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
     "hard_negatives" -> hardNegativesSql,
+    "token_mask" -> tokenMaskSql,
     "hybrid_fusion" -> hybridFusionSql,
     "lof_scores" -> lofScoresSql,
     "arima_forecast" -> arimaForecastSql,
