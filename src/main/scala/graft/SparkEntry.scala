@@ -2049,6 +2049,44 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(msk) AS BIGINT) AS n_masked
        |FROM m GROUP BY 1""".stripMargin
 
+  /** DSIR-style importance data selection, FULL oracle — the top-100
+    * most English-target-like docs by the hashed-unigram enrichment
+    * score: the selection key is the exact INTEGER vote sum (per-bucket
+    * cross-multiplication signs — the flake-proof-selection convention),
+    * the canonical log importance weight rides along float4. The 256-row
+    * feature model broadcasts; one token scan + one per-doc aggregate +
+    * TakeOrderedAndProject. */
+  private def dsirSelectQ(s: SparkSession, dir: String): DataFrame =
+    operators.Dsir.select(Tables.read(s, dir, "documents"),
+      "doc_id", "text", col("lang") === "en", k = 100, buckets = 256)
+
+  private lazy val dsirSelectSql =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, lang = 'en' AS t,
+       |    ${djb2Fold(sqlBytesOf("tok"))} % 256 AS f
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |        FROM documents)),
+       |cc AS (SELECT f, count(*) AS cc FROM tk GROUP BY 1),
+       |ctt AS (SELECT f, count(*) AS ct FROM tk WHERE t GROUP BY 1),
+       |m AS (SELECT cc.f, cc.cc, coalesce(ctt.ct, 0) AS ct
+       |      FROM cc LEFT JOIN ctt ON ctt.f = cc.f),
+       |n AS (SELECT sum(cc) AS nc, sum(ct) AS nt FROM m),
+       |sv AS (
+       |  SELECT f,
+       |    CASE WHEN (ct + 1) * (nc + 256) > (cc + 1) * (nt + 256) THEN 1
+       |         WHEN (ct + 1) * (nc + 256) < (cc + 1) * (nt + 256) THEN -1
+       |         ELSE 0 END AS vote,
+       |    ln((ct + 1)::DOUBLE / (nt + 256)) - ln((cc + 1)::DOUBLE / (nc + 256)) AS lr
+       |  FROM m, n),
+       |d AS (
+       |  SELECT tk.doc_id, sum(sv.vote) AS score_int, count(*) AS n_toks,
+       |    CAST(sum(sv.lr) AS REAL) AS logratio
+       |  FROM tk JOIN sv ON sv.f = tk.f GROUP BY 1)
+       |SELECT doc_id, CAST(score_int AS BIGINT) AS score_int,
+       |  CAST(n_toks AS BIGINT) AS n_toks, logratio
+       |FROM d ORDER BY score_int DESC, doc_id LIMIT 100""".stripMargin
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -5960,6 +5998,7 @@ object SparkEntry {
     "knn_classify_blocked" -> (knnClassifyBlockedQ(_, _)),
     "hard_negatives" -> (hardNegativesQ(_, _)),
     "token_mask" -> (tokenMaskQ(_, _)),
+    "dsir_select" -> (dsirSelectQ(_, _)),
     "graph_knn" -> (graphKnnQ(_, _)),
     "sparse_search" -> (sparseSearchQ(_, _)),
     "semantic_keyword" -> (semanticKeywordQ(_, _)),
@@ -6203,6 +6242,7 @@ object SparkEntry {
     "knn_classify_blocked" -> knnClassifySql, // same contract, blocked plan
     "hard_negatives" -> hardNegativesSql,
     "token_mask" -> tokenMaskSql,
+    "dsir_select" -> dsirSelectSql,
     "hybrid_fusion" -> hybridFusionSql,
     "lof_scores" -> lofScoresSql,
     "arima_forecast" -> arimaForecastSql,
