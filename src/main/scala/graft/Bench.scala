@@ -69,7 +69,8 @@ object Bench {
     "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
-    "bandit_ucb", "graphsage_agg", "sgc_propagate")       // RL / GNN
+    "graphsage_agg", "sgc_propagate",                     // GNN
+    "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
     * zero allocation — a pure cycles yardstick. Returns seconds. */
