@@ -292,6 +292,17 @@ object ScaleBench {
         "doc_id", "w", k = 100).count())
       add("weighted_reservoir", docs.count(), tWr)
 
+      // Incremental ingestion dedup: a FIXED 500-doc batch (the base
+      // corpus) checked against the GROWING catalog — the daily-crawl
+      // cost face. Both signals are banded/hashed joins, so cost should
+      // track the catalog scan, never batch x catalog.
+      val (nInc, tInc) = time(operators.Dedup.incrementalDedup(
+          docs, docs0.select(col("doc_id"), col("text")), "doc_id", "text",
+          numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+        .filter(col("exact_dup") || col("near_of").isNotNull).count())
+      add("incremental_dedup", docs.count(), tInc,
+        Seq(("batch_flagged", nInc.toDouble)))
+
       // Multimodal near-dup: PNG round-trip fingerprints + banded Hamming
       // self-join over the natural corpus (no plants — measures the
       // fingerprint scan + band-key shuffle, with near-zero pair output).

@@ -199,6 +199,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("incremental_dedup never plans batch x corpus (hash joins only)") {
+    val plan = planOf(SparkEntry.queries("incremental_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("dsir_select: the feature model broadcasts; the corpus side never shuffles pairs") {
+    val plan = planOf(SparkEntry.queries("dsir_select")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 256-row model must broadcast-join the token scan: $plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject: $plan")
+  }
+
   test("span_dedup corpus stages are hash joins/aggregates — no nested loop anywhere") {
     val plan = planOf(SparkEntry.queries("span_dedup_hashed")(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
