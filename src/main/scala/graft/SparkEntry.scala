@@ -2332,6 +2332,29 @@ object SparkEntry {
       |SELECT doc_id, w AS weight, CAST(copies AS BIGINT) AS copies
       |FROM g WHERE copies > 0""".stripMargin
 
+  /** Per-language weighted reservoir, FULL oracle — independent A-ES
+    * draws of k=20 docs per language (per-domain sampling budgets, the
+    * grouped face of `weighted_reservoir`): same splitmix64 u-stream and
+    * ln(u)/n_chars key, ranked by a PARTITIONED window. */
+  private def groupReservoirQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedReservoirByGroup(
+      Tables.read(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k = 20)
+
+  private lazy val groupReservoirSql =
+    s"""WITH d AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight
+       |           FROM documents WHERE n_chars > 0),
+       |${mix64Ctes("gr", "d", Seq("lang", "doc_id", "weight"), "doc_id")},
+       |ks AS (SELECT lang, doc_id, weight,
+       |         ln(CAST(z // 2048 AS DOUBLE) / 9007199254740992.0) / weight AS k
+       |       FROM gr6),
+       |r AS (SELECT lang, doc_id, weight, k,
+       |        row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+       |      FROM ks)
+       |SELECT lang, doc_id, weight, CAST(k AS REAL) AS es_key
+       |FROM r WHERE rn <= 20""".stripMargin
+
   /** Z-order (Morton) layout statistics, FULL oracle — the table-LAYOUT
     * operator (Delta/Iceberg `OPTIMIZE ZORDER BY` data skipping): each
     * lineitem row gets the 32-bit Morton code of its 16-bit-quantized
@@ -6019,6 +6042,7 @@ object SparkEntry {
     "analyze_table" -> (analyzeTableQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "weighted_reservoir" -> (weightedReservoirQ(_, _)),
+    "group_reservoir" -> (groupReservoirQ(_, _)),
     "zorder_layout" -> (zorderLayoutQ(_, _)),
     "shard_layout" -> (shardLayoutQ(_, _)),
     "bpe_train" -> (bpeTrainQ(_, _)),
@@ -6256,6 +6280,7 @@ object SparkEntry {
     "analyze_table" -> analyzeTableSql,
     "systematic_sample" -> systematicSampleSql,
     "weighted_reservoir" -> weightedReservoirSql,
+    "group_reservoir" -> groupReservoirSql,
     "zorder_layout" -> zorderLayoutSql,
     "shard_layout" -> shardLayoutSql,
     "bpe_train" -> bpeTrainSql,

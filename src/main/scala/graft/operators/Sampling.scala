@@ -146,6 +146,29 @@ object Sampling {
       .select(col(idCol), col("weight"), col("__key").cast("float").as("es_key"))
   }
 
+  /** Per-group weighted reservoir — [[weightedReservoir]] with an
+    * independent k-draw per group (per-language / per-domain sampling
+    * budgets): same A-ES key, ranked inside each group by a PARTITIONED
+    * window (distributes across groups — never a global sort). Returns
+    * (group, id, weight, es_key float4). */
+  def weightedReservoirByGroup(df: DataFrame, groupCol: String, idCol: String,
+                               weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val u01 = udf { (id: Long) =>
+      (DetRandom.mix64(id) >>> 11).toDouble / 9007199254740992.0 // 2^53
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__key").desc, col(idCol))
+    df.select(col(groupCol), col(idCol).cast("long").as(idCol),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("__key", log(u01(col(idCol))) / col("weight"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), col("weight"),
+        col("__key").cast("float").as("es_key"))
+  }
+
   /** Systematic (low-variance) weighted resampling — deterministic,
     * EXACTLY k total copies, E[copies_i] ∝ weight_i (Madow's systematic
     * PPS scheme; the particle-filter resampler): traverse rows in id

@@ -128,6 +128,24 @@ class SamplingSpec extends SparkSpecBase {
     assert(merged == pick, "shard-merged reservoir must equal the global draw")
   }
 
+  test("group reservoir: independent per-group draws, each group's global twin") {
+    import spark.implicits._
+    val rows = (1L to 600L).map(i => (s"g${i % 3}", i, 1L + (i % 11)))
+    val df = rows.toDF("g", "id", "w")
+    val grouped = Sampling.weightedReservoirByGroup(df, "g", "id", "w", k = 15)
+      .select("g", "id").as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    assert(grouped.values.forall(_.size == 15))
+    // each group's draw equals the GLOBAL reservoir run on that group alone
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sampling.weightedReservoir(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("id", "w"),
+        "id", "w", k = 15).select("id").as[Long].collect().toSet
+      assert(solo == grouped(g), s"group $g must match its global twin")
+    }
+  }
+
   test("weighted reservoir: inclusion tracks weight; zero weights excluded") {
     import spark.implicits._
     // two strata: ids 1..300 weight 1, ids 301..600 weight 30
