@@ -232,6 +232,22 @@ class PlanShapeSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), s"no hash join for the pair stage in: $plan")
   }
 
+  test("HLL sketch aggregates two-phase; reservoir top-k is TakeOrderedAndProject") {
+    val toks = Tables.read(spark, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .withColumn("u", operators.Sketches.djb2Udf(col("t")))
+    val hllPlan = operators.Sketches.hllDistinct(toks, "lang", "u", 8)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(hllPlan).size >= 2,
+      s"no partial aggregation for the HLL registers: $hllPlan")
+    val wrPlan = operators.Sampling.weightedReservoir(
+      Tables.read(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 100).queryExecution.executedPlan.toString
+    assert(wrPlan.contains("TakeOrderedAndProject"),
+      s"reservoir must plan per-partition heaps, not a global sort: $wrPlan")
+  }
+
   test("KMV sketch aggregates two-phase (the bounded state merges map-side)") {
     val toks = Tables.read(spark, dir, "documents")
       .select(col("lang"),
