@@ -113,6 +113,19 @@ object Bpe {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** Persist a learned merge table (the tokenizer ARTIFACT — rank order
+    * is the whole model); parquet, tiny. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit =
+    spark.createDataFrame(merges).write.mode("overwrite").parquet(path)
+
+  /** Load a merge table back in rank order for [[encodeWithMerges]]. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().sortBy(_.merge_rank).toSeq
+  }
+
   /** Encode-side corpus statistics after the learned merges: distinct
     * words, corpus token counts before (chars + end marker) and after,
     * and the symbol-vocabulary size — the compression evidence a

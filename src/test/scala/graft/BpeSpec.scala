@@ -58,6 +58,20 @@ class BpeSpec extends SparkSpecBase {
     assert(cold == Seq("z", "q", "</w>"))
   }
 
+  test("merge table round-trips through the catalog and encodes identically") {
+    val docs = Seq("low lower lowest", "new newer newest").toDF("text")
+    val (merges, _) = Bpe.train(docs, "text", 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_").toString + "/merges"
+    Bpe.saveMerges(spark, merges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == merges)
+    val a = Bpe.encodeWithMerges(docs, "text", merges)
+      .select("tokens").as[Seq[String]].collect().toSeq
+    val b = Bpe.encodeWithMerges(docs, "text", loaded)
+      .select("tokens").as[Seq[String]].collect().toSeq
+    assert(a == b)
+  }
+
   test("encodeStats: merges strictly compress the corpus token count") {
     val docs = Seq("the cat sat on the mat", "the mats were theirs",
       "low lower lowest", "banana bandana").toDF("text")
