@@ -515,7 +515,8 @@ object Dedup {
                        idCol: String, textCol: String,
                        numHashes: Int = 64, bands: Int = 16,
                        jaccardThreshold: Double = 0.8,
-                       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+                       shingleN: Int = 3, seed: Long = 42L,
+                       materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val prepUdf = udf((text: String) => {
@@ -535,8 +536,38 @@ object Dedup {
         .select(col(s"${prefix}_id"), col("bb._1").as("band"),
           col("bb._2").as("bucket")))
     }
-    val (catS, catBands) = sides(catalog, "cat")
-    val (newS, newBands) = sides(batch, "new")
+    // each side's signature frame feeds BOTH its band explode and the
+    // Jaccard verify join — persist so the shingle UDF runs once per
+    // side, not once per consumer (the minhashLshPairs pattern)
+    val (catS0, _) = sides(catalog, "cat")
+    val (newS0, _) = sides(batch, "new")
+    val catS = catS0.persist()
+    val newS = newS0.persist()
+    // materialize BEFORE the unpersist: a lazy return would recompute
+    // from source after the caches are dropped (the AeFixpoint lesson).
+    // materialize=false keeps the lazy plan (and the persists alive) for
+    // plan-shape inspection.
+    val out = incrementalDedupOn(catalog, batch, idCol, textCol, catS, newS,
+      bands, rowsPerBand, jaccardThreshold, bandUdf)
+    if (!materialize) out
+    else
+      try out.localCheckpoint(true)
+      finally { catS.unpersist(); newS.unpersist() }
+  }
+
+  private def incrementalDedupOn(catalog: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 catS: DataFrame, newS: DataFrame,
+                                 bands: Int, rowsPerBand: Int,
+                                 jaccardThreshold: Double,
+                                 bandUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    def bandsOf(s: DataFrame, prefix: String) =
+      s.select(col(s"${prefix}_id"),
+          explode(bandUdf(col(s"${prefix}_sig"))).as("bb"))
+        .select(col(s"${prefix}_id"), col("bb._1").as("band"),
+          col("bb._2").as("bucket"))
+    val catBands = bandsOf(catS, "cat")
+    val newBands = bandsOf(newS, "new")
 
     val exact = batch
       .select(col(idCol).as("new_id"), xxhash64(col(textCol)).as("h"),

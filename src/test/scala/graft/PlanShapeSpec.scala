@@ -200,7 +200,13 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("incremental_dedup never plans batch x corpus (hash joins only)") {
-    val plan = planOf(SparkEntry.queries("incremental_dedup")(spark, dir))
+    // materialize=false keeps the lazy plan (the query-registry entry
+    // checkpoints, which would hide the join shape behind a LogicalRDD)
+    val docs = Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val plan = planOf(operators.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+      "doc_id", "text", materialize = false))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
