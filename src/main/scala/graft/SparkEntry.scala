@@ -2087,6 +2087,45 @@ object SparkEntry {
        |  CAST(n_toks AS BIGINT) AS n_toks, logratio
        |FROM d ORDER BY score_int DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Ingestion pipeline END-TO-END under ONE oracle — the daily-crawl
+    * composition: incremental catalog dedup (exact + banded-LSH near) →
+    * keep the NOVEL batch docs → write them as 4 size-balanced,
+    * length-contiguous shards; output is the shard manifest. Every stage
+    * reuses an individually-oracled operator ([[incrementalDedupQ]],
+    * `Sharding.shardLayout`), and the oracle replays the whole chain —
+    * the composition itself is what's checked (the `dedup_pipeline` /
+    * `budget_feed` pattern). */
+  private def ingestPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val catalog = docs.filter(col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") < 100)
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") >= 110 && col("doc_id") < 120)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" qq7 qq7 qq7")).as("text")))
+    val decisions = operators.Dedup.incrementalDedup(catalog, batch,
+      "doc_id", "text", numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+    val keepers = batch.join(
+      decisions.filter(!col("exact_dup") && col("near_of").isNull)
+        .select("doc_id"), "doc_id")
+    operators.Sharding.shardLayout(keepers, length(col("text")).cast("long"),
+      col("doc_id"), numShards = 4)
+  }
+
+  private lazy val ingestPipelineSql =
+    s"""WITH $incrementalDedupCtes,
+       |keep AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS k FROM decisions
+       |  WHERE NOT exact_dup AND near_of IS NULL),
+       |rk AS (
+       |  SELECT k, row_number() OVER (ORDER BY k, doc_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM keep),
+       |sh AS (SELECT k, (rn - 1) // greatest(1, (n + 3) // 4) AS shard_id FROM rk)
+       |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+       |FROM sh GROUP BY 1""".stripMargin
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -3211,8 +3250,8 @@ object SparkEntry {
       numHashes = 64, bands = 16, jaccardThreshold = 0.8, shingleN = 3)
   }
 
-  private lazy val incrementalDedupSql =
-    s"""WITH cat AS MATERIALIZED (
+  private lazy val incrementalDedupCtes =
+    s"""cat AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents WHERE doc_id >= 100),
        |nw AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
@@ -3273,12 +3312,17 @@ object SparkEntry {
        |ex AS (
        |  SELECT n.doc_id AS new_id, count(c.text) > 0 AS exact_dup
        |  FROM nw n LEFT JOIN (SELECT DISTINCT text FROM cat) c ON c.text = n.text
-       |  GROUP BY 1)
-       |SELECT n.doc_id, coalesce(e.exact_dup, false) AS exact_dup,
-       |  b.near_of, b.jaccard
-       |FROM nw n
-       |LEFT JOIN ex e ON e.new_id = n.doc_id
-       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id""".stripMargin
+       |  GROUP BY 1),
+       |decisions AS (
+       |  SELECT n.doc_id, n.text, coalesce(e.exact_dup, false) AS exact_dup,
+       |    b.near_of, b.jaccard
+       |  FROM nw n
+       |  LEFT JOIN ex e ON e.new_id = n.doc_id
+       |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id)""".stripMargin
+
+  private lazy val incrementalDedupSql =
+    s"""WITH $incrementalDedupCtes
+       |SELECT doc_id, exact_dup, near_of, jaccard FROM decisions""".stripMargin
 
   /** MinHash → pairs → connected components → keeper summary, the
     * END-TO-END near-dup curation pipeline at the corpus level (the
@@ -6056,6 +6100,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "incremental_dedup" -> (incrementalDedupQ(_, _)),
+    "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
@@ -6361,6 +6406,7 @@ object SparkEntry {
     "simhash_pairs" -> simhashPairsSql,
     "minhash_lsh" -> minhashLshSql,
     "incremental_dedup" -> incrementalDedupSql,
+    "ingest_pipeline" -> ingestPipelineSql,
     "shap_fixed" -> shapFixedSql,
     "lime_fixed" -> limeFixedSql,
     "topics_fixpoint" -> topicsFixedSql,
