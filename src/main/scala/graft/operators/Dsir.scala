@@ -46,10 +46,11 @@ object Dsir {
     val toks = docs.select(col(idCol), targetFilter.as("__t"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
       .withColumn("f", bucketOf(buckets)(col("tok")))
-    val corpus = toks.groupBy("f").agg(count(lit(1)).as("cc"))
-    val target = toks.filter(col("__t")).groupBy("f").agg(count(lit(1)).as("ct"))
-    val model = corpus.join(target, Seq("f"), "left")
-      .select(col("f"), col("cc"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // ONE conditional aggregation fits both models — not a corpus pass
+    // per model (the corpus count and the target count share the scan)
+    val model = toks.groupBy("f").agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
     val Array(nc, nt) = {
       val r = model.agg(sum("cc"), sum("ct")).head()
       Array(r.getLong(0), r.getLong(1))
