@@ -2126,6 +2126,20 @@ object SparkEntry {
        |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
        |FROM sh GROUP BY 1""".stripMargin
 
+  /** MinHash-LSH banding planner, FULL oracle — the dedup tuner face:
+    * every (bands, rows) factorization of the 64-hash signature with its
+    * S-curve midpoint and catch probability at jaccard 0.8; the numbers
+    * behind `minhash_lsh`'s b=16/r=4 default (s50 ≈ 0.50, catch ≈ 0.9997
+    * at 0.8). pow chains → float4 on both sides. */
+  private def lshPlanQ(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.lshPlan(s, numHashes = 64, targetJaccard = 0.8)
+
+  private val lshPlanSql =
+    """SELECT CAST(b AS BIGINT) AS bands, CAST(64 // b AS BIGINT) AS rows_per_band,
+      |  CAST(pow(1.0 / b, 1.0 / (64 // b)) AS REAL) AS s50,
+      |  CAST(1.0 - pow(1.0 - pow(0.8, 64 // b), CAST(b AS DOUBLE)) AS REAL) AS p_at_target
+      |FROM (SELECT unnest(range(1, 65)) AS b) WHERE 64 % b = 0""".stripMargin
+
   /** Word-unigram Jaccard near-dup pairs over the first 100 docs. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     operators.Dedup.ngramJaccardPairs(
@@ -6099,6 +6113,7 @@ object SparkEntry {
     "decontaminate" -> (decontaminateQ(_, _)),
     "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
+    "lsh_plan" -> (lshPlanQ(_, _)),
     "incremental_dedup" -> (incrementalDedupQ(_, _)),
     "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
@@ -6405,6 +6420,7 @@ object SparkEntry {
     "dup_components" -> dupComponentsSql,
     "simhash_pairs" -> simhashPairsSql,
     "minhash_lsh" -> minhashLshSql,
+    "lsh_plan" -> lshPlanSql,
     "incremental_dedup" -> incrementalDedupSql,
     "ingest_pipeline" -> ingestPipelineSql,
     "shap_fixed" -> shapFixedSql,

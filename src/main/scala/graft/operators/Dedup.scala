@@ -602,6 +602,27 @@ object Dedup {
         col("near_of"), col("jaccard"))
   }
 
+  /** MinHash-LSH parameter planner — the dedup-side analog of the ANN
+    * tuner (`plans/AutoTune`): for a signature of `numHashes` mins,
+    * enumerate every (bands, rowsPerBand) factorization with the two
+    * numbers that pick a banding: the S-curve midpoint
+    * s50 = (1/b)^(1/r) (the Jaccard where catch probability crosses
+    * ~50%) and the catch probability 1 − (1 − s^r)^b at the caller's
+    * target similarity. Driver-side closed-form math over ≤ log₂(n)
+    * rows; floats emitted float4 (pow — libm convention). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              numHashes: Int, targetJaccard: Double): DataFrame = {
+    require(numHashes >= 2 && targetJaccard > 0 && targetJaccard < 1,
+      s"bad numHashes=$numHashes / target=$targetJaccard")
+    import spark.implicits._
+    (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val s50 = math.pow(1.0 / b, 1.0 / r)
+      val pAtT = 1.0 - math.pow(1.0 - math.pow(targetJaccard, r), b.toDouble)
+      (b.toLong, r.toLong, s50.toFloat, pAtT.toFloat)
+    }.toDF("bands", "rows_per_band", "s50", "p_at_target")
+  }
+
   /** Drop all but the min-id member of each near-dup component. */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "a_id", bCol: String = "b_id",
