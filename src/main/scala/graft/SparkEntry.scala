@@ -3424,6 +3424,60 @@ object SparkEntry {
       |    (a, b) -> a + b) AS ahash_hi
       |FROM t""".stripMargin
 
+  /** DCT perceptual hash (pHash), FULL oracle — the second image
+    * fingerprint family next to aHash: integer-scaled 2-D DCT-II on the
+    * decoded 8×8 raster (real PNG round-trip like `image_decode`), low
+    * 4×4 block, division-free mean threshold. The DCT basis constants
+    * are computed once in Scala and inlined verbatim into the SQL, so
+    * no libm cos ever crosses the engine boundary — hash and DC are
+    * bit-exact. */
+  private def imagePhashQ(s: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((v: Seq[Float]) =>
+      operators.Multimodal.encodePng8x8(v.map(x =>
+        math.max(0L, math.min(255L,
+          math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
+    val media = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
+    val ph = udf((px: Seq[Int]) => {
+      val (h, dc) = operators.Multimodal.phash15(px.toArray)
+      (h.toLong, dc)
+    })
+    operators.Multimodal.decodeImages(media)
+      .select(col("vec_id"), ph(col("img_pixels")).as("p"))
+      .select(col("vec_id"), col("p._1").as("phash"), col("p._2").as("dc"))
+  }
+
+  private lazy val imagePhashSql = {
+    val ctab = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${operators.Multimodal.DctC(u)(x)})").mkString(", ")
+    s"""WITH px AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    greatest(0, least(255, CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5) AS BIGINT)))) AS p
+       |  FROM embeddings),
+       |ctab(u, x, c) AS (SELECT * FROM (VALUES $ctab)),
+       |pe AS (
+       |  SELECT vec_id, i - 1 AS idx, p[i] AS pv
+       |  FROM (SELECT vec_id, p, unnest(range(1, 65)) AS i FROM px)),
+       |f AS (
+       |  SELECT pe.vec_id, cu.u AS u, cv.u AS v, sum(pe.pv * cu.c * cv.c) AS fv
+       |  FROM pe
+       |  JOIN ctab cu ON cu.x = pe.idx % 8 AND cu.u < 4
+       |  JOIN ctab cv ON cv.x = pe.idx // 8 AND cv.u < 4
+       |  GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN u + v > 0 THEN fv ELSE 0 END) AS s,
+       |    max(CASE WHEN u = 0 AND v = 0 THEN fv END) AS dc
+       |  FROM f GROUP BY 1)
+       |SELECT f.vec_id,
+       |  sum(CASE WHEN f.v * 4 + f.u > 0 AND f.fv * 15 > t.s
+       |           THEN CAST(1 AS BIGINT) << (f.v * 4 + f.u - 1)
+       |           ELSE 0 END) AS phash,
+       |  CAST(min(t.dc) AS BIGINT) AS dc
+       |FROM f JOIN tot t ON t.vec_id = f.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Image near-duplicate detection, FULL oracle — the multimodal dedup
     * step: perceptual aHash fingerprints from REAL PNG round-trips
     * (`Multimodal.decodeImages`, as `image_decode`), paired by the
@@ -6119,6 +6173,7 @@ object SparkEntry {
     "simhash_pairs" -> (simhashPairs(_, _)),
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
+    "image_phash" -> (imagePhashQ(_, _)),
     "image_neardup" -> (imageNeardupQ(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
@@ -6375,6 +6430,7 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
+    "image_phash" -> imagePhashSql,
     "image_neardup" -> imageNeardupSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,

@@ -130,6 +130,53 @@ object Multimodal {
     h
   }
 
+  /** Integer-scaled DCT-II basis: round(cos((2x+1)·u·π/16) · 4096).
+    * Computed ONCE here and inlined as the SAME literals into the SQL
+    * oracle, so the libm cos never crosses an engine boundary. */
+  val DctC: Array[Array[Long]] = Array.tabulate(8, 8)((u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 16.0) * 4096.0))
+
+  /** DCT perceptual hash (pHash) on the 8×8 grid, ALL-INTEGER: the low
+    * 4×4 block of the scaled 2-D DCT-II (v-major, u-minor), DC dropped,
+    * bit i set iff 15·AC_i > Σ AC (the same division-free mean compare
+    * as [[aHash64]]). Robust to global brightness/contrast shifts that
+    * flip aHash bits (DC carries the brightness; the threshold is
+    * relative). Returns (15-bit hash, DC coefficient as evidence). */
+  def phash15(pixels: Array[Int]): (Int, Long) = {
+    require(pixels.length == 64, s"phash15 wants 64 pixels, got ${pixels.length}")
+    val f = new Array[Long](16)
+    var v = 0
+    while (v < 4) {
+      var u = 0
+      while (u < 4) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += pixels(y * 8 + x).toLong * DctC(u)(x) * DctC(v)(y)
+            x += 1
+          }
+          y += 1
+        }
+        f(v * 4 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val dc = f(0)
+    var tot = 0L
+    var i = 1
+    while (i < 16) { tot += f(i); i += 1 }
+    var h = 0
+    i = 1
+    while (i < 16) {
+      if (f(i) * 15L > tot) h |= 1 << (i - 1)
+      i += 1
+    }
+    (h, dc)
+  }
+
   /** Encode an 8×8 grayscale raster as a real PNG (lossless — decode
     * recovers the exact pixels). The fixture-side generator for the
     * decode path; real pipelines read image files straight off storage. */

@@ -182,6 +182,23 @@ class DedupTextSpec extends SparkSpecBase {
     assert(near.select("media_id").as[Long].head() == 1L)
   }
 
+  test("phash15: brightness-invariant, content-sensitive, integer basis rows sum to 0") {
+    // every AC basis row of the rounded DCT table sums to exactly 0,
+    // which is what makes the hash brightness-invariant in integers
+    for (u <- 1 until 8)
+      assert(Multimodal.DctC(u).sum == 0L, s"row $u: ${Multimodal.DctC(u).toSeq}")
+    assert(Multimodal.DctC(0).forall(_ == 4096L))
+    val px = Array.tabulate(64)(i => 40 + ((i * 37) % 160))
+    val (h0, dc0) = Multimodal.phash15(px)
+    // +25 brightness: every AC coefficient unchanged, DC moves, hash identical
+    val (h1, dc1) = Multimodal.phash15(px.map(_ + 25))
+    assert(h1 == h0 && dc1 == dc0 + 25L * 64L * 4096L * 4096L)
+    // content change (transpose the grid) moves the hash
+    val t = Array.tabulate(64)(i => px((i % 8) * 8 + i / 8))
+    val (h2, _) = Multimodal.phash15(t)
+    assert(h2 != h0, "transposed content must fingerprint differently")
+  }
+
   test("multimodal: REAL PNG decode round-trips pixels exactly; aHash is the mean-threshold bits") {
     val px = Array.tabulate(64)(i => (i * 4) % 256)
     val bytes = Multimodal.encodePng8x8(px)
