@@ -3424,6 +3424,48 @@ object SparkEntry {
       |    (a, b) -> a + b) AS ahash_hi
       |FROM t""".stripMargin
 
+  /** HTML → text extraction, FULL oracle — the WET-style curation step
+    * upstream of every text filter: each document is wrapped in a
+    * deterministic HTML shell (script + style + comment + entities) and
+    * `TextAnalysis.Markup.strip` recovers the text — block removal
+    * (DOTALL non-greedy), tag strip, the five core entity decodes in
+    * the amp-last order, whitespace collapse. ALL-NATIVE regexp chain,
+    * RE2-compatible patterns, replayed with 'g' flags in DuckDB. */
+  private def stripMarkupQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("<html><head><script type=\"x\">var q=1;</script>" +
+        "<style>p{color:red}</style></head><body><h1>T&amp;C</h1><p>"),
+      col("text"), lit("</p><!-- footer --></body></html>"))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), functions.TextAnalysis.Markup.strip(raw).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+  }
+
+  private val stripMarkupSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    '<html><head><script type="x">var q=1;</script><style>p{color:red}</style></head><body><h1>T&amp;C</h1><p>'
+      |      || text || '</p><!-- footer --></body></html>' AS h
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g') AS s1
+      |  FROM raw),
+      |de AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s1,
+      |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |      '&#39;', '''', 'g'), '&amp;', '&', 'g') AS s2
+      |  FROM st)
+      |SELECT doc_id,
+      |  trim(regexp_replace(s2, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+      |  CAST(length(trim(regexp_replace(s2, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM de""".stripMargin
+
   /** DCT perceptual hash (pHash), FULL oracle — the second image
     * fingerprint family next to aHash: integer-scaled 2-D DCT-II on the
     * decoded 8×8 raster (real PNG round-trip like `image_decode`), low
@@ -6174,6 +6216,7 @@ object SparkEntry {
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
     "image_phash" -> (imagePhashQ(_, _)),
+    "strip_markup" -> (stripMarkupQ(_, _)),
     "image_neardup" -> (imageNeardupQ(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
@@ -6431,6 +6474,7 @@ object SparkEntry {
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
     "image_phash" -> imagePhashSql,
+    "strip_markup" -> stripMarkupSql,
     "image_neardup" -> imageNeardupSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,

@@ -204,6 +204,42 @@ object TextAnalysis {
     }
   }
 
+  // ---------------- markup stripping (HTML -> text) ----------------
+
+  /** HTML → text extraction, the WET/trafilatura-lite curation step:
+    * drop script/style blocks and comments (DOTALL non-greedy), strip
+    * remaining tags, decode the five core entities, collapse
+    * whitespace, trim. ALL-NATIVE regexp chain (scan-bound, no UDF);
+    * fixed pass order so the output is deterministic, and every
+    * pattern is RE2-compatible so the DuckDB oracle replays it with
+    * the same semantics. */
+  object Markup {
+    val scriptPattern = "(?s)<script[^>]*>.*?</script>"
+    val stylePattern = "(?s)<style[^>]*>.*?</style>"
+    val commentPattern = "(?s)<!--.*?-->"
+    val tagPattern = "<[^>]+>"
+
+    def strip(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{regexp_replace, lit, trim}
+      val noBlocks = regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, lit(scriptPattern), lit(" ")),
+          lit(stylePattern), lit(" ")),
+        lit(commentPattern), lit(" "))
+      val noTags = regexp_replace(noBlocks, lit(tagPattern), lit(" "))
+      val decoded = regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&"))
+      trim(regexp_replace(decoded, lit("[ \\t\\r\\n]+"), lit(" ")))
+    }
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Rabin-Karp rolling polynomial hash of the whole document:
