@@ -216,6 +216,43 @@ object SparkEntry {
        |FROM embeddings
        |ORDER BY -list_inner_product(embedding::DOUBLE[], $qvecSql), vec_id LIMIT 10""".stripMargin
 
+  /** Matryoshka (MRL) truncated-embedding search, FULL oracle — the
+    * modern serve trick: rank by cosine on the FIRST 16 dims only
+    * (cosine self-normalizes, so no renorm pass), cutting distance cost
+    * 4× per probe; each hit is flagged against the full-dimension
+    * top-10 so the truncation's agreement is part of the checked
+    * output. Same kernel-parity class as `v_cosine_knn`. */
+  private def vMatryoshkaQ(s: SparkSession, dir: String): DataFrame = {
+    val q = qvec(s, dir)
+    val qTrunc = q.take(16)
+    val emb = Tables.read(s, dir, "embeddings")
+    val fullTop = emb
+      .withColumn("dist", operators.Knn.distCol("cosine")(col("embedding"), lit(q)))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    emb.withColumn("dist",
+        operators.Knn.distCol("cosine")(slice(col("embedding"), 1, 16), lit(qTrunc)))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+        col("vec_id").isin(fullTop: _*).as("in_full_top10"))
+  }
+
+  private lazy val vMatryoshkaSql =
+    s"""WITH q AS (SELECT embedding[:16]::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |tr AS (
+       |  SELECT vec_id,
+       |    1.0 - list_cosine_similarity(embedding[:16]::DOUBLE[], (SELECT qv FROM q)) AS dist
+       |  FROM embeddings
+       |  ORDER BY dist, vec_id LIMIT 10),
+       |f10 AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $qvecSql), vec_id
+       |  LIMIT 10)
+       |SELECT vec_id, round(dist, 6) AS dist,
+       |  vec_id IN (SELECT vec_id FROM f10) AS in_full_top10
+       |FROM tr""".stripMargin
+
   /** All long-tail metrics against the fixed query vector, one row per
     * vector. Outputs are float4 (REAL on both engines), matching the
     * reference's `PG_RETURN_FLOAT4` distance returns
@@ -6122,6 +6159,7 @@ object SparkEntry {
     "v_cosine_knn" -> (vCosineKnn(_, _)),
     "v_ip_knn" -> (vIpKnn(_, _)),
     "v_distances" -> (vDistances(_, _)),
+    "v_matryoshka" -> (vMatryoshkaQ(_, _)),
     "v_distances2" -> (vDistances2(_, _)),
     "v_mahalanobis" -> (vMahalanobis(_, _)),
     "bm25_corpus" -> (bm25Corpus(_, _)),
@@ -6365,6 +6403,7 @@ object SparkEntry {
     "v_cosine_knn" -> vCosineKnnSql,
     "v_ip_knn" -> vIpKnnSql,
     "v_distances" -> vDistancesSql,
+    "v_matryoshka" -> vMatryoshkaSql,
     "v_distances2" -> vDistances2Sql,
     "v_mahalanobis" -> vMahalanobisSql,
     "bm25_corpus" -> bm25CorpusSql,
