@@ -3461,6 +3461,60 @@ object SparkEntry {
       |    (a, b) -> a + b) AS ahash_hi
       |FROM t""".stripMargin
 
+  /** Gopher quality gate, FULL oracle — the published rule-set (Rae et
+    * al. 2021) as an ALL-INTEGER decision table: word-count bounds,
+    * mean-word-length bounds as cross-multiplications (3n ≤ Σlen ≤ 10n
+    * — no division anywhere), bullet/ellipsis line-fraction bounds
+    * (10·b ≤ 9·L, 10·e ≤ 3·L), ≥ 2 distinct canonical stopwords. Every
+    * count and every gate is integer/boolean, so the whole table is
+    * hash-exact. One scan, shuffle-free. */
+  private def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), functions.TextAnalysis.gopherUdf(col("text")).as("g"))
+      .select(col("doc_id"),
+        col("g.nWords").cast("long").as("n_words"),
+        col("g.sumWordChars").as("sum_word_chars"),
+        col("g.nLines").cast("long").as("n_lines"),
+        col("g.bulletLines").cast("long").as("bullet_lines"),
+        col("g.ellipsisLines").cast("long").as("ellipsis_lines"),
+        col("g.nStop").cast("long").as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("sum_word_chars") >= col("n_words") * 3 &&
+          col("sum_word_chars") <= col("n_words") * 10 &&
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("n_stop") >= 2)
+
+  private val gopherRulesSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(text, '[^ \t\n\r]+') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+      |      AS sum_word_chars,
+      |    len(ls) AS n_lines,
+      |    len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS bullet_lines,
+      |    len(list_filter(ls, l -> l LIKE '%...')) AS ellipsis_lines,
+      |    len(list_distinct(list_filter(list_transform(ws, x -> lower(x)),
+      |      x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stop
+      |  FROM w)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, sum_word_chars,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(bullet_lines AS BIGINT) AS bullet_lines,
+      |  CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+      |  CAST(n_stop AS BIGINT) AS n_stop,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10
+      |   AND bullet_lines * 10 <= n_lines * 9
+      |   AND ellipsis_lines * 10 <= n_lines * 3
+      |   AND n_stop >= 2) AS keep
+      |FROM st""".stripMargin
+
   /** HTML → text extraction, FULL oracle — the WET-style curation step
     * upstream of every text filter: each document is wrapped in a
     * deterministic HTML shell (script + style + comment + entities) and
@@ -6255,6 +6309,7 @@ object SparkEntry {
     "image_decode" -> (imageDecode(_, _)),
     "image_phash" -> (imagePhashQ(_, _)),
     "strip_markup" -> (stripMarkupQ(_, _)),
+    "gopher_rules" -> (gopherRulesQ(_, _)),
     "image_neardup" -> (imageNeardupQ(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
@@ -6514,6 +6569,7 @@ object SparkEntry {
     "image_decode" -> imageDecodeSql,
     "image_phash" -> imagePhashSql,
     "strip_markup" -> stripMarkupSql,
+    "gopher_rules" -> gopherRulesSql,
     "image_neardup" -> imageNeardupSql,
     "audio_meta" -> audioMetaSql,
     "audio_samples" -> audioSamplesSql,

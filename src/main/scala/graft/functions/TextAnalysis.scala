@@ -204,6 +204,39 @@ object TextAnalysis {
     }
   }
 
+  // ---------------- Gopher quality gate ----------------
+
+  /** The Gopher rule-set counts (Rae et al. 2021, table A1 subset) —
+    * everything INTEGER so the gate decisions are cross-engine exact:
+    * whitespace-token count and total token chars (mean-word-length
+    * bounds become the cross-multiplications 3n ≤ Σlen ≤ 10n), line
+    * counts for the bullet/ellipsis fractions (10·bullets ≤ 9·lines,
+    * 10·ellipsis ≤ 3·lines), and the distinct-stopword count (≥ 2 of
+    * the canonical eight). */
+  case class GopherStats(nWords: Int, sumWordChars: Long, nLines: Int,
+                         bulletLines: Int, ellipsisLines: Int, nStop: Int)
+
+  val GopherStopwords: Set[String] =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherStats(text: String): GopherStats = {
+    if (text == null) return GopherStats(0, 0L, 1, 0, 0, 0)
+    val words = "[^ \\t\\n\\r]+".r.findAllIn(text).toArray
+    var sumLen = 0L
+    val stops = scala.collection.mutable.Set.empty[String]
+    words.foreach { w =>
+      sumLen += w.length
+      val lw = w.toLowerCase
+      if (GopherStopwords.contains(lw)) stops += lw
+    }
+    val lines = text.split("\n", -1)
+    val bullets = lines.count(l => l.startsWith("- ") || l.startsWith("* "))
+    val ellipsis = lines.count(_.endsWith("..."))
+    GopherStats(words.length, sumLen, lines.length, bullets, ellipsis, stops.size)
+  }
+
+  val gopherUdf = udf((t: String) => gopherStats(t))
+
   // ---------------- markup stripping (HTML -> text) ----------------
 
   /** HTML → text extraction, the WET/trafilatura-lite curation step:
