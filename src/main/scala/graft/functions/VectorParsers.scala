@@ -137,6 +137,48 @@ object VectorParsers {
     VGraph(nodes, edges)
   }
 
+  /** Per-value graph traversals over the `vgraph` TYPE — the reference's
+    * `vgraph_bfs` / `vgraph_dfs` (`NeuronDB/neurondb--1.0.sql` vgraph
+    * section) operate on a small in-cell graph value, not a distributed
+    * edge table (the distributed analogs are
+    * [[graft.operators.GraphAnalytics]]); per-row, deterministic —
+    * undirected adjacency, neighbors visited in ascending node order,
+    * unreachable nodes omitted. Returns the visit order. */
+  def vgraphBfs(g: VGraph, start: Int): Seq[Int] = {
+    require(start >= 0 && start < g.nodes, s"start $start out of range")
+    val adj = adjacency(g)
+    val seen = Array.fill(g.nodes)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = scala.collection.mutable.Queue(start)
+    seen(start) = true
+    while (q.nonEmpty) {
+      val v = q.dequeue()
+      out += v
+      adj(v).foreach { w => if (!seen(w)) { seen(w) = true; q.enqueue(w) } }
+    }
+    out.toSeq
+  }
+
+  def vgraphDfs(g: VGraph, start: Int): Seq[Int] = {
+    require(start >= 0 && start < g.nodes, s"start $start out of range")
+    val adj = adjacency(g)
+    val seen = Array.fill(g.nodes)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def go(v: Int): Unit = {
+      seen(v) = true
+      out += v
+      adj(v).foreach { w => if (!seen(w)) go(w) }
+    }
+    go(start)
+    out.toSeq
+  }
+
+  private def adjacency(g: VGraph): Array[Array[Int]] = {
+    val b = Array.fill(g.nodes)(scala.collection.mutable.SortedSet.empty[Int])
+    g.edges.foreach { case (a, c) => if (a != c) { b(a) += c; b(c) += a } }
+    b.map(_.toArray)
+  }
+
   /** Dot product of two learned-sparse vectors by merge-join on tokens
     * (`NeuronDB/neurondb--1.0.sql:6691-6707`). */
   def sparseDot(a: LearnedSparse, b: LearnedSparse): Double = {

@@ -63,6 +63,17 @@ class VectorAggregatesSpec extends SparkSpecBase {
       P.parseSparseVector("{vocab_size:10, model:XX, tokens:[1], weights:[1]}"))
   }
 
+  test("vgraph_bfs / vgraph_dfs: visit orders, self-loops ignored, unreachable omitted") {
+    // 0-1, 0-2, 1-3, 2-3 diamond plus isolated 4; self-loop on 1
+    val g = P.parseVGraph("{nodes:5, edges:[[0,1],[0,2],[1,3],[2,3],[1,1]]}")
+    assert(P.vgraphBfs(g, 0) == Seq(0, 1, 2, 3), "BFS: level order, ascending neighbors")
+    assert(P.vgraphDfs(g, 0) == Seq(0, 1, 3, 2), "DFS: depth-first, ascending neighbors")
+    assert(P.vgraphBfs(g, 4) == Seq(4), "isolated start visits only itself")
+    // undirected: traversal from the far corner reaches everything connected
+    assert(P.vgraphBfs(g, 3).toSet == Set(0, 1, 2, 3))
+    intercept[IllegalArgumentException](P.vgraphBfs(g, 9))
+  }
+
   test("parsers: vgraph with self-loops (sql/01_types_basic.sql:86-89)") {
     val g = P.parseVGraph("{nodes:3, edges:[[0,1],[1,1],[1,2]]}")
     assert(g.nodes == 3 && g.edges.toSeq == Seq((0, 1), (1, 1), (1, 2)))
