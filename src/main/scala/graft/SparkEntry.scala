@@ -2572,6 +2572,44 @@ object SparkEntry {
        |  (SELECT unnest(syms) AS s FROM w11))
        |SELECT * FROM base, voc""".stripMargin
 
+  /** Per-language BPE fertility, FULL oracle — the multilingual
+    * tokenizer-fairness metric (tokens per word after the learned
+    * merges): the corpus-trained merge table applied to each language's
+    * word distribution; fertility = Σ freq·|syms| / Σ freq — one exact
+    * integer division. Languages whose scripts the merge table never
+    * saw compress worst — the number teams use to budget multilingual
+    * token costs. */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val (_, words) = operators.Bpe.train(docs, "text", numMerges = 10)
+    val wordLen = words.select(col("w"), size(col("syms")).cast("long").as("toks"))
+    val byLang = docs.select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    byLang.join(wordLen, "w")
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("toks")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
+  private lazy val bpeFertilitySql =
+    s"""WITH ${bpeCtes(10)},
+       |wl AS (SELECT w, len(syms) AS toks FROM w11),
+       |bl AS (
+       |  SELECT lang, w, count(*) AS freq FROM (
+       |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT bl.lang,
+       |  CAST(sum(bl.freq) AS BIGINT) AS n_words,
+       |  CAST(sum(bl.freq * wl.toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bl.freq * wl.toks) AS DOUBLE) / CAST(sum(bl.freq) AS DOUBLE)
+       |    AS fertility
+       |FROM bl JOIN wl ON wl.w = bl.w
+       |GROUP BY 1""".stripMargin
+
   /** Weighted reservoir sample (Efraimidis–Spirtakis A-ES), FULL
     * oracle — the one-pass weighted draw WITHOUT replacement,
     * complement of `systematic_sample`'s with-replacement copies:
@@ -6293,6 +6331,7 @@ object SparkEntry {
     "shard_layout" -> (shardLayoutQ(_, _)),
     "bpe_train" -> (bpeTrainQ(_, _)),
     "bpe_encode" -> (bpeEncodeQ(_, _)),
+    "bpe_fertility" -> (bpeFertilityQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
     "corpus_entropy" -> (corpusEntropyQ(_, _)),
@@ -6537,6 +6576,7 @@ object SparkEntry {
     "shard_layout" -> shardLayoutSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
     "corpus_entropy" -> corpusEntropySql,
