@@ -1316,6 +1316,53 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_index"), round(col("distance"), 6).as("dist"))
   }
 
+  /** Late-chunking pooled document embeddings, FULL oracle — the
+    * document-representation step (pool chunk embeddings into ONE
+    * vector per doc, the mean-pooling late-chunking recipe): chunk
+    * (size 256 / overlap 64), embed each chunk (the oracled djb2
+    * fallback embedder), `vector_avg` per doc. Emitted per-(doc,
+    * coordinate) float4 like `va_avg` (unordered mean). */
+  private def chunkPoolQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = operators.Rag.buildChunkIndex(
+      Tables.read(s, dir, "documents").filter(col("doc_id") < 50),
+      "doc_id", "text", size = 256, overlap = 64)
+    chunks.groupBy(col("doc_id"))
+      .agg(functions.VectorAggregates.vector_avg(col("embedding")).as("pool"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"), posexplode(col("pool")))
+      .select(col("doc_id"), col("n_chunks"), col("pos"),
+        col("col").cast("double").as("val"))
+  }
+
+  private lazy val chunkPoolSql = {
+    val model = "all-MiniLM-L6-v2"
+    s"""WITH RECURSIVE chunks AS (
+       |  SELECT doc_id, substr(text, CAST(start AS INT) + 1, 256) AS chunk
+       |  FROM (SELECT doc_id, text, unnest(range(0, length(text), 192)) AS start
+       |        FROM documents WHERE doc_id < 50 AND length(text) > 0)),
+       |base AS (
+       |  SELECT doc_id, chunk, ${djb2Fold(sqlBytesOf("chunk"))} AS h FROM chunks),
+       |dims AS (
+       |  SELECT doc_id, chunk, 0 AS i,
+       |         xor((h * 33) % 4294967296,
+       |             CAST(unicode('$model'[1]) AS BIGINT)) AS h
+       |  FROM base
+       |  UNION ALL
+       |  SELECT doc_id, chunk, i + 1,
+       |         xor((h * 33) % 4294967296,
+       |             CAST(unicode('$model'[(i + 1) % ${model.length} + 1]) AS BIGINT))
+       |  FROM dims WHERE i < 383),
+       |comp AS (
+       |  SELECT doc_id, chunk, i,
+       |         CAST(CAST(h % 2000 - 1000 AS DOUBLE) / 1000.0 AS REAL) AS v
+       |  FROM dims),
+       |nch AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, CAST(n.n_chunks AS BIGINT) AS n_chunks, c.i AS pos,
+       |  CAST(CAST(sum(CAST(c.v AS DOUBLE)) / count(*) AS REAL) AS DOUBLE) AS val
+       |FROM comp c JOIN nch n ON n.doc_id = c.doc_id
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** djb2 step as SQL: h' = ((h<<5)+h) xor byte with 32-bit wrap. */
   private def djb2Fold(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(5381 AS BIGINT), $listExpr), " +
@@ -6286,6 +6333,7 @@ object SparkEntry {
     "quant_int8" -> (quantInt8(_, _)),
     "chunk_text" -> (chunkText(_, _)),
     "rag_query" -> (ragQuery(_, _)),
+    "chunk_pool" -> (chunkPoolQ(_, _)),
     "ml_linreg" -> (mlLinreg(_, _)),
     "knn_classify" -> (knnClassify(_, _)),
     "zscore_outliers" -> (zscoreOutliersQ(_, _)),
@@ -6539,6 +6587,7 @@ object SparkEntry {
     "quant_int8" -> quantInt8Sql,
     "chunk_text" -> chunkTextSql,
     "rag_query" -> ragQuerySql,
+    "chunk_pool" -> chunkPoolSql,
     "ml_linreg" -> mlLinregSql,
     "knn_classify" -> knnClassifySql,
     "zscore_outliers" -> zscoreOutliersSql,
