@@ -2550,6 +2550,62 @@ object SparkEntry {
       |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
       |FROM s GROUP BY 1""".stripMargin
 
+  /** Semantically-contiguous shard layout, FULL oracle — the
+    * in-context-pretraining idea (group related docs adjacently) at
+    * shard granularity: order = (topic bucket, doc id) where the topic
+    * bucket is the SimHash top byte (docs with similar token profiles
+    * land in the same bucket), sharded into 16 exact-size shards by the
+    * rank-derived assignment. The manifest carries each shard's
+    * distinct-bucket count — semantic contiguity made measurable (a
+    * random order gives ~all buckets per shard; this layout gives few).
+    * Pure integer end to end. */
+  private def semanticShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val simUdf = udf((t: String) => operators.Dedup.simhash(t))
+    val docs = Tables.read(s, dir, "documents")
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+      .select(col("doc_id"), shiftrightunsigned(simUdf(col("text")), 56).as("bucket"))
+    val keyed = docs.withColumn("k",
+      col("bucket") * lit(1099511627776L) + col("doc_id")) // bucket * 2^40 + id
+    operators.Sharding.assignShards(keyed, col("k"), col("doc_id"), numShards = 16)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bucket")).as("n_buckets"),
+        min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+  }
+
+  private lazy val semanticShardsSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]'))
+       |  GROUP BY 1, 2),
+       |th AS (
+       |  SELECT doc_id, term, tf,
+       |    ${djb2Fold(sqlBytesOf("term"))} AS u1,
+       |    ${djb2Fold(sqlBytesOf("reverse(term)"))} AS u2
+       |  FROM tf),
+       |w AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(tf * (2 * ((CASE WHEN bb.b < 32 THEN u2 >> bb.b
+       |                         ELSE u1 >> (bb.b - 32) END) & 1) - 1)) AS wt
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN wt > 0 AND b >= 56 THEN CAST(1 AS BIGINT) << (b - 56)
+       |             ELSE 0 END) AS bucket
+       |  FROM w GROUP BY 1),
+       |rk AS (
+       |  SELECT doc_id, bucket,
+       |    row_number() OVER (ORDER BY bucket * 1099511627776 + doc_id, doc_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM sig),
+       |sh AS (SELECT bucket, (rn - 1) // greatest(1, (n + 15) // 16) AS shard_id FROM rk)
+       |SELECT shard_id, count(*) AS n,
+       |  count(DISTINCT bucket) AS n_buckets,
+       |  min(bucket) AS min_bucket, max(bucket) AS max_bucket
+       |FROM sh GROUP BY 1""".stripMargin
+
   /** Distributed BPE tokenizer training, FULL oracle — Sennrich et al.
     * 2016 subword merges learned from the documents corpus: one shuffle
     * compacts the corpus to its (word, freq) vocabulary, then each of 10
@@ -6377,6 +6433,7 @@ object SparkEntry {
     "group_reservoir" -> (groupReservoirQ(_, _)),
     "zorder_layout" -> (zorderLayoutQ(_, _)),
     "shard_layout" -> (shardLayoutQ(_, _)),
+    "semantic_shards" -> (semanticShardsQ(_, _)),
     "bpe_train" -> (bpeTrainQ(_, _)),
     "bpe_encode" -> (bpeEncodeQ(_, _)),
     "bpe_fertility" -> (bpeFertilityQ(_, _)),
@@ -6623,6 +6680,7 @@ object SparkEntry {
     "group_reservoir" -> groupReservoirSql,
     "zorder_layout" -> zorderLayoutSql,
     "shard_layout" -> shardLayoutSql,
+    "semantic_shards" -> semanticShardsSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
