@@ -32,6 +32,23 @@ class ShardingSpec extends SparkSpecBase {
     assert(sizes == Map(0L -> 26, 1L -> 26, 2L -> 26, 3L -> 25))
   }
 
+  test("semantic-order shards cover far fewer topic buckets than random-order shards") {
+    // 8 topic buckets, 512 docs; semantic key = (bucket, id); random key = mix of id
+    val rows = (1L to 512L).map(i => (i, i % 8))
+    val df = rows.toDF("id", "bucket")
+    def bucketsPerShard(key: org.apache.spark.sql.Column): Double = {
+      val m = Sharding.assignShards(df, key, col("id"), numShards = 16)
+        .groupBy("shard_id").agg(countDistinct(col("bucket")).as("nb"))
+        .agg(avg("nb")).head().getDouble(0)
+      m
+    }
+    val semantic = bucketsPerShard(col("bucket") * lit(1024L) + col("id"))
+    val random = bucketsPerShard(
+      udf((i: Long) => graft.functions.DetRandom.mix64(i)).apply(col("id")))
+    assert(semantic <= 2.0, s"semantic order must keep shards topic-pure: $semantic")
+    assert(random > 4.0, s"random order should mix most buckets per shard: $random")
+  }
+
   test("writeShards round-trip: one directory per shard, sorted within") {
     val dir = java.nio.file.Files.createTempDirectory("shards_").toString
     val df = (1L to 64L).map(i => (i, 65L - i)).toDF("id", "key")
