@@ -1316,6 +1316,60 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_index"), round(col("distance"), 6).as("dist"))
   }
 
+  /** Content-defined chunking, FULL oracle — the dedup-STABLE chunker
+    * (FastCDC/gear-hash idea at token granularity): a chunk boundary
+    * falls after every token whose splitmix64(djb2) fingerprint has its
+    * low 4 bits zero (expected chunk ≈ 16 tokens), so boundaries are a
+    * pure function of LOCAL content — inserting text shifts only the
+    * chunk it lands in, unlike fixed-size chunking where every
+    * downstream boundary moves (what makes chunk-level dedup survive
+    * edits). Per-doc stats: token count, chunk count, longest chunk.
+    * One scan + per-doc windows; integers end to end. */
+  private def cdcChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val mixUdf = udf((u: Long) => functions.DetRandom.mix64(u))
+    val toks = Tables.read(s, dir, "documents")
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+      .select(col("doc_id"), col("pos"),
+        operators.Sketches.djb2Udf(col("col")).as("u"))
+      .withColumn("b",
+        (mixUdf(col("u")).bitwiseAND(lit(15L)) === 0L).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val chunked = toks.withColumn("chunk",
+      coalesce(sum(col("b")).over(w), lit(0L)))
+    chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("clen"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("clen")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        max(col("clen")).as("longest_chunk"))
+  }
+
+  private lazy val cdcChunksSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]')),
+       |t0 AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+       |tu AS (SELECT doc_id, pos, ${djb2Fold(sqlBytesOf("tok"))} AS u FROM t0),
+       |${mix64Ctes("cd", "tu", Seq("doc_id", "pos"), "u")},
+       |bflag AS (
+       |  SELECT doc_id, pos, CASE WHEN z % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM cd6),
+       |ch AS (
+       |  SELECT doc_id, pos,
+       |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM bflag),
+       |cl AS (SELECT doc_id, chunk, count(*) AS clen FROM ch GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(clen) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(max(clen) AS BIGINT) AS longest_chunk
+       |FROM cl GROUP BY 1""".stripMargin
+
   /** Late-chunking pooled document embeddings, FULL oracle — the
     * document-representation step (pool chunk embeddings into ONE
     * vector per doc, the mean-pooling late-chunking recipe): chunk
@@ -6390,6 +6444,7 @@ object SparkEntry {
     "chunk_text" -> (chunkText(_, _)),
     "rag_query" -> (ragQuery(_, _)),
     "chunk_pool" -> (chunkPoolQ(_, _)),
+    "cdc_chunks" -> (cdcChunksQ(_, _)),
     "ml_linreg" -> (mlLinreg(_, _)),
     "knn_classify" -> (knnClassify(_, _)),
     "zscore_outliers" -> (zscoreOutliersQ(_, _)),
@@ -6645,6 +6700,7 @@ object SparkEntry {
     "chunk_text" -> chunkTextSql,
     "rag_query" -> ragQuerySql,
     "chunk_pool" -> chunkPoolSql,
+    "cdc_chunks" -> cdcChunksSql,
     "ml_linreg" -> mlLinregSql,
     "knn_classify" -> knnClassifySql,
     "zscore_outliers" -> zscoreOutliersSql,
