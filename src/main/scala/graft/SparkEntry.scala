@@ -1370,6 +1370,71 @@ object SparkEntry {
        |  CAST(max(clen) AS BIGINT) AS longest_chunk
        |FROM cl GROUP BY 1""".stripMargin
 
+  /** Chunk-level dedup over content-defined chunks, FULL oracle — what
+    * CDC exists FOR: each chunk's ordered-fold fingerprint
+    * (h' = 31h + u over the token fingerprints, mod 2⁶⁴) is counted
+    * across the corpus; a chunk appearing more than once is DUPLICATED
+    * content that survives document-level dedup (shared boilerplate,
+    * quoted passages). Per-doc: chunk count, duplicated-chunk count,
+    * duplicated token mass. The fingerprint shuffle carries 8-byte
+    * keys; never chunk text. */
+  private def cdcDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val mixUdf = udf((u: Long) => functions.DetRandom.mix64(u))
+    val toks = Tables.read(s, dir, "documents")
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+      .select(col("doc_id"), col("pos"),
+        operators.Sketches.djb2Udf(col("col")).as("u"))
+      .withColumn("b",
+        (mixUdf(col("u")).bitwiseAND(lit(15L)) === 0L).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val chunked = toks.withColumn("chunk",
+      coalesce(sum(col("b")).over(w), lit(0L)))
+    val fpUdf = udf { (arr: Seq[org.apache.spark.sql.Row]) =>
+      arr.sortBy(_.getInt(0)).foldLeft(0L)((h, r) => h * 31L + r.getLong(1))
+    }
+    val chunkFp = chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("clen"),
+        fpUdf(collect_list(struct(col("pos"), col("u")))).as("fp"))
+    val counts = chunkFp.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+    chunkFp.join(counts, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") > 1, col("clen")).otherwise(0L)).as("dup_tokens"))
+  }
+
+  private lazy val cdcDedupSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents WHERE regexp_matches(lower(text), '[a-z0-9]')),
+       |t0 AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+       |tu AS (SELECT doc_id, pos, ${djb2Fold(sqlBytesOf("tok"))} AS u FROM t0),
+       |${mix64Ctes("ce", "tu", Seq("doc_id", "pos", "u"), "u")},
+       |bflag AS (
+       |  SELECT doc_id, pos, u, CASE WHEN z % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM ce6),
+       |ch AS (
+       |  SELECT doc_id, pos, u,
+       |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM bflag),
+       |cf AS (
+       |  SELECT doc_id, chunk, count(*) AS clen,
+       |    list_reduce(list_prepend(0::HUGEINT, list(u::HUGEINT ORDER BY pos)),
+       |      (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS fp
+       |  FROM ch GROUP BY 1, 2),
+       |oc AS (SELECT fp, count(*) AS occ FROM cf GROUP BY 1)
+       |SELECT cf.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN oc.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(sum(CASE WHEN oc.occ > 1 THEN cf.clen ELSE 0 END) AS BIGINT) AS dup_tokens
+       |FROM cf JOIN oc ON oc.fp = cf.fp
+       |GROUP BY 1""".stripMargin
+
   /** Late-chunking pooled document embeddings, FULL oracle — the
     * document-representation step (pool chunk embeddings into ONE
     * vector per doc, the mean-pooling late-chunking recipe): chunk
@@ -6445,6 +6510,7 @@ object SparkEntry {
     "rag_query" -> (ragQuery(_, _)),
     "chunk_pool" -> (chunkPoolQ(_, _)),
     "cdc_chunks" -> (cdcChunksQ(_, _)),
+    "cdc_dedup" -> (cdcDedupQ(_, _)),
     "ml_linreg" -> (mlLinreg(_, _)),
     "knn_classify" -> (knnClassify(_, _)),
     "zscore_outliers" -> (zscoreOutliersQ(_, _)),
@@ -6701,6 +6767,7 @@ object SparkEntry {
     "rag_query" -> ragQuerySql,
     "chunk_pool" -> chunkPoolSql,
     "cdc_chunks" -> cdcChunksSql,
+    "cdc_dedup" -> cdcDedupSql,
     "ml_linreg" -> mlLinregSql,
     "knn_classify" -> knnClassifySql,
     "zscore_outliers" -> zscoreOutliersSql,
