@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, Dedup, Multimodal, Sketches}
+import graft.functions.DetRandom.mix64
+
+/**
+ * Property tests over the round's pure kernels — the algebraic laws the
+ * oracles rely on, checked on seeded random inputs rather than
+ * fixtures: Morton bijectivity, sketch merge laws, BPE merge
+ * conservation, the unsigned minhash domain. (Plain seeded loops: the
+ * scalatest/scalacheck bridge isn't on the offline classpath; the raw
+ * generator component is unused.)
+ */
+class PropertySpec extends AnyFunSuite {
+
+  private def rng = new scala.util.Random(0xC0FFEE)
+
+  test("Morton interleave is a bijection on 16-bit pairs (decode recovers both)") {
+    val r = rng
+    for (_ <- 1 to 500) {
+      val a = r.nextInt(65536); val b = r.nextInt(65536)
+      var z = 0L
+      for (j <- 0 until 16) {
+        z |= ((a >> j) & 1).toLong << (2 * j + 1)
+        z |= ((b >> j) & 1).toLong << (2 * j)
+      }
+      var (ra, rb) = (0, 0)
+      for (j <- 0 until 16) {
+        ra |= (((z >> (2 * j + 1)) & 1L) << j).toInt
+        rb |= (((z >> (2 * j)) & 1L) << j).toInt
+      }
+      assert(ra == a && rb == b)
+    }
+  }
+
+  test("KMV merge is commutative, associative, idempotent on random streams") {
+    val agg = new Sketches.KmvAgg(16)
+    def st(us: Seq[Long]) = us.foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+    val r = rng
+    for (_ <- 1 to 200) {
+      def stream() = Seq.fill(r.nextInt(60))(r.nextLong())
+      val (sx, sy, sz) = (st(stream()), st(stream()), st(stream()))
+      assert(agg.merge(sx.clone, sy.clone).toSeq == agg.merge(sy.clone, sx.clone).toSeq)
+      assert(agg.merge(agg.merge(sx.clone, sy.clone), sz.clone).toSeq ==
+        agg.merge(sx.clone, agg.merge(sy.clone, sz.clone)).toSeq)
+      assert(agg.merge(sx.clone, sx.clone).toSeq == sx.toSeq)
+    }
+  }
+
+  test("HLL merge of shard states equals the union-stream state on random streams") {
+    val agg = new Sketches.HllAgg(6)
+    def st(us: Seq[Long]) = us.foldLeft(agg.zero)((b, u) => agg.reduce(b, u))
+    val r = rng
+    for (_ <- 1 to 200) {
+      val x = Seq.fill(r.nextInt(120))(r.nextLong())
+      val y = Seq.fill(r.nextInt(120))(r.nextLong())
+      assert(agg.merge(st(x), st(y)).toSeq == st(x ++ y).toSeq)
+    }
+  }
+
+  test("BPE mergeWord conserves token mass and never invents foreign symbols") {
+    val alphabet = Array("a", "b", "c", "ab")
+    val r = rng
+    for (_ <- 1 to 300) {
+      val syms = Seq.fill(r.nextInt(20))(alphabet(r.nextInt(alphabet.length)))
+      val out = Bpe.mergeWord(syms, "a", "b")
+      val merges = syms.length - out.length
+      assert(merges >= 0)
+      assert(out.forall(s => s == "ab" || syms.contains(s)))
+      // canonical LTR reaches a fixpoint under repetition (merged "ab"
+      // is never a left candidate for pair (a, b) again)
+      val again = Bpe.mergeWord(out, "a", "b")
+      assert(again == out, s"one pass must be a fixpoint for ($syms)")
+    }
+  }
+
+  test("minhash signature entries are unsigned minima: shard merge = entrywise min") {
+    val r = rng
+    for (_ <- 1 to 200) {
+      val x = Array.fill(1 + r.nextInt(40))(r.nextLong())
+      val y = Array.fill(1 + r.nextInt(40))(r.nextLong())
+      val sx = Dedup.minhashSignatureFromHashes(x, 8)
+      val sy = Dedup.minhashSignatureFromHashes(y, 8)
+      val su = Dedup.minhashSignatureFromHashes(x ++ y, 8)
+      for (i <- 0 until 8) {
+        val m = if (java.lang.Long.compareUnsigned(sx(i), sy(i)) < 0) sx(i) else sy(i)
+        assert(su(i) == m, s"entry $i must be the unsigned min of the shards")
+      }
+    }
+  }
+
+  test("pHash is invariant under constant brightness shifts keeping pixels in range") {
+    val r = rng
+    for (_ <- 1 to 300) {
+      val px = Array.fill(64)(60 + r.nextInt(121))
+      val c = r.nextInt(101) - 50
+      val (h0, _) = Multimodal.phash15(px)
+      val (h1, _) = Multimodal.phash15(px.map(_ + c))
+      assert(h0 == h1, s"shift $c flipped the hash")
+    }
+  }
+
+  test("splitmix64: no collisions across 100k random pairs (bijection smoke)") {
+    val r = rng
+    for (_ <- 1 to 100000) {
+      val a = r.nextLong(); val b = r.nextLong()
+      assert(a == b || mix64(a) != mix64(b))
+    }
+  }
+}
