@@ -58,11 +58,19 @@ object Bpe {
   /** Learn `numMerges` merges; returns (ranked merge table, final word
     * table with columns w / syms / freq). The word table is
     * localCheckpoint'ed per round: each round's input is materialized,
-    * so lineage stays flat across iterations. */
+    * so lineage stays flat across iterations.
+    *
+    * `minFreq` prunes words below the frequency floor BEFORE any round
+    * runs — the real trainer's scale dial (hapax legomena dominate a
+    * web vocabulary's row count while contributing almost nothing to
+    * pair statistics; pruning them shrinks every round's input without
+    * visibly moving the learned merges). */
   def train(docs: DataFrame, textCol: String,
-            numMerges: Int): (Seq[Merge], DataFrame) = {
+            numMerges: Int, minFreq: Long = 1L): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
-    var words = wordTable(docs, textCol).localCheckpoint(true)
+    require(minFreq >= 1, s"minFreq must be positive: $minFreq")
+    var words = wordTable(docs, textCol)
+      .filter(col("freq") >= minFreq).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1
     var exhausted = false

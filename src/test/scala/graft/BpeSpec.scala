@@ -35,6 +35,17 @@ class BpeSpec extends SparkSpecBase {
     assert(finalSyms.contains(lastMerge.lhs + lastMerge.rhs))
   }
 
+  test("minFreq prunes hapaxes from the trainer's word table") {
+    val docs = (Seq.fill(30)("common words repeat here") ++
+      Seq("zzqx unique singleton")).toDF("text")
+    val (_, all) = Bpe.train(docs, "text", 2)
+    val (_, pruned) = Bpe.train(docs, "text", 2, minFreq = 2L)
+    assert(all.count() > pruned.count(), "pruning must shrink the round input")
+    import org.apache.spark.sql.functions.col
+    assert(pruned.filter(col("w") === "zzqx").count() == 0)
+    assert(pruned.filter(col("w") === "common").count() == 1)
+  }
+
   test("train is deterministic and partition-invariant") {
     val docs = (1 to 50).map(i => s"banana band bandana ana n$i").toDF("text")
     val a = Bpe.train(docs, "text", 6)._1
