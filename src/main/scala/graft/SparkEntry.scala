@@ -3260,6 +3260,53 @@ object SparkEntry {
        |FROM est ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
   }
 
+  /** Sketch-driven skew routing, FULL oracle — the planner pattern that
+    * connects the sketch family to the join family: ONE count-min pass
+    * over the join key estimates each key's frequency, and keys whose
+    * estimate exceeds the salting threshold are routed to the
+    * replicated/salted join path (`Skew.saltedJoin`) while the long
+    * tail stays on the plain hash join. CMS over-estimates only, so
+    * routing errs toward salting — the safe direction. Output: key,
+    * exact count (truth), CMS estimate, route. */
+  private def skewRouteQ(s: SparkSession, dir: String): DataFrame = {
+    val withU = Tables.read(s, dir, "events")
+      .select(col("user_id"))
+      .withColumn("u", col("user_id").bitwiseAND(lit(0xFFFFFFFFL)))
+    val cms = udaf(new operators.Sketches.CmsAgg(4, 1024))
+    val grid = withU.agg(cms(col("u")).as("grid"))
+    val est = udf((g: Seq[Long], u: Long) =>
+      operators.Sketches.cmsQuery(g, 4, 1024, u))
+    withU.groupBy(col("user_id"), col("u"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .crossJoin(broadcast(grid))
+      .withColumn("cms_est", est(col("grid"), col("u")))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        when(col("cms_est") > 75L, lit("salted")).otherwise(lit("hash")).as("route"))
+  }
+
+  private lazy val skewRouteSql = {
+    val seeds = operators.Sketches.cmsRowSeeds(4)
+    def su(i: Int) = java.lang.Long.toUnsignedString(seeds(i))
+    val zExpr = s"xor(u::HUGEINT, CASE r WHEN 0 THEN ${su(0)}::HUGEINT " +
+      s"WHEN 1 THEN ${su(1)}::HUGEINT WHEN 2 THEN ${su(2)}::HUGEINT " +
+      s"ELSE ${su(3)}::HUGEINT END)"
+    s"""WITH kf AS (
+       |  SELECT user_id, user_id % 4294967296 AS u, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |rr AS (SELECT user_id, u, c, unnest([0, 1, 2, 3]) AS r FROM kf),
+       |${mix64Ctes("sk", "rr", Seq("user_id", "u", "c", "r"), zExpr)},
+       |tb AS (SELECT user_id, u, c, r, z % 1024 AS bucket FROM sk6),
+       |bs AS (SELECT r, bucket, sum(c) AS bsum FROM tb GROUP BY 1, 2),
+       |est AS (
+       |  SELECT tb.user_id, max(tb.c) AS exact_cnt, min(bs.bsum) AS cms_est
+       |  FROM tb JOIN bs ON bs.r = tb.r AND bs.bucket = tb.bucket
+       |  GROUP BY 1)
+       |SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |  CAST(cms_est AS BIGINT) AS cms_est,
+       |  CASE WHEN cms_est > 75 THEN 'salted' ELSE 'hash' END AS route
+       |FROM est""".stripMargin
+  }
+
   /** Histogram quantile sketch, FULL oracle — one-scan fixed-bin (B=64)
     * quantile estimates over `n_chars` next to the EXACT rank quantile
     * (via DistributedRank — no single-partition sort on either path).
@@ -6562,6 +6609,7 @@ object SparkEntry {
     "budget_feed" -> (budgetFeedQ(_, _)),
     "corpus_entropy" -> (corpusEntropyQ(_, _)),
     "cms_topk" -> (cmsTopkQ(_, _)),
+    "skew_route" -> (skewRouteQ(_, _)),
     "hist_quantile" -> (histQuantileQ(_, _)),
     "decontaminate" -> (decontaminateQ(_, _)),
     "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
@@ -6811,6 +6859,7 @@ object SparkEntry {
     "budget_feed" -> budgetFeedSql,
     "corpus_entropy" -> corpusEntropySql,
     "cms_topk" -> cmsTopkSql,
+    "skew_route" -> skewRouteSql,
     "hist_quantile" -> histQuantileSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateSql,
