@@ -4029,6 +4029,45 @@ object SparkEntry {
       |    // ([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** MPEG audio (MP3) frame-header metadata, FULL oracle — the last
+    * audio container gap: deterministic MPEG-1 Layer III streams are
+    * hand-constructed from the published ISO 11172-3 header layout
+    * (bitrate/samplerate indices closed forms of doc_id), and
+    * `Multimodal.decodeMp3Meta` sync-scans, reads the bit fields,
+    * computes the 144·bitrate/rate frame length, and WALKS the frames —
+    * the real indexer metadata pass. The oracle re-derives every field
+    * (incl. the frame-length integer division and the 1152-sample
+    * duration) from the same closed forms and tables. Codec-level
+    * sample decode remains the documented out-of-scope boundary. */
+  private def audioMp3Meta(s: SparkSession, dir: String): DataFrame = {
+    val mp3Udf = udf((docId: Long, nChars: Long) =>
+      operators.Multimodal.encodeMp3Frames(
+        bitrateIdx = 1 + (docId % 14).toInt,
+        srIdx = (docId % 3).toInt,
+        nFrames = 4 + (nChars % 20).toInt))
+    val metaUdf = udf((p: Array[Byte]) => operators.Multimodal.decodeMp3Meta(p))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mp3Udf(col("doc_id"), col("n_chars")).as("payload"))
+      .select(col("doc_id"), metaUdf(col("payload")).as("m"))
+      .select(col("doc_id"),
+        col("m.bitrateKbps").as("bitrate_kbps"),
+        col("m.sampleRate").as("sample_rate"),
+        col("m.frameLen").as("frame_len"),
+        col("m.nFrames").as("n_frames"),
+        col("m.durationMs").as("duration_ms"))
+  }
+
+  private val audioMp3MetaSql =
+    """SELECT doc_id,
+      |  CAST([32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INT) + 1] AS INT) AS bitrate_kbps,
+      |  CAST([44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS INT) AS sample_rate,
+      |  CAST((144 * [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INT) + 1] * 1000)
+      |       // [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS INT) AS frame_len,
+      |  CAST(4 + n_chars % 20 AS INT) AS n_frames,
+      |  ((4 + n_chars % 20) * 1152 * 1000)
+      |    // [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS duration_ms
+      |FROM documents""".stripMargin
+
   /** REAL PCM16 sample decode, FULL oracle — the waveform step past
     * [[audioMeta]]'s header parse: the same closed-form WAV payloads are
     * round-tripped through `Multimodal.encodeWavPcm16` →
@@ -6625,6 +6664,7 @@ object SparkEntry {
     "gopher_rules" -> (gopherRulesQ(_, _)),
     "image_neardup" -> (imageNeardupQ(_, _)),
     "audio_meta" -> (audioMeta(_, _)),
+    "audio_mp3_meta" -> (audioMp3Meta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
@@ -6891,6 +6931,7 @@ object SparkEntry {
     "gopher_rules" -> gopherRulesSql,
     "image_neardup" -> imageNeardupSql,
     "audio_meta" -> audioMetaSql,
+    "audio_mp3_meta" -> audioMp3MetaSql,
     "audio_samples" -> audioSamplesSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,

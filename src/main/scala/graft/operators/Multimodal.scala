@@ -353,6 +353,88 @@ object Multimodal {
     }
   }
 
+  // ------------- MPEG audio (MP3) frame-header parse -------------
+
+  /** MPEG-1 Layer III bitrate table (kbps; index 0 = free, 15 = bad)
+    * and sample-rate table — the published ISO/IEC 11172-3 constants. */
+  val Mp3BitratesL3: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000, -1)
+
+  case class Mp3Meta(bitrateKbps: Int, sampleRate: Int, frameLen: Int,
+                     nFrames: Int, durationMs: Long)
+
+  /** Build a deterministic MPEG-1 Layer III stream: `nFrames` frames of
+    * the canonical 4-byte header (sync/version/layer/bitrate/samplerate,
+    * padding 0) followed by zero payload to the computed frame length —
+    * the fixture-side generator for the parse path, hand-constructed
+    * from the spec layout like [[encodeWavPcm16]]. */
+  def encodeMp3Frames(bitrateIdx: Int, srIdx: Int, nFrames: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bad bitrate index $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"bad samplerate index $srIdx")
+    require(nFrames >= 1, s"need at least one frame: $nFrames")
+    val bitrate = Mp3BitratesL3(bitrateIdx) * 1000
+    val sr = Mp3SampleRates(srIdx)
+    val frameLen = 144 * bitrate / sr // padding bit 0
+    // 11-bit sync | version 11 (MPEG-1) | layer 01 (III) | protection 1
+    val b1 = 0xFF
+    val b2 = 0xFB // 1110 1011: sync(3) + version 11 + layer 01 + prot 1
+    val b3 = (bitrateIdx << 4) | (srIdx << 2) // padding 0, private 0
+    val b4 = 0x00
+    val out = new Array[Byte](frameLen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = b1.toByte; out(o + 1) = b2.toByte
+      out(o + 2) = b3.toByte; out(o + 3) = b4.toByte
+      f += 1
+    }
+    out
+  }
+
+  /** Parse an MPEG-1 Layer III stream: locate the first sync, read
+    * bitrate/samplerate from the header bit fields, compute the frame
+    * length (`144·bitrate/rate + padding`), and WALK the frames counting
+    * resyncs — the real fixed-point of an MP3 indexer's metadata pass.
+    * Duration = frames · 1152 samples / rate. Sample (audio) decode
+    * stays out of scope (no JVM MP3 codec; documented boundary). */
+  def decodeMp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    if (payload == null || payload.length < 4) return None
+    var pos = 0
+    // scan to the first sync word
+    while (pos + 4 <= payload.length &&
+      !((payload(pos) & 0xFF) == 0xFF && (payload(pos + 1) & 0xE0) == 0xE0)) pos += 1
+    if (pos + 4 > payload.length) return None
+    def headerAt(p: Int): Option[(Int, Int, Int)] = {
+      if (p + 4 > payload.length) return None
+      val b1 = payload(p) & 0xFF; val b2 = payload(p + 1) & 0xFF
+      val b3 = payload(p + 2) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+      val version = (b2 >> 3) & 3
+      val layer = (b2 >> 1) & 3
+      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+      val brIdx = (b3 >> 4) & 0xF
+      val srIdx = (b3 >> 2) & 3
+      val pad = (b3 >> 1) & 1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val bitrate = Mp3BitratesL3(brIdx) * 1000
+      val sr = Mp3SampleRates(srIdx)
+      Some((bitrate, sr, 144 * bitrate / sr + pad))
+    }
+    headerAt(pos).map { case (bitrate, sr, frameLen) =>
+      var n = 0
+      var p = pos
+      var ok = true
+      while (ok && p + 4 <= payload.length) {
+        headerAt(p) match {
+          case Some((_, _, fl)) => n += 1; p += fl
+          case None => ok = false
+        }
+      }
+      Mp3Meta(bitrate / 1000, sr, frameLen, n, n.toLong * 1152L * 1000L / sr)
+    }
+  }
+
   /** Audio metadata extraction over a media table: REAL header parse per
     * row (partition-local, no shuffle); rows that are not well-formed
     * WAV yield NULLs — the same column contract as [[decodeImages]]. */

@@ -182,6 +182,23 @@ class DedupTextSpec extends SparkSpecBase {
     assert(near.select("media_id").as[Long].head() == 1L)
   }
 
+  test("mp3 meta: frame walk, garbage-prefix resync, malformed rejection") {
+    val bytes = Multimodal.encodeMp3Frames(bitrateIdx = 9, srIdx = 0, nFrames = 7)
+    val m = Multimodal.decodeMp3Meta(bytes).get
+    assert(m.bitrateKbps == 128 && m.sampleRate == 44100)
+    assert(m.frameLen == 144 * 128000 / 44100, s"got ${m.frameLen}") // 417
+    assert(m.nFrames == 7 && m.durationMs == 7L * 1152 * 1000 / 44100)
+    // a garbage prefix must resync to the first real frame
+    val prefixed = Array[Byte](0x12, 0x34, 0x00) ++ bytes
+    assert(Multimodal.decodeMp3Meta(prefixed).get.nFrames == 7)
+    // free-bitrate / reserved-samplerate / non-MPEG1 headers are rejected
+    assert(Multimodal.decodeMp3Meta("not audio".getBytes).isEmpty)
+    val badVersion = bytes.clone; badVersion(1) = 0xF3.toByte // MPEG-2 bits
+    assert(Multimodal.decodeMp3Meta(badVersion).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.encodeMp3Frames(0, 0, 1))
+    intercept[IllegalArgumentException](Multimodal.encodeMp3Frames(9, 3, 1))
+  }
+
   test("phash15: brightness-invariant, content-sensitive, integer basis rows sum to 0") {
     // every AC basis row of the rounded DCT table sums to exactly 0,
     // which is what makes the hash brightness-invariant in integers
