@@ -3864,6 +3864,64 @@ object SparkEntry {
       |  CAST(length(trim(regexp_replace(s2, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM de""".stripMargin
 
+  /** REAL image resize, FULL oracle — the brief's explicit multimodal
+    * resize step: 16×16 grayscale PNGs (pixels a closed form of the
+    * embedding) round-trip through ImageIO and are block-averaged to
+    * the 8×8 grid (`gridAverage8x8` — integer mean per 2×2 cell), then
+    * fingerprinted; the oracle re-derives the 256 source pixels, every
+    * 2×2 integer mean, the resized aHash halves, and the cell sum. Any
+    * resize arithmetic or decode defect breaks the hash match. */
+  private def imageResizeQ(s: SparkSession, dir: String): DataFrame = {
+    val pngUdf = udf((id: Long, v: Seq[Float]) => {
+      val px = Array.tabulate(256) { i =>
+        val base = math.max(0L, math.min(255L,
+          math.floor((v(i % 64).toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt
+        math.min(255, base + (i / 64) * 3)
+      }
+      operators.Multimodal.encodePngGray(16, 16, px)
+    })
+    val media = Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), pngUdf(col("vec_id"), col("embedding")).as("payload"))
+    val resized = udf((px: Seq[Int]) => {
+      val cells = operators.Multimodal.gridAverage8x8(16, 16, px.toArray)
+      (operators.Multimodal.aHash64(cells), cells.map(_.toLong).sum)
+    })
+    operators.Multimodal.decodeImages(media)
+      .select(col("vec_id"), col("img_width"), col("img_height"),
+        resized(col("img_pixels")).as("r"))
+      .select(col("vec_id"),
+        col("img_width").as("width"), col("img_height").as("height"),
+        col("r._1").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+        shiftrightunsigned(col("r._1"), 32).as("ahash_hi"),
+        col("r._2").as("cell_sum"))
+  }
+
+  private val imageResizeSql =
+    """WITH px AS (
+      |  SELECT vec_id, list_transform(range(0, 256), i ->
+      |    least(255,
+      |      greatest(0, least(255,
+      |        CAST(floor((CAST(embedding[CAST(i % 64 AS INT) + 1] AS DOUBLE) + 1.0) * 127.5 + 0.5) AS BIGINT)))
+      |      + (i // 64) * 3)) AS p
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT vec_id, list_transform(range(0, 64), g ->
+      |    (p[CAST((g // 8) * 32 + (g % 8) * 2 AS INT) + 1]
+      |     + p[CAST((g // 8) * 32 + (g % 8) * 2 AS INT) + 2]
+      |     + p[CAST((g // 8) * 32 + (g % 8) * 2 AS INT) + 17]
+      |     + p[CAST((g // 8) * 32 + (g % 8) * 2 AS INT) + 18]) // 4) AS c
+      |  FROM px),
+      |t AS (SELECT vec_id, c, list_reduce(c, (a, b) -> a + b) AS tot FROM cells)
+      |SELECT vec_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  list_reduce(list_transform(range(1, 33),
+      |    i -> CASE WHEN c[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b) AS ahash_lo,
+      |  list_reduce(list_transform(range(33, 65),
+      |    i -> CASE WHEN c[i] * 64 > tot THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END),
+      |    (a, b) -> a + b) AS ahash_hi,
+      |  CAST(tot AS BIGINT) AS cell_sum
+      |FROM t""".stripMargin
+
   /** DCT perceptual hash (pHash), FULL oracle — the second image
     * fingerprint family next to aHash: integer-scaled 2-D DCT-II on the
     * decoded 8×8 raster (real PNG round-trip like `image_decode`), low
@@ -6660,6 +6718,7 @@ object SparkEntry {
     "multimodal_hist" -> (multimodalHist(_, _)),
     "image_decode" -> (imageDecode(_, _)),
     "image_phash" -> (imagePhashQ(_, _)),
+    "image_resize" -> (imageResizeQ(_, _)),
     "strip_markup" -> (stripMarkupQ(_, _)),
     "gopher_rules" -> (gopherRulesQ(_, _)),
     "image_neardup" -> (imageNeardupQ(_, _)),
@@ -6927,6 +6986,7 @@ object SparkEntry {
     "multimodal_hist" -> multimodalHistSql,
     "image_decode" -> imageDecodeSql,
     "image_phash" -> imagePhashSql,
+    "image_resize" -> imageResizeSql,
     "strip_markup" -> stripMarkupSql,
     "gopher_rules" -> gopherRulesSql,
     "image_neardup" -> imageNeardupSql,

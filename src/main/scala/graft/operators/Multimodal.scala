@@ -180,13 +180,17 @@ object Multimodal {
   /** Encode an 8×8 grayscale raster as a real PNG (lossless — decode
     * recovers the exact pixels). The fixture-side generator for the
     * decode path; real pipelines read image files straight off storage. */
-  def encodePng8x8(pixels: Array[Int]): Array[Byte] = {
-    require(pixels.length == 64, "need 64 pixels for an 8x8 image")
-    val img = new java.awt.image.BufferedImage(8, 8,
+  def encodePng8x8(pixels: Array[Int]): Array[Byte] = encodePngGray(8, 8, pixels)
+
+  /** Arbitrary-size grayscale PNG encode (lossless round-trip). */
+  def encodePngGray(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"need $width x $height pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     var i = 0
-    while (i < 64) {
-      img.getRaster.setSample(i % 8, i / 8, 0, pixels(i))
+    while (i < pixels.length) {
+      img.getRaster.setSample(i % width, i / width, 0, pixels(i))
       i += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
