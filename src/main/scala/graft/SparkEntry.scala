@@ -3585,6 +3585,98 @@ object SparkEntry {
   private lazy val minhashLshSql: String =
     s"WITH $minhashPairsCtes\nSELECT a_id, b_id, jaccard FROM mh_pairs"
 
+  /** LSH catch-rate vs the S-curve, FULL oracle — theory meets
+    * practice: docs 0–9 are planted as near-dups with k = 1..10 extra
+    * unique tokens appended (monotonically decreasing Jaccard), the
+    * banded LSH (b=16, r=4) runs over base + plants, and each plant
+    * reports its EXACT pair Jaccard, whether any band caught it, and
+    * the closed-form catch probability 1−(1−s^4)^16 at that Jaccard —
+    * the `lsh_plan` curve evaluated on real pairs. High-s plants must
+    * be caught (p≈1), the low tail may drop exactly where the curve
+    * says. Everything but the probability is integer-exact; the
+    * probability is float4 (pow). */
+  private def lshCatchRateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") < 10)
+    val extras = (1 to 10).map(k =>
+      (0 until k).map(j => s"zx${k}q$j").mkString(" "))
+    val extraUdf = udf((id: Long) => extras((id % 10).toInt))
+    val plants = base.select((col("doc_id") + 400000L).as("doc_id"),
+      concat(col("text"), lit(" "), extraUdf(col("doc_id"))).as("text"))
+    val all = docs.unionByName(plants)
+    val pairs = operators.Dedup.minhashLshPairs(all, "doc_id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.0, shingleN = 3)
+      .filter(col("a_id") < 10 && col("b_id") === col("a_id") + 400000L)
+      .select(col("a_id").as("doc_id"), lit(true).as("caught"),
+        col("jaccard"))
+    val shUdf = udf((t: String) => operators.Dedup.shingleHashes(t, 3))
+    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      operators.Dedup.sortedJaccard(a.toArray, b.toArray))
+    val truth = base.select(col("doc_id"), shUdf(col("text")).as("sa"))
+      .join(plants.select((col("doc_id") - 400000L).as("doc_id"),
+        shUdf(col("text")).as("sb")), "doc_id")
+      .withColumn("jaccard_exact", jacUdf(col("sa"), col("sb")))
+      .select(col("doc_id"), col("jaccard_exact"))
+    truth.join(pairs.select(col("doc_id"), col("caught")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("jaccard_exact"),
+        coalesce(col("caught"), lit(false)).as("caught"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("jaccard_exact"), lit(4.0)), lit(16.0)))
+          .cast("float").as("p_catch"))
+  }
+
+  private lazy val lshCatchRateSql =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000,
+       |    text || ' ' || list_aggregate(list_transform(
+       |      range(0, CAST(doc_id % 10 AS INT) + 1),
+       |      j -> 'zx' || CAST(doc_id % 10 + 1 AS VARCHAR) || 'q' || CAST(j AS VARCHAR)),
+       |      'string_agg', ' ')
+       |  FROM documents WHERE doc_id < 10),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM d),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN ts
+       |         ELSE list_transform(range(1, len(ts) - 1),
+       |              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) END AS gs
+       |  FROM toks),
+       |x AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, CAST(${djb2Fold(sqlBytesOf("g"))} AS HUGEINT) AS x
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+       |seeds0 AS (SELECT unnest(range(0, 64)) AS i),
+       |${mix64Ctes("lc", "seeds0", Seq("i"), "42 + i")},
+       |seeds AS (SELECT i, z AS m FROM lc6),
+       |hx0 AS (SELECT x.doc_id, s.i, xor(x.x, s.m) AS v FROM x, seeds s),
+       |${mix64Ctes("lh", "hx0", Seq("doc_id", "i"), "v")},
+       |sig AS (SELECT doc_id, i, min(z) AS sv FROM lh6 GROUP BY 1, 2),
+       |slices AS (SELECT doc_id, i // 4 AS band, list(sv ORDER BY i) AS slice
+       |           FROM sig GROUP BY 1, 2),
+       |caught AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id
+       |  FROM slices a JOIN slices b
+       |    ON a.band = b.band AND a.slice = b.slice
+       |   AND b.doc_id = a.doc_id + 400000
+       |  WHERE a.doc_id < 10),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM x GROUP BY 1),
+       |inter AS (
+       |  SELECT xa.doc_id, count(*) AS ninter
+       |  FROM x xa JOIN x xb ON xb.doc_id = xa.doc_id + 400000 AND xb.x = xa.x
+       |  WHERE xa.doc_id < 10
+       |  GROUP BY 1),
+       |jac AS (
+       |  SELECT i.doc_id,
+       |    CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard_exact
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_id
+       |  JOIN sizes sb ON sb.doc_id = i.doc_id + 400000)
+       |SELECT j.doc_id, j.jaccard_exact,
+       |  (c.doc_id IS NOT NULL) AS caught,
+       |  CAST(1.0 - pow(1.0 - pow(j.jaccard_exact, 4.0), 16.0) AS REAL) AS p_catch
+       |FROM jac j LEFT JOIN caught c ON c.doc_id = j.doc_id""".stripMargin
+
   /** Incremental ingestion dedup, FULL oracle — a new batch (the base
     * docs under id 100, plus planted EXACT copies and planted
     * appended-token NEAR copies of catalog docs) checked against the
@@ -6712,6 +6804,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloomQ(_, _)),
     "minhash_lsh" -> (minhashLsh(_, _)),
     "lsh_plan" -> (lshPlanQ(_, _)),
+    "lsh_catch_rate" -> (lshCatchRateQ(_, _)),
     "incremental_dedup" -> (incrementalDedupQ(_, _)),
     "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
@@ -7036,6 +7129,7 @@ object SparkEntry {
     "simhash_pairs" -> simhashPairsSql,
     "minhash_lsh" -> minhashLshSql,
     "lsh_plan" -> lshPlanSql,
+    "lsh_catch_rate" -> lshCatchRateSql,
     "incremental_dedup" -> incrementalDedupSql,
     "ingest_pipeline" -> ingestPipelineSql,
     "shap_fixed" -> shapFixedSql,
