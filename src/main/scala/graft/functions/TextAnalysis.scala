@@ -317,6 +317,7 @@ object TextAnalysis {
     spark.udf.register("minhash_signature",
       udf((t: String, n: Int) => graft.operators.Dedup.minhashSignatureFromHashes(
         graft.operators.Dedup.shingleHashes(t, 3), n)))
+    spark.udf.register("gopher_stats", gopherUdf)
     spark.udf.register("zorder_key",
       udf((a: Long, b: Long) => {
         require(a >= 0 && a <= 0xFFFFL && b >= 0 && b <= 0xFFFFL,

@@ -60,6 +60,15 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getDouble(0) == 6.0)
   }
 
+  test("gopher_stats by SQL name") {
+    val r = spark.sql(
+      "SELECT gopher_stats('the cat and the dog\\n- a bullet') AS g").head()
+      .getStruct(0)
+    assert(r.getAs[Int]("nWords") == 8)
+    assert(r.getAs[Int]("nLines") == 2 && r.getAs[Int]("bulletLines") == 1)
+    assert(r.getAs[Int]("nStop") == 2) // 'the', 'and'
+  }
+
   test("dedup / layout primitives by SQL name") {
     val r = spark.sql(
       """SELECT simhash64('the quick brown fox') AS sh,
