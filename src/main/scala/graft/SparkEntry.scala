@@ -2711,8 +2711,8 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |sig AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN wt > 0 AND b >= 56 THEN CAST(1 AS BIGINT) << (b - 56)
-       |             ELSE 0 END) AS bucket
+       |    CAST(sum(CASE WHEN wt > 0 AND b >= 56 THEN CAST(1 AS BIGINT) << (b - 56)
+       |             ELSE 0 END) AS BIGINT) AS bucket
        |  FROM w GROUP BY 1),
        |rk AS (
        |  SELECT doc_id, bucket,
@@ -2741,6 +2741,19 @@ object SparkEntry {
     s.createDataFrame(merges)
   }
 
+  /** Production-dial BPE trainer, FULL oracle — `Bpe.trainLocal`: the
+    * same ONE corpus shuffle compacts to the (word, freq) vocabulary,
+    * then ALL merge rounds run driver-side with incremental pair stats
+    * and a lazy-deletion heap (constant Spark jobs in numMerges, vs two
+    * jobs per merge in `train` — the dial that makes a 32k vocab budget
+    * feasible). Checked against the SAME 10-round SQL replay as
+    * `bpe_train`, so the driver gate itself proves trainer parity. */
+  private def bpeTrainLocalQ(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = operators.Bpe.trainLocal(
+      Tables.read(s, dir, "documents"), "text", numMerges = 10)
+    s.createDataFrame(merges)
+  }
+
   /** BPE encode statistics, FULL oracle — the compression evidence of
     * the learned tokenizer: corpus token counts before/after the 10
     * merges and the final symbol-vocabulary size, re-derived by the
@@ -2751,7 +2764,11 @@ object SparkEntry {
     operators.Bpe.encodeStats(words)
   }
 
-  /** The shared K-round BPE CTE chain (w1..w{K+1}, b1..bK). */
+  /** The shared K-round BPE CTE chain (w1..w{K+1}, b1..bK). Early-stop
+    * parity with `Bpe.train`: if pairs exhaust before round K, b$i is
+    * EMPTY — the LEFT JOIN ON true keeps w${i+1} = w$i (NULL l/r makes
+    * the merge CASE fall through), and the b$i UNION arm contributes
+    * zero merge rows, exactly the trainer's fewer-merges semantics. */
   private def bpeCtes(k: Int): String = {
     def round(i: Int): String =
       s"""p$i AS MATERIALIZED (
@@ -2764,7 +2781,7 @@ object SparkEntry {
          |           (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
          |                            THEN list_append(acc[:len(acc)-1], b.l || b.r)
          |                            ELSE list_concat(acc, x) END) AS syms, freq
-         |  FROM w$i, b$i b)""".stripMargin
+         |  FROM w$i LEFT JOIN b$i b ON true)""".stripMargin
     s"""wd AS MATERIALIZED (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -4060,9 +4077,9 @@ object SparkEntry {
        |    max(CASE WHEN u = 0 AND v = 0 THEN fv END) AS dc
        |  FROM f GROUP BY 1)
        |SELECT f.vec_id,
-       |  sum(CASE WHEN f.v * 4 + f.u > 0 AND f.fv * 15 > t.s
+       |  CAST(sum(CASE WHEN f.v * 4 + f.u > 0 AND f.fv * 15 > t.s
        |           THEN CAST(1 AS BIGINT) << (f.v * 4 + f.u - 1)
-       |           ELSE 0 END) AS phash,
+       |           ELSE 0 END) AS BIGINT) AS phash,
        |  CAST(min(t.dc) AS BIGINT) AS dc
        |FROM f JOIN tot t ON t.vec_id = f.vec_id
        |GROUP BY 1""".stripMargin
@@ -6059,7 +6076,8 @@ object SparkEntry {
        |    sum(CASE WHEN wt > 0 AND b < 32 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
        |    sum(CASE WHEN wt > 0 AND b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
        |  FROM w GROUP BY 1)
-       |SELECT DISTINCT hi, lo FROM sig""".stripMargin
+       |SELECT DISTINCT CAST(hi AS BIGINT) AS hi, CAST(lo AS BIGINT) AS lo
+       |FROM sig""".stripMargin
 
   /** Snapshot diff, FULL oracle — the audit face of the versioned
     * catalog (`snapshot`/`timeTravel`): old = the documents table, new =
@@ -6792,6 +6810,7 @@ object SparkEntry {
     "shard_layout" -> (shardLayoutQ(_, _)),
     "semantic_shards" -> (semanticShardsQ(_, _)),
     "bpe_train" -> (bpeTrainQ(_, _)),
+    "bpe_train_local" -> (bpeTrainLocalQ(_, _)),
     "bpe_encode" -> (bpeEncodeQ(_, _)),
     "bpe_fertility" -> (bpeFertilityQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
@@ -7045,6 +7064,7 @@ object SparkEntry {
     "shard_layout" -> shardLayoutSql,
     "semantic_shards" -> semanticShardsSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_train_local" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "length_filter_adaptive" -> lengthFilterSql,

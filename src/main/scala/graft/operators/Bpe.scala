@@ -95,6 +95,126 @@ object Bpe {
     (merges.toSeq, words)
   }
 
+  final case class WordRow(w: String, syms: Seq[String], freq: Long)
+
+  /** Production-dial trainer: byte-for-byte the semantics of [[train]]
+    * (same get_stats overlap counting, same (cnt desc, l, r) argmax
+    * tie-break, same LTR non-overlapping merge, same early stop), but
+    * after the ONE corpus shuffle the vocabulary-sized (word, freq)
+    * table is collected to the driver and every merge round runs
+    * in memory with incremental pair-stat updates — the original
+    * subword-nmt trainer's algorithm. [[train]] costs two Spark jobs
+    * per merge (a pair-count aggregate + a word-table rewrite), which
+    * is fine at numMerges=10 but is 64k sequential jobs at a 32k vocab
+    * budget; here the job count is CONSTANT in numMerges (one count,
+    * one collect, one parallelize), because after compaction the merge
+    * learning is a vocabulary-local computation — word order never
+    * matters, only the (word, freq) multiset, which is exactly what
+    * crossed the shuffle.
+    *
+    * Per round: the best pair comes from a lazy-deletion max-heap
+    * (every stat update pushes a fresh (pair, cnt) entry; stale
+    * entries are discarded against the live map on pop), and only the
+    * words CONTAINING the merged pair (tracked in an inverted index)
+    * are rewritten — O(affected) per merge, not O(vocab).
+    *
+    * `maxVocabRows` is the driver-memory guard: the post-minFreq
+    * vocabulary is counted BEFORE collecting and the call fails loudly
+    * when it exceeds the cap — raise `minFreq` (hapax pruning shrinks
+    * a web vocabulary by ~half without moving the merges) or fall back
+    * to the fully distributed [[train]]. */
+  def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                 minFreq: Long = 1L, maxVocabRows: Long = 10000000L)
+      : (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    require(minFreq >= 1, s"minFreq must be positive: $minFreq")
+    val spark = docs.sparkSession
+    val wt = wordTable(docs, textCol).filter(col("freq") >= minFreq)
+    val n = wt.count()
+    require(n <= maxVocabRows,
+      s"vocabulary has $n rows > maxVocabRows=$maxVocabRows; raise minFreq " +
+        "(prunes hapax legomena) or use Bpe.train (distributed rounds)")
+    val rows = wt.select(col("w"), col("freq")).collect()
+    val nW = rows.length
+    val wordsArr = new Array[String](nW)
+    val freqs = new Array[Long](nW)
+    val symsArr = new Array[Seq[String]](nW)
+    var i = 0
+    while (i < nW) {
+      wordsArr(i) = rows(i).getString(0)
+      freqs(i) = rows(i).getLong(1)
+      symsArr(i) = wordsArr(i).map(_.toString) :+ "</w>"
+      i += 1
+    }
+    type P = (String, String)
+    val stats = scala.collection.mutable.HashMap.empty[P, Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[P, scala.collection.mutable.HashSet[Int]]
+    // heap order: larger cnt wins; ties go to the lexicographically
+    // SMALLEST (l, r) — so reverse-compare the strings.
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](Ordering.by {
+        case (c, l, r) => (c, Reversed(l), Reversed(r))
+      })
+    def bump(p: P, d: Long, idx: Int): Unit = {
+      val c = stats.getOrElse(p, 0L) + d
+      if (c <= 0L) stats.remove(p) else stats(p) = c
+      // push on EVERY change leaving a live count — lazy deletion needs
+      // the heap to hold an entry matching each pair's CURRENT count,
+      // and a decrement (other-pair merge stealing an adjacency) lowers
+      // counts just as legitimately as an increment raises them.
+      if (c > 0L) heap.enqueue((c, p._1, p._2))
+      if (d > 0L)
+        where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += idx
+      else where.get(p).foreach(_ -= idx)
+    }
+    i = 0
+    while (i < nW) {
+      val s = symsArr(i)
+      var j = 0
+      while (j + 1 < s.length) { bump((s(j), s(j + 1)), freqs(i), i); j += 1 }
+      i += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // pop stale entries until the top reflects the live stats map
+      var best: Option[(String, String, Long)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (stats.get((l, r)).contains(c)) best = Some((l, r, c))
+      }
+      best match {
+        case None => exhausted = true
+        case Some((l, r, cnt)) =>
+          merges += Merge(rank, l, r, cnt)
+          val affected = where.getOrElse((l, r), Set.empty[Int]).toArray
+          var k = 0
+          while (k < affected.length) {
+            val w = affected(k)
+            val old = symsArr(w)
+            var j = 0
+            while (j + 1 < old.length) { bump((old(j), old(j + 1)), -freqs(w), w); j += 1 }
+            val nu = mergeWord(old, l, r)
+            symsArr(w) = nu
+            j = 0
+            while (j + 1 < nu.length) { bump((nu(j), nu(j + 1)), freqs(w), w); j += 1 }
+            k += 1
+          }
+          rank += 1
+      }
+    }
+    val finalWords = spark.createDataFrame(
+      (0 until nW).map(j => WordRow(wordsArr(j), symsArr(j), freqs(j))))
+    (merges.toSeq, finalWords)
+  }
+
+  /** Reverse-ordered string wrapper for the heap tie-break. */
+  private final case class Reversed(s: String) extends Ordered[Reversed] {
+    def compare(that: Reversed): Int = that.s.compareTo(s)
+  }
+
   /** Apply a learned merge table to text — the SERVE face of [[train]]:
     * each word is split to chars + the end marker and the merges are
     * replayed IN RANK ORDER (the canonical greedy encode). The merge

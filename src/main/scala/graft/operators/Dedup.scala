@@ -731,10 +731,27 @@ object Dedup {
    * (lexicographic `min(struct(dist, cid))` — the oracle's
    * `ORDER BY cd, cid`), so assignment is deterministic even on
    * duplicate vectors.
+   *
+   * Skew guard: within-cluster pair generation is Σ|Cᵢ|², so ONE giant
+   * cluster (a degenerate clustering, an all-zeros embedding glut)
+   * silently degenerates toward all-pairs. Clusters above
+   * `maxClusterSize` therefore either fail loudly (`onOversize =
+   * "error"`, the default — the fix is more/better centroids) or are
+   * salted into ⌈|C|/cap⌉ hash sub-blocks (`onOversize = "split"`);
+   * the split path bounds every block's pair cost at cap² but MISSES
+   * cross-block pairs inside the oversized cluster — an explicit
+   * recall-for-cost dial, stated here because nothing downstream can
+   * detect it. The guard itself is one count aggregate on the cluster
+   * key; only the (rare) oversized cluster ids reach the driver.
    */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, cidCol: String, cvecCol: String,
-               maxCosineDistance: Double, maxIter: Int = 50): DataFrame = {
+               maxCosineDistance: Double, maxIter: Int = 50,
+               maxClusterSize: Long = 100000L,
+               onOversize: String = "error"): DataFrame = {
+    require(onOversize == "error" || onOversize == "split",
+      s"onOversize must be error|split: $onOversize")
+    require(maxClusterSize >= 2, s"maxClusterSize must be >= 2: $maxClusterSize")
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val c = centroids.select(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec"))
     val assigned = e.crossJoin(broadcast(c))
@@ -742,9 +759,38 @@ object Dedup {
       .groupBy("id").agg(min(struct(col("cd"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cluster"))
     val clustered = e.join(assigned, "id")
-    val pairs = clustered.select(col("id").as("a_id"), col("vec").as("a_vec"), col("cluster"))
-      .join(clustered.select(col("id").as("b_id"), col("vec").as("b_vec"), col("cluster")),
-        Seq("cluster"))
+    val oversized = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxClusterSize).collect()
+    if (oversized.nonEmpty && onOversize == "error") {
+      val worst = oversized.map(r => s"${r.getLong(0)}(${r.getLong(1)})")
+        .take(10).mkString(", ")
+      throw new IllegalArgumentException(
+        s"semDedup: ${oversized.length} cluster(s) exceed maxClusterSize=" +
+          s"$maxClusterSize — pair cost is quadratic per cluster: [$worst]. " +
+          "Refit with more centroids, raise maxClusterSize, or pass " +
+          "onOversize=\"split\" (bounded cost, misses cross-block pairs)")
+    }
+    val blocked =
+      if (oversized.isEmpty) clustered.withColumn("salt", lit(0))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val saltDf = oversized.map { r =>
+          (r.getLong(0),
+            ((r.getLong(1) + maxClusterSize - 1) / maxClusterSize).toInt)
+        }.toSeq.toDF("cluster", "nsalt")
+        clustered.join(broadcast(saltDf), Seq("cluster"), "left")
+          .withColumn("salt",
+            pmod(xxhash64(col("id")), coalesce(col("nsalt"), lit(1)))
+              .cast("int"))
+          .drop("nsalt")
+      }
+    val pairs = blocked
+      .select(col("id").as("a_id"), col("vec").as("a_vec"),
+        col("cluster"), col("salt"))
+      .join(blocked.select(col("id").as("b_id"), col("vec").as("b_vec"),
+          col("cluster"), col("salt")),
+        Seq("cluster", "salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cd", Knn.distCol("cosine")(col("a_vec"), col("b_vec")))
       .filter(col("cd") <= maxCosineDistance)

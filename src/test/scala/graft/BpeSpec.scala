@@ -83,6 +83,48 @@ class BpeSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("trainLocal: merge-for-merge parity with the distributed trainer") {
+    // mixed corpus with ties, overlaps (banana: an-an), and shared
+    // prefixes — the cases where argmax tie-break and LTR semantics bite
+    val docs = (Seq("low low low lower lowest", "new newer newest newer",
+      "banana band bandana ana", "the cat sat on the mat") ++
+      (1 to 20).map(i => s"repeat token mass r${i % 7}")).toDF("text")
+    val (a, wa) = Bpe.train(docs, "text", numMerges = 12)
+    val (b, wb) = Bpe.trainLocal(docs, "text", numMerges = 12)
+    assert(a == b, s"merge tables diverge:\n$a\n$b")
+    val ka = wa.select("w", "syms", "freq").as[(String, Seq[String], Long)]
+      .collect().sortBy(_._1).toSeq
+    val kb = wb.select("w", "syms", "freq").as[(String, Seq[String], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(ka == kb, "final word tables diverge")
+  }
+
+  test("trainLocal: early-stop parity when pairs exhaust before the budget") {
+    val docs = Seq("ab ab ab").toDF("text") // 'a b </w>': only 2 merges exist
+    val (a, _) = Bpe.train(docs, "text", numMerges = 10)
+    val (b, _) = Bpe.trainLocal(docs, "text", numMerges = 10)
+    assert(a == b)
+    assert(b.length < 10, s"tiny corpus must exhaust early: ${b.length}")
+  }
+
+  test("trainLocal: decrement-heavy corpus keeps the heap honest") {
+    // many words share pairs whose counts DROP as other merges steal
+    // adjacencies — exercises the lazy-deletion push-on-decrement path
+    val docs = (1 to 40).map(i =>
+      s"aaaa aaab aabb abbb bbbb ${"ab" * (i % 4 + 1)}").toDF("text")
+    val (a, _) = Bpe.train(docs, "text", numMerges = 8)
+    val (b, _) = Bpe.trainLocal(docs, "text", numMerges = 8)
+    assert(a == b, s"diverge:\n$a\n$b")
+  }
+
+  test("trainLocal: maxVocabRows guard fails loudly with the dial named") {
+    val docs = Seq("one two three four five six").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", numMerges = 2, maxVocabRows = 3L)
+    }
+    assert(e.getMessage.contains("minFreq"), e.getMessage)
+  }
+
   test("encodeStats: merges strictly compress the corpus token count") {
     val docs = Seq("the cat sat on the mat", "the mats were theirs",
       "low lower lowest", "banana bandana").toDF("text")

@@ -58,6 +58,47 @@ class SemDedupSpec extends SparkSpecBase {
     assert(out(1L) == 1L && out(2L) == 2L) // both kept as singletons
   }
 
+  // A planted giant cluster: 40 near-identical x-axis vectors all land on
+  // centroid 100, plus the two y-axis rows on 200.
+  private def skewed = ((1L to 40L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0f))) ++ Seq(
+      (50L, Array(0.01f, 1.0f, 0f)),
+      (51L, Array(0.011f, 1.0f, 0f)))).toDF("vec_id", "embedding")
+
+  test("skew guard: a giant cluster fails loudly with the dials named") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedup(skewed, "vec_id", "embedding", centroids, "cid", "cvec",
+        maxCosineDistance = 0.5, maxClusterSize = 10L).collect()
+    }
+    assert(e.getMessage.contains("maxClusterSize"), e.getMessage)
+    assert(e.getMessage.contains("split"), e.getMessage)
+  }
+
+  test("skew guard: split bounds block size and still dedups within blocks") {
+    val out = Dedup.semDedup(skewed, "vec_id", "embedding", centroids,
+        "cid", "cvec", maxCosineDistance = 0.5,
+        maxClusterSize = 10L, onOversize = "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.length == 42) // every row still classified, none dropped
+    // the y-cluster (under the cap) is untouched by the salting
+    val y = out.filter(_._2 == 200L).map(t => t._1 -> t._3).toMap
+    assert(y == Map(50L -> 50L, 51L -> 50L))
+    // the giant cluster collapses into >1 component (cross-block pairs
+    // are missed by design) but FAR fewer than 40 singletons
+    val xComps = out.filter(_._2 == 100L).map(_._3).distinct
+    assert(xComps.length > 1 && xComps.length <= 5,
+      s"expected a few salted components, got ${xComps.length}")
+  }
+
+  test("skew guard: under the cap the guarded path is byte-identical") {
+    val a = Dedup.semDedup(fixture, "vec_id", "embedding", centroids,
+        "cid", "cvec", 0.001).collect().map(_.toSeq).toSet
+    val b = Dedup.semDedup(fixture, "vec_id", "embedding", centroids,
+        "cid", "cvec", 0.001, maxClusterSize = 3L, onOversize = "split")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("argmin ties break to the smallest centroid id") {
     val dupCents = Seq(
       (7L, Array(1.0f, 0f, 0f)),

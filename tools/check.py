@@ -53,9 +53,21 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output"); continue
         try:
-            cur = con.execute(sql)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            rel = con.sql(sql)
+            # Type-strict: the driver's comparator type-tags the ORACLE's
+            # declared column types, and a DuckDB HUGEINT (e.g. an un-CAST
+            # sum(BIGINT)) hash-diverges from Spark's int64 even when every
+            # value is equal — Python folds int128 to int, so value compare
+            # alone can't see it (the r9 image_phash/semantic_shards/
+            # stream_neardup red rows). Fail here the way the driver does.
+            bad_t = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                     if str(t).upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+            if bad_t:
+                print(f"FAIL {name}: oracle column type not representable "
+                      f"in Spark int64 (CAST it): {bad_t}")
+                continue
+            o_cols = list(rel.columns)
+            o_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); continue
         try:
