@@ -4293,6 +4293,81 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** REAL FLAC codec round-trip, FULL oracle — the lossless-compression
+    * rung of the multimodal ladder (`operators/Flac.scala`): closed-form
+    * PCM16 is encoded as a spec-conformant FLAC stream (STREAMINFO with
+    * PCM MD5, CRC-8 frame headers, CRC-16 frames, UTF-8 frame numbers,
+    * constant/verbatim/fixed/LPC subframes cycling per frame, Rice
+    * partitions alternating order 0/1, mid-side decorrelation on half
+    * the stereo rows), decoded back by the real decoder (CRCs + MD5
+    * verified), re-encoded as WAV and run through the SAME waveform
+    * stats as `audio_samples`. Lossless ⇒ the oracle re-derives every
+    * column from the closed form — any bit-alignment, predictor, CRC,
+    * or decorrelation defect in EITHER codec direction breaks the hash. */
+  private def audioFlac(s: SparkSession, dir: String): DataFrame = {
+    val flacUdf = udf((docId: Long, nChars: Long) => {
+      val rate = Array(8000, 16000, 22050, 44100)((docId % 4).toInt)
+      val channels = 1 + (docId % 2).toInt
+      val frames = 40 + (nChars % 120).toInt
+      val blockSize = 16 + 16 * (docId % 3).toInt
+      val stereo =
+        if (channels == 2 && docId % 4 < 2) "midside" else "independent"
+      val samples = new Array[Short](frames * channels)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = (((docId * 37 + i * 11) % 65536) - 32768).toShort
+        i += 1
+      }
+      operators.Flac.encodeFlac(samples, rate, channels, blockSize, stereo)
+    })
+    val toWav = udf((payload: Array[Byte]) =>
+      operators.Flac.decodeFlac(payload).map { case (m, xs) =>
+        (operators.Multimodal.encodeWavPcm16(xs, m.sampleRate, m.channels),
+          m.sampleRate, m.channels, m.nFrames)
+      })
+    val media = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), flacUdf(col("doc_id"), col("n_chars")).as("flac"))
+      .select(col("doc_id"), toWav(col("flac")).as("d"))
+      .select(col("doc_id"), col("d._1").as("payload"),
+        col("d._2").as("sample_rate"), col("d._3").as("n_ch"),
+        col("d._4").as("n_frames"))
+    operators.Multimodal.decodeAudioFeatures(media)
+      .select(col("doc_id"), col("sample_rate"), col("n_ch"), col("n_frames"),
+        col("audio_n_samples").as("n_samples"),
+        col("audio_peak").as("peak"),
+        col("audio_zero_crossings").as("zero_crossings"),
+        col("audio_energy").as("energy"),
+        col("audio_rms").as("rms"))
+  }
+
+  private val audioFlacSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST([8000,16000,22050,44100][CAST(doc_id % 4 AS INT) + 1] AS INT) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INT) AS n_ch,
+      |    40 + n_chars % 120 AS frames,
+      |    16 + 16 * (doc_id % 3) AS bs,
+      |    (40 + n_chars % 120) * (1 + doc_id % 2) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sample_rate, n_ch, frames, bs, n,
+      |    list_transform(range(0, n), i -> (doc_id * 37 + i * 11) % 65536 - 32768) AS xs
+      |  FROM base),
+      |agg AS (
+      |  SELECT doc_id, sample_rate, n_ch, frames, bs, n, xs,
+      |    CAST(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy
+      |  FROM s)
+      |SELECT doc_id, sample_rate, n_ch,
+      |  CAST((frames + bs - 1) // bs AS INT) AS n_frames,
+      |  CAST(n AS INT) AS n_samples,
+      |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INT) AS peak,
+      |  CAST(len(list_filter(range(0, n),
+      |    i -> i >= n_ch AND ((xs[CAST(i - n_ch AS INT) + 1] < 0) <> (xs[CAST(i AS INT) + 1] < 0)))) AS BIGINT)
+      |    AS zero_crossings,
+      |  energy,
+      |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
+      |FROM agg""".stripMargin
+
   /** Decimating audio resample, FULL oracle — the stride-4 downsample
     * over the same closed-form PCM16 payloads as [[audioSamples]]
     * (encode → chunk-walk decode → every 4th frame, interleave
@@ -6837,6 +6912,7 @@ object SparkEntry {
     "audio_meta" -> (audioMeta(_, _)),
     "audio_mp3_meta" -> (audioMp3Meta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
+    "audio_flac" -> (audioFlac(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "audio_adpcm" -> (audioAdpcm(_, _)),
@@ -7106,6 +7182,7 @@ object SparkEntry {
     "audio_meta" -> audioMetaSql,
     "audio_mp3_meta" -> audioMp3MetaSql,
     "audio_samples" -> audioSamplesSql,
+    "audio_flac" -> audioFlacSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "audio_adpcm" -> audioAdpcmSql,
