@@ -2325,7 +2325,11 @@ object SparkEntry {
        |  SELECT k, row_number() OVER (ORDER BY k, doc_id) AS rn,
        |    count(*) OVER () AS n
        |  FROM keep),
-       |sh AS (SELECT k, (rn - 1) // greatest(1, (n + 3) // 4) AS shard_id FROM rk)
+       |sh AS (SELECT k,
+       |  CASE WHEN rn <= (n % 4) * (n // 4 + 1)
+       |       THEN (rn - 1) // (n // 4 + 1)
+       |       ELSE n % 4 + (rn - 1 - (n % 4) * (n // 4 + 1)) // greatest(n // 4, 1)
+       |  END AS shard_id FROM rk)
        |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
        |FROM sh GROUP BY 1""".stripMargin
 
@@ -2647,8 +2651,9 @@ object SparkEntry {
 
   /** Balanced shard layout, FULL oracle — the feed WRITER's manifest:
     * lineitem assigned to 32 size-balanced shards contiguous in
-    * (l_partkey, then unique line id) order, shard id = (global rank −
-    * 1) div ⌈n/32⌉ with the rank from `DistributedRank` (quantile
+    * (l_partkey, then unique line id) order, floor/remainder split
+    * (first n mod 32 shards take one extra row — exactly 32 shards
+    * always) with the rank from `DistributedRank` (quantile
     * buckets + per-bucket windows — no single-task global sort). The
     * oracle recomputes the rank with a plain `row_number()` and must
     * reproduce every shard's count and key envelope exactly. */
@@ -2665,7 +2670,11 @@ object SparkEntry {
       |    row_number() OVER (ORDER BY l_partkey, l_orderkey * 10 + l_linenumber) AS rn,
       |    count(*) OVER () AS n
       |  FROM lineitem),
-      |s AS (SELECT k, (rn - 1) // greatest(1, (n + 31) // 32) AS shard_id FROM r)
+      |s AS (SELECT k,
+      |  CASE WHEN rn <= (n % 32) * (n // 32 + 1)
+      |       THEN (rn - 1) // (n // 32 + 1)
+      |       ELSE n % 32 + (rn - 1 - (n % 32) * (n // 32 + 1)) // greatest(n // 32, 1)
+      |  END AS shard_id FROM r)
       |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
       |FROM s GROUP BY 1""".stripMargin
 
@@ -2719,7 +2728,11 @@ object SparkEntry {
        |    row_number() OVER (ORDER BY bucket * 1099511627776 + doc_id, doc_id) AS rn,
        |    count(*) OVER () AS n
        |  FROM sig),
-       |sh AS (SELECT bucket, (rn - 1) // greatest(1, (n + 15) // 16) AS shard_id FROM rk)
+       |sh AS (SELECT bucket,
+       |  CASE WHEN rn <= (n % 16) * (n // 16 + 1)
+       |       THEN (rn - 1) // (n // 16 + 1)
+       |       ELSE n % 16 + (rn - 1 - (n % 16) * (n // 16 + 1)) // greatest(n // 16, 1)
+       |  END AS shard_id FROM rk)
        |SELECT shard_id, count(*) AS n,
        |  count(DISTINCT bucket) AS n_buckets,
        |  min(bucket) AS min_bucket, max(bucket) AS max_bucket

@@ -225,8 +225,12 @@ object TextAnalysis {
     var sumLen = 0L
     val stops = scala.collection.mutable.Set.empty[String]
     words.foreach { w =>
-      sumLen += w.length
-      val lw = w.toLowerCase
+      // code points, not UTF-16 units — DuckDB's length() counts code
+      // points, and the cross-engine-exact claim must hold off the BMP
+      sumLen += w.codePointCount(0, w.length)
+      // Locale.ROOT: locale-sensitive lowercasing (tr_TR dotless-i)
+      // would silently miss "the"/"to" on a Turkish-locale JVM
+      val lw = w.toLowerCase(java.util.Locale.ROOT)
       if (GopherStopwords.contains(lw)) stops += lw
     }
     val lines = text.split("\n", -1)

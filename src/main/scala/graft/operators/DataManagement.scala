@@ -47,10 +47,15 @@ object DataManagement {
   /** Snapshot DIFF — the audit face of [[snapshot]]/[[timeTravel]]:
     * what changed between two corpus versions, as one row per touched
     * id with status `added` / `removed` / `changed`. Content equality
-    * is an 8-byte `xxhash64` join confirmed by payload equality (the
-    * fingerprint-dedup trade), so the shuffle carries ids + hashes, not
-    * two copies of the corpus; unchanged rows — the overwhelming bulk
-    * at 100 TB — never leave the join. */
+    * is FINGERPRINT-ONLY: an 8-byte `xxhash64` compare, so the shuffle
+    * carries ids + hashes, not two copies of the corpus, and unchanged
+    * rows — the overwhelming bulk at 100 TB — never leave the join.
+    * The trade is explicit: an old/new hash collision on the same id
+    * (probability 2⁻⁶⁴ per edited row) reports an edited row as
+    * unchanged; confirming equality for hash-equal rows would mean
+    * comparing the unchanged bulk payload-by-payload, which is exactly
+    * the cost this operator exists to avoid. Auditors needing certainty
+    * on specific ids should join those ids' payloads directly. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    idCol: String, payloadCol: String): DataFrame = {
     def keyed(df: DataFrame, side: String) =

@@ -14,22 +14,34 @@ import org.apache.spark.sql.functions._
  *
  * Shard id is derived from the row's EXACT global rank
  * ([[DistributedRank]] — quantile buckets + per-bucket windows + tiny
- * prefix offsets; no single-task global sort anywhere), so shard sizes
- * are exactly ⌈n/numShards⌉ (the last shard takes the remainder) and
- * the assignment is deterministic — a re-run writes byte-identical
- * shards, which is what makes feed snapshots diffable.
+ * prefix offsets; no single-task global sort anywhere). The split is
+ * floor/remainder: the first n mod numShards shards hold ⌊n/numShards⌋+1
+ * rows, the rest ⌊n/numShards⌋ — so exactly numShards non-empty shards
+ * come out whenever n ≥ numShards (a ceil-per-shard split silently
+ * yields FEWER shards when n is far from a multiple, breaking the
+ * "N shards" writer contract downstream loaders rely on). The
+ * assignment is deterministic — a re-run writes byte-identical shards,
+ * which is what makes feed snapshots diffable.
  */
 object Sharding {
 
-  /** Adds `shard_id` = (rank−1) div ⌈n/numShards⌉ over the (key,
-    * tieBreak) total order. `tieBreak` must be unique per row. */
+  /** Adds `shard_id` over the (key, tieBreak) total order: ranks up to
+    * (n mod k)·(⌊n/k⌋+1) fill the big shards, the rest the small ones.
+    * `tieBreak` must be unique per row. Integer `div` end to end — no
+    * double rounding at any rank. */
   def assignShards(df: DataFrame, key: Column, tieBreak: Column,
                    numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be positive: $numShards")
     val n = df.count()
-    val per = math.max(1L, (n + numShards - 1) / numShards)
+    val k = numShards.toLong
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
     DistributedRank.withRank(df, key, descending = false, tieBreak, "__rank")
-      .withColumn("shard_id", ((col("__rank") - 1L) / per).cast("long"))
+      .withColumn("shard_id",
+        when(col("__rank") <= cut, expr(s"(__rank - 1) div ${base + 1}"))
+          .otherwise(expr(
+            s"$rem + (__rank - 1 - $cut) div ${math.max(base, 1L)}")))
       .drop("__rank")
   }
 

@@ -32,6 +32,20 @@ class ShardingSpec extends SparkSpecBase {
     assert(sizes == Map(0L -> 26, 1L -> 26, 2L -> 26, 3L -> 25))
   }
 
+  test("assignShards: exactly numShards non-empty shards when n is awkward") {
+    // n=9, k=4 — a ceil-per-shard split would emit only 3 shards (3,3,3);
+    // the floor/remainder contract gives 3,2,2,2
+    val df = (1L to 9L).map(i => (i, i)).toDF("id", "key")
+    val sizes = Sharding.assignShards(df, col("key"), col("id"), 4)
+      .groupBy("shard_id").count().as[(Long, Long)].collect().toMap
+    assert(sizes == Map(0L -> 3L, 1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $sizes")
+    // and n < k still degrades gracefully: n singleton shards
+    val tiny = (1L to 3L).map(i => (i, i)).toDF("id", "key")
+    val t = Sharding.assignShards(tiny, col("key"), col("id"), 4)
+      .groupBy("shard_id").count().as[(Long, Long)].collect().toMap
+    assert(t == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $t")
+  }
+
   test("semantic-order shards cover far fewer topic buckets than random-order shards") {
     // 8 topic buckets, 512 docs; semantic key = (bucket, id); random key = mix of id
     val rows = (1L to 512L).map(i => (i, i % 8))
