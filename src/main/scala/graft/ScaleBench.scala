@@ -331,6 +331,51 @@ object ScaleBench {
       val (nPr, tPr) = time(operators.GraphAnalytics.pagerankInt(ring, 3).count())
       add("graph_pagerank", nPr, tPr)
 
+      // Rank-derived shard layout: the DistributedRank writer face —
+      // quantile bucketing + per-bucket windows + tiny prefix offsets.
+      // Cost should track the two key scans; there is no single-task
+      // global sort anywhere to blow up at 100x.
+      val (nSh, tSh) = time(operators.Sharding.shardLayout(
+        docs, length(col("text")).cast("long"), col("doc_id"),
+        numShards = 32).count())
+      add("shard_layout", docs.count(), tSh, Seq(("shards", nSh.toDouble)))
+
+      // Ingest pipeline composition (the ingest_pipeline flagship):
+      // FIXED daily batch (base-corpus-sized; 1/3 near-dups of the
+      // catalog, 1/3 exact copies, 1/3 fresh) against the GROWING
+      // catalog -> keepers -> rank-derived 4-shard manifest. Composed
+      // cost should be its parts' sum (catalog-sliced LSH + rank scans
+      // on the batch-sized keeper set) with no cross-term.
+      val ingBatch = docs0.select((col("doc_id") + 500000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" fresh")))
+          .otherwise(when(col("doc_id") % 3 === 1, col("text"))
+            .otherwise(concat(lit("zq "), reverse(col("text"))))).as("text"))
+      val (nIng, tIng) = time {
+        val dec = operators.Dedup.incrementalDedup(
+          docs, ingBatch, "doc_id", "text",
+          numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+        val keepers = dec.filter(!col("exact_dup") && col("near_of").isNull)
+          .select(col("doc_id")).join(ingBatch, "doc_id")
+        operators.Sharding.shardLayout(keepers,
+          length(col("text")).cast("long"), col("doc_id"), numShards = 4)
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      add("ingest_pipeline", docs.count(), tIng,
+        Seq(("batch_kept", nIng.toDouble)))
+
+      // BPE at the PRODUCTION dial: numMerges=1000 via the driver-side
+      // trainer (constant Spark jobs — one count, one collect, one
+      // parallelize — vs 2000 sequential jobs for the distributed
+      // trainer at this budget). Cost should converge to the word-count
+      // shuffle as the corpus grows; the in-memory merge loop rides the
+      // near-constant DISTINCT-word vocabulary.
+      val (nBpeL, tBpeL) = time {
+        val (ms, w) = operators.Bpe.trainLocal(docs, "text", numMerges = 1000)
+        w.count() + ms.length
+      }
+      add("bpe_train_local_1000", docs.count(), tBpeL,
+        Seq(("merges_plus_words", nBpeL.toDouble)))
+
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), Tables.tsUs(ev).cast("double").as("lts"),
           col("event_id"))

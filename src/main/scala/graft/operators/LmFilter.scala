@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
  * transitions = boilerplate/garble candidates; the threshold stays a
  * caller-side dial like the Gopher repetition signals.
  *
- * Scale shape: training is two count aggregations over the exploded
- * bigram stream (map-side combined, one shuffle each on the gram key);
- * scoring joins the stream back to those counts on the SAME keys —
- * co-partitioned with the counting shuffles, no broadcast of the model
- * (corpus-sized vocabularies don't broadcast at 100 TB). The only
- * driver-side value is the vocabulary size (one long).
+ * Scale shape: ONE count aggregation over the exploded bigram stream
+ * (map-side combined, shuffle on the gram key) gives the bigram table;
+ * the unigram context counts fall out of it VOCABULARY-side
+ * (c1(w1) = Σ_w2 c12 — exactly the stream count, derived without
+ * touching the corpus again), so the whole per-bigram model table is
+ * assembled at distinct-bigram cardinality. Scoring then joins the
+ * stream to that one model table on the gram key and aggregates per
+ * doc — three corpus-scale shuffles total (count, score-join, per-doc
+ * agg) where the naive two-join plan pays five; no broadcast of the
+ * model (corpus-sized vocabularies don't broadcast at 100 TB). The
+ * only driver-side value is the vocabulary size (one long).
  *
  * Numerics: counts and the smoothed ratio are integer-derived and exact;
  * `ln` is libm (1-ulp engine drift) and the per-doc mean is an unordered
@@ -40,14 +45,20 @@ object LmFilter {
         .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context counts derived from the bigram table, NOT the stream:
+    // c1(w1) = Σ_w2 c12(w1, w2) — identical to counting the stream, at
+    // distinct-bigram cost instead of a second corpus shuffle
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     // vocabulary size: the one driver-side scalar (like k centroids)
     val vocab = toks.select(explode(col("ts")).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0)
-    val scored = pairs
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    // the complete per-bigram model — distinct-bigram-sized, so the
+    // corpus stream makes exactly one scoring join against it
+    val model = c12.join(c1, Seq("w1"))
       .withColumn("logp", log((col("c12") + lit(k)) / (col("c1") + lit(k * vocab))))
+      .select(col("w1"), col("w2"), col("logp"))
+    val scored = pairs
+      .join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
