@@ -66,6 +66,8 @@ object Bench {
     "kmv_distinct", "cms_topk", "hist_quantile",          // corpus-stats sketches
     "hll_distinct",                                       // constant-state distinct sketch
     "bpe_train",                                          // tokenizer fit (10 merge rounds)
+    "bpe_train_local",                                    // driver-loop trainer, same 10 merges
+    "audio_flac",                                         // FLAC encode->decode->stats round-trip
     "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics

@@ -4306,6 +4306,54 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
+    * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
+    * (request / response carrying the doc text / metadata) is written
+    * as one-gzip-member-per-record `.warc.gz` (the Common-Crawl
+    * random-access convention), then decoded by the real reader —
+    * member-at-a-time Inflater walk with CRC32+ISIZE verification,
+    * WARC framing parse, Content-Length payload split. The oracle
+    * re-derives record count, byte totals (octet_length — exact for
+    * any Unicode), token count of the DECODED response text, and the
+    * target URI from the documents columns; losing a member, a byte,
+    * or a frame anywhere breaks the hash. */
+  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long, text: String, lang: String) => {
+      val uri = s"http://crawl.invalid/doc/$docId"
+      val t = if (text == null) "" else text
+      operators.Warc.encodeWarcGz(Seq(
+        operators.Warc.WarcRecord("request", s"<urn:uuid:req-$docId>", uri,
+          s"GET /doc/$docId".getBytes("UTF-8")),
+        operators.Warc.WarcRecord("response", s"<urn:uuid:resp-$docId>", uri,
+          t.getBytes("UTF-8")),
+        operators.Warc.WarcRecord("metadata", s"<urn:uuid:meta-$docId>", uri,
+          s"lang=$lang".getBytes("UTF-8"))))
+    })
+    val archives = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        mk(col("doc_id"), col("text"), col("lang")).as("payload"))
+    operators.Warc.extractResponses(archives, "doc_id", "payload")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("content_bytes")).cast("long").as("total_bytes"),
+        max(when(col("record_type") === "response", col("content_bytes")))
+          .cast("long").as("resp_bytes"),
+        max(when(col("record_type") === "response",
+          size(regexp_extract_all(lower(col("content")),
+            lit("[a-z0-9]+"), lit(0))))).cast("long").as("n_tokens"),
+        max(col("target_uri")).as("uri"))
+  }
+
+  private val warcIngestSql =
+    """SELECT doc_id,
+      |  CAST(3 AS BIGINT) AS n_records,
+      |  CAST(strlen(text) + strlen('GET /doc/' || doc_id)
+      |       + strlen('lang=' || lang) AS BIGINT) AS total_bytes,
+      |  CAST(strlen(text) AS BIGINT) AS resp_bytes,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  'http://crawl.invalid/doc/' || doc_id AS uri
+      |FROM documents""".stripMargin
+
   /** REAL FLAC codec round-trip, FULL oracle — the lossless-compression
     * rung of the multimodal ladder (`operators/Flac.scala`): closed-form
     * PCM16 is encoded as a spec-conformant FLAC stream (STREAMINFO with
@@ -6926,6 +6974,7 @@ object SparkEntry {
     "audio_mp3_meta" -> (audioMp3Meta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "audio_flac" -> (audioFlac(_, _)),
+    "warc_ingest" -> (warcIngest(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "audio_adpcm" -> (audioAdpcm(_, _)),
@@ -7196,6 +7245,7 @@ object SparkEntry {
     "audio_mp3_meta" -> audioMp3MetaSql,
     "audio_samples" -> audioSamplesSql,
     "audio_flac" -> audioFlacSql,
+    "warc_ingest" -> warcIngestSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "audio_adpcm" -> audioAdpcmSql,

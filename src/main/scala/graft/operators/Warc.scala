@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * WARC (ISO 28500) web-archive ingestion — the FIRST step of a crawl-
+ * derived training-data pipeline: Common-Crawl-style corpora arrive as
+ * `.warc.gz` files whose records are each an INDEPENDENT gzip member
+ * (the convention that makes record-level random access possible), and
+ * everything downstream in this repo (language ID, quality gates,
+ * dedup, tokenization) consumes what this step extracts.
+ *
+ * Format per the published spec: a record is `WARC/1.0\r\n`, named
+ * headers (`WARC-Type`, `WARC-Record-ID`, `WARC-Target-URI`,
+ * `Content-Length`), a blank line, `Content-Length` payload bytes, and
+ * a `\r\n\r\n` trailer; members concatenate back-to-back in the file.
+ * Decompression is java.util.zip (DEFLATE is stdlib — reimplementing it
+ * would be noise, the WARC FRAMING is the part an engine owns): members
+ * are walked one at a time with `Inflater` so record boundaries are
+ * recovered from the gzip member structure itself, then the framing is
+ * parsed from each member's bytes. Malformed members fail the whole
+ * payload (None) — a half-read archive must not silently truncate a
+ * corpus.
+ *
+ * Scale shape: stateless per-row map (one archive blob in, records
+ * out) — partition-local, no shuffle; the 100 TB layout is "many
+ * .warc.gz blobs, one row each", exactly how crawl dumps ship.
+ */
+object Warc {
+
+  final case class WarcRecord(recordType: String, recordId: String,
+                              targetUri: String, payload: Array[Byte])
+
+  private val Crlf = "\r\n".getBytes("ISO-8859-1")
+
+  /** Gzip-compress one record as its own member. */
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Encode records as a spec-shaped `.warc.gz` blob: one gzip member
+    * per record, WARC/1.0 framing inside each. */
+  def encodeWarcGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: ${r.recordType}\r\n")
+      sb.append(s"WARC-Record-ID: ${r.recordId}\r\n")
+      sb.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
+      sb.append(s"Content-Length: ${r.payload.length}\r\n")
+      sb.append("\r\n")
+      val head = sb.toString.getBytes("ISO-8859-1")
+      val rec = new Array[Byte](head.length + r.payload.length + 4)
+      System.arraycopy(head, 0, rec, 0, head.length)
+      System.arraycopy(r.payload, 0, rec, head.length, r.payload.length)
+      System.arraycopy(Crlf, 0, rec, head.length + r.payload.length, 2)
+      System.arraycopy(Crlf, 0, rec, head.length + r.payload.length + 2, 2)
+      out.write(gzipMember(rec))
+    }
+    out.toByteArray
+  }
+
+  /** Inflate ONE gzip member starting at `off`; returns (bytes, next
+    * offset). Parses the member header (magic, flags incl. FEXTRA/
+    * FNAME/FCOMMENT skips), inflates with a raw `Inflater`, and uses
+    * `getRemaining` to locate the member's end past the 8-byte
+    * CRC32+ISIZE trailer — the trick that makes record-at-a-time
+    * walking of concatenated members possible. CRC32 and ISIZE are
+    * VERIFIED (stdlib gives both for free; a truncated or corrupt
+    * member must not yield bytes). */
+  private def inflateMember(data: Array[Byte], off: Int): (Array[Byte], Int) = {
+    require(off + 10 <= data.length, "member header truncated")
+    require((data(off) & 0xff) == 0x1f && (data(off + 1) & 0xff) == 0x8b,
+      s"bad gzip magic at $off")
+    require((data(off + 2) & 0xff) == 8, "unsupported compression method")
+    val flg = data(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(data, p, data.length - p)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(), "truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    val consumed = (data.length - p) - inf.getRemaining
+    inf.end()
+    val body = out.toByteArray
+    val tEnd = p + consumed + 8
+    require(tEnd <= data.length, "gzip trailer truncated")
+    val t = p + consumed
+    def le32(i: Int): Long =
+      (data(i) & 0xffL) | ((data(i + 1) & 0xffL) << 8) |
+        ((data(i + 2) & 0xffL) << 16) | ((data(i + 3) & 0xffL) << 24)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    require(crc.getValue == le32(t), "gzip member CRC32 mismatch")
+    require((body.length & 0xffffffffL) == le32(t + 4), "gzip ISIZE mismatch")
+    (body, tEnd)
+  }
+
+  /** Parse one WARC/1.0 record from a member's inflated bytes. */
+  private def parseRecord(rec: Array[Byte]): WarcRecord = {
+    // header block ends at the first \r\n\r\n
+    var he = -1
+    var i = 0
+    while (he < 0 && i + 3 < rec.length) {
+      if (rec(i) == '\r' && rec(i + 1) == '\n' &&
+        rec(i + 2) == '\r' && rec(i + 3) == '\n') he = i
+      i += 1
+    }
+    require(he >= 0, "no header terminator")
+    val head = new String(rec, 0, he, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    require(lines.head.startsWith("WARC/"), s"bad version line: ${lines.head}")
+    val hdrs = lines.tail.map { l =>
+      val c = l.indexOf(':')
+      require(c > 0, s"bad header line: $l")
+      l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+    }.toMap
+    val len = hdrs.getOrElse("content-length",
+      sys.error("missing Content-Length")).toInt
+    val start = he + 4
+    require(start + len + 4 <= rec.length, "payload truncated")
+    require(rec(start + len) == '\r' && rec(start + len + 1) == '\n' &&
+      rec(start + len + 2) == '\r' && rec(start + len + 3) == '\n',
+      "missing record trailer")
+    WarcRecord(
+      hdrs.getOrElse("warc-type", ""),
+      hdrs.getOrElse("warc-record-id", ""),
+      hdrs.getOrElse("warc-target-uri", ""),
+      java.util.Arrays.copyOfRange(rec, start, start + len))
+  }
+
+  /** Decode a `.warc.gz` blob to its records; None on ANY malformed
+    * member or frame (CRC, ISIZE, framing, truncation). */
+  def decodeWarcGz(payload: Array[Byte]): Option[Seq[WarcRecord]] =
+    try {
+      val out = Seq.newBuilder[WarcRecord]
+      var off = 0
+      while (off < payload.length) {
+        val (body, next) = inflateMember(payload, off)
+        out += parseRecord(body)
+        off = next
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+
+  /** Explode a (id, warc payload) table into one row per RESPONSE
+    * record with the extracted text — the corpus-entry operator. The
+    * UDF returns all records' (type, uri, text, bytes); the response
+    * filter and projections stay native columns so Catalyst prunes
+    * what a given query doesn't use. */
+  def extractResponses(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val dec = udf((p: Array[Byte]) =>
+      decodeWarcGz(p).map(_.map(r => (r.recordType, r.targetUri,
+        new String(r.payload, "UTF-8"), r.payload.length))))
+    df.withColumn("__recs", dec(col(payloadCol)))
+      .select(col(idCol), explode(col("__recs")).as("r"))
+      .select(col(idCol),
+        col("r._1").as("record_type"),
+        col("r._2").as("target_uri"),
+        col("r._3").as("content"),
+        col("r._4").as("content_bytes"))
+  }
+}

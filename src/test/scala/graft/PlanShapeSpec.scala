@@ -275,6 +275,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian stage in: $plan")
   }
 
+  test("lm_score: the corpus stream crosses at most 3 hash exchanges") {
+    // the r10 reshape's contract: one count shuffle builds the bigram
+    // table, c1 is derived VOCABULARY-side from it, and the stream makes
+    // exactly one scoring join + one per-doc aggregate. The naive plan
+    // (stream counted twice, joined twice) shows 5+ corpus-scale
+    // exchanges. Count the exchanges whose input cardinality is
+    // corpus-shaped: those partitioned by doc_id or by the raw gram
+    // stream. Model-side (vocab-sized) exchanges are fine.
+    val docs = Tables.read(spark, dir, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+    val plan = operators.LmFilter.scoreCorpus(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // 1 count + 1 score-join (stream side) + 1 per-doc agg on the
+    // corpus; + up to 2 small model-side exchanges (c12 regroup, c1)
+    assert(exchanges <= 5, s"lm_score plan has $exchanges hash exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("adaptive length gate broadcasts the cutoffs — one scan, no sort") {
     val docs = Tables.read(spark, dir, "documents").select(col("lang"), col("n_chars"))
     val plan = operators.Sketches.lengthFilterAdaptive(docs, "lang", "n_chars",
