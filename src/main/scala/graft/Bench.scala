@@ -68,6 +68,7 @@ object Bench {
     "bpe_train",                                          // tokenizer fit (10 merge rounds)
     "bpe_train_local",                                    // driver-loop trainer, same 10 merges
     "audio_flac",                                         // FLAC encode->decode->stats round-trip
+    "warc_ingest",                                        // .warc.gz member walk + framing parse
     "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
@@ -124,9 +125,14 @@ object Bench {
     // image_neardup likewise: its first run pays ImageIO's one-time
     // plugin/scanner initialization plus the PNG codec JIT (r9 measured
     // spread 3.4 on a 1.3 s min with the warmup absent)
+    // lm_score likewise (r9/r10's noisiest row, spread 2.1 then 1.6 on a
+    // ~1.2 s min): isolated QueryProbe runs show the plan is steady
+    // (1.25-1.5 s, GC <= 18 ms per run) but its FIRST execution pays
+    // ~7 s of one-time codegen for the explode+transform bigram shape
+    // nothing earlier in the suite compiles — warm it like rrf_fusion
     for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
                   "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion",
-                  "image_neardup"))
+                  "image_neardup", "lm_score"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 

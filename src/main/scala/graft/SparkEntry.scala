@@ -1291,6 +1291,42 @@ object SparkEntry {
       |      CAST(x * CAST(127.0 / maxabs AS REAL) AS REAL)::DOUBLE)), 0) AS INT) END)) AS code
       |FROM t""".stripMargin
 
+  /** Cold-tier compression, FULL oracle — `compress_cold_tier`
+    * (`neurondb--1.0.sql:3893`, `DataManagement.compressColdTier`):
+    * rows older than the cutoff get their vector quantized to an int8
+    * payload (the SAME banker's-rounding codec `quant_int8` proves in
+    * DuckDB), hot rows stay full-precision. The oracle re-derives the
+    * tier split from the closed-form age and the cold payloads'
+    * signed-byte sums element-by-element — a wrong cutoff comparison,
+    * codec drift, or a hot row quantized by mistake all break the
+    * hash. Age = vec_id mod 100 (closed form), cutoff 50. */
+  private def coldTierQ(s: SparkSession, dir: String): DataFrame = {
+    val byteSum = udf((b: Array[Byte]) =>
+      if (b == null) None else Some(b.map(_.toLong).sum))
+    val emb = Tables.read(s, dir, "embeddings")
+      .withColumn("age", (col("vec_id") % 100).cast("double"))
+    operators.DataManagement.compressColdTier(emb, "embedding", "age", cutoff = 50.0)
+      .select(col("vec_id"), col("tier"),
+        byteSum(col("cold_payload")).as("payload_sum"),
+        when(col("tier") === "hot", size(col("embedding")))
+          .cast("int").as("hot_dim"))
+  }
+
+  private val coldTierSql =
+    """WITH t AS (SELECT vec_id, embedding,
+      |    CAST(vec_id % 100 AS DOUBLE) AS age,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CASE WHEN age > 50.0 THEN 'cold' ELSE 'hot' END AS tier,
+      |  CASE WHEN age > 50.0 THEN CAST(list_sum(list_transform(embedding,
+      |    x -> CASE WHEN maxabs = 0 THEN 0 ELSE
+      |      CAST(roundbankers(greatest(-128.0, least(127.0,
+      |        CAST(x * CAST(127.0 / maxabs AS REAL) AS REAL)::DOUBLE)), 0) AS INT)
+      |    END)) AS BIGINT) END AS payload_sum,
+      |  CASE WHEN age <= 50.0 THEN CAST(len(embedding) AS INT) END AS hot_dim
+      |FROM t""".stripMargin
+
   /** chunk(doc, 128, 32): substring windows, stride 96. */
   private def chunkText(s: SparkSession, dir: String): DataFrame =
     operators.Rag.chunkDocuments(Tables.read(s, dir, "documents"), "doc_id", "text", 128, 32)
@@ -6896,6 +6932,7 @@ object SparkEntry {
     "quant_binary" -> (quantBinary(_, _)),
     "quant_ternary" -> (quantTernary(_, _)),
     "quant_int8" -> (quantInt8(_, _)),
+    "cold_tier" -> (coldTierQ(_, _)),
     "chunk_text" -> (chunkText(_, _)),
     "rag_query" -> (ragQuery(_, _)),
     "chunk_pool" -> (chunkPoolQ(_, _)),
@@ -7160,6 +7197,7 @@ object SparkEntry {
     "quant_binary" -> quantBinarySql,
     "quant_ternary" -> quantTernarySql,
     "quant_int8" -> quantInt8Sql,
+    "cold_tier" -> coldTierSql,
     "chunk_text" -> chunkTextSql,
     "rag_query" -> ragQuerySql,
     "chunk_pool" -> chunkPoolSql,
