@@ -4342,6 +4342,66 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** Y4M (YUV4MPEG2) video ingestion, FULL oracle — the uncompressed
+    * interchange rung of the video ladder (`operators/Y4m.scala`):
+    * closed-form 8×8 4:2:0 planar frames are encoded as a spec-shaped
+    * .y4m stream, decoded by the real reader (header token parse,
+    * FRAME marker walk, planar split), chroma-upsampled
+    * nearest-neighbor and converted with the 16-bit fixed-point BT.601
+    * kernel — every step integer, so the oracle replays the exact
+    * conversion (`>> 16` ≡ DuckDB `// 65536`, floor on negatives) and
+    * re-derives the Y/R/G/B channel sums; a wrong stride, plane order,
+    * chroma index, or rounding direction moves the sums. */
+  private def videoY4m(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      val nf = 2 + (docId % 3).toInt
+      val frames = (0 until nf).map { f =>
+        (Array.tabulate[Byte](64)(i => ((docId * 13 + f * 17 + i * 5) % 256).toByte),
+          Array.tabulate[Byte](16)(j => ((docId * 7 + f * 3 + j * 11) % 256).toByte),
+          Array.tabulate[Byte](16)(j => ((docId * 11 + f * 5 + j * 13) % 256).toByte))
+      }
+      operators.Y4m.encodeY4m(8, 8, frames)
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Y4m.decodeY4m(p).map { case (m, fs) =>
+        val (sy, sr, sg, sb) = operators.Y4m.rgbStats(m, fs)
+        (m.width, m.height, m.nFrames, m.fpsNum, sy, sr, sg, sb)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_frames"), col("st._4").as("fps_num"),
+        col("st._5").as("sum_y"), col("st._6").as("sum_r"),
+        col("st._7").as("sum_g"), col("st._8").as("sum_b"))
+  }
+
+  private val videoY4mSql =
+    """WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+      |grid AS (
+      |  SELECT f, i, ((i // 8) // 2) * 4 + ((i % 8) // 2) AS ci
+      |  FROM (SELECT unnest(range(0, 4)) AS f), (SELECT unnest(range(0, 64)) AS i)),
+      |px AS (
+      |  SELECT b.doc_id, b.nf,
+      |    (b.doc_id * 13 + g.f * 17 + g.i * 5) % 256 AS y,
+      |    (b.doc_id * 7 + g.f * 3 + g.ci * 11) % 256 AS u,
+      |    (b.doc_id * 11 + g.f * 5 + g.ci * 13) % 256 AS v
+      |  FROM base b JOIN grid g ON g.f < b.nf),
+      |rgb AS (
+      |  -- NB: DuckDB's // TRUNCATES toward zero; the fixed-point kernel's
+      |  -- >> 16 is a FLOOR shift, so the shift is spelled floor(x/65536)
+      |  SELECT doc_id, nf, y,
+      |    least(255, greatest(0, y + CAST(floor((91881 * (v - 128)) / 65536.0) AS BIGINT))) AS r,
+      |    least(255, greatest(0, y - CAST(floor((22554 * (u - 128) + 46802 * (v - 128)) / 65536.0) AS BIGINT))) AS g2,
+      |    least(255, greatest(0, y + CAST(floor((116130 * (u - 128)) / 65536.0) AS BIGINT))) AS b
+      |  FROM px)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(max(nf) AS INT) AS n_frames, CAST(25 AS INT) AS fps_num,
+      |  CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
+      |FROM rgb GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -7012,6 +7072,7 @@ object SparkEntry {
     "audio_samples" -> (audioSamples(_, _)),
     "audio_flac" -> (audioFlac(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
+    "video_y4m" -> (videoY4m(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "audio_adpcm" -> (audioAdpcm(_, _)),
@@ -7284,6 +7345,7 @@ object SparkEntry {
     "audio_samples" -> audioSamplesSql,
     "audio_flac" -> audioFlacSql,
     "warc_ingest" -> warcIngestSql,
+    "video_y4m" -> videoY4mSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "audio_adpcm" -> audioAdpcmSql,

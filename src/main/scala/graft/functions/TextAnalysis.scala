@@ -335,5 +335,13 @@ object TextAnalysis {
         }
         z
       }))
+    // media codecs as SQL names (r10): decode-side stats for .warc.gz
+    // and FLAC payloads, so a pure-SQL user can gate/inspect media
+    // columns without leaving spark.sql
+    spark.udf.register("warc_record_count",
+      udf((p: Array[Byte]) => graft.operators.Warc.decodeWarcGz(p).map(_.length)))
+    spark.udf.register("flac_n_samples",
+      udf((p: Array[Byte]) =>
+        graft.operators.Flac.decodeFlac(p).map(_._1.totalSamples)))
   }
 }

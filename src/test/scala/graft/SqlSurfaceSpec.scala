@@ -69,6 +69,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("nStop") == 2) // 'the', 'and'
   }
 
+  test("media codec stats by SQL name") {
+    import spark.implicits._
+    val warc = graft.operators.Warc.encodeWarcGz(Seq(
+      graft.operators.Warc.WarcRecord("response", "<urn:uuid:s1>",
+        "http://s.invalid", "hi".getBytes("UTF-8"))))
+    val flac = graft.operators.Flac.encodeFlac(
+      Array.tabulate[Short](100)(i => (i * 7).toShort), 8000, 1)
+    Seq((warc, flac)).toDF("w", "f").createOrReplaceTempView("media_v")
+    val r = spark.sql(
+      "SELECT warc_record_count(w) AS n, flac_n_samples(f) AS s FROM media_v").head()
+    assert(r.getInt(0) == 1 && r.getLong(1) == 100L)
+  }
+
   test("dedup / layout primitives by SQL name") {
     val r = spark.sql(
       """SELECT simhash64('the quick brown fox') AS sh,
