@@ -69,6 +69,7 @@ object Bench {
     "bpe_train_local",                                    // driver-loop trainer, same 10 merges
     "audio_flac",                                         // FLAC encode->decode->stats round-trip
     "warc_ingest",                                        // .warc.gz member walk + framing parse
+    "video_y4m",                                          // Y4M planar decode + BT.601 conversion
     "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
@@ -96,15 +97,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.localMeasurement(cpus)
 
     val calibBefore = calibrate()
 

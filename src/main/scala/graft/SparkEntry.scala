@@ -4428,7 +4428,7 @@ object SparkEntry {
     val archives = Tables.read(s, dir, "documents")
       .select(col("doc_id"),
         mk(col("doc_id"), col("text"), col("lang")).as("payload"))
-    operators.Warc.extractResponses(archives, "doc_id", "payload")
+    operators.Warc.extractRecords(archives, "doc_id", "payload")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_records"),
         sum(col("content_bytes")).cast("long").as("total_bytes"),

@@ -340,8 +340,16 @@ object TextAnalysis {
     // columns without leaving spark.sql
     spark.udf.register("warc_record_count",
       udf((p: Array[Byte]) => graft.operators.Warc.decodeWarcGz(p).map(_.length)))
-    spark.udf.register("flac_n_samples",
+    // n.b. named *frames* deliberately: FLAC's totalSamples counts
+    // inter-channel frames; the repo's audio_n_samples convention is the
+    // INTERLEAVED count (frames × channels), registered alongside
+    spark.udf.register("flac_n_frames",
       udf((p: Array[Byte]) =>
         graft.operators.Flac.decodeFlac(p).map(_._1.totalSamples)))
+    spark.udf.register("flac_n_samples",
+      udf((p: Array[Byte]) =>
+        graft.operators.Flac.decodeFlac(p).map { case (m, _) =>
+          m.totalSamples * m.channels
+        }))
   }
 }

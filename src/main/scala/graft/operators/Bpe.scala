@@ -129,7 +129,10 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     require(minFreq >= 1, s"minFreq must be positive: $minFreq")
     val spark = docs.sparkSession
+    // materialize the compacted word table once: the guard count and the
+    // collect would otherwise EACH replay the corpus tokenize+shuffle
     val wt = wordTable(docs, textCol).filter(col("freq") >= minFreq)
+      .localCheckpoint(true)
     val n = wt.count()
     require(n <= maxVocabRows,
       s"vocabulary has $n rows > maxVocabRows=$maxVocabRows; raise minFreq " +

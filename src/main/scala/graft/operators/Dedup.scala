@@ -754,10 +754,15 @@ object Dedup {
     require(maxClusterSize >= 2, s"maxClusterSize must be >= 2: $maxClusterSize")
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val c = centroids.select(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec"))
+    // materialize the (id, cluster) assignment ONCE: the guard count,
+    // the pair join, and the final keeper join all read it, and without
+    // the checkpoint each action would re-execute the corpus×centroid
+    // argmin scan from lineage (the dominant cost) — three times
     val assigned = e.crossJoin(broadcast(c))
       .withColumn("cd", Knn.distCol("cosine")(col("vec"), col("cvec")))
       .groupBy("id").agg(min(struct(col("cd"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cluster"))
+      .localCheckpoint(true)
     val clustered = e.join(assigned, "id")
     val oversized = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxClusterSize).collect()

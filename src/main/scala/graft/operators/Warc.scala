@@ -160,13 +160,13 @@ object Warc {
       Some(out.result())
     } catch { case _: Exception => None }
 
-  /** Explode a (id, warc payload) table into one row per RESPONSE
-    * record with the extracted text — the corpus-entry operator. The
-    * UDF returns all records' (type, uri, text, bytes); the response
-    * filter and projections stay native columns so Catalyst prunes
-    * what a given query doesn't use. */
-  def extractResponses(df: DataFrame, idCol: String,
-                       payloadCol: String): DataFrame = {
+  /** Explode a (id, warc payload) table into one row per record
+    * (request / response / metadata alike) with the extracted text.
+    * The UDF returns (type, uri, text, bytes) per record; filters and
+    * projections stay native columns so Catalyst prunes what a given
+    * query doesn't use. */
+  def extractRecords(df: DataFrame, idCol: String,
+                     payloadCol: String): DataFrame = {
     val dec = udf((p: Array[Byte]) =>
       decodeWarcGz(p).map(_.map(r => (r.recordType, r.targetUri,
         new String(r.payload, "UTF-8"), r.payload.length))))
@@ -178,4 +178,12 @@ object Warc {
         col("r._3").as("content"),
         col("r._4").as("content_bytes"))
   }
+
+  /** The corpus-entry projection: [[extractRecords]] filtered to the
+    * `response` records only — what actually becomes training text
+    * (request lines and crawler metadata are NOT corpus content). */
+  def extractResponses(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame =
+    extractRecords(df, idCol, payloadCol)
+      .filter(col("record_type") === "response")
 }

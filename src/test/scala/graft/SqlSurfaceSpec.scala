@@ -74,12 +74,15 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val warc = graft.operators.Warc.encodeWarcGz(Seq(
       graft.operators.Warc.WarcRecord("response", "<urn:uuid:s1>",
         "http://s.invalid", "hi".getBytes("UTF-8"))))
+    // STEREO payload: pins flac_n_frames (per-channel) vs flac_n_samples
+    // (interleaved, the repo's audio_n_samples convention) apart
     val flac = graft.operators.Flac.encodeFlac(
-      Array.tabulate[Short](100)(i => (i * 7).toShort), 8000, 1)
+      Array.tabulate[Short](200)(i => (i * 7).toShort), 8000, 2)
     Seq((warc, flac)).toDF("w", "f").createOrReplaceTempView("media_v")
     val r = spark.sql(
-      "SELECT warc_record_count(w) AS n, flac_n_samples(f) AS s FROM media_v").head()
-    assert(r.getInt(0) == 1 && r.getLong(1) == 100L)
+      """SELECT warc_record_count(w) AS n, flac_n_frames(f) AS fr,
+        |       flac_n_samples(f) AS s FROM media_v""".stripMargin).head()
+    assert(r.getInt(0) == 1 && r.getLong(1) == 100L && r.getLong(2) == 200L)
   }
 
   test("dedup / layout primitives by SQL name") {
