@@ -4342,6 +4342,48 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** WebDataset tar-shard ingestion, FULL oracle — the multimodal
+    * training-sample container (`operators/WebDataset.scala`): per doc
+    * a ustar shard holding two samples (`s1.txt` + `s1.cls`,
+    * `s2.txt`) is encoded with real ustar headers (octal sizes,
+    * verified checksums, 512-byte blocking) and decoded by the real
+    * reader; members regroup into samples by the before-first-dot key
+    * (the WebDataset rule). The oracle re-derives member/sample
+    * counts and byte totals from the documents columns — a wrong
+    * octal parse, block stride, or checksum pass breaks it. */
+  private def wdsIngest(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long, text: String, lang: String, nChars: Long) => {
+      val t = if (text == null) "" else text
+      operators.WebDataset.encodeTar(Seq(
+        operators.WebDataset.TarEntry("s1.txt", t.getBytes("UTF-8")),
+        operators.WebDataset.TarEntry("s1.cls", lang.getBytes("UTF-8")),
+        operators.WebDataset.TarEntry("s2.txt",
+          s"doc $docId has $nChars chars".getBytes("UTF-8"))))
+    })
+    val shards = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id"), col("text"), col("lang"),
+        col("n_chars")).as("payload"))
+    operators.WebDataset.extractSamples(shards, "doc_id", "payload")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("sample_key")).as("n_samples"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        sum(when(col("field") === "txt", col("n_bytes")))
+          .cast("long").as("txt_bytes"))
+  }
+
+  private val wdsIngestSql =
+    """SELECT doc_id,
+      |  CAST(3 AS BIGINT) AS n_members,
+      |  CAST(2 AS BIGINT) AS n_samples,
+      |  CAST(strlen(text) + strlen(lang)
+      |       + strlen('doc ' || doc_id || ' has ' || n_chars || ' chars')
+      |       AS BIGINT) AS total_bytes,
+      |  CAST(strlen(text)
+      |       + strlen('doc ' || doc_id || ' has ' || n_chars || ' chars')
+      |       AS BIGINT) AS txt_bytes
+      |FROM documents""".stripMargin
+
   /** Y4M (YUV4MPEG2) video ingestion, FULL oracle — the uncompressed
     * interchange rung of the video ladder (`operators/Y4m.scala`):
     * closed-form 8×8 4:2:0 planar frames are encoded as a spec-shaped
@@ -7073,6 +7115,7 @@ object SparkEntry {
     "audio_flac" -> (audioFlac(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
+    "wds_ingest" -> (wdsIngest(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "audio_adpcm" -> (audioAdpcm(_, _)),
@@ -7346,6 +7389,7 @@ object SparkEntry {
     "audio_flac" -> audioFlacSql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
+    "wds_ingest" -> wdsIngestSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "audio_adpcm" -> audioAdpcmSql,
