@@ -27,7 +27,7 @@ object Flac {
 
   // ---------------------------------------------------------------- bit IO
 
-  private final class BitWriter {
+  private[operators] final class BitWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private var acc = 0L
     private var n = 0
@@ -47,7 +47,7 @@ object Flac {
     def size: Int = buf.length
   }
 
-  private final class BitReader(data: Array[Byte]) {
+  private[operators] final class BitReader(data: Array[Byte]) {
     var bitPos: Long = 0L
     def bytePos: Int = (bitPos >> 3).toInt
     def atEnd: Boolean = bitPos >= data.length.toLong * 8
@@ -195,7 +195,7 @@ object Flac {
 
   /** Write one residual partition: 4-bit param or 0b1111 escape + 5-bit
     * raw width. Escapes when the rice param would need to exceed 14. */
-  private def writeRicePartition(w: BitWriter, res: Array[Long],
+  private[operators] def writeRicePartition(w: BitWriter, res: Array[Long],
                                  from: Int, until: Int): Unit = {
     val p = bestRiceParam(res, from, until)
     // escape if any quotient would be absurd (raw coding is cheaper)
@@ -224,7 +224,7 @@ object Flac {
     }
   }
 
-  private def readRicePartition(r: BitReader, out: Array[Long],
+  private[operators] def readRicePartition(r: BitReader, out: Array[Long],
                                 from: Int, until: Int): Unit = {
     val p = r.readBits(4).toInt
     if (p == 0xf) {
@@ -305,7 +305,7 @@ object Flac {
   private val LpcShift = 1
   private val LpcPrecision = 3
 
-  private def writeSubframe(w: BitWriter, x: Array[Long], bps: Int,
+  private[operators] def writeSubframe(w: BitWriter, x: Array[Long], bps: Int,
                             kind: Int, partOrder: Int): Unit = {
     val n = x.length
     kind match {
@@ -357,7 +357,7 @@ object Flac {
     }
   }
 
-  private def readSubframe(r: BitReader, n: Int, bps: Int): Array[Long] = {
+  private[operators] def readSubframe(r: BitReader, n: Int, bps: Int): Array[Long] = {
     val pad = r.readBits(1)
     require(pad == 0, "subframe padding bit set")
     val typ = r.readBits(6).toInt
@@ -413,7 +413,9 @@ object Flac {
     require(channels >= 1 && channels <= 8, s"channels: $channels")
     require(blockSize >= 8 && blockSize <= 65535, s"blockSize: $blockSize")
     require(samples.length % channels == 0, "ragged interleave")
-    require(stereo == "independent" || (stereo == "midside" && channels == 2),
+    val stereoModes = Set("independent", "midside", "leftside", "rightside", "auto")
+    require(stereoModes(stereo), s"unknown stereo mode $stereo")
+    require(stereo == "independent" || channels == 2,
       s"stereo mode $stereo needs 2 channels")
     val bps = 16
     val frames = samples.length / channels
@@ -447,14 +449,54 @@ object Flac {
     var pos = 0
     while (pos < frames) {
       val n = math.min(blockSize, frames - pos)
+      // stereo decorrelation decision: build the candidate channel pair
+      // for this frame's mode — "auto" estimates each mode's cost (sum
+      // of |order-2 residual|, the standard encoder estimator) and picks
+      // the cheapest of independent / left-side / right-side / mid-side,
+      // exactly the per-frame decision real FLAC encoders make
+      val (chAssign, chData): (Int, Seq[(Array[Long], Int)]) =
+        if (channels == 2 && stereo != "independent") {
+          val left = new Array[Long](n)
+          val right = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            left(i) = samples((pos + i) * 2).toLong
+            right(i) = samples((pos + i) * 2 + 1).toLong
+            i += 1
+          }
+          val side = Array.tabulate(n)(j => left(j) - right(j))
+          val mid = Array.tabulate(n)(j => (left(j) + right(j)) >> 1)
+          def cost(x: Array[Long]): Long = {
+            var s = 0L
+            var j = 2
+            while (j < x.length) { s += math.abs(x(j) - 2 * x(j - 1) + x(j - 2)); j += 1 }
+            s
+          }
+          val mode = stereo match {
+            case "auto" =>
+              val cL = cost(left); val cR = cost(right); val cS = cost(side)
+              val cM = cost(mid)
+              Seq(("independent", cL + cR), ("leftside", cL + cS),
+                ("rightside", cS + cR), ("midside", cM + cS)).minBy(_._2)._1
+            case m => m
+          }
+          mode match {
+            case "independent" => (1, Seq((left, bps), (right, bps)))
+            case "leftside"    => (8, Seq((left, bps), (side, bps + 1)))
+            case "rightside"   => (9, Seq((side, bps + 1), (right, bps)))
+            case "midside"     => (10, Seq((mid, bps), (side, bps + 1)))
+          }
+        } else {
+          (channels - 1, (0 until channels).map { ch =>
+            (Array.tabulate(n)(j => samples((pos + j) * channels + ch).toLong), bps)
+          })
+        }
       val w = new BitWriter
       w.writeBits(0x3ffeL, 14) // sync
       w.writeBits(0L, 1) // reserved
       w.writeBits(0L, 1) // fixed blocksize stream
       w.writeBits(7L, 4) // blocksize: 16-bit value - 1 at header end
       w.writeBits(0L, 4) // sample rate: from STREAMINFO
-      val chAssign =
-        if (stereo == "midside") 10 else channels - 1
       w.writeBits(chAssign.toLong, 4)
       w.writeBits(4L, 3) // bps 16
       w.writeBits(0L, 1) // reserved
@@ -464,28 +506,8 @@ object Flac {
       val headerBytes = w.bytes
       val w2 = new BitWriter
       val partOrder = if (frameIdx % 2 == 1) 1 else 0
-      if (stereo == "midside") {
-        val mid = new Array[Long](n)
-        val side = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val l = samples((pos + i) * 2).toLong
-          val r = samples((pos + i) * 2 + 1).toLong
-          mid(i) = (l + r) >> 1
-          side(i) = l - r
-          i += 1
-        }
-        writeSubframe(w2, mid, bps, planSubframe(mid, frameIdx, 0), partOrder)
-        writeSubframe(w2, side, bps + 1, planSubframe(side, frameIdx, 1), partOrder)
-      } else {
-        var ch = 0
-        while (ch < channels) {
-          val x = new Array[Long](n)
-          var i = 0
-          while (i < n) { x(i) = samples((pos + i) * channels + ch).toLong; i += 1 }
-          writeSubframe(w2, x, bps, planSubframe(x, frameIdx, ch), partOrder)
-          ch += 1
-        }
+      chData.zipWithIndex.foreach { case ((x, chBps), ch) =>
+        writeSubframe(w2, x, chBps, planSubframe(x, frameIdx, ch), partOrder)
       }
       w2.alignByte()
       val bodyBytes = w2.bytes

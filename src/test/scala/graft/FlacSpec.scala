@@ -100,7 +100,11 @@ class FlacSpec extends AnyFunSuite {
       val ch = 1 + rnd.nextInt(2)
       val frames = 1 + rnd.nextInt(400)
       val bs = 8 + rnd.nextInt(120)
-      val stereo = if (ch == 2 && rnd.nextBoolean()) "midside" else "independent"
+      val stereo =
+        if (ch == 2)
+          Seq("independent", "midside", "leftside", "rightside",
+            "auto")(rnd.nextInt(5))
+        else "independent"
       val s = Array.fill[Short](frames * ch)((rnd.nextInt(65536) - 32768).toShort)
       roundTrip(s, 44100, ch, bs, stereo)
     }
