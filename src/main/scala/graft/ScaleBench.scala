@@ -323,6 +323,24 @@ object ScaleBench {
       val (nPr, tPr) = time(operators.GraphAnalytics.pagerankInt(ring, 3).count())
       add("graph_pagerank", nPr, tPr)
 
+      // Media-codec ingest scan (r10 families): per-row WARC .warc.gz
+      // encode→decode→extract over the expanded corpus — the shape all
+      // four new codecs share (stateless map, no shuffle). Should be
+      // scan-bound flat like text_quality_scan; if this curve bends, a
+      // codec is secretly quadratic in payload or the scan lost its
+      // parallelism.
+      val (nWm, tWarc) = time {
+        val mkW = udf((id: Long, text: String) => operators.Warc.encodeWarcGz(Seq(
+          operators.Warc.WarcRecord("response", s"<urn:uuid:$id>",
+            s"http://crawl.invalid/$id",
+            (if (text == null) "" else text).getBytes("UTF-8")))))
+        val shards = docs.select(col("doc_id"), mkW(col("doc_id"), col("text")).as("payload"))
+        operators.Warc.extractResponses(shards, "doc_id", "payload")
+          .agg(sum(col("content_bytes"))).head().getLong(0)
+      }
+      add("warc_codec_scan", docs.count(), tWarc,
+        Seq(("content_bytes", nWm.toDouble)))
+
       // Rank-derived shard layout: the DistributedRank writer face —
       // quantile bucketing + per-bucket windows + tiny prefix offsets.
       // Cost should track the two key scans; there is no single-task

@@ -4510,7 +4510,9 @@ object SparkEntry {
       val frames = 40 + (nChars % 120).toInt
       val blockSize = 16 + 16 * (docId % 3).toInt
       val stereo =
-        if (channels == 2 && docId % 4 < 2) "midside" else "independent"
+        if (channels == 2 && docId % 4 < 2) "midside"
+        else if (channels == 2) "auto" // per-frame decorrelation decision
+        else "independent"
       val samples = new Array[Short](frames * channels)
       var i = 0
       while (i < samples.length) {

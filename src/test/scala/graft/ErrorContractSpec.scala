@@ -39,6 +39,40 @@ class ErrorContractSpec extends SparkSpecBase {
       graft.operators.Dedup.lshPlan(spark, numHashes = 64, targetJaccard = 1.0))
   }
 
+  test("r10 codecs reject bad dials loudly") {
+    val pcm = Array.tabulate[Short](64)(_.toShort)
+    intercept[IllegalArgumentException](
+      graft.operators.Flac.encodeFlac(pcm, 44100, channels = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Flac.encodeFlac(pcm, 44100, 1, blockSize = 4))
+    intercept[IllegalArgumentException]( // stereo mode on mono
+      graft.operators.Flac.encodeFlac(pcm, 44100, 1, 64, "midside"))
+    intercept[IllegalArgumentException](
+      graft.operators.Flac.encodeFlac(pcm, 44100, 1, 64, "bogus"))
+    intercept[IllegalArgumentException]( // ragged interleave
+      graft.operators.Flac.encodeFlac(Array.tabulate[Short](63)(_.toShort), 44100, 2))
+    intercept[IllegalArgumentException]( // 4:2:0 needs even dims
+      graft.operators.Y4m.encodeY4m(7, 8, Seq.empty))
+    intercept[IllegalArgumentException]( // wrong plane sizes
+      graft.operators.Y4m.encodeY4m(8, 8, Seq((new Array[Byte](64),
+        new Array[Byte](15), new Array[Byte](16)))))
+    intercept[IllegalArgumentException]( // ustar name limit
+      graft.operators.WebDataset.encodeTar(Seq(
+        graft.operators.WebDataset.TarEntry("x" * 101, Array.emptyByteArray))))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.semDedup(
+        Seq((1L, Array(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        Seq((1L, Array(1.0f))).toDF("cid", "cvec"), "cid", "cvec",
+        0.1, maxClusterSize = 1L))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.semDedup(
+        Seq((1L, Array(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        Seq((1L, Array(1.0f))).toDF("cid", "cvec"), "cid", "cvec",
+        0.1, onOversize = "panic"))
+  }
+
   test("phash/vgraph reject malformed inputs") {
     intercept[IllegalArgumentException](
       graft.operators.Multimodal.phash15(Array.fill(63)(0)))
