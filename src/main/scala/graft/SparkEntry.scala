@@ -4342,6 +4342,98 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** Per-value vgraph analytics, FULL oracle — the reference's
+    * `vgraph_pagerank` / `vgraph_community_detection` over the vgraph
+    * TYPE (small in-cell graphs, not a distributed edge table): per
+    * doc a closed-form ring-plus-chord graph is rendered as vgraph
+    * TEXT, parsed by the real parser, and run through 3 rounds of
+    * integer fixed-point PageRank (scale 10⁶, damping 85/100, all
+    * divisions integer and non-negative so floor ≡ truncate on both
+    * engines) and 3 rounds of min-label community propagation. The
+    * oracle rebuilds the same adjacency in SQL and replays both
+    * iterations round-for-round — rank sums, extrema, and community
+    * structure are exact, not approximate. */
+  private def vgraphAnalyticsQ(s: SparkSession, dir: String): DataFrame = {
+    val gUdf = udf((docId: Long) => {
+      val n = 5 + (docId % 3).toInt
+      val edges = (0 until n).map(i => s"[$i,${(i + 1) % n}]") :+ "[0,2]"
+      s"{nodes:$n, edges:[${edges.mkString(",")}]}"
+    })
+    val statsUdf = udf((txt: String) => {
+      val g = functions.VectorParsers.parseVGraph(txt)
+      val r = functions.VectorParsers.vgraphPagerankInt(g, iters = 3)
+      val c = functions.VectorParsers.vgraphCommunities(g, iters = 3)
+      (g.nodes, r.sum, r.min, r.max,
+        c.distinct.length.toLong, c.map(_.toLong).sum)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), gUdf(col("doc_id")).as("gtxt"))
+      .select(col("doc_id"), statsUdf(col("gtxt")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_nodes"),
+        col("st._2").as("rank_sum"), col("st._3").as("rank_min"),
+        col("st._4").as("rank_max"),
+        col("st._5").as("n_comm"), col("st._6").as("comm_sum"))
+  }
+
+  private val vgraphAnalyticsSql = {
+    // one pagerank round: contrib = r // deg, joined over adjacency
+    def prRound(prev: String, out: String): String =
+      s"""c$out AS MATERIALIZED (
+         |  SELECT r.doc_id, r.v, r.r // d.d AS c
+         |  FROM $prev r JOIN deg d ON d.doc_id = r.doc_id AND d.v = r.v),
+         |$out AS MATERIALIZED (
+         |  SELECT nd.doc_id, nd.n, nd.v,
+         |    (15 * (1000000 // nd.n) + 85 * COALESCE(sum(c.c), 0)) // 100 AS r
+         |  FROM nodes nd
+         |  LEFT JOIN adj a ON a.doc_id = nd.doc_id AND a.a = nd.v
+         |  LEFT JOIN c$out c ON c.doc_id = a.doc_id AND c.v = a.b
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    def lblRound(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT nd.doc_id, nd.v,
+         |    least(p.c, COALESCE(min(q.c), p.c)) AS c
+         |  FROM nodes nd
+         |  JOIN $prev p ON p.doc_id = nd.doc_id AND p.v = nd.v
+         |  LEFT JOIN adj a ON a.doc_id = nd.doc_id AND a.a = nd.v
+         |  LEFT JOIN $prev q ON q.doc_id = a.doc_id AND q.v = a.b
+         |  GROUP BY 1, 2, p.c)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, 5 + doc_id % 3 AS n FROM documents),
+       |nodes AS MATERIALIZED (
+       |  SELECT doc_id, n, i AS v
+       |  FROM base, (SELECT unnest(range(0, 7)) AS i) WHERE i < n),
+       |e0 AS (
+       |  SELECT doc_id, v AS a, (v + 1) % n AS b FROM nodes
+       |  UNION ALL
+       |  SELECT doc_id, 0, 2 FROM base),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, a, b FROM (
+       |    SELECT doc_id, a, b FROM e0
+       |    UNION ALL
+       |    SELECT doc_id, b, a FROM e0)
+       |  WHERE a <> b),
+       |deg AS MATERIALIZED (
+       |  SELECT doc_id, a AS v, count(*) AS d FROM adj GROUP BY 1, 2),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, n, v, 1000000 // n AS r FROM nodes),
+       |${prRound("r0", "r1")},
+       |${prRound("r1", "r2")},
+       |${prRound("r2", "r3")},
+       |l0 AS MATERIALIZED (SELECT doc_id, v, v AS c FROM nodes),
+       |${lblRound("l0", "l1")},
+       |${lblRound("l1", "l2")},
+       |${lblRound("l2", "l3")}
+       |SELECT r3.doc_id,
+       |  CAST(max(r3.n) AS INT) AS n_nodes,
+       |  CAST(sum(r3.r) AS BIGINT) AS rank_sum,
+       |  CAST(min(r3.r) AS BIGINT) AS rank_min,
+       |  CAST(max(r3.r) AS BIGINT) AS rank_max,
+       |  CAST(count(DISTINCT l3.c) AS BIGINT) AS n_comm,
+       |  CAST(sum(l3.c) AS BIGINT) AS comm_sum
+       |FROM r3 JOIN l3 ON l3.doc_id = r3.doc_id AND l3.v = r3.v
+       |GROUP BY 1""".stripMargin
+  }
+
   /** WebDataset tar-shard ingestion, FULL oracle — the multimodal
     * training-sample container (`operators/WebDataset.scala`): per doc
     * a ustar shard holding two samples (`s1.txt` + `s1.cls`,
@@ -7118,6 +7210,7 @@ object SparkEntry {
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
+    "vgraph_analytics" -> (vgraphAnalyticsQ(_, _)),
     "audio_resample" -> (audioResample(_, _)),
     "audio_g711" -> (audioG711(_, _)),
     "audio_adpcm" -> (audioAdpcm(_, _)),
@@ -7392,6 +7485,7 @@ object SparkEntry {
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
     "wds_ingest" -> wdsIngestSql,
+    "vgraph_analytics" -> vgraphAnalyticsSql,
     "audio_resample" -> audioResampleSql,
     "audio_g711" -> audioG711Sql,
     "audio_adpcm" -> audioAdpcmSql,

@@ -173,6 +173,62 @@ object VectorParsers {
     out.toSeq
   }
 
+  /** Per-value PageRank over the `vgraph` TYPE — the reference's
+    * `vgraph_pagerank` (distributed analog:
+    * [[graft.operators.GraphAnalytics.pagerankInt]]). Integer
+    * fixed-point so the oracle replays it exactly: ranks scaled by
+    * `scale`, damping 85/100 as rational arithmetic, every division
+    * integer (non-negative throughout, so floor ≡ truncate on both
+    * engines): r₀ = scale/n; contrib(u) = r(u)/deg(u);
+    * r'(v) = (15·(scale/n) + 85·Σ_{u∈N(v)} contrib(u)) / 100.
+    * Degree-0 nodes contribute nothing (dangling mass dropped —
+    * stated, not hidden). */
+  def vgraphPagerankInt(g: VGraph, iters: Int,
+                        scale: Long = 1000000L): Array[Long] = {
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    require(g.nodes > 0, "pagerank needs a non-empty graph")
+    val adj = adjacency(g)
+    val base = scale / g.nodes
+    var r = Array.fill(g.nodes)(base)
+    var it = 0
+    while (it < iters) {
+      val contrib = Array.tabulate(g.nodes)(v =>
+        if (adj(v).nonEmpty) r(v) / adj(v).length else 0L)
+      r = Array.tabulate(g.nodes) { v =>
+        var s = 0L
+        adj(v).foreach(u => s += contrib(u))
+        (15L * base + 85L * s) / 100L
+      }
+      it += 1
+    }
+    r
+  }
+
+  /** Per-value community detection over the `vgraph` TYPE — the
+    * reference's `vgraph_community_detection`, here as the
+    * DETERMINISTIC min-label propagation variant (the same convention
+    * as the distributed `Dedup.dupGroups` closure): labels start as
+    * node ids, each synchronized round takes the min over self +
+    * neighbors; after enough rounds labels equal the connected
+    * component's min id, and at any fixed round count the result is
+    * replayable in SQL (frequency-based label prop is tie-broken by
+    * engine iteration order — not oracle-able). */
+  def vgraphCommunities(g: VGraph, iters: Int): Array[Int] = {
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    val adj = adjacency(g)
+    var c = Array.tabulate(g.nodes)(identity)
+    var it = 0
+    while (it < iters) {
+      c = Array.tabulate(g.nodes) { v =>
+        var m = c(v)
+        adj(v).foreach(u => if (c(u) < m) m = c(u))
+        m
+      }
+      it += 1
+    }
+    c
+  }
+
   private def adjacency(g: VGraph): Array[Array[Int]] = {
     val b = Array.fill(g.nodes)(scala.collection.mutable.SortedSet.empty[Int])
     g.edges.foreach { case (a, c) => if (a != c) { b(a) += c; b(c) += a } }

@@ -96,6 +96,31 @@ class VectorAggregatesSpec extends SparkSpecBase {
     }
   }
 
+  test("vgraph_pagerank: hand-checked fixed-point rounds on a 3-path") {
+    // path 0-1-2: deg = 1,2,1; scale 1000, base = 333
+    val g = P.parseVGraph("{nodes:3, edges:[[0,1],[1,2]]}")
+    // round 1: contrib = 333/1, 333/2=166, 333/1
+    // r'(0) = (15*333 + 85*166)/100 = (4995+14110)/100 = 191
+    // r'(1) = (4995 + 85*666)/100 = (4995+56610)/100 = 616
+    // r'(2) = 191
+    assert(P.vgraphPagerankInt(g, 1, scale = 1000L).toSeq == Seq(191L, 616L, 191L))
+    // zero iters is the uniform start
+    assert(P.vgraphPagerankInt(g, 0, scale = 1000L).toSeq == Seq(333L, 333L, 333L))
+    // rank mass stays bounded by scale across rounds
+    val r5 = P.vgraphPagerankInt(g, 5)
+    assert(r5.sum <= 1000000L && r5.forall(_ > 0))
+  }
+
+  test("vgraph_community_detection: min labels spread one hop per round") {
+    // two components: 0-1-2 path and 3-4 edge; node 5 isolated
+    val g = P.parseVGraph("{nodes:6, edges:[[0,1],[1,2],[3,4]]}")
+    assert(P.vgraphCommunities(g, 0).toSeq == Seq(0, 1, 2, 3, 4, 5))
+    assert(P.vgraphCommunities(g, 1).toSeq == Seq(0, 0, 1, 3, 3, 5))
+    assert(P.vgraphCommunities(g, 2).toSeq == Seq(0, 0, 0, 3, 3, 5))
+    // converged: one label per component
+    assert(P.vgraphCommunities(g, 10).distinct.sorted.toSeq == Seq(0, 3, 5))
+  }
+
   test("parsers reject trailing commas, non-positive dims, out-of-vocab tokens") {
     intercept[IllegalArgumentException](P.parseVector("[1,2,]"))
     intercept[IllegalArgumentException](P.parseVecMap("{dim:0, indices:[], values:[]}"))
