@@ -69,6 +69,17 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("nStop") == 2) // 'the', 'and'
   }
 
+  test("vgraph functions by SQL name") {
+    val r = spark.sql(
+      """SELECT vgraph_bfs('{nodes:4, edges:[[0,1],[1,2],[0,3]]}', 0) AS b,
+        |       vgraph_pagerank('{nodes:3, edges:[[0,1],[1,2]]}', 1) AS p,
+        |       vgraph_community_detection('{nodes:4, edges:[[0,1],[2,3]]}', 2) AS c
+        |""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(0, 1, 3, 2))
+    assert(r.getSeq[Long](1) == Seq(191666L, 616666L, 191666L))
+    assert(r.getSeq[Int](2) == Seq(0, 0, 2, 2))
+  }
+
   test("media codec stats by SQL name") {
     import spark.implicits._
     val warc = graft.operators.Warc.encodeWarcGz(Seq(
