@@ -2714,6 +2714,31 @@ object SparkEntry {
       |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
       |FROM s GROUP BY 1""".stripMargin
 
+  /** Per-epoch training-order shuffle, FULL oracle — the "reshuffle the
+    * corpus every epoch" loader step (`operators/EpochShuffle.scala`):
+    * two epochs of a seeded splitmix64 permutation over `documents`,
+    * positions assigned by `DistributedRank` (quantile buckets +
+    * per-bucket windows — never a single-task global sort). The oracle
+    * replays the same hash through the shared [[mix64Ctes]] generator
+    * and a plain `row_number()`; the 53-bit key truncation keeps the
+    * rank branch's double bucketing exact, and doc-id tie-break makes
+    * the order total, so positions must match row-for-row. */
+  private def epochShuffleQ(s: SparkSession, dir: String): DataFrame =
+    operators.EpochShuffle.orders(
+      Tables.read(s, dir, "documents").select(col("doc_id")),
+      "doc_id", epochs = 2, seed = 42L)
+
+  private lazy val epochShuffleSql =
+    s"""WITH src AS (
+       |  SELECT doc_id, e.epoch
+       |  FROM documents, (SELECT unnest(range(0, 2)) AS epoch) e),
+       |${mix64Ctes("ep", "src", Seq("doc_id", "epoch"), "doc_id * 1000003 + epoch + 42")},
+       |k AS (SELECT doc_id, epoch, z // 2048 AS key FROM ep6)
+       |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id)
+       |       AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
   /** Semantically-contiguous shard layout, FULL oracle — the
     * in-context-pretraining idea (group related docs adjacently) at
     * shard granularity: order = (topic bucket, doc id) where the topic
@@ -4535,6 +4560,65 @@ object SparkEntry {
       |  CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(r) AS BIGINT) AS sum_r,
       |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
       |FROM rgb GROUP BY 1""".stripMargin
+
+  /** REAL GIF codec round-trip, FULL oracle — the entropy-coded +
+    * animated rung of the multimodal image ladder (`operators/
+    * Gif.scala`): per doc an animated 8×8 GIF89a (1–3 frames, 16-color
+    * global palette, per-frame delay, alternate frames stored
+    * INTERLACED) is encoded with real variable-width LZW, then decoded
+    * back by the real reader — bit-unpacking, dictionary rebuild,
+    * four-pass deinterlace. GIF is LOSSLESS, so the oracle re-derives
+    * every statistic from the closed-form pixel pattern; the
+    * raster-position-weighted `wsum` is row-order sensitive, so a
+    * missed or doubled deinterlace breaks the hash even though plain
+    * channel sums would not notice. */
+  private def imageGif(s: SparkSession, dir: String): DataFrame = {
+    val pal = Array.tabulate(16)(k =>
+      ((k * 17) % 256 << 16) | ((k * 29) % 256 << 8) | ((k * 43) % 256))
+    val mk = udf((docId: Long) => {
+      val nf = 1 + (docId % 3).toInt
+      val frames = (0 until nf).map { f =>
+        operators.Gif.GifFrame(
+          delayCs = 4 + f,
+          interlaced = (docId + f) % 2 == 0,
+          indices = Array.tabulate[Byte](64)(i =>
+            ((docId * 7 + f * 13 + i * 3) % 16).toByte))
+      }
+      operators.Gif.encodeGif(operators.Gif.GifImage(8, 8, pal, frames))
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Gif.decodeGif(p).map { img =>
+        val (nf, delay, sr, sg, sb, wsum) = operators.Gif.gifStats(img)
+        (img.width, img.height, nf, delay, sr, sg, sb, wsum)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_frames"), col("st._4").as("total_delay_cs"),
+        col("st._5").as("sum_r"), col("st._6").as("sum_g"),
+        col("st._7").as("sum_b"), col("st._8").as("wsum"))
+  }
+
+  private val imageGifSql =
+    """WITH base AS (SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents),
+      |grid AS (
+      |  SELECT f, i FROM (SELECT unnest(range(0, 3)) AS f),
+      |                   (SELECT unnest(range(0, 64)) AS i)),
+      |px AS (
+      |  SELECT b.doc_id, b.nf, g.i,
+      |    (b.doc_id * 7 + g.f * 13 + g.i * 3) % 16 AS idx
+      |  FROM base b JOIN grid g ON g.f < b.nf)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(max(nf) AS INT) AS n_frames,
+      |  -- per-frame delay is 4+f: sum over f < nf
+      |  CAST(4 * max(nf) + max(nf) * (max(nf) - 1) // 2 AS BIGINT) AS total_delay_cs,
+      |  CAST(sum((idx * 17) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((idx * 29) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((idx * 43) % 256) AS BIGINT) AS sum_b,
+      |  CAST(sum(i * idx) AS BIGINT) AS wsum
+      |FROM px GROUP BY 1""".stripMargin
 
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
@@ -7209,6 +7293,8 @@ object SparkEntry {
     "audio_flac" -> (audioFlac(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
+    "image_gif" -> (imageGif(_, _)),
+    "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
     "vgraph_analytics" -> (vgraphAnalyticsQ(_, _)),
     "audio_resample" -> (audioResample(_, _)),
@@ -7484,6 +7570,8 @@ object SparkEntry {
     "audio_flac" -> audioFlacSql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
+    "image_gif" -> imageGifSql,
+    "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
     "vgraph_analytics" -> vgraphAnalyticsSql,
     "audio_resample" -> audioResampleSql,
