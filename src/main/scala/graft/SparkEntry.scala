@@ -2828,6 +2828,21 @@ object SparkEntry {
     s.createDataFrame(merges)
   }
 
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation, FULL
+    * oracle — the second tokenizer family next to BPE (`operators/
+    * Unigram.scala`): each document's first 64 normalized chars are
+    * segmented by max-likelihood DP against the scored piece
+    * vocabulary; the packed integer DP value (1024·score − nTokens)
+    * makes (score, token count) tie-break-free, and the oracle replays
+    * the identical DP as 64 materialized sliding-window CTEs over the
+    * same vocabulary VALUES. Digits are absent from the vocab, so the
+    * UNK path is live in the data. */
+  private def unigramEncodeQ(s: SparkSession, dir: String): DataFrame =
+    operators.Unigram.segmentStats(
+      Tables.read(s, dir, "documents"), "doc_id", "text", maxChars = 64)
+
+  private lazy val unigramEncodeSql = operators.Unigram.oracleSql(64)
+
   /** BPE encode statistics, FULL oracle — the compression evidence of
     * the learned tokenizer: corpus token counts before/after the 10
     * merges and the final symbol-vocabulary size, re-derived by the
@@ -7265,6 +7280,7 @@ object SparkEntry {
     "bpe_train" -> (bpeTrainQ(_, _)),
     "bpe_train_local" -> (bpeTrainLocalQ(_, _)),
     "bpe_encode" -> (bpeEncodeQ(_, _)),
+    "unigram_encode" -> (unigramEncodeQ(_, _)),
     "bpe_fertility" -> (bpeFertilityQ(_, _)),
     "length_filter_adaptive" -> (lengthFilterQ(_, _)),
     "budget_feed" -> (budgetFeedQ(_, _)),
@@ -7527,6 +7543,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql,
     "bpe_train_local" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "unigram_encode" -> unigramEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "length_filter_adaptive" -> lengthFilterSql,
     "budget_feed" -> budgetFeedSql,
