@@ -67,6 +67,11 @@ object Bench {
     "hll_distinct",                                       // constant-state distinct sketch
     "bpe_train",                                          // tokenizer fit (10 merge rounds)
     "bpe_train_local",                                    // driver-loop trainer, same 10 merges
+    "unigram_encode",                                     // Viterbi segmentation scan (zero shuffle)
+    "epoch_shuffle",                                      // per-epoch rank-derived training order
+    // image_gif is deliberately NOT here: the headline already times four
+    // stateless codec scans (flac/warc/y4m/wds) and SCALE_BENCH's
+    // gif_codec_scan row carries the GIF cost curve
     "audio_flac",                                         // FLAC encode->decode->stats round-trip
     "warc_ingest",                                        // .warc.gz member walk + framing parse
     "video_y4m",                                          // Y4M planar decode + BT.601 conversion

@@ -341,6 +341,43 @@ object ScaleBench {
       add("warc_codec_scan", docs.count(), tWarc,
         Seq(("content_bytes", nWm.toDouble)))
 
+      // GIF codec ingest scan (r10): per-row animated-GIF LZW
+      // encode→decode→stats — the entropy-coded sibling of
+      // warc_codec_scan; same stateless-map contract, so the curve
+      // should stay scan-bound flat.
+      val (nGif, tGif) = time {
+        val pal = Array.tabulate(16)(k =>
+          ((k * 17) % 256 << 16) | ((k * 29) % 256 << 8) | ((k * 43) % 256))
+        val mkG = udf((id: Long) => operators.Gif.encodeGif(operators.Gif.GifImage(
+          8, 8, pal, (0 until 2).map(f => operators.Gif.GifFrame(f, f % 2 == 0,
+            Array.tabulate[Byte](64)(i => ((id * 7 + f * 13 + i * 3) % 16).toByte))))))
+        val wsumG = udf((p: Array[Byte]) =>
+          operators.Gif.decodeGif(p).map(operators.Gif.gifStats(_)._6).getOrElse(-1L))
+        docs.select(wsumG(mkG(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("gif_codec_scan", docs.count(), tGif,
+        Seq(("wsum_total", nGif.toDouble)))
+
+      // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
+      // with a broadcast-size vocab map — zero shuffle; flat per row.
+      val (nUni, tUni) = time(operators.Unigram.segmentStats(
+          docs, "doc_id", "text", maxChars = 64)
+        .agg(sum(col("score")), sum(col("n_tokens"))).head().getLong(1))
+      add("unigram_encode", docs.count(), tUni,
+        Seq(("tokens", nUni.toDouble)))
+
+      // Per-epoch shuffled order: DistributedRank over a splitmix64 key
+      // (quantiles + bucket windows + prefix offsets — no single-task
+      // sort). sum(pos) = n(n+1)/2 doubles as an exactness check.
+      val (posSum, tEp) = time(operators.EpochShuffle.order(
+          docs.select(col("doc_id")), "doc_id", epoch = 0, seed = 42L)
+        .agg(sum(col("pos"))).head().getLong(0))
+      val nDocsEp = docs.count()
+      require(posSum == nDocsEp * (nDocsEp + 1) / 2,
+        s"epoch_shuffle rank sum $posSum != ${nDocsEp * (nDocsEp + 1) / 2}")
+      add("epoch_shuffle", nDocsEp, tEp)
+
       // Rank-derived shard layout: the DistributedRank writer face —
       // quantile bucketing + per-bucket windows + tiny prefix offsets.
       // Cost should track the two key scans; there is no single-task
