@@ -4576,6 +4576,73 @@ object SparkEntry {
       |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
       |FROM rgb GROUP BY 1""".stripMargin
 
+  /** REAL FLIC codec round-trip, FULL oracle — the INTER-FRAME rung of
+    * the video ladder (`operators/Flic.scala`): per doc a 2–4-frame
+    * 8×8 .flc where frame 0 is intra (COLOR_256 palette + BYTE_RUN
+    * RLE) and every later frame f is a DELTA_FLC word-delta that
+    * rewrites only row f; the decoder must carry framebuffer state,
+    * apply line skips and word packets, and reconstruct each full
+    * frame. FLIC is LOSSLESS, so the oracle re-derives every statistic
+    * from the closed form "row r shows the frame-r pattern once f ≥ r";
+    * the raster-position-weighted `wsum` breaks if any delta lands on
+    * the wrong line or column even when the pixel multiset survives. */
+  private def videoFlic(s: SparkSession, dir: String): DataFrame = {
+    val pal = Array.tabulate(256)(k =>
+      ((k * 23) % 256 << 16) | ((k * 31) % 256 << 8) | ((k * 47) % 256))
+    val mk = udf((docId: Long) => {
+      val nf = 2 + (docId % 3).toInt
+      val f0 = Array.tabulate[Byte](64)(i => ((docId * 5 + i * 3) % 16).toByte)
+      val frames = Seq.newBuilder[Array[Byte]]
+      frames += f0
+      var prev = f0
+      (1 until nf).foreach { f =>
+        val cur = prev.clone()
+        (0 until 8).foreach(x =>
+          cur(f * 8 + x) = ((docId * 5 + f * 11 + x * 3) % 16).toByte)
+        frames += cur
+        prev = cur
+      }
+      operators.Flic.encodeFlic(operators.Flic.FlicVideo(
+        8, 8, 40 + (docId % 5).toInt, pal, frames.result()))
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Flic.decodeFlic(p).map { v =>
+        val (nf, sp, sr, sg, sb, wsum) = operators.Flic.flicStats(v)
+        (v.width, v.height, nf, sp, sr, sg, sb, wsum)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("n_frames"), col("st._4").as("speed_ms"),
+        col("st._5").as("sum_r"), col("st._6").as("sum_g"),
+        col("st._7").as("sum_b"), col("st._8").as("wsum"))
+  }
+
+  private val videoFlicSql =
+    """WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+      |grid AS (
+      |  SELECT f, i, i // 8 AS r, i % 8 AS x
+      |  FROM (SELECT unnest(range(0, 4)) AS f),
+      |       (SELECT unnest(range(0, 64)) AS i)),
+      |px AS (
+      |  -- row r carries the frame-r delta pattern once f >= r (each
+      |  -- frame f >= 1 rewrites exactly row f; row 0 never changes)
+      |  SELECT b.doc_id, b.nf, g.i,
+      |    CASE WHEN g.r >= 1 AND g.r <= g.f
+      |         THEN (b.doc_id * 5 + g.r * 11 + g.x * 3) % 16
+      |         ELSE (b.doc_id * 5 + g.i * 3) % 16 END AS idx
+      |  FROM base b JOIN grid g ON g.f < b.nf)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(max(nf) AS INT) AS n_frames,
+      |  CAST(40 + doc_id % 5 AS INT) AS speed_ms,
+      |  CAST(sum((idx * 23) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((idx * 31) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((idx * 47) % 256) AS BIGINT) AS sum_b,
+      |  CAST(sum(i * idx) AS BIGINT) AS wsum
+      |FROM px GROUP BY 1""".stripMargin
+
   /** REAL GIF codec round-trip, FULL oracle — the entropy-coded +
     * animated rung of the multimodal image ladder (`operators/
     * Gif.scala`): per doc an animated 8×8 GIF89a (1–3 frames, 16-color
@@ -7310,6 +7377,7 @@ object SparkEntry {
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "image_gif" -> (imageGif(_, _)),
+    "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
     "vgraph_analytics" -> (vgraphAnalyticsQ(_, _)),
@@ -7588,6 +7656,7 @@ object SparkEntry {
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
     "image_gif" -> imageGifSql,
+    "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
     "vgraph_analytics" -> vgraphAnalyticsSql,

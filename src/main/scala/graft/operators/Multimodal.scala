@@ -50,10 +50,10 @@ object Multimodal {
    * STUB decode: byte-histogram features (256 bins, L1-normalized).
    * Deterministic stand-in for feature extraction over formats no real
    * decoder here covers. As of round 10 that boundary is narrow:
-   * images (PNG/JPEG/BMP/GIF via ImageIO), WAV/G.711/ADPCM/FLAC audio,
-   * MP3 frame metadata, AVI/MJPEG and Y4M video, WARC and ustar
-   * containers all decode for real — the stub remains ONLY for
-   * inter-frame/transform codec SAMPLES (MP3/H.264 payload decode).
+   * images (PNG/JPEG/BMP + native GIF LZW), WAV/G.711/ADPCM/FLAC audio,
+   * MP3 frame metadata, AVI/MJPEG, Y4M, and inter-frame FLIC video,
+   * WARC and ustar containers all decode for real — the stub remains
+   * ONLY for transform-codec SAMPLES (MP3/H.264 payload decode).
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](256)
