@@ -6770,6 +6770,40 @@ object SparkEntry {
       |      ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rn
       |  FROM events) WHERE rn <= 10""".stripMargin
 
+  /** Temperature-scaled (τ = 1/2) mixture quotas + exact per-domain
+    * draw, FULL oracle (`Sampling.temperatureMixture`): the
+    * multi-corpus rebalancing step — √-scaled domain weights, integer
+    * largest-remainder apportionment summing exactly to the budget,
+    * md5-hash-order selection. The only float is IEEE sqrt of an exact
+    * double (correctly rounded, engine-identical); id_sum pins the
+    * exact selected MEMBERSHIP, not just the counts. */
+  private def temperatureMixtureQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureMixture(
+      Tables.read(s, dir, "documents"), "lang", "doc_id", budget = 200L)
+
+  private val temperatureMixtureSql =
+    """WITH c AS (SELECT lang AS domain, count(*) AS n FROM documents GROUP BY 1),
+      |s AS (SELECT domain, n,
+      |        CAST(floor(sqrt(CAST(n * 1048576 AS DOUBLE))) AS BIGINT) AS sd
+      |      FROM c),
+      |t AS (SELECT domain, n, sd, sum(sd) OVER () AS den FROM s),
+      |q AS (SELECT domain, n, sd, (200 * sd) // den AS base,
+      |        (200 * sd) % den AS rem FROM t),
+      |a AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rk,
+      |        200 - sum(base) OVER () AS leftover FROM q),
+      |quota AS (SELECT domain, n, sd,
+      |        base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM a),
+      |sel AS (SELECT lang AS domain, doc_id,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+      |        FROM documents)
+      |SELECT q.domain AS lang, CAST(q.n AS BIGINT) AS n_docs,
+      |  CAST(q.sd AS BIGINT) AS s_d, CAST(q.quota AS BIGINT) AS quota,
+      |  CAST(count(s.doc_id) AS BIGINT) AS n_sel,
+      |  CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_sum
+      |FROM quota q LEFT JOIN sel s ON s.domain = q.domain AND s.rn <= q.quota
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Salted join on a pathologically skewed key (event_type: 5 values
     * over the whole table — a single key bigger than any task at scale).
     * Results must equal the plain join exactly; the salt only reshapes
@@ -7466,6 +7500,7 @@ object SparkEntry {
     "hash_sample" -> (hashSampleQ(_, _)),
     "mixture_sample" -> (mixtureSampleQ(_, _)),
     "stratified_sample" -> (stratifiedSampleQ(_, _)),
+    "temperature_mixture" -> (temperatureMixtureQ(_, _)),
     "vec_join_topk" -> (vecJoinTopkQ(_, _)),
     "weighted_ensemble" -> (weightedEnsembleQ(_, _)),
     "dup_components" -> (dupComponentsQ(_, _)),
@@ -7697,6 +7732,7 @@ object SparkEntry {
     "hash_sample" -> hashSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "temperature_mixture" -> temperatureMixtureSql,
     "vec_join_topk" -> vecJoinTopkSql,
     "weighted_ensemble" -> weightedEnsembleSql,
     "dup_components" -> dupComponentsSql,

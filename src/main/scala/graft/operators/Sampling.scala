@@ -234,4 +234,61 @@ object Sampling {
       .filter(col("copies") > 0)
       .select(col("__id").as(idCol), col("__w").as("weight"), col("copies"))
   }
+
+  /** Temperature-scaled (τ = 1/2) mixture quotas over a domain column +
+    * the exact per-domain draw — the multi-corpus rebalancing step every
+    * pretraining mix performs (upweight small domains relative to
+    * proportional sampling; the τ-smoothing of published multilingual
+    * recipes, at the fixed τ = 1/2 an integer-exact oracle can replay).
+    *
+    * Allocation is EXACT integer largest-remainder apportionment over
+    * s_d = ⌊√(n_d · scale)⌋: quotas sum to `budget` precisely (ties on
+    * remainder break by domain name), and the only float is the IEEE
+    * `sqrt` of an exactly-representable double — correctly rounded and
+    * thus bit-identical in every engine; `scale` (default 2²⁰) buys
+    * √-precision and must keep n_d · scale ≤ 2⁵³. A quota larger than
+    * its domain (possible when τ-upweighting exceeds a tiny domain's
+    * size) is CAPPED at n_d without redistribution — documented, and
+    * visible in the output as n_sel < quota.
+    *
+    * The draw is the stable md5-hash order per domain ([[coord]]), so
+    * membership is deterministic and stable under re-runs. Scale shape:
+    * the domain table is tiny (collected once, like a centroid table);
+    * the corpus sees one partitioned window — no global sort. */
+  def temperatureMixture(df: DataFrame, domainCol: String, keyCol: String,
+                         budget: Long, scale: Long = 1L << 20): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(counts.nonEmpty, "no domains")
+    counts.foreach { case (_, n) =>
+      require(n <= Long.MaxValue / scale, s"n*scale overflows: $n * $scale") }
+    val sd = counts.map { case (d, n) => (d, n, math.floor(math.sqrt((n * scale).toDouble)).toLong) }
+    val den = sd.map(_._3).sum
+    require(den > 0 && budget <= Long.MaxValue / den, "budget*den must fit int64")
+    val base = sd.map { case (d, n, s) => (d, n, s, budget * s / den, budget * s % den) }
+    val leftover = budget - base.map(_._4).sum
+    val bump = base.sortBy { case (d, _, _, _, rem) => (-rem, d) }
+      .take(leftover.toInt).map(_._1).toSet
+    val quotas = base.map { case (d, n, s, b, _) =>
+      (d, n, s, b + (if (bump.contains(d)) 1L else 0L))
+    }
+    val quotaDf = quotas.toSeq.toDF(domainCol, "n_docs", "s_d", "quota")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(coord(col(keyCol)), col(keyCol))
+    val selAgg = df.select(col(domainCol), col(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotaDf.select(col(domainCol), col("quota"))), domainCol)
+      .filter(col("__rn") <= col("quota"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_sel"), sum(col(keyCol)).as("id_sum"))
+    // left join from the quota table so a zero-quota domain still
+    // reports its row (n_sel = 0) instead of vanishing
+    quotaDf.join(selAgg, Seq(domainCol), "left")
+      .select(col(domainCol), col("n_docs"), col("s_d"), col("quota"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
 }

@@ -159,4 +159,50 @@ class SamplingSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(!withZero.contains(999L) && withZero.length == 600)
   }
+
+  test("temperatureMixture: quotas sum to budget exactly") {
+    val df = (0 until 900).map(i =>
+      (i.toLong, if (i < 600) "big" else if (i < 850) "mid" else "tiny"))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureMixture(df, "dom", "id", budget = 100L)
+      .collect().map(r => (r.getAs[String]("dom"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n_sel"), r.getAs[Long]("n_docs"))).sortBy(_._1)
+    assert(out.map(_._2).sum == 100L, s"quotas ${out.toSeq}")
+    assert(out.forall { case (_, q, s, n) => s == math.min(q, n) })
+  }
+
+  test("temperatureMixture: tau=1/2 upweights small domains vs proportional") {
+    val df = (0 until 1100).map(i =>
+      (i.toLong, if (i < 1000) "big" else "small")).toDF("id", "dom")
+    val out = Sampling.temperatureMixture(df, "dom", "id", budget = 110L)
+      .collect().map(r => (r.getAs[String]("dom"), r.getAs[Long]("quota"))).toMap
+    // proportional would give small 10; sqrt scaling gives ~110*10/(100+10)/... :
+    // s_big = 1024*sqrt(1000) ~ 32381, s_small = 1024*10 = 10240 ->
+    // small quota ~ 110 * 10240 / 42621 ~ 26
+    assert(out("small") > 15L, s"small quota ${out("small")} not upweighted")
+    assert(out("big") + out("small") == 110L)
+  }
+
+  test("temperatureMixture: over-sized quota is capped, visible as n_sel < quota") {
+    val df = (0 until 7).map(i => (i.toLong, if (i < 2) "tiny" else "big"))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureMixture(df, "dom", "id", budget = 6L)
+      .collect().map(r => (r.getAs[String]("dom"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n_sel"))).sortBy(_._1)
+    val tiny = out.find(_._1 == "tiny").get
+    assert(tiny._2 >= 2L || tiny._3 == math.min(tiny._2, 2L))
+    out.foreach { case (d, q, s) =>
+      val n = if (d == "tiny") 2L else 5L
+      assert(s == math.min(q, n), s"$d: n_sel $s quota $q")
+    }
+  }
+
+  test("temperatureMixture: deterministic membership (id_sum stable)") {
+    val df = (0 until 500).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dom")
+    val a = Sampling.temperatureMixture(df, "dom", "id", 60L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id_sum"))).sortBy(_._1).toSeq
+    val b = Sampling.temperatureMixture(df, "dom", "id", 60L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id_sum"))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
