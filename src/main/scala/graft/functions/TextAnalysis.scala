@@ -351,5 +351,20 @@ object TextAnalysis {
         graft.operators.Flac.decodeFlac(p).map { case (m, _) =>
           m.totalSamples * m.channels
         }))
+    spark.udf.register("gif_n_frames",
+      udf((p: Array[Byte]) =>
+        graft.operators.Gif.decodeGif(p).map(_.frames.size)))
+    spark.udf.register("flic_n_frames",
+      udf((p: Array[Byte]) =>
+        graft.operators.Flic.decodeFlic(p).map(_.frames.size)))
+    // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
+    // score) over the first 512 normalized chars
+    spark.udf.register("unigram_stats",
+      udf((t: String) => {
+        val s = graft.operators.Unigram.normalize(t, 512)
+        val (score, n) = graft.operators.Unigram.unpack(
+          graft.operators.Unigram.viterbiPacked(s))
+        (s.length, n, score)
+      }))
   }
 }

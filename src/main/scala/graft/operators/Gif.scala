@@ -83,6 +83,7 @@ object Gif {
     emit(clear)
     if (indices.nonEmpty) {
       var cur = indices(0) & 0xff // current prefix as a CODE
+      require(cur < clear, s"index $cur out of palette range $clear")
       var i = 1
       while (i < indices.length) {
         val k = indices(i) & 0xff

@@ -79,4 +79,24 @@ class ErrorContractSpec extends SparkSpecBase {
     val g = graft.functions.VectorParsers.parseVGraph("{nodes:2, edges:[[0,1]]}")
     intercept[IllegalArgumentException](graft.functions.VectorParsers.vgraphBfs(g, 5))
   }
+
+  test("gif/flic/unigram/shuffle/mixture reject bad dials loudly") {
+    import graft.operators.{EpochShuffle, Flic, Gif, Unigram}
+    // GIF: non-power-of-two palette; out-of-range index vs minCodeSize
+    intercept[IllegalArgumentException](Gif.encodeGif(Gif.GifImage(
+      8, 8, Array.fill(12)(0), Seq(Gif.GifFrame(0, false, new Array[Byte](64))))))
+    intercept[IllegalArgumentException](Gif.lzwEncode(Array[Byte](5), minCodeSize = 2))
+    // FLIC: odd width (word-oriented deltas), wrong frame size
+    intercept[IllegalArgumentException](Flic.encodeFlic(Flic.FlicVideo(
+      6, 2, 1, Array.fill(256)(0), Seq(new Array[Byte](11)))))
+    // Unigram: maxChars must stay below the 1024 tie-break radix
+    intercept[IllegalArgumentException](
+      Unigram.segmentStats(docs, "id", "text", maxChars = 1024))
+    // EpochShuffle: at least one epoch
+    intercept[IllegalArgumentException](
+      EpochShuffle.orders(docs.select(col("id")), "id", epochs = 0, seed = 1L))
+    // temperatureMixture: positive budget required
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(docs.withColumn("d", lit("x")), "d", "id", 0L))
+  }
 }

@@ -96,6 +96,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getInt(0) == 1 && r.getLong(1) == 100L && r.getLong(2) == 200L)
   }
 
+  test("gif/flic frame counts and unigram stats by SQL name") {
+    import spark.implicits._
+    val pal16 = Array.tabulate(16)(k => k * 0x111111)
+    val gif = graft.operators.Gif.encodeGif(graft.operators.Gif.GifImage(
+      8, 8, pal16, (0 until 3).map(f => graft.operators.Gif.GifFrame(
+        f, f % 2 == 0, Array.tabulate[Byte](64)(i => ((i + f) % 16).toByte)))))
+    val f0 = Array.tabulate[Byte](64)(i => (i % 16).toByte)
+    val f1 = f0.clone(); f1(8) = 3
+    val flic = graft.operators.Flic.encodeFlic(graft.operators.Flic.FlicVideo(
+      8, 8, 40, Array.tabulate(256)(identity), Seq(f0, f1)))
+    Seq((gif, flic, "the station")).toDF("g", "fl", "t")
+      .createOrReplaceTempView("media2_v")
+    val r = spark.sql(
+      """SELECT gif_n_frames(g) AS gn, flic_n_frames(fl) AS fn,
+        |       unigram_stats(t) AS u FROM media2_v""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    val u = r.getStruct(2)
+    // "the station" = 11 chars; "the"+" "+"st"+"ation" = 4 tokens
+    assert(u.getInt(0) == 11 && u.getLong(1) == 4L)
+    val (expScore, expTok) = graft.operators.Unigram.unpack(
+      graft.operators.Unigram.viterbiPacked("the station"))
+    assert(u.getLong(1) == expTok && u.getLong(2) == expScore)
+  }
+
   test("dedup / layout primitives by SQL name") {
     val r = spark.sql(
       """SELECT simhash64('the quick brown fox') AS sh,
