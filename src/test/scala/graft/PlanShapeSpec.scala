@@ -294,6 +294,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("epoch_shuffle ranks without a single-partition exchange (no global sort)") {
+    val plan = planOf(SparkEntry.queries("epoch_shuffle")(spark, dir))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global (single-task) stage in the rank path: $plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-bucket offsets not broadcast: $plan")
+  }
+
+  test("temperature_mixture: quota table broadcasts; draw window is partitioned") {
+    val plan = planOf(SparkEntry.queries("temperature_mixture")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"quota join not broadcast: $plan")
+    // the per-domain row_number must ride a hash partition, not a global one
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-task window in the draw: $plan")
+  }
+
   test("adaptive length gate broadcasts the cutoffs — one scan, no sort") {
     val docs = Tables.read(spark, dir, "documents").select(col("lang"), col("n_chars"))
     val plan = operators.Sketches.lengthFilterAdaptive(docs, "lang", "n_chars",
