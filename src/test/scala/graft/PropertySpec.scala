@@ -109,4 +109,71 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b || mix64(a) != mix64(b))
     }
   }
+
+  test("GIF LZW round-trips random streams across code sizes and run profiles") {
+    import graft.operators.Gif
+    val r = rng
+    for (trial <- 1 to 60) {
+      val mcs = 2 + r.nextInt(7) // 2..8
+      val n = 1 + r.nextInt(5000)
+      // mix profiles: pure noise, long runs, and runny-noise hybrids —
+      // each stresses a different dictionary/width path
+      val data = trial % 3 match {
+        case 0 => Array.fill[Byte](n)((r.nextInt(1 << mcs)).toByte)
+        case 1 => Array.fill[Byte](n)(((trial * 3) % (1 << mcs)).toByte)
+        case _ =>
+          val a = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            val v = (r.nextInt(1 << mcs)).toByte
+            val run = 1 + r.nextInt(9)
+            var j = 0
+            while (j < run && i < n) { a(i) = v; i += 1; j += 1 }
+          }
+          a
+      }
+      val dec = Gif.lzwDecode(Gif.lzwEncode(data, mcs), mcs, n)
+      assert(dec.toSeq == data.toSeq, s"trial=$trial mcs=$mcs n=$n")
+    }
+  }
+
+  test("FLIC delta round-trips random animations (random change density)") {
+    import graft.operators.Flic
+    val r = rng
+    val pal = Array.tabulate(256)(k => k * 0x010101)
+    for (trial <- 1 to 25) {
+      val w = 2 * (1 + r.nextInt(12)) // even, 2..24
+      val h = 1 + r.nextInt(20)
+      val nf = 1 + r.nextInt(5)
+      var prev = Array.fill[Byte](w * h)((r.nextInt(256) - 128).toByte)
+      val frames = Seq.newBuilder[Array[Byte]]
+      frames += prev
+      for (_ <- 1 until nf) {
+        val cur = prev.clone()
+        val changes = r.nextInt(1 + w * h / 2)
+        for (_ <- 0 until changes)
+          cur(r.nextInt(w * h)) = (r.nextInt(256) - 128).toByte
+        frames += cur
+        prev = cur
+      }
+      val fs = frames.result()
+      val v = Flic.FlicVideo(w, h, 1 + r.nextInt(100), pal, fs)
+      val out = Flic.decodeFlic(Flic.encodeFlic(v)).get
+      assert(out.frames.size == nf, s"trial=$trial ${w}x$h nf=$nf")
+      out.frames.zip(fs).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq, s"trial=$trial ${w}x$h nf=$nf")
+      }
+    }
+  }
+
+  test("unigram packed DP: UNK-only strings decompose exactly") {
+    import graft.operators.Unigram
+    val r = rng
+    for (_ <- 1 to 50) {
+      val n = 1 + r.nextInt(60)
+      val s = Array.fill(n)(('0' + r.nextInt(10)).toChar).mkString // digits = UNK
+      val (score, toks) = Unigram.unpack(Unigram.viterbiPacked(s))
+      assert(toks == n && score == n.toLong * Unigram.unkScore)
+    }
+  }
 }
