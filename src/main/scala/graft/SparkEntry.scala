@@ -4576,6 +4576,93 @@ object SparkEntry {
       |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
       |FROM rgb GROUP BY 1""".stripMargin
 
+  /** MPEG-1 Layer I SAMPLE decode, FULL oracle — the subband-synthesis
+    * rung of the audio ladder (`operators/Mpeg1Audio.scala`): per doc a
+    * mono CRC-less Layer I frame (three active subbands at 2/6/15-bit
+    * allocations, per-doc scalefactor indices, MSB-first packed codes)
+    * is decoded through the real pipeline — header parse, bit
+    * allocation, ISO dequant closed form, 32×64 cosine matrixing, the
+    * 16-deep V FIFO, 512-tap windowed overlap-add — all fixed-point
+    * with TRUNCATING division, which DuckDB's `//` matches exactly.
+    * The oracle replays every stage from generated constant-table
+    * VALUES (the same arrays the decoder uses); the position-weighted
+    * sum breaks if any FIFO shift, matrix row, or window tap lands
+    * wrong. */
+  private def audioMpegLayer1(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      val alloc = new Array[Int](32)
+      val sfIdx = new Array[Int](32)
+      Seq(((docId % 8).toInt, 1 + (docId % 3).toInt, (docId % 63).toInt),
+        (10 + (docId % 6).toInt, 5, ((docId * 7) % 63).toInt),
+        (20 + (docId % 9).toInt, 14, ((docId * 13) % 63).toInt))
+        .foreach { case (sb, a, sf) => alloc(sb) = a; sfIdx(sb) = sf }
+      val samples = Array.tabulate(12, 32) { (t, sb) =>
+        if (alloc(sb) == 0) 0
+        else ((docId * 31 + sb * 17 + t * 7) % (1L << (alloc(sb) + 1))).toInt
+      }
+      operators.Mpeg1Audio.encodeFrame(alloc, sfIdx, samples)
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Mpeg1Audio.decode(p).map { frames =>
+        val (n, sum, wsum, mn, mx) = operators.Mpeg1Audio.pcmStats(frames)
+        (n, sum, wsum, mn, mx)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_samples"), col("st._2").as("pcm_sum"),
+        col("st._3").as("pcm_wsum"), col("st._4").as("pcm_min"),
+        col("st._5").as("pcm_max"))
+  }
+
+  private lazy val audioMpegLayer1Sql =
+    s"""WITH nmat(i, j, nv) AS (VALUES ${operators.Mpeg1Audio.matrixValuesSql}),
+       |dwin(tap, dv) AS (VALUES ${operators.Mpeg1Audio.windowValuesSql}),
+       |sfs(idx, sv) AS (VALUES ${operators.Mpeg1Audio.scalefactorValuesSql}),
+       |sbs AS (
+       |  SELECT doc_id,
+       |    unnest([doc_id % 8, 10 + doc_id % 6, 20 + doc_id % 9]) AS sb,
+       |    unnest([2 + doc_id % 3, CAST(6 AS BIGINT), CAST(15 AS BIGINT)]) AS nb,
+       |    unnest([doc_id % 63, (doc_id * 7) % 63, (doc_id * 13) % 63]) AS sfidx
+       |  FROM documents),
+       |sval AS MATERIALIZED (
+       |  -- ISO Layer-I dequant at 2^15 then scalefactor at 2^16, all
+       |  -- truncating: DuckDB // truncates toward zero like the JVM's /
+       |  SELECT s.doc_id, g.t, s.sb,
+       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7) % (CAST(1 AS BIGINT) << s.nb))
+       |        - (CAST(1 AS BIGINT) << s.nb) + 2) * 32768)
+       |      // ((CAST(1 AS BIGINT) << s.nb) - 1)) * f.sv) // 65536 AS v
+       |  FROM sbs s
+       |  JOIN (SELECT unnest(range(0, 12)) AS t) g ON true
+       |  JOIN sfs f ON f.idx = s.sfidx),
+       |vmat AS MATERIALIZED (
+       |  SELECT sv.doc_id, sv.t, n.i, sum(n.nv * sv.v) // 16384 AS vv
+       |  FROM sval sv JOIN nmat n ON n.j = sv.sb
+       |  GROUP BY 1, 2, 3),
+       |taps AS (
+       |  SELECT b.doc_id, g.t, jj.j, ii.i
+       |  FROM (SELECT doc_id FROM documents) b,
+       |       (SELECT unnest(range(0, 12)) AS t) g,
+       |       (SELECT unnest(range(0, 32)) AS j) jj,
+       |       (SELECT unnest(range(0, 16)) AS i) ii),
+       |outp AS MATERIALIZED (
+       |  -- U[tap] reads the V FIFO: chunk i holds block t-i; even
+       |  -- chunks read offset j, odd chunks offset 32+j (ISO layout)
+       |  SELECT o.doc_id, o.t, o.j,
+       |    sum(coalesce(vm.vv, 0) * d.dv) // 65536 AS pcm
+       |  FROM taps o
+       |  LEFT JOIN vmat vm ON vm.doc_id = o.doc_id AND vm.t = o.t - o.i
+       |    AND vm.i = CASE WHEN o.i % 2 = 0 THEN o.j ELSE 32 + o.j END
+       |  JOIN dwin d ON d.tap = o.j + 32 * o.i
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
+       |  CAST(sum((t * 32 + j) * pcm) AS BIGINT) AS pcm_wsum,
+       |  CAST(min(pcm) AS BIGINT) AS pcm_min,
+       |  CAST(max(pcm) AS BIGINT) AS pcm_max
+       |FROM outp GROUP BY 1""".stripMargin
+
   /** REAL FLIC codec round-trip, FULL oracle — the INTER-FRAME rung of
     * the video ladder (`operators/Flic.scala`): per doc a 2–4-frame
     * 8×8 .flc where frame 0 is intra (COLOR_256 palette + BYTE_RUN
@@ -7408,6 +7495,7 @@ object SparkEntry {
     "audio_mp3_meta" -> (audioMp3Meta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "audio_flac" -> (audioFlac(_, _)),
+    "audio_mpeg_layer1" -> (audioMpegLayer1(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -7688,6 +7776,7 @@ object SparkEntry {
     "audio_mp3_meta" -> audioMp3MetaSql,
     "audio_samples" -> audioSamplesSql,
     "audio_flac" -> audioFlacSql,
+    "audio_mpeg_layer1" -> audioMpegLayer1Sql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
     "image_gif" -> imageGifSql,
