@@ -4578,16 +4578,18 @@ object SparkEntry {
 
   /** MPEG-1 Layer I SAMPLE decode, FULL oracle — the subband-synthesis
     * rung of the audio ladder (`operators/Mpeg1Audio.scala`): per doc a
-    * mono CRC-less Layer I frame (three active subbands at 2/6/15-bit
-    * allocations, per-doc scalefactor indices, MSB-first packed codes)
-    * is decoded through the real pipeline — header parse, bit
-    * allocation, ISO dequant closed form, 32×64 cosine matrixing, the
-    * 16-deep V FIFO, 512-tap windowed overlap-add — all fixed-point
-    * with TRUNCATING division, which DuckDB's `//` matches exactly.
-    * The oracle replays every stage from generated constant-table
-    * VALUES (the same arrays the decoder uses); the position-weighted
-    * sum breaks if any FIFO shift, matrix row, or window tap lands
-    * wrong. */
+    * mono CRC-less TWO-FRAME Layer I stream (three active subbands at
+    * 2/6/15-bit allocations, per-doc scalefactor indices, MSB-first
+    * packed codes, slot-aligned frame lengths with zero ancillary
+    * padding) is decoded through the real pipeline — frame walk,
+    * header parse, bit allocation, ISO dequant closed form, 32×64
+    * cosine matrixing, the 16-deep V FIFO carried ACROSS the frame
+    * boundary, 512-tap windowed overlap-add — all fixed-point with
+    * TRUNCATING division, which DuckDB's `//` matches exactly. The
+    * oracle replays every stage from generated constant-table VALUES
+    * (the same arrays the decoder uses) over a GLOBAL block axis
+    * g ∈ [0,24), so a FIFO reset at the frame boundary (the bug class
+    * frame-local decoders hide) breaks blocks 12..15's hash. */
   private def audioMpegLayer1(s: SparkSession, dir: String): DataFrame = {
     val mk = udf((docId: Long) => {
       val alloc = new Array[Int](32)
@@ -4596,11 +4598,17 @@ object SparkEntry {
         (10 + (docId % 6).toInt, 5, ((docId * 7) % 63).toInt),
         (20 + (docId % 9).toInt, 14, ((docId * 13) % 63).toInt))
         .foreach { case (sb, a, sf) => alloc(sb) = a; sfIdx(sb) = sf }
-      val samples = Array.tabulate(12, 32) { (t, sb) =>
-        if (alloc(sb) == 0) 0
-        else ((docId * 31 + sb * 17 + t * 7) % (1L << (alloc(sb) + 1))).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until 2).foreach { fr =>
+        val samples = Array.tabulate(12, 32) { (t, sb) =>
+          if (alloc(sb) == 0) 0
+          else ((docId * 31 + sb * 17 + (fr * 12 + t) * 7)
+            % (1L << (alloc(sb) + 1))).toInt
+        }
+        val bytes = operators.Mpeg1Audio.encodeFrame(alloc, sfIdx, samples)
+        out.write(bytes, 0, bytes.length)
       }
-      operators.Mpeg1Audio.encodeFrame(alloc, sfIdx, samples)
+      out.toByteArray
     })
     val stats = udf((p: Array[Byte]) =>
       operators.Mpeg1Audio.decode(p).map { frames =>
@@ -4628,13 +4636,14 @@ object SparkEntry {
        |  FROM documents),
        |sval AS MATERIALIZED (
        |  -- ISO Layer-I dequant at 2^15 then scalefactor at 2^16, all
-       |  -- truncating: DuckDB // truncates toward zero like the JVM's /
+       |  -- truncating: DuckDB // truncates toward zero like the JVM's /.
+       |  -- g is the GLOBAL block index across both frames (2 x 12).
        |  SELECT s.doc_id, g.t, s.sb,
        |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7) % (CAST(1 AS BIGINT) << s.nb))
        |        - (CAST(1 AS BIGINT) << s.nb) + 2) * 32768)
        |      // ((CAST(1 AS BIGINT) << s.nb) - 1)) * f.sv) // 65536 AS v
        |  FROM sbs s
-       |  JOIN (SELECT unnest(range(0, 12)) AS t) g ON true
+       |  JOIN (SELECT unnest(range(0, 24)) AS t) g ON true
        |  JOIN sfs f ON f.idx = s.sfidx),
        |vmat AS MATERIALIZED (
        |  SELECT sv.doc_id, sv.t, n.i, sum(n.nv * sv.v) // 16384 AS vv
@@ -4643,12 +4652,13 @@ object SparkEntry {
        |taps AS (
        |  SELECT b.doc_id, g.t, jj.j, ii.i
        |  FROM (SELECT doc_id FROM documents) b,
-       |       (SELECT unnest(range(0, 12)) AS t) g,
+       |       (SELECT unnest(range(0, 24)) AS t) g,
        |       (SELECT unnest(range(0, 32)) AS j) jj,
        |       (SELECT unnest(range(0, 16)) AS i) ii),
        |outp AS MATERIALIZED (
-       |  -- U[tap] reads the V FIFO: chunk i holds block t-i; even
-       |  -- chunks read offset j, odd chunks offset 32+j (ISO layout)
+       |  -- U[tap] reads the V FIFO: chunk i holds GLOBAL block t-i
+       |  -- (state crosses the frame boundary); even chunks read offset
+       |  -- j, odd chunks offset 32+j (ISO layout)
        |  SELECT o.doc_id, o.t, o.j,
        |    sum(coalesce(vm.vv, 0) * d.dv) // 65536 AS pcm
        |  FROM taps o

@@ -25,12 +25,18 @@ package graft.operators
  *     prototype, not the ISO Table 3-B.3 numeric table; the bitstream
  *     layout, dequant math, and filterbank STRUCTURE are ISO-exact,
  *     and encode/decode/oracle all share the one table, so the
- *     contract is total. Real-world .mp1 payloads would need the ISO
- *     table swapped in — a 512-number constant swap, documented here.
+ *     contract is total.
  *
- * Mono, Layer I, CRC-less frames (one 384-sample frame per payload in
- * the fixtures). Scale shape: stateless per-row map like every decode
- * here; the V-FIFO state lives inside one blob's decode.
+ * Streams are walked frame-to-frame at the SLOT-ALIGNED Layer I frame
+ * length (4·⌊12·bitrate/fs⌋ bytes; ancillary padding after the sample
+ * codes is skipped) with the synthesis V FIFO carried ACROSS frames,
+ * the way the ISO decoder holds filterbank state for the life of a
+ * stream. Decoding real-world .mp1 additionally needs the ISO window
+ * table (a 512-constant swap) and the stereo modes / CRC frames this
+ * decoder deliberately rejects loudly — both documented boundaries.
+ *
+ * Scale shape: stateless per-row map like every decode here; the
+ * V-FIFO state lives inside one blob's decode.
  */
 object Mpeg1Audio {
 
@@ -58,59 +64,47 @@ object Mpeg1Audio {
     math.round(2.0 * math.pow(2.0, -idx / 3.0) * 65536.0)
   }
 
-  // ------------------------------------------------------------ bits
+  // ------------------------------------------------- frame slot length
 
-  private final class BitWriter {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var acc = 0L
-    private var nb = 0
-    def put(v: Long, bits: Int): Unit = {
-      require(bits > 0 && bits <= 32 && v >= 0 && v < (1L << bits), s"put($v,$bits)")
-      acc = (acc << bits) | v
-      nb += bits
-      while (nb >= 8) { out.write(((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
-    }
-    def bytes: Array[Byte] = {
-      if (nb > 0) { out.write(((acc << (8 - nb)) & 0xff).toInt); nb = 0 }
-      out.toByteArray
-    }
-  }
+  /** Layer I bitrates (kbps) by header index, MPEG-1 (idx 0 = free). */
+  val bitrates: Array[Int] = Array(0, 32, 64, 96, 128, 160, 192, 224,
+    256, 288, 320, 352, 384, 416, 448)
 
-  private final class BitReader(data: Array[Byte], var pos: Int) {
-    private var acc = 0L
-    private var nb = 0
-    def get(bits: Int): Int = {
-      while (nb < bits) {
-        require(pos < data.length, "bitstream truncated")
-        acc = (acc << 8) | (data(pos) & 0xffL); pos += 1; nb += 8
-      }
-      val v = ((acc >> (nb - bits)) & ((1L << bits) - 1)).toInt
-      nb -= bits
-      v
-    }
+  /** MPEG-1 sample rates by header index. */
+  val sampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Layer I frame length in BYTES: 4·⌊12·bitrate/fs⌋ (+4 with the
+    * padding bit) — the slot-aligned size real streams pad to with
+    * ancillary bits after the sample codes. */
+  def frameBytes(bitrateIdx: Int, sampleRateIdx: Int, padding: Boolean): Int = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrateIdx $bitrateIdx")
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"srIdx $sampleRateIdx")
+    4 * (12 * bitrates(bitrateIdx) * 1000 / sampleRates(sampleRateIdx)) +
+      (if (padding) 4 else 0)
   }
 
   // ---------------------------------------------------------- encode
 
-  /** One mono CRC-less Layer I frame. `alloc(sb)` is the 4-bit code
+  /** One mono CRC-less Layer I frame, padded with zero ancillary bits
+    * to the slot-aligned frame length. `alloc(sb)` is the 4-bit code
     * (0 = silent, c ∈ [1,14] ⇒ c+1-bit samples); `sfIdx(sb)` the 6-bit
     * scalefactor index; `samples(t)(sb)` the raw codes, t ∈ [0,12). */
   def encodeFrame(alloc: Array[Int], sfIdx: Array[Int],
                   samples: Array[Array[Int]], sampleRateIdx: Int = 0,
                   bitrateIdx: Int = 8): Array[Byte] = {
     require(alloc.length == 32 && sfIdx.length == 32 && samples.length == 12)
-    val w = new BitWriter
+    val w = new Flac.BitWriter
     // header: sync(12) ver(1)=1 layer(2)=11(I) noprot(1)=1
-    w.put(0xfff, 12); w.put(1, 1); w.put(3, 2); w.put(1, 1)
-    w.put(bitrateIdx, 4); w.put(sampleRateIdx, 2); w.put(0, 1) // no padding
-    w.put(0, 1) // private
-    w.put(3, 2) // mode: single channel
-    w.put(0, 2); w.put(0, 1); w.put(0, 1); w.put(0, 2) // ext/copy/orig/emphasis
-    alloc.foreach { a => require(a >= 0 && a <= 14, s"alloc $a"); w.put(a, 4) }
+    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(3, 2); w.writeBits(1, 1)
+    w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
+    w.writeBits(0, 1) // private
+    w.writeBits(3, 2) // mode: single channel
+    w.writeBits(0, 2); w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    alloc.foreach { a => require(a >= 0 && a <= 14, s"alloc $a"); w.writeBits(a, 4) }
     (0 until 32).foreach { sb =>
       if (alloc(sb) > 0) {
         require(sfIdx(sb) >= 0 && sfIdx(sb) < 63, s"sfIdx ${sfIdx(sb)}")
-        w.put(sfIdx(sb), 6)
+        w.writeBits(sfIdx(sb), 6)
       }
     }
     (0 until 12).foreach { t =>
@@ -119,10 +113,15 @@ object Mpeg1Audio {
           val nb = alloc(sb) + 1
           val x = samples(t)(sb)
           require(x >= 0 && x < (1 << nb), s"sample $x for nb=$nb")
-          w.put(x, nb)
+          w.writeBits(x, nb)
         }
       }
     }
+    w.alignByte()
+    val target = frameBytes(bitrateIdx, sampleRateIdx, padding = false)
+    require(w.size <= target,
+      s"frame content ${w.size} B exceeds slot length $target B")
+    while (w.size < target) w.writeBits(0, 8) // zero ancillary bytes
     w.bytes
   }
 
@@ -140,23 +139,34 @@ object Mpeg1Audio {
   final case class Mp1Frame(sampleRateIdx: Int, bitrateIdx: Int,
                             pcm: Array[Long]) // 384 synthesized samples
 
-  /** Decode one mono Layer I frame at `offset`; throws on malformed
-    * input. Returns the frame and the end offset. */
-  def decodeFrame(payload: Array[Byte], offset: Int): (Mp1Frame, Int) = {
-    val r = new BitReader(payload, offset)
-    require(r.get(12) == 0xfff, "bad sync")
-    require(r.get(1) == 1, "not MPEG-1")
-    require(r.get(2) == 3, "not Layer I")
-    require(r.get(1) == 1, "CRC frames unsupported")
-    val bitrateIdx = r.get(4)
-    val srIdx = r.get(2)
-    r.get(1); r.get(1)
-    require(r.get(2) == 3, "only single-channel mode")
-    r.get(2); r.get(1); r.get(1); r.get(2)
-    val alloc = Array.fill(32)(r.get(4))
+  /** Decode one mono Layer I frame at byte `offset`, carrying the
+    * synthesis V FIFO across frames (ISO filterbank state persists for
+    * the life of a stream); throws on malformed input. Returns the
+    * frame and the next frame's offset (slot-aligned — ancillary
+    * padding after the sample codes is skipped, as real streams
+    * require). */
+  def decodeFrame(payload: Array[Byte], offset: Int,
+                  v: Array[Array[Long]]): (Mp1Frame, Int) = {
+    require(v.length == 16)
+    val r = new Flac.BitReader(payload)
+    r.bitPos = offset.toLong * 8
+    require(r.readBits(12) == 0xfff, "bad sync")
+    require(r.readBits(1) == 1, "not MPEG-1")
+    require(r.readBits(2) == 3, "not Layer I")
+    require(r.readBits(1) == 1, "CRC frames unsupported")
+    val bitrateIdx = r.readBits(4).toInt
+    val srIdx = r.readBits(2).toInt
+    val padding = r.readBits(1) == 1
+    r.readBits(1)
+    require(r.readBits(2) == 3, "only single-channel mode")
+    r.readBits(2); r.readBits(1); r.readBits(1); r.readBits(2)
+    val end = offset + frameBytes(bitrateIdx, srIdx, padding)
+    require(end <= payload.length, "frame overruns payload")
+    val alloc = Array.fill(32)(r.readBits(4).toInt)
     alloc.foreach(a => require(a <= 14, s"alloc code $a reserved"))
     val sf = Array.tabulate(32)(sb => if (alloc(sb) > 0) {
-      val idx = r.get(6); require(idx < 63, s"scalefactor index $idx")
+      val idx = r.readBits(6).toInt
+      require(idx < 63, s"scalefactor index $idx")
       scalefactors(idx)
     } else 0L)
     // subband samples -> dequantized S[t][sb]
@@ -165,12 +175,12 @@ object Mpeg1Audio {
       (0 until 32).foreach { sb =>
         if (alloc(sb) > 0) {
           val nb = alloc(sb) + 1
-          s(t)(sb) = dequant(r.get(nb), nb, sf(sb))
+          s(t)(sb) = dequant(r.readBits(nb).toInt, nb, sf(sb))
         }
       }
     }
+    require(r.bitPos <= end.toLong * 8, "sample codes overrun the slot length")
     // synthesis: per block, matrix to V, push FIFO, window+sum
-    val v = Array.ofDim[Long](16, 64) // FIFO of V chunks, newest first
     val pcm = new Array[Long](384)
     (0 until 12).foreach { t =>
       // shift FIFO
@@ -182,35 +192,35 @@ object Mpeg1Audio {
         while (j < 32) { acc += matrixN(i)(j) * s(t)(j); j += 1 }
         acc / 16384L // truncate back to sample scale
       }
-      // U/W/out per ISO structure: U[64i+j]   = V[chunk 2i][j],
-      //                             U[64i+32+j] = V[chunk 2i+1][32+j]
+      // U/W/out per ISO structure: tap group i reads V-FIFO chunk i —
+      // even chunks at offset j, odd chunks at offset 32+j (that
+      // equality is what the oracle's `vm.t = o.t - o.i` join encodes)
       var jOut = 0
       while (jOut < 32) {
         var acc = 0L
         var i = 0
         while (i < 16) {
-          val tap = jOut + 32 * i
-          val u =
-            if (i % 2 == 0) v(math.min(15, i))(jOut)
-            else v(math.min(15, i))(32 + jOut)
-          acc += u * windowD(tap)
+          val u = if (i % 2 == 0) v(i)(jOut) else v(i)(32 + jOut)
+          acc += u * windowD(jOut + 32 * i)
           i += 1
         }
         pcm(t * 32 + jOut) = acc / 65536L
         jOut += 1
       }
     }
-    ((Mp1Frame(srIdx, bitrateIdx, pcm)), r.pos)
+    ((Mp1Frame(srIdx, bitrateIdx, pcm)), end)
   }
 
-  /** Decode all frames in a payload (fixtures carry one). None on any
-    * malformed structure. */
+  /** Decode every frame in a payload with PERSISTENT filterbank state
+    * (the V FIFO carries across frame boundaries, as the ISO decoder's
+    * does for the life of a stream). None on any malformed structure. */
   def decode(payload: Array[Byte]): Option[Seq[Mp1Frame]] =
     try {
       var p = 0
+      val v = Array.ofDim[Long](16, 64)
       val out = Seq.newBuilder[Mp1Frame]
       while (p < payload.length) {
-        val (f, np) = decodeFrame(payload, p)
+        val (f, np) = decodeFrame(payload, p, v)
         out += f
         p = np
       }

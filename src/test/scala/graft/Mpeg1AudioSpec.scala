@@ -24,11 +24,28 @@ class Mpeg1AudioSpec extends AnyFunSuite {
 
   test("encode/decode round-trips header fields and produces 384 samples") {
     for (seed <- Seq(0L, 1L, 7L, 42L, 113L)) {
-      val frames = Mpeg1Audio.decode(fixtureFrame(seed)).get
+      val payload = fixtureFrame(seed)
+      assert(payload.length == Mpeg1Audio.frameBytes(8, 0, padding = false),
+        "frame not padded to the slot-aligned length")
+      val frames = Mpeg1Audio.decode(payload).get
       assert(frames.size == 1)
       assert(frames.head.sampleRateIdx == 0 && frames.head.bitrateIdx == 8)
       assert(frames.head.pcm.length == 384)
     }
+  }
+
+  test("multi-frame streams walk slot-aligned lengths with state carried across") {
+    val three = fixtureFrame(5L) ++ fixtureFrame(5L) ++ fixtureFrame(5L)
+    val frames = Mpeg1Audio.decode(three).get
+    assert(frames.size == 3, "frame walk failed on the padded boundary")
+    // identical subband input, but the second frame starts with a WARM
+    // V FIFO -> its first blocks must differ from the first frame's
+    // (a frame-local decoder that resets state would make them equal)
+    assert(!frames(1).pcm.take(64).sameElements(frames(0).pcm.take(64)),
+      "filterbank state was reset at the frame boundary")
+    // with 12-periodic input the FIFO saturates at global block 15, so
+    // frames 2 and 3 agree from local block 3 on — steady state
+    assert(frames(2).pcm.drop(96).sameElements(frames(1).pcm.drop(96)))
   }
 
   test("dequant: ISO closed form at known points, truncating like the oracle") {
@@ -73,12 +90,21 @@ class Mpeg1AudioSpec extends AnyFunSuite {
   test("sample packing is MSB-first and position-exact (flip one bit, decode moves)") {
     val base = fixtureFrame(9L)
     val basePcm = Mpeg1Audio.decode(base).get.head.pcm.toSeq
-    // flip a bit inside the sample payload region (past header+alloc+sf)
+    // flip the MSB of the FIRST subband's scalefactor index (bit 160 =
+    // byte 20: header 32 + alloc 128 bits): that subband carries the
+    // dominant signal, so the flip must move the synthesized PCM. (A
+    // flip in a tiny-scalefactor subband's codes can legitimately be
+    // invisible — its dequantized values truncate to zero.)
     val mut = base.clone()
-    mut(mut.length - 3) = (mut(mut.length - 3) ^ 0x10).toByte
+    mut(20) = (mut(20) ^ 0x80).toByte
     val out = Mpeg1Audio.decode(mut)
     assert(out.isEmpty || out.get.head.pcm.toSeq != basePcm,
       "payload bit flip was invisible to the decode")
+    // ...while an ancillary-padding flip decodes identically (the
+    // region real streams use for ancillary data is skipped)
+    val pad = base.clone()
+    pad(pad.length - 3) = (pad(pad.length - 3) ^ 0x10).toByte
+    assert(Mpeg1Audio.decode(pad).get.head.pcm.toSeq == basePcm)
   }
 
   test("malformed streams are refused") {
