@@ -346,11 +346,10 @@ object ScaleBench {
       // warc_codec_scan; same stateless-map contract, so the curve
       // should stay scan-bound flat.
       val (nGif, tGif) = time {
-        val pal = Array.tabulate(16)(k =>
-          ((k * 17) % 256 << 16) | ((k * 29) % 256 << 8) | ((k * 43) % 256))
         val mkG = udf((id: Long) => operators.Gif.encodeGif(operators.Gif.GifImage(
-          8, 8, pal, (0 until 2).map(f => operators.Gif.GifFrame(f, f % 2 == 0,
-            Array.tabulate[Byte](64)(i => ((id * 7 + f * 13 + i * 3) % 16).toByte))))))
+          8, 8, operators.Gif.fixturePalette16,
+          (0 until 2).map(f => operators.Gif.GifFrame(f, f % 2 == 0,
+            operators.Gif.fixtureIndices(id, f))))))
         val wsumG = udf((p: Array[Byte]) =>
           operators.Gif.decodeGif(p).map(operators.Gif.gifStats(_)._6).getOrElse(-1L))
         docs.select(wsumG(mkG(col("doc_id"))).as("w"))

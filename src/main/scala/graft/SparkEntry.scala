@@ -2729,10 +2729,14 @@ object SparkEntry {
       "doc_id", epochs = 2, seed = 42L)
 
   private lazy val epochShuffleSql =
+    // zExpr mirrors EpochShuffle.shuffleKey with seed 42 baked in
+    // (42 * 4294967291 = 180388626222); the HUGEINT fold + mod 2^64
+    // reproduces the JVM's wrapping multiply for any doc_id domain
     s"""WITH src AS (
        |  SELECT doc_id, e.epoch
        |  FROM documents, (SELECT unnest(range(0, 2)) AS epoch) e),
-       |${mix64Ctes("ep", "src", Seq("doc_id", "epoch"), "doc_id * 1000003 + epoch + 42")},
+       |${mix64Ctes("ep", "src", Seq("doc_id", "epoch"),
+          "(doc_id::HUGEINT * 1000003 + epoch::HUGEINT * 2654435761 + 180388626222::HUGEINT) % 18446744073709551616::HUGEINT")},
        |k AS (SELECT doc_id, epoch, z // 2048 AS key FROM ep6)
        |SELECT CAST(epoch AS INT) AS epoch, doc_id,
        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id)
@@ -4752,18 +4756,16 @@ object SparkEntry {
     * missed or doubled deinterlace breaks the hash even though plain
     * channel sums would not notice. */
   private def imageGif(s: SparkSession, dir: String): DataFrame = {
-    val pal = Array.tabulate(16)(k =>
-      ((k * 17) % 256 << 16) | ((k * 29) % 256 << 8) | ((k * 43) % 256))
     val mk = udf((docId: Long) => {
       val nf = 1 + (docId % 3).toInt
       val frames = (0 until nf).map { f =>
         operators.Gif.GifFrame(
           delayCs = 4 + f,
           interlaced = (docId + f) % 2 == 0,
-          indices = Array.tabulate[Byte](64)(i =>
-            ((docId * 7 + f * 13 + i * 3) % 16).toByte))
+          indices = operators.Gif.fixtureIndices(docId, f))
       }
-      operators.Gif.encodeGif(operators.Gif.GifImage(8, 8, pal, frames))
+      operators.Gif.encodeGif(operators.Gif.GifImage(
+        8, 8, operators.Gif.fixturePalette16, frames))
     })
     val stats = udf((p: Array[Byte]) =>
       operators.Gif.decodeGif(p).map { img =>

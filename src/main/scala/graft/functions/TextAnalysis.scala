@@ -358,13 +358,9 @@ object TextAnalysis {
       udf((p: Array[Byte]) =>
         graft.operators.Flic.decodeFlic(p).map(_.frames.size)))
     // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
-    // score) over the first 512 normalized chars
+    // score) over the first 512 normalized chars — same body as
+    // Unigram.segmentStats (Unigram.stats), so the surfaces can't drift
     spark.udf.register("unigram_stats",
-      udf((t: String) => {
-        val s = graft.operators.Unigram.normalize(t, 512)
-        val (score, n) = graft.operators.Unigram.unpack(
-          graft.operators.Unigram.viterbiPacked(s))
-        (s.length, n, score)
-      }))
+      udf((t: String) => graft.operators.Unigram.stats(t, 512)))
   }
 }

@@ -25,14 +25,18 @@ import graft.functions.DetRandom.mix64
  */
 object EpochShuffle {
 
-  /** Mixing constant for folding (id, epoch, seed) into one 64-bit key:
-    * a large prime so consecutive epochs decorrelate fully after the
-    * splitmix64 finalizer. */
-  private val EpochPrime = 1000003L
+  /** Distinct multipliers for id / epoch / seed before the splitmix64
+    * finalizer: with separate primes, (epoch, seed) pairs cannot alias
+    * additively (epoch+1 at seed s is NOT epoch at seed s+1 — the bug
+    * a shared multiplier would bake in), so every (epoch, seed) names
+    * an independent permutation. */
+  private val IdPrime = 1000003L
+  private val EpochPrime = 2654435761L
+  private val SeedPrime = 4294967291L
 
   /** The 53-bit shuffle key for one row of one epoch. */
   def shuffleKey(id: Long, epoch: Int, seed: Long): Long =
-    mix64(id * EpochPrime + epoch + seed) >>> 11
+    mix64(id * IdPrime + epoch * EpochPrime + seed * SeedPrime) >>> 11
 
   /** Adds `posCol` = the 1-based position of each row in the epoch's
     * shuffled order (deterministic in (id, epoch, seed) only). */

@@ -150,7 +150,9 @@ object Flic {
     * entirely for identical frames — a zero-chunk frame). */
   def encodeFlic(v: FlicVideo): Array[Byte] = {
     require(v.width % 2 == 0 && v.width > 0 && v.height > 0, "even width required")
-    require(v.palette.length == 256 || v.palette.length <= 256, "palette <= 256")
+    // empty would encode a count byte of 0, which MEANS 256 on decode
+    require(v.palette.length >= 1 && v.palette.length <= 256,
+      s"palette size ${v.palette.length} not in [1, 256]")
     require(v.frames.nonEmpty, "at least one frame")
     v.frames.foreach(f => require(f.length == v.width * v.height, "frame size"))
     val frames = new W

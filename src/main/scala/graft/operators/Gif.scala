@@ -239,6 +239,8 @@ object Gif {
     img.frames.foreach { f =>
       require(f.indices.length == img.width * img.height,
         s"frame has ${f.indices.length} px for ${img.width}x${img.height}")
+      require(f.delayCs >= 0 && f.delayCs <= 0xffff,
+        s"delayCs ${f.delayCs} not a u16 — would truncate silently")
       // Graphic Control Extension (delay in centiseconds)
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(0) // no disposal / no transparency
@@ -332,6 +334,17 @@ object Gif {
       }
       Some(GifImage(width, height, palette, frames.result()))
     } catch { case _: Exception => None }
+
+  /** The deterministic 16-color fixture shared by the oracled query and
+    * the scale bench (one source of truth — the bench must measure the
+    * same workload the oracle checks). */
+  def fixturePalette16: Array[Int] = Array.tabulate(16)(k =>
+    ((k * 17) % 256 << 16) | ((k * 29) % 256 << 8) | ((k * 43) % 256))
+
+  /** Closed-form 8×8 frame indices for (id, frame) — mirrored by the
+    * `image_gif` DuckDB oracle. */
+  def fixtureIndices(id: Long, f: Int): Array[Byte] =
+    Array.tabulate[Byte](64)(i => ((id * 7 + f * 13 + i * 3) % 16).toByte)
 
   /** Integer per-stream stats over the decoded animation: frame count,
     * total delay, palette-resolved RGB channel sums, and the raster-

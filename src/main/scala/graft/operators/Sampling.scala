@@ -260,8 +260,11 @@ object Sampling {
     require(budget > 0, s"budget $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().sortBy(_._1)
+    val raw = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    raw.foreach { case (d, _) =>
+      require(d != null, s"null $domainCol — filter or fill before allocating") }
+    val counts = raw.sortBy(_._1)
     require(counts.nonEmpty, "no domains")
     counts.foreach { case (_, n) =>
       require(n <= Long.MaxValue / scale, s"n*scale overflows: $n * $scale") }

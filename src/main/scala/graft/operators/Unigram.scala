@@ -96,16 +96,24 @@ object Unigram {
     if (cleaned.length <= maxChars) cleaned else cleaned.substring(0, maxChars)
   }
 
+  /** normalize → Viterbi → unpack as one call: (n_chars, n_tokens,
+    * score). The single body behind BOTH the DataFrame operator and the
+    * `unigram_stats` SQL registration, so the two surfaces cannot
+    * drift; carries the tie-break-radix guard for both. */
+  def stats(text: String, maxChars: Int): (Int, Long, Long) = {
+    require(maxChars < 1024,
+      s"maxChars $maxChars must stay below the 1024 tie-break radix")
+    val s = normalize(text, maxChars)
+    val (score, nTok) = unpack(viterbiPacked(s))
+    (s.length, nTok, score)
+  }
+
   /** Per-document segmentation stats: characters analyzed, Viterbi
     * token count, total scaled log-prob. */
   def segmentStats(df: DataFrame, idCol: String, textCol: String,
                    maxChars: Int): DataFrame = {
     require(maxChars < 1024, s"maxChars $maxChars must stay below the 1024 tie-break radix")
-    val statsUdf = udf((text: String) => {
-      val s = normalize(text, maxChars)
-      val (score, nTok) = unpack(viterbiPacked(s))
-      (s.length, nTok, score)
-    })
+    val statsUdf = udf((text: String) => stats(text, maxChars))
     df.select(col(idCol), statsUdf(col(textCol)).as("st"))
       .select(col(idCol),
         col("st._1").as("n_chars"),

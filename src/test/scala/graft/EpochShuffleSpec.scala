@@ -55,7 +55,14 @@ class EpochShuffleSpec extends SparkSpecBase {
       assert(k >= 0 && k < (1L << 53))
       assert(k.toDouble.toLong == k)
     }
-    // and the key really is the splitmix64 stream
-    assert(EpochShuffle.shuffleKey(3L, 2, 10L) == (mix64(3L * 1000003L + 12L) >>> 11))
+    // and the key really is the splitmix64 stream over the 3-prime fold
+    assert(EpochShuffle.shuffleKey(3L, 2, 10L) ==
+      (mix64(3L * 1000003L + 2L * 2654435761L + 10L * 4294967291L) >>> 11))
+  }
+
+  test("(epoch, seed) pairs do not alias: epoch+1 at seed s != epoch at seed s+1") {
+    // a shared additive multiplier would make these bit-identical
+    for (id <- 0L until 50L)
+      assert(EpochShuffle.shuffleKey(id, 1, 5L) != EpochShuffle.shuffleKey(id, 0, 6L))
   }
 }
