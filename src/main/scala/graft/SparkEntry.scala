@@ -4596,6 +4596,7 @@ object SparkEntry {
     * frame-local decoders hide) breaks blocks 12..15's hash. */
   private def audioMpegLayer1(s: SparkSession, dir: String): DataFrame = {
     val mk = udf((docId: Long) => {
+      val nCh = 1 + (docId % 2).toInt // odd docs are STEREO
       val alloc = new Array[Int](32)
       val sfIdx = new Array[Int](32)
       Seq(((docId % 8).toInt, 1 + (docId % 3).toInt, (docId % 63).toInt),
@@ -4604,12 +4605,13 @@ object SparkEntry {
         .foreach { case (sb, a, sf) => alloc(sb) = a; sfIdx(sb) = sf }
       val out = new java.io.ByteArrayOutputStream()
       (0 until 2).foreach { fr =>
-        val samples = Array.tabulate(12, 32) { (t, sb) =>
+        val samples = Array.tabulate(12, nCh, 32) { (t, ch, sb) =>
           if (alloc(sb) == 0) 0
-          else ((docId * 31 + sb * 17 + (fr * 12 + t) * 7)
+          else ((docId * 31 + sb * 17 + (fr * 12 + t) * 7 + ch * 41)
             % (1L << (alloc(sb) + 1))).toInt
         }
-        val bytes = operators.Mpeg1Audio.encodeFrame(alloc, sfIdx, samples)
+        val bytes = operators.Mpeg1Audio.encodeFrameCh(
+          Array.fill(nCh)(alloc), Array.fill(nCh)(sfIdx), samples)
         out.write(bytes, 0, bytes.length)
       }
       out.toByteArray
@@ -4632,6 +4634,8 @@ object SparkEntry {
     s"""WITH nmat(i, j, nv) AS (VALUES ${operators.Mpeg1Audio.matrixValuesSql}),
        |dwin(tap, dv) AS (VALUES ${operators.Mpeg1Audio.windowValuesSql}),
        |sfs(idx, sv) AS (VALUES ${operators.Mpeg1Audio.scalefactorValuesSql}),
+       |chans AS (
+       |  SELECT doc_id, 1 + doc_id % 2 AS nch FROM documents),
        |sbs AS (
        |  SELECT doc_id,
        |    unnest([doc_id % 8, 10 + doc_id % 6, 20 + doc_id % 9]) AS sb,
@@ -4641,38 +4645,45 @@ object SparkEntry {
        |sval AS MATERIALIZED (
        |  -- ISO Layer-I dequant at 2^15 then scalefactor at 2^16, all
        |  -- truncating: DuckDB // truncates toward zero like the JVM's /.
-       |  -- g is the GLOBAL block index across both frames (2 x 12).
-       |  SELECT s.doc_id, g.t, s.sb,
-       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7) % (CAST(1 AS BIGINT) << s.nb))
+       |  -- g is the GLOBAL block index across both frames (2 x 12);
+       |  -- odd docs are stereo (ch offsets the sample codes by 41).
+       |  SELECT s.doc_id, cc.ch, g.t, s.sb,
+       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7 + cc.ch * 41)
+       |              % (CAST(1 AS BIGINT) << s.nb))
        |        - (CAST(1 AS BIGINT) << s.nb) + 2) * 32768)
        |      // ((CAST(1 AS BIGINT) << s.nb) - 1)) * f.sv) // 65536 AS v
        |  FROM sbs s
+       |  JOIN chans c ON c.doc_id = s.doc_id
+       |  JOIN (SELECT unnest(range(0, 2)) AS ch) cc ON cc.ch < c.nch
        |  JOIN (SELECT unnest(range(0, 24)) AS t) g ON true
        |  JOIN sfs f ON f.idx = s.sfidx),
        |vmat AS MATERIALIZED (
-       |  SELECT sv.doc_id, sv.t, n.i, sum(n.nv * sv.v) // 16384 AS vv
+       |  SELECT sv.doc_id, sv.ch, sv.t, n.i, sum(n.nv * sv.v) // 16384 AS vv
        |  FROM sval sv JOIN nmat n ON n.j = sv.sb
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3, 4),
        |taps AS (
-       |  SELECT b.doc_id, g.t, jj.j, ii.i
-       |  FROM (SELECT doc_id FROM documents) b,
-       |       (SELECT unnest(range(0, 24)) AS t) g,
-       |       (SELECT unnest(range(0, 32)) AS j) jj,
-       |       (SELECT unnest(range(0, 16)) AS i) ii),
+       |  SELECT b.doc_id, b.nch, cc.ch, g.t, jj.j, ii.i
+       |  FROM chans b
+       |  JOIN (SELECT unnest(range(0, 2)) AS ch) cc ON cc.ch < b.nch
+       |  JOIN (SELECT unnest(range(0, 24)) AS t) g ON true
+       |  JOIN (SELECT unnest(range(0, 32)) AS j) jj ON true
+       |  JOIN (SELECT unnest(range(0, 16)) AS i) ii ON true),
        |outp AS MATERIALIZED (
-       |  -- U[tap] reads the V FIFO: chunk i holds GLOBAL block t-i
-       |  -- (state crosses the frame boundary); even chunks read offset
-       |  -- j, odd chunks offset 32+j (ISO layout)
-       |  SELECT o.doc_id, o.t, o.j,
+       |  -- U[tap] reads channel ch's V FIFO: chunk i holds GLOBAL block
+       |  -- t-i (state crosses the frame boundary); even chunks read
+       |  -- offset j, odd chunks offset 32+j (ISO layout)
+       |  SELECT o.doc_id, o.nch, o.ch, o.t, o.j,
        |    sum(coalesce(vm.vv, 0) * d.dv) // 65536 AS pcm
        |  FROM taps o
-       |  LEFT JOIN vmat vm ON vm.doc_id = o.doc_id AND vm.t = o.t - o.i
+       |  LEFT JOIN vmat vm ON vm.doc_id = o.doc_id AND vm.ch = o.ch
+       |    AND vm.t = o.t - o.i
        |    AND vm.i = CASE WHEN o.i % 2 = 0 THEN o.j ELSE 32 + o.j END
        |  JOIN dwin d ON d.tap = o.j + 32 * o.i
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
        |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
-       |  CAST(sum((t * 32 + j) * pcm) AS BIGINT) AS pcm_wsum,
+       |  -- interleaved position: (t*32 + j) * nch + ch
+       |  CAST(sum(((t * 32 + j) * nch + ch) * pcm) AS BIGINT) AS pcm_wsum,
        |  CAST(min(pcm) AS BIGINT) AS pcm_min,
        |  CAST(max(pcm) AS BIGINT) AS pcm_max
        |FROM outp GROUP BY 1""".stripMargin

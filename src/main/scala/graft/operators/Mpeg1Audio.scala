@@ -29,11 +29,13 @@ package graft.operators
  *
  * Streams are walked frame-to-frame at the SLOT-ALIGNED Layer I frame
  * length (4·⌊12·bitrate/fs⌋ bytes; ancillary padding after the sample
- * codes is skipped) with the synthesis V FIFO carried ACROSS frames,
- * the way the ISO decoder holds filterbank state for the life of a
- * stream. Decoding real-world .mp1 additionally needs the ISO window
- * table (a 512-constant swap) and the stereo modes / CRC frames this
- * decoder deliberately rejects loudly — both documented boundaries.
+ * codes is skipped) with per-channel synthesis V FIFOs carried ACROSS
+ * frames, the way the ISO decoder holds filterbank state for the life
+ * of a stream. Mono (mode 11) and stereo (mode 00, subband-major
+ * channel-minor field order, interleaved PCM out) both decode;
+ * decoding real-world .mp1 additionally needs the ISO window table (a
+ * 512-constant swap) and the joint-stereo / dual-channel / CRC frames
+ * this decoder deliberately rejects loudly — documented boundaries.
  *
  * Scale shape: stateless per-row map like every decode here; the
  * V-FIFO state lives inside one blob's decode.
@@ -85,35 +87,60 @@ object Mpeg1Audio {
 
   // ---------------------------------------------------------- encode
 
-  /** One mono CRC-less Layer I frame, padded with zero ancillary bits
-    * to the slot-aligned frame length. `alloc(sb)` is the 4-bit code
-    * (0 = silent, c ∈ [1,14] ⇒ c+1-bit samples); `sfIdx(sb)` the 6-bit
-    * scalefactor index; `samples(t)(sb)` the raw codes, t ∈ [0,12). */
+  /** One mono CRC-less Layer I frame (wrapper over the multichannel
+    * encoder). `alloc(sb)` is the 4-bit code (0 = silent, c ∈ [1,14] ⇒
+    * c+1-bit samples); `sfIdx(sb)` the 6-bit scalefactor index;
+    * `samples(t)(sb)` the raw codes, t ∈ [0,12). */
   def encodeFrame(alloc: Array[Int], sfIdx: Array[Int],
                   samples: Array[Array[Int]], sampleRateIdx: Int = 0,
-                  bitrateIdx: Int = 8): Array[Byte] = {
-    require(alloc.length == 32 && sfIdx.length == 32 && samples.length == 12)
+                  bitrateIdx: Int = 8): Array[Byte] =
+    encodeFrameCh(Array(alloc), Array(sfIdx),
+      samples.map(row => Array(row)), sampleRateIdx, bitrateIdx)
+
+  /** One CRC-less Layer I frame, mono or STEREO (mode 11 / 00), padded
+    * with zero ancillary bits to the slot-aligned frame length. Field
+    * order per ISO Layer I: allocations subband-major channel-minor,
+    * then scalefactors in the same order, then per block t the sample
+    * codes subband-major channel-minor. Shapes: `alloc(ch)(sb)`,
+    * `sfIdx(ch)(sb)`, `samples(t)(ch)(sb)`. */
+  def encodeFrameCh(alloc: Array[Array[Int]], sfIdx: Array[Array[Int]],
+                    samples: Array[Array[Array[Int]]], sampleRateIdx: Int = 0,
+                    bitrateIdx: Int = 8): Array[Byte] = {
+    val nCh = alloc.length
+    require(nCh == 1 || nCh == 2, s"channels $nCh")
+    require(sfIdx.length == nCh && samples.length == 12 &&
+      alloc.forall(_.length == 32) && sfIdx.forall(_.length == 32) &&
+      samples.forall(t => t.length == nCh && t.forall(_.length == 32)))
     val w = new Flac.BitWriter
     // header: sync(12) ver(1)=1 layer(2)=11(I) noprot(1)=1
     w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(3, 2); w.writeBits(1, 1)
     w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
     w.writeBits(0, 1) // private
-    w.writeBits(3, 2) // mode: single channel
+    w.writeBits(if (nCh == 1) 3 else 0, 2) // mode: single channel / stereo
     w.writeBits(0, 2); w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
-    alloc.foreach { a => require(a >= 0 && a <= 14, s"alloc $a"); w.writeBits(a, 4) }
     (0 until 32).foreach { sb =>
-      if (alloc(sb) > 0) {
-        require(sfIdx(sb) >= 0 && sfIdx(sb) < 63, s"sfIdx ${sfIdx(sb)}")
-        w.writeBits(sfIdx(sb), 6)
+      (0 until nCh).foreach { ch =>
+        val a = alloc(ch)(sb)
+        require(a >= 0 && a <= 14, s"alloc $a"); w.writeBits(a, 4)
+      }
+    }
+    (0 until 32).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (alloc(ch)(sb) > 0) {
+          require(sfIdx(ch)(sb) >= 0 && sfIdx(ch)(sb) < 63, s"sfIdx ${sfIdx(ch)(sb)}")
+          w.writeBits(sfIdx(ch)(sb), 6)
+        }
       }
     }
     (0 until 12).foreach { t =>
       (0 until 32).foreach { sb =>
-        if (alloc(sb) > 0) {
-          val nb = alloc(sb) + 1
-          val x = samples(t)(sb)
-          require(x >= 0 && x < (1 << nb), s"sample $x for nb=$nb")
-          w.writeBits(x, nb)
+        (0 until nCh).foreach { ch =>
+          if (alloc(ch)(sb) > 0) {
+            val nb = alloc(ch)(sb) + 1
+            val x = samples(t)(ch)(sb)
+            require(x >= 0 && x < (1 << nb), s"sample $x for nb=$nb")
+            w.writeBits(x, nb)
+          }
         }
       }
     }
@@ -137,17 +164,18 @@ object Mpeg1Audio {
   }
 
   final case class Mp1Frame(sampleRateIdx: Int, bitrateIdx: Int,
-                            pcm: Array[Long]) // 384 synthesized samples
+                            channels: Int,
+                            pcm: Array[Long]) // 384·ch interleaved samples
 
-  /** Decode one mono Layer I frame at byte `offset`, carrying the
-    * synthesis V FIFO across frames (ISO filterbank state persists for
-    * the life of a stream); throws on malformed input. Returns the
-    * frame and the next frame's offset (slot-aligned — ancillary
-    * padding after the sample codes is skipped, as real streams
-    * require). */
+  /** Decode one Layer I frame (mono or stereo) at byte `offset`,
+    * carrying each channel's synthesis V FIFO across frames (ISO
+    * filterbank state persists for the life of a stream); throws on
+    * malformed input. Returns the frame and the next frame's offset
+    * (slot-aligned — ancillary padding after the sample codes is
+    * skipped, as real streams require). `v` is indexed (ch)(chunk)(k);
+    * stereo PCM comes back interleaved L R L R. */
   def decodeFrame(payload: Array[Byte], offset: Int,
-                  v: Array[Array[Long]]): (Mp1Frame, Int) = {
-    require(v.length == 16)
+                  v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
     val r = new Flac.BitReader(payload)
     r.bitPos = offset.toLong * 8
     require(r.readBits(12) == 0xfff, "bad sync")
@@ -158,66 +186,93 @@ object Mpeg1Audio {
     val srIdx = r.readBits(2).toInt
     val padding = r.readBits(1) == 1
     r.readBits(1)
-    require(r.readBits(2) == 3, "only single-channel mode")
+    val mode = r.readBits(2).toInt
+    require(mode == 3 || mode == 0,
+      s"mode $mode unsupported (single-channel and stereo only)")
+    val nCh = if (mode == 3) 1 else 2
+    require(v.length == nCh && v.forall(_.length == 16),
+      s"V FIFO shape ${v.length} for $nCh channels")
     r.readBits(2); r.readBits(1); r.readBits(1); r.readBits(2)
     val end = offset + frameBytes(bitrateIdx, srIdx, padding)
     require(end <= payload.length, "frame overruns payload")
-    val alloc = Array.fill(32)(r.readBits(4).toInt)
-    alloc.foreach(a => require(a <= 14, s"alloc code $a reserved"))
-    val sf = Array.tabulate(32)(sb => if (alloc(sb) > 0) {
-      val idx = r.readBits(6).toInt
-      require(idx < 63, s"scalefactor index $idx")
-      scalefactors(idx)
-    } else 0L)
-    // subband samples -> dequantized S[t][sb]
-    val s = Array.ofDim[Long](12, 32)
+    // allocations + scalefactors, subband-major channel-minor
+    val alloc = Array.ofDim[Int](nCh, 32)
+    (0 until 32).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        val a = r.readBits(4).toInt
+        require(a <= 14, s"alloc code $a reserved")
+        alloc(ch)(sb) = a
+      }
+    }
+    val sf = Array.ofDim[Long](nCh, 32)
+    (0 until 32).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (alloc(ch)(sb) > 0) {
+          val idx = r.readBits(6).toInt
+          require(idx < 63, s"scalefactor index $idx")
+          sf(ch)(sb) = scalefactors(idx)
+        }
+      }
+    }
+    // subband samples -> dequantized S[t][ch][sb]
+    val s = Array.ofDim[Long](12, nCh, 32)
     (0 until 12).foreach { t =>
       (0 until 32).foreach { sb =>
-        if (alloc(sb) > 0) {
-          val nb = alloc(sb) + 1
-          s(t)(sb) = dequant(r.readBits(nb).toInt, nb, sf(sb))
+        (0 until nCh).foreach { ch =>
+          if (alloc(ch)(sb) > 0) {
+            val nb = alloc(ch)(sb) + 1
+            s(t)(ch)(sb) = dequant(r.readBits(nb).toInt, nb, sf(ch)(sb))
+          }
         }
       }
     }
     require(r.bitPos <= end.toLong * 8, "sample codes overrun the slot length")
-    // synthesis: per block, matrix to V, push FIFO, window+sum
-    val pcm = new Array[Long](384)
+    // synthesis per channel: matrix to V, push FIFO, window+sum
+    val pcm = new Array[Long](384 * nCh)
     (0 until 12).foreach { t =>
-      // shift FIFO
-      var c = 15
-      while (c > 0) { v(c) = v(c - 1); c -= 1 }
-      v(0) = Array.tabulate(64) { i =>
-        var acc = 0L
-        var j = 0
-        while (j < 32) { acc += matrixN(i)(j) * s(t)(j); j += 1 }
-        acc / 16384L // truncate back to sample scale
-      }
-      // U/W/out per ISO structure: tap group i reads V-FIFO chunk i —
-      // even chunks at offset j, odd chunks at offset 32+j (that
-      // equality is what the oracle's `vm.t = o.t - o.i` join encodes)
-      var jOut = 0
-      while (jOut < 32) {
-        var acc = 0L
-        var i = 0
-        while (i < 16) {
-          val u = if (i % 2 == 0) v(i)(jOut) else v(i)(32 + jOut)
-          acc += u * windowD(jOut + 32 * i)
-          i += 1
+      (0 until nCh).foreach { ch =>
+        val vc = v(ch)
+        var c = 15
+        while (c > 0) { vc(c) = vc(c - 1); c -= 1 }
+        vc(0) = Array.tabulate(64) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < 32) { acc += matrixN(i)(j) * s(t)(ch)(j); j += 1 }
+          acc / 16384L // truncate back to sample scale
         }
-        pcm(t * 32 + jOut) = acc / 65536L
-        jOut += 1
+        // U/W/out per ISO structure: tap group i reads V-FIFO chunk i —
+        // even chunks at offset j, odd chunks at offset 32+j (that
+        // equality is what the oracle's `vm.t = o.t - o.i` join encodes)
+        var jOut = 0
+        while (jOut < 32) {
+          var acc = 0L
+          var i = 0
+          while (i < 16) {
+            val u = if (i % 2 == 0) vc(i)(jOut) else vc(i)(32 + jOut)
+            acc += u * windowD(jOut + 32 * i)
+            i += 1
+          }
+          pcm((t * 32 + jOut) * nCh + ch) = acc / 65536L
+          jOut += 1
+        }
       }
     }
-    ((Mp1Frame(srIdx, bitrateIdx, pcm)), end)
+    ((Mp1Frame(srIdx, bitrateIdx, nCh, pcm)), end)
   }
 
-  /** Decode every frame in a payload with PERSISTENT filterbank state
-    * (the V FIFO carries across frame boundaries, as the ISO decoder's
-    * does for the life of a stream). None on any malformed structure. */
+  /** Decode every frame in a payload with PERSISTENT per-channel
+    * filterbank state (the V FIFOs carry across frame boundaries, as
+    * the ISO decoder's do for the life of a stream). None on any
+    * malformed structure or a mid-stream channel-count change. */
   def decode(payload: Array[Byte]): Option[Seq[Mp1Frame]] =
     try {
+      // peek the first header's mode for the FIFO shape
+      require(payload.length >= 4, "too short")
+      val mode = (payload(3) >> 6) & 3
+      require(mode == 3 || mode == 0, s"mode $mode unsupported")
+      val nCh = if (mode == 3) 1 else 2
       var p = 0
-      val v = Array.ofDim[Long](16, 64)
+      val v = Array.ofDim[Long](nCh, 16, 64)
       val out = Seq.newBuilder[Mp1Frame]
       while (p < payload.length) {
         val (f, np) = decodeFrame(payload, p, v)

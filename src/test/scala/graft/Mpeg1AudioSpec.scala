@@ -107,6 +107,26 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(Mpeg1Audio.decode(pad).get.head.pcm.toSeq == basePcm)
   }
 
+  test("stereo: field order decodes, PCM interleaves, left == the mono decode") {
+    val alloc = new Array[Int](32); alloc(2) = 3; alloc(11) = 7
+    val sfIdx = new Array[Int](32); sfIdx(2) = 9; sfIdx(11) = 20
+    val mono = Array.tabulate(12, 32)((t, sb) =>
+      if (alloc(sb) == 0) 0 else (t * 5 + sb) % (1 << (alloc(sb) + 1)))
+    val st = Array.tabulate(12, 2, 32)((t, ch, sb) =>
+      if (alloc(sb) == 0) 0
+      else (t * 5 + sb + ch * 13) % (1 << (alloc(sb) + 1)))
+    val monoPcm = Mpeg1Audio.decode(
+      Mpeg1Audio.encodeFrame(alloc, sfIdx, mono)).get.head.pcm
+    val f = Mpeg1Audio.decode(Mpeg1Audio.encodeFrameCh(
+      Array(alloc, alloc), Array(sfIdx, sfIdx), st)).get.head
+    assert(f.channels == 2 && f.pcm.length == 768)
+    // ch 0's samples equal the mono stream's -> even interleave slots match
+    assert((0 until 384).forall(i => f.pcm(2 * i) == monoPcm(i)),
+      "left channel diverged from the mono decode")
+    // the +13 code offset makes the right channel a different signal
+    assert((0 until 384).exists(i => f.pcm(2 * i + 1) != f.pcm(2 * i)))
+  }
+
   test("malformed streams are refused") {
     val good = fixtureFrame(3L)
     assert(Mpeg1Audio.decode(Array[Byte](1, 2, 3)).isEmpty, "no sync")
