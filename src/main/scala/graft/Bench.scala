@@ -135,10 +135,16 @@ object Bench {
     // of a heavy unique shape is the dominant spread source suite-wide;
     // the min is the stable figure, and these warmups keep the reported
     // spreads measuring run-to-run variance rather than JIT
+    // quality_clf / community_labelprop / graphsage_agg / warc_ingest /
+    // wds_ingest joined the warm list in r10: each owns a heavy unique
+    // plan shape (epoch-loop aggregate, iterated SpMV, gzip/ustar codec
+    // scan) nothing earlier compiles, and each showed first-run-codegen
+    // spreads of 0.5-0.9 on steady sub-second mins in the r10 run
     for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
                   "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion",
                   "image_neardup", "lm_score", "semdedup", "training_feed",
-                  "span_dedup_hashed"))
+                  "span_dedup_hashed", "quality_clf", "community_labelprop",
+                  "graphsage_agg", "warc_ingest", "wds_ingest"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 
