@@ -4386,6 +4386,80 @@ object SparkEntry {
       |  CAST(sqrt(CAST(energy AS DOUBLE) / n) AS REAL) AS rms
       |FROM agg""".stripMargin
 
+  /** Audio near-duplicate detection, FULL oracle — the waveform analog
+    * of `image_neardup`: closed-form PCM16 waveforms (4 variants per
+    * base signal; variants v=1..3 nudge every 131st sample by a small
+    * closed-form delta) are round-tripped through the REAL WAV codec
+    * (`Multimodal.encodeWavPcm16` → `decodeWavSamples`), fingerprinted
+    * by the energy-delta signature (`Multimodal.audioFingerprint` —
+    * 64 frames, bit f = E[f] > E[f+1], all-integer), and paired by the
+    * generic 4×16-bit banded Hamming join (`Dedup.hammingBandPairs` —
+    * one shuffle on the band key, never all-pairs). DuckDB re-derives
+    * samples, frame energies, signature bits, band buckets, and the
+    * Hamming verify in pure integer SQL, so byte-order or framing
+    * defects anywhere in the codec path break the hash match. */
+  private def audioNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    val wavUdf = udf((docId: Long) => {
+      val b = docId / 4
+      val v = docId % 4
+      val xs = new Array[Short](1024)
+      var i = 0
+      while (i < 1024) {
+        val raw = ((b * 31 + 7) * ((i.toLong * i) % 65536) +
+          (b * 17 + 3) * i + b) % 65536
+        val p = if (i % 131 < v) ((docId + i) % 7) * 64 else 0L
+        xs(i) = (((raw + p) % 65536) - 32768).toShort
+        i += 1
+      }
+      operators.Multimodal.encodeWavPcm16(xs, 8000, 1)
+    })
+    val fpUdf = udf((payload: Array[Byte]) =>
+      operators.Multimodal.decodeWavSamples(payload).map {
+        case (_, xs) => operators.Multimodal.audioFingerprint(xs)
+      })
+    val sigs = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("payload"))
+      .select(col("doc_id"), fpUdf(col("payload")).as("fp"))
+    operators.Dedup.hammingBandPairs(sigs, "doc_id", "fp", maxHamming = 10)
+  }
+
+  private val audioNeardupSql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 1024), i ->
+      |      (((b * 31 + 7) * (i * i % 65536) + (b * 17 + 3) * i + b) % 65536
+      |        + CASE WHEN i % 131 < v THEN ((doc_id + i) % 7) * 64 ELSE 0 END)
+      |        % 65536 - 32768) AS xs
+      |  FROM d),
+      |e AS MATERIALIZED (
+      |  SELECT s.doc_id, f.range AS f,
+      |    list_sum(list_transform(
+      |      range(f.range * 16, f.range * 16 + 16),
+      |      i -> CAST(s.xs[CAST(i AS INT) + 1] AS BIGINT)
+      |           * s.xs[CAST(i AS INT) + 1])) AS en
+      |  FROM s, range(0, 64) f),
+      |fp AS MATERIALIZED (
+      |  SELECT e1.doc_id,
+      |    CAST(sum(CASE WHEN e1.en > e2.en
+      |             THEN CAST(1 AS BIGINT) << CAST(e1.f AS INT)
+      |             ELSE 0 END) AS BIGINT) AS fp
+      |  FROM e e1 JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+      |  GROUP BY 1),
+      |bands AS (
+      |  SELECT fp.doc_id, fp.fp, b.range AS band,
+      |    (fp.fp >> CAST(16 * b.range AS INT)) & 65535 AS bucket
+      |  FROM fp, range(0, 4) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+      |    l.fp AS a_fp, r.fp AS b_fp
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(a_fp, b_fp)) <= 10""".stripMargin
+
   /** Per-value vgraph analytics, FULL oracle — the reference's
     * `vgraph_pagerank` / `vgraph_community_detection` over the vgraph
     * TYPE (small in-cell graphs, not a distributed edge table): per
@@ -7518,6 +7592,7 @@ object SparkEntry {
     "audio_mp3_meta" -> (audioMp3Meta(_, _)),
     "audio_samples" -> (audioSamples(_, _)),
     "audio_flac" -> (audioFlac(_, _)),
+    "audio_neardup" -> (audioNeardupQ(_, _)),
     "audio_mpeg_layer1" -> (audioMpegLayer1(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
@@ -7799,6 +7874,7 @@ object SparkEntry {
     "audio_mp3_meta" -> audioMp3MetaSql,
     "audio_samples" -> audioSamplesSql,
     "audio_flac" -> audioFlacSql,
+    "audio_neardup" -> audioNeardupSql,
     "audio_mpeg_layer1" -> audioMpegLayer1Sql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,

@@ -593,6 +593,39 @@ object Multimodal {
       .drop("pcm")
   }
 
+  /** Energy-delta acoustic fingerprint — the waveform analog of the
+    * image aHash: the decoded stream is cut into `nFrames` equal frames,
+    * each frame's exact int64 energy (sum of squares) is computed, and
+    * bit `f` is set iff `E[f] > E[f+1]` (so a 64-frame stream yields a
+    * 63-bit signature, the top bit always clear). Small waveform edits
+    * only flip bits whose adjacent-frame energy gap is smaller than the
+    * edit's energy, so near-identical audio lands within a few Hamming
+    * bits — the property `Dedup.hammingBandPairs` needs from a
+    * signature. All-integer, so a SQL oracle re-derives it exactly.
+    * Samples beyond `nFrames * floor(n / nFrames)` are ignored; streams
+    * shorter than `nFrames` samples fingerprint to 0.
+    * Reference surface: the audio branch of `embed_multimodal`
+    * (`NeuronDB/src/ml/ml_multimodal.c`) feeding near-dup search. */
+  def audioFingerprint(xs: Array[Short], nFrames: Int = 64): Long = {
+    val frameLen = xs.length / nFrames
+    if (frameLen == 0) return 0L
+    val en = new Array[Long](nFrames)
+    var i = 0
+    val used = nFrames * frameLen
+    while (i < used) {
+      val v = xs(i).toLong
+      en(i / frameLen) += v * v
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < nFrames - 1) {
+      if (en(f) > en(f + 1)) fp |= 1L << f
+      f += 1
+    }
+    fp
+  }
+
   // ------------- real video metadata decode (RIFF/AVI parse) -------------
 
   /** Parsed AVI main header (`avih`): dimensions, frame count, frame
