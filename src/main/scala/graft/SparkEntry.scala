@@ -4654,6 +4654,88 @@ object SparkEntry {
       |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(b) AS BIGINT) AS sum_b
       |FROM rgb GROUP BY 1""".stripMargin
 
+  /** Video near-duplicate detection, FULL oracle — completes the
+    * near-dup fingerprint family (text SimHash, image aHash, audio
+    * energy-delta) with the video rung: closed-form 16×8 4:2:0 streams
+    * (4 variants per base; variants nudge every 97th luma byte by a
+    * small closed-form delta) round-trip through the REAL Y4M codec,
+    * are fingerprinted by the spatio-temporal block hash
+    * (`Y4m.blockhashFingerprint` — 8 frames × 4×2 grid, bit = block
+    * brighter than frame mean via integer cross-multiply, 64 bits),
+    * and paired by the generic banded Hamming join. The oracle
+    * re-derives luma bytes, block/frame sums, all 64 bits (bit 63 spelt
+    * as signed min so DuckDB's checked `<<` never overflows), band
+    * buckets, and the Hamming verify in pure integer SQL — a plane
+    * stride or frame-offset defect scrambles later frames' bits and
+    * breaks the match. */
+  private def videoNeardupQ(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      val b = docId / 4
+      val v = docId % 4
+      val frames = (0 until 8).map { f =>
+        (Array.tabulate[Byte](128) { i =>
+          // per-base quadratic mod a prime — pairwise-uncorrelated luma
+          // across bases (an AP-mod-256 form here leaks cross-base
+          // near-collisions into the pair set; measured at sf0.1)
+          val k = f * 128L + i
+          val raw = ((b * 97 + 13) * ((k * k) % 1048573) +
+            (b * 57 + 7) * k + b) % 1048573 % 256
+          val p = if (k % 97 < v) ((docId + k) % 5) * 8 else 0L
+          (((raw + p) % 256)).toByte
+        },
+          Array.tabulate[Byte](32)(c => ((b * 7 + c * 3 + f * 5 + 1) % 256).toByte),
+          Array.tabulate[Byte](32)(c => ((b * 5 + c * 7 + f * 3 + 2) % 256).toByte))
+      }
+      operators.Y4m.encodeY4m(16, 8, frames)
+    })
+    val fpUdf = udf((payload: Array[Byte]) =>
+      operators.Y4m.decodeY4m(payload).map { case (m, fs) =>
+        operators.Y4m.blockhashFingerprint(m, fs)
+      })
+    val sigs = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), fpUdf(col("payload")).as("fp"))
+    operators.Dedup.hammingBandPairs(sigs, "doc_id", "fp", maxHamming = 12)
+  }
+
+  private val videoNeardupSql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS b, doc_id % 4 AS v FROM documents),
+      |px AS MATERIALIZED (
+      |  SELECT d.doc_id, k.range AS k,
+      |    (((d.b * 97 + 13) * (k.range * k.range % 1048573)
+      |       + (d.b * 57 + 7) * k.range + d.b) % 1048573 % 256
+      |     + CASE WHEN k.range % 97 < d.v
+      |            THEN ((d.doc_id + k.range) % 5) * 8 ELSE 0 END) % 256 AS y
+      |  FROM d, range(0, 1024) k),
+      |blk AS MATERIALIZED (
+      |  SELECT doc_id, CAST(k // 128 AS INT) AS f,
+      |    CAST((k // 128) * 8 + ((k % 128) // 64) * 4 + (k % 16) // 4 AS INT) AS bit,
+      |    CAST(sum(y) AS BIGINT) AS bs
+      |  FROM px GROUP BY 1, 2, 3),
+      |fr AS MATERIALIZED (
+      |  SELECT doc_id, f, CAST(sum(bs) AS BIGINT) AS fs FROM blk GROUP BY 1, 2),
+      |fp AS MATERIALIZED (
+      |  SELECT blk.doc_id,
+      |    CAST(sum(CASE WHEN blk.bs * 8 > fr.fs THEN
+      |          CASE WHEN blk.bit = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |               ELSE CAST(1 AS BIGINT) << blk.bit END
+      |        ELSE 0 END) AS BIGINT) AS fp
+      |  FROM blk JOIN fr ON fr.doc_id = blk.doc_id AND fr.f = blk.f
+      |  GROUP BY 1),
+      |bands AS (
+      |  SELECT fp.doc_id, fp.fp, bb.range AS band,
+      |    (fp.fp >> CAST(16 * bb.range AS INT)) & 65535 AS bucket
+      |  FROM fp, range(0, 4) bb),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+      |    l.fp AS a_fp, r.fp AS b_fp
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(a_fp, b_fp)) <= 12""".stripMargin
+
   /** MPEG-1 Layer I SAMPLE decode, FULL oracle — the subband-synthesis
     * rung of the audio ladder (`operators/Mpeg1Audio.scala`): per doc a
     * mono CRC-less TWO-FRAME Layer I stream (three active subbands at
@@ -7596,6 +7678,7 @@ object SparkEntry {
     "audio_mpeg_layer1" -> (audioMpegLayer1(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
+    "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
@@ -7878,6 +7961,7 @@ object SparkEntry {
     "audio_mpeg_layer1" -> audioMpegLayer1Sql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
+    "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,

@@ -104,6 +104,47 @@ object Y4m {
       clamp(y + ((116130 * cb) >> 16)))
   }
 
+  /** Spatio-temporal block-hash fingerprint — the video analog of the
+    * image aHash stacked over time: each of the first `maxFrames` frames
+    * is cut into a `gridX`×`gridY` block grid, and bit
+    * `f·(gridX·gridY) + by·gridX + bx` is set iff that block's Y-plane
+    * sum, cross-multiplied against the frame sum
+    * (`blockSum · nBlocks > frameSum`), is brighter than the frame
+    * average. All-integer (no division), so a SQL oracle replays it
+    * bit-for-bit; the default 8 frames × 4×2 grid fills all 64 bits of
+    * the signature `Dedup.hammingBandPairs` bands on. Streams shorter
+    * than `maxFrames` leave the missing frames' bits clear. Any plane
+    * stride, frame offset, or chroma sizing defect upstream shifts the
+    * Y bytes of later frames and scrambles the signature — which is the
+    * point. */
+  def blockhashFingerprint(meta: Y4mMeta, frames: Seq[Planes],
+                           gridX: Int = 4, gridY: Int = 2,
+                           maxFrames: Int = 8): Long = {
+    require(meta.width % gridX == 0 && meta.height % gridY == 0,
+      s"${meta.width}x${meta.height} not divisible by ${gridX}x$gridY grid")
+    val bw = meta.width / gridX
+    val bh = meta.height / gridY
+    val nBlocks = gridX * gridY
+    var fp = 0L
+    frames.take(maxFrames).zipWithIndex.foreach { case ((yp, _, _), f) =>
+      val bs = new Array[Long](nBlocks)
+      var frameSum = 0L
+      var i = 0
+      while (i < yp.length) {
+        val y = (yp(i) & 0xff).toLong
+        bs(((i / meta.width) / bh) * gridX + (i % meta.width) / bw) += y
+        frameSum += y
+        i += 1
+      }
+      var b = 0
+      while (b < nBlocks) {
+        if (bs(b) * nBlocks > frameSum) fp |= 1L << (f * nBlocks + b)
+        b += 1
+      }
+    }
+    fp
+  }
+
   /** Per-stream integer stats: frame count, Y-plane sum, and the RGB
     * channel sums after 4:2:0 nearest-neighbor chroma upsampling
     * (chroma sample at (x/2, y/2)) and the fixed-point conversion —

@@ -78,4 +78,47 @@ class Y4mSpec extends AnyFunSuite {
     val badCs = new String(good, "ISO-8859-1").replaceFirst("C420jpeg", "C444")
     assert(Y4m.decodeY4m(badCs.getBytes("ISO-8859-1")).isEmpty)
   }
+
+  test("blockhash fingerprint: bit set iff block brighter than frame mean") {
+    // 4x2 frame, 2x1 grid: left block sum 20, right 4, frame 24.
+    // left: 20*2 > 24 -> bit0 set; right: 4*2 > 24 false -> bit1 clear
+    val y = Array[Byte](10, 10, 2, 2, 0, 0, 0, 0)
+    val meta = Y4m.Y4mMeta(4, 2, 25, 1, "420jpeg", 1)
+    val fp = Y4m.blockhashFingerprint(meta, Seq((y, Array[Byte](0, 0), Array[Byte](0, 0))),
+      gridX = 2, gridY = 1, maxFrames = 8)
+    assert(fp == 1L)
+  }
+
+  test("blockhash fingerprint: frames map to disjoint bit groups") {
+    val meta = Y4m.Y4mMeta(8, 8, 25, 1, "420jpeg", 2)
+    val bright = Array.tabulate[Byte](64)(i => if (i % 8 < 4 == (i < 32)) 100 else 0)
+    val dark = new Array[Byte](64)
+    val u = new Array[Byte](16); val v = new Array[Byte](16)
+    val f1 = Y4m.blockhashFingerprint(meta, Seq((bright, u, v), (dark, u, v)))
+    val f2 = Y4m.blockhashFingerprint(meta, Seq((dark, u, v), (bright, u, v)))
+    assert((f1 & 0xFFL) != 0 && (f1 >>> 8) == 0, "frame 0 owns bits 0-7")
+    assert((f2 & 0xFFL) == 0 && ((f2 >>> 8) & 0xFFL) != 0, "frame 1 owns bits 8-15")
+  }
+
+  test("blockhash fingerprint: small luma edits stay near, different streams far") {
+    def stream(b: Long, v: Long): Seq[Y4m.Planes] = (0 until 8).map { f =>
+      (Array.tabulate[Byte](128) { i =>
+        val k = f * 128L + i
+        val raw = ((b * 97 + 13) * ((k * k) % 1048573) + (b * 57 + 7) * k + b) % 1048573 % 256
+        val p = if (k % 97 < v) ((k + b) % 5) * 8 else 0L
+        ((raw + p) % 256).toByte
+      }, new Array[Byte](32), new Array[Byte](32))
+    }
+    val meta = Y4m.Y4mMeta(16, 8, 25, 1, "420jpeg", 8)
+    for (b <- 0L until 20L) {
+      val d = java.lang.Long.bitCount(
+        Y4m.blockhashFingerprint(meta, stream(b, 0)) ^
+          Y4m.blockhashFingerprint(meta, stream(b, 3)))
+      assert(d <= 12, s"base $b variant drifted $d bits")
+    }
+    val cross = java.lang.Long.bitCount(
+      Y4m.blockhashFingerprint(meta, stream(1, 0)) ^
+        Y4m.blockhashFingerprint(meta, stream(2, 0)))
+    assert(cross > 12, s"unrelated streams only $cross bits apart")
+  }
 }
