@@ -2602,6 +2602,69 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM u GROUP BY 1""".stripMargin
 
+  /** URL canonicalization dedup, FULL oracle — the crawl-ingest step
+    * before content dedup: five URL variants per base page (mixed
+    * scheme/host case, explicit default port, duplicate path slashes,
+    * trailing slash, fragments, shuffled query params interleaved with
+    * utm_/fbclid/gclid tracking garbage) all collapse to one canonical
+    * key (`Dedup.urlCanonical` — all-native regexp + collection
+    * builtins, zero UDFs), and one shuffle on that key yields keeper +
+    * variant count. The oracle states the identical transform in
+    * DuckDB (regexp_replace/extract, list_filter/sort) over the same
+    * generated variants. */
+  private def urlCanonDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val u = expr("doc_id div 5").cast("string")
+    val v = col("doc_id") % 5
+    val url =
+      when(v === 0, concat(lit("https://www.site"), u, lit(".example.com/docs/page"), u, lit("?a=1&b=2")))
+        .when(v === 1, concat(lit("HTTPS://WWW.SITE"), u, lit(".EXAMPLE.COM:443/docs/page"), u, lit("?b=2&a=1")))
+        .when(v === 2, concat(lit("https://www.site"), u, lit(".example.com/docs//page"), u, lit("?utm_source=feed&a=1&utm_medium=rss&b=2")))
+        .when(v === 3, concat(lit("https://www.site"), u, lit(".example.com/docs/page"), u, lit("/?a=1&fbclid=X"), u, lit("&b=2")))
+        .otherwise(concat(lit("https://www.site"), u, lit(".example.com/docs/page"), u, lit("?b=2&gclid=g"), u, lit("&a=1#sec")))
+    operators.Dedup.urlDedup(
+      Tables.read(s, dir, "documents").select(col("doc_id"), url.as("url")),
+      "doc_id", "url")
+  }
+
+  private val urlCanonDedupSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'https://www.site' || (doc_id // 5) || '.example.com/docs/page' || (doc_id // 5) || '?a=1&b=2'
+      |      WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id // 5) || '.EXAMPLE.COM:443/docs/page' || (doc_id // 5) || '?b=2&a=1'
+      |      WHEN 2 THEN 'https://www.site' || (doc_id // 5) || '.example.com/docs//page' || (doc_id // 5) || '?utm_source=feed&a=1&utm_medium=rss&b=2'
+      |      WHEN 3 THEN 'https://www.site' || (doc_id // 5) || '.example.com/docs/page' || (doc_id // 5) || '/?a=1&fbclid=X' || (doc_id // 5) || '&b=2'
+      |      ELSE 'https://www.site' || (doc_id // 5) || '.example.com/docs/page' || (doc_id // 5) || '?b=2&gclid=g' || (doc_id // 5) || '&a=1#sec'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+      |    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/{2,}', '/') AS collapsed,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS rawq
+      |  FROM raw),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://'
+      |      || CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |              ELSE hostport END
+      |      || CASE WHEN collapsed <> '/' THEN regexp_replace(collapsed, '/$', '')
+      |              ELSE collapsed END
+      |      || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url
+      |  FROM (
+      |    SELECT *, array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') OR p = ''))), '&') AS kept
+      |    FROM parts))
+      |SELECT canon_url,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |  CAST(count(*) AS BIGINT) AS n_variants
+      |FROM canon GROUP BY 1""".stripMargin
+
   /** Systematic weighted resampling, FULL oracle — Madow's systematic
     * PPS scheme (the particle-filter / data-mixture resampler):
     * deterministic, exactly k=100 total copies, copies_i ∝ n_chars. The
@@ -7634,6 +7697,7 @@ object SparkEntry {
     "repetition_stats" -> (repetitionStatsQ(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
+    "url_canon_dedup" -> (urlCanonDedupQ(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
     "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
     "hll_distinct" -> (hllDistinctQ(_, _)),
@@ -7902,6 +7966,7 @@ object SparkEntry {
     "repetition_stats" -> repetitionStatsSql,
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
+    "url_canon_dedup" -> urlCanonDedupSql,
     "kmv_distinct" -> kmvDistinctSql,
     "kmv_merge_shards" -> kmvMergeShardsSql,
     "hll_distinct" -> hllDistinctSql,

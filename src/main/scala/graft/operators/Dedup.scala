@@ -47,6 +47,44 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** URL canonicalization (Column-native, zero UDF) — the crawl-dedup
+    * key CommonCrawl-style pipelines shuffle on: lowercase scheme and
+    * host, strip the scheme's default port (`:443`/`:80`), drop the
+    * fragment, collapse duplicate path slashes, strip one trailing
+    * slash (a bare `/` survives), remove tracking query params
+    * (`utm_*`, `fbclid`, `gclid`) and byte-sort the survivors so param
+    * order stops mattering. All regexp/collection builtins, so the
+    * whole key derivation stays inside whole-stage codegen and a SQL
+    * oracle states the identical transform.
+    * Reference surface: the crawl-ingest URL normalization feeding
+    * `NeuronDB`'s document dedup (same canonical-key-then-group shape
+    * as [[exactGroups]]). */
+  def urlCanonical(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val collapsed = regexp_replace(
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/{2,}", "/")
+    val path = when(collapsed =!= "/", regexp_replace(collapsed, "/$", ""))
+      .otherwise(collapsed)
+    val kept = array_join(array_sort(filter(
+      split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** Group a corpus by canonical URL: one shuffle on the canonical key,
+    * emitting the keeper (smallest id) and the variant count per key —
+    * the crawl-side sibling of [[exactGroups]]' content dedup. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("id"), urlCanonical(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+
   // ---------------- benchmark decontamination ----------------
 
   /** Distinct word n-grams of a text column. Explicit [ \t\n\r]
