@@ -7376,6 +7376,46 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"),
         col("avg_logp").cast("float").as("avg_logp"))
 
+  /** Kneser-Ney-smoothed LM scoring, FULL oracle — same corpus-trained
+    * setup as `lm_score` but with the KenLM-convention smoothing
+    * (absolute discount d=0.75 + continuation-probability backoff).
+    * The oracle derives all three marginals from the bigram table the
+    * way the operator does and spells every constant as an explicit
+    * DOUBLE so both engines run the identical IEEE expression; the
+    * libm `ln` / unordered mean go out as REAL per the float4
+    * convention. */
+  private def lmScoreKnQ(s: SparkSession, dir: String): DataFrame =
+    operators.LmFilter.scoreCorpusKn(
+        Tables.read(s, dir, "documents"), "doc_id", "text", discount = 0.75)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("avg_logp").cast("float").as("avg_logp"))
+
+  private val lmScoreKnSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT t.doc_id, t.ts[g.i] AS w1, t.ts[g.i + 1] AS w2
+      |  FROM toks t CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.ts))) AS i) g
+      |  WHERE len(t.ts) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+      |        FROM c12 GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+      |nb AS (SELECT count(*) AS b FROM c12),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |    ln((c12.c12 - CAST(0.75 AS DOUBLE)) / ctx.c1
+      |       + CAST(0.75 AS DOUBLE) * ctx.n1f / ctx.c1
+      |         * (cont.n1b / CAST(nb.b AS DOUBLE))) AS logp
+      |  FROM pairs p JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+      |       JOIN cont USING (w2), nb),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |               avg(logp) AS al
+      |        FROM sc GROUP BY 1)
+      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |       CAST(agg.al AS REAL) AS avg_logp
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   private val lmScoreSql =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
@@ -7827,6 +7867,7 @@ object SparkEntry {
     "line_dedup" -> (lineDedupQ(_, _)),
     "training_feed" -> (trainingFeedQ(_, _)),
     "lm_score" -> (lmScoreQ(_, _)),
+    "lm_score_kn" -> (lmScoreKnQ(_, _)),
     "quality_clf" -> (qualityClfQ(_, _)),
     "span_dedup" -> (spanDedupQ(_, _)),
     "span_dedup_hashed" -> (spanDedupHashed(_, _)),
@@ -8064,6 +8105,7 @@ object SparkEntry {
     "line_dedup" -> lineDedupSql,
     "training_feed" -> trainingFeedSql,
     "lm_score" -> lmScoreSql,
+    "lm_score_kn" -> lmScoreKnSql,
     "quality_clf" -> qualityClfSql,
     "span_dedup" -> spanDedupSql,
     "hash_sample" -> hashSampleSql,

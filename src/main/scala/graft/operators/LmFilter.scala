@@ -66,4 +66,56 @@ object LmFilter {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
   }
+
+  /** Kneser-Ney-smoothed sibling of [[scoreCorpus]] — the KenLM/CCNet
+    * convention real perplexity filters run: absolute discounting of
+    * the observed bigram count plus a continuation-probability backoff,
+    *   P(w|v) = (c(vw) − d)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/B ,
+    * where N₁₊(v·) / N₁₊(·w) are the distinct-successor / -predecessor
+    * counts and B the distinct-bigram total. The continuation term is
+    * what separates KN from add-k: a word seen often but only ever
+    * after one context ("Francisco") scores low as a backoff target.
+    *
+    * Scale shape identical to [[scoreCorpus]]: ALL three marginals
+    * (c(v), N₁₊(v·), N₁₊(·w)) fall out of the one bigram-count table at
+    * distinct-bigram cost — no extra corpus shuffle — and B is the one
+    * driver-side scalar. Only observed bigrams are scored (inner
+    * scoring join, as in [[scoreCorpus]]), so the discounted term is
+    * always positive and the max(·,0) clamp of the textbook form is
+    * vacuous here.
+    *
+    * Numerics: same float4 convention as [[scoreCorpus]] — `ln` is
+    * libm, the per-doc mean an unordered double sum; callers/oracles
+    * CAST the mean to REAL. */
+  def scoreCorpusKn(df: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0, 1): $discount")
+    val toks = df.select(col(idCol),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nBigrams = c12.count()
+    val model = c12.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .withColumn("logp", log(
+        (col("c12") - lit(discount)) / col("c1") +
+          lit(discount) * col("n1f") / col("c1") *
+            (col("n1b") / lit(nBigrams.toDouble))))
+      .select(col("w1"), col("w2"), col("logp"))
+    val scored = pairs
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
 }
