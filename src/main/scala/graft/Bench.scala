@@ -78,6 +78,9 @@ object Bench {
     "wds_ingest",                                         // WebDataset ustar shard -> samples
     "zorder_layout", "weighted_reservoir",                // layout stats / one-pass PPS draw
     "image_neardup",                                      // multimodal aHash near-dup
+    // audio/video_neardup share image_neardup's exact plan family
+    // (fingerprint scan + banded Hamming join) and are not re-timed
+    "url_canon_dedup",                                    // crawl canonical-key dedup (zero-UDF)
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
     "graphsage_agg", "sgc_propagate",                     // GNN
     "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
