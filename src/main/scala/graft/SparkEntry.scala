@@ -2602,6 +2602,67 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_urls
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Containment dedup, FULL oracle — the asymmetric-Jaccard detector
+    * for wholesale quoting (a short document embedded inside a longer
+    * one scores ~1.0 where symmetric Jaccard stays low): each document
+    * is re-planted inside a wrapper (`wrap <id> begin <text> finis <id>
+    * end`), and `Dedup.containmentPairs` (distinct 3-grams → global
+    * df cap → gram equi-join → exact integer ratios) must recover every
+    * original⊂wrapper pair at containment exactly 1.0. The oracle
+    * replays tokenization, distinct grams, the df cap, the join, and
+    * the IEEE int÷int ratios; containment goes out REAL per the float
+    * convention. */
+  private def containmentDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val planted = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(lit("wrap "), col("doc_id").cast("string"), lit(" begin "),
+        col("text"), lit(" finis "), col("doc_id").cast("string"),
+        lit(" end")).as("text"))
+    val both = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    operators.Dedup.containmentPairs(both, "doc_id", "text",
+        n = 3, maxDf = 50, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("a_grams"), col("b_grams"),
+        col("containment").cast("float").as("containment"))
+  }
+
+  private val containmentDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    'wrap ' || doc_id || ' begin ' || text || ' finis ' || doc_id || ' end'
+      |  FROM documents),
+      |toks AS (
+      |  SELECT id, list_filter(string_split_regex(text, '[ \t\n\r]+'),
+      |                         w -> w <> '') AS ws
+      |  FROM u),
+      |grams AS (
+      |  SELECT DISTINCT t.id,
+      |    array_to_string(list_slice(t.ws, g.i, g.i + 2), ' ') AS gram
+      |  FROM toks t CROSS JOIN LATERAL
+      |    (SELECT unnest(range(1, len(t.ws) - 1)) AS i) g
+      |  WHERE len(t.ws) >= 3),
+      |rare AS (
+      |  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+      |  WHERE df <= 50),
+      |capped AS (SELECT g.id, g.gram FROM grams g JOIN rare USING (gram)),
+      |sizes AS (SELECT id, count(*) AS n_grams FROM capped GROUP BY 1),
+      |inter AS (
+      |  SELECT l.id AS a_id, r.id AS b_id, count(*) AS n
+      |  FROM capped l JOIN capped r ON l.gram = r.gram AND l.id < r.id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT i.a_id, i.b_id, i.n, sa.n_grams AS ag, sb.n_grams AS bg,
+      |    greatest(i.n / CAST(sa.n_grams AS DOUBLE),
+      |             i.n / CAST(sb.n_grams AS DOUBLE)) AS c
+      |  FROM inter i JOIN sizes sa ON sa.id = i.a_id
+      |               JOIN sizes sb ON sb.id = i.b_id)
+      |SELECT a_id, b_id, CAST(n AS BIGINT) AS inter,
+      |  CAST(ag AS BIGINT) AS a_grams, CAST(bg AS BIGINT) AS b_grams,
+      |  CAST(c AS REAL) AS containment
+      |FROM j WHERE c >= 0.8""".stripMargin
+
   /** URL canonicalization dedup, FULL oracle — the crawl-ingest step
     * before content dedup: five URL variants per base page (mixed
     * scheme/host case, explicit default port, duplicate path slashes,
@@ -7738,6 +7799,7 @@ object SparkEntry {
     "pii_scrub" -> (piiScrub(_, _)),
     "url_host_stats" -> (urlHostStats(_, _)),
     "url_canon_dedup" -> (urlCanonDedupQ(_, _)),
+    "containment_dedup" -> (containmentDedupQ(_, _)),
     "kmv_distinct" -> (kmvDistinctQ(_, _)),
     "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
     "hll_distinct" -> (hllDistinctQ(_, _)),
@@ -8008,6 +8070,7 @@ object SparkEntry {
     "pii_scrub" -> piiScrubSql,
     "url_host_stats" -> urlHostStatsSql,
     "url_canon_dedup" -> urlCanonDedupSql,
+    "containment_dedup" -> containmentDedupSql,
     "kmv_distinct" -> kmvDistinctSql,
     "kmv_merge_shards" -> kmvMergeShardsSql,
     "hll_distinct" -> hllDistinctSql,

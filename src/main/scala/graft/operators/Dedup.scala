@@ -47,6 +47,53 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Containment (asymmetric Jaccard) pairs — the sub-document dup
+    * detector symmetric Jaccard misses: |grams(A) ∩ grams(B)| / |grams(A)|
+    * is ~1.0 when a short document is quoted wholesale inside a longer
+    * one even though their symmetric Jaccard is low. Emits every pair
+    * whose larger-direction containment clears `threshold`, with the
+    * exact intersection and both gram counts.
+    *
+    * 100 TB shape: distinct word n-grams per doc (one explode), then an
+    * equi-join on the gram key — output-bound like every pair op here,
+    * with the blowup capped by the `maxDf` dial: grams appearing in more
+    * than `maxDf` docs (boilerplate phrases — exactly the grams that
+    * carry no containment signal) are dropped before the join, bounding
+    * per-gram fanout at df² ≤ maxDf·df. `hashGrams = true` is the
+    * petabyte dial (8-byte keys instead of gram strings, the
+    * [[fingerprintDedup]] collision trade). Ratios are exact-int
+    * divisions, so a SQL oracle replays them bit-for-bit. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, maxDf: Int = 50, threshold: Double = 0.8,
+                       hashGrams: Boolean = false): DataFrame = {
+    require(maxDf >= 2, s"maxDf < 2 drops every shareable gram: $maxDf")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    def gramKey(c: Column): Column = if (hashGrams) xxhash64(c) else c
+    val grams = df.select(col(idCol).as("id"),
+        explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(col("id"), gramKey(col("g")).as("gram")) // distinct per doc
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val capped = grams.join(rare, "gram")
+    // sizes measured in the SAME capped universe as the intersection —
+    // if A's grams are a subset of B's, containment stays exactly 1.0 no
+    // matter which boilerplate grams the cap removed (the cap is a global
+    // gram property, so it removes them from both sides consistently)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val inter = capped.as("l").join(capped.as("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a_id"), col("r.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("n_grams").as("a_grams")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_grams").as("b_grams")), "b_id")
+      .withColumn("containment",
+        greatest(col("inter") / col("a_grams"), col("inter") / col("b_grams")))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("a_grams"), col("b_grams"), col("containment"))
+  }
+
   /** URL canonicalization (Column-native, zero UDF) — the crawl-dedup
     * key CommonCrawl-style pipelines shuffle on: lowercase scheme and
     * host, strip the scheme's default port (`:443`/`:80`), drop the

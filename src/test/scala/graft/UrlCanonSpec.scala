@@ -36,6 +36,16 @@ class UrlCanonSpec extends SparkSpecBase {
       Seq("https://h.io/", "https://h.io?b=1"))
   }
 
+  test("canonicalization is idempotent (canon . canon == canon)") {
+    val urls = Seq(
+      "https://www.Site.com/a/b?x=1&y=2",
+      "HTTPS://WWW.SITE.COM:443/a//b/?y=2&utm_source=s&x=1#f",
+      "http://h.io:80/", "http://h.io:8080/p?z=9&a=0",
+      "ftp://h.io:21/deep//path/", "https://h.io?b=1&utm_campaign=c")
+    val once = canon(urls: _*)
+    assert(canon(once: _*) == once)
+  }
+
   test("urlDedup groups variants under one keeper") {
     val df = Seq(
       (10L, "https://A.com/x?b=2&a=1"),
