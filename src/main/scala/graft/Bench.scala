@@ -85,6 +85,10 @@ object Bench {
     "graphsage_agg", "sgc_propagate",                     // GNN
     "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
 
+  /** Spread map is capped to this many noisiest rows so the meta line
+    * stays compact; `BenchShapeSpec` budgets against it. */
+  private[graft] val spreadCap = 6
+
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
     * zero allocation — a pure cycles yardstick. Returns seconds. */
   private def calibrate(): Double = {
@@ -182,24 +186,31 @@ object Bench {
     val calibAfter = calibrate()
 
     // The driver records only the LAST 2000 chars of output (BENCH_r*.json
-    // "tail"); r8's full-precision line outgrew that window and truncated
-    // the headline total. Keep the line under ~1500 chars: 3-decimal
-    // per-query seconds (1 ms resolution on 0.05-3 s queries), and the
-    // spread map limited to the 10 noisiest rows (spread > max(0.1 s,
-    // 25% of min) — quiet rows' spread is noise floor, not signal).
+    // "tail"); r8's full-precision single line outgrew that window and
+    // truncated the headline total. Since r11 the emission is TWO
+    // self-contained JSON lines: a compact META line first (spread/calib —
+    // secondary diagnostics, sacrificed first if the window ever fills),
+    // then the MAIN line (total + per-query seconds, 3-decimal) LAST so it
+    // always sits whole inside the tail. `BenchShapeSpec` pins both
+    // budgets against the actual headline list.
     def f4(x: Double): String =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def f2(x: Double): String =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
     val noisy = results
       .filter { case (_, v, s) => v >= 0 && s > math.max(0.1, 0.25 * v) }
-      .sortBy { case (_, _, s) => -s }.take(10)
-    val spread = noisy.map { case (k, _, s) => "\"" + k + "\":" + f4(s) }.mkString("{", ",", "}")
+      .sortBy { case (_, _, s) => -s }.take(Bench.spreadCap)
+    val spread = noisy.map { case (k, _, s) => "\"" + k + "\":" + f2(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val metaLine = s"""{"metric":"bench_meta","runs":$runs,"spread_noisy":$spread,""" +
+      s""""spread_quiet_rows":${results.size - noisy.size},""" +
+      s""""calib_sec":{"before":${f2(calibBefore)},"after":${f2(calibAfter)}}}"""
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"spread_noisy":$spread,"spread_quiet_rows":${results.size - noisy.size},""" +
-      s""""calib_sec":{"before":${f4(calibBefore)},"after":${f4(calibAfter)}},"sf":"$sfDir"}"""
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may truncate in driver tail")
+      s""""runs":$runs,"sf":"$sfDir"}"""
+    if (line.length + metaLine.length > 1900)
+      System.err.println(s"[bench] WARNING: main ${line.length} + meta ${metaLine.length} chars — meta may truncate in driver tail")
+    println(metaLine)
     println(line)
     spark.stop()
   }

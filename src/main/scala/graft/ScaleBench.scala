@@ -310,6 +310,81 @@ object ScaleBench {
       }
       add("image_neardup", emb.count(), tIm, Seq(("pairs", nIm.toDouble)))
 
+      // Audio near-dup (r11): the WAV-round-trip energy-delta
+      // fingerprint + the same banded Hamming join. The banded join is
+      // shared with image_neardup, but the per-row fingerprint UDF
+      // (1024-sample synth + WAV encode + decode + 64-frame energies)
+      // dominates and deserves its own curve — stateless map, so
+      // scan-bound flat is the contract.
+      val (nAu, tAu) = time {
+        val wavUdf = udf((id: Long) => {
+          val xs = new Array[Short](1024)
+          var i = 0
+          while (i < 1024) {
+            val raw = ((id * 31 + 7) * ((i.toLong * i) % 65536) +
+              (id * 17 + 3) * i + id) % 65536
+            xs(i) = ((raw % 65536) - 32768).toShort
+            i += 1
+          }
+          operators.Multimodal.encodeWavPcm16(xs, 8000, 1)
+        })
+        val fpUdf = udf((payload: Array[Byte]) =>
+          operators.Multimodal.decodeWavSamples(payload).map {
+            case (_, xs) => operators.Multimodal.audioFingerprint(xs)
+          })
+        val sigs = docs.select(col("doc_id"), fpUdf(wavUdf(col("doc_id"))).as("fp"))
+        operators.Dedup.hammingBandPairs(sigs, "doc_id", "fp", maxHamming = 10).count()
+      }
+      add("audio_neardup", docs.count(), tAu, Seq(("pairs", nAu.toDouble)))
+
+      // Video near-dup (r11): Y4M round-trip + spatio-temporal block
+      // hash + banded join; the 8-frame 16×8 synth/encode/decode UDF is
+      // the cost driver. Same stateless-map contract.
+      val (nVi, tVi) = time {
+        val mkV = udf((id: Long) => {
+          val frames = (0 until 8).map { f =>
+            (Array.tabulate[Byte](128) { i =>
+              val k = f * 128L + i
+              val raw = ((id * 97 + 13) * ((k * k) % 1048573) +
+                (id * 57 + 7) * k + id) % 1048573 % 256
+              (raw % 256).toByte
+            },
+              Array.tabulate[Byte](32)(c => ((id * 7 + c * 3 + f * 5 + 1) % 256).toByte),
+              Array.tabulate[Byte](32)(c => ((id * 5 + c * 7 + f * 3 + 2) % 256).toByte))
+          }
+          operators.Y4m.encodeY4m(16, 8, frames)
+        })
+        val fpUdf = udf((payload: Array[Byte]) =>
+          operators.Y4m.decodeY4m(payload).map { case (m, fs) =>
+            operators.Y4m.blockhashFingerprint(m, fs)
+          })
+        val sigs = docs.select(col("doc_id"), fpUdf(mkV(col("doc_id"))).as("fp"))
+        operators.Dedup.hammingBandPairs(sigs, "doc_id", "fp", maxHamming = 12).count()
+      }
+      add("video_neardup", docs.count(), tVi, Seq(("pairs", nVi.toDouble)))
+
+      // Kneser-Ney corpus LM scoring (r11): one corpus shuffle to the
+      // bigram-count table (localCheckpointed — B's count() no longer
+      // re-executes the corpus scan), marginals at distinct-bigram cost,
+      // then the scoring join. Replicated text compacts to a near-
+      // constant distinct-bigram table, so cost should converge to the
+      // tokenize scan + the (growing) scoring join.
+      val (nKn, tKn) = time(operators.LmFilter.scoreCorpusKn(
+          docs, "doc_id", "text")
+        .agg(sum(col("n_bigrams"))).head().getLong(0))
+      add("lm_score_kn", docs.count(), tKn, Seq(("bigrams", nKn.toDouble)))
+
+      // Temperature-mixture quotas (r11): a tiny collected domain table
+      // + one partitioned window over the corpus — no global sort. The
+      // window's per-domain rank is the only super-linear risk; domain
+      // count is fixed (5), so per-domain partitions grow linearly.
+      val (nTm, tTm) = time(operators.Sampling.temperatureMixture(
+          docs.select(col("doc_id"), (col("doc_id") % 5).cast("string").as("domain")),
+          "domain", "doc_id", budget = 1000L)
+        .agg(sum(col("n_sel"))).head().getLong(0))
+      add("temperature_mixture", docs.count(), tTm,
+        Seq(("selected", nTm.toDouble)))
+
       // Graph analytics: 3-regular expander over the vector ids (edges
       // linear in n — the knn-graph shape without the n² build), timing
       // the iterated SpMV rounds (join on src + groupBy on dst) that

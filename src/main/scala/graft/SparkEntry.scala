@@ -2699,7 +2699,7 @@ object SparkEntry {
       |    END AS url
       |  FROM documents),
       |parts AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, url,
       |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
@@ -2710,13 +2710,15 @@ object SparkEntry {
       |  FROM raw),
       |canon AS (
       |  SELECT doc_id,
+      |    CASE WHEN hostport = '' THEN url ELSE
       |    scheme || '://'
       |      || CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
       |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
       |              ELSE hostport END
       |      || CASE WHEN collapsed <> '/' THEN regexp_replace(collapsed, '/$', '')
       |              ELSE collapsed END
-      |      || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url
+      |      || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+      |    END AS canon_url
       |  FROM (
       |    SELECT *, array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') OR p = ''))), '&') AS kept
@@ -4963,6 +4965,137 @@ object SparkEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
        |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
        |  -- interleaved position: (t*32 + j) * nch + ch
+       |  CAST(sum(((t * 32 + j) * nch + ch) * pcm) AS BIGINT) AS pcm_wsum,
+       |  CAST(min(pcm) AS BIGINT) AS pcm_min,
+       |  CAST(max(pcm) AS BIGINT) AS pcm_max
+       |FROM outp GROUP BY 1""".stripMargin
+
+  /** MPEG-1 Layer II SAMPLE decode, FULL oracle — the grouped-
+    * quantization rung above `audio_mpeg_layer1` (same reference
+    * surface, `operators/Mpeg1Audio.scala` Layer II section): per doc a
+    * mono/stereo CRC-less TWO-FRAME Layer II stream with FOUR active
+    * subbands, one per Table 3-B.2a allocation region, cycling through
+    * every quantizer class — the grouped 3/5/9-level classes (one
+    * 5/7/10-bit code per 3 samples), the power-of-two ladder, and the
+    * 16-bit escape — plus all four scfsi scalefactor-sharing modes.
+    * Decode runs the real pipeline: frame walk at ⌊144·bitrate/fs⌋
+    * byte slots, region-width allocation parse, scfsi + scalefactor
+    * reconstruction, degrouping, Table 3-B.4 requantization in the
+    * fixed-point closed form, and 36 pushes per frame through the
+    * SHARED polyphase filterbank with the V FIFO carried across the
+    * frame boundary. The oracle replays every stage from the same
+    * generated constant tables over a global block axis t ∈ [0,72). */
+  private def audioMpegLayer2(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val nCh = 1 + (d % 2).toInt // odd docs are STEREO
+      val act = Seq(
+        ((d % 3).toInt, 1 + (d % 15).toInt),
+        (3 + (d % 8).toInt, 1 + ((d * 7) % 15).toInt),
+        (11 + (d % 12).toInt, 1 + ((d * 5) % 7).toInt),
+        (23 + (d % 4).toInt, 1 + (d % 3).toInt))
+      val allocIdx = Array.fill(nCh)(new Array[Int](27))
+      act.foreach { case (sb, a) =>
+        (0 until nCh).foreach(ch => allocIdx(ch)(sb) = a) }
+      val scfsi = Array.tabulate(nCh, 27)((ch, sb) => ((d + sb + ch) % 4).toInt)
+      val sf3 = Array.tabulate(nCh, 27) { (ch, sb) =>
+        val b = ((d * 3 + sb * 5 + ch * 7) % 63).toInt
+        ((d + sb + ch) % 4).toInt match {
+          case 0 => Array(b, (b + 1) % 63, (b + 2) % 63)
+          case 1 => Array(b, b, (b + 1) % 63)
+          case 2 => Array(b, b, b)
+          case _ => Array(b, (b + 1) % 63, (b + 1) % 63)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until 2).foreach { fr =>
+        val samples = Array.tabulate(36, nCh, 27) { (t, ch, sb) =>
+          if (allocIdx(ch)(sb) == 0) 0
+          else {
+            val n = operators.Mpeg1Audio.l2Levels(
+              operators.Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
+            ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + ch * 41) % n).toInt
+          }
+        }
+        val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+        out.write(bytes, 0, bytes.length)
+      }
+      out.toByteArray
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Mpeg1Audio.decodeL2(p).map { frames =>
+        val (n, sum, wsum, mn, mx) = operators.Mpeg1Audio.pcmStats(frames)
+        (n, sum, wsum, mn, mx)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("n_samples"), col("st._2").as("pcm_sum"),
+        col("st._3").as("pcm_wsum"), col("st._4").as("pcm_min"),
+        col("st._5").as("pcm_max"))
+  }
+
+  private lazy val audioMpegLayer2Sql =
+    s"""WITH nmat(i, j, nv) AS (VALUES ${operators.Mpeg1Audio.matrixValuesSql}),
+       |dwin(tap, dv) AS (VALUES ${operators.Mpeg1Audio.windowValuesSql}),
+       |sfs(idx, sv) AS (VALUES ${operators.Mpeg1Audio.scalefactorValuesSql}),
+       |qcls(region, aidx, n, offs, p2) AS (VALUES ${operators.Mpeg1Audio.l2ClassValuesSql}),
+       |chans AS (
+       |  SELECT doc_id, 1 + doc_id % 2 AS nch FROM documents),
+       |sbs AS (
+       |  SELECT doc_id,
+       |    unnest([doc_id % 3, 3 + doc_id % 8, 11 + doc_id % 12, 23 + doc_id % 4]) AS sb,
+       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS region,
+       |    unnest([1 + doc_id % 15, 1 + (doc_id * 7) % 15,
+       |            1 + (doc_id * 5) % 7, 1 + doc_id % 3]) AS aidx
+       |  FROM documents),
+       |sval AS MATERIALIZED (
+       |  -- Table 3-B.4 requantization at 2^15 then scalefactor at 2^16,
+       |  -- all truncating; part = (t % 36) // 12 selects the scalefactor
+       |  -- the scfsi mode m shares across the frame's three parts.
+       |  SELECT s.doc_id, cc.ch, g.t, s.sb,
+       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7 + cc.ch * 41) % q.n)
+       |        - q.p2 + q.offs) * 32768) // q.n) * f.sv) // 65536 AS v
+       |  FROM sbs s
+       |  JOIN qcls q ON q.region = s.region AND q.aidx = s.aidx
+       |  JOIN chans c ON c.doc_id = s.doc_id
+       |  JOIN (SELECT unnest(range(0, 2)) AS ch) cc ON cc.ch < c.nch
+       |  JOIN (SELECT unnest(range(0, 72)) AS t) g ON true
+       |  JOIN sfs f ON f.idx = CASE (s.doc_id + s.sb + cc.ch) % 4
+       |    WHEN 0 THEN ((s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63
+       |                 + (g.t % 36) // 12) % 63
+       |    WHEN 1 THEN CASE WHEN (g.t % 36) // 12 <= 1
+       |                 THEN (s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63
+       |                 ELSE ((s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63 + 1) % 63 END
+       |    WHEN 2 THEN (s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63
+       |    ELSE CASE WHEN (g.t % 36) // 12 = 0
+       |                 THEN (s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63
+       |                 ELSE ((s.doc_id * 3 + s.sb * 5 + cc.ch * 7) % 63 + 1) % 63 END
+       |    END),
+       |vmat AS MATERIALIZED (
+       |  SELECT sv.doc_id, sv.ch, sv.t, n.i, sum(n.nv * sv.v) // 16384 AS vv
+       |  FROM sval sv JOIN nmat n ON n.j = sv.sb
+       |  GROUP BY 1, 2, 3, 4),
+       |taps AS (
+       |  SELECT b.doc_id, b.nch, cc.ch, g.t, jj.j, ii.i
+       |  FROM chans b
+       |  JOIN (SELECT unnest(range(0, 2)) AS ch) cc ON cc.ch < b.nch
+       |  JOIN (SELECT unnest(range(0, 72)) AS t) g ON true
+       |  JOIN (SELECT unnest(range(0, 32)) AS j) jj ON true
+       |  JOIN (SELECT unnest(range(0, 16)) AS i) ii ON true),
+       |outp AS MATERIALIZED (
+       |  -- same shared-filterbank replay as the Layer I oracle: chunk i
+       |  -- holds global block t-i, even chunks read offset j, odd 32+j
+       |  SELECT o.doc_id, o.nch, o.ch, o.t, o.j,
+       |    sum(coalesce(vm.vv, 0) * d.dv) // 65536 AS pcm
+       |  FROM taps o
+       |  LEFT JOIN vmat vm ON vm.doc_id = o.doc_id AND vm.ch = o.ch
+       |    AND vm.t = o.t - o.i
+       |    AND vm.i = CASE WHEN o.i % 2 = 0 THEN o.j ELSE 32 + o.j END
+       |  JOIN dwin d ON d.tap = o.j + 32 * o.i
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
        |  CAST(sum(((t * 32 + j) * nch + ch) * pcm) AS BIGINT) AS pcm_wsum,
        |  CAST(min(pcm) AS BIGINT) AS pcm_min,
        |  CAST(max(pcm) AS BIGINT) AS pcm_max
@@ -7842,6 +7975,7 @@ object SparkEntry {
     "audio_flac" -> (audioFlac(_, _)),
     "audio_neardup" -> (audioNeardupQ(_, _)),
     "audio_mpeg_layer1" -> (audioMpegLayer1(_, _)),
+    "audio_mpeg_layer2" -> (audioMpegLayer2(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
@@ -8128,6 +8262,7 @@ object SparkEntry {
     "audio_flac" -> audioFlacSql,
     "audio_neardup" -> audioNeardupSql,
     "audio_mpeg_layer1" -> audioMpegLayer1Sql,
+    "audio_mpeg_layer2" -> audioMpegLayer2Sql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,

@@ -103,6 +103,13 @@ object Dedup {
     * order stops mattering. All regexp/collection builtins, so the
     * whole key derivation stays inside whole-stage codegen and a SQL
     * oracle states the identical transform.
+    *
+    * Malformed / scheme-less URLs (no `scheme://host` prefix, so the
+    * host extraction yields the empty string) fall back to the RAW url
+    * as their key: real crawl data contains such rows routinely, and
+    * canonicalizing them all to an empty-host key would merge unrelated
+    * rows into one group — a keeper-only downstream would then drop all
+    * but one of them.
     * Reference surface: the crawl-ingest URL normalization feeding
     * `NeuronDB`'s document dedup (same canonical-key-then-group shape
     * as [[exactGroups]]). */
@@ -120,8 +127,9 @@ object Dedup {
     val kept = array_join(array_sort(filter(
       split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
       p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+    when(hostPort === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(kept =!= "", concat(lit("?"), kept)).otherwise(lit(""))))
   }
 
   /** Group a corpus by canonical URL: one shuffle on the canonical key,

@@ -110,8 +110,12 @@ object Gif {
     out.toByteArray
   }
 
-  /** GIF-variant LZW decode; throws on malformed streams. */
+  /** GIF-variant LZW decode; throws on malformed streams — including an
+    * out-of-range code size byte (decodeGif passes the raw stream byte;
+    * values like 9-11 would otherwise decode garbage pixels rather than
+    * rejecting the stream). */
   def lzwDecode(data: Array[Byte], minCodeSize: Int, nPixels: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8, s"minCodeSize $minCodeSize")
     val clear = 1 << minCodeSize
     val eoi = clear + 1
     val out = new Array[Byte](nPixels)

@@ -98,7 +98,12 @@ object LmFilter {
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
         .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // localCheckpoint: B = count(c12) is needed driver-side AND the c12
+    // table feeds ctx/cont/model in the final plan — without truncating
+    // the lineage here the tokenize+explode+groupBy over the whole corpus
+    // would execute twice per invocation (once for the count, once for
+    // the plan). Same device as simhashPairs.
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
     val ctx = c12.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))

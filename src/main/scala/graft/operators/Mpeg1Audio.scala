@@ -11,8 +11,13 @@ package graft.operators
  * formula, and the polyphase SYNTHESIS FILTERBANK — 32×64 cosine
  * matrixing, the 16-deep 1024-value V FIFO, and a 512-tap windowed
  * overlap-add. That filterbank is the decode stage every MPEG audio
- * layer shares; with it the stub boundary shrinks to MDCT-family
- * codecs (MP3 Layer III, AAC) and H.264.
+ * layer shares. LAYER II decode (r11) rides the same filterbank and
+ * adds the Layer-II frame grammar: Table 3-B.2a per-subband
+ * bit-allocation classes, GROUPED 3/5/9-level quantization (one
+ * 5/7/10-bit code packing 3 samples), scfsi scalefactor sharing
+ * across the frame's three parts, and the Table 3-B.4 requantization
+ * constants in closed form. With both layers the stub boundary
+ * shrinks to MDCT-family codecs (MP3 Layer III, AAC) and H.264.
  *
  * Everything is FIXED-POINT integer with TRUNCATING division (like
  * real embedded MPEG decoders), so the DuckDB oracle replays the
@@ -231,33 +236,47 @@ object Mpeg1Audio {
     val pcm = new Array[Long](384 * nCh)
     (0 until 12).foreach { t =>
       (0 until nCh).foreach { ch =>
-        val vc = v(ch)
-        var c = 15
-        while (c > 0) { vc(c) = vc(c - 1); c -= 1 }
-        vc(0) = Array.tabulate(64) { i =>
-          var acc = 0L
-          var j = 0
-          while (j < 32) { acc += matrixN(i)(j) * s(t)(ch)(j); j += 1 }
-          acc / 16384L // truncate back to sample scale
-        }
-        // U/W/out per ISO structure: tap group i reads V-FIFO chunk i —
-        // even chunks at offset j, odd chunks at offset 32+j (that
-        // equality is what the oracle's `vm.t = o.t - o.i` join encodes)
+        val out = synthesizeBlock(v(ch), s(t)(ch))
         var jOut = 0
         while (jOut < 32) {
-          var acc = 0L
-          var i = 0
-          while (i < 16) {
-            val u = if (i % 2 == 0) vc(i)(jOut) else vc(i)(32 + jOut)
-            acc += u * windowD(jOut + 32 * i)
-            i += 1
-          }
-          pcm((t * 32 + jOut) * nCh + ch) = acc / 65536L
-          jOut += 1
+          pcm((t * 32 + jOut) * nCh + ch) = out(jOut); jOut += 1
         }
       }
     }
     ((Mp1Frame(srIdx, bitrateIdx, nCh, pcm)), end)
+  }
+
+  /** Push one 32-sample subband block through a channel's synthesis
+    * state `vc` (the 16-deep 1024-value V FIFO) and return its 32 PCM
+    * samples: 32×64 cosine matrixing, FIFO shift, 512-tap windowed
+    * overlap-add — the decode stage EVERY MPEG audio layer shares
+    * (Layer I pushes 12 blocks per frame, Layer II 36). U/W/out per
+    * ISO structure: tap group i reads V-FIFO chunk i — even chunks at
+    * offset j, odd chunks at offset 32+j (that equality is what the
+    * oracle's `vm.t = o.t - o.i` join encodes). */
+  def synthesizeBlock(vc: Array[Array[Long]], s: Array[Long]): Array[Long] = {
+    var c = 15
+    while (c > 0) { vc(c) = vc(c - 1); c -= 1 }
+    vc(0) = Array.tabulate(64) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < 32) { acc += matrixN(i)(j) * s(j); j += 1 }
+      acc / 16384L // truncate back to sample scale
+    }
+    val out = new Array[Long](32)
+    var jOut = 0
+    while (jOut < 32) {
+      var acc = 0L
+      var i = 0
+      while (i < 16) {
+        val u = if (i % 2 == 0) vc(i)(jOut) else vc(i)(32 + jOut)
+        acc += u * windowD(jOut + 32 * i)
+        i += 1
+      }
+      out(jOut) = acc / 65536L
+      jOut += 1
+    }
+    out
   }
 
   /** Decode every frame in a payload with PERSISTENT per-channel
@@ -299,6 +318,296 @@ object Mpeg1Audio {
     (n, sum, wsum, mn, mx)
   }
 
+  // ------------------------------------------------- Layer II (3-B.2a)
+
+  /** Layer II bitrates (kbps) by header index, MPEG-1 (idx 0 = free) —
+    * a DIFFERENT table from Layer I's. */
+  val l2Bitrates: Array[Int] = Array(0, 32, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 384)
+
+  /** Layer II frame length in BYTES: ⌊144·bitrate/fs⌋ (+1 with the
+    * padding bit) — Layer II slots are 1 byte, not Layer I's 4. */
+  def frameBytesL2(bitrateIdx: Int, sampleRateIdx: Int, padding: Boolean): Int = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrateIdx $bitrateIdx")
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"srIdx $sampleRateIdx")
+    144 * l2Bitrates(bitrateIdx) * 1000 / sampleRates(sampleRateIdx) +
+      (if (padding) 1 else 0)
+  }
+
+  /** ISO Table 3-B.2a (48/44.1 kHz, ≥ 56 kbps/ch; sblimit 27): alloc
+    * field widths by subband REGION — sb 0-2: 4 bits, 3-10: 4 bits,
+    * 11-22: 3 bits, 23-26: 2 bits. */
+  val l2AllocBits: Array[Int] = Array(4, 4, 3, 2)
+
+  /** Region of each subband (index into [[l2AllocBits]]/[[l2Levels]]). */
+  def l2Region(sb: Int): Int =
+    if (sb < 3) 0 else if (sb < 11) 1 else if (sb < 23) 2 else 3
+
+  /** Quantizer LEVELS by (region, alloc index) per Table 3-B.2a;
+    * index 0 = silent. Low subbands get the fine power-of-two ladder,
+    * mid subbands add the grouped 5/9-level classes, high subbands
+    * keep only coarse classes + the 16-bit escape. */
+  val l2Levels: Array[Array[Int]] = Array(
+    Array(0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535),
+    Array(0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535),
+    Array(0, 3, 5, 7, 9, 15, 31, 65535),
+    Array(0, 3, 5, 65535))
+
+  /** n ∈ {3,5,9} quantizers are GROUPED: one code packs 3 consecutive
+    * samples (5/7/10 bits — ⌈log₂ n³⌉). */
+  def l2Grouped(n: Int): Boolean = n == 3 || n == 5 || n == 9
+
+  /** Group-code width for grouped classes. */
+  def l2GroupBits(n: Int): Int = n match {
+    case 3 => 5; case 5 => 7; case 9 => 10
+    case _ => throw new IllegalArgumentException(s"not grouped: $n")
+  }
+
+  /** Conceptual per-sample code width nb = ⌈log₂(n+1)⌉ — the width the
+    * ISO C/D requantization constants are defined against (C = 2ⁿᵇ/n). */
+  def l2Nb(n: Int): Int = {
+    var nb = 1
+    while ((1 << nb) <= n) nb += 1
+    nb
+  }
+
+  /** ISO Layer-II requantization in one fixed-point closed form, same
+    * 2¹⁵/2¹⁶ convention as [[dequant]]. Table 3-B.4's s'' = C·(s''' + D)
+    * with C = 2ⁿᵇ/n, s''' = c·2¹⁻ⁿᵇ − 1 (MSB-invert-as-fraction), and
+    * D = 2¹⁻ⁿᵇ for the power-of-two-minus-one classes (algebraically
+    * identical to Layer I's formula) but D = ½ for the grouped 3/5/9
+    * classes — giving the exactly symmetric level sets {±2k/n}:
+    *   ungrouped: s15 = trunc((2c − 2ⁿᵇ + 2)·2¹⁵ / n)
+    *   grouped:   s15 = trunc((2c − 2ⁿᵇ + 2ⁿᵇ⁻¹)·2¹⁵ / n)
+    * then val = trunc(s15 · SF / 2¹⁶) as in Layer I. */
+  def dequantL2(c: Int, n: Int, sf: Long): Long = {
+    val nb = l2Nb(n)
+    val offs = if (l2Grouped(n)) (1L << (nb - 1)) else 2L
+    val s15 = ((2L * c - (1L << nb) + offs) << 15) / n
+    (s15 * sf) / 65536L
+  }
+
+  /** Resolve the per-PART scalefactor indices a subband transmits under
+    * its 2-bit scfsi (scalefactor selection info): the frame's 36
+    * samples split into three 12-sample parts; scfsi says which parts
+    * share one index. Input `sf3` = the three desired per-part indices;
+    * returns (storedIndices, perPartIndices) where perPart reflects the
+    * sharing the decoder will reconstruct. */
+  def scfsiResolve(scfsi: Int, sf3: Array[Int]): (Array[Int], Array[Int]) = scfsi match {
+    case 0 => (Array(sf3(0), sf3(1), sf3(2)), Array(sf3(0), sf3(1), sf3(2)))
+    case 1 => (Array(sf3(0), sf3(2)), Array(sf3(0), sf3(0), sf3(2)))
+    case 2 => (Array(sf3(0)), Array(sf3(0), sf3(0), sf3(0)))
+    case 3 => (Array(sf3(0), sf3(1)), Array(sf3(0), sf3(1), sf3(1)))
+    case _ => throw new IllegalArgumentException(s"scfsi $scfsi")
+  }
+
+  /** One CRC-less Layer II frame, mono or STEREO, padded with zero
+    * ancillary bits to the slot-aligned frame length. Field order per
+    * ISO Layer II: allocations (region-width codes, subband-major
+    * channel-minor), scfsi (2 bits per active subband), scalefactors
+    * (1-3 six-bit indices per active subband as scfsi dictates), then
+    * per granule gr ∈ [0,12) the sample codes subband-major
+    * channel-minor — grouped classes emit ONE 5/7/10-bit code packing
+    * the granule's 3 samples (c₀ + n·c₁ + n²·c₂), ungrouped emit 3
+    * nb-bit codes. Shapes: `allocIdx(ch)(27)` (index into the region's
+    * [[l2Levels]] row), `scfsi(ch)(27)`, `sf3(ch)(27)(3)` desired
+    * per-part scalefactor indices (must respect the scfsi sharing),
+    * `samples(t)(ch)(sb)` DEGROUPED codes, t ∈ [0,36). */
+  def encodeFrameChL2(allocIdx: Array[Array[Int]], scfsi: Array[Array[Int]],
+                      sf3: Array[Array[Array[Int]]],
+                      samples: Array[Array[Array[Int]]],
+                      sampleRateIdx: Int = 0, bitrateIdx: Int = 14): Array[Byte] = {
+    val nCh = allocIdx.length
+    require(nCh == 1 || nCh == 2, s"channels $nCh")
+    require(scfsi.length == nCh && sf3.length == nCh && samples.length == 36 &&
+      allocIdx.forall(_.length == 27) && scfsi.forall(_.length == 27) &&
+      sf3.forall(_.forall(_.length == 3)) &&
+      samples.forall(t => t.length == nCh && t.forall(_.length == 27)))
+    def levels(ch: Int, sb: Int): Int = l2Levels(l2Region(sb))(allocIdx(ch)(sb))
+    val w = new Flac.BitWriter
+    // header: sync(12) ver(1)=1 layer(2)=10(II) noprot(1)=1
+    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(2, 2); w.writeBits(1, 1)
+    w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
+    w.writeBits(0, 1) // private
+    w.writeBits(if (nCh == 1) 3 else 0, 2) // mode: single channel / stereo
+    w.writeBits(0, 2); w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        val a = allocIdx(ch)(sb)
+        require(a >= 0 && a < l2Levels(l2Region(sb)).length, s"allocIdx $a at sb $sb")
+        w.writeBits(a, l2AllocBits(l2Region(sb)))
+      }
+    }
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (allocIdx(ch)(sb) > 0) w.writeBits(scfsi(ch)(sb), 2)
+      }
+    }
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (allocIdx(ch)(sb) > 0) {
+          val (stored, _) = scfsiResolve(scfsi(ch)(sb), sf3(ch)(sb))
+          stored.foreach { idx =>
+            require(idx >= 0 && idx < 63, s"sfIdx $idx"); w.writeBits(idx, 6)
+          }
+        }
+      }
+    }
+    (0 until 12).foreach { gr =>
+      (0 until 27).foreach { sb =>
+        (0 until nCh).foreach { ch =>
+          if (allocIdx(ch)(sb) > 0) {
+            val n = levels(ch, sb)
+            val c = Array.tabulate(3)(k => samples(gr * 3 + k)(ch)(sb))
+            c.foreach(x => require(x >= 0 && x < n, s"code $x for n=$n"))
+            if (l2Grouped(n))
+              w.writeBits(c(0) + n * c(1) + n * n * c(2), l2GroupBits(n))
+            else {
+              val nb = l2Nb(n)
+              c.foreach(w.writeBits(_, nb))
+            }
+          }
+        }
+      }
+    }
+    w.alignByte()
+    val target = frameBytesL2(bitrateIdx, sampleRateIdx, padding = false)
+    require(w.size <= target,
+      s"frame content ${w.size} B exceeds slot length $target B")
+    while (w.size < target) w.writeBits(0, 8) // zero ancillary bytes
+    w.bytes
+  }
+
+  /** Decode one Layer II frame (mono or stereo) at byte `offset`,
+    * carrying each channel's synthesis V FIFO across frames; throws on
+    * malformed input. Returns the frame (1152·ch interleaved PCM — 36
+    * filterbank pushes) and the next frame's offset. Table 3-B.2a
+    * streams only (48/44.1 kHz at ≥ 56 kbps/ch — the common case);
+    * other rate/bitrate table selections, joint stereo, and CRC frames
+    * are rejected loudly — documented boundaries. */
+  def decodeFrameL2(payload: Array[Byte], offset: Int,
+                    v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
+    val r = new Flac.BitReader(payload)
+    r.bitPos = offset.toLong * 8
+    require(r.readBits(12) == 0xfff, "bad sync")
+    require(r.readBits(1) == 1, "not MPEG-1")
+    require(r.readBits(2) == 2, "not Layer II")
+    require(r.readBits(1) == 1, "CRC frames unsupported")
+    val bitrateIdx = r.readBits(4).toInt
+    val srIdx = r.readBits(2).toInt
+    val padding = r.readBits(1) == 1
+    r.readBits(1)
+    val mode = r.readBits(2).toInt
+    require(mode == 3 || mode == 0,
+      s"mode $mode unsupported (single-channel and stereo only)")
+    val nCh = if (mode == 3) 1 else 2
+    require(srIdx <= 1, "table 3-B.2a requires 44.1/48 kHz")
+    require(l2Bitrates(bitrateIdx) / nCh >= 56, "table 3-B.2a requires >= 56 kbps/ch")
+    require(v.length == nCh && v.forall(_.length == 16),
+      s"V FIFO shape ${v.length} for $nCh channels")
+    r.readBits(2); r.readBits(1); r.readBits(1); r.readBits(2)
+    val end = offset + frameBytesL2(bitrateIdx, srIdx, padding)
+    require(end <= payload.length, "frame overruns payload")
+    val alloc = Array.ofDim[Int](nCh, 27)
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
+        require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
+        alloc(ch)(sb) = a
+      }
+    }
+    val scfsi = Array.ofDim[Int](nCh, 27)
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (alloc(ch)(sb) > 0) scfsi(ch)(sb) = r.readBits(2).toInt
+      }
+    }
+    // per-part scalefactor MULTIPLIERS, reconstructed through scfsi
+    val sfPart = Array.ofDim[Long](nCh, 27, 3)
+    (0 until 27).foreach { sb =>
+      (0 until nCh).foreach { ch =>
+        if (alloc(ch)(sb) > 0) {
+          val nStored = scfsi(ch)(sb) match {
+            case 0 => 3; case 2 => 1; case _ => 2
+          }
+          val stored = Array.fill(nStored) {
+            val idx = r.readBits(6).toInt
+            require(idx < 63, s"scalefactor index $idx")
+            scalefactors(idx)
+          }
+          val per = scfsi(ch)(sb) match {
+            case 0 => Array(stored(0), stored(1), stored(2))
+            case 1 => Array(stored(0), stored(0), stored(1))
+            case 2 => Array(stored(0), stored(0), stored(0))
+            case 3 => Array(stored(0), stored(1), stored(1))
+          }
+          (0 until 3).foreach(p => sfPart(ch)(sb)(p) = per(p))
+        }
+      }
+    }
+    // sample codes -> dequantized S[t][ch][sb], t = gr*3 + k global in-frame
+    val s = Array.ofDim[Long](36, nCh, 32)
+    (0 until 12).foreach { gr =>
+      val part = gr / 4
+      (0 until 27).foreach { sb =>
+        (0 until nCh).foreach { ch =>
+          if (alloc(ch)(sb) > 0) {
+            val n = l2Levels(l2Region(sb))(alloc(ch)(sb))
+            val c: Array[Int] =
+              if (l2Grouped(n)) {
+                val g = r.readBits(l2GroupBits(n)).toInt
+                require(g < n * n * n, s"group code $g for n=$n")
+                Array(g % n, (g / n) % n, g / (n * n))
+              } else {
+                val nb = l2Nb(n)
+                Array.fill(3) {
+                  val x = r.readBits(nb).toInt
+                  require(x < n, s"code $x for n=$n (all-ones forbidden)")
+                  x
+                }
+              }
+            (0 until 3).foreach { k =>
+              s(gr * 3 + k)(ch)(sb) = dequantL2(c(k), n, sfPart(ch)(sb)(part))
+            }
+          }
+        }
+      }
+    }
+    require(r.bitPos <= end.toLong * 8, "sample codes overrun the slot length")
+    val pcm = new Array[Long](1152 * nCh)
+    (0 until 36).foreach { t =>
+      (0 until nCh).foreach { ch =>
+        val out = synthesizeBlock(v(ch), s(t)(ch))
+        var jOut = 0
+        while (jOut < 32) {
+          pcm((t * 32 + jOut) * nCh + ch) = out(jOut); jOut += 1
+        }
+      }
+    }
+    ((Mp1Frame(srIdx, bitrateIdx, nCh, pcm)), end)
+  }
+
+  /** Decode every Layer II frame in a payload with PERSISTENT
+    * per-channel filterbank state, like [[decode]]. None on any
+    * malformed structure. */
+  def decodeL2(payload: Array[Byte]): Option[Seq[Mp1Frame]] =
+    try {
+      require(payload.length >= 4, "too short")
+      val mode = (payload(3) >> 6) & 3
+      require(mode == 3 || mode == 0, s"mode $mode unsupported")
+      val nCh = if (mode == 3) 1 else 2
+      var p = 0
+      val v = Array.ofDim[Long](nCh, 16, 64)
+      val out = Seq.newBuilder[Mp1Frame]
+      while (p < payload.length) {
+        val (f, np) = decodeFrameL2(payload, p, v)
+        out += f
+        p = np
+      }
+      val res = out.result()
+      if (res.isEmpty) None else Some(res)
+    } catch { case _: Exception => None }
+
   // ----------------------------------------------------------- oracle
 
   /** The three constant tables as DuckDB VALUES bodies (generated from
@@ -312,4 +621,17 @@ object Mpeg1Audio {
 
   def scalefactorValuesSql: String =
     scalefactors.zipWithIndex.map { case (s, i) => s"($i,$s)" }.mkString(",")
+
+  /** Layer II quantizer-class table as a DuckDB VALUES body:
+    * (region, allocIdx, levels n, dequant numerator offset `offs`,
+    * 2ⁿᵇ) — generated from the SAME tables the decoder uses, so the
+    * oracle's closed-form dequant replays [[dequantL2]] exactly. */
+  def l2ClassValuesSql: String =
+    (for {
+      region <- l2Levels.indices
+      idx <- 1 until l2Levels(region).length
+      n = l2Levels(region)(idx)
+      nb = l2Nb(n)
+      offs = if (l2Grouped(n)) 1L << (nb - 1) else 2L
+    } yield s"($region,$idx,$n,$offs,${1L << nb})").mkString(",")
 }

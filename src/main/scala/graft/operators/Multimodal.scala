@@ -49,11 +49,13 @@ object Multimodal {
   /**
    * STUB decode: byte-histogram features (256 bins, L1-normalized).
    * Deterministic stand-in for feature extraction over formats no real
-   * decoder here covers. As of round 10 that boundary is narrow:
+   * decoder here covers. As of round 11 that boundary is narrow:
    * images (PNG/JPEG/BMP + native GIF LZW), WAV/G.711/ADPCM/FLAC audio,
-   * MP3 frame metadata, AVI/MJPEG, Y4M, and inter-frame FLIC video,
-   * WARC and ustar containers all decode for real — the stub remains
-   * ONLY for transform-codec SAMPLES (MP3/H.264 payload decode).
+   * MPEG-1 Layer I AND Layer II sample decode (shared polyphase
+   * filterbank, `Mpeg1Audio`), MP3 frame metadata, AVI/MJPEG, Y4M, and
+   * inter-frame FLIC video, WARC and ustar containers all decode for
+   * real — the stub remains ONLY for MDCT-family codec SAMPLES
+   * (MP3 Layer III, AAC) and H.264.
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](256)
@@ -843,7 +845,7 @@ object Multimodal {
     bb.getInt
     if (fourcc() != "AVI ") return None
     var meta: Option[AviMeta] = None
-    var compression = "    "
+    var compression = new String(Array.fill(4)(0.toChar))
     val rawFrames = Seq.newBuilder[Array[Byte]]
     def walk(limit: Int): Unit = {
       while (limit - bb.position() >= 8) {

@@ -273,7 +273,14 @@ object Sampling {
     require(den > 0 && budget <= Long.MaxValue / den, "budget*den must fit int64")
     val base = sd.map { case (d, n, s) => (d, n, s, budget * s / den, budget * s % den) }
     val leftover = budget - base.map(_._4).sum
-    val bump = base.sortBy { case (d, _, _, _, rem) => (-rem, d) }
+    // Remainder ties break by domain name in UTF-8 BYTE order (hex-encode
+    // the bytes; their String order equals unsigned byte order) — JVM
+    // String order is UTF-16 code units, which diverges from the DuckDB
+    // oracle's UTF-8 collation for supplementary-plane domain names.
+    def utf8Key(s: String): String =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02x").mkString
+    val bump = base.sortBy { case (d, _, _, _, rem) => (-rem, utf8Key(d)) }
       .take(leftover.toInt).map(_._1).toSet
     val quotas = base.map { case (d, n, s, b, _) =>
       (d, n, s, b + (if (bump.contains(d)) 1L else 0L))

@@ -21,21 +21,33 @@ class BenchShapeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline names not in SparkEntry.queries: $missing")
   }
 
-  test("worst-case bench JSON line fits the driver's 2000-char tail") {
+  // Since r11 Bench emits TWO self-contained JSON lines: a compact META
+  // line (spread/calib) first, then the MAIN line (total + per-query
+  // seconds) LAST. The main line must always sit whole inside the
+  // driver's 2000-char tail (sbt appends ~90 chars after it); the meta
+  // line should ALSO fit so spread/calib survive, but it is emitted
+  // first precisely so it is the part sacrificed if the window fills.
+
+  test("worst-case MAIN bench line fits the driver's 2000-char tail") {
     val numBudget = 7 // "12.345" + sign slack; queries are seconds-scale, 3-dp
     val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
-    val spreadLen = Bench.headline.sortBy(-_.length).take(10)
-      .map(n => n.length + 2 + 1 + numBudget).sum + 2
-    val header = 200 // {"metric":"total","value":...,"unit":"sec", keys, calib, sf path
-    val worst = header + queriesLen + spreadLen
-    // available window: 2000-char driver tail − ~90-char sbt success
-    // line − ~30 slack ⇒ ~1880. The estimate above is itself worst-case
-    // (8 chars/number; the r10 line measured 1657 actual vs 1806
-    // estimated), so 1880 still guards with real margin — the next
-    // couple of headline additions trip this before the driver window
-    // truncates anything.
-    assert(worst < 1880,
-      s"worst-case bench line $worst chars; trim the headline list or the number format " +
-        "(driver tail keeps only the last 2000 chars and sbt appends ~90 more)")
+    val header = 120 // {"metric":"total","value":NNN.NNN,"unit":"sec","queries": ... ,"runs":N,"sf":"<path>"}
+    val worstMain = header + queriesLen
+    assert(worstMain < 1880,
+      s"worst-case MAIN bench line $worstMain chars; trim the headline list or the number " +
+        "format (driver tail keeps only the last 2000 chars and sbt appends ~90 more)")
+  }
+
+  test("worst-case META + MAIN bench lines fit the tail together") {
+    val numBudget = 7
+    val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
+    val worstMain = 120 + queriesLen
+    val spreadLen = Bench.headline.sortBy(-_.length).take(Bench.spreadCap)
+      .map(n => n.length + 2 + 1 + 6).sum + 2 // spreads print 2-dp
+    val metaHeader = 130 // {"metric":"bench_meta","runs":N,"spread_noisy":...,"spread_quiet_rows":NN,"calib_sec":{...}}
+    val worstBoth = worstMain + metaHeader + spreadLen + 2 /* newlines */
+    assert(worstBoth < 1900,
+      s"worst-case META+MAIN bench output $worstBoth chars; the meta line would truncate " +
+        "in the driver tail — trim the headline, spreadCap, or number formats")
   }
 }

@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/**
+ * Golden-bytes anchoring for every codec ENCODER in the repo.
+ *
+ * The codec oracles prove lossless round-trip + closed-form stats, but
+ * both directions of each codec live in this repo — a SYMMETRIC
+ * misreading of a spec would survive round-trip testing. This spec
+ * pins, for one fixed fixture per codec:
+ *
+ *  1. STRUCTURAL bytes hand-checked against the published format's
+ *     worked examples (magic strings, header fields at their
+ *     spec-mandated offsets, sync patterns) — these verify the layout
+ *     against the SPEC, independent of this repo's decoder; and
+ *  2. the full-stream CRC32 + the first 16 bytes (hex) as drift
+ *     tripwires — if any encoder's byte output changes, this fails
+ *     before an oracle regeneration could silently re-pin both sides.
+ *
+ * WARC's gzip member BODY is deliberately not CRC-pinned (deflate
+ * output is a JDK implementation detail); the DECOMPRESSED framing
+ * bytes are pinned instead, plus the RFC 1952 member magic.
+ */
+class CodecGoldenSpec extends AnyFunSuite {
+
+  private def crc32(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+  }
+  private def hex(b: Array[Byte], n: Int): String =
+    b.take(n).map(x => f"${x & 0xff}%02x").mkString
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def assertGolden(name: String, bytes: Array[Byte],
+                           wantCrc: Long, wantHead: String): Unit = {
+    val got = (crc32(bytes), hex(bytes, 16), bytes.length)
+    assert(wantCrc == got._1 && wantHead == got._2,
+      s"$name encoder bytes drifted: crc=${got._1}L head=\"${got._2}\" len=${got._3}")
+  }
+
+  // ------------------------------------------------------------- FLAC
+
+  test("FLAC golden: RFC 9639 stream marker, STREAMINFO layout, pinned bytes") {
+    val pcm = Array.tabulate[Short](128)(i => (((i * 37) % 256) - 128).toShort)
+    val b = Flac.encodeFlac(pcm, sampleRate = 8000, channels = 1, blockSize = 64)
+    // RFC 9639 §8: stream begins with the 4 bytes "fLaC"
+    assert(new String(b.take(4), "US-ASCII") == "fLaC")
+    // first (and only) metadata block header: last-block flag set,
+    // type 0 = STREAMINFO, 24-bit big-endian length 34
+    assert((b(4) & 0xff) == 0x80 && b(5) == 0 && b(6) == 0 && (b(7) & 0xff) == 34)
+    // STREAMINFO min/max block size (16-bit BE) both 64
+    assert(((b(8) & 0xff) << 8 | (b(9) & 0xff)) == 64)
+    assert(((b(10) & 0xff) << 8 | (b(11) & 0xff)) == 64)
+    // first audio frame header: 15-bit sync 0b111111111111100 + blocking 0
+    assert((b(42) & 0xff) == 0xff && (b(43) & 0xfe) == 0xf8)
+    assertGolden("FLAC", b, 1257114718L, "664c6143800000220040004000000000")
+  }
+
+  // -------------------------------------------------------------- GIF
+
+  test("GIF golden: GIF89a signature, LSD layout, LZW stream, pinned bytes") {
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff)
+    val frames = Seq(
+      Gif.GifFrame(10, interlaced = false, Array.tabulate[Byte](64)(i => (i % 4).toByte)),
+      Gif.GifFrame(10, interlaced = false, Array.tabulate[Byte](64)(i => ((i * 3) % 4).toByte)))
+    val b = Gif.encodeGif(Gif.GifImage(8, 8, pal, frames))
+    // GIF89a spec §17: 6-byte signature+version
+    assert(new String(b.take(6), "US-ASCII") == "GIF89a")
+    // Logical Screen Descriptor: width/height little-endian at 6/8
+    assert(le16(b, 6) == 8 && le16(b, 8) == 8)
+    // packed field: global color table present (bit 7)
+    assert((b(10) & 0x80) != 0)
+    // trailer per spec §27
+    assert((b.last & 0xff) == 0x3b)
+    assertGolden("GIF", b, 1876383159L, "47494638396108000800f10000000000")
+  }
+
+  // ------------------------------------------------------------- FLIC
+
+  test("FLIC golden: .flc header magic, frame magic, pinned bytes") {
+    val pal = Array.tabulate(256)(k =>
+      ((k * 23) % 256 << 16) | ((k * 31) % 256 << 8) | ((k * 47) % 256))
+    val f0 = Array.tabulate[Byte](64)(i => (i % 16).toByte)
+    val f1 = f0.clone(); (0 until 8).foreach(x => f1(8 + x) = ((x * 3) % 16).toByte)
+    val b = Flic.encodeFlic(Flic.FlicVideo(8, 8, 40, pal, Seq(f0, f1)))
+    // FLIC header: 32-bit size then magic 0xAF12 little-endian at offset 4
+    assert(le16(b, 4) == 0xaf12)
+    // frame count at 6, width at 8, height at 10 (all LE)
+    assert(le16(b, 6) == 2 && le16(b, 8) == 8 && le16(b, 10) == 8)
+    // first frame chunk magic 0xF1FA at offset 128+4 (128-byte header)
+    assert(le16(b, 132) == 0xf1fa)
+    assertGolden("FLIC", b, 3279389718L, "1604000012af02000800080008000300")
+  }
+
+  // -------------------------------------------------------------- Y4M
+
+  test("Y4M golden: YUV4MPEG2 header grammar, FRAME markers, pinned bytes") {
+    val y = Array.tabulate[Byte](16)(i => (i * 7).toByte)
+    val u = Array.tabulate[Byte](4)(i => (i * 11).toByte)
+    val v = Array.tabulate[Byte](4)(i => (i * 13).toByte)
+    val b = Y4m.encodeY4m(4, 4, Seq((y, u, v), (y, u, v)))
+    val s = new String(b, "ISO-8859-1")
+    // mjpegtools y4m grammar: magic + space-separated tagged params + \n
+    assert(s.startsWith("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\n"))
+    // each frame starts with FRAME\n; 4:2:0 payload = 16+4+4 bytes
+    val hdr = s.indexOf('\n') + 1
+    assert(s.substring(hdr, hdr + 6) == "FRAME\n")
+    assert(b.length == hdr + 2 * (6 + 24))
+    assertGolden("Y4M", b, 52438272L, "595556344d5045473220573420483420")
+  }
+
+  // ------------------------------------------------------------- WARC
+
+  test("WARC golden: RFC 1952 member magic, WARC/1.0 framing, pinned framing bytes") {
+    val b = Warc.encodeWarcGz(Seq(Warc.WarcRecord(
+      "response", "<urn:uuid:0000>", "https://example.com/a", "hello".getBytes("US-ASCII"))))
+    // RFC 1952: each member starts 1f 8b, CM=8 (deflate)
+    assert((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b && b(2) == 8)
+    // decompress the one member; pin the FRAMING bytes (deflate body is
+    // a JDK implementation detail, the framing is ours)
+    val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val rec = gz.readAllBytes()
+    val t = new String(rec, "ISO-8859-1")
+    assert(t.startsWith("WARC/1.0\r\nWARC-Type: response\r\n"))
+    assert(t.contains("Content-Length: 5\r\n\r\nhello"))
+    // ISO/IEC 21320 / WARC 1.1 §annex: record ends with two CRLFs
+    assert(t.endsWith("\r\n\r\n"))
+    assertGolden("WARC framing", rec, 860215554L, "574152432f312e300d0a574152432d54")
+  }
+
+  // ------------------------------------------------------------ ustar
+
+  test("ustar golden: POSIX header offsets, octal checksum, pinned bytes") {
+    val b = WebDataset.encodeTar(Seq(
+      WebDataset.TarEntry("000001.txt", "alpha".getBytes("US-ASCII")),
+      WebDataset.TarEntry("000001.cls", "7".getBytes("US-ASCII"))))
+    // POSIX.1-1988 ustar: name at 0, magic "ustar" + NUL at 257, version "00"
+    assert(new String(b.take(10), "US-ASCII") == "000001.txt")
+    assert(new String(b.slice(257, 262), "US-ASCII") == "ustar" && b(262) == 0)
+    assert(new String(b.slice(263, 265), "US-ASCII") == "00")
+    // size field at 124: 11-digit octal + NUL; 5 bytes -> "00000000005"
+    assert(new String(b.slice(124, 135), "US-ASCII") == "00000000005")
+    // checksum at 148 validates: sum of header with checksum-as-spaces
+    val h = b.take(512).clone()
+    val stored = Integer.parseInt(new String(h.slice(148, 154), "US-ASCII"), 8)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    assert(h.map(_ & 0xff).sum == stored)
+    // archive ends with two zero blocks
+    assert(b.length % 512 == 0 && b.takeRight(1024).forall(_ == 0))
+    assertGolden("ustar", b, 273363312L, "3030303030312e747874000000000000")
+  }
+
+  // ------------------------------------------- MPEG-1 Layer I and II
+
+  test("MPEG-1 Layer I golden: sync/header bit layout, slot length, pinned bytes") {
+    val alloc = new Array[Int](32); alloc(1) = 2; alloc(12) = 5; alloc(25) = 14
+    val sfIdx = new Array[Int](32); sfIdx(1) = 4; sfIdx(12) = 20; sfIdx(25) = 40
+    val samples = Array.tabulate(12, 32)((t, sb) =>
+      if (alloc(sb) == 0) 0 else (t * 5 + sb) % (1 << (alloc(sb) + 1)))
+    val b = Mpeg1Audio.encodeFrame(alloc, sfIdx, samples)
+    // ISO 11172-3 header: 12-bit sync, ID=1, layer=11 (I), noprot=1
+    assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xff)
+    // bitrateIdx=8 (256k), srIdx=0 (44.1k), no padding -> byte 2 = 1000 00 0 0
+    assert((b(2) & 0xff) == 0x80)
+    // mode=11 mono in bits 7-6 of byte 3
+    assert(((b(3) >> 6) & 3) == 3)
+    // slot-aligned length: 4*floor(12*256000/44100) = 4*69 = 276
+    assert(b.length == 276)
+    assertGolden("MP1", b, 1960469689L, "ffff80c0020000000000500000000000")
+  }
+
+  test("MPEG-1 Layer II golden: layer bits, 1-byte slots, grouped codes, pinned bytes") {
+    val allocIdx = Array(new Array[Int](27))
+    allocIdx(0)(1) = 3; allocIdx(0)(5) = 2; allocIdx(0)(12) = 1; allocIdx(0)(24) = 1
+    val scfsi = Array(Array.fill(27)(0))
+    val sf3 = Array(Array.tabulate(27)(sb => Array(sb, (sb + 1) % 63, (sb + 2) % 63)))
+    val samples = Array.tabulate(36, 1, 27) { (t, _, sb) =>
+      if (allocIdx(0)(sb) == 0) 0
+      else {
+        val n = Mpeg1Audio.l2Levels(Mpeg1Audio.l2Region(sb))(allocIdx(0)(sb))
+        (t * 7 + sb) % n
+      }
+    }
+    val b = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    // header: sync, ID=1, layer=10 (II), noprot=1 -> byte 1 = 0xfd
+    assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfd)
+    // bitrateIdx=14 (384k), srIdx=0: byte 2 = 1110 00 0 0
+    assert((b(2) & 0xff) == 0xe0)
+    // Layer II slots are 1 byte: floor(144*384000/44100) = 1253
+    assert(b.length == 1253)
+    assertGolden("MP2", b, 3334340102L, "fffde0c0030002000000400000001000")
+  }
+}

@@ -353,7 +353,7 @@ class DedupTextSpec extends SparkSpecBase {
     val bytes = Multimodal.encodeAviFrames(Seq(f0, f1), w, h, usPerFrame = 40000)
     val vf = Multimodal.decodeVideoFrames(bytes).get
     assert(vf.meta.width == w && vf.meta.height == h && vf.meta.totalFrames == 2)
-    assert(vf.compression == "    ") // BI_RGB
+    assert(vf.compression == new String(Array.fill(4)(0.toChar))) // BI_RGB
     assert(vf.frames.map(_.pixels.toSeq) == Seq(f0.toSeq, f1.toSeq))
     // MJPEG: each 00dc chunk is a standalone JPEG; decode must agree with
     // a direct ImageIO decode of the same raster (lossy, so compare via

@@ -136,4 +136,134 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(Mpeg1Audio.decode(badLayer).isEmpty)
     assert(Mpeg1Audio.decode(Array.empty[Byte]).isEmpty)
   }
+
+  // --------------------------------------------------------- Layer II
+
+  /** One active subband per 3-B.2a region, classes cycled by seed —
+    * the SparkEntry fixture's shape. */
+  private def fixtureFrameL2(seed: Long, nCh: Int = 1): Array[Byte] = {
+    val act = Seq(
+      ((seed % 3).toInt, 1 + (seed % 15).toInt),
+      (3 + (seed % 8).toInt, 1 + ((seed * 7) % 15).toInt),
+      (11 + (seed % 12).toInt, 1 + ((seed * 5) % 7).toInt),
+      (23 + (seed % 4).toInt, 1 + (seed % 3).toInt))
+    val allocIdx = Array.fill(nCh)(new Array[Int](27))
+    act.foreach { case (sb, a) => (0 until nCh).foreach(ch => allocIdx(ch)(sb) = a) }
+    val scfsi = Array.tabulate(nCh, 27)((ch, sb) => ((seed + sb + ch) % 4).toInt)
+    val sf3 = Array.tabulate(nCh, 27) { (ch, sb) =>
+      val b = ((seed * 3 + sb * 5 + ch * 7) % 63).toInt
+      ((seed + sb + ch) % 4).toInt match {
+        case 0 => Array(b, (b + 1) % 63, (b + 2) % 63)
+        case 1 => Array(b, b, (b + 1) % 63)
+        case 2 => Array(b, b, b)
+        case _ => Array(b, (b + 1) % 63, (b + 1) % 63)
+      }
+    }
+    val samples = Array.tabulate(36, nCh, 27) { (t, ch, sb) =>
+      if (allocIdx(ch)(sb) == 0) 0
+      else {
+        val n = Mpeg1Audio.l2Levels(Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
+        ((seed * 31 + sb * 17 + t * 7 + ch * 41) % n).toInt
+      }
+    }
+    Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+  }
+
+  test("L2: encode/decode round-trips the frame grammar, 1152 samples/ch") {
+    for (seed <- Seq(0L, 1L, 7L, 42L, 113L)) {
+      val payload = fixtureFrameL2(seed)
+      assert(payload.length == Mpeg1Audio.frameBytesL2(14, 0, padding = false),
+        "frame not padded to the 1-byte-slot length")
+      val frames = Mpeg1Audio.decodeL2(payload).get
+      assert(frames.size == 1)
+      assert(frames.head.pcm.length == 1152)
+    }
+  }
+
+  test("L2: requantization closed form matches the Table 3-B.4 constants") {
+    val sf1 = 65536L // unit scalefactor
+    // grouped n=3 (C=4/3, D=1/2): codes {0,1,2} -> exactly {-2/3, 0, 2/3}·2^15
+    assert(Mpeg1Audio.dequantL2(0, 3, sf1) == -21845L)
+    assert(Mpeg1Audio.dequantL2(1, 3, sf1) == 0L)
+    assert(Mpeg1Audio.dequantL2(2, 3, sf1) == 21845L)
+    // grouped n=5 (C=8/5): codes 0..4 -> {-0.8,-0.4,0,0.4,0.8}·2^15
+    assert(Mpeg1Audio.dequantL2(4, 5, sf1) == 26214L)
+    assert(Mpeg1Audio.dequantL2(2, 5, sf1) == 0L)
+    assert(Mpeg1Audio.dequantL2(0, 5, sf1) == -26214L)
+    // grouped n=9 (C=16/9): step 2/9, max 8/9
+    assert(Mpeg1Audio.dequantL2(8, 9, sf1) == (8L << 15) / 9L)
+    // ungrouped n=7 (C=8/7, D=1/4): same algebra as Layer I's formula
+    assert(Mpeg1Audio.dequantL2(6, 7, sf1) == (6L << 15) / 7L)
+    assert(Mpeg1Audio.dequantL2(6, 7, sf1) == Mpeg1Audio.dequant(6, 3, sf1))
+    // ungrouped n=65535: Layer I nb=16 equivalence holds across the ladder
+    assert(Mpeg1Audio.dequantL2(12345, 65535, sf1) == Mpeg1Audio.dequant(12345, 16, sf1))
+    // levels are symmetric: c and (n-1-c) negate exactly
+    for (n <- Seq(3, 5, 9, 7, 15, 31, 65535); c <- 0 until math.min(n, 8))
+      assert(Mpeg1Audio.dequantL2(c, n, sf1) == -Mpeg1Audio.dequantL2(n - 1 - c, n, sf1))
+  }
+
+  test("L2: grouping packs 3 samples per 5/7/10-bit code, position-exact") {
+    // one grouped subband (region 3, idx 1 -> n=3, 5-bit codes): flip a
+    // bit inside the FIRST group code and the decode must move
+    val allocIdx = Array(new Array[Int](27)); allocIdx(0)(23) = 1
+    val scfsi = Array(Array.fill(27)(2))
+    val sf3 = Array(Array.fill(27)(Array(0, 0, 0)))
+    val samples = Array.tabulate(36, 1, 27)((t, _, sb) => if (sb == 23) t % 3 else 0)
+    val payload = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    val pcm = Mpeg1Audio.decodeL2(payload).get.head.pcm.toSeq
+    assert(pcm.exists(_ != 0L))
+    // content bits: header 32 + alloc 88 + scfsi 2 + sf 6 = 128 bits ->
+    // byte 16 starts the first 5-bit group code
+    val mut = payload.clone()
+    mut(16) = (mut(16) ^ 0x80).toByte
+    val out = Mpeg1Audio.decodeL2(mut)
+    assert(out.isEmpty || out.get.head.pcm.toSeq != pcm,
+      "group-code bit flip was invisible")
+  }
+
+  test("L2: scfsi sharing — mode 2 with equal parts decodes like mode 0") {
+    val mk = (scfsiMode: Int, parts: Array[Int]) => {
+      val allocIdx = Array(new Array[Int](27)); allocIdx(0)(5) = 3 // n=7
+      val scfsi = Array(Array.fill(27)(scfsiMode))
+      val sf3 = Array(Array.fill(27)(parts))
+      val samples = Array.tabulate(36, 1, 27)((t, _, sb) => if (sb == 5) (t * 5) % 7 else 0)
+      Mpeg1Audio.decodeL2(Mpeg1Audio.encodeFrameChL2(
+        allocIdx, scfsi, sf3, samples)).get.head.pcm.toSeq
+    }
+    // one scalefactor shared across all parts == three equal scalefactors
+    assert(mk(2, Array(10, 10, 10)) == mk(0, Array(10, 10, 10)))
+    // mode 0 with distinct parts must differ (part 2's sf changes blocks 24..35)
+    assert(mk(0, Array(10, 10, 30)) != mk(2, Array(10, 10, 10)))
+    // mode 1 shares parts 0,1; mode 3 shares parts 1,2
+    assert(mk(1, Array(10, 10, 30)) == mk(0, Array(10, 10, 30)))
+    assert(mk(3, Array(10, 30, 30)) == mk(0, Array(10, 30, 30)))
+  }
+
+  test("L2: multi-frame streams carry the shared filterbank across frames") {
+    val three = fixtureFrameL2(5L) ++ fixtureFrameL2(5L) ++ fixtureFrameL2(5L)
+    val frames = Mpeg1Audio.decodeL2(three).get
+    assert(frames.size == 3)
+    assert(!frames(1).pcm.take(64).sameElements(frames(0).pcm.take(64)),
+      "filterbank state was reset at the frame boundary")
+  }
+
+  test("L2: stereo interleaves and the left channel equals the mono decode") {
+    val mono = Mpeg1Audio.decodeL2(fixtureFrameL2(6L, nCh = 1)).get.head.pcm
+    val f = Mpeg1Audio.decodeL2(fixtureFrameL2(6L, nCh = 2)).get.head
+    assert(f.channels == 2 && f.pcm.length == 2304)
+    assert((0 until 1152).forall(i => f.pcm(2 * i) == mono(i)),
+      "left channel diverged from the mono decode")
+    assert((0 until 1152).exists(i => f.pcm(2 * i + 1) != f.pcm(2 * i)))
+  }
+
+  test("L2: malformed streams are refused, including out-of-table dials") {
+    val good = fixtureFrameL2(3L)
+    assert(Mpeg1Audio.decodeL2(good.take(10)).isEmpty, "truncated")
+    assert(Mpeg1Audio.decodeL2(fixtureFrame(3L)).isEmpty, "a Layer I stream is not Layer II")
+    assert(Mpeg1Audio.decode(good).isEmpty, "a Layer II stream is not Layer I")
+    // bitrate below the 3-B.2a gate (56 kbps/ch): header bitrateIdx -> 1 (32 kbps)
+    val lowRate = good.clone()
+    lowRate(2) = ((lowRate(2) & 0x0f) | 0x10).toByte
+    assert(Mpeg1Audio.decodeL2(lowRate).isEmpty)
+  }
 }
