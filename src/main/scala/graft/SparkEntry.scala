@@ -4875,10 +4875,18 @@ object SparkEntry {
     * oracle replays every stage from generated constant-table VALUES
     * (the same arrays the decoder uses) over a GLOBAL block axis
     * g ∈ [0,24), so a FIFO reset at the frame boundary (the bug class
-    * frame-local decoders hide) breaks blocks 12..15's hash. */
+    * frame-local decoders hide) breaks blocks 12..15's hash. r11 adds
+    * INTENSITY-stereo docs (mode 01 at all four bounds — shared code
+    * set above the bound) and CRC-PROTECTED frames (decode verifies
+    * the ISO CRC-16 before emitting PCM) to the same fixture. */
   private def audioMpegLayer1(s: SparkSession, dir: String): DataFrame = {
     val mk = udf((docId: Long) => {
       val nCh = 1 + (docId % 2).toInt // odd docs are STEREO
+      // docs ≡ 3 (mod 4): INTENSITY stereo (subbands ≥ bound share one
+      // code set, per-channel scalefactors); docs ≡ 0 (mod 3): frames
+      // carry the ISO CRC-16 (verified on decode, PCM unchanged)
+      val jsBound = if (docId % 4 == 3) 4 + 4 * ((docId / 4) % 4).toInt else 0
+      val withCrc = docId % 3 == 0
       val alloc = new Array[Int](32)
       val sfIdx = new Array[Int](32)
       Seq(((docId % 8).toInt, 1 + (docId % 3).toInt, (docId % 63).toInt),
@@ -4889,11 +4897,15 @@ object SparkEntry {
       (0 until 2).foreach { fr =>
         val samples = Array.tabulate(12, nCh, 32) { (t, ch, sb) =>
           if (alloc(sb) == 0) 0
-          else ((docId * 31 + sb * 17 + (fr * 12 + t) * 7 + ch * 41)
-            % (1L << (alloc(sb) + 1))).toInt
+          else {
+            val chTerm = if (jsBound > 0 && sb >= jsBound) 0 else ch * 41
+            ((docId * 31 + sb * 17 + (fr * 12 + t) * 7 + chTerm)
+              % (1L << (alloc(sb) + 1))).toInt
+          }
         }
         val bytes = operators.Mpeg1Audio.encodeFrameCh(
-          Array.fill(nCh)(alloc), Array.fill(nCh)(sfIdx), samples)
+          Array.fill(nCh)(alloc), Array.fill(nCh)(sfIdx), samples,
+          withCrc = withCrc, jsBound = jsBound)
         out.write(bytes, 0, bytes.length)
       }
       out.toByteArray
@@ -4928,9 +4940,14 @@ object SparkEntry {
        |  -- ISO Layer-I dequant at 2^15 then scalefactor at 2^16, all
        |  -- truncating: DuckDB // truncates toward zero like the JVM's /.
        |  -- g is the GLOBAL block index across both frames (2 x 12);
-       |  -- odd docs are stereo (ch offsets the sample codes by 41).
+       |  -- odd docs are stereo (ch offsets the sample codes by 41);
+       |  -- intensity docs (doc_id % 4 = 3) drop the ch term above the
+       |  -- bound — both channels decode the one shared code set.
        |  SELECT s.doc_id, cc.ch, g.t, s.sb,
-       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7 + cc.ch * 41)
+       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7
+       |              + CASE WHEN s.doc_id % 4 = 3
+       |                      AND s.sb >= 4 + 4 * ((s.doc_id // 4) % 4)
+       |                     THEN 0 ELSE cc.ch * 41 END)
        |              % (CAST(1 AS BIGINT) << s.nb))
        |        - (CAST(1 AS BIGINT) << s.nb) + 2) * 32768)
        |      // ((CAST(1 AS BIGINT) << s.nb) - 1)) * f.sv) // 65536 AS v
@@ -4977,7 +4994,11 @@ object SparkEntry {
     * subbands, one per Table 3-B.2a allocation region, cycling through
     * every quantizer class — the grouped 3/5/9-level classes (one
     * 5/7/10-bit code per 3 samples), the power-of-two ladder, and the
-    * 16-bit escape — plus all four scfsi scalefactor-sharing modes.
+    * 16-bit escape — plus all four scfsi scalefactor-sharing modes,
+    * INTENSITY (joint) stereo docs at all four bounds (subbands ≥
+    * bound share one code set under per-channel scalefactors), and
+    * CRC-PROTECTED frames (ISO Annex-A CRC-16 over header bits 16-31 +
+    * allocation + scfsi, verified before any PCM is emitted).
     * Decode runs the real pipeline: frame walk at ⌊144·bitrate/fs⌋
     * byte slots, region-width allocation parse, scfsi + scalefactor
     * reconstruction, degrouping, Table 3-B.4 requantization in the
@@ -4988,6 +5009,12 @@ object SparkEntry {
   private def audioMpegLayer2(s: SparkSession, dir: String): DataFrame = {
     val mk = udf((d: Long) => {
       val nCh = 1 + (d % 2).toInt // odd docs are STEREO
+      // docs ≡ 3 (mod 4) are INTENSITY stereo: subbands ≥ bound share
+      // one code set (ch term dropped) but keep per-channel
+      // scalefactors; docs ≡ 0 (mod 3) emit CRC-PROTECTED frames (no
+      // effect on PCM — but decode must verify the CRC to emit rows)
+      val jsBound = if (d % 4 == 3) 4 + 4 * ((d / 4) % 4).toInt else 0
+      val withCrc = d % 3 == 0
       val act = Seq(
         ((d % 3).toInt, 1 + (d % 15).toInt),
         (3 + (d % 8).toInt, 1 + ((d * 7) % 15).toInt),
@@ -5013,10 +5040,12 @@ object SparkEntry {
           else {
             val n = operators.Mpeg1Audio.l2Levels(
               operators.Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
-            ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + ch * 41) % n).toInt
+            val chTerm = if (jsBound > 0 && sb >= jsBound) 0 else ch * 41
+            ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + chTerm) % n).toInt
           }
         }
-        val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+        val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3,
+          samples, withCrc = withCrc, jsBound = jsBound)
         out.write(bytes, 0, bytes.length)
       }
       out.toByteArray
@@ -5053,8 +5082,14 @@ object SparkEntry {
        |  -- Table 3-B.4 requantization at 2^15 then scalefactor at 2^16,
        |  -- all truncating; part = (t % 36) // 12 selects the scalefactor
        |  -- the scfsi mode m shares across the frame's three parts.
+       |  -- Intensity-stereo docs (doc_id % 4 = 3) drop the channel term
+       |  -- for subbands >= bound — both channels decode the SHARED code
+       |  -- set, still scaled by their own per-channel scalefactor.
        |  SELECT s.doc_id, cc.ch, g.t, s.sb,
-       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7 + cc.ch * 41) % q.n)
+       |    ((((2 * ((s.doc_id * 31 + s.sb * 17 + g.t * 7
+       |              + CASE WHEN s.doc_id % 4 = 3
+       |                      AND s.sb >= 4 + 4 * ((s.doc_id // 4) % 4)
+       |                     THEN 0 ELSE cc.ch * 41 END) % q.n)
        |        - q.p2 + q.offs) * 32768) // q.n) * f.sv) // 65536 AS v
        |  FROM sbs s
        |  JOIN qcls q ON q.region = s.region AND q.aidx = s.aidx

@@ -36,11 +36,15 @@ package graft.operators
  * length (4·⌊12·bitrate/fs⌋ bytes; ancillary padding after the sample
  * codes is skipped) with per-channel synthesis V FIFOs carried ACROSS
  * frames, the way the ISO decoder holds filterbank state for the life
- * of a stream. Mono (mode 11) and stereo (mode 00, subband-major
- * channel-minor field order, interleaved PCM out) both decode;
- * decoding real-world .mp1 additionally needs the ISO window table (a
- * 512-constant swap) and the joint-stereo / dual-channel / CRC frames
- * this decoder deliberately rejects loudly — documented boundaries.
+ * of a stream. Mono (mode 11), stereo (mode 00, subband-major
+ * channel-minor field order, interleaved PCM out), INTENSITY (joint)
+ * stereo (mode 01 — subbands ≥ bound share one set of sample codes
+ * with per-channel scalefactors, both layers), and CRC-PROTECTED
+ * frames (protection bit 0 — 16-bit ISO Annex-A CRC over header bits
+ * 16-31 + the layer's side info, verified on decode) all decode as of
+ * r11; decoding real-world .mp1 additionally needs the ISO window
+ * table (a 512-constant swap), and dual-channel (mode 10) frames are
+ * still rejected loudly — documented boundaries.
  *
  * Scale shape: stateless per-row map like every decode here; the
  * V-FIFO state lives inside one blob's decode.
@@ -102,29 +106,54 @@ object Mpeg1Audio {
     encodeFrameCh(Array(alloc), Array(sfIdx),
       samples.map(row => Array(row)), sampleRateIdx, bitrateIdx)
 
-  /** One CRC-less Layer I frame, mono or STEREO (mode 11 / 00), padded
-    * with zero ancillary bits to the slot-aligned frame length. Field
-    * order per ISO Layer I: allocations subband-major channel-minor,
-    * then scalefactors in the same order, then per block t the sample
-    * codes subband-major channel-minor. Shapes: `alloc(ch)(sb)`,
-    * `sfIdx(ch)(sb)`, `samples(t)(ch)(sb)`. */
+  /** One Layer I frame, mono / STEREO / JOINT (intensity) stereo,
+    * padded with zero ancillary bits to the slot-aligned frame length.
+    * Field order per ISO Layer I: allocations subband-major
+    * channel-minor, then scalefactors in the same order, then per
+    * block t the sample codes subband-major channel-minor. Shapes:
+    * `alloc(ch)(sb)`, `sfIdx(ch)(sb)`, `samples(t)(ch)(sb)`.
+    *
+    * `withCrc` emits a PROTECTED frame: protection bit 0, 16-bit
+    * ISO CRC after the header covering header bits 16-31 + the bit
+    * allocation. `jsBound` ∈ {4,8,12,16} emits intensity-stereo mode
+    * 01 with that bound: subbands ≥ bound transmit ONE allocation and
+    * ONE set of sample codes (caller must pass identical values across
+    * channels there) but keep PER-CHANNEL scalefactors. */
   def encodeFrameCh(alloc: Array[Array[Int]], sfIdx: Array[Array[Int]],
                     samples: Array[Array[Array[Int]]], sampleRateIdx: Int = 0,
-                    bitrateIdx: Int = 8): Array[Byte] = {
+                    bitrateIdx: Int = 8, withCrc: Boolean = false,
+                    jsBound: Int = 0): Array[Byte] = {
     val nCh = alloc.length
     require(nCh == 1 || nCh == 2, s"channels $nCh")
     require(sfIdx.length == nCh && samples.length == 12 &&
       alloc.forall(_.length == 32) && sfIdx.forall(_.length == 32) &&
       samples.forall(t => t.length == nCh && t.forall(_.length == 32)))
+    val joint = jsBound > 0
+    if (joint) {
+      require(nCh == 2, "intensity stereo needs 2 channels")
+      require(Set(4, 8, 12, 16)(jsBound), s"jsBound $jsBound")
+      (jsBound until 32).foreach { sb =>
+        require(alloc(0)(sb) == alloc(1)(sb), s"joint alloc differs at sb $sb")
+        (0 until 12).foreach(t =>
+          require(samples(t)(0)(sb) == samples(t)(1)(sb),
+            s"joint sample codes differ at sb $sb"))
+      }
+    }
+    val bound = if (joint) jsBound else 32
+    def sharedAbove(sb: Int): Boolean = joint && sb >= bound
     val w = new Flac.BitWriter
-    // header: sync(12) ver(1)=1 layer(2)=11(I) noprot(1)=1
-    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(3, 2); w.writeBits(1, 1)
+    // header: sync(12) ver(1)=1 layer(2)=11(I) protection(1)
+    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(3, 2)
+    w.writeBits(if (withCrc) 0 else 1, 1)
     w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
     w.writeBits(0, 1) // private
-    w.writeBits(if (nCh == 1) 3 else 0, 2) // mode: single channel / stereo
-    w.writeBits(0, 2); w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    // mode: single channel / joint stereo / stereo
+    w.writeBits(if (nCh == 1) 3 else if (joint) 1 else 0, 2)
+    w.writeBits(if (joint) (jsBound - 4) / 4 else 0, 2) // mode_extension
+    w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    if (withCrc) w.writeBits(0, 16) // CRC placeholder, patched below
     (0 until 32).foreach { sb =>
-      (0 until nCh).foreach { ch =>
+      (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
         val a = alloc(ch)(sb)
         require(a >= 0 && a <= 14, s"alloc $a"); w.writeBits(a, 4)
       }
@@ -139,7 +168,7 @@ object Mpeg1Audio {
     }
     (0 until 12).foreach { t =>
       (0 until 32).foreach { sb =>
-        (0 until nCh).foreach { ch =>
+        (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
           if (alloc(ch)(sb) > 0) {
             val nb = alloc(ch)(sb) + 1
             val x = samples(t)(ch)(sb)
@@ -154,7 +183,15 @@ object Mpeg1Audio {
     require(w.size <= target,
       s"frame content ${w.size} B exceeds slot length $target B")
     while (w.size < target) w.writeBits(0, 8) // zero ancillary bytes
-    w.bytes
+    val out = w.bytes
+    if (withCrc) {
+      val allocBits = (0 until 32)
+        .map(sb => 4 * (if (sharedAbove(sb)) 1 else nCh)).sum
+      val c = frameCrc(out, 0, allocBits)
+      out(4) = ((c >> 8) & 0xff).toByte
+      out(5) = (c & 0xff).toByte
+    }
+    out
   }
 
   // ---------------------------------------------------------- decode
@@ -186,28 +223,41 @@ object Mpeg1Audio {
     require(r.readBits(12) == 0xfff, "bad sync")
     require(r.readBits(1) == 1, "not MPEG-1")
     require(r.readBits(2) == 3, "not Layer I")
-    require(r.readBits(1) == 1, "CRC frames unsupported")
+    val protected_ = r.readBits(1) == 0
     val bitrateIdx = r.readBits(4).toInt
     val srIdx = r.readBits(2).toInt
     val padding = r.readBits(1) == 1
     r.readBits(1)
     val mode = r.readBits(2).toInt
-    require(mode == 3 || mode == 0,
-      s"mode $mode unsupported (single-channel and stereo only)")
+    require(mode == 3 || mode == 0 || mode == 1,
+      s"mode $mode unsupported (single-channel, stereo, intensity stereo)")
     val nCh = if (mode == 3) 1 else 2
+    val modeExt = r.readBits(2).toInt
+    val bound = if (mode == 1) 4 + modeExt * 4 else 32
     require(v.length == nCh && v.forall(_.length == 16),
       s"V FIFO shape ${v.length} for $nCh channels")
-    r.readBits(2); r.readBits(1); r.readBits(1); r.readBits(2)
+    r.readBits(1); r.readBits(1); r.readBits(2)
+    val crcStored = if (protected_) r.readBits(16).toInt else -1
     val end = offset + frameBytes(bitrateIdx, srIdx, padding)
     require(end <= payload.length, "frame overruns payload")
-    // allocations + scalefactors, subband-major channel-minor
+    // allocations + scalefactors, subband-major channel-minor;
+    // intensity subbands (sb >= bound) carry ONE shared allocation
     val alloc = Array.ofDim[Int](nCh, 32)
     (0 until 32).foreach { sb =>
-      (0 until nCh).foreach { ch =>
+      if (sb >= bound) {
+        val a = r.readBits(4).toInt
+        require(a <= 14, s"alloc code $a reserved")
+        (0 until nCh).foreach(ch => alloc(ch)(sb) = a)
+      } else (0 until nCh).foreach { ch =>
         val a = r.readBits(4).toInt
         require(a <= 14, s"alloc code $a reserved")
         alloc(ch)(sb) = a
       }
+    }
+    if (protected_) {
+      val allocBits = (0 until 32).map(sb => 4 * (if (sb >= bound) 1 else nCh)).sum
+      val c = frameCrc(payload, offset, allocBits)
+      require(c == crcStored, f"CRC mismatch: stored $crcStored%04x computed $c%04x")
     }
     val sf = Array.ofDim[Long](nCh, 32)
     (0 until 32).foreach { sb =>
@@ -219,11 +269,18 @@ object Mpeg1Audio {
         }
       }
     }
-    // subband samples -> dequantized S[t][ch][sb]
+    // subband samples -> dequantized S[t][ch][sb]; intensity subbands
+    // read ONE code, each channel applies its OWN scalefactor
     val s = Array.ofDim[Long](12, nCh, 32)
     (0 until 12).foreach { t =>
       (0 until 32).foreach { sb =>
-        (0 until nCh).foreach { ch =>
+        if (sb >= bound) {
+          if (alloc(0)(sb) > 0) {
+            val nb = alloc(0)(sb) + 1
+            val x = r.readBits(nb).toInt
+            (0 until nCh).foreach(ch => s(t)(ch)(sb) = dequant(x, nb, sf(ch)(sb)))
+          }
+        } else (0 until nCh).foreach { ch =>
           if (alloc(ch)(sb) > 0) {
             val nb = alloc(ch)(sb) + 1
             s(t)(ch)(sb) = dequant(r.readBits(nb).toInt, nb, sf(ch)(sb))
@@ -288,7 +345,7 @@ object Mpeg1Audio {
       // peek the first header's mode for the FIFO shape
       require(payload.length >= 4, "too short")
       val mode = (payload(3) >> 6) & 3
-      require(mode == 3 || mode == 0, s"mode $mode unsupported")
+      require(mode == 3 || mode == 0 || mode == 1, s"mode $mode unsupported")
       val nCh = if (mode == 3) 1 else 2
       var p = 0
       val v = Array.ofDim[Long](nCh, 16, 64)
@@ -316,6 +373,47 @@ object Mpeg1Audio {
       pos += 1
     })
     (n, sum, wsum, mn, mx)
+  }
+
+  // -------------------------------------------------------------- CRC
+
+  /** ISO 11172-3 §2.4.3.1 CRC-16: polynomial x¹⁶+x¹⁵+x²+1 (0x8005),
+    * initial state 0xFFFF, fed MSB-first over `nBits` bits of `data`
+    * starting at absolute bit `startBit`. The protected region is the
+    * LAST 16 header bits plus the side information — Layer I: the bit
+    * allocation; Layer II: bit allocation + scfsi. */
+  def crc16(data: Array[Byte], startBit: Long, nBits: Int): Int = {
+    var crc = 0xffff
+    var i = 0L
+    while (i < nBits) {
+      val bit = (data(((startBit + i) >> 3).toInt) >> (7 - ((startBit + i) & 7)).toInt) & 1
+      // ISO 11172-3 Annex A CRC flowchart: feedback = input bit XOR the
+      // register MSB; shift, then XOR the generator when feedback is set
+      val fb = ((crc >> 15) & 1) ^ bit
+      crc = (crc << 1) & 0xffff
+      if (fb == 1) crc ^= 0x8005
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC over a frame's protected region. `sideBits` = the number of
+    * side-information bits immediately following the (header + CRC)
+    * that the layer protects. The CRC field itself is excluded: the
+    * covered bits are header bits 16..31 then the side info. */
+  private def frameCrc(payload: Array[Byte], offset: Int, sideBits: Int): Int = {
+    // header bits 16..31
+    val tmp = new Array[Byte](2 + ((sideBits + 7) / 8) + 1)
+    tmp(0) = payload(offset + 2); tmp(1) = payload(offset + 3)
+    // side info starts after header(32) + crc(16) = bit 48 of the frame
+    var i = 0
+    while (i < sideBits) {
+      val src = offset.toLong * 8 + 48 + i
+      val b = (payload((src >> 3).toInt) >> (7 - (src & 7)).toInt) & 1
+      if (b == 1) tmp(2 + (i >> 3)) = (tmp(2 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    crc16(tmp, 0L, 16 + sideBits)
   }
 
   // ------------------------------------------------- Layer II (3-B.2a)
@@ -416,23 +514,41 @@ object Mpeg1Audio {
   def encodeFrameChL2(allocIdx: Array[Array[Int]], scfsi: Array[Array[Int]],
                       sf3: Array[Array[Array[Int]]],
                       samples: Array[Array[Array[Int]]],
-                      sampleRateIdx: Int = 0, bitrateIdx: Int = 14): Array[Byte] = {
+                      sampleRateIdx: Int = 0, bitrateIdx: Int = 14,
+                      withCrc: Boolean = false, jsBound: Int = 0): Array[Byte] = {
     val nCh = allocIdx.length
     require(nCh == 1 || nCh == 2, s"channels $nCh")
     require(scfsi.length == nCh && sf3.length == nCh && samples.length == 36 &&
       allocIdx.forall(_.length == 27) && scfsi.forall(_.length == 27) &&
       sf3.forall(_.forall(_.length == 3)) &&
       samples.forall(t => t.length == nCh && t.forall(_.length == 27)))
+    val joint = jsBound > 0
+    if (joint) {
+      require(nCh == 2, "intensity stereo needs 2 channels")
+      require(Set(4, 8, 12, 16)(jsBound), s"jsBound $jsBound")
+      (jsBound until 27).foreach { sb =>
+        require(allocIdx(0)(sb) == allocIdx(1)(sb), s"joint alloc differs at sb $sb")
+        (0 until 36).foreach(t =>
+          require(samples(t)(0)(sb) == samples(t)(1)(sb),
+            s"joint sample codes differ at sb $sb"))
+      }
+    }
+    val bound = if (joint) jsBound else 27
+    def sharedAbove(sb: Int): Boolean = joint && sb >= bound
     def levels(ch: Int, sb: Int): Int = l2Levels(l2Region(sb))(allocIdx(ch)(sb))
     val w = new Flac.BitWriter
-    // header: sync(12) ver(1)=1 layer(2)=10(II) noprot(1)=1
-    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(2, 2); w.writeBits(1, 1)
+    // header: sync(12) ver(1)=1 layer(2)=10(II) protection(1)
+    w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(2, 2)
+    w.writeBits(if (withCrc) 0 else 1, 1)
     w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
     w.writeBits(0, 1) // private
-    w.writeBits(if (nCh == 1) 3 else 0, 2) // mode: single channel / stereo
-    w.writeBits(0, 2); w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    // mode: single channel / joint (intensity) stereo / stereo
+    w.writeBits(if (nCh == 1) 3 else if (joint) 1 else 0, 2)
+    w.writeBits(if (joint) (jsBound - 4) / 4 else 0, 2) // mode_extension
+    w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
+    if (withCrc) w.writeBits(0, 16) // CRC placeholder, patched below
     (0 until 27).foreach { sb =>
-      (0 until nCh).foreach { ch =>
+      (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
         val a = allocIdx(ch)(sb)
         require(a >= 0 && a < l2Levels(l2Region(sb)).length, s"allocIdx $a at sb $sb")
         w.writeBits(a, l2AllocBits(l2Region(sb)))
@@ -455,7 +571,7 @@ object Mpeg1Audio {
     }
     (0 until 12).foreach { gr =>
       (0 until 27).foreach { sb =>
-        (0 until nCh).foreach { ch =>
+        (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
           if (allocIdx(ch)(sb) > 0) {
             val n = levels(ch, sb)
             val c = Array.tabulate(3)(k => samples(gr * 3 + k)(ch)(sb))
@@ -475,16 +591,29 @@ object Mpeg1Audio {
     require(w.size <= target,
       s"frame content ${w.size} B exceeds slot length $target B")
     while (w.size < target) w.writeBits(0, 8) // zero ancillary bytes
-    w.bytes
+    val out = w.bytes
+    if (withCrc) {
+      // Layer II protects allocation + scfsi
+      val allocBits = (0 until 27)
+        .map(sb => l2AllocBits(l2Region(sb)) * (if (sharedAbove(sb)) 1 else nCh)).sum
+      val scfsiBits = (0 until 27)
+        .map(sb => 2 * (0 until nCh).count(ch => allocIdx(ch)(sb) > 0)).sum
+      val c = frameCrc(out, 0, allocBits + scfsiBits)
+      out(4) = ((c >> 8) & 0xff).toByte
+      out(5) = (c & 0xff).toByte
+    }
+    out
   }
 
-  /** Decode one Layer II frame (mono or stereo) at byte `offset`,
-    * carrying each channel's synthesis V FIFO across frames; throws on
-    * malformed input. Returns the frame (1152·ch interleaved PCM — 36
-    * filterbank pushes) and the next frame's offset. Table 3-B.2a
-    * streams only (48/44.1 kHz at ≥ 56 kbps/ch — the common case);
-    * other rate/bitrate table selections, joint stereo, and CRC frames
-    * are rejected loudly — documented boundaries. */
+  /** Decode one Layer II frame (mono, stereo, intensity stereo, with
+    * or without CRC protection) at byte `offset`, carrying each
+    * channel's synthesis V FIFO across frames; throws on malformed
+    * input (including a CRC mismatch on protected frames). Returns the
+    * frame (1152·ch interleaved PCM — 36 filterbank pushes) and the
+    * next frame's offset. Table 3-B.2a streams only (48/44.1 kHz at
+    * ≥ 56 kbps/ch — the common case); other rate/bitrate table
+    * selections and dual-channel frames are rejected loudly —
+    * documented boundaries. */
   def decodeFrameL2(payload: Array[Byte], offset: Int,
                     v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
     val r = new Flac.BitReader(payload)
@@ -492,25 +621,33 @@ object Mpeg1Audio {
     require(r.readBits(12) == 0xfff, "bad sync")
     require(r.readBits(1) == 1, "not MPEG-1")
     require(r.readBits(2) == 2, "not Layer II")
-    require(r.readBits(1) == 1, "CRC frames unsupported")
+    val protected_ = r.readBits(1) == 0
     val bitrateIdx = r.readBits(4).toInt
     val srIdx = r.readBits(2).toInt
     val padding = r.readBits(1) == 1
     r.readBits(1)
     val mode = r.readBits(2).toInt
-    require(mode == 3 || mode == 0,
-      s"mode $mode unsupported (single-channel and stereo only)")
+    require(mode == 3 || mode == 0 || mode == 1,
+      s"mode $mode unsupported (single-channel, stereo, intensity stereo)")
     val nCh = if (mode == 3) 1 else 2
+    val modeExt = r.readBits(2).toInt
+    val bound = if (mode == 1) 4 + modeExt * 4 else 27
     require(srIdx <= 1, "table 3-B.2a requires 44.1/48 kHz")
     require(l2Bitrates(bitrateIdx) / nCh >= 56, "table 3-B.2a requires >= 56 kbps/ch")
     require(v.length == nCh && v.forall(_.length == 16),
       s"V FIFO shape ${v.length} for $nCh channels")
-    r.readBits(2); r.readBits(1); r.readBits(1); r.readBits(2)
+    r.readBits(1); r.readBits(1); r.readBits(2)
+    val crcStored = if (protected_) r.readBits(16).toInt else -1
     val end = offset + frameBytesL2(bitrateIdx, srIdx, padding)
     require(end <= payload.length, "frame overruns payload")
+    // intensity subbands (sb >= bound) carry ONE shared allocation
     val alloc = Array.ofDim[Int](nCh, 27)
     (0 until 27).foreach { sb =>
-      (0 until nCh).foreach { ch =>
+      if (sb >= bound) {
+        val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
+        require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
+        (0 until nCh).foreach(ch => alloc(ch)(sb) = a)
+      } else (0 until nCh).foreach { ch =>
         val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
         require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
         alloc(ch)(sb) = a
@@ -521,6 +658,14 @@ object Mpeg1Audio {
       (0 until nCh).foreach { ch =>
         if (alloc(ch)(sb) > 0) scfsi(ch)(sb) = r.readBits(2).toInt
       }
+    }
+    if (protected_) {
+      val allocBits = (0 until 27)
+        .map(sb => l2AllocBits(l2Region(sb)) * (if (sb >= bound) 1 else nCh)).sum
+      val scfsiBits = (0 until 27)
+        .map(sb => 2 * (0 until nCh).count(ch => alloc(ch)(sb) > 0)).sum
+      val c = frameCrc(payload, offset, allocBits + scfsiBits)
+      require(c == crcStored, f"CRC mismatch: stored $crcStored%04x computed $c%04x")
     }
     // per-part scalefactor MULTIPLIERS, reconstructed through scfsi
     val sfPart = Array.ofDim[Long](nCh, 27, 3)
@@ -545,27 +690,40 @@ object Mpeg1Audio {
         }
       }
     }
-    // sample codes -> dequantized S[t][ch][sb], t = gr*3 + k global in-frame
+    // sample codes -> dequantized S[t][ch][sb], t = gr*3 + k global
+    // in-frame; intensity subbands read ONE code set, each channel
+    // applies its OWN scalefactor
     val s = Array.ofDim[Long](36, nCh, 32)
     (0 until 12).foreach { gr =>
       val part = gr / 4
       (0 until 27).foreach { sb =>
-        (0 until nCh).foreach { ch =>
+        def readCodes(n: Int): Array[Int] =
+          if (l2Grouped(n)) {
+            val g = r.readBits(l2GroupBits(n)).toInt
+            require(g < n * n * n, s"group code $g for n=$n")
+            Array(g % n, (g / n) % n, g / (n * n))
+          } else {
+            val nb = l2Nb(n)
+            Array.fill(3) {
+              val x = r.readBits(nb).toInt
+              require(x < n, s"code $x for n=$n (all-ones forbidden)")
+              x
+            }
+          }
+        if (sb >= bound) {
+          if (alloc(0)(sb) > 0) {
+            val n = l2Levels(l2Region(sb))(alloc(0)(sb))
+            val c = readCodes(n)
+            (0 until 3).foreach { k =>
+              (0 until nCh).foreach { ch =>
+                s(gr * 3 + k)(ch)(sb) = dequantL2(c(k), n, sfPart(ch)(sb)(part))
+              }
+            }
+          }
+        } else (0 until nCh).foreach { ch =>
           if (alloc(ch)(sb) > 0) {
             val n = l2Levels(l2Region(sb))(alloc(ch)(sb))
-            val c: Array[Int] =
-              if (l2Grouped(n)) {
-                val g = r.readBits(l2GroupBits(n)).toInt
-                require(g < n * n * n, s"group code $g for n=$n")
-                Array(g % n, (g / n) % n, g / (n * n))
-              } else {
-                val nb = l2Nb(n)
-                Array.fill(3) {
-                  val x = r.readBits(nb).toInt
-                  require(x < n, s"code $x for n=$n (all-ones forbidden)")
-                  x
-                }
-              }
+            val c = readCodes(n)
             (0 until 3).foreach { k =>
               s(gr * 3 + k)(ch)(sb) = dequantL2(c(k), n, sfPart(ch)(sb)(part))
             }
@@ -594,7 +752,7 @@ object Mpeg1Audio {
     try {
       require(payload.length >= 4, "too short")
       val mode = (payload(3) >> 6) & 3
-      require(mode == 3 || mode == 0, s"mode $mode unsupported")
+      require(mode == 3 || mode == 0 || mode == 1, s"mode $mode unsupported")
       val nCh = if (mode == 3) 1 else 2
       var p = 0
       val v = Array.ofDim[Long](nCh, 16, 64)

@@ -256,6 +256,107 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert((0 until 1152).exists(i => f.pcm(2 * i + 1) != f.pcm(2 * i)))
   }
 
+  // ------------------------------------- CRC + intensity stereo (r11)
+
+  test("CRC frames: L1/L2 round-trip; side-info corruption is refused, ancillary is not") {
+    // Layer I protected frame decodes identically to the unprotected one
+    val alloc = new Array[Int](32); alloc(1) = 2; alloc(12) = 5
+    val sfIdx = new Array[Int](32); sfIdx(1) = 4; sfIdx(12) = 20
+    val samples = Array.tabulate(12, 2, 32)((t, ch, sb) =>
+      if (alloc(sb) == 0) 0 else (t * 5 + sb + ch * 13) % (1 << (alloc(sb) + 1)))
+    val plain = Mpeg1Audio.encodeFrameCh(Array(alloc, alloc), Array(sfIdx, sfIdx), samples)
+    val prot = Mpeg1Audio.encodeFrameCh(Array(alloc, alloc), Array(sfIdx, sfIdx),
+      samples, withCrc = true)
+    assert(prot.length == plain.length, "CRC frame must keep the slot length")
+    assert((plain(1) & 1) == 1 && (prot(1) & 1) == 0, "protection bit")
+    assert(Mpeg1Audio.decode(prot).get.head.pcm.toSeq ==
+      Mpeg1Audio.decode(plain).get.head.pcm.toSeq)
+    // corrupt one allocation bit (covered): byte 6 holds alloc codes
+    // (header 32 + crc 16 = 48 bits); decode must refuse
+    val badAlloc = prot.clone(); badAlloc(6) = (badAlloc(6) ^ 0x10).toByte
+    assert(Mpeg1Audio.decode(badAlloc).isEmpty, "CRC let a side-info flip through")
+    // a CRC-field flip is also refused
+    val badCrc = prot.clone(); badCrc(4) = (badCrc(4) ^ 0x01).toByte
+    assert(Mpeg1Audio.decode(badCrc).isEmpty)
+    // Layer II protected frame: same contract
+    val protL2 = fixtureFrameL2crc(7L)
+    val plainL2 = fixtureFrameL2(7L)
+    assert(Mpeg1Audio.decodeL2(protL2).get.head.pcm.toSeq ==
+      Mpeg1Audio.decodeL2(plainL2).get.head.pcm.toSeq)
+    val badL2 = protL2.clone(); badL2(6) = (badL2(6) ^ 0x20).toByte
+    assert(Mpeg1Audio.decodeL2(badL2).isEmpty)
+  }
+
+  private def fixtureFrameL2crc(seed: Long): Array[Byte] = {
+    val act = Seq(
+      ((seed % 3).toInt, 1 + (seed % 15).toInt),
+      (3 + (seed % 8).toInt, 1 + ((seed * 7) % 15).toInt),
+      (11 + (seed % 12).toInt, 1 + ((seed * 5) % 7).toInt),
+      (23 + (seed % 4).toInt, 1 + (seed % 3).toInt))
+    val allocIdx = Array(new Array[Int](27))
+    act.foreach { case (sb, a) => allocIdx(0)(sb) = a }
+    val scfsi = Array.tabulate(1, 27)((ch, sb) => ((seed + sb + ch) % 4).toInt)
+    val sf3 = Array.tabulate(1, 27) { (ch, sb) =>
+      val b = ((seed * 3 + sb * 5 + ch * 7) % 63).toInt
+      ((seed + sb + ch) % 4).toInt match {
+        case 0 => Array(b, (b + 1) % 63, (b + 2) % 63)
+        case 1 => Array(b, b, (b + 1) % 63)
+        case 2 => Array(b, b, b)
+        case _ => Array(b, (b + 1) % 63, (b + 1) % 63)
+      }
+    }
+    val samples = Array.tabulate(36, 1, 27) { (t, ch, sb) =>
+      if (allocIdx(ch)(sb) == 0) 0
+      else {
+        val n = Mpeg1Audio.l2Levels(Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
+        ((seed * 31 + sb * 17 + t * 7 + ch * 41) % n).toInt
+      }
+    }
+    Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples, withCrc = true)
+  }
+
+  test("intensity stereo: shared codes above the bound, per-channel scalefactors") {
+    // L2 joint frame at bound 12: sb 5 (below) differs per channel,
+    // sb 20 (above) shares codes; ch 1 gets a LOUDER scalefactor so the
+    // intensity region must differ across channels ONLY via scaling
+    val allocIdx = Array.fill(2)(new Array[Int](27))
+    (0 until 2).foreach { ch => allocIdx(ch)(5) = 3; allocIdx(ch)(20) = 3 }
+    val scfsi = Array.fill(2)(Array.fill(27)(2))
+    val sf3 = Array.tabulate(2, 27)((ch, sb) =>
+      Array(if (sb >= 12) ch * 6 else 0, if (sb >= 12) ch * 6 else 0,
+        if (sb >= 12) ch * 6 else 0))
+    val samples = Array.tabulate(36, 2, 27) { (t, ch, sb) =>
+      if (allocIdx(ch)(sb) == 0) 0
+      else if (sb >= 12) (t * 5 + sb) % 7 // shared above bound
+      else (t * 5 + sb + ch * 3) % 7
+    }
+    val joint = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples, jsBound = 12)
+    val plain = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    // mode/mode_extension bits: joint = 01 + ext (12-4)/4 = 10
+    assert(((joint(3) >> 6) & 3) == 1 && ((joint(3) >> 4) & 3) == 2)
+    assert(((plain(3) >> 6) & 3) == 0)
+    val fj = Mpeg1Audio.decodeL2(joint).get.head
+    val fp = Mpeg1Audio.decodeL2(plain).get.head
+    // the shared-code stream must decode exactly like the stereo stream
+    // that transmitted the identical codes twice
+    assert(fj.pcm.toSeq == fp.pcm.toSeq,
+      "intensity decode diverged from the explicit-stereo equivalent")
+    // channels differ (sf idx 0 vs 6 = one octave): intensity kept
+    // per-channel loudness
+    assert((0 until 1152).exists(i => fj.pcm(2 * i) != fj.pcm(2 * i + 1)))
+    // Layer I intensity: same contract at bound 8
+    val allocA = new Array[Int](32); allocA(2) = 3; allocA(20) = 3
+    val sfA = Array.tabulate(2)(ch => Array.tabulate(32)(sb => if (sb >= 8) ch * 6 else 9))
+    val sA = Array.tabulate(12, 2, 32)((t, ch, sb) =>
+      if (allocA(sb) == 0) 0
+      else if (sb >= 8) (t * 3 + sb) % 16
+      else (t * 3 + sb + ch * 5) % 16)
+    val jointA = Mpeg1Audio.encodeFrameCh(Array(allocA, allocA), sfA, sA, jsBound = 8)
+    val plainA = Mpeg1Audio.encodeFrameCh(Array(allocA, allocA), sfA, sA)
+    assert(Mpeg1Audio.decode(jointA).get.head.pcm.toSeq ==
+      Mpeg1Audio.decode(plainA).get.head.pcm.toSeq)
+  }
+
   test("L2: malformed streams are refused, including out-of-table dials") {
     val good = fixtureFrameL2(3L)
     assert(Mpeg1Audio.decodeL2(good.take(10)).isEmpty, "truncated")
