@@ -96,46 +96,46 @@ object QualityClf {
       labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
     try {
       val n = tr.count()
-      val w = new Array[Double](d)
-      var bias = 0.0
-      for (_ <- 1 to epochs) {
-        val bw = spark.sparkContext.broadcast((w.clone(), bias))
-        val gradUdf = udf((xs: Seq[Double], y: Double) => {
-          val (wv, bv) = bw.value
-          var z = 0.0
-          var j = 0
-          while (j < d) { z += wv(j) * xs(j); j += 1 }
-          val r = sigmoid(z + bv) - y
-          val g = new Array[Double](d + 1)
-          j = 0
-          while (j < d) { g(j) = r * xs(j); j += 1 }
-          g(d) = r
-          g.toSeq
-        })
-        val vecSum = udaf(new VecSum(d + 1))
-        val sums = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
-          .head().getSeq[Double](0)
-        bw.destroy()
-        var j = 0
-        while (j < d) { w(j) -= lr * (sums(j) / n); j += 1 }
-        bias -= lr * (sums(d) / n)
-      }
-      val bw = spark.sparkContext.broadcast((w, bias))
-      val scoreUdf = udf((xs: Seq[Double]) => {
-        val (wv, bv) = bw.value
+      // The model travels to executors by CLOSURE CAPTURE of one
+      // mutable (d+1)-array, not a per-epoch broadcast: task closures
+      // re-serialize on every job submission, so each epoch's head()
+      // ships the CURRENT values through the SAME Dataset — one
+      // analyzed/optimized/codegen'd plan reused for all epochs, where
+      // the old per-epoch udf()+udaf()+broadcast rebuild left a
+      // minutes-long JIT/codegen tail (QueryProbe r11: cold runs fell
+      // 28→4.7 s over 14 iterations and were still descending). The
+      // model is (d+1) doubles — far below any broadcast threshold.
+      val model = new Array[Double](d + 1) // w(0..d-1) ++ bias
+      val gradUdf = udf((xs: Seq[Double], y: Double) => {
         var z = 0.0
         var j = 0
-        while (j < d) { z += wv(j) * xs(j); j += 1 }
-        sigmoid(z + bv)
+        while (j < d) { z += model(j) * xs(j); j += 1 }
+        val r = sigmoid(z + model(d)) - y
+        val g = new Array[Double](d + 1)
+        j = 0
+        while (j < d) { g(j) = r * xs(j); j += 1 }
+        g(d) = r
+        g.toSeq
+      })
+      val vecSum = udaf(new VecSum(d + 1))
+      val gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
+      for (_ <- 1 to epochs) {
+        val sums = gradPlan.head().getSeq[Double](0)
+        var j = 0
+        while (j < d) { model(j) -= lr * (sums(j) / n); j += 1 }
+        model(d) -= lr * (sums(d) / n)
+      }
+      val scoreUdf = udf((xs: Seq[Double]) => {
+        var z = 0.0
+        var j = 0
+        while (j < d) { z += model(j) * xs(j); j += 1 }
+        sigmoid(z + model(d))
       })
       // materialize BEFORE unpersist (AeFixpoint contract) so the scoring
-      // pass doesn't recompute features from source, then release the
-      // model broadcast
-      val out = tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
+      // pass doesn't recompute features from source
+      tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
           scoreUdf(col("xs")).cast("float").as("score"))
         .localCheckpoint(true)
-      bw.destroy()
-      out
     } finally tr.unpersist()
   }
 

@@ -42,9 +42,10 @@ package graft.operators
  * with per-channel scalefactors, both layers), and CRC-PROTECTED
  * frames (protection bit 0 — 16-bit ISO Annex-A CRC over header bits
  * 16-31 + the layer's side info, verified on decode) all decode as of
- * r11; decoding real-world .mp1 additionally needs the ISO window
- * table (a 512-constant swap), and dual-channel (mode 10) frames are
- * still rejected loudly — documented boundaries.
+ * r11, as does dual-channel (mode 10 — parsed exactly like stereo,
+ * two independent channels); decoding real-world .mp1 additionally
+ * needs only the ISO window table (a 512-constant swap) — the one
+ * documented boundary.
  *
  * Scale shape: stateless per-row map like every decode here; the
  * V-FIFO state lives inside one blob's decode.
@@ -122,9 +123,11 @@ object Mpeg1Audio {
   def encodeFrameCh(alloc: Array[Array[Int]], sfIdx: Array[Array[Int]],
                     samples: Array[Array[Array[Int]]], sampleRateIdx: Int = 0,
                     bitrateIdx: Int = 8, withCrc: Boolean = false,
-                    jsBound: Int = 0): Array[Byte] = {
+                    jsBound: Int = 0, dualChannel: Boolean = false): Array[Byte] = {
     val nCh = alloc.length
     require(nCh == 1 || nCh == 2, s"channels $nCh")
+    require(!dualChannel || (nCh == 2 && jsBound == 0),
+      "dual channel needs 2 channels and no intensity bound")
     require(sfIdx.length == nCh && samples.length == 12 &&
       alloc.forall(_.length == 32) && sfIdx.forall(_.length == 32) &&
       samples.forall(t => t.length == nCh && t.forall(_.length == 32)))
@@ -147,8 +150,9 @@ object Mpeg1Audio {
     w.writeBits(if (withCrc) 0 else 1, 1)
     w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
     w.writeBits(0, 1) // private
-    // mode: single channel / joint stereo / stereo
-    w.writeBits(if (nCh == 1) 3 else if (joint) 1 else 0, 2)
+    // mode: single channel / joint stereo / dual channel / stereo
+    w.writeBits(if (nCh == 1) 3 else if (joint) 1
+                else if (dualChannel) 2 else 0, 2)
     w.writeBits(if (joint) (jsBound - 4) / 4 else 0, 2) // mode_extension
     w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
     if (withCrc) w.writeBits(0, 16) // CRC placeholder, patched below
@@ -229,8 +233,8 @@ object Mpeg1Audio {
     val padding = r.readBits(1) == 1
     r.readBits(1)
     val mode = r.readBits(2).toInt
-    require(mode == 3 || mode == 0 || mode == 1,
-      s"mode $mode unsupported (single-channel, stereo, intensity stereo)")
+    // all four modes decode; dual channel (10) parses exactly like
+    // stereo — two independent channels sharing nothing
     val nCh = if (mode == 3) 1 else 2
     val modeExt = r.readBits(2).toInt
     val bound = if (mode == 1) 4 + modeExt * 4 else 32
@@ -345,7 +349,7 @@ object Mpeg1Audio {
       // peek the first header's mode for the FIFO shape
       require(payload.length >= 4, "too short")
       val mode = (payload(3) >> 6) & 3
-      require(mode == 3 || mode == 0 || mode == 1, s"mode $mode unsupported")
+      // all four modes decode (dual channel = two independent channels)
       val nCh = if (mode == 3) 1 else 2
       var p = 0
       val v = Array.ofDim[Long](nCh, 16, 64)
@@ -515,9 +519,12 @@ object Mpeg1Audio {
                       sf3: Array[Array[Array[Int]]],
                       samples: Array[Array[Array[Int]]],
                       sampleRateIdx: Int = 0, bitrateIdx: Int = 14,
-                      withCrc: Boolean = false, jsBound: Int = 0): Array[Byte] = {
+                      withCrc: Boolean = false, jsBound: Int = 0,
+                      dualChannel: Boolean = false): Array[Byte] = {
     val nCh = allocIdx.length
     require(nCh == 1 || nCh == 2, s"channels $nCh")
+    require(!dualChannel || (nCh == 2 && jsBound == 0),
+      "dual channel needs 2 channels and no intensity bound")
     require(scfsi.length == nCh && sf3.length == nCh && samples.length == 36 &&
       allocIdx.forall(_.length == 27) && scfsi.forall(_.length == 27) &&
       sf3.forall(_.forall(_.length == 3)) &&
@@ -542,8 +549,9 @@ object Mpeg1Audio {
     w.writeBits(if (withCrc) 0 else 1, 1)
     w.writeBits(bitrateIdx, 4); w.writeBits(sampleRateIdx, 2); w.writeBits(0, 1)
     w.writeBits(0, 1) // private
-    // mode: single channel / joint (intensity) stereo / stereo
-    w.writeBits(if (nCh == 1) 3 else if (joint) 1 else 0, 2)
+    // mode: single channel / joint (intensity) stereo / dual / stereo
+    w.writeBits(if (nCh == 1) 3 else if (joint) 1
+                else if (dualChannel) 2 else 0, 2)
     w.writeBits(if (joint) (jsBound - 4) / 4 else 0, 2) // mode_extension
     w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
     if (withCrc) w.writeBits(0, 16) // CRC placeholder, patched below
@@ -610,10 +618,10 @@ object Mpeg1Audio {
     * channel's synthesis V FIFO across frames; throws on malformed
     * input (including a CRC mismatch on protected frames). Returns the
     * frame (1152·ch interleaved PCM — 36 filterbank pushes) and the
-    * next frame's offset. Table 3-B.2a streams only (48/44.1 kHz at
-    * ≥ 56 kbps/ch — the common case); other rate/bitrate table
-    * selections and dual-channel frames are rejected loudly —
-    * documented boundaries. */
+    * next frame's offset. Dual channel (mode 10) parses exactly like
+    * stereo. Table 3-B.2a streams only (48/44.1 kHz at ≥ 56 kbps/ch —
+    * the common case); other rate/bitrate table selections are
+    * rejected loudly — a documented boundary. */
   def decodeFrameL2(payload: Array[Byte], offset: Int,
                     v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
     val r = new Flac.BitReader(payload)
@@ -627,8 +635,6 @@ object Mpeg1Audio {
     val padding = r.readBits(1) == 1
     r.readBits(1)
     val mode = r.readBits(2).toInt
-    require(mode == 3 || mode == 0 || mode == 1,
-      s"mode $mode unsupported (single-channel, stereo, intensity stereo)")
     val nCh = if (mode == 3) 1 else 2
     val modeExt = r.readBits(2).toInt
     val bound = if (mode == 1) 4 + modeExt * 4 else 27
@@ -752,7 +758,7 @@ object Mpeg1Audio {
     try {
       require(payload.length >= 4, "too short")
       val mode = (payload(3) >> 6) & 3
-      require(mode == 3 || mode == 0 || mode == 1, s"mode $mode unsupported")
+      // all four modes decode (dual channel = two independent channels)
       val nCh = if (mode == 3) 1 else 2
       var p = 0
       val v = Array.ofDim[Long](nCh, 16, 64)

@@ -357,6 +357,26 @@ class Mpeg1AudioSpec extends AnyFunSuite {
       Mpeg1Audio.decode(plainA).get.head.pcm.toSeq)
   }
 
+  test("dual channel (mode 10) parses exactly like stereo in both layers") {
+    val alloc = new Array[Int](32); alloc(2) = 3; alloc(11) = 7
+    val sfIdx = new Array[Int](32); sfIdx(2) = 9; sfIdx(11) = 20
+    val st = Array.tabulate(12, 2, 32)((t, ch, sb) =>
+      if (alloc(sb) == 0) 0
+      else (t * 5 + sb + ch * 13) % (1 << (alloc(sb) + 1)))
+    val stereo = Mpeg1Audio.encodeFrameCh(Array(alloc, alloc), Array(sfIdx, sfIdx), st)
+    val dual = Mpeg1Audio.encodeFrameCh(Array(alloc, alloc), Array(sfIdx, sfIdx),
+      st, dualChannel = true)
+    assert(((dual(3) >> 6) & 3) == 2 && ((stereo(3) >> 6) & 3) == 0)
+    assert(Mpeg1Audio.decode(dual).get.head.pcm.toSeq ==
+      Mpeg1Audio.decode(stereo).get.head.pcm.toSeq)
+    // Layer II: same equivalence through the stereo fixture shape
+    val f2s = fixtureFrameL2(6L, nCh = 2)
+    val dual2 = f2s.clone()
+    dual2(3) = ((dual2(3) & 0x3f) | 0x80).toByte // mode 00 -> 10
+    assert(Mpeg1Audio.decodeL2(dual2).get.head.pcm.toSeq ==
+      Mpeg1Audio.decodeL2(f2s).get.head.pcm.toSeq)
+  }
+
   test("L2: malformed streams are refused, including out-of-table dials") {
     val good = fixtureFrameL2(3L)
     assert(Mpeg1Audio.decodeL2(good.take(10)).isEmpty, "truncated")
