@@ -50,13 +50,16 @@ object AeFixpoint {
       val w2 = Array.tabulate(d, k)((i, c) => (Explain.u01(~seed ^ (i * k + c).toLong) * 2 - 1) * x1)
       val b2 = new Array[Double](d)
 
-      // flat gradient layout: [gW1 k·d | gb1 k | gW2 d·k | gb2 d]
+      // flat gradient layout: [gW1 k·d | gb1 k | gW2 d·k | gb2 d].
+      // The model travels by CLOSURE CAPTURE of the four mutable
+      // arrays (task closures re-serialize on every job submission),
+      // so ONE udf instance serves every epoch — the former per-epoch
+      // broadcast+udf rebuild generated fresh codegen each epoch (the
+      // QualityClf r11 JIT-tail finding; same fix).
       val gLen = k * d + k + d * k + d
-      def gradUdf(w1v: Array[Array[Double]], b1v: Array[Double],
-                  w2v: Array[Array[Double]], b2v: Array[Double]) = {
-        val bw = spark.sparkContext.broadcast((w1v, b1v, w2v, b2v))
-        (udf((xs: Seq[Double]) => {
-          val (ww1, bb1, ww2, bb2) = bw.value
+      val gradU = {
+        val (ww1, bb1, ww2, bb2) = (w1, b1, w2, b2)
+        udf((xs: Seq[Double]) => {
           val h = new Array[Double](k)
           var c = 0
           while (c < k) {
@@ -100,15 +103,20 @@ object AeFixpoint {
             i += 1
           }
           g.toSeq
-        }), bw)
+        })
       }
+      // `def`, NOT `val`: a reused Dataset object would reuse its
+      // SHUFFLE STAGE across jobs (same shuffleId -> DAGScheduler
+      // serves the map outputs computed with epoch-1 weights), so the
+      // gradient must be a FRESH QueryExecution each epoch. The udf
+      // instance stays the same, so the generated code string is
+      // identical and the codegen cache absorbs the rebuild.
+      def gradPlan = tr.select(posexplode(gradU(col("xs"))).as(Seq("gi", "gv")))
+        .groupBy("gi").agg(sum("gv").as("g"))
 
       for (_ <- 1 to epochs) {
-        val (g, bwE) = gradUdf(w1.map(_.clone()), b1.clone(), w2.map(_.clone()), b2.clone())
-        val sums = tr.select(posexplode(g(col("xs"))).as(Seq("gi", "gv")))
-          .groupBy("gi").agg(sum("gv").as("g"))
+        val sums = gradPlan
           .collect().map(r => (r.getAs[Int]("gi"), r.getAs[Double]("g"))).toMap
-        bwE.destroy() // epoch's model snapshot is consumed; don't hold epochs × model
         var c = 0
         while (c < k) {
           var j = 0
@@ -125,9 +133,9 @@ object AeFixpoint {
         }
       }
 
-      val bw = spark.sparkContext.broadcast((w1, b1, w2, b2))
+      val (ww1s, bb1s, ww2s, bb2s) = (w1, b1, w2, b2)
       val seUdf = udf((xs: Seq[Double]) => {
-        val (ww1, bb1, ww2, bb2) = bw.value
+        val (ww1, bb1, ww2, bb2) = (ww1s, bb1s, ww2s, bb2s)
         val h = new Array[Double](k)
         var c = 0
         while (c < k) {
@@ -152,12 +160,8 @@ object AeFixpoint {
       // materialize BEFORE the finally releases tr — the returned frame is
       // otherwise lazy and the scoring pass would recompute the slice UDF
       // from source after unpersist (same contract as Dedup.simhashPairs)
-      val out = tr.select(col("id").as(idCol), seUdf(col("xs")).as("sq_error"))
+      tr.select(col("id").as(idCol), seUdf(col("xs")).as("sq_error"))
         .localCheckpoint(true)
-      // checkpoint consumed the scoring broadcast — release it like the
-      // per-epoch snapshots instead of pinning one model per score() call
-      bw.destroy()
-      out
     } finally tr.unpersist()
   }
 

@@ -51,35 +51,42 @@ object KmeansFixpoint {
     require(centers.length == k, s"need at least $k rows, got ${centers.length}")
     val dim = centers.head.length
 
-    def assignUdf = {
-      val bc = spark.sparkContext.broadcast(centers)
-      udf((xs: Seq[Long]) => {
-        val cs = bc.value
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          val cc = cs(c)
-          var s = 0.0
-          var j = 0
-          while (j < cc.length) { val t = xs(j).toDouble - cc(j); s += t * t; j += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        best
-      })
-    }
+    // Centers travel by CLOSURE CAPTURE of the mutable `centers` var
+    // (Scala lifts it to an ObjectRef the task closure re-serializes on
+    // every job submission), so ONE udf instance serves all iterations
+    // — the former per-iteration broadcast+udf rebuild generated fresh
+    // codegen each round (the QualityClf r11 JIT-tail finding; same fix).
+    val assignU = udf((xs: Seq[Long]) => {
+      val cs = centers
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var s = 0.0
+        var j = 0
+        while (j < cc.length) { val t = xs(j).toDouble - cc(j); s += t * t; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    })
 
-    var assigned: DataFrame = null
-    for (i <- 1 to iters) {
-      assigned = pts.withColumn("cluster", assignUdf(col("xs")))
-      if (i < iters) {
+    // `def`, NOT `val`: a reused Dataset object would reuse its
+    // SHUFFLE STAGE across jobs (same shuffleId -> the map outputs
+    // computed with round-1 centers get served again), so each round
+    // needs a FRESH QueryExecution; the single udf instance keeps the
+    // generated code identical -> codegen cache hit, no JIT tail.
+    def cellsPlan = pts.withColumn("cluster", assignU(col("xs")))
+      .select(col("cluster"), posexplode(col("xs")).as(Seq("j", "x")))
+      .groupBy("cluster", "j")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    // iters-1 recenter rounds; the returned frame then assigns with the
+    // final centers (same schedule as the per-iteration rebuild had)
+    for (_ <- 1 until iters) {
+      locally {
         // integer per-coordinate sums: k·d cells, map-side combined
-        val cells = assigned
-          .select(col("cluster"), posexplode(col("xs")).as(Seq("j", "x")))
-          .groupBy("cluster", "j")
-          .agg(sum("x").as("s"), count(lit(1)).as("n"))
-          .collect()
+        val cells = cellsPlan.collect()
         val next = centers.map(_.clone())
         cells.foreach { r =>
           next(r.getAs[Int]("cluster"))(r.getAs[Int]("j")) =
@@ -88,6 +95,7 @@ object KmeansFixpoint {
         centers = next
       }
     }
+    val assigned = pts.withColumn("cluster", assignU(col("xs")))
     (assigned.select(col("id").as(idCol), col("cluster")), centers)
   }
 
