@@ -4987,6 +4987,68 @@ object SparkEntry {
        |  CAST(max(pcm) AS BIGINT) AS pcm_max
        |FROM outp GROUP BY 1""".stripMargin
 
+  /** ID3-tagged MP3 metadata pass, FULL oracle — the read path a crawl
+    * audio indexer actually runs (`operators/Id3.scala`): per doc a
+    * real-world-shaped .mp3 blob — ID3v2.3 tag (syncsafe header size,
+    * TIT2/TPE1/TALB/TYER ISO-8859-1 text frames), MPEG-1 Layer III
+    * frames in the middle (per-doc bitrate/samplerate/count), and for
+    * even docs a 128-byte ID3v1 trailer. `Id3.mp3TagMeta` skips the v2
+    * tag by its declared size, frame-walks the audio
+    * (`Multimodal.decodeMp3Meta`), and reads the trailer; the oracle
+    * re-derives every field closed-form, so a syncsafe misread, a
+    * frame-size drift, or a trailer offset bug all break the hash. */
+  private def audioId3(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(operators.Id3.encodeId3v2(Seq(
+        "TIT2" -> s"Track $d", "TPE1" -> s"Artist ${d % 7}",
+        "TALB" -> s"Album ${d % 5}", "TYER" -> (1970 + d % 50).toString)))
+      val audio = operators.Multimodal.encodeMp3Frames(
+        1 + (d % 14).toInt, (d % 3).toInt, 3 + (d % 5).toInt)
+      out.write(audio, 0, audio.length)
+      if (d % 2 == 0)
+        out.write(operators.Id3.encodeId3v1(
+          s"V1 Track $d", s"V1 Artist ${d % 7}", "", (1970 + d % 50).toString,
+          "", (d % 192).toInt))
+      out.toByteArray
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Id3.mp3TagMeta(p).map { t =>
+        val f = t.v2Frames.toMap
+        (f.get("TIT2"), f.get("TPE1"), f.get("TALB"), f.get("TYER"),
+          t.audio.bitrateKbps, t.audio.sampleRate, t.audio.nFrames,
+          t.audio.durationMs, t.v1.map(_._1), t.v1.map(_._5))
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), stats(mk(col("doc_id"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("title"), col("st._2").as("artist"),
+        col("st._3").as("album"), col("st._4").as("year"),
+        col("st._5").as("bitrate_kbps"), col("st._6").as("sample_rate"),
+        col("st._7").as("n_frames"), col("st._8").as("duration_ms"),
+        col("st._9").as("v1_title"), col("st._10").as("v1_genre"))
+  }
+
+  private val audioId3Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(1 + doc_id % 14 AS INT)] AS kbps,
+      |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+      |    3 + doc_id % 5 AS nf
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'Track ' || doc_id AS title,
+      |  'Artist ' || (doc_id % 7) AS artist,
+      |  'Album ' || (doc_id % 5) AS album,
+      |  CAST(1970 + doc_id % 50 AS VARCHAR) AS "year",
+      |  CAST(kbps AS INT) AS bitrate_kbps,
+      |  CAST(sr AS INT) AS sample_rate,
+      |  CAST(nf AS INT) AS n_frames,
+      |  CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'V1 Track ' || doc_id END AS v1_title,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 192 END AS INT) AS v1_genre
+      |FROM d""".stripMargin
+
   /** MPEG-1 Layer II SAMPLE decode, FULL oracle — the grouped-
     * quantization rung above `audio_mpeg_layer1` (same reference
     * surface, `operators/Mpeg1Audio.scala` Layer II section): per doc a
@@ -8011,6 +8073,7 @@ object SparkEntry {
     "audio_neardup" -> (audioNeardupQ(_, _)),
     "audio_mpeg_layer1" -> (audioMpegLayer1(_, _)),
     "audio_mpeg_layer2" -> (audioMpegLayer2(_, _)),
+    "audio_id3" -> (audioId3(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
@@ -8298,6 +8361,7 @@ object SparkEntry {
     "audio_neardup" -> audioNeardupSql,
     "audio_mpeg_layer1" -> audioMpegLayer1Sql,
     "audio_mpeg_layer2" -> audioMpegLayer2Sql,
+    "audio_id3" -> audioId3Sql,
     "warc_ingest" -> warcIngestSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
