@@ -2710,7 +2710,7 @@ object SparkEntry {
       |  FROM raw),
       |canon AS (
       |  SELECT doc_id,
-      |    CASE WHEN hostport = '' THEN url ELSE
+      |    CASE WHEN scheme = '' THEN url ELSE
       |    scheme || '://'
       |      || CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
       |              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
@@ -5106,8 +5106,12 @@ object SparkEntry {
             ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + chTerm) % n).toInt
           }
         }
+        // 3-B.2a-legal dials: 48 kHz; 192 kbps mono / 384 kbps stereo
+        // (44.1 kHz above 80 kbps/ch selects Table 3-B.2b, which this
+        // decoder rejects — the r11 review finding)
         val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3,
-          samples, withCrc = withCrc, jsBound = jsBound)
+          samples, sampleRateIdx = 1, bitrateIdx = if (nCh == 2) 14 else 10,
+          withCrc = withCrc, jsBound = jsBound)
         out.write(bytes, 0, bytes.length)
       }
       out.toByteArray

@@ -84,16 +84,14 @@ object KmeansFixpoint {
     // iters-1 recenter rounds; the returned frame then assigns with the
     // final centers (same schedule as the per-iteration rebuild had)
     for (_ <- 1 until iters) {
-      locally {
-        // integer per-coordinate sums: k·d cells, map-side combined
-        val cells = cellsPlan.collect()
-        val next = centers.map(_.clone())
-        cells.foreach { r =>
-          next(r.getAs[Int]("cluster"))(r.getAs[Int]("j")) =
-            r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
-        }
-        centers = next
+      // integer per-coordinate sums: k·d cells, map-side combined
+      val cells = cellsPlan.collect()
+      val next = centers.map(_.clone())
+      cells.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("j")) =
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("n")
       }
+      centers = next
     }
     val assigned = pts.withColumn("cluster", assignU(col("xs")))
     (assigned.select(col("id").as(idCol), col("cluster")), centers)

@@ -98,13 +98,14 @@ object QualityClf {
       val n = tr.count()
       // The model travels to executors by CLOSURE CAPTURE of one
       // mutable (d+1)-array, not a per-epoch broadcast: task closures
-      // re-serialize on every job submission, so each epoch's head()
-      // ships the CURRENT values through the SAME Dataset — one
-      // analyzed/optimized/codegen'd plan reused for all epochs, where
-      // the old per-epoch udf()+udaf()+broadcast rebuild left a
-      // minutes-long JIT/codegen tail (QueryProbe r11: cold runs fell
-      // 28→4.7 s over 14 iterations and were still descending). The
-      // model is (d+1) doubles — far below any broadcast threshold.
+      // re-serialize on every job submission, so each epoch ships the
+      // CURRENT values through the ONE udf instance — identical
+      // generated code, so the codegen cache absorbs the per-epoch
+      // plan build where the old udf()+udaf()+broadcast rebuild left a
+      // minutes-long JIT tail (QueryProbe r11: cold runs fell 28→4.7 s
+      // over 14 iterations and were still descending; steady by run 2
+      // after this fix). The model is (d+1) doubles — far below any
+      // broadcast threshold.
       val model = new Array[Double](d + 1) // w(0..d-1) ++ bias
       val gradUdf = udf((xs: Seq[Double], y: Double) => {
         var z = 0.0
@@ -118,7 +119,12 @@ object QualityClf {
         g.toSeq
       })
       val vecSum = udaf(new VecSum(d + 1))
-      val gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
+      // `def`, NOT `val`: a reused Dataset object reuses its SHUFFLE
+      // STAGE across jobs (stale epoch-1 map outputs) — head() happens
+      // to dodge that today by building limit(1)'s fresh QueryExecution
+      // per call, but correctness must not hinge on that detail (the
+      // KmeansFixpoint/AeFixpoint convention).
+      def gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
       for (_ <- 1 to epochs) {
         val sums = gradPlan.head().getSeq[Double](0)
         var j = 0

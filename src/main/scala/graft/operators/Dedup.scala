@@ -104,12 +104,14 @@ object Dedup {
     * whole key derivation stays inside whole-stage codegen and a SQL
     * oracle states the identical transform.
     *
-    * Malformed / scheme-less URLs (no `scheme://host` prefix, so the
-    * host extraction yields the empty string) fall back to the RAW url
-    * as their key: real crawl data contains such rows routinely, and
-    * canonicalizing them all to an empty-host key would merge unrelated
-    * rows into one group — a keeper-only downstream would then drop all
-    * but one of them.
+    * Malformed / scheme-less URLs (no `scheme://` prefix, so the
+    * SCHEME extraction yields the empty string) fall back to the RAW
+    * url as their key: real crawl data contains such rows routinely,
+    * and canonicalizing them all to an empty-scheme key would merge
+    * unrelated rows into one group — a keeper-only downstream would
+    * then drop all but one of them. Well-formed EMPTY-AUTHORITY urls
+    * (`file:///path`) keep full canonicalization — the scheme is
+    * present, so slash-collapse/fragment/param folds still apply.
     * Reference surface: the crawl-ingest URL normalization feeding
     * `NeuronDB`'s document dedup (same canonical-key-then-group shape
     * as [[exactGroups]]). */
@@ -127,7 +129,7 @@ object Dedup {
     val kept = array_join(array_sort(filter(
       split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
       p => !(p.rlike("^(utm_[^=]*|fbclid|gclid)=") || p === ""))), "&")
-    when(hostPort === "", url).otherwise(
+    when(scheme === "", url).otherwise(
       concat(scheme, lit("://"), host, path,
         when(kept =!= "", concat(lit("?"), kept)).otherwise(lit(""))))
   }

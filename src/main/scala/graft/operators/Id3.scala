@@ -82,30 +82,64 @@ object Id3 {
   /** Parse an ID3v2.2/3/4 tag at offset 0: returns (majorVersion,
     * text frames id -> value, total tag length incl. header). Only
     * v2.3-layout frames are walked (4+4+2); v2.4 shares it with
-    * syncsafe frame sizes — both handled; v2.2 reports no frames. */
+    * syncsafe frame sizes — both handled; v2.2 reports no frames.
+    * The header flag byte is honored: an UNSYNCHRONISED tag body
+    * (flag 0x80) is de-unsynchronised (each FF 00 → FF) before the
+    * walk, and an EXTENDED HEADER (flag 0x40) is skipped by its
+    * declared size (v2.3: 4-byte size EXCLUDING itself; v2.4:
+    * syncsafe size INCLUDING itself) — real-world tags carry both,
+    * and ignoring the flags silently parses zero frames. Text frame
+    * bodies drop the spec-permitted trailing NUL terminator(s). */
   def parseId3v2(payload: Array[Byte]): Option[(Int, Seq[(String, String)], Int)] = {
     if (payload == null || payload.length < 10) return None
     if (!(payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3')) return None
     val major = payload(3) & 0xff
+    val flags = payload(5) & 0xff
     val size = unSyncsafe(payload, 6)
     val total = 10 + size
     if (total > payload.length) return None
     if (major != 3 && major != 4) return Some((major, Nil, total))
+    // tag BODY, de-unsynchronised if the header says so
+    val body: Array[Byte] =
+      if ((flags & 0x80) != 0) {
+        val out = new java.io.ByteArrayOutputStream(size)
+        var i = 10
+        while (i < total) {
+          val b = payload(i)
+          out.write(b)
+          if ((b & 0xff) == 0xff && i + 1 < total && payload(i + 1) == 0) i += 2
+          else i += 1
+        }
+        out.toByteArray
+      } else java.util.Arrays.copyOfRange(payload, 10, total)
+    var p = 0
+    if ((flags & 0x40) != 0 && body.length >= 4) {
+      val extSz =
+        if (major == 4) unSyncsafe(body, 0) // v2.4: size includes itself
+        else 4 + (((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+          ((body(2) & 0xff) << 8) | (body(3) & 0xff)) // v2.3: excludes the 4 size bytes
+      if (extSz < 4 || extSz > body.length) return Some((major, Nil, total))
+      p = extSz
+    }
     val frames = Seq.newBuilder[(String, String)]
-    var p = 10
     var done = false
-    while (!done && p + 10 <= total) {
-      val id = new String(payload, p, 4, "US-ASCII")
+    while (!done && p + 10 <= body.length) {
+      val id = new String(body, p, 4, "US-ASCII")
       if (id(0) == 0) done = true // zero padding reached
       else {
         val sz =
-          if (major == 4) unSyncsafe(payload, p + 4)
-          else ((payload(p + 4) & 0xff) << 24) | ((payload(p + 5) & 0xff) << 16) |
-            ((payload(p + 6) & 0xff) << 8) | (payload(p + 7) & 0xff)
-        if (sz < 0 || p + 10 + sz > total) done = true
+          if (major == 4) unSyncsafe(body, p + 4)
+          else ((body(p + 4) & 0xff) << 24) | ((body(p + 5) & 0xff) << 16) |
+            ((body(p + 6) & 0xff) << 8) | (body(p + 7) & 0xff)
+        if (sz < 0 || p + 10 + sz > body.length) done = true
         else {
-          if (id.startsWith("T") && sz >= 1 && payload(p + 10) == 0)
-            frames += ((id, new String(payload, p + 11, sz - 1, "ISO-8859-1")))
+          if (id.startsWith("T") && sz >= 1 && body(p + 10) == 0) {
+            // trim the optional trailing NUL terminator(s) real
+            // encoders write after the text
+            var end = p + 10 + sz
+            while (end > p + 11 && body(end - 1) == 0) end -= 1
+            frames += ((id, new String(body, p + 11, end - (p + 11), "ISO-8859-1")))
+          }
           p += 10 + sz
         }
       }

@@ -518,7 +518,7 @@ object Mpeg1Audio {
   def encodeFrameChL2(allocIdx: Array[Array[Int]], scfsi: Array[Array[Int]],
                       sf3: Array[Array[Array[Int]]],
                       samples: Array[Array[Array[Int]]],
-                      sampleRateIdx: Int = 0, bitrateIdx: Int = 14,
+                      sampleRateIdx: Int = 1, bitrateIdx: Int = 14,
                       withCrc: Boolean = false, jsBound: Int = 0,
                       dualChannel: Boolean = false): Array[Byte] = {
     val nCh = allocIdx.length
@@ -638,8 +638,14 @@ object Mpeg1Audio {
     val nCh = if (mode == 3) 1 else 2
     val modeExt = r.readBits(2).toInt
     val bound = if (mode == 1) 4 + modeExt * 4 else 27
+    // ISO 11172-3 table selection: 3-B.2a (sblimit 27) covers 48 kHz at
+    // 56-192 kbps/ch but 44.1 kHz ONLY at 56-80 kbps/ch — 44.1 kHz at
+    // >= 96 kbps/ch selects 3-B.2b (sblimit 30), which this decoder
+    // does not implement; admitting it would misalign the whole parse.
+    val brPerCh = l2Bitrates(bitrateIdx) / nCh
     require(srIdx <= 1, "table 3-B.2a requires 44.1/48 kHz")
-    require(l2Bitrates(bitrateIdx) / nCh >= 56, "table 3-B.2a requires >= 56 kbps/ch")
+    require(brPerCh >= 56 && brPerCh <= (if (srIdx == 0) 80 else 192),
+      s"table 3-B.2a does not cover $brPerCh kbps/ch at ${sampleRates(srIdx)} Hz")
     require(v.length == nCh && v.forall(_.length == 16),
       s"V FIFO shape ${v.length} for $nCh channels")
     r.readBits(1); r.readBits(1); r.readBits(2)

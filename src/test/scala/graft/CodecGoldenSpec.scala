@@ -182,13 +182,14 @@ class CodecGoldenSpec extends AnyFunSuite {
         (t * 7 + sb) % n
       }
     }
-    val b = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    val b = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
+      sampleRateIdx = 1, bitrateIdx = 10) // 3-B.2a-legal mono: 48 kHz, 192 kbps
     // header: sync, ID=1, layer=10 (II), noprot=1 -> byte 1 = 0xfd
     assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfd)
-    // bitrateIdx=14 (384k), srIdx=0: byte 2 = 1110 00 0 0
-    assert((b(2) & 0xff) == 0xe0)
-    // Layer II slots are 1 byte: floor(144*384000/44100) = 1253
-    assert(b.length == 1253)
-    assertGolden("MP2", b, 3334340102L, "fffde0c0030002000000400000001000")
+    // bitrateIdx=10 (192k), srIdx=1 (48k): byte 2 = 1010 01 0 0
+    assert((b(2) & 0xff) == 0xa4)
+    // Layer II slots are 1 byte: floor(144*192000/48000) = 576
+    assert(b.length == 576)
+    assertGolden("MP2", b, 368565045L, "fffda4c0030002000000400000001000")
   }
 }

@@ -60,6 +60,49 @@ class Id3Spec extends AnyFunSuite {
     assert(trapped.audio.nFrames == 4)
   }
 
+  test("v2 header flags are honored: extended header skip + de-unsynchronisation") {
+    // hand-build a v2.3 tag with an extended header (flag 0x40): 4-byte
+    // ext size (excluding itself) = 6, 6 bytes of ext data, then one
+    // TIT2 frame — ignoring the flag would read the ext bytes as a
+    // frame id and return zero frames
+    val frame = {
+      val t = "Hello".getBytes("ISO-8859-1")
+      val sz = t.length + 1
+      Array[Byte]('T', 'I', 'T', '2',
+        ((sz >> 24) & 0xff).toByte, ((sz >> 16) & 0xff).toByte,
+        ((sz >> 8) & 0xff).toByte, (sz & 0xff).toByte, 0, 0, 0) ++ t
+    }
+    val ext = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0)
+    val body = ext ++ frame
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0x40) ++
+      Id3.syncsafe(body.length) ++ body
+    val Some((_, frames, _)) = Id3.parseId3v2(tag)
+    assert(frames == Seq("TIT2" -> "Hello"))
+    // unsynchronisation (flag 0x80): every FF in the body is followed
+    // by a stuffed 00 that the parser must remove before walking
+    val raw = frame.clone()
+    // put an 0xFF inside the text to force a stuffing site
+    raw(11) = 0xff.toByte
+    val unsynced = raw.flatMap(b =>
+      if ((b & 0xff) == 0xff) Array(b, 0.toByte) else Array(b))
+    val tag2 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0x80.toByte) ++
+      Id3.syncsafe(unsynced.length) ++ unsynced
+    val Some((_, frames2, _)) = Id3.parseId3v2(tag2)
+    assert(frames2 == Seq("TIT2" -> "ÿello"))
+  }
+
+  test("v2 text frames drop the spec-permitted trailing NUL terminator") {
+    val t = "Song".getBytes("ISO-8859-1") ++ Array[Byte](0) // text + NUL
+    val sz = t.length + 1
+    val frame = Array[Byte]('T', 'I', 'T', '2',
+      ((sz >> 24) & 0xff).toByte, ((sz >> 16) & 0xff).toByte,
+      ((sz >> 8) & 0xff).toByte, (sz & 0xff).toByte, 0, 0, 0) ++ t
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      Id3.syncsafe(frame.length) ++ frame
+    val Some((_, frames, _)) = Id3.parseId3v2(tag)
+    assert(frames == Seq("TIT2" -> "Song"), "trailing NUL leaked into the value")
+  }
+
   test("malformed tags are refused or skipped, never crash") {
     assert(Id3.parseId3v2("ID3".getBytes("US-ASCII")).isEmpty)
     assert(Id3.parseId3v1(new Array[Byte](100)).isEmpty)

@@ -140,8 +140,10 @@ class Mpeg1AudioSpec extends AnyFunSuite {
   // --------------------------------------------------------- Layer II
 
   /** One active subband per 3-B.2a region, classes cycled by seed —
-    * the SparkEntry fixture's shape. */
-  private def fixtureFrameL2(seed: Long, nCh: Int = 1): Array[Byte] = {
+    * the SparkEntry fixture's shape. Dials are 3-B.2a-legal: 48 kHz,
+    * 192 kbps mono / 384 kbps stereo. */
+  private def fixtureFrameL2(seed: Long, nCh: Int = 1,
+                             withCrc: Boolean = false): Array[Byte] = {
     val act = Seq(
       ((seed % 3).toInt, 1 + (seed % 15).toInt),
       (3 + (seed % 8).toInt, 1 + ((seed * 7) % 15).toInt),
@@ -166,13 +168,15 @@ class Mpeg1AudioSpec extends AnyFunSuite {
         ((seed * 31 + sb * 17 + t * 7 + ch * 41) % n).toInt
       }
     }
-    Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
+      sampleRateIdx = 1, bitrateIdx = if (nCh == 2) 14 else 10,
+      withCrc = withCrc)
   }
 
   test("L2: encode/decode round-trips the frame grammar, 1152 samples/ch") {
     for (seed <- Seq(0L, 1L, 7L, 42L, 113L)) {
       val payload = fixtureFrameL2(seed)
-      assert(payload.length == Mpeg1Audio.frameBytesL2(14, 0, padding = false),
+      assert(payload.length == Mpeg1Audio.frameBytesL2(10, 1, padding = false),
         "frame not padded to the 1-byte-slot length")
       val frames = Mpeg1Audio.decodeL2(payload).get
       assert(frames.size == 1)
@@ -209,7 +213,8 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     val scfsi = Array(Array.fill(27)(2))
     val sf3 = Array(Array.fill(27)(Array(0, 0, 0)))
     val samples = Array.tabulate(36, 1, 27)((t, _, sb) => if (sb == 23) t % 3 else 0)
-    val payload = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples)
+    val payload = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
+      sampleRateIdx = 1, bitrateIdx = 10)
     val pcm = Mpeg1Audio.decodeL2(payload).get.head.pcm.toSeq
     assert(pcm.exists(_ != 0L))
     // content bits: header 32 + alloc 88 + scfsi 2 + sf 6 = 128 bits ->
@@ -228,7 +233,8 @@ class Mpeg1AudioSpec extends AnyFunSuite {
       val sf3 = Array(Array.fill(27)(parts))
       val samples = Array.tabulate(36, 1, 27)((t, _, sb) => if (sb == 5) (t * 5) % 7 else 0)
       Mpeg1Audio.decodeL2(Mpeg1Audio.encodeFrameChL2(
-        allocIdx, scfsi, sf3, samples)).get.head.pcm.toSeq
+        allocIdx, scfsi, sf3, samples,
+        sampleRateIdx = 1, bitrateIdx = 10)).get.head.pcm.toSeq
     }
     // one scalefactor shared across all parts == three equal scalefactors
     assert(mk(2, Array(10, 10, 10)) == mk(0, Array(10, 10, 10)))
@@ -279,40 +285,12 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     val badCrc = prot.clone(); badCrc(4) = (badCrc(4) ^ 0x01).toByte
     assert(Mpeg1Audio.decode(badCrc).isEmpty)
     // Layer II protected frame: same contract
-    val protL2 = fixtureFrameL2crc(7L)
+    val protL2 = fixtureFrameL2(7L, withCrc = true)
     val plainL2 = fixtureFrameL2(7L)
     assert(Mpeg1Audio.decodeL2(protL2).get.head.pcm.toSeq ==
       Mpeg1Audio.decodeL2(plainL2).get.head.pcm.toSeq)
     val badL2 = protL2.clone(); badL2(6) = (badL2(6) ^ 0x20).toByte
     assert(Mpeg1Audio.decodeL2(badL2).isEmpty)
-  }
-
-  private def fixtureFrameL2crc(seed: Long): Array[Byte] = {
-    val act = Seq(
-      ((seed % 3).toInt, 1 + (seed % 15).toInt),
-      (3 + (seed % 8).toInt, 1 + ((seed * 7) % 15).toInt),
-      (11 + (seed % 12).toInt, 1 + ((seed * 5) % 7).toInt),
-      (23 + (seed % 4).toInt, 1 + (seed % 3).toInt))
-    val allocIdx = Array(new Array[Int](27))
-    act.foreach { case (sb, a) => allocIdx(0)(sb) = a }
-    val scfsi = Array.tabulate(1, 27)((ch, sb) => ((seed + sb + ch) % 4).toInt)
-    val sf3 = Array.tabulate(1, 27) { (ch, sb) =>
-      val b = ((seed * 3 + sb * 5 + ch * 7) % 63).toInt
-      ((seed + sb + ch) % 4).toInt match {
-        case 0 => Array(b, (b + 1) % 63, (b + 2) % 63)
-        case 1 => Array(b, b, (b + 1) % 63)
-        case 2 => Array(b, b, b)
-        case _ => Array(b, (b + 1) % 63, (b + 1) % 63)
-      }
-    }
-    val samples = Array.tabulate(36, 1, 27) { (t, ch, sb) =>
-      if (allocIdx(ch)(sb) == 0) 0
-      else {
-        val n = Mpeg1Audio.l2Levels(Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
-        ((seed * 31 + sb * 17 + t * 7 + ch * 41) % n).toInt
-      }
-    }
-    Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples, withCrc = true)
   }
 
   test("intensity stereo: shared codes above the bound, per-channel scalefactors") {

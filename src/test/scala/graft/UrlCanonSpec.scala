@@ -46,6 +46,23 @@ class UrlCanonSpec extends SparkSpecBase {
     assert(canon(once: _*) == once)
   }
 
+  test("malformed/scheme-less URLs fall back to the raw string as their key") {
+    // no scheme -> raw key: two distinct malformed rows must NOT merge
+    assert(canon("www.site.com/a/b?x=1", "site.org/other#frag", "://path", "")
+      == Seq("www.site.com/a/b?x=1", "site.org/other#frag", "://path", ""))
+    // ...and the fallback is idempotent
+    assert(canon(canon("www.site.com/a/b?x=1#f"): _*)
+      == Seq("www.site.com/a/b?x=1#f"))
+  }
+
+  test("well-formed EMPTY-AUTHORITY urls (file:///) keep full canonicalization") {
+    val out = canon(
+      "file:///docs//readme.md#top",
+      "FILE:///docs/readme.md",
+      "file:///docs/readme.md/")
+    assert(out.distinct == Seq("file:///docs/readme.md"))
+  }
+
   test("urlDedup groups variants under one keeper") {
     val df = Seq(
       (10L, "https://A.com/x?b=2&a=1"),
