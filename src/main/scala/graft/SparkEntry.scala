@@ -5077,16 +5077,21 @@ object SparkEntry {
       // effect on PCM — but decode must verify the CRC to emit rows)
       val jsBound = if (d % 4 == 3) 4 + 4 * ((d / 4) % 4).toInt else 0
       val withCrc = d % 3 == 0
+      // docs ≡ 2 (mod 5): TABLE 3-B.2b streams (44.1 kHz at >= 96
+      // kbps/ch, sblimit 30) with the 4th active subband drawn from the
+      // b-only 23-29 range; everything else stays 3-B.2a (48 kHz, 27)
+      val tableB = d % 5 == 2
+      val sblimit = if (tableB) 30 else 27
       val act = Seq(
         ((d % 3).toInt, 1 + (d % 15).toInt),
         (3 + (d % 8).toInt, 1 + ((d * 7) % 15).toInt),
         (11 + (d % 12).toInt, 1 + ((d * 5) % 7).toInt),
-        (23 + (d % 4).toInt, 1 + (d % 3).toInt))
-      val allocIdx = Array.fill(nCh)(new Array[Int](27))
+        ((if (tableB) 23 + (d % 7).toInt else 23 + (d % 4).toInt), 1 + (d % 3).toInt))
+      val allocIdx = Array.fill(nCh)(new Array[Int](sblimit))
       act.foreach { case (sb, a) =>
         (0 until nCh).foreach(ch => allocIdx(ch)(sb) = a) }
-      val scfsi = Array.tabulate(nCh, 27)((ch, sb) => ((d + sb + ch) % 4).toInt)
-      val sf3 = Array.tabulate(nCh, 27) { (ch, sb) =>
+      val scfsi = Array.tabulate(nCh, sblimit)((ch, sb) => ((d + sb + ch) % 4).toInt)
+      val sf3 = Array.tabulate(nCh, sblimit) { (ch, sb) =>
         val b = ((d * 3 + sb * 5 + ch * 7) % 63).toInt
         ((d + sb + ch) % 4).toInt match {
           case 0 => Array(b, (b + 1) % 63, (b + 2) % 63)
@@ -5097,7 +5102,7 @@ object SparkEntry {
       }
       val out = new java.io.ByteArrayOutputStream()
       (0 until 2).foreach { fr =>
-        val samples = Array.tabulate(36, nCh, 27) { (t, ch, sb) =>
+        val samples = Array.tabulate(36, nCh, sblimit) { (t, ch, sb) =>
           if (allocIdx(ch)(sb) == 0) 0
           else {
             val n = operators.Mpeg1Audio.l2Levels(
@@ -5106,11 +5111,12 @@ object SparkEntry {
             ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + chTerm) % n).toInt
           }
         }
-        // 3-B.2a-legal dials: 48 kHz; 192 kbps mono / 384 kbps stereo
-        // (44.1 kHz above 80 kbps/ch selects Table 3-B.2b, which this
-        // decoder rejects — the r11 review finding)
+        // table-legal dials: 3-B.2a docs at 48 kHz (192 kbps mono /
+        // 384 stereo), 3-B.2b docs at 44.1 kHz (same bitrates — both
+        // are >= 96 kbps/ch there, which is what selects table b)
         val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3,
-          samples, sampleRateIdx = 1, bitrateIdx = if (nCh == 2) 14 else 10,
+          samples, sampleRateIdx = if (tableB) 0 else 1,
+          bitrateIdx = if (nCh == 2) 14 else 10,
           withCrc = withCrc, jsBound = jsBound)
         out.write(bytes, 0, bytes.length)
       }
@@ -5139,7 +5145,9 @@ object SparkEntry {
        |  SELECT doc_id, 1 + doc_id % 2 AS nch FROM documents),
        |sbs AS (
        |  SELECT doc_id,
-       |    unnest([doc_id % 3, 3 + doc_id % 8, 11 + doc_id % 12, 23 + doc_id % 4]) AS sb,
+       |    unnest([doc_id % 3, 3 + doc_id % 8, 11 + doc_id % 12,
+       |            CASE WHEN doc_id % 5 = 2 THEN 23 + doc_id % 7
+       |                 ELSE 23 + doc_id % 4 END]) AS sb,
        |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS region,
        |    unnest([1 + doc_id % 15, 1 + (doc_id * 7) % 15,
        |            1 + (doc_id * 5) % 7, 1 + doc_id % 3]) AS aidx

@@ -436,14 +436,28 @@ object Mpeg1Audio {
       (if (padding) 1 else 0)
   }
 
-  /** ISO Table 3-B.2a (48/44.1 kHz, ≥ 56 kbps/ch; sblimit 27): alloc
-    * field widths by subband REGION — sb 0-2: 4 bits, 3-10: 4 bits,
-    * 11-22: 3 bits, 23-26: 2 bits. */
+  /** ISO Tables 3-B.2a/b: alloc field widths by subband REGION —
+    * sb 0-2: 4 bits, 3-10: 4 bits, 11-22: 3 bits, 23+: 2 bits. The two
+    * tables share the whole class structure and differ ONLY in sblimit:
+    * 3-B.2a stops at 27 subbands, 3-B.2b extends the 2-bit region to
+    * 30 ([[l2Sblimit]] picks per the ISO rate/bitrate mapping). */
   val l2AllocBits: Array[Int] = Array(4, 4, 3, 2)
 
   /** Region of each subband (index into [[l2AllocBits]]/[[l2Levels]]). */
   def l2Region(sb: Int): Int =
     if (sb < 3) 0 else if (sb < 11) 1 else if (sb < 23) 2 else 3
+
+  /** ISO 11172-3 table selection for the rates this decoder covers:
+    * 48 kHz at 56-192 kbps/ch → Table 3-B.2a (sblimit 27); 44.1 kHz at
+    * 56-80 → 3-B.2a, at 96-192 → 3-B.2b (sblimit 30). Everything else
+    * (32 kHz, the low-rate 3-B.2c/d tables) is rejected loudly —
+    * documented boundary. */
+  def l2Sblimit(sampleRateIdx: Int, brPerCh: Int): Int = {
+    require(sampleRateIdx <= 1, "tables 3-B.2a/b require 44.1/48 kHz")
+    require(brPerCh >= 56 && brPerCh <= 192,
+      s"tables 3-B.2a/b do not cover $brPerCh kbps/ch")
+    if (sampleRateIdx == 0 && brPerCh >= 96) 30 else 27
+  }
 
   /** Quantizer LEVELS by (region, alloc index) per Table 3-B.2a;
     * index 0 = silent. Low subbands get the fine power-of-two ladder,
@@ -525,22 +539,24 @@ object Mpeg1Audio {
     require(nCh == 1 || nCh == 2, s"channels $nCh")
     require(!dualChannel || (nCh == 2 && jsBound == 0),
       "dual channel needs 2 channels and no intensity bound")
+    val sblimit = l2Sblimit(sampleRateIdx, l2Bitrates(bitrateIdx) / nCh)
     require(scfsi.length == nCh && sf3.length == nCh && samples.length == 36 &&
-      allocIdx.forall(_.length == 27) && scfsi.forall(_.length == 27) &&
+      allocIdx.forall(_.length == sblimit) && scfsi.forall(_.length == sblimit) &&
       sf3.forall(_.forall(_.length == 3)) &&
-      samples.forall(t => t.length == nCh && t.forall(_.length == 27)))
+      samples.forall(t => t.length == nCh && t.forall(_.length == sblimit)),
+      s"shapes must match the dial's sblimit $sblimit")
     val joint = jsBound > 0
     if (joint) {
       require(nCh == 2, "intensity stereo needs 2 channels")
       require(Set(4, 8, 12, 16)(jsBound), s"jsBound $jsBound")
-      (jsBound until 27).foreach { sb =>
+      (jsBound until sblimit).foreach { sb =>
         require(allocIdx(0)(sb) == allocIdx(1)(sb), s"joint alloc differs at sb $sb")
         (0 until 36).foreach(t =>
           require(samples(t)(0)(sb) == samples(t)(1)(sb),
             s"joint sample codes differ at sb $sb"))
       }
     }
-    val bound = if (joint) jsBound else 27
+    val bound = if (joint) jsBound else sblimit
     def sharedAbove(sb: Int): Boolean = joint && sb >= bound
     def levels(ch: Int, sb: Int): Int = l2Levels(l2Region(sb))(allocIdx(ch)(sb))
     val w = new Flac.BitWriter
@@ -555,19 +571,19 @@ object Mpeg1Audio {
     w.writeBits(if (joint) (jsBound - 4) / 4 else 0, 2) // mode_extension
     w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 2)
     if (withCrc) w.writeBits(0, 16) // CRC placeholder, patched below
-    (0 until 27).foreach { sb =>
+    (0 until sblimit).foreach { sb =>
       (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
         val a = allocIdx(ch)(sb)
         require(a >= 0 && a < l2Levels(l2Region(sb)).length, s"allocIdx $a at sb $sb")
         w.writeBits(a, l2AllocBits(l2Region(sb)))
       }
     }
-    (0 until 27).foreach { sb =>
+    (0 until sblimit).foreach { sb =>
       (0 until nCh).foreach { ch =>
         if (allocIdx(ch)(sb) > 0) w.writeBits(scfsi(ch)(sb), 2)
       }
     }
-    (0 until 27).foreach { sb =>
+    (0 until sblimit).foreach { sb =>
       (0 until nCh).foreach { ch =>
         if (allocIdx(ch)(sb) > 0) {
           val (stored, _) = scfsiResolve(scfsi(ch)(sb), sf3(ch)(sb))
@@ -578,7 +594,7 @@ object Mpeg1Audio {
       }
     }
     (0 until 12).foreach { gr =>
-      (0 until 27).foreach { sb =>
+      (0 until sblimit).foreach { sb =>
         (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
           if (allocIdx(ch)(sb) > 0) {
             val n = levels(ch, sb)
@@ -602,9 +618,9 @@ object Mpeg1Audio {
     val out = w.bytes
     if (withCrc) {
       // Layer II protects allocation + scfsi
-      val allocBits = (0 until 27)
+      val allocBits = (0 until sblimit)
         .map(sb => l2AllocBits(l2Region(sb)) * (if (sharedAbove(sb)) 1 else nCh)).sum
-      val scfsiBits = (0 until 27)
+      val scfsiBits = (0 until sblimit)
         .map(sb => 2 * (0 until nCh).count(ch => allocIdx(ch)(sb) > 0)).sum
       val c = frameCrc(out, 0, allocBits + scfsiBits)
       out(4) = ((c >> 8) & 0xff).toByte
@@ -637,15 +653,11 @@ object Mpeg1Audio {
     val mode = r.readBits(2).toInt
     val nCh = if (mode == 3) 1 else 2
     val modeExt = r.readBits(2).toInt
-    val bound = if (mode == 1) 4 + modeExt * 4 else 27
-    // ISO 11172-3 table selection: 3-B.2a (sblimit 27) covers 48 kHz at
-    // 56-192 kbps/ch but 44.1 kHz ONLY at 56-80 kbps/ch — 44.1 kHz at
-    // >= 96 kbps/ch selects 3-B.2b (sblimit 30), which this decoder
-    // does not implement; admitting it would misalign the whole parse.
-    val brPerCh = l2Bitrates(bitrateIdx) / nCh
-    require(srIdx <= 1, "table 3-B.2a requires 44.1/48 kHz")
-    require(brPerCh >= 56 && brPerCh <= (if (srIdx == 0) 80 else 192),
-      s"table 3-B.2a does not cover $brPerCh kbps/ch at ${sampleRates(srIdx)} Hz")
+    // ISO 11172-3 table selection ([[l2Sblimit]]): 3-B.2a (27) for
+    // 48 kHz 56-192 kbps/ch and 44.1 kHz 56-80; 3-B.2b (30) for
+    // 44.1 kHz 96-192. Everything else refuses loudly.
+    val sblimit = l2Sblimit(srIdx, l2Bitrates(bitrateIdx) / nCh)
+    val bound = if (mode == 1) 4 + modeExt * 4 else sblimit
     require(v.length == nCh && v.forall(_.length == 16),
       s"V FIFO shape ${v.length} for $nCh channels")
     r.readBits(1); r.readBits(1); r.readBits(2)
@@ -653,8 +665,8 @@ object Mpeg1Audio {
     val end = offset + frameBytesL2(bitrateIdx, srIdx, padding)
     require(end <= payload.length, "frame overruns payload")
     // intensity subbands (sb >= bound) carry ONE shared allocation
-    val alloc = Array.ofDim[Int](nCh, 27)
-    (0 until 27).foreach { sb =>
+    val alloc = Array.ofDim[Int](nCh, sblimit)
+    (0 until sblimit).foreach { sb =>
       if (sb >= bound) {
         val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
         require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
@@ -665,23 +677,23 @@ object Mpeg1Audio {
         alloc(ch)(sb) = a
       }
     }
-    val scfsi = Array.ofDim[Int](nCh, 27)
-    (0 until 27).foreach { sb =>
+    val scfsi = Array.ofDim[Int](nCh, sblimit)
+    (0 until sblimit).foreach { sb =>
       (0 until nCh).foreach { ch =>
         if (alloc(ch)(sb) > 0) scfsi(ch)(sb) = r.readBits(2).toInt
       }
     }
     if (protected_) {
-      val allocBits = (0 until 27)
+      val allocBits = (0 until sblimit)
         .map(sb => l2AllocBits(l2Region(sb)) * (if (sb >= bound) 1 else nCh)).sum
-      val scfsiBits = (0 until 27)
+      val scfsiBits = (0 until sblimit)
         .map(sb => 2 * (0 until nCh).count(ch => alloc(ch)(sb) > 0)).sum
       val c = frameCrc(payload, offset, allocBits + scfsiBits)
       require(c == crcStored, f"CRC mismatch: stored $crcStored%04x computed $c%04x")
     }
     // per-part scalefactor MULTIPLIERS, reconstructed through scfsi
-    val sfPart = Array.ofDim[Long](nCh, 27, 3)
-    (0 until 27).foreach { sb =>
+    val sfPart = Array.ofDim[Long](nCh, sblimit, 3)
+    (0 until sblimit).foreach { sb =>
       (0 until nCh).foreach { ch =>
         if (alloc(ch)(sb) > 0) {
           val nStored = scfsi(ch)(sb) match {
@@ -708,7 +720,7 @@ object Mpeg1Audio {
     val s = Array.ofDim[Long](36, nCh, 32)
     (0 until 12).foreach { gr =>
       val part = gr / 4
-      (0 until 27).foreach { sb =>
+      (0 until sblimit).foreach { sb =>
         def readCodes(n: Int): Array[Int] =
           if (l2Grouped(n)) {
             val g = r.readBits(l2GroupBits(n)).toInt

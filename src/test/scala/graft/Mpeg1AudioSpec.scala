@@ -335,6 +335,29 @@ class Mpeg1AudioSpec extends AnyFunSuite {
       Mpeg1Audio.decode(plainA).get.head.pcm.toSeq)
   }
 
+  test("L2 Table 3-B.2b: 44.1 kHz >= 96 kbps/ch extends the 2-bit region to sblimit 30") {
+    // a subband-28 signal only exists in table b
+    val allocIdx = Array(new Array[Int](30)); allocIdx(0)(28) = 1 // n=3
+    val scfsi = Array(Array.fill(30)(2))
+    val sf3 = Array(Array.fill(30)(Array(0, 0, 0)))
+    val samples = Array.tabulate(36, 1, 30)((t, _, sb) => if (sb == 28) t % 3 else 0)
+    // mono 192 kbps at 44.1 kHz -> 192 kbps/ch -> table b
+    val payload = Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
+      sampleRateIdx = 0, bitrateIdx = 10)
+    assert(payload.length == Mpeg1Audio.frameBytesL2(10, 0, padding = false))
+    val pcm = Mpeg1Audio.decodeL2(payload).get.head.pcm
+    assert(pcm.exists(_ != 0L), "subband-28 signal vanished")
+    // the same shapes are REJECTED at a table-a dial (48 kHz)
+    intercept[IllegalArgumentException](
+      Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
+        sampleRateIdx = 1, bitrateIdx = 10))
+    // sblimit mapping follows the ISO selection
+    assert(Mpeg1Audio.l2Sblimit(1, 192) == 27 && Mpeg1Audio.l2Sblimit(1, 56) == 27)
+    assert(Mpeg1Audio.l2Sblimit(0, 80) == 27 && Mpeg1Audio.l2Sblimit(0, 96) == 30)
+    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(2, 96))
+    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(0, 48))
+  }
+
   test("dual channel (mode 10) parses exactly like stereo in both layers") {
     val alloc = new Array[Int](32); alloc(2) = 3; alloc(11) = 7
     val sfIdx = new Array[Int](32); sfIdx(2) = 9; sfIdx(11) = 20
