@@ -12,8 +12,9 @@ package graft.operators
  * matrixing, the 16-deep 1024-value V FIFO, and a 512-tap windowed
  * overlap-add. That filterbank is the decode stage every MPEG audio
  * layer shares. LAYER II decode (r11) rides the same filterbank and
- * adds the Layer-II frame grammar: Table 3-B.2a per-subband
- * bit-allocation classes, GROUPED 3/5/9-level quantization (one
+ * adds the Layer-II frame grammar: Table 3-B.2a AND 3-B.2b
+ * per-subband bit-allocation classes (sblimit 27/30 selected by the
+ * ISO rate/bitrate mapping), GROUPED 3/5/9-level quantization (one
  * 5/7/10-bit code packing 3 samples), scfsi scalefactor sharing
  * across the frame's three parts, and the Table 3-B.4 requantization
  * constants in closed form. With both layers the stub boundary
@@ -635,9 +636,9 @@ object Mpeg1Audio {
     * input (including a CRC mismatch on protected frames). Returns the
     * frame (1152·ch interleaved PCM — 36 filterbank pushes) and the
     * next frame's offset. Dual channel (mode 10) parses exactly like
-    * stereo. Table 3-B.2a streams only (48/44.1 kHz at ≥ 56 kbps/ch —
-    * the common case); other rate/bitrate table selections are
-    * rejected loudly — a documented boundary. */
+    * stereo. Tables 3-B.2a AND 3-B.2b (48/44.1 kHz at 56-192 kbps/ch,
+    * sblimit via [[l2Sblimit]]) both decode; 32 kHz and the low-rate
+    * 3-B.2c/d tables are rejected loudly — a documented boundary. */
   def decodeFrameL2(payload: Array[Byte], offset: Int,
                     v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
     val r = new Flac.BitReader(payload)
