@@ -5334,6 +5334,61 @@ object SparkEntry {
       |  CAST(sum(i * idx) AS BIGINT) AS wsum
       |FROM px GROUP BY 1""".stripMargin
 
+  /** REAL QOI codec round-trip, FULL oracle — the modern truecolor
+    * rung of the multimodal image ladder (`operators/Qoi.scala`,
+    * implemented per the public qoiformat.org spec): per doc an 8×8
+    * RGBA image whose closed-form pattern plants a 16-pixel constant
+    * block (RUN ops), a replay of the opening colors (64-entry hash
+    * INDEX ops), small channel drifts (DIFF/LUMA ops) and periodic
+    * alpha dips (RGBA literals) is encoded with the real six-op chunk
+    * stream, then decoded back by the real reader. QOI is LOSSLESS,
+    * so the oracle re-derives every statistic from the pixel formula;
+    * the raster-position-weighted `wsum` is order sensitive, so a
+    * run-length or hash-slot defect that preserves the color multiset
+    * still breaks the hash. */
+  private def imageQoi(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) =>
+      operators.Qoi.encodeQoi(operators.Qoi.QoiImage(
+        8, 8, 4, 0, operators.Qoi.fixturePixels(docId))))
+    val stats = udf((p: Array[Byte]) =>
+      operators.Qoi.decodeQoi(p).map { img =>
+        val (sr, sg, sb, sa, wsum) = operators.Qoi.qoiStats(img)
+        (img.width, img.height, img.channels, sr, sg, sb, sa, wsum)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("channels"),
+        col("st._4").as("sum_r"), col("st._5").as("sum_g"),
+        col("st._6").as("sum_b"), col("st._7").as("sum_a"),
+        col("st._8").as("wsum"))
+  }
+
+  private val imageQoiSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS i),
+      |px AS (
+      |  SELECT d.doc_id, g.i,
+      |    CASE WHEN g.i BETWEEN 32 AND 47 THEN 32
+      |         WHEN g.i >= 48 THEN g.i - 48 ELSE g.i END AS j
+      |  FROM documents d, grid g),
+      |ch AS (
+      |  SELECT doc_id, i,
+      |    (doc_id * 7 + j * 3) % 256 AS r,
+      |    (doc_id * 11 + j * j) % 256 AS g,
+      |    (doc_id * 13 + j // 4) % 256 AS b,
+      |    CASE WHEN j % 16 = 7 THEN 255 - doc_id % 32 ELSE 255 END AS a
+      |  FROM px)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(4 AS INT) AS channels,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(a) AS BIGINT) AS sum_a,
+      |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8090,6 +8145,7 @@ object SparkEntry {
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
+    "image_qoi" -> (imageQoi(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8378,6 +8434,7 @@ object SparkEntry {
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,
+    "image_qoi" -> imageQoiSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

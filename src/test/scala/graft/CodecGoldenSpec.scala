@@ -192,4 +192,19 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert(b.length == 576)
     assertGolden("MP2", b, 368565045L, "fffda4c0030002000000400000001000")
   }
+
+  test("QOI golden: qoif magic, BE dims, channel/colorspace bytes, pinned bytes") {
+    val b = Qoi.encodeQoi(Qoi.QoiImage(8, 8, 4, 0, Qoi.fixturePixels(3L)))
+    // header hand-checked against qoiformat.org: magic, u32 BE width and
+    // height, channels, colorspace — then the first chunk must be
+    // QOI_OP_RGB (0xFE) carrying r = (3*7 + 0*3) % 256 = 21 = 0x15
+    assert(new String(b.take(4), "US-ASCII") == "qoif")
+    assert((b(7) & 0xff) == 8 && (b(11) & 0xff) == 8) // w, h (BE low byte)
+    assert(b(4) == 0 && b(5) == 0 && b(6) == 0 && b(8) == 0)
+    assert((b(12) & 0xff) == 4 && (b(13) & 0xff) == 0)
+    assert((b(14) & 0xff) == 0xfe && (b(15) & 0xff) == 21)
+    // end marker: seven 0x00 then 0x01
+    assert(b.takeRight(8).toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    assertGolden("QOI", b, 25378132L, "716f696600000008000000080400fe15")
+  }
 }
