@@ -5053,10 +5053,14 @@ object SparkEntry {
     * quantization rung above `audio_mpeg_layer1` (same reference
     * surface, `operators/Mpeg1Audio.scala` Layer II section): per doc a
     * mono/stereo CRC-less TWO-FRAME Layer II stream with FOUR active
-    * subbands, one per Table 3-B.2a allocation region, cycling through
-    * every quantizer class — the grouped 3/5/9-level classes (one
-    * 5/7/10-bit code per 3 samples), the power-of-two ladder, and the
-    * 16-bit escape — plus all four scfsi scalefactor-sharing modes,
+    * subbands cycling through every quantizer class — the grouped
+    * 3/5/9-level classes (one 5/7/10-bit code per 3 samples), the
+    * power-of-two ladder, and the 16-bit escape — across ALL FOUR ISO
+    * allocation tables (doc_id mod 5 picks 3-B.2a high-rate 48 kHz /
+    * 3-B.2b 44.1 kHz / low-rate 3-B.2c 48 kbps-per-channel / 3-B.2d
+    * 32 kHz, each at a table-legal header dial, the a/b docs drawing
+    * one subband per allocation region and the c/d docs reading the
+    * shared 4-bit class row) — plus all four scfsi sharing modes,
     * INTENSITY (joint) stereo docs at all four bounds (subbands ≥
     * bound share one code set under per-channel scalefactors), and
     * CRC-PROTECTED frames (ISO Annex-A CRC-16 over header bits 16-31 +
@@ -5077,16 +5081,36 @@ object SparkEntry {
       // effect on PCM — but decode must verify the CRC to emit rows)
       val jsBound = if (d % 4 == 3) 4 + 4 * ((d / 4) % 4).toInt else 0
       val withCrc = d % 3 == 0
-      // docs ≡ 2 (mod 5): TABLE 3-B.2b streams (44.1 kHz at >= 96
-      // kbps/ch, sblimit 30) with the 4th active subband drawn from the
-      // b-only 23-29 range; everything else stays 3-B.2a (48 kHz, 27)
-      val tableB = d % 5 == 2
-      val sblimit = if (tableB) 30 else 27
-      val act = Seq(
-        ((d % 3).toInt, 1 + (d % 15).toInt),
-        (3 + (d % 8).toInt, 1 + ((d * 7) % 15).toInt),
-        (11 + (d % 12).toInt, 1 + ((d * 5) % 7).toInt),
-        ((if (tableB) 23 + (d % 7).toInt else 23 + (d % 4).toInt), 1 + (d % 3).toInt))
+      // allocation-table dial: docs ≡ 2 (mod 5) are TABLE 3-B.2b
+      // streams (44.1 kHz ≥ 96 kbps/ch, sblimit 30, 4th active subband
+      // in the b-only 23-29 range); ≡ 1 (mod 5) are LOW-RATE 3-B.2c
+      // (48 kHz at 48 kbps/ch, sblimit 8); ≡ 4 (mod 5) are 3-B.2d
+      // (32 kHz at 32 kbps/ch, sblimit 12); the rest stay 3-B.2a
+      // (48 kHz high-rate, sblimit 27)
+      val kind = (d % 5) match {
+        case 1 => 'c'; case 2 => 'b'; case 4 => 'd'; case _ => 'a'
+      }
+      val sblimit = operators.Mpeg1Audio.l2SblimitOf(kind)
+      val sbs = kind match {
+        case 'c' => Seq((d % 3).toInt, 3 + (d % 3).toInt, 6, 7)
+        case 'd' => Seq((d % 3).toInt, 3 + (d % 4).toInt,
+          7 + (d % 3).toInt, 10 + (d % 2).toInt)
+        case 'b' => Seq((d % 3).toInt, 3 + (d % 8).toInt,
+          11 + (d % 12).toInt, 23 + (d % 7).toInt)
+        case _ => Seq((d % 3).toInt, 3 + (d % 8).toInt,
+          11 + (d % 12).toInt, 23 + (d % 4).toInt)
+      }
+      // c/d class indices cap at 6 (<= 18-bit ungrouped codes) so the
+      // worst case fits the SHORT low-rate slot (144 B mono at 48/32
+      // kbps: ~1024 of 1152 bits with 4 subbands at aidx 6 + CRC); the
+      // top c/d classes are spec-covered where only 2 subbands are live
+      val aidxs =
+        if (kind == 'c' || kind == 'd')
+          Seq(1 + (d % 6).toInt, 1 + ((d * 7) % 6).toInt,
+            1 + ((d * 5) % 6).toInt, 1 + (d % 3).toInt)
+        else Seq(1 + (d % 15).toInt, 1 + ((d * 7) % 15).toInt,
+          1 + ((d * 5) % 7).toInt, 1 + (d % 3).toInt)
+      val act = sbs.zip(aidxs)
       val allocIdx = Array.fill(nCh)(new Array[Int](sblimit))
       act.foreach { case (sb, a) =>
         (0 until nCh).foreach(ch => allocIdx(ch)(sb) = a) }
@@ -5105,18 +5129,23 @@ object SparkEntry {
         val samples = Array.tabulate(36, nCh, sblimit) { (t, ch, sb) =>
           if (allocIdx(ch)(sb) == 0) 0
           else {
-            val n = operators.Mpeg1Audio.l2Levels(
-              operators.Mpeg1Audio.l2Region(sb))(allocIdx(ch)(sb))
+            val n = operators.Mpeg1Audio.l2LevelsFor(kind, sb)(allocIdx(ch)(sb))
             val chTerm = if (jsBound > 0 && sb >= jsBound) 0 else ch * 41
             ((d * 31 + sb * 17 + (fr * 36 + t) * 7 + chTerm) % n).toInt
           }
         }
-        // table-legal dials: 3-B.2a docs at 48 kHz (192 kbps mono /
-        // 384 stereo), 3-B.2b docs at 44.1 kHz (same bitrates — both
-        // are >= 96 kbps/ch there, which is what selects table b)
+        // table-legal dials: 'a' at 48 kHz 192/384 kbps, 'b' at
+        // 44.1 kHz same rates (≥ 96/ch selects table b), 'c' at 48 kHz
+        // 48 kbps mono / 96 stereo (48/ch), 'd' at 32 kHz 32 kbps mono
+        // / 64 stereo (32/ch)
+        val (srIdx, brIdx) = kind match {
+          case 'c' => (1, if (nCh == 2) 6 else 2)
+          case 'd' => (2, if (nCh == 2) 4 else 1)
+          case 'b' => (0, if (nCh == 2) 14 else 10)
+          case _ => (1, if (nCh == 2) 14 else 10)
+        }
         val bytes = operators.Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3,
-          samples, sampleRateIdx = if (tableB) 0 else 1,
-          bitrateIdx = if (nCh == 2) 14 else 10,
+          samples, sampleRateIdx = srIdx, bitrateIdx = brIdx,
           withCrc = withCrc, jsBound = jsBound)
         out.write(bytes, 0, bytes.length)
       }
@@ -5144,13 +5173,26 @@ object SparkEntry {
        |chans AS (
        |  SELECT doc_id, 1 + doc_id % 2 AS nch FROM documents),
        |sbs AS (
+       |  -- active subbands per allocation-table dial: doc_id % 5 = 1 ->
+       |  -- 3-B.2c (sblimit 8), = 4 -> 3-B.2d (12), = 2 -> 3-B.2b (30),
+       |  -- else 3-B.2a (27); c/d read the shared region-4 class row
        |  SELECT doc_id,
-       |    unnest([doc_id % 3, 3 + doc_id % 8, 11 + doc_id % 12,
-       |            CASE WHEN doc_id % 5 = 2 THEN 23 + doc_id % 7
-       |                 ELSE 23 + doc_id % 4 END]) AS sb,
-       |    unnest([CAST(0 AS BIGINT), 1, 2, 3]) AS region,
-       |    unnest([1 + doc_id % 15, 1 + (doc_id * 7) % 15,
-       |            1 + (doc_id * 5) % 7, 1 + doc_id % 3]) AS aidx
+       |    unnest(CASE
+       |      WHEN doc_id % 5 = 1 THEN [doc_id % 3, 3 + doc_id % 3, 6, 7]
+       |      WHEN doc_id % 5 = 4 THEN [doc_id % 3, 3 + doc_id % 4,
+       |                                7 + doc_id % 3, 10 + doc_id % 2]
+       |      WHEN doc_id % 5 = 2 THEN [doc_id % 3, 3 + doc_id % 8,
+       |                                11 + doc_id % 12, 23 + doc_id % 7]
+       |      ELSE [doc_id % 3, 3 + doc_id % 8, 11 + doc_id % 12,
+       |            23 + doc_id % 4] END) AS sb,
+       |    unnest(CASE WHEN doc_id % 5 IN (1, 4)
+       |      THEN [CAST(4 AS BIGINT), 4, 4, 4]
+       |      ELSE [CAST(0 AS BIGINT), 1, 2, 3] END) AS region,
+       |    unnest(CASE WHEN doc_id % 5 IN (1, 4)
+       |      THEN [1 + doc_id % 6, 1 + (doc_id * 7) % 6,
+       |            1 + (doc_id * 5) % 6, 1 + doc_id % 3]
+       |      ELSE [1 + doc_id % 15, 1 + (doc_id * 7) % 15,
+       |            1 + (doc_id * 5) % 7, 1 + doc_id % 3] END) AS aidx
        |  FROM documents),
        |sval AS MATERIALIZED (
        |  -- Table 3-B.4 requantization at 2^15 then scalefactor at 2^16,

@@ -12,9 +12,10 @@ package graft.operators
  * matrixing, the 16-deep 1024-value V FIFO, and a 512-tap windowed
  * overlap-add. That filterbank is the decode stage every MPEG audio
  * layer shares. LAYER II decode (r11) rides the same filterbank and
- * adds the Layer-II frame grammar: Table 3-B.2a AND 3-B.2b
- * per-subband bit-allocation classes (sblimit 27/30 selected by the
- * ISO rate/bitrate mapping), GROUPED 3/5/9-level quantization (one
+ * adds the Layer-II frame grammar: ALL FOUR bit-allocation tables
+ * 3-B.2a/b/c/d (sblimit 27/30/8/12 selected by the ISO Table B.1
+ * rate/bitrate mapping — the low-rate c/d tables and 32 kHz landed
+ * in r11), GROUPED 3/5/9-level quantization (one
  * 5/7/10-bit code packing 3 samples), scfsi scalefactor sharing
  * across the frame's three parts, and the Table 3-B.4 requantization
  * constants in closed form. With both layers the stub boundary
@@ -448,17 +449,32 @@ object Mpeg1Audio {
   def l2Region(sb: Int): Int =
     if (sb < 3) 0 else if (sb < 11) 1 else if (sb < 23) 2 else 3
 
-  /** ISO 11172-3 table selection for the rates this decoder covers:
-    * 48 kHz at 56-192 kbps/ch → Table 3-B.2a (sblimit 27); 44.1 kHz at
-    * 56-80 → 3-B.2a, at 96-192 → 3-B.2b (sblimit 30). Everything else
-    * (32 kHz, the low-rate 3-B.2c/d tables) is rejected loudly —
-    * documented boundary. */
-  def l2Sblimit(sampleRateIdx: Int, brPerCh: Int): Int = {
-    require(sampleRateIdx <= 1, "tables 3-B.2a/b require 44.1/48 kHz")
-    require(brPerCh >= 56 && brPerCh <= 192,
-      s"tables 3-B.2a/b do not cover $brPerCh kbps/ch")
-    if (sampleRateIdx == 0 && brPerCh >= 96) 30 else 27
+  /** ISO 11172-3 Table B.1 allocation-table selection, ALL FOUR
+    * tables: per (sampling rate, kbps per channel) —
+    *   48 kHz  56-192 → 'a' (3-B.2a, sblimit 27);  32-48 → 'c'
+    *   44.1 kHz 56-80 → 'a';  96-192 → 'b' (3-B.2b, 30);  32-48 → 'c'
+    *   32 kHz  56-80 → 'a';  96-192 → 'b';         32-48 → 'd'
+    * ('c' = 3-B.2c sblimit 8, 'd' = 3-B.2d sblimit 12.) Per-channel
+    * rates outside 32-192 (e.g. an illegal 56 kbps STEREO frame at
+    * 28 kbps/ch) are rejected loudly. */
+  def l2TableKind(sampleRateIdx: Int, brPerCh: Int): Char = {
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"srIdx $sampleRateIdx")
+    require(brPerCh >= 32 && brPerCh <= 192,
+      s"$brPerCh kbps/ch outside the MPEG-1 Layer II per-channel range")
+    if (brPerCh <= 48) { if (sampleRateIdx == 2) 'd' else 'c' }
+    else if (sampleRateIdx == 1) 'a'
+    else if (brPerCh >= 96) 'b'
+    else 'a'
   }
+
+  /** Subband limit of each allocation table. */
+  def l2SblimitOf(kind: Char): Int = (kind: @unchecked) match {
+    case 'a' => 27; case 'b' => 30; case 'c' => 8; case 'd' => 12
+  }
+
+  /** Subband limit straight from the header dial (see [[l2TableKind]]). */
+  def l2Sblimit(sampleRateIdx: Int, brPerCh: Int): Int =
+    l2SblimitOf(l2TableKind(sampleRateIdx, brPerCh))
 
   /** Quantizer LEVELS by (region, alloc index) per Table 3-B.2a;
     * index 0 = silent. Low subbands get the fine power-of-two ladder,
@@ -469,6 +485,22 @@ object Mpeg1Audio {
     Array(0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535),
     Array(0, 3, 5, 7, 9, 15, 31, 65535),
     Array(0, 3, 5, 65535))
+
+  /** Tables 3-B.2c/d quantizer ladder — ONE class row for every
+    * subband (nbal = 4 throughout): the grouped 3/5/9 classes then the
+    * 2ᵏ−1 ladder to 32767. Unlike a/b there is NO 7-level class and NO
+    * 16-bit escape. */
+  val l2LevelsCd: Array[Int] =
+    Array(0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+      8191, 16383, 32767)
+
+  /** Allocation field width for a subband under a given table. */
+  def l2AllocBitsFor(kind: Char, sb: Int): Int =
+    if (kind == 'c' || kind == 'd') 4 else l2AllocBits(l2Region(sb))
+
+  /** Quantizer class row for a subband under a given table. */
+  def l2LevelsFor(kind: Char, sb: Int): Array[Int] =
+    if (kind == 'c' || kind == 'd') l2LevelsCd else l2Levels(l2Region(sb))
 
   /** n ∈ {3,5,9} quantizers are GROUPED: one code packs 3 consecutive
     * samples (5/7/10 bits — ⌈log₂ n³⌉). */
@@ -540,7 +572,8 @@ object Mpeg1Audio {
     require(nCh == 1 || nCh == 2, s"channels $nCh")
     require(!dualChannel || (nCh == 2 && jsBound == 0),
       "dual channel needs 2 channels and no intensity bound")
-    val sblimit = l2Sblimit(sampleRateIdx, l2Bitrates(bitrateIdx) / nCh)
+    val kind = l2TableKind(sampleRateIdx, l2Bitrates(bitrateIdx) / nCh)
+    val sblimit = l2SblimitOf(kind)
     require(scfsi.length == nCh && sf3.length == nCh && samples.length == 36 &&
       allocIdx.forall(_.length == sblimit) && scfsi.forall(_.length == sblimit) &&
       sf3.forall(_.forall(_.length == 3)) &&
@@ -559,7 +592,7 @@ object Mpeg1Audio {
     }
     val bound = if (joint) jsBound else sblimit
     def sharedAbove(sb: Int): Boolean = joint && sb >= bound
-    def levels(ch: Int, sb: Int): Int = l2Levels(l2Region(sb))(allocIdx(ch)(sb))
+    def levels(ch: Int, sb: Int): Int = l2LevelsFor(kind, sb)(allocIdx(ch)(sb))
     val w = new Flac.BitWriter
     // header: sync(12) ver(1)=1 layer(2)=10(II) protection(1)
     w.writeBits(0xfff, 12); w.writeBits(1, 1); w.writeBits(2, 2)
@@ -575,8 +608,8 @@ object Mpeg1Audio {
     (0 until sblimit).foreach { sb =>
       (0 until (if (sharedAbove(sb)) 1 else nCh)).foreach { ch =>
         val a = allocIdx(ch)(sb)
-        require(a >= 0 && a < l2Levels(l2Region(sb)).length, s"allocIdx $a at sb $sb")
-        w.writeBits(a, l2AllocBits(l2Region(sb)))
+        require(a >= 0 && a < l2LevelsFor(kind, sb).length, s"allocIdx $a at sb $sb")
+        w.writeBits(a, l2AllocBitsFor(kind, sb))
       }
     }
     (0 until sblimit).foreach { sb =>
@@ -620,7 +653,7 @@ object Mpeg1Audio {
     if (withCrc) {
       // Layer II protects allocation + scfsi
       val allocBits = (0 until sblimit)
-        .map(sb => l2AllocBits(l2Region(sb)) * (if (sharedAbove(sb)) 1 else nCh)).sum
+        .map(sb => l2AllocBitsFor(kind, sb) * (if (sharedAbove(sb)) 1 else nCh)).sum
       val scfsiBits = (0 until sblimit)
         .map(sb => 2 * (0 until nCh).count(ch => allocIdx(ch)(sb) > 0)).sum
       val c = frameCrc(out, 0, allocBits + scfsiBits)
@@ -636,9 +669,9 @@ object Mpeg1Audio {
     * input (including a CRC mismatch on protected frames). Returns the
     * frame (1152·ch interleaved PCM — 36 filterbank pushes) and the
     * next frame's offset. Dual channel (mode 10) parses exactly like
-    * stereo. Tables 3-B.2a AND 3-B.2b (48/44.1 kHz at 56-192 kbps/ch,
-    * sblimit via [[l2Sblimit]]) both decode; 32 kHz and the low-rate
-    * 3-B.2c/d tables are rejected loudly — a documented boundary. */
+    * stereo. All four allocation tables decode — 3-B.2a/b at the high
+    * rates and the low-rate 3-B.2c/d (sblimit 8/12, one 4-bit nbal
+    * class row, 32 kHz included), selected per [[l2TableKind]]. */
   def decodeFrameL2(payload: Array[Byte], offset: Int,
                     v: Array[Array[Array[Long]]]): (Mp1Frame, Int) = {
     val r = new Flac.BitReader(payload)
@@ -654,11 +687,13 @@ object Mpeg1Audio {
     val mode = r.readBits(2).toInt
     val nCh = if (mode == 3) 1 else 2
     val modeExt = r.readBits(2).toInt
-    // ISO 11172-3 table selection ([[l2Sblimit]]): 3-B.2a (27) for
-    // 48 kHz 56-192 kbps/ch and 44.1 kHz 56-80; 3-B.2b (30) for
-    // 44.1 kHz 96-192. Everything else refuses loudly.
-    val sblimit = l2Sblimit(srIdx, l2Bitrates(bitrateIdx) / nCh)
-    val bound = if (mode == 1) 4 + modeExt * 4 else sblimit
+    // ISO 11172-3 Table B.1 selection ([[l2TableKind]]): all four
+    // allocation tables 3-B.2a/b/c/d by (sampling rate, kbps/ch).
+    val kind = l2TableKind(srIdx, l2Bitrates(bitrateIdx) / nCh)
+    val sblimit = l2SblimitOf(kind)
+    // intensity bound clamps to sblimit (mode_ext can name a bound past
+    // the short c/d tables — then no subband is intensity-shared)
+    val bound = if (mode == 1) math.min(4 + modeExt * 4, sblimit) else sblimit
     require(v.length == nCh && v.forall(_.length == 16),
       s"V FIFO shape ${v.length} for $nCh channels")
     r.readBits(1); r.readBits(1); r.readBits(2)
@@ -669,12 +704,12 @@ object Mpeg1Audio {
     val alloc = Array.ofDim[Int](nCh, sblimit)
     (0 until sblimit).foreach { sb =>
       if (sb >= bound) {
-        val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
-        require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
+        val a = r.readBits(l2AllocBitsFor(kind, sb)).toInt
+        require(a < l2LevelsFor(kind, sb).length, s"alloc index $a at sb $sb")
         (0 until nCh).foreach(ch => alloc(ch)(sb) = a)
       } else (0 until nCh).foreach { ch =>
-        val a = r.readBits(l2AllocBits(l2Region(sb))).toInt
-        require(a < l2Levels(l2Region(sb)).length, s"alloc index $a at sb $sb")
+        val a = r.readBits(l2AllocBitsFor(kind, sb)).toInt
+        require(a < l2LevelsFor(kind, sb).length, s"alloc index $a at sb $sb")
         alloc(ch)(sb) = a
       }
     }
@@ -686,7 +721,7 @@ object Mpeg1Audio {
     }
     if (protected_) {
       val allocBits = (0 until sblimit)
-        .map(sb => l2AllocBits(l2Region(sb)) * (if (sb >= bound) 1 else nCh)).sum
+        .map(sb => l2AllocBitsFor(kind, sb) * (if (sb >= bound) 1 else nCh)).sum
       val scfsiBits = (0 until sblimit)
         .map(sb => 2 * (0 until nCh).count(ch => alloc(ch)(sb) > 0)).sum
       val c = frameCrc(payload, offset, allocBits + scfsiBits)
@@ -737,7 +772,7 @@ object Mpeg1Audio {
           }
         if (sb >= bound) {
           if (alloc(0)(sb) > 0) {
-            val n = l2Levels(l2Region(sb))(alloc(0)(sb))
+            val n = l2LevelsFor(kind, sb)(alloc(0)(sb))
             val c = readCodes(n)
             (0 until 3).foreach { k =>
               (0 until nCh).foreach { ch =>
@@ -747,7 +782,7 @@ object Mpeg1Audio {
           }
         } else (0 until nCh).foreach { ch =>
           if (alloc(ch)(sb) > 0) {
-            val n = l2Levels(l2Region(sb))(alloc(ch)(sb))
+            val n = l2LevelsFor(kind, sb)(alloc(ch)(sb))
             val c = readCodes(n)
             (0 until 3).foreach { k =>
               s(gr * 3 + k)(ch)(sb) = dequantL2(c(k), n, sfPart(ch)(sb)(part))
@@ -809,12 +844,16 @@ object Mpeg1Audio {
     * (region, allocIdx, levels n, dequant numerator offset `offs`,
     * 2ⁿᵇ) — generated from the SAME tables the decoder uses, so the
     * oracle's closed-form dequant replays [[dequantL2]] exactly. */
-  def l2ClassValuesSql: String =
+  def l2ClassValuesSql: String = {
+    // regions 0-3 = the Table 3-B.2a/b class rows; region 4 = the ONE
+    // shared Table 3-B.2c/d row (nbal 4 for every subband)
+    val rows = l2Levels :+ l2LevelsCd
     (for {
-      region <- l2Levels.indices
-      idx <- 1 until l2Levels(region).length
-      n = l2Levels(region)(idx)
+      region <- rows.indices
+      idx <- 1 until rows(region).length
+      n = rows(region)(idx)
       nb = l2Nb(n)
       offs = if (l2Grouped(n)) 1L << (nb - 1) else 2L
     } yield s"($region,$idx,$n,$offs,${1L << nb})").mkString(",")
+  }
 }

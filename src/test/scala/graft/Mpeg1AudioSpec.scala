@@ -351,11 +351,52 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Mpeg1Audio.encodeFrameChL2(allocIdx, scfsi, sf3, samples,
         sampleRateIdx = 1, bitrateIdx = 10))
-    // sblimit mapping follows the ISO selection
+    // sblimit mapping follows the ISO Table B.1 selection, all four tables
     assert(Mpeg1Audio.l2Sblimit(1, 192) == 27 && Mpeg1Audio.l2Sblimit(1, 56) == 27)
     assert(Mpeg1Audio.l2Sblimit(0, 80) == 27 && Mpeg1Audio.l2Sblimit(0, 96) == 30)
-    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(2, 96))
-    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(0, 48))
+    assert(Mpeg1Audio.l2Sblimit(2, 80) == 27 && Mpeg1Audio.l2Sblimit(2, 96) == 30)
+    assert(Mpeg1Audio.l2Sblimit(1, 48) == 8 && Mpeg1Audio.l2Sblimit(0, 32) == 8)
+    assert(Mpeg1Audio.l2Sblimit(2, 48) == 12 && Mpeg1Audio.l2Sblimit(2, 32) == 12)
+    // per-channel rates outside 32-192 kbps stay illegal
+    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(1, 28))
+    intercept[IllegalArgumentException](Mpeg1Audio.l2Sblimit(1, 224))
+  }
+
+  test("L2 Tables 3-B.2c/d: low-rate and 32 kHz streams decode via the 4-bit class row") {
+    // table c: 48 kHz mono at 48 kbps -> sblimit 8; exercise the c/d-only
+    // 9-level grouped class (aidx 3) and the 15-bit 32767 top class
+    // (aidx 15) at the c-only subbands 6 and 7
+    val allocC = Array(new Array[Int](8)); allocC(0)(6) = 3; allocC(0)(7) = 15
+    val scfsiC = Array(Array.fill(8)(2))
+    val sf3C = Array(Array.fill(8)(Array(5, 5, 5)))
+    val samplesC = Array.tabulate(36, 1, 8) { (t, _, sb) =>
+      val a = allocC(0)(sb)
+      if (a == 0) 0 else (t * 7 + sb) % Mpeg1Audio.l2LevelsCd(a)
+    }
+    val pc = Mpeg1Audio.encodeFrameChL2(allocC, scfsiC, sf3C, samplesC,
+      sampleRateIdx = 1, bitrateIdx = 2) // 48 kbps mono
+    assert(pc.length == Mpeg1Audio.frameBytesL2(2, 1, padding = false))
+    assert(Mpeg1Audio.decodeL2(pc).get.head.pcm.exists(_ != 0L))
+    // table d: 32 kHz mono at 32 kbps -> sblimit 12; the d-only
+    // subbands 8-11 are live
+    val allocD = Array(new Array[Int](12)); allocD(0)(11) = 2 // n=5 grouped
+    val scfsiD = Array(Array.fill(12)(2))
+    val sf3D = Array(Array.fill(12)(Array(3, 3, 3)))
+    val samplesD = Array.tabulate(36, 1, 12)((t, _, sb) =>
+      if (sb == 11) t % 5 else 0)
+    val pd = Mpeg1Audio.encodeFrameChL2(allocD, scfsiD, sf3D, samplesD,
+      sampleRateIdx = 2, bitrateIdx = 1) // 32 kbps mono at 32 kHz
+    assert(pd.length == Mpeg1Audio.frameBytesL2(1, 2, padding = false))
+    assert(Mpeg1Audio.decodeL2(pd).get.head.pcm.exists(_ != 0L))
+    // c-table shapes are rejected at a high-rate (table a) dial
+    intercept[IllegalArgumentException](
+      Mpeg1Audio.encodeFrameChL2(allocC, scfsiC, sf3C, samplesC,
+        sampleRateIdx = 1, bitrateIdx = 10))
+    // the c/d class row has no 7-level class and no 16-bit escape
+    assert(!Mpeg1Audio.l2LevelsCd.contains(7) &&
+      !Mpeg1Audio.l2LevelsCd.contains(65535) &&
+      Mpeg1Audio.l2LevelsCd.contains(9) &&
+      Mpeg1Audio.l2LevelsCd.last == 32767)
   }
 
   test("dual channel (mode 10) parses exactly like stereo in both layers") {
@@ -383,9 +424,12 @@ class Mpeg1AudioSpec extends AnyFunSuite {
     assert(Mpeg1Audio.decodeL2(good.take(10)).isEmpty, "truncated")
     assert(Mpeg1Audio.decodeL2(fixtureFrame(3L)).isEmpty, "a Layer I stream is not Layer II")
     assert(Mpeg1Audio.decode(good).isEmpty, "a Layer II stream is not Layer I")
-    // bitrate below the 3-B.2a gate (56 kbps/ch): header bitrateIdx -> 1 (32 kbps)
-    val lowRate = good.clone()
-    lowRate(2) = ((lowRate(2) & 0x0f) | 0x10).toByte
-    assert(Mpeg1Audio.decodeL2(lowRate).isEmpty)
+    // free-format (bitrateIdx 0) and the reserved index 15 both refuse
+    val freeFmt = good.clone()
+    freeFmt(2) = (freeFmt(2) & 0x0f).toByte
+    assert(Mpeg1Audio.decodeL2(freeFmt).isEmpty)
+    val reserved = good.clone()
+    reserved(2) = ((reserved(2) & 0x0f) | 0xf0).toByte
+    assert(Mpeg1Audio.decodeL2(reserved).isEmpty)
   }
 }
