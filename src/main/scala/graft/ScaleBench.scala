@@ -433,6 +433,21 @@ object ScaleBench {
       add("gif_codec_scan", docs.count(), tGif,
         Seq(("wsum_total", nGif.toDouble)))
 
+      // QOI codec ingest scan (r11): per-row truecolor encode→decode→
+      // stats — hash-table + delta-op coding instead of an entropy
+      // coder; same stateless-map contract, so the curve should stay
+      // scan-bound flat.
+      val (nQoi, tQoi) = time {
+        val mkQ = udf((id: Long) => operators.Qoi.encodeQoi(operators.Qoi.QoiImage(
+          8, 8, 4, 0, operators.Qoi.fixturePixels(id))))
+        val wsumQ = udf((p: Array[Byte]) =>
+          operators.Qoi.decodeQoi(p).map(operators.Qoi.qoiStats(_)._5).getOrElse(-1L))
+        docs.select(wsumQ(mkQ(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("qoi_codec_scan", docs.count(), tQoi,
+        Seq(("wsum_total", nQoi.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

@@ -106,12 +106,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val f1 = f0.clone(); f1(8) = 3
     val flic = graft.operators.Flic.encodeFlic(graft.operators.Flic.FlicVideo(
       8, 8, 40, Array.tabulate(256)(identity), Seq(f0, f1)))
-    Seq((gif, flic, "the station")).toDF("g", "fl", "t")
+    val qoi = graft.operators.Qoi.encodeQoi(graft.operators.Qoi.QoiImage(
+      4, 4, 4, 0, graft.operators.Qoi.fixturePixels(2L).take(16)))
+    Seq((gif, flic, "the station", qoi)).toDF("g", "fl", "t", "q")
       .createOrReplaceTempView("media2_v")
     val r = spark.sql(
       """SELECT gif_n_frames(g) AS gn, flic_n_frames(fl) AS fn,
-        |       unigram_stats(t) AS u FROM media2_v""".stripMargin).head()
+        |       unigram_stats(t) AS u, qoi_dims(q) AS qd,
+        |       qoi_dims(CAST('nope' AS BINARY)) AS qbad
+        |  FROM media2_v""".stripMargin).head()
     assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    val qd = r.getStruct(3)
+    assert(qd.getInt(0) == 4 && qd.getInt(1) == 4 && qd.getInt(2) == 4)
+    assert(r.isNullAt(4), "malformed QOI payload must probe as NULL")
     val u = r.getStruct(2)
     // "the station" = 11 chars; "the"+" "+"st"+"ation" = 4 tokens
     assert(u.getInt(0) == 11 && u.getLong(1) == 4L)
