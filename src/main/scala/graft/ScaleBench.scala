@@ -448,6 +448,24 @@ object ScaleBench {
       add("qoi_codec_scan", docs.count(), tQoi,
         Seq(("wsum_total", nQoi.toDouble)))
 
+      // TIFF codec ingest scan (r11): per-row IFD-walk decode with the
+      // endian/compression/strip dials the oracle fixture cycles; same
+      // stateless-map contract.
+      val (nTif, tTif) = time {
+        val mkT = udf((id: Long) => {
+          val (spp, px) = operators.Tiff.fixturePixels(id)
+          operators.Tiff.encodeTiff(operators.Tiff.TiffImage(8, 8, spp, px),
+            bigEndian = id % 2 == 1, packBits = id % 3 == 0,
+            rowsPerStrip = 1 + (id % 3).toInt)
+        })
+        val wsumT = udf((p: Array[Byte]) =>
+          operators.Tiff.decodeTiff(p).map(operators.Tiff.tiffStats(_)._4).getOrElse(-1L))
+        docs.select(wsumT(mkT(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("tiff_codec_scan", docs.count(), tTif,
+        Seq(("wsum_total", nTif.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

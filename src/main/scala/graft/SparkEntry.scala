@@ -5431,6 +5431,71 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** REAL baseline-TIFF codec round-trip, FULL oracle — the
+    * tag-directory rung of the multimodal image ladder
+    * (`operators/Tiff.scala`, per the published TIFF 6.0 spec): per
+    * doc an 8×8 image — gray (photometric 1) or RGB (photometric 2)
+    * by doc — is written with BOTH byte orders across docs ("II"
+    * little / "MM" big endian), multi-strip layout (1-3 rows per
+    * strip), and PackBits compression (32773) on every third doc,
+    * then decoded back through the real IFD walk (typed entries,
+    * inline-vs-offset by the 4-byte rule, SHORT/LONG both accepted).
+    * Baseline TIFF is LOSSLESS, so the oracle re-derives the channel
+    * sums and the raster-position-weighted sum from the closed-form
+    * fixture; an endian swap, value-cell misread, strip slip, or
+    * PackBits run defect breaks the hash. */
+  private def imageTiff(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val (spp, px) = operators.Tiff.fixturePixels(d)
+      operators.Tiff.encodeTiff(
+        operators.Tiff.TiffImage(8, 8, spp, px),
+        bigEndian = d % 2 == 1, packBits = d % 3 == 0,
+        rowsPerStrip = 1 + (d % 3).toInt)
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Tiff.decodeTiff(p).map { img =>
+        val (sr, sg, sb, wsum) = operators.Tiff.tiffStats(img)
+        (img.width, img.height, img.samplesPerPixel, sr, sg, sb, wsum)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("spp"),
+        col("st._4").as("sum_r"), col("st._5").as("sum_g"),
+        col("st._6").as("sum_b"), col("st._7").as("wsum"))
+  }
+
+  private val imageTiffSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS i),
+      |px AS (
+      |  SELECT d.doc_id, g.i, g.i // 8 AS rw, g.i % 8 < 3 AS colrun,
+      |         d.doc_id % 4 >= 2 AS rgb
+      |  FROM documents d, grid g),
+      |ch AS (
+      |  SELECT doc_id, i, rgb,
+      |    CASE WHEN colrun THEN (doc_id * 11 + rw * 17) % 256
+      |         ELSE (doc_id * 7 + i * 5) % 256 END AS grayv,
+      |    CASE WHEN colrun THEN (doc_id * 11 + rw * 17) % 256
+      |         ELSE (doc_id * 3 + i) % 256 END AS rr,
+      |    (doc_id * 5 + i * 2) % 256 AS gg,
+      |    (doc_id * 7 + i * 3) % 256 AS bb
+      |  FROM px),
+      |fin AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN rgb THEN rr ELSE grayv END AS r,
+      |    CASE WHEN rgb THEN gg ELSE grayv END AS g,
+      |    CASE WHEN rgb THEN bb ELSE grayv END AS b
+      |  FROM ch)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 4 >= 2 THEN 3 ELSE 1 END AS INT) AS spp,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(i * (r + g + b)) AS BIGINT) AS wsum
+      |FROM fin GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8188,6 +8253,7 @@ object SparkEntry {
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
     "image_qoi" -> (imageQoi(_, _)),
+    "image_tiff" -> (imageTiff(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8477,6 +8543,7 @@ object SparkEntry {
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,
     "image_qoi" -> imageQoiSql,
+    "image_tiff" -> imageTiffSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

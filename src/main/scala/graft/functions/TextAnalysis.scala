@@ -357,11 +357,15 @@ object TextAnalysis {
     spark.udf.register("flic_n_frames",
       udf((p: Array[Byte]) =>
         graft.operators.Flic.decodeFlic(p).map(_.frames.size)))
-    // QOI decode-side probe (r11): (width, height, channels) header +
-    // stream validation — None (SQL NULL) for malformed payloads
+    // QOI / TIFF decode-side probes (r11): (width, height, channels)
+    // header + stream validation — None (SQL NULL) for malformed payloads
     spark.udf.register("qoi_dims",
       udf((p: Array[Byte]) =>
         graft.operators.Qoi.decodeQoi(p).map(i => (i.width, i.height, i.channels))))
+    spark.udf.register("tiff_dims",
+      udf((p: Array[Byte]) =>
+        graft.operators.Tiff.decodeTiff(p).map(i =>
+          (i.width, i.height, i.samplesPerPixel))))
     // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
     // score) over the first 512 normalized chars — same body as
     // Unigram.segmentStats (Unigram.stats), so the surfaces can't drift

@@ -207,4 +207,22 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert(b.takeRight(8).toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 0, 1))
     assertGolden("QOI", b, 25378132L, "716f696600000008000000080400fe15")
   }
+
+  test("TIFF golden: MM byte order, magic 42, IFD offset, pinned bytes") {
+    val (spp, px) = Tiff.fixturePixels(5L)
+    val b = Tiff.encodeTiff(Tiff.TiffImage(8, 8, spp, px),
+      bigEndian = true, packBits = false, rowsPerStrip = 2)
+    // header hand-checked against TIFF 6.0: "MM", magic 42 big-endian,
+    // IFD offset = 8 header + 64 strip bytes + 2*16 strip tables = 104
+    assert(b(0) == 'M'.toByte && b(1) == 'M'.toByte)
+    assert((b(2) & 0xff) == 0 && (b(3) & 0xff) == 42)
+    assert(((b(4) & 0xff) << 24 | (b(5) & 0xff) << 16 |
+      (b(6) & 0xff) << 8 | (b(7) & 0xff)) == 104)
+    // first pixels straight from the fixture closed form: doc 5 gray,
+    // run bytes (5*11)%256 = 0x37 then 35+5i = 0x32...
+    assert((b(8) & 0xff) == 0x37 && (b(11) & 0xff) == 0x32)
+    // IFD entry count and total length 104 + 2 + 9*12 + 4
+    assert(((b(104) & 0xff) << 8 | (b(105) & 0xff)) == 9 && b.length == 218)
+    assertGolden("TIFF", b, 2882747338L, "4d4d002a0000006837373732373c4146")
+  }
 }

@@ -108,17 +108,22 @@ class SqlSurfaceSpec extends SparkSpecBase {
       8, 8, 40, Array.tabulate(256)(identity), Seq(f0, f1)))
     val qoi = graft.operators.Qoi.encodeQoi(graft.operators.Qoi.QoiImage(
       4, 4, 4, 0, graft.operators.Qoi.fixturePixels(2L).take(16)))
-    Seq((gif, flic, "the station", qoi)).toDF("g", "fl", "t", "q")
+    val tif = graft.operators.Tiff.encodeTiff(graft.operators.Tiff.TiffImage(
+      5, 3, 1, Array.tabulate(15)(_ * 9 % 256)), bigEndian = true)
+    Seq((gif, flic, "the station", qoi, tif)).toDF("g", "fl", "t", "q", "ti")
       .createOrReplaceTempView("media2_v")
     val r = spark.sql(
       """SELECT gif_n_frames(g) AS gn, flic_n_frames(fl) AS fn,
         |       unigram_stats(t) AS u, qoi_dims(q) AS qd,
-        |       qoi_dims(CAST('nope' AS BINARY)) AS qbad
+        |       qoi_dims(CAST('nope' AS BINARY)) AS qbad,
+        |       tiff_dims(ti) AS td
         |  FROM media2_v""".stripMargin).head()
     assert(r.getInt(0) == 3 && r.getInt(1) == 2)
     val qd = r.getStruct(3)
     assert(qd.getInt(0) == 4 && qd.getInt(1) == 4 && qd.getInt(2) == 4)
     assert(r.isNullAt(4), "malformed QOI payload must probe as NULL")
+    val td = r.getStruct(5)
+    assert(td.getInt(0) == 5 && td.getInt(1) == 3 && td.getInt(2) == 1)
     val u = r.getStruct(2)
     // "the station" = 11 chars; "the"+" "+"st"+"ation" = 4 tokens
     assert(u.getInt(0) == 11 && u.getLong(1) == 4L)
