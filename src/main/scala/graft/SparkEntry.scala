@@ -5496,6 +5496,62 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b)) AS BIGINT) AS wsum
       |FROM fin GROUP BY 1""".stripMargin
 
+  /** REAL AIFF codec round-trip, FULL oracle — the big-endian
+    * audio-container rung beside the RIFF/WAVE family
+    * (`operators/Aiff.scala`, per the published Audio IFF 1.3 spec):
+    * per doc an interleaved PCM16 stream at a doc-cycled rate
+    * (8000/22050/44100/48000 — four different 80-bit EXTENDED-float
+    * exponents in the COMM chunk) is written FORM/AIFF with COMM +
+    * SSND all big-endian, then decoded back through the real chunk
+    * walk. PCM16 is lossless, so the oracle re-derives the sample
+    * stats from the closed form, and the RATE column pins the
+    * extended80 round-trip — an exponent-bias or mantissa-shift defect
+    * surfaces as a wrong sample_rate even though the PCM would
+    * survive. */
+  private def audioAiff(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val rate = Array(8000L, 22050L, 44100L, 48000L)((d % 4).toInt)
+      val ch = 1 + (d % 2).toInt
+      val frames = 40 + (d % 100).toInt
+      operators.Aiff.encodeAiff(
+        operators.Aiff.fixtureSamples(d, frames, ch), rate, ch)
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Aiff.decodeAiff(p).map { a =>
+        val (n, sum, wsum, mn, mx) = operators.Aiff.pcmStats(a)
+        (a.channels, a.sampleRate, n, sum, wsum, mn, mx)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("channels"), col("st._2").as("sample_rate"),
+        col("st._3").as("n_samples"), col("st._4").as("pcm_sum"),
+        col("st._5").as("pcm_wsum"), col("st._6").as("pcm_min"),
+        col("st._7").as("pcm_max"))
+  }
+
+  private val audioAiffSql =
+    """WITH base AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 40 + doc_id % 100 AS frames
+      |  FROM documents),
+      |g AS (SELECT unnest(range(0, 280)) AS i),
+      |px AS (
+      |  SELECT b.doc_id, g.i,
+      |    (b.doc_id * 37 + g.i * 11) % 65536 - 32768 AS v
+      |  FROM base b JOIN g ON g.i < b.frames * b.ch)
+      |SELECT p.doc_id,
+      |  CAST(max(b.ch) AS INT) AS channels,
+      |  CAST(CASE p.doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+      |       WHEN 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+      |  CAST(sum(i * v) AS BIGINT) AS pcm_wsum,
+      |  CAST(min(v) AS BIGINT) AS pcm_min,
+      |  CAST(max(v) AS BIGINT) AS pcm_max
+      |FROM px p JOIN base b ON b.doc_id = p.doc_id
+      |GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8254,6 +8310,7 @@ object SparkEntry {
     "image_gif" -> (imageGif(_, _)),
     "image_qoi" -> (imageQoi(_, _)),
     "image_tiff" -> (imageTiff(_, _)),
+    "audio_aiff" -> (audioAiff(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8544,6 +8601,7 @@ object SparkEntry {
     "image_gif" -> imageGifSql,
     "image_qoi" -> imageQoiSql,
     "image_tiff" -> imageTiffSql,
+    "audio_aiff" -> audioAiffSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

@@ -366,6 +366,10 @@ object TextAnalysis {
       udf((p: Array[Byte]) =>
         graft.operators.Tiff.decodeTiff(p).map(i =>
           (i.width, i.height, i.samplesPerPixel))))
+    spark.udf.register("aiff_meta",
+      udf((p: Array[Byte]) =>
+        graft.operators.Aiff.decodeAiff(p).map(a =>
+          (a.channels, a.sampleRate, a.frames))))
     // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
     // score) over the first 512 normalized chars — same body as
     // Unigram.segmentStats (Unigram.stats), so the surfaces can't drift

@@ -225,4 +225,21 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert(((b(104) & 0xff) << 8 | (b(105) & 0xff)) == 9 && b.length == 218)
     assertGolden("TIFF", b, 2882747338L, "4d4d002a0000006837373732373c4146")
   }
+
+  test("AIFF golden: FORM/AIFF grammar, COMM layout, canonical extended80 rate") {
+    val b = Aiff.encodeAiff(Aiff.fixtureSamples(3L, 50, 2), 44100L, 2)
+    // FORM size = 4 formType + 26 COMM + 216 SSND = 246; COMM at 12,
+    // channels at 20, frames at 22, bits at 26, extended80 at 28 —
+    // all hand-checked against Audio IFF 1.3
+    assert(new String(b.take(4), "US-ASCII") == "FORM")
+    assert(new String(b.slice(8, 16), "US-ASCII") == "AIFFCOMM")
+    assert(((b(4) & 0xff) << 24 | (b(5) & 0xff) << 16 |
+      (b(6) & 0xff) << 8 | (b(7) & 0xff)) == 246)
+    assert(((b(20) & 0xff) << 8 | (b(21) & 0xff)) == 2) // channels
+    assert(((b(26) & 0xff) << 8 | (b(27) & 0xff)) == 16) // bits
+    // the canonical 44.1 kHz extended-precision bytes
+    assert(b.slice(28, 38).map(x => f"${x & 0xff}%02x").mkString ==
+      "400eac44000000000000")
+    assertGolden("AIFF", b, 3886110798L, "464f524d000000f641494646434f4d4d")
+  }
 }

@@ -110,13 +110,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
       4, 4, 4, 0, graft.operators.Qoi.fixturePixels(2L).take(16)))
     val tif = graft.operators.Tiff.encodeTiff(graft.operators.Tiff.TiffImage(
       5, 3, 1, Array.tabulate(15)(_ * 9 % 256)), bigEndian = true)
-    Seq((gif, flic, "the station", qoi, tif)).toDF("g", "fl", "t", "q", "ti")
+    val aif = graft.operators.Aiff.encodeAiff(
+      graft.operators.Aiff.fixtureSamples(7L, 21, 2), 22050L, 2)
+    Seq((gif, flic, "the station", qoi, tif, aif))
+      .toDF("g", "fl", "t", "q", "ti", "ai")
       .createOrReplaceTempView("media2_v")
     val r = spark.sql(
       """SELECT gif_n_frames(g) AS gn, flic_n_frames(fl) AS fn,
         |       unigram_stats(t) AS u, qoi_dims(q) AS qd,
         |       qoi_dims(CAST('nope' AS BINARY)) AS qbad,
-        |       tiff_dims(ti) AS td
+        |       tiff_dims(ti) AS td, aiff_meta(ai) AS am
         |  FROM media2_v""".stripMargin).head()
     assert(r.getInt(0) == 3 && r.getInt(1) == 2)
     val qd = r.getStruct(3)
@@ -124,6 +127,8 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.isNullAt(4), "malformed QOI payload must probe as NULL")
     val td = r.getStruct(5)
     assert(td.getInt(0) == 5 && td.getInt(1) == 3 && td.getInt(2) == 1)
+    val am = r.getStruct(6)
+    assert(am.getInt(0) == 2 && am.getLong(1) == 22050L && am.getLong(2) == 21L)
     val u = r.getStruct(2)
     // "the station" = 11 chars; "the"+" "+"st"+"ation" = 4 tokens
     assert(u.getInt(0) == 11 && u.getLong(1) == 4L)
