@@ -5552,6 +5552,77 @@ object SparkEntry {
       |FROM px p JOIN base b ON b.doc_id = p.doc_id
       |GROUP BY 1""".stripMargin
 
+  /** REAL Sun AU (".snd") codec round-trip, FULL oracle — the
+    * header-offset rung of the audio ladder (`operators/Au.scala`):
+    * per doc either 8-bit G.711 µ-law codes (encoding 1 — expanded
+    * through the same CCITT formula the `audio_g711` oracle replays)
+    * or big-endian linear PCM16 (encoding 3) behind a VARIABLE data
+    * offset (0/4/8 annotation bytes by doc) with every fifth doc
+    * writing dataSize = 0xFFFFFFFF ("unknown — read to end", the
+    * spec's legal convention), decoded through the real header walk.
+    * Both encodings are lossless, so the oracle re-derives every
+    * stat from the closed form; an offset slip, an unknown-size
+    * misread, or a companding defect breaks the hash. */
+  private def audioAu(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val ulaw = d % 2 == 0
+      val ch = 1 + ((d / 2) % 2).toInt
+      val frames = 30 + (d % 80).toInt
+      val data =
+        if (ulaw) Array.tabulate(frames * ch)(i => ((d * 61 + i * 17) % 256).toInt)
+        else Array.tabulate(frames * ch)(i =>
+          (((d * 37 + i * 23) % 65536) - 32768).toInt)
+      operators.Au.encodeAu(
+        if (ulaw) operators.Au.EncUlaw else operators.Au.EncPcm16,
+        data, if (ulaw) 8000 else 44100, ch,
+        annotation = Array.fill(((d % 3) * 4).toInt)('A'.toByte),
+        unknownSize = d % 5 == 0)
+    })
+    val stats = udf((p: Array[Byte]) =>
+      operators.Au.decodeAu(p).map { a =>
+        val (n, sum, wsum, mn, mx) = operators.Au.pcmStats(a)
+        (a.encoding, a.channels, a.sampleRate, n, sum, wsum, mn, mx)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("encoding"), col("st._2").as("channels"),
+        col("st._3").as("sample_rate"), col("st._4").as("n_samples"),
+        col("st._5").as("pcm_sum"), col("st._6").as("pcm_wsum"),
+        col("st._7").as("pcm_min"), col("st._8").as("pcm_max"))
+  }
+
+  private val audioAuSql =
+    """WITH base AS (
+      |  SELECT doc_id, 1 + (doc_id // 2) % 2 AS ch, 30 + doc_id % 80 AS frames,
+      |         doc_id % 2 = 0 AS ulaw
+      |  FROM documents),
+      |g AS (SELECT unnest(range(0, 220)) AS i),
+      |px AS (
+      |  SELECT b.doc_id, g.i,
+      |    CASE WHEN b.ulaw THEN
+      |      CASE WHEN ((255 - (b.doc_id * 61 + g.i * 17) % 256) & 128) <> 0
+      |        THEN 132 - (((255 - (b.doc_id * 61 + g.i * 17) % 256) & 15) * 8 + 132)
+      |               * (1 << (((255 - (b.doc_id * 61 + g.i * 17) % 256) & 112) // 16))
+      |        ELSE (((255 - (b.doc_id * 61 + g.i * 17) % 256) & 15) * 8 + 132)
+      |               * (1 << (((255 - (b.doc_id * 61 + g.i * 17) % 256) & 112) // 16)) - 132
+      |      END
+      |    ELSE (b.doc_id * 37 + g.i * 23) % 65536 - 32768 END AS v
+      |  FROM base b JOIN g ON g.i < b.frames * b.ch)
+      |SELECT p.doc_id,
+      |  CAST(CASE WHEN p.doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS encoding,
+      |  CAST(max(b.ch) AS INT) AS channels,
+      |  CAST(CASE WHEN p.doc_id % 2 = 0 THEN 8000 ELSE 44100 END AS INT)
+      |    AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+      |  CAST(sum(i * v) AS BIGINT) AS pcm_wsum,
+      |  CAST(min(v) AS BIGINT) AS pcm_min,
+      |  CAST(max(v) AS BIGINT) AS pcm_max
+      |FROM px p JOIN base b ON b.doc_id = p.doc_id
+      |GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8311,6 +8382,7 @@ object SparkEntry {
     "image_qoi" -> (imageQoi(_, _)),
     "image_tiff" -> (imageTiff(_, _)),
     "audio_aiff" -> (audioAiff(_, _)),
+    "audio_au" -> (audioAu(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8602,6 +8674,7 @@ object SparkEntry {
     "image_qoi" -> imageQoiSql,
     "image_tiff" -> imageTiffSql,
     "audio_aiff" -> audioAiffSql,
+    "audio_au" -> audioAuSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

@@ -242,4 +242,18 @@ class CodecGoldenSpec extends AnyFunSuite {
       "400eac44000000000000")
     assertGolden("AIFF", b, 3886110798L, "464f524d000000f641494646434f4d4d")
   }
+
+  test("AU golden: .snd magic, offset/size/encoding fields, pinned bytes") {
+    val codes = Array.tabulate(40)(i => ((7 * 61 + i * 17) % 256))
+    val b = Au.encodeAu(Au.EncUlaw, codes, 8000, 1,
+      annotation = Array.fill(4)('A'.toByte))
+    // hand-checked: ".snd", dataOffset 24+4 = 0x1C, dataSize 40 = 0x28,
+    // encoding 1 (G.711 u-law), total 28 + 40 = 68 bytes
+    assert(new String(b.take(4), "US-ASCII") == ".snd")
+    def u32(o: Int): Int = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    assert(u32(4) == 28 && u32(8) == 40 && u32(12) == 1 &&
+      u32(16) == 8000 && u32(20) == 1 && b.length == 68)
+    assertGolden("AU", b, 1953090367L, "2e736e640000001c0000002800000001")
+  }
 }
