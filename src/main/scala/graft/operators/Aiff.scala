@@ -115,12 +115,17 @@ object Aiff {
       require(formSize >= 4 && 8L + formSize <= payload.length,
         "FORM size overruns payload")
       require(fourcc() == "AIFF", "not an AIFF form")
+      // the walk is bounded by the FORM container, not the payload:
+      // trailing bytes after the form are trailer, and a chunk outside
+      // the form must never override COMM/SSND
+      val formEnd = 8 + formSize
       var comm: Option[(Int, Long, Int, Long)] = None
       var data: Option[Array[Short]] = None
-      while (bb.remaining() >= 8) {
+      while (bb.position() + 8 <= formEnd) {
         val id = fourcc()
         val size = bb.getInt
-        require(size >= 0 && bb.remaining() >= size, s"chunk $id overruns")
+        require(size >= 0 && bb.position() + size <= formEnd,
+          s"chunk $id overruns the FORM")
         val chunkStart = bb.position()
         id match {
           case "COMM" =>
@@ -144,7 +149,10 @@ object Aiff {
             data = Some(out)
           case _ => () // skip unknown chunks (ANNO, MARK, INST, ...)
         }
-        bb.position(chunkStart + size + (size & 1)) // odd sizes carry a pad
+        // odd sizes carry a pad byte; many writers omit it on the FINAL
+        // chunk — clamp instead of rejecting (same convention as the
+        // WAV walk in Multimodal.decodeWavMeta)
+        bb.position(math.min(chunkStart + size + (size & 1), formEnd))
       }
       val (ch, frames, bits, rate) = comm.getOrElse(
         throw new IllegalArgumentException("missing COMM"))

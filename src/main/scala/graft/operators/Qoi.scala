@@ -153,6 +153,12 @@ object Qoi {
       require(colorspace == 0 || colorspace == 1, s"colorspace $colorspace")
       val n = w.toLong * h
       require(n <= Int.MaxValue / 4, "oversized image")
+      // capacity bound BEFORE allocating: one chunk byte yields at most
+      // 62 pixels (a QOI_OP_RUN), so a tiny hostile header cannot force
+      // a multi-GB allocation (OutOfMemoryError would escape the
+      // Exception-only guard below)
+      require(n <= 62L * (bytes.length - 14 - 8),
+        s"declared $n pixels exceeds what the chunk stream could encode")
       val pixels = new Array[Int](n.toInt)
       val index = new Array[Int](64)
       var pr = 0; var pg = 0; var pb = 0; var pa = 255

@@ -300,6 +300,20 @@ object Tiff {
         s"strip table ${offsets.length}/${counts.length} for $nStrips strips")
 
       val rowBytes = width * spp
+      // validate every strip against the file BEFORE allocating the
+      // pixel array: a tiny hostile IFD can declare huge dims, and an
+      // OutOfMemoryError would escape the Exception-only guard below.
+      // PackBits expands at most 64x (2 code bytes -> 128 output).
+      (0 until nStrips).foreach { s =>
+        val rows = math.min(rps, height - s * rps)
+        val off = offsets(s); val cnt = counts(s)
+        require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
+          "strip out of bounds")
+        if (comp == CompNone) require(cnt == rows.toLong * rowBytes,
+          "strip byte count mismatch")
+        else require(rows.toLong * rowBytes <= 64L * cnt,
+          "strip declares more pixels than PackBits could encode")
+      }
       val pixels = new Array[Int](width * height)
       var y = 0
       (0 until nStrips).foreach { s =>
@@ -312,24 +326,29 @@ object Tiff {
             require(cnt == rows * rowBytes, "strip byte count mismatch")
             java.util.Arrays.copyOfRange(bytes, off, off + cnt)
           } else {
-            // rows compress independently; decode them in sequence by
-            // walking the strip once per row boundary
+            // rows compress independently; one pass decodes straight
+            // into the strip buffer, enforcing row boundaries as it goes
             val outAll = new Array[Byte](rows * rowBytes)
             var p = off; var r = 0
             while (r < rows) {
-              // decode one row: scan forward until rowBytes produced
-              var w0 = 0; var q = p
-              while (w0 < rowBytes) {
-                require(q < off + cnt, "PackBits strip truncated")
-                val n = bytes(q); q += 1
-                if (n >= 0) { val c = n + 1; require(w0 + c <= rowBytes,
-                  "PackBits crosses row boundary"); q += c; w0 += c }
-                else if (n != -128) { val c = 1 - n; require(w0 + c <= rowBytes,
-                  "PackBits crosses row boundary"); q += 1; w0 += c }
+              val rowEnd = (r + 1) * rowBytes
+              var w0 = r * rowBytes
+              while (w0 < rowEnd) {
+                require(p < off + cnt, "PackBits strip truncated")
+                val n = bytes(p); p += 1
+                if (n >= 0) {
+                  val c = n + 1
+                  require(w0 + c <= rowEnd, "PackBits crosses row boundary")
+                  require(p + c <= off + cnt, "PackBits literal overrun")
+                  System.arraycopy(bytes, p, outAll, w0, c); p += c; w0 += c
+                } else if (n != -128) {
+                  val c = 1 - n
+                  require(w0 + c <= rowEnd, "PackBits crosses row boundary")
+                  require(p < off + cnt, "PackBits run overrun")
+                  java.util.Arrays.fill(outAll, w0, w0 + c, bytes(p)); p += 1; w0 += c
+                }
               }
-              val row = packBitsDecode(bytes, p, q - p, rowBytes)
-              System.arraycopy(row, 0, outAll, r * rowBytes, rowBytes)
-              p = q; r += 1
+              r += 1
             }
             require(p == off + cnt, s"PackBits trailing strip bytes (${off + cnt - p})")
             outAll

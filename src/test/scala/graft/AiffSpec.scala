@@ -78,6 +78,32 @@ class AiffSpec extends AnyFunSuite {
       "offset bytes must be skipped, not decoded")
   }
 
+  test("walk is bounded by the FORM: trailer bytes ignored, final odd pad optional") {
+    val s = Aiff.fixtureSamples(2L, 33, 1)
+    val good = Aiff.encodeAiff(s, 48000L, 1)
+    // trailing bytes AFTER the form are trailer, not chunks — and a
+    // forged COMM out there must not override the real one
+    val trailer = good ++ "JUNKJUNK".getBytes("US-ASCII") ++
+      good.slice(12, 12 + 26) // a stray COMM copy past the form end
+    val dec = Aiff.decodeAiff(trailer)
+    assert(dec.isDefined && dec.get.samples.toSeq == s.toSeq)
+    // final odd-sized chunk with the pad byte omitted still decodes
+    // (same clamp convention as the WAV walk)
+    val bb = java.nio.ByteBuffer.allocate(good.length + 13)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(good)
+    bb.put("ANNO".getBytes("US-ASCII")); bb.putInt(5)
+    bb.put("hello".getBytes("US-ASCII")) // no pad
+    val odd = bb.array()
+    val form = ((good(4) & 0xff) << 24) | ((good(5) & 0xff) << 16) |
+      ((good(6) & 0xff) << 8) | (good(7) & 0xff)
+    val nf = form + 13
+    odd(4) = (nf >> 24).toByte; odd(5) = (nf >> 16).toByte
+    odd(6) = (nf >> 8).toByte; odd(7) = nf.toByte
+    val decOdd = Aiff.decodeAiff(odd)
+    assert(decOdd.isDefined && decOdd.get.samples.toSeq == s.toSeq)
+  }
+
   test("malformed containers are refused") {
     val good = Aiff.encodeAiff(Aiff.fixtureSamples(1L, 25, 2), 44100L, 2)
     assert(Aiff.decodeAiff(good).isDefined)

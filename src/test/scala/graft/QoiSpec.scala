@@ -169,4 +169,17 @@ class QoiSpec extends AnyFunSuite {
     val badEnd = good.clone(); badEnd(badEnd.length - 1) = 0
     assert(Qoi.decodeQoi(badEnd).isEmpty, "bad end marker")
   }
+
+  test("hostile header: huge declared dims on a tiny stream refuse without allocating") {
+    // 23170 x 23170 passes the Int.MaxValue/4 check but would be a
+    // ~2.1 GB allocation; the 62-pixels-per-chunk-byte capacity bound
+    // must refuse it BEFORE the array exists
+    val b = new java.io.ByteArrayOutputStream()
+    b.write('q'); b.write('o'); b.write('i'); b.write('f')
+    def u32(v: Int): Unit = { b.write(v >>> 24); b.write((v >>> 16) & 0xff)
+      b.write((v >>> 8) & 0xff); b.write(v & 0xff) }
+    u32(23170); u32(23170); b.write(4); b.write(0)
+    (0 until 7).foreach(_ => b.write(0)); b.write(1)
+    assert(Qoi.decodeQoi(b.toByteArray).isEmpty)
+  }
 }

@@ -96,4 +96,25 @@ class TiffSpec extends AnyFunSuite {
     val badIfd = good.clone(); badIfd(4) = 0xff.toByte; badIfd(5) = 0xff.toByte
     assert(Tiff.decodeTiff(badIfd).isEmpty, "IFD out of range")
   }
+
+  test("hostile IFD: huge declared dims refuse before the pixel allocation") {
+    // take a valid little-endian gray file and forge width/length to
+    // 23170 (passes the Int.MaxValue/4 product check, ~2.1 GB array);
+    // the strip-capacity validation must refuse BEFORE allocating
+    val good = Tiff.encodeTiff(gray(4, 4, _ % 256)) // single strip, II
+    def findTag(tag: Int): Int = {
+      val ifd = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+        ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
+      val n = (good(ifd) & 0xff) | ((good(ifd + 1) & 0xff) << 8)
+      (0 until n).map(i => ifd + 2 + i * 12).find(e =>
+        ((good(e) & 0xff) | ((good(e + 1) & 0xff) << 8)) == tag).get
+    }
+    val forged = good.clone()
+    for (tag <- Seq(256, 257)) {
+      val e = findTag(tag) // SHORT value cell at e+8 (little-endian)
+      forged(e + 8) = (23170 & 0xff).toByte
+      forged(e + 9) = ((23170 >> 8) & 0xff).toByte
+    }
+    assert(Tiff.decodeTiff(forged).isEmpty)
+  }
 }
