@@ -5623,6 +5623,85 @@ object SparkEntry {
       |FROM px p JOIN base b ON b.doc_id = p.doc_id
       |GROUP BY 1""".stripMargin
 
+  /** robots.txt URL filtering per RFC 9309, FULL oracle — the
+    * crawl-curation gate that precedes every ingest step
+    * (`operators/Robots.scala`): per-host robots bodies are BUILT from
+    * a closed form (20 hosts; a `*` group with prefix rules, an
+    * equal-specificity Allow/Disallow tie pair, and for 3 of 4 hosts a
+    * more specific `graftbot` group that must SHADOW the `*` group;
+    * odd hosts upper-case the field names and carry comments +
+    * unknown fields), then each doc's URL path (7 shapes — group
+    * shadowing, longest-match precedence, the allow-wins tie, and
+    * no-match-allows all exercised) is decided by the real parser +
+    * matcher through the broadcast host join. The oracle derives every
+    * decision independently from the same closed form, so a grouping,
+    * precedence, tie-break, or case-handling defect flips `allowed`
+    * bits and breaks the hash. */
+  private def robotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val mkRobots = udf((h: Long) => {
+      val sb = new StringBuilder
+      val (ua, al, dis) =
+        if (h % 2 == 1) ("USER-AGENT", "ALLOW", "DISALLOW")
+        else ("User-agent", "Allow", "Disallow")
+      sb ++= s"# robots for host h$h\n"
+      sb ++= s"$ua: *\n"
+      sb ++= s"$dis: /private\n"
+      sb ++= s"$al: /private/pub${h % 3}\n"
+      sb ++= s"$dis: /data/${h % 5} # keep internal\n"
+      sb ++= s"$al: /dup\n$dis: /dup\n"
+      sb ++= s"Crawl-delay: 5\n$dis:\n" // unknown field; empty = allow-all
+      if (h % 4 != 0) {
+        sb ++= s"\n$ua: graftbot\n"
+        sb ++= s"$dis: /bot${h % 2}\n"
+        sb ++= s"$al: /bot${h % 2}/ok\n"
+      }
+      sb.toString
+    })
+    val docs = Tables.read(s, dir, "documents")
+    val d = col("doc_id")
+    val path = when(d % 7 === 0, concat(lit("/private/pub"), d % 3))
+      .when(d % 7 === 1, concat(lit("/data/"), d % 5, lit("/x")))
+      .when(d % 7 === 2, concat(lit("/public/"), d))
+      .when(d % 7 === 3, concat(lit("/bot"), d % 2))
+      .when(d % 7 === 4, concat(lit("/bot"), d % 2, lit("/ok/page")))
+      .when(d % 7 === 5, lit("/private"))
+      .otherwise(lit("/dup/page"))
+    val urls = docs.select(d, concat(lit("h"), d % 20).as("host"), path.as("path"))
+    val robots = docs.select((d % 20).as("hid")).distinct()
+      .select(concat(lit("h"), col("hid")).as("host"),
+        mkRobots(col("hid")).as("robots_txt"))
+    operators.Robots.filterUrls(urls, robots, "graftbot")
+      .select(col("doc_id"), col("host"), col("path"),
+        col("allowed").cast("int").as("allowed"))
+  }
+
+  private val robotsFilterSql =
+    """SELECT doc_id,
+      |  'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+      |  CASE doc_id % 7
+      |    WHEN 0 THEN '/private/pub' || CAST(doc_id % 3 AS VARCHAR)
+      |    WHEN 1 THEN '/data/' || CAST(doc_id % 5 AS VARCHAR) || '/x'
+      |    WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN '/bot' || CAST(doc_id % 2 AS VARCHAR)
+      |    WHEN 4 THEN '/bot' || CAST(doc_id % 2 AS VARCHAR) || '/ok/page'
+      |    WHEN 5 THEN '/private'
+      |    ELSE '/dup/page' END AS path,
+      |  CAST(CASE doc_id % 7
+      |    -- hosts ≡ 0 (mod 4) expose only the * group; others are
+      |    -- decided by the graftbot group, which SHADOWS *
+      |    WHEN 0 THEN CASE WHEN (doc_id % 20) % 4 = 0
+      |      THEN doc_id % 3 = (doc_id % 20) % 3 ELSE TRUE END
+      |    WHEN 1 THEN CASE WHEN (doc_id % 20) % 4 = 0
+      |      THEN doc_id % 5 <> (doc_id % 20) % 5 ELSE TRUE END
+      |    WHEN 2 THEN TRUE
+      |    WHEN 3 THEN CASE WHEN (doc_id % 20) % 4 = 0
+      |      THEN TRUE ELSE doc_id % 2 <> (doc_id % 20) % 2 END
+      |    WHEN 4 THEN TRUE -- /botB/ok allow out-ranks /botB disallow
+      |    WHEN 5 THEN (doc_id % 20) % 4 <> 0
+      |    ELSE TRUE -- equal-specificity /dup tie: allow wins
+      |  END AS INT) AS allowed
+      |FROM documents""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8383,6 +8462,7 @@ object SparkEntry {
     "image_tiff" -> (imageTiff(_, _)),
     "audio_aiff" -> (audioAiff(_, _)),
     "audio_au" -> (audioAu(_, _)),
+    "robots_filter" -> (robotsFilter(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8675,6 +8755,7 @@ object SparkEntry {
     "image_tiff" -> imageTiffSql,
     "audio_aiff" -> audioAiffSql,
     "audio_au" -> audioAuSql,
+    "robots_filter" -> robotsFilterSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

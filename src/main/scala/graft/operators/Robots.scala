@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * robots.txt URL filtering per RFC 9309 — the crawl-curation step a
+ * 100 TB web pipeline runs before any content lands (companion to
+ * [[Warc]] ingest and the URL-canonicalization dedup in [[Dedup]];
+ * the reference has no robots surface — this is pipeline-necessity
+ * coverage like the rest of the curation ladder).
+ *
+ * Implemented per the published RFC 9309 (Robots Exclusion Protocol):
+ *   - group parsing: `User-agent:` lines open a group (consecutive
+ *     agent lines share it), `Allow:` / `Disallow:` rules attach to
+ *     the open groups; field names are case-insensitive; `#` starts
+ *     a comment; an empty Disallow means "allow all" and contributes
+ *     no rule
+ *   - agent resolution: the group whose agent token is the LONGEST
+ *     case-insensitive prefix of the product token wins; `*` groups
+ *     apply only when no specific group matched
+ *   - rule matching: patterns anchor at the path start; `*` matches
+ *     any span, `$` at pattern end anchors the path end
+ *   - precedence: the MOST SPECIFIC match wins — longest pattern (in
+ *     octets, `$` excluded) first; on an allow/disallow tie, ALLOW
+ *     wins; no match at all ⇒ allowed
+ *
+ * Scale shape: robots files are per-HOST and tiny; the decision table
+ * compiles once per host and the URL table joins it on the host key —
+ * a broadcast join against the (small) robots side at any corpus
+ * scale, never a per-URL refetch/reparse of the same robots text.
+ */
+object Robots {
+
+  /** One parsed rule: allow/disallow + its pattern, with the
+    * specificity length RFC 9309 ranks by (pattern octets, `$`
+    * excluded). */
+  final case class Rule(allow: Boolean, pattern: String) {
+    def specificity: Int =
+      if (pattern.endsWith("$")) pattern.length - 1 else pattern.length
+  }
+
+  /** Parse a robots.txt body into the rule list for `agent` (product
+    * token, e.g. "graftbot"), resolving group membership and agent
+    * precedence per RFC 9309. Unknown fields and comments are
+    * skipped; a missing group yields no rules (allow all). */
+  def parseRobots(text: String, agent: String): Seq[Rule] = {
+    if (text == null) return Nil
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // (agentToken, rules) per group, in file order
+    val groups = scala.collection.mutable.ArrayBuffer.empty[
+      (String, scala.collection.mutable.ArrayBuffer[Rule])]
+    var openAgents: List[scala.collection.mutable.ArrayBuffer[Rule]] = Nil
+    var lastWasAgent = false
+    text.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+            groups += ((value.toLowerCase(java.util.Locale.ROOT), rules))
+            openAgents = if (lastWasAgent) rules :: openAgents else List(rules)
+            lastWasAgent = true
+          case "allow" | "disallow" =>
+            lastWasAgent = false
+            // an empty Disallow means allow-all: no rule
+            if (value.nonEmpty)
+              openAgents.foreach(_ += Rule(field == "allow", value))
+          case _ => lastWasAgent = false // crawl-delay, sitemap, unknown
+        }
+      }
+    }
+    // agent precedence: longest agent token that prefixes ours; '*'
+    // only when nothing specific matched
+    val specific = groups.filter { case (a, _) =>
+      a != "*" && agentLc.startsWith(a)
+    }
+    val chosen =
+      if (specific.nonEmpty) {
+        val best = specific.map(_._1.length).max
+        specific.filter(_._1.length == best)
+      } else groups.filter(_._1 == "*")
+    chosen.flatMap(_._2).toSeq
+  }
+
+  /** RFC 9309 pattern match against a path: anchored at the start,
+    * `*` spans anything, trailing `$` anchors the end. Iterative
+    * greedy-with-backtrack over the `*` split points. */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val (pat, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val parts = pat.split("\\*", -1)
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(p)) return false
+        pos = p.length
+      } else {
+        val at =
+          if (i == parts.length - 1 && anchored) {
+            // last literal must sit at the end
+            val want = path.length - p.length
+            if (want >= pos && path.regionMatches(want, p, 0, p.length)) want
+            else -1
+          } else path.indexOf(p, pos)
+        if (at < 0) return false
+        pos = at + p.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** Decide one path against parsed rules: most-specific match wins,
+    * allow wins specificity ties, no match allows. */
+  def isAllowed(rules: Seq[Rule], path: String): Boolean = {
+    var bestSpec = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val s = r.specificity
+        if (s > bestSpec || (s == bestSpec && r.allow && !bestAllow)) {
+          bestSpec = s; bestAllow = r.allow
+        }
+      }
+    }
+    bestSpec == -1 || bestAllow
+  }
+
+  /** Filter a URL table against per-host robots bodies: `urls`
+    * carries (hostCol, pathCol), `robots` carries (hostCol, textCol).
+    * The robots side parses ONCE per host, then broadcasts into the
+    * join — at 100 TB the URL table never shuffles and no host's
+    * robots text is parsed per-URL. Left join: hosts with no robots
+    * file allow everything. */
+  def filterUrls(urls: DataFrame, robots: DataFrame, agent: String,
+                 hostCol: String = "host", pathCol: String = "path",
+                 textCol: String = "robots_txt"): DataFrame = {
+    val decide = udf((text: String, path: String) =>
+      isAllowed(parseRobots(text, agent), if (path == null) "/" else path))
+    urls.join(broadcast(robots), Seq(hostCol), "left")
+      .withColumn("allowed",
+        when(col(textCol).isNull, lit(true))
+          .otherwise(decide(col(textCol), col(pathCol))))
+      .drop(textCol)
+  }
+}

@@ -310,6 +310,14 @@ class PlanShapeSpec extends SparkSpecBase {
       s"single-task window in the draw: $plan")
   }
 
+  test("robots_filter: the per-host robots table broadcasts into the URL join") {
+    val plan = planOf(SparkEntry.queries("robots_filter")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"robots join not broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"URL corpus must not shuffle for the tiny robots side: $plan")
+  }
+
   test("adaptive length gate broadcasts the cutoffs — one scan, no sort") {
     val docs = Tables.read(spark, dir, "documents").select(col("lang"), col("n_chars"))
     val plan = operators.Sketches.lengthFilterAdaptive(docs, "lang", "n_chars",
