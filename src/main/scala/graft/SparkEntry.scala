@@ -5702,6 +5702,53 @@ object SparkEntry {
       |  END AS INT) AS allowed
       |FROM documents""".stripMargin
 
+  /** Charset detection + transcoding, FULL oracle — the byte-to-text
+    * step between [[warcIngest]] and every text operator
+    * (`operators/Charset.scala`): per doc a payload drawn from five
+    * byte shapes — pure ASCII, multibyte UTF-8, CP1252 smart quotes
+    * (invalid UTF-8), a dangling Latin-1 é lead byte, and an overlong
+    * encoding the strict validator must refuse — runs the WHATWG
+    * ladder (strict RFC 3629 UTF-8, windows-1252 fallback). The
+    * oracle re-derives the detected charset AND the decoded text
+    * itself as string literals, so a validator shape rule or a
+    * mapping-table defect flips rows and breaks the hash. */
+  private def charsetDecode(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val digits = d.toString.getBytes("US-ASCII")
+      (d % 5) match {
+        case 0 => ("plain " + d).getBytes("UTF-8")
+        case 1 => ("café €" + d).getBytes("UTF-8")
+        case 2 => Array[Byte](0x93.toByte, 'q', 0x94.toByte) ++
+          " n=".getBytes("US-ASCII") ++ digits
+        case 3 => Array[Byte](0xe9.toByte, ' ') ++ digits
+        case _ => Array[Byte](0xc0.toByte, 0xaf.toByte) ++ digits // overlong '/'
+      }
+    })
+    val dec = udf((p: Array[Byte]) => operators.Charset.detectAndDecode(p))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), dec(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("detected"), col("st._2").as("decoded"),
+        length(col("st._2")).as("n_chars"))
+  }
+
+  private val charsetDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 <= 1 THEN 'utf-8'
+      |         ELSE 'windows-1252' END AS detected,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'plain ' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'café €' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '“q” n=' || CAST(doc_id AS VARCHAR)
+      |      WHEN 3 THEN 'é ' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'À¯' || CAST(doc_id AS VARCHAR) END AS decoded
+      |  FROM documents)
+      |SELECT doc_id, detected, decoded,
+      |  CAST(length(decoded) AS INT) AS n_chars
+      |FROM d""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8463,6 +8510,7 @@ object SparkEntry {
     "audio_aiff" -> (audioAiff(_, _)),
     "audio_au" -> (audioAu(_, _)),
     "robots_filter" -> (robotsFilter(_, _)),
+    "charset_decode" -> (charsetDecode(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8756,6 +8804,7 @@ object SparkEntry {
     "audio_aiff" -> audioAiffSql,
     "audio_au" -> audioAuSql,
     "robots_filter" -> robotsFilterSql,
+    "charset_decode" -> charsetDecodeSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
