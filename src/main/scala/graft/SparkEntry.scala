@@ -5749,6 +5749,48 @@ object SparkEntry {
       |  CAST(length(decoded) AS INT) AS n_chars
       |FROM d""".stripMargin
 
+  /** Unicode NFC normalization, FULL oracle — the canonicalization
+    * step text dedup depends on (a decomposed "Café" and a
+    * precomposed "Café" must hash identically downstream). Runs
+    * java.text.Normalizer NFC against DuckDB's independent utf8proc
+    * `nfc_normalize` — BOTH SIDES normalize the same denormalized
+    * closed-form input (combining acute/ring, an already-NFC string,
+    * and a letter with no precomposed form that NFC must LEAVE
+    * decomposed), so any divergence between the two Unicode
+    * implementations or a wrong normalization form breaks the hash
+    * on the text column itself. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => (d % 4) match {
+      case 0 => "Cafe\u0301 " + d // e + combining acute -> é
+      case 1 => "A\u030A " + d // A + combining ring -> Å
+      case 2 => "fini " + d // already NFC: identity
+      case _ => "x\u0301 " + d // no precomposed x-acute: stays decomposed
+    })
+    val norm = udf((t: String) =>
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("raw"))
+      .select(col("doc_id"), norm(col("raw")).as("normalized"),
+        length(col("raw")).as("n_before"))
+      .select(col("doc_id"), col("normalized"), col("n_before"),
+        length(col("normalized")).as("n_after"))
+  }
+
+  private val textNormalizeSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'Cafe' || chr(769) || ' ' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'A' || chr(778) || ' ' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'fini ' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'x' || chr(769) || ' ' || CAST(doc_id AS VARCHAR)
+      |    END AS r
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(r) AS normalized,
+      |  CAST(length(r) AS INT) AS n_before,
+      |  CAST(length(nfc_normalize(r)) AS INT) AS n_after
+      |FROM raw""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8511,6 +8553,7 @@ object SparkEntry {
     "audio_au" -> (audioAu(_, _)),
     "robots_filter" -> (robotsFilter(_, _)),
     "charset_decode" -> (charsetDecode(_, _)),
+    "text_normalize" -> (textNormalize(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8805,6 +8848,7 @@ object SparkEntry {
     "audio_au" -> audioAuSql,
     "robots_filter" -> robotsFilterSql,
     "charset_decode" -> charsetDecodeSql,
+    "text_normalize" -> textNormalizeSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
