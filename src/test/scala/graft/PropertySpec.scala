@@ -166,6 +166,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF round-trips random images across every dial combination") {
+    import graft.operators.Tiff
+    val r = rng
+    for (trial <- 1 to 40) {
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val spp = if (trial % 2 == 0) 1 else 3
+      // mix profiles: noise and runny rows (PackBits' two regimes)
+      val px = Array.tabulate(w * h) { i =>
+        val v =
+          if (trial % 3 == 0 && i % w < w / 2) (trial * 37) % 256
+          else r.nextInt(256)
+        if (spp == 1) v
+        else (v << 16) | (r.nextInt(256) << 8) | r.nextInt(256)
+      }
+      val im = Tiff.TiffImage(w, h, spp, px)
+      val enc = Tiff.encodeTiff(im, bigEndian = r.nextBoolean(),
+        packBits = r.nextBoolean(), rowsPerStrip = r.nextInt(h + 2))
+      val dec = Tiff.decodeTiff(enc)
+      assert(dec.isDefined && dec.get.pixels.toSeq == px.toSeq,
+        s"trial=$trial ${w}x$h spp=$spp")
+    }
+  }
+
+  test("AIFF and AU round-trip random PCM across rates, channels, offsets") {
+    import graft.operators.{Aiff, Au}
+    val r = rng
+    for (trial <- 1 to 40) {
+      val ch = 1 + r.nextInt(2)
+      val frames = 1 + r.nextInt(400)
+      val pcm = Array.fill[Short]((frames * ch))((r.nextInt(65536) - 32768).toShort)
+      val rate = 1 + r.nextInt(200000)
+      val a = Aiff.decodeAiff(Aiff.encodeAiff(pcm, rate, ch))
+      assert(a.isDefined && a.get.sampleRate == rate &&
+        a.get.samples.toSeq == pcm.toSeq, s"aiff trial=$trial rate=$rate")
+      val ann = Array.fill[Byte](r.nextInt(32))(r.nextInt(256).toByte)
+      val au = Au.decodeAu(Au.encodeAu(Au.EncPcm16, pcm.map(_.toInt), rate, ch,
+        annotation = ann, unknownSize = r.nextBoolean()))
+      assert(au.isDefined && au.get.samples.toSeq == pcm.map(_.toInt).toSeq,
+        s"au trial=$trial")
+    }
+  }
+
+  test("charset ladder: every UTF-8 string survives; every byte array decodes totally") {
+    import graft.operators.Charset
+    val r = rng
+    for (trial <- 1 to 60) {
+      // random well-formed unicode strings must validate and survive
+      val s = new String(Array.fill(1 + r.nextInt(80)) {
+        val cp = r.nextInt(0x2FFFF)
+        if (cp >= 0xD800 && cp <= 0xDFFF) 'x'.toInt else cp
+      }.flatMap(Character.toChars))
+      val bytes = s.getBytes("UTF-8")
+      assert(Charset.isValidUtf8(bytes), s"trial=$trial rejected valid UTF-8")
+      val (cs, t) = Charset.detectAndDecode(bytes)
+      assert(cs == "utf-8" && t == s, s"trial=$trial")
+      // arbitrary bytes NEVER fail: either valid UTF-8 or total cp1252
+      val junk = Array.fill[Byte](1 + r.nextInt(60))(r.nextInt(256).toByte)
+      val (_, t2) = Charset.detectAndDecode(junk)
+      assert(t2.length >= junk.length / 4, s"trial=$trial lost content")
+    }
+  }
+
   test("unigram packed DP: UNK-only strings decompose exactly") {
     import graft.operators.Unigram
     val r = rng
