@@ -81,6 +81,8 @@ object Bench {
     // audio/video_neardup share image_neardup's exact plan family
     // (fingerprint scan + banded Hamming join) and are not re-timed
     "url_canon_dedup",                                    // crawl canonical-key dedup (zero-UDF)
+    "robots_filter",                                      // RFC 9309 gate, broadcast host join
+    "charset_decode",                                     // UTF-8 validate + cp1252 fallback scan
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
     "graphsage_agg", "sgc_propagate",                     // GNN
     "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
