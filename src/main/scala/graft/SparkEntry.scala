@@ -5791,6 +5791,45 @@ object SparkEntry {
       |  CAST(length(nfc_normalize(r)) AS INT) AS n_after
       |FROM raw""".stripMargin
 
+  /** IDN host decode per RFC 3492, FULL oracle — the hostname leg of
+    * URL canonicalization (`operators/Punycode.scala`): per doc an
+    * ACE-form host drawn from five shapes (three real `xn--` labels
+    * with different basic/extended mixes, a plain-ASCII host, and a
+    * malformed ACE label that must FAIL OPEN per-label) runs the real
+    * bootstring decoder label-by-label. The oracle pins the decoded
+    * Unicode hosts as literals, so a bias-adaptation, insertion-order,
+    * or fail-open defect flips rows and breaks the hash. (The encoder
+    * and decoder are additionally spec-tested byte-for-byte against
+    * the JDK's independent java.net.IDN on random labels.) */
+  private def urlIdn(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val ascii = when(d % 5 === 0, lit("xn--mnchen-3ya.example.de"))
+      .when(d % 5 === 1, lit("xn--bcher-kva.shop"))
+      .when(d % 5 === 2, lit("xn--caf-dma.fr"))
+      .when(d % 5 === 3, lit("plain.example.com"))
+      .otherwise(lit("xn--!bad!.example"))
+    val toUni = udf((h: String) => operators.Punycode.toUnicodeHost(h))
+    Tables.read(s, dir, "documents")
+      .select(d, ascii.as("ascii_host"))
+      .select(d, col("ascii_host"), toUni(col("ascii_host")).as("unicode_host"))
+  }
+
+  private val urlIdnSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'xn--mnchen-3ya.example.de'
+      |    WHEN 1 THEN 'xn--bcher-kva.shop'
+      |    WHEN 2 THEN 'xn--caf-dma.fr'
+      |    WHEN 3 THEN 'plain.example.com'
+      |    ELSE 'xn--!bad!.example' END AS ascii_host,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'münchen.example.de'
+      |    WHEN 1 THEN 'bücher.shop'
+      |    WHEN 2 THEN 'café.fr'
+      |    WHEN 3 THEN 'plain.example.com'
+      |    ELSE 'xn--!bad!.example' END AS unicode_host
+      |FROM documents""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8554,6 +8593,7 @@ object SparkEntry {
     "robots_filter" -> (robotsFilter(_, _)),
     "charset_decode" -> (charsetDecode(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
+    "url_idn" -> (urlIdn(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8849,6 +8889,7 @@ object SparkEntry {
     "robots_filter" -> robotsFilterSql,
     "charset_decode" -> charsetDecodeSql,
     "text_normalize" -> textNormalizeSql,
+    "url_idn" -> urlIdnSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

@@ -370,6 +370,11 @@ object TextAnalysis {
       udf((p: Array[Byte]) =>
         graft.operators.Aiff.decodeAiff(p).map(a =>
           (a.channels, a.sampleRate, a.frames))))
+    // IDN host forms (RFC 3492) for URL canonicalization in SQL
+    spark.udf.register("idn_to_unicode",
+      udf((h: String) => graft.operators.Punycode.toUnicodeHost(h)))
+    spark.udf.register("idn_to_ascii",
+      udf((h: String) => graft.operators.Punycode.toAsciiHost(h)))
     // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
     // score) over the first 512 normalized chars — same body as
     // Unigram.segmentStats (Unigram.stats), so the surfaces can't drift
