@@ -5662,8 +5662,12 @@ object SparkEntry {
     val path = when(d % 7 === 0, concat(lit("/private/pub"), d % 3))
       .when(d % 7 === 1, concat(lit("/data/"), d % 5, lit("/x")))
       .when(d % 7 === 2, concat(lit("/public/"), d))
-      .when(d % 7 === 3, concat(lit("/bot"), d % 2))
-      .when(d % 7 === 4, concat(lit("/bot"), d % 2, lit("/ok/page")))
+      // the bot digit must NOT share parity with host = d % 20 (20 is
+      // even), or the kind-3 "rule does not match -> allowed" outcome
+      // would be unreachable; (d / 7) % 2 varies independently
+      .when(d % 7 === 3, concat(lit("/bot"), expr("(doc_id div 7) % 2")))
+      .when(d % 7 === 4, concat(lit("/bot"), expr("(doc_id div 7) % 2"),
+        lit("/ok/page")))
       .when(d % 7 === 5, lit("/private"))
       .otherwise(lit("/dup/page"))
     val urls = docs.select(d, concat(lit("h"), d % 20).as("host"), path.as("path"))
@@ -5682,8 +5686,8 @@ object SparkEntry {
       |    WHEN 0 THEN '/private/pub' || CAST(doc_id % 3 AS VARCHAR)
       |    WHEN 1 THEN '/data/' || CAST(doc_id % 5 AS VARCHAR) || '/x'
       |    WHEN 2 THEN '/public/' || CAST(doc_id AS VARCHAR)
-      |    WHEN 3 THEN '/bot' || CAST(doc_id % 2 AS VARCHAR)
-      |    WHEN 4 THEN '/bot' || CAST(doc_id % 2 AS VARCHAR) || '/ok/page'
+      |    WHEN 3 THEN '/bot' || CAST((doc_id // 7) % 2 AS VARCHAR)
+      |    WHEN 4 THEN '/bot' || CAST((doc_id // 7) % 2 AS VARCHAR) || '/ok/page'
       |    WHEN 5 THEN '/private'
       |    ELSE '/dup/page' END AS path,
       |  CAST(CASE doc_id % 7
@@ -5695,8 +5699,9 @@ object SparkEntry {
       |      THEN doc_id % 5 <> (doc_id % 20) % 5 ELSE TRUE END
       |    WHEN 2 THEN TRUE
       |    WHEN 3 THEN CASE WHEN (doc_id % 20) % 4 = 0
-      |      THEN TRUE ELSE doc_id % 2 <> (doc_id % 20) % 2 END
+      |      THEN TRUE ELSE (doc_id // 7) % 2 <> (doc_id % 20) % 2 END
       |    WHEN 4 THEN TRUE -- /botB/ok allow out-ranks /botB disallow
+      |                     -- when B matches; no rule matches otherwise
       |    WHEN 5 THEN (doc_id % 20) % 4 <> 0
       |    ELSE TRUE -- equal-specificity /dup tie: allow wins
       |  END AS INT) AS allowed

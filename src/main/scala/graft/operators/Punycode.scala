@@ -73,7 +73,9 @@ object Punycode {
       while (!done) {
         require(p < input.length, "truncated variable-length integer")
         val digit = digitValue(input.charAt(p)); p += 1
-        require(digit < Base && i <= (Int.MaxValue - digit * w), "overflow")
+        // RFC 3492 §6.2 overflow check in the DIVISION form — the
+        // product digit*w can itself wrap in 32 bits
+        require(digit <= (Int.MaxValue - i) / w, "overflow")
         i += digit * w
         val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
         if (digit < t) done = true
@@ -153,7 +155,7 @@ object Punycode {
     * not kill the batch). */
   def toUnicodeHost(host: String): String =
     if (host == null) null
-    else host.split('.').map { label =>
+    else host.split("\\.", -1).map { label => // -1 keeps the FQDN root dot
       if (label.length > 4 &&
           label.regionMatches(true, 0, "xn--", 0, 4))
         try decode(label.substring(4).toLowerCase(java.util.Locale.ROOT))
@@ -165,7 +167,7 @@ object Punycode {
     * gains the ACE prefix. */
   def toAsciiHost(host: String): String =
     if (host == null) null
-    else host.split('.').map { label =>
+    else host.split("\\.", -1).map { label => // -1 keeps the FQDN root dot
       if (label.forall(_ < 128)) label
       else "xn--" + encode(label)
     }.mkString(".")

@@ -60,6 +60,12 @@ object Robots {
           .toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(colon + 1).trim
         field match {
+          case "user-agent" if value.isEmpty =>
+            // a valueless user-agent line is invalid per RFC 9309:
+            // drop it AND orphan any rules that follow it (they must
+            // not leak into the previous group)
+            openAgents = Nil
+            lastWasAgent = false
           case "user-agent" =>
             val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
             groups += ((value.toLowerCase(java.util.Locale.ROOT), rules))
@@ -77,7 +83,7 @@ object Robots {
     // agent precedence: longest agent token that prefixes ours; '*'
     // only when nothing specific matched
     val specific = groups.filter { case (a, _) =>
-      a != "*" && agentLc.startsWith(a)
+      a.nonEmpty && a != "*" && agentLc.startsWith(a)
     }
     val chosen =
       if (specific.nonEmpty) {
@@ -135,19 +141,27 @@ object Robots {
 
   /** Filter a URL table against per-host robots bodies: `urls`
     * carries (hostCol, pathCol), `robots` carries (hostCol, textCol).
-    * The robots side parses ONCE per host, then broadcasts into the
-    * join — at 100 TB the URL table never shuffles and no host's
-    * robots text is parsed per-URL. Left join: hosts with no robots
-    * file allow everything. */
+    * The robots side parses ONCE per host — on the (tiny) robots
+    * DataFrame, BEFORE the broadcast, into a compact rules column —
+    * so at 100 TB the URL table never shuffles and no host's robots
+    * text is re-parsed per-URL; the per-row work is only the pattern
+    * match. Left join: hosts with no robots file allow everything.
+    * Rules travel as flagged strings ("a<pattern>" / "d<pattern>") to
+    * keep the broadcast row format trivial. */
   def filterUrls(urls: DataFrame, robots: DataFrame, agent: String,
                  hostCol: String = "host", pathCol: String = "path",
                  textCol: String = "robots_txt"): DataFrame = {
-    val decide = udf((text: String, path: String) =>
-      isAllowed(parseRobots(text, agent), if (path == null) "/" else path))
-    urls.join(broadcast(robots), Seq(hostCol), "left")
+    val parse = udf((text: String) =>
+      parseRobots(text, agent).map(r =>
+        (if (r.allow) "a" else "d") + r.pattern))
+    val decide = udf((rules: Seq[String], path: String) =>
+      isAllowed(rules.map(s => Rule(s.charAt(0) == 'a', s.substring(1))),
+        if (path == null) "/" else path))
+    val parsed = robots.withColumn("__rules", parse(col(textCol))).drop(textCol)
+    urls.join(broadcast(parsed), Seq(hostCol), "left")
       .withColumn("allowed",
-        when(col(textCol).isNull, lit(true))
-          .otherwise(decide(col(textCol), col(pathCol))))
-      .drop(textCol)
+        when(col("__rules").isNull, lit(true))
+          .otherwise(decide(col("__rules"), col(pathCol))))
+      .drop("__rules")
   }
 }

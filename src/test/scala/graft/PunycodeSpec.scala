@@ -73,5 +73,22 @@ class PunycodeSpec extends AnyFunSuite {
     assert(Punycode.toUnicodeHost("xn--!!!.xn--bcher-kva.de") ==
       "xn--!!!.bücher.de")
     assert(Punycode.toUnicodeHost(null) == null)
+    // FQDN root dot survives both directions (split must keep the
+    // trailing empty label)
+    assert(Punycode.toUnicodeHost("xn--bcher-kva.de.") == "bücher.de.")
+    assert(Punycode.toAsciiHost("bücher.de.") == "xn--bcher-kva.de.")
+  }
+
+  test("hostile high-delta streams refuse loudly (overflow / range guards)") {
+    // long max-digit runs drive w and the decoded code point up; the
+    // decoder must refuse via a guard (division-form overflow check,
+    // surrogate/range check) — never wrap silently or throw a raw
+    // IndexOutOfBounds from a corrupted insertion position
+    for (n <- Seq(8, 40, 400)) {
+      val e = intercept[IllegalArgumentException](Punycode.decode("z" * n))
+      assert(e.getMessage.contains("overflow") ||
+        e.getMessage.contains("out of range") ||
+        e.getMessage.contains("truncated"), s"n=$n: ${e.getMessage}")
+    }
   }
 }

@@ -78,6 +78,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseRobots(multi, "bbot").map(_.pattern) == Seq("/shared"))
   }
 
+  test("a valueless User-agent line is invalid: it never matches and orphans its rules") {
+    val txt =
+      """User-agent:
+        |Disallow: /tmp
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // the empty group must not count as 'specific' (it would suppress
+    // the * fallback), and /tmp must not leak into any group
+    assert(Robots.parseRobots(txt, "graftbot").map(_.pattern) == Seq("/"))
+  }
+
   test("lexical rules: comments, case-insensitive fields, empty Disallow") {
     val txt =
       """# preamble comment
