@@ -5835,6 +5835,42 @@ object SparkEntry {
       |    ELSE 'xn--!bad!.example' END AS unicode_host
       |FROM documents""".stripMargin
 
+  /** Percent-encoding normalization per RFC 3986 §6.2.2, FULL
+    * oracle — the escape-spelling leg of URL canonicalization
+    * (`operators/UrlNormalize.scala`): per doc a URL drawn from five
+    * escape shapes (unreserved escapes that must DECODE, reserved
+    * escapes that must UPPERCASE only, multibyte UTF-8 escapes, a
+    * malformed trailing '%' that must pass through, plain) runs the
+    * normalizer; the oracle pins normalized URLs as literals. */
+  private def urlPctNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val raw = when(d % 5 === 0, concat(lit("http://ex.com/%7Euser/%41bc/p"), d))
+      .when(d % 5 === 1, concat(lit("http://ex.com/a%2fb/p"), d, lit("?q=%2a")))
+      .when(d % 5 === 2, concat(lit("http://ex.com/caf%c3%a9/p"), d))
+      .when(d % 5 === 3, concat(lit("http://ex.com/p"), d, lit("/100%")))
+      .otherwise(concat(lit("http://ex.com/plain/p"), d))
+    val norm = udf((u: String) => operators.UrlNormalize.normalizePercent(u))
+    Tables.read(s, dir, "documents")
+      .select(d, raw.as("url"))
+      .select(d, col("url"), norm(col("url")).as("normalized"))
+  }
+
+  private val urlPctNormSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://ex.com/%7Euser/%41bc/p' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'http://ex.com/a%2fb/p' || CAST(doc_id AS VARCHAR) || '?q=%2a'
+      |    WHEN 2 THEN 'http://ex.com/caf%c3%a9/p' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN 'http://ex.com/p' || CAST(doc_id AS VARCHAR) || '/100%'
+      |    ELSE 'http://ex.com/plain/p' || CAST(doc_id AS VARCHAR) END AS url,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://ex.com/~user/Abc/p' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'http://ex.com/a%2Fb/p' || CAST(doc_id AS VARCHAR) || '?q=%2A'
+      |    WHEN 2 THEN 'http://ex.com/caf%C3%A9/p' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN 'http://ex.com/p' || CAST(doc_id AS VARCHAR) || '/100%'
+      |    ELSE 'http://ex.com/plain/p' || CAST(doc_id AS VARCHAR) END AS normalized
+      |FROM documents""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8599,6 +8635,7 @@ object SparkEntry {
     "charset_decode" -> (charsetDecode(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "url_idn" -> (urlIdn(_, _)),
+    "url_pct_norm" -> (urlPctNorm(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8895,6 +8932,7 @@ object SparkEntry {
     "charset_decode" -> charsetDecodeSql,
     "text_normalize" -> textNormalizeSql,
     "url_idn" -> urlIdnSql,
+    "url_pct_norm" -> urlPctNormSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

@@ -375,6 +375,8 @@ object TextAnalysis {
       udf((h: String) => graft.operators.Punycode.toUnicodeHost(h)))
     spark.udf.register("idn_to_ascii",
       udf((h: String) => graft.operators.Punycode.toAsciiHost(h)))
+    spark.udf.register("url_pct_normalize",
+      udf((u: String) => graft.operators.UrlNormalize.normalizePercent(u)))
     // unigram tokenizer inference as a SQL name: (n_chars, n_tokens,
     // score) over the first 512 normalized chars — same body as
     // Unigram.segmentStats (Unigram.stats), so the surfaces can't drift
