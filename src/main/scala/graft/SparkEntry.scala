@@ -5871,6 +5871,80 @@ object SparkEntry {
       |    ELSE 'http://ex.com/plain/p' || CAST(doc_id AS VARCHAR) END AS normalized
       |FROM documents""".stripMargin
 
+  /** Sitemap parsing per sitemaps.org, FULL oracle — the frontier
+    * EXPANSION step beside `robots_filter`
+    * (`operators/Sitemap.scala`): per doc a closed-form XML document —
+    * every seventh doc a `<sitemapindex>` (the recursive kind), the
+    * rest `<urlset>` leaves with 1-3 url entries whose optional
+    * lastmod/changefreq/priority fields alternate present/absent —
+    * runs the XXE-hardened DOM parse and explodes to entry rows. The
+    * oracle re-derives every row from the same formula, so a tag-walk,
+    * optional-field, or kind-dispatch defect changes rows and breaks
+    * the hash. */
+  private def sitemapParse(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      val lastmod = f"2024-${1 + d % 12}%02d-${1 + d % 28}%02d"
+      if (d % 7 == 0) {
+        sb ++= "<sitemapindex>"
+        (0 until 2).foreach { i =>
+          sb ++= s"<sitemap><loc>http://s${d % 9}.example/sm$d-$i.xml</loc>"
+          if (i == 0) sb ++= s"<lastmod>$lastmod</lastmod>"
+          sb ++= "</sitemap>"
+        }
+        sb ++= "</sitemapindex>"
+      } else {
+        sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+        (0 until (1 + (d % 3)).toInt).foreach { i =>
+          sb ++= s"<url><loc>http://s${d % 9}.example/page$d-$i</loc>"
+          if (i % 2 == 0) {
+            sb ++= s"<lastmod>$lastmod</lastmod>"
+            sb ++= s"<changefreq>${Seq("daily", "weekly", "monthly")(i % 3)}</changefreq>"
+            sb ++= s"<priority>0.${1 + (d + i) % 9}</priority>"
+          }
+          sb ++= "</url>"
+        }
+        sb ++= "</urlset>"
+      }
+      sb.toString
+    })
+    val parse = udf((xml: String) =>
+      operators.Sitemap.parseSitemap(xml).map(_.map(e =>
+        (e.kind, e.loc, e.lastmod, e.changefreq, e.priority))))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), parse(mk(col("doc_id"))).as("entries"))
+      .select(col("doc_id"), explode(col("entries")).as("e"))
+      .select(col("doc_id"),
+        col("e._1").as("kind"), col("e._2").as("loc"),
+        col("e._3").as("lastmod"), col("e._4").as("changefreq"),
+        col("e._5").as("priority"))
+  }
+
+  private val sitemapParseSql =
+    """WITH g AS (SELECT unnest(range(0, 3)) AS i),
+      |rows_ AS (
+      |  SELECT d.doc_id, g.i,
+      |    CASE WHEN d.doc_id % 7 = 0 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+      |    '2024-' || lpad(CAST(1 + d.doc_id % 12 AS VARCHAR), 2, '0') ||
+      |      '-' || lpad(CAST(1 + d.doc_id % 28 AS VARCHAR), 2, '0') AS lm
+      |  FROM documents d JOIN g ON
+      |    CASE WHEN d.doc_id % 7 = 0 THEN g.i < 2
+      |         ELSE g.i < 1 + d.doc_id % 3 END)
+      |SELECT doc_id, kind,
+      |  CASE WHEN kind = 'sitemapindex'
+      |    THEN 'http://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/sm' ||
+      |         CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '.xml'
+      |    ELSE 'http://s' || CAST(doc_id % 9 AS VARCHAR) || '.example/page' ||
+      |         CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) END AS loc,
+      |  CASE WHEN kind = 'sitemapindex' THEN CASE WHEN i = 0 THEN lm ELSE '' END
+      |       WHEN i % 2 = 0 THEN lm ELSE '' END AS lastmod,
+      |  CASE WHEN kind = 'urlset' AND i % 2 = 0
+      |    THEN CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+      |         ELSE 'monthly' END ELSE '' END AS changefreq,
+      |  CASE WHEN kind = 'urlset' AND i % 2 = 0
+      |    THEN '0.' || CAST(1 + (doc_id + i) % 9 AS VARCHAR) ELSE '' END AS priority
+      |FROM rows_""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8636,6 +8710,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalize(_, _)),
     "url_idn" -> (urlIdn(_, _)),
     "url_pct_norm" -> (urlPctNorm(_, _)),
+    "sitemap_parse" -> (sitemapParse(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -8933,6 +9008,7 @@ object SparkEntry {
     "text_normalize" -> textNormalizeSql,
     "url_idn" -> urlIdnSql,
     "url_pct_norm" -> urlPctNormSql,
+    "sitemap_parse" -> sitemapParseSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
