@@ -5945,6 +5945,71 @@ object SparkEntry {
       |    THEN '0.' || CAST(1 + (doc_id + i) % 9 AS VARCHAR) ELSE '' END AS priority
       |FROM rows_""".stripMargin
 
+  /** Content-type sniffing, FULL oracle — the decoder-dispatch step a
+    * crawl pipeline runs before trusting any Content-Type header
+    * (`operators/MimeSniff.scala`): per doc a REAL payload from one of
+    * 13 format families — each produced by this repo's own encoder
+    * (PNG, GIF, QOI, TIFF in both byte orders, WAV, AIFF, AU, FLAC,
+    * ID3-led MPEG audio, FLIC, gzip'd WARC, ustar, sitemap XML) — is
+    * sniffed from its magic bytes alone. The oracle derives the
+    * expected type from the doc's format dial, so a signature,
+    * byte-order, or shared-prefix-disambiguation defect (RIFF/WAVE,
+    * FORM/AIFF) flips rows and breaks the hash. An integration query
+    * by design: it exercises 13 encoders and the sniffer in one pass. */
+  private def mimeSniff(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => (d % 13) match {
+      case 0 => operators.Multimodal.encodePng8x8(
+        Array.tabulate(64)(i => (i * 4) % 256))
+      case 1 => operators.Gif.encodeGif(operators.Gif.GifImage(8, 8,
+        operators.Gif.fixturePalette16,
+        Seq(operators.Gif.GifFrame(1, false, operators.Gif.fixtureIndices(d, 0)))))
+      case 2 => operators.Qoi.encodeQoi(operators.Qoi.QoiImage(
+        8, 8, 4, 0, operators.Qoi.fixturePixels(d)))
+      case 3 =>
+        val (spp, px) = operators.Tiff.fixturePixels(d)
+        operators.Tiff.encodeTiff(operators.Tiff.TiffImage(8, 8, spp, px),
+          bigEndian = d % 2 == 1)
+      case 4 => operators.Multimodal.encodeWavPcm16(
+        Array.tabulate[Short](64)(i => (i * 17).toShort), 8000, 1)
+      case 5 => operators.Aiff.encodeAiff(
+        operators.Aiff.fixtureSamples(d, 32, 1), 44100L, 1)
+      case 6 => operators.Au.encodeAu(operators.Au.EncUlaw,
+        Array.tabulate(32)(i => (i * 5) % 256), 8000, 1)
+      case 7 => operators.Flac.encodeFlac(
+        Array.tabulate[Short](128)(i => (i * 31).toShort), 8000, 1)
+      case 8 => operators.Id3.encodeId3v2(Seq("TIT2" -> s"Track $d")) ++
+        Array[Byte](0xff.toByte, 0xfb.toByte) // tag then a Layer III sync
+      case 9 => operators.Flic.encodeFlic(operators.Flic.FlicVideo(8, 8, 40,
+        Array.tabulate(256)(identity),
+        Seq(Array.tabulate[Byte](64)(i => (i % 16).toByte))))
+      case 10 => operators.Warc.encodeWarcGz(Seq(operators.Warc.WarcRecord(
+        "response", s"<urn:uuid:$d>", s"http://ex.com/$d",
+        s"payload $d".getBytes("UTF-8"))))
+      case 11 => operators.WebDataset.encodeTar(Seq(
+        operators.WebDataset.TarEntry(s"$d.txt", s"x$d".getBytes("UTF-8"))))
+      case _ =>
+        (s"""<?xml version="1.0"?><urlset><url><loc>http://ex.com/$d""" +
+          "</loc></url></urlset>").getBytes("UTF-8")
+    })
+    val sniff = udf((p: Array[Byte]) => operators.MimeSniff.sniff(p))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), sniff(col("payload")).as("mime"))
+  }
+
+  private val mimeSniffSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 13
+      |    WHEN 0 THEN 'image/png'      WHEN 1 THEN 'image/gif'
+      |    WHEN 2 THEN 'image/qoi'      WHEN 3 THEN 'image/tiff'
+      |    WHEN 4 THEN 'audio/wav'      WHEN 5 THEN 'audio/aiff'
+      |    WHEN 6 THEN 'audio/basic'    WHEN 7 THEN 'audio/flac'
+      |    WHEN 8 THEN 'audio/mpeg'     WHEN 9 THEN 'video/flic'
+      |    WHEN 10 THEN 'application/gzip'
+      |    WHEN 11 THEN 'application/x-tar'
+      |    ELSE 'application/xml' END AS mime
+      |FROM documents""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8711,6 +8776,7 @@ object SparkEntry {
     "url_idn" -> (urlIdn(_, _)),
     "url_pct_norm" -> (urlPctNorm(_, _)),
     "sitemap_parse" -> (sitemapParse(_, _)),
+    "mime_sniff" -> (mimeSniff(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -9009,6 +9075,7 @@ object SparkEntry {
     "url_idn" -> urlIdnSql,
     "url_pct_norm" -> urlPctNormSql,
     "sitemap_parse" -> sitemapParseSql,
+    "mime_sniff" -> mimeSniffSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,
