@@ -6010,6 +6010,59 @@ object SparkEntry {
       |    ELSE 'application/xml' END AS mime
       |FROM documents""".stripMargin
 
+  /** REAL TGA codec round-trip, FULL oracle — the origin-flip rung of
+    * the multimodal image ladder (`operators/Tga.scala`, per the
+    * Truevision TGA 2.0 spec): per doc an 8×8 image — 24-bit BGR or
+    * 32-bit BGRA by doc — cycles uncompressed/RLE and TOP-DOWN vs the
+    * format's default BOTTOM-UP row order; decode normalizes origin,
+    * unpacks the BGR(A) order, and expands +1-biased RLE packets. TGA
+    * is lossless, so the oracle re-derives the channel sums and the
+    * raster-position-weighted sum (whose row term makes an origin
+    * miss or channel swap break the hash) from the closed form. */
+  private def imageTga(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) =>
+      operators.Tga.encodeTga(
+        operators.Tga.TgaImage(8, 8, d % 2 == 1, operators.Tga.fixturePixels(d)),
+        rle = d % 3 == 0, topDown = d % 4 < 2))
+    val stats = udf((p: Array[Byte]) =>
+      operators.Tga.decodeTga(p).map { img =>
+        val (sr, sg, sb, sa, wsum) = operators.Tga.tgaStats(img)
+        (img.width, img.height, if (img.hasAlpha) 1 else 0, sr, sg, sb, sa, wsum)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      .select(col("doc_id"), stats(col("payload")).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("has_alpha"),
+        col("st._4").as("sum_r"), col("st._5").as("sum_g"),
+        col("st._6").as("sum_b"), col("st._7").as("sum_a"),
+        col("st._8").as("wsum"))
+  }
+
+  private val imageTgaSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS i),
+      |px AS (
+      |  SELECT d.doc_id, g.i, g.i // 8 AS rw
+      |  FROM documents d, grid g),
+      |ch AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i % 8 < 3 THEN (doc_id * 13 + rw * 19) % 256
+      |         ELSE (doc_id * 3 + i * 7) % 256 END AS r,
+      |    (doc_id * 5 + rw * 11) % 256 AS g,
+      |    (doc_id * 7 + i) % 256 AS b,
+      |    CASE WHEN doc_id % 2 = 1 THEN 128 + (doc_id + i) % 128
+      |         ELSE 255 END AS a
+      |  FROM px)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(doc_id % 2 AS INT) AS has_alpha,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(a) AS BIGINT) AS sum_a,
+      |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** WARC web-archive ingestion, FULL oracle — the crawl ENTRY step
     * (`operators/Warc.scala`): per doc a 3-record WARC/1.0 archive
     * (request / response carrying the doc text / metadata) is written
@@ -8777,6 +8830,7 @@ object SparkEntry {
     "url_pct_norm" -> (urlPctNorm(_, _)),
     "sitemap_parse" -> (sitemapParse(_, _)),
     "mime_sniff" -> (mimeSniff(_, _)),
+    "image_tga" -> (imageTga(_, _)),
     "video_flic" -> (videoFlic(_, _)),
     "epoch_shuffle" -> (epochShuffleQ(_, _)),
     "wds_ingest" -> (wdsIngest(_, _)),
@@ -9076,6 +9130,7 @@ object SparkEntry {
     "url_pct_norm" -> urlPctNormSql,
     "sitemap_parse" -> sitemapParseSql,
     "mime_sniff" -> mimeSniffSql,
+    "image_tga" -> imageTgaSql,
     "video_flic" -> videoFlicSql,
     "epoch_shuffle" -> epochShuffleSql,
     "wds_ingest" -> wdsIngestSql,

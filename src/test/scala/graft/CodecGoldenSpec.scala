@@ -256,4 +256,17 @@ class CodecGoldenSpec extends AnyFunSuite {
       u32(16) == 8000 && u32(20) == 1 && b.length == 68)
     assertGolden("AU", b, 1953090367L, "2e736e640000001c0000002800000001")
   }
+
+  test("TGA golden: header layout, RLE type, LE dims, pinned bytes") {
+    val b = Tga.encodeTga(Tga.TgaImage(8, 8, false, Tga.fixturePixels(6L)),
+      rle = true, topDown = false)
+    // hand-checked against Truevision TGA 2.0: idLength 0, no color
+    // map, imageType 10 (RLE truecolor), little-endian 8x8, 24-bit,
+    // descriptor 0 (bottom-up, no alpha bits)
+    assert((b(0) & 0xff) == 0 && (b(1) & 0xff) == 0 && (b(2) & 0xff) == 10)
+    assert((b(12) & 0xff) == 8 && (b(13) & 0xff) == 0 &&
+      (b(14) & 0xff) == 8 && (b(15) & 0xff) == 0)
+    assert((b(16) & 0xff) == 24 && (b(17) & 0xff) == 0)
+    assertGolden("TGA", b, 1592991549L, "00000a00000000000000000008000800")
+  }
 }
