@@ -6043,16 +6043,19 @@ object SparkEntry {
   private val imageTgaSql =
     """WITH grid AS (SELECT unnest(range(0, 64)) AS i),
       |px AS (
-      |  SELECT d.doc_id, g.i, g.i // 8 AS rw
+      |  SELECT d.doc_id, g.i, g.i // 8 AS rw,
+      |    (g.i % 8 < 3 AND (g.i // 8) % 2 = 0) AS runcell
       |  FROM documents d, grid g),
       |ch AS (
       |  SELECT doc_id, i,
-      |    CASE WHEN i % 8 < 3 THEN (doc_id * 13 + rw * 19) % 256
+      |    CASE WHEN runcell THEN (doc_id * 13 + rw * 19) % 256
       |         ELSE (doc_id * 3 + i * 7) % 256 END AS r,
       |    (doc_id * 5 + rw * 11) % 256 AS g,
-      |    (doc_id * 7 + i) % 256 AS b,
-      |    CASE WHEN doc_id % 2 = 1 THEN 128 + (doc_id + i) % 128
-      |         ELSE 255 END AS a
+      |    CASE WHEN runcell THEN (doc_id * 7 + rw * 23) % 256
+      |         ELSE (doc_id * 7 + i) % 256 END AS b,
+      |    CASE WHEN doc_id % 2 = 0 THEN 255
+      |         WHEN runcell THEN 128 + (doc_id + rw) % 128
+      |         ELSE 128 + (doc_id + i) % 128 END AS a
       |  FROM px)
       |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
       |  CAST(doc_id % 2 AS INT) AS has_alpha,

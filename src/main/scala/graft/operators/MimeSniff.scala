@@ -58,12 +58,18 @@ object MimeSniff {
     else if (hasAscii(b, 0, ".snd")) "audio/basic"
     else if (hasAscii(b, 0, "fLaC")) "audio/flac"
     else if (hasAscii(b, 0, "ID3")) "audio/mpeg"
-    else if (at(b, 0) == 0xff && (at(b, 1) & 0xe0) == 0xe0 &&
-             ((at(b, 1) >> 1) & 0x03) != 0) "audio/mpeg" // MPEG sync, layer != reserved
+    else if (at(b, 0) == 0xff && at(b, 1) >= 0 && (at(b, 1) & 0xe0) == 0xe0 &&
+             ((at(b, 1) >> 1) & 0x03) != 0)
+      "audio/mpeg" // MPEG sync, layer != reserved; at(b,1) >= 0 keeps the
+                   // out-of-bounds sentinel (-1, all-ones under masks) out
     else if (hasAscii(b, 0, "YUV4MPEG2")) "video/y4m"
-    else if (at(b, 5) == 0xaf && (at(b, 4) == 0x11 || at(b, 4) == 0x12))
-      "video/flic" // FLIC magic 0xAF11/0xAF12 LITTLE-endian at offset 4
+    // gzip's 2-byte magic at offset 0 is decisive and must be probed
+    // BEFORE FLIC's offset-4 magic: a gzip MTIME field can spell
+    // 0xAF11/0xAF12 at bytes 4-5 (~2/65536 of real timestamps)
     else if (at(b, 0) == 0x1f && at(b, 1) == 0x8b) "application/gzip"
+    else if (at(b, 5) == 0xaf && (at(b, 4) == 0x11 || at(b, 4) == 0x12) &&
+             b.length >= 12)
+      "video/flic" // FLIC magic 0xAF11/0xAF12 LITTLE-endian at offset 4
     else if (hasAscii(b, 257, "ustar")) "application/x-tar"
     else if (hasAscii(b, 0, "<?xml") || hasAscii(b, 0, "<urlset") ||
              hasAscii(b, 0, "<sitemapindex")) "application/xml"

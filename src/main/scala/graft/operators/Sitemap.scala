@@ -29,19 +29,33 @@ object Sitemap {
   final case class SitemapEntry(kind: String, loc: String, lastmod: String,
                                 changefreq: String, priority: String)
 
-  private def newBuilder(): javax.xml.parsers.DocumentBuilder = {
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    // untrusted-input hardening: no DOCTYPE (kills XXE and entity
-    // bombs), no XInclude, no entity expansion
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    dbf.setXIncludeAware(false)
-    dbf.setExpandEntityReferences(false)
-    dbf.setNamespaceAware(false)
-    dbf.newDocumentBuilder()
+  // one configured builder per executor thread (builders are not
+  // thread-safe; factory discovery via newInstance() is a service-
+  // loader walk that must NOT run per row) — reset() before each parse
+  private val builders =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+        val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        // untrusted-input hardening: no DOCTYPE (kills XXE and entity
+        // bombs), no XInclude, no entity expansion
+        dbf.setFeature(
+          "http://apache.org/xml/features/disallow-doctype-decl", true)
+        dbf.setXIncludeAware(false)
+        dbf.setExpandEntityReferences(false)
+        // namespace-aware so prefixed documents (<sm:urlset
+        // xmlns:sm="...">) match on LOCAL names like real sitemaps do
+        dbf.setNamespaceAware(true)
+        dbf.newDocumentBuilder()
+      }
+    }
+
+  @inline private def localName(n: org.w3c.dom.Node): String = {
+    val ln = n.getLocalName
+    if (ln != null) ln else n.getNodeName
   }
 
   private def childText(e: Element, tag: String): String = {
-    val nodes = e.getElementsByTagName(tag)
+    val nodes = e.getElementsByTagNameNS("*", tag)
     if (nodes.getLength == 0) "" else nodes.item(0).getTextContent.trim
   }
 
@@ -51,15 +65,17 @@ object Sitemap {
   def parseSitemap(xml: String): Option[Seq[SitemapEntry]] =
     try {
       require(xml != null && xml.nonEmpty, "empty document")
-      val doc = newBuilder().parse(
+      val builder = builders.get()
+      builder.reset()
+      val doc = builder.parse(
         new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
       val root = doc.getDocumentElement
-      val (kind, itemTag) = root.getTagName match {
+      val (kind, itemTag) = localName(root) match {
         case "urlset" => ("urlset", "url")
         case "sitemapindex" => ("sitemapindex", "sitemap")
         case other => throw new IllegalArgumentException(s"root <$other>")
       }
-      val items = root.getElementsByTagName(itemTag)
+      val items = root.getElementsByTagNameNS("*", itemTag)
       val out = Seq.newBuilder[SitemapEntry]
       var i = 0
       while (i < items.getLength) {

@@ -39,6 +39,8 @@ object Tga {
   def encodeTga(img: TgaImage, rle: Boolean = false,
                 topDown: Boolean = true): Array[Byte] = {
     require(img.width > 0 && img.height > 0, "empty image")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"dims ${img.width}x${img.height} exceed the u16 header fields")
     require(img.pixels.length == img.width * img.height, "pixel count")
     val bpp = if (img.hasAlpha) 4 else 3
     val out = new java.io.ByteArrayOutputStream(18 + img.pixels.length * bpp)
@@ -169,16 +171,22 @@ object Tga {
     } catch { case _: Exception => None }
 
   /** Closed-form 8×8 fixture for doc `id` — mirrored by the
-    * `image_tga` DuckDB oracle; the first 3 columns repeat one
-    * per-row value so RLE docs carry real runs, and the row term
-    * makes the raster-weighted sum origin-sensitive. */
+    * `image_tga` DuckDB oracle; the first 3 columns of each EVEN row
+    * repeat one per-row pixel (ALL channels row-constant there, so RLE
+    * docs carry genuine run packets), the rest varies per pixel, and
+    * the row terms make the raster-weighted sum origin-sensitive. */
   def fixturePixels(id: Long): Array[Int] = Array.tabulate(64) { i =>
     val row = i / 8
-    val r = if (i % 8 < 3) ((id * 13 + row * 19) % 256).toInt
+    val runCell = i % 8 < 3 && row % 2 == 0
+    val r = if (runCell) ((id * 13 + row * 19) % 256).toInt
             else ((id * 3 + i * 7) % 256).toInt
     val g = ((id * 5 + row * 11) % 256).toInt
-    val b = ((id * 7 + i) % 256).toInt
-    val a = if (id % 2 == 1) ((128 + (id + i) % 128)).toInt else 0xff
+    val b = if (runCell) ((id * 7 + row * 23) % 256).toInt
+            else ((id * 7 + i) % 256).toInt
+    val a = if (id % 2 == 1) {
+      if (runCell) (128 + (id + row) % 128).toInt
+      else (128 + (id + i) % 128).toInt
+    } else 0xff
     (a << 24) | (r << 16) | (g << 8) | b
   }
 

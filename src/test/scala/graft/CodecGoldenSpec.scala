@@ -267,6 +267,6 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert((b(12) & 0xff) == 8 && (b(13) & 0xff) == 0 &&
       (b(14) & 0xff) == 8 && (b(15) & 0xff) == 0)
     assert((b(16) & 0xff) == 24 && (b(17) & 0xff) == 0)
-    assertGolden("TGA", b, 1592991549L, "00000a00000000000000000008000800")
+    assertGolden("TGA", b, 3180498497L, "00000a00000000000000000008000800")
   }
 }

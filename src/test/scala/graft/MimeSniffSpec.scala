@@ -73,5 +73,16 @@ class MimeSniffSpec extends AnyFunSuite {
     assert(sniff("hello world".getBytes) == "application/octet-stream")
     // short prefixes of real signatures never crash, just fall through
     assert(sniff(Array[Byte](0x89.toByte, 'P')) == "application/octet-stream")
+    // a lone 0xFF must NOT sniff as mpeg (the out-of-bounds sentinel is
+    // all-ones under masks — regression for the at() guard)
+    assert(sniff(Array[Byte](0xff.toByte)) == "application/octet-stream")
+  }
+
+  test("gzip wins over FLIC when MTIME bytes spell the FLIC magic") {
+    // craft a gzip header whose 4-byte MTIME has low bytes 11 AF —
+    // the FLIC magic position; the 2-byte gzip magic must win
+    val g = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0,
+      0x11, 0xaf.toByte, 0, 0, 0, 3)
+    assert(sniff(g) == "application/gzip")
   }
 }

@@ -39,6 +39,17 @@ class SitemapSpec extends AnyFunSuite {
     assert(es.forall(_.kind == "sitemapindex"))
   }
 
+  test("namespace-prefixed sitemaps match on local names") {
+    val xml =
+      """<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sm:url><sm:loc>http://a.example/ns1</sm:loc>
+        |    <sm:priority>0.5</sm:priority></sm:url>
+        |</sm:urlset>""".stripMargin
+    val es = Sitemap.parseSitemap(xml).get
+    assert(es.map(_.loc) == Seq("http://a.example/ns1"))
+    assert(es.head.kind == "urlset" && es.head.priority == "0.5")
+  }
+
   test("untrusted-input hardening: DOCTYPE refused, malformed refused") {
     val xxe =
       """<?xml version="1.0"?>

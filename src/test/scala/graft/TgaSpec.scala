@@ -58,6 +58,26 @@ class TgaSpec extends AnyFunSuite {
     }
   }
 
+  test("encoder refuses dims beyond the u16 header fields") {
+    // u16 truncation would silently round-trip 65537x1 as 1x1
+    intercept[IllegalArgumentException](
+      Tga.encodeTga(TgaImage(65537, 1, false, new Array[Int](65537))))
+  }
+
+  test("fixture RLE docs genuinely carry run packets") {
+    // doc 6 is an RLE dial; its stream must contain at least one run
+    // packet (high control bit) or the oracle never sees the run path
+    val enc = Tga.encodeTga(TgaImage(8, 8, false, Tga.fixturePixels(6L)),
+      rle = true, topDown = false)
+    var p = 18; var sawRun = false; var sawLit = false
+    while (p < enc.length) {
+      val ctl = enc(p) & 0xff; val cnt = (ctl & 0x7f) + 1
+      if ((ctl & 0x80) != 0) { sawRun = true; p += 1 + 3 }
+      else { sawLit = true; p += 1 + cnt * 3 }
+    }
+    assert(sawRun && sawLit, s"run=$sawRun literal=$sawLit")
+  }
+
   test("malformed and hostile inputs refuse") {
     val good = Tga.encodeTga(img(4, 4, false, _ % 256), rle = true)
     assert(Tga.decodeTga(good).isDefined)
