@@ -466,6 +466,20 @@ object ScaleBench {
       add("tiff_codec_scan", docs.count(), tTif,
         Seq(("wsum_total", nTif.toDouble)))
 
+      // TGA codec ingest scan (r11): per-row origin-flip + BGR(A) +
+      // RLE decode with the oracle fixture's dials; same contract.
+      val (nTga, tTga) = time {
+        val mkG2 = udf((id: Long) => operators.Tga.encodeTga(
+          operators.Tga.TgaImage(8, 8, id % 2 == 1, operators.Tga.fixturePixels(id)),
+          rle = id % 3 == 0, topDown = id % 4 < 2))
+        val wsumG2 = udf((p: Array[Byte]) =>
+          operators.Tga.decodeTga(p).map(operators.Tga.tgaStats(_)._5).getOrElse(-1L))
+        docs.select(wsumG2(mkG2(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("tga_codec_scan", docs.count(), tTga,
+        Seq(("wsum_total", nTga.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(
