@@ -6114,6 +6114,267 @@ object SparkEntry {
       |  'http://crawl.invalid/doc/' || doc_id AS uri
       |FROM documents""".stripMargin
 
+  /** ZIP shard ingestion, FULL oracle — the third archive rung after
+    * WARC and ustar (`operators/Zip.scala`): per doc a 3-entry ZIP
+    * (deflated doc text, STORED metadata JSON, a streaming-written
+    * deflated pad entry using general-purpose bit 3 + data descriptor)
+    * is encoded with real local headers / central directory / EOCD,
+    * then decoded by the real reader — backwards EOCD scan, central
+    * directory walk (authoritative sizes/CRC, required for the
+    * descriptor entry), raw-Inflater bodies, CRC32 + both-size
+    * verification per entry. The oracle re-derives entry count, byte
+    * totals, and the token count of the DECODED doc text from the
+    * documents columns; losing an entry, a byte, or a descriptor
+    * anywhere breaks the hash. */
+  private def zipIngest(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long, text: String, lang: String) => {
+      val t = if (text == null) "" else text
+      val meta = s"""{"id":$docId,"lang":"$lang"}"""
+      val pad = ("pad-" + docId) * (1 + (docId % 5).toInt)
+      operators.Zip.encodeZip(Seq(
+        operators.Zip.Entry("text/doc.txt", t.getBytes("UTF-8"), method = 8),
+        operators.Zip.Entry("meta.json", meta.getBytes("UTF-8"), method = 0),
+        operators.Zip.Entry("extra/pad.bin", pad.getBytes("UTF-8"),
+          method = 8, descriptor = true)),
+        comment = s"shard-$docId")
+    })
+    val archives = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        mk(col("doc_id"), col("text"), col("lang")).as("payload"))
+    operators.Zip.extractEntries(archives, "doc_id", "payload")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(col("content_bytes")).cast("long").as("total_bytes"),
+        max(when(col("entry_name") === "text/doc.txt", col("content_bytes")))
+          .cast("long").as("doc_bytes"),
+        max(when(col("entry_name") === "text/doc.txt",
+          size(regexp_extract_all(lower(col("content")),
+            lit("[a-z0-9]+"), lit(0))))).cast("long").as("n_tokens"),
+        min(col("entry_name")).as("first_entry"))
+  }
+
+  private val zipIngestSql =
+    """SELECT doc_id,
+      |  CAST(3 AS BIGINT) AS n_entries,
+      |  CAST(strlen(text)
+      |       + strlen('{"id":' || doc_id || ',"lang":"' || lang || '"}')
+      |       + strlen(repeat('pad-' || doc_id, CAST(1 + doc_id % 5 AS INT)))
+      |       AS BIGINT) AS total_bytes,
+      |  CAST(strlen(text) AS BIGINT) AS doc_bytes,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  'extra/pad.bin' AS first_entry
+      |FROM documents""".stripMargin
+
+  /** EXIF metadata extract + GPS scrub, FULL oracle — the PII-in-
+    * metadata pass of the multimodal ladder (`operators/Exif.scala`):
+    * per doc a real ImageIO JPEG gets a spec-shaped APP1 Exif segment
+    * (TIFF header in BOTH byte orders, IFD0 camera tags, Exif sub-IFD,
+    * GPS IFD with deg/min/sec RATIONALs on 2 of 3 docs), odd docs are
+    * GPS-SCRUBBED through the generic re-layout, and the real parser
+    * (marker walk + IFD walk) recovers the typed columns. The oracle
+    * re-derives every field incl. which docs still carry GPS; a
+    * mis-read tag type, endian slip, inline/external packing bug, or a
+    * scrub that drops a non-GPS tag breaks the hash. */
+  private def imageExif(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { img.setRGB(x, y, ((docId.toInt * 31 + x * 16 + y) % 256) * 0x010101); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      import operators.Exif
+      val gps: Vector[Exif.Entry] =
+        if (docId % 3 != 0) Vector(
+          Exif.ascii(if (docId % 2 == 0) "N" else "S").copy(tag = 0x0001),
+          Exif.rational((docId % 90, 1L), (docId % 60, 1L), ((docId * 7) % 6000, 100L)).copy(tag = 0x0002),
+          Exif.ascii(if (docId % 4 < 2) "E" else "W").copy(tag = 0x0003),
+          Exif.rational((docId % 180, 1L), ((docId * 3) % 60, 1L), ((docId * 11) % 6000, 100L)).copy(tag = 0x0004))
+        else Vector.empty
+      val data = Exif.ExifData(
+        bigEndian = docId % 2 == 0,
+        ifd0 = Vector(
+          Exif.ascii("Cam" + (docId % 7)).copy(tag = 0x010f),
+          Exif.ascii("Model-" + (docId % 13)).copy(tag = 0x0110),
+          Exif.short(1 + docId % 8).copy(tag = 0x0112),
+          Exif.ascii("2020:01:0" + (1 + docId % 9) + " 12:00:00").copy(tag = 0x0132)),
+        exifIfd = Vector(
+          Exif.short(100 * (1 + docId % 16)).copy(tag = 0x8827),
+          Exif.long(16L).copy(tag = 0xa002),
+          Exif.long(16L).copy(tag = 0xa003)),
+        gpsIfd = gps)
+      val tagged = Exif.embedExif(bos.toByteArray, data)
+      if (docId % 2 == 1) Exif.scrubGps(tagged) else tagged
+    })
+    val parse = udf((jpeg: Array[Byte]) => {
+      import operators.Exif
+      Exif.parseExif(jpeg).map { d =>
+        (if (d.bigEndian) "MM" else "II",
+          Exif.asciiValue(d.ifd0, 0x010f).orNull,
+          Exif.asciiValue(d.ifd0, 0x0110).orNull,
+          Exif.numValue(d.ifd0, 0x0112).getOrElse(-1L),
+          Exif.asciiValue(d.ifd0, 0x0132).orNull,
+          Exif.numValue(d.exifIfd, 0x8827).getOrElse(-1L),
+          Exif.numValue(d.exifIfd, 0xa002).getOrElse(-1L),
+          d.gpsIfd.nonEmpty,
+          Exif.rationals(d.gpsIfd, 0x0002).map(r => r(0)._1).getOrElse(-1L),
+          Exif.rationals(d.gpsIfd, 0x0002).map(r => r(2)._1).getOrElse(-1L),
+          Exif.asciiValue(d.gpsIfd, 0x0003).getOrElse("-"))
+      }
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), parse(mk(col("doc_id"))).as("e"))
+      .select(col("doc_id"),
+        col("e._1").as("byte_order"), col("e._2").as("make"),
+        col("e._3").as("model"), col("e._4").as("orientation"),
+        col("e._5").as("date_time"), col("e._6").as("iso"),
+        col("e._7").as("px_x"), col("e._8").as("has_gps"),
+        col("e._9").as("lat_deg"), col("e._10").as("lat_sec_x100"),
+        col("e._11").as("lon_ref"))
+  }
+
+  private val imageExifSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+      |  'Cam' || (doc_id % 7) AS make,
+      |  'Model-' || (doc_id % 13) AS model,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  '2020:01:0' || (1 + doc_id % 9) || ' 12:00:00' AS date_time,
+      |  CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso,
+      |  CAST(16 AS BIGINT) AS px_x,
+      |  (doc_id % 3 <> 0 AND doc_id % 2 = 0) AS has_gps,
+      |  CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+      |       THEN doc_id % 90 ELSE -1 END AS BIGINT) AS lat_deg,
+      |  CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+      |       THEN (doc_id * 7) % 6000 ELSE -1 END AS BIGINT) AS lat_sec_x100,
+      |  CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 0
+      |       THEN (CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END)
+      |       ELSE '-' END AS lon_ref
+      |FROM documents""".stripMargin
+
+  /** Markdown → text extraction, FULL oracle — the README/docs/forum
+    * curation twin of `strip_markup` (`TextAnalysis.Markdown.strip`):
+    * each doc is wrapped in a deterministic markdown shell (ATX
+    * header, blockquote, bulleted + ordered lists, a fenced code block
+    * that must be DROPPED, a link + image + inline code that must keep
+    * their text, emphasis, a horizontal rule) and the ALL-NATIVE
+    * regexp chain recovers the prose; every pattern is RE2-compatible
+    * and the oracle replays the identical chain with 'g' flags. Zero
+    * UDF on either side. */
+  private def markdownStrip(s: SparkSession, dir: String): DataFrame = {
+    val nl = "\n"
+    val head = "# Title" + nl + nl +
+      "> quoted wisdom" + nl + nl +
+      "- item one" + nl +
+      "* item *two*" + nl +
+      "1. third item" + nl + nl +
+      "```" + nl + "code fence dropped" + nl + "```" + nl + nl
+    val mid = ") and ![alt img](i.png) plus `inline code` now." + nl + nl
+    val tail = nl + nl + "---" + nl
+    val raw = concat(lit(head + "See [link text](http://x.invalid/"),
+      col("doc_id"), lit(mid), col("text"), lit(tail))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        functions.TextAnalysis.Markdown.strip(raw).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+  }
+
+  private val markdownStripSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    '# Title' || chr(10) || chr(10) ||
+      |    '> quoted wisdom' || chr(10) || chr(10) ||
+      |    '- item one' || chr(10) ||
+      |    '* item *two*' || chr(10) ||
+      |    '1. third item' || chr(10) || chr(10) ||
+      |    '```' || chr(10) || 'code fence dropped' || chr(10) || '```' || chr(10) || chr(10) ||
+      |    'See [link text](http://x.invalid/' || doc_id ||
+      |    ') and ![alt img](i.png) plus `inline code` now.' || chr(10) || chr(10) ||
+      |    text || chr(10) || chr(10) || '---' || chr(10) AS m
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(m,
+      |      '(?s)```.*?```', ' ', 'g'),
+      |      '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+      |      '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+      |      '`([^`]*)`', '\1', 'g'),
+      |      '(?m)^#{1,6}[ \t]*', '', 'g'),
+      |      '(?m)^[ \t]*>[ \t]?', '', 'g'),
+      |      '(?m)^[ \t]*\d+\.[ \t]+', '', 'g'),
+      |      '(?m)^[ \t]*[-*+][ \t]+', '', 'g'),
+      |      '(?m)^[-*_ \t]{3,}$', ' ', 'g'),
+      |      '(?m)^=+[ \t]*$', ' ', 'g'),
+      |      '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
+      |      '_{1,3}([^_\n]+)_{1,3}', '\1', 'g') AS s1
+      |  FROM raw)
+      |SELECT doc_id,
+      |  trim(regexp_replace(s1, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+      |  CAST(length(trim(regexp_replace(s1, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM st""".stripMargin
+
+  /** Subtitle/caption parsing (SRT + WebVTT), FULL oracle — the caption
+    * side of a video corpus (`operators/Subtitles.scala`): each doc's
+    * words become 5-word cues at closed-form timings, serialized as
+    * REAL SubRip (even docs: CRLF, comma millis, numeric index lines)
+    * or WebVTT (odd docs: signature header, cue-id lines, dot millis,
+    * settings tokens on alternating cues), parsed back by the real
+    * parser (auto-detect, settings strip, strict timestamps), then
+    * aggregated. The oracle re-derives cue count, first/last timings,
+    * and text byte totals from the same `\S+` tokenization; a dropped
+    * cue, a mis-parsed timestamp, or settings leaking into text breaks
+    * the hash. */
+  private def subtitleCues(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long, words: Seq[String]) => {
+      import operators.Subtitles
+      val cues = words.grouped(5).zipWithIndex.map { case (ws, i) =>
+        val start = i.toLong * 2000L + (docId % 7) * 13L
+        Subtitles.Cue(i + 1, start, start + 1500L, ws.mkString(" "))
+      }.toSeq
+      val track =
+        if (docId % 2 == 0) Subtitles.encodeSrt(cues)
+        else Subtitles.encodeVtt(cues)
+      val parsed = Subtitles.parse(track).getOrElse(sys.error("unparseable track"))
+      val totalBytes = parsed.map(_.text.getBytes("UTF-8").length.toLong).sum
+      val nWords = parsed.map(_.text.split("\\s+").count(_.nonEmpty).toLong).sum
+      (parsed.length.toLong,
+        parsed.headOption.map(_.startMs).getOrElse(-1L),
+        parsed.lastOption.map(_.endMs).getOrElse(-1L),
+        totalBytes, nWords)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        run(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_cues"), col("r._2").as("first_start_ms"),
+        col("r._3").as("last_end_ms"), col("r._4").as("total_text_bytes"),
+        col("r._5").as("n_words"))
+  }
+
+  private val subtitleCuesSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    (len(ws) + 4) // 5 AS n_cues,
+      |    COALESCE(list_sum(list_transform(ws, x -> strlen(x))), 0) AS wbytes
+      |  FROM w)
+      |SELECT doc_id,
+      |  CAST(n_cues AS BIGINT) AS n_cues,
+      |  CAST(CASE WHEN n_cues > 0 THEN (doc_id % 7) * 13 ELSE -1 END AS BIGINT) AS first_start_ms,
+      |  CAST(CASE WHEN n_cues > 0 THEN (n_cues - 1) * 2000 + (doc_id % 7) * 13 + 1500
+      |       ELSE -1 END AS BIGINT) AS last_end_ms,
+      |  CAST(CASE WHEN n_words > 0 THEN wbytes + n_words - n_cues ELSE 0 END AS BIGINT) AS total_text_bytes,
+      |  CAST(n_words AS BIGINT) AS n_words
+      |FROM s""".stripMargin
+
   /** REAL FLAC codec round-trip, FULL oracle — the lossless-compression
     * rung of the multimodal ladder (`operators/Flac.scala`): closed-form
     * PCM16 is encoded as a spec-conformant FLAC stream (STREAMINFO with
@@ -8819,6 +9080,10 @@ object SparkEntry {
     "audio_mpeg_layer2" -> (audioMpegLayer2(_, _)),
     "audio_id3" -> (audioId3(_, _)),
     "warc_ingest" -> (warcIngest(_, _)),
+    "zip_ingest" -> (zipIngest(_, _)),
+    "image_exif" -> (imageExif(_, _)),
+    "subtitle_cues" -> (subtitleCues(_, _)),
+    "markdown_strip" -> (markdownStrip(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -9119,6 +9384,10 @@ object SparkEntry {
     "audio_mpeg_layer2" -> audioMpegLayer2Sql,
     "audio_id3" -> audioId3Sql,
     "warc_ingest" -> warcIngestSql,
+    "zip_ingest" -> zipIngestSql,
+    "image_exif" -> imageExifSql,
+    "subtitle_cues" -> subtitleCuesSql,
+    "markdown_strip" -> markdownStripSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,

@@ -277,6 +277,44 @@ object TextAnalysis {
     }
   }
 
+  /** Markdown → text extraction, the curation twin of [[Markup]] for
+    * README/docs/forum corpora: an ALL-NATIVE regexp chain (every
+    * pattern RE2-compatible so the DuckDB oracle replays it verbatim
+    * with 'g' flags). Order matters and is part of the contract:
+    * fenced code DROPS its content (code is not prose), inline code
+    * KEEPS it; images/links reduce to their alt/anchor text; then
+    * line-anchored decorations (ATX headers, blockquotes, list
+    * markers, horizontal rules, setext underlines) strip, emphasis
+    * markers unwrap, and whitespace collapses. */
+  object Markdown {
+    val fencePattern = "(?s)```.*?```"
+    val imagePattern = "!\\[([^\\]]*)\\]\\([^)]*\\)"
+    val linkPattern = "\\[([^\\]]*)\\]\\([^)]*\\)"
+    val inlineCodePattern = "`([^`]*)`"
+    val headerPattern = "(?m)^#{1,6}[ \\t]*"
+    val quotePattern = "(?m)^[ \\t]*>[ \\t]?"
+    val orderedPattern = "(?m)^[ \\t]*\\d+\\.[ \\t]+"
+    val bulletPattern = "(?m)^[ \\t]*[-*+][ \\t]+"
+    val hrPattern = "(?m)^[-*_ \\t]{3,}$"
+    val setextPattern = "(?m)^=+[ \\t]*$"
+    val strongPattern = "\\*{1,3}([^*\\n]+)\\*{1,3}"
+    val emPattern = "_{1,3}([^_\\n]+)_{1,3}"
+
+    def strip(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{regexp_replace, lit, trim}
+      def rep(c: org.apache.spark.sql.Column, p: String, r: String) =
+        regexp_replace(c, lit(p), lit(r))
+      val s1 = rep(textCol, fencePattern, " ")
+      val s2 = rep(rep(s1, imagePattern, "$1"), linkPattern, "$1")
+      val s3 = rep(s2, inlineCodePattern, "$1")
+      val s4 = rep(rep(rep(rep(s3, headerPattern, ""), quotePattern, ""),
+        orderedPattern, ""), bulletPattern, "")
+      val s5 = rep(rep(s4, hrPattern, " "), setextPattern, " ")
+      val s6 = rep(rep(s5, strongPattern, "$1"), emPattern, "$1")
+      trim(rep(s6, "[ \\t\\r\\n]+", " "))
+    }
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Rabin-Karp rolling polynomial hash of the whole document:

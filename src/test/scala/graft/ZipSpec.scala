@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Zip
+import graft.operators.Zip.Entry
+
+/** ZIP shard reader invariants: EOCD backwards scan (with archive
+  * comment), central-directory-driven decode, stored + deflated +
+  * streaming (data-descriptor) entries, CRC/size verification, and
+  * refusal of every corruption class. Pure JVM. */
+class ZipSpec extends AnyFunSuite {
+
+  private def entries = Seq(
+    Entry("text/doc.txt", "hello zip world, hello again".getBytes("UTF-8"), method = 8),
+    Entry("meta.json", """{"id":7,"lang":"en"}""".getBytes("UTF-8"), method = 0),
+    Entry("extra/pad.bin", "pad-7pad-7".getBytes("UTF-8"), method = 8, descriptor = true))
+
+  test("encode/decode round-trip preserves names and bytes, in order") {
+    val dec = Zip.decodeZip(Zip.encodeZip(entries, comment = "shard-7")).get
+    assert(dec.map(_._1) == Seq("text/doc.txt", "meta.json", "extra/pad.bin"))
+    dec.zip(entries).foreach { case ((_, body), e) =>
+      assert(body.toSeq == e.payload.toSeq)
+    }
+  }
+
+  test("binary, empty, and unicode payloads survive all three entry kinds") {
+    val tricky = Seq(
+      Entry("b.bin", Array.tabulate[Byte](1024)(i => (i * 37 % 256 - 128).toByte), method = 8),
+      Entry("empty.txt", Array.empty[Byte], method = 0),
+      Entry("empty2.txt", Array.empty[Byte], method = 8, descriptor = true),
+      Entry("u.txt", "naïve café — 中文 ✓".getBytes("UTF-8"), method = 0))
+    val dec = Zip.decodeZip(Zip.encodeZip(tricky)).get
+    assert(dec.map(_._2.toSeq) == tricky.map(_.payload.toSeq))
+    assert(new String(dec(3)._2, "UTF-8") == "naïve café — 中文 ✓")
+  }
+
+  test("PK\\x05\\x06 bytes inside a STORED payload do not fool the EOCD scan") {
+    // A stored entry whose payload embeds the EOCD signature; the scan
+    // must still find the REAL record (comment-length check rejects the
+    // imposter).
+    val sig = Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ new Array[Byte](18)
+    val dec = Zip.decodeZip(Zip.encodeZip(Seq(
+      Entry("trap.bin", sig ++ "tail".getBytes("UTF-8"), method = 0)))).get
+    assert(dec.head._2.length == 26)
+  }
+
+  test("many entries and a long archive comment") {
+    val many = (1 to 150).map(i =>
+      Entry(s"d/$i.txt", s"payload number $i".getBytes("UTF-8"),
+        method = if (i % 3 == 0) 0 else 8, descriptor = i % 5 == 0))
+    val dec = Zip.decodeZip(Zip.encodeZip(many, comment = "c" * 200)).get
+    assert(dec.length == 150)
+    assert(new String(dec(87)._2, "UTF-8") == "payload number 88")
+  }
+
+  test("corruption anywhere is refused, never half-decoded") {
+    val enc = Zip.encodeZip(entries)
+    // guarded regions: local magic (0..3), method byte, deflate data
+    // (mid-entry), central directory, EOCD counts.
+    for (pos <- Seq(0, 1, 8, 40, enc.length - 12, enc.length - 6)) {
+      val bad = enc.clone()
+      bad(pos) = (bad(pos) ^ 0x20).toByte
+      assert(Zip.decodeZip(bad).isEmpty, s"corruption at byte $pos undetected")
+    }
+    assert(Zip.decodeZip(enc.take(enc.length - 3)).isEmpty, "truncation undetected")
+    assert(Zip.decodeZip("not a zip".getBytes).isEmpty)
+    assert(Zip.decodeZip(Array.empty[Byte]).isEmpty)
+  }
+
+  test("ZIP64 size markers are refused loudly, not misread") {
+    val enc = Zip.encodeZip(Seq(entries.head))
+    // central directory csize field at cdOff+20 → set to 0xFFFFFFFF
+    def le32At(d: Array[Byte], i: Int): Long =
+      (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+        ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+    val eocd = enc.length - 22
+    val cdOff = le32At(enc, eocd + 16).toInt
+    val bad = enc.clone()
+    for (k <- 0 until 4) bad(cdOff + 20 + k) = 0xff.toByte
+    assert(Zip.decodeZip(bad).isEmpty)
+  }
+}
