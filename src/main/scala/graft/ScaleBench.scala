@@ -480,6 +480,97 @@ object ScaleBench {
       add("tga_codec_scan", docs.count(), tTga,
         Seq(("wsum_total", nTga.toDouble)))
 
+      // ZIP shard ingest scan (r11 continuation): per-row PKZIP
+      // encode→central-directory decode→extract with a deflated text
+      // entry; the container sibling of warc_codec_scan (DEFLATE is
+      // stdlib both ways), same stateless-map contract.
+      val (nZip, tZip) = time {
+        val mkZ = udf((id: Long, text: String) => operators.Zip.encodeZip(Seq(
+          operators.Zip.Entry("doc.txt",
+            (if (text == null) "" else text).getBytes("UTF-8"), method = 8,
+            descriptor = id % 2 == 0))))
+        val shards = docs.select(col("doc_id"), mkZ(col("doc_id"), col("text")).as("payload"))
+        operators.Zip.extractEntries(shards, "doc_id", "payload")
+          .agg(sum(col("content_bytes"))).head().getLong(0)
+      }
+      add("zip_codec_scan", docs.count(), tZip,
+        Seq(("content_bytes", nZip.toDouble)))
+
+      // EXIF embed→scrub→parse scan (r11 continuation): one template
+      // JPEG (driver-built, closure-captured) gets a per-row APP1 with
+      // GPS, is GPS-scrubbed through the generic re-layout, and
+      // re-parsed; cost is pure metadata re-layout per row — flat.
+      val baseJpeg = {
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val (nEx, tEx) = time {
+        val run = udf((id: Long) => {
+          import operators.Exif
+          val d = Exif.ExifData(bigEndian = id % 2 == 0,
+            ifd0 = Vector(Exif.ascii("Cam" + (id % 7)).copy(tag = 0x010f),
+              Exif.short(1 + id % 8).copy(tag = 0x0112)),
+            exifIfd = Vector(Exif.short(100 * (1 + id % 16)).copy(tag = 0x8827)),
+            gpsIfd = Vector(Exif.ascii("N").copy(tag = 0x0001),
+              Exif.rational((id % 90, 1L), (id % 60, 1L), (id % 6000, 100L)).copy(tag = 0x0002)))
+          val scrubbed = Exif.scrubGps(Exif.embedExif(baseJpeg, d))
+          Exif.parseExif(scrubbed).flatMap(p => Exif.numValue(p.ifd0, 0x0112)).getOrElse(-1L)
+        })
+        docs.select(run(col("doc_id")).as("o")).agg(sum(col("o"))).head().getLong(0)
+      }
+      add("exif_codec_scan", docs.count(), tEx,
+        Seq(("orient_total", nEx.toDouble)))
+
+      // Subtitle track round-trip scan (r11 continuation): words →
+      // SRT/VTT cue tracks → real parse → cue count; stateless per-row
+      // string codec, flat per row.
+      val (nSub, tSub) = time {
+        val run = udf((id: Long, text: String) => {
+          import operators.Subtitles
+          val ws = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+          val cues = ws.grouped(5).zipWithIndex.map { case (g, i) =>
+            Subtitles.Cue(i + 1, i * 2000L, i * 2000L + 1500L, g.mkString(" "))
+          }.toSeq
+          val track = if (id % 2 == 0) Subtitles.encodeSrt(cues)
+            else Subtitles.encodeVtt(cues)
+          Subtitles.parse(track).map(_.length.toLong).getOrElse(-1L)
+        })
+        docs.select(run(col("doc_id"), col("text")).as("c"))
+          .agg(sum(col("c"))).head().getLong(0)
+      }
+      add("subtitle_scan", docs.count(), tSub, Seq(("cues", nSub.toDouble)))
+
+      // Markdown strip scan (r11 continuation): the ALL-NATIVE regexp
+      // chain — no UDF anywhere, whole-stage codegen end to end; the
+      // per-row cost is the regex engine itself.
+      val (nMd, tMd) = time(
+        docs.select(functions.TextAnalysis.Markdown.strip(
+            concat(lit("# T\n\n- a\n\n```\nx\n```\n\n"), col("text"))).as("s"))
+          .agg(sum(length(col("s")))).head().getLong(0))
+      add("markdown_strip_scan", docs.count(), tMd,
+        Seq(("chars_total", nMd.toDouble)))
+
+      // PDF extract scan (r11 continuation): per-row encode (Flate +
+      // classic xref) → full decode (xref walk, inflate, escape
+      // resolution); stateless map, scan-bound flat like the other
+      // container codecs.
+      val (nPdf, tPdf) = time {
+        val run = udf((id: Long, text: String) => {
+          import operators.Pdf
+          val toks = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+          val pg = Pdf.Page(toks.grouped(8).map(_.mkString(" ")).toSeq)
+          Pdf.decodePdfText(Pdf.encodePdf(Seq(pg)))
+            .map(_.head.length.toLong).getOrElse(-1L)
+        })
+        docs.select(run(col("doc_id"), col("text")).as("c"))
+          .agg(sum(col("c"))).head().getLong(0)
+      }
+      add("pdf_codec_scan", docs.count(), tPdf,
+        Seq(("chars_total", nPdf.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

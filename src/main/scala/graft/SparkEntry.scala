@@ -6319,6 +6319,55 @@ object SparkEntry {
       |  CAST(length(trim(regexp_replace(s1, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM st""".stripMargin
 
+  /** PDF text extraction, FULL oracle — the paper/report rung of the
+    * ingest ladder (`operators/Pdf.scala`): per doc a classic-xref
+    * 2-page PDF (page 1: the doc's tokens as 8-word Tj/TJ lines with
+    * the real kerning-split TJ arrays, FlateDecode + INDIRECT /Length;
+    * page 2: raw stream, direct /Length, parens + backslash escapes in
+    * the literals), decoded by the real reader — startxref → xref →
+    * /Root → /Kids walk, zlib inflate, full string-escape resolution.
+    * The oracle re-derives page counts, line counts, reassembled char
+    * totals, and page-2's exact text; a broken escape, a TJ fragment
+    * lost, or an xref short-cut breaks the hash. */
+  private def pdfExtract(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long, lang: String, toks: Seq[String]) => {
+      import operators.Pdf
+      val p1 = Pdf.Page(toks.grouped(8).map(_.mkString(" ")).toSeq)
+      val p2 = Pdf.Page(Seq(s"Doc ($docId) \\ money 100% (ok)", s"lang: $lang"))
+      val pages = Pdf.decodePdfText(Pdf.encodePdf(Seq(p1, p2)))
+        .getOrElse(sys.error("undecodable PDF"))
+      val r1 = pages.head
+      val p1Lines = if (r1.isEmpty) 0L else r1.split("\n", -1).length.toLong
+      val p1Chars = r1.replace("\n", " ").length.toLong
+      (pages.length.toLong, p1Lines, p1Chars, pages(1))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        run(col("doc_id"), col("lang"), col("toks")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_pages"), col("r._2").as("p1_lines"),
+        col("r._3").as("p1_chars"), col("r._4").as("p2_text"))
+  }
+
+  private val pdfExtractSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tok,
+      |    (len(toks) + 7) // 8 AS n_lines,
+      |    COALESCE(list_sum(list_transform(toks, x -> strlen(x))), 0) AS tbytes
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(2 AS BIGINT) AS n_pages,
+      |  CAST(n_lines AS BIGINT) AS p1_lines,
+      |  CAST(CASE WHEN n_tok > 0 THEN tbytes + n_tok - 1 ELSE 0 END AS BIGINT) AS p1_chars,
+      |  'Doc (' || doc_id || ') \ money 100% (ok)' || chr(10) || 'lang: ' || lang AS p2_text
+      |FROM s""".stripMargin
+
   /** Subtitle/caption parsing (SRT + WebVTT), FULL oracle — the caption
     * side of a video corpus (`operators/Subtitles.scala`): each doc's
     * words become 5-word cues at closed-form timings, serialized as
@@ -9084,6 +9133,7 @@ object SparkEntry {
     "image_exif" -> (imageExif(_, _)),
     "subtitle_cues" -> (subtitleCues(_, _)),
     "markdown_strip" -> (markdownStrip(_, _)),
+    "pdf_extract" -> (pdfExtract(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -9388,6 +9438,7 @@ object SparkEntry {
     "image_exif" -> imageExifSql,
     "subtitle_cues" -> subtitleCuesSql,
     "markdown_strip" -> markdownStripSql,
+    "pdf_extract" -> pdfExtractSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,
