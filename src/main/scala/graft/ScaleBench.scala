@@ -571,6 +571,22 @@ object ScaleBench {
       add("pdf_codec_scan", docs.count(), tPdf,
         Seq(("chars_total", nPdf.toDouble)))
 
+      // WebP/VP8L codec scan (r11 continuation): per-row truecolor
+      // encode (canonical prefix codes + transforms) → decode → stats;
+      // the entropy-coded image sibling of gif_codec_scan.
+      val (nWp, tWp) = time {
+        val mkW2 = udf((id: Long) => operators.Vp8l.encodeWebp(
+          Array.tabulate(64)(i => 0xff000000 | (((id.toInt * 31 + i * 7) % 256) << 8)),
+          8, 8, operators.Vp8l.Vp8lConfig(
+            subtractGreen = id % 2 == 0, cacheBits = (id % 3).toInt * 2)))
+        val wsumW = udf((p: Array[Byte]) =>
+          operators.Vp8l.decodeWebp(p).map(operators.Vp8l.webpStats(_)._7).getOrElse(-1L))
+        docs.select(wsumW(mkW2(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("webp_codec_scan", docs.count(), tWp,
+        Seq(("wsum_total", nWp.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

@@ -5948,16 +5948,17 @@ object SparkEntry {
   /** Content-type sniffing, FULL oracle — the decoder-dispatch step a
     * crawl pipeline runs before trusting any Content-Type header
     * (`operators/MimeSniff.scala`): per doc a REAL payload from one of
-    * 13 format families — each produced by this repo's own encoder
+    * 16 format families — each produced by this repo's own encoder
     * (PNG, GIF, QOI, TIFF in both byte orders, WAV, AIFF, AU, FLAC,
-    * ID3-led MPEG audio, FLIC, gzip'd WARC, ustar, sitemap XML) — is
+    * ID3-led MPEG audio, FLIC, gzip'd WARC, ustar, sitemap XML,
+    * RIFF/WEBP/VP8L, PKZIP, PDF) — is
     * sniffed from its magic bytes alone. The oracle derives the
     * expected type from the doc's format dial, so a signature,
     * byte-order, or shared-prefix-disambiguation defect (RIFF/WAVE,
     * FORM/AIFF) flips rows and breaks the hash. An integration query
-    * by design: it exercises 13 encoders and the sniffer in one pass. */
+    * by design: it exercises 16 encoders and the sniffer in one pass. */
   private def mimeSniff(s: SparkSession, dir: String): DataFrame = {
-    val mk = udf((d: Long) => (d % 13) match {
+    val mk = udf((d: Long) => (d % 16) match {
       case 0 => operators.Multimodal.encodePng8x8(
         Array.tabulate(64)(i => (i * 4) % 256))
       case 1 => operators.Gif.encodeGif(operators.Gif.GifImage(8, 8,
@@ -5987,9 +5988,16 @@ object SparkEntry {
         s"payload $d".getBytes("UTF-8"))))
       case 11 => operators.WebDataset.encodeTar(Seq(
         operators.WebDataset.TarEntry(s"$d.txt", s"x$d".getBytes("UTF-8"))))
-      case _ =>
+      case 12 =>
         (s"""<?xml version="1.0"?><urlset><url><loc>http://ex.com/$d""" +
           "</loc></url></urlset>").getBytes("UTF-8")
+      case 13 => operators.Vp8l.encodeWebp(
+        Array.tabulate(64)(i => 0xff000000 | ((d.toInt * 31 + i * 7) % 256)),
+        8, 8, operators.Vp8l.Vp8lConfig())
+      case 14 => operators.Zip.encodeZip(Seq(operators.Zip.Entry(
+        "doc.txt", s"zip doc $d".getBytes("UTF-8"))))
+      case _ => operators.Pdf.encodePdf(Seq(operators.Pdf.Page(
+        Seq(s"pdf doc $d"))))
     })
     val sniff = udf((p: Array[Byte]) => operators.MimeSniff.sniff(p))
     Tables.read(s, dir, "documents")
@@ -5999,7 +6007,7 @@ object SparkEntry {
 
   private val mimeSniffSql =
     """SELECT doc_id,
-      |  CASE doc_id % 13
+      |  CASE doc_id % 16
       |    WHEN 0 THEN 'image/png'      WHEN 1 THEN 'image/gif'
       |    WHEN 2 THEN 'image/qoi'      WHEN 3 THEN 'image/tiff'
       |    WHEN 4 THEN 'audio/wav'      WHEN 5 THEN 'audio/aiff'
@@ -6007,7 +6015,10 @@ object SparkEntry {
       |    WHEN 8 THEN 'audio/mpeg'     WHEN 9 THEN 'video/flic'
       |    WHEN 10 THEN 'application/gzip'
       |    WHEN 11 THEN 'application/x-tar'
-      |    ELSE 'application/xml' END AS mime
+      |    WHEN 12 THEN 'application/xml'
+      |    WHEN 13 THEN 'image/webp'
+      |    WHEN 14 THEN 'application/zip'
+      |    ELSE 'application/pdf' END AS mime
       |FROM documents""".stripMargin
 
   /** REAL TGA codec round-trip, FULL oracle — the origin-flip rung of
@@ -6318,6 +6329,83 @@ object SparkEntry {
       |  trim(regexp_replace(s1, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
       |  CAST(length(trim(regexp_replace(s1, '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM st""".stripMargin
+
+  /** REAL WebP-lossless (VP8L) codec round-trip, FULL oracle — the
+    * entropy-coded truecolor rung of the image ladder
+    * (`operators/Vp8l.scala`): closed-form 8×8 ARGB pixels are encoded
+    * as spec-shaped RIFF/WEBP/VP8L streams with the dial cycling per
+    * doc — COLOR-INDEXING palette bundling (doc%4=0), a PREDICTOR
+    * transform cycling all 14 modes (doc%4=1), SUBTRACT-GREEN + a
+    * 4-bit color cache (doc%4=2), LZ77 run backrefs (doc%4=3) — then
+    * decoded by the real decoder (canonical prefix codes via the
+    * code-length code, cache replay, inverse transforms). Lossless ⇒
+    * the oracle re-derives every channel sum from the closed form;
+    * any prefix-code, cache-hash, transform, or bundling defect in
+    * EITHER direction breaks the hash. */
+  private def imageWebp(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      import operators.Vp8l
+      val d = docId
+      val px: Array[Int] =
+        if (d % 4 == 0) Array.tabulate(64) { i =>
+          val k = ((d * 7 + i) % 4).toInt
+          val rr = ((d * 11 + k * 40) % 256).toInt
+          val gg = ((d * 5 + k * 25) % 256).toInt
+          val bb = (k * 60 + 3) % 256
+          (255 << 24) | (rr << 16) | (gg << 8) | bb
+        }
+        else Array.tabulate(64) { i0 =>
+          val i = if (d % 4 == 3) 4 * (i0 / 4) else i0
+          val aa = if (d % 2 == 0) 255 else (128 + (d + i) % 128).toInt
+          val rr = ((d * 3 + i * 7) % 256).toInt
+          val gg = ((d * 5 + i * 11) % 256).toInt
+          val bb = ((d * 7 + i * 13) % 256).toInt
+          (aa << 24) | (rr << 16) | (gg << 8) | bb
+        }
+      val cfg = (d % 4).toInt match {
+        case 0 => Vp8l.Vp8lConfig(palette = true)
+        case 1 => Vp8l.Vp8lConfig(predictorMode = ((d / 4) % 14).toInt)
+        case 2 => Vp8l.Vp8lConfig(subtractGreen = true, cacheBits = 4)
+        case _ => Vp8l.Vp8lConfig(useRuns = true)
+      }
+      Vp8l.encodeWebp(px, 8, 8, cfg)
+    })
+    val st = udf((payload: Array[Byte]) =>
+      operators.Vp8l.decodeWebp(payload).map(operators.Vp8l.webpStats))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), st(mk(col("doc_id"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("sum_r"), col("st._4").as("sum_g"),
+        col("st._5").as("sum_b"), col("st._6").as("sum_a"),
+        col("st._7").as("wsum"))
+  }
+
+  private val imageWebpSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS i0),
+      |px AS (
+      |  SELECT d.doc_id, g.i0,
+      |    CASE WHEN d.doc_id % 4 = 3 THEN 4 * (g.i0 // 4) ELSE g.i0 END AS i,
+      |    CAST((d.doc_id * 7 + g.i0) % 4 AS BIGINT) AS k
+      |  FROM documents d, grid g),
+      |ch AS (
+      |  SELECT doc_id, i0,
+      |    CASE WHEN doc_id % 4 = 0 THEN (doc_id * 11 + k * 40) % 256
+      |         ELSE (doc_id * 3 + i * 7) % 256 END AS r,
+      |    CASE WHEN doc_id % 4 = 0 THEN (doc_id * 5 + k * 25) % 256
+      |         ELSE (doc_id * 5 + i * 11) % 256 END AS g,
+      |    CASE WHEN doc_id % 4 = 0 THEN (k * 60 + 3) % 256
+      |         ELSE (doc_id * 7 + i * 13) % 256 END AS b,
+      |    CASE WHEN doc_id % 4 = 0 OR doc_id % 2 = 0 THEN 255
+      |         ELSE 128 + (doc_id + i) % 128 END AS a
+      |  FROM px)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(a) AS BIGINT) AS sum_a,
+      |  CAST(sum(i0 * (r + g + b + a)) AS BIGINT) AS wsum
+      |FROM ch GROUP BY 1""".stripMargin
 
   /** PDF text extraction, FULL oracle — the paper/report rung of the
     * ingest ladder (`operators/Pdf.scala`): per doc a classic-xref
@@ -9134,6 +9222,7 @@ object SparkEntry {
     "subtitle_cues" -> (subtitleCues(_, _)),
     "markdown_strip" -> (markdownStrip(_, _)),
     "pdf_extract" -> (pdfExtract(_, _)),
+    "image_webp" -> (imageWebp(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -9439,6 +9528,7 @@ object SparkEntry {
     "subtitle_cues" -> subtitleCuesSql,
     "markdown_strip" -> markdownStripSql,
     "pdf_extract" -> pdfExtractSql,
+    "image_webp" -> imageWebpSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,

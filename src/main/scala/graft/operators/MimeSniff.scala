@@ -54,6 +54,7 @@ object MimeSniff {
     else if (hasAscii(b, 0, "BM")) "image/bmp"
     else if (hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "WAVE")) "audio/wav"
     else if (hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "AVI ")) "video/avi"
+    else if (hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "WEBP")) "image/webp"
     else if (hasAscii(b, 0, "FORM") && hasAscii(b, 8, "AIFF")) "audio/aiff"
     else if (hasAscii(b, 0, ".snd")) "audio/basic"
     else if (hasAscii(b, 0, "fLaC")) "audio/flac"
@@ -70,6 +71,9 @@ object MimeSniff {
     else if (at(b, 5) == 0xaf && (at(b, 4) == 0x11 || at(b, 4) == 0x12) &&
              b.length >= 12)
       "video/flic" // FLIC magic 0xAF11/0xAF12 LITTLE-endian at offset 4
+    else if (at(b, 0) == 'P' && at(b, 1) == 'K' && at(b, 2) == 3 && at(b, 3) == 4)
+      "application/zip" // local-file-header magic PK\x03\x04
+    else if (hasAscii(b, 0, "%PDF-")) "application/pdf"
     else if (hasAscii(b, 257, "ustar")) "application/x-tar"
     else if (hasAscii(b, 0, "<?xml") || hasAscii(b, 0, "<urlset") ||
              hasAscii(b, 0, "<sitemapindex")) "application/xml"

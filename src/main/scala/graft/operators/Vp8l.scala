@@ -1,0 +1,845 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/**
+ * WebP-lossless (VP8L) codec — the entropy-coded truecolor rung of the
+ * image ladder, between GIF's LZW (palette) and the PackBits/RLE
+ * codecs: VP8L is what modern crawls actually serve for lossless
+ * images, and it exercises the full classic toolchain — canonical
+ * prefix codes with a code-length code, LZ77 over pixels, a hashed
+ * color cache, and spatial transforms.
+ *
+ * Written against the public "WebP Lossless Bitstream Specification"
+ * (RIFF container per the WebP container spec). Reference surface: the
+ * reference ingests images as payload+metadata (`NeuronDB/src/ml/
+ * ml_multimodal.c`); the codec itself is public-format work it never
+ * implements.
+ *
+ * Implemented spec surface:
+ *  - RIFF/WEBP/VP8L framing with even-size padding.
+ *  - LSB-first bit stream; 14-bit dimensions; version 0.
+ *  - All FOUR transforms decode: PREDICTOR (14 modes, spec edge rules,
+ *    tile sub-image), COLOR (per-tile signed 3.5 fixed-point cross-
+ *    channel deltas), SUBTRACT-GREEN, COLOR-INDEXING (delta-coded
+ *    palette, sub-byte green-channel bundling). The encoder emits
+ *    SUBTRACT-GREEN, PREDICTOR (uniform mode), and COLOR-INDEXING
+ *    (when ≤16 distinct colors) — each exactly as the spec lays them
+ *    out, so the decoder paths are exercised by real streams.
+ *  - Prefix-code groups of 5 (green+len+cache / red / blue / alpha /
+ *    distance), both SIMPLE (1-2 symbol) and normal codes; the
+ *    code-length code with symbols 16/17/18, 3-bit lengths in the
+ *    spec's fixed order, and canonical (length, symbol)-ordered
+ *    assignment; single-symbol codes cost zero data bits.
+ *  - LZ77 backrefs with the shared bucketed length/distance value
+ *    scheme; the color cache (multiplier 0x1e35a7bd, 1-11 bits) on
+ *    both encode and decode; meta-prefix (entropy image) DECODE.
+ *
+ * Documented boundaries (refused loudly, never mis-decoded):
+ *  - Distance codes ≤ 120 (the spec's 2D neighborhood map) — the map
+ *    is a 120-entry published constant table this environment cannot
+ *    retrieve verbatim; this encoder always emits `distance + 120`
+ *    (spec-legal and what any decoder must support), and the decoder
+ *    rejects mapped codes rather than guess the table.
+ *
+ * Scale shape: stateless per-row map, same contract as every codec in
+ * this repo — media bytes never leave the scan stage.
+ */
+object Vp8l {
+
+  // ------------------------------------------------------------ bit I/O
+
+  final class BitReader(val data: Array[Byte], start: Int) {
+    private var bytePos = start
+    private var bitPos = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        require(bytePos < data.length, "VP8L bitstream truncated")
+        val bit = (data(bytePos) >> bitPos) & 1
+        v |= bit << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        i += 1
+      }
+      v
+    }
+    def readBit(): Int = read(1)
+  }
+
+  final class BitWriter {
+    private val out = mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { out += cur.toByte; cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def toBytes: Array[Byte] = {
+      val b = out.clone()
+      if (nBits > 0) b += cur.toByte
+      b.toArray
+    }
+  }
+
+  // ----------------------------------------------- canonical prefix codes
+
+  /** Spec's fixed transmission order for the code-length code. */
+  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Canonical decoder: codes assigned in (length asc, symbol asc)
+    * order; bits stream MSB-of-code-first. A single-symbol code has
+    * length 0 and consumes no bits. */
+  final class PrefixCode(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    val isTrivial: Boolean = lengths.count(_ > 0) <= 1
+    private val trivialSym: Int = {
+      val i = lengths.indexWhere(_ > 0)
+      if (i < 0) 0 else i
+    }
+    // counts(l), firstCode(l), firstIndex(l), symbols sorted by (len, sym)
+    private val counts = {
+      val c = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) c(l) += 1)
+      c
+    }
+    private val (firstCode, firstIndex, sorted) = {
+      val fc = new Array[Int](maxLen + 1)
+      val fi = new Array[Int](maxLen + 1)
+      var code = 0
+      var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        fc(l) = code; fi(l) = idx
+        code = (code + counts(l)) << 1
+        idx += counts(l)
+        l += 1
+      }
+      if (!isTrivial)
+        require((code >> 1) == (1 << maxLen),
+          "prefix code not full (Kraft violation)")
+      val sy = lengths.indices.filter(lengths(_) > 0)
+        .sortBy(s => (lengths(s), s)).toArray
+      (fc, fi, sy)
+    }
+    def decode(br: BitReader): Int = {
+      if (isTrivial) return trivialSym
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | br.readBit()
+        len += 1
+        if (code - firstCode(len) < counts(len))
+          return sorted(firstIndex(len) + code - firstCode(len))
+      }
+      sys.error("invalid prefix code sequence")
+    }
+    /** Canonical code bits for encoding: symbol → (code, len). */
+    lazy val encodeTable: Map[Int, (Int, Int)] = {
+      var code = 0
+      var prevLen = 0
+      sorted.map { s =>
+        val l = lengths(s)
+        code <<= (l - prevLen)
+        prevLen = l
+        val e = (s, (code, l))
+        code += 1
+        e
+      }.toMap
+    }
+  }
+
+  private def writeCode(bw: BitWriter, code: Int, len: Int): Unit = {
+    // MSB-of-code-first on the wire
+    var i = len - 1
+    while (i >= 0) { bw.write((code >> i) & 1, 1); i -= 1 }
+  }
+
+  /** Depth-limited Huffman code lengths from frequencies (package-
+    * merge-free: plain Huffman, then Kraft-repair if over the limit). */
+  def huffmanLengths(freqs: Array[Int], maxLen: Int): Array[Int] = {
+    val n = freqs.length
+    val lengths = new Array[Int](n)
+    val alive = freqs.zipWithIndex.filter(_._1 > 0)
+    if (alive.isEmpty) return lengths
+    if (alive.length == 1) { lengths(alive.head._2) = 1; return lengths }
+    // simple heap Huffman over (freq, node); track depths via parents
+    final case class Node(freq: Long, syms: List[Int])
+    val ord = Ordering.by[Node, Long](_.freq).reverse
+    val pq = mutable.PriorityQueue[Node]()(ord)
+    alive.foreach { case (f, s) => pq.enqueue(Node(f.toLong, List(s))) }
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      (a.syms ++ b.syms).foreach(s => lengths(s) += 1)
+      pq.enqueue(Node(a.freq + b.freq, a.syms ++ b.syms))
+    }
+    // Kraft repair to maxLen (zlib-style): clamp, then fix the sum
+    var over = false
+    lengths.indices.foreach { i => if (lengths(i) > maxLen) { lengths(i) = maxLen; over = true } }
+    if (over) {
+      def kraft: Long = lengths.filter(_ > 0).map(l => 1L << (maxLen - l)).sum
+      val full = 1L << maxLen
+      while (kraft > full) {
+        // lengthen the deepest symbol shallower than the limit
+        val i = lengths.indices.filter(j => lengths(j) > 0 && lengths(j) < maxLen)
+          .maxBy(lengths(_))
+        lengths(i) += 1
+      }
+      // shorten codes while the tree stays full is optional; decoder
+      // accepts a strictly full tree, so pull slack back greedily
+      var improved = true
+      while (improved) {
+        improved = false
+        val slack = full - kraft
+        if (slack > 0) {
+          val cand = lengths.indices.filter(j => lengths(j) > 1 &&
+            (1L << (maxLen - (lengths(j) - 1))) - (1L << (maxLen - lengths(j))) <= slack)
+          if (cand.nonEmpty) {
+            val i = cand.maxBy(lengths(_))
+            lengths(i) -= 1
+            improved = true
+          }
+        }
+      }
+      require(kraft == full, "Kraft repair failed")
+    }
+    lengths
+  }
+
+  // ------------------------------------- code transmission (read/write)
+
+  /** Read one prefix code of `alphabetSize` (spec 5.2.2). */
+  private def readPrefixCode(br: BitReader, alphabetSize: Int): PrefixCode = {
+    val simple = br.readBit()
+    val lengths = new Array[Int](alphabetSize)
+    if (simple == 1) {
+      val numSymbols = br.readBit() + 1
+      val first8 = br.readBit()
+      val s0 = br.read(if (first8 == 1) 8 else 1)
+      require(s0 < alphabetSize, s"simple code symbol $s0 out of alphabet")
+      lengths(s0) = 1
+      if (numSymbols == 2) {
+        val s1 = br.read(8)
+        require(s1 < alphabetSize && s1 != s0, "bad second simple symbol")
+        lengths(s1) = 1
+      }
+      new PrefixCode(lengths)
+    } else {
+      val numCl = 4 + br.read(4)
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(ClOrder(i)) = br.read(3); i += 1 }
+      val clCode = new PrefixCode(clLengths)
+      var maxSymbol =
+        if (br.readBit() == 1) {
+          val nbits = 2 + 2 * br.read(3)
+          2 + br.read(nbits)
+        } else alphabetSize
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.decode(br)
+        cl match {
+          case l if l < 16 =>
+            lengths(sym) = l; sym += 1
+            if (l != 0) prevLen = l
+          case 16 =>
+            val rep = 3 + br.read(2)
+            require(sym + rep <= alphabetSize, "repeat overruns alphabet")
+            (0 until rep).foreach { _ => lengths(sym) = prevLen; sym += 1 }
+          case 17 =>
+            val rep = 3 + br.read(3)
+            require(sym + rep <= alphabetSize, "zero-run overruns alphabet")
+            sym += rep
+          case 18 =>
+            val rep = 11 + br.read(7)
+            require(sym + rep <= alphabetSize, "zero-run overruns alphabet")
+            sym += rep
+          case other => sys.error(s"bad code-length symbol $other")
+        }
+      }
+      new PrefixCode(lengths)
+    }
+  }
+
+  /** Write a prefix code for `lengths` (simple form when ≤2 symbols
+    * used, else the code-length code). */
+  private def writePrefixCode(bw: BitWriter, lengths: Array[Int]): Unit = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.length <= 2 && used.forall(_ < 256)) {
+      bw.write(1, 1) // simple
+      bw.write(if (used.length <= 1) 0 else 1, 1)
+      val s0 = if (used.isEmpty) 0 else used.head
+      val first8 = if (s0 > 1) 1 else 0
+      bw.write(first8, 1)
+      bw.write(s0, if (first8 == 1) 8 else 1)
+      if (used.length == 2) bw.write(used(1), 8)
+    } else {
+      bw.write(0, 1)
+      // RLE the length array into cl symbols
+      val syms = mutable.ArrayBuffer[(Int, Int, Int)]() // (sym, extra, extraBits)
+      var i = 0
+      var prevNz = 8
+      while (i < lengths.length) {
+        val l = lengths(i)
+        if (l == 0) {
+          var run = 0
+          while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+          i += run
+          while (run > 0) {
+            if (run >= 11) { val r = math.min(run, 138); syms += ((18, r - 11, 7)); run -= r }
+            else if (run >= 3) { val r = math.min(run, 10); syms += ((17, r - 3, 3)); run -= r }
+            else { (0 until run).foreach(_ => syms += ((0, 0, 0))); run = 0 }
+          }
+        } else {
+          syms += ((l, 0, 0))
+          prevNz = l
+          i += 1
+          var run = 0
+          while (i + run < lengths.length && lengths(i + run) == prevNz) run += 1
+          if (run >= 3) {
+            var left = run
+            while (left >= 3) { val r = math.min(left, 6); syms += ((16, r - 3, 2)); left -= r }
+            (0 until left).foreach(_ => syms += ((prevNz, 0, 0)))
+            i += run
+          }
+        }
+      }
+      val clFreq = new Array[Int](19)
+      syms.foreach { case (s, _, _) => clFreq(s) += 1 }
+      val clLens = huffmanLengths(clFreq, 7)
+      // ensure at least something transmitted
+      val numCl = math.max(4, {
+        var last = 0
+        ClOrder.indices.foreach(k => if (clLens(ClOrder(k)) > 0) last = k + 1)
+        last
+      })
+      bw.write(numCl - 4, 4)
+      (0 until numCl).foreach(k => bw.write(clLens(ClOrder(k)), 3))
+      bw.write(0, 1) // no max_symbol shortcut
+      val clCode = new PrefixCode(clLens)
+      syms.foreach { case (s, extra, eb) =>
+        val (c, l) = clCode.encodeTable(s)
+        writeCode(bw, c, l)
+        if (eb > 0) bw.write(extra, eb)
+      }
+    }
+  }
+
+  // --------------------------------------------- LZ77 value bucketing
+
+  private def lz77Read(br: BitReader, sym: Int): Int =
+    if (sym < 4) sym + 1
+    else {
+      val extra = (sym - 2) >> 1
+      val offset = (2 + (sym & 1)) << extra
+      offset + br.read(extra) + 1
+    }
+
+  /** value → (symbol, extraBits, numExtraBits); value ≥ 1. */
+  private def lz77Sym(value: Int): (Int, Int, Int) = {
+    val x = value - 1
+    if (x < 4) (x, 0, 0)
+    else {
+      var e = 30 - Integer.numberOfLeadingZeros(x) // floor(log2(x)) - 1
+      if (x < (3 << e)) (2 * e + 2, x - (2 << e), e)
+      else (2 * e + 3, x - (3 << e), e)
+    }
+  }
+
+  // --------------------------------------------------- color cache
+
+  private def cacheHash(argb: Int, bits: Int): Int =
+    ((0x1e35a7bd * argb) >>> (32 - bits))
+
+  // ----------------------------------------------------- transforms
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def a(p: Int) = (p >>> 24) & 0xff
+  private def r(p: Int) = (p >>> 16) & 0xff
+  private def g(p: Int) = (p >>> 8) & 0xff
+  private def b(p: Int) = p & 0xff
+  private def argb(aa: Int, rr: Int, gg: Int, bb: Int): Int =
+    ((aa & 0xff) << 24) | ((rr & 0xff) << 16) | ((gg & 0xff) << 8) | (bb & 0xff)
+
+  private def avg2(x: Int, y: Int): Int =
+    argb((a(x) + a(y)) >> 1, (r(x) + r(y)) >> 1, (g(x) + g(y)) >> 1, (b(x) + b(y)) >> 1)
+
+  /** The 14 spec predictors. L/T/TL/TR already resolved by caller. */
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+    case 0 => 0xff000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 =>
+      // Select: whichever of L/T is closer to L+T-TL (Manhattan over channels)
+      val pa = a(l) + a(t) - a(tl); val pr = r(l) + r(t) - r(tl)
+      val pg = g(l) + g(t) - g(tl); val pb = b(l) + b(t) - b(tl)
+      val dl = math.abs(pa - a(l)) + math.abs(pr - r(l)) + math.abs(pg - g(l)) + math.abs(pb - b(l))
+      val dt = math.abs(pa - a(t)) + math.abs(pr - r(t)) + math.abs(pg - g(t)) + math.abs(pb - b(t))
+      if (dl < dt) l else t
+    case 12 =>
+      argb(clamp255(a(l) + a(t) - a(tl)), clamp255(r(l) + r(t) - r(tl)),
+        clamp255(g(l) + g(t) - g(tl)), clamp255(b(l) + b(t) - b(tl)))
+    case 13 =>
+      def half(cl: Int, ct: Int, ctl: Int): Int = {
+        val av = (cl + ct) >> 1
+        clamp255(av + ((av - ctl) >> 1))
+      }
+      argb(half(a(l), a(t), a(tl)), half(r(l), r(t), r(tl)),
+        half(g(l), g(t), g(tl)), half(b(l), b(t), b(tl)))
+    case m => sys.error(s"bad predictor mode $m")
+  }
+
+  /** Resolve neighbors with the spec edge rules and predict pixel i. */
+  private def predictAt(px: Array[Int], i: Int, w: Int, mode: Int): Int = {
+    val x = i % w; val y = i / w
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) px(i - 1) // top row: L
+    else if (x == 0) px(i - w) // left column: T
+    else {
+      val l = px(i - 1); val t = px(i - w); val tl = px(i - w - 1)
+      // top-right of the rightmost pixel wraps to the FIRST pixel of the
+      // current row (already reconstructed in scan order)
+      val tr = if (x == w - 1) px(y * w) else px(i - w + 1)
+      predict(mode, l, t, tl, tr)
+    }
+  }
+
+  private def addPixels(p: Int, pred: Int): Int =
+    argb(a(p) + a(pred), r(p) + r(pred), g(p) + g(pred), b(p) + b(pred))
+  private def subPixels(p: Int, pred: Int): Int =
+    argb(a(p) - a(pred), r(p) - r(pred), g(p) - g(pred), b(p) - b(pred))
+
+  private def ctDelta(t: Int, c: Int): Int = ((t.toByte.toInt * c.toByte.toInt) >> 5)
+
+  // ------------------------------------------------------ image stream
+
+  private final case class Transform(kind: Int, sizeBits: Int, w: Int,
+                                     data: Array[Int], palSize: Int)
+
+  private def subImageDims(w: Int, h: Int, sizeBits: Int): (Int, Int) = {
+    val ts = 1 << sizeBits
+    ((w + ts - 1) / ts, (h + ts - 1) / ts)
+  }
+
+  /** Decode one entropy-coded image stream (spec 5.2.2/5.2.3). */
+  private def decodeImageStream(br: BitReader, w0: Int, h: Int,
+                                level0: Boolean): (Array[Int], Seq[Transform]) = {
+    var w = w0
+    val transforms = mutable.Buffer[Transform]()
+    if (level0) {
+      val seen = mutable.Set[Int]()
+      while (br.readBit() == 1) {
+        val kind = br.read(2)
+        require(seen.add(kind), s"transform $kind repeated")
+        kind match {
+          case 0 | 1 => // predictor / color: tile sub-image
+            val sb = br.read(3) + 2
+            val (tw, th) = subImageDims(w, h, sb)
+            val (tile, _) = decodeImageStream(br, tw, th, level0 = false)
+            transforms += Transform(kind, sb, w, tile, 0)
+          case 2 =>
+            transforms += Transform(2, 0, w, Array.empty, 0)
+          case 3 =>
+            val palSize = br.read(8) + 1
+            val (palDelta, _) = decodeImageStream(br, palSize, 1, level0 = false)
+            // delta-coded palette: accumulate per channel
+            val pal = new Array[Int](palSize)
+            var prev = 0
+            var i = 0
+            while (i < palSize) {
+              prev = addPixels(palDelta(i), prev)
+              pal(i) = prev
+              i += 1
+            }
+            val widthBits =
+              if (palSize <= 2) 3 else if (palSize <= 4) 2
+              else if (palSize <= 16) 1 else 0
+            transforms += Transform(3, widthBits, w, pal, palSize)
+            w = (w + (1 << widthBits) - 1) >> widthBits
+        }
+      }
+    }
+    val cacheBits = if (br.readBit() == 1) {
+      val cb = br.read(4)
+      require(cb >= 1 && cb <= 11, s"bad color-cache bits $cb")
+      cb
+    } else 0
+    // meta prefix (main image only)
+    var metaBits = 0
+    var meta: Array[Int] = Array.empty
+    var numGroups = 1
+    var metaW = 0
+    if (level0 && br.readBit() == 1) {
+      metaBits = br.read(3) + 2
+      val (mw, mh) = subImageDims(w, h, metaBits)
+      metaW = mw
+      val (mpx, _) = decodeImageStream(br, mw, mh, level0 = false)
+      meta = mpx.map(p => (r(p) << 8) | g(p))
+      numGroups = meta.max + 1
+    }
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val groups = (0 until numGroups).map { _ =>
+      Array(readPrefixCode(br, greenAlphabet), readPrefixCode(br, 256),
+        readPrefixCode(br, 256), readPrefixCode(br, 256),
+        readPrefixCode(br, 40))
+    }
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    def cacheInsert(p: Int): Unit = if (cache != null) cache(cacheHash(p, cacheBits)) = p
+    val n = w * h
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val grp =
+        if (metaBits == 0) groups(0)
+        else {
+          val x = i % w; val y = i / w
+          groups(meta((y >> metaBits) * metaW + (x >> metaBits)))
+        }
+      val s = grp(0).decode(br)
+      if (s < 256) {
+        val red = grp(1).decode(br)
+        val blue = grp(2).decode(br)
+        val alpha = grp(3).decode(br)
+        val p = argb(alpha, red, s, blue)
+        px(i) = p
+        cacheInsert(p)
+        i += 1
+      } else if (s < 280) {
+        val len = lz77Read(br, s - 256)
+        val distSym = grp(4).decode(br)
+        val distCode = lz77Read(br, distSym)
+        require(distCode > 120,
+          "2D-mapped distance codes (≤120) unsupported — see scaladoc boundary")
+        val dist = distCode - 120
+        require(dist <= i, s"LZ77 distance $dist before image start")
+        require(i + len <= n, "LZ77 copy overruns image")
+        var k = 0
+        while (k < len) {
+          px(i + k) = px(i + k - dist)
+          cacheInsert(px(i + k))
+          k += 1
+        }
+        i += len
+      } else {
+        require(cache != null, "cache symbol without color cache")
+        val p = cache(s - 280)
+        px(i) = p
+        i += 1
+      }
+    }
+    (px, transforms.toSeq)
+  }
+
+  /** Apply inverse transforms in reverse stream order. */
+  private def applyInverse(px0: Array[Int], h: Int,
+                           transforms: Seq[Transform]): (Array[Int], Int) = {
+    var px = px0
+    var w = px0.length / math.max(1, h) // current (possibly packed) width
+    transforms.reverse.foreach { t =>
+      t.kind match {
+        case 2 => // subtract-green inverse: add green to r and b
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            px(i) = argb(a(p), r(p) + g(p), g(p), b(p) + g(p))
+            i += 1
+          }
+        case 0 => // predictor inverse
+          val ts = t.sizeBits
+          val tw = (t.w + (1 << ts) - 1) >> ts
+          var i = 0
+          while (i < px.length) {
+            val x = i % t.w; val y = i / t.w
+            val mode = g(t.data((y >> ts) * tw + (x >> ts)))
+            require(mode < 14, s"bad predictor mode $mode in tile")
+            val pred = predictAt(px, i, t.w, mode)
+            px(i) = addPixels(px(i), pred)
+            i += 1
+          }
+          w = t.w
+        case 1 => // color transform inverse
+          val ts = t.sizeBits
+          val tw = (t.w + (1 << ts) - 1) >> ts
+          var i = 0
+          while (i < px.length) {
+            val x = i % t.w; val y = i / t.w
+            val cte = t.data((y >> ts) * tw + (x >> ts))
+            val g2r = b(cte); val g2b = g(cte); val r2b = r(cte)
+            val p = px(i)
+            val newR = (r(p) + ctDelta(g2r, g(p))) & 0xff
+            val newB = (b(p) + ctDelta(g2b, g(p)) + ctDelta(r2b, newR)) & 0xff
+            px(i) = argb(a(p), newR, g(p), newB)
+            i += 1
+          }
+          w = t.w
+        case 3 => // color-indexing inverse: unbundle + palette lookup
+          val wb = t.sizeBits
+          val perPx = 1 << wb
+          val bits = 8 >> wb
+          val mask = (1 << bits) - 1
+          val packedW = (t.w + perPx - 1) >> wb
+          val out = new Array[Int](t.w * h)
+          var i = 0
+          while (i < out.length) {
+            val x = i % t.w; val y = i / t.w
+            val packed = px(y * packedW + (x >> wb))
+            val idx = (g(packed) >> ((x & (perPx - 1)) * bits)) & mask
+            require(idx < t.palSize, s"palette index $idx out of range")
+            out(i) = t.data(idx)
+            i += 1
+          }
+          px = out
+          w = t.w
+      }
+    }
+    (px, w)
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Emit one entropy-coded image stream: literal pixels with optional
+    * run-length LZ77 (dist=1) and optional color cache. */
+  private def writeImageData(bw: BitWriter, px: Array[Int], cacheBits: Int,
+                             useRuns: Boolean, level0: Boolean = true): Unit = {
+    bw.write(if (cacheBits > 0) 1 else 0, 1)
+    if (cacheBits > 0) bw.write(cacheBits, 4)
+    // tokenize: (kind, a, b) kind 0=literal pixel, 1=run(len), 2=cache(idx)
+    val toks = mutable.ArrayBuffer[(Int, Int)]()
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val cacheValid = if (cacheBits > 0) new Array[Boolean](1 << cacheBits) else null
+    def cacheIns(p: Int): Unit = if (cache != null) {
+      val hsh = cacheHash(p, cacheBits); cache(hsh) = p; cacheValid(hsh) = true
+    }
+    var i = 0
+    while (i < px.length) {
+      var run = 0
+      if (useRuns && i > 0) {
+        while (i + run < px.length && px(i + run) == px(i - 1) && run < 4000) run += 1
+      }
+      if (run >= 3) {
+        toks += ((1, run))
+        var k = 0
+        while (k < run) { cacheIns(px(i + k)); k += 1 }
+        i += run
+      } else {
+        val p = px(i)
+        val hsh = if (cache != null) cacheHash(p, cacheBits) else -1
+        if (cache != null && cacheValid(hsh) && cache(hsh) == p) toks += ((2, hsh))
+        else toks += ((0, p))
+        cacheIns(p)
+        i += 1
+      }
+    }
+    // histograms
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val fG = new Array[Int](greenAlphabet)
+    val fR = new Array[Int](256); val fB = new Array[Int](256)
+    val fA = new Array[Int](256); val fD = new Array[Int](40)
+    toks.foreach {
+      case (0, p) => fG(g(p)) += 1; fR(r(p)) += 1; fB(b(p)) += 1; fA(a(p)) += 1
+      case (1, len) =>
+        val (ls, _, _) = lz77Sym(len); fG(256 + ls) += 1
+        val (ds, _, _) = lz77Sym(121); fD(ds) += 1 // dist 1 → code 121
+      case (2, idx) => fG(280 + idx) += 1
+      case _ => ()
+    }
+    if (fD.forall(_ == 0)) fD(0) = 1 // distance code must still exist
+    if (level0) bw.write(0, 1) // no meta prefix (bit absent in sub-images)
+    val lG = huffmanLengths(fG, 15); val lR = huffmanLengths(fR, 15)
+    val lB = huffmanLengths(fB, 15); val lA = huffmanLengths(fA, 15)
+    val lD = huffmanLengths(fD, 15)
+    Seq(lG, lR, lB, lA, lD).foreach(writePrefixCode(bw, _))
+    val cG = new PrefixCode(lG); val cR = new PrefixCode(lR)
+    val cB = new PrefixCode(lB); val cA = new PrefixCode(lA)
+    val cD = new PrefixCode(lD)
+    def emit(c: PrefixCode, s: Int): Unit =
+      if (!c.isTrivial) { val (code, len) = c.encodeTable(s); writeCode(bw, code, len) }
+    toks.foreach {
+      case (0, p) =>
+        emit(cG, g(p)); emit(cR, r(p)); emit(cB, b(p)); emit(cA, a(p))
+      case (1, len) =>
+        val (ls, le, lb2) = lz77Sym(len)
+        emit(cG, 256 + ls); if (lb2 > 0) bw.write(le, lb2)
+        val (ds, de, db) = lz77Sym(121)
+        emit(cD, ds); if (db > 0) bw.write(de, db)
+      case (2, idx) => emit(cG, 280 + idx)
+      case _ => ()
+    }
+  }
+
+  /** Sub-image streams (transform tiles, palettes): no transforms, no
+    * meta bit in the grammar — cache bit + codes + data only. */
+  private def writeSubImage(bw: BitWriter, px: Array[Int]): Unit =
+    writeImageData(bw, px, cacheBits = 0, useRuns = false, level0 = false)
+
+  final case class Vp8lConfig(subtractGreen: Boolean = false,
+                              predictorMode: Int = -1,
+                              palette: Boolean = false,
+                              cacheBits: Int = 0,
+                              useRuns: Boolean = true)
+
+  /** Encode ARGB pixels as a VP8L payload (without RIFF framing). */
+  def encodeVp8l(pixels: Array[Int], w: Int, h: Int,
+                 cfg: Vp8lConfig = Vp8lConfig()): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, "bad dimensions")
+    require(pixels.length == w * h, "pixel count mismatch")
+    val bw = new BitWriter
+    bw.write(0x2f, 8) // signature byte, little-endian bit order safe
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    val hasAlpha = pixels.exists(p => a(p) != 255)
+    bw.write(if (hasAlpha) 1 else 0, 1)
+    bw.write(0, 3) // version
+    var px = pixels.clone()
+    var curW = w
+    if (cfg.palette) {
+      val distinct = mutable.LinkedHashMap[Int, Int]()
+      px.foreach(p => if (!distinct.contains(p)) distinct(p) = distinct.size)
+      require(distinct.size <= 16, "palette dial needs ≤16 distinct colors")
+      val pal = distinct.keys.toArray
+      bw.write(1, 1); bw.write(3, 2) // transform: color indexing
+      bw.write(pal.length - 1, 8)
+      // delta-coded palette as a sub-image
+      val palDelta = pal.indices.map { k =>
+        if (k == 0) pal(0) else subPixels(pal(k), pal(k - 1))
+      }.toArray
+      writeSubImage(bw, palDelta)
+      val widthBits =
+        if (pal.length <= 2) 3 else if (pal.length <= 4) 2
+        else if (pal.length <= 16) 1 else 0
+      val perPx = 1 << widthBits
+      val bits = 8 >> widthBits
+      val packedW = (w + perPx - 1) >> widthBits
+      val packed = new Array[Int](packedW * h)
+      var i = 0
+      while (i < px.length) {
+        val x = i % w; val y = i / w
+        val idx = distinct(px(i))
+        val j = y * packedW + (x >> widthBits)
+        packed(j) = argb(255, 0, g(packed(j)) | (idx << ((x & (perPx - 1)) * bits)), 0)
+        i += 1
+      }
+      px = packed
+      curW = packedW
+    }
+    if (cfg.subtractGreen) {
+      bw.write(1, 1); bw.write(2, 2)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        px(i) = argb(a(p), r(p) - g(p), g(p), b(p) - g(p))
+        i += 1
+      }
+    }
+    if (cfg.predictorMode >= 0) {
+      require(cfg.predictorMode < 14, "bad predictor mode")
+      require(!cfg.palette, "predictor dial not combined with palette here")
+      val sizeBits = 5 // 32-px tiles; one tile for small fixtures
+      bw.write(1, 1); bw.write(0, 2)
+      bw.write(sizeBits - 2, 3)
+      val (tw, th) = subImageDims(curW, h, sizeBits)
+      val tile = Array.fill(tw * th)(0xff000000 | (cfg.predictorMode << 8))
+      writeSubImage(bw, tile)
+      // residuals in scan order against the RECONSTRUCTED image (which
+      // for lossless forward prediction is the original pixels)
+      val res = new Array[Int](px.length)
+      var i = px.length - 1
+      while (i >= 0) {
+        val pred = predictAt(px, i, curW, cfg.predictorMode)
+        res(i) = subPixels(px(i), pred)
+        i -= 1
+      }
+      px = res
+    }
+    bw.write(0, 1) // end of transforms
+    writeImageData(bw, px, cfg.cacheBits, cfg.useRuns)
+    bw.toBytes
+  }
+
+  /** Decode a VP8L payload to (pixels, w, h). */
+  def decodeVp8l(payload: Array[Byte]): Option[(Array[Int], Int, Int)] =
+    try {
+      val br = new BitReader(payload, 0)
+      require(br.read(8) == 0x2f, "bad VP8L signature")
+      val w = br.read(14) + 1
+      val h = br.read(14) + 1
+      br.read(1) // alpha hint
+      require(br.read(3) == 0, "unsupported VP8L version")
+      val (px, transforms) = decodeImageStream(br, w, h, level0 = true)
+      val (out, _) = applyInverse(px, h, transforms)
+      require(out.length == w * h, "decoded pixel count mismatch")
+      Some((out, w, h))
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------- RIFF
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  def encodeWebp(pixels: Array[Int], w: Int, h: Int,
+                 cfg: Vp8lConfig = Vp8lConfig()): Array[Byte] = {
+    val payload = encodeVp8l(pixels, w, h, cfg)
+    val padded = payload.length + (payload.length & 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    out.write(le32(4 + 8 + padded))
+    out.write("WEBP".getBytes("ISO-8859-1"))
+    out.write("VP8L".getBytes("ISO-8859-1"))
+    out.write(le32(payload.length))
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  def decodeWebp(data: Array[Byte]): Option[(Array[Int], Int, Int)] =
+    try {
+      require(data.length >= 20, "too short for RIFF")
+      def tag(off: Int): String = new String(data, off, 4, "ISO-8859-1")
+      require(tag(0) == "RIFF" && tag(8) == "WEBP", "bad RIFF/WEBP header")
+      val riffSize = (data(4) & 0xff) | ((data(5) & 0xff) << 8) |
+        ((data(6) & 0xff) << 16) | ((data(7) & 0xff) << 24)
+      require(riffSize + 8 == data.length, "RIFF size mismatch")
+      var off = 12
+      while (off + 8 <= data.length) {
+        val t = tag(off)
+        val sz = (data(off + 4) & 0xff) | ((data(off + 5) & 0xff) << 8) |
+          ((data(off + 6) & 0xff) << 16) | ((data(off + 7) & 0xff) << 24)
+        require(off + 8 + sz <= data.length, s"chunk $t overruns file")
+        if (t == "VP8L")
+          return decodeVp8l(java.util.Arrays.copyOfRange(data, off + 8, off + 8 + sz))
+        off += 8 + sz + (sz & 1)
+      }
+      sys.error("no VP8L chunk")
+    } catch { case _: Exception => None }
+
+  /** Stats tuple for oracles: (w, h, sumR, sumG, sumB, sumA, wsum). */
+  def webpStats(d: (Array[Int], Int, Int)): (Int, Int, Long, Long, Long, Long, Long) = {
+    val (px, w, h) = d
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var ws = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += r(p); sg += g(p); sb += b(p); sa += a(p)
+      ws += i.toLong * (r(p) + g(p) + b(p) + a(p))
+      i += 1
+    }
+    (w, h, sr, sg, sb, sa, ws)
+  }
+}

@@ -269,4 +269,25 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert((b(16) & 0xff) == 24 && (b(17) & 0xff) == 0)
     assertGolden("TGA", b, 3180498497L, "00000a00000000000000000008000800")
   }
+
+  test("WebP/VP8L golden: RIFF grammar, signature, 14-bit dims, pinned bytes") {
+    val px = Array.tabulate(16)(i =>
+      0xff000000 | ((i * 40 % 256) << 16) | ((i * 25 % 256) << 8) | (i * 60 % 256))
+    val b = Vp8l.encodeWebp(px, 4, 4, Vp8l.Vp8lConfig())
+    // hand-checked against the WebP container + lossless specs:
+    // RIFF<size>WEBP, then VP8L chunk; payload byte 0 is the 0x2f
+    // signature; next bits LSB-first: (w-1)=3 in 14 bits, (h-1)=3 in
+    // 14 bits → bytes 21..24 begin 0b00000011, then 3 at bit 14
+    assert(new String(b, 0, 4, "ISO-8859-1") == "RIFF")
+    assert(new String(b, 8, 4, "ISO-8859-1") == "WEBP")
+    assert(new String(b, 12, 4, "ISO-8859-1") == "VP8L")
+    assert((b(20) & 0xff) == 0x2f)
+    assert((b(21) & 0xff) == 0x03) // low 8 bits of (w-1)=3
+    assert((b(22) & 0xff) == 0xc0) // (h-1)=3 low bits land at bit 14
+    // RIFF chunk size = file length - 8, little-endian
+    val riffSize = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+      ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    assert(riffSize + 8 == b.length)
+    assertGolden("WebP/VP8L", b, 227476257L, "524946466c000000574542505650384c")
+  }
 }

@@ -39,6 +39,12 @@ class MimeSniffSpec extends AnyFunSuite {
       WebDataset.TarEntry("a.txt", "x".getBytes)))) == "application/x-tar")
     assert(sniff("<?xml version=\"1.0\"?><urlset/>".getBytes) ==
       "application/xml")
+    assert(sniff(Vp8l.encodeWebp(Array.fill(4)(0xff000000), 2, 2,
+      Vp8l.Vp8lConfig())) == "image/webp")
+    assert(sniff(Zip.encodeZip(Seq(Zip.Entry("a.txt", "x".getBytes)))) ==
+      "application/zip")
+    assert(sniff(Pdf.encodePdf(Seq(Pdf.Page(Seq("hello"))))) ==
+      "application/pdf")
   }
 
   test("shared-prefix containers disambiguate on the form type") {
