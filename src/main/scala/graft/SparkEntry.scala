@@ -6407,6 +6407,95 @@ object SparkEntry {
       |  CAST(sum(i0 * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** Native PNG codec round-trip, FULL oracle — the filter-predictor
+    * rung of the image ladder (`operators/Png.scala`), replacing the
+    * ImageIO black box with spec-level structure: per doc an 8×8 image
+    * cycles all four color types (gray / truecolor / PLTE-indexed /
+    * RGBA) and both filter strategies (cycling all five row filters on
+    * even docs, the spec's adaptive min-residual heuristic on odd),
+    * with chunk CRCs and a split IDAT; the real decoder reconstructs
+    * via the full None/Sub/Up/Average/Paeth set. Lossless ⇒ the oracle
+    * re-derives every channel sum; `PngSpec` additionally cross-checks
+    * the encoder AND decoder pixel-exact against the JDK's own PNG
+    * codec (a two-implementation oracle). */
+  private def imagePngNative(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      import operators.Png
+      val d = docId
+      val fm = if (d % 2 == 0) -2 else -1
+      val img = (d % 4).toInt match {
+        case 0 =>
+          val px = Array.tabulate(64) { i =>
+            val v = ((d * 3 + i * 7) % 256).toInt
+            0xff000000 | (v << 16) | (v << 8) | v
+          }
+          Png.PngImage(8, 8, 0, px)
+        case 1 =>
+          val px = Array.tabulate(64) { i =>
+            0xff000000 | (((d * 3 + i * 7) % 256).toInt << 16) |
+              (((d * 5 + i * 11) % 256).toInt << 8) | ((d * 7 + i * 13) % 256).toInt
+          }
+          Png.PngImage(8, 8, 2, px)
+        case 2 =>
+          val pal = Array.tabulate(5)(k =>
+            0xff000000 | (((d * 11 + k * 47) % 256).toInt << 16) |
+              (((d * 5 + k * 91) % 256).toInt << 8) | (k * 53 + 3) % 256)
+          val idx = Array.tabulate(64)(i => ((d * 7 + i) % 5).toInt)
+          Png.PngImage(8, 8, 3, idx, pal)
+        case _ =>
+          val px = Array.tabulate(64) { i =>
+            ((64 + (d + i * 3) % 192).toInt << 24) |
+              (((d * 3 + i * 7) % 256).toInt << 16) |
+              (((d * 5 + i * 11) % 256).toInt << 8) | ((d * 7 + i * 13) % 256).toInt
+          }
+          Png.PngImage(8, 8, 6, px)
+      }
+      Png.encodePng(img, fm)
+    })
+    val st = udf((payload: Array[Byte]) =>
+      operators.Png.decodePng(payload).map(operators.Png.pngStats))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), st(mk(col("doc_id"))).as("st"))
+      .select(col("doc_id"),
+        col("st._1").as("width"), col("st._2").as("height"),
+        col("st._3").as("color_type"),
+        col("st._4").as("sum_r"), col("st._5").as("sum_g"),
+        col("st._6").as("sum_b"), col("st._7").as("sum_a"),
+        col("st._8").as("wsum"))
+  }
+
+  private val imagePngNativeSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS i),
+      |px AS (
+      |  SELECT d.doc_id, g.i, (d.doc_id * 7 + g.i) % 5 AS k
+      |  FROM documents d, grid g),
+      |ch AS (
+      |  SELECT doc_id, i,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 3 + i * 7) % 256
+      |      WHEN 2 THEN (doc_id * 11 + k * 47) % 256
+      |      ELSE (doc_id * 3 + i * 7) % 256 END AS r,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 3 + i * 7) % 256
+      |      WHEN 2 THEN (doc_id * 5 + k * 91) % 256
+      |      ELSE (doc_id * 5 + i * 11) % 256 END AS g,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 3 + i * 7) % 256
+      |      WHEN 2 THEN (k * 53 + 3) % 256
+      |      ELSE (doc_id * 7 + i * 13) % 256 END AS b,
+      |    CASE WHEN doc_id % 4 = 3 THEN 64 + (doc_id + i * 3) % 192
+      |         ELSE 255 END AS a
+      |  FROM px)
+      |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+      |       ELSE 6 END AS INT) AS color_type,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(sum(a) AS BIGINT) AS sum_a,
+      |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
+      |FROM ch GROUP BY 1""".stripMargin
+
   /** PDF text extraction, FULL oracle — the paper/report rung of the
     * ingest ladder (`operators/Pdf.scala`): per doc a classic-xref
     * 2-page PDF (page 1: the doc's tokens as 8-word Tj/TJ lines with
@@ -9223,6 +9312,7 @@ object SparkEntry {
     "markdown_strip" -> (markdownStrip(_, _)),
     "pdf_extract" -> (pdfExtract(_, _)),
     "image_webp" -> (imageWebp(_, _)),
+    "image_png_native" -> (imagePngNative(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -9529,6 +9619,7 @@ object SparkEntry {
     "markdown_strip" -> markdownStripSql,
     "pdf_extract" -> pdfExtractSql,
     "image_webp" -> imageWebpSql,
+    "image_png_native" -> imagePngNativeSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,

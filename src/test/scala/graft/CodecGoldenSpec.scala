@@ -290,4 +290,30 @@ class CodecGoldenSpec extends AnyFunSuite {
     assert(riffSize + 8 == b.length)
     assertGolden("WebP/VP8L", b, 227476257L, "524946466c000000574542505650384c")
   }
+
+  test("PNG golden: signature, IHDR layout, chunk CRCs, pinned bytes") {
+    val px = Array.tabulate(16)(i =>
+      0xff000000 | ((i * 40 % 256) << 16) | ((i * 25 % 256) << 8) | (i * 60 % 256))
+    val b = Png.encodePng(Png.PngImage(4, 4, 2, px), filterMode = 1)
+    // ISO 15948 §5.2: the 8-byte signature
+    assert(hex(b, 8) == "89504e470d0a1a0a")
+    // IHDR: length 13, then 4x4 big-endian dims, depth 8, type 2,
+    // methods 0/0/0 — offsets per the chunk layout
+    assert(((b(8) & 0xff) << 24 | (b(9) & 0xff) << 16 |
+      (b(10) & 0xff) << 8 | (b(11) & 0xff)) == 13)
+    assert(new String(b, 12, 4, "US-ASCII") == "IHDR")
+    assert((b(19) & 0xff) == 4 && (b(23) & 0xff) == 4)
+    assert((b(24) & 0xff) == 8 && (b(25) & 0xff) == 2)
+    // IHDR chunk CRC-32 verifies against its tag+body
+    val c = new java.util.zip.CRC32()
+    c.update(b, 12, 4 + 13)
+    val got = ((b(29) & 0xffL) << 24) | ((b(30) & 0xffL) << 16) |
+      ((b(31) & 0xffL) << 8) | (b(32) & 0xffL)
+    assert(c.getValue == got)
+    // Like WARC, the IDAT body is JDK Deflater output (an
+    // implementation detail) — pin the signature+IHDR prefix instead
+    // of the full stream.
+    assertGolden("PNG(sig+IHDR)", b.take(33), 2007922639L,
+      "89504e470d0a1a0a0000000d49484452")
+  }
 }
