@@ -6496,6 +6496,119 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** Rational audio resampling, FULL oracle — the interpolating
+    * companion of the stride-decimation `audio_resample`
+    * (`operators/Resample.scala`): closed-form PCM16 is
+    * resampled by a rational ratio cycling up/down/3:2/2:3 per doc via
+    * exact-integer linear interpolation (truncating division matching
+    * SQL `//`), and the oracle replays every output sample — index,
+    * fraction, interpolation and all — from the same closed form. */
+  private def audioResampleLinear(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long, nChars: Long) => {
+      val n = (64 + nChars % 64).toInt
+      val xs = Array.tabulate[Short](n)(i =>
+        (((docId * 37 + i * 11) % 65536) - 32768).toShort)
+      val (p, q) = (docId % 4).toInt match {
+        case 0 => (2, 1); case 1 => (1, 2); case 2 => (3, 2); case _ => (2, 3)
+      }
+      val out = operators.Resample.resampleLinear(xs, 1, p, q)
+      var sum = 0L; var wsum = 0L
+      var j = 0
+      while (j < out.length) { sum += out(j); wsum += j.toLong * out(j); j += 1 }
+      (out.length.toLong, sum, wsum, out.head.toLong, out.last.toLong)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id"), col("n_chars")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_out"), col("r._2").as("sum_out"),
+        col("r._3").as("wsum"), col("r._4").as("first_out"),
+        col("r._5").as("last_out"))
+  }
+
+  private val audioResampleLinearSql =
+    """WITH base AS (
+      |  SELECT doc_id, 64 + n_chars % 64 AS n,
+      |    CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END AS p,
+      |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 3 END AS q
+      |  FROM documents),
+      |o AS (SELECT doc_id, n, p, q, (n - 1) * p // q + 1 AS n_out FROM base),
+      |j AS (SELECT doc_id, n, p, q, n_out, unnest(range(0, n_out)) AS j FROM o),
+      |v AS (
+      |  SELECT doc_id, n_out, j,
+      |    (doc_id * 37 + ((j * q) // p) * 11) % 65536 - 32768 AS x0,
+      |    (doc_id * 37 + ((j * q) // p + 1) * 11) % 65536 - 32768 AS x1,
+      |    (j * q) % p AS frac, (j * q) // p AS idx, p, n
+      |  FROM j),
+      |w AS (
+      |  SELECT doc_id, n_out, j,
+      |    CASE WHEN frac = 0 OR idx + 1 >= n THEN x0
+      |         ELSE x0 + ((x1 - x0) * frac) // p END AS v
+      |  FROM v)
+      |SELECT doc_id,
+      |  CAST(max(n_out) AS BIGINT) AS n_out,
+      |  CAST(sum(v) AS BIGINT) AS sum_out,
+      |  CAST(sum(j * v) AS BIGINT) AS wsum,
+      |  CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_out,
+      |  CAST(max(CASE WHEN j = n_out - 1 THEN v END) AS BIGINT) AS last_out
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** EXIF orientation application, FULL oracle — the pixel-side
+    * companion of `image_exif` (`operators/Orient.scala`): an 8×6
+    * closed-form raster goes through each of the 8 EXIF orientations
+    * (doc-cycled); the position-weighted sum over the OUTPUT raster
+    * catches any wrong mapping (mirror, rotation, transpose, and the
+    * 5-8 dimension swap), while the plain sum pins losslessness. */
+  private def imageOrient(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val w = 8; val h = 6
+      val px = Array.tabulate(w * h) { i =>
+        val v = ((docId * 3 + i * 7) % 256).toInt
+        0xff000000 | v
+      }
+      val o = (1 + docId % 8).toInt
+      val (out, ow, oh) = operators.Orient(px, w, h, o)
+      var sum = 0L; var wsum = 0L
+      var i = 0
+      while (i < out.length) {
+        val v = out(i) & 0xff
+        sum += v; wsum += i.toLong * v
+        i += 1
+      }
+      (o.toLong, ow.toLong, oh.toLong, sum, wsum)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("orientation"), col("r._2").as("out_w"),
+        col("r._3").as("out_h"), col("r._4").as("sum_v"),
+        col("r._5").as("wsum"))
+  }
+
+  private val imageOrientSql =
+    """WITH grid AS (SELECT unnest(range(0, 48)) AS i),
+      |src AS (
+      |  SELECT d.doc_id, g.i, g.i % 8 AS x, g.i // 8 AS y,
+      |    (d.doc_id * 3 + g.i * 7) % 256 AS v,
+      |    1 + d.doc_id % 8 AS o
+      |  FROM documents d, grid g),
+      |m AS (
+      |  SELECT doc_id, o, v,
+      |    CASE o WHEN 1 THEN x WHEN 2 THEN 7 - x WHEN 3 THEN 7 - x
+      |           WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN 5 - y
+      |           WHEN 7 THEN 5 - y ELSE y END AS dx,
+      |    CASE o WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN 5 - y
+      |           WHEN 4 THEN 5 - y WHEN 5 THEN x WHEN 6 THEN x
+      |           WHEN 7 THEN 7 - x ELSE 7 - x END AS dy,
+      |    CASE WHEN o >= 5 THEN 6 ELSE 8 END AS ow
+      |  FROM src)
+      |SELECT doc_id,
+      |  CAST(max(o) AS BIGINT) AS orientation,
+      |  CAST(max(ow) AS BIGINT) AS out_w,
+      |  CAST(max(CASE WHEN o >= 5 THEN 8 ELSE 6 END) AS BIGINT) AS out_h,
+      |  CAST(sum(v) AS BIGINT) AS sum_v,
+      |  CAST(sum((dy * ow + dx) * v) AS BIGINT) AS wsum
+      |FROM m GROUP BY 1""".stripMargin
+
   /** PDF text extraction, FULL oracle — the paper/report rung of the
     * ingest ladder (`operators/Pdf.scala`): per doc a classic-xref
     * 2-page PDF (page 1: the doc's tokens as 8-word Tj/TJ lines with
@@ -9313,6 +9426,8 @@ object SparkEntry {
     "pdf_extract" -> (pdfExtract(_, _)),
     "image_webp" -> (imageWebp(_, _)),
     "image_png_native" -> (imagePngNative(_, _)),
+    "audio_resample_linear" -> (audioResampleLinear(_, _)),
+    "image_orient" -> (imageOrient(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
     "image_gif" -> (imageGif(_, _)),
@@ -9620,6 +9735,8 @@ object SparkEntry {
     "pdf_extract" -> pdfExtractSql,
     "image_webp" -> imageWebpSql,
     "image_png_native" -> imagePngNativeSql,
+    "audio_resample_linear" -> audioResampleLinearSql,
+    "image_orient" -> imageOrientSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
     "image_gif" -> imageGifSql,
