@@ -71,7 +71,10 @@ object Bench {
     "epoch_shuffle",                                      // per-epoch rank-derived training order
     // image_gif is deliberately NOT here: the headline already times four
     // stateless codec scans (flac/warc/y4m/wds) and SCALE_BENCH's
-    // gif_codec_scan row carries the GIF cost curve
+    // gif_codec_scan row carries the GIF cost curve. The r11-continuation
+    // codecs (zip/exif/subtitle/markdown/pdf/webp/png, resample/orient)
+    // follow the same precedent: each has a SCALE_BENCH *_codec_scan row
+    // or shares a timed sibling's plan family.
     "audio_flac",                                         // FLAC encode->decode->stats round-trip
     "warc_ingest",                                        // .warc.gz member walk + framing parse
     "video_y4m",                                          // Y4M planar decode + BT.601 conversion

@@ -587,6 +587,22 @@ object ScaleBench {
       add("webp_codec_scan", docs.count(), tWp,
         Seq(("wsum_total", nWp.toDouble)))
 
+      // Native PNG codec scan (r11 continuation): per-row filter +
+      // deflate encode → chunk-walk decode; the zlib sibling of
+      // webp_codec_scan, same stateless-map contract.
+      val (nPg, tPg) = time {
+        val mkP = udf((id: Long) => operators.Png.encodePng(
+          operators.Png.PngImage(8, 8, if (id % 2 == 0) 2 else 6,
+            Array.tabulate(64)(i => 0xff000000 | (((id.toInt * 31 + i * 7) % 256) << 8))),
+          filterMode = if (id % 3 == 0) -2 else -1))
+        val wsumP = udf((p: Array[Byte]) =>
+          operators.Png.decodePng(p).map(operators.Png.pngStats(_)._8).getOrElse(-1L))
+        docs.select(wsumP(mkP(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("png_codec_scan", docs.count(), tPg,
+        Seq(("wsum_total", nPg.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

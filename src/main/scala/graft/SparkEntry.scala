@@ -6496,6 +6496,65 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** Caption/audio alignment, FULL oracle — the cross-modal
+    * INTEGRATION step of a video-corpus pipeline: a clip's caption
+    * track must fit inside its audio; cues that overrun the decoded
+    * duration mark a bad mux or a drifted transcript. Per doc a REAL
+    * WAV (PCM16, closed-form duration) and a REAL SRT/VTT track
+    * (closed-form cue timings) are built, decoded by their real
+    * readers (`Multimodal.decodeWavSamples`, `Subtitles.parse`), and
+    * joined on the time axis: overrun count, covered milliseconds
+    * (clamped interval sum), and the alignment verdict — all exact
+    * integer arithmetic the oracle re-derives. */
+  private def captionAudioAlign(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long, nChars: Long) => {
+      val rate = 8000
+      val frames = 4000 + (docId % 5).toInt * 2000
+      val samples = Array.tabulate[Short](frames)(i =>
+        (((docId * 31 + i * 7) % 65536) - 32768).toShort)
+      val wav = operators.Multimodal.encodeWavPcm16(samples, rate, 1)
+      val nCues = (3 + nChars % 6).toInt
+      val cues = (0 until nCues).map { i =>
+        operators.Subtitles.Cue(i + 1, i * 400L, i * 400L + 350L, s"cue $i of doc $docId")
+      }
+      val track =
+        if (docId % 2 == 0) operators.Subtitles.encodeSrt(cues)
+        else operators.Subtitles.encodeVtt(cues)
+      val (meta, _) = operators.Multimodal.decodeWavSamples(wav)
+        .getOrElse(sys.error("undecodable wav"))
+      val durationMs = meta.frames * 1000L / meta.sampleRate
+      val parsed = operators.Subtitles.parse(track).getOrElse(sys.error("bad track"))
+      val overrun = parsed.count(_.endMs > durationMs).toLong
+      val covered = parsed.map { c =>
+        math.max(0L, math.min(c.endMs, durationMs) - math.min(c.startMs, durationMs))
+      }.sum
+      (durationMs, parsed.length.toLong, overrun, covered, overrun == 0L)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id"), col("n_chars")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("duration_ms"), col("r._2").as("n_cues"),
+        col("r._3").as("n_overrun"), col("r._4").as("covered_ms"),
+        col("r._5").as("align_ok"))
+  }
+
+  private val captionAudioAlignSql =
+    """WITH base AS (
+      |  SELECT doc_id, 500 + (doc_id % 5) * 250 AS dur,
+      |    3 + n_chars % 6 AS n_cues
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, dur, n_cues, unnest(range(0, n_cues)) AS i FROM base),
+      |t AS (
+      |  SELECT doc_id, dur, n_cues, i, i * 400 AS st, i * 400 + 350 AS en FROM c)
+      |SELECT doc_id,
+      |  CAST(max(dur) AS BIGINT) AS duration_ms,
+      |  CAST(max(n_cues) AS BIGINT) AS n_cues,
+      |  CAST(sum(CASE WHEN en > dur THEN 1 ELSE 0 END) AS BIGINT) AS n_overrun,
+      |  CAST(sum(greatest(0, least(en, dur) - least(st, dur))) AS BIGINT) AS covered_ms,
+      |  (sum(CASE WHEN en > dur THEN 1 ELSE 0 END) = 0) AS align_ok
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Rational audio resampling, FULL oracle — the interpolating
     * companion of the stride-decimation `audio_resample`
     * (`operators/Resample.scala`): closed-form PCM16 is
@@ -9427,6 +9486,7 @@ object SparkEntry {
     "image_webp" -> (imageWebp(_, _)),
     "image_png_native" -> (imagePngNative(_, _)),
     "audio_resample_linear" -> (audioResampleLinear(_, _)),
+    "caption_audio_align" -> (captionAudioAlign(_, _)),
     "image_orient" -> (imageOrient(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
@@ -9736,6 +9796,7 @@ object SparkEntry {
     "image_webp" -> imageWebpSql,
     "image_png_native" -> imagePngNativeSql,
     "audio_resample_linear" -> audioResampleLinearSql,
+    "caption_audio_align" -> captionAudioAlignSql,
     "image_orient" -> imageOrientSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
