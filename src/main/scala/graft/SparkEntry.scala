@@ -6496,6 +6496,73 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** RFC 4180 CSV ingestion through Catalyst's OWN parser, FULL
+    * oracle — the tabular-drop ingest surface done the Spark-first
+    * way: a quoting-hostile CSV record (embedded commas, doubled
+    * quotes, a quoted numeric) is composed natively per doc and parsed
+    * by `from_csv` — a native Catalyst expression, zero UDF on the
+    * Spark side — and the oracle re-derives the parsed fields from the
+    * same closed forms. Exercises quote folding, embedded separators,
+    * and typed casts inside the expression engine itself. */
+  private def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      col("doc_id"), lit(","),
+      lit("\"said \"\"hi\"\", twice\""), lit(","),
+      col("lang"), lit(","),
+      lit("\""), col("n_chars"), lit("\""), lit(","),
+      lit("trail-"), col("doc_id") % 7)
+    val schema = "id LONG, quoted STRING, lang STRING, n LONG, tail STRING"
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        // escape='"' selects RFC 4180 quote-doubling (Spark's default
+        // escape is backslash, a pre-RFC dialect)
+        from_csv(line, org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map("escape" -> "\"")).as("r"))
+      .select(col("doc_id"),
+        col("r.id").as("id"), col("r.quoted").as("quoted"),
+        col("r.lang").as("lang2"), col("r.n").as("n"),
+        col("r.tail").as("tail"))
+  }
+
+  private val csvIngestSql =
+    """SELECT doc_id,
+      |  doc_id AS id,
+      |  'said "hi", twice' AS quoted,
+      |  lang AS lang2,
+      |  CAST(n_chars AS BIGINT) AS n,
+      |  'trail-' || (doc_id % 7) AS tail
+      |FROM documents""".stripMargin
+
+  /** XML extraction through Catalyst's OWN parser, FULL oracle — the
+    * feed/config ingest surface via `from_xml` (native in Spark 4):
+    * per doc an XML fragment with an attribute, nested elements, and
+    * an entity escape is composed natively and parsed by the
+    * expression engine — zero UDF — with the oracle re-deriving every
+    * extracted field. The sibling of `sitemap_parse` (which covers the
+    * hardened-DOM path); this covers the Catalyst-expression path. */
+  private def xmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val xml = concat(
+      lit("<doc id=\""), col("doc_id"), lit("\"><lang>"), col("lang"),
+      lit("</lang><n>"), col("n_chars"),
+      lit("</n><title>T &amp; t "), col("doc_id") % 5, lit("</title></doc>"))
+    val schema = "_id LONG, lang STRING, n LONG, title STRING"
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        from_xml(xml, org.apache.spark.sql.types.StructType.fromDDL(schema),
+          new java.util.HashMap[String, String]()).as("r"))
+      .select(col("doc_id"),
+        col("r._id").as("id"), col("r.lang").as("lang2"),
+        col("r.n").as("n"), col("r.title").as("title"))
+  }
+
+  private val xmlExtractSql =
+    """SELECT doc_id,
+      |  doc_id AS id,
+      |  lang AS lang2,
+      |  CAST(n_chars AS BIGINT) AS n,
+      |  'T & t ' || (doc_id % 5) AS title
+      |FROM documents""".stripMargin
+
   /** Caption/audio alignment, FULL oracle — the cross-modal
     * INTEGRATION step of a video-corpus pipeline: a clip's caption
     * track must fit inside its audio; cues that overrun the decoded
@@ -9487,6 +9554,8 @@ object SparkEntry {
     "image_png_native" -> (imagePngNative(_, _)),
     "audio_resample_linear" -> (audioResampleLinear(_, _)),
     "caption_audio_align" -> (captionAudioAlign(_, _)),
+    "csv_ingest" -> (csvIngest(_, _)),
+    "xml_extract" -> (xmlExtract(_, _)),
     "image_orient" -> (imageOrient(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
     "video_neardup" -> (videoNeardupQ(_, _)),
@@ -9797,6 +9866,8 @@ object SparkEntry {
     "image_png_native" -> imagePngNativeSql,
     "audio_resample_linear" -> audioResampleLinearSql,
     "caption_audio_align" -> captionAudioAlignSql,
+    "csv_ingest" -> csvIngestSql,
+    "xml_extract" -> xmlExtractSql,
     "image_orient" -> imageOrientSql,
     "video_y4m" -> videoY4mSql,
     "video_neardup" -> videoNeardupSql,
