@@ -603,6 +603,27 @@ object ScaleBench {
       add("png_codec_scan", docs.count(), tPg,
         Seq(("wsum_total", nPg.toDouble)))
 
+      // TFRecord shard scan (r11 continuation): per-row tf.Example
+      // protobuf encode → masked-CRC32C framing → decode; the
+      // ML-native sibling of warc_codec_scan, same stateless contract.
+      val (nTf, tTf2) = time {
+        val mkT2 = udf((id: Long, text: String) => {
+          import operators.Tfrecord._
+          operators.Tfrecord.encodeShard(Seq(Map(
+            "text" -> BytesV(Seq((if (text == null) "" else text).getBytes("UTF-8"))),
+            "id" -> IntsV(Seq(id)))))
+        })
+        val rdT = udf((p: Array[Byte]) =>
+          operators.Tfrecord.decodeShard(p).map(_.head("text") match {
+            case operators.Tfrecord.BytesV(vs) => vs.head.length.toLong
+            case _ => -1L
+          }).getOrElse(-1L))
+        docs.select(rdT(mkT2(col("doc_id"), col("text"))).as("b"))
+          .agg(sum(col("b"))).head().getLong(0)
+      }
+      add("tfrecord_codec_scan", docs.count(), tTf2,
+        Seq(("text_bytes", nTf.toDouble)))
+
       // Unigram Viterbi segmentation: per-row O(len · maxPieceLen) DP
       // with a broadcast-size vocab map — zero shuffle; flat per row.
       val (nUni, tUni) = time(operators.Unigram.segmentStats(

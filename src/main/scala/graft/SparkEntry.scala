@@ -6496,6 +6496,135 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** WebM/Matroska metadata probe, FULL oracle — the EBML container
+    * rung (`operators/Ebml.scala`): per doc a metadata-only WebM
+    * (EBML header, Segment → Info → Tracks with a video and an audio
+    * TrackEntry) is serialized with real VINT coding and probed back
+    * by the real reader — id/size VINTs, float Duration, nested
+    * track walks, unknown-element skip. The probe never touches
+    * cluster payloads (cost independent of media size — the 100 TB
+    * property). Oracle re-derives doctype, duration, codecs, dims,
+    * rate and channels from the doc columns. */
+  private def webmProbe(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      import operators.Ebml
+      Ebml.encodeWebm(Ebml.WebmMeta(
+        docType = if (d % 5 == 0) "matroska" else "webm",
+        docTypeVersion = (2 + d % 3).toInt,
+        timestampScale = 1000000L,
+        durationTicks = (1000 + d % 9000).toDouble,
+        tracks = Seq(
+          Ebml.Track(1, 1, if (d % 2 == 0) "V_VP8" else "V_VP9",
+            pixelWidth = (320 + (d % 8) * 16).toInt,
+            pixelHeight = (240 + (d % 6) * 16).toInt),
+          Ebml.Track(2, 2, if (d % 3 == 0) "A_VORBIS" else "A_OPUS",
+            sampleRate = if (d % 2 == 0) 48000.0 else 44100.0,
+            channels = (1 + d % 2).toInt))))
+    })
+    val probe = udf((b: Array[Byte]) =>
+      operators.Ebml.probeWebm(b).map { m =>
+        val v = m.tracks.find(_.trackType == 1).get
+        val a = m.tracks.find(_.trackType == 2).get
+        (m.docType, m.docTypeVersion.toLong, m.timestampScale,
+          m.durationTicks.toLong, m.tracks.length.toLong,
+          v.codecId, v.pixelWidth.toLong, v.pixelHeight.toLong,
+          a.codecId, a.sampleRate.toLong, a.channels.toLong)
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), probe(mk(col("doc_id"))).as("m"))
+      .select(col("doc_id"),
+        col("m._1").as("doc_type"), col("m._2").as("doctype_version"),
+        col("m._3").as("ts_scale"), col("m._4").as("duration_ms"),
+        col("m._5").as("n_tracks"), col("m._6").as("v_codec"),
+        col("m._7").as("v_w"), col("m._8").as("v_h"),
+        col("m._9").as("a_codec"), col("m._10").as("a_rate"),
+        col("m._11").as("a_ch"))
+  }
+
+  private val webmProbeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'matroska' ELSE 'webm' END AS doc_type,
+      |  CAST(2 + doc_id % 3 AS BIGINT) AS doctype_version,
+      |  CAST(1000000 AS BIGINT) AS ts_scale,
+      |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+      |  CAST(2 AS BIGINT) AS n_tracks,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'V_VP8' ELSE 'V_VP9' END AS v_codec,
+      |  CAST(320 + (doc_id % 8) * 16 AS BIGINT) AS v_w,
+      |  CAST(240 + (doc_id % 6) * 16 AS BIGINT) AS v_h,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'A_VORBIS' ELSE 'A_OPUS' END AS a_codec,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS BIGINT) AS a_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS a_ch
+      |FROM documents""".stripMargin
+
+  /** TFRecord shard ingestion, FULL oracle — the ML-native archive
+    * rung (`operators/Tfrecord.scala`): per doc a 2-example TFRecord
+    * shard (tf.Example protobufs — UTF-8 bytes feature, int64 lists
+    * with NEGATIVE values forcing 10-byte varints, packed-fixed32
+    * float list of exact quarters) framed with masked-CRC32C lengths
+    * and payloads, decoded by the real reader (framing walk, wire-type
+    * parse, CRC verification). The oracle re-derives example counts,
+    * byte/int/float aggregates from the documents columns; a varint,
+    * packing, mask, or framing defect breaks the hash. */
+  private def tfrecordIngest(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long, text: String, lang: String, nChars: Long) => {
+      import operators.Tfrecord._
+      val t = if (text == null) "" else text
+      val nTok = (nChars % 5).toInt + 1
+      val toks = (1 to nTok).map(k => (docId * 13 + k) % 1000 - 500)
+      val ex1: Example = Map(
+        "text" -> BytesV(Seq(t.getBytes("UTF-8"))),
+        "id" -> IntsV(Seq(docId)),
+        "tokens" -> IntsV(toks),
+        "score" -> FloatsV(Seq((docId % 64) / 4.0f, ((docId * 3) % 64) / 4.0f)))
+      val ex2: Example = Map(
+        "id" -> IntsV(Seq(-docId - 1)),
+        "text" -> BytesV(Seq(("meta-" + lang).getBytes("UTF-8"))))
+      operators.Tfrecord.encodeShard(Seq(ex1, ex2))
+    })
+    val rd = udf((shard: Array[Byte]) => {
+      import operators.Tfrecord._
+      operators.Tfrecord.decodeShard(shard).map { exs =>
+        val e1 = exs.head; val e2 = exs(1)
+        val textBytes = e1("text") match { case BytesV(vs) => vs.head.length.toLong; case _ => -1L }
+        val idSum = (e1("id"), e2("id")) match {
+          case (IntsV(a), IntsV(b)) => a.head + b.head
+          case _ => Long.MinValue
+        }
+        val (tokSum, nTok) = e1("tokens") match {
+          case IntsV(vs) => (vs.sum, vs.length.toLong)
+          case _ => (Long.MinValue, -1L)
+        }
+        val scoreSum = e1("score") match { case FloatsV(vs) => vs.sum; case _ => Float.NaN }
+        (exs.length.toLong, textBytes, idSum, tokSum, nTok, scoreSum)
+      }
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        rd(mk(col("doc_id"), col("text"), col("lang"), col("n_chars"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_examples"), col("r._2").as("text_bytes"),
+        col("r._3").as("id_sum"), col("r._4").as("tok_sum"),
+        col("r._5").as("n_tokens"), col("r._6").as("score_sum"))
+  }
+
+  private val tfrecordIngestSql =
+    """WITH base AS (
+      |  SELECT doc_id, strlen(text) AS tb, n_chars % 5 + 1 AS n_tok
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, tb, n_tok,
+      |    list_sum(list_transform(range(1, CAST(n_tok AS INT) + 1),
+      |      k -> (doc_id * 13 + k) % 1000 - 500)) AS tok_sum
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(2 AS BIGINT) AS n_examples,
+      |  CAST(tb AS BIGINT) AS text_bytes,
+      |  CAST(-1 AS BIGINT) AS id_sum,
+      |  CAST(tok_sum AS BIGINT) AS tok_sum,
+      |  CAST(n_tok AS BIGINT) AS n_tokens,
+      |  CAST((doc_id % 64) / 4.0 + ((doc_id * 3) % 64) / 4.0 AS REAL) AS score_sum
+      |FROM t""".stripMargin
+
   /** RFC 4180 CSV ingestion through Catalyst's OWN parser, FULL
     * oracle — the tabular-drop ingest surface done the Spark-first
     * way: a quoting-hostile CSV record (embedded commas, doubled
@@ -9555,6 +9684,8 @@ object SparkEntry {
     "audio_resample_linear" -> (audioResampleLinear(_, _)),
     "caption_audio_align" -> (captionAudioAlign(_, _)),
     "csv_ingest" -> (csvIngest(_, _)),
+    "tfrecord_ingest" -> (tfrecordIngest(_, _)),
+    "webm_probe" -> (webmProbe(_, _)),
     "xml_extract" -> (xmlExtract(_, _)),
     "image_orient" -> (imageOrient(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
@@ -9867,6 +9998,8 @@ object SparkEntry {
     "audio_resample_linear" -> audioResampleLinearSql,
     "caption_audio_align" -> captionAudioAlignSql,
     "csv_ingest" -> csvIngestSql,
+    "tfrecord_ingest" -> tfrecordIngestSql,
+    "webm_probe" -> webmProbeSql,
     "xml_extract" -> xmlExtractSql,
     "image_orient" -> imageOrientSql,
     "video_y4m" -> videoY4mSql,

@@ -316,4 +316,38 @@ class CodecGoldenSpec extends AnyFunSuite {
     assertGolden("PNG(sig+IHDR)", b.take(33), 2007922639L,
       "89504e470d0a1a0a0000000d49484452")
   }
+
+  test("TFRecord golden: framing layout, masked CRC32C, pinned bytes") {
+    import graft.operators.Tfrecord._
+    val b = Tfrecord.encodeShard(Seq(Map(
+      "id" -> IntsV(Seq(7L)),
+      "text" -> BytesV(Seq("golden".getBytes("US-ASCII"))))))
+    // TensorFlow record format: u64le length first — payload is the
+    // framed tf.Example; verify the length field matches reality
+    var len = 0L
+    (0 until 8).foreach(i => len |= (b(i) & 0xffL) << (8 * i))
+    assert(len == b.length - 16, "length field != payload size")
+    // masked CRC32C of the 8 length bytes at offset 8 (independent
+    // CRC32C from the JDK; the mask formula is the spec's)
+    val c = new java.util.zip.CRC32C(); c.update(b, 0, 8)
+    val crc = c.getValue.toInt
+    val masked = ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+    val got = (b(8) & 0xff) | ((b(9) & 0xff) << 8) | ((b(10) & 0xff) << 16) | ((b(11) & 0xff) << 24)
+    assert(masked == got, "masked length CRC mismatch")
+    assertGolden("TFRecord", b, 1344000568L, "2300000000000000b09f77430a210a0b")
+  }
+
+  test("EBML golden: header id, VINT sizes, DocType placement, pinned bytes") {
+    val b = Ebml.encodeWebm(Ebml.WebmMeta("webm", 2, 1000000L, 1500.0, Seq(
+      Ebml.Track(1, 1, "V_VP8", pixelWidth = 320, pixelHeight = 240),
+      Ebml.Track(2, 2, "A_OPUS", sampleRate = 48000.0, channels = 2))))
+    // RFC 8794: the EBML header element id 0x1A45DFA3 leads the stream
+    assert(hex(b, 4) == "1a45dfa3")
+    // DocType element (0x42 0x82) carries "webm"
+    val s = new String(b, "ISO-8859-1")
+    val dt = s.indexOf("webm")
+    assert(dt > 0 && (b(dt - 3) & 0xff) == 0x42 && (b(dt - 2) & 0xff) == 0x82,
+      "DocType id bytes not where the VINT layout puts them")
+    assertGolden("EBML", b, 3068081873L, "1a45dfa39f4286810142f7810142f281")
+  }
 }
