@@ -6496,6 +6496,159 @@ object SparkEntry {
       |  CAST(sum(i * (r + g + b + a)) AS BIGINT) AS wsum
       |FROM ch GROUP BY 1""".stripMargin
 
+  /** JSONL ingestion through Catalyst's OWN parser, FULL oracle — the
+    * third leg of the native-parser trio (`from_csv`/`from_xml`/
+    * `from_json`): a nested JSON record (object + string array +
+    * escaped quote in a value) is composed natively per doc, parsed by
+    * the expression engine — zero UDF — and flattened to typed
+    * columns the oracle re-derives. */
+  private def jsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val js = concat(
+      lit("{\"id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"),
+      lit("\",\"meta\":{\"n\":"), col("n_chars"),
+      lit(",\"note\":\"he said \\\"hi\\\"\",\"tags\":[\"t-"),
+      col("doc_id") % 3, lit("\",\"x\"]}}"))
+    val schema = "id LONG, lang STRING, meta STRUCT<n: LONG, note: STRING, tags: ARRAY<STRING>>"
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        from_json(js, org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map.empty[String, String]).as("r"))
+      .select(col("doc_id"),
+        col("r.id").as("id"), col("r.lang").as("lang2"),
+        col("r.meta.n").as("n"), col("r.meta.note").as("note"),
+        size(col("r.meta.tags")).cast("long").as("n_tags"),
+        col("r.meta.tags").getItem(0).as("tag0"))
+  }
+
+  private val jsonlIngestSql =
+    """SELECT doc_id,
+      |  doc_id AS id,
+      |  lang AS lang2,
+      |  CAST(n_chars AS BIGINT) AS n,
+      |  'he said "hi"' AS note,
+      |  CAST(2 AS BIGINT) AS n_tags,
+      |  't-' || (doc_id % 3) AS tag0
+      |FROM documents""".stripMargin
+
+  /** Integer peak normalization (loudness gain), FULL oracle — the
+    * level-normalization step of an audio pipeline: gain to a target
+    * peak of 16384 in Q15 fixed point, all arithmetic integer with
+    * truncating division (matching SQL `//`), so the oracle replays
+    * every output sample. Silent clips (peak 0) pass through at unit
+    * gain rather than dividing by zero. */
+  private def audioGain(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long, nChars: Long) => {
+      val n = (32 + nChars % 32).toInt
+      val xs = Array.tabulate(n)(i => ((docId * 29 + i * 13) % 30000) - 15000)
+      val peak = xs.map(math.abs).max
+      val gain = if (peak == 0) 32768L else (16384L * 32768L) / peak
+      val out = xs.map(x => (x * gain) / 32768L)
+      (peak, gain, out.map(math.abs).max, out.sum,
+        out.zipWithIndex.map { case (v, j) => j.toLong * v }.sum)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id"), col("n_chars")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("peak_in"), col("r._2").as("gain_q15"),
+        col("r._3").as("peak_out"), col("r._4").as("sum_out"),
+        col("r._5").as("wsum"))
+  }
+
+  private val audioGainSql =
+    """WITH base AS (
+      |  SELECT doc_id, 32 + n_chars % 32 AS n FROM documents),
+      |xs AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM base),
+      |v AS (
+      |  SELECT doc_id, n, i,
+      |    (doc_id * 29 + i * 13) % 30000 - 15000 AS x
+      |  FROM xs),
+      |p AS (
+      |  SELECT doc_id, max(abs(x)) AS peak FROM v GROUP BY 1),
+      |g AS (
+      |  SELECT doc_id, peak,
+      |    CASE WHEN peak = 0 THEN 32768 ELSE (16384 * 32768) // peak END AS gain
+      |  FROM p),
+      |o AS (
+      |  SELECT v.doc_id, v.i, g.peak, g.gain, (v.x * g.gain) // 32768 AS y
+      |  FROM v JOIN g ON v.doc_id = g.doc_id)
+      |SELECT doc_id,
+      |  CAST(max(peak) AS BIGINT) AS peak_in,
+      |  CAST(max(gain) AS BIGINT) AS gain_q15,
+      |  CAST(max(abs(y)) AS BIGINT) AS peak_out,
+      |  CAST(sum(y) AS BIGINT) AS sum_out,
+      |  CAST(sum(i * y) AS BIGINT) AS wsum
+      |FROM o GROUP BY 1""".stripMargin
+
+  /** Center-crop / letterbox-pad to a fixed 8×8 grid, FULL oracle —
+    * the geometry-normalization step of a vision pipeline (crop the
+    * long axis, pad the short one, both centered with truncating
+    * halves): per doc a closed-form raster whose width and height
+    * cycle 6-13 × 6-10 so every doc exercises crop, pad, or both; the
+    * position-weighted sum over the TARGET grid pins the mapping. */
+  private def imageCropPad(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val srcW = (6 + docId % 8).toInt
+      val srcH = (6 + docId % 5).toInt
+      val tgt = 8
+      val cropX = math.max(0, (srcW - tgt) / 2)
+      val padX = math.max(0, (tgt - srcW) / 2)
+      val cropY = math.max(0, (srcH - tgt) / 2)
+      val padY = math.max(0, (tgt - srcH) / 2)
+      var sum = 0L; var wsum = 0L
+      var ty = 0
+      while (ty < tgt) {
+        var tx = 0
+        while (tx < tgt) {
+          val sx = tx - padX + cropX
+          val sy = ty - padY + cropY
+          val v =
+            if (tx >= padX && sx < srcW && ty >= padY && sy < srcH)
+              ((docId * 3 + (sy * srcW + sx) * 7) % 256).toInt
+            else 0
+          sum += v
+          wsum += (ty * tgt + tx).toLong * v
+          tx += 1
+        }
+        ty += 1
+      }
+      (srcW.toLong, srcH.toLong, sum, wsum)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("src_w"), col("r._2").as("src_h"),
+        col("r._3").as("sum_v"), col("r._4").as("wsum"))
+  }
+
+  private val imageCropPadSql =
+    """WITH grid AS (SELECT unnest(range(0, 64)) AS t),
+      |m AS (
+      |  SELECT d.doc_id, g.t, g.t % 8 AS tx, g.t // 8 AS ty,
+      |    6 + d.doc_id % 8 AS sw, 6 + d.doc_id % 5 AS sh
+      |  FROM documents d, grid g),
+      |c AS (
+      |  SELECT doc_id, t, tx, ty, sw, sh,
+      |    greatest(0, (sw - 8) // 2) AS cropx,
+      |    greatest(0, (8 - sw) // 2) AS padx,
+      |    greatest(0, (sh - 8) // 2) AS cropy,
+      |    greatest(0, (8 - sh) // 2) AS pady
+      |  FROM m),
+      |v AS (
+      |  SELECT doc_id, t, sw, sh,
+      |    CASE WHEN tx >= padx AND tx - padx + cropx < sw
+      |          AND ty >= pady AND ty - pady + cropy < sh
+      |         THEN (doc_id * 3 + ((ty - pady + cropy) * sw + tx - padx + cropx) * 7) % 256
+      |         ELSE 0 END AS val
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(max(sw) AS BIGINT) AS src_w,
+      |  CAST(max(sh) AS BIGINT) AS src_h,
+      |  CAST(sum(val) AS BIGINT) AS sum_v,
+      |  CAST(sum(t * val) AS BIGINT) AS wsum
+      |FROM v GROUP BY 1""".stripMargin
+
   /** WebM/Matroska metadata probe, FULL oracle — the EBML container
     * rung (`operators/Ebml.scala`): per doc a metadata-only WebM
     * (EBML header, Segment → Info → Tracks with a video and an audio
@@ -9686,6 +9839,9 @@ object SparkEntry {
     "csv_ingest" -> (csvIngest(_, _)),
     "tfrecord_ingest" -> (tfrecordIngest(_, _)),
     "webm_probe" -> (webmProbe(_, _)),
+    "jsonl_ingest" -> (jsonlIngest(_, _)),
+    "audio_gain" -> (audioGain(_, _)),
+    "image_crop_pad" -> (imageCropPad(_, _)),
     "xml_extract" -> (xmlExtract(_, _)),
     "image_orient" -> (imageOrient(_, _)),
     "video_y4m" -> (videoY4m(_, _)),
@@ -10000,6 +10156,9 @@ object SparkEntry {
     "csv_ingest" -> csvIngestSql,
     "tfrecord_ingest" -> tfrecordIngestSql,
     "webm_probe" -> webmProbeSql,
+    "jsonl_ingest" -> jsonlIngestSql,
+    "audio_gain" -> audioGainSql,
+    "image_crop_pad" -> imageCropPadSql,
     "xml_extract" -> xmlExtractSql,
     "image_orient" -> imageOrientSql,
     "video_y4m" -> videoY4mSql,
