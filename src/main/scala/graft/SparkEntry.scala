@@ -6649,6 +6649,56 @@ object SparkEntry {
       |  CAST(sum(t * val) AS BIGINT) AS wsum
       |FROM v GROUP BY 1""".stripMargin
 
+  /** Ogg container framing, FULL oracle — the streaming-audio wrapper
+    * rung (`operators/Ogg.scala`): per doc an Ogg stream of 2-4
+    * packets whose lengths cross the 255 lacing boundary, paged at 5
+    * lacing values per page so packets SPAN pages (continuation flags
+    * + BOS/EOS + the spec's own non-reflected CRC-32 all exercised),
+    * decoded by the real reader. The oracle re-derives packet count,
+    * byte totals, page count from the lacing arithmetic (Σ(len//255
+    * + 1) segments at 5 per page), and the final granule. */
+  private def oggIngest(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val k = (2 + docId % 3).toInt
+      val packets = (0 until k).map { j =>
+        val unit = s"pkt-$docId-$j"
+        (unit * (1 + ((docId + j) % 40).toInt)).getBytes("UTF-8")
+      }
+      val enc = operators.Ogg.encodeOgg(serial = (docId % 100000).toInt,
+        packets, maxSegs = 5)
+      val st = operators.Ogg.decodeOgg(enc).getOrElse(sys.error("undecodable ogg"))
+      (st.packets.length.toLong,
+        st.packets.map(_.length.toLong).sum,
+        st.packets.head.length.toLong,
+        st.packets.last.length.toLong,
+        st.nPages.toLong, st.lastGranule)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_packets"), col("r._2").as("total_bytes"),
+        col("r._3").as("first_len"), col("r._4").as("last_len"),
+        col("r._5").as("n_pages"), col("r._6").as("last_granule"))
+  }
+
+  private val oggIngestSql =
+    """WITH base AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+      |p AS (
+      |  SELECT doc_id, k, unnest(range(0, k)) AS j FROM base),
+      |lens AS (
+      |  SELECT doc_id, k, j,
+      |    strlen('pkt-' || doc_id || '-' || j) * (1 + (doc_id + j) % 40) AS len
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(max(k) AS BIGINT) AS n_packets,
+      |  CAST(sum(len) AS BIGINT) AS total_bytes,
+      |  CAST(max(CASE WHEN j = 0 THEN len END) AS BIGINT) AS first_len,
+      |  CAST(max(CASE WHEN j = k - 1 THEN len END) AS BIGINT) AS last_len,
+      |  CAST((sum(len // 255 + 1) + 4) // 5 AS BIGINT) AS n_pages,
+      |  CAST(max(k) AS BIGINT) AS last_granule
+      |FROM lens GROUP BY 1""".stripMargin
+
   /** WebM/Matroska metadata probe, FULL oracle — the EBML container
     * rung (`operators/Ebml.scala`): per doc a metadata-only WebM
     * (EBML header, Segment → Info → Tracks with a video and an audio
@@ -9840,6 +9890,7 @@ object SparkEntry {
     "tfrecord_ingest" -> (tfrecordIngest(_, _)),
     "webm_probe" -> (webmProbe(_, _)),
     "jsonl_ingest" -> (jsonlIngest(_, _)),
+    "ogg_ingest" -> (oggIngest(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
     "xml_extract" -> (xmlExtract(_, _)),
@@ -10157,6 +10208,7 @@ object SparkEntry {
     "tfrecord_ingest" -> tfrecordIngestSql,
     "webm_probe" -> webmProbeSql,
     "jsonl_ingest" -> jsonlIngestSql,
+    "ogg_ingest" -> oggIngestSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
     "xml_extract" -> xmlExtractSql,

@@ -350,4 +350,18 @@ class CodecGoldenSpec extends AnyFunSuite {
       "DocType id bytes not where the VINT layout puts them")
     assertGolden("EBML", b, 3068081873L, "1a45dfa39f4286810142f7810142f281")
   }
+
+  test("Ogg golden: capture pattern, header layout, spec CRC, pinned bytes") {
+    val b = Ogg.encodeOgg(12345, Seq("golden ogg packet".getBytes("US-ASCII")))
+    // RFC 3533 §6: OggS, version 0, BOS|EOS flags on a one-page stream
+    assert(new String(b, 0, 4, "US-ASCII") == "OggS")
+    assert((b(4) & 0xff) == 0 && (b(5) & 0xff) == 0x06)
+    // serial little-endian at 14
+    val ser = (b(14) & 0xff) | ((b(15) & 0xff) << 8) |
+      ((b(16) & 0xff) << 16) | ((b(17) & 0xff) << 24)
+    assert(ser == 12345)
+    // one lacing value, 17 bytes
+    assert((b(26) & 0xff) == 1 && (b(27) & 0xff) == 17)
+    assertGolden("Ogg", b, 2267950715L, "4f676753000601000000000000003930")
+  }
 }
