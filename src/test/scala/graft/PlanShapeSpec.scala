@@ -326,4 +326,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
       s"sort/window leaked into the gate: $plan")
   }
+
+  test("r11-continuation codec/probe queries plan as pure scans — no join, no window") {
+    // stateless per-row maps: any Exchange beyond the codec's own
+    // aggregation would break the 100 TB "many blobs, one row each" shape
+    for (q <- Seq("image_exif", "subtitle_cues", "pdf_extract", "image_webp",
+      "image_png_native", "webm_probe", "ogg_ingest", "tfrecord_ingest",
+      "audio_resample_linear", "image_orient", "audio_gain", "image_crop_pad",
+      "caption_audio_align")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("CartesianProduct"),
+        s"$q is not scan-shaped: $plan")
+    }
+  }
+
+  test("markdown_strip and the native-parser trio stay UDF-free (whole-stage codegen)") {
+    for (q <- Seq("markdown_strip", "csv_ingest", "xml_extract", "jsonl_ingest")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("scalaudf"),
+        s"$q fell back to a UDF: $plan")
+    }
+  }
+
+  test("zip/warc shard extraction keeps ONE exchange (the per-doc aggregation)") {
+    for (q <- Seq("zip_ingest", "warc_ingest")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 2, // partial/final agg pair plans one shuffle
+        s"$q plans $exchanges exchanges — media bytes may be shuffling: $plan")
+      assert(!plan.contains("Join"), s"$q grew a join: $plan")
+    }
+  }
 }
