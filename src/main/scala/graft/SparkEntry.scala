@@ -6649,6 +6649,123 @@ object SparkEntry {
       |  CAST(sum(t * val) AS BIGINT) AS wsum
       |FROM v GROUP BY 1""".stripMargin
 
+  /** Transparent decompression, FULL oracle — the content-encoding
+    * gate at the crawl front door (`operators/Decompress.scala`): per
+    * doc the text ships as gzip (RFC 1952, CRC verified), zlib
+    * (RFC 1950, header-check + Adler), raw DEFLATE, zstd (RFC 8878),
+    * LZ4 frame, bzip2, framed Snappy (the four codecs Spark itself
+    * bundles), or identity — the identity payload is prefixed with
+    * 0x07 (BFINAL=1, BTYPE=11: an INVALID deflate block by
+    * construction) so the raw-deflate attempt provably falls through
+    * rather than relying on text bytes happening to be undecodable.
+    * Oracle re-derives method and byte/token counts per dial. */
+  private def decompressAuto(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long, text: String) => {
+      val t = (if (text == null) "" else text).getBytes("UTF-8")
+      def deflater(raw: Boolean) = {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+        d.setInput(t); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end(); bos.toByteArray
+      }
+      def via(f: java.io.OutputStream => java.io.OutputStream) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = f(bos)
+        out.write(t); out.close(); bos.toByteArray
+      }
+      (docId % 8).toInt match {
+        case 0 => via(new java.util.zip.GZIPOutputStream(_))
+        case 1 => deflater(raw = false)
+        case 2 => deflater(raw = true)
+        case 3 => via(new com.github.luben.zstd.ZstdOutputStream(_))
+        case 4 => via(new net.jpountz.lz4.LZ4FrameOutputStream(_))
+        case 5 => via(new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(_))
+        case 6 => via(new org.xerial.snappy.SnappyFramedOutputStream(_))
+        case _ => Array[Byte](0x07) ++ t
+      }
+    })
+    val rd = udf((p: Array[Byte]) =>
+      operators.Decompress.auto(p).map { case (method, bytes) =>
+        (method, bytes.length.toLong, new String(bytes, "UTF-8"))
+      })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), rd(mk(col("doc_id"), col("text"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("method"), col("r._2").as("out_bytes"),
+        // token count over the DECODED text, Spark-native lower+regex
+        // (the cross-engine-proven pair, same as warc_ingest)
+        size(regexp_extract_all(lower(col("r._3")),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_tokens"))
+  }
+
+  private val decompressAutoSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 8 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+      |       WHEN 2 THEN 'deflate' WHEN 3 THEN 'zstd' WHEN 4 THEN 'lz4'
+      |       WHEN 5 THEN 'bzip2' WHEN 6 THEN 'snappy'
+      |       ELSE 'identity' END AS method,
+      |  CAST(strlen(text) + CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS out_bytes,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** Outlink extraction + relative-URL resolution, FULL oracle — the
+    * link-graph SEED step upstream of the PageRank/community family:
+    * each doc is wrapped in an HTML shell carrying the five href
+    * shapes a crawler meets (absolute, root-relative, path-relative,
+    * fragment-only, query-only), hrefs are pulled with a native
+    * regexp, and resolution against the base URL is an ALL-NATIVE
+    * when/concat chain (RFC 3986 §5.3 merge for the shapes present) —
+    * zero UDF on either side, so the oracle replays the identical
+    * expressions. Counts internal vs external by resolved host. */
+  private def htmlLinks(s: SparkSession, dir: String): DataFrame = {
+    val baseHost = concat(lit("site-"), col("doc_id") % 50, lit(".invalid"))
+    val html = concat(
+      lit("<html><body><a href=\"/abs-"), col("doc_id") % 7,
+      lit("\">a</a><a href=\"rel-"), col("doc_id") % 5,
+      lit("\">b</a><a href=\"http://ext-"), col("doc_id") % 11,
+      lit(".invalid/x\">c</a><a href=\"#frag\">d</a><a href=\"?q="),
+      col("doc_id") % 3, lit("\">e</a></body></html>"))
+    val hrefs = regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+    val basePath = lit("/dir/page")
+    val resolved = transform(hrefs, h =>
+      when(h.startsWith("http://"), h)
+        .when(h.startsWith("/"), concat(lit("http://"), baseHost, h))
+        .when(h.startsWith("#"), concat(lit("http://"), baseHost, basePath))
+        .when(h.startsWith("?"), concat(lit("http://"), baseHost, basePath, h))
+        .otherwise(concat(lit("http://"), baseHost, lit("/dir/"), h)))
+    val hostOf = (u: Column) => regexp_extract(u, "^http://([^/?#]+)", 1)
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), resolved.as("links"), baseHost.as("base_host"))
+      .select(col("doc_id"),
+        size(col("links")).cast("long").as("n_links"),
+        aggregate(col("links"), lit(0L),
+          (acc, u) => acc + when(hostOf(u) === col("base_host"), 1L).otherwise(0L))
+          .as("n_internal"),
+        aggregate(col("links"), lit(0L),
+          (acc, u) => acc + when(hostOf(u) =!= col("base_host"), 1L).otherwise(0L))
+          .as("n_external"),
+        array_sort(array_distinct(transform(col("links"), hostOf))).getItem(0)
+          .as("first_host"),
+        element_at(col("links"), 2).as("rel_resolved"))
+  }
+
+  private val htmlLinksSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    'site-' || (doc_id % 50) || '.invalid' AS bh,
+      |    'ext-' || (doc_id % 11) || '.invalid' AS eh
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(5 AS BIGINT) AS n_links,
+      |  CAST(4 AS BIGINT) AS n_internal,
+      |  CAST(1 AS BIGINT) AS n_external,
+      |  least(bh, eh) AS first_host,
+      |  'http://' || bh || '/dir/rel-' || (doc_id % 5) AS rel_resolved
+      |FROM b""".stripMargin
+
   /** Ogg container framing, FULL oracle — the streaming-audio wrapper
     * rung (`operators/Ogg.scala`): per doc an Ogg stream of 2-4
     * packets whose lengths cross the 255 lacing boundary, paged at 5
@@ -9891,6 +10008,8 @@ object SparkEntry {
     "webm_probe" -> (webmProbe(_, _)),
     "jsonl_ingest" -> (jsonlIngest(_, _)),
     "ogg_ingest" -> (oggIngest(_, _)),
+    "html_links" -> (htmlLinks(_, _)),
+    "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
     "xml_extract" -> (xmlExtract(_, _)),
@@ -10209,6 +10328,8 @@ object SparkEntry {
     "webm_probe" -> webmProbeSql,
     "jsonl_ingest" -> jsonlIngestSql,
     "ogg_ingest" -> oggIngestSql,
+    "html_links" -> htmlLinksSql,
+    "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
     "xml_extract" -> xmlExtractSql,

@@ -1,0 +1,107 @@
+package graft.operators
+
+/**
+ * Transparent payload decompression — the normalization gate at the
+ * very front of a crawl pipeline: HTTP bodies and dataset drops arrive
+ * gzip-wrapped, zlib-wrapped (the "deflate" content-encoding as most
+ * servers actually send it), raw-DEFLATE (the same header-less stream
+ * the broken minority sends), or uncompressed, and every byte
+ * downstream assumes plaintext.
+ *
+ * Detection ladder (all public formats; every codec here ships on
+ * Spark's own classpath — zstd-jni, lz4-java, snappy-java,
+ * commons-compress — or in the JDK):
+ *  1. RFC 1952 gzip: magic 1f 8b, CM 8 — full member decode, CRC32 +
+ *     ISIZE verified by the stdlib stream.
+ *  2. RFC 8878 zstd: magic 28 b5 2f fd — frame decode via zstd-jni
+ *     (per-block and optional frame xxhash verified by the library).
+ *  3. LZ4 frame: magic 04 22 4d 18 — lz4-java frame reader (header
+ *     HC + per-block checks).
+ *  4. bzip2: magic "BZh" + level digit — commons-compress (block and
+ *     stream CRCs verified).
+ *  5. Snappy framed: stream identifier ff 06 00 00 "sNaPpY" —
+ *     snappy-java framed reader (masked CRC-32C per chunk).
+ *  6. RFC 1950 zlib: CM = 8 in CMF and the (CMF·256+FLG) % 31 == 0
+ *     header check — Adler-32 verified by Inflater.
+ *  7. Raw DEFLATE: attempted when no magic matches; a stream that
+ *     fails to inflate cleanly falls through.
+ *  8. Identity: returned as-is (with method = "identity") — transparent
+ *     means uncompressed data must survive unchanged.
+ *
+ * Branches with a MAGIC (1-6) REFUSE corrupt streams (None) rather
+ * than falling through — a payload that declares compression and
+ * fails its checksum is corruption, not plaintext. Scale shape:
+ * stateless per-row map.
+ */
+object Decompress {
+
+  private def inflate(data: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || inf.finished(), "truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    val leftover = inf.getRemaining
+    inf.end()
+    require(leftover == 0, "trailing bytes after compressed stream")
+    out.toByteArray
+  }
+
+  private def magic(p: Array[Byte], bytes: Int*): Boolean =
+    p.length >= bytes.length && bytes.zipWithIndex.forall { case (b, i) => (p(i) & 0xff) == b }
+
+  private def drain(in: java.io.InputStream): Array[Byte] =
+    try in.readAllBytes() finally in.close()
+
+  /** Returns (method, plaintext); None when a DECLARED compression
+    * (a recognized magic, rungs 1-6) fails its integrity check. */
+  def auto(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (payload == null) return Some(("identity", Array.empty))
+    if (magic(payload, 0x1f, 0x8b)) {
+      return (try {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val b = gz.readAllBytes()
+        require(gz.read() < 0, "trailing bytes after gzip member")
+        gz.close()
+        Some(("gzip", b))
+      } catch { case _: Exception => None })
+    }
+    if (magic(payload, 0x28, 0xb5, 0x2f, 0xfd)) {
+      return (try Some(("zstd", drain(new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(payload)))))
+      catch { case _: Exception => None })
+    }
+    if (magic(payload, 0x04, 0x22, 0x4d, 0x18)) {
+      return (try Some(("lz4", drain(new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(payload)))))
+      catch { case _: Exception => None })
+    }
+    if (magic(payload, 'B', 'Z', 'h') && payload.length >= 4 &&
+        payload(3) >= '1' && payload(3) <= '9') {
+      return (try Some(("bzip2", drain(
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(payload)))))
+      catch { case _: Exception => None })
+    }
+    if (magic(payload, 0xff, 0x06, 0x00, 0x00, 's', 'N', 'a', 'P', 'p', 'Y')) {
+      return (try Some(("snappy", drain(new org.xerial.snappy.SnappyFramedInputStream(
+        new java.io.ByteArrayInputStream(payload), true))))
+      catch { case _: Exception => None })
+    }
+    if (payload.length >= 2) {
+      val cmf = payload(0) & 0xff
+      val flg = payload(1) & 0xff
+      if ((cmf & 0x0f) == 8 && (cmf * 256 + flg) % 31 == 0) {
+        return (try Some(("zlib", inflate(payload, raw = false)))
+        catch { case _: Exception => None })
+      }
+    }
+    try Some(("deflate", inflate(payload, raw = true)))
+    catch { case _: Exception => Some(("identity", payload)) }
+  }
+}
