@@ -11,8 +11,9 @@ package graft.operators
  * Detection ladder (all public formats; every codec here ships on
  * Spark's own classpath — zstd-jni, lz4-java, snappy-java,
  * commons-compress — or in the JDK):
- *  1. RFC 1952 gzip: magic 1f 8b, CM 8 — full member decode, CRC32 +
- *     ISIZE verified by the stdlib stream.
+ *  1. RFC 1952 gzip: magic 1f 8b, CM 8 — every concatenated member
+ *     decoded via [[Zlib.gzipMember]], CRC32 + ISIZE verified,
+ *     trailing garbage refused.
  *  2. RFC 8878 zstd: magic 28 b5 2f fd — frame decode via zstd-jni
  *     (per-block and optional frame xxhash verified by the library).
  *  3. LZ4 frame: magic 04 22 4d 18 — lz4-java frame reader (header
@@ -35,22 +36,6 @@ package graft.operators
  */
 object Decompress {
 
-  private def inflate(data: Array[Byte], raw: Boolean): Array[Byte] = {
-    val inf = new java.util.zip.Inflater(raw)
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      require(n > 0 || inf.finished(), "truncated deflate stream")
-      out.write(buf, 0, n)
-    }
-    val leftover = inf.getRemaining
-    inf.end()
-    require(leftover == 0, "trailing bytes after compressed stream")
-    out.toByteArray
-  }
-
   private def magic(p: Array[Byte], bytes: Int*): Boolean =
     p.length >= bytes.length && bytes.zipWithIndex.forall { case (b, i) => (p(i) & 0xff) == b }
 
@@ -62,13 +47,19 @@ object Decompress {
   def auto(payload: Array[Byte]): Option[(String, Array[Byte])] = {
     if (payload == null) return Some(("identity", Array.empty))
     if (magic(payload, 0x1f, 0x8b)) {
+      // Walk ALL concatenated members (pigz/bgzip emit several) with the
+      // shared CRC32+ISIZE-verified member decode; anything left over
+      // after the last trailer is trailing garbage, refused. (The JDK's
+      // GZIPInputStream silently swallows trailing junk — it cannot
+      // implement this contract.)
       return (try {
-        val gz = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val b = gz.readAllBytes()
-        require(gz.read() < 0, "trailing bytes after gzip member")
-        gz.close()
-        Some(("gzip", b))
+        val out = new java.io.ByteArrayOutputStream()
+        var off = 0
+        while (off < payload.length) {
+          val (body, next) = Zlib.gzipMember(payload, off)
+          out.write(body); off = next
+        }
+        Some(("gzip", out.toByteArray))
       } catch { case _: Exception => None })
     }
     if (magic(payload, 0x28, 0xb5, 0x2f, 0xfd)) {
@@ -97,11 +88,11 @@ object Decompress {
       val cmf = payload(0) & 0xff
       val flg = payload(1) & 0xff
       if ((cmf & 0x0f) == 8 && (cmf * 256 + flg) % 31 == 0) {
-        return (try Some(("zlib", inflate(payload, raw = false)))
+        return (try Some(("zlib", Zlib.inflateAll(payload, raw = false)))
         catch { case _: Exception => None })
       }
     }
-    try Some(("deflate", inflate(payload, raw = true)))
+    try Some(("deflate", Zlib.inflateAll(payload, raw = true)))
     catch { case _: Exception => Some(("identity", payload)) }
   }
 }

@@ -169,82 +169,108 @@ object Ebml {
   def probeWebm(data: Array[Byte]): Option[WebmMeta] =
     try {
       val r = new R(data, 0, data.length)
+      // extent discipline: every child's declared end must sit inside
+      // its parent, and every nested walk must consume EXACTLY its
+      // element — a size lie parses misaligned otherwise, returning
+      // garbage metadata instead of the documented loud None.
+      def childEnd(sz: Long, parentEnd: Int, what: String): Int = {
+        val e = r.pos + sz.toInt
+        require(sz >= 0 && e <= parentEnd, s"$what overruns its parent")
+        e
+      }
+      def exact(end: Int, what: String): Unit =
+        require(r.pos == end, s"$what children misaligned with its extent")
       require(r.readId() == 0x1A45DFA3L, "no EBML header")
-      val hSize = r.readSize()
-      val hEnd = r.pos + hSize.toInt
+      val hEnd = childEnd(r.readSize(), data.length, "EBML header")
       var docType = ""
       var docTypeVersion = 1
       while (r.pos < hEnd) {
         val id = r.readId(); val sz = r.readSize()
+        val e = childEnd(sz, hEnd, "header child")
         id match {
           case 0x4282L => docType = r.ascii(sz.toInt)
           case 0x4287L => docTypeVersion = r.uint(sz.toInt).toInt
           case _ => r.skip(sz)
         }
+        exact(e, "header child")
       }
+      exact(hEnd, "EBML header")
       require(docType.nonEmpty, "missing DocType")
       require(r.readId() == 0x18538067L, "no Segment")
-      val segSize = r.readSize()
-      val segEnd = r.pos + segSize.toInt
+      val segEnd = childEnd(r.readSize(), data.length, "Segment")
       var tsScale = 1000000L
       var duration = 0.0
       val tracks = mutable.Buffer[Track]()
       while (r.pos < segEnd) {
         val id = r.readId(); val sz = r.readSize()
-        val elEnd = r.pos + sz.toInt
+        val elEnd = childEnd(sz, segEnd, "segment child")
         id match {
           case 0x1549A966L => // Info
             while (r.pos < elEnd) {
               val i2 = r.readId(); val s2 = r.readSize()
+              val e2 = childEnd(s2, elEnd, "Info child")
               i2 match {
                 case 0x2AD7B1L => tsScale = r.uint(s2.toInt)
                 case 0x4489L => duration = r.float(s2.toInt)
                 case _ => r.skip(s2)
               }
+              exact(e2, "Info child")
             }
+            exact(elEnd, "Info")
           case 0x1654AE6BL => // Tracks
             while (r.pos < elEnd) {
               val i2 = r.readId(); val s2 = r.readSize()
               if (i2 == 0xAEL) {
-                val tEnd = r.pos + s2.toInt
+                val tEnd = childEnd(s2, elEnd, "TrackEntry")
                 var num = 0; var tt = 0; var codec = ""
                 var pw = 0; var ph = 0; var rate = 0.0; var ch = 0
                 while (r.pos < tEnd) {
                   val i3 = r.readId(); val s3 = r.readSize()
+                  val e3 = childEnd(s3, tEnd, "TrackEntry child")
                   i3 match {
                     case 0xD7L => num = r.uint(s3.toInt).toInt
                     case 0x83L => tt = r.uint(s3.toInt).toInt
                     case 0x86L => codec = r.ascii(s3.toInt)
                     case 0xE0L =>
-                      val vEnd = r.pos + s3.toInt
-                      while (r.pos < vEnd) {
+                      while (r.pos < e3) {
                         val i4 = r.readId(); val s4 = r.readSize()
+                        val e4 = childEnd(s4, e3, "Video child")
                         i4 match {
                           case 0xB0L => pw = r.uint(s4.toInt).toInt
                           case 0xBAL => ph = r.uint(s4.toInt).toInt
                           case _ => r.skip(s4)
                         }
+                        exact(e4, "Video child")
                       }
                     case 0xE1L =>
-                      val aEnd = r.pos + s3.toInt
-                      while (r.pos < aEnd) {
+                      while (r.pos < e3) {
                         val i4 = r.readId(); val s4 = r.readSize()
+                        val e4 = childEnd(s4, e3, "Audio child")
                         i4 match {
                           case 0xB5L => rate = r.float(s4.toInt)
                           case 0x9FL => ch = r.uint(s4.toInt).toInt
                           case _ => r.skip(s4)
                         }
+                        exact(e4, "Audio child")
                       }
                     case _ => r.skip(s3)
                   }
+                  exact(e3, "TrackEntry child")
                 }
+                exact(tEnd, "TrackEntry")
                 require(codec.nonEmpty, "TrackEntry missing CodecID")
                 tracks += Track(num, tt, codec, pw, ph, rate, ch)
-              } else r.skip(s2)
+              } else {
+                val e2 = childEnd(s2, elEnd, "Tracks child")
+                r.skip(s2); exact(e2, "Tracks child")
+              }
             }
+            exact(elEnd, "Tracks")
           case _ => r.skip(sz) // Clusters, Cues, unknown — all skipped
         }
+        exact(elEnd, "segment child")
       }
+      exact(segEnd, "Segment")
       Some(WebmMeta(docType, docTypeVersion, tsScale, duration, tracks.toSeq))
     } catch { case _: Exception => None }
 }

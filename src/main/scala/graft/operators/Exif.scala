@@ -19,12 +19,20 @@ package graft.operators
  *    first-IFD offset), 12-byte IFD entries (tag, type, count,
  *    value-or-offset — values ≤ 4 bytes are INLINE, larger live at an
  *    offset), next-IFD pointer.
- *  - Types: 1 BYTE, 2 ASCII (NUL-terminated), 3 SHORT, 4 LONG,
- *    5 RATIONAL (two u32s), 7 UNDEFINED. Both byte orders parse; the
- *    encoder emits either.
+ *  - Types: all 12 TIFF 6.0 types. The unsigned five (BYTE, ASCII,
+ *    SHORT, LONG, RATIONAL) and UNDEFINED decode numerically/as
+ *    bytes; the signed/float six (SBYTE, SSHORT, SLONG, SRATIONAL,
+ *    FLOAT, DOUBLE — ShutterSpeedValue on a real camera is SRATIONAL)
+ *    round-trip as raw bytes. Unrecognized type codes are SKIPPED,
+ *    the reader behavior TIFF 6.0 prescribes. Both byte orders parse;
+ *    the encoder emits either. Fill bytes (0xFF) before markers and
+ *    length-less TEM/RSTn markers are handled in the segment walk.
  *  - IFD0 links the Exif sub-IFD (tag 0x8769) and GPS IFD (0x8825);
  *    GPS latitude/longitude are 3 RATIONALs (deg, min, sec) plus an
  *    ASCII ref (N/S/E/W) — the exact shape `scrubGps` must remove.
+ *    IFD0's next-IFD pointer is FOLLOWED: IFD1 (the thumbnail IFD)
+ *    and its embedded JPEGInterchangeFormat bitstream survive the
+ *    scrub re-layout with the pointer tag re-aimed.
  *  - `scrubGps` re-LAYOUTS the TIFF block generically (every kept
  *    entry re-packed inline-or-external, sub-IFD offsets recomputed)
  *    so unknown vendor tags survive untouched; only the GPS pointer
@@ -43,8 +51,14 @@ object Exif {
   final case class Entry(tag: Int, typ: Int, count: Int,
                          nums: Vector[Long], bytes: Array[Byte])
 
+  /** `ifd1`/`thumb`: the thumbnail IFD linked from IFD0's next-IFD
+    * pointer and its embedded JPEG bitstream (JPEGInterchangeFormat,
+    * tags 0x0201/0x0202) — present in virtually every camera file and
+    * preserved through the scrub re-layout. */
   final case class ExifData(bigEndian: Boolean, ifd0: Vector[Entry],
-                            exifIfd: Vector[Entry], gpsIfd: Vector[Entry])
+                            exifIfd: Vector[Entry], gpsIfd: Vector[Entry],
+                            ifd1: Vector[Entry] = Vector.empty,
+                            thumb: Array[Byte] = Array.empty)
 
   private val TagExifPtr = 0x8769
   private val TagGpsPtr = 0x8825
@@ -63,13 +77,20 @@ object Exif {
   def rational(pairs: (Long, Long)*): Entry =
     Entry(0, 5, pairs.length, pairs.flatMap(p => Seq(p._1, p._2)).toVector, Array.empty)
 
+  /** TIFF 6.0 field-type widths, all 12 standard types: BYTE, ASCII,
+    * SHORT, LONG, RATIONAL, SBYTE, UNDEFINED, SSHORT, SLONG, SRATIONAL,
+    * FLOAT, DOUBLE. Real camera files routinely carry the signed
+    * types (ShutterSpeedValue is SRATIONAL) — a reader that only
+    * knows the unsigned five crashes on ordinary photos. */
   private def typeSize(t: Int): Int = t match {
-    case 1 | 2 | 7 => 1
-    case 3 => 2
-    case 4 => 4
-    case 5 => 8
+    case 1 | 2 | 6 | 7 => 1
+    case 3 | 8 => 2
+    case 4 | 9 | 11 => 4
+    case 5 | 10 | 12 => 8
     case t => sys.error(s"unsupported EXIF type $t")
   }
+
+  private def knownType(t: Int): Boolean = t >= 1 && t <= 12
 
   private def valueByteLen(e: Entry): Int = typeSize(e.typ) * e.count
 
@@ -97,6 +118,10 @@ object Exif {
     case 3 => e.nums.foreach(v => w.u16(v.toInt))
     case 4 => e.nums.foreach(w.u32)
     case 5 => e.nums.foreach(w.u32)
+    // signed/float types (SBYTE/SSHORT/SLONG/SRATIONAL/FLOAT/DOUBLE)
+    // round-trip as raw bytes — the re-layout keeps the byte order, so
+    // verbatim bytes are exact and no numeric interpretation is needed
+    case 6 | 8 | 9 | 10 | 11 | 12 => w.raw(e.bytes)
   }
 
   /** Serialize one IFD at `offset` (entries sorted by tag as the spec
@@ -104,7 +129,7 @@ object Exif {
     * and the next free offset. `patch` maps tag → value for pointer
     * tags whose target offsets are only known later. */
   private def writeIfd(bigEndian: Boolean, entries: Seq[Entry],
-                       offset: Int): (Array[Byte], Int) = {
+                       offset: Int, nextIfd: Long = 0L): (Array[Byte], Int) = {
     val sorted = entries.sortBy(_.tag)
     val ifdLen = 2 + 12 * sorted.length + 4
     var extOff = offset + ifdLen
@@ -126,7 +151,7 @@ object Exif {
         extOff += ext.size - b0
       }
     }
-    w.u32(0) // next IFD
+    w.u32(nextIfd)
     w.raw(ext.out.toByteArray)
     (w.out.toByteArray, extOff)
   }
@@ -150,16 +175,35 @@ object Exif {
       if (d.exifIfd.nonEmpty) writeIfd(d.bigEndian, d.exifIfd, exifOff)
       else (Array.empty[Byte], exifOff)
     val gpsOff = exifEnd
-    val (gpsB, _) =
+    val (gpsB, gpsEnd) =
       if (d.gpsIfd.nonEmpty) writeIfd(d.bigEndian, d.gpsIfd, gpsOff)
       else (Array.empty[Byte], gpsOff)
-    val (ifd0B, _) = writeIfd(d.bigEndian, withPointers(exifOff.toLong, gpsOff.toLong), ifd0Base)
+    // IFD1 (thumbnail) follows; its JPEGInterchangeFormat pointer
+    // (0x0201, a LONG — always inline, so IFD1's size is count-stable)
+    // is re-aimed at the blob's re-layout position.
+    val ifd1Off = gpsEnd
+    val (ifd1B, thumbOff) =
+      if (d.ifd1.nonEmpty) {
+        val (probe1, end1) = writeIfd(d.bigEndian, d.ifd1, ifd1Off)
+        val patched = d.ifd1.map(e =>
+          if (e.tag == 0x0201 && d.thumb.nonEmpty) e.copy(nums = Vector(end1.toLong)) else e)
+        val (b1, e1b) = writeIfd(d.bigEndian, patched, ifd1Off)
+        require(b1.length == probe1.length && e1b == end1, "IFD1 layout instability")
+        (b1, end1)
+      } else (Array.empty[Byte], gpsEnd)
+    val nextIfd = if (d.ifd1.nonEmpty) ifd1Off.toLong else 0L
+    val (ifd0B, _) =
+      writeIfd(d.bigEndian, withPointers(exifOff.toLong, gpsOff.toLong), ifd0Base, nextIfd)
     require(ifd0B.length == probe.length, "IFD0 layout instability")
     val w = new TiffW(d.bigEndian)
     if (d.bigEndian) { w.out.write('M'); w.out.write('M') }
     else { w.out.write('I'); w.out.write('I') }
     w.u16(42); w.u32(ifd0Base.toLong)
-    w.raw(ifd0B); w.raw(exifB); w.raw(gpsB)
+    w.raw(ifd0B); w.raw(exifB); w.raw(gpsB); w.raw(ifd1B)
+    if (d.ifd1.nonEmpty && d.thumb.nonEmpty) {
+      require(w.size - 0 == thumbOff, "thumbnail offset drift")
+      w.raw(d.thumb)
+    }
     w.out.toByteArray
   }
 
@@ -202,27 +246,30 @@ object Exif {
 
   private def readIfd(r: TiffR, off: Int): Vector[Entry] = {
     val n = r.u16(off)
-    (0 until n).map { i =>
+    (0 until n).flatMap { i =>
       val p = off + 2 + 12 * i
       val tag = r.u16(p)
       val typ = r.u16(p + 2)
-      val count = r.u32(p + 4).toInt
-      require(count >= 0 && count < (1 << 20), s"absurd EXIF count $count")
-      val len = typeSize(typ) * count
-      val vo = if (len <= 4) p + 8 else r.u32(p + 8).toInt
-      require(vo >= 0 && vo + len <= r.data.length, s"EXIF value out of range (tag $tag)")
-      typ match {
-        case 1 | 2 | 7 =>
-          Entry(tag, typ, count, Vector.empty,
-            java.util.Arrays.copyOfRange(r.data, vo, vo + len))
-        case 3 =>
-          Entry(tag, typ, count, (0 until count).map(k => r.u16(vo + 2 * k).toLong).toVector, Array.empty)
-        case 4 =>
-          Entry(tag, typ, count, (0 until count).map(k => r.u32(vo + 4 * k)).toVector, Array.empty)
-        case 5 =>
-          Entry(tag, typ, count,
-            (0 until count).flatMap(k => Seq(r.u32(vo + 8 * k), r.u32(vo + 8 * k + 4))).toVector,
-            Array.empty)
+      if (!knownType(typ)) None // TIFF 6.0: readers SKIP unrecognized field types
+      else {
+        val count = r.u32(p + 4).toInt
+        require(count >= 0 && count < (1 << 20), s"absurd EXIF count $count")
+        val len = typeSize(typ) * count
+        val vo = if (len <= 4) p + 8 else r.u32(p + 8).toInt
+        require(vo >= 0 && vo + len <= r.data.length, s"EXIF value out of range (tag $tag)")
+        Some(typ match {
+          case 1 | 2 | 6 | 7 | 8 | 9 | 10 | 11 | 12 =>
+            Entry(tag, typ, count, Vector.empty,
+              java.util.Arrays.copyOfRange(r.data, vo, vo + len))
+          case 3 =>
+            Entry(tag, typ, count, (0 until count).map(k => r.u16(vo + 2 * k).toLong).toVector, Array.empty)
+          case 4 =>
+            Entry(tag, typ, count, (0 until count).map(k => r.u32(vo + 4 * k)).toVector, Array.empty)
+          case 5 =>
+            Entry(tag, typ, count,
+              (0 until count).flatMap(k => Seq(r.u32(vo + 8 * k), r.u32(vo + 8 * k + 4))).toVector,
+              Array.empty)
+        })
       }
     }.toVector
   }
@@ -238,13 +285,34 @@ object Exif {
     }
     val r = new TiffR(tiff, bigEndian)
     require(r.u16(2) == 42, "bad TIFF magic")
-    val ifd0 = readIfd(r, r.u32(4).toInt)
+    val ifd0Off = r.u32(4).toInt
+    val ifd0 = readIfd(r, ifd0Off)
     def sub(tag: Int): Vector[Entry] =
       ifd0.find(_.tag == tag) match {
         case Some(e) => readIfd(r, e.nums.head.toInt)
         case None => Vector.empty
       }
-    ExifData(bigEndian, ifd0, sub(TagExifPtr), sub(TagGpsPtr))
+    // follow the next-IFD pointer: IFD1 carries the thumbnail IFD and
+    // (usually) an embedded JPEG via JPEGInterchangeFormat(Length)
+    val rawN = r.u16(ifd0Off)
+    // the slot count written by readIfd's walk is the declared count,
+    // so the next-IFD pointer sits right after the declared entries
+    val next = r.u32(ifd0Off + 2 + 12 * rawN).toInt
+    val (ifd1, thumb) =
+      if (next == 0) (Vector.empty[Entry], Array.empty[Byte])
+      else {
+        val es = readIfd(r, next)
+        val off = es.find(_.tag == 0x0201).flatMap(_.nums.headOption)
+        val len = es.find(_.tag == 0x0202).flatMap(_.nums.headOption)
+        val blob = (off, len) match {
+          case (Some(o), Some(l)) =>
+            require(o + l <= tiff.length, "thumbnail blob out of range")
+            java.util.Arrays.copyOfRange(tiff, o.toInt, (o + l).toInt)
+          case _ => Array.empty[Byte]
+        }
+        (es, blob)
+      }
+    ExifData(bigEndian, ifd0, sub(TagExifPtr), sub(TagGpsPtr), ifd1, thumb)
   }
 
   /** Walk JPEG segments; returns the APP1 Exif TIFF block if present.
@@ -255,16 +323,23 @@ object Exif {
       "not a JPEG (no SOI)")
     var p = 2
     val pre = ExifPre
-    while (p + 4 <= jpeg.length) {
+    while (p + 2 <= jpeg.length) {
       require((jpeg(p) & 0xff) == 0xff, s"bad marker byte at $p")
+      // the spec permits any number of 0xFF FILL bytes before a marker
+      while (p + 2 <= jpeg.length && (jpeg(p + 1) & 0xff) == 0xff) p += 1
+      require(p + 2 <= jpeg.length, "fill bytes run off the end")
       val m = jpeg(p + 1) & 0xff
       if (m == 0xd9 || m == 0xda) return None // EOI / SOS: entropy data follows
-      val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
-      require(len >= 2 && p + 2 + len <= jpeg.length, s"segment overruns at $p")
-      if (m == 0xe1 && len >= 2 + pre.length &&
-        (0 until pre.length).forall(i => jpeg(p + 4 + i) == pre(i)))
-        return Some((p, len))
-      p += 2 + len
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2 // TEM/RSTn: no length field
+      else {
+        require(p + 4 <= jpeg.length, "marker length truncated")
+        val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
+        require(len >= 2 && p + 2 + len <= jpeg.length, s"segment overruns at $p")
+        if (m == 0xe1 && len >= 2 + pre.length &&
+          (0 until pre.length).forall(i => jpeg(p + 4 + i) == pre(i)))
+          return Some((p, len))
+        p += 2 + len
+      }
     }
     None
   }

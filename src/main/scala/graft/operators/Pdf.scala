@@ -204,20 +204,6 @@ object Pdf {
       .getOrElse(sys.error(s"$name reference not found"))
   }
 
-  private def inflateZlib(b: Array[Byte]): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(b)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val k = inf.inflate(buf)
-      require(k > 0 || inf.finished(), "truncated zlib stream")
-      out.write(buf, 0, k)
-    }
-    inf.end()
-    out.toByteArray
-  }
-
   /** Read a stream object's decoded payload. */
   private def streamPayload(p: P, xref: Map[Int, Int], n: Int): Array[Byte] = {
     val (dict, dictStart) = objectAt(p, xref, n)
@@ -230,7 +216,12 @@ object Pdf {
     dataStart += 1
     require(dataStart + len <= p.data.length, "stream payload truncated")
     val raw = java.util.Arrays.copyOfRange(p.data, dataStart, dataStart + len)
-    if (dict.contains("/FlateDecode")) inflateZlib(raw) else raw
+    // The /Filter lives in the DICTIONARY, which ends at the `stream`
+    // keyword — searching all the way to `endobj` would also scan the
+    // raw payload, and an UNFILTERED stream whose text merely contains
+    // the characters "/FlateDecode" must not be inflated.
+    val dictRegion = p.str(dictStart, sIdx - dictStart)
+    if (dictRegion.contains("/FlateDecode")) Zlib.inflateAll(raw, raw = false) else raw
   }
 
   /** Decode one PDF string literal body (between parens, escapes
@@ -253,7 +244,12 @@ object Pdf {
             case '(' => b.append('('); i += 2
             case ')' => b.append(')'); i += 2
             case '\\' => b.append('\\'); i += 2
-            case '\n' => i += 2 // line continuation
+            // line continuation: backslash before ANY EOL marker
+            // (LF, CR, or CRLF — ISO 32000 7.3.4.2)
+            case '\n' => i += 2
+            case '\r' =>
+              i += 2
+              if (i < s.length && s.charAt(i) == '\n') i += 1
             case d if d >= '0' && d <= '7' =>
               var j = i + 1
               var v = 0

@@ -250,19 +250,9 @@ object Png {
         off += 12 + len.toInt
       }
       require(colorType >= 0, "no IHDR")
-      val raw = {
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(idat.toByteArray)
-        val o = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val k = inf.inflate(buf)
-          require(k > 0 || inf.finished(), "truncated IDAT zlib stream")
-          o.write(buf, 0, k)
-        }
-        inf.end()
-        o.toByteArray
-      }
+      // the zlib datastream is exactly the concatenated IDAT data —
+      // full consumption required (shared drain semantics in Zlib)
+      val raw = Zlib.inflateAll(idat.toByteArray, raw = false)
       val bpp = bppOf(colorType)
       val stride = width * bpp
       require(raw.length == (stride + 1) * height, "raster size mismatch")

@@ -48,7 +48,11 @@ object Resample {
           if (frac == 0 || idx + 1 >= nIn) x0
           else {
             val x1 = xs((idx + 1) * channels + c).toInt
-            x0 + ((x1 - x0) * frac) / p
+            // Long product: (x1-x0)·frac reaches ±2^31 for unreduced
+            // ratios like 44100/8000 scaled up (frac < p can be large);
+            // DuckDB's side is BIGINT already, so Long keeps the
+            // truncating-division pairing exact instead of wrapping.
+            x0 + ((x1 - x0).toLong * frac / p).toInt
           }
         out(j * channels + c) = v.toShort
         j += 1

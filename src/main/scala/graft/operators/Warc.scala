@@ -67,51 +67,10 @@ object Warc {
   }
 
   /** Inflate ONE gzip member starting at `off`; returns (bytes, next
-    * offset). Parses the member header (magic, flags incl. FEXTRA/
-    * FNAME/FCOMMENT skips), inflates with a raw `Inflater`, and uses
-    * `getRemaining` to locate the member's end past the 8-byte
-    * CRC32+ISIZE trailer — the trick that makes record-at-a-time
-    * walking of concatenated members possible. CRC32 and ISIZE are
-    * VERIFIED (stdlib gives both for free; a truncated or corrupt
-    * member must not yield bytes). */
-  private def inflateMember(data: Array[Byte], off: Int): (Array[Byte], Int) = {
-    require(off + 10 <= data.length, "member header truncated")
-    require((data(off) & 0xff) == 0x1f && (data(off + 1) & 0xff) == 0x8b,
-      s"bad gzip magic at $off")
-    require((data(off + 2) & 0xff) == 8, "unsupported compression method")
-    val flg = data(off + 3) & 0xff
-    var p = off + 10
-    if ((flg & 4) != 0) { // FEXTRA
-      val xlen = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
-      p += 2 + xlen
-    }
-    if ((flg & 8) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
-    if ((flg & 16) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
-    if ((flg & 2) != 0) p += 2 // FHCRC
-    val inf = new java.util.zip.Inflater(true)
-    inf.setInput(data, p, data.length - p)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished()) {
-      val n = inf.inflate(buf)
-      require(n > 0 || inf.finished(), "truncated deflate stream")
-      out.write(buf, 0, n)
-    }
-    val consumed = (data.length - p) - inf.getRemaining
-    inf.end()
-    val body = out.toByteArray
-    val tEnd = p + consumed + 8
-    require(tEnd <= data.length, "gzip trailer truncated")
-    val t = p + consumed
-    def le32(i: Int): Long =
-      (data(i) & 0xffL) | ((data(i + 1) & 0xffL) << 8) |
-        ((data(i + 2) & 0xffL) << 16) | ((data(i + 3) & 0xffL) << 24)
-    val crc = new java.util.zip.CRC32()
-    crc.update(body)
-    require(crc.getValue == le32(t), "gzip member CRC32 mismatch")
-    require((body.length & 0xffffffffL) == le32(t + 4), "gzip ISIZE mismatch")
-    (body, tEnd)
-  }
+    * offset). Delegates to the shared CRC32+ISIZE-verified member
+    * decode in [[Zlib.gzipMember]]. */
+  private def inflateMember(data: Array[Byte], off: Int): (Array[Byte], Int) =
+    Zlib.gzipMember(data, off)
 
   /** Parse one WARC/1.0 record from a member's inflated bytes. */
   private def parseRecord(rec: Array[Byte]): WarcRecord = {

@@ -125,27 +125,14 @@ object Zip {
 
   private def inflateRaw(d: Array[Byte], off: Int, len: Int,
                          expected: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater(true)
-    inf.setInput(d, off, len)
-    val out = new Array[Byte](expected)
-    var pos = 0
-    while (pos < expected && !inf.finished()) {
-      val n = inf.inflate(out, pos, expected - pos)
-      require(n > 0 || inf.finished(), "truncated deflate stream")
-      pos += n
-    }
-    if (!inf.finished()) {
-      // empty or exactly-sized output: drain the final block terminator;
-      // any EXTRA byte means the stream is longer than declared.
-      val scratch = new Array[Byte](1)
-      require(inf.inflate(scratch) == 0 && inf.finished(),
-        "deflate stream longer than declared size")
-    }
-    require(pos == expected, "deflate stream size mismatch")
-    val consumed = len - inf.getRemaining
-    inf.end()
+    // shared drain (Zlib) + the ZIP header's declared-size contracts:
+    // output must be exactly the uncompressed size, input exactly the
+    // compressed size — a longer or shorter stream is a framing lie.
+    val (bytes, consumed) = Zlib.inflate(d, off, len, raw = true)
+    require(bytes.length == expected,
+      s"deflate stream size mismatch: got ${bytes.length}, declared $expected")
     require(consumed == len, s"compressed size mismatch: consumed $consumed of $len")
-    out
+    bytes
   }
 
   /** Decode a ZIP blob to (name, bytes) entries via the central

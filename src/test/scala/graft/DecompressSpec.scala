@@ -87,4 +87,15 @@ class DecompressSpec extends AnyFunSuite {
     val z = deflate(text, raw = false) ++ Array[Byte](1, 2, 3)
     assert(Decompress.auto(z).isEmpty)
   }
+
+  test("trailing garbage after a gzip member is refused (JDK stream would swallow it)") {
+    val g = gzip(text) ++ Array[Byte](1, 2, 3, 4, 5)
+    assert(Decompress.auto(g).isEmpty)
+  }
+
+  test("concatenated gzip members (pigz/bgzip shape) decode to the joined plaintext") {
+    val two = gzip(text) ++ gzip(" again".getBytes("UTF-8"))
+    assert(Decompress.auto(two).map { case (m, b) => (m, new String(b, "UTF-8")) }
+      .contains(("gzip", "hello transparent decompression 123 again")))
+  }
 }

@@ -48,6 +48,19 @@ class EbmlSpec extends AnyFunSuite {
     assert(m.durationTicks == 0.5)
   }
 
+  test("a child whose size overruns its parent's extent is refused, not misparsed") {
+    val enc = Ebml.encodeWebm(meta)
+    // locate the DocType element (id 42 82, 1-byte size, then "webm")
+    val i = enc.indexWhere(_ == 0x42.toByte)
+    val at = (i until enc.length - 6).find(k =>
+      (enc(k) & 0xff) == 0x42 && (enc(k + 1) & 0xff) == 0x82 &&
+        enc(k + 3) == 'w' && enc(k + 4) == 'e').get
+    // inflate its declared size: still inside the FILE, but past the
+    // EBML header's extent — must be a loud None, not garbage metadata
+    val bad = enc.clone(); bad(at + 2) = 0x95.toByte
+    assert(Ebml.probeWebm(bad).isEmpty, "extent lie accepted")
+  }
+
   test("corruption refused: bad magic, truncation, unknown-size VINT") {
     val enc = Ebml.encodeWebm(meta)
     val b1 = enc.clone(); b1(0) = 0x42

@@ -98,6 +98,56 @@ class ExifSpec extends AnyFunSuite {
     assert(Exif.scrubGps(noGps) eq noGps)
   }
 
+  test("signed/float types (SRATIONAL et al.) round-trip; unknown types are skipped") {
+    // camera-realistic: ShutterSpeedValue 0x9201 is SRATIONAL (type 10)
+    val srat = Entry(0x9201, 10, 1, Vector.empty,
+      Array[Byte](0, 0, 0, 5, 0, 0, 0, 2)) // 5/2 in MM order
+    val sshort = Entry(0x9203, 8, 1, Vector.empty, Array[Byte](0xff.toByte, 0xfe.toByte))
+    val dbl = Entry(0x9204, 12, 1, Vector.empty, Array.tabulate[Byte](8)(_.toByte))
+    val d = ExifData(bigEndian = true, ifd0 = Vector(short(6).copy(tag = 0x0112)),
+      exifIfd = Vector(srat, sshort, dbl), gpsIfd = Vector.empty)
+    val p = Exif.parseTiffBlock(Exif.encodeTiffBlock(d))
+    val got = p.exifIfd.sortBy(_.tag)
+    assert(got.map(e => (e.tag, e.typ, e.count)) ==
+      Seq((0x9201, 10, 1), (0x9203, 8, 1), (0x9204, 12, 1)))
+    assert(got.head.bytes.toSeq == srat.bytes.toSeq)
+    assert(got(1).bytes.toSeq == sshort.bytes.toSeq)
+    assert(got(2).bytes.toSeq == dbl.bytes.toSeq)
+    // an unrecognized type code (99) in a hand-built IFD is skipped, not fatal
+    val w = Exif.encodeTiffBlock(ExifData(bigEndian = false,
+      ifd0 = Vector(short(1).copy(tag = 0x0112)), exifIfd = Vector.empty, gpsIfd = Vector.empty))
+    // patch the entry's type field (II: tag at 10-11, type at 12-13) to 99
+    val bad = w.clone(); bad(12) = 99
+    val parsed = Exif.parseTiffBlock(bad)
+    assert(parsed.ifd0.isEmpty) // the one entry was skipped
+  }
+
+  test("IFD1 thumbnail IFD and its JPEG blob survive the GPS scrub") {
+    val thumbJpeg = tinyJpeg(7)
+    val d = sampleData(bigEndian = false).copy(
+      ifd1 = Vector(
+        long(thumbJpeg.length.toLong).copy(tag = 0x0202),
+        long(0L).copy(tag = 0x0201), // offset re-aimed by the encoder
+        short(1).copy(tag = 0x0103)),
+      thumb = thumbJpeg)
+    val jpeg = Exif.embedExif(tinyJpeg(3), d)
+    val scrubbed = Exif.scrubGps(jpeg)
+    val p = Exif.parseExif(scrubbed).get
+    assert(p.gpsIfd.isEmpty)
+    assert(p.ifd1.map(_.tag).sorted == Seq(0x0103, 0x0201, 0x0202))
+    assert(p.thumb.toSeq == thumbJpeg.toSeq, "thumbnail bitstream changed")
+    // the preserved thumbnail still decodes as a JPEG
+    assert(Multimodal.decodeImage(p.thumb).isDefined)
+  }
+
+  test("fill bytes before markers and RST/TEM standalone markers are tolerated") {
+    val base = Exif.embedExif(tinyJpeg(5), sampleData(bigEndian = true))
+    // splice a 0xFF fill byte + TEM marker right after SOI
+    val padded = base.slice(0, 2) ++ Array[Byte](0xff.toByte, 0xff.toByte, 0x01) ++ base.drop(2)
+    val p = Exif.parseExif(padded)
+    assert(p.isDefined && p.get.gpsIfd.nonEmpty)
+  }
+
   test("malformed structures are refused loudly") {
     assertThrows[Exception](Exif.parseTiffBlock("XXbadmagic".getBytes))
     assertThrows[Exception](Exif.findExifSegment("not a jpeg".getBytes))

@@ -47,6 +47,21 @@ class PdfSpec extends AnyFunSuite {
     assert(s == "AB")
   }
 
+  test("backslash-CR and backslash-CRLF are line continuations (ISO 32000 7.3.4.2)") {
+    assert(Pdf.extractContentText("BT (split\\\rhere) Tj ET") == "splithere")
+    assert(Pdf.extractContentText("BT (split\\\r\nhere) Tj ET") == "splithere")
+  }
+
+  test("an unfiltered stream whose TEXT contains /FlateDecode is not inflated") {
+    // a document ABOUT pdf internals: page 1 is RAW (odd pages skip the
+    // Flate dial) and its content mentions the filter name — the filter
+    // lookup must stop at the `stream` keyword, not scan the payload
+    val pages = Pdf.decodePdfText(Pdf.encodePdf(Seq(
+      Page(Seq("first page")),
+      Page(Seq("the /FlateDecode filter compresses streams"))))).get
+    assert(pages(1) == "the /FlateDecode filter compresses streams")
+  }
+
   test("empty page and empty document behave") {
     val dec = Pdf.decodePdfText(Pdf.encodePdf(Seq(Page(Nil)))).get
     assert(dec == Seq(""))

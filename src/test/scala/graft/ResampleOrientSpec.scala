@@ -47,6 +47,19 @@ class ResampleOrientSpec extends AnyFunSuite {
     assert(out.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).toSeq == rOut.toSeq)
   }
 
+  test("unreduced large ratios do not overflow the interpolation product") {
+    // 8 kHz -> 44.1 kHz unreduced: frac reaches 44099; with a full-scale
+    // step the 32-bit product would wrap. Equal to the gcd-reduced run.
+    val xs = Array[Short](Short.MinValue, Short.MaxValue, Short.MinValue)
+    val big = Resample.resampleLinear(xs, 1, 44100, 8000)
+    val small = Resample.resampleLinear(xs, 1, 441, 80)
+    assert(big.toSeq == small.toSeq)
+    assert(big.forall(v => v >= Short.MinValue && v <= Short.MaxValue))
+    // interpolated values must be monotone within the first rising span
+    val rising = big.slice(0, big.length / 2)
+    assert(rising.zip(rising.tail).forall { case (a, b) => b >= a })
+  }
+
   test("all eight orientations are lossless and size-correct") {
     val w = 5; val h = 3
     val px = Array.tabulate(w * h)(i => i * 1000 + 7)
