@@ -6711,6 +6711,55 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Native baseline JPEG codec, FULL oracle — the entropy-coding rung
+    * (`operators/Jpeg.scala`, ITU-T T.81): per doc a grayscale image
+    * whose 8×8 blocks are each CONSTANT with (v−128)·8 divisible by
+    * the DC quant step — DC-only spectra survive quantization exactly,
+    * so decode(encode(img)) is bit-identical regardless of IDCT
+    * implementation and a DuckDB oracle replays the whole chain in
+    * closed form. Even docs are 24×16; odd docs 17×9, exercising edge
+    * replication on encode and crop on decode. Color/4:2:0/restart/JDK
+    * cross-checks live in JpegSpec. */
+  private def imageJpegNative(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val (w, h) = if (docId % 2 == 0) (24, 16) else (17, 9)
+      val bw = (w + 7) / 8
+      val px = Array.tabulate(w * h) { i =>
+        val bi = (i / w / 8) * bw + (i % w) / 8
+        (128 + 2 * (((docId * 7 + bi * 13) % 50) - 25)).toInt
+      }
+      val img = operators.Jpeg.JpegImage(w, h, 1, px)
+      val dec = operators.Jpeg.decodeJpeg(operators.Jpeg.encodeJpeg(img))
+        .getOrElse(sys.error(s"jpeg round-trip failed for doc $docId"))
+      require(dec.width == w && dec.height == h && dec.channels == 1, "geometry drift")
+      var wsum = 0L
+      var i = 0
+      while (i < dec.pixels.length) { wsum += (i + 1).toLong * dec.pixels(i); i += 1 }
+      (w, h, wsum)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("w"), col("r._2").cast("long").as("h"),
+        col("r._3").as("wsum"))
+  }
+
+  private val imageJpegNativeSql =
+    """WITH g AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 2 = 0 THEN 24 ELSE 17 END AS w,
+      |    CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 9 END AS h,
+      |    x.range AS x, y.range AS y
+      |  FROM documents d, range(24) x, range(16) y
+      |  WHERE x.range < CASE WHEN d.doc_id % 2 = 0 THEN 24 ELSE 17 END
+      |    AND y.range < CASE WHEN d.doc_id % 2 = 0 THEN 16 ELSE 9 END)
+      |SELECT doc_id,
+      |  CAST(MAX(w) AS BIGINT) AS w, CAST(MAX(h) AS BIGINT) AS h,
+      |  CAST(SUM((y * w + x + 1) *
+      |    (128 + 2 * (((doc_id * 7 + ((y // 8) * 3 + (x // 8)) * 13) % 50) - 25)))
+      |    AS BIGINT) AS wsum
+      |FROM g GROUP BY doc_id""".stripMargin
+
   /** Outlink extraction + relative-URL resolution, FULL oracle — the
     * link-graph SEED step upstream of the PageRank/community family:
     * each doc is wrapped in an HTML shell carrying the five href
@@ -10009,6 +10058,7 @@ object SparkEntry {
     "jsonl_ingest" -> (jsonlIngest(_, _)),
     "ogg_ingest" -> (oggIngest(_, _)),
     "html_links" -> (htmlLinks(_, _)),
+    "image_jpeg_native" -> (imageJpegNative(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10329,6 +10379,7 @@ object SparkEntry {
     "jsonl_ingest" -> jsonlIngestSql,
     "ogg_ingest" -> oggIngestSql,
     "html_links" -> htmlLinksSql,
+    "image_jpeg_native" -> imageJpegNativeSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
