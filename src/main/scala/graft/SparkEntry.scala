@@ -6711,6 +6711,43 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Boilerplate removal, FULL oracle — block-level link-density
+    * content extraction (`operators/Boilerplate.scala`, the jusText/
+    * boilerpipe-family heuristic), ZERO UDFs on either side: per doc a
+    * five-block page (nav, content, tag cloud, content, link-dense
+    * footer) whose block lengths derive from doc_id; the nav and tag
+    * cloud fail the length gate, the footer fails the density gate
+    * despite passing length, and the two content paragraphs survive.
+    * Oracle replays the arithmetic closed-form. */
+  private def boilerplateExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><div><a href=\"/h\">Home</a> <a href=\"/c\">Catalog page</a></div><p>"),
+      expr("repeat('alpha beta ', 5 + CAST(doc_id % 6 AS INT))"),
+      lit("</p><div>tags: <a href=\"/t1\">one</a><a href=\"/t2\">two</a><a href=\"/t3\">three</a></div><p>"),
+      expr("repeat('gamma delta epsilon ', 3 + CAST(doc_id % 4 AS INT))"),
+      lit("</p><footer><a href=\"/p\">privacy policy terms</a> copyright notice text</footer></body></html>"))
+    val stats = operators.Boilerplate.blockStats(html)
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), stats.as("s"),
+        substring(operators.Boilerplate.extractContent(html), 1, 25).as("content_head"))
+      .select(col("doc_id"),
+        col("s.n_blocks").as("n_blocks"), col("s.n_kept").as("n_kept"),
+        col("s.kept_chars").as("kept_chars"), col("s.link_chars").as("link_chars"),
+        col("content_head"))
+  }
+
+  private val boilerplateExtractSql =
+    """SELECT doc_id,
+      |  CAST(5 AS BIGINT) AS n_blocks,
+      |  CAST(2 AS BIGINT) AS n_kept,
+      |  CAST(11 * (5 + doc_id % 6) - 1 + 20 * (3 + doc_id % 4) - 1 AS BIGINT)
+      |    AS kept_chars,
+      |  CAST(47 AS BIGINT) AS link_chars,
+      |  substr(trim(repeat('alpha beta ', CAST(5 + doc_id % 6 AS INT))) || chr(10) ||
+      |         trim(repeat('gamma delta epsilon ', CAST(3 + doc_id % 4 AS INT))), 1, 25)
+      |    AS content_head
+      |FROM documents""".stripMargin
+
   /** Native baseline JPEG codec, FULL oracle — the entropy-coding rung
     * (`operators/Jpeg.scala`, ITU-T T.81): per doc a grayscale image
     * whose 8×8 blocks are each CONSTANT with (v−128)·8 divisible by
@@ -10059,6 +10096,7 @@ object SparkEntry {
     "ogg_ingest" -> (oggIngest(_, _)),
     "html_links" -> (htmlLinks(_, _)),
     "image_jpeg_native" -> (imageJpegNative(_, _)),
+    "boilerplate_extract" -> (boilerplateExtract(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10380,6 +10418,7 @@ object SparkEntry {
     "ogg_ingest" -> oggIngestSql,
     "html_links" -> htmlLinksSql,
     "image_jpeg_native" -> imageJpegNativeSql,
+    "boilerplate_extract" -> boilerplateExtractSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
