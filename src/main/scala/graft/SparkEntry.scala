@@ -7749,17 +7749,19 @@ object SparkEntry {
       |FROM fs f JOIN h ON h.doc_id = f.doc_id
       |GROUP BY f.doc_id""".stripMargin
 
-  /** MJPEG face of [[videoFrames]]: the same closed-form rasters are
-    * JPEG-encoded per frame (`00dc` chunks, strf MJPG) and decoded
-    * through the ImageIO branch of `decodeVideoFrames`. JPEG is lossy,
-    * so pixel stats aren't closed-form — rows-only; the DIB sibling
-    * oracles the identical container walk and feature math. */
+  /** MJPEG sibling of [[videoFrames]], FULL oracle since the native
+    * T.81 codec landed: each `00dc` chunk is a grayscale baseline JPEG
+    * from the repo's own encoder, each frame a CONSTANT 8×8 raster
+    * with (v−128)·8 divisible by the DC quant step — DC-only spectra
+    * decode bit-exactly (see `Jpeg.scala`), so frame stats and motion
+    * are closed-form. The gradient-raster pixel math is oracled by the
+    * DIB sibling `video_frames`; this rung oracles the JPEG leg. */
   private def videoFramesMjpeg(s: SparkSession, dir: String): DataFrame = {
     val aviUdf = udf((docId: Long) => {
       val nF = 2 + (docId % 6).toInt
       val frames = Seq.tabulate(nF) { f =>
-        Array.tabulate(64)(i =>
-          ((docId * 31 + f * 17 + (i / 8) * 5 + (i % 8) * 3) % 256).toInt)
+        val c = (128 + 2 * (((docId * 31 + f * 17) % 50) - 25)).toInt
+        Array.fill(64)(c)
       }
       operators.Multimodal.encodeAviFrames(frames, 8, 8, usPerFrame = 40000,
         mjpeg = true)
@@ -7767,11 +7769,29 @@ object SparkEntry {
     val media = Tables.read(s, dir, "documents")
       .select(col("doc_id"), aviUdf(col("doc_id")).as("payload"))
     operators.Multimodal.decodeVideoFrameFeatures(media)
-      .filter(col("video_n_frames") === lit(2) + col("doc_id") % 6) // every frame decoded
-      .select(col("doc_id"), col("video_n_frames").as("n_frames"),
-        col("video_peak_luma").as("peak_luma"),
-        col("video_first_ahash").as("ahash"))
+      .select(col("doc_id"),
+        col("video_n_frames").cast("long").as("n_frames"),
+        col("video_peak_luma").cast("long").as("peak_luma"),
+        col("video_luma_sum").cast("long").as("luma_sum"),
+        col("video_motion").cast("long").as("motion"))
   }
+
+  private val videoFramesMjpegSql =
+    """WITH f AS (
+      |  SELECT d.doc_id, r.range AS fi,
+      |    128 + 2 * (((d.doc_id * 31 + r.range * 17) % 50) - 25) AS c
+      |  FROM documents d, range(8) r
+      |  WHERE r.range < 2 + d.doc_id % 6),
+      |m AS (
+      |  SELECT doc_id, fi, c,
+      |    lag(c) OVER (PARTITION BY doc_id ORDER BY fi) AS prev_c
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(max(c) AS BIGINT) AS peak_luma,
+      |  CAST(sum(c) * 64 AS BIGINT) AS luma_sum,
+      |  CAST(coalesce(sum(abs(c - prev_c)), 0) * 64 AS BIGINT) AS motion
+      |FROM m GROUP BY doc_id""".stripMargin
 
   // ======================================================================
   // Comparisons / histograms / anomaly / topics (coverage sweep)
@@ -10251,7 +10271,6 @@ object SparkEntry {
     "tsne_reduce" -> "tsne_fixpoint",
     "umap_reduce" -> "umap_fixpoint",
     "span_dedup_hashed" -> "span_dedup",
-    "video_frames_mjpeg" -> "video_frames",
     "whiten" -> "whiten_fixpoint")
 
   def oracleSql: Map[String, String] = Map(
@@ -10418,6 +10437,7 @@ object SparkEntry {
     "ogg_ingest" -> oggIngestSql,
     "html_links" -> htmlLinksSql,
     "image_jpeg_native" -> imageJpegNativeSql,
+    "video_frames_mjpeg" -> videoFramesMjpegSql,
     "boilerplate_extract" -> boilerplateExtractSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,

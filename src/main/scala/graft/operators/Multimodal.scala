@@ -756,15 +756,10 @@ object Multimodal {
       s"every frame must carry width*height=${width * height} pixels")
     val frameBytes: Seq[Array[Byte]] =
       if (mjpeg) frames.map { px =>
-        val img = new java.awt.image.BufferedImage(width, height,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        var i = 0
-        while (i < px.length) {
-          img.getRaster.setSample(i % width, i / width, 0, px(i)); i += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", baos)
-        baos.toByteArray
+        // each MJPEG frame is an ordinary baseline JPEG — emitted by the
+        // repo's own T.81 encoder (grayscale, quality 50: the flat-block
+        // exactness dial, see Jpeg.scala)
+        Jpeg.encodeJpeg(Jpeg.JpegImage(width, height, 1, px))
       }
       else frames.map { px =>
         // raw DIB: bottom-up row order, BGR triples, rows padded to 4 bytes
@@ -885,12 +880,25 @@ object Multimodal {
       val frames = rawFrames.result().flatMap { f =>
         if (compression == "MJPG" ||
             (f.length >= 2 && (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8))
-          decodeImage(f) // each MJPEG frame is a standalone JPEG
+          // standalone JPEG per frame: the native T.81 decoder first,
+          // ImageIO as the fallback for SOFs it refuses (progressive)
+          jpegToDecoded(f).orElse(decodeImage(f))
         else decodeDibFrame(f, m.width, m.height)
       }
       VideoFrames(m, compression, frames)
     }
   }
+
+  /** Native JPEG decode → grayscale raster (gray channel verbatim,
+    * color through the same BT.601 integer luma as [[decodeImage]]). */
+  private def jpegToDecoded(f: Array[Byte]): Option[DecodedImage] =
+    Jpeg.decodeJpeg(f).map { j =>
+      val px =
+        if (j.channels == 1) j.pixels
+        else j.pixels.map(rgb =>
+          (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) + 29 * (rgb & 0xFF)) >> 8)
+      DecodedImage(j.width, j.height, px)
+    }
 
   /** Raw 24-bit BGR DIB frame → grayscale raster: bottom-up row order,
     * 4-byte-aligned stride, BT.601 integer luma (B=G=R encodes gray
