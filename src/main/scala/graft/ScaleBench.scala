@@ -480,6 +480,30 @@ object ScaleBench {
       add("tga_codec_scan", docs.count(), tTga,
         Seq(("wsum_total", nTga.toDouble)))
 
+      // JPEG codec ingest scan (r11 continuation): per-row baseline
+      // T.81 encode→Huffman-decode→IDCT→stats on the flat-block
+      // exactness dial (24x16 grayscale, six blocks); the entropy-coded
+      // sibling of the other image rows, same stateless-map contract.
+      val (nJpg, tJpg) = time {
+        val mkJ = udf((id: Long) => {
+          val px = Array.tabulate(24 * 16) { i =>
+            val bi = (i / 24 / 8) * 3 + (i % 24) / 8
+            (128 + 2 * (((id * 7 + bi * 13) % 50) - 25)).toInt
+          }
+          operators.Jpeg.encodeJpeg(operators.Jpeg.JpegImage(24, 16, 1, px))
+        })
+        val wsumJ = udf((p: Array[Byte]) =>
+          operators.Jpeg.decodeJpeg(p).map { d =>
+            var s = 0L; var i = 0
+            while (i < d.pixels.length) { s += (i + 1).toLong * d.pixels(i); i += 1 }
+            s
+          }.getOrElse(-1L))
+        docs.select(wsumJ(mkJ(col("doc_id"))).as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      add("jpeg_codec_scan", docs.count(), tJpg,
+        Seq(("wsum_total", nJpg.toDouble)))
+
       // ZIP shard ingest scan (r11 continuation): per-row PKZIP
       // encode→central-directory decode→extract with a deflated text
       // entry; the container sibling of warc_codec_scan (DEFLATE is

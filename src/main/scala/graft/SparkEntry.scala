@@ -6711,6 +6711,53 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
+    * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
+    * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
+    * first packet is an OpusHead (even docs, with a SIGNED Q7.8 output
+    * gain) or a Vorbis ID header (odd docs); the probe walks the
+    * container and parses the header into typed fields. Oracle is
+    * closed-form per dial. */
+  private def oggCodecProbe(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((docId: Long) => {
+      val header =
+        if (docId % 2 == 0)
+          operators.OpusHead.encodeOpusHead(
+            channels = 1 + ((docId / 2) % 2).toInt,
+            preSkip = (312 + docId % 100).toInt,
+            rate = 8000L + (docId % 5) * 8000L,
+            gainQ8 = (((docId % 21) - 10) * 64).toInt)
+        else
+          operators.OpusHead.encodeVorbisId(
+            channels = 1 + (docId % 3).toInt,
+            rate = if (docId % 4 == 1) 44100L else 48000L)
+      operators.Ogg.encodeOgg(docId.toInt,
+        Seq(header, Array.fill(40)(0x5a.toByte)))
+    })
+    val rd = udf((p: Array[Byte]) =>
+      operators.OpusHead.probeOgg(p).map(a =>
+        (a.codec, a.channels, a.preSkip, a.rate, a.gainQ8)))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), rd(mk(col("doc_id"))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("codec"), col("r._2").cast("long").as("channels"),
+        col("r._3").cast("long").as("pre_skip"), col("r._4").as("rate"),
+        col("r._5").cast("long").as("gain_q8"))
+  }
+
+  private val oggCodecProbeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+      |       ELSE 1 + doc_id % 3 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 312 + doc_id % 100 ELSE 0 END
+      |       AS BIGINT) AS pre_skip,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 8000
+      |       WHEN doc_id % 4 = 1 THEN 44100 ELSE 48000 END AS BIGINT) AS rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 21) - 10) * 64 ELSE 0 END
+      |       AS BIGINT) AS gain_q8
+      |FROM documents""".stripMargin
+
   /** Boilerplate removal, FULL oracle — block-level link-density
     * content extraction (`operators/Boilerplate.scala`, the jusText/
     * boilerpipe-family heuristic), ZERO UDFs on either side: per doc a
@@ -10117,6 +10164,7 @@ object SparkEntry {
     "html_links" -> (htmlLinks(_, _)),
     "image_jpeg_native" -> (imageJpegNative(_, _)),
     "boilerplate_extract" -> (boilerplateExtract(_, _)),
+    "ogg_codec_probe" -> (oggCodecProbe(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10439,6 +10487,7 @@ object SparkEntry {
     "image_jpeg_native" -> imageJpegNativeSql,
     "video_frames_mjpeg" -> videoFramesMjpegSql,
     "boilerplate_extract" -> boilerplateExtractSql,
+    "ogg_codec_probe" -> oggCodecProbeSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
