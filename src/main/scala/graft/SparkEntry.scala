@@ -6711,6 +6711,42 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Crawl-frontier politeness scheduling, FULL oracle — Mercator-
+    * style host lanes (`operators/CrawlFrontier.scala`): per doc a URL
+    * on one of 50 hosts with a cyclic priority; the scheduler hashes
+    * hosts onto 16 fetcher lanes (md5-prefix convention, exact in
+    * DuckDB), ranks within host by priority then URL, caps 5 per host
+    * per cycle, and spaces fetches by the crawl delay. One shuffle at
+    * any scale; the oracle replays assignments, sequence, and offsets
+    * exactly. */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val frontier = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("site-"), col("doc_id") % 50, lit(".invalid")).as("host"),
+        concat(lit("http://site-"), col("doc_id") % 50,
+          lit(".invalid/page/"), col("doc_id")).as("url"),
+        (col("doc_id") % 7).as("priority"))
+    operators.CrawlFrontier.schedule(frontier, "url", "host", "priority",
+        delayMs = 1500L, maxPerHost = 5)
+      .select(col("url"), col("host"), col("slot"), col("seq"), col("scheduled_ms"))
+  }
+
+  private val crawlFrontierSql =
+    """WITH f AS (
+      |  SELECT 'site-' || (doc_id % 50) || '.invalid' AS host,
+      |    'http://site-' || (doc_id % 50) || '.invalid/page/' || doc_id AS url,
+      |    doc_id % 7 AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT url, host,
+      |    CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
+      |      AS slot,
+      |    CAST(row_number() OVER (PARTITION BY host
+      |      ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq
+      |  FROM f)
+      |SELECT url, host, slot, seq, CAST(seq * 1500 AS BIGINT) AS scheduled_ms
+      |FROM r WHERE seq < 5""".stripMargin
+
   /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
     * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
     * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
@@ -10165,6 +10201,7 @@ object SparkEntry {
     "image_jpeg_native" -> (imageJpegNative(_, _)),
     "boilerplate_extract" -> (boilerplateExtract(_, _)),
     "ogg_codec_probe" -> (oggCodecProbe(_, _)),
+    "crawl_frontier" -> (crawlFrontier(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10488,6 +10525,7 @@ object SparkEntry {
     "video_frames_mjpeg" -> videoFramesMjpegSql,
     "boilerplate_extract" -> boilerplateExtractSql,
     "ogg_codec_probe" -> oggCodecProbeSql,
+    "crawl_frontier" -> crawlFrontierSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CrawlFrontier
+
+/** Frontier-scheduler invariants: per-host politeness spacing, the
+  * per-cycle host cap, priority-then-url ordering, lane stability
+  * (same host, same slot), and a single-shuffle plan. */
+class CrawlFrontierSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def frontier(n: Int, hosts: Int) =
+    (0 until n).map { i =>
+      (s"http://h${i % hosts}.test/p$i", s"h${i % hosts}.test", i % 3)
+    }.toDF("url", "host", "priority")
+
+  test("per-host fetches are spaced by the crawl delay, capped per cycle") {
+    val out = CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority",
+      delayMs = 2000L, maxPerHost = 5).collect()
+    assert(out.length == 4 * 5) // 10 per host capped at 5
+    val byHost = out.groupBy(_.getAs[String]("host"))
+    for ((_, rows) <- byHost) {
+      val offs = rows.map(_.getAs[Long]("scheduled_ms")).sorted
+      assert(offs.toSeq == Seq(0L, 2000L, 4000L, 6000L, 8000L))
+    }
+  }
+
+  test("within a host, higher priority fetches first; URLs break ties") {
+    val df = Seq(
+      ("http://a.test/low", "a.test", 1),
+      ("http://a.test/hi2", "a.test", 9),
+      ("http://a.test/hi1", "a.test", 9)).toDF("url", "host", "priority")
+    val rows = CrawlFrontier.schedule(df, "url", "host", "priority")
+      .orderBy("seq").collect()
+    assert(rows.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://a.test/hi1", "http://a.test/hi2", "http://a.test/low"))
+  }
+
+  test("a host always lands on the same lane; lanes spread across hosts") {
+    val out = CrawlFrontier.schedule(frontier(200, 40), "url", "host", "priority")
+      .select("host", "slot").distinct().collect()
+    // one slot per host
+    assert(out.groupBy(_.getString(0)).forall(_._2.length == 1))
+    // 40 hosts should hit a healthy spread of the 16 lanes
+    assert(out.map(_.getLong(1)).distinct.length >= 8)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
+
+  test("laneLoad reports per-lane urls, hosts, and makespan") {
+    val sched = CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority",
+      delayMs = 1000L, maxPerHost = 5)
+    val load = CrawlFrontier.laneLoad(sched, "host").collect()
+    assert(load.map(_.getAs[Long]("n_urls")).sum == 20)
+    assert(load.forall(_.getAs[Long]("makespan_ms") == 4000L))
+  }
+
+  test("the plan shuffles ONCE (the host window) and nothing else") {
+    val plan = CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n$plan")
+  }
+}
