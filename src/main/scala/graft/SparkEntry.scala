@@ -6711,6 +6711,45 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** DoReMi-style domain reweighting, FULL oracle — the data-mixture
+    * dial (`operators/DomainMixture.scala`): six synthetic domains
+    * with a length-derived loss proxy; three multiplicative-weight
+    * rounds concentrate the mixture on excess-loss domains. The oracle
+    * unrolls the identical three rounds as CTEs; weights emit float4
+    * (exp is libm — the cross-engine float convention). */
+  private def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+      .select(concat(lit("dom-"), col("doc_id") % 6).as("domain"),
+        (length(col("text")) % 97).cast("double") / 10.0).toDF("domain", "loss")
+    operators.DomainMixture.reweight(s, docs, "domain", "loss",
+      eta = 0.5, rounds = 3)
+  }
+
+  private val domainReweightSql =
+    """WITH s AS (
+      |  SELECT 'dom-' || (doc_id % 6) AS domain,
+      |    (length(text) % 97) / 10.0 AS loss
+      |  FROM documents),
+      |a AS (SELECT domain, count(*) AS n_docs, avg(loss) AS ld
+      |      FROM s GROUP BY domain),
+      |w0 AS (SELECT domain, n_docs, ld,
+      |       1.0 / (SELECT count(*) FROM a) AS w FROM a),
+      |u1 AS (SELECT domain, n_docs, ld,
+      |       w * exp(0.5 * (ld - (SELECT sum(w * ld) FROM w0))) AS wu FROM w0),
+      |w1 AS (SELECT domain, n_docs, ld,
+      |       wu / (SELECT sum(wu) FROM u1) AS w FROM u1),
+      |u2 AS (SELECT domain, n_docs, ld,
+      |       w * exp(0.5 * (ld - (SELECT sum(w * ld) FROM w1))) AS wu FROM w1),
+      |w2 AS (SELECT domain, n_docs, ld,
+      |       wu / (SELECT sum(wu) FROM u2) AS w FROM u2),
+      |u3 AS (SELECT domain, n_docs, ld,
+      |       w * exp(0.5 * (ld - (SELECT sum(w * ld) FROM w2))) AS wu FROM w2),
+      |w3 AS (SELECT domain, n_docs, ld,
+      |       wu / (SELECT sum(wu) FROM u3) AS w FROM u3)
+      |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(ld AS REAL) AS mean_loss, CAST(w AS REAL) AS weight
+      |FROM w3""".stripMargin
+
   /** Crawl-frontier politeness scheduling, FULL oracle — Mercator-
     * style host lanes (`operators/CrawlFrontier.scala`): per doc a URL
     * on one of 50 hosts with a cyclic priority; the scheduler hashes
@@ -10202,6 +10241,7 @@ object SparkEntry {
     "boilerplate_extract" -> (boilerplateExtract(_, _)),
     "ogg_codec_probe" -> (oggCodecProbe(_, _)),
     "crawl_frontier" -> (crawlFrontier(_, _)),
+    "domain_reweight" -> (domainReweight(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10526,6 +10566,7 @@ object SparkEntry {
     "boilerplate_extract" -> boilerplateExtractSql,
     "ogg_codec_probe" -> oggCodecProbeSql,
     "crawl_frontier" -> crawlFrontierSql,
+    "domain_reweight" -> domainReweightSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
