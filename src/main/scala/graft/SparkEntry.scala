@@ -6711,6 +6711,59 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** VAD-style energy segmentation, FULL oracle — silence trimming
+    * (`operators/AudioSegment.scala`): per doc a WAV (real PCM16
+    * container round-trip) with planted structure — leading silence,
+    * a voiced span, dead air, a one-frame BLIP that the two-frame
+    * hysteresis gate must reclassify as silence, a second voiced span,
+    * trailing silence. When the first span is a single frame
+    * (doc_id % 4 == 0) it too falls to the gate and the leading
+    * silent run merges — the oracle replays both regimes closed-form. */
+  private def audioSegments(s: SparkSession, dir: String): DataFrame = {
+    val fl = 80
+    val run = udf((docId: Long) => {
+      val nS = 2 + (docId % 3).toInt
+      val nV = 1 + (docId % 4).toInt
+      val nV2 = 2 + (docId % 2).toInt
+      val amp = (500 + (docId % 50) * 10).toShort
+      val pattern =
+        Array.fill(nS * fl)(0.toShort) ++ Array.fill(nV * fl)(amp) ++
+          Array.fill(2 * fl)(0.toShort) ++ Array.fill(1 * fl)(amp) ++ // isolated blip
+          Array.fill(2 * fl)(0.toShort) ++ Array.fill((1 + nV2) * fl)(amp) ++
+          Array.fill(1 * fl)(0.toShort)
+      val wav = operators.Multimodal.encodeWavPcm16(pattern, 8000, 1)
+      val (_, samples) = operators.Multimodal.decodeWavSamples(wav)
+        .getOrElse(sys.error(s"wav round-trip failed for doc $docId"))
+      val segs = operators.AudioSegment.segment(samples, fl, 100L, minVoicedFrames = 2)
+      val (t0, t1) = operators.AudioSegment.trimBounds(samples, fl, 100L, 2)
+      (samples.length / fl, segs.length,
+        segs.filter(_.voiced).map(g => g.end - g.start).sum, t0, t1)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_frames"),
+        col("r._2").cast("long").as("n_segments"),
+        col("r._3").cast("long").as("voiced_frames"),
+        col("r._4").cast("long").as("trim_start"),
+        col("r._5").cast("long").as("trim_end"))
+  }
+
+  private val audioSegmentsSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    2 + doc_id % 3 AS ns, 1 + doc_id % 4 AS nv, 2 + doc_id % 2 AS nv2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(ns + nv + nv2 + 7 AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN nv >= 2 THEN 5 ELSE 3 END AS BIGINT) AS n_segments,
+      |  CAST(CASE WHEN nv >= 2 THEN nv + 1 + nv2 ELSE 1 + nv2 END AS BIGINT)
+      |    AS voiced_frames,
+      |  CAST(CASE WHEN nv >= 2 THEN ns ELSE ns + 6 END * 80 AS BIGINT)
+      |    AS trim_start,
+      |  CAST((ns + nv + 6 + nv2) * 80 AS BIGINT) AS trim_end
+      |FROM p""".stripMargin
+
   /** DoReMi-style domain reweighting, FULL oracle — the data-mixture
     * dial (`operators/DomainMixture.scala`): six synthetic domains
     * with a length-derived loss proxy; three multiplicative-weight
@@ -10242,6 +10295,7 @@ object SparkEntry {
     "ogg_codec_probe" -> (oggCodecProbe(_, _)),
     "crawl_frontier" -> (crawlFrontier(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
+    "audio_segments" -> (audioSegments(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10567,6 +10621,7 @@ object SparkEntry {
     "ogg_codec_probe" -> oggCodecProbeSql,
     "crawl_frontier" -> crawlFrontierSql,
     "domain_reweight" -> domainReweightSql,
+    "audio_segments" -> audioSegmentsSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
