@@ -6711,6 +6711,39 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Sentence segmentation, FULL oracle — the unit-of-text rung
+    * (`operators/Sentences.scala`): per doc a paragraph of doc_id-many
+    * plain sentences plus three traps a naive period-split shreds —
+    * titles/latinisms ("Dr.", "Mrs.", "St.", "e.g."), single-letter
+    * initials ("J. K."), and a decimal ("3.5") — each of which must
+    * stay ONE sentence. Oracle replays counts and lengths closed-form. */
+  private def sentenceSplit(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val ns = 3 + (docId % 5).toInt
+      val base = (0 until ns).map(i =>
+        s"The quick fox jumps over lazy dog number ${(docId + i) % 10}.")
+      val text = (base ++ Seq(
+        "Dr. Smith met Mrs. Jones near St. Paul at 3.5 km.",
+        "J. K. Rowling wrote e.g. seven books.",
+        "Did it work?", "Yes!")).mkString(" ")
+      val sents = operators.Sentences.split(text)
+      (sents.length, sents.map(_.length).sum, sents.map(_.length).max)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_sentences"),
+        col("r._2").cast("long").as("total_chars"),
+        col("r._3").cast("long").as("max_len"))
+  }
+
+  private val sentenceSplitSql =
+    """SELECT doc_id,
+      |  CAST(3 + doc_id % 5 + 4 AS BIGINT) AS n_sentences,
+      |  CAST(43 * (3 + doc_id % 5) + 102 AS BIGINT) AS total_chars,
+      |  CAST(49 AS BIGINT) AS max_len
+      |FROM documents""".stripMargin
+
   /** VAD-style energy segmentation, FULL oracle — silence trimming
     * (`operators/AudioSegment.scala`): per doc a WAV (real PCM16
     * container round-trip) with planted structure — leading silence,
@@ -10296,6 +10329,7 @@ object SparkEntry {
     "crawl_frontier" -> (crawlFrontier(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
+    "sentence_split" -> (sentenceSplit(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10622,6 +10656,7 @@ object SparkEntry {
     "crawl_frontier" -> crawlFrontierSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
+    "sentence_split" -> sentenceSplitSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
