@@ -341,6 +341,43 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("third-continuation codec/probe/text queries plan as pure scans") {
+    // same "many blobs, one row each" contract as the r11 codec set
+    for (q <- Seq("decompress_auto", "image_jpeg_native", "ogg_codec_probe",
+      "audio_segments", "sentence_split", "video_frames_mjpeg",
+      "boilerplate_extract", "html_links")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("CartesianProduct"),
+        s"$q is not scan-shaped: $plan")
+    }
+  }
+
+  test("boilerplate and html_links stay UDF-free (codegen'd expression chains)") {
+    for (q <- Seq("boilerplate_extract", "html_links")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("scalaudf"),
+        s"$q fell back to a UDF: $plan")
+    }
+  }
+
+  test("crawl_frontier and domain_reweight shuffle exactly once (host window / domain agg)") {
+    val fPlan = planOf(SparkEntry.queries("crawl_frontier")(spark, dir))
+    assert("Exchange".r.findAllIn(fPlan).length == 1,
+      s"crawl_frontier must plan exactly the host-window shuffle: $fPlan")
+    // domain_reweight's corpus aggregation: partial/final pair = one shuffle
+    val docs = Tables.read(spark, dir, "documents")
+      .select(concat(lit("dom-"), col("doc_id") % 6).as("domain"),
+        (length(col("text")) % 97).cast("double").as("loss"))
+    val aggPlan = docs.groupBy(col("domain"))
+      .agg(count(lit(1)), avg(col("loss")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(aggPlan).length == 1 &&
+      aggPlan.contains("HashAggregate"),
+      s"domain stats must be one two-phase aggregation: $aggPlan")
+  }
+
   test("markdown_strip and the native-parser trio stay UDF-free (whole-stage codegen)") {
     for (q <- Seq("markdown_strip", "csv_ingest", "xml_extract", "jsonl_ingest")) {
       val plan = SparkEntry.queries(q)(spark, dir)
