@@ -13,22 +13,28 @@ package graft.operators
  * decoded by a library; the codec here is public-spec work, the same
  * stance as `Png.scala`/`Gif.scala`/`Vp8l.scala`.
  *
- * Implemented: baseline sequential DCT (SOF0), 8-bit precision, 1- or
- * 3-component frames, 4:4:4 and 4:2:0 sampling, restart intervals,
- * 0xFF00 byte stuffing, fill bytes. The DECODER takes its quant and
- * Huffman tables from the stream (spec F.2.2.3 MINCODE/MAXCODE walk),
- * so it reads third-party files — cross-checked in the spec against
- * the JDK's ImageIO both directions. The ENCODER emits spec-standard
- * Annex K.1 quantization tables (quality-scaled) and flat CUSTOM
- * canonical Huffman tables (12 DC symbols at 4 bits, 162 AC symbols
- * at 8 bits — valid prefix codes whose all-ones codeword is unused,
- * written into DHT like any optimized table would be; compression
- * ratio is not the point, byte-level spec conformance is).
+ * Implemented: baseline sequential DCT (SOF0) AND progressive DCT
+ * (SOF2, Annex G: spectral-selection bands, successive-approximation
+ * DC/AC first and refinement passes with EOB runs and the correction-
+ * bit algorithm), 8-bit precision, 1- or 3-component frames, 4:4:4
+ * and 4:2:0 sampling, restart intervals, 0xFF00 byte stuffing, fill
+ * bytes. Every scan accumulates into one zigzag-order coefficient
+ * store; baseline is the single full-band scan special case of the
+ * same walk. The DECODER takes its quant and Huffman tables from the
+ * stream (spec F.2.2.3 MINCODE/MAXCODE walk), so it reads third-party
+ * files — cross-checked in the spec against the JDK's ImageIO both
+ * directions, including a JDK-ENCODED progressive stream. The ENCODER
+ * emits spec-standard Annex K.1 quantization tables (quality-scaled)
+ * and flat CUSTOM canonical Huffman tables (12 DC symbols at 4 bits,
+ * 162 AC symbols at 8 bits — valid prefix codes whose all-ones
+ * codeword is unused, written into DHT like any optimized table would
+ * be; compression ratio is not the point, byte-level spec conformance
+ * is).
  *
- * Refused loudly: progressive/extended SOFs, 16-bit quant tables on
- * decode paths that overflow, bad markers, truncated entropy data,
- * invalid Huffman codes, coefficient overruns — never a silent wrong
- * image.
+ * Refused loudly: extended/arithmetic/lossless SOFs, 16-bit quant
+ * tables, bad markers, truncated entropy data, invalid Huffman codes,
+ * coefficient overruns, interleaved progressive AC scans — never a
+ * silent wrong image.
  *
  * Exactness contract used by the oracle query: an image whose 8×8
  * blocks are each CONSTANT has DC-only spectra; when every block
@@ -500,6 +506,8 @@ object Jpeg {
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var comps: Array[Comp] = null
+    var coef: Array[Array[Int]] = null
+    var sawScan = false
     var width = 0; var height = 0
     var dri = 0
     def u16(i: Int): Int = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
@@ -510,7 +518,6 @@ object Jpeg {
       val m = data(p + 1) & 0xff
       p += 2
       m match {
-        case 0xd9 => sys.error("EOI before SOS") // a frame must have a scan
         case 0x01 => // TEM: standalone
         case mm if mm >= 0xd0 && mm <= 0xd7 => // stray RST: standalone
         case 0xdb => // DQT
@@ -543,8 +550,9 @@ object Jpeg {
           }
           require(q == end, "DHT length mismatch")
           p = end
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           val len = u16(p)
+          require(comps == null, "multiple SOF frames")
           require((data(p + 2) & 0xff) == 8, "only 8-bit precision")
           height = u16(p + 3); width = u16(p + 5)
           val nc = data(p + 7) & 0xff
@@ -556,23 +564,39 @@ object Jpeg {
           }
           comps.foreach(c => require((c.h == 1 || c.h == 2) && (c.v == 1 || c.v == 2),
             "sampling factors 1-2 only"))
+          // zigzag-order coefficient store over the padded MCU grid —
+          // progressive scans ACCUMULATE into it; baseline is the
+          // single full-band scan special case
+          val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+          val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+          coef = comps.map(c => new Array[Int](mcusX * c.h * mcusY * c.v * 64))
           p += len
-        case mm if (mm >= 0xc1 && mm <= 0xcf) && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
-          sys.error(f"unsupported SOF marker FF$mm%02x (progressive/extended)")
+        case mm if (mm >= 0xc1 && mm <= 0xcf) && mm != 0xc2 && mm != 0xc4 &&
+                   mm != 0xc8 && mm != 0xcc =>
+          sys.error(f"unsupported SOF marker FF$mm%02x (extended/arithmetic/lossless)")
         case 0xdd => dri = u16(p + 2); p += u16(p)
-        case 0xda => // SOS → entropy decode, then done
+        case 0xda => // SOS: decode ONE scan into the store, keep walking
           val len = u16(p)
           val ns = data(p + 2) & 0xff
-          require(comps != null, "SOS before SOF")
-          require(ns == comps.length, "scan/frame component mismatch")
-          val tsel = (0 until ns).map { i =>
+          require(comps != null && coef != null, "SOS before SOF")
+          require(ns >= 1 && ns <= comps.length, "bad scan component count")
+          val scanComps = (0 until ns).map { i =>
             val cid = data(p + 3 + 2 * i) & 0xff
-            val td = (data(p + 4 + 2 * i) & 0xff) >> 4
-            val ta = data(p + 4 + 2 * i) & 0x0f
-            cid -> (td, ta)
-          }.toMap
-          return entropyDecode(data, p + len, comps, tsel, quant, dcTabs, acTabs,
-            width, height, dri)
+            val ci = comps.indexWhere(_.id == cid)
+            require(ci >= 0, s"scan references unknown component $cid")
+            (ci, (data(p + 4 + 2 * i) & 0xff) >> 4, data(p + 4 + 2 * i) & 0x0f)
+          }
+          val ss = data(p + len - 3) & 0xff
+          val se = data(p + len - 2) & 0xff
+          val ah = (data(p + len - 1) & 0xff) >> 4
+          val al = data(p + len - 1) & 0x0f
+          p = decodeScan(data, p + len, comps, scanComps, ss, se, ah, al,
+            dcTabs, acTabs, coef, width, height, dri)
+          sawScan = true
+        case 0xd9 =>
+          require(sawScan, "EOI before any scan")
+          return reconstruct(comps, coef, quant, width, height)
         case _ => // APPn, COM, others: skip by length
           val len = u16(p)
           require(len >= 2 && p + len <= data.length, "segment overruns")
@@ -582,92 +606,217 @@ object Jpeg {
     sys.error("unreachable")
   }
 
-  private def entropyDecode(data: Array[Byte], start: Int, comps: Array[Comp],
-                            tsel: Map[Int, (Int, Int)], quant: Array[Array[Int]],
-                            dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
-                            width: Int, height: Int, dri: Int): JpegImage = {
+  /** Decode ONE scan (T.81 F.2 baseline full-band, or an Annex G
+    * progressive DC/AC first/refinement pass) into the zigzag-order
+    * coefficient store; returns the byte position after the scan's
+    * entropy data (at the next marker). */
+  private def decodeScan(data: Array[Byte], start: Int, comps: Array[Comp],
+                         scanComps: Seq[(Int, Int, Int)], ss: Int, se: Int,
+                         ah: Int, al: Int, dcTabs: Array[HuffTable],
+                         acTabs: Array[HuffTable], coef: Array[Array[Int]],
+                         width: Int, height: Int, dri: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, "bad spectral band")
+    require(ah >= 0 && al >= 0 && ah <= 13 && al <= 13, "bad approximation bits")
+    val baselineBand = ss == 0 && se == 63 && ah == 0 && al == 0
+    if (ss == 0 && se != 0)
+      require(baselineBand, "progressive DC scans must have Se=0")
+    if (ss > 0)
+      require(scanComps.length == 1, "progressive AC scans are non-interleaved")
     val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
-    val mcuW = 8 * hmax; val mcuH = 8 * vmax
-    val mcusX = (width + mcuW - 1) / mcuW; val mcusY = (height + mcuH - 1) / mcuH
-    val planes = comps.map(c => new Array[Int](mcusX * 8 * c.h * mcusY * 8 * c.v))
-    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     val br = new BitR(data, start)
     val dcPred = new Array[Int](comps.length)
-    var rstIdx = 0; var count = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (dri > 0 && count == dri) {
-          br.restart(rstIdx); rstIdx = (rstIdx + 1) % 8
-          java.util.Arrays.fill(dcPred, 0)
-          count = 0
-        }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val (td, ta) = tsel(c.id)
-          val dcT = dcTabs(td); val acT = acTabs(ta)
-          require(dcT != null && acT != null, "scan references missing DHT")
-          val q = quant(c.tq)
-          require(q != null, "frame references missing DQT")
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              // one block
-              val zz = new Array[Int](64)
-              val s = br.decodeHuff(dcT)
-              require(s <= 11, "DC category out of range")
-              dcPred(ci) += extend(br.bits(s), s)
-              zz(0) = dcPred(ci)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = br.decodeHuff(acT)
-                val run = rs >> 4; val size = rs & 0x0f
-                if (size == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += run
-                  require(k < 64, "AC coefficient index overrun")
-                  zz(k) = extend(br.bits(size), size)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    def refineOne(zz: Array[Int], idx: Int): Unit =
+      if (br.bit() == 1 && (zz(idx) & p1) == 0)
+        zz(idx) += (if (zz(idx) >= 0) p1 else -p1)
+
+    /** decode one block of one component at `off` in its store. */
+    def block(ci: Int, td: Int, ta: Int, off: Int): Unit = {
+      val zz = coef(ci)
+      if (ss == 0) {
+        if (ah == 0) {
+          val dcT = dcTabs(td)
+          require(dcT != null, "scan references missing DC DHT")
+          val s = br.decodeHuff(dcT)
+          require(s <= 11, "DC category out of range")
+          dcPred(ci) += extend(br.bits(s), s)
+          zz(off) = dcPred(ci) << al
+        } else if (br.bit() == 1) zz(off) |= p1
+      }
+      if (se >= 1 && (ss >= 1 || baselineBand)) {
+        val acT = acTabs(ta)
+        require(acT != null, "scan references missing AC DHT")
+        val kStart = math.max(ss, 1)
+        if (ah == 0) {
+          // first AC pass (baseline EOB = the EOBRUN code with r=0)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = kStart
+            var done = false
+            while (k <= se && !done) {
+              val rs = br.decodeHuff(acT)
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << run) - 1
+                  if (run > 0) eobrun += br.bits(run)
+                  done = true
+                }
+              } else {
+                k += run
+                require(k <= se, "AC coefficient index overrun")
+                zz(off + k) = extend(br.bits(size), size) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement (G.1.2.3): correction bits for known
+          // coefficients; new +-1 placements counted by zero-history runs
+          var k = kStart
+          if (eobrun > 0) {
+            eobrun -= 1
+            while (k <= se) { if (zz(off + k) != 0) refineOne(zz, off + k); k += 1 }
+          } else {
+            var ended = false
+            while (k <= se && !ended) {
+              val rs = br.decodeHuff(acT)
+              var run = rs >> 4; val size = rs & 0x0f
+              var newVal = 0
+              if (size == 0) {
+                if (run != 15) {
+                  eobrun = (1 << run) - 1
+                  if (run > 0) eobrun += br.bits(run)
+                  while (k <= se) { if (zz(off + k) != 0) refineOne(zz, off + k); k += 1 }
+                  ended = true
+                }
+                // run == 15 (ZRL): skip 16 zero-history positions below
+              } else {
+                require(size == 1, "refinement magnitude must be 1")
+                newVal = if (br.bit() == 1) p1 else -p1
+              }
+              if (!ended) {
+                var placed = false
+                while (k <= se && !placed) {
+                  if (zz(off + k) != 0) refineOne(zz, off + k)
+                  else if (run == 0) { if (newVal != 0) zz(off + k) = newVal; placed = true }
+                  else run -= 1
                   k += 1
                 }
+                require(placed || newVal == 0, "refinement placement ran off the band")
               }
-              val f = new Array[Int](64)
-              (0 until 64).foreach(i => f(ZigZag(i)) = zz(i) * q(ZigZag(i)))
-              val px = idct(f)
-              val baseX = (mx * c.h + bx) * 8; val baseY = (my * c.v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) = px(yy * 8 + xx)
-                  xx += 1
-                }
-                yy += 1
-              }
-              bx += 1
             }
-            by += 1
           }
-          ci += 1
         }
-        count += 1
-        mx += 1
       }
-      my += 1
     }
-    // trailing EOI (after byte-aligning; fill bytes tolerated)
+
+    var rstIdx = 0; var count = 0
+    def maybeRestart(): Unit =
+      if (dri > 0 && count == dri) {
+        br.restart(rstIdx); rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+        count = 0
+      }
+
+    if (scanComps.length > 1) {
+      // interleaved MCU walk (baseline, or a progressive DC scan)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          scanComps.foreach { case (ci, td, ta) =>
+            val c = comps(ci)
+            val bw = mcusX * c.h
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                block(ci, td, ta, ((my * c.v + by) * bw + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          count += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the component's OWN ceil-dims block grid; each
+      // block is one restart unit
+      val (ci, td, ta) = scanComps.head
+      val c = comps(ci)
+      val bw = mcusX * c.h // padded store width
+      val rw = ((width * c.h + hmax - 1) / hmax + 7) / 8
+      val rh = ((height * c.v + vmax - 1) / vmax + 7) / 8
+      var r = 0
+      while (r < rh) {
+        var cB = 0
+        while (cB < rw) {
+          maybeRestart()
+          block(ci, td, ta, (r * bw + cB) * 64)
+          count += 1
+          cB += 1
+        }
+        r += 1
+      }
+    }
+    // leave the reader at the next marker (pad bits + fill bytes)
     br.alignByte()
     var e = br.pos
     while (e + 2 < data.length && (data(e) & 0xff) == 0xff &&
       (data(e + 1) & 0xff) == 0xff) e += 1
-    require(e + 2 <= data.length &&
-      (data(e) & 0xff) == 0xff && (data(e + 1) & 0xff) == 0xd9,
-      "missing EOI after entropy data")
+    require(e + 2 <= data.length && (data(e) & 0xff) == 0xff,
+      "no marker after entropy data")
+    e
+  }
+
+  /** Dequantize + IDCT the accumulated coefficient store and assemble
+    * the output raster with box-replication upsampling. */
+  private def reconstruct(comps: Array[Comp], coef: Array[Array[Int]],
+                          quant: Array[Array[Int]], width: Int,
+                          height: Int): JpegImage = {
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val planes = comps.map(c => new Array[Int](mcusX * 8 * c.h * mcusY * 8 * c.v))
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.tq)
+      require(q != null, "frame references missing DQT")
+      val bw = mcusX * c.h; val bh = mcusY * c.v
+      var b = 0
+      while (b < bw * bh) {
+        val off = b * 64
+        val f = new Array[Int](64)
+        var i = 0
+        while (i < 64) { f(ZigZag(i)) = coef(ci)(off + i) * q(ZigZag(i)); i += 1 }
+        val px = idct(f)
+        val baseX = (b % bw) * 8; val baseY = (b / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) = px(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
     // assemble output with box-replication upsampling
     if (comps.length == 1) {
       val out = Array.tabulate(width * height)(i =>

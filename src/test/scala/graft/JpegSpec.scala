@@ -155,12 +155,42 @@ class JpegSpec extends AnyFunSuite {
     val bytes = Jpeg.encodeJpeg(gradient(24, 16, color = true, 1), quality = 90)
     assert(Jpeg.decodeJpeg(bytes.take(bytes.length / 2)).isEmpty, "truncation accepted")
     assert(Jpeg.decodeJpeg("not a jpeg".getBytes).isEmpty)
-    // flip SOF0 to SOF2 (progressive) — must refuse, not misparse
     val sofAt = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
       (bytes(i + 1) & 0xff) == 0xc0).get
+    // a full-band scan is VALID under an SOF2 header (the degenerate
+    // progressive form) — flipping the marker must decode identically
     val prog = bytes.clone(); prog(sofAt + 1) = 0xc2.toByte
-    assert(Jpeg.decodeJpeg(prog).isEmpty, "progressive SOF accepted")
+    assert(Jpeg.decodeJpeg(prog).map(_.pixels.toSeq) ==
+      Jpeg.decodeJpeg(bytes).map(_.pixels.toSeq),
+      "SOF2 full-band scan must decode like baseline")
+    // lossless (SOF3) stays refused
+    val lossless = bytes.clone(); lossless(sofAt + 1) = 0xc3.toByte
+    assert(Jpeg.decodeJpeg(lossless).isEmpty, "lossless SOF accepted")
     // remove the EOI — must refuse
     assert(Jpeg.decodeJpeg(bytes.dropRight(2)).isEmpty, "missing EOI accepted")
+  }
+
+  test("JDK-encoded PROGRESSIVE stream decodes and matches the JDK's own pixels") {
+    val w = 40; val h = 24
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      buf.setRGB(x, y, ((x * 6 % 256) << 16) | ((y * 9 % 256) << 8) | ((x * 3 + y * 5) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(buf, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // confirm the stream really is progressive (has an SOF2 marker)
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "JDK did not emit SOF2 — test setup broken")
+    val ours = Jpeg.decodeJpeg(bytes)
+    assert(ours.isDefined, "our decoder refused a JDK progressive stream")
+    val theirs = jdkDecode(bytes)
+    assert(maxDiff(ours.get, theirs) <= 16,
+      s"progressive decode deviates from the JDK by ${maxDiff(ours.get, theirs)}")
   }
 }
