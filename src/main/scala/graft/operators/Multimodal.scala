@@ -87,6 +87,12 @@ object Multimodal {
     * integer math. Returns None for bytes no installed codec accepts. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload == null || payload.isEmpty) return None
+    // JPEG magic: the repo's own T.81 decoder first (baseline AND
+    // progressive); ImageIO stays the fallback for SOFs it refuses
+    if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8) {
+      val native = jpegToDecoded(payload)
+      if (native.isDefined) return native
+    }
     val img = try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     } catch {
