@@ -6711,6 +6711,52 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Native Parquet footer probe, FULL oracle — storage introspection
+    * (`operators/ParquetFooter.scala`): the thrift-compact FileMetaData
+    * of every testdata table parses with footer-sized IO, and the
+    * oracle CHECKS IT AGAINST THE DATA ITSELF — DuckDB counts rows and
+    * columns through its own reader on the same files, so the two
+    * engines verify our parser from independent implementations. */
+  private def parquetProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val rows = tables.flatMap { t =>
+      val path = s"$dir/$t.parquet"
+      if (!new java.io.File(path).isFile) None
+      else {
+        val f = operators.ParquetFooter.parseFile(path)
+          .getOrElse(sys.error(s"unparseable parquet footer: $path"))
+        require(f.rowGroups.map(_.numRows).sum == f.numRows,
+          s"$t: row groups do not sum to num_rows")
+        Some((t, f.numRows, f.columnNames.length.toLong))
+      }
+    }
+    rows.toDF("tbl", "num_rows", "n_cols")
+  }
+
+  private val parquetProbeSql =
+    """SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS num_rows,
+      |  CAST((SELECT count(*) FROM pragma_table_info('region')) AS BIGINT) AS n_cols FROM region
+      |UNION ALL SELECT 'nation', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('nation')) FROM nation
+      |UNION ALL SELECT 'customer', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('customer')) FROM customer
+      |UNION ALL SELECT 'supplier', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('supplier')) FROM supplier
+      |UNION ALL SELECT 'part', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('part')) FROM part
+      |UNION ALL SELECT 'orders', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('orders')) FROM orders
+      |UNION ALL SELECT 'lineitem', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('lineitem')) FROM lineitem
+      |UNION ALL SELECT 'events', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('events')) FROM events
+      |UNION ALL SELECT 'documents', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('documents')) FROM documents
+      |UNION ALL SELECT 'embeddings', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('embeddings')) FROM embeddings""".stripMargin
+
   /** Sentence segmentation, FULL oracle — the unit-of-text rung
     * (`operators/Sentences.scala`): per doc a paragraph of doc_id-many
     * plain sentences plus three traps a naive period-split shreds —
@@ -10330,6 +10376,7 @@ object SparkEntry {
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
+    "parquet_probe" -> (parquetProbe(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10657,6 +10704,7 @@ object SparkEntry {
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,
+    "parquet_probe" -> parquetProbeSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.ParquetFooter
+
+/** Footer-probe invariants against TWO independent writers: the
+  * driver's testdata files and Spark's own parquet output. num_rows
+  * must equal the engine's count, schema names must match, row-group
+  * row counts must sum to the total, and IO stays footer-sized. */
+class ParquetFooterSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("driver-written testdata footers parse and agree with Spark's counts") {
+    for (t <- Seq("region", "nation", "documents", "embeddings")) {
+      val path = s"$dir/$t.parquet"
+      val f = ParquetFooter.parseFile(path)
+      assert(f.isDefined, s"$t footer refused")
+      val got = f.get
+      val expected = spark.read.parquet(path).count()
+      assert(got.numRows == expected, s"$t: footer says ${got.numRows}, scan says $expected")
+      assert(got.rowGroups.nonEmpty && got.rowGroups.map(_.numRows).sum == got.numRows,
+        s"$t: row-group rows do not sum to the total")
+      assert(got.rowGroups.forall(_.nColumns == got.columnNames.length),
+        s"$t: row-group chunk count != column count")
+      assert(got.createdBy.nonEmpty, s"$t: missing created_by")
+    }
+  }
+
+  test("column names match the engine's schema (documents)") {
+    val f = ParquetFooter.parseFile(s"$dir/documents.parquet").get
+    val engine = spark.read.parquet(s"$dir/documents.parquet").columns.toSeq
+    assert(f.columnNames == engine,
+      s"footer names ${f.columnNames} != engine $engine")
+  }
+
+  test("a SPARK-written file (second independent writer) parses identically") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqprobe").toString
+    try {
+      (0 until 1000).map(i => (i.toLong, s"row $i", i * 0.5))
+        .toDF("id", "name", "score")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val f = ParquetFooter.parseFile(part.getAbsolutePath)
+      assert(f.isDefined, "Spark-written footer refused")
+      assert(f.get.numRows == 1000)
+      assert(f.get.columnNames == Seq("id", "name", "score"))
+      assert(f.get.createdBy.toLowerCase.contains("parquet"),
+        s"unexpected created_by: ${f.get.createdBy}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("malformation is refused: bad magic, truncated footer, absurd length") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/region.parquet"))
+    assert(ParquetFooter.parse(good).isDefined)
+    val noMagic = good.clone(); noMagic(good.length - 1) = 'X'
+    assert(ParquetFooter.parse(noMagic).isEmpty)
+    assert(ParquetFooter.parse(good.take(good.length / 2)).isEmpty)
+    val badLen = good.clone()
+    badLen(good.length - 8) = 0xff.toByte; badLen(good.length - 7) = 0xff.toByte
+    badLen(good.length - 6) = 0xff.toByte; badLen(good.length - 5) = 0x7f.toByte
+    assert(ParquetFooter.parse(badLen).isEmpty)
+  }
+}
