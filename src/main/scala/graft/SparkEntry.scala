@@ -6711,6 +6711,63 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** End-to-end crawl pipeline, FULL oracle — the four crawl rungs
+    * composed the way a crawler actually runs them: SITEMAP discovery
+    * (XXE-hardened DOM parse; three locs per doc — two tracking-param
+    * variants of the same page plus a /private URL), ROBOTS filtering
+    * (the /private leg dies), CANONICALIZATION + dedup (the two
+    * variants collapse to one canonical URL), then FRONTIER scheduling
+    * (md5 lanes, per-host politeness). The oracle replays the
+    * surviving schedule exactly — a stage that leaks (robots miss,
+    * canonical miss) changes which URLs win the per-host top-5 and
+    * hash-mismatches. */
+  private def crawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val xml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      lit("<url><loc>http://site-"), d % 20, lit(".invalid/page/"), d,
+      lit("?utm_source=x</loc></url>"),
+      lit("<url><loc>http://site-"), d % 20, lit(".invalid/page/"), d,
+      lit("?utm_campaign=y</loc></url>"),
+      lit("<url><loc>http://site-"), d % 20, lit(".invalid/private/"), d,
+      lit("</loc></url></urlset>"))
+    val parse = udf((x: String) =>
+      operators.Sitemap.parseSitemap(x).map(_.map(_.loc)).getOrElse(Seq.empty))
+    val discovered = Tables.read(s, dir, "documents")
+      .select(d, (d % 7).as("priority"), explode(parse(xml)).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^http://([^/?#]+)", 1))
+      .withColumn("path", regexp_extract(col("url"), "^http://[^/?#]+([^#]*)", 1))
+    val robots = discovered.select(col("host")).distinct()
+      .select(col("host"),
+        lit("User-agent: *\nDisallow: /private\n").as("robots_txt"))
+    val allowed = operators.Robots.filterUrls(discovered, robots, "graftbot")
+      .filter(col("allowed"))
+    val canonical = allowed
+      .select(col("host"), col("priority"),
+        operators.Dedup.urlCanonical(col("url")).as("url"))
+      .groupBy(col("url"), col("host"))
+      .agg(max(col("priority")).as("priority"))
+    operators.CrawlFrontier.schedule(canonical, "url", "host", "priority",
+        delayMs = 1000L, maxPerHost = 5)
+      .select(col("url"), col("host"), col("slot"), col("seq"), col("scheduled_ms"))
+  }
+
+  private val crawlPipelineSql =
+    """WITH f AS (
+      |  SELECT 'site-' || (doc_id % 20) || '.invalid' AS host,
+      |    'http://site-' || (doc_id % 20) || '.invalid/page/' || doc_id AS url,
+      |    doc_id % 7 AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT url, host,
+      |    CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
+      |      AS slot,
+      |    CAST(row_number() OVER (PARTITION BY host
+      |      ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq
+      |  FROM f)
+      |SELECT url, host, slot, seq, CAST(seq * 1000 AS BIGINT) AS scheduled_ms
+      |FROM r WHERE seq < 5""".stripMargin
+
   /** Native Parquet footer probe, FULL oracle — storage introspection
     * (`operators/ParquetFooter.scala`): the thrift-compact FileMetaData
     * of every testdata table parses with footer-sized IO, and the
@@ -10377,6 +10434,7 @@ object SparkEntry {
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
     "parquet_probe" -> (parquetProbe(_, _)),
+    "crawl_pipeline" -> (crawlPipeline(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10705,6 +10763,7 @@ object SparkEntry {
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,
     "parquet_probe" -> parquetProbeSql,
+    "crawl_pipeline" -> crawlPipelineSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
