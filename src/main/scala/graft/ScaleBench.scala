@@ -480,6 +480,61 @@ object ScaleBench {
       add("tga_codec_scan", docs.count(), tTga,
         Seq(("wsum_total", nTga.toDouble)))
 
+      // Transparent decompression gate (r11 continuation): per-row
+      // detect+decode across the 8-codec ladder; stateless map, so the
+      // curve should stay scan-bound.
+      val (nDcp, tDcp) = time {
+        val mkP = udf((id: Long, text: String) => {
+          val t = (if (text == null) "" else text).getBytes("UTF-8")
+          (id % 8).toInt match {
+            case 0 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(t); gz.close(); bos.toByteArray
+            case 3 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+              z.write(t); z.close(); bos.toByteArray
+            case 5 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val b = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+              b.write(t); b.close(); bos.toByteArray
+            case _ => Array[Byte](0x07) ++ t
+          }
+        })
+        val rd = udf((p: Array[Byte]) =>
+          operators.Decompress.auto(p).map(_._2.length.toLong).getOrElse(-1L))
+        docs.select(rd(mkP(col("doc_id"), col("text"))).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      add("decompress_scan", docs.count(), tDcp,
+        Seq(("plain_bytes", nDcp.toDouble)))
+
+      // Boilerplate extraction (r11 continuation): zero-UDF expression
+      // chain; pure codegen scan, flat per row.
+      val (nBp, tBp) = time {
+        val html = concat(lit("<div><a href=\"/h\">Home</a> nav bar</div><p>"),
+          col("text"), lit("</p><footer><a href=\"/p\">links links links</a> x</footer>"))
+        docs.select(operators.Boilerplate.blockStats(html).as("s"))
+          .agg(sum(col("s.kept_chars"))).head().getLong(0)
+      }
+      add("boilerplate_scan", docs.count(), tBp,
+        Seq(("kept_chars", nBp.toDouble)))
+
+      // Crawl-frontier scheduling (r11 continuation): ONE host-window
+      // shuffle; cost should track rows, not hosts.
+      val (nCf, tCf) = time {
+        val frontier = docs.select(
+          concat(lit("h"), col("doc_id") % 500, lit(".test")).as("host"),
+          concat(lit("http://h"), col("doc_id") % 500, lit(".test/p"), col("doc_id")).as("url"),
+          (col("doc_id") % 7).as("priority"))
+        operators.CrawlFrontier.schedule(frontier, "url", "host", "priority",
+          delayMs = 1000L, maxPerHost = 1000000)
+          .agg(sum(col("scheduled_ms"))).head().getLong(0)
+      }
+      add("frontier_schedule", docs.count(), tCf,
+        Seq(("sched_ms_sum", nCf.toDouble)))
+
       // JPEG codec ingest scan (r11 continuation): per-row baseline
       // T.81 encode→Huffman-decode→IDCT→stats on the flat-block
       // exactness dial (24x16 grayscale, six blocks); the entropy-coded

@@ -25,7 +25,13 @@ package graft.operators
  *  6. RFC 1950 zlib: CM = 8 in CMF and the (CMF·256+FLG) % 31 == 0
  *     header check — Adler-32 verified by Inflater.
  *  7. Raw DEFLATE: attempted when no magic matches; a stream that
- *     fails to inflate cleanly falls through.
+ *     fails to inflate cleanly falls through. INHERENTLY heuristic:
+ *     raw DEFLATE has no magic, so a plaintext payload that happens
+ *     to BE a valid full-consumption deflate stream (e.g. bytes
+ *     starting 01 <len LE> <~len LE> — a stored block) is
+ *     indistinguishable from compressed data by construction. Callers
+ *     that know the encoding out of band (an HTTP Content-Encoding
+ *     header) should dispatch directly instead of sniffing.
  *  8. Identity: returned as-is (with method = "identity") — transparent
  *     means uncompressed data must survive unchanged.
  *

@@ -31,7 +31,11 @@ object DomainMixture {
   def reweight(spark: SparkSession, docs: DataFrame, domainCol: String,
                lossCol: String, eta: Double = 0.5, rounds: Int = 3): DataFrame = {
     require(rounds >= 0 && eta > 0, "need rounds >= 0 and positive eta")
-    val stats = docs.groupBy(col(domainCol))
+    // null-domain rows have no mixture bucket and null losses no
+    // signal — both are dropped up front rather than NPE-ing later
+    val stats = docs
+      .filter(col(domainCol).isNotNull && col(lossCol).isNotNull)
+      .groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), avg(col(lossCol)).as("mean_loss"))
       .collect() // |domains| rows — the whole iterated state
       .map(r => (r.get(0), r.getLong(1), r.getDouble(2)))

@@ -174,9 +174,11 @@ object Ebml {
       // element — a size lie parses misaligned otherwise, returning
       // garbage metadata instead of the documented loud None.
       def childEnd(sz: Long, parentEnd: Int, what: String): Int = {
-        val e = r.pos + sz.toInt
-        require(sz >= 0 && e <= parentEnd, s"$what overruns its parent")
-        e
+        // Long math FIRST: a 56-bit EBML size that is a multiple of
+        // 2^32 would wrap to 0 under toInt and pass the bound check
+        require(sz >= 0 && sz <= parentEnd.toLong - r.pos,
+          s"$what overruns its parent")
+        r.pos + sz.toInt
       }
       def exact(end: Int, what: String): Unit =
         require(r.pos == end, s"$what children misaligned with its extent")

@@ -293,24 +293,44 @@ object Exif {
         case None => Vector.empty
       }
     // follow the next-IFD pointer: IFD1 carries the thumbnail IFD and
-    // (usually) an embedded JPEG via JPEGInterchangeFormat(Length)
+    // (usually) an embedded JPEG via JPEGInterchangeFormat(Length).
+    // DEFENSIVE by design: real-world APP1 blocks are routinely
+    // truncated by processing tools with IFD1 pointers left dangling —
+    // a damaged thumbnail IFD must DEGRADE (dropped from the parse,
+    // and hence from any re-layout) rather than fail the whole file.
+    // Dropping is also the only safe re-layout for an IFD1 whose
+    // pointer tags we cannot re-aim (JPEGInterchangeFormat without a
+    // length, TIFF strip thumbnails): preserving them verbatim would
+    // leave offsets into a layout that no longer exists.
     val rawN = r.u16(ifd0Off)
     // the slot count written by readIfd's walk is the declared count,
     // so the next-IFD pointer sits right after the declared entries
     val next = r.u32(ifd0Off + 2 + 12 * rawN).toInt
     val (ifd1, thumb) =
-      if (next == 0) (Vector.empty[Entry], Array.empty[Byte])
-      else {
-        val es = readIfd(r, next)
-        val off = es.find(_.tag == 0x0201).flatMap(_.nums.headOption)
-        val len = es.find(_.tag == 0x0202).flatMap(_.nums.headOption)
-        val blob = (off, len) match {
-          case (Some(o), Some(l)) =>
-            require(o + l <= tiff.length, "thumbnail blob out of range")
-            java.util.Arrays.copyOfRange(tiff, o.toInt, (o + l).toInt)
-          case _ => Array.empty[Byte]
+      try {
+        if (next == 0) (Vector.empty[Entry], Array.empty[Byte])
+        else {
+          val es = readIfd(r, next)
+          val off = es.find(_.tag == 0x0201).flatMap(_.nums.headOption)
+          val len = es.find(_.tag == 0x0202).flatMap(_.nums.headOption)
+          val blob = (off, len) match {
+            case (Some(o), Some(l)) =>
+              require(o >= 0 && l >= 0 && o + l <= tiff.length,
+                "thumbnail blob out of range")
+              java.util.Arrays.copyOfRange(tiff, o.toInt, (o + l).toInt)
+            case _ => Array.empty[Byte]
+          }
+          val strips = es.exists(e => e.tag == 0x0111 || e.tag == 0x0117)
+          val jif = es.exists(_.tag == 0x0201)
+          // keep only when every pointer it carries can be re-aimed:
+          // no TIFF strip thumbnail, and JPEGInterchangeFormat only
+          // with its captured blob
+          if (!strips && (!jif || blob.nonEmpty)) (es, blob)
+          else (Vector.empty[Entry], Array.empty[Byte])
         }
-        (es, blob)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          (Vector.empty[Entry], Array.empty[Byte])
       }
     ExifData(bigEndian, ifd0, sub(TagExifPtr), sub(TagGpsPtr), ifd1, thumb)
   }

@@ -370,6 +370,8 @@ object Jpeg {
     require(img.channels == 1 || img.channels == 3, "1 or 3 channels")
     require(img.width > 0 && img.height > 0 &&
       img.pixels.length == img.width * img.height, "bad geometry")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      "JPEG dimensions are 16-bit (max 65535)")
     val color = img.channels == 3
     val sub = color && subsample420
     val qL = scaleQ(QLumaBase, quality)
@@ -510,6 +512,7 @@ object Jpeg {
     var sawScan = false
     var width = 0; var height = 0
     var dri = 0
+    var adobeTransform = -1 // APP14: 0 = stored RGB, 1 = YCbCr
     def u16(i: Int): Int = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
     while (true) {
       require(p + 2 <= data.length, "marker truncated")
@@ -596,7 +599,19 @@ object Jpeg {
           sawScan = true
         case 0xd9 =>
           require(sawScan, "EOI before any scan")
-          return reconstruct(comps, coef, quant, width, height)
+          // color interpretation: 3 components are YCbCr unless Adobe
+          // APP14 says transform=0 or the component IDs literally
+          // spell 'R','G','B' (both public conventions for stored RGB)
+          val rgbStored = adobeTransform == 0 ||
+            (comps.length == 3 && comps(0).id == 'R' && comps(1).id == 'G' &&
+              comps(2).id == 'B')
+          return reconstruct(comps, coef, quant, width, height, ycc = !rgbStored)
+        case 0xee => // APP14: the Adobe color-transform flag
+          val len = u16(p)
+          require(len >= 2 && p + len <= data.length, "segment overruns")
+          if (len >= 14 && new String(data, p + 2, 5, "US-ASCII") == "Adobe")
+            adobeTransform = data(p + len - 1) & 0xff
+          p += len
         case _ => // APPn, COM, others: skip by length
           val len = u16(p)
           require(len >= 2 && p + len <= data.length, "segment overruns")
@@ -784,7 +799,7 @@ object Jpeg {
     * the output raster with box-replication upsampling. */
   private def reconstruct(comps: Array[Comp], coef: Array[Array[Int]],
                           quant: Array[Array[Int]], width: Int,
-                          height: Int): JpegImage = {
+                          height: Int, ycc: Boolean = true): JpegImage = {
     val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
@@ -832,11 +847,16 @@ object Jpeg {
             val c = comps(ci)
             planes(ci)((y * c.v / vmax) * planeW(ci) + (x * c.h / hmax))
           }
-          val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
-          val r = clamp8(math.rint(yv + 1.402 * cr).toInt)
-          val g = clamp8(math.rint(yv - 0.344136 * cb - 0.714136 * cr).toInt)
-          val b = clamp8(math.rint(yv + 1.772 * cb).toInt)
-          out(y * width + x) = (r << 16) | (g << 8) | b
+          val out3 =
+            if (ycc) {
+              val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
+              val r = clamp8(math.rint(yv + 1.402 * cr).toInt)
+              val g = clamp8(math.rint(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+              val b = clamp8(math.rint(yv + 1.772 * cb).toInt)
+              (r << 16) | (g << 8) | b
+            } else // Adobe transform=0 / RGB ids: planes ARE the channels
+              (sample(0) << 16) | (sample(1) << 8) | sample(2)
+          out(y * width + x) = out3
           x += 1
         }
         y += 1

@@ -128,7 +128,9 @@ object Zip {
     // shared drain (Zlib) + the ZIP header's declared-size contracts:
     // output must be exactly the uncompressed size, input exactly the
     // compressed size — a longer or shorter stream is a framing lie.
-    val (bytes, consumed) = Zlib.inflate(d, off, len, raw = true)
+    // maxOut = expected caps a zip bomb at the declared size instead
+    // of letting a 1000x-expanding stream fill the heap first.
+    val (bytes, consumed) = Zlib.inflate(d, off, len, raw = true, maxOut = expected.toLong)
     require(bytes.length == expected,
       s"deflate stream size mismatch: got ${bytes.length}, declared $expected")
     require(consumed == len, s"compressed size mismatch: consumed $consumed of $len")

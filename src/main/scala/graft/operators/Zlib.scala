@@ -13,8 +13,12 @@ package graft.operators
 object Zlib {
 
   /** Inflate from `data[off, off+len)`; returns (bytes, compressed
-    * bytes consumed). Throws on truncation or a stalled stream. */
-  def inflate(data: Array[Byte], off: Int, len: Int, raw: Boolean): (Array[Byte], Int) = {
+    * bytes consumed). Throws on truncation or a stalled stream, and —
+    * zip-bomb guard — as soon as output exceeds `maxOut`, BEFORE the
+    * memory is committed (a hostile header that declares 100 bytes
+    * must fail after ~100 bytes, not after a gigabyte). */
+  def inflate(data: Array[Byte], off: Int, len: Int, raw: Boolean,
+              maxOut: Long = Long.MaxValue): (Array[Byte], Int) = {
     val inf = new java.util.zip.Inflater(raw)
     inf.setInput(data, off, len)
     val out = new java.io.ByteArrayOutputStream()
@@ -23,6 +27,8 @@ object Zlib {
       val n = inf.inflate(buf)
       require(n > 0 || inf.finished(), "truncated deflate stream")
       out.write(buf, 0, n)
+      require(out.size() <= maxOut,
+        s"deflate stream exceeds declared output bound $maxOut")
     }
     val consumed = len - inf.getRemaining
     inf.end()

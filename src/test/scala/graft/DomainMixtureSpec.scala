@@ -37,4 +37,13 @@ class DomainMixtureSpec extends SparkSpecBase {
       .collect()
     assert(rows.forall(r => math.abs(r.getAs[Float]("weight") - 0.25f) < 1e-6))
   }
+
+  test("null domains and null losses are dropped, not NPEs") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), (null, 9.0), ("b", null), ("b", 4.0))
+      .toDF("domain", "loss")
+    val rows = DomainMixture.reweight(spark, df, "domain", "loss").collect()
+    assert(rows.map(_.getAs[String]("domain")).sorted.toSeq == Seq("a", "b"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 3) // null rows gone
+  }
 }

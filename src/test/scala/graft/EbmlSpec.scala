@@ -71,4 +71,16 @@ class EbmlSpec extends AnyFunSuite {
     val b2 = enc.clone(); b2(4) = 0xff.toByte
     assert(Ebml.probeWebm(b2).isEmpty, "unknown-size element accepted")
   }
+
+  test("a 2^32-multiple child size cannot wrap the extent check") {
+    val enc = Ebml.encodeWebm(meta)
+    // find the DocType element and swap its 1-byte size for an 8-byte
+    // VINT declaring exactly 2^32 (wraps to 0 under a naive toInt)
+    val at = (0 until enc.length - 6).find(k =>
+      (enc(k) & 0xff) == 0x42 && (enc(k + 1) & 0xff) == 0x82 &&
+        enc(k + 3) == 'w' && enc(k + 4) == 'e').get
+    val vint = Array[Byte](0x01, 0, 0, 0, 1, 0, 0, 0, 0) // 8-byte VINT = 2^32
+    val bad = enc.slice(0, at + 2) ++ vint ++ enc.drop(at + 3)
+    assert(Ebml.probeWebm(bad).isEmpty, "2^32 size wrap accepted")
+  }
 }

@@ -156,4 +156,25 @@ class ExifSpec extends AnyFunSuite {
     val enc = Exif.encodeTiffBlock(d)
     assertThrows[Exception](Exif.parseTiffBlock(enc.take(enc.length / 2)))
   }
+
+  test("a damaged IFD1 (dangling thumbnail pointer) degrades instead of failing") {
+    val thumbJpeg = tinyJpeg(9)
+    val d = sampleData(bigEndian = false).copy(
+      ifd1 = Vector(
+        long(thumbJpeg.length.toLong).copy(tag = 0x0202),
+        long(0L).copy(tag = 0x0201),
+        short(1).copy(tag = 0x0103)),
+      thumb = thumbJpeg)
+    val tiff = Exif.encodeTiffBlock(d)
+    // truncate the block mid-thumbnail: the IFD1 blob range now dangles
+    val cut = java.util.Arrays.copyOfRange(tiff, 0, tiff.length - thumbJpeg.length / 2)
+    val p = Exif.parseTiffBlock(cut)
+    assert(p.ifd1.isEmpty && p.thumb.isEmpty, "damaged IFD1 not dropped")
+    assert(p.ifd0.nonEmpty && p.gpsIfd.nonEmpty, "main IFDs lost with the thumbnail")
+    // and an IFD1 with a TIFF strip thumbnail (un-re-aimable) is dropped too
+    val strips = sampleData(bigEndian = true).copy(
+      ifd1 = Vector(long(1234L).copy(tag = 0x0111), long(99L).copy(tag = 0x0117)))
+    val p2 = Exif.parseTiffBlock(Exif.encodeTiffBlock(strips))
+    assert(p2.ifd1.isEmpty, "strip-thumbnail IFD1 kept with dangling offsets")
+  }
 }

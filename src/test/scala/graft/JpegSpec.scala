@@ -151,6 +151,30 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff(withRst, jdkDecode(bytes)) <= 2)
   }
 
+  test("Adobe APP14 transform=0 decodes planes as stored RGB, not YCbCr") {
+    // build a 4:4:4 color stream with our encoder, then splice an Adobe
+    // APP14 transform=0 segment after SOI; since our encoder stores
+    // YCbCr the pixel VALUES will differ from the original image, but
+    // the decode must now skip the matrix: plane0 (Y) lands in R
+    val img = JpegImage(8, 8, 3, Array.fill(64)(0x646464)) // gray: Y=100, Cb=Cr=128
+    val bytes = Jpeg.encodeJpeg(img, quality = 100)
+    val app14 = Array[Byte](0xff.toByte, 0xee.toByte, 0, 14,
+      'A', 'd', 'o', 'b', 'e', 100, 0, 0, 0, 0, 0) ++ Array[Byte](0)
+    val spliced = bytes.slice(0, 2) ++ app14 ++ bytes.drop(2)
+    val dec = Jpeg.decodeJpeg(spliced).get
+    // stored planes for a gray pixel: Y=100, Cb=128, Cr=128 -> RGB read
+    // verbatim gives (100, 128, 128)
+    assert((dec.pixels(0) >> 16 & 0xff, dec.pixels(0) >> 8 & 0xff, dec.pixels(0) & 0xff)
+      == ((100, 128, 128)), f"got ${dec.pixels(0)}%06x")
+    // and WITHOUT the APP14, the same stream converts through YCbCr
+    assert((Jpeg.decodeJpeg(bytes).get.pixels(0) & 0xff) == 100)
+  }
+
+  test("oversize dimensions are refused at encode time (16-bit SOF fields)") {
+    val big = JpegImage(70000, 1, 1, Array.fill(70000)(128))
+    assert(intercept[Exception](Jpeg.encodeJpeg(big)).getMessage.contains("16-bit"))
+  }
+
   test("malformation is refused loudly: truncation, bad SOF, corrupt entropy") {
     val bytes = Jpeg.encodeJpeg(gradient(24, 16, color = true, 1), quality = 90)
     assert(Jpeg.decodeJpeg(bytes.take(bytes.length / 2)).isEmpty, "truncation accepted")

@@ -79,4 +79,27 @@ class ZipSpec extends AnyFunSuite {
     for (k <- 0 until 4) bad(cdOff + 20 + k) = 0xff.toByte
     assert(Zip.decodeZip(bad).isEmpty)
   }
+
+  test("a declared-size lie (zip bomb shape) fails cheaply, not after inflating it all") {
+    // 4 MB of zeros deflates to ~4 KB; patch the declared uncompressed
+    // size down to 10 in BOTH the local header and the central
+    // directory — the inflate must stop right past 10 output bytes
+    val bomb = Zip.encodeZip(Seq(Zip.Entry("z.bin", new Array[Byte](4 << 20), method = 8)))
+    def le32At(d: Array[Byte], i: Int): Long =
+      (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+        ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+    def putLe32(d: Array[Byte], i: Int, v: Long): Unit = {
+      d(i) = (v & 0xff).toByte; d(i + 1) = ((v >> 8) & 0xff).toByte
+      d(i + 2) = ((v >> 16) & 0xff).toByte; d(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val bad = bomb.clone()
+    putLe32(bad, 22, 10L) // local header usize (offset 22 in LFH)
+    val eocd = bad.length - 22
+    val cdOff = le32At(bad, eocd + 16).toInt
+    putLe32(bad, cdOff + 24, 10L) // central directory usize
+    val t0 = System.nanoTime()
+    assert(Zip.decodeZip(bad).isEmpty, "size lie accepted")
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, f"size-lie refusal took $ms%.0f ms - inflated the whole bomb?")
+  }
 }
