@@ -6786,33 +6786,48 @@ object SparkEntry {
           .getOrElse(sys.error(s"unparseable parquet footer: $path"))
         require(f.rowGroups.map(_.numRows).sum == f.numRows,
           s"$t: row groups do not sum to num_rows")
-        Some((t, f.numRows, f.columnNames.length.toLong))
+        // footer STATISTICS of the first (key) column — the numbers
+        // row-group pruning reads; the oracle recomputes them from the
+        // data through DuckDB's own reader
+        Some((t, f.numRows, f.columnNames.length.toLong,
+          f.firstColMin.getOrElse(sys.error(s"$t: no min stat")),
+          f.firstColMax.getOrElse(sys.error(s"$t: no max stat"))))
       }
     }
-    rows.toDF("tbl", "num_rows", "n_cols")
+    rows.toDF("tbl", "num_rows", "n_cols", "key_min", "key_max")
   }
 
   private val parquetProbeSql =
     """SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS num_rows,
-      |  CAST((SELECT count(*) FROM pragma_table_info('region')) AS BIGINT) AS n_cols FROM region
+      |  CAST((SELECT count(*) FROM pragma_table_info('region')) AS BIGINT) AS n_cols,
+      |  CAST(min(r_regionkey) AS BIGINT) AS key_min, CAST(max(r_regionkey) AS BIGINT) AS key_max FROM region
       |UNION ALL SELECT 'nation', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('nation')) FROM nation
+      |  (SELECT count(*) FROM pragma_table_info('nation')),
+      |  CAST(min(n_nationkey) AS BIGINT), CAST(max(n_nationkey) AS BIGINT) FROM nation
       |UNION ALL SELECT 'customer', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('customer')) FROM customer
+      |  (SELECT count(*) FROM pragma_table_info('customer')),
+      |  CAST(min(c_custkey) AS BIGINT), CAST(max(c_custkey) AS BIGINT) FROM customer
       |UNION ALL SELECT 'supplier', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('supplier')) FROM supplier
+      |  (SELECT count(*) FROM pragma_table_info('supplier')),
+      |  CAST(min(s_suppkey) AS BIGINT), CAST(max(s_suppkey) AS BIGINT) FROM supplier
       |UNION ALL SELECT 'part', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('part')) FROM part
+      |  (SELECT count(*) FROM pragma_table_info('part')),
+      |  CAST(min(p_partkey) AS BIGINT), CAST(max(p_partkey) AS BIGINT) FROM part
       |UNION ALL SELECT 'orders', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('orders')) FROM orders
+      |  (SELECT count(*) FROM pragma_table_info('orders')),
+      |  CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM orders
       |UNION ALL SELECT 'lineitem', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('lineitem')) FROM lineitem
+      |  (SELECT count(*) FROM pragma_table_info('lineitem')),
+      |  CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT) FROM lineitem
       |UNION ALL SELECT 'events', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('events')) FROM events
+      |  (SELECT count(*) FROM pragma_table_info('events')),
+      |  CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT) FROM events
       |UNION ALL SELECT 'documents', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('documents')) FROM documents
+      |  (SELECT count(*) FROM pragma_table_info('documents')),
+      |  CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT) FROM documents
       |UNION ALL SELECT 'embeddings', count(*),
-      |  (SELECT count(*) FROM pragma_table_info('embeddings')) FROM embeddings""".stripMargin
+      |  (SELECT count(*) FROM pragma_table_info('embeddings')),
+      |  CAST(min(vec_id) AS BIGINT), CAST(max(vec_id) AS BIGINT) FROM embeddings""".stripMargin
 
   /** Sentence segmentation, FULL oracle — the unit-of-text rung
     * (`operators/Sentences.scala`): per doc a paragraph of doc_id-many

@@ -23,9 +23,20 @@ package graft.operators
  */
 object ParquetFooter {
 
-  final case class RowGroup(numRows: Long, totalByteSize: Long, nColumns: Int)
+  /** `firstColMin`/`firstColMax`: the first column's Statistics
+    * (min_value/max_value, INT32/INT64 decoded) over the row group —
+    * the numbers row-group PRUNING reads instead of data pages. */
+  final case class RowGroup(numRows: Long, totalByteSize: Long, nColumns: Int,
+                            firstColMin: Option[Long] = None,
+                            firstColMax: Option[Long] = None)
   final case class Footer(version: Int, numRows: Long, createdBy: String,
-                          columnNames: Seq[String], rowGroups: Seq[RowGroup])
+                          columnNames: Seq[String], rowGroups: Seq[RowGroup]) {
+    /** file-level min/max of the first column from footer stats alone. */
+    def firstColMin: Option[Long] =
+      { val ms = rowGroups.flatMap(_.firstColMin); if (ms.isEmpty) None else Some(ms.min) }
+    def firstColMax: Option[Long] =
+      { val ms = rowGroups.flatMap(_.firstColMax); if (ms.isEmpty) None else Some(ms.max) }
+  }
 
   // ------------------------- thrift compact protocol -------------------
 
@@ -121,19 +132,76 @@ object ParquetFooter {
     (name, numChildren)
   }
 
+  /** Statistics: prefer the v2 min_value/max_value (fields 6/5) over
+    * the deprecated min/max (2/1); bytes decode by physical type. */
+  private def parseStatistics(r: R, physType: Int): (Option[Long], Option[Long]) = {
+    var minB: Array[Byte] = null; var maxB: Array[Byte] = null
+    var minLegacy: Array[Byte] = null; var maxLegacy: Array[Byte] = null
+    struct(r) {
+      case (1, TBinary) => maxLegacy = r.bytes(r.varint().toInt)
+      case (2, TBinary) => minLegacy = r.bytes(r.varint().toInt)
+      case (5, TBinary) => maxB = r.bytes(r.varint().toInt)
+      case (6, TBinary) => minB = r.bytes(r.varint().toInt)
+      case (_, t) => skip(r, t)
+    }
+    def decode(b: Array[Byte]): Option[Long] =
+      if (b == null) None
+      else physType match {
+        case 1 if b.length == 4 => // INT32, little-endian, sign-extended
+          Some(((b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) |
+            ((b(3) & 0xffL) << 24)).toInt.toLong)
+        case 2 if b.length == 8 => // INT64
+          Some((0 until 8).map(i => (b(i) & 0xffL) << (8 * i)).reduce(_ | _))
+        case _ => None
+      }
+    (decode(if (minB != null) minB else minLegacy),
+      decode(if (maxB != null) maxB else maxLegacy))
+  }
+
+  /** ColumnChunk -> ColumnMetaData: physical type (1) + Statistics (12). */
+  private def parseFirstChunkStats(r: R): (Option[Long], Option[Long]) = {
+    var res: (Option[Long], Option[Long]) = (None, None)
+    struct(r) { // ColumnChunk
+      case (3, TStruct) => // ColumnMetaData
+        var physType = -1
+        struct(r) {
+          case (1, TI32) => physType = r.zigzag().toInt
+          case (12, TStruct) => res = parseStatistics(r, physType)
+          case (_, t) => skip(r, t)
+        }
+      case (_, t) => skip(r, t)
+    }
+    res
+  }
+
   private def parseRowGroup(r: R): RowGroup = {
     var numRows = 0L; var totalBytes = 0L; var nCols = 0
+    var stats: (Option[Long], Option[Long]) = (None, None)
     struct(r) {
       case (1, TList) =>
         val (n, et) = listHeader(r)
         nCols = n
-        (0 until n).foreach(_ => skip(r, et))
+        if (n > 0) {
+          stats = parseFirstChunkStats(r)
+          (1 until n).foreach(_ => skip(r, et))
+        }
       case (2, TI64) => totalBytes = r.zigzag()
       case (3, TI64) => numRows = r.zigzag()
       case (_, t) => skip(r, t)
     }
-    RowGroup(numRows, totalBytes, nCols)
+    RowGroup(numRows, totalBytes, nCols, stats._1, stats._2)
   }
+
+  /** Row-group pruning on the first column: which groups CAN contain a
+    * value in [lo, hi]? A group with no stats is never prunable (must
+    * be read) — the conservative rule pruning correctness depends on. */
+  def pruneRowGroups(f: Footer, lo: Long, hi: Long): Seq[RowGroup] =
+    f.rowGroups.filter { g =>
+      (g.firstColMin, g.firstColMax) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
 
   /** Parse a complete .parquet file's footer from in-memory bytes.
     * None on any malformation (bad magic, truncated footer, thrift

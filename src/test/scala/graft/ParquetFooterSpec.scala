@@ -65,4 +65,36 @@ class ParquetFooterSpec extends SparkSpecBase {
     badLen(good.length - 6) = 0xff.toByte; badLen(good.length - 5) = 0x7f.toByte
     assert(ParquetFooter.parse(badLen).isEmpty)
   }
+
+  test("first-column statistics match the data; pruning keeps exactly the hit groups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pqstats").toString
+    try {
+      // force several small row groups with a sorted key so min/max
+      // ranges tile: block size floor ~ a few KB per group
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.setInt("parquet.block.size", 4096)
+      (0 until 20000).map(i => (i.toLong, s"payload-$i-abcdefghijklmnop"))
+        .toDF("id", "payload").orderBy("id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val f = ParquetFooter.parseFile(part.getAbsolutePath).get
+      assert(f.rowGroups.length >= 3, s"only ${f.rowGroups.length} row groups - raise the data size")
+      assert(f.firstColMin.contains(0L) && f.firstColMax.contains(19999L))
+      // groups are sorted tiles: pruning a narrow range keeps few groups
+      val kept = ParquetFooter.pruneRowGroups(f, 100, 200)
+      assert(kept.nonEmpty && kept.length < f.rowGroups.length,
+        s"pruning kept ${kept.length} of ${f.rowGroups.length}")
+      // soundness: kept groups contain every matching row
+      assert(kept.map(_.numRows).sum >= 101)
+      // stats are per-group tight: every group's [min,max] within file bounds
+      assert(f.rowGroups.forall(g => g.firstColMin.exists(_ >= 0) &&
+        g.firstColMax.exists(_ <= 19999)))
+    } finally {
+      val hconf2 = spark.sparkContext.hadoopConfiguration
+      hconf2.unset("parquet.block.size")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
