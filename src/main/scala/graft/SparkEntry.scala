@@ -6711,6 +6711,43 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Unicode script detection, FULL oracle — the language-ID precursor
+    * (`operators/ScriptDetect.scala`, UAX #24 via the JDK tables): per
+    * doc a known mix of Latin, Cyrillic, and Han code points plus
+    * COMMON separators that must not vote; dominance, permille share
+    * (truncating — DuckDB // pairs exactly), and the mixed-script flag
+    * replay closed-form. */
+  private def scriptDetect(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val L = 40 + (docId % 20).toInt
+      val C = 10 + (docId % 30).toInt
+      val K = (docId % 15).toInt
+      val text = "a" * L + " 123 " + "б" * C + " ,;. " + "中" * K
+      val (script, share, mixed) = operators.ScriptDetect.dominantScript(text)
+      val counts = operators.ScriptDetect.scriptCounts(text)
+      (script, share, mixed,
+        counts.getOrElse("latin", 0) + counts.getOrElse("cyrillic", 0) +
+          counts.getOrElse("cjk", 0))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"), col("r._1").as("script"),
+        col("r._2").cast("long").as("share_permille"),
+        col("r._3").as("mixed"),
+        col("r._4").cast("long").as("scripted_cps"))
+  }
+
+  private val scriptDetectSql =
+    """WITH p AS (
+      |  SELECT doc_id, 40 + doc_id % 20 AS l, 10 + doc_id % 30 AS c,
+      |    doc_id % 15 AS k
+      |  FROM documents)
+      |SELECT doc_id, 'latin' AS script,
+      |  CAST((l * 1000) // (l + c + k) AS BIGINT) AS share_permille,
+      |  (l * 1000) // (l + c + k) < 900 AS mixed,
+      |  CAST(l + c + k AS BIGINT) AS scripted_cps
+      |FROM p""".stripMargin
+
   /** End-to-end crawl pipeline, FULL oracle — the four crawl rungs
     * composed the way a crawler actually runs them: SITEMAP discovery
     * (XXE-hardened DOM parse; three locs per doc — two tracking-param
@@ -10450,6 +10487,7 @@ object SparkEntry {
     "sentence_split" -> (sentenceSplit(_, _)),
     "parquet_probe" -> (parquetProbe(_, _)),
     "crawl_pipeline" -> (crawlPipeline(_, _)),
+    "script_detect" -> (scriptDetect(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10779,6 +10817,7 @@ object SparkEntry {
     "sentence_split" -> sentenceSplitSql,
     "parquet_probe" -> parquetProbeSql,
     "crawl_pipeline" -> crawlPipelineSql,
+    "script_detect" -> scriptDetectSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
