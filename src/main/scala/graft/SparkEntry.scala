@@ -6711,6 +6711,34 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Curriculum ordering, FULL oracle — difficulty-sorted, domain-
+    * interleaved training order (`operators/Curriculum.scala`): four
+    * domains ranked by a length difficulty proxy, strided so
+    * consecutive global positions cycle domains. The oracle replays
+    * the identical window + stride arithmetic. */
+  private def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("dom-"), col("doc_id") % 4).as("domain"),
+        length(col("text")).cast("long").as("difficulty"))
+    operators.Curriculum.order(docs, "domain", "difficulty", "doc_id")
+      .select(col("doc_id"), col("domain"), col("difficulty"),
+        col("cur_rank"), col("cur_pos").cast("long").as("cur_pos"))
+  }
+
+  private val curriculumOrderSql =
+    """WITH d AS (
+      |  SELECT doc_id, 'dom-' || (doc_id % 4) AS domain,
+      |    CAST(length(text) AS BIGINT) AS difficulty
+      |  FROM documents)
+      |SELECT doc_id, domain, difficulty,
+      |  CAST(row_number() OVER (PARTITION BY domain
+      |    ORDER BY difficulty ASC, doc_id ASC) - 1 AS BIGINT) AS cur_rank,
+      |  CAST((row_number() OVER (PARTITION BY domain
+      |    ORDER BY difficulty ASC, doc_id ASC) - 1) * 4 + doc_id % 4 AS BIGINT)
+      |    AS cur_pos
+      |FROM d""".stripMargin
+
   /** Unicode script detection, FULL oracle — the language-ID precursor
     * (`operators/ScriptDetect.scala`, UAX #24 via the JDK tables): per
     * doc a known mix of Latin, Cyrillic, and Han code points plus
@@ -10488,6 +10516,7 @@ object SparkEntry {
     "parquet_probe" -> (parquetProbe(_, _)),
     "crawl_pipeline" -> (crawlPipeline(_, _)),
     "script_detect" -> (scriptDetect(_, _)),
+    "curriculum_order" -> (curriculumOrder(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10818,6 +10847,7 @@ object SparkEntry {
     "parquet_probe" -> parquetProbeSql,
     "crawl_pipeline" -> crawlPipelineSql,
     "script_detect" -> scriptDetectSql,
+    "curriculum_order" -> curriculumOrderSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
