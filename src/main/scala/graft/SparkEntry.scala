@@ -6711,6 +6711,51 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Shot-boundary detection, FULL oracle — keyframe selection over
+    * real Y4M round-trips (`operators/ShotDetect.scala`): per doc
+    * 4-8 frames split into 1-3 planted scenes whose luma levels step
+    * by exactly 80 (always over the threshold of 20, flat within a
+    * scene), so shot count, keyframe indices, and the max inter-frame
+    * diff replay closed-form. */
+  private def shotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val nF = 4 + (docId % 5).toInt
+      val nS = 1 + (docId % 3).toInt
+      val frames = Seq.tabulate(nF) { f =>
+        val scene = f * nS / nF
+        val v = (40 + 80 * scene + (docId % 20)).toInt
+        (Array.fill(64)(v.toByte), Array.fill(16)(128.toByte),
+          Array.fill(16)(128.toByte))
+      }
+      val y4m = operators.Y4m.encodeY4m(8, 8, frames)
+      operators.ShotDetect.probeY4m(y4m, threshold = 20L)
+        .getOrElse(sys.error(s"y4m probe failed for doc $docId"))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_frames"),
+        col("r._2").cast("long").as("n_shots"),
+        col("r._3").as("keyframe_sum"),
+        col("r._4").as("max_diff"))
+  }
+
+  private val shotBoundariesSql =
+    """WITH p AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS nf, 1 + doc_id % 3 AS ns
+      |  FROM documents),
+      |k AS (
+      |  SELECT p.doc_id, p.nf, p.ns,
+      |    sum((s.range * p.nf + p.ns - 1) // p.ns) AS ksum
+      |  FROM p, range(3) s WHERE s.range < p.ns
+      |  GROUP BY p.doc_id, p.nf, p.ns)
+      |SELECT doc_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(ns AS BIGINT) AS n_shots,
+      |  CAST(ksum AS BIGINT) AS keyframe_sum,
+      |  CAST(CASE WHEN ns > 1 THEN 80 ELSE 0 END AS BIGINT) AS max_diff
+      |FROM k""".stripMargin
+
   /** Curriculum ordering, FULL oracle — difficulty-sorted, domain-
     * interleaved training order (`operators/Curriculum.scala`): four
     * domains ranked by a length difficulty proxy, strided so
@@ -10517,6 +10562,7 @@ object SparkEntry {
     "crawl_pipeline" -> (crawlPipeline(_, _)),
     "script_detect" -> (scriptDetect(_, _)),
     "curriculum_order" -> (curriculumOrder(_, _)),
+    "shot_boundaries" -> (shotBoundaries(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10848,6 +10894,7 @@ object SparkEntry {
     "crawl_pipeline" -> crawlPipelineSql,
     "script_detect" -> scriptDetectSql,
     "curriculum_order" -> curriculumOrderSql,
+    "shot_boundaries" -> shotBoundariesSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
