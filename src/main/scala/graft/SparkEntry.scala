@@ -6711,6 +6711,43 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Readability scoring, FULL oracle — Flesch-Kincaid grade over the
+    * vowel-group syllable heuristic (`operators/Readability.scala`):
+    * per doc a paragraph with known word/sentence/syllable counts
+    * (incl. a silent-e trap word), grades replayed as an arithmetic
+    * mul/div chain rounded to 6 — IEEE-exact cross-engine per the
+    * float convention. */
+  private def readabilityScore(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val n1 = 3 + (docId % 4).toInt
+      val text = (Seq.fill(n1)("Alpha beta gamma.") :+ "The code rates time.")
+        .mkString(" ")
+      val (w, sn, syl) = operators.Readability.counts(text)
+      (w, sn, syl,
+        operators.Readability.fkGrade(w, sn, syl),
+        operators.Readability.fleschEase(w, sn, syl))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("words"), col("r._2").as("sentences"),
+        col("r._3").as("syllables"),
+        round(col("r._4"), 6).as("fk_grade"),
+        round(col("r._5"), 6).as("flesch_ease"))
+  }
+
+  private val readabilityScoreSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(3 * (3 + doc_id % 4) + 4 AS BIGINT) AS w,
+      |    CAST((3 + doc_id % 4) + 1 AS BIGINT) AS sn,
+      |    CAST(6 * (3 + doc_id % 4) + 5 AS BIGINT) AS syl
+      |  FROM documents)
+      |SELECT doc_id, w AS words, sn AS sentences, syl AS syllables,
+      |  round(0.39 * w / sn + 11.8 * syl / w - 15.59, 6) AS fk_grade,
+      |  round(206.835 - 1.015 * w / sn - 84.6 * syl / w, 6) AS flesch_ease
+      |FROM p""".stripMargin
+
   /** Shot-boundary detection, FULL oracle — keyframe selection over
     * real Y4M round-trips (`operators/ShotDetect.scala`): per doc
     * 4-8 frames split into 1-3 planted scenes whose luma levels step
@@ -10563,6 +10600,7 @@ object SparkEntry {
     "script_detect" -> (scriptDetect(_, _)),
     "curriculum_order" -> (curriculumOrder(_, _)),
     "shot_boundaries" -> (shotBoundaries(_, _)),
+    "readability_score" -> (readabilityScore(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10895,6 +10933,7 @@ object SparkEntry {
     "script_detect" -> scriptDetectSql,
     "curriculum_order" -> curriculumOrderSql,
     "shot_boundaries" -> shotBoundariesSql,
+    "readability_score" -> readabilityScoreSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
