@@ -6711,6 +6711,48 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Streaming frontier politeness, FULL oracle — the ingest-time face
+    * of `crawl_frontier` (`streaming/StreamFrontier.scala`): URLs
+    * stream from the file source into a per-host GroupState sequence
+    * counter; one batch over the fixture makes the stateful assignment
+    * equal the batch window, which is the oracle (same md5 lanes, no
+    * per-cycle cap — the stream carries continuity instead). */
+  private def streamFrontierQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val frontier = stream.select(
+      concat(lit("site-"), col("doc_id") % 50, lit(".invalid")).as("host"),
+      concat(lit("http://site-"), col("doc_id") % 50,
+        lit(".invalid/page/"), col("doc_id")).as("url"),
+      (col("doc_id") % 7).as("priority"))
+    val sched = streaming.StreamFrontier.schedule(frontier, "url", "host",
+        "priority", delayMs = 1500L)
+      .toDF("url", "host", "slot", "seq", "scheduled_ms")
+    val name = "stream_frontier_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = sched.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private val streamFrontierSql =
+    """WITH f AS (
+      |  SELECT 'site-' || (doc_id % 50) || '.invalid' AS host,
+      |    'http://site-' || (doc_id % 50) || '.invalid/page/' || doc_id AS url,
+      |    doc_id % 7 AS priority
+      |  FROM documents)
+      |SELECT url, host,
+      |  CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
+      |    AS slot,
+      |  CAST(row_number() OVER (PARTITION BY host
+      |    ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq,
+      |  CAST((row_number() OVER (PARTITION BY host
+      |    ORDER BY priority DESC, url ASC) - 1) * 1500 AS BIGINT) AS scheduled_ms
+      |FROM f""".stripMargin
+
   /** Readability scoring, FULL oracle — Flesch-Kincaid grade over the
     * vowel-group syllable heuristic (`operators/Readability.scala`):
     * per doc a paragraph with known word/sentence/syllable counts
@@ -10601,6 +10643,7 @@ object SparkEntry {
     "curriculum_order" -> (curriculumOrder(_, _)),
     "shot_boundaries" -> (shotBoundaries(_, _)),
     "readability_score" -> (readabilityScore(_, _)),
+    "stream_frontier" -> (streamFrontierQ(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10934,6 +10977,7 @@ object SparkEntry {
     "curriculum_order" -> curriculumOrderSql,
     "shot_boundaries" -> shotBoundariesSql,
     "readability_score" -> readabilityScoreSql,
+    "stream_frontier" -> streamFrontierSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
