@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
  * (Bengio et al.) expressed as ONE per-domain window — no global sort,
  * no single-partition stage, the same discipline as `EpochShuffle`.
  *
- * Scale shape: one shuffle (the domain-partitioned window) plus a
- * broadcast of the |domains|-sized index map; global positions are
- * pure arithmetic, so the order materializes without ever sorting the
- * corpus globally.
+ * Scale shape: one shuffle (the domain-partitioned window); the domain
+ * index map is collected to the driver and inlined as a map literal in
+ * the expression tree — correct for the mixture-sized domain sets
+ * curricula use (guarded at 10k; a million-domain column is the wrong
+ * input for this operator). Global positions are pure arithmetic, so
+ * the order materializes without ever sorting the corpus globally.
  */
 object Curriculum {
 
@@ -36,6 +38,9 @@ object Curriculum {
     val domains = df.select(col(domainCol)).distinct().collect()
       .map(_.get(0)).filter(_ != null).map(_.toString).sorted
     require(domains.nonEmpty, "no domains")
+    require(domains.length <= 10000,
+      s"${domains.length} domains: curriculum striding wants a mixture-sized " +
+        "domain set, not a high-cardinality key — bucket the column first")
     val idx = typedLit(domains.zipWithIndex.toMap)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col(difficultyCol).asc, col(idCol).asc)

@@ -31,11 +31,18 @@ object ParquetFooter {
                             firstColMax: Option[Long] = None)
   final case class Footer(version: Int, numRows: Long, createdBy: String,
                           columnNames: Seq[String], rowGroups: Seq[RowGroup]) {
-    /** file-level min/max of the first column from footer stats alone. */
-    def firstColMin: Option[Long] =
-      { val ms = rowGroups.flatMap(_.firstColMin); if (ms.isEmpty) None else Some(ms.min) }
-    def firstColMax: Option[Long] =
-      { val ms = rowGroups.flatMap(_.firstColMax); if (ms.isEmpty) None else Some(ms.max) }
+    /** file-level min/max of the first column from footer stats alone —
+      * None unless EVERY row group carries stats: a group without them
+      * can hold values outside the visible range, and a partial answer
+      * would be a silent wrong one. */
+    def firstColMin: Option[Long] = {
+      val ms = rowGroups.flatMap(_.firstColMin)
+      if (ms.length == rowGroups.length && ms.nonEmpty) Some(ms.min) else None
+    }
+    def firstColMax: Option[Long] = {
+      val ms = rowGroups.flatMap(_.firstColMax)
+      if (ms.length == rowGroups.length && ms.nonEmpty) Some(ms.max) else None
+    }
   }
 
   // ------------------------- thrift compact protocol -------------------

@@ -32,7 +32,18 @@ object StreamFrontier {
     require(delayMs > 0, "need a positive delay")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(hostCol).cast("string"), col(urlCol).cast("string"),
+    // UTF-8 byte order for the URL tie-break — JVM String order is
+    // UTF-16 code units, which diverges from Spark's UTF8String /
+    // DuckDB collation for non-BMP text (the r11 temperatureMixture
+    // lesson); and priority descends via Ordering.reverse, not -pri
+    // (negation overflows Long.MinValue).
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val byPriThenUrl: Ordering[(Long, String)] =
+      Ordering.Tuple2(Ordering.Long.reverse, utf8Order)
+    df.filter(col(hostCol).isNotNull && col(urlCol).isNotNull &&
+        col(priorityCol).isNotNull) // null rows have no host queue to join
+      .select(col(hostCol).cast("string"), col(urlCol).cast("string"),
         col(priorityCol).cast("long"))
       .as[(String, String, Long)]
       .groupByKey(_._1)
@@ -43,7 +54,8 @@ object StreamFrontier {
           val hex = md.digest(host.getBytes("UTF-8"))
           val slot = ((hex(0) >> 4) & 0x0f).toLong
           var next = state.getOption.map(_.next).getOrElse(0L)
-          val ordered = rows.toSeq.sortBy { case (_, url, pri) => (-pri, url) }
+          val ordered = rows.toSeq
+            .sortBy { case (_, url, pri) => (pri, url) }(byPriThenUrl)
           val out = ordered.map { case (_, url, _) =>
             val seq = next
             next += 1

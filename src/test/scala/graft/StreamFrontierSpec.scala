@@ -26,15 +26,28 @@ class StreamFrontierSpec extends SparkSpecBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
-  test("sequence continuity: a second wave continues each host's spacing") {
-    // simulate two micro-batches by running the SAME stateless API twice
-    // is impossible on static frames (state resets), so assert the
-    // contract on one frame with duplicated urls per host instead:
-    // 6 urls on one host -> seq 0..5, spaced 0,700..3500
-    val one = frontier(0 until 18).filter($"host" === "h0.test")
-    val rows = StreamFrontier.schedule(one, "url", "host", "priority", 700L)
-      .toDF("url", "host", "slot", "seq", "scheduled_ms").collect()
-    assert(rows.map(_.getLong(4)).sorted.toSeq == (0 until 6).map(_ * 700L))
+  test("sequence continuity ACROSS micro-batches: state carries the spacing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val sched = StreamFrontier.schedule(
+      mem.toDF().toDF("url", "host", "priority"), "url", "host", "priority", 700L)
+      .toDF("url", "host", "slot", "seq", "scheduled_ms")
+    val name = "sf_continuity_sink"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = sched.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(("u1", "hx.test", 5L), ("u2", "hx.test", 1L))
+      q.processAllAvailable()
+      mem.addData(("u3", "hx.test", 9L)) // later batch, HIGHER priority
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      // batch 1 assigns 0 and 700 by priority; batch 2 CONTINUES at 1400
+      // even though u3's priority beats both earlier urls
+      assert(rows == Map("u1" -> 0L, "u2" -> 700L, "u3" -> 1400L), rows.toString)
+    } finally q.stop()
   }
 
   test("lanes agree with the md5-prefix convention") {
