@@ -6711,6 +6711,42 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Anchor-text aggregation, FULL oracle — the web-graph labeling
+    * signal (`operators/AnchorText.scala`), zero-UDF both sides: per
+    * doc three anchors (two to a shared target whose id folds doc_ids
+    * together, one to a shifted target, plus a textless anchor that
+    * still votes); the per-target counts, distinct sources, and label
+    * chars replay closed-form in the oracle's own group-by. */
+  private def anchorTextAgg(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val html = concat(
+      lit("<p>intro</p><a href=\"http://t"), d % 25,
+      lit(".invalid/\">alpha link "), d % 3,
+      lit("</a><a href=\"http://t"), d % 25,
+      lit(".invalid/\">beta</a><a href=\"http://t"), (d + 7) % 25,
+      lit(".invalid/\"></a><a href=\"\">empty target</a>"))
+    operators.AnchorText.aggregateByTarget(
+      Tables.read(s, dir, "documents").select(d, html.as("html")),
+      "doc_id", "html")
+  }
+
+  private val anchorTextAggSql =
+    """WITH a AS (
+      |  SELECT doc_id AS src, 'http://t' || (doc_id % 25) || '.invalid/' AS target,
+      |    'alpha link ' || (doc_id % 3) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'http://t' || (doc_id % 25) || '.invalid/', 'beta'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'http://t' || ((doc_id + 7) % 25) || '.invalid/', ''
+      |  FROM documents)
+      |SELECT target,
+      |  CAST(count(*) AS BIGINT) AS n_anchors,
+      |  CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+      |  CAST(sum(length(text)) AS BIGINT) AS label_chars,
+      |  min(text) AS first_label
+      |FROM a GROUP BY target""".stripMargin
+
   /** Streaming frontier politeness, FULL oracle — the ingest-time face
     * of `crawl_frontier` (`streaming/StreamFrontier.scala`): URLs
     * stream from the file source into a per-host GroupState sequence
@@ -10644,6 +10680,7 @@ object SparkEntry {
     "shot_boundaries" -> (shotBoundaries(_, _)),
     "readability_score" -> (readabilityScore(_, _)),
     "stream_frontier" -> (streamFrontierQ(_, _)),
+    "anchor_text_agg" -> (anchorTextAgg(_, _)),
     "decompress_auto" -> (decompressAuto(_, _)),
     "audio_gain" -> (audioGain(_, _)),
     "image_crop_pad" -> (imageCropPad(_, _)),
@@ -10978,6 +11015,7 @@ object SparkEntry {
     "shot_boundaries" -> shotBoundariesSql,
     "readability_score" -> readabilityScoreSql,
     "stream_frontier" -> streamFrontierSql,
+    "anchor_text_agg" -> anchorTextAggSql,
     "decompress_auto" -> decompressAutoSql,
     "audio_gain" -> audioGainSql,
     "image_crop_pad" -> imageCropPadSql,
