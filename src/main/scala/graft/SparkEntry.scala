@@ -6716,14 +6716,18 @@ object SparkEntry {
     * doc three anchors (two to a shared target whose id folds doc_ids
     * together, one to a shifted target, plus a textless anchor that
     * still votes); the per-target counts, distinct sources, and label
-    * chars replay closed-form in the oracle's own group-by. */
+    * chars replay closed-form in the oracle's own group-by. The three
+    * fixture anchors deliberately use the three real-crawl href
+    * syntaxes — SINGLE-quoted with a nested `<b>` label, UNQUOTED, and
+    * double-quoted — so the oracle greenness proves the normalized
+    * extraction, not just the easy double-quote path. */
   private def anchorTextAgg(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val html = concat(
-      lit("<p>intro</p><a href=\"http://t"), d % 25,
-      lit(".invalid/\">alpha link "), d % 3,
-      lit("</a><a href=\"http://t"), d % 25,
-      lit(".invalid/\">beta</a><a href=\"http://t"), (d + 7) % 25,
+      lit("<p>intro</p><a href='http://t"), d % 25,
+      lit(".invalid/'><b>alpha</b> link "), d % 3,
+      lit("</a><a href=http://t"), d % 25,
+      lit(".invalid/>beta</a><a href=\"http://t"), (d + 7) % 25,
       lit(".invalid/\"></a><a href=\"\">empty target</a>"))
     operators.AnchorText.aggregateByTarget(
       Tables.read(s, dir, "documents").select(d, html.as("html")),
@@ -6764,7 +6768,7 @@ object SparkEntry {
         lit(".invalid/page/"), col("doc_id")).as("url"),
       (col("doc_id") % 7).as("priority"))
     val sched = streaming.StreamFrontier.schedule(frontier, "url", "host",
-        "priority", delayMs = 1500L)
+        "priority", delayMs = 1500L, slots = 40)
       .toDF("url", "host", "slot", "seq", "scheduled_ms")
     val name = "stream_frontier_sink"
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
@@ -6781,8 +6785,10 @@ object SparkEntry {
       |    doc_id % 7 AS priority
       |  FROM documents)
       |SELECT url, host,
-      |  CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
-      |    AS slot,
+      |  CAST(((strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(host), 3, 1)) - 1)) % 40
+      |    AS BIGINT) AS slot,
       |  CAST(row_number() OVER (PARTITION BY host
       |    ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq,
       |  CAST((row_number() OVER (PARTITION BY host
@@ -7182,11 +7188,13 @@ object SparkEntry {
   /** Crawl-frontier politeness scheduling, FULL oracle — Mercator-
     * style host lanes (`operators/CrawlFrontier.scala`): per doc a URL
     * on one of 50 hosts with a cyclic priority; the scheduler hashes
-    * hosts onto 16 fetcher lanes (md5-prefix convention, exact in
-    * DuckDB), ranks within host by priority then URL, caps 5 per host
-    * per cycle, and spaces fetches by the crawl delay. One shuffle at
-    * any scale; the oracle replays assignments, sequence, and offsets
-    * exactly. */
+    * hosts onto a NON-DEFAULT 40 fetcher lanes (three md5 hex digits
+    * mod 40 — the generalized md5-prefix convention, exact in DuckDB),
+    * ranks within host by priority then URL, caps 5 per host per
+    * cycle, and spaces fetches by the crawl delay. One shuffle at any
+    * scale; the oracle replays assignments, sequence, and offsets
+    * exactly. The default-16 one-digit path stays pinned by
+    * `crawl_pipeline`. */
   private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
     val frontier = Tables.read(s, dir, "documents")
       .select(col("doc_id"),
@@ -7195,7 +7203,7 @@ object SparkEntry {
           lit(".invalid/page/"), col("doc_id")).as("url"),
         (col("doc_id") % 7).as("priority"))
     operators.CrawlFrontier.schedule(frontier, "url", "host", "priority",
-        delayMs = 1500L, maxPerHost = 5)
+        delayMs = 1500L, maxPerHost = 5, slots = 40)
       .select(col("url"), col("host"), col("slot"), col("seq"), col("scheduled_ms"))
   }
 
@@ -7207,8 +7215,10 @@ object SparkEntry {
       |  FROM documents),
       |r AS (
       |  SELECT url, host,
-      |    CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
-      |      AS slot,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(md5(host), 3, 1)) - 1)) % 40
+      |      AS BIGINT) AS slot,
       |    CAST(row_number() OVER (PARTITION BY host
       |      ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq
       |  FROM f)
@@ -7269,10 +7279,13 @@ object SparkEntry {
     * footer) whose block lengths derive from doc_id; the nav and tag
     * cloud fail the length gate, the footer fails the density gate
     * despite passing length, and the two content paragraphs survive.
+    * The nav deliberately mixes a single-quoted href and a nested
+    * `<b>` anchor label (the real-crawl forms), whose VISIBLE length
+    * the density math must count.
     * Oracle replays the arithmetic closed-form. */
   private def boilerplateExtract(s: SparkSession, dir: String): DataFrame = {
     val html = concat(
-      lit("<html><body><div><a href=\"/h\">Home</a> <a href=\"/c\">Catalog page</a></div><p>"),
+      lit("<html><body><div><a href='/h'>Home</a> <a href=\"/c\"><b>Catalog</b> page</a></div><p>"),
       expr("repeat('alpha beta ', 5 + CAST(doc_id % 6 AS INT))"),
       lit("</p><div>tags: <a href=\"/t1\">one</a><a href=\"/t2\">two</a><a href=\"/t3\">three</a></div><p>"),
       expr("repeat('gamma delta epsilon ', 3 + CAST(doc_id % 4 AS INT))"),
@@ -7350,9 +7363,10 @@ object SparkEntry {
 
   /** Outlink extraction + relative-URL resolution, FULL oracle — the
     * link-graph SEED step upstream of the PageRank/community family:
-    * each doc is wrapped in an HTML shell carrying the five href
+    * each doc is wrapped in an HTML shell carrying the six href
     * shapes a crawler meets (absolute, root-relative, path-relative,
-    * fragment-only, query-only), hrefs are pulled with a native
+    * fragment-only, query-only, and a SINGLE-quoted relative one),
+    * hrefs are quote-normalized then pulled with a native
     * regexp, and resolution against the base URL is an ALL-NATIVE
     * when/concat chain (RFC 3986 §5.3 merge for the shapes present) —
     * zero UDF on either side, so the oracle replays the identical
@@ -7364,8 +7378,11 @@ object SparkEntry {
       lit("\">a</a><a href=\"rel-"), col("doc_id") % 5,
       lit("\">b</a><a href=\"http://ext-"), col("doc_id") % 11,
       lit(".invalid/x\">c</a><a href=\"#frag\">d</a><a href=\"?q="),
-      col("doc_id") % 3, lit("\">e</a></body></html>"))
-    val hrefs = regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+      col("doc_id") % 3, lit("\">e</a><a href='sq-"),
+      col("doc_id") % 4, lit("'>f</a></body></html>"))
+    val hrefs = regexp_extract_all(
+      operators.AnchorText.normalizeHrefQuotes(html),
+      lit("href=\"([^\"]*)\""), lit(1))
     val basePath = lit("/dir/page")
     val resolved = transform(hrefs, h =>
       when(h.startsWith("http://"), h)
@@ -7396,8 +7413,8 @@ object SparkEntry {
       |    'ext-' || (doc_id % 11) || '.invalid' AS eh
       |  FROM documents)
       |SELECT doc_id,
-      |  CAST(5 AS BIGINT) AS n_links,
-      |  CAST(4 AS BIGINT) AS n_internal,
+      |  CAST(6 AS BIGINT) AS n_links,
+      |  CAST(5 AS BIGINT) AS n_internal,
       |  CAST(1 AS BIGINT) AS n_external,
       |  least(bh, eh) AS first_host,
       |  'http://' || bh || '/dir/rel-' || (doc_id % 5) AS rel_resolved

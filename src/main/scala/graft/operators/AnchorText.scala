@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
  * transform to (href, text) structs, explode, one groupBy on the
  * target) — zero UDFs, so the oracle replays the identical algebra.
  *
+ * Real-crawl HTML robustness: hrefs may be double-quoted,
+ * single-quoted, or unquoted, and anchor labels routinely carry nested
+ * inline markup (`<a href=x><b>bold</b> label</a>`). Extraction first
+ * NORMALIZES href quoting to the double-quoted form (two
+ * `regexp_replace` passes, still codegen'd), then captures the anchor
+ * innerHTML non-greedily up to the closing tag and strips nested tags
+ * from the label — so all three quoting forms and tag-nested labels
+ * yield their visible text instead of silently dropping.
+ *
  * Reference surface: the reference consumes crawled corpora; anchor
  * aggregation is public web-search method re-expressed Spark-first.
  *
@@ -23,15 +32,30 @@ import org.apache.spark.sql.functions._
  */
 object AnchorText {
 
-  private val AnchorRe = "(?i)<a[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+  /** innerHTML captured non-greedily ((?s) so labels may span lines);
+    * runs over quote-NORMALIZED html, so one double-quote form suffices. */
+  private val AnchorRe = "(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+  private val TagRe = "<[^>]*>"
 
-  /** array<struct<href,text>> of one page's anchors (trimmed text;
-    * textless anchors kept — their href still votes for popularity). */
-  def anchors(html: Column): Column =
+  /** Rewrite single-quoted and unquoted href values to the
+    * double-quoted form so one extraction regex covers all three
+    * attribute syntaxes HTML parsers accept. */
+  def normalizeHrefQuotes(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, "(?i)\\bhref\\s*=\\s*'([^']*)'", "href=\"$1\""),
+      "(?i)\\bhref\\s*=\\s*([^\\s>\"'][^\\s>]*)", "href=\"$1\"")
+
+  /** array<struct<href,text>> of one page's anchors (trimmed,
+    * tag-stripped text; textless anchors kept — their href still votes
+    * for popularity). */
+  def anchors(html: Column): Column = {
+    val n = normalizeHrefQuotes(html)
     zip_with(
-      regexp_extract_all(html, lit(AnchorRe), lit(1)),
-      regexp_extract_all(html, lit(AnchorRe), lit(2)),
-      (h, t) => struct(h.as("href"), trim(t).as("text")))
+      regexp_extract_all(n, lit(AnchorRe), lit(1)),
+      regexp_extract_all(n, lit(AnchorRe), lit(2)),
+      (h, t) => struct(h.as("href"),
+        trim(regexp_replace(t, TagRe, "")).as("text")))
+  }
 
   /** Per-target label table: anchor count, distinct source count, the
     * total label characters, and the lexicographically first label

@@ -31,17 +31,23 @@ object Boilerplate {
 
   private val BlockClose = "(?i)</(?:p|div|li|h[1-6]|footer|header|nav|section|article|td)>"
   private val Tag = "<[^>]*>"
-  private val AnchorText = "(?i)<a[^>]*>([^<]*)</a>"
+
+  /** innerHTML non-greedy up to the closing tag, so anchors whose
+    * labels carry nested inline markup (`<a><b>x</b> y</a>`) still
+    * contribute their visible text; nested tags are stripped before
+    * counting. */
+  private val AnchorText = "(?is)<a\\b[^>]*>(.*?)</a>"
 
   /** visible text of one block (tags stripped, trimmed). */
   private def visible(block: Column): Column =
     trim(regexp_replace(block, Tag, ""))
 
-  /** total anchor-text characters of one block. */
+  /** total anchor-text characters of one block — a sum of per-anchor
+    * visible lengths (no concatenated-string materialization). */
   private def linkChars(block: Column): Column =
-    length(aggregate(
+    aggregate(
       regexp_extract_all(block, lit(AnchorText), lit(1)),
-      lit(""), (acc, x) => concat(acc, x)))
+      lit(0L), (acc, x) => acc + length(regexp_replace(x, Tag, "")))
 
   /** Blocks of an HTML column: split at closing block tags, dropping
     * chunks with no visible text. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,27 +25,53 @@ import org.apache.spark.sql.functions._
  * a host-partitioned shuffle.
  *
  * The hash is the repo's md5-prefix convention (`Sampling.hashSample`):
- * the host's first md5 hex digit picks among 16 lane groups, rendering
- * identically in DuckDB so the oracle replays EXACT assignments. Scale
- * shape: one shuffle on host (the window), everything else codegen'd
- * expressions; lanes stay balanced because hosts spread by hash, and a
- * skewed host is bounded by `maxPerHost` per cycle.
+ * the host's first md5 hex digits pick among `slots` lanes — at the
+ * default 16 that is exactly the first digit, and for any slot count
+ * the same `substr(md5(host), …)` arithmetic renders identically in
+ * DuckDB so the oracle replays EXACT assignments. Scale shape: one
+ * shuffle on host (the window), everything else codegen'd expressions;
+ * lanes stay balanced because hosts spread by hash, and a skewed host
+ * is bounded by `maxPerHost` per cycle.
  */
 object CrawlFrontier {
 
-  /** Schedule one fetch cycle. Output adds: `slot` (fetcher lane),
-    * `seq` (position in the host's queue, 0-based), `scheduled_ms`
-    * (politeness offset from cycle start). Rows beyond `maxPerHost`
-    * per host wait for the next cycle (dropped here). */
+  /** Hex digits of md5 prefix needed for `slots` lanes: the smallest k
+    * with 16^k ≥ slots, plus one more when 16^k is not a multiple of
+    * slots (caps the modulo bias below 1/16 relative). k = 1 at the
+    * default slots = 16, preserving the one-digit convention. */
+  def laneDigits(slots: Int): Int = {
+    require(slots >= 1 && slots <= (1 << 20), s"slots out of range: $slots")
+    val k = Iterator.from(1).find(i => math.pow(16, i) >= slots).get
+    if (BigInt(16).pow(k) % slots == 0) k else k + 1
+  }
+
+  /** Lane of one host as a Column — first `laneDigits` md5 hex digits
+    * mod slots; replayable in DuckDB with strpos/substr arithmetic. */
+  def laneExpr(host: Column, slots: Int): Column =
+    conv(substring(md5(host), 1, laneDigits(slots)), 16, 10)
+      .cast("long") % slots
+
+  /** The identical assignment JVM-side, for stateful streaming code
+    * (`streaming.StreamFrontier`) that hashes outside Catalyst. */
+  def laneOf(host: String, slots: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(host.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, laneDigits(slots)), 16) % slots
+  }
+
+  /** Schedule one fetch cycle. Output adds: `slot` (fetcher lane,
+    * 0 until `slots`), `seq` (position in the host's queue, 0-based),
+    * `scheduled_ms` (politeness offset from cycle start). Rows beyond
+    * `maxPerHost` per host wait for the next cycle (dropped here). */
   def schedule(frontier: DataFrame, urlCol: String, hostCol: String,
                priorityCol: String, delayMs: Long = 1000L,
-               maxPerHost: Int = 5): DataFrame = {
+               maxPerHost: Int = 5, slots: Int = 16): DataFrame = {
     require(delayMs > 0 && maxPerHost > 0, "need positive delay and cap")
     val w = Window.partitionBy(col(hostCol))
       .orderBy(col(priorityCol).desc, col(urlCol).asc)
     frontier
-      .withColumn("slot",
-        conv(substring(md5(col(hostCol)), 1, 1), 16, 10).cast("long"))
+      .withColumn("slot", laneExpr(col(hostCol), slots))
       .withColumn("seq", (row_number().over(w) - 1).cast("long"))
       .filter(col("seq") < maxPerHost)
       .withColumn("scheduled_ms", col("seq") * delayMs)

@@ -26,10 +26,14 @@ object StreamFrontier {
   case class HostSeq(next: Long)
 
   /** Output: (url, host, slot, seq, scheduledMs). Works on static
-    * frames too (batch parity: one empty-state invocation per host). */
+    * frames too (batch parity: one empty-state invocation per host).
+    * `slots` follows the batch scheduler's md5-prefix lane convention
+    * exactly (`CrawlFrontier.laneOf`). */
   def schedule(df: DataFrame, urlCol: String, hostCol: String,
-               priorityCol: String, delayMs: Long = 1000L): Dataset[(String, String, Long, Long, Long)] = {
+               priorityCol: String, delayMs: Long = 1000L,
+               slots: Int = 16): Dataset[(String, String, Long, Long, Long)] = {
     require(delayMs > 0, "need a positive delay")
+    graft.operators.CrawlFrontier.laneDigits(slots) // validate slots range up front
     val spark = df.sparkSession
     import spark.implicits._
     // UTF-8 byte order for the URL tie-break — JVM String order is
@@ -50,9 +54,7 @@ object StreamFrontier {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (host: String, rows: Iterator[(String, String, Long)],
          state: GroupState[HostSeq]) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(host.getBytes("UTF-8"))
-          val slot = ((hex(0) >> 4) & 0x0f).toLong
+          val slot = graft.operators.CrawlFrontier.laneOf(host, slots)
           var next = state.getOption.map(_.next).getOrElse(0L)
           val ordered = rows.toSeq
             .sortBy { case (_, url, pri) => (pri, url) }(byPriThenUrl)

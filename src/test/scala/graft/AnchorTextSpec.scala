@@ -19,6 +19,31 @@ class AnchorTextSpec extends SparkSpecBase {
     assert(rows == Seq(("/a", "first"), ("/b", "second"), ("/c", ""), ("", "no target")))
   }
 
+  test("single-quoted and unquoted hrefs extract, with non-empty labels") {
+    val html = "<a href='/sq'>single quoted</a>" +
+      "<a href=/uq>unquoted</a>" +
+      "<a href = '/spaced'>spaced equals</a>" +
+      "<a href=\"/dq\">double quoted</a>"
+    val rows = Seq((1L, html)).toDF("id", "html")
+      .select(explode(AnchorText.anchors(col("html"))).as("a"))
+      .select($"a.href", $"a.text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("/sq", "single quoted"), ("/uq", "unquoted"),
+      ("/spaced", "spaced equals"), ("/dq", "double quoted")))
+  }
+
+  test("nested inline tags inside the anchor keep their visible label") {
+    val html = "<a href=\"/b\"><b>bold</b> and <i>italic</i> label</a>" +
+      "<a href=\"/img\"><img src=\"x.png\"/></a>" +
+      "<a href=\"/multi\">line one\nline two</a>"
+    val rows = Seq((1L, html)).toDF("id", "html")
+      .select(explode(AnchorText.anchors(col("html"))).as("a"))
+      .select($"a.href", $"a.text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("/b", "bold and italic label"),
+      ("/img", ""), ("/multi", "line one\nline two")))
+  }
+
   test("aggregation counts anchors, distinct sources, and label chars per target") {
     val df = Seq(
       (1L, "<a href=\"/t\">good page</a><a href=\"/t\">nice</a>"),

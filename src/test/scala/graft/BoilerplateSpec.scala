@@ -39,6 +39,19 @@ class BoilerplateSpec extends SparkSpecBase {
     assert(statsOf(ok)._2 == 1)
   }
 
+  test("nested inline tags in an anchor label count their VISIBLE chars") {
+    // old single-level regex saw <a ...><b>... and extracted nothing;
+    // the label's visible length must drive the density gate.
+    val dense = "<p><a href='/q'><b>aaaaaaaaaa</b><i>aaaaaaaaaa</i></a>" +
+      "bbbbbbbbbbbbbbbbbbbb</p>" // 40 visible, 20 anchor -> dropped
+    val (_, nk, _, lc) = statsOf(dense)
+    assert(nk == 0)
+    assert(lc == 20)
+    val ok = "<p><a href='/q'><b>aaaaa</b>aaaaaaaa</a>" +
+      "bbbbbbbbbbbbbbbbbbbbbbbbbbb</p>" // 40 visible, 13 anchor -> kept
+    assert(statsOf(ok)._2 == 1)
+  }
+
   test("all block-closing tags split; headings and table cells count") {
     val html = "<h2>" + ("heading words here " * 2) + "</h2>" +
       "<td>" + ("cell content words " * 2) + "</td>" +

@@ -47,6 +47,42 @@ class CrawlFrontierSpec extends SparkSpecBase {
     assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
   }
 
+  test("non-16 slot counts: lanes stay in range, stable, and spread") {
+    val out = CrawlFrontier.schedule(frontier(300, 60), "url", "host", "priority",
+      slots = 40).select("host", "slot").distinct().collect()
+    assert(out.groupBy(_.getString(0)).forall(_._2.length == 1)) // stable
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 40))
+    assert(out.map(_.getLong(1)).distinct.length >= 15) // 60 hosts spread
+    // laneLoad works over the widened lane space too
+    val load = CrawlFrontier.laneLoad(
+      CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority",
+        slots = 40), "host").collect()
+    assert(load.map(_.getAs[Long]("n_urls")).sum == 20)
+  }
+
+  test("laneOf (JVM) equals laneExpr (Catalyst) for several slot counts") {
+    val hosts = (0 until 50).map(i => s"h$i.test")
+    for (slots <- Seq(1, 7, 16, 40, 256, 1000)) {
+      val cols = hosts.toDF("host")
+        .select(col("host"), CrawlFrontier.laneExpr(col("host"), slots).as("lane"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      hosts.foreach { h =>
+        assert(cols(h) == CrawlFrontier.laneOf(h, slots),
+          s"divergence for $h at slots=$slots")
+      }
+    }
+  }
+
+  test("slots=16 keeps the historical one-digit assignment") {
+    // the first md5 hex digit IS the lane at the default slot count
+    val h = "stable-host.test"
+    val firstDigit = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(h.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 1), 16)
+    assert(CrawlFrontier.laneOf(h, 16) == firstDigit)
+  }
+
   test("laneLoad reports per-lane urls, hosts, and makespan") {
     val sched = CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority",
       delayMs = 1000L, maxPerHost = 5)

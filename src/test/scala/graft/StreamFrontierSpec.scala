@@ -50,14 +50,17 @@ class StreamFrontierSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("lanes agree with the md5-prefix convention") {
-    val rows = StreamFrontier.schedule(frontier(0 until 9), "url", "host",
-      "priority").toDF("url", "host", "slot", "seq", "scheduled_ms")
-      .select("host", "slot").distinct().collect()
-    val expected = CrawlFrontier.schedule(frontier(0 until 9), "url", "host",
-      "priority").select("host", "slot").distinct().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach(r => assert(expected(r.getString(0)) == r.getLong(1),
-      s"lane mismatch for ${r.getString(0)}"))
+  test("lanes agree with the md5-prefix convention, at 16 and non-16 slots") {
+    for (slots <- Seq(16, 40)) {
+      val rows = StreamFrontier.schedule(frontier(0 until 9), "url", "host",
+        "priority", slots = slots)
+        .toDF("url", "host", "slot", "seq", "scheduled_ms")
+        .select("host", "slot").distinct().collect()
+      val expected = CrawlFrontier.schedule(frontier(0 until 9), "url", "host",
+        "priority", slots = slots).select("host", "slot").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach(r => assert(expected(r.getString(0)) == r.getLong(1),
+        s"lane mismatch for ${r.getString(0)} at slots=$slots"))
+    }
   }
 }
