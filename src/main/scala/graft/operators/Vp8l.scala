@@ -34,13 +34,13 @@ import scala.collection.mutable
  *  - LZ77 backrefs with the shared bucketed length/distance value
  *    scheme; the color cache (multiplier 0x1e35a7bd, 1-11 bits) on
  *    both encode and decode; meta-prefix (entropy image) DECODE.
- *
- * Documented boundaries (refused loudly, never mis-decoded):
- *  - Distance codes ≤ 120 (the spec's 2D neighborhood map) — the map
- *    is a 120-entry published constant table this environment cannot
- *    retrieve verbatim; this encoder always emits `distance + 120`
- *    (spec-legal and what any decoder must support), and the decoder
- *    rejects mapped codes rather than guess the table.
+ *  - The 2D distance neighborhood map (codes 1..120), DERIVED from
+ *    the spec's construction rule (near-pixel offsets ordered by
+ *    squared distance — see `DistanceMap`) rather than transcribed;
+ *    the encoder emits run distances through the map, so every
+ *    round-tripped stream exercises mapped decode, and `Vp8lSpec`
+ *    pins the anchor entries the spec text fixes. (This replaces the
+ *    earlier documented refusal of mapped codes.)
  *
  * Scale shape: stateless per-row map, same contract as every codec in
  * this repo — media bytes never leave the scan stage.
@@ -343,6 +343,51 @@ object Vp8l {
       offset + br.read(extra) + 1
     }
 
+  // --------------------------------------- 2D distance neighborhood map
+
+  /** The spec's 120-entry "distance code to neighboring pixel" map,
+    * DERIVED from its construction rule rather than transcribed: codes
+    * 1..120 enumerate the offsets (dx, dy) with dy ∈ 0..7, dx ∈ -7..8
+    * and (dy, dx) ≠ (0, ≤0) — the 120 pixels in the 8-row window above
+    * and to the left — ordered by squared Euclidean distance
+    * dx²+dy², ties by |dx| ascending, then positive dx before
+    * negative. The ordering reproduces every published anchor the spec
+    * text fixes (code 1 → (0,1), code 2 → (1,0), codes 3,4 → (±1,1),
+    * …, code 120 → (8,7)); `Vp8lSpec` pins a spread of them. A code
+    * maps to linear distance max(1, dy·xsize + dx). */
+  private[graft] val DistanceMap: Array[(Int, Int)] = {
+    val offs = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx >= 1
+    } yield (dx, dy)
+    offs.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, math.abs(dx), if (dx < 0) 1 else 0)
+    }.toArray
+  }
+
+  /** Linear pixel distance of a mapped code (1..120) at image width
+    * `xsize`; codes above 120 carry distance − 120 literally. */
+  private[graft] def distOfCode(code: Int, xsize: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = DistanceMap(code - 1)
+      math.max(1, dy * xsize + dx)
+    }
+
+  /** distance value → smallest distance code at width `xsize` (a
+    * mapped code when one reaches the value, else value + 120). */
+  private def distToCode(xsize: Int): Int => Int = {
+    val inv = mutable.HashMap[Int, Int]()
+    var c = 1
+    while (c <= 120) {
+      val d = distOfCode(c, xsize)
+      if (!inv.contains(d)) inv(d) = c
+      c += 1
+    }
+    v => inv.getOrElse(v, v + 120)
+  }
+
   /** value → (symbol, extraBits, numExtraBits); value ≥ 1. */
   private def lz77Sym(value: Int): (Int, Int, Int) = {
     val x = value - 1
@@ -524,9 +569,7 @@ object Vp8l {
         val len = lz77Read(br, s - 256)
         val distSym = grp(4).decode(br)
         val distCode = lz77Read(br, distSym)
-        require(distCode > 120,
-          "2D-mapped distance codes (≤120) unsupported — see scaladoc boundary")
-        val dist = distCode - 120
+        val dist = distOfCode(distCode, w)
         require(dist <= i, s"LZ77 distance $dist before image start")
         require(i + len <= n, "LZ77 copy overruns image")
         var k = 0
@@ -614,9 +657,13 @@ object Vp8l {
   // ------------------------------------------------------------- encode
 
   /** Emit one entropy-coded image stream: literal pixels with optional
-    * run-length LZ77 (dist=1) and optional color cache. */
-  private def writeImageData(bw: BitWriter, px: Array[Int], cacheBits: Int,
+    * run-length LZ77 (dist=1, emitted as its MAPPED 2D code so decoders
+    * of the neighborhood map are exercised by every stream) and
+    * optional color cache. `w` is the stream's pixel width (the mapped
+    * distance codes are width-relative). */
+  private def writeImageData(bw: BitWriter, px: Array[Int], w: Int, cacheBits: Int,
                              useRuns: Boolean, level0: Boolean = true): Unit = {
+    val distCodeOf = distToCode(w)
     bw.write(if (cacheBits > 0) 1 else 0, 1)
     if (cacheBits > 0) bw.write(cacheBits, 4)
     // tokenize: (kind, a, b) kind 0=literal pixel, 1=run(len), 2=cache(idx)
@@ -655,7 +702,7 @@ object Vp8l {
       case (0, p) => fG(g(p)) += 1; fR(r(p)) += 1; fB(b(p)) += 1; fA(a(p)) += 1
       case (1, len) =>
         val (ls, _, _) = lz77Sym(len); fG(256 + ls) += 1
-        val (ds, _, _) = lz77Sym(121); fD(ds) += 1 // dist 1 → code 121
+        val (ds, _, _) = lz77Sym(distCodeOf(1)); fD(ds) += 1 // dist 1, mapped
       case (2, idx) => fG(280 + idx) += 1
       case _ => ()
     }
@@ -676,7 +723,7 @@ object Vp8l {
       case (1, len) =>
         val (ls, le, lb2) = lz77Sym(len)
         emit(cG, 256 + ls); if (lb2 > 0) bw.write(le, lb2)
-        val (ds, de, db) = lz77Sym(121)
+        val (ds, de, db) = lz77Sym(distCodeOf(1))
         emit(cD, ds); if (db > 0) bw.write(de, db)
       case (2, idx) => emit(cG, 280 + idx)
       case _ => ()
@@ -686,7 +733,7 @@ object Vp8l {
   /** Sub-image streams (transform tiles, palettes): no transforms, no
     * meta bit in the grammar — cache bit + codes + data only. */
   private def writeSubImage(bw: BitWriter, px: Array[Int]): Unit =
-    writeImageData(bw, px, cacheBits = 0, useRuns = false, level0 = false)
+    writeImageData(bw, px, px.length, cacheBits = 0, useRuns = false, level0 = false)
 
   final case class Vp8lConfig(subtractGreen: Boolean = false,
                               predictorMode: Int = -1,
@@ -768,7 +815,7 @@ object Vp8l {
       px = res
     }
     bw.write(0, 1) // end of transforms
-    writeImageData(bw, px, cfg.cacheBits, cfg.useRuns)
+    writeImageData(bw, px, curW, cfg.cacheBits, cfg.useRuns)
     bw.toBytes
   }
 

@@ -92,6 +92,92 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("derived distance map: spec anchors, invariants, monotone distance") {
+    val m = Vp8l.DistanceMap
+    assert(m.length == 120)
+    assert(m.distinct.length == 120)
+    // window bounds: 8 rows, dx in -7..8, nothing at or right of the
+    // current pixel on its own row
+    assert(m.forall { case (dx, dy) => dy >= 0 && dy <= 7 && dx >= -7 && dx <= 8 })
+    assert(m.forall { case (dx, dy) => dy > 0 || dx >= 1 })
+    // squared distance never decreases along the code order
+    val d2 = m.map { case (dx, dy) => dx * dx + dy * dy }
+    assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+    // the anchor entries the spec's table fixes (1-indexed codes)
+    val anchors = Map(
+      1 -> (0, 1), 2 -> (1, 0), 3 -> (1, 1), 4 -> (-1, 1),
+      5 -> (0, 2), 6 -> (2, 0), 7 -> (1, 2), 8 -> (-1, 2),
+      9 -> (2, 1), 10 -> (-2, 1), 11 -> (2, 2), 12 -> (-2, 2),
+      13 -> (0, 3), 14 -> (3, 0), 23 -> (0, 4), 24 -> (4, 0),
+      35 -> (0, 5), 73 -> (0, 7), 74 -> (7, 0), 97 -> (8, 0),
+      102 -> (8, 1), 117 -> (7, 7), 118 -> (-7, 7), 119 -> (8, 6),
+      120 -> (8, 7))
+    anchors.foreach { case (code, off) =>
+      assert(m(code - 1) == off, s"code $code: got ${m(code - 1)}, want $off")
+    }
+    // linear distance: clamped to >= 1, and code 2 is distance 1 at any width
+    assert(Vp8l.distOfCode(2, 1) == 1 && Vp8l.distOfCode(2, 9999) == 1)
+    assert(Vp8l.distOfCode(1, 640) == 640) // one row up
+    assert(Vp8l.distOfCode(4, 3) == 2)     // (-1, 1) at width 3
+    assert(Vp8l.distOfCode(121, 640) == 1) // first unmapped code
+  }
+
+  test("hand-built stream with a 2D mapped distance (code 1 = row above) decodes") {
+    // 2x2 image; row 1 is a backref of length 2 at mapped distance
+    // code 1 = offset (0,1) = one row up — a genuinely two-dimensional
+    // reference no encoder path of this repo emits (runs use dist 1).
+    val bw = new Vp8l.BitWriter
+    bw.write(0x2f, 8)             // VP8L signature
+    bw.write(1, 14); bw.write(1, 14) // w-1, h-1
+    bw.write(0, 1); bw.write(0, 3)   // alpha hint, version
+    bw.write(0, 1)                // no transforms
+    bw.write(0, 1)                // no color cache
+    bw.write(0, 1)                // no meta prefix
+    // GREEN code (alphabet 280): normal form, lengths {0:1, 257:1} —
+    // 257 is out of simple-code range, so exercise the code-length code
+    bw.write(0, 1)                // not simple
+    bw.write(0, 4)                // num_cl - 4 = 0 -> 4 entries in ClOrder
+    bw.write(0, 3)                // cl len of 17
+    bw.write(1, 3)                // cl len of 18
+    bw.write(0, 3)                // cl len of 0
+    bw.write(1, 3)                // cl len of 1  -> cl code: {1->0, 18->1}
+    bw.write(1, 1)                // use max_symbol
+    bw.write(0, 3)                // nbits = 2 + 2*0
+    bw.write(2, 2)                // max_symbol = 2 + 2 = 4 tokens
+    bw.write(0, 1)                // token: len 1 for symbol 0
+    bw.write(1, 1); bw.write(127, 7) // token 18: 138 zeros (syms 1..138)
+    bw.write(1, 1); bw.write(107, 7) // token 18: 118 zeros (syms 139..256)
+    bw.write(0, 1)                // token: len 1 for symbol 257
+    // RED code: simple, two symbols {0, 1}
+    bw.write(1, 1); bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(1, 8)
+    // BLUE code: simple, two symbols {0, 1}
+    bw.write(1, 1); bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(1, 8)
+    // ALPHA code: simple, one symbol 255 (trivial -> zero data bits)
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    // DISTANCE code: simple, one symbol 0 (trivial -> zero data bits)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    // pixel 0: green 0, red 1, blue 0 (alpha trivial)
+    bw.write(0, 1); bw.write(1, 1); bw.write(0, 1)
+    // pixel 1: green 0, red 0, blue 1
+    bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+    // backref: green symbol 257 = length sym 1 -> len 2 (no extra bits);
+    // distance sym 0 -> code 1 -> (0,1) -> dist = width = 2
+    bw.write(1, 1)
+    val dec = Vp8l.decodeVp8l(bw.toBytes)
+    assert(dec.isDefined, "mapped-distance stream refused")
+    val (px, w, h) = dec.get
+    assert(w == 2 && h == 2)
+    assert(px.toSeq == Seq(0xff010000, 0xff000001, 0xff010000, 0xff000001))
+  }
+
+  test("encoder run distances ride the mapped codes and still round-trip") {
+    // a solid image maximizes dist-1 runs; round-trip proves the
+    // encoder's mapped emission and the decoder's map agree
+    val px = Array.fill(24 * 7)(0xff336699)
+    roundTrip(px, 24, 7, Vp8lConfig(useRuns = true))
+    roundTrip(px, 24, 7, Vp8lConfig(useRuns = true, cacheBits = 4))
+  }
+
   test("RIFF framing: sizes, padding, chunk walk") {
     val enc = Vp8l.encodeWebp(img(5, 5, 1), 5, 5, Vp8lConfig())
     assert(new String(enc, 0, 4, "ISO-8859-1") == "RIFF")
