@@ -23,7 +23,13 @@ package graft.operators
  *  5. Snappy framed: stream identifier ff 06 00 00 "sNaPpY" —
  *     snappy-java framed reader (masked CRC-32C per chunk).
  *  6. RFC 1950 zlib: CM = 8 in CMF and the (CMF·256+FLG) % 31 == 0
- *     header check — Adler-32 verified by Inflater.
+ *     header check — Adler-32 verified by Inflater. Unlike rungs 1-5
+ *     this is a HEURISTIC, not a magic: ~1/496 of arbitrary prefixes
+ *     pass it (plaintext starting "x", "x?", …), so an inflate
+ *     failure falls THROUGH to rungs 7-8 instead of refusing — which
+ *     also means a genuinely corrupt zlib body degrades to identity
+ *     rather than None (indistinguishable from coincidental plaintext
+ *     by construction).
  *  7. Raw DEFLATE: attempted when no magic matches; a stream that
  *     fails to inflate cleanly falls through. INHERENTLY heuristic:
  *     raw DEFLATE has no magic, so a plaintext payload that happens
@@ -35,9 +41,9 @@ package graft.operators
  *  8. Identity: returned as-is (with method = "identity") — transparent
  *     means uncompressed data must survive unchanged.
  *
- * Branches with a MAGIC (1-6) REFUSE corrupt streams (None) rather
- * than falling through — a payload that declares compression and
- * fails its checksum is corruption, not plaintext. Scale shape:
+ * Branches with a REAL magic (1-5) REFUSE corrupt streams (None)
+ * rather than falling through — a payload that declares compression
+ * and fails its checksum is corruption, not plaintext. Scale shape:
  * stateless per-row map.
  */
 object Decompress {
@@ -94,8 +100,12 @@ object Decompress {
       val cmf = payload(0) & 0xff
       val flg = payload(1) & 0xff
       if ((cmf & 0x0f) == 8 && (cmf * 256 + flg) % 31 == 0) {
-        return (try Some(("zlib", Zlib.inflateAll(payload, raw = false)))
-        catch { case _: Exception => None })
+        // zlib has NO real magic — this 2-byte heuristic fires on ~1/496
+        // of arbitrary prefixes (e.g. plaintext starting "x"), so
+        // an inflate failure falls THROUGH to the raw-deflate/identity
+        // rungs below instead of refusing genuine uncompressed data.
+        try return Some(("zlib", Zlib.inflateAll(payload, raw = false)))
+        catch { case _: Exception => () }
       }
     }
     try Some(("deflate", Zlib.inflateAll(payload, raw = true)))

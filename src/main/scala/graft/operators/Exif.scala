@@ -35,9 +35,12 @@ package graft.operators
  *    scrub re-layout with the pointer tag re-aimed.
  *  - `scrubGps` re-LAYOUTS the TIFF block generically (every kept
  *    entry re-packed inline-or-external, sub-IFD offsets recomputed)
- *    so unknown vendor tags survive untouched; only the GPS pointer
- *    and its IFD vanish. Pixel data is never touched — the scrub is a
- *    segment splice.
+ *    so unknown vendor TAGS survive untouched; only the GPS pointer
+ *    and its IFD vanish. Unknown field TYPES (code > 12) are the one
+ *    exception: TIFF 6.0 gives them no element size, so their extent
+ *    is unresolvable and the re-layout DROPS them (readers are
+ *    required to skip them anyway). Pixel data is never touched — the
+ *    scrub is a segment splice.
  *
  * Scale shape: stateless per-row map over payload blobs — no shuffle;
  * at 100 TB this is a scan-stage rewrite, the same "many blobs, one
@@ -371,8 +374,11 @@ object Exif {
 
   /** Remove the GPS IFD (and its IFD0 pointer) from a JPEG's EXIF
     * segment, preserving every other tag — including unknown vendor
-    * tags — via a generic re-layout. JPEGs without EXIF or without GPS
-    * pass through unchanged. */
+    * tags — via a generic re-layout. Entries with an unrecognized
+    * field TYPE (> 12) do NOT survive: their size is undefined by
+    * TIFF 6.0, so the parse skips them and the re-layout cannot carry
+    * them. JPEGs without EXIF or without GPS pass through
+    * unchanged. */
   def scrubGps(jpeg: Array[Byte]): Array[Byte] =
     findExifSegment(jpeg) match {
       case None => jpeg

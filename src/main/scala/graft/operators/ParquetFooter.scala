@@ -72,21 +72,27 @@ object ParquetFooter {
   private val TList = 9; private val TSet = 10; private val TMap = 11
   private val TStruct = 12
 
-  private def skip(r: R, tpe: Int): Unit = tpe match {
-    case TBoolTrue | TBoolFalse => ()
+  /** `inCollection`: a bool FIELD packs its value into the field-header
+    * type nibble (zero extra bytes), but a bool ELEMENT of a list/set/
+    * map occupies one byte of its own — skipping it as zero-width would
+    * misalign the walker on any footer carrying a bool collection. */
+  private def skip(r: R, tpe: Int, inCollection: Boolean = false): Unit = tpe match {
+    case TBoolTrue | TBoolFalse => if (inCollection) { r.u8(); () }
     case TByte => r.u8()
     case TI16 | TI32 | TI64 => r.zigzag()
     case TDouble => r.bytes(8)
     case TBinary => r.bytes(r.varint().toInt)
     case TList | TSet =>
       val (n, et) = listHeader(r)
-      (0 until n).foreach(_ => skip(r, et))
+      (0 until n).foreach(_ => skip(r, et, inCollection = true))
     case TMap =>
       val sz = r.varint().toInt
       if (sz > 0) {
         val kv = r.u8()
         val kt = kv >> 4; val vt = kv & 0x0f
-        (0 until sz).foreach { _ => skip(r, kt); skip(r, vt) }
+        (0 until sz).foreach { _ =>
+          skip(r, kt, inCollection = true); skip(r, vt, inCollection = true)
+        }
       }
     case TStruct =>
       var last = 0
@@ -101,6 +107,14 @@ object ParquetFooter {
         }
       }
     case t => sys.error(s"unknown thrift compact type $t")
+  }
+
+  /** Test hook: bytes consumed skipping one value of `tpe` (top-level
+    * field position, so bools are nibble-packed zero-width). */
+  private[graft] def consumedBySkip(data: Array[Byte], tpe: Int): Int = {
+    val r = new R(data, 0)
+    skip(r, tpe)
+    r.pos
   }
 
   private def listHeader(r: R): (Int, Int) = {

@@ -192,10 +192,18 @@ object Zip {
         if ((gp & 0x0008) != 0) {
           // Streaming entry: verify the data descriptor agrees with the
           // central directory (with or without the optional signature).
+          // APPNOTE ambiguity: a signature-LESS descriptor whose CRC
+          // happens to equal the signature value 0x08074b50 would shift
+          // the signature-assuming read by 4 — so when that read
+          // disagrees, retry at the unshifted offset before refusing
+          // (the central directory already authenticated the entry, so
+          // either interpretation matching is proof enough).
           val d = dataOff + csize.toInt
-          val base = if (le32(payload, d) == 0x08074b50L) d + 4 else d
-          require(le32(payload, base) == crc &&
-            le32(payload, base + 4) == csize && le32(payload, base + 8) == usize,
+          def descOk(base: Int): Boolean =
+            le32(payload, base) == crc &&
+              le32(payload, base + 4) == csize && le32(payload, base + 8) == usize
+          val withSig = le32(payload, d) == 0x08074b50L
+          require(descOk(if (withSig) d + 4 else d) || (withSig && descOk(d)),
             "data descriptor mismatch")
         }
         out += ((name, body))

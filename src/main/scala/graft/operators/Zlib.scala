@@ -24,7 +24,12 @@ object Zlib {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
-      val n = inf.inflate(buf)
+      // cap each inflate call at (remaining + 1): the bound trips on
+      // the first byte PAST maxOut, so at most maxOut + 1 bytes ever
+      // materialize — not maxOut + 8191 as a full-buffer slice allows
+      val remaining = maxOut - out.size() // >= 0: the loop keeps size <= maxOut
+      val room = if (remaining >= buf.length) buf.length else (remaining + 1).toInt
+      val n = inf.inflate(buf, 0, math.max(1, room))
       require(n > 0 || inf.finished(), "truncated deflate stream")
       out.write(buf, 0, n)
       require(out.size() <= maxOut,

@@ -71,11 +71,24 @@ class DecompressSpec extends AnyFunSuite {
       "corrupt snappy accepted")
   }
 
-  test("corrupt gzip and zlib are REFUSED, not passed through as identity") {
+  test("corrupt gzip is REFUSED; corrupt zlib degrades to identity") {
     val g = gzip(text); g(g.length - 3) = (g(g.length - 3) ^ 0x40).toByte
     assert(Decompress.auto(g).isEmpty, "corrupt gzip accepted")
+    // zlib's 2-byte header is a heuristic, not a magic — a failed
+    // inflate falls through the ladder instead of refusing, because
+    // the same bytes could be coincidental plaintext
     val z = deflate(text, raw = false); z(z.length - 1) = (z(z.length - 1) ^ 0x40).toByte
-    assert(Decompress.auto(z).isEmpty, "corrupt zlib Adler accepted")
+    assert(Decompress.auto(z).map(_._1).contains("identity"))
+  }
+
+  test("plaintext that happens to pass the zlib header check stays identity") {
+    // 'x' = 0x78 (CM 8), '?' = 0x3f: 0x78*256 + 0x3f = 30783 = 31*993,
+    // so the rung-6 heuristic fires; inflate fails; the old ladder
+    // refused this genuine plaintext as "corrupt zlib"
+    val p = "x?just plain text, not a zlib stream".getBytes("UTF-8")
+    val got = Decompress.auto(p)
+    assert(got.map(_._1).contains("identity"))
+    assert(got.exists(_._2.sameElements(p)))
   }
 
   test("empty and null payloads are identity") {
@@ -83,9 +96,11 @@ class DecompressSpec extends AnyFunSuite {
     assert(Decompress.auto(null).map(_._2.length).contains(0))
   }
 
-  test("trailing garbage after a zlib stream is refused") {
+  test("trailing garbage after a zlib stream falls through to identity") {
+    // heuristic rung: not consumable as zlib, so the ladder continues
+    // (gzip's REAL magic keeps its refusal, next test)
     val z = deflate(text, raw = false) ++ Array[Byte](1, 2, 3)
-    assert(Decompress.auto(z).isEmpty)
+    assert(Decompress.auto(z).map(_._1).contains("identity"))
   }
 
   test("trailing garbage after a gzip member is refused (JDK stream would swallow it)") {

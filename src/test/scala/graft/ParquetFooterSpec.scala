@@ -53,6 +53,26 @@ class ParquetFooterSpec extends SparkSpecBase {
     }
   }
 
+  test("thrift skip stays aligned across bool collection elements") {
+    // a bool FIELD packs its value in the header nibble, but each bool
+    // ELEMENT of a collection is one byte (0x01/0x02) — parquet.thrift
+    // has no list<bool> today, but a foreign writer's extension field
+    // must not misalign the walker.
+    // list<bool> [true, false, true]: header (3 << 4) | TBoolTrue, 3 bytes
+    val listBool = Array[Byte](0x31, 0x01, 0x02, 0x01)
+    assert(ParquetFooter.consumedBySkip(listBool, 9) == 4) // TList
+    // struct { 1: list<bool> [t,f]; 2: i32 3 } — skipping the whole
+    // struct must land exactly on the byte after TStop
+    val struct = Array[Byte](
+      0x19, 0x21, 0x01, 0x02, // field 1: list header (2 elems, bool), t, f
+      0x15, 0x06,             // field 2 (delta 1, i32), zigzag(3)
+      0x00)                   // TStop
+    assert(ParquetFooter.consumedBySkip(struct, 12) == 7) // TStruct
+    // map<bool,bool> {t:f}: size varint 1, types (bool,bool), 2 bytes
+    val mapBool = Array[Byte](0x01, 0x11, 0x01, 0x02)
+    assert(ParquetFooter.consumedBySkip(mapBool, 11) == 4) // TMap
+  }
+
   test("malformation is refused: bad magic, truncated footer, absurd length") {
     val good = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/region.parquet"))

@@ -53,6 +53,59 @@ class ZipSpec extends AnyFunSuite {
     assert(new String(dec(87)._2, "UTF-8") == "payload number 88")
   }
 
+  test("APPNOTE ambiguity: signature-less descriptor whose CRC spells PK\\x07\\x08") {
+    // Forge 4 content bytes so crc32(content) == 0x08074b50 — the data
+    // descriptor's optional signature — then write the descriptor
+    // WITHOUT the signature. A signature-assuming parse shifts by 4 and
+    // mismatches; the decoder must retry unshifted, not refuse.
+    val T = Array.tabulate(256) { n =>
+      var c = n.toLong
+      (0 until 8).foreach(_ =>
+        c = if ((c & 1) != 0) 0xedb88320L ^ (c >>> 1) else c >>> 1)
+      c
+    }
+    val prefix = "ambiguous streaming entry".getBytes("UTF-8")
+    val target = 0x08074b50L
+    var reg = target ^ 0xffffffffL // backward pass: recover table indices
+    val ks = new Array[Int](4)
+    for (i <- 3 to 0 by -1) {
+      val k = T.indexWhere(t => (t >>> 24) == (reg >>> 24))
+      ks(i) = k
+      reg = ((reg ^ T(k)) << 8) & 0xffffffffL
+    }
+    var fwd = 0xffffffffL // forward substitution from the prefix register
+    prefix.foreach(b => fwd = (fwd >>> 8) ^ T(((fwd ^ (b & 0xff)) & 0xff).toInt))
+    val content = prefix ++ (0 until 4).map { i =>
+      val b = ((fwd ^ ks(i)) & 0xff).toByte
+      fwd = (fwd >>> 8) ^ T(ks(i))
+      b
+    }
+    val crcChk = new java.util.zip.CRC32(); crcChk.update(content)
+    assert(crcChk.getValue == target, f"crc forge failed: ${crcChk.getValue}%08x")
+    // minimal archive: one STORED streaming entry, raw descriptor
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    val name = "a.txt".getBytes("ISO-8859-1")
+    val sz = content.length.toLong
+    w32(0x04034b50L); w16(20); w16(0x0008); w16(0); w16(0); w16(0)
+    w32(0); w32(0); w32(0); w16(name.length); w16(0); bos.write(name)
+    bos.write(content)
+    w32(target); w32(sz); w32(sz) // descriptor, NO signature
+    val cdOff = bos.size()
+    w32(0x02014b50L); w16(20); w16(20); w16(0x0008); w16(0); w16(0); w16(0)
+    w32(target); w32(sz); w32(sz)
+    w16(name.length); w16(0); w16(0); w16(0); w16(0); w32(0); w32(0)
+    bos.write(name)
+    val cdSize = bos.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0); w16(1); w16(1)
+    w32(cdSize.toLong); w32(cdOff.toLong); w16(0)
+    val got = Zip.decodeZip(bos.toByteArray)
+    assert(got.isDefined, "valid archive refused over the descriptor ambiguity")
+    assert(got.get.map(_._1) == Seq("a.txt"))
+    assert(got.get.head._2.sameElements(content))
+  }
+
   test("corruption anywhere is refused, never half-decoded") {
     val enc = Zip.encodeZip(entries)
     // guarded regions: local magic (0..3), method byte, deflate data
