@@ -6798,13 +6798,16 @@ object SparkEntry {
   /** Readability scoring, FULL oracle — Flesch-Kincaid grade over the
     * vowel-group syllable heuristic (`operators/Readability.scala`):
     * per doc a paragraph with known word/sentence/syllable counts
-    * (incl. a silent-e trap word), grades replayed as an arithmetic
-    * mul/div chain rounded to 6 — IEEE-exact cross-engine per the
-    * float convention. */
+    * (incl. a silent-e trap word, a consonant+le word whose -le is
+    * syllabic — "table" = 2, and a vowel+le word whose e is silent —
+    * "dale" = 1), grades replayed as an arithmetic mul/div chain
+    * rounded to 6 — IEEE-exact cross-engine per the float
+    * convention. */
   private def readabilityScore(s: SparkSession, dir: String): DataFrame = {
     val run = udf((docId: Long) => {
       val n1 = 3 + (docId % 4).toInt
-      val text = (Seq.fill(n1)("Alpha beta gamma.") :+ "The code rates time.")
+      val text = (Seq.fill(n1)("Alpha beta gamma.") ++
+        Seq("The code rates time.", "A table or dale."))
         .mkString(" ")
       val (w, sn, syl) = operators.Readability.counts(text)
       (w, sn, syl,
@@ -6823,9 +6826,9 @@ object SparkEntry {
   private val readabilityScoreSql =
     """WITH p AS (
       |  SELECT doc_id,
-      |    CAST(3 * (3 + doc_id % 4) + 4 AS BIGINT) AS w,
-      |    CAST((3 + doc_id % 4) + 1 AS BIGINT) AS sn,
-      |    CAST(6 * (3 + doc_id % 4) + 5 AS BIGINT) AS syl
+      |    CAST(3 * (3 + doc_id % 4) + 8 AS BIGINT) AS w,
+      |    CAST((3 + doc_id % 4) + 2 AS BIGINT) AS sn,
+      |    CAST(6 * (3 + doc_id % 4) + 10 AS BIGINT) AS syl
       |  FROM documents)
       |SELECT doc_id, w AS words, sn AS sentences, syl AS syllables,
       |  round(0.39 * w / sn + 11.8 * syl / w - 15.59, 6) AS fk_grade,

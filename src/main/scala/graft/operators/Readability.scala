@@ -8,9 +8,11 @@ package graft.operators
  * produce.
  *
  * Syllables use the standard public heuristic: count VOWEL GROUPS
- * (aeiouy runs) per word, subtract a trailing silent 'e' (when the
- * word ends in 'e', not 'le', and has more than one group), floor at
- * one per word. Deterministic and oracle-replayable; dictionary-exact
+ * (aeiouy runs) per word, subtract a trailing silent 'e' — EXCEPT
+ * when the word ends in consonant+"le" ("table", "candle"), where
+ * the -le forms its own syllable; a vowel+"le" ending ("dale") is an
+ * ordinary silent e and IS subtracted — floor at one per word.
+ * Deterministic and oracle-replayable; dictionary-exact
  * syllabification is neither needed nor attempted.
  *
  * Reference surface: the reference's quality family
@@ -34,7 +36,10 @@ object Readability {
       if (isVowel(c)) { if (!inGroup) { groups += 1; inGroup = true } }
       else inGroup = false
     }
-    if (groups > 1 && w.endsWith("e") && !w.endsWith("le")) groups -= 1
+    // consonant+"le" keeps its e (the -le is syllabic: "ta-ble");
+    // vowel+"le" is a plain silent e ("dale" -> 1)
+    val consLe = w.length >= 3 && w.endsWith("le") && !isVowel(w(w.length - 3))
+    if (groups > 1 && w.endsWith("e") && !consLe) groups -= 1
     math.max(1, groups)
   }
 

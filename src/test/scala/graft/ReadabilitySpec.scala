@@ -14,7 +14,11 @@ class ReadabilitySpec extends AnyFunSuite {
     assert(Readability.syllables("beta") == 2)
     assert(Readability.syllables("code") == 1)   // silent e
     assert(Readability.syllables("time") == 1)   // silent e
-    assert(Readability.syllables("table") == 2)  // -le exception
+    assert(Readability.syllables("table") == 2)  // consonant+le: -le is syllabic
+    assert(Readability.syllables("candle") == 2) // consonant+le
+    assert(Readability.syllables("dale") == 1)   // vowel+le: plain silent e
+    assert(Readability.syllables("pale") == 1)   // vowel+le
+    assert(Readability.syllables("le") == 1)     // floor guards the 2-letter case
     assert(Readability.syllables("the") == 1)    // floor
     assert(Readability.syllables("rates") == 2)  // ends 's', no drop
     assert(Readability.syllables("queue") == 1)  // one vowel run... +silent e -> floor
