@@ -90,9 +90,10 @@ object Bench {
     "graphsage_agg", "sgc_propagate",                     // GNN
     "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
 
-  /** Spread map is capped to this many noisiest rows so the meta line
-    * stays compact; `BenchShapeSpec` budgets against it. */
-  private[graft] val spreadCap = 6
+  /** Per-entry budget (chars) for one spread_pct value ("99," at the
+    * cap, "-1," for a failed row); `BenchShapeSpec` budgets the meta
+    * line against it. */
+  private[graft] val spreadPctBudget = 3
 
   /** Fixed-work CPU calibration: 2×10⁸ splitmix64 rounds, single thread,
     * zero allocation — a pure cycles yardstick. Returns seconds. */
@@ -195,21 +196,26 @@ object Bench {
     // truncated the headline total. Since r11 the emission is TWO
     // self-contained JSON lines: a compact META line first (spread/calib —
     // secondary diagnostics, sacrificed first if the window ever fills),
-    // then the MAIN line (total + per-query seconds, 3-decimal) LAST so it
-    // always sits whole inside the tail. `BenchShapeSpec` pins both
+    // then the MAIN line (total + per-query seconds, 2-decimal — 10 ms
+    // resolution, enough for round-over-round ratios) LAST so it always
+    // sits whole inside the tail. `BenchShapeSpec` pins both
     // budgets against the actual headline list.
     def f4(x: Double): String =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def f2(x: Double): String =
       BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
-    val noisy = results
-      .filter { case (_, v, s) => v >= 0 && s > math.max(0.1, 0.25 * v) }
-      .sortBy { case (_, _, s) => -s }.take(Bench.spreadCap)
-    val spread = noisy.map { case (k, _, s) => "\"" + k + "\":" + f2(s) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    // FULL per-query spread, compact: integer percent of the query's own
+    // min ((max-min)/min·100, capped 99 = "min at least doubled"; -1 =
+    // failed row), array-aligned
+    // with the MAIN line's "queries" key order — absolute spread seconds
+    // reconstruct as min · pct/100, so a judge can separate noise from
+    // regression per row without re-running the suite.
+    val spread = results.map { case (_, v, s) =>
+      if (v > 0) math.min(99L, math.round(100.0 * s / v)) else -1L
+    }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val metaLine = s"""{"metric":"bench_meta","runs":$runs,"spread_noisy":$spread,""" +
-      s""""spread_quiet_rows":${results.size - noisy.size},""" +
+    val metaLine = s"""{"metric":"bench_meta","runs":$runs,"spread_pct":$spread,""" +
       s""""calib_sec":{"before":${f2(calibBefore)},"after":${f2(calibAfter)}}}"""
     val line = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"sf":"$sfDir"}"""

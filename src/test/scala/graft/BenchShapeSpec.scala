@@ -29,7 +29,7 @@ class BenchShapeSpec extends AnyFunSuite {
   // first precisely so it is the part sacrificed if the window fills.
 
   test("worst-case MAIN bench line fits the driver's 2000-char tail") {
-    val numBudget = 7 // "12.345" + sign slack; queries are seconds-scale, 3-dp
+    val numBudget = 6 // "12.34" + sign slack; queries are seconds-scale, 2-dp
     val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
     val header = 120 // {"metric":"total","value":NNN.NNN,"unit":"sec","queries": ... ,"runs":N,"sf":"<path>"}
     val worstMain = header + queriesLen
@@ -39,15 +39,16 @@ class BenchShapeSpec extends AnyFunSuite {
   }
 
   test("worst-case META + MAIN bench lines fit the tail together") {
-    val numBudget = 7
+    val numBudget = 6
     val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
     val worstMain = 120 + queriesLen
-    val spreadLen = Bench.headline.sortBy(-_.length).take(Bench.spreadCap)
-      .map(n => n.length + 2 + 1 + 6).sum + 2 // spreads print 2-dp
-    val metaHeader = 130 // {"metric":"bench_meta","runs":N,"spread_noisy":...,"spread_quiet_rows":NN,"calib_sec":{...}}
+    // spread_pct carries one integer (<= "99," = spreadPctBudget chars)
+    // per headline query, array-aligned with the queries key order
+    val spreadLen = Bench.headline.length * Bench.spreadPctBudget + 2
+    val metaHeader = 110 // {"metric":"bench_meta","runs":N,"spread_pct":...,"calib_sec":{...}}
     val worstBoth = worstMain + metaHeader + spreadLen + 2 /* newlines */
     assert(worstBoth < 1900,
       s"worst-case META+MAIN bench output $worstBoth chars; the meta line would truncate " +
-        "in the driver tail — trim the headline, spreadCap, or number formats")
+        "in the driver tail — trim the headline, the spread format, or number formats")
   }
 }
