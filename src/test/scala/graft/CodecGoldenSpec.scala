@@ -22,6 +22,22 @@ import graft.operators._
  * WARC's gzip member BODY is deliberately not CRC-pinned (deflate
  * output is a JDK implementation detail); the DECOMPRESSED framing
  * bytes are pinned instead, plus the RFC 1952 member magic.
+ *
+ * INDEPENDENT-STREAM STATUS per codec (the r12 evidence boundary;
+ * full table in COVERAGE.md). Codecs with a second producer in the
+ * sandbox are cross-checked in `IndependentStreamSpec` (TIFF, GIF,
+ * AIFF/AU/WAVE, µ-law, zip, tar) or their own specs (JPEG/PNG in
+ * JpegSpec/PngSpec, both directions). The rest decode ONLY this
+ * repo's encoder output — for each, the structural pins below are
+ * the whole defense against a symmetric misreading:
+ *   - FLAC: no FLAC producer here; RFC 9639 offsets pinned.
+ *   - WebP/VP8L: no libwebp; spec-anchor pins + Vp8lSpec's hand-built
+ *     mapped-distance stream (decoder-only, bypasses the encoder).
+ *   - Ogg/OpusHead/Vorbis-ID: no Ogg producer; the spec's own
+ *     non-reflected CRC-32 is pinned against its published check.
+ *   - QOI, TGA, FLIC, Y4M: no producers; published-offset pins only.
+ *   - MPEG-1 audio / MP3 meta / ID3 / ADPCM: no producers; frame sync
+ *     and header-field pins only (ISO window-table caveat documented).
  */
 class CodecGoldenSpec extends AnyFunSuite {
 
