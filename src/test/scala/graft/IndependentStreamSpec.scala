@@ -179,6 +179,95 @@ class IndependentStreamSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- reverse direction: OUR encoders, FOREIGN decoders
+
+  test("our TIFF (none + PackBits, both endians) reads back through ImageIO") {
+    val (w, h) = (11, 6)
+    val px = Array.tabulate(w * h)(i => ((i * 41) % 256 << 16) |
+      ((i * 59) % 256 << 8) | (i * 83) % 256)
+    for (packBits <- Seq(false, true); bigEndian <- Seq(false, true)) {
+      val bytes = Tiff.encodeTiff(Tiff.TiffImage(w, h, 3, px),
+        bigEndian = bigEndian, packBits = packBits, rowsPerStrip = 4)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO refused our TIFF (packBits=$packBits, be=$bigEndian)")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
+          s"pixel ($x,$y) packBits=$packBits be=$bigEndian")
+    }
+  }
+
+  test("our GIF (LZW, code-width growth) reads back through ImageIO") {
+    val (w, h) = (23, 9)
+    val palette = Array(0x101010, 0xcc2200, 0x22cc00, 0x0033cc,
+      0xffff00, 0x00ffff, 0xff00ff, 0xf0f0f0)
+    val indices = Array.tabulate[Byte](w * h)(i => ((i * 5) % 8).toByte)
+    val bytes = Gif.encodeGif(Gif.GifImage(w, h, palette,
+      Seq(Gif.GifFrame(0, interlaced = false, indices))))
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO refused our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) == palette(indices(y * w + x)),
+        s"pixel ($x,$y)")
+  }
+
+  test("our AIFF and AU read back through javax.sound") {
+    val aiff = Aiff.encodeAiff(tone, 8000L, 1)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(aiff))
+    assert(ais.getFormat.getSampleRate == 8000f &&
+      ais.getFormat.getChannels == 1 &&
+      ais.getFormat.getSampleSizeInBits == 16)
+    val raw = ais.readAllBytes()
+    val got = Array.tabulate(raw.length / 2)(i =>
+      (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort)
+    assert(got.toSeq == tone.toSeq, "AIFF samples differ through javax.sound")
+
+    val au = Au.encodeAu(Au.EncPcm16, tone.map(_.toInt), 8000, 1)
+    val ais2 = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(au))
+    val raw2 = ais2.readAllBytes()
+    val got2 = Array.tabulate(raw2.length / 2)(i =>
+      (((raw2(2 * i) & 0xff) << 8) | (raw2(2 * i + 1) & 0xff)).toShort)
+    assert(got2.toSeq == tone.toSeq, "AU samples differ through javax.sound")
+  }
+
+  test("our ustar reads back through commons-compress") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val entries = Seq(
+      graft.operators.WebDataset.TarEntry("s-0.txt", "payload zero".getBytes("UTF-8")),
+      graft.operators.WebDataset.TarEntry("s-0.json", """{"k":0}""".getBytes("UTF-8")))
+    val bytes = graft.operators.WebDataset.encodeTar(entries)
+    val tin = new TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
+    entries.foreach { want =>
+      val e = tin.getNextEntry
+      assert(e != null && e.getName == want.name)
+      val got = tin.readAllBytes()
+      assert(got.sameElements(want.payload), s"payload mismatch for ${want.name}")
+    }
+    assert(tin.getNextEntry == null, "trailing entries")
+  }
+
+  test("our ZIP (incl. signature-ful descriptors) reads back through java.util.zip") {
+    val entries = Seq(
+      Zip.Entry("x/first.txt", "first body".getBytes("UTF-8"), method = 8),
+      Zip.Entry("second.bin", Array.tabulate[Byte](100)(i => (i * 3).toByte),
+        method = 0),
+      Zip.Entry("third.txt", "streaming third".getBytes("UTF-8"),
+        method = 8, descriptor = true))
+    val bytes = Zip.encodeZip(entries, comment = "round trip")
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    entries.foreach { want =>
+      val e = zin.getNextEntry
+      assert(e != null && e.getName == want.name)
+      val got = zin.readAllBytes()
+      assert(got.sameElements(want.payload), s"body mismatch for ${want.name}")
+    }
+    assert(zin.getNextEntry == null)
+  }
+
   test("java.util.zip-written archive decodes entry-exact (streaming descriptors)") {
     // ZipOutputStream over a plain stream writes DEFLATED entries with
     // gp bit 3 + data descriptors — the independent producer for the
