@@ -44,6 +44,20 @@ class AnchorTextSpec extends SparkSpecBase {
       ("/img", ""), ("/multi", "line one\nline two")))
   }
 
+  test("pathological pages degrade, never crash: unclosed and nested anchors") {
+    val html = "<a href=\"/open\">never closed " + // no </a> -> dropped
+      "<a href='/ok'>fine</a>" + // non-greedy: the open anchor swallows up to HERE
+      "<p>tail</p><a href=\"/last\">end</a>"
+    val rows = Seq((1L, html)).toDF("id", "html")
+      .select(explode(AnchorText.anchors(col("html"))).as("a"))
+      .select($"a.href", $"a.text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // the unclosed anchor matches through the nested one's </a>; its
+    // label is the tag-stripped span — degraded but deterministic —
+    // and the trailing well-formed anchor still extracts cleanly
+    assert(rows == Seq(("/open", "never closed fine"), ("/last", "end")))
+  }
+
   test("aggregation counts anchors, distinct sources, and label chars per target") {
     val df = Seq(
       (1L, "<a href=\"/t\">good page</a><a href=\"/t\">nice</a>"),
