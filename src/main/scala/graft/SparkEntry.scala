@@ -7228,6 +7228,56 @@ object SparkEntry {
       |SELECT url, host, slot, seq, CAST(seq * 1500 AS BIGINT) AS scheduled_ms
       |FROM r WHERE seq < 5""".stripMargin
 
+  /** Per-host Crawl-delay scheduling, FULL oracle — robots.txt-driven
+    * politeness (`Robots.crawlDelayMs` + `CrawlFrontier
+    * .scheduleWithDelays`): each host's robots.txt carries a
+    * Crawl-delay in a graftbot-specific group (integer, fractional,
+    * sub-second, or junk per host dial) ABOVE a `*` group with a
+    * decoy 9 s delay — so agent precedence, fractional-seconds
+    * parsing, and the junk→default fallback all gate; the k-th fetch
+    * of a host waits k·its own delay. Oracle replays the delay CASE
+    * and the window arithmetic closed-form. */
+  private def frontierDelays(s: SparkSession, dir: String): DataFrame = {
+    val n = col("doc_id") % 40
+    val frontier = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("site-"), n, lit(".invalid")).as("host"),
+        concat(lit("http://site-"), n, lit(".invalid/page/"), col("doc_id")).as("url"),
+        (col("doc_id") % 7).as("priority"),
+        (n % 4).as("dial"))
+    val robotsTxt = concat(
+      lit("User-agent: graftbot\nCrawl-delay: "),
+      when(col("dial") === 0, "2.5").when(col("dial") === 1, "1")
+        .when(col("dial") === 2, "0.25").otherwise("soon"),
+      lit("\n\nUser-agent: *\nCrawl-delay: 9\nDisallow: /private\n"))
+    val delayOf = udf((txt: String) =>
+      operators.Robots.crawlDelayMs(txt, "graftbot"))
+    val robots = frontier.select(col("host"), col("dial")).distinct()
+      .select(col("host"), delayOf(robotsTxt).as("delay_ms"))
+    val joined = frontier.join(broadcast(robots), "host")
+    operators.CrawlFrontier.scheduleWithDelays(joined, "url", "host",
+        "priority", "delay_ms", defaultDelayMs = 700L, maxPerHost = 5)
+      .select(col("url"), col("host"), col("slot"), col("seq"), col("scheduled_ms"))
+  }
+
+  private val frontierDelaysSql =
+    """WITH f AS (
+      |  SELECT 'site-' || (doc_id % 40) || '.invalid' AS host,
+      |    'http://site-' || (doc_id % 40) || '.invalid/page/' || doc_id AS url,
+      |    doc_id % 7 AS priority,
+      |    CASE (doc_id % 40) % 4 WHEN 0 THEN 2500 WHEN 1 THEN 1000
+      |         WHEN 2 THEN 250 ELSE 700 END AS delay_ms
+      |  FROM documents),
+      |r AS (
+      |  SELECT url, host, delay_ms,
+      |    CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1 AS BIGINT)
+      |      AS slot,
+      |    CAST(row_number() OVER (PARTITION BY host
+      |      ORDER BY priority DESC, url ASC) - 1 AS BIGINT) AS seq
+      |  FROM f)
+      |SELECT url, host, slot, seq, CAST(seq * delay_ms AS BIGINT) AS scheduled_ms
+      |FROM r WHERE seq < 5""".stripMargin
+
   /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
     * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
     * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
@@ -10690,6 +10740,7 @@ object SparkEntry {
     "boilerplate_extract" -> (boilerplateExtract(_, _)),
     "ogg_codec_probe" -> (oggCodecProbe(_, _)),
     "crawl_frontier" -> (crawlFrontier(_, _)),
+    "frontier_delays" -> (frontierDelays(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11025,6 +11076,7 @@ object SparkEntry {
     "boilerplate_extract" -> boilerplateExtractSql,
     "ogg_codec_probe" -> oggCodecProbeSql,
     "crawl_frontier" -> crawlFrontierSql,
+    "frontier_delays" -> frontierDelaysSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -77,6 +77,27 @@ object CrawlFrontier {
       .withColumn("scheduled_ms", col("seq") * delayMs)
   }
 
+  /** Schedule with a PER-HOST politeness delay (e.g. each host's
+    * robots.txt Crawl-delay via `Robots.crawlDelayMs`, joined onto the
+    * frontier as `delayMsCol`): the k-th fetch of a host waits
+    * k · its own delay. Same one-shuffle shape as [[schedule]]; rows
+    * with a null/non-positive delay get `defaultDelayMs`. */
+  def scheduleWithDelays(frontier: DataFrame, urlCol: String, hostCol: String,
+                         priorityCol: String, delayMsCol: String,
+                         defaultDelayMs: Long = 1000L,
+                         maxPerHost: Int = 5, slots: Int = 16): DataFrame = {
+    require(defaultDelayMs > 0 && maxPerHost > 0, "need positive delay and cap")
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    val delay = when(col(delayMsCol).isNotNull && col(delayMsCol) > 0,
+      col(delayMsCol).cast("long")).otherwise(defaultDelayMs)
+    frontier
+      .withColumn("slot", laneExpr(col(hostCol), slots))
+      .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      .filter(col("seq") < maxPerHost)
+      .withColumn("scheduled_ms", col("seq") * delay)
+  }
+
   /** Per-lane load summary for capacity planning: URLs and distinct
     * hosts per slot, and the lane's makespan (max politeness offset). */
   def laneLoad(scheduled: DataFrame, hostCol: String): DataFrame =

@@ -40,17 +40,18 @@ object Robots {
       if (pattern.endsWith("$")) pattern.length - 1 else pattern.length
   }
 
-  /** Parse a robots.txt body into the rule list for `agent` (product
-    * token, e.g. "graftbot"), resolving group membership and agent
-    * precedence per RFC 9309. Unknown fields and comments are
-    * skipped; a missing group yields no rules (allow all). */
-  def parseRobots(text: String, agent: String): Seq[Rule] = {
+  private final class Group(val agent: String) {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None // Crawl-delay seconds, first wins
+  }
+
+  /** Shared group walk: parse all groups, then resolve agent
+    * precedence (longest specific prefix; `*` only as fallback). */
+  private def chosenGroups(text: String, agent: String): Seq[Group] = {
     if (text == null) return Nil
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // (agentToken, rules) per group, in file order
-    val groups = scala.collection.mutable.ArrayBuffer.empty[
-      (String, scala.collection.mutable.ArrayBuffer[Rule])]
-    var openAgents: List[scala.collection.mutable.ArrayBuffer[Rule]] = Nil
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var openAgents: List[Group] = Nil
     var lastWasAgent = false
     text.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -67,31 +68,49 @@ object Robots {
             openAgents = Nil
             lastWasAgent = false
           case "user-agent" =>
-            val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
-            groups += ((value.toLowerCase(java.util.Locale.ROOT), rules))
-            openAgents = if (lastWasAgent) rules :: openAgents else List(rules)
+            val g = new Group(value.toLowerCase(java.util.Locale.ROOT))
+            groups += g
+            openAgents = if (lastWasAgent) g :: openAgents else List(g)
             lastWasAgent = true
           case "allow" | "disallow" =>
             lastWasAgent = false
             // an empty Disallow means allow-all: no rule
             if (value.nonEmpty)
-              openAgents.foreach(_ += Rule(field == "allow", value))
-          case _ => lastWasAgent = false // crawl-delay, sitemap, unknown
+              openAgents.foreach(_.rules += Rule(field == "allow", value))
+          case "crawl-delay" =>
+            // the de-facto extension (not in RFC 9309, honored by
+            // several major crawlers): seconds, fractions allowed;
+            // an unparseable value is ignored, first valid one wins
+            lastWasAgent = false
+            value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+              .foreach(d => openAgents.foreach(g =>
+                if (g.delay.isEmpty) g.delay = Some(d)))
+          case _ => lastWasAgent = false // sitemap, unknown
         }
       }
     }
-    // agent precedence: longest agent token that prefixes ours; '*'
-    // only when nothing specific matched
-    val specific = groups.filter { case (a, _) =>
-      a.nonEmpty && a != "*" && agentLc.startsWith(a)
-    }
-    val chosen =
-      if (specific.nonEmpty) {
-        val best = specific.map(_._1.length).max
-        specific.filter(_._1.length == best)
-      } else groups.filter(_._1 == "*")
-    chosen.flatMap(_._2).toSeq
+    val specific = groups.filter(g =>
+      g.agent.nonEmpty && g.agent != "*" && agentLc.startsWith(g.agent))
+    if (specific.nonEmpty) {
+      val best = specific.map(_.agent.length).max
+      specific.filter(_.agent.length == best).toSeq
+    } else groups.filter(_.agent == "*").toSeq
   }
+
+  /** Parse a robots.txt body into the rule list for `agent` (product
+    * token, e.g. "graftbot"), resolving group membership and agent
+    * precedence per RFC 9309. Unknown fields and comments are
+    * skipped; a missing group yields no rules (allow all). */
+  def parseRobots(text: String, agent: String): Seq[Rule] =
+    chosenGroups(text, agent).flatMap(_.rules)
+
+  /** The applicable group's Crawl-delay for `agent` in MILLISECONDS
+    * (rounded), resolved with the same precedence as the rules; None
+    * when the group declares none (callers fall back to their own
+    * politeness default). */
+  def crawlDelayMs(text: String, agent: String): Option[Long] =
+    chosenGroups(text, agent).flatMap(_.delay).headOption
+      .map(d => math.round(d * 1000.0))
 
   /** RFC 9309 pattern match against a path: anchored at the start,
     * `*` spans anything, trailing `$` anchors the end. Iterative

@@ -83,6 +83,25 @@ class CrawlFrontierSpec extends SparkSpecBase {
     assert(CrawlFrontier.laneOf(h, 16) == firstDigit)
   }
 
+  test("per-host delays: each host spaces by its OWN delay; null falls back") {
+    val df = Seq(
+      ("http://slow.test/a", "slow.test", 1, 5000L),
+      ("http://slow.test/b", "slow.test", 1, 5000L),
+      ("http://fast.test/a", "fast.test", 1, 250L),
+      ("http://fast.test/b", "fast.test", 1, 250L),
+      ("http://none.test/a", "none.test", 1, -1L), // non-positive -> default
+      ("http://none.test/b", "none.test", 1, -1L))
+      .toDF("url", "host", "priority", "delay_ms")
+    val out = CrawlFrontier.scheduleWithDelays(df, "url", "host", "priority",
+      "delay_ms", defaultDelayMs = 900L).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("scheduled_ms"))).toMap
+    assert(out("http://slow.test/b") == 5000L)
+    assert(out("http://fast.test/b") == 250L)
+    assert(out("http://none.test/b") == 900L)
+    assert(Seq("http://slow.test/a", "http://fast.test/a", "http://none.test/a")
+      .forall(out(_) == 0L))
+  }
+
   test("laneLoad reports per-lane urls, hosts, and makespan") {
     val sched = CrawlFrontier.schedule(frontier(40, 4), "url", "host", "priority",
       delayMs = 1000L, maxPerHost = 5)

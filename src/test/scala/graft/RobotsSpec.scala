@@ -107,4 +107,34 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseRobots(null, "x").isEmpty)
     assert(Robots.parseRobots("no rules here", "x").isEmpty)
   }
+
+  test("Crawl-delay: group precedence, fractions, junk, and absence") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 9
+        |""".stripMargin
+    // the specific group's delay wins over the * group's decoy
+    assert(Robots.crawlDelayMs(txt, "graftbot").contains(2500L))
+    // an unmatched agent falls to the * group
+    assert(Robots.crawlDelayMs(txt, "otherbot").contains(9000L))
+    // sub-second fraction rounds to ms
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: 0.25\n", "x")
+      .contains(250L))
+    // junk, negative, and non-finite values are ignored (None)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: soon\n", "x").isEmpty)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: -3\n", "x").isEmpty)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: NaN\n", "x").isEmpty)
+    // absent entirely
+    assert(Robots.crawlDelayMs("User-agent: *\nDisallow: /a\n", "x").isEmpty)
+    assert(Robots.crawlDelayMs(null, "x").isEmpty)
+    // the FIRST valid delay in a group wins; a later one does not override
+    assert(Robots.crawlDelayMs(
+      "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7\n", "x").contains(1000L))
+    // a delay line before any group is orphaned, not global
+    assert(Robots.crawlDelayMs("Crawl-delay: 4\nUser-agent: *\nDisallow: /a\n", "x").isEmpty)
+  }
 }
