@@ -7278,6 +7278,46 @@ object SparkEntry {
       |SELECT url, host, slot, seq, CAST(seq * delay_ms AS BIGINT) AS scheduled_ms
       |FROM r WHERE seq < 5""".stripMargin
 
+  /** Redirect-chain resolution, FULL oracle — the post-fetch rung of
+    * the crawl loop (`operators/RedirectResolve.scala`, pointer
+    * doubling over the 3xx map; corpus joins the resolved map ONCE):
+    * per doc a redirect chain of length doc_id%4 under its own host,
+    * with docs at doc_id%17==0 closed into a loop — so exact hop
+    * counts, terminal fixpoints, and the loop-refusal contract
+    * `(src, maxHops, false)` all gate. Oracle replays the fixture's
+    * closed form (chain length and loop flag are arithmetic in
+    * doc_id); the ENGINE runs the general doubling algorithm on the
+    * edge table it has never seen the closed form of. */
+  private def redirectResolve(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = Tables.read(s, dir, "documents").select(d,
+      (d % 4).cast("int").as("len"),
+      (d % 17 === 0 && d % 4 =!= 0).as("cyc"),
+      concat(lit("http://r"), d, lit(".invalid/")).as("pre"))
+    val chain = base.filter(col("len") > 0)
+      .select(col("pre"), explode(sequence(lit(0), col("len") - 1)).as("h"))
+      .select(concat(col("pre"), col("h")).as("src"),
+        concat(col("pre"), col("h") + 1).as("dst"))
+    val back = base.filter(col("cyc"))
+      .select(concat(col("pre"), col("len")).as("src"),
+        concat(col("pre"), lit(0)).as("dst"))
+    val urls = base.select(d, concat(col("pre"), lit(0)).as("url"))
+    operators.RedirectResolve.resolve(urls, "url",
+        chain.unionByName(back), "src", "dst", maxHops = 8)
+      .select(d, col("final_url"), col("hops"), col("resolved"))
+  }
+
+  private val redirectResolveSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 AND doc_id % 4 <> 0
+      |       THEN 'http://r' || doc_id || '.invalid/0'
+      |       ELSE 'http://r' || doc_id || '.invalid/' || (doc_id % 4) END
+      |    AS final_url,
+      |  CAST(CASE WHEN doc_id % 17 = 0 AND doc_id % 4 <> 0 THEN 8
+      |       ELSE doc_id % 4 END AS BIGINT) AS hops,
+      |  NOT (doc_id % 17 = 0 AND doc_id % 4 <> 0) AS resolved
+      |FROM documents""".stripMargin
+
   /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
     * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
     * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
@@ -10741,6 +10781,7 @@ object SparkEntry {
     "ogg_codec_probe" -> (oggCodecProbe(_, _)),
     "crawl_frontier" -> (crawlFrontier(_, _)),
     "frontier_delays" -> (frontierDelays(_, _)),
+    "redirect_resolve" -> (redirectResolve(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11077,6 +11118,7 @@ object SparkEntry {
     "ogg_codec_probe" -> oggCodecProbeSql,
     "crawl_frontier" -> crawlFrontierSql,
     "frontier_delays" -> frontierDelaysSql,
+    "redirect_resolve" -> redirectResolveSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,
