@@ -7318,6 +7318,74 @@ object SparkEntry {
       |  NOT (doc_id % 17 = 0 AND doc_id % 4 <> 0) AS resolved
       |FROM documents""".stripMargin
 
+  /** Shared html_meta fixture: five per-doc head dials covering all
+    * three attribute quotings, both attribute orders, nested-tag and
+    * multiline titles, and the robots directive forms — so every
+    * robustness claim of `HtmlMeta` gates through the oracle. */
+  private def htmlMetaPages(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val dial = d % 5
+    val canon = concat(lit("http://c.invalid/page/"), d % 50)
+    val html = concat(
+      lit("<html><head>"),
+      when(dial === 0, concat(lit("<title>Doc "), d, lit("</title>")))
+        .when(dial === 1, concat(
+          lit("<title>Doc <b>"), d, lit("</b></title><link rel=\"canonical\" href=\""),
+          canon, lit("\">")))
+        .when(dial === 2, concat(
+          lit("<title>\n  Doc   "), d, lit(" </title><link href='"), canon,
+          lit("' rel='canonical'><meta name=\"description\" content=\"about "),
+          d, lit("\">")))
+        .when(dial === 3, concat(
+          lit("<title>Doc "), d, lit("</title><link rel=canonical href="),
+          canon, lit("><meta content='topic "), d,
+          lit("' name='description'><meta name=robots content=NOINDEX>")))
+        .otherwise(lit("<meta name=\"robots\" content=\"noindex, nofollow\">")),
+      lit("</head><body>x</body></html>"))
+    Tables.read(s, dir, "documents")
+      .select(d, concat(lit("http://s.invalid/u/"), d).as("url"), html.as("html"))
+  }
+
+  /** HTML head metadata, FULL oracle — title / description /
+    * rel=canonical / robots directives over all quoting and ordering
+    * forms (`operators/HtmlMeta.scala`, zero-UDF codegen'd algebra).
+    * Oracle replays the fixture's closed form; the engine parses
+    * generically. */
+  private def htmlMeta(s: SparkSession, dir: String): DataFrame =
+    operators.HtmlMeta.extract(htmlMetaPages(s, dir), "doc_id", "html")
+
+  private val htmlMetaSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 4 THEN '' ELSE 'Doc ' || doc_id END AS title,
+      |  CASE WHEN doc_id % 5 = 2 THEN 'about ' || doc_id
+      |       WHEN doc_id % 5 = 3 THEN 'topic ' || doc_id
+      |       ELSE '' END AS description,
+      |  CASE WHEN doc_id % 5 IN (1,2,3)
+      |       THEN 'http://c.invalid/page/' || (doc_id % 50)
+      |       ELSE '' END AS canonical,
+      |  doc_id % 5 IN (3,4) AS noindex,
+      |  doc_id % 5 = 4 AS nofollow
+      |FROM documents""".stripMargin
+
+  /** Canonical-URL dedup, FULL oracle — pages collapse onto their
+    * declared rel=canonical target (own URL when undeclared), one
+    * shuffle on the key; the site's own dedup hint honored before any
+    * content hashing (`operators/HtmlMeta.canonicalDedup`). */
+  private def canonicalDedup(s: SparkSession, dir: String): DataFrame =
+    operators.HtmlMeta.canonicalDedup(htmlMetaPages(s, dir),
+      "doc_id", "url", "html")
+
+  private val canonicalDedupSql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 IN (1,2,3)
+      |         THEN 'http://c.invalid/page/' || (doc_id % 50)
+      |         ELSE 'http://s.invalid/u/' || doc_id END AS canon_key
+      |  FROM documents)
+      |SELECT canon_key, CAST(count(*) AS BIGINT) AS n_pages,
+      |  min(doc_id) AS keep_id
+      |FROM k GROUP BY canon_key""".stripMargin
+
   /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
     * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
     * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
@@ -10782,6 +10850,8 @@ object SparkEntry {
     "crawl_frontier" -> (crawlFrontier(_, _)),
     "frontier_delays" -> (frontierDelays(_, _)),
     "redirect_resolve" -> (redirectResolve(_, _)),
+    "html_meta" -> (htmlMeta(_, _)),
+    "canonical_dedup" -> (canonicalDedup(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11119,6 +11189,8 @@ object SparkEntry {
     "crawl_frontier" -> crawlFrontierSql,
     "frontier_delays" -> frontierDelaysSql,
     "redirect_resolve" -> redirectResolveSql,
+    "html_meta" -> htmlMetaSql,
+    "canonical_dedup" -> canonicalDedupSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML head-metadata extraction — the per-page signals every crawl
+ * pipeline reads before anything else: the `<title>` (retrieval label
+ * and quality feature), the meta description, the `rel=canonical`
+ * target (the site's OWN dedup hint — grouping on it collapses
+ * parameter/mirror variants without content hashing), and the meta
+ * robots directives (noindex/nofollow pages must be dropped from a
+ * training corpus the same way robots.txt-disallowed fetches are).
+ *
+ * Composed entirely from codegen'd expressions (quote normalization +
+ * regexp extraction), zero UDFs — same robustness contract as
+ * [[AnchorText]]: attributes may be double-quoted, single-quoted, or
+ * unquoted, in either attribute order, and titles may span lines and
+ * carry nested inline tags.
+ *
+ * Reference surface: the reference ingests crawled corpora; head
+ * metadata is standard crawl post-processing re-expressed Spark-first.
+ *
+ * Scale shape: [[extract]] is a stateless scan (zero shuffles);
+ * [[canonicalDedup]] is ONE shuffle on the canonical key.
+ */
+object HtmlMeta {
+
+  private val Attrs = "href|rel|name|content|property"
+
+  /** Rewrite single-quoted and unquoted attribute values (the attrs
+    * this extractor reads) to the double-quoted form, so one
+    * extraction regex covers all three syntaxes HTML parsers accept. */
+  def normalizeAttrQuotes(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, s"(?i)\\b($Attrs)\\s*=\\s*'([^']*)'", "$1=\"$2\""),
+      s"(?i)\\b($Attrs)\\s*=\\s*([^\\s>\"'][^\\s>]*)", "$1=\"$2\"")
+
+  private val TitleRe = "(?is)<title[^>]*>(.*?)</title>"
+  private val TagRe = "<[^>]*>"
+
+  /** First `<title>` element's visible text: nested tags stripped,
+    * whitespace runs collapsed, trimmed; empty when absent. */
+  def title(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_extract(html, TitleRe, 1), TagRe, ""),
+      "\\s+", " "))
+
+  /** `rel=canonical` link target, either attribute order; empty when
+    * undeclared. Expects quote-normalized html. */
+  def relCanonical(n: Column): Column = {
+    val a = regexp_extract(n,
+      "(?is)<link\\b[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
+    val b = regexp_extract(n,
+      "(?is)<link\\b[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
+    when(a =!= "", a).otherwise(b)
+  }
+
+  /** `<meta name=… content=…>` value, either attribute order; empty
+    * when absent. Expects quote-normalized html. */
+  def metaContent(n: Column, name: String): Column = {
+    val a = regexp_extract(n,
+      s"(?is)<meta\\b[^>]*name=\"$name\"[^>]*content=\"([^\"]*)\"", 1)
+    val b = regexp_extract(n,
+      s"(?is)<meta\\b[^>]*content=\"([^\"]*)\"[^>]*name=\"$name\"", 1)
+    when(a =!= "", a).otherwise(b)
+  }
+
+  /** Per-page head metadata: title, description, canonical target,
+    * and the robots noindex/nofollow flags (directive match is
+    * case-insensitive, comma lists welcome). Stateless scan. */
+  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val n = normalizeAttrQuotes(col(htmlCol))
+    val robots = lower(metaContent(n, "robots"))
+    df.select(col(idCol),
+      title(n).as("title"),
+      metaContent(n, "description").as("description"),
+      relCanonical(n).as("canonical"),
+      robots.contains("noindex").as("noindex"),
+      robots.contains("nofollow").as("nofollow"))
+  }
+
+  /** Collapse pages onto their declared canonical target (falling
+    * back to the page's own URL when none is declared): one row per
+    * canonical key with the page count and the smallest id as the
+    * deterministic representative. ONE shuffle, on the key. */
+  def canonicalDedup(df: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String): DataFrame = {
+    val n = normalizeAttrQuotes(col(htmlCol))
+    val c = relCanonical(n)
+    df.select(col(idCol),
+        when(c =!= "", c).otherwise(col(urlCol)).as("canon_key"))
+      .groupBy(col("canon_key"))
+      .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("keep_id"))
+  }
+}

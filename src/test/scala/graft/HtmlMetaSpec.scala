@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.HtmlMeta
+
+/** Head-metadata extraction over real-crawl HTML forms: the three
+  * attribute quoting syntaxes, both attribute orders, nested/multiline
+  * titles, robots directive case and comma lists, the canonical-key
+  * fallback, and the zero-UDF / scan-shaped plan contracts. */
+class HtmlMetaSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def one(html: String) =
+    HtmlMeta.extract(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .collect().head
+
+  test("title: nested tags stripped, whitespace collapsed, multiline ok") {
+    val r = one("<html><head><title>\n  Big <b>bold</b>\t title </title></head>")
+    assert(r.getAs[String]("title") == "Big bold title")
+    val none = one("<html><head></head><body>no title</body>")
+    assert(none.getAs[String]("title") == "")
+  }
+
+  test("canonical: double/single/unquoted href, either attribute order") {
+    val forms = Seq(
+      """<link rel="canonical" href="http://c.test/x">""",
+      """<link rel='canonical' href='http://c.test/x'>""",
+      """<link rel=canonical href=http://c.test/x>""",
+      """<link href="http://c.test/x" rel="canonical">""",
+      """<link href=http://c.test/x rel=canonical>""")
+    for (f <- forms)
+      assert(one(s"<head>$f</head>").getAs[String]("canonical")
+        == "http://c.test/x", f)
+    assert(one("""<head><link rel="stylesheet" href="a.css"></head>""")
+      .getAs[String]("canonical") == "")
+  }
+
+  test("meta description: both orders, quotes with spaces inside") {
+    assert(one("""<meta name="description" content="a b c">""")
+      .getAs[String]("description") == "a b c")
+    assert(one("""<meta content='x y' name='description'>""")
+      .getAs[String]("description") == "x y")
+    assert(one("""<meta name="keywords" content="k">""")
+      .getAs[String]("description") == "")
+  }
+
+  test("robots directives: case-insensitive, comma lists, independent flags") {
+    val r = one("""<meta name=ROBOTS content="NoIndex, nofollow">""")
+    assert(r.getAs[Boolean]("noindex") && r.getAs[Boolean]("nofollow"))
+    val ni = one("""<meta name="robots" content="noindex">""")
+    assert(ni.getAs[Boolean]("noindex") && !ni.getAs[Boolean]("nofollow"))
+    val plain = one("<head></head>")
+    assert(!plain.getAs[Boolean]("noindex") && !plain.getAs[Boolean]("nofollow"))
+  }
+
+  test("canonicalDedup groups on the declared target, falls back to own url") {
+    val pages = Seq(
+      (1L, "http://s.test/a", """<link rel="canonical" href="http://c.test/p">"""),
+      (2L, "http://s.test/b", """<link rel=canonical href=http://c.test/p>"""),
+      (3L, "http://s.test/c", "<head></head>"))
+      .toDF("id", "url", "html")
+    val out = HtmlMeta.canonicalDedup(pages, "id", "url", "html").collect()
+      .map(r => r.getAs[String]("canon_key") ->
+        ((r.getAs[Long]("n_pages"), r.getAs[Long]("keep_id")))).toMap
+    assert(out("http://c.test/p") == ((2L, 1L)))
+    assert(out("http://s.test/c") == ((1L, 3L)))
+    assert(out.size == 2)
+  }
+
+  test("extract is UDF-free and scan-shaped; dedup shuffles exactly once") {
+    val pages = Seq((1L, "http://s.test/a", "<head></head>"))
+      .toDF("id", "url", "html")
+    val ext = HtmlMeta.extract(pages, "id", "html")
+      .queryExecution.optimizedPlan.toString
+    assert(!ext.toLowerCase.contains("scalaudf"), ext)
+    val dedup = HtmlMeta.canonicalDedup(pages, "id", "url", "html")
+      .queryExecution.executedPlan.toString
+    assert(!dedup.toLowerCase.contains("scalaudf"), dedup)
+    assert("Exchange".r.findAllIn(dedup).length <= 1, dedup)
+  }
+}
