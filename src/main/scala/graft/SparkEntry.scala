@@ -7386,6 +7386,76 @@ object SparkEntry {
       |  min(doc_id) AS keep_id
       |FROM k GROUP BY canon_key""".stripMargin
 
+  /** Shared chat fixture: four conversation dials (system-led pair,
+    * two pairs, bare pair, and a BROKEN consecutive-user shape) built
+    * as struct arrays and serialized with to_json — the engine
+    * re-parses the JSON generically; oracles replay the closed form
+    * (content lengths are linear in the doc_id digit count). */
+  private def chatConvs(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def t(role: String, content: Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val sys = t("system", concat(lit("sys "), d))
+    def u(j: Int) = t("user", concat(lit("ask "), d, lit(" q" + j)))
+    def a(j: Int) = t("assistant", concat(lit("ans "), d, lit(" a" + j)))
+    val turns = when(d % 4 === 0, array(sys, u(0), a(0)))
+      .when(d % 4 === 1, array(u(0), a(0), u(1), a(1)))
+      .when(d % 4 === 2, array(u(0), a(0)))
+      .otherwise(array(u(0), u(1), a(0)))
+    Tables.read(s, dir, "documents").select(d, to_json(turns).as("conv"))
+  }
+
+  /** Chat-corpus profile, FULL oracle — per-conversation turn counts,
+    * strict-alternation validity (the broken dial gates it), and
+    * per-role content chars (`operators/Chat.stats`, zero-UDF
+    * from_json + higher-order folds). */
+  private def chatStats(s: SparkSession, dir: String): DataFrame =
+    operators.Chat.stats(chatConvs(s, dir), "doc_id", "conv")
+
+  private val chatStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 4 AS dial,
+      |    CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS l
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE dial WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 2
+      |       ELSE 3 END AS BIGINT) AS n_turns,
+      |  CAST(CASE WHEN dial IN (1, 3) THEN 2 ELSE 1 END AS BIGINT) AS n_user,
+      |  CAST(CASE WHEN dial = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_assistant,
+      |  dial <> 3 AS valid,
+      |  CAST(CASE WHEN dial IN (1, 3) THEN 14 + 2 * l
+      |       ELSE 7 + l END AS BIGINT) AS user_chars,
+      |  CAST(CASE WHEN dial = 1 THEN 14 + 2 * l
+      |       ELSE 7 + l END AS BIGINT) AS asst_chars
+      |FROM t""".stripMargin
+
+  /** Loss-mask rendering, FULL oracle — conversations render to
+    * `<|role|>\ncontent\n` training strings and the mask rows carry
+    * the 0-based [start, end) offsets of each ASSISTANT reply plus
+    * the slice itself, so offset arithmetic and content verify each
+    * other (`operators/Chat.lossMask`, one codegen'd fold computes
+    * text and offsets together). Oracle replays the running-offset
+    * arithmetic: markers are 9/11/14 chars, contents 7+digits. */
+  private def chatLossMask(s: SparkSession, dir: String): DataFrame =
+    operators.Chat.lossMask(chatConvs(s, dir), "doc_id", "conv")
+
+  private val chatLossMaskSql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 4 AS dial,
+      |    CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS l
+      |  FROM documents)
+      |SELECT doc_id, CAST(0 AS BIGINT) AS span_idx,
+      |  CASE dial WHEN 0 THEN 47 + 2 * l WHEN 3 THEN 48 + 2 * l
+      |       ELSE 31 + l END AS start_off,
+      |  CASE dial WHEN 0 THEN 54 + 3 * l WHEN 3 THEN 55 + 3 * l
+      |       ELSE 38 + 2 * l END AS end_off,
+      |  'ans ' || doc_id || ' a0' AS span_text
+      |FROM t
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT), 70 + 3 * l, 77 + 4 * l,
+      |  'ans ' || doc_id || ' a1'
+      |FROM t WHERE dial = 1""".stripMargin
+
   /** Ogg codec-ID probe, FULL oracle — the codec-metadata rung over
     * the Ogg container (`operators/OpusHead.scala`, RFC 7845 OpusHead
     * + Vorbis I ID header): per doc a CRC-framed Ogg stream whose
@@ -10852,6 +10922,8 @@ object SparkEntry {
     "redirect_resolve" -> (redirectResolve(_, _)),
     "html_meta" -> (htmlMeta(_, _)),
     "canonical_dedup" -> (canonicalDedup(_, _)),
+    "chat_stats" -> (chatStats(_, _)),
+    "chat_loss_mask" -> (chatLossMask(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11191,6 +11263,8 @@ object SparkEntry {
     "redirect_resolve" -> redirectResolveSql,
     "html_meta" -> htmlMetaSql,
     "canonical_dedup" -> canonicalDedupSql,
+    "chat_stats" -> chatStatsSql,
+    "chat_loss_mask" -> chatLossMaskSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,
