@@ -10761,6 +10761,210 @@ object SparkEntry {
       |    AS REAL) AS DOUBLE), 6) AS deq
       |FROM c""".stripMargin
 
+  /** DPO pair construction, FULL oracle — per prompt the argmax-score
+    * generation becomes `chosen`, the argmin `rejected`, with
+    * smallest-id tiebreaks and a strict-margin usability gate
+    * (`operators/Preference.pairs`): ONE groupBy whose argmax/argmin
+    * ride struct-ordered max/min — no window sort, no self-join. The
+    * oracle replays via two row_number windows. */
+  private def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val gens = Tables.read(s, dir, "documents")
+      .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+    operators.Preference.pairs(gens, "prompt", "resp_id", "score")
+  }
+
+  private val preferencePairsSql =
+    """WITH r AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt, doc_id AS resp_id,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+      |  FROM documents),
+      |w AS (
+      |  SELECT prompt, resp_id, score,
+      |    row_number() OVER (PARTITION BY prompt ORDER BY score DESC, resp_id) AS rb,
+      |    row_number() OVER (PARTITION BY prompt ORDER BY score ASC, resp_id) AS rw
+      |  FROM r)
+      |SELECT prompt, count(*) AS n_responses,
+      |  max(CASE WHEN rb = 1 THEN resp_id END) AS chosen_id,
+      |  max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+      |  max(CASE WHEN rw = 1 THEN resp_id END) AS rejected_id,
+      |  max(CASE WHEN rw = 1 THEN score END) AS rejected_score,
+      |  max(CASE WHEN rb = 1 THEN score END)
+      |    - max(CASE WHEN rw = 1 THEN score END) AS margin,
+      |  count(*) >= 2 AND max(CASE WHEN rb = 1 THEN score END)
+      |    > max(CASE WHEN rw = 1 THEN score END) AS usable
+      |FROM w GROUP BY prompt""".stripMargin
+
+  /** Bradley-Terry strength fitting, FULL oracle — pairwise outcomes
+    * (8 synthetic models, winner decided by a doc_id dial) fitted with
+    * three MM rounds (`operators/Preference.btStrength`): ONE groupBy
+    * over the match log, then driver math on the |items|^2 win matrix.
+    * The oracle unrolls the identical three rounds as CTEs; strengths
+    * emit float4 (the cross-engine float convention). */
+  private def btStrengthQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val a = concat(lit("m-"), d % 8)
+    val b = concat(lit("m-"), (d * 3 + 1) % 8)
+    val m = Tables.read(s, dir, "documents")
+      .select(when(d % 7 < 4, a).otherwise(b).as("winner"),
+        when(d % 7 < 4, b).otherwise(a).as("loser"))
+    operators.Preference.btStrength(s, m, "winner", "loser", rounds = 3)
+  }
+
+  private val btStrengthSql =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 7 < 4 THEN 'm-' || (doc_id % 8)
+      |              ELSE 'm-' || ((doc_id * 3 + 1) % 8) END AS winner,
+      |         CASE WHEN doc_id % 7 < 4 THEN 'm-' || ((doc_id * 3 + 1) % 8)
+      |              ELSE 'm-' || (doc_id % 8) END AS loser
+      |  FROM documents),
+      |wl AS (SELECT winner AS a, loser AS b, count(*) AS w FROM m GROUP BY 1, 2),
+      |g AS (SELECT a, b, SUM(w) AS n FROM (
+      |        SELECT a, b, w FROM wl
+      |        UNION ALL SELECT b AS a, a AS b, w FROM wl) t
+      |      GROUP BY a, b),
+      |items AS (SELECT DISTINCT a AS item FROM g),
+      |wins AS (SELECT a AS item, SUM(w) AS wins FROM wl GROUP BY a),
+      |games AS (SELECT a AS item, SUM(n) AS n_games FROM g GROUP BY a),
+      |p0 AS (SELECT item, 1.0 / (SELECT count(*) FROM items) AS p FROM items),
+      |d1 AS (SELECT g.a AS item, SUM(g.n / (pa.p + pb.p)) AS den
+      |       FROM g JOIN p0 pa ON pa.item = g.a JOIN p0 pb ON pb.item = g.b
+      |       GROUP BY g.a),
+      |u1 AS (SELECT i.item, COALESCE(w.wins, 0) / d.den AS pu
+      |       FROM items i JOIN d1 d ON d.item = i.item
+      |            LEFT JOIN wins w ON w.item = i.item),
+      |p1 AS (SELECT item, pu / (SELECT SUM(pu) FROM u1) AS p FROM u1),
+      |d2 AS (SELECT g.a AS item, SUM(g.n / (pa.p + pb.p)) AS den
+      |       FROM g JOIN p1 pa ON pa.item = g.a JOIN p1 pb ON pb.item = g.b
+      |       GROUP BY g.a),
+      |u2 AS (SELECT i.item, COALESCE(w.wins, 0) / d.den AS pu
+      |       FROM items i JOIN d2 d ON d.item = i.item
+      |            LEFT JOIN wins w ON w.item = i.item),
+      |p2 AS (SELECT item, pu / (SELECT SUM(pu) FROM u2) AS p FROM u2),
+      |d3 AS (SELECT g.a AS item, SUM(g.n / (pa.p + pb.p)) AS den
+      |       FROM g JOIN p2 pa ON pa.item = g.a JOIN p2 pb ON pb.item = g.b
+      |       GROUP BY g.a),
+      |u3 AS (SELECT i.item, COALESCE(w.wins, 0) / d.den AS pu
+      |       FROM items i JOIN d3 d ON d.item = i.item
+      |            LEFT JOIN wins w ON w.item = i.item),
+      |p3 AS (SELECT item, pu / (SELECT SUM(pu) FROM u3) AS p FROM u3)
+      |SELECT i.item, CAST(COALESCE(w.wins, 0) AS BIGINT) AS n_wins,
+      |  CAST(ga.n_games AS BIGINT) AS n_games, CAST(p3.p AS REAL) AS strength
+      |FROM items i LEFT JOIN wins w ON w.item = i.item
+      |     JOIN games ga ON ga.item = i.item
+      |     JOIN p3 ON p3.item = i.item""".stripMargin
+
+  /** Fill-in-the-middle transform, FULL oracle — REAL corpus text
+    * split at two length-fraction offsets and rendered in PSM and SPM
+    * sentinel orders (`operators/Fim.scala`, pure substring algebra,
+    * zero UDFs, no shuffle). Oracle replays the substr arithmetic. */
+  private def fimTransform(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val len = length(col("text"))
+    val p1 = floor(len * (col("doc_id") % 10) / 20)
+    val p2 = floor(len * (lit(10) + col("doc_id") % 10) / 20)
+    operators.Fim.transform(docs, "doc_id", "text", p1, p2)
+      .select(col("doc_id"), col("split_lo"), col("split_hi"),
+        col("psm"), col("spm"))
+  }
+
+  private val fimTransformSql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(floor(length(text) * (doc_id % 10) / 20) AS BIGINT) AS lo,
+      |    CAST(floor(length(text) * (10 + doc_id % 10) / 20) AS BIGINT) AS hi
+      |  FROM documents)
+      |SELECT doc_id, lo AS split_lo, hi AS split_hi,
+      |  '<|fim_pre|>' || substring(text, 1, CAST(lo AS INT)) ||
+      |  '<|fim_suf|>' || substring(text, CAST(hi + 1 AS INT)) ||
+      |  '<|fim_mid|>' || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+      |    AS psm,
+      |  '<|fim_suf|>' || substring(text, CAST(hi + 1 AS INT)) ||
+      |  '<|fim_pre|>' || substring(text, 1, CAST(lo AS INT)) ||
+      |  '<|fim_mid|>' || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+      |    AS spm
+      |FROM t""".stripMargin
+
+  /** Registrable-domain extraction, FULL oracle — the Public Suffix
+    * List algorithm with normal, wildcard (*.ck), and exception
+    * (!www.ck) rules over six host dials, including a host that IS a
+    * public suffix (`operators/Psl.scala`: broadcast rules, candidate
+    * explode, equi-joins only, one groupBy on the id). The oracle
+    * replays the fixture's closed form; the engine matches rules
+    * generically. */
+  private def registrableDomain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq("com", "co.uk", "uk", "io", "github.io", "*.ck", "!www.ck")
+      .toDF("rule")
+    val d = col("doc_id")
+    val host = when(d % 6 === 0, concat(lit("a"), d, lit(".example.com")))
+      .when(d % 6 === 1, concat(lit("b.shop"), d, lit(".co.uk")))
+      .when(d % 6 === 2, concat(lit("x"), d, lit(".github.io")))
+      .when(d % 6 === 3, concat(lit("foo.bar"), d, lit(".ck")))
+      .when(d % 6 === 4,
+        when(d % 2 === 0, lit("www.ck")).otherwise(lit("github.io")))
+      .otherwise(concat(lit("y"), d, lit(".unknowntld")))
+    val urls = Tables.read(s, dir, "documents").select(d, host.as("host"))
+    operators.Psl.registrable(urls, "doc_id", "host", rules)
+  }
+
+  private val registrableDomainSql =
+    """WITH h AS (SELECT doc_id, doc_id % 6 AS dial, doc_id % 2 AS par
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CASE dial
+      |    WHEN 0 THEN 'a' || doc_id || '.example.com'
+      |    WHEN 1 THEN 'b.shop' || doc_id || '.co.uk'
+      |    WHEN 2 THEN 'x' || doc_id || '.github.io'
+      |    WHEN 3 THEN 'foo.bar' || doc_id || '.ck'
+      |    WHEN 4 THEN CASE WHEN par = 0 THEN 'www.ck' ELSE 'github.io' END
+      |    ELSE 'y' || doc_id || '.unknowntld' END AS host,
+      |  CASE dial
+      |    WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'github.io'
+      |    WHEN 3 THEN 'bar' || doc_id || '.ck'
+      |    WHEN 4 THEN CASE WHEN par = 0 THEN 'ck' ELSE 'github.io' END
+      |    ELSE 'unknowntld' END AS public_suffix,
+      |  CASE dial
+      |    WHEN 0 THEN 'example.com'
+      |    WHEN 1 THEN 'shop' || doc_id || '.co.uk'
+      |    WHEN 2 THEN 'x' || doc_id || '.github.io'
+      |    WHEN 3 THEN 'foo.bar' || doc_id || '.ck'
+      |    WHEN 4 THEN CASE WHEN par = 0 THEN 'www.ck' ELSE NULL END
+      |    ELSE 'y' || doc_id || '.unknowntld' END AS registrable,
+      |  dial = 4 AND par = 1 AS is_public_suffix
+      |FROM h""".stripMargin
+
+  /** Semantic decontamination, FULL oracle — the embedding-space
+    * sibling of n-gram `decontaminate`: every corpus vector's max
+    * cosine similarity to the (vec_id % 53 = 0) eval slice, nearest
+    * eval id with smallest-id tiebreak, and the tau-threshold flag
+    * (`operators/Dedup.semanticDecontam`: broadcast eval side,
+    * codegen'd cosine, map-side partial max before the one exchange).
+    * Oracle is the DuckDB cross join. */
+  private def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    operators.Dedup.semanticDecontam(
+      e.filter(col("vec_id") % 53 =!= 0), e.filter(col("vec_id") % 53 === 0),
+      "vec_id", "embedding", tau = 0.35)
+  }
+
+  private val semanticDecontamSql =
+    """WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+      |            WHERE vec_id % 53 = 0),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 53 <> 0),
+      |s AS (SELECT c.vec_id, ev.eval_id,
+      |        list_cosine_similarity(c.embedding::DOUBLE[],
+      |                               ev.embedding::DOUBLE[]) AS sim
+      |      FROM c, ev),
+      |b AS (SELECT vec_id, eval_id, sim,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY sim DESC, eval_id) AS rn
+      |      FROM s)
+      |SELECT vec_id, round(sim, 6) AS max_sim, eval_id AS nearest_eval,
+      |  sim >= 0.35 AS contaminated
+      |FROM b WHERE rn = 1""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -10924,6 +11128,11 @@ object SparkEntry {
     "canonical_dedup" -> (canonicalDedup(_, _)),
     "chat_stats" -> (chatStats(_, _)),
     "chat_loss_mask" -> (chatLossMask(_, _)),
+    "preference_pairs" -> (preferencePairs(_, _)),
+    "bt_strength" -> (btStrengthQ(_, _)),
+    "fim_transform" -> (fimTransform(_, _)),
+    "registrable_domain" -> (registrableDomain(_, _)),
+    "semantic_decontam" -> (semanticDecontamQ(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11265,6 +11474,11 @@ object SparkEntry {
     "canonical_dedup" -> canonicalDedupSql,
     "chat_stats" -> chatStatsSql,
     "chat_loss_mask" -> chatLossMaskSql,
+    "preference_pairs" -> preferencePairsSql,
+    "bt_strength" -> btStrengthSql,
+    "fim_transform" -> fimTransformSql,
+    "registrable_domain" -> registrableDomainSql,
+    "semantic_decontam" -> semanticDecontamSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -247,6 +247,33 @@ object Dedup {
         (coalesce(col("matched_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[decontaminate]]: an eval item paraphrased beyond n-gram reach
+    * still lands nearby in embedding space, so flag every corpus item
+    * whose max cosine similarity to ANY eval embedding reaches `tau`
+    * (and report which eval item, smallest-id tiebreak).
+    *
+    * Scale shape: eval sets are small BY DEFINITION (thousands of
+    * rows) — broadcast the eval side, stream the corpus through a
+    * broadcast join (corpus never shuffles for the comparison), then
+    * ONE groupBy on the corpus id whose map-side partial max collapses
+    * the |eval| sims per row before the exchange. The cosine is the
+    * codegen'd Catalyst expression, not a UDF. */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                       vecCol: String, tau: Double): DataFrame = {
+    val e = broadcast(evalSet.select(col(idCol).as("__eval_id"),
+      col(vecCol).as("__eval_vec")))
+    corpus.select(col(idCol), col(vecCol)).crossJoin(e)
+      .withColumn("__sim",
+        lit(1.0) - Knn.distCol("cosine")(col(vecCol), col("__eval_vec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim").as("s"), (-col("__eval_id")).as("nid")))
+        .as("m"))
+      .select(col(idCol), round(col("m.s"), 6).as("max_sim"),
+        (-col("m.nid")).as("nearest_eval"),
+        (col("m.s") >= tau).as("contaminated"))
+  }
+
   /** Corpus-level boilerplate line removal (the RefinedWeb / C4 line
     * dedup rule): a line whose EXACT text appears in ≥ `minDocs`
     * distinct documents is boilerplate (nav bars, cookie banners,

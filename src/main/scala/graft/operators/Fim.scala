@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fill-in-the-middle (FIM) transform — the code-corpus augmentation
+ * that teaches infilling: split each document at two points, then
+ * render prefix/suffix/middle with sentinel markers in PSM order
+ * (prefix, suffix, middle — the model learns to emit the middle after
+ * seeing both sides) and SPM order (suffix first).
+ *
+ * The split points are CALLER policy (columns), not hidden hashing —
+ * a pipeline derives them from any deterministic source; the operator
+ * only clamps them into [0, len] and orders them. Pure substring
+ * algebra: zero UDFs, one stateless scan, no shuffle.
+ *
+ * Reference surface: the reference ships chunking primitives
+ * (`neurondb--1.0.sql` chunk_text); FIM is the training-data
+ * extension, public-method work (Bavarian et al. 2022, "Efficient
+ * Training of Language Models to Fill in the Middle").
+ */
+object Fim {
+
+  val PrefixTok = "<|fim_pre|>"
+  val SuffixTok = "<|fim_suf|>"
+  val MiddleTok = "<|fim_mid|>"
+
+  /** Split `textCol` at character offsets `p1`/`p2` (clamped to
+    * [0, len], swapped if out of order) and emit the three spans plus
+    * PSM and SPM renders. Offsets are 0-based character counts:
+    * prefix = [0, lo), middle = [lo, hi), suffix = [hi, len). */
+  def transform(df: DataFrame, idCol: String, textCol: String,
+                p1: Column, p2: Column): DataFrame = {
+    val len = length(col(textCol))
+    val c1 = greatest(lit(0), least(p1.cast("int"), len))
+    val c2 = greatest(lit(0), least(p2.cast("int"), len))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.select(col(idCol), col(textCol).as("__t"), lo.as("__lo"), hi.as("__hi"))
+      .select(col(idCol),
+        col("__lo").cast("long").as("split_lo"),
+        col("__hi").cast("long").as("split_hi"),
+        col("__t").substr(lit(1), col("__lo")).as("prefix"),
+        col("__t").substr(col("__lo") + 1, col("__hi") - col("__lo"))
+          .as("middle"),
+        col("__t").substr(col("__hi") + 1, length(col("__t")) - col("__hi"))
+          .as("suffix"))
+      .withColumn("psm", concat(lit(PrefixTok), col("prefix"),
+        lit(SuffixTok), col("suffix"), lit(MiddleTok), col("middle")))
+      .withColumn("spm", concat(lit(SuffixTok), col("suffix"),
+        lit(PrefixTok), col("prefix"), lit(MiddleTok), col("middle")))
+  }
+}

@@ -396,4 +396,38 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("Join"), s"$q grew a join: $plan")
     }
   }
+
+  test("preference_pairs is one two-phase aggregate — no window sort, no join") {
+    val plan = planOf(SparkEntry.queries("preference_pairs")(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"pair construction must shuffle once on the prompt key: $plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    // struct-ordered max/min plan as SortAggregate — the partial/final
+    // pair (map-side combine) is what matters
+    assert(plan.contains("partial_max") && plan.contains("partial_min"),
+      s"argmax/argmin must combine map-side: $plan")
+  }
+
+  test("semantic_decontam broadcasts the eval side; corpus sims collapse map-side") {
+    val plan = planOf(SparkEntry.queries("semantic_decontam")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle to meet the eval set: $plan")
+    // the only data shuffle is the final per-id max (map-side partial
+    // first); the eval side moves by BroadcastExchange only
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1 &&
+      plan.contains("partial_max"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"cosine fell back to a UDF: $plan")
+  }
+
+  test("registrable_domain joins the rule list by hash, broadcast only") {
+    val plan = planOf(SparkEntry.queries("registrable_domain")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rule lookups must be broadcast equi-joins: $plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"PSL matching must never nested-loop: $plan")
+  }
 }

@@ -109,4 +109,23 @@ class SemDedupSpec extends SparkSpecBase {
       dupCents, "cid", "cvec", 0.1).select("cluster").as[Long].head()
     assert(cluster == 5L)
   }
+
+  test("semanticDecontam: max-sim, nearest eval, tau flag, id tiebreak") {
+    val evalSet = Seq(
+      (100L, Array(1.0f, 0f, 0f)),
+      (200L, Array(0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 0f)),   // sim 1.0 to eval 100 -> contaminated
+      (2L, Array(1.0f, 1.0f, 0f)), // sim ~0.707 to BOTH -> tie -> eval 100
+      (3L, Array(0f, 0f, 1.0f))    // orthogonal to both -> clean
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontam(corpus, evalSet, "vec_id", "embedding",
+        tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_sim"), r.getAs[Long]("nearest_eval"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L) == ((1.0, 100L, true)))
+    assert(out(2L)._1 == 0.707107 && out(2L)._2 == 100L && !out(2L)._3)
+    assert(out(3L) == ((0.0, 100L, false)))
+  }
 }
