@@ -10935,6 +10935,144 @@ object SparkEntry {
       |  dial = 4 AND par = 1 AS is_public_suffix
       |FROM h""".stripMargin
 
+  /** Tool-call trace validation, FULL oracle — the agentic-SFT shape
+    * check (`operators/Chat.toolTrace`, one zero-UDF aggregate fold):
+    * four conversation dials — clean single call, two parallel calls
+    * both answered, a call expired by a user turn (unanswered), and a
+    * tool result answering nothing (dangling). Oracle replays the
+    * dial's closed form. */
+  private def chatToolTrace(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def t(role: String, content: Column, callId: Column = lit(null).cast("string")) =
+      struct(lit(role).as("role"), content.as("content"), callId.as("call_id"))
+    val u = t("user", concat(lit("ask "), d))
+    val turns = when(d % 4 === 0, array(
+        u, t("assistant", lit("use [call:a]")),
+        t("tool", lit("res"), lit("a")), t("assistant", lit("done"))))
+      .when(d % 4 === 1, array(
+        u, t("assistant", lit("[call:x] then [call:y]")),
+        t("tool", lit("rx"), lit("x")), t("tool", lit("ry"), lit("y")),
+        t("assistant", lit("ok"))))
+      .when(d % 4 === 2, array(
+        u, t("assistant", lit("[call:p]")),
+        t("user", lit("never mind")), t("assistant", lit("ok"))))
+      .otherwise(array(
+        u, t("tool", lit("res"), lit("z")), t("assistant", lit("?"))))
+    val convs = Tables.read(s, dir, "documents")
+      .select(d, to_json(turns).as("conv"))
+    operators.Chat.toolTrace(convs, "doc_id", "conv")
+  }
+
+  private val chatToolTraceSql =
+    """WITH t AS (SELECT doc_id, doc_id % 4 AS dial FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE dial WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 4
+      |       ELSE 3 END AS BIGINT) AS n_turns,
+      |  CAST(CASE dial WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 1 END AS BIGINT)
+      |    AS n_tool_turns,
+      |  CAST(CASE dial WHEN 1 THEN 2 WHEN 3 THEN 0 ELSE 1 END AS BIGINT)
+      |    AS n_calls,
+      |  CAST(CASE dial WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT)
+      |    AS answered,
+      |  CAST(CASE dial WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS dangling,
+      |  CAST(CASE dial WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS unanswered,
+      |  dial IN (0, 1) AS valid
+      |FROM t""".stripMargin
+
+  /** Reward-model calibration, FULL oracle — the reliability diagram
+    * (`operators/RewardStats.calibration`): scores and win labels from
+    * closed-form dials, ten equal-width bins, per-bin count / mean
+    * score / win rate / |gap| (the ECE contribution is gap*n/N). One
+    * two-phase groupBy on the bin key; means emit float4. */
+  private def rewardCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val scored = Tables.read(s, dir, "documents")
+      .select((((d * 13) % 100) / 100.0).as("score"),
+        when((d * 7) % 100 < (d * 13) % 100, 1.0).otherwise(0.0).as("label"))
+    operators.RewardStats.calibration(scored, "score", "label", bins = 10)
+  }
+
+  private val rewardCalibrationSql =
+    """WITH r AS (
+      |  SELECT ((doc_id * 13) % 100) / 100.0 AS s,
+      |    CASE WHEN (doc_id * 7) % 100 < (doc_id * 13) % 100
+      |         THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |b AS (SELECT LEAST(GREATEST(CAST(floor(s * 10) AS BIGINT), 0), 9)
+      |        AS bin, s, y FROM r)
+      |SELECT bin, count(*) AS n, CAST(avg(s) AS REAL) AS mean_score,
+      |  CAST(avg(y) AS REAL) AS win_rate,
+      |  CAST(abs(CAST(avg(s) AS REAL) - CAST(avg(y) AS REAL)) AS REAL) AS gap
+      |FROM b GROUP BY bin""".stripMargin
+
+  /** Inter-annotator agreement, FULL oracle — Cohen's kappa between
+    * two raters whose labels agree on a closed-form 60% slice
+    * (`operators/RewardStats.cohenKappa`): one groupBy(item) pivot,
+    * one confusion-matrix aggregate, driver arithmetic on the 4x4
+    * counts. The oracle replays po/pe/kappa from the same marginals;
+    * rates emit float4. */
+  private def annotatorKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.read(s, dir, "documents")
+    val r1 = docs.select(d.as("item"), lit("r1").as("rater"),
+      ((d * 3) % 4).cast("string").as("label"))
+    val r2 = docs.select(d.as("item"), lit("r2").as("rater"),
+      when(d % 5 < 3, (d * 3) % 4).otherwise((d * 7 + 1) % 4)
+        .cast("string").as("label"))
+    operators.RewardStats.cohenKappa(s, r1.unionAll(r2),
+      "item", "rater", "label", "r1", "r2")
+  }
+
+  private val annotatorKappaSql =
+    """WITH p AS (
+      |  SELECT doc_id, (doc_id * 3) % 4 AS la,
+      |    CASE WHEN doc_id % 5 < 3 THEN (doc_id * 3) % 4
+      |         ELSE (doc_id * 7 + 1) % 4 END AS lb
+      |  FROM documents),
+      |a AS (SELECT count(*) AS n,
+      |        SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree FROM p),
+      |ma AS (SELECT la AS c, count(*) AS na FROM p GROUP BY la),
+      |mb AS (SELECT lb AS c, count(*) AS nb FROM p GROUP BY lb),
+      |e AS (SELECT SUM(na * nb) AS s FROM ma JOIN mb USING (c))
+      |SELECT CAST(a.n AS BIGINT) AS n_items,
+      |  CAST(a.agree * 1.0 / a.n AS REAL) AS po,
+      |  CAST(e.s * 1.0 / (a.n * a.n) AS REAL) AS pe,
+      |  CAST((a.agree * 1.0 / a.n - e.s * 1.0 / (a.n * a.n))
+      |       / (1 - e.s * 1.0 / (a.n * a.n)) AS REAL) AS kappa
+      |FROM a, e""".stripMargin
+
+  /** Token-budget allocation, FULL oracle — per-domain available
+    * tokens vs target mixture weights vs a fixed training budget:
+    * allocated tokens, epochs, and the oversampling flag
+    * (`operators/DomainMixture.budgetMix`): one corpus groupBy + a
+    * broadcast join against the |domains|-row weight table, pure
+    * column math. Epochs emit float4. */
+  private def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.read(s, dir, "documents")
+      .select(concat(lit("dom-"), col("doc_id") % 6).as("domain"),
+        length(col("text")).cast("long").as("tokens"))
+    val weights = (0 until 6).map(i => (s"dom-$i", (i + 1) / 21.0))
+      .toDF("domain", "weight")
+    operators.DomainMixture.budgetMix(docs, "domain", "tokens",
+      weights, "weight", budgetTokens = 100000L)
+  }
+
+  private val tokenBudgetMixSql =
+    """WITH t AS (
+      |  SELECT 'dom-' || (doc_id % 6) AS domain, length(text) AS tokens,
+      |    (doc_id % 6 + 1) / 21.0 AS w
+      |  FROM documents),
+      |a AS (SELECT domain, SUM(tokens) AS available_tokens, MAX(w) AS w
+      |      FROM t GROUP BY domain)
+      |SELECT domain, CAST(available_tokens AS BIGINT) AS available_tokens,
+      |  CAST(w AS REAL) AS weight,
+      |  CAST(floor(100000.0 * w) AS BIGINT) AS allocated_tokens,
+      |  CAST(100000.0 * w / available_tokens AS REAL) AS epochs,
+      |  CAST(100000.0 * w / available_tokens AS REAL) > CAST(1.0 AS REAL)
+      |    AS oversampled
+      |FROM a""".stripMargin
+
   /** Semantic decontamination, FULL oracle — the embedding-space
     * sibling of n-gram `decontaminate`: every corpus vector's max
     * cosine similarity to the (vec_id % 53 = 0) eval slice, nearest
@@ -11133,6 +11271,10 @@ object SparkEntry {
     "fim_transform" -> (fimTransform(_, _)),
     "registrable_domain" -> (registrableDomain(_, _)),
     "semantic_decontam" -> (semanticDecontamQ(_, _)),
+    "chat_tool_trace" -> (chatToolTrace(_, _)),
+    "reward_calibration" -> (rewardCalibration(_, _)),
+    "annotator_kappa" -> (annotatorKappa(_, _)),
+    "token_budget_mix" -> (tokenBudgetMix(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11479,6 +11621,10 @@ object SparkEntry {
     "fim_transform" -> fimTransformSql,
     "registrable_domain" -> registrableDomainSql,
     "semantic_decontam" -> semanticDecontamSql,
+    "chat_tool_trace" -> chatToolTraceSql,
+    "reward_calibration" -> rewardCalibrationSql,
+    "annotator_kappa" -> annotatorKappaSql,
+    "token_budget_mix" -> tokenBudgetMixSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -105,6 +105,83 @@ object Chat {
       folded.getField("spans").as("mask_spans"))
   }
 
+  /** Turn-list schema for AGENTIC conversations: tool-result turns
+    * carry the call id they answer. */
+  val toolTurnsType: ArrayType =
+    ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType),
+      StructField("call_id", StringType))))
+
+  /** Tool-call trace validation — the agentic-SFT shape check: an
+    * assistant turn announces calls as `[call:ID]` markers in its
+    * content; each following `tool` turn must answer a pending id
+    * (consuming it), and any non-tool turn expires what is still
+    * pending. Per conversation: announced/answered counts, DANGLING
+    * results (tool turns answering nothing pending — including tool
+    * turns with no call_id), UNANSWERED calls (pending ids expired by
+    * a later turn or end-of-conversation), and the validity flag.
+    * Duplicate ids announced in one turn collapse (array semantics).
+    *
+    * One `aggregate` fold over the turn array — zero UDFs, stateless
+    * scan, no shuffle. */
+  def toolTrace(df: DataFrame, idCol: String, convCol: String): DataFrame = {
+    val ts = from_json(col(convCol), toolTurnsType)
+    val stateType =
+      "struct<pending:array<string>,answered:bigint,dangling:bigint," +
+        "unanswered:bigint,ncalls:bigint>"
+    val folded = aggregate(ts,
+      expr(s"CAST(struct(array(), 0, 0, 0, 0) AS $stateType)"),
+      (acc, t) => {
+        val pending = acc.getField("pending")
+        val role = t.getField("role")
+        val calls = coalesce(regexp_extract_all(t.getField("content"),
+          lit("\\[call:([a-zA-Z0-9_-]+)\\]"), lit(1)),
+          expr("CAST(array() AS array<string>)"))
+        val newPending = when(role === "assistant", array_distinct(calls))
+          .otherwise(expr("CAST(array() AS array<string>)"))
+        val consumed = struct(
+          array_remove(pending, t.getField("call_id")).as("pending"),
+          (acc.getField("answered") + 1).as("answered"),
+          acc.getField("dangling").as("dangling"),
+          acc.getField("unanswered").as("unanswered"),
+          acc.getField("ncalls").as("ncalls"))
+        val rejected = struct(
+          pending.as("pending"),
+          acc.getField("answered").as("answered"),
+          (acc.getField("dangling") + 1).as("dangling"),
+          acc.getField("unanswered").as("unanswered"),
+          acc.getField("ncalls").as("ncalls"))
+        val advanced = struct(
+          newPending.as("pending"),
+          acc.getField("answered").as("answered"),
+          acc.getField("dangling").as("dangling"),
+          (acc.getField("unanswered") + size(pending)).as("unanswered"),
+          (acc.getField("ncalls") + size(newPending)).as("ncalls"))
+        when(role === "tool",
+          // null call_id -> array_contains is null -> otherwise: dangling
+          when(array_contains(pending, t.getField("call_id")), consumed)
+            .otherwise(rejected))
+          .otherwise(advanced)
+      },
+      acc => struct(
+        acc.getField("answered").as("answered"),
+        acc.getField("dangling").as("dangling"),
+        (acc.getField("unanswered") + size(acc.getField("pending")))
+          .as("unanswered"),
+        acc.getField("ncalls").as("ncalls")))
+    df.select(col(idCol),
+      coalesce(size(ts), lit(-1)).cast("long").as("n_turns"),
+      size(filter(ts, t => t.getField("role") === "tool")).cast("long")
+        .as("n_tool_turns"),
+      folded.getField("ncalls").as("n_calls"),
+      folded.getField("answered").as("answered"),
+      folded.getField("dangling").as("dangling"),
+      folded.getField("unanswered").as("unanswered"),
+      coalesce(folded.getField("dangling") === 0 &&
+        folded.getField("unanswered") === 0, lit(false)).as("valid"))
+  }
+
   /** Flattened loss mask: one row per assistant span with its slice of
     * the rendered text — offsets and content verify each other. */
   def lossMask(df: DataFrame, idCol: String, convCol: String): DataFrame =

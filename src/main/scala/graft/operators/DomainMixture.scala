@@ -57,4 +57,33 @@ object DomainMixture {
         col("mean_loss_d").cast("float").as("mean_loss"),
         col("weight_d").cast("float").as("weight"))
   }
+
+  /** Token-budget allocation — the step AFTER the mixture weights are
+    * chosen: given per-document token counts, a target weight per
+    * domain, and a total training budget, how many tokens does each
+    * domain contribute, how many EPOCHS of it is that, and does it
+    * oversample (epochs > 1 means repeating data — the practical
+    * quality dial)?
+    *
+    * Scale shape: ONE groupBy(domain) over the corpus, a broadcast
+    * join against the |domains|-row weight table, pure column math
+    * after — no driver state at all. Epochs emit float4. */
+  def budgetMix(docs: DataFrame, domainCol: String, tokensCol: String,
+                weights: DataFrame, weightCol: String,
+                budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    docs.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("available_tokens"))
+      .join(broadcast(weights.select(col(domainCol),
+        col(weightCol).cast("double").as("__w"))), Seq(domainCol))
+      .select(col(domainCol), col("available_tokens"),
+        col("__w").cast("float").as("weight"),
+        floor(lit(budgetTokens.toDouble) * col("__w")).cast("long")
+          .as("allocated_tokens"),
+        (lit(budgetTokens.toDouble) * col("__w") / col("available_tokens"))
+          .cast("float").as("epochs"))
+      .withColumn("oversampled",
+        col("epochs") > 1.0f)
+  }
 }

@@ -85,4 +85,73 @@ class ChatSpec extends SparkSpecBase {
       assert(!plan.contains("Exchange"), plan)
     }
   }
+
+  private def traceOf(json: String) = {
+    val r = Chat.toolTrace(Seq((1L, json)).toDF("id", "conv"), "id", "conv")
+      .collect().head
+    (r.getAs[Long]("n_calls"), r.getAs[Long]("answered"),
+      r.getAs[Long]("dangling"), r.getAs[Long]("unanswered"),
+      r.getAs[Boolean]("valid"))
+  }
+
+  test("toolTrace: clean call/result pairing validates") {
+    val t = traceOf(
+      """[{"role":"user","content":"q"},
+         {"role":"assistant","content":"use [call:a1]"},
+         {"role":"tool","content":"res","call_id":"a1"},
+         {"role":"assistant","content":"done"}]""")
+    assert(t == ((1L, 1L, 0L, 0L, true)))
+  }
+
+  test("toolTrace: parallel calls answered in any order validate") {
+    val t = traceOf(
+      """[{"role":"assistant","content":"[call:x] [call:y]"},
+         {"role":"tool","content":"ry","call_id":"y"},
+         {"role":"tool","content":"rx","call_id":"x"},
+         {"role":"assistant","content":"ok"}]""")
+    assert(t == ((2L, 2L, 0L, 0L, true)))
+  }
+
+  test("toolTrace: a user turn expires pending calls -> unanswered") {
+    val t = traceOf(
+      """[{"role":"assistant","content":"[call:p]"},
+         {"role":"user","content":"never mind"}]""")
+    assert(t == ((1L, 0L, 0L, 1L, false)))
+  }
+
+  test("toolTrace: end-of-conversation expires pending calls too") {
+    val t = traceOf("""[{"role":"assistant","content":"[call:p]"}]""")
+    assert(t == ((1L, 0L, 0L, 1L, false)))
+  }
+
+  test("toolTrace: dangling results — wrong id, no pending, missing call_id") {
+    // tool answers an id never announced
+    val wrong = traceOf(
+      """[{"role":"assistant","content":"[call:a]"},
+         {"role":"tool","content":"r","call_id":"b"}]""")
+    assert(wrong == ((1L, 0L, 1L, 1L, false)))
+    // tool turn with no preceding assistant call
+    val noCall = traceOf("""[{"role":"tool","content":"r","call_id":"z"}]""")
+    assert(noCall == ((0L, 0L, 1L, 0L, false)))
+    // tool turn missing call_id entirely
+    val noId = traceOf(
+      """[{"role":"assistant","content":"[call:a]"},
+         {"role":"tool","content":"r"}]""")
+    assert(noId == ((1L, 0L, 1L, 1L, false)))
+  }
+
+  test("toolTrace: a second answer to a consumed id is dangling") {
+    val t = traceOf(
+      """[{"role":"assistant","content":"[call:a]"},
+         {"role":"tool","content":"r1","call_id":"a"},
+         {"role":"tool","content":"r2","call_id":"a"}]""")
+    assert(t == ((1L, 1L, 1L, 0L, false)))
+  }
+
+  test("toolTrace is UDF-free and scan-shaped") {
+    val df = Seq((1L, """[{"role":"user","content":"a"}]""")).toDF("id", "conv")
+    val plan = Chat.toolTrace(df, "id", "conv").queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -46,4 +46,28 @@ class DomainMixtureSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[String]("domain")).sorted.toSeq == Seq("a", "b"))
     assert(rows.map(_.getAs[Long]("n_docs")).sum == 3) // null rows gone
   }
+
+  test("budgetMix: allocation, epochs, and the oversampling flag") {
+    val docs = Seq(
+      ("web", 600L), ("web", 400L), // 1000 available
+      ("code", 100L) // 100 available
+    ).toDF("domain", "tokens")
+    val weights = Seq(("web", 0.5), ("code", 0.5)).toDF("domain", "weight")
+    val out = DomainMixture.budgetMix(docs, "domain", "tokens",
+        weights, "weight", budgetTokens = 400L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("available_tokens"), r.getAs[Long]("allocated_tokens"),
+          r.getAs[Float]("epochs"), r.getAs[Boolean]("oversampled"))).toMap
+    // web: 200 of 1000 -> 0.2 epochs; code: 200 of 100 -> 2 epochs, oversampled
+    assert(out("web") == ((1000L, 200L, 0.2f, false)))
+    assert(out("code") == ((100L, 200L, 2.0f, true)))
+  }
+
+  test("budgetMix: domains without a weight row are dropped (inner join)") {
+    val docs = Seq(("a", 10L), ("b", 20L)).toDF("domain", "tokens")
+    val weights = Seq(("a", 1.0)).toDF("domain", "weight")
+    val out = DomainMixture.budgetMix(docs, "domain", "tokens",
+      weights, "weight", 100L).collect()
+    assert(out.map(_.getAs[String]("domain")).toSeq == Seq("a"))
+  }
 }

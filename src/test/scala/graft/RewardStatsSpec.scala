@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.RewardStats
+
+/** Reward-data QA invariants: calibration binning (clamping, per-bin
+  * means/win-rates/gaps) and Cohen's kappa (perfect, chance-level, and
+  * partial agreement; missing-rater drops). */
+class RewardStatsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("calibration: bin edges, clamping, and per-bin stats") {
+    val df = Seq(
+      (0.05, 0.0), (0.05, 1.0),      // bin 0: mean 0.05, win 0.5
+      (0.95, 1.0), (0.95, 1.0),      // bin 9: mean 0.95, win 1.0
+      (-0.3, 0.0),                   // clamps into bin 0
+      (1.7, 1.0),                    // clamps into bin 9
+      (1.0, 1.0)                     // exactly 1.0 clamps into bin 9
+    ).toDF("s", "y")
+    val out = RewardStats.calibration(df, "s", "y", bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Float]("win_rate"),
+          r.getAs[Float]("gap"))).toMap
+    assert(out.keySet == Set(0L, 9L))
+    assert(out(0L)._1 == 3L && out(9L)._1 == 4L)
+    assert(math.abs(out(0L)._2 - 1.0f / 3) < 1e-6)
+    assert(out(9L)._2 == 1.0f)
+    // bin 0: mean score (0.05+0.05-0.3)/3 = -0.0666.., gap = |mean - 1/3|
+    assert(math.abs(out(0L)._3 - (1.0f / 3 + 0.2f / 3)) < 1e-6)
+  }
+
+  test("calibration: a perfectly calibrated bin has zero gap") {
+    // bin 5 holds two rows at s=0.5, one win one loss: mean 0.5 = win rate
+    val df = Seq((0.5, 1.0), (0.5, 0.0)).toDF("s", "y")
+    val out = RewardStats.calibration(df, "s", "y", bins = 10).collect()
+    val b5 = out.find(_.getAs[Long]("bin") == 5L).get
+    assert(b5.getAs[Float]("mean_score") == 0.5f)
+    assert(b5.getAs[Float]("win_rate") == 0.5f)
+    assert(b5.getAs[Float]("gap") == 0.0f)
+  }
+
+  private def kappaOf(rows: Seq[(Long, String, String)]) = {
+    val r = RewardStats.cohenKappa(spark,
+      rows.toDF("item", "rater", "label"), "item", "rater", "label",
+      "r1", "r2").collect().head
+    (r.getAs[Long]("n_items"), r.getAs[Float]("po"), r.getAs[Float]("pe"),
+      r.getAs[Float]("kappa"))
+  }
+
+  test("kappa: perfect agreement is 1") {
+    val rows = (1L to 10L).flatMap(i => Seq(
+      (i, "r1", s"c${i % 2}"), (i, "r2", s"c${i % 2}")))
+    val (n, po, _, k) = kappaOf(rows)
+    assert(n == 10L && po == 1.0f && k == 1.0f)
+  }
+
+  test("kappa: the textbook 2x2 example") {
+    // 20 items: confusion a=10 (yes,yes), b=5 (yes,no), c=3 (no,yes), d=2 (no,no)
+    // po = 12/20 = 0.6; pe = (15*13 + 5*7)/400 = 230/400 = 0.575
+    // kappa = (0.6 - 0.575) / 0.425 = 0.0588...
+    def block(k: Int, n: Int, l1: String, l2: String) =
+      (0 until n).flatMap(i => Seq(
+        (k * 100L + i, "r1", l1), (k * 100L + i, "r2", l2)))
+    val rows = block(0, 10, "y", "y") ++ block(1, 5, "y", "n") ++
+      block(2, 3, "n", "y") ++ block(3, 2, "n", "n")
+    val (n, po, pe, k) = kappaOf(rows)
+    assert(n == 20L)
+    assert(math.abs(po - 0.6f) < 1e-6)
+    assert(math.abs(pe - 0.575f) < 1e-6)
+    assert(math.abs(k - 0.058824f) < 1e-5)
+  }
+
+  test("kappa: items missing either rater are dropped") {
+    val rows = Seq(
+      (1L, "r1", "a"), (1L, "r2", "a"),
+      (2L, "r1", "b"), // no r2
+      (3L, "r2", "b") // no r1
+    )
+    val (n, po, _, _) = kappaOf(rows)
+    assert(n == 1L && po == 1.0f)
+  }
+}
