@@ -170,14 +170,16 @@ object Chat {
         (acc.getField("unanswered") + size(acc.getField("pending")))
           .as("unanswered"),
         acc.getField("ncalls").as("ncalls")))
+    // malformed JSON folds to null: every count gets the same -1
+    // sentinel stats() uses for n_turns, and valid coalesces to false
     df.select(col(idCol),
       coalesce(size(ts), lit(-1)).cast("long").as("n_turns"),
-      size(filter(ts, t => t.getField("role") === "tool")).cast("long")
-        .as("n_tool_turns"),
-      folded.getField("ncalls").as("n_calls"),
-      folded.getField("answered").as("answered"),
-      folded.getField("dangling").as("dangling"),
-      folded.getField("unanswered").as("unanswered"),
+      coalesce(size(filter(ts, t => t.getField("role") === "tool")), lit(-1))
+        .cast("long").as("n_tool_turns"),
+      coalesce(folded.getField("ncalls"), lit(-1L)).as("n_calls"),
+      coalesce(folded.getField("answered"), lit(-1L)).as("answered"),
+      coalesce(folded.getField("dangling"), lit(-1L)).as("dangling"),
+      coalesce(folded.getField("unanswered"), lit(-1L)).as("unanswered"),
       coalesce(folded.getField("dangling") === 0 &&
         folded.getField("unanswered") === 0, lit(false)).as("valid"))
   }

@@ -29,8 +29,12 @@ object Preference {
   def pairs(df: DataFrame, promptCol: String, respIdCol: String,
             scoreCol: String): DataFrame = {
     // max(struct(score, -id)) == highest score, then SMALLEST id;
-    // min(struct(score, id))  == lowest score, then smallest id
-    df.groupBy(col(promptCol))
+    // min(struct(score, id))  == lowest score, then smallest id.
+    // Null prompts have no group and null scores/ids no ordering —
+    // dropped up front (the DomainMixture convention).
+    df.filter(col(promptCol).isNotNull && col(respIdCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
       .agg(
         count(lit(1)).as("n_responses"),
         max(struct(col(scoreCol).as("s"), (-col(respIdCol)).as("nid"))).as("best"),

@@ -42,7 +42,9 @@ object Psl {
     val key = when(col("kind") === "exc", expr("substring(rule, 2)"))
       .when(col("kind") === "wild", expr("substring(rule, 3)"))
       .otherwise(col("rule"))
-    val r = rules.select(col("rule")).withColumn("kind", kind)
+    // PSL files are lowercase by convention; enforce it so rule/host
+    // matching stays case-insensitive end to end
+    val r = rules.select(lower(col("rule")).as("rule")).withColumn("kind", kind)
       .withColumn("key", key)
       .withColumn("key_labels", size(split(col("key"), "\\.")))
     // exact-key rules (norm + exc) and wildcard rules join differently
@@ -51,15 +53,19 @@ object Psl {
     val rWild = r.filter(col("kind") === "wild")
       .select(col("key").as("wk"), (col("key_labels") + 1).as("wlabs"))
 
+    // hosts match case-insensitively and in non-FQDN form (PSL
+    // convention): lowercase and strip one trailing dot before
+    // splitting; the OUTPUT host column echoes the input verbatim
+    val norm = lower(regexp_replace(col(hostCol), "\\.$", ""))
     // all suffix candidates of the host: last k labels, k = 1..n
     val cands = urls
-      .withColumn("__labs", split(col(hostCol), "\\."))
+      .withColumn("__labs", split(norm, "\\."))
       .withColumn("__c", explode(expr(
         """transform(sequence(1, size(__labs)),
           |  k -> struct(
           |    array_join(slice(__labs, size(__labs) - k + 1, k), '.') AS cand,
           |    k AS clabs))""".stripMargin)))
-      .select(col(idCol), col(hostCol), col("__labs"),
+      .select(col(idCol), col(hostCol), norm.as("__h"), col("__labs"),
         col("__c.cand").as("cand"), col("__c.clabs").as("clabs"))
       // the candidate minus its leftmost label — what a wildcard star consumes
       .withColumn("tail", when(col("clabs") > 1,
@@ -76,18 +82,19 @@ object Psl {
     val picked = joined.groupBy(col(idCol))
       .agg(
         first(col(hostCol)).as("host"),
+        first(col("__h")).as("__h"),
         max(when(col("ekind") === "exc",
           struct(col("clabs").as("l"), col("tail").as("sfx")))).as("exc"),
         max(when(col("matched"),
           struct(col("clabs").as("l"), col("cand").as("sfx")))).as("best"))
       .withColumn("public_suffix", coalesce(col("exc.sfx"), col("best.sfx"),
-        expr("element_at(split(host, '\\\\.'), -1)")))
+        expr("element_at(split(__h, '\\\\.'), -1)")))
     picked
       .withColumn("__slabs", size(split(col("public_suffix"), "\\.")))
-      .withColumn("__hlabs", size(split(col("host"), "\\.")))
+      .withColumn("__hlabs", size(split(col("__h"), "\\.")))
       .select(col(idCol), col("host"), col("public_suffix"),
         when(col("__hlabs") > col("__slabs"),
-          expr("array_join(slice(split(host, '\\\\.'), CAST(__hlabs - __slabs AS INT), " +
+          expr("array_join(slice(split(__h, '\\\\.'), CAST(__hlabs - __slabs AS INT), " +
             "CAST(__slabs + 1 AS INT)), '.')")).as("registrable"),
         (col("__hlabs") === col("__slabs")).as("is_public_suffix"))
   }

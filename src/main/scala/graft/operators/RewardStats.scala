@@ -28,7 +28,8 @@ object RewardStats {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val bin = least(greatest(floor(col(scoreCol) * bins), lit(0)),
       lit(bins - 1)).cast("long")
-    df.select(bin.as("bin"), col(scoreCol).as("s"),
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(scoreCol).as("s"),
         col(labelCol).cast("double").as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -36,6 +37,53 @@ object RewardStats {
         avg(col("y")).cast("float").as("win_rate"))
       .withColumn("gap", abs(col("mean_score") - col("win_rate")).cast("float"))
   }
+
+  /** Group-relative advantages (the GRPO normalization): per prompt
+    * group, advantage_i = (score_i - mean) / std, with zero for
+    * degenerate groups (std = 0). Variance comes from EXACT sums
+    * (n, sum, sum-of-squares — integer-valued scores stay exact in
+    * doubles), clamped at zero before the sqrt, so the whole chain is
+    * correctly-rounded IEEE arithmetic.
+    *
+    * Scale shape: one two-phase groupBy to |prompts| stat rows,
+    * broadcast back over the responses — the response stream itself
+    * never shuffles. */
+  def groupAdvantage(df: DataFrame, promptCol: String, respIdCol: String,
+                     scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val clean = df.filter(col(promptCol).isNotNull && col(scoreCol).isNotNull)
+    val stats = clean.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("__n"), sum(s).as("__sm"),
+        sum(s * s).as("__sq"))
+      .withColumn("__mean", col("__sm") / col("__n"))
+      .withColumn("__sd", sqrt(greatest(
+        col("__sq") / col("__n") - col("__mean") * col("__mean"), lit(0.0))))
+      .select(col(promptCol), col("__mean"), col("__sd"))
+    clean.join(broadcast(stats), Seq(promptCol))
+      .select(col(promptCol), col(respIdCol), s.as("score"),
+        round(when(col("__sd") > 0, (s - col("__mean")) / col("__sd"))
+          .otherwise(0.0), 6).as("advantage"))
+  }
+
+  /** LLM-as-judge vote aggregation: per item the modal label (ties
+    * break to the lexicographically smallest label), its vote count,
+    * the total votes, and the unanimity flag.
+    *
+    * Scale shape: groupBy(item, label) then groupBy(item) — the second
+    * shuffle is co-partitioned with the first's prefix, and the modal
+    * pick rides a struct-ordered min (largest count, then smallest
+    * label), no window sort. */
+  def judgeVote(df: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    df.filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(itemCol))
+      .agg(
+        sum(col("__c")).as("n_votes"),
+        min(struct((-col("__c")).as("nc"), col(labelCol).as("l"))).as("top"))
+      .select(col(itemCol), col("n_votes"),
+        col("top.l").as("top_label"), (-col("top.nc")).as("top_votes"),
+        (col("n_votes") === -col("top.nc")).as("unanimous"))
 
   /** Cohen's kappa between two raters over shared items:
     * po = observed agreement, pe = chance agreement from the raters'

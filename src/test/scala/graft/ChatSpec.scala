@@ -148,6 +148,16 @@ class ChatSpec extends SparkSpecBase {
     assert(t == ((1L, 1L, 1L, 0L, false)))
   }
 
+  test("toolTrace: malformed JSON gets -1 sentinels and invalid") {
+    val r = Chat.toolTrace(Seq((1L, "{not json")).toDF("id", "conv"),
+      "id", "conv").collect().head
+    assert(r.getAs[Long]("n_turns") == -1L)
+    assert(r.getAs[Long]("n_tool_turns") == -1L)
+    assert(r.getAs[Long]("n_calls") == -1L)
+    assert(r.getAs[Long]("answered") == -1L)
+    assert(!r.getAs[Boolean]("valid"))
+  }
+
   test("toolTrace is UDF-free and scan-shaped") {
     val df = Seq((1L, """[{"role":"user","content":"a"}]""")).toDF("id", "conv")
     val plan = Chat.toolTrace(df, "id", "conv").queryExecution.executedPlan.toString

@@ -42,6 +42,17 @@ class PreferenceSpec extends SparkSpecBase {
     assert(m("flat").getAs[Double]("margin") == 0.0)
   }
 
+  test("pairs: null prompts, ids, and scores are dropped, not NPEs") {
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("p", 1L, 2.0), ("p", 2L, 5.0), (null, 3L, 9.0),
+      ("p", null, 9.0), ("p", 4L, null))
+      .toDF("prompt", "resp_id", "score")
+    val out = Preference.pairs(df, "prompt", "resp_id", "score").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_responses") == 2L)
+    assert(out.head.getAs[Long]("chosen_id") == 2L)
+  }
+
   private def btOf(matches: Seq[(String, String)], rounds: Int = 3) =
     Preference.btStrength(spark, matches.toDF("w", "l"), "w", "l", rounds)
       .collect().map(r => r.getAs[String]("item") ->

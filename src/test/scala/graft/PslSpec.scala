@@ -53,6 +53,13 @@ class PslSpec extends SparkSpecBase {
     assert(m("unknowntld") == (("unknowntld", null, true)))
   }
 
+  test("uppercase and FQDN trailing-dot hosts normalize; output echoes input") {
+    val m = reg("WWW.Example.COM", "shop.co.uk.")
+    // keys are the INPUT hosts, verbatim
+    assert(m("WWW.Example.COM") == (("com", "example.com", false)))
+    assert(m("shop.co.uk.") == (("co.uk", "shop.co.uk", false)))
+  }
+
   test("host equal to a listed suffix is public, no registrable") {
     val m = reg("github.io", "co.uk", "com")
     assert(m("github.io") == (("github.io", null, true)))

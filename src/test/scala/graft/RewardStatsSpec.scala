@@ -70,6 +70,34 @@ class RewardStatsSpec extends SparkSpecBase {
     assert(math.abs(k - 0.058824f) < 1e-5)
   }
 
+  test("groupAdvantage: zero-mean unit-std within each group") {
+    val df = Seq(
+      ("p", 1L, 1.0), ("p", 2L, 2.0), ("p", 3L, 3.0),
+      ("q", 4L, 5.0), ("q", 5L, 5.0) // degenerate: std 0
+    ).toDF("prompt", "resp_id", "score")
+    val out = RewardStats.groupAdvantage(df, "prompt", "resp_id", "score")
+      .collect().map(r => r.getAs[Long]("resp_id") ->
+        r.getAs[Double]("advantage")).toMap
+    // mean 2, var 2/3, std 0.816497
+    assert(out(1L) == -1.224745 && out(2L) == 0.0 && out(3L) == 1.224745)
+    assert(out(4L) == 0.0 && out(5L) == 0.0) // degenerate -> zero, not NaN
+  }
+
+  test("judgeVote: majority, unanimity, and smallest-label tiebreak") {
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),           // unanimous A
+      (2L, "B"), (2L, "B"), (2L, "C"),           // majority B
+      (3L, "C"), (3L, "A"), (3L, "B")            // 1-1-1 -> smallest label A
+    ).toDF("item", "label")
+    val out = RewardStats.judgeVote(df, "item", "label")
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("n_votes"), r.getAs[String]("top_label"),
+          r.getAs[Long]("top_votes"), r.getAs[Boolean]("unanimous"))).toMap
+    assert(out(1L) == ((3L, "A", 3L, true)))
+    assert(out(2L) == ((3L, "B", 2L, false)))
+    assert(out(3L) == ((3L, "A", 1L, false)))
+  }
+
   test("kappa: items missing either rater are dropped") {
     val rows = Seq(
       (1L, "r1", "a"), (1L, "r2", "a"),
