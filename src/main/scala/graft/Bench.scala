@@ -88,7 +88,13 @@ object Bench {
     "charset_decode",                                     // UTF-8 validate + cp1252 fallback scan
     "pagerank_knn", "community_labelprop", "tfidf_hashed", // graph / IR analytics
     "graphsage_agg", "sgc_propagate",                     // GNN
-    "incremental_dedup", "dsir_select")                   // ingestion dedup / data selection
+    "incremental_dedup", "dsir_select",                   // ingestion dedup / data selection
+    // semantic_decontam and registrable_domain carry SCALE_BENCH cost
+    // curves instead of headline slots (the gif_codec_scan precedent);
+    // group_advantage shares the two-phase-agg + broadcast-back family
+    // already timed by knn_classify. chat_tool_trace IS here: the
+    // higher-order aggregate fold is a plan family nothing else compiles.
+    "chat_tool_trace")                                    // agentic-turn validation fold
 
   /** Per-entry budget (chars) for one spread_pct value ("99," at the
     * cap, "-1," for a failed row); `BenchShapeSpec` budgets the meta

@@ -108,6 +108,37 @@ object ScaleBench {
       val (nDec, tDec) = time(operators.Dedup.decontaminate(
         docs, bench, "doc_id", "text").filter(col("contaminated")).count())
       add("decontaminate", docs.count(), tDec, Seq(("flagged", nDec.toDouble)))
+
+      // Semantic decontamination at scale: a FIXED eval embedding set
+      // (every 53rd BASE vector) broadcast against the scaled corpus.
+      // The corpus streams through the broadcast nested-loop + map-side
+      // max without shuffling, so cost should track |corpus|·|eval|
+      // scan work linearly in the corpus.
+      val evalVecs = emb0.filter(col("vec_id") % 53 === 0)
+      val (nSd, tSd) = time(operators.Dedup.semanticDecontam(
+          emb, evalVecs, "vec_id", "embedding", tau = 0.35)
+        .filter(col("contaminated")).count())
+      add("semantic_decontam", emb.count(), tSd,
+        Seq(("flagged", nSd.toDouble)))
+
+      // Registrable-domain extraction at scale: the PSL candidate
+      // explode + broadcast rule joins + per-id groupBy over hosts
+      // derived from the scaled corpus — stateless per row, one
+      // shuffle, so the curve should be linear in rows.
+      val pslRules = {
+        import spark.implicits._
+        Seq("com", "co.uk", "uk", "io", "github.io", "*.ck", "!www.ck")
+          .toDF("rule")
+      }
+      val hosts = docs.select(col("doc_id"),
+        concat(lit("h"), col("doc_id") % 1000, lit("."),
+          when(col("doc_id") % 3 === 0, lit("example.com"))
+            .when(col("doc_id") % 3 === 1, lit("shop.co.uk"))
+            .otherwise(lit("bar.ck"))).as("host"))
+      val (nPsl, tPsl) = time(operators.Psl.registrable(
+        hosts, "doc_id", "host", pslRules).count())
+      add("registrable_domain", nPsl, tPsl)
+
       val (model, t4) = time {
         val m = operators.Ivf.build(emb, "embedding", nlists = 100)
         m.assigned.cache().count()

@@ -11041,6 +11041,277 @@ object SparkEntry {
       |       / (1 - e.s * 1.0 / (a.n * a.n)) AS REAL) AS kappa
       |FROM a, e""".stripMargin
 
+  /** ISOBMFF/MP4 container probe, FULL oracle — the metadata rung for
+    * the most common video container (`operators/Mp4.scala`, ISO/IEC
+    * 14496-12 box walk): per doc a muxed fixture — a video-only file
+    * (avc1), an audio-only file (mp4a), or a two-track file with
+    * VERSION-1 64-bit movie/media headers — probed generically for
+    * duration (round-half-up ms), track count, handlers, codec
+    * fourccs, dimensions, channels, and sample rate. Oracle replays
+    * the dial closed form including the integer ms conversion. */
+  private def mp4Probe(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      val ts = 1000L + (d % 7) * 100L
+      val dur = 30000L + (d % 97) * 13L
+      val video = operators.Mp4.TrackSpec("vide", "avc1",
+        width = 320 + (d % 5).toInt * 16, height = 240 + (d % 4).toInt * 16)
+      val audio = operators.Mp4.TrackSpec("soun", "mp4a",
+        channels = 1 + (d % 2).toInt,
+        sampleRate = Seq(8000, 16000, 44100, 48000)((d % 4).toInt),
+        language = "eng")
+      val bytes = (d % 3) match {
+        case 0 => operators.Mp4.encode(ts, dur, Seq(video))
+        case 1 => operators.Mp4.encode(ts, dur, Seq(audio))
+        case _ => operators.Mp4.encode(ts, dur, Seq(video, audio), v1 = true)
+      }
+      val m = operators.Mp4.probe(bytes)
+        .getOrElse(sys.error(s"mp4 round-trip failed for doc $d"))
+      (m.durationMs, m.tracks.length,
+        m.tracks.map(_.handler).mkString(","),
+        m.tracks.map(_.codec).mkString(","),
+        m.tracks.map(_.width).max, m.tracks.map(_.height).max,
+        m.tracks.map(_.channels).max, m.tracks.map(_.sampleRate).max,
+        m.tracks.map(_.language).mkString(","))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("duration_ms"), col("r._2").cast("long").as("n_tracks"),
+        col("r._3").as("handlers"), col("r._4").as("codecs"),
+        col("r._5").cast("long").as("width"), col("r._6").cast("long").as("height"),
+        col("r._7").cast("long").as("channels"),
+        col("r._8").cast("long").as("sample_rate"), col("r._9").as("langs"))
+  }
+
+  private val mp4ProbeSql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 3 AS dial,
+      |    1000 + (doc_id % 7) * 100 AS ts,
+      |    30000 + (doc_id % 97) * 13 AS dur,
+      |    320 + (doc_id % 5) * 16 AS w, 240 + (doc_id % 4) * 16 AS h,
+      |    1 + (doc_id % 2) AS ch,
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         WHEN 2 THEN 44100 ELSE 48000 END AS sr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  (dur * 1000 + ts // 2) // ts AS duration_ms,
+      |  CAST(CASE dial WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+      |  CASE dial WHEN 0 THEN 'vide' WHEN 1 THEN 'soun'
+      |       ELSE 'vide,soun' END AS handlers,
+      |  CASE dial WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4a'
+      |       ELSE 'avc1,mp4a' END AS codecs,
+      |  CAST(CASE WHEN dial = 1 THEN 0 ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN dial = 1 THEN 0 ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN dial = 0 THEN 0 ELSE ch END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN dial = 0 THEN 0 ELSE sr END AS BIGINT) AS sample_rate,
+      |  CASE dial WHEN 0 THEN 'und' WHEN 1 THEN 'eng'
+      |       ELSE 'und,eng' END AS langs
+      |FROM t""".stripMargin
+
+  /** HLS playlist parse, FULL oracle — RFC 8216 media and master
+    * playlists (`operators/Hls.scala`, one ordered zero-UDF fold):
+    * per doc a media playlist (EXTINF/URI pairs, dyadic durations so
+    * the fold's sequential adds equal the oracle's closed-form
+    * product exactly), a master playlist (STREAM-INF variants with
+    * arithmetic bandwidths), or a header-less invalid file. */
+  private def hlsPlaylist(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val k = (d % 4 + 2).cast("int") // segments
+    val v = ((d / 3) % 3 + 2).cast("int") // variants
+    val durStr = when((d / 3) % 3 === 0, lit("1.0"))
+      .when((d / 3) % 3 === 1, lit("1.5")).otherwise(lit("2.0"))
+    val media = concat(lit("#EXTM3U\n#EXT-X-TARGETDURATION:4\n"),
+      array_join(transform(sequence(lit(1), k),
+        i => concat(lit("#EXTINF:"), durStr, lit(",\nseg"), i, lit(".ts"))),
+        "\n"))
+    val master = concat(lit("#EXTM3U\n"),
+      array_join(transform(sequence(lit(1), v),
+        i => concat(lit("#EXT-X-STREAM-INF:BANDWIDTH="),
+          (i.cast("long") * 100000L + (d % 7) * 1000L),
+          lit(",CODECS=\"avc1\"\nvar"), i, lit(".m3u8"))), "\n"))
+    val text = when(d % 3 === 0, media).when(d % 3 === 1, master)
+      .otherwise(lit("#EXTINFbogus\nseg.ts"))
+    operators.Hls.parse(
+      Tables.read(s, dir, "documents").select(d, text.as("playlist")),
+      "doc_id", "playlist")
+  }
+
+  private val hlsPlaylistSql =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 3 AS dial,
+      |    doc_id % 4 + 2 AS k, (doc_id // 3) % 3 + 2 AS v,
+      |    CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 1.5
+      |         ELSE 2.0 END AS DOUBLE) AS dur
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE dial WHEN 0 THEN 'media' WHEN 1 THEN 'master'
+      |       ELSE 'invalid' END AS kind,
+      |  CAST(CASE WHEN dial = 0 THEN k ELSE 0 END AS BIGINT) AS n_segments,
+      |  CAST(CASE WHEN dial = 0 THEN k * dur ELSE 0.0 END AS DOUBLE)
+      |    AS total_duration,
+      |  CAST(CASE WHEN dial = 0 THEN 4 ELSE 0 END AS BIGINT)
+      |    AS target_duration,
+      |  CAST(CASE WHEN dial = 1 THEN v ELSE 0 END AS BIGINT) AS n_variants,
+      |  CAST(CASE WHEN dial = 1 THEN v * 100000 + (doc_id % 7) * 1000
+      |       ELSE 0 END AS BIGINT) AS max_bandwidth
+      |FROM t""".stripMargin
+
+  /** JSONL schema profile, FULL oracle — per-key presence and sniffed
+    * value types over a four-key fixture feed (always-int id,
+    * sometimes-present float score, bool-or-string flag,
+    * null-or-string note — `operators/JsonProfile.scala`): one explode
+    * + one two-phase groupBy on the key, broadcast total back. The
+    * oracle replays the dial counts from the same aggregates. */
+  private def jsonProfileQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val json = concat(lit("{\"id\":"), d,
+      when(d % 2 === 0, concat(lit(",\"score\":"), d % 100, lit(".5")))
+        .otherwise(lit("")),
+      lit(",\"flag\":"),
+      when(d % 3 === 0,
+        when(d % 6 === 0, lit("true")).otherwise(lit("false")))
+        .otherwise(concat(lit("\"s"), d, lit("\""))),
+      lit(",\"note\":"),
+      when(d % 5 === 0, lit("null"))
+        .otherwise(concat(lit("\"n"), d, lit("\""))),
+      lit("}"))
+    operators.JsonProfile.profile(
+      Tables.read(s, dir, "documents").select(json.as("j")), "j")
+  }
+
+  private val jsonProfileSql =
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+      |  FROM documents)
+      |SELECT 'id' AS key, n AS n_present,
+      |  CAST(n / CAST(n AS DOUBLE) AS REAL) AS presence_pct,
+      |  n AS n_int, CAST(0 AS BIGINT) AS n_float, CAST(0 AS BIGINT) AS n_bool,
+      |  CAST(0 AS BIGINT) AS n_null, CAST(0 AS BIGINT) AS n_str,
+      |  'int' AS dominant FROM s
+      |UNION ALL SELECT 'score', n2, CAST(n2 / CAST(n AS DOUBLE) AS REAL),
+      |  CAST(0 AS BIGINT), n2, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(0 AS BIGINT), 'float' FROM s
+      |UNION ALL SELECT 'flag', n, CAST(n / CAST(n AS DOUBLE) AS REAL),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), n3, CAST(0 AS BIGINT),
+      |  n - n3, 'str' FROM s
+      |UNION ALL SELECT 'note', n, CAST(n / CAST(n AS DOUBLE) AS REAL),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), n5,
+      |  n - n5, 'str' FROM s""".stripMargin
+
+  /** PSI drift, FULL oracle — population stability between an even-id
+    * reference slice and an odd-id current slice whose closed-form
+    * values are shifted (`operators/Drift.psi`): ten fixed-range bins,
+    * Laplace-smoothed proportions, per-bin contributions
+    * (pa-pb)*ln(pa/pb) emitted float4 (ln is libm). One two-phase
+    * groupBy + broadcast totals; the oracle replays the identical
+    * smoothing and double arithmetic. */
+  private def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    val ref = ev.filter(col("event_id") % 2 === 0)
+      .select(((col("event_id") * 7) % 100).cast("double").as("x"))
+    val cur = ev.filter(col("event_id") % 2 === 1)
+      .select(((col("event_id") * 7 + (col("event_id") % 13) * 3) % 100)
+        .cast("double").as("x"))
+    operators.Drift.psi(ref, cur, "x", bins = 10, lo = 0.0, hi = 100.0)
+  }
+
+  private val psiDriftSql =
+    """WITH a AS (
+      |  SELECT CAST(floor(CAST((event_id * 7) % 100 AS DOUBLE) / 10.0)
+      |    AS BIGINT) AS bin
+      |  FROM events WHERE event_id % 2 = 0),
+      |b AS (
+      |  SELECT CAST(floor(CAST((event_id * 7 + (event_id % 13) * 3) % 100
+      |    AS DOUBLE) / 10.0) AS BIGINT) AS bin
+      |  FROM events WHERE event_id % 2 = 1),
+      |c AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+      |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+      |  FROM (SELECT bin, 0 AS side FROM a
+      |        UNION ALL SELECT bin, 1 FROM b) u
+      |  GROUP BY bin),
+      |t AS (SELECT SUM(n_ref) AS ta, SUM(n_cur) AS tb FROM c),
+      |p AS (SELECT bin, n_ref, n_cur,
+      |        (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0) AS pr,
+      |        (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0) AS pc
+      |      FROM c, t)
+      |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(pr AS REAL) AS p_ref, CAST(pc AS REAL) AS p_cur,
+      |  CAST((pr - pc) * ln(pr / pc) AS REAL) AS psi_contrib
+      |FROM p""".stripMargin
+
+  /** Group-relative advantages, FULL oracle — the GRPO normalization
+    * over the preference fixture (`operators/RewardStats
+    * .groupAdvantage`): per prompt, (score - mean)/std from EXACT
+    * n/sum/sum-of-squares (integer-valued scores), zero-clamped
+    * variance, degenerate groups get zero. One two-phase groupBy +
+    * broadcast join back; the oracle replays the identical
+    * correctly-rounded chain, so round-6 is safe. */
+  private def groupAdvantage(s: SparkSession, dir: String): DataFrame = {
+    val gens = Tables.read(s, dir, "documents")
+      .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+        col("doc_id").as("resp_id"),
+        ((col("doc_id") * 37) % 101).cast("double").as("score"))
+    operators.RewardStats.groupAdvantage(gens, "prompt", "resp_id", "score")
+  }
+
+  private val groupAdvantageSql =
+    """WITH r AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt, doc_id AS resp_id,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS s
+      |  FROM documents),
+      |g AS (SELECT prompt, count(*) AS n, SUM(s) AS sm, SUM(s * s) AS sq
+      |      FROM r GROUP BY prompt),
+      |m AS (SELECT prompt, sm / n AS mean,
+      |        sqrt(GREATEST(sq / n - (sm / n) * (sm / n), 0)) AS sd
+      |      FROM g)
+      |SELECT r.prompt, r.resp_id, r.s AS score,
+      |  round(CASE WHEN sd > 0 THEN (r.s - mean) / sd ELSE 0.0 END, 6)
+      |    AS advantage
+      |FROM r JOIN m ON r.prompt = m.prompt""".stripMargin
+
+  /** Judge-vote aggregation, FULL oracle — LLM-as-judge majority
+    * labels (`operators/RewardStats.judgeVote`): three judges whose
+    * labels disagree on closed-form dials (including a 1-1-1 split
+    * whose tie breaks to the smallest label); modal pick rides a
+    * struct-ordered min, no window sort. The oracle replays via
+    * row_number. */
+  private def judgeVote(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.read(s, dir, "documents")
+    def lab(v: Column) = concat(lit("L"), v)
+    val v1 = docs.select(d.as("item"), lab(d % 3).as("label"))
+    val v2 = docs.select(d.as("item"),
+      lab(when(d % 4 === 0, (d + 1) % 3).otherwise(d % 3)).as("label"))
+    val v3 = docs.select(d.as("item"),
+      lab(when(d % 5 === 0, (d + 2) % 3).otherwise(d % 3)).as("label"))
+    operators.RewardStats.judgeVote(v1.unionAll(v2).unionAll(v3),
+      "item", "label")
+  }
+
+  private val judgeVoteSql =
+    """WITH v AS (
+      |  SELECT doc_id AS item, 'L' || (doc_id % 3) AS label FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'L' || (CASE WHEN doc_id % 4 = 0 THEN (doc_id + 1) % 3
+      |                         ELSE doc_id % 3 END) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'L' || (CASE WHEN doc_id % 5 = 0 THEN (doc_id + 2) % 3
+      |                         ELSE doc_id % 3 END) FROM documents),
+      |c AS (SELECT item, label, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |b AS (SELECT item, label, cnt,
+      |        row_number() OVER (PARTITION BY item
+      |                           ORDER BY cnt DESC, label) AS rn,
+      |        SUM(cnt) OVER (PARTITION BY item) AS nv
+      |      FROM c)
+      |SELECT item, CAST(nv AS BIGINT) AS n_votes, label AS top_label,
+      |  CAST(cnt AS BIGINT) AS top_votes, nv = cnt AS unanimous
+      |FROM b WHERE rn = 1""".stripMargin
+
   /** Token-budget allocation, FULL oracle — per-domain available
     * tokens vs target mixture weights vs a fixed training budget:
     * allocated tokens, epochs, and the oversampling flag
@@ -11275,6 +11546,12 @@ object SparkEntry {
     "reward_calibration" -> (rewardCalibration(_, _)),
     "annotator_kappa" -> (annotatorKappa(_, _)),
     "token_budget_mix" -> (tokenBudgetMix(_, _)),
+    "group_advantage" -> (groupAdvantage(_, _)),
+    "judge_vote" -> (judgeVote(_, _)),
+    "mp4_probe" -> (mp4Probe(_, _)),
+    "hls_playlist" -> (hlsPlaylist(_, _)),
+    "psi_drift" -> (psiDrift(_, _)),
+    "json_profile" -> (jsonProfileQ(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11625,6 +11902,12 @@ object SparkEntry {
     "reward_calibration" -> rewardCalibrationSql,
     "annotator_kappa" -> annotatorKappaSql,
     "token_budget_mix" -> tokenBudgetMixSql,
+    "group_advantage" -> groupAdvantageSql,
+    "judge_vote" -> judgeVoteSql,
+    "mp4_probe" -> mp4ProbeSql,
+    "hls_playlist" -> hlsPlaylistSql,
+    "psi_drift" -> psiDriftSql,
+    "json_profile" -> jsonProfileSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Hls
+
+/** HLS parse invariants: EXTINF/URI pairing, master-variant detection,
+  * header gating, orphan tags, comment/blank tolerance, and the
+  * zero-UDF scan shape. */
+class HlsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def parse(text: String) = {
+    val r = Hls.parse(Seq((1L, text)).toDF("id", "pl"), "id", "pl")
+      .collect().head
+    (r.getAs[String]("kind"), r.getAs[Long]("n_segments"),
+      r.getAs[Double]("total_duration"), r.getAs[Long]("target_duration"),
+      r.getAs[Long]("n_variants"), r.getAs[Long]("max_bandwidth"))
+  }
+
+  test("media playlist: segments pair with the following URI line") {
+    val t = parse(
+      """#EXTM3U
+        |#EXT-X-TARGETDURATION:6
+        |#EXTINF:5.5,
+        |a.ts
+        |#EXTINF:4.0,first segment title
+        |b.ts
+        |#EXT-X-ENDLIST""".stripMargin)
+    assert(t == (("media", 2L, 9.5, 6L, 0L, 0L)))
+  }
+
+  test("master playlist: variants counted, max bandwidth kept") {
+    val t = parse(
+      """#EXTM3U
+        |#EXT-X-STREAM-INF:BANDWIDTH=1280000,RESOLUTION=640x360
+        |low.m3u8
+        |#EXT-X-STREAM-INF:BANDWIDTH=5120000,RESOLUTION=1920x1080
+        |high.m3u8""".stripMargin)
+    assert(t == (("master", 0L, 0.0, 0L, 2L, 5120000L)))
+  }
+
+  test("missing #EXTM3U header is invalid; counters zero") {
+    assert(parse("#EXTINF:4.0,\na.ts") ==
+      (("invalid", 0L, 0.0, 0L, 0L, 0L)))
+  }
+
+  test("orphan EXTINF (no following URI) adds nothing; URIs without a tag ignored") {
+    val t = parse(
+      """#EXTM3U
+        |naked-uri.ts
+        |#EXTINF:3.0,
+        |#EXT-X-ENDLIST""".stripMargin)
+    assert(t._2 == 0L && t._3 == 0.0)
+  }
+
+  test("comments, blank lines, and CRLF endings are tolerated") {
+    val t = parse(
+      "#EXTM3U\r\n# just a comment\r\n\r\n#EXTINF:2.0,\r\nseg.ts\r\n")
+    assert(t == (("media", 1L, 2.0, 0L, 0L, 0L)))
+  }
+
+  test("parse is UDF-free and scan-shaped") {
+    val df = Seq((1L, "#EXTM3U\n")).toDF("id", "pl")
+    val plan = Hls.parse(df, "id", "pl").queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
