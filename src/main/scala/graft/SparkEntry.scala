@@ -10902,15 +10902,19 @@ object SparkEntry {
       .when(d % 6 === 1, concat(lit("b.shop"), d, lit(".co.uk")))
       .when(d % 6 === 2, concat(lit("x"), d, lit(".github.io")))
       .when(d % 6 === 3, concat(lit("foo.bar"), d, lit(".ck")))
+      // d % 6 == 4 forces d even, so the sub-dial must NOT key on d % 2
+      // (that branch would be dead and the host-is-suffix row shape
+      // never exercised) — key on (d / 6) % 2 instead
       .when(d % 6 === 4,
-        when(d % 2 === 0, lit("www.ck")).otherwise(lit("github.io")))
+        when(floor(d / 6).cast("long") % 2 === 0, lit("www.ck"))
+          .otherwise(lit("github.io")))
       .otherwise(concat(lit("y"), d, lit(".unknowntld")))
     val urls = Tables.read(s, dir, "documents").select(d, host.as("host"))
     operators.Psl.registrable(urls, "doc_id", "host", rules)
   }
 
   private val registrableDomainSql =
-    """WITH h AS (SELECT doc_id, doc_id % 6 AS dial, doc_id % 2 AS par
+    """WITH h AS (SELECT doc_id, doc_id % 6 AS dial, (doc_id // 6) % 2 AS par
       |           FROM documents)
       |SELECT doc_id,
       |  CASE dial

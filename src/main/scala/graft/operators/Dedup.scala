@@ -263,15 +263,18 @@ object Dedup {
                        vecCol: String, tau: Double): DataFrame = {
     val e = broadcast(evalSet.select(col(idCol).as("__eval_id"),
       col(vecCol).as("__eval_vec")))
-    corpus.select(col(idCol), col(vecCol)).crossJoin(e)
+    // LEFT cross join: an empty eval set must yield every corpus row
+    // marked clean (null sim/nearest), not an empty report
+    corpus.select(col(idCol), col(vecCol)).join(e, lit(true), "left")
       .withColumn("__sim",
-        lit(1.0) - Knn.distCol("cosine")(col(vecCol), col("__eval_vec")))
+        when(col("__eval_vec").isNotNull,
+          lit(1.0) - Knn.distCol("cosine")(col(vecCol), col("__eval_vec"))))
       .groupBy(col(idCol))
       .agg(max(struct(col("__sim").as("s"), (-col("__eval_id")).as("nid")))
         .as("m"))
       .select(col(idCol), round(col("m.s"), 6).as("max_sim"),
         (-col("m.nid")).as("nearest_eval"),
-        (col("m.s") >= tau).as("contaminated"))
+        coalesce(col("m.s") >= tau, lit(false)).as("contaminated"))
   }
 
   /** Corpus-level boilerplate line removal (the RefinedWeb / C4 line

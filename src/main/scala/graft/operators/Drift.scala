@@ -33,7 +33,9 @@ object Drift {
     require(bins >= 2 && hi > lo, s"need bins >= 2 and hi > lo: $bins, [$lo, $hi)")
     val width = (hi - lo) / bins
     def binned(df: DataFrame, side: String) =
-      df.filter(col(valueCol).isNotNull)
+      // NaN would clamp into the top bin (NaN sorts above all values);
+      // drop it with the nulls
+      df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
         .select(least(greatest(
           floor((col(valueCol) - lo) / width), lit(0)), lit(bins - 1))
           .cast("long").as("bin"), lit(side).as("side"))

@@ -33,8 +33,13 @@ object Fim {
   def transform(df: DataFrame, idCol: String, textCol: String,
                 p1: Column, p2: Column): DataFrame = {
     val len = length(col(textCol))
-    val c1 = greatest(lit(0), least(p1.cast("int"), len))
-    val c2 = greatest(lit(0), least(p2.cast("int"), len))
+    // clamp in LONG first — an int cast before the clamp would wrap
+    // out-of-range offsets; after clamping the value fits an int
+    // because it is bounded by len
+    val c1 = greatest(lit(0L), least(p1.cast("long"), len.cast("long")))
+      .cast("int")
+    val c2 = greatest(lit(0L), least(p2.cast("long"), len.cast("long")))
+      .cast("int")
     val lo = least(c1, c2)
     val hi = greatest(c1, c2)
     df.select(col(idCol), col(textCol).as("__t"), lo.as("__lo"), hi.as("__hi"))

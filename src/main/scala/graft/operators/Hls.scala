@@ -32,15 +32,19 @@ object Hls {
     * max_bandwidth. */
   def parse(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = split(col(textCol), "\\r?\\n")
+    // pend = -1.0 means "no EXTINF pending" — a segment with a LEGAL
+    // zero duration (#EXTINF:0, integer-duration playlists) must still
+    // count, so zero cannot double as the sentinel
     val folded = aggregate(lines,
-      expr(s"CAST(struct(0.0D, 0, 0.0D, 0, 0) AS $stateType)"),
+      expr(s"CAST(struct(-1.0D, 0, 0.0D, 0, 0) AS $stateType)"),
       (acc, line0) => {
         val line = trim(line0)
         val extinf = line.startsWith("#EXTINF:")
         val streaminf = line.startsWith("#EXT-X-STREAM-INF:")
         val uri = !line.startsWith("#") && length(line) > 0
+        val pending = acc.getField("pend") >= 0
         // regexp_extract yields "" on no match — null it BEFORE the cast
-        // (ANSI mode refuses ''-to-number)
+        // (ANSI mode refuses ''-to-number); a malformed duration reads 0
         val dur = coalesce(
           nullif(regexp_extract(line, "^#EXTINF:([0-9.]+)", 1), lit(""))
             .cast("double"), lit(0.0))
@@ -48,20 +52,25 @@ object Hls {
           nullif(regexp_extract(line, "BANDWIDTH=([0-9]+)", 1), lit(""))
             .cast("bigint"), lit(0L))
         struct(
-          when(extinf, dur).when(uri, lit(0.0))
+          when(extinf, dur).when(uri, lit(-1.0))
             .otherwise(acc.getField("pend")).as("pend"),
           (acc.getField("nseg") +
-            when(uri && acc.getField("pend") > 0, 1L).otherwise(0L)).as("nseg"),
+            when(uri && pending, 1L).otherwise(0L)).as("nseg"),
           (acc.getField("tot") +
-            when(uri && acc.getField("pend") > 0, acc.getField("pend"))
+            when(uri && pending, acc.getField("pend"))
               .otherwise(0.0)).as("tot"),
           (acc.getField("nvar") + when(streaminf, 1L).otherwise(0L)).as("nvar"),
           when(streaminf, greatest(acc.getField("maxbw"), bw))
             .otherwise(acc.getField("maxbw")).as("maxbw"))
       })
-    val header = trim(element_at(lines, 1)) === "#EXTM3U"
+    // null playlists are invalid, not empty-media (three-valued NOT
+    // would skip the invalid branch on null)
+    val header = coalesce(trim(element_at(lines, 1)) === "#EXTM3U", lit(false))
+    // (?m) anchors the tag to its own line — the substring inside a
+    // comment or URI must not read as the target duration
     val target = coalesce(
-      nullif(regexp_extract(col(textCol), "#EXT-X-TARGETDURATION:([0-9]+)", 1),
+      nullif(regexp_extract(col(textCol),
+        "(?m)^#EXT-X-TARGETDURATION:([0-9]+)", 1),
         lit("")).cast("bigint"), lit(0L))
     df.select(col(idCol),
       when(!header, lit("invalid"))

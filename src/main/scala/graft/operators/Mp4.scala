@@ -117,11 +117,17 @@ object Mp4 {
           walk(bytes, p, e) { (t2, p2, e2) =>
             t2 match {
               case "mvhd" =>
-                val v = bytes(p2) & 0xff
-                mvhd = Some(
-                  if (v == 1) (u32(bytes, p2 + 20), u64(bytes, p2 + 24))
-                  else (u32(bytes, p2 + 12), u32(bytes, p2 + 16)))
-                true
+                if (e2 - p2 < 20) false // shortest legal v0 prefix
+                else {
+                  val v = bytes(p2) & 0xff
+                  if (v == 1 && e2 - p2 < 32) false
+                  else {
+                    mvhd = Some(
+                      if (v == 1) (u32(bytes, p2 + 20), u64(bytes, p2 + 24))
+                      else (u32(bytes, p2 + 12), u32(bytes, p2 + 16)))
+                    true
+                  }
+                }
               case "trak" => parseTrak(bytes, p2, e2).exists { t =>
                 tracks += t; true
               }
@@ -145,47 +151,73 @@ object Mp4 {
     var handler = ""; var codec = ""
     var ch = 0; var sr = 0
     var mts = 0L; var mdur = 0L; var lg = ""
-    val ok = walk(b, off, lim) { (typ, p, e) =>
+    // every fixed-layout read is bounds-checked against the box payload
+    // first — an extent-valid but too-short box refuses (None), never
+    // reads the neighboring box's bytes
+    var ok = walk(b, off, lim) { (typ, p, e) =>
       typ match {
         case "tkhd" =>
-          val v = b(p) & 0xff
-          // v0: id at +12; widths at payload end - 8 (16.16 fixed)
-          trackId = if (v == 1) u32(b, p + 20) else u32(b, p + 12)
-          w = u16(b, e - 8); h = u16(b, e - 4)
-          true
+          // v0 payload is 80 bytes, v1 is 92 (14496-12 §8.3.2)
+          if (e - p < 80) false
+          else {
+            val v = b(p) & 0xff
+            if (v == 1 && e - p < 92) false
+            else {
+              trackId = if (v == 1) u32(b, p + 20) else u32(b, p + 12)
+              w = u16(b, e - 8); h = u16(b, e - 4) // 16.16 integer parts
+              true
+            }
+          }
         case "mdia" =>
-          walk(b, p, e) { (t2, p2, e2) =>
+          // child order is unconstrained by the spec: resolve mdhd and
+          // hdlr in a FIRST pass so stsd parsing never depends on hdlr
+          // preceding minf
+          val headersOk = walk(b, p, e) { (t2, p2, e2) =>
             t2 match {
               case "mdhd" =>
-                val v = b(p2) & 0xff
-                if (v == 1) { mts = u32(b, p2 + 20); mdur = u64(b, p2 + 24) }
-                else { mts = u32(b, p2 + 12); mdur = u32(b, p2 + 16) }
-                lg = lang(u16(b, p2 + (if (v == 1) 32 else 20)))
-                true
+                if (e2 - p2 < 24) false
+                else {
+                  val v = b(p2) & 0xff
+                  if (v == 1 && e2 - p2 < 36) false
+                  else {
+                    if (v == 1) { mts = u32(b, p2 + 20); mdur = u64(b, p2 + 24) }
+                    else { mts = u32(b, p2 + 12); mdur = u32(b, p2 + 16) }
+                    lg = lang(u16(b, p2 + (if (v == 1) 32 else 20)))
+                    true
+                  }
+                }
               case "hdlr" =>
-                handler = fourcc(b, p2 + 8); true
-              case "minf" =>
-                walk(b, p2, e2) { (t3, p3, e3) =>
-                  if (t3 == "stbl") walk(b, p3, e3) { (t4, p4, e4) =>
-                    if (t4 == "stsd" && u32(b, p4 + 4) >= 1) {
-                      boxAt(b, p4 + 8, e4).forall { case (cc, p5, _) =>
-                        codec = cc
-                        // sample-entry fixed layouts (after the 6-byte
-                        // reserved + 2-byte data_reference_index)
-                        if (handler == "vide") {
-                          w = u16(b, p5 + 8 + 16); h = u16(b, p5 + 8 + 18)
-                        } else if (handler == "soun") {
-                          ch = u16(b, p5 + 8 + 8)
-                          sr = u16(b, p5 + 8 + 16) // 16.16 integer part
-                        }
+                if (e2 - p2 < 12) false
+                else { handler = fourcc(b, p2 + 8); true }
+              case _ => true
+            }
+          }
+          headersOk && walk(b, p, e) { (t2, p2, e2) =>
+            if (t2 == "minf") walk(b, p2, e2) { (t3, p3, e3) =>
+              if (t3 == "stbl") walk(b, p3, e3) { (t4, p4, e4) =>
+                if (t4 == "stsd") {
+                  if (e4 - p4 < 8 || u32(b, p4 + 4) < 1) false
+                  else boxAt(b, p4 + 8, e4).exists { case (cc, p5, e5) =>
+                    codec = cc
+                    // sample-entry fixed layouts (after the 6-byte
+                    // reserved + 2-byte data_reference_index)
+                    if (handler == "vide") {
+                      if (e5 - p5 < 8 + 20) false
+                      else { w = u16(b, p5 + 8 + 16); h = u16(b, p5 + 8 + 18); true }
+                    } else if (handler == "soun") {
+                      if (e5 - p5 < 8 + 20) false
+                      else {
+                        ch = u16(b, p5 + 8 + 8)
+                        sr = u16(b, p5 + 8 + 16) // 16.16 integer part
                         true
                       }
                     } else true
                   }
-                  else true
-                }
-              case _ => true
+                } else true
+              }
+              else true
             }
+            else true
           }
         case _ => true
       }

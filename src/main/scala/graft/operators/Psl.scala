@@ -55,10 +55,18 @@ object Psl {
 
     // hosts match case-insensitively and in non-FQDN form (PSL
     // convention): lowercase and strip one trailing dot before
-    // splitting; the OUTPUT host column echoes the input verbatim
+    // splitting; the OUTPUT host column echoes the input verbatim.
+    // Null hosts cannot explode into candidates — they are carried
+    // around the pipeline and re-attached with all-null results, so
+    // output rows == input rows holds (per-id joins stay total).
     val norm = lower(regexp_replace(col(hostCol), "\\.$", ""))
+    val nullHosts = urls.filter(col(hostCol).isNull)
+      .select(col(idCol), col(hostCol).as("host"),
+        lit(null).cast("string").as("public_suffix"),
+        lit(null).cast("string").as("registrable"),
+        lit(false).as("is_public_suffix"))
     // all suffix candidates of the host: last k labels, k = 1..n
-    val cands = urls
+    val cands = urls.filter(col(hostCol).isNotNull)
       .withColumn("__labs", split(norm, "\\."))
       .withColumn("__c", explode(expr(
         """transform(sequence(1, size(__labs)),
@@ -97,5 +105,6 @@ object Psl {
           expr("array_join(slice(split(__h, '\\\\.'), CAST(__hlabs - __slabs AS INT), " +
             "CAST(__slabs + 1 AS INT)), '.')")).as("registrable"),
         (col("__hlabs") === col("__slabs")).as("is_public_suffix"))
+      .unionAll(nullHosts)
   }
 }

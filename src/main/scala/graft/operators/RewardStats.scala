@@ -28,7 +28,10 @@ object RewardStats {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val bin = least(greatest(floor(col(scoreCol) * bins), lit(0)),
       lit(bins - 1)).cast("long")
-    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    // NaN sorts above every value in Spark, so it would silently land
+    // in the top bin — drop it with the nulls
+    df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)) &&
+        col(labelCol).isNotNull)
       .select(bin.as("bin"), col(scoreCol).as("s"),
         col(labelCol).cast("double").as("y"))
       .groupBy(col("bin"))

@@ -40,6 +40,12 @@ class DriftSpec extends SparkSpecBase {
     assert(m(9L)._1 == 1L && m(9L)._2 == 1L)
   }
 
+  test("NaN values are dropped, not clamped into the top bin") {
+    val m = psiOf(Seq(5.0, Double.NaN), Seq(5.0))
+    assert(m.keySet == Set(0L))
+    assert(m(0L)._1 == 1L && m(0L)._2 == 1L)
+  }
+
   test("smoothing keeps one-side-empty contributions finite") {
     val m = psiOf(Seq(5.0), Seq(95.0))
     assert(m.values.forall(v => !v._3.isNaN && !v._3.isInfinite))

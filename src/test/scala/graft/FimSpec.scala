@@ -42,6 +42,13 @@ class FimSpec extends SparkSpecBase {
     assert(p2 == "" && m2 == "abcdef" && s2 == "")
   }
 
+  test("offsets beyond Int range clamp to the text length, not wrap") {
+    val r = Fim.transform(Seq((1L, "abcde")).toDF("id", "t"), "id", "t",
+      lit(0L), lit(1L << 33)).collect().head
+    assert(r.getAs[Long]("split_hi") == 5L)
+    assert(r.getAs[String]("middle") == "abcde")
+  }
+
   test("empty text survives") {
     val (lo, hi, pre, mid, suf, psm, _) = fim("", 2, 5)
     assert((lo, hi) == (0L, 0L) && pre == "" && mid == "" && suf == "")

@@ -59,6 +59,26 @@ class HlsSpec extends SparkSpecBase {
     assert(t == (("media", 1L, 2.0, 0L, 0L, 0L)))
   }
 
+  test("a NULL playlist is invalid, not an empty media playlist") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "pl")
+    val r = Hls.parse(df, "id", "pl").collect().head
+    assert(r.getAs[String]("kind") == "invalid")
+    assert(r.getAs[Long]("n_segments") == 0L)
+  }
+
+  test("a legal zero-duration EXTINF still counts its segment") {
+    val t = parse("#EXTM3U\n#EXTINF:0,\na.ts\n#EXTINF:2.5,\nb.ts")
+    assert(t._2 == 2L && t._3 == 2.5)
+  }
+
+  test("TARGETDURATION substring inside a comment or URI is not the tag") {
+    val t = parse(
+      "#EXTM3U\n# was #EXT-X-TARGETDURATION:6 once\n#EXTINF:1.0,\nx.ts")
+    assert(t._4 == 0L, s"unanchored tag match: $t")
+    val t2 = parse("#EXTM3U\n#EXT-X-TARGETDURATION:7\n#EXTINF:1.0,\nx.ts")
+    assert(t2._4 == 7L)
+  }
+
   test("parse is UDF-free and scan-shaped") {
     val df = Seq((1L, "#EXTM3U\n")).toDF("id", "pl")
     val plan = Hls.parse(df, "id", "pl").queryExecution.executedPlan.toString

@@ -66,6 +66,39 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.probe(base ++ large).get.tracks.head.codec == "mp4a")
   }
 
+  test("extent-valid but too-short header boxes refuse, never overread") {
+    // moov containing only an 8-byte (empty-payload) mvhd as the very
+    // last bytes of the buffer: boxAt accepts the extent, but the
+    // fixed-layout read must refuse rather than run off the end
+    val ftyp = Mp4.encode(1000, 1000, Seq(video)).take(28)
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val emptyMvhd = be(8) ++ "mvhd".getBytes("ISO-8859-1")
+    val moov = be(16) ++ "moov".getBytes("ISO-8859-1") ++ emptyMvhd
+    assert(Mp4.probe(ftyp ++ moov).isEmpty)
+  }
+
+  test("hdlr after minf still resolves sample-entry dimensions") {
+    // the spec does not constrain mdia child order; reorder the encoded
+    // mdia children from (mdhd, hdlr, minf) to (mdhd, minf, hdlr)
+    val b = Mp4.encode(1000, 1000, Seq(video))
+    val s = new String(b, "ISO-8859-1")
+    def boxAtOff(off: Int) = {
+      val size = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      (off, off + size)
+    }
+    val (h0, h1) = boxAtOff(s.indexOf("hdlr") - 4)
+    val (m0, m1) = boxAtOff(s.indexOf("minf") - 4)
+    assert(h1 == m0, "fixture layout: hdlr immediately precedes minf")
+    val reordered = b.take(h0) ++ b.slice(m0, m1) ++ b.slice(h0, h1) ++
+      b.drop(m1)
+    val t = Mp4.probe(reordered).get.tracks.head
+    assert(t.handler == "vide" && t.codec == "avc1")
+    assert(t.width == 320 && t.height == 240,
+      "dimensions must not silently drop when hdlr follows minf")
+  }
+
   test("truncated and overlapping extents refuse loudly") {
     val b = Mp4.encode(1000, 1000, Seq(video))
     // truncate mid-moov

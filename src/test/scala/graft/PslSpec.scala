@@ -60,6 +60,18 @@ class PslSpec extends SparkSpecBase {
     assert(m("shop.co.uk.") == (("co.uk", "shop.co.uk", false)))
   }
 
+  test("null hosts keep their row with all-null results") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a.example.com"), (2L, null))
+      .toDF("id", "host")
+    val out = Psl.registrable(df, "id", "host", rules).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.size == 2, "output rows must equal input rows")
+    assert(out(2L).getAs[String]("public_suffix") == null)
+    assert(out(2L).getAs[String]("registrable") == null)
+    assert(!out(2L).getAs[Boolean]("is_public_suffix"))
+    assert(out(1L).getAs[String]("registrable") == "example.com")
+  }
+
   test("host equal to a listed suffix is public, no registrable") {
     val m = reg("github.io", "co.uk", "com")
     assert(m("github.io") == (("github.io", null, true)))

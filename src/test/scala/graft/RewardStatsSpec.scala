@@ -29,6 +29,14 @@ class RewardStatsSpec extends SparkSpecBase {
     assert(math.abs(out(0L)._3 - (1.0f / 3 + 0.2f / 3)) < 1e-6)
   }
 
+  test("calibration: NaN scores are dropped, not binned into bin 9") {
+    val df = Seq((Double.NaN, 1.0), (0.95, 1.0)).toDF("s", "y")
+    val out = RewardStats.calibration(df, "s", "y", bins = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n") == 1L)
+    assert(!out.head.getAs[Float]("mean_score").isNaN)
+  }
+
   test("calibration: a perfectly calibrated bin has zero gap") {
     // bin 5 holds two rows at s=0.5, one win one loss: mean 0.5 = win rate
     val df = Seq((0.5, 1.0), (0.5, 0.0)).toDF("s", "y")

@@ -110,6 +110,17 @@ class SemDedupSpec extends SparkSpecBase {
     assert(cluster == 5L)
   }
 
+  test("semanticDecontam: empty eval set marks every corpus row clean") {
+    val evalSet = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Array(1.0f, 0f)), (2L, Array(0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontam(corpus, evalSet, "vec_id", "embedding",
+      tau = 0.5).collect()
+    assert(out.length == 2, "corpus rows must survive an empty eval set")
+    assert(out.forall(!_.getAs[Boolean]("contaminated")))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("max_sim"))))
+  }
+
   test("semanticDecontam: max-sim, nearest eval, tau flag, id tiebreak") {
     val evalSet = Seq(
       (100L, Array(1.0f, 0f, 0f)),
