@@ -11378,6 +11378,161 @@ object SparkEntry {
       |  sim >= 0.35 AS contaminated
       |FROM b WHERE rn = 1""".stripMargin
 
+  /** ORC fixture root: every table written ONCE per sf dir as a single
+    * ORC file through Spark's own writer (orc-core — a producer this
+    * repo does not implement, so the probe below reads genuinely
+    * independent streams), with the codec varied per table so all four
+    * chunk codecs plus the unframed NONE path sit in the gate. */
+  private val orcFixtureCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val orcTables: Seq[(String, String)] = Seq(
+    "region" -> "zlib", "nation" -> "snappy", "customer" -> "zstd",
+    "supplier" -> "lz4", "part" -> "none", "orders" -> "zstd",
+    "lineitem" -> "zlib", "events" -> "snappy", "documents" -> "zstd",
+    "embeddings" -> "none")
+  private def orcFixtureRoot(s: SparkSession, dir: String): String =
+    orcFixtureCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      orcTables.foreach { case (t, codec) =>
+        Tables.read(s, dir, t).coalesce(1).write.mode("overwrite")
+          .option("compression", codec).orc(s"$root/$t")
+      }
+      root
+    })
+
+  /** ORC tail probe, FULL oracle — the columnar-format introspection
+    * rung beside `parquet_probe` (`operators/OrcFooter`): per table the
+    * native protobuf tail walk reports the postscript codec, footer row
+    * count, root-struct arity, and the FILE-level IntegerStatistics
+    * min/max of the key column — the numbers file pruning reads at
+    * 100 TB instead of stripe data. The oracle recomputes them from the
+    * data through DuckDB's reader; stripe row counts must sum to the
+    * footer total or the probe refuses. */
+  private def orcProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = orcFixtureRoot(s, dir)
+    val rows = orcTables.map { case (t, codec) =>
+      val files = new java.io.File(s"$root/$t")
+        .listFiles((_, n) => n.endsWith(".orc"))
+      require(files != null && files.length == 1, s"$t: want one ORC file")
+      val tail = operators.OrcFooter.parseFile(files.head.getPath)
+        .getOrElse(sys.error(s"unparseable ORC tail: $t"))
+      require(tail.compression == codec, s"$t: codec ${tail.compression}")
+      require(tail.stripes.map(_.numRows).sum == tail.numRows,
+        s"$t: stripes do not sum to numberOfRows")
+      (t, tail.compression, tail.numRows, tail.fieldNames.length.toLong,
+        tail.firstColMin.getOrElse(sys.error(s"$t: no min stat")),
+        tail.firstColMax.getOrElse(sys.error(s"$t: no max stat")))
+    }
+    rows.toDF("tbl", "codec", "num_rows", "n_cols", "key_min", "key_max")
+  }
+
+  private val orcProbeSql =
+    """SELECT 'region' AS tbl, 'zlib' AS codec, CAST(count(*) AS BIGINT) AS num_rows,
+      |  CAST((SELECT count(*) FROM pragma_table_info('region')) AS BIGINT) AS n_cols,
+      |  CAST(min(r_regionkey) AS BIGINT) AS key_min, CAST(max(r_regionkey) AS BIGINT) AS key_max FROM region
+      |UNION ALL SELECT 'nation', 'snappy', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('nation')),
+      |  CAST(min(n_nationkey) AS BIGINT), CAST(max(n_nationkey) AS BIGINT) FROM nation
+      |UNION ALL SELECT 'customer', 'zstd', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('customer')),
+      |  CAST(min(c_custkey) AS BIGINT), CAST(max(c_custkey) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'supplier', 'lz4', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('supplier')),
+      |  CAST(min(s_suppkey) AS BIGINT), CAST(max(s_suppkey) AS BIGINT) FROM supplier
+      |UNION ALL SELECT 'part', 'none', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('part')),
+      |  CAST(min(p_partkey) AS BIGINT), CAST(max(p_partkey) AS BIGINT) FROM part
+      |UNION ALL SELECT 'orders', 'zstd', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('orders')),
+      |  CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL SELECT 'lineitem', 'zlib', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('lineitem')),
+      |  CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'events', 'snappy', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('events')),
+      |  CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT) FROM events
+      |UNION ALL SELECT 'documents', 'zstd', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('documents')),
+      |  CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT) FROM documents
+      |UNION ALL SELECT 'embeddings', 'none', count(*),
+      |  (SELECT count(*) FROM pragma_table_info('embeddings')),
+      |  CAST(min(vec_id) AS BIGINT), CAST(max(vec_id) AS BIGINT) FROM embeddings""".stripMargin
+
+  /** Avro container ingest, FULL oracle — per doc an OCF produced by
+    * avro-java's own `DataFileWriter` (an INDEPENDENT producer; this
+    * repo's reader never sees its own encoder here) under a codec dial
+    * (deflate / snappy-with-CRC / null), decoded by the native
+    * `operators/AvroContainer` walker: schema-subset parse, zigzag
+    * varints, union branches, sync-marker verification. Emits per-file
+    * aggregates the oracle recomputes closed-form; scores are dyadic so
+    * sequential adds equal the oracle's product exactly. */
+  private def avroIngest(s: SparkSession, dir: String): DataFrame = {
+    val mk = udf((d: Long) => {
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val schema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"ev","fields":[
+          |{"name":"id","type":"long"},{"name":"name","type":"string"},
+          |{"name":"score","type":"double"},
+          |{"name":"note","type":["null","string"]}]}""".stripMargin)
+      val codec = (d % 3) match {
+        case 0 => "deflate"; case 1 => "snappy"; case _ => "null"
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(codec match {
+        case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+        case "snappy"  => org.apache.avro.file.CodecFactory.snappyCodec()
+        case _         => org.apache.avro.file.CodecFactory.nullCodec()
+      })
+      w.create(schema, out, Array.tabulate[Byte](16)(i => ((d + i) % 251).toByte))
+      val n = 3 + (d % 4).toInt
+      (0 until n).foreach { i =>
+        val r = new GenericData.Record(schema)
+        r.put("id", d * 10 + i)
+        r.put("name", s"n${(d + i) % 7}")
+        r.put("score", (d % 100).toDouble / 4.0 + i)
+        r.put("note", if (i % 2 == 0) null else s"x$i")
+        w.append(r)
+      }
+      w.close()
+      val c = operators.AvroContainer.parse(out.toByteArray)
+        .getOrElse(sys.error(s"avro parse failed for doc $d"))
+      require(c.codec == codec, s"doc $d: codec ${c.codec}")
+      require(c.fields.map(_.name) == Seq("id", "name", "score", "note"),
+        s"doc $d: fields ${c.fields}")
+      val rows = c.rows
+      (rows.length, rows.map(_(0).asInstanceOf[Long]).sum,
+        rows.map(_(2).asInstanceOf[Double]).sum,
+        rows.head(1).asInstanceOf[String],
+        rows.count(_(3) != null), c.codec)
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), mk(col("doc_id")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_records"),
+        col("r._2").as("sum_id"),
+        round(col("r._3"), 6).as("sum_score"),
+        col("r._4").as("first_name"),
+        col("r._5").cast("long").as("n_notes"),
+        col("r._6").as("codec"))
+  }
+
+  private val avroIngestSql =
+    """WITH t AS (
+      |  SELECT doc_id, 3 + doc_id % 4 AS n, doc_id % 100 AS m,
+      |    doc_id % 3 AS dial
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_records,
+      |  CAST(doc_id * 10 * n + n * (n - 1) // 2 AS BIGINT) AS sum_id,
+      |  ROUND(n * (m / 4.0) + n * (n - 1) // 2, 6) AS sum_score,
+      |  'n' || CAST(doc_id % 7 AS VARCHAR) AS first_name,
+      |  CAST(n // 2 AS BIGINT) AS n_notes,
+      |  CASE dial WHEN 0 THEN 'deflate' WHEN 1 THEN 'snappy' ELSE 'null' END
+      |    AS codec
+      |FROM t""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11556,6 +11711,8 @@ object SparkEntry {
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
     "json_profile" -> (jsonProfileQ(_, _)),
+    "orc_probe" -> (orcProbe(_, _)),
+    "avro_ingest" -> (avroIngest(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -11912,6 +12069,8 @@ object SparkEntry {
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,
     "json_profile" -> jsonProfileSql,
+    "orc_probe" -> orcProbeSql,
+    "avro_ingest" -> avroIngestSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,
