@@ -11533,6 +11533,147 @@ object SparkEntry {
       |    AS codec
       |FROM t""".stripMargin
 
+  /** Shared candidate/reference construction for the overlap metrics:
+    * ref = the doc's first 32 whitespace tokens; cand = ref minus its
+    * last two tokens with every 5th position (1-based) substituted by
+    * a token absent from the corpus ('zz' — vocabulary-checked). Both
+    * sides of the oracle replay the same construction, so the metric
+    * values are fully determined. */
+  private def candRefPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+      .withColumn("_ref", operators.EvalMetrics.tokens(col("text"), 32))
+      .withColumn("_cand",
+        transform(sequence(lit(1), greatest(size(col("_ref")) - 2, lit(1))),
+          i => when(i % 5 === 0, lit("zz")).otherwise(element_at(col("_ref"), i))))
+      .select(col("doc_id"),
+        array_join(col("_cand"), " ").as("cand_text"),
+        array_join(col("_ref"), " ").as("ref_text"))
+
+  private val candRefCtes =
+    """base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x <> '')[1:32] AS ref
+      |  FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, ref,
+      |    list_transform(generate_series(1, greatest(len(ref) - 2, 1)),
+      |      i -> CASE WHEN i % 5 = 0 THEN 'zz' ELSE ref[i] END) AS cand
+      |  FROM base)""".stripMargin
+
+  /** BLEU statistics, FULL oracle — modified n-gram precision counts
+    * for n=1..4, both lengths, and the smoothed score
+    * (`operators/EvalMetrics.bleuStats`: pure higher-order array
+    * algebra, zero UDFs, zero shuffles — a stateless scan at 100 TB).
+    * The oracle recomputes every clipped count through an explode +
+    * LEFT JOIN and the same add-0.5/brevity-penalty formula; the score
+    * routes through exp/ln so it is emitted FLOAT on both sides. */
+  private def bleuScoreQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalMetrics.bleuStats(candRefPairs(s, dir),
+      "cand_text", "ref_text", maxN = 4, maxTokens = 32)
+      .select(col("doc_id"),
+        col("match_1"), col("total_1"), col("match_2"), col("total_2"),
+        col("match_3"), col("total_3"), col("match_4"), col("total_4"),
+        col("cand_len"), col("ref_len"), col("bleu"))
+
+  private val bleuScoreSql =
+    s"""WITH $candRefCtes,
+       |cg AS (
+       |  SELECT doc_id, n, g, count(*) AS c FROM (
+       |    SELECT doc_id, n, array_to_string(cand[i:i+n-1], ' ') AS g
+       |    FROM (SELECT doc_id, cand, n,
+       |            unnest(generate_series(1, len(cand) - n + 1)) AS i
+       |          FROM b2, (SELECT unnest([1, 2, 3, 4]) AS n) nn))
+       |  GROUP BY 1, 2, 3),
+       |rg AS (
+       |  SELECT doc_id, n, g, count(*) AS c FROM (
+       |    SELECT doc_id, n, array_to_string(ref[i:i+n-1], ' ') AS g
+       |    FROM (SELECT doc_id, ref, n,
+       |            unnest(generate_series(1, len(ref) - n + 1)) AS i
+       |          FROM b2, (SELECT unnest([1, 2, 3, 4]) AS n) nn))
+       |  GROUP BY 1, 2, 3),
+       |m AS (
+       |  SELECT cg.doc_id, cg.n, SUM(LEAST(cg.c, COALESCE(rg.c, 0))) AS mt
+       |  FROM cg LEFT JOIN rg
+       |    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT b2.doc_id, len(cand) AS cl, len(ref) AS rl,
+       |    COALESCE(MAX(CASE WHEN n = 1 THEN mt END), 0) AS m1,
+       |    COALESCE(MAX(CASE WHEN n = 2 THEN mt END), 0) AS m2,
+       |    COALESCE(MAX(CASE WHEN n = 3 THEN mt END), 0) AS m3,
+       |    COALESCE(MAX(CASE WHEN n = 4 THEN mt END), 0) AS m4
+       |  FROM b2 LEFT JOIN m ON b2.doc_id = m.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  CAST(m1 AS BIGINT) AS match_1, CAST(greatest(cl, 0) AS BIGINT) AS total_1,
+       |  CAST(m2 AS BIGINT) AS match_2, CAST(greatest(cl - 1, 0) AS BIGINT) AS total_2,
+       |  CAST(m3 AS BIGINT) AS match_3, CAST(greatest(cl - 2, 0) AS BIGINT) AS total_3,
+       |  CAST(m4 AS BIGINT) AS match_4, CAST(greatest(cl - 3, 0) AS BIGINT) AS total_4,
+       |  CAST(cl AS BIGINT) AS cand_len, CAST(rl AS BIGINT) AS ref_len,
+       |  CAST((CASE WHEN cl >= rl THEN 1.0
+       |        ELSE exp(1.0 - rl / CAST(cl AS DOUBLE)) END) *
+       |       exp((ln((m1 + 0.5) / (greatest(cl, 0) + 0.5)) +
+       |            ln((m2 + 0.5) / (greatest(cl - 1, 0) + 0.5)) +
+       |            ln((m3 + 0.5) / (greatest(cl - 2, 0) + 0.5)) +
+       |            ln((m4 + 0.5) / (greatest(cl - 3, 0) + 0.5))) / 4) AS REAL)
+       |    AS bleu
+       |FROM p""".stripMargin
+
+  /** ROUGE-L, FULL oracle — a REAL LCS dynamic program on the engine
+    * side (`operators/EvalMetrics.rougeL`), verified closed-form: the
+    * candidate is the reference with floor(m/5) positions substituted
+    * by an out-of-vocabulary token and the last two tokens dropped, so
+    * LCS = m - floor(m/5) EXACTLY (substituted tokens cannot match;
+    * unchanged positions are a common subsequence; nothing longer
+    * exists). P/R/F are correctly-rounded division chains, emitted
+    * FLOAT on both sides. */
+  private def rougeLQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalMetrics.rougeL(candRefPairs(s, dir),
+      "cand_text", "ref_text", maxTokens = 32)
+      .select(col("doc_id"), col("lcs_len"),
+        col("rouge_p"), col("rouge_r"), col("rouge_f"))
+
+  private val rougeLSql =
+    s"""WITH $candRefCtes,
+       |t AS (
+       |  SELECT doc_id, len(ref) AS rl, greatest(len(ref) - 2, 1) AS m
+       |  FROM b2),
+       |v AS (
+       |  SELECT doc_id, rl, m, m - m // 5 AS lcs,
+       |    (m - m // 5) / CAST(m AS DOUBLE) AS p,
+       |    (m - m // 5) / CAST(rl AS DOUBLE) AS r
+       |  FROM t)
+       |SELECT doc_id, CAST(lcs AS BIGINT) AS lcs_len,
+       |  CAST(p AS REAL) AS rouge_p, CAST(r AS REAL) AS rouge_r,
+       |  CAST(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS REAL)
+       |    AS rouge_f
+       |FROM v""".stripMargin
+
+  /** Edit-distance near-dup, FULL oracle — Levenshtein pairs over a
+    * sampled snippet slice through the length-blocked equi-join
+    * (`operators/EvalMetrics.editNearDup`: blockWidth 6 > maxDist 5, so
+    * a qualifying pair can never sit more than one block apart — the
+    * oracle PROVES the blocking loses nothing by brute-forcing all
+    * sampled pairs in DuckDB and matching exactly). */
+  private def editNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+      .filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"),
+        expr("substring(text, 1, CAST(12 + n_chars % 4 AS INT))").as("snip"))
+    operators.EvalMetrics.editNearDup(docs, "doc_id", "snip",
+      maxDist = 5, blockWidth = 6)
+  }
+
+  private val editNearDupSql =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 1, CAST(12 + n_chars % 4 AS INT)) AS s
+      |  FROM documents WHERE doc_id % 29 = 0)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |FROM d a, d b
+      |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 5""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11713,6 +11854,9 @@ object SparkEntry {
     "json_profile" -> (jsonProfileQ(_, _)),
     "orc_probe" -> (orcProbe(_, _)),
     "avro_ingest" -> (avroIngest(_, _)),
+    "bleu_score" -> (bleuScoreQ(_, _)),
+    "rouge_l" -> (rougeLQ(_, _)),
+    "edit_neardup" -> (editNearDupQ(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -12071,6 +12215,9 @@ object SparkEntry {
     "json_profile" -> jsonProfileSql,
     "orc_probe" -> orcProbeSql,
     "avro_ingest" -> avroIngestSql,
+    "bleu_score" -> bleuScoreSql,
+    "rouge_l" -> rougeLSql,
+    "edit_neardup" -> editNearDupSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

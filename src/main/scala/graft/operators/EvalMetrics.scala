@@ -150,13 +150,19 @@ object EvalMetrics {
     // through one equi-key (the standard band trick, not a theta-join)
     val probe = base.select(col("_id"), col("_t"), col("_blk"))
       .union(base.select(col("_id"), col("_t"), (col("_blk") + 1).as("_blk")))
-    val left = base.select(col("_blk"), col("_id").as("a_id"), col("_t").as("a_t"))
-    val right = probe.select(col("_blk"), col("_id").as("b_id"), col("_t").as("b_t"))
+    val left = base.select(col("_blk"), col("_id").as("l_id"), col("_t").as("l_t"))
+    val right = probe.select(col("_blk"), col("_id").as("r_id"), col("_t").as("r_t"))
     left.join(right, Seq("_blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_t"), col("b_t")))
+      .filter(col("l_id") =!= col("r_id"))
+      .withColumn("dist", levenshtein(col("l_t"), col("r_t")))
       .filter(col("dist") <= maxDist)
-      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
-      .distinct() // a pair can meet in both its own and the shifted block
+      // normalize to unordered pairs AFTER the join: an adjacent-block
+      // pair meets with the shifted row on the right regardless of id
+      // order, so an l_id < r_id pre-filter would drop pairs whose
+      // higher id sits in the lower block
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+      .distinct() // a pair can meet in several block registrations
   }
 }

@@ -430,4 +430,20 @@ class PlanShapeSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"),
       s"PSL matching must never nested-loop: $plan")
   }
+
+  test("bleu_score is pure array algebra: no UDF, no join, no shuffle") {
+    val plan = planOf(SparkEntry.queries("bleu_score")(spark, dir))
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"BLEU fell back to a UDF: $plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"per-row metric must stay a stateless scan: $plan")
+  }
+
+  test("edit_neardup pairs meet through an equi-join on the length block") {
+    val plan = planOf(SparkEntry.queries("edit_neardup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must never go all-pairs: $plan")
+    assert(plan.contains("Join"), s"expected a blocked equi-join: $plan")
+  }
 }
