@@ -11674,6 +11674,42 @@ object SparkEntry {
       |FROM d a, d b
       |WHERE a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 5""".stripMargin
 
+  /** ROC-AUC + KS, FULL oracle — tie-aware Mann-Whitney AUC and the
+    * max-CDF-gap KS statistic of a discrete-scored binary labeling
+    * over events (`operators/RewardStats.rocAuc`): the corpus
+    * collapses to one row per score level FIRST (two-phase groupBy),
+    * the rank window runs over the 50 levels only. Every term is an
+    * exact integer/dyadic sum; auc and ks end in single
+    * correctly-rounded divisions, so round-6 is safe. */
+  private def aucRocQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.rocAuc(
+      Tables.read(s, dir, "events")
+        .select(((col("event_id") * 31) % 50).cast("double").as("score"),
+          (col("event_id") % 3 === 0).cast("int").as("label")),
+      "score", "label")
+
+  private val aucRocSql =
+    """WITH p AS (
+      |  SELECT CAST((event_id * 31) % 50 AS DOUBLE) AS s,
+      |    CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+      |  FROM events),
+      |g AS (SELECT s, SUM(y) AS np, SUM(1.0 - y) AS nn FROM p GROUP BY s),
+      |c AS (SELECT s, np, nn,
+      |        COALESCE(SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND 1 PRECEDING), 0) AS below_nn,
+      |        COALESCE(SUM(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND 1 PRECEDING), 0) AS below_np,
+      |        SUM(np) OVER () AS tot_np, SUM(nn) OVER () AS tot_nn
+      |      FROM g)
+      |SELECT CAST(MAX(tot_np) AS BIGINT) AS n_pos,
+      |  CAST(MAX(tot_nn) AS BIGINT) AS n_neg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_levels,
+      |  ROUND(SUM(np * (below_nn + nn / 2)) / (MAX(tot_np) * MAX(tot_nn)), 6)
+      |    AS auc,
+      |  ROUND(MAX(ABS((below_np + np) / tot_np - (below_nn + nn) / tot_nn)), 6)
+      |    AS ks
+      |FROM c""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11857,6 +11893,7 @@ object SparkEntry {
     "bleu_score" -> (bleuScoreQ(_, _)),
     "rouge_l" -> (rougeLQ(_, _)),
     "edit_neardup" -> (editNearDupQ(_, _)),
+    "auc_roc" -> (aucRocQ(_, _)),
     "domain_reweight" -> (domainReweight(_, _)),
     "audio_segments" -> (audioSegments(_, _)),
     "sentence_split" -> (sentenceSplit(_, _)),
@@ -12218,6 +12255,7 @@ object SparkEntry {
     "bleu_score" -> bleuScoreSql,
     "rouge_l" -> rougeLSql,
     "edit_neardup" -> editNearDupSql,
+    "auc_roc" -> aucRocSql,
     "domain_reweight" -> domainReweightSql,
     "audio_segments" -> audioSegmentsSql,
     "sentence_split" -> sentenceSplitSql,

@@ -41,6 +41,51 @@ object RewardStats {
       .withColumn("gap", abs(col("mean_score") - col("win_rate")).cast("float"))
   }
 
+  /** ROC-AUC and the Kolmogorov-Smirnov statistic of a scored binary
+    * classifier/reward model, tie-aware (ties contribute 1/2 per the
+    * Mann-Whitney U identity; the KS is the max |CDF gap| over the
+    * observed score levels).
+    *
+    * Scale shape: the corpus collapses FIRST to one (n_pos, n_neg) row
+    * per DISTINCT score (one two-phase groupBy); the rank/CDF window
+    * then runs over |score levels| rows — never over the corpus. A
+    * continuous score should be discretized upstream (the standard
+    * histogram-AUC trade, exact when scores are already discrete).
+    * All terms are exact integer/dyadic sums; auc and ks are single
+    * correctly-rounded divisions at the end. Emits one row:
+    * (n_pos, n_neg, n_levels, auc, ks). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)) &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("np"), sum(lit(1.0) - col("y")).as("nn"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("below_nn", coalesce(sum(col("nn")).over(below), lit(0.0)))
+      .withColumn("below_np", coalesce(sum(col("np")).over(below), lit(0.0)))
+      .withColumn("tot_np", sum(col("np")).over(all))
+      .withColumn("tot_nn", sum(col("nn")).over(all))
+      // positives at this level see all lower negatives fully and the
+      // tied negatives half (the Mann-Whitney U identity)
+      .withColumn("u_term", col("np") * (col("below_nn") + col("nn") / 2))
+      .withColumn("ks_term",
+        abs((col("below_np") + col("np")) / col("tot_np") -
+            (col("below_nn") + col("nn")) / col("tot_nn")))
+      .agg(max(col("tot_np")).cast("long").as("n_pos"),
+        max(col("tot_nn")).cast("long").as("n_neg"),
+        count(lit(1)).as("n_levels"),
+        round(sum(col("u_term")) / (max(col("tot_np")) * max(col("tot_nn"))), 6)
+          .as("auc"),
+        round(max(col("ks_term")), 6).as("ks"))
+  }
+
   /** Group-relative advantages (the GRPO normalization): per prompt
     * group, advantage_i = (score_i - mean) / std, with zero for
     * degenerate groups (std = 0). Variance comes from EXACT sums

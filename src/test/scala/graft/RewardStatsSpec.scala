@@ -115,4 +115,25 @@ class RewardStatsSpec extends SparkSpecBase {
     val (n, po, _, _) = kappaOf(rows)
     assert(n == 1L && po == 1.0f)
   }
+
+  test("rocAuc: hand-computed tie-aware AUC and KS") {
+    // scores [1,1,2,3], labels [0,1,1,1]: U = 0.5 + 1 + 1 = 2.5,
+    // AUC = 2.5/3; KS at level 1: |1/3 - 1| = 2/3
+    val df = Seq((1.0, 0), (1.0, 1), (2.0, 1), (3.0, 1)).toDF("s", "y")
+    val r = RewardStats.rocAuc(df, "s", "y").collect().head
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("n_levels") == 3L)
+    assert(math.abs(r.getAs[Double]("auc") - 2.5 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ks") - 2.0 / 3) < 1e-6)
+  }
+
+  test("rocAuc: perfect separation gives 1.0, reversed gives 0.0, NaN rows drop") {
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1),
+      (Double.NaN, 1)).toDF("s", "y")
+    val p = RewardStats.rocAuc(perfect, "s", "y").collect().head
+    assert(p.getAs[Double]("auc") == 1.0 && p.getAs[Long]("n_pos") == 2L)
+    val reversed = Seq((4.0, 0), (3.0, 0), (1.0, 1), (2.0, 1)).toDF("s", "y")
+    assert(RewardStats.rocAuc(reversed, "s", "y")
+      .collect().head.getAs[Double]("auc") == 0.0)
+  }
 }
