@@ -11710,6 +11710,477 @@ object SparkEntry {
       |    AS ks
       |FROM c""".stripMargin
 
+  /** pass@k, FULL oracle — the unbiased Codex estimator per problem
+    * (`operators/EvalMetrics.passAtK`): 50 problems × n samples with a
+    * closed-form pass dial; 1 - prod_{i<k}(n-c-i)/(n-i) as a
+    * left-to-right factored product both sides, so round-6 is safe.
+    * One two-phase groupBy; the k-term product is pure codegen. */
+  private def passAtKQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalMetrics.passAtK(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("prob-"), col("doc_id") % 50).as("problem"),
+          ((col("doc_id") * 13) % 7 === 0).cast("int").as("ok")),
+      "problem", "ok", ks = Seq(1, 5, 10))
+
+  private val passAtKSql: String = {
+    def prod(k: Int) = (0 until k).map(i =>
+      s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+      .mkString(" * ")
+    def pk(k: Int) =
+      s"CASE WHEN n >= $k THEN round(1 - (${prod(k)}), 6) END AS pass_at_$k"
+    s"""WITH r AS (
+       |  SELECT 'prob-' || (doc_id % 50) AS problem,
+       |    CASE WHEN (doc_id * 13) % 7 = 0 THEN 1 ELSE 0 END AS ok
+       |  FROM documents),
+       |g AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(SUM(ok) AS BIGINT) AS c
+       |      FROM r GROUP BY problem)
+       |SELECT problem, n, c, ${pk(1)}, ${pk(5)}, ${pk(10)}
+       |FROM g""".stripMargin
+  }
+
+  /** Best-of-n rejection sampling, FULL oracle — per prompt the
+    * top-scored response with smallest-id tiebreak plus the margin
+    * over the runner-up (`operators/RewardStats.bestOfN`): one shuffle
+    * on the prompt key, per-group sort bounded by the sampling
+    * fan-out, top-2 rows into a |prompts|-row aggregate. Scores are
+    * exact integers in doubles, so the margin needs no rounding. */
+  private def bestOfNQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.bestOfN(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+          col("doc_id").as("resp_id"),
+          ((col("doc_id") * 37) % 101).cast("double").as("score")),
+      "prompt", "resp_id", "score")
+
+  private val bestOfNSql =
+    """WITH r AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt, doc_id AS resp_id,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS s
+      |  FROM documents),
+      |b AS (SELECT prompt, resp_id, s,
+      |        row_number() OVER (PARTITION BY prompt
+      |                           ORDER BY s DESC, resp_id) AS rn,
+      |        count(*) OVER (PARTITION BY prompt) AS nr
+      |      FROM r)
+      |SELECT prompt, CAST(MAX(nr) AS BIGINT) AS n_resp,
+      |  MAX(CASE WHEN rn = 1 THEN resp_id END) AS best_id,
+      |  MAX(CASE WHEN rn = 1 THEN s END) AS best_score,
+      |  MAX(CASE WHEN rn = 2 THEN s END) AS second_score,
+      |  MAX(CASE WHEN rn = 1 THEN s END) - MAX(CASE WHEN rn = 2 THEN s END)
+      |    AS margin
+      |FROM b WHERE rn <= 2 GROUP BY prompt""".stripMargin
+
+  /** Brier decomposition, FULL oracle — Murphy's reliability /
+    * resolution / uncertainty split of a probabilistic reward dial
+    * whose outcome is correlated with the forecast
+    * (`operators/RewardStats.brierDecomposition`): one two-phase
+    * groupBy to 10 bins, one closing aggregate, everything float4
+    * (unordered double sums both sides). */
+  private def brierQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.brierDecomposition(
+      Tables.read(s, dir, "documents")
+        .select((((col("doc_id") * 17) % 100).cast("double") / 100.0).as("p"),
+          ((col("doc_id") * 29) % 97 < (col("doc_id") * 17) % 100)
+            .cast("int").as("y")),
+      "p", "y", bins = 10)
+
+  private val brierSql =
+    """WITH r AS (
+      |  SELECT CAST((doc_id * 17) % 100 AS DOUBLE) / 100.0 AS p,
+      |    CAST(CASE WHEN (doc_id * 29) % 97 < (doc_id * 17) % 100
+      |         THEN 1 ELSE 0 END AS DOUBLE) AS y
+      |  FROM documents),
+      |b AS (SELECT CAST(least(greatest(floor(p * 10), 0), 9) AS BIGINT)
+      |        AS bin, p, y FROM r),
+      |g AS (SELECT bin, count(*) AS nk, SUM(p) AS sp, SUM(y) AS sy,
+      |        SUM((p - y) * (p - y)) AS sq
+      |      FROM b GROUP BY bin),
+      |m AS (SELECT nk, sy, sq, sp / nk AS pbar, sy / nk AS obar_k FROM g)
+      |SELECT CAST(SUM(nk) AS BIGINT) AS n,
+      |  CAST(SUM(sq) / SUM(nk) AS REAL) AS brier,
+      |  CAST(SUM(nk * (pbar - obar_k) * (pbar - obar_k)) / SUM(nk) AS REAL)
+      |    AS reliability,
+      |  CAST((SUM(nk * obar_k * obar_k) - SUM(sy) * SUM(sy) / SUM(nk))
+      |    / SUM(nk) AS REAL) AS resolution,
+      |  CAST((SUM(sy) / SUM(nk)) * (1.0 - SUM(sy) / SUM(nk)) AS REAL)
+      |    AS uncertainty
+      |FROM m""".stripMargin
+
+  /** Code line-shape stats, FULL oracle — StarCoder-style code-corpus
+    * gates over a synthesized per-doc source snippet (comment lines in
+    * both `//` and `#` forms, conditional blanks, indented bodies —
+    * `operators/CodeStats.lineStats`): a zero-UDF array-algebra scan;
+    * the oracle replays via unnest + groupBy. */
+  private def codeStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val code = concat_ws("\n",
+      concat(lit("fn f"), d % 7, lit("(a, b) {")),
+      concat(lit("    // "), substring(col("text"), 1, 16)),
+      concat(lit("    let x = "), d % 13, lit(";")),
+      when(d % 3 === 0, lit("")).otherwise(lit("    call(x);")),
+      when(d % 4 === 0, concat(lit("# note "), d % 2))
+        .otherwise(lit("    ret x")),
+      lit("}"))
+    operators.CodeStats.lineStats(
+      Tables.read(s, dir, "documents").select(d, code.as("code")),
+      "doc_id", "code")
+  }
+
+  private val codeStatsSql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    'fn f' || (doc_id % 7) || '(a, b) {' || chr(10) ||
+      |    '    // ' || substr(text, 1, 16) || chr(10) ||
+      |    '    let x = ' || (doc_id % 13) || ';' || chr(10) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '    call(x);' END)
+      |      || chr(10) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '# note ' || (doc_id % 2)
+      |          ELSE '    ret x' END) || chr(10) ||
+      |    '}' AS code
+      |  FROM documents),
+      |l AS (SELECT doc_id, unnest(string_split(code, chr(10))) AS line
+      |      FROM c),
+      |s AS (SELECT doc_id, count(*) AS n_lines,
+      |        max(length(line)) AS max_line_len,
+      |        SUM(length(line)) AS len_sum,
+      |        SUM(CASE WHEN ltrim(line) LIKE '//%' OR ltrim(line) LIKE '#%'
+      |            THEN 1 ELSE 0 END) AS n_comment,
+      |        SUM(CASE WHEN length(trim(line)) = 0 THEN 1 ELSE 0 END)
+      |          AS n_blank,
+      |        SUM(CASE WHEN line LIKE ' %' AND length(trim(line)) > 0
+      |            THEN 1 ELSE 0 END) AS n_indent
+      |      FROM l GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(max_line_len AS BIGINT) AS max_line_len,
+      |  CAST(CAST(len_sum AS DOUBLE) / n_lines AS REAL) AS mean_line_len,
+      |  CAST(n_comment AS BIGINT) AS n_comment,
+      |  CAST(n_blank AS BIGINT) AS n_blank,
+      |  CAST(CAST(n_comment AS DOUBLE) / n_lines AS REAL) AS comment_frac,
+      |  CAST(CAST(n_blank AS DOUBLE) / n_lines AS REAL) AS blank_frac,
+      |  CAST(CAST(n_indent AS DOUBLE) / n_lines AS REAL) AS indent_frac
+      |FROM s""".stripMargin
+
+  /** Token-label mutual information, FULL oracle — the IIR ch. 13
+    * four-cell MI between distinct-per-doc token presence and a binary
+    * label (`operators/FeatureSelect.tokenLabelMi`): one explode, one
+    * groupBy on the token, broadcast totals; cells sum in a fixed
+    * order and mi emits float4. Tokenization is the explicit
+    * `[ \t\n\r]+` class both sides. */
+  private def miTokensQ(s: SparkSession, dir: String): DataFrame =
+    operators.FeatureSelect.tokenLabelMi(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("int").as("label")),
+      "doc_id", "text", "label", minDocs = 5)
+
+  private val miTokensSql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 2 AS y,
+      |    list_distinct(list_filter(
+      |      string_split_regex(lower(text), '[ \t\n\r]+'),
+      |      t -> length(t) > 0)) AS toks
+      |  FROM documents),
+      |p AS (SELECT unnest(toks) AS token, y FROM d),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |        CAST(SUM(y) AS BIGINT) AS n1 FROM d),
+      |g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(y) AS BIGINT) AS n_pos
+      |      FROM p GROUP BY token HAVING count(*) >= 5)
+      |SELECT token, n_docs, n_pos,
+      |  CAST(
+      |    (CASE WHEN n_pos > 0 THEN (CAST(n_pos AS DOUBLE) / nn) *
+      |      ln((nn * CAST(n_pos AS DOUBLE)) /
+      |         (CAST(n_docs AS DOUBLE) * CAST(n1 AS DOUBLE))) ELSE 0 END) +
+      |    (CASE WHEN n_docs - n_pos > 0
+      |      THEN (CAST(n_docs - n_pos AS DOUBLE) / nn) *
+      |        ln((nn * CAST(n_docs - n_pos AS DOUBLE)) /
+      |           (CAST(n_docs AS DOUBLE) * CAST(nn - n1 AS DOUBLE)))
+      |      ELSE 0 END) +
+      |    (CASE WHEN n1 - n_pos > 0 THEN (CAST(n1 - n_pos AS DOUBLE) / nn) *
+      |      ln((nn * CAST(n1 - n_pos AS DOUBLE)) /
+      |         (CAST(nn - n_docs AS DOUBLE) * CAST(n1 AS DOUBLE)))
+      |      ELSE 0 END) +
+      |    (CASE WHEN nn - n1 - (n_docs - n_pos) > 0
+      |      THEN (CAST(nn - n1 - (n_docs - n_pos) AS DOUBLE) / nn) *
+      |        ln((nn * CAST(nn - n1 - (n_docs - n_pos) AS DOUBLE)) /
+      |           (CAST(nn - n_docs AS DOUBLE) * CAST(nn - n1 AS DOUBLE)))
+      |      ELSE 0 END) AS REAL) AS mi
+      |FROM g, t""".stripMargin
+
+  /** DP noised counts, FULL oracle — the Laplace mechanism over
+    * per-bucket event counts with a splitmix64-seeded deterministic
+    * draw (`operators/DpNoise.laplaceCounts`; the oracle replays the
+    * mixer through `Mix64Sql.ctes`): one two-phase groupBy, noise on
+    * the aggregated side only, float4 through the ln. */
+  private def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    operators.DpNoise.laplaceCounts(
+      Tables.read(s, dir, "events")
+        .select((col("user_id") % 16).as("bucket")),
+      "bucket", eps = 0.5)
+
+  private val dpCountsSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |${mix64Ctes("dp", "g", Seq("bucket", "n"),
+           "bucket * 2654435761 + n")},
+       |u AS (SELECT bucket, n,
+       |        (CAST(z // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0 AS u
+       |      FROM dp6),
+       |w AS (SELECT bucket, n,
+       |        CAST(-(1.0 / 0.5) * sign(u - 0.5) *
+       |             ln(1.0 - 2.0 * abs(u - 0.5)) AS REAL) AS noise
+       |      FROM u)
+       |SELECT bucket, n, noise,
+       |  CAST(greatest(n + CAST(noise AS DOUBLE), 0.0) AS REAL) AS noised_n
+       |FROM w""".stripMargin
+
+  /** Needle-in-a-haystack construction, FULL oracle — a marker
+    * sentence spliced at fractional depth doc_id%11/10 with the md5
+    * fingerprint of the spliced text compared across engines
+    * (`operators/LongContext.insertNeedle`): a stateless substring +
+    * concat + md5 scan, zero UDFs. */
+  private def needleInsertQ(s: SparkSession, dir: String): DataFrame =
+    operators.LongContext.insertNeedle(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          concat(lit(" The needle is "), col("doc_id"), lit("."))
+            .as("needle"),
+          ((col("doc_id") % 11).cast("double") * 0.1).as("depth")),
+      "doc_id", "text", "needle", "depth")
+
+  private val needleInsertSql =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    ' The needle is ' || doc_id || '.' AS needle,
+      |    CAST(doc_id % 11 AS DOUBLE) * 0.1 AS depth
+      |  FROM documents),
+      |p AS (SELECT doc_id, text, needle,
+      |        CAST(floor(depth * length(text)) AS INT) AS pos
+      |      FROM d)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(length(text) AS BIGINT) AS text_len,
+      |  CAST(length(substr(text, 1, pos) || needle ||
+      |    substr(text, pos + 1, length(text) - pos)) AS BIGINT) AS total_len,
+      |  md5(substr(text, 1, pos) || needle ||
+      |    substr(text, pos + 1, length(text) - pos)) AS fingerprint
+      |FROM p""".stripMargin
+
+  /** nDCG@10 / MRR / precision@10, FULL oracle — graded ranking eval
+    * per query over a closed-form score/relevance dial
+    * (`operators/RankingEval.ndcgMrr`): two query-partitioned windows
+    * + one closing groupBy; nDCG routes through log2 (libm, float4),
+    * rr and precision are exact rationals (round-6). */
+  private def ndcgMrrQ(s: SparkSession, dir: String): DataFrame =
+    operators.RankingEval.ndcgMrr(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("q-"), col("doc_id") % 30).as("query"),
+          col("doc_id").as("doc"),
+          ((col("doc_id") * 53) % 97).cast("double").as("score"),
+          when((col("doc_id") * 7) % 5 === 0, 3)
+            .when((col("doc_id") * 7) % 5 === 1, 1)
+            .otherwise(0).cast("int").as("rel")),
+      "query", "doc", "score", "rel", k = 10)
+
+  private val ndcgMrrSql =
+    """WITH r AS (
+      |  SELECT 'q-' || (doc_id % 30) AS query, doc_id AS doc,
+      |    CAST((doc_id * 53) % 97 AS DOUBLE) AS s,
+      |    CAST(CASE WHEN (doc_id * 7) % 5 = 0 THEN 3
+      |              WHEN (doc_id * 7) % 5 = 1 THEN 1
+      |              ELSE 0 END AS DOUBLE) AS rel
+      |  FROM documents),
+      |w AS (SELECT query, s, rel,
+      |        row_number() OVER (PARTITION BY query
+      |                           ORDER BY s DESC, doc) AS rn,
+      |        row_number() OVER (PARTITION BY query
+      |                           ORDER BY rel DESC, doc) AS irn
+      |      FROM r),
+      |g AS (SELECT query, count(*) AS n_docs,
+      |        SUM(CASE WHEN rn <= 10
+      |            THEN (power(2.0, rel) - 1.0) / log2(rn + 1.0)
+      |            ELSE 0.0 END) AS dcg,
+      |        SUM(CASE WHEN irn <= 10
+      |            THEN (power(2.0, rel) - 1.0) / log2(irn + 1.0)
+      |            ELSE 0.0 END) AS idcg,
+      |        MIN(CASE WHEN rel > 0 THEN rn END) AS first_rel,
+      |        SUM(CASE WHEN rn <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS hits
+      |      FROM w GROUP BY query)
+      |SELECT query, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(dcg AS REAL) AS dcg,
+      |  CAST(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS REAL)
+      |    AS ndcg,
+      |  round(COALESCE(1.0 / first_rel, 0.0), 6) AS rr,
+      |  round(CAST(hits AS DOUBLE) / 10, 6) AS prec_at_10
+      |FROM g""".stripMargin
+
+  /** k-anonymity / l-diversity audit, FULL oracle — per quasi-group
+    * (user bucket × value band) size, distinct sensitive values, and
+    * the compliance flags (`operators/Privacy.kAnonymity`): one
+    * two-phase groupBy with an exact distinct count. */
+  private def kAnonQ(s: SparkSession, dir: String): DataFrame =
+    operators.Privacy.kAnonymity(
+      Tables.read(s, dir, "events")
+        .select((col("user_id") % 8).as("zip"),
+          floor(col("value") / 25).cast("long").as("band"),
+          col("event_type")),
+      Seq("zip", "band"), "event_type", k = 5, l = 2)
+
+  private val kAnonSql =
+    """WITH e AS (
+      |  SELECT user_id % 8 AS zip,
+      |    CAST(floor(value / 25) AS BIGINT) AS band, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND value IS NOT NULL)
+      |SELECT zip, band, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+      |  count(*) >= 5 AS k_anonymous,
+      |  count(DISTINCT event_type) >= 2 AS l_diverse
+      |FROM e GROUP BY zip, band""".stripMargin
+
+  /** Deequ-style constraint audit, FULL oracle — six constraints over
+    * lineitem in three plan families (`operators/DataQuality.audit`):
+    * four row checks FUSED into one scan-aggregate, one composite-key
+    * uniqueness (count vs distinct), one referential check as a
+    * left-anti join against orders. One report row per constraint. */
+  private def constraintCheckQ(s: SparkSession, dir: String): DataFrame = {
+    import operators.DataQuality.RowCheck
+    operators.DataQuality.audit(
+      Tables.read(s, dir, "lineitem"),
+      Seq(
+        RowCheck("not_null(l_quantity)", col("l_quantity").isNull),
+        RowCheck("range(l_quantity,1,50)",
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        RowCheck("non_negative(l_extendedprice)",
+          col("l_extendedprice") < 0),
+        RowCheck("max(l_discount)<=0.05", col("l_discount") > 0.05)),
+      uniqueKey = Seq("l_orderkey", "l_linenumber"),
+      fk = Some(("l_orderkey", Tables.read(s, dir, "orders"),
+        "o_orderkey")))
+  }
+
+  private val constraintCheckSql =
+    """WITH t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v0,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v3
+      |  FROM lineitem),
+      |u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(*) -
+      |          count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v
+      |      FROM lineitem),
+      |f AS (SELECT (SELECT n FROM t) AS n, CAST(count(*) AS BIGINT) AS v
+      |      FROM lineitem l LEFT JOIN orders o
+      |        ON l.l_orderkey = o.o_orderkey
+      |      WHERE o.o_orderkey IS NULL)
+      |SELECT 'not_null(l_quantity)' AS check_name, n AS n_checked,
+      |  v0 AS n_violations, v0 = 0 AS pass FROM t
+      |UNION ALL SELECT 'range(l_quantity,1,50)', n, v1, v1 = 0 FROM t
+      |UNION ALL SELECT 'non_negative(l_extendedprice)', n, v2, v2 = 0 FROM t
+      |UNION ALL SELECT 'max(l_discount)<=0.05', n, v3, v3 = 0 FROM t
+      |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n, v, v = 0 FROM u
+      |UNION ALL SELECT 'fk(l_orderkey -> o_orderkey)', n, v, v = 0
+      |  FROM f""".stripMargin
+
+  /** Batch gap sessionization, FULL oracle — 24h-gap sessions over the
+    * event stream in exact epoch-micros arithmetic
+    * (`operators/Sessionize.gapSessions` on `Tables.tsUs`): one user
+    * shuffle shared by the lag window, the running session index, and
+    * the per-session rollup; (ts, event_id) ordering is total. */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    operators.Sessionize.gapSessions(
+      ev.select(col("user_id"), col("event_id"),
+        Tables.tsUs(ev).as("us")),
+      "user_id", "us", "event_id", gapMinutes = 1440)
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |w AS (SELECT user_id, event_id, us,
+      |        CASE WHEN lag(us) OVER win IS NULL
+      |               OR us - lag(us) OVER win > 86400000000
+      |             THEN 1 ELSE 0 END AS new_s
+      |      FROM e
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |x AS (SELECT user_id, us,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS session_idx
+      |      FROM w)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(us) AS BIGINT) AS start_us,
+      |  CAST(max(us) AS BIGINT) AS end_us,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      |FROM x GROUP BY user_id, session_idx""".stripMargin
+
+  /** Zipf fit, FULL oracle — OLS of ln(freq) on ln(rank) over the
+    * top-200 corpus vocabulary (`operators/CorpusStats.zipfFit`): one
+    * explode+groupBy to the vocabulary, a vocabulary-sized rank
+    * window, one closing aggregate; slope/intercept/r2 float4. */
+  private def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.zipfFit(
+      Tables.read(s, dir, "documents"), "text", topN = 200)
+
+  private val zipfFitSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[ \t\n\r]+'),
+      |    t -> length(t) > 0)) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+      |         AS rank FROM c),
+      |f AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+      |        ln(CAST(cnt AS DOUBLE)) AS y
+      |      FROM rk WHERE rank <= 200),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+      |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+      |        SUM(x * y) AS sxy
+      |      FROM f)
+      |SELECT n AS n_ranked,
+      |  CAST((sxy - sx * sy / n) / (sxx - sx * sx / n) AS REAL) AS slope,
+      |  CAST((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n
+      |    AS REAL) AS intercept,
+      |  CAST((sxy - sx * sy / n) * (sxy - sx * sy / n) /
+      |    ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS REAL) AS r2
+      |FROM s""".stripMargin
+
+  /** PPO ratio diagnostics, FULL oracle — clip fraction, clipped
+    * surrogate mean, and the k3 KL estimator over a closed-form
+    * (ratio, advantage) dial (`operators/RewardStats.ppoStats`): one
+    * single-pass aggregate; means float4 through ln. */
+  private def ppoStatsQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.ppoStats(
+      Tables.read(s, dir, "documents")
+        .select((((col("doc_id") * 7) % 41 + 80).cast("double") / 100.0)
+            .as("ratio"),
+          (((col("doc_id") * 37) % 21 - 10).cast("double") / 10.0)
+            .as("adv")),
+      "ratio", "adv", clipEps = 0.1)
+
+  private val ppoStatsSql =
+    """WITH r AS (
+      |  SELECT CAST((doc_id * 7) % 41 + 80 AS DOUBLE) / 100.0 AS ratio,
+      |    CAST((doc_id * 37) % 21 - 10 AS DOUBLE) / 10.0 AS adv
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(AVG(least(ratio * adv,
+      |    least(greatest(ratio, 0.9), 1.1) * adv)) AS REAL)
+      |    AS mean_objective,
+      |  CAST(AVG(CASE WHEN abs(ratio - 1.0) > 0.1 THEN 1.0 ELSE 0.0 END)
+      |    AS REAL) AS clip_frac,
+      |  CAST(AVG(ratio - 1.0 - ln(ratio)) AS REAL) AS approx_kl
+      |FROM r""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -11884,6 +12355,19 @@ object SparkEntry {
     "token_budget_mix" -> (tokenBudgetMix(_, _)),
     "group_advantage" -> (groupAdvantage(_, _)),
     "judge_vote" -> (judgeVote(_, _)),
+    "pass_at_k" -> (passAtKQ(_, _)),
+    "best_of_n" -> (bestOfNQ(_, _)),
+    "brier_decomp" -> (brierQ(_, _)),
+    "code_stats" -> (codeStatsQ(_, _)),
+    "mi_tokens" -> (miTokensQ(_, _)),
+    "dp_counts" -> (dpCountsQ(_, _)),
+    "needle_insert" -> (needleInsertQ(_, _)),
+    "ndcg_mrr" -> (ndcgMrrQ(_, _)),
+    "k_anon" -> (kAnonQ(_, _)),
+    "constraint_check" -> (constraintCheckQ(_, _)),
+    "sessionize" -> (sessionizeQ(_, _)),
+    "zipf_fit" -> (zipfFitQ(_, _)),
+    "ppo_stats" -> (ppoStatsQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -12246,6 +12730,19 @@ object SparkEntry {
     "token_budget_mix" -> tokenBudgetMixSql,
     "group_advantage" -> groupAdvantageSql,
     "judge_vote" -> judgeVoteSql,
+    "pass_at_k" -> passAtKSql,
+    "best_of_n" -> bestOfNSql,
+    "brier_decomp" -> brierSql,
+    "code_stats" -> codeStatsSql,
+    "mi_tokens" -> miTokensSql,
+    "dp_counts" -> dpCountsSql,
+    "needle_insert" -> needleInsertSql,
+    "ndcg_mrr" -> ndcgMrrSql,
+    "k_anon" -> kAnonSql,
+    "constraint_check" -> constraintCheckSql,
+    "sessionize" -> sessionizeSql,
+    "zipf_fit" -> zipfFitSql,
+    "ppo_stats" -> ppoStatsSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -134,6 +134,37 @@ object EvalMetrics {
       .drop("_c", "_r")
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator) per
+    * problem: with n samples of which c pass,
+    * `pass@k = 1 - C(n-c, k)/C(n, k) = 1 - prod_{i<k} (n-c-i)/(n-i)`,
+    * computed as the factored product (never the raw binomials, which
+    * overflow long before n = 100). A problem with fewer than k
+    * samples has no unbiased estimate and emits NULL for that k; a
+    * numerator term clamping at zero means c > n-k and the product
+    * vanishes (pass@k = 1).
+    *
+    * Scale shape: ONE two-phase groupBy to |problems| rows; the k-term
+    * product is a fixed-size column chain (codegen, no UDF). The
+    * factors multiply left-to-right in IEEE doubles — the same
+    * correctly-rounded chain the oracle replays — so round-6 is safe. */
+  def passAtK(df: DataFrame, problemCol: String, okCol: String,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64), s"ks $ks")
+    val base = df
+      .filter(col(problemCol).isNotNull && col(okCol).isNotNull)
+      .groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(okCol).cast("long")).as("c"))
+    ks.foldLeft(base) { (d, k) =>
+      val prod = (0 until k).map { i =>
+        greatest(col("n") - col("c") - i, lit(0L)).cast("double") /
+          (col("n") - i).cast("double")
+      }.reduce(_ * _)
+      d.withColumn(s"pass_at_$k",
+        when(col("n") >= k, round(lit(1.0) - prod, 6)))
+    }
+  }
+
   /** Edit-distance near-duplicate pairs within length blocks: candidates
     * are keyed by `floor(len/blockWidth)` and ONLY same-block and
     * adjacent-block pairs compare (a true near-dup pair within

@@ -133,6 +133,104 @@ object RewardStats {
         col("top.l").as("top_label"), (-col("top.nc")).as("top_votes"),
         (col("n_votes") === -col("top.nc")).as("unanimous"))
 
+  /** Rejection-sampling selection (best-of-n): per prompt keep the
+    * top-scored response — the Llama-2-style RFT step that turns n
+    * sampled generations plus a reward model into one SFT example —
+    * and report the margin over the runner-up as the confidence
+    * signal a curation pass thresholds on. Ties break to the smallest
+    * response id so the pick is total and replayable.
+    *
+    * Scale shape: ONE shuffle on the prompt key; the per-prompt sort
+    * inside the window is bounded by the group size (n is the
+    * sampling fan-out, not the corpus), and only the top-2 rows
+    * survive into the closing |prompts|-row aggregate. */
+  def bestOfN(df: DataFrame, promptCol: String, respIdCol: String,
+              scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast("double")
+    val w = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(respIdCol))
+    val all = Window.partitionBy(col(promptCol))
+    df.filter(col(promptCol).isNotNull && col(scoreCol).isNotNull &&
+        !isnan(s))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(all))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(promptCol))
+      .agg(max(col("__n")).as("n_resp"),
+        max(when(col("__rn") === 1, col(respIdCol))).as("best_id"),
+        max(when(col("__rn") === 1, s)).as("best_score"),
+        max(when(col("__rn") === 2, s)).as("second_score"))
+      .withColumn("margin", col("best_score") - col("second_score"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over `bins`
+    * equal-width probability buckets: BS = uncertainty + reliability
+    * - resolution (exact when forecasts are constant within a bin,
+    * the usual binned approximation otherwise — both the raw BS and
+    * the three components are emitted so the residual is visible).
+    * A reward model whose reliability term dominates is miscalibrated;
+    * one whose resolution is near zero is uninformative.
+    *
+    * Scale shape: ONE two-phase groupBy to <= bins rows, then a
+    * second aggregate over those bins-sized rows — the corpus is
+    * touched exactly once. Emits one row; all rates emit float4
+    * (unordered double sums, the cross-engine convention). */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         outcomeCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val p = col(probCol).cast("double")
+    val y = col(outcomeCol).cast("double")
+    val bin = least(greatest(floor(p * bins), lit(0)), lit(bins - 1))
+      .cast("long")
+    val perBin = df
+      .filter(p.isNotNull && !isnan(p) && y.isNotNull)
+      .select(bin.as("bin"), p.as("p"), y.as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+      .withColumn("pbar", col("sp") / col("nk"))
+      .withColumn("obar_k", col("sy") / col("nk"))
+    perBin
+      .agg(sum(col("nk")).as("__n"), sum(col("sq")).as("__sq"),
+        sum(col("sy")).as("__sy"),
+        sum(col("nk") * (col("pbar") - col("obar_k")) *
+          (col("pbar") - col("obar_k"))).as("__rel"),
+        sum(col("nk") * col("obar_k") * col("obar_k")).as("__so2"))
+      .select(col("__n").as("n"),
+        (col("__sq") / col("__n")).cast("float").as("brier"),
+        (col("__rel") / col("__n")).cast("float").as("reliability"),
+        // sum nk*(obar_k - obar)^2 = sum nk*obar_k^2 - n*obar^2
+        ((col("__so2") - col("__sy") * col("__sy") / col("__n")) /
+          col("__n")).cast("float").as("resolution"),
+        ((col("__sy") / col("__n")) * (lit(1.0) - col("__sy") / col("__n")))
+          .cast("float").as("uncertainty"))
+  }
+
+  /** PPO ratio diagnostics over an RL batch — the numbers a policy
+    * trainer logs per step: the clipped-surrogate objective mean, the
+    * fraction of ratios the clip binds on, and Schulman's k3 KL
+    * estimator mean(ratio - 1 - ln ratio). Ratios must be positive
+    * (they are exp(logp - logp_old)); non-finite rows are dropped.
+    *
+    * Scale shape: one single-pass aggregate — no shuffle beyond the
+    * final reduce. Means route through ln (libm) and emit float4. */
+  def ppoStats(df: DataFrame, ratioCol: String, advCol: String,
+               clipEps: Double = 0.2): DataFrame = {
+    require(clipEps > 0 && clipEps < 1, s"clipEps $clipEps")
+    val r = col(ratioCol).cast("double")
+    val a = col(advCol).cast("double")
+    val clipped = least(greatest(r, lit(1.0 - clipEps)), lit(1.0 + clipEps))
+    val obj = least(r * a, clipped * a)
+    df.filter(r.isNotNull && !isnan(r) && r > 0 && a.isNotNull && !isnan(a))
+      .agg(count(lit(1)).as("n"),
+        avg(obj).cast("float").as("mean_objective"),
+        avg(when(abs(r - 1.0) > clipEps, 1.0).otherwise(0.0))
+          .cast("float").as("clip_frac"),
+        avg(r - 1.0 - log(r)).cast("float").as("approx_kl"))
+  }
+
   /** Cohen's kappa between two raters over shared items:
     * po = observed agreement, pe = chance agreement from the raters'
     * marginal label distributions, kappa = (po - pe) / (1 - pe).

@@ -86,4 +86,37 @@ class EvalMetricsSpec extends SparkSpecBase {
       EvalMetrics.editNearDup(df, "id", "t", maxDist = 6, blockWidth = 6)
     }
   }
+
+  private def passRow(n: Int, c: Int, ks: Seq[Int]) = {
+    val df = (0 until n).map(i => ("p", if (i < c) 1 else 0)).toDF("p", "ok")
+    EvalMetrics.passAtK(df, "p", "ok", ks).collect().head
+  }
+
+  test("pass@k: the C(n-c,k)/C(n,k) ground truths") {
+    // n=5, c=2, k=2: 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+    val r = passRow(5, 2, Seq(1, 2))
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("c") == 2L)
+    assert(math.abs(r.getAs[Double]("pass_at_1") - 0.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pass_at_2") - 0.7) < 1e-9)
+  }
+
+  test("pass@k: zero correct gives 0, all correct gives 1") {
+    val z = passRow(10, 0, Seq(1, 5))
+    assert(z.getAs[Double]("pass_at_1") == 0.0)
+    assert(z.getAs[Double]("pass_at_5") == 0.0)
+    val a = passRow(10, 10, Seq(1, 5))
+    assert(a.getAs[Double]("pass_at_1") == 1.0)
+    assert(a.getAs[Double]("pass_at_5") == 1.0)
+  }
+
+  test("pass@k: c > n-k forces a zero factor, so pass@k = 1 exactly") {
+    // n=10, c=1, k=10: the numerator chain 9,8,...,0 hits zero
+    val r = passRow(10, 1, Seq(10))
+    assert(r.getAs[Double]("pass_at_10") == 1.0)
+  }
+
+  test("pass@k: fewer than k samples has no unbiased estimate (NULL)") {
+    val r = passRow(3, 1, Seq(5))
+    assert(r.isNullAt(r.fieldIndex("pass_at_5")))
+  }
 }

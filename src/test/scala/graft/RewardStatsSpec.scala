@@ -136,4 +136,71 @@ class RewardStatsSpec extends SparkSpecBase {
     assert(RewardStats.rocAuc(reversed, "s", "y")
       .collect().head.getAs[Double]("auc") == 0.0)
   }
+
+  test("bestOfN: top pick, runner-up margin, and smallest-id tiebreak") {
+    val df = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 7.0), ("a", 3L, 5.0), // best 2, second 5.0
+      ("b", 4L, 9.0), ("b", 5L, 9.0),                 // tie -> id 4 wins
+      ("c", 6L, 1.0)                                  // single response
+    ).toDF("prompt", "rid", "s")
+    val out = RewardStats.bestOfN(df, "prompt", "rid", "s")
+      .collect().map(r => r.getAs[String]("prompt") -> r).toMap
+    assert(out("a").getAs[Long]("n_resp") == 3L)
+    assert(out("a").getAs[Long]("best_id") == 2L)
+    assert(out("a").getAs[Double]("best_score") == 7.0)
+    assert(out("a").getAs[Double]("margin") == 2.0)
+    assert(out("b").getAs[Long]("best_id") == 4L)
+    assert(out("b").getAs[Double]("margin") == 0.0)
+    assert(out("c").getAs[Long]("best_id") == 6L)
+    assert(out("c").isNullAt(out("c").fieldIndex("second_score")))
+    assert(out("c").isNullAt(out("c").fieldIndex("margin")))
+  }
+
+  test("brier decomposition: perfect forecasts zero out BS and reliability") {
+    val df = Seq((1.0, 1), (1.0, 1), (0.0, 0), (0.0, 0)).toDF("p", "y")
+    val r = RewardStats.brierDecomposition(df, "p", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Float]("brier") == 0f)
+    assert(r.getAs[Float]("reliability") == 0f)
+    // obar = 0.5: uncertainty 0.25, and resolution must equal it (the
+    // decomposition identity BS = unc + rel - res with BS = rel = 0)
+    assert(r.getAs[Float]("uncertainty") == 0.25f)
+    assert(r.getAs[Float]("resolution") == 0.25f)
+  }
+
+  test("ppoStats: on-policy batch (ratio 1) has zero clip_frac and KL") {
+    val df = Seq((1.0, 2.0), (1.0, -1.0)).toDF("r", "a")
+    val out = RewardStats.ppoStats(df, "r", "a", clipEps = 0.2)
+      .collect().head
+    assert(out.getAs[Long]("n") == 2L)
+    assert(out.getAs[Float]("clip_frac") == 0f)
+    assert(out.getAs[Float]("approx_kl") == 0f)
+    assert(out.getAs[Float]("mean_objective") == 0.5f) // mean(adv)
+  }
+
+  test("ppoStats: an off-policy ratio clips the objective and counts") {
+    // ratio 1.5, adv 1, eps 0.2: objective min(1.5, 1.2) = 1.2
+    val df = Seq((1.5, 1.0)).toDF("r", "a")
+    val out = RewardStats.ppoStats(df, "r", "a", clipEps = 0.2)
+      .collect().head
+    assert(out.getAs[Float]("clip_frac") == 1f)
+    assert(out.getAs[Float]("mean_objective") == 1.2f)
+    assert(math.abs(out.getAs[Float]("approx_kl") -
+      (0.5 - math.log(1.5)).toFloat) < 1e-7)
+  }
+
+  test("ppoStats: non-positive ratios are dropped, not ln'd") {
+    val df = Seq((0.0, 1.0), (-1.0, 1.0), (1.0, 1.0)).toDF("r", "a")
+    assert(RewardStats.ppoStats(df, "r", "a").collect().head
+      .getAs[Long]("n") == 1L)
+  }
+
+  test("brier decomposition: an uninformative constant forecast has zero resolution") {
+    val df = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("p", "y")
+    val r = RewardStats.brierDecomposition(df, "p", "y").collect().head
+    assert(r.getAs[Float]("brier") == 0.25f)
+    assert(r.getAs[Float]("reliability") == 0f)
+    assert(r.getAs[Float]("resolution") == 0f)
+    assert(r.getAs[Float]("uncertainty") == 0.25f)
+  }
 }
