@@ -12181,6 +12181,220 @@ object SparkEntry {
       |  CAST(AVG(ratio - 1.0 - ln(ratio)) AS REAL) AS approx_kl
       |FROM r""".stripMargin
 
+  /** Heaps' law fit, FULL oracle — vocabulary-growth OLS over 64
+    * document-id checkpoints (`operators/CorpusStats.heapsFit`): one
+    * explode+groupBy for each token's first document, a 64-row bucket
+    * rollup and running sum, one closing aggregate; beta/ln_k/r2
+    * float4 through ln. Bucket = doc_id // (max//64 + 1), exact
+    * integer division both sides. */
+  private def heapsFitQ(s: SparkSession, dir: String): DataFrame =
+    // the synthetic corpus saturates its tiny vocabulary inside the
+    // first bucket (a constant-V curve makes the OLS variance an
+    // exact-zero-vs-1ulp coin flip), so the fixture appends one fresh
+    // token per three documents — real vocabulary growth to fit
+    operators.CorpusStats.heapsFit(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" nv"), expr("doc_id DIV 3"))
+            .as("text")),
+      "doc_id", "text", buckets = 64)
+
+  private val heapsFitSql =
+    """WITH p AS (SELECT CAST((SELECT max(doc_id) FROM documents) // 64 + 1
+      |             AS BIGINT) AS step),
+      |d AS (SELECT doc_id, list_filter(
+      |        string_split_regex(lower(text || ' nv' || (doc_id // 3)),
+      |          '[ \t\n\r]+'),
+      |        t -> length(t) > 0) AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |vol AS (SELECT doc_id // step AS bkt, SUM(len(toks)) AS toks
+      |        FROM d, p GROUP BY 1),
+      |fd AS (SELECT tok, min(doc_id) AS first_id
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY tok),
+      |fr AS (SELECT first_id // step AS bkt, count(*) AS fresh
+      |       FROM fd, p GROUP BY 1),
+      |cur AS (SELECT v.bkt, SUM(v.toks) OVER w AS n,
+      |          SUM(COALESCE(f.fresh, 0)) OVER w AS vv
+      |        FROM vol v LEFT JOIN fr f ON f.bkt = v.bkt
+      |        WINDOW w AS (ORDER BY v.bkt
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pts AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(vv AS DOUBLE)) AS y
+      |        FROM cur WHERE n > 0 AND vv > 0),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+      |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+      |        SUM(x * y) AS sxy
+      |      FROM pts)
+      |SELECT n AS n_points,
+      |  CAST((sxy - sx * sy / n) / (sxx - sx * sx / n) AS REAL) AS beta,
+      |  CAST((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n
+      |    AS REAL) AS ln_k,
+      |  CAST(CASE WHEN (syy - sy * sy / n) > 0
+      |       THEN (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+      |            ((sxx - sx * sx / n) * (syy - sy * sy / n))
+      |       ELSE 1.0 END AS REAL) AS r2
+      |FROM s""".stripMargin
+
+  /** Degree assortativity, FULL oracle — Newman's endpoint-degree
+    * Pearson r over the kNN graph's directed stubs
+    * (`operators/GraphAnalytics.assortativity`): one degree groupBy,
+    * two stub joins, one closing aggregate; integer-valued moment sums
+    * are exact in doubles, r emits float4. kNN graphs should come out
+    * disassortative (hubs attach to leaves). */
+  private def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.assortativity(edges)
+  }
+
+  private val assortativitySql =
+    s"""WITH $knnEdgesUndCtes,
+       |st AS (SELECT a AS u, b AS v FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM st GROUP BY u),
+       |j AS (SELECT CAST(dx.d AS DOUBLE) AS x, CAST(dy.d AS DOUBLE) AS y
+       |      FROM st JOIN dg dx ON dx.u = st.u JOIN dg dy ON dy.u = st.v),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS m, SUM(x) AS sx,
+       |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+       |        SUM(x * y) AS sxy
+       |      FROM j)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       |  CAST(sx / m AS REAL) AS mean_deg,
+       |  CAST(CASE WHEN (sxx - sx * sx / m) > 0 AND (syy - sy * sy / m) > 0
+       |       THEN (sxy - sx * sy / m) /
+       |            sqrt((sxx - sx * sx / m) * (syy - sy * sy / m))
+       |       ELSE 0.0 END AS REAL) AS r
+       |FROM s""".stripMargin
+
+  /** MCQ answer-position assignment, FULL oracle — deterministic
+    * uniform correct-option slots from a splitmix64 draw on the
+    * question id (`operators/EvalConstruct.mcqShuffle`; the oracle
+    * replays the mixer through `Mix64Sql.ctes`): a stateless per-row
+    * map, no shuffle. */
+  private def mcqShuffleQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalConstruct.mcqShuffle(
+      Tables.read(s, dir, "documents").select(col("doc_id").as("qid")),
+      "qid", nOptions = 4, seed = 42L)
+
+  private val mcqShuffleSql: String =
+    s"""WITH q AS (SELECT doc_id AS qid FROM documents),
+       |${mix64Ctes("mc", "q", Seq("qid"), "qid * 1000003 + 42")}
+       |SELECT qid, CAST((z // 2048) % 4 AS BIGINT) AS correct_pos,
+       |  chr(65 + CAST((z // 2048) % 4 AS INT)) AS letter
+       |FROM mc6""".stripMargin
+
+  /** T5 span corruption, FULL oracle — deterministic one-in-five
+    * single-token masks rendered as sequential `<extra_id_K>`
+    * sentinels in the input and echoed in the target
+    * (`operators/Fim.spanCorrupt`): pure indexed array algebra, zero
+    * UDFs; the oracle replays via position unnest + ordered
+    * string_agg. */
+  private def spanCorruptQ(s: SparkSession, dir: String): DataFrame =
+    operators.Fim.spanCorrupt(
+      Tables.read(s, dir, "documents"), "doc_id", "text", stride = 5)
+
+  private val spanCorruptSql =
+    """WITH d AS (SELECT doc_id, list_filter(
+      |        string_split_regex(text, '[ \t\n\r]+'),
+      |        t -> length(t) > 0) AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |x AS (SELECT doc_id, i, toks[i + 1] AS tok
+      |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+      |            FROM d)),
+      |r AS (SELECT doc_id,
+      |        string_agg(CASE WHEN i % 5 = 3
+      |          THEN '<extra_id_' || ((i - 3) // 5) || '>'
+      |          ELSE tok END, ' ' ORDER BY i) AS input,
+      |        string_agg(CASE WHEN i % 5 = 3
+      |          THEN '<extra_id_' || ((i - 3) // 5) || '> ' || tok
+      |          END, ' ' ORDER BY i) AS target
+      |      FROM x GROUP BY doc_id),
+      |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_filter(range(0, len(toks)), i -> i % 5 = 3))
+      |          AS BIGINT) AS n_masked
+      |      FROM d)
+      |SELECT c.doc_id, n_tokens, n_masked,
+      |  COALESCE(r.input, '') AS input, COALESCE(r.target, '') AS target
+      |FROM c LEFT JOIN r ON r.doc_id = c.doc_id""".stripMargin
+
+  /** n-gram novelty, FULL oracle — the memorization audit: per
+    * synthetic "generation" (a shifted document suffix plus a unique
+    * token) the fraction of its distinct 3-grams absent from the
+    * corpus gram set (`operators/Memorization.ngramNovelty`): the
+    * corpus collapses once to distinct grams, candidates LEFT-join it
+    * on the gram key — never candidates x corpus. Exact-rational
+    * round-6. */
+  private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    val cands = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(expr("substring(text, 6)"), lit(" zqx"), col("doc_id"))
+          .as("gen"))
+    operators.Memorization.ngramNovelty(cands, docs, "doc_id",
+      "gen", "text", n = 3)
+  }
+
+  private val ngramNoveltySql =
+    """WITH gt AS (SELECT doc_id, list_filter(
+      |        string_split_regex(lower(text), '[ \t\n\r]+'),
+      |        t -> length(t) > 0) AS ts
+      |      FROM documents WHERE text IS NOT NULL),
+      |cgr AS (SELECT DISTINCT g FROM (
+      |  SELECT unnest(CASE WHEN len(ts) >= 3
+      |    THEN list_transform(range(1, len(ts) - 1),
+      |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+      |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+      |    ELSE [] END) AS g
+      |  FROM gt)),
+      |cd AS (SELECT doc_id, list_filter(
+      |        string_split_regex(lower(substr(text, 6) || ' zqx' || doc_id),
+      |          '[ \t\n\r]+'),
+      |        t -> length(t) > 0) AS ts
+      |      FROM documents WHERE doc_id % 7 = 0),
+      |cag AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+      |    THEN list_transform(range(1, len(ts) - 1),
+      |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+      |    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+      |    ELSE [] END)) AS g
+      |  FROM cd)
+      |SELECT cag.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN cgr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(SUM(CASE WHEN cgr.g IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS novelty_frac
+      |FROM cag LEFT JOIN cgr ON cgr.g = cag.g
+      |GROUP BY cag.doc_id""".stripMargin
+
+  /** Token burstiness, FULL oracle — variance-to-mean ratio of
+    * per-document counts for the top-50 tokens, zero docs included
+    * (`operators/CorpusStats.burstiness`): one (doc, token) groupBy,
+    * one token groupBy, a vocabulary-sized rank window, broadcast
+    * totals; vmr float4 from exact integer moments. */
+  private def burstinessQ(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.burstiness(
+      Tables.read(s, dir, "documents"), "doc_id", "text", topM = 50)
+
+  private val burstinessSql =
+    """WITH d AS (SELECT doc_id, list_filter(
+      |        string_split_regex(lower(text), '[ \t\n\r]+'),
+      |        t -> length(t) > 0) AS toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |pc AS (SELECT doc_id, tok AS token, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      |       GROUP BY 1, 2),
+      |pt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(c) AS BIGINT) AS total,
+      |         CAST(SUM(c * c) AS BIGINT) AS sumsq
+      |       FROM pc GROUP BY token),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY total DESC, token)
+      |         AS rnk FROM pt),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d)
+      |SELECT token, total, n_docs,
+      |  CAST((CAST(sumsq AS DOUBLE) / nn -
+      |        (CAST(total AS DOUBLE) / nn) * (CAST(total AS DOUBLE) / nn)) /
+      |       (CAST(total AS DOUBLE) / nn) AS REAL) AS vmr
+      |FROM rk, t WHERE rnk <= 50""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -12368,6 +12582,12 @@ object SparkEntry {
     "sessionize" -> (sessionizeQ(_, _)),
     "zipf_fit" -> (zipfFitQ(_, _)),
     "ppo_stats" -> (ppoStatsQ(_, _)),
+    "heaps_fit" -> (heapsFitQ(_, _)),
+    "assortativity" -> (assortativityQ(_, _)),
+    "mcq_shuffle" -> (mcqShuffleQ(_, _)),
+    "span_corrupt" -> (spanCorruptQ(_, _)),
+    "ngram_novelty" -> (ngramNoveltyQ(_, _)),
+    "burstiness" -> (burstinessQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -12743,6 +12963,12 @@ object SparkEntry {
     "sessionize" -> sessionizeSql,
     "zipf_fit" -> zipfFitSql,
     "ppo_stats" -> ppoStatsSql,
+    "heaps_fit" -> heapsFitSql,
+    "assortativity" -> assortativitySql,
+    "mcq_shuffle" -> mcqShuffleSql,
+    "span_corrupt" -> spanCorruptSql,
+    "ngram_novelty" -> ngramNoveltySql,
+    "burstiness" -> burstinessSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -56,4 +56,42 @@ object Fim {
       .withColumn("spm", concat(lit(SuffixTok), col("suffix"),
         lit(PrefixTok), col("prefix"), lit(MiddleTok), col("middle")))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) with a
+    * DETERMINISTIC mask pattern: one single-token mask per `stride`
+    * tokens (0-based positions p with p % stride == stride - 2), each
+    * replaced in the input render by the sequential sentinel
+    * `<extra_id_K>` (K = p div stride) and echoed after the same
+    * sentinel in the target render. Fixed-position masking keeps the
+    * transform replayable (and oracle-checkable) end to end; a
+    * production pipeline seeds positions from a hash instead.
+    *
+    * Pure token-array algebra — split, indexed transform, filter,
+    * join — zero UDFs, one stateless scan, no shuffle. Emits
+    * (id, n_tokens, n_masked, input, target). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  stride: Int = 5): DataFrame = {
+    require(stride >= 2, s"stride must be >= 2: $stride")
+    val toks = filter(split(col(textCol), "[ \t\n\r]+"),
+      t => length(t) > 0)
+    val masked = (i: Column) => i % stride === stride - 2
+    val sentinel = (i: Column) =>
+      concat(lit("<extra_id_"),
+        ((i - (stride - 2)) / stride).cast("long"), lit(">"))
+    val idx = sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)))
+    val nonEmpty = size(col("__t")) > 0
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"), (_, i) => masked(i))).cast("long")
+          .as("n_masked"),
+        when(nonEmpty, array_join(zip_with(col("__t"), idx,
+          (t, i) => when(masked(i), sentinel(i)).otherwise(t)), " "))
+          .otherwise(lit("")).as("input"),
+        when(nonEmpty, array_join(flatten(zip_with(col("__t"), idx,
+          (t, i) => when(masked(i), array(sentinel(i), t))
+            .otherwise(array().cast("array<string>")))), " "))
+          .otherwise(lit("")).as("target"))
+  }
 }

@@ -280,4 +280,43 @@ object GraphAnalytics {
       s
     } finally e.unpersist()
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the 2|E| directed stubs of the undirected
+    * graph. Positive r = hubs attach to hubs (social nets); negative =
+    * hubs attach to leaves (the web, kNN graphs).
+    *
+    * Scale shape: one degree groupBy + two broadcast-or-shuffle joins
+    * keyed on the stub endpoints, then a single closing aggregate. The
+    * moment sums are integer-valued (degrees), so double summation is
+    * exact and order-independent below 2^53 — r still emits float4
+    * because the closing divisions and sqrt feed from five separate
+    * aggregates. Emits one row: (n_edges, mean_deg, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val stubs = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = stubs.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val joined = stubs
+      .join(deg.select(col("u"), col("d").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dy")), Seq("v"))
+      .select(col("dx").cast("double").as("x"),
+        col("dy").cast("double").as("y"))
+    joined.agg(count(lit(1)).as("__m"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"),
+        sum(col("x") * col("y")).as("__sxy"))
+      .select((col("__m") / 2).cast("long").as("n_edges"), {
+        val m = col("__m").cast("double")
+        val cov = col("__sxy") - col("__sx") * col("__sy") / m
+        val vx = col("__sxx") - col("__sx") * col("__sx") / m
+        val vy = col("__syy") - col("__sy") * col("__sy") / m
+        struct((col("__sx") / m).cast("float").as("mean_deg"),
+          when(vx > 0 && vy > 0, cov / sqrt(vx * vy))
+            .otherwise(0.0).cast("float").as("r")).as("f")
+      })
+      .select(col("n_edges"), col("f.mean_deg").as("mean_deg"),
+        col("f.r").as("r"))
+  }
 }

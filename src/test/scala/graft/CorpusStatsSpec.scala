@@ -26,4 +26,44 @@ class CorpusStatsSpec extends SparkSpecBase {
       .collect().head
     assert(r.getAs[Long]("n_ranked") == 3L)
   }
+
+  test("heaps: all-fresh tokens fit beta = 1 exactly") {
+    // doc i contributes exactly two never-seen tokens: V(n) = n
+    val docs = (0L until 32L).map(i => (i, s"t${2 * i} t${2 * i + 1}"))
+      .toDF("id", "text")
+    val r = CorpusStats.heapsFit(docs, "id", "text", buckets = 8)
+      .collect().head
+    assert(r.getAs[Long]("n_points") == 8L)
+    assert(math.abs(r.getAs[Float]("beta") - 1f) < 1e-5)
+    assert(math.abs(r.getAs[Float]("ln_k")) < 1e-5)
+    assert(math.abs(r.getAs[Float]("r2") - 1f) < 1e-5)
+  }
+
+  test("heaps: a closed vocabulary fits beta = 0") {
+    val docs = (0L until 32L).map(i => (i, "same three words"))
+      .toDF("id", "text")
+    val r = CorpusStats.heapsFit(docs, "id", "text", buckets = 8)
+      .collect().head
+    assert(math.abs(r.getAs[Float]("beta")) < 1e-6)
+  }
+
+  test("burstiness: clumped vs even tokens") {
+    // 'clump' appears 4x in one of two docs: mean 2, E[c^2] 8, vmr 2
+    // 'even' appears once in each doc: mean 1, var 0, vmr 0
+    val docs = Seq((1L, "clump clump clump clump even"), (2L, "even"))
+      .toDF("id", "text")
+    val out = CorpusStats.burstiness(docs, "id", "text", topM = 10)
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("total"), r.getAs[Long]("n_docs"),
+          r.getAs[Float]("vmr"))).toMap
+    assert(out("clump") == ((4L, 1L, 2f)))
+    assert(out("even") == ((2L, 2L, 0f)))
+  }
+
+  test("burstiness: topM keeps the most frequent tokens only") {
+    val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val out = CorpusStats.burstiness(docs, "id", "text", topM = 2)
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(out == Set("a", "b"))
+  }
 }

@@ -54,4 +54,33 @@ class FimSpec extends SparkSpecBase {
     assert((lo, hi) == (0L, 0L) && pre == "" && mid == "" && suf == "")
     assert(psm == "<|fim_pre|><|fim_suf|><|fim_mid|>")
   }
+
+  private def corrupt(text: String, stride: Int = 5) = {
+    import spark.implicits._
+    Fim.spanCorrupt(Seq((1L, text)).toDF("id", "t"), "id", "t", stride)
+      .collect().head
+  }
+
+  test("span corruption masks every stride-th token with sequential sentinels") {
+    val r = corrupt("a b c d e f g h i j k l")
+    assert(r.getAs[Long]("n_tokens") == 12L)
+    assert(r.getAs[Long]("n_masked") == 2L) // positions 3 and 8
+    assert(r.getAs[String]("input") ==
+      "a b c <extra_id_0> e f g h <extra_id_1> j k l")
+    assert(r.getAs[String]("target") == "<extra_id_0> d <extra_id_1> i")
+  }
+
+  test("span corruption: short text has no mask and an empty target") {
+    val r = corrupt("a b c")
+    assert(r.getAs[Long]("n_masked") == 0L)
+    assert(r.getAs[String]("input") == "a b c")
+    assert(r.getAs[String]("target") == "")
+  }
+
+  test("span corruption: empty text emits empty renders, not nulls") {
+    val r = corrupt("   ")
+    assert(r.getAs[Long]("n_tokens") == 0L)
+    assert(r.getAs[String]("input") == "")
+    assert(r.getAs[String]("target") == "")
+  }
 }

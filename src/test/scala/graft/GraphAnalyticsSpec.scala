@@ -141,4 +141,21 @@ class GraphAnalyticsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(one(0L) == 150000L && one(1L) == 850000L && one(2L) == 0L)
   }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = GraphAnalytics.assortativity(star).collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Float]("mean_deg") == 2f) // (3+1+1+1)/3 stubs... 12/6
+    assert(math.abs(r.getAs[Float]("r") - (-1f)) < 1e-6)
+  }
+
+  test("assortativity: a regular graph has zero degree variance -> r = 0") {
+    import spark.implicits._
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = GraphAnalytics.assortativity(cycle).collect().head
+    assert(r.getAs[Float]("r") == 0f)
+    assert(r.getAs[Float]("mean_deg") == 2f)
+  }
 }
