@@ -94,7 +94,15 @@ object Bench {
     // group_advantage shares the two-phase-agg + broadcast-back family
     // already timed by knn_classify. chat_tool_trace IS here: the
     // higher-order aggregate fold is a plan family nothing else compiles.
-    "chat_tool_trace")                                    // agentic-turn validation fold
+    "chat_tool_trace",                                    // agentic-turn validation fold
+    // r12-continuation waves: sessionize times the co-partitioned
+    // lag-window + running-sum + rollup family (q4_window times a plain
+    // ranking window, not a chained one); ngram_novelty/heaps_fit carry
+    // SCALE_BENCH curves instead; the rest share timed plan families
+    // (pass_at_k/best_of_n/brier ~ two-phase aggs, code_stats/
+    // span_corrupt ~ stateless array scans, mi_tokens/burstiness/
+    // zipf_fit ~ tfidf_hashed's explode+groupBy).
+    "sessionize")                                         // gap sessions: lag + cumsum + rollup
 
   /** Per-entry budget (chars) for one spread_pct value ("99," at the
     * cap, "-1," for a failed row); `BenchShapeSpec` budgets the meta

@@ -139,6 +139,37 @@ object ScaleBench {
         hosts, "doc_id", "host", pslRules).count())
       add("registrable_domain", nPsl, tPsl)
 
+      // Batch sessionization at scale: one user-key shuffle shared by
+      // the lag window, the running index, and the rollup; replicas
+      // introduce NEW users, so groups multiply and the curve should
+      // stay linear in events (no per-user blowup).
+      val evUs = ev.select(col("user_id"), col("event_id"),
+        Tables.tsUs(ev).as("us"))
+      val (nSes, tSes) = time(operators.Sessionize.gapSessions(
+        evUs, "user_id", "us", "event_id", gapMinutes = 1440).count())
+      add("sessionize", ev.count(), tSes, Seq(("sessions", nSes.toDouble)))
+
+      // Memorization audit at scale: a FIXED candidate set (base-doc
+      // suffixes) against the GROWING corpus gram set — the corpus
+      // side dominates (distinct + gram join), so cost should track
+      // the corpus scan; novel counts stay flat (the fixed candidates
+      // find their grams in the base copies regardless of replicas).
+      val memCands = docs0.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(expr("substring(text, 6)"), lit(" zqx"), col("doc_id"))
+            .as("gen"))
+      val (nNov, tNov) = time(operators.Memorization.ngramNovelty(
+          memCands, docs, "doc_id", "gen", "text", n = 3)
+        .agg(sum(col("n_novel"))).head().getLong(0))
+      add("ngram_novelty", docs.count(), tNov, Seq(("novel", nNov.toDouble)))
+
+      // Heaps fit at scale: one explode + first-doc groupBy over the
+      // growing corpus, a 64-bucket rollup, fixed-size output — the
+      // cost should track the token scan.
+      val (_, tHp) = time(operators.CorpusStats.heapsFit(
+        docs, "doc_id", "text", buckets = 64).head())
+      add("heaps_fit", docs.count(), tHp)
+
       val (model, t4) = time {
         val m = operators.Ivf.build(emb, "embedding", nlists = 100)
         m.assigned.cache().count()

@@ -12395,6 +12395,145 @@ object SparkEntry {
       |       (CAST(total AS DOUBLE) / nn) AS REAL) AS vmr
       |FROM rk, t WHERE rnk <= 50""".stripMargin
 
+  /** HITS hubs/authorities, FULL oracle — two Kleinberg iterations
+    * over the kNN graph in the integer fixed-point frame
+    * (`operators/GraphAnalytics.hitsInt`): each half-step is one SpMV
+    * join+groupBy and an L1 floor renormalization `(10⁶·raw)//Σraw`,
+    * exact integers end to end; the oracle unrolls the four
+    * half-steps as CTEs. */
+  private def hitsScoresQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.hitsInt(edges, iterations = 2)
+      .select(col("id").as("vec_id"), col("hub_scaled"), col("auth_scaled"))
+  }
+
+  private val hitsScoresSql: String = {
+    def half(out: String, in: String, from: String, to: String) =
+      s"""${out}r AS (SELECT e.$to AS id, SUM($in.score) AS raw
+         |  FROM e JOIN $in ON $in.id = e.$from GROUP BY 1),
+         |${out}t AS (SELECT SUM(raw) AS tot FROM ${out}r),
+         |$out AS (SELECT n.id,
+         |    (1000000 * COALESCE(r.raw, 0)) // t.tot AS score
+         |  FROM n LEFT JOIN ${out}r r ON r.id = n.id, ${out}t t)""".stripMargin
+    s"""WITH $knnEdgesUndCtes,
+       |n AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM n),
+       |${half("a1", "h0", "src", "dst")},
+       |${half("h1", "a1", "dst", "src")},
+       |${half("a2", "h1", "src", "dst")},
+       |${half("h2", "a2", "dst", "src")}
+       |SELECT h2.id AS vec_id, CAST(h2.score AS BIGINT) AS hub_scaled,
+       |  CAST(a2.score AS BIGINT) AS auth_scaled
+       |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin
+  }
+
+  /** Spearman's rho per prompt, FULL oracle — rank agreement between
+    * two closed-form scorings with the (score desc, id) total order
+    * (`operators/RewardStats.spearmanRho`): two prompt-partitioned
+    * windows + one groupBy; 1 - 6Σd²/(n(n²-1)) stays exact integers
+    * until one closing division (round-6). */
+  private def spearmanRhoQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.spearmanRho(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+          col("doc_id").as("id"),
+          ((col("doc_id") * 37) % 101).cast("double").as("a"),
+          ((col("doc_id") * 53) % 97).cast("double").as("b")),
+      "prompt", "id", "a", "b")
+
+  private val spearmanRhoSql =
+    """WITH r AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt, doc_id AS id,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS a,
+      |    CAST((doc_id * 53) % 97 AS DOUBLE) AS b
+      |  FROM documents),
+      |w AS (SELECT prompt,
+      |        CAST(row_number() OVER (PARTITION BY prompt
+      |          ORDER BY a DESC, id) AS BIGINT) AS ra,
+      |        CAST(row_number() OVER (PARTITION BY prompt
+      |          ORDER BY b DESC, id) AS BIGINT) AS rb
+      |      FROM r),
+      |g AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+      |      FROM w GROUP BY prompt)
+      |SELECT prompt, n,
+      |  CASE WHEN n >= 2
+      |    THEN round(1.0 - 6.0 * d2 / CAST(n * (n * n - 1) AS DOUBLE), 6)
+      |  END AS rho
+      |FROM g""".stripMargin
+
+  /** Kendall's tau-b per prompt, FULL oracle — tie-aware pairwise
+    * rank agreement over the same two scorings
+    * (`operators/RewardStats.kendallTauB`): one self-equi-join on the
+    * prompt key (pairs bounded by fan-out², never the corpus), exact
+    * integer C/D/tie counts, tau float4 through the sqrt. */
+  private def kendallTauQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.kendallTauB(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+          col("doc_id").as("id"),
+          ((col("doc_id") * 37) % 101).cast("double").as("a"),
+          ((col("doc_id") * 53) % 97).cast("double").as("b")),
+      "prompt", "id", "a", "b")
+
+  private val kendallTauSql =
+    """WITH r AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt, doc_id AS id,
+      |    CAST((doc_id * 37) % 101 AS DOUBLE) AS a,
+      |    CAST((doc_id * 53) % 97 AS DOUBLE) AS b
+      |  FROM documents),
+      |j AS (SELECT l.prompt, l.a - q.a AS da, l.b - q.b AS db
+      |      FROM r l JOIN r q ON q.prompt = l.prompt AND l.id < q.id),
+      |g AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n0,
+      |        CAST(SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS c,
+      |        CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS d,
+      |        CAST(SUM(CASE WHEN da = 0 AND db <> 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS tx,
+      |        CAST(SUM(CASE WHEN db = 0 AND da <> 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS ty,
+      |        CAST(SUM(CASE WHEN da = 0 AND db = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS txy
+      |      FROM j GROUP BY prompt)
+      |SELECT prompt, n0 AS n_pairs, c AS concordant, d AS discordant,
+      |  CAST(CASE WHEN (n0 - tx - txy) > 0 AND (n0 - ty - txy) > 0
+      |    THEN CAST(c - d AS DOUBLE) /
+      |         sqrt(CAST(n0 - tx - txy AS DOUBLE) *
+      |              CAST(n0 - ty - txy AS DOUBLE))
+      |  END AS REAL) AS tau_b
+      |FROM g""".stripMargin
+
+  /** Gini coefficient of token frequencies, FULL oracle — the
+    * inequality companion to the Zipf fit
+    * (`operators/CorpusStats.giniTokens`): one vocabulary groupBy,
+    * one vocabulary-sized rank window, exact integer sums into two
+    * closing correctly-rounded divisions (round-6). */
+  private def giniTokensQ(s: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.giniTokens(
+      Tables.read(s, dir, "documents"), "text")
+
+  private val giniTokensSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[ \t\n\r]+'),
+      |    t -> length(t) > 0)) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |rk AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt, token)
+      |         AS BIGINT) AS i FROM c),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(cnt) AS BIGINT) AS total,
+      |        CAST(SUM(i * cnt) AS BIGINT) AS ix
+      |      FROM rk)
+      |SELECT n AS n_tokens, total,
+      |  round(2.0 * ix / CAST(n * total AS DOUBLE) -
+      |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      |FROM s""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -12588,6 +12727,10 @@ object SparkEntry {
     "span_corrupt" -> (spanCorruptQ(_, _)),
     "ngram_novelty" -> (ngramNoveltyQ(_, _)),
     "burstiness" -> (burstinessQ(_, _)),
+    "hits_scores" -> (hitsScoresQ(_, _)),
+    "spearman_rho" -> (spearmanRhoQ(_, _)),
+    "kendall_tau" -> (kendallTauQ(_, _)),
+    "gini_tokens" -> (giniTokensQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -12969,6 +13112,10 @@ object SparkEntry {
     "span_corrupt" -> spanCorruptSql,
     "ngram_novelty" -> ngramNoveltySql,
     "burstiness" -> burstinessSql,
+    "hits_scores" -> hitsScoresSql,
+    "spearman_rho" -> spearmanRhoSql,
+    "kendall_tau" -> kendallTauSql,
+    "gini_tokens" -> giniTokensSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

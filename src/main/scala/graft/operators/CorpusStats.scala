@@ -124,6 +124,37 @@ object CorpusStats {
         col("f.ln_k").as("ln_k"), col("f.r2").as("r2"))
   }
 
+  /** Gini coefficient of the token frequency distribution — the
+    * inequality companion to [[zipfFit]]: 0 = every token equally
+    * frequent, near 1 = a few tokens dominate (template/spam corpora
+    * sit far above natural text). Uses the rank identity
+    * G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n over counts sorted ascending
+    * (ties ordered by token — the sum is invariant to order within
+    * equal counts, so the tiebreak only makes the plan total).
+    *
+    * Scale shape: one explode+groupBy to the vocabulary, one
+    * vocabulary-sized rank window, one closing aggregate. Exact
+    * integer sums until two closing correctly-rounded divisions
+    * (round-6 safe). Emits one row: (n_tokens, total, gini). */
+  def giniTokens(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "[ \t\n\r]+"),
+      t => length(t) > 0)
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("cnt"), col("token"))).cast("long"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("total"),
+        sum(col("__i") * col("cnt")).as("__ix"))
+      .select(col("n_tokens"), col("total"),
+        round(lit(2.0) * col("__ix") /
+            (col("n_tokens") * col("total")).cast("double") -
+          (col("n_tokens") + 1).cast("double") / col("n_tokens"), 6)
+          .as("gini"))
+  }
+
   /** Token burstiness — the variance-to-mean ratio (VMR) of per-
     * document counts for the `topM` most frequent tokens, zero-count
     * documents included (population moments from exact integer sums:

@@ -281,6 +281,49 @@ object GraphAnalytics {
     } finally e.unpersist()
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) in the same integer
+    * fixed-point frame as [[pagerankInt]]: scores start at 10⁶; each
+    * half-step sums the opposite score over the edge (auth from
+    * in-hubs, hub from out-auths) and L1-renormalizes with floor
+    * division — `(10⁶ · raw) // Σraw` — so every iteration is exact
+    * integer arithmetic the SQL oracle replays verbatim. Bound: node
+    * count · 10¹² must fit a long (n < ~9·10⁶ — HITS is run on
+    * analysis subgraphs, not the full crawl).
+    *
+    * Scale shape per half-step: one edge join + one groupBy on the
+    * receiving endpoint (SpMV), one scalar total broadcast back —
+    * never a dense matrix. */
+  def hitsInt(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      def halfStep(score: DataFrame, fromCol: String, toCol: String) = {
+        val raw = e
+          .join(score.withColumnRenamed("id", fromCol), fromCol)
+          .select(col(toCol).as("id"), col("score").as("s"))
+          .groupBy(col("id")).agg(sum(col("s")).as("raw"))
+        val total = raw.agg(sum(col("raw")).as("__tot"))
+        nodes.join(raw, Seq("id"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("id"),
+            expr("(1000000 * coalesce(raw, 0L)) div __tot").as("score"))
+          .localCheckpoint(true)
+      }
+      var hub = nodes.withColumn("score", lit(1000000L))
+      var auth = nodes.withColumn("score", lit(1000000L))
+      for (_ <- 1 to iterations) {
+        auth = halfStep(hub, "src", "dst") // auth(v) = sum of hubs into v
+        hub = halfStep(auth, "dst", "src") // hub(u) = sum of auths out of u
+      }
+      hub.withColumnRenamed("score", "hub_scaled")
+        .join(auth.withColumnRenamed("score", "auth_scaled"), Seq("id"))
+    } finally e.unpersist()
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the 2|E| directed stubs of the undirected
     * graph. Positive r = hubs attach to hubs (social nets); negative =

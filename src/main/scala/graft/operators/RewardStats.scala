@@ -231,6 +231,83 @@ object RewardStats {
         avg(r - 1.0 - log(r)).cast("float").as("approx_kl"))
   }
 
+  /** Spearman's rho per group between two scorings of the same
+    * responses (reward model vs judge, two judges, two reward-model
+    * checkpoints): ranks come from row_number over (score desc, id) —
+    * the id tiebreak makes ranking total and replayable, trading the
+    * textbook average-tied-rank for determinism (documented; use
+    * [[kendallTauB]] when ties matter). rho = 1 - 6·Σd²/(n(n²-1)),
+    * exact integer arithmetic until one closing division (round-6).
+    * Groups with n < 2 emit NULL.
+    *
+    * Scale shape: two windows and a groupBy all partitioned on the
+    * group key — one shuffle, per-group sort bounded by the fan-out. */
+  def spearmanRho(df: DataFrame, groupCol: String, idCol: String,
+                  scoreACol: String, scoreBCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def w(c: String) = Window.partitionBy(col(groupCol))
+      .orderBy(col(c).desc, col(idCol))
+    df.filter(col(groupCol).isNotNull && col(scoreACol).isNotNull &&
+        col(scoreBCol).isNotNull)
+      .withColumn("__ra", row_number().over(w(scoreACol)).cast("long"))
+      .withColumn("__rb", row_number().over(w(scoreBCol)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .as("__d2"))
+      .select(col(groupCol), col("n"),
+        when(col("n") >= 2,
+          round(lit(1.0) - lit(6.0) * col("__d2") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"), 6))
+          .as("rho"))
+  }
+
+  /** Kendall's tau-b per group between two scorings — the tie-aware
+    * rank agreement: over all unordered response pairs, C concordant,
+    * D discordant, and the tie corrections
+    * tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) with n0 = n(n-1)/2.
+    * Exact integer pair counts; tau emits float4 through the sqrt.
+    * Groups where either scoring is constant emit NULL.
+    *
+    * Scale shape: ONE self-equi-join on the group key — pair count is
+    * bounded by the per-group fan-out squared (the sampling width,
+    * never the corpus), then one groupBy back to |groups| rows. */
+  def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
+                  scoreACol: String, scoreBCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull &&
+        col(scoreACol).isNotNull && col(scoreBCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__i"),
+        col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+    val l = base.select(col("__g"), col("__i").as("__il"),
+      col("__a").as("__al"), col("__b").as("__bl"))
+    val r = base.select(col("__g"), col("__i").as("__ir"),
+      col("__a").as("__ar"), col("__b").as("__br"))
+    val da = col("__al") - col("__ar")
+    val db = col("__bl") - col("__br")
+    l.join(r, Seq("__g")).filter(col("__il") < col("__ir"))
+      .select(col("__g"),
+        when(da * db > 0, 1L).otherwise(0L).as("__c"),
+        when(da * db < 0, 1L).otherwise(0L).as("__d"),
+        when(da === 0 && db =!= 0, 1L).otherwise(0L).as("__tx"),
+        when(db === 0 && da =!= 0, 1L).otherwise(0L).as("__ty"),
+        when(da === 0 && db === 0, 1L).otherwise(0L).as("__txy"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n0"), sum(col("__c")).as("__sc"),
+        sum(col("__d")).as("__sd"), sum(col("__tx")).as("__stx"),
+        sum(col("__ty")).as("__sty"), sum(col("__txy")).as("__stxy"))
+      .select(col("__g").as(groupCol),
+        col("__n0").as("n_pairs"), col("__sc").as("concordant"),
+        col("__sd").as("discordant"),
+        when((col("__n0") - col("__stx") - col("__stxy")) > 0 &&
+            (col("__n0") - col("__sty") - col("__stxy")) > 0,
+          ((col("__sc") - col("__sd")).cast("double") /
+            sqrt((col("__n0") - col("__stx") - col("__stxy")).cast("double") *
+              (col("__n0") - col("__sty") - col("__stxy")).cast("double")))
+            .cast("float"))
+          .as("tau_b"))
+  }
+
   /** Cohen's kappa between two raters over shared items:
     * po = observed agreement, pe = chance agreement from the raters'
     * marginal label distributions, kappa = (po - pe) / (1 - pe).

@@ -60,6 +60,18 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out("even") == ((2L, 2L, 0f)))
   }
 
+  test("gini: uniform counts score 0; a 1-vs-9 split scores 0.4") {
+    val uniform = CorpusStats.giniTokens(Seq("a b c a b c").toDF("text"),
+      "text").collect().head
+    assert(uniform.getAs[Double]("gini") == 0.0)
+    // counts {x:1, y:9}: 2*(1*1+2*9)/(2*10) - 3/2 = 0.4
+    val skew = CorpusStats.giniTokens(
+      Seq(("x " + Seq.fill(9)("y").mkString(" "))).toDF("text"), "text")
+      .collect().head
+    assert(skew.getAs[Long]("n_tokens") == 2L)
+    assert(skew.getAs[Double]("gini") == 0.4)
+  }
+
   test("burstiness: topM keeps the most frequent tokens only") {
     val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
     val out = CorpusStats.burstiness(docs, "id", "text", topM = 2)

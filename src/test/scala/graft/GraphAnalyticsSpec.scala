@@ -151,6 +151,34 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Float]("r") - (-1f)) < 1e-6)
   }
 
+  test("hits: two hubs feeding one authority, hand-checked half-steps") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphAnalytics.hitsInt(edges, iterations = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("hub_scaled"), r.getAs[Long]("auth_scaled"))).toMap
+    // auth: raw(3) = 2e6, total 2e6 -> 1e6; hubs split it evenly
+    assert(out(3L) == ((0L, 1000000L)))
+    assert(out(1L) == ((500000L, 0L)))
+    assert(out(2L) == ((500000L, 0L)))
+  }
+
+  test("hits: iteration keeps the L1 scale and separates a chain") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val out = GraphAnalytics.hitsInt(edges, iterations = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("hub_scaled"), r.getAs[Long]("auth_scaled"))).toMap
+    // node 1 points at both others: best hub; node 3 is pointed at by
+    // both: best authority; floor-normalized totals stay ~1e6
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 >= out(3L)._1)
+    assert(out(3L)._2 > out(2L)._2 && out(2L)._2 >= out(1L)._2)
+    val hubTot = out.values.map(_._1).sum
+    val authTot = out.values.map(_._2).sum
+    assert(hubTot > 999990L && hubTot <= 1000000L)
+    assert(authTot > 999990L && authTot <= 1000000L)
+  }
+
   test("assortativity: a regular graph has zero degree variance -> r = 0") {
     import spark.implicits._
     val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")

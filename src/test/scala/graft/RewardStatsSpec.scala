@@ -168,6 +168,41 @@ class RewardStatsSpec extends SparkSpecBase {
     assert(r.getAs[Float]("resolution") == 0.25f)
   }
 
+  test("spearman: identical order 1, inverted order -1, singleton NULL") {
+    val df = Seq(
+      ("p", 1L, 3.0, 30.0), ("p", 2L, 2.0, 20.0), ("p", 3L, 1.0, 10.0),
+      ("q", 4L, 3.0, 10.0), ("q", 5L, 2.0, 20.0), ("q", 6L, 1.0, 30.0),
+      ("s", 7L, 1.0, 1.0)
+    ).toDF("g", "id", "a", "b")
+    val out = RewardStats.spearmanRho(df, "g", "id", "a", "b")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("p").getAs[Double]("rho") == 1.0)
+    assert(out("q").getAs[Double]("rho") == -1.0)
+    assert(out("s").isNullAt(out("s").fieldIndex("rho")))
+  }
+
+  test("kendall tau-b: perfect, one-swap, and constant-scoring cases") {
+    val perfect = Seq(("p", 1L, 1.0, 1.0), ("p", 2L, 2.0, 2.0),
+      ("p", 3L, 3.0, 3.0)).toDF("g", "id", "a", "b")
+    val p = RewardStats.kendallTauB(perfect, "g", "id", "a", "b")
+      .collect().head
+    assert(p.getAs[Long]("n_pairs") == 3L)
+    assert(p.getAs[Long]("concordant") == 3L)
+    assert(p.getAs[Float]("tau_b") == 1f)
+    // one discordant pair of three: tau = (2-1)/3
+    val oneSwap = Seq(("p", 1L, 1.0, 2.0), ("p", 2L, 2.0, 1.0),
+      ("p", 3L, 3.0, 3.0)).toDF("g", "id", "a", "b")
+    val s = RewardStats.kendallTauB(oneSwap, "g", "id", "a", "b")
+      .collect().head
+    assert(math.abs(s.getAs[Float]("tau_b") - 1f / 3) < 1e-6)
+    // constant b: every pair tied in y -> denominator zero -> NULL
+    val const = Seq(("p", 1L, 1.0, 5.0), ("p", 2L, 2.0, 5.0))
+      .toDF("g", "id", "a", "b")
+    val c = RewardStats.kendallTauB(const, "g", "id", "a", "b")
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("tau_b")))
+  }
+
   test("ppoStats: on-policy batch (ratio 1) has zero clip_frac and KL") {
     val df = Seq((1.0, 2.0), (1.0, -1.0)).toDF("r", "a")
     val out = RewardStats.ppoStats(df, "r", "a", clipEps = 0.2)
