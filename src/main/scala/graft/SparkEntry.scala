@@ -12534,6 +12534,80 @@ object SparkEntry {
       |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       |FROM s""".stripMargin
 
+  /** CDC materialization as a REAL streaming query, FULL oracle —
+    * events reinterpreted as a change log (entity, monotonic version,
+    * upsert/delete op), collapsed to the latest row per key by a
+    * streaming struct-max aggregate in complete mode
+    * (`streaming/StreamCdc.latest`); tombstoned entities drop at the
+    * read side. The oracle replays via row_number by version. */
+  private def streamCdcQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select((col("user_id") % 20).as("entity"),
+        col("event_id").as("ver"),
+        when(col("event_id") % 17 === 0, "d").otherwise("u").as("op"),
+        col("value"))
+    val latest = streaming.StreamCdc.latest(stream, "entity", "ver",
+      "op", "value")
+    val name = "stream_cdc_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name))
+      .foreach(_.stop())
+    val q = latest.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).filter(col("last_op") =!= "d")
+      .select(col("entity"), col("last_version"), col("last_value"))
+  }
+
+  private val streamCdcSql =
+    """WITH c AS (
+      |  SELECT user_id % 20 AS entity, event_id AS ver,
+      |    CASE WHEN event_id % 17 = 0 THEN 'd' ELSE 'u' END AS op, value
+      |  FROM events),
+      |b AS (SELECT entity, ver, op, value,
+      |        row_number() OVER (PARTITION BY entity ORDER BY ver DESC)
+      |          AS rn
+      |      FROM c)
+      |SELECT entity, ver AS last_version, value AS last_value
+      |FROM b WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  /** Bootstrap CI, FULL oracle — the percentile-method error bar for
+    * an integer eval metric's mean, B = 200 deterministic resamples
+    * through splitmix64 (`operators/EvalConstruct.bootstrapMeanCi`;
+    * the oracle replays every draw through `Mix64Sql.ctes` over the
+    * B·n slot range): exact resample sums, one correctly-rounded
+    * division per mean, round-6 end to end. */
+  private def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalConstruct.bootstrapMeanCi(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), ((col("doc_id") * 11) % 23).as("score")),
+      "doc_id", "score", b = 200, seed = 42L)
+
+  private val bootstrapCiSql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |sl AS (SELECT unnest(range(0, 200 * (SELECT n FROM nn))) AS slot),
+       |${mix64Ctes("bs", "sl", Seq("slot"), "42 + slot")},
+       |dr AS (SELECT slot // n AS b, CAST((z // 2048) % n AS BIGINT) AS idx
+       |       FROM bs6, nn),
+       |ix AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+       |         AS BIGINT) AS idx,
+       |         CAST((doc_id * 11) % 23 AS BIGINT) AS v
+       |       FROM documents),
+       |mm AS (SELECT b, SUM(v) AS s2 FROM dr JOIN ix ON ix.idx = dr.idx
+       |       GROUP BY b),
+       |mr AS (SELECT b, CAST(s2 AS DOUBLE) / n AS mean FROM mm, nn),
+       |rk AS (SELECT mean,
+       |         CAST(row_number() OVER (ORDER BY mean, b) AS BIGINT) AS rnk
+       |       FROM mr),
+       |f AS (SELECT CAST(SUM(v) AS DOUBLE) / max(n) AS m
+       |      FROM ix, nn)
+       |SELECT (SELECT n FROM nn) AS n, CAST(200 AS BIGINT) AS b_resamples,
+       |  round((SELECT m FROM f), 6) AS mean,
+       |  round((SELECT mean FROM rk WHERE rnk = 6), 6) AS ci_lo,
+       |  round((SELECT mean FROM rk WHERE rnk = 195), 6) AS ci_hi""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -12731,6 +12805,8 @@ object SparkEntry {
     "spearman_rho" -> (spearmanRhoQ(_, _)),
     "kendall_tau" -> (kendallTauQ(_, _)),
     "gini_tokens" -> (giniTokensQ(_, _)),
+    "stream_cdc" -> (streamCdcQ(_, _)),
+    "bootstrap_ci" -> (bootstrapCiQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13116,6 +13192,8 @@ object SparkEntry {
     "spearman_rho" -> spearmanRhoSql,
     "kendall_tau" -> kendallTauSql,
     "gini_tokens" -> giniTokensSql,
+    "stream_cdc" -> streamCdcSql,
+    "bootstrap_ci" -> bootstrapCiSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -36,4 +36,53 @@ object EvalConstruct {
         slotUdf(col(qidCol).cast("long")).cast("long").as("correct_pos"))
       .withColumn("letter", expr("char(65 + correct_pos)"))
   }
+
+  /** Deterministic bootstrap confidence interval for the mean of an
+    * INTEGER-valued metric column — the error bar every eval report
+    * needs: B resamples of size n drawn with replacement through
+    * splitmix64 (draw j for slot (b, i) = mix64(seed + b·n + i) mod n,
+    * replayable in SQL), percentile-method CI at ranks B/40 + 1 and
+    * B - B/40 (2.5% / 97.5% for B a multiple of 40). Integer values
+    * keep every resample sum exact; each mean is one correctly-rounded
+    * division, so round-6 holds end to end.
+    *
+    * Scale shape: this bootstraps an EVAL-SET metric (n = benchmark
+    * size, not the corpus) — the B·n resample frame is one range join
+    * against the indexed values, the index window runs over n rows.
+    * Emits one row: (n, b_resamples, mean, ci_lo, ci_hi). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+                      b: Int = 200, seed: Long = 42L): DataFrame = {
+    require(b >= 40 && b % 40 == 0, s"b must be a positive multiple of 40: $b")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val base = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("long").as("__v"))
+    val n = base.count()
+    require(n > 0, "empty input")
+    val indexed = base
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__id"))).cast("long") - 1)
+      .select(col("__idx"), col("__v"))
+    val drawUdf = udf((slot: Long) =>
+      (graft.functions.DetRandom.mix64(seed + slot) >>> 11) % n)
+    val draws = spark.range(b.toLong * n)
+      .select(expr(s"id div $n").as("__b"),
+        drawUdf(col("id")).as("__idx"))
+    val means = draws.join(indexed, Seq("__idx"))
+      .groupBy(col("__b"))
+      .agg((sum(col("__v")).cast("double") / n).as("__mean"))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__mean"), col("__b"))).cast("long"))
+    val loRank = b / 40 + 1
+    val hiRank = b - b / 40
+    val full = base.agg((sum(col("__v")).cast("double") / n).as("__m"))
+    means.filter(col("__rank") === loRank || col("__rank") === hiRank)
+      .agg(min(when(col("__rank") === loRank, col("__mean"))).as("__lo"),
+        min(when(col("__rank") === hiRank, col("__mean"))).as("__hi"))
+      .crossJoin(full)
+      .select(lit(n).as("n"), lit(b.toLong).as("b_resamples"),
+        round(col("__m"), 6).as("mean"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
 }

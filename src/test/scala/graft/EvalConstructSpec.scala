@@ -37,4 +37,35 @@ class EvalConstructSpec extends SparkSpecBase {
     val b = (0L until 64L).map(EvalConstruct.slot(_, 4, 43L))
     assert(a != b)
   }
+
+  test("bootstrap CI: constant metric collapses the interval to the mean") {
+    val df = (0L until 50L).map(i => (i, 7L)).toDF("id", "score")
+    val r = EvalConstruct.bootstrapMeanCi(df, "id", "score", b = 40)
+      .collect().head
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("mean") == 7.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0)
+    assert(r.getAs[Double]("ci_hi") == 7.0)
+  }
+
+  test("bootstrap CI: interval brackets the mean and is deterministic") {
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("id", "score")
+    val run1 = EvalConstruct.bootstrapMeanCi(df, "id", "score", b = 200)
+      .collect().head
+    val run2 = EvalConstruct.bootstrapMeanCi(df, "id", "score", b = 200)
+      .collect().head
+    assert(run1 == run2)
+    assert(run1.getAs[Double]("mean") == 4.5)
+    assert(run1.getAs[Double]("ci_lo") < 4.5 &&
+      run1.getAs[Double]("ci_hi") > 4.5)
+    // the 95% band for a mean of 100 uniform draws is tight
+    assert(run1.getAs[Double]("ci_hi") - run1.getAs[Double]("ci_lo") < 1.5)
+  }
+
+  test("bootstrap CI: b must be a positive multiple of 40") {
+    val df = Seq((1L, 1L)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      EvalConstruct.bootstrapMeanCi(df, "id", "score", b = 100)
+    }
+  }
 }
