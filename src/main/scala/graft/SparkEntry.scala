@@ -12608,6 +12608,130 @@ object SparkEntry {
        |  round((SELECT mean FROM rk WHERE rnk = 6), 6) AS ci_lo,
        |  round((SELECT mean FROM rk WHERE rnk = 195), 6) AS ci_hi""".stripMargin
 
+  /** Luhn PAN audit, FULL oracle — 13-19 digit runs filtered by the
+    * ISO 7812 mod-10 check over a fixture embedding valid, invalid,
+    * and incidental digit runs (`operators/Luhn.panScan`): a zero-UDF
+    * regex + digit-fold scan; the oracle replays the fold with
+    * list_transform over each candidate. */
+  private def panLuhnQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val t2 = concat(col("text"),
+      when(d % 3 === 0, lit(" card 4111111111111111"))
+        .when(d % 3 === 1, lit(" ref 4111111111111112"))
+        .otherwise(concat(lit(" id 10000000000"),
+          lpad((d % 1000).cast("string"), 3, "0"))))
+    operators.Luhn.panScan(
+      Tables.read(s, dir, "documents").select(d, t2.as("t")), "doc_id", "t")
+  }
+
+  private val panLuhnSql =
+    """WITH t AS (
+      |  SELECT doc_id, text ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN ' card 4111111111111111'
+      |          WHEN doc_id % 3 = 1 THEN ' ref 4111111111111112'
+      |          ELSE ' id 10000000000' ||
+      |            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') END) AS t2
+      |  FROM documents),
+      |c AS (SELECT doc_id, regexp_extract_all(t2, '[0-9]{13,19}') AS cs
+      |      FROM t),
+      |v AS (SELECT doc_id, cs,
+      |        list_filter(cs, p -> list_sum(list_transform(
+      |          range(1, length(p) + 1),
+      |          i -> CASE WHEN i % 2 = 0
+      |            THEN CASE WHEN CAST(substr(reverse(p), i, 1) AS INT) * 2 > 9
+      |              THEN CAST(substr(reverse(p), i, 1) AS INT) * 2 - 9
+      |              ELSE CAST(substr(reverse(p), i, 1) AS INT) * 2 END
+      |            ELSE CAST(substr(reverse(p), i, 1) AS INT) END)) % 10 = 0)
+      |          AS vs
+      |      FROM c)
+      |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_candidates,
+      |  CAST(len(vs) AS BIGINT) AS n_valid,
+      |  COALESCE(array_to_string(list_transform(vs,
+      |    p -> substr(p, length(p) - 3, 4)), ','), '') AS valid_last4
+      |FROM v""".stripMargin
+
+  /** Topic-shift chunking, FULL oracle — TextTiling-style boundaries
+    * where adjacent-sentence distinct-token Jaccard drops below tau
+    * over a three-sentence fixture with engineered overlap
+    * (`operators/SemanticChunk.chunk`): posexplode + one (doc, idx-1)
+    * self-join + one doc-partitioned running sum; cohesion is an
+    * exact rational (round-6). */
+  private def semanticChunkQ(s: SparkSession, dir: String): DataFrame = {
+    val t2 = concat_ws(". ",
+      expr("substring(text, 1, 40)"),
+      expr("substring(text, 21, 40)"),
+      expr("substring(text, 81, 40)"))
+    operators.SemanticChunk.chunk(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), t2.as("t")),
+      "doc_id", "t", tau = 0.2)
+  }
+
+  private val semanticChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) || '. ' ||
+      |    substr(text, 21, 40) || '. ' || substr(text, 81, 40) AS t2
+      |  FROM documents WHERE text IS NOT NULL),
+      |sx AS (SELECT doc_id, CAST(si AS BIGINT) AS sent_idx,
+      |        list_distinct(list_filter(
+      |          string_split_regex(lower(parts[si + 1]), '[ \t\n\r]+'),
+      |          x -> length(x) > 0)) AS tk
+      |      FROM (SELECT doc_id, parts,
+      |              unnest(range(0, len(parts))) AS si
+      |            FROM (SELECT doc_id, string_split(t2, '. ') AS parts
+      |                  FROM t))),
+      |pr AS (SELECT doc_id, sent_idx + 1 AS sent_idx, tk AS pk FROM sx),
+      |j AS (SELECT s.doc_id, s.sent_idx,
+      |        CASE WHEN p.pk IS NULL THEN NULL
+      |          WHEN len(s.tk) + len(p.pk) -
+      |            len(list_filter(s.tk, x -> list_contains(p.pk, x))) > 0
+      |          THEN round(CAST(len(list_filter(s.tk,
+      |              x -> list_contains(p.pk, x))) AS DOUBLE) /
+      |            (len(s.tk) + len(p.pk) -
+      |             len(list_filter(s.tk, x -> list_contains(p.pk, x)))), 6)
+      |          ELSE 0.0 END AS cohesion
+      |      FROM sx s LEFT JOIN pr p
+      |        ON p.doc_id = s.doc_id AND p.sent_idx = s.sent_idx),
+      |b AS (SELECT doc_id, sent_idx, cohesion,
+      |        (cohesion IS NULL OR cohesion < 0.2) AS boundary FROM j)
+      |SELECT doc_id, sent_idx, cohesion, boundary,
+      |  CAST(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY doc_id ORDER BY sent_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS chunk_id
+      |FROM b""".stripMargin
+
+  /** Split-conformal threshold, FULL oracle — qhat = the
+    * ceil((n+1)·0.9)-th smallest calibration score (exact integer k)
+    * plus the realized test coverage
+    * (`operators/EvalConstruct.conformalThreshold`): one eval-sized
+    * rank window + one test aggregate against the broadcast qhat. */
+  private def conformalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.read(s, dir, "documents")
+      .select(col("doc_id"),
+        ((col("doc_id") * 13) % 97).cast("double").as("score"))
+    operators.EvalConstruct.conformalThreshold(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "score", "doc_id", covNum = 9, covDen = 10)
+  }
+
+  private val conformalSql =
+    """WITH d AS (SELECT doc_id, CAST((doc_id * 13) % 97 AS DOUBLE) AS score
+      |           FROM documents),
+      |cal AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+      |kk AS (SELECT CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k FROM nn),
+      |q AS (SELECT score AS qhat
+      |      FROM (SELECT score, row_number() OVER (ORDER BY score, doc_id)
+      |              AS r FROM cal), kk
+      |      WHERE r = k)
+      |SELECT (SELECT n FROM nn) AS n_cal, (SELECT k FROM kk) AS k,
+      |  (SELECT qhat FROM q) AS qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  round(AVG(CASE WHEN score <= (SELECT qhat FROM q)
+      |    THEN 1.0 ELSE 0.0 END), 6) AS coverage
+      |FROM d WHERE doc_id % 2 = 1""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -12807,6 +12931,9 @@ object SparkEntry {
     "gini_tokens" -> (giniTokensQ(_, _)),
     "stream_cdc" -> (streamCdcQ(_, _)),
     "bootstrap_ci" -> (bootstrapCiQ(_, _)),
+    "pan_luhn" -> (panLuhnQ(_, _)),
+    "semantic_chunk" -> (semanticChunkQ(_, _)),
+    "conformal_threshold" -> (conformalQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13194,6 +13321,9 @@ object SparkEntry {
     "gini_tokens" -> giniTokensSql,
     "stream_cdc" -> streamCdcSql,
     "bootstrap_ci" -> bootstrapCiSql,
+    "pan_luhn" -> panLuhnSql,
+    "semantic_chunk" -> semanticChunkSql,
+    "conformal_threshold" -> conformalSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -37,6 +37,44 @@ object EvalConstruct {
       .withColumn("letter", expr("char(65 + correct_pos)"))
   }
 
+  /** Split-conformal prediction threshold (Vovk et al.; Angelopoulos
+    * & Bates 2021 tutorial form): from a calibration set of
+    * nonconformity scores, qhat = the k-th smallest with
+    * k = ceil((n+1)·cov) computed in EXACT integer arithmetic as
+    * (covNum·(n+1) + covDen - 1) div covDen (cov = covNum/covDen, e.g.
+    * 9/10 for 90% coverage); the guarantee is that a fresh score lands
+    * <= qhat with probability >= cov. The test split reports the
+    * realized coverage. Emits one row: (n_cal, k, qhat, n_test,
+    * coverage round-6).
+    *
+    * Scale shape: one calibration-set rank window (eval-sized, not
+    * corpus-sized) + one test-set aggregate against the broadcast
+    * qhat. */
+  def conformalThreshold(cal: DataFrame, test: DataFrame, scoreCol: String,
+                         idCol: String, covNum: Int = 9,
+                         covDen: Int = 10): DataFrame = {
+    require(covNum >= 1 && covNum < covDen, s"coverage $covNum/$covDen")
+    import org.apache.spark.sql.expressions.Window
+    val nCal = cal.filter(col(scoreCol).isNotNull).count()
+    require(nCal > 0, "empty calibration set")
+    val k = (covNum.toLong * (nCal + 1) + covDen - 1) / covDen
+    require(k <= nCal,
+      s"calibration set too small for $covNum/$covDen coverage: $nCal")
+    val qhat = broadcast(cal.filter(col(scoreCol).isNotNull)
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col(scoreCol), col(idCol))).cast("long"))
+      .filter(col("__r") === k)
+      .select(col(scoreCol).cast("double").as("__qhat")))
+    test.filter(col(scoreCol).isNotNull)
+      .crossJoin(qhat)
+      .agg(count(lit(1)).as("n_test"),
+        round(avg(when(col(scoreCol).cast("double") <= col("__qhat"), 1.0)
+          .otherwise(0.0)), 6).as("coverage"),
+        min(col("__qhat")).as("qhat"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"), col("qhat"),
+        col("n_test"), col("coverage"))
+  }
+
   /** Deterministic bootstrap confidence interval for the mean of an
     * INTEGER-valued metric column — the error bar every eval report
     * needs: B resamples of size n drawn with replacement through

@@ -62,6 +62,29 @@ class EvalConstructSpec extends SparkSpecBase {
     assert(run1.getAs[Double]("ci_hi") - run1.getAs[Double]("ci_lo") < 1.5)
   }
 
+  test("conformal: k = ceil((n+1)*0.9), qhat is the k-th smallest") {
+    import graft.operators.EvalConstruct.conformalThreshold
+    // cal scores 1..9: k = ceil(10*0.9) = 9 -> qhat = 9.0
+    val cal = (1L to 9L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val test = Seq((100L, 5.0), (101L, 9.0), (102L, 10.0), (103L, 2.0))
+      .toDF("id", "score")
+    val r = conformalThreshold(cal, test, "score", "id").collect().head
+    assert(r.getAs[Long]("n_cal") == 9L)
+    assert(r.getAs[Long]("k") == 9L)
+    assert(r.getAs[Double]("qhat") == 9.0)
+    assert(r.getAs[Long]("n_test") == 4L)
+    assert(r.getAs[Double]("coverage") == 0.75) // 10.0 escapes
+  }
+
+  test("conformal: refuses a calibration set too small for the coverage") {
+    import graft.operators.EvalConstruct.conformalThreshold
+    val cal = Seq((1L, 1.0)).toDF("id", "score") // k = ceil(2*0.9) = 2 > 1
+    val test = Seq((2L, 1.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      conformalThreshold(cal, test, "score", "id")
+    }
+  }
+
   test("bootstrap CI: b must be a positive multiple of 40") {
     val df = Seq((1L, 1L)).toDF("id", "score")
     intercept[IllegalArgumentException] {
