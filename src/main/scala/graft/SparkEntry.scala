@@ -12732,6 +12732,91 @@ object SparkEntry {
       |    THEN 1.0 ELSE 0.0 END), 6) AS coverage
       |FROM d WHERE doc_id % 2 = 1""".stripMargin
 
+  /** SCD2 history, FULL oracle — the type-2 dimension build over the
+    * same CDC fixture as `stream_cdc` (`streaming/StreamCdc.scd2`):
+    * per key each change carries [valid_from, valid_to) from a lead
+    * window, is_current only on open non-tombstone rows. One key
+    * shuffle. */
+  private def scd2HistoryQ(s: SparkSession, dir: String): DataFrame =
+    streaming.StreamCdc.scd2(
+      Tables.read(s, dir, "events")
+        .select((col("user_id") % 20).as("entity"),
+          col("event_id").as("ver"),
+          when(col("event_id") % 17 === 0, "d").otherwise("u").as("op"),
+          col("value")),
+      "entity", "ver", "op", "value")
+
+  private val scd2HistorySql =
+    """WITH c AS (
+      |  SELECT user_id % 20 AS entity, event_id AS valid_from,
+      |    CASE WHEN event_id % 17 = 0 THEN 'd' ELSE 'u' END AS op, value
+      |  FROM events)
+      |SELECT entity, valid_from, op, value,
+      |  lead(valid_from) OVER w AS valid_to,
+      |  (lead(valid_from) OVER w IS NULL AND op <> 'd') AS is_current
+      |FROM c WINDOW w AS (PARTITION BY entity ORDER BY valid_from)"""
+      .stripMargin
+
+  /** Funnel analysis, FULL oracle — view -> click -> purchase with
+    * strict first-touch ordering (`operators/Funnel.stages`): per step
+    * one min-aggregate + one user-key join; each later step requires
+    * an event strictly after the previous step's completion. */
+  private def funnelStagesQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    operators.Funnel.stages(
+      ev.select(col("user_id"), Tables.tsUs(ev).as("us"),
+        col("event_type")),
+      "user_id", "us", "event_type", Seq("view", "click", "purchase"))
+  }
+
+  private val funnelStagesSql =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS y
+      |           FROM events),
+      |s0 AS (SELECT u, min(t) AS d FROM e WHERE y = 'view' GROUP BY u),
+      |s1 AS (SELECT e.u, min(e.t) AS d FROM e JOIN s0 ON s0.u = e.u
+      |       WHERE e.y = 'click' AND e.t > s0.d GROUP BY e.u),
+      |s2 AS (SELECT e.u, min(e.t) AS d FROM e JOIN s1 ON s1.u = e.u
+      |       WHERE e.y = 'purchase' AND e.t > s1.d GROUP BY e.u),
+      |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n0,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2)
+      |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, n0 AS n_users,
+      |  CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 6)
+      |       ELSE 0.0 END AS conversion FROM n
+      |UNION ALL SELECT 1, 'click', n1,
+      |  CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6)
+      |       ELSE 0.0 END FROM n
+      |UNION ALL SELECT 2, 'purchase', n2,
+      |  CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6)
+      |       ELSE 0.0 END FROM n""".stripMargin
+
+  /** Retention cohorts, FULL oracle — first-seen-week cohorts ×
+    * week-offset activity in exact epoch-micros arithmetic
+    * (`operators/Retention.cohorts`): first-seen aggregate, (user,
+    * week) distinct, one user-key join, (cohort, offset) rollup,
+    * broadcast cohort sizes. */
+  private def retentionCohortsQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    operators.Retention.cohorts(
+      ev.select(col("user_id"), Tables.tsUs(ev).as("us")),
+      "user_id", "us")
+  }
+
+  private val retentionCohortsSql =
+    """WITH e AS (SELECT DISTINCT user_id AS u,
+      |             epoch_us(ts) // 604800000000 AS w
+      |           FROM events),
+      |f AS (SELECT u, min(w) AS cw FROM e GROUP BY u),
+      |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+      |       FROM f GROUP BY cw),
+      |a AS (SELECT f.cw, e.w - f.cw AS yoff, CAST(count(*) AS BIGINT)
+      |        AS n_active
+      |      FROM e JOIN f ON f.u = e.u GROUP BY 1, 2)
+      |SELECT a.cw AS cohort_week, a.yoff AS week_offset, n_active,
+      |  n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+      |FROM a JOIN sz ON sz.cw = a.cw""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -12934,6 +13019,9 @@ object SparkEntry {
     "pan_luhn" -> (panLuhnQ(_, _)),
     "semantic_chunk" -> (semanticChunkQ(_, _)),
     "conformal_threshold" -> (conformalQ(_, _)),
+    "scd2_history" -> (scd2HistoryQ(_, _)),
+    "funnel_stages" -> (funnelStagesQ(_, _)),
+    "retention_cohorts" -> (retentionCohortsQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13324,6 +13412,9 @@ object SparkEntry {
     "pan_luhn" -> panLuhnSql,
     "semantic_chunk" -> semanticChunkSql,
     "conformal_threshold" -> conformalSql,
+    "scd2_history" -> scd2HistorySql,
+    "funnel_stages" -> funnelStagesSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -31,4 +31,25 @@ object StreamCdc {
         col("__last.v").as("last_version"),
         col("__last.o").as("last_op"),
         col("__last.x").as("last_value"))
+
+  /** Type-2 slowly-changing-dimension history from the same change
+    * log: one row per change with its validity interval
+    * [valid_from, valid_to) in version space — valid_to is the next
+    * change's version (NULL while open) — and `is_current` true only
+    * for an open, non-tombstone row. The batch warehouse face of
+    * [[latest]]: `latest` answers "now", this answers "as of any v".
+    *
+    * Scale shape: ONE shuffle on the key; the lead window's per-key
+    * sort is bounded by that key's change count. */
+  def scd2(df: DataFrame, keyCol: String, verCol: String,
+           opCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    df.filter(col(keyCol).isNotNull && col(verCol).isNotNull)
+      .select(col(keyCol), col(verCol).as("valid_from"),
+        col(opCol).as("op"), col(valCol).as("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull && col("op") =!= "d")
+  }
 }

@@ -24,6 +24,22 @@ class StreamCdcSpec extends SparkSpecBase {
     assert(out(2L) == ((7L, "d", 0.0)))  // tombstone surfaces as last op
   }
 
+  test("scd2: validity intervals chain, only the open non-tombstone is current") {
+    val log = Seq(
+      (1L, 10L, "u", 1.0), (1L, 12L, "u", 2.0), (1L, 11L, "u", 9.0),
+      (2L, 5L, "u", 3.0), (2L, 7L, "d", 0.0)
+    ).toDF("k", "ver", "op", "v")
+    val out = StreamCdc.scd2(log, "k", "ver", "op", "v")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("valid_from")) ->
+        (Option(r.get(r.fieldIndex("valid_to"))).map(_.toString.toLong),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(out((1L, 10L)) == ((Some(11L), false)))
+    assert(out((1L, 11L)) == ((Some(12L), false)))
+    assert(out((1L, 12L)) == ((None, true)))
+    assert(out((2L, 5L)) == ((Some(7L), false)))
+    assert(out((2L, 7L)) == ((None, false))) // tombstone is never current
+  }
+
   test("streaming complete mode: later batches override, stale ones don't") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
