@@ -12817,6 +12817,100 @@ object SparkEntry {
       |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
       |FROM a JOIN sz ON sz.cw = a.cw""".stripMargin
 
+  /** Judge length-bias probe, FULL oracle — per-judge Pearson r and
+    * OLS slope of score vs response length over a dial where the
+    * score partly tracks n_chars (`operators/RewardStats.lengthBias`):
+    * one two-phase groupBy, exact integer moments, float4 closers. */
+  private def judgeLengthBiasQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.lengthBias(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("j-"), col("doc_id") % 3).as("judge"),
+          (col("n_chars") % 50 + (col("doc_id") * 7) % 11).as("score"),
+          col("n_chars").as("resp_len")),
+      "judge", "score", "resp_len")
+
+  private val judgeLengthBiasSql =
+    """WITH r AS (
+      |  SELECT 'j-' || (doc_id % 3) AS judge,
+      |    CAST(n_chars % 50 + (doc_id * 7) % 11 AS DOUBLE) AS y,
+      |    CAST(n_chars AS DOUBLE) AS x
+      |  FROM documents),
+      |g AS (SELECT judge, CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+      |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+      |        SUM(x * y) AS sxy
+      |      FROM r GROUP BY judge)
+      |SELECT judge, n,
+      |  CAST(CASE WHEN (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+      |    THEN (sxy - sx * sy / n) /
+      |         sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      |  END AS REAL) AS len_corr,
+      |  CAST(CASE WHEN (sxx - sx * sx / n) > 0
+      |    THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      |  END AS REAL) AS len_slope
+      |FROM g""".stripMargin
+
+  /** Judge position-bias probe, FULL oracle — per-judge first-position
+    * win rate with its fair-coin z-score over three judges with
+    * different engineered biases (`operators/RewardStats
+    * .positionBias`): exact-rational rate (round-6), z float4. */
+  private def judgePositionBiasQ(s: SparkSession, dir: String): DataFrame =
+    operators.RewardStats.positionBias(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("j-"), col("doc_id") % 3).as("judge"),
+          ((col("doc_id") * 13) % 97 <
+            (lit(45) + (col("doc_id") % 3) * 10)).cast("int")
+            .as("first_win")),
+      "judge", "first_win")
+
+  private val judgePositionBiasSql =
+    """WITH r AS (
+      |  SELECT 'j-' || (doc_id % 3) AS judge,
+      |    CASE WHEN (doc_id * 13) % 97 < 45 + (doc_id % 3) * 10
+      |         THEN 1 ELSE 0 END AS w
+      |  FROM documents),
+      |g AS (SELECT judge, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(w) AS BIGINT) AS wn
+      |      FROM r GROUP BY judge)
+      |SELECT judge, n,
+      |  round(CAST(wn AS DOUBLE) / n, 6) AS first_win_rate,
+      |  CAST((CAST(wn AS DOUBLE) / n - 0.5) / sqrt(0.25 / n) AS REAL) AS z
+      |FROM g""".stripMargin
+
+  /** Distinct-n diversity, FULL oracle — per-prompt distinct-1 and
+    * distinct-2 over pooled generations
+    * (`operators/EvalMetrics.distinctN`): one explode + one aggregate
+    * per n, exact-rational ratios (round-6). */
+  private def distinctNQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalMetrics.distinctN(
+      Tables.read(s, dir, "documents")
+        .select(concat(lit("p-"), col("doc_id") % 40).as("prompt"),
+          col("text")),
+      "prompt", "text", ns = Seq(1, 2))
+
+  private val distinctNSql =
+    """WITH d AS (
+      |  SELECT 'p-' || (doc_id % 40) AS prompt,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> length(t) > 0)[1:64] AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |g1 AS (SELECT prompt, unnest(ts) AS g FROM d),
+      |a1 AS (SELECT prompt, CAST(count(*) AS BIGINT) AS total_1,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS uniq_1
+      |       FROM g1 GROUP BY prompt),
+      |g2 AS (SELECT prompt, unnest(CASE WHEN len(ts) >= 2
+      |         THEN list_transform(range(1, len(ts)),
+      |              i -> ts[i] || ' ' || ts[i + 1])
+      |         ELSE [] END) AS g
+      |       FROM d),
+      |a2 AS (SELECT prompt, CAST(count(*) AS BIGINT) AS total_2,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS uniq_2
+      |       FROM g2 GROUP BY prompt)
+      |SELECT a1.prompt, total_1, uniq_1,
+      |  round(CAST(uniq_1 AS DOUBLE) / total_1, 6) AS distinct_1,
+      |  total_2, uniq_2,
+      |  round(CAST(uniq_2 AS DOUBLE) / total_2, 6) AS distinct_2
+      |FROM a1 JOIN a2 ON a2.prompt = a1.prompt""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13022,6 +13116,9 @@ object SparkEntry {
     "scd2_history" -> (scd2HistoryQ(_, _)),
     "funnel_stages" -> (funnelStagesQ(_, _)),
     "retention_cohorts" -> (retentionCohortsQ(_, _)),
+    "judge_length_bias" -> (judgeLengthBiasQ(_, _)),
+    "judge_position_bias" -> (judgePositionBiasQ(_, _)),
+    "distinct_n" -> (distinctNQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13415,6 +13512,9 @@ object SparkEntry {
     "scd2_history" -> scd2HistorySql,
     "funnel_stages" -> funnelStagesSql,
     "retention_cohorts" -> retentionCohortsSql,
+    "judge_length_bias" -> judgeLengthBiasSql,
+    "judge_position_bias" -> judgePositionBiasSql,
+    "distinct_n" -> distinctNSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -165,6 +165,31 @@ object EvalMetrics {
     }
   }
 
+  /** Distinct-n generation diversity (Li et al. 2016): per group the
+    * distinct and total n-gram counts and their ratio, pooled over all
+    * of the group's generations — the mode-collapse check a sampling
+    * pipeline runs per prompt (ratio near 0 = the model repeats
+    * itself across samples).
+    *
+    * Scale shape: one explode to (group, gram) and ONE aggregation
+    * per n — the distinct count rides Spark's two-level expansion of
+    * count_distinct, still a single shuffle family per n. */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+                ns: Seq[Int] = Seq(1, 2), maxTokens: Int = 64): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8), s"ns $ns")
+    val toks = tokens(col(textCol), maxTokens)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol), toks.as("__t"))
+    ns.map { n =>
+      base.select(col(groupCol), explode(ngrams(col("__t"), n)).as("__g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as(s"total_$n"),
+          countDistinct(col("__g")).as(s"uniq_$n"))
+        .withColumn(s"distinct_$n",
+          round(col(s"uniq_$n").cast("double") / col(s"total_$n"), 6))
+    }.reduce((a, b) => a.join(b, Seq(groupCol)))
+  }
+
   /** Edit-distance near-duplicate pairs within length blocks: candidates
     * are keyed by `floor(len/blockWidth)` and ONLY same-block and
     * adjacent-block pairs compare (a true near-dup pair within

@@ -308,6 +308,57 @@ object RewardStats {
           .as("tau_b"))
   }
 
+  /** Judge length-bias probe: per judge, the Pearson correlation (and
+    * OLS slope) between the score it assigns and the response length —
+    * THE standard check before trusting an LLM judge, whose verbosity
+    * preference otherwise leaks into every downstream win rate.
+    *
+    * Scale shape: one two-phase groupBy to |judges| rows; moment sums
+    * of integer-valued inputs are exact in doubles below 2^53; r and
+    * slope emit float4. Degenerate judges (constant score or constant
+    * length) emit NULL. */
+  def lengthBias(df: DataFrame, judgeCol: String, scoreCol: String,
+                 lenCol: String): DataFrame = {
+    val x = col(lenCol).cast("double")
+    val y = col(scoreCol).cast("double")
+    df.filter(col(judgeCol).isNotNull && col(scoreCol).isNotNull &&
+        col(lenCol).isNotNull)
+      .groupBy(col(judgeCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .select(col(judgeCol), col("n"), {
+        val m = col("n").cast("double")
+        val cov = col("__sxy") - col("__sx") * col("__sy") / m
+        val vx = col("__sxx") - col("__sx") * col("__sx") / m
+        val vy = col("__syy") - col("__sy") * col("__sy") / m
+        struct(
+          when(vx > 0 && vy > 0, cov / sqrt(vx * vy)).cast("float").as("r"),
+          when(vx > 0, cov / vx).cast("float").as("slope")).as("f")
+      })
+      .select(col(judgeCol), col("n"), col("f.r").as("len_corr"),
+        col("f.slope").as("len_slope"))
+  }
+
+  /** Judge position-bias probe: per judge over pairwise comparisons,
+    * the first-position win rate and its z-score against the fair
+    * coin ((p - 1/2) / sqrt(1/(4n)) — the normal approximation every
+    * A/B harness uses). |z| > 2-3 means the judge favors whichever
+    * answer it reads first and the harness must randomize order.
+    *
+    * Scale shape: one two-phase groupBy; the rate is an exact
+    * rational (round-6), z emits float4 through the sqrt. */
+  def positionBias(df: DataFrame, judgeCol: String,
+                   firstWinCol: String): DataFrame =
+    df.filter(col(judgeCol).isNotNull && col(firstWinCol).isNotNull)
+      .groupBy(col(judgeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(firstWinCol).cast("long")).as("__w"))
+      .select(col(judgeCol), col("n"),
+        round(col("__w").cast("double") / col("n"), 6).as("first_win_rate"),
+        ((col("__w").cast("double") / col("n") - 0.5) /
+          sqrt(lit(0.25) / col("n"))).cast("float").as("z"))
+
   /** Cohen's kappa between two raters over shared items:
     * po = observed agreement, pe = chance agreement from the raters'
     * marginal label distributions, kappa = (po - pe) / (1 - pe).

@@ -87,6 +87,22 @@ class EvalMetricsSpec extends SparkSpecBase {
     }
   }
 
+  test("distinct-n: repeated grams shrink the ratio; pooling spans rows") {
+    val df = Seq(("p", "a a a b"), ("p", "a b"), ("q", "x y z"))
+      .toDF("g", "t")
+    val out = EvalMetrics.distinctN(df, "g", "t", ns = Seq(1, 2))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // p unigrams: a,a,a,b,a,b -> 6 total, 2 distinct
+    assert(out("p").getAs[Long]("total_1") == 6L)
+    assert(out("p").getAs[Long]("uniq_1") == 2L)
+    assert(math.abs(out("p").getAs[Double]("distinct_1") - 1.0 / 3) < 1e-6)
+    // p bigrams: 'a a','a a','a b' + 'a b' -> 4 total, 2 distinct
+    assert(out("p").getAs[Long]("total_2") == 4L)
+    assert(out("p").getAs[Long]("uniq_2") == 2L)
+    assert(out("q").getAs[Double]("distinct_1") == 1.0)
+    assert(out("q").getAs[Double]("distinct_2") == 1.0)
+  }
+
   private def passRow(n: Int, c: Int, ks: Seq[Int]) = {
     val df = (0 until n).map(i => ("p", if (i < c) 1 else 0)).toDF("p", "ok")
     EvalMetrics.passAtK(df, "p", "ok", ks).collect().head

@@ -168,6 +168,36 @@ class RewardStatsSpec extends SparkSpecBase {
     assert(r.getAs[Float]("resolution") == 0.25f)
   }
 
+  test("lengthBias: a verbosity-loving judge scores r = 1, slope = gain") {
+    // score = 2*len + 3 exactly: r = 1, slope = 2
+    val df = (1L to 20L).map(i => ("j", 2.0 * i + 3, i.toDouble))
+      .toDF("judge", "score", "len")
+    val r = RewardStats.lengthBias(df, "judge", "score", "len")
+      .collect().head
+    assert(math.abs(r.getAs[Float]("len_corr") - 1f) < 1e-6)
+    assert(math.abs(r.getAs[Float]("len_slope") - 2f) < 1e-6)
+  }
+
+  test("lengthBias: constant length or constant score yields NULL, not NaN") {
+    val constLen = Seq(("j", 1.0, 5.0), ("j", 2.0, 5.0))
+      .toDF("judge", "score", "len")
+    val r = RewardStats.lengthBias(constLen, "judge", "score", "len")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("len_corr")))
+    assert(r.isNullAt(r.fieldIndex("len_slope")))
+  }
+
+  test("positionBias: a fair judge sits at z = 0, a biased one at sqrt(n)") {
+    val rows = (0 until 100).map(i => ("fair", i % 2)) ++
+      (0 until 100).map(_ => ("biased", 1))
+    val out = RewardStats.positionBias(rows.toDF("judge", "w"), "judge", "w")
+      .collect().map(r => r.getAs[String]("judge") ->
+        (r.getAs[Double]("first_win_rate"), r.getAs[Float]("z"))).toMap
+    assert(out("fair") == ((0.5, 0f)))
+    assert(out("biased")._1 == 1.0)
+    assert(math.abs(out("biased")._2 - 10f) < 1e-5) // (1-0.5)/sqrt(1/400)
+  }
+
   test("spearman: identical order 1, inverted order -1, singleton NULL") {
     val df = Seq(
       ("p", 1L, 3.0, 30.0), ("p", 2L, 2.0, 20.0), ("p", 3L, 1.0, 10.0),
