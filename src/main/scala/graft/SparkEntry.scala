@@ -12911,6 +12911,121 @@ object SparkEntry {
       |  round(CAST(uniq_2 AS DOUBLE) / total_2, 6) AS distinct_2
       |FROM a1 JOIN a2 ON a2.prompt = a1.prompt""".stripMargin
 
+  /** Welch t-test, FULL oracle — the A/B readout over an engineered
+    * +2 lift on arm a (`operators/Experiment.abTtest`): one fused
+    * scan-aggregate to both arms' moments; t and the Welch-
+    * Satterthwaite dof emit float4. */
+  private def abTtestQ(s: SparkSession, dir: String): DataFrame =
+    operators.Experiment.abTtest(
+      Tables.read(s, dir, "events")
+        .select(when(col("event_id") % 2 === 0, "a").otherwise("b")
+            .as("arm"),
+          (((col("event_id") * 31) % 40) +
+            when(col("event_id") % 2 === 0, 2).otherwise(0))
+            .cast("long").as("metric")),
+      "arm", "metric", armA = "a", armB = "b")
+
+  private val abTtestSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+      |    CAST((event_id * 31) % 40 +
+      |      (CASE WHEN event_id % 2 = 0 THEN 2 ELSE 0 END) AS DOUBLE) AS v
+      |  FROM events),
+      |g AS (SELECT
+      |  CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |  SUM(CASE WHEN arm = 'a' THEN v ELSE 0 END) AS sa,
+      |  SUM(CASE WHEN arm = 'a' THEN v * v ELSE 0 END) AS qa,
+      |  CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |  SUM(CASE WHEN arm = 'b' THEN v ELSE 0 END) AS sb,
+      |  SUM(CASE WHEN arm = 'b' THEN v * v ELSE 0 END) AS qb
+      |  FROM r),
+      |m AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+      |        greatest((qa - sa * (sa / na)) / (na - 1.0), 0.0) AS va,
+      |        greatest((qb - sb * (sb / nb)) / (nb - 1.0), 0.0) AS vb
+      |      FROM g)
+      |SELECT na AS n_a, nb AS n_b, CAST(ma AS REAL) AS mean_a,
+      |  CAST(mb AS REAL) AS mean_b,
+      |  CAST(CASE WHEN va / na + vb / nb > 0
+      |    THEN (ma - mb) / sqrt(va / na + vb / nb) END AS REAL) AS t,
+      |  CAST(CASE WHEN va / na + vb / nb > 0
+      |    THEN ((va / na + vb / nb) * (va / na + vb / nb)) /
+      |         ((va / na) * (va / na) / (na - 1.0) +
+      |          (vb / nb) * (vb / nb) / (nb - 1.0)) END AS REAL) AS dof
+      |FROM m""".stripMargin
+
+  /** CUPED adjustment, FULL oracle — pre-period variance reduction
+    * over a correlated (pre, post) dial with an arm-a lift
+    * (`operators/Experiment.cuped`): per-arm moments + one broadcast
+    * global-moments row; theta and all outputs from moment
+    * identities, float4. */
+  private def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    val pre = ((col("event_id") * 7) % 30).cast("double")
+    val post = pre + ((col("event_id") * 13) % 11).cast("double") +
+      when(col("event_id") % 2 === 0, 3.0).otherwise(0.0)
+    operators.Experiment.cuped(
+      Tables.read(s, dir, "events")
+        .select(when(col("event_id") % 2 === 0, "a").otherwise("b")
+            .as("arm"), pre.as("pre"), post.as("post")),
+      "arm", "pre", "post")
+  }
+
+  private val cupedSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+      |    CAST((event_id * 7) % 30 AS DOUBLE) AS x,
+      |    CAST((event_id * 7) % 30 AS DOUBLE) +
+      |      CAST((event_id * 13) % 11 AS DOUBLE) +
+      |      (CASE WHEN event_id % 2 = 0 THEN 3.0 ELSE 0.0 END) AS y
+      |  FROM events),
+      |gl AS (SELECT CAST(count(*) AS BIGINT) AS gn, SUM(x) AS gsx,
+      |         SUM(y) AS gsy, SUM(x * x) AS gsxx, SUM(x * y) AS gsxy
+      |       FROM r),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+      |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+      |        SUM(x * y) AS sxy
+      |      FROM r GROUP BY arm),
+      |m AS (SELECT arm, n, sx / n AS mx, sy / n AS my,
+      |        syy / n - (sy / n) * (sy / n) AS vy,
+      |        sxx / n - (sx / n) * (sx / n) AS vx,
+      |        sxy / n - (sx / n) * (sy / n) AS cxy,
+      |        gsx / gn AS gmx,
+      |        CASE WHEN gsxx / gn - (gsx / gn) * (gsx / gn) > 0
+      |          THEN (gsxy / gn - (gsx / gn) * (gsy / gn)) /
+      |               (gsxx / gn - (gsx / gn) * (gsx / gn))
+      |          ELSE 0.0 END AS theta
+      |      FROM g, gl)
+      |SELECT arm, n, CAST(my AS REAL) AS mean_post,
+      |  CAST(my - theta * (mx - gmx) AS REAL) AS mean_adj,
+      |  CAST(CASE WHEN vy > 0
+      |    THEN (vy + theta * theta * vx - 2.0 * theta * cxy) / vy
+      |  END AS REAL) AS var_ratio
+      |FROM m""".stripMargin
+
+  /** SRM check, FULL oracle — sample-ratio mismatch over a deliberate
+    * 49/51 split declared as 50/50
+    * (`operators/Experiment.srmCheck`): per-arm observed vs exact
+    * rational expected and the chi-square contribution, round-6. */
+  private def srmCheckQ(s: SparkSession, dir: String): DataFrame =
+    operators.Experiment.srmCheck(
+      Tables.read(s, dir, "events")
+        .select(when(col("event_id") % 100 < 49, "a").otherwise("b")
+          .as("arm")),
+      "arm", Seq(("a", 1, 2), ("b", 1, 2)))
+
+  private val srmCheckSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN event_id % 100 < 49 THEN 'a' ELSE 'b' END AS arm
+      |  FROM events),
+      |c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_obs
+      |      FROM r GROUP BY arm),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tot FROM c)
+      |SELECT arm, n_obs,
+      |  round(CAST(tot AS DOUBLE) * 1 / 2, 6) AS n_expected,
+      |  round((CAST(n_obs AS DOUBLE) - CAST(tot AS DOUBLE) * 1 / 2) *
+      |        (CAST(n_obs AS DOUBLE) - CAST(tot AS DOUBLE) * 1 / 2) /
+      |        (CAST(tot AS DOUBLE) * 1 / 2), 6) AS chi2_contrib
+      |FROM c, t""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13119,6 +13234,9 @@ object SparkEntry {
     "judge_length_bias" -> (judgeLengthBiasQ(_, _)),
     "judge_position_bias" -> (judgePositionBiasQ(_, _)),
     "distinct_n" -> (distinctNQ(_, _)),
+    "ab_ttest" -> (abTtestQ(_, _)),
+    "cuped_adjust" -> (cupedQ(_, _)),
+    "srm_check" -> (srmCheckQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13515,6 +13633,9 @@ object SparkEntry {
     "judge_length_bias" -> judgeLengthBiasSql,
     "judge_position_bias" -> judgePositionBiasSql,
     "distinct_n" -> distinctNSql,
+    "ab_ttest" -> abTtestSql,
+    "cuped_adjust" -> cupedSql,
+    "srm_check" -> srmCheckSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Experiment
+
+/** Experimentation-stack ground truths: Welch t on a hand case, zero
+  * effect gives t = 0, CUPED removes a perfectly explanatory
+  * covariate, and SRM flags a rigged split. */
+class ExperimentSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("welch t: equal samples, hand-computed t and dof") {
+    // a = {1,2,3}, b = {3,4,5}: means 2/4, va = vb = 1, se2 = 2/3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0)).toDF("arm", "v")
+    val r = Experiment.abTtest(df, "arm", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Float]("mean_a") == 2f && r.getAs[Float]("mean_b") == 4f)
+    assert(math.abs(r.getAs[Float]("t") - (-2.0 / math.sqrt(2.0 / 3)))
+      .toFloat < 1e-5)
+    assert(math.abs(r.getAs[Float]("dof") - 4f) < 1e-5) // symmetric case
+  }
+
+  test("welch t: identical arms give t = 0") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("arm", "v")
+    assert(Experiment.abTtest(df, "arm", "v", "a", "b")
+      .collect().head.getAs[Float]("t") == 0f)
+  }
+
+  test("cuped: a perfectly explanatory covariate removes all variance") {
+    // post = 2*pre exactly, same relationship in both arms
+    val df = (1 to 20).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toDouble, 2.0 * i))
+      .toDF("arm", "pre", "post")
+    val out = Experiment.cuped(df, "arm", "pre", "post")
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    // theta = 2; adjusted values collapse to 2*gmx within each arm
+    assert(out("a").getAs[Float]("var_ratio") < 1e-5f)
+    assert(out("b").getAs[Float]("var_ratio") < 1e-5f)
+    // adjusted means equal across arms (the lift was pure pre-period
+    // imbalance): both equal 2 * pooled mean of pre = 21
+    assert(math.abs(out("a").getAs[Float]("mean_adj") - 21f) < 1e-4)
+    assert(math.abs(out("b").getAs[Float]("mean_adj") - 21f) < 1e-4)
+  }
+
+  test("srm: a rigged 75/25 split under a declared 50/50 shows mass") {
+    val df = (Seq.fill(75)("a") ++ Seq.fill(25)("b")).toDF("arm")
+    val out = Experiment.srmCheck(df, "arm", Seq(("a", 1, 2), ("b", 1, 2)))
+      .collect().map(r => r.getAs[String]("arm") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("n_expected"),
+          r.getAs[Double]("chi2_contrib"))).toMap
+    assert(out("a") == ((75L, 50.0, 12.5)))
+    assert(out("b") == ((25L, 50.0, 12.5))) // chi2 total 25, way past 3.84
+  }
+
+  test("srm: undeclared arms are excluded") {
+    val df = Seq("a", "a", "b", "rogue").toDF("arm")
+    val out = Experiment.srmCheck(df, "arm", Seq(("a", 1, 2), ("b", 1, 2)))
+      .collect()
+    assert(out.map(_.getAs[String]("arm")).toSet == Set("a", "b"))
+    // totals exclude the rogue arm: 3 rows split 50/50
+    assert(out.map(_.getAs[Long]("n_obs")).sum == 3L)
+  }
+}
