@@ -13026,6 +13026,109 @@ object SparkEntry {
       |        (CAST(tot AS DOUBLE) * 1 / 2), 6) AS chi2_contrib
       |FROM c, t""".stripMargin
 
+  /** Daily event counts — the shared |days|-sized series the
+    * time-series diagnostics run over (one rollup shuffle). */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    val us = Tables.tsUs(ev)
+    val day = 86400000000L
+    // exact integer day: (us - us % day) is exactly divisible, so the
+    // double quotient is exact below 2^53
+    ev.select(((us - us % day) / day).cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("v"))
+  }
+
+  /** Forecast accuracy, FULL oracle — MAE/RMSE/sMAPE/MASE of the
+    * seasonal-naive (lag-7) forecast of daily event counts
+    * (`operators/TimeSeries.forecastAccuracy`): windows over the
+    * |days|-sized series only; all metrics float4. */
+  private def forecastAccuracyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withF = dailyCounts(s, dir)
+      .withColumn("f", lag(col("v"), 7).over(Window.orderBy(col("d"))))
+    operators.TimeSeries.forecastAccuracy(withF, "d", "v", "f")
+  }
+
+  private val forecastAccuracySql =
+    """WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+      |             CAST(count(*) AS BIGINT) AS v
+      |           FROM events GROUP BY 1),
+      |ff AS (SELECT d, v, lag(v, 7) OVER (ORDER BY d) AS fc FROM s),
+      |b AS (SELECT d, CAST(v AS DOUBLE) AS a, CAST(fc AS DOUBLE) AS f
+      |      FROM ff WHERE fc IS NOT NULL),
+      |n AS (SELECT d, a, f, abs(a - lag(a) OVER (ORDER BY d)) AS ne
+      |      FROM b)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(AVG(abs(a - f)) AS REAL) AS mae,
+      |  CAST(sqrt(AVG(abs(a - f) * abs(a - f))) AS REAL) AS rmse,
+      |  CAST(AVG(CASE WHEN abs(a) + abs(f) > 0
+      |    THEN 2.0 * abs(a - f) / (abs(a) + abs(f)) END) AS REAL) AS smape,
+      |  CAST(CASE WHEN AVG(ne) > 0 THEN AVG(abs(a - f)) / AVG(ne) END
+      |    AS REAL) AS mase
+      |FROM n""".stripMargin
+
+  /** Seasonal decomposition, FULL oracle — classical additive
+    * trend/seasonal/residual with a centered 7-day moving average
+    * over daily counts (`operators/TimeSeries.seasonalDecompose`):
+    * edge days have NULL trend, per-phase seasonal means from the
+    * detrended interior; everything float4. */
+  private def seasonalDecomposeQ(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.seasonalDecompose(dailyCounts(s, dir), "d", "v",
+      period = 7)
+
+  private val seasonalDecomposeSql =
+    """WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+      |             CAST(count(*) AS BIGINT) AS v
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT d, CAST(v AS DOUBLE) AS v,
+      |        count(*) OVER w7 AS cnt,
+      |        AVG(CAST(v AS DOUBLE)) OVER w7 AS ma
+      |      FROM s WINDOW w7 AS (ORDER BY d
+      |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |u AS (SELECT d, v, CASE WHEN cnt = 7 THEN ma END AS trend,
+      |        d % 7 AS ph
+      |      FROM t),
+      |se AS (SELECT ph, AVG(v - trend) AS seas FROM u
+      |       WHERE trend IS NOT NULL GROUP BY ph)
+      |SELECT d, u.v AS value, CAST(trend AS REAL) AS trend,
+      |  CAST(CASE WHEN trend IS NOT NULL THEN seas END AS REAL)
+      |    AS seasonal,
+      |  CAST(CASE WHEN trend IS NOT NULL THEN (u.v - trend) - seas END
+      |    AS REAL) AS residual
+      |FROM u LEFT JOIN se ON se.ph = u.ph""".stripMargin
+
+  /** CUSUM changepoint, FULL oracle — the level-shift locator over
+    * daily counts with a +40 step injected mid-series
+    * (`operators/TimeSeries.cusumChangepoint`): an ordered running
+    * sum over |days| rows (bit-identical across engines — same
+    * summation order), argmax |S| with smallest-index tiebreak. */
+  private def cusumChangepointQ(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.cusumChangepoint(
+      dailyCounts(s, dir)
+        .select(col("d"),
+          (col("v") + when(col("d") >= 19738, 40L).otherwise(0L)).as("v")),
+      "d", "v")
+
+  private val cusumChangepointSql =
+    """WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+      |             CAST(count(*) AS BIGINT) AS v
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT d, CAST(v + CASE WHEN d >= 19738 THEN 40 ELSE 0 END
+      |        AS DOUBLE) AS v
+      |      FROM s),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        SUM(v) / count(*) AS mean FROM x),
+      |c AS (SELECT d, SUM(v - (SELECT mean FROM m)) OVER (ORDER BY d
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+      |      FROM x),
+      |r AS (SELECT d, s1,
+      |        row_number() OVER (ORDER BY abs(s1) DESC, d) AS rn
+      |      FROM c)
+      |SELECT (SELECT n FROM m) AS n,
+      |  CAST((SELECT mean FROM m) AS REAL) AS mean,
+      |  CAST((SELECT max(abs(s1)) FROM c) AS REAL) AS max_cusum,
+      |  (SELECT d FROM r WHERE rn = 1) AS changepoint_idx""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13237,6 +13340,9 @@ object SparkEntry {
     "ab_ttest" -> (abTtestQ(_, _)),
     "cuped_adjust" -> (cupedQ(_, _)),
     "srm_check" -> (srmCheckQ(_, _)),
+    "forecast_accuracy" -> (forecastAccuracyQ(_, _)),
+    "seasonal_decompose" -> (seasonalDecomposeQ(_, _)),
+    "cusum_changepoint" -> (cusumChangepointQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13636,6 +13742,9 @@ object SparkEntry {
     "ab_ttest" -> abTtestSql,
     "cuped_adjust" -> cupedSql,
     "srm_check" -> srmCheckSql,
+    "forecast_accuracy" -> forecastAccuracySql,
+    "seasonal_decompose" -> seasonalDecomposeSql,
+    "cusum_changepoint" -> cusumChangepointSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series diagnostics over an aggregated series (one row per time
+ * index — the |days|-sized rollup of an event stream, NEVER the raw
+ * stream): forecast accuracy against the scaled naive baseline (MASE,
+ * Hyndman & Koehler 2006), a classical moving-average seasonal
+ * decomposition, and the CUSUM level-shift locator. Complements the
+ * ARIMA surface ([[graft.ml.ArimaCatalog]]) with the evaluation and
+ * structure checks around it.
+ *
+ * Scale shape: the heavy lifting (stream -> series) is the caller's
+ * one groupBy; everything here runs windows over SERIES-sized rows
+ * (days/weeks), so a 100 TB stream costs one rollup shuffle and the
+ * diagnostics are driver-trivial.
+ */
+object TimeSeries {
+
+  /** Forecast accuracy: MAE, RMSE, sMAPE (the symmetric 2|e|/(|a|+|f|)
+    * form, zero-denominator terms dropped), and MASE = MAE / mean
+    * |naive lag-1 error|. One row. All metrics float4 (means of
+    * doubles). */
+  def forecastAccuracy(df: DataFrame, idxCol: String, actualCol: String,
+                       forecastCol: String): DataFrame = {
+    val a = col(actualCol).cast("double")
+    val f = col(forecastCol).cast("double")
+    val w = Window.orderBy(col(idxCol))
+    val base = df.filter(a.isNotNull && f.isNotNull)
+      .withColumn("__naive_e", abs(a - lag(a, 1).over(w)))
+    val e = abs(a - f)
+    base.agg(count(lit(1)).as("n"),
+        avg(e).as("__mae"),
+        sqrt(avg(e * e)).as("__rmse"),
+        avg(when(abs(a) + abs(f) > 0,
+          lit(2.0) * e / (abs(a) + abs(f)))).as("__smape"),
+        avg(col("__naive_e")).as("__naive"))
+      .select(col("n"), col("__mae").cast("float").as("mae"),
+        col("__rmse").cast("float").as("rmse"),
+        col("__smape").cast("float").as("smape"),
+        when(col("__naive") > 0, col("__mae") / col("__naive"))
+          .cast("float").as("mase"))
+  }
+
+  /** Classical additive decomposition with a centered moving average
+    * of odd `period`: trend = the full-window MA (NULL at the edges),
+    * seasonal = per-phase mean of the detrended values, residual =
+    * detrended - seasonal. Emits (idx, value, trend, seasonal,
+    * residual), trend/seasonal/residual float4. */
+  def seasonalDecompose(df: DataFrame, idxCol: String, valCol: String,
+                        period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1, s"period must be odd >= 3: $period")
+    val half = period / 2
+    val v = col(valCol).cast("double")
+    val w = Window.orderBy(col(idxCol)).rowsBetween(-half, half)
+    val trended = df.filter(col(idxCol).isNotNull && v.isNotNull)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("__cnt") === period, avg(v).over(w)))
+      .withColumn("__det", v - col("trend"))
+      .withColumn("__phase", pmod(col(idxCol), lit(period)))
+    val seasonal = trended.filter(col("__det").isNotNull)
+      .groupBy(col("__phase")).agg(avg(col("__det")).as("__seas"))
+    trended.join(broadcast(seasonal), Seq("__phase"), "left")
+      .select(col(idxCol), v.as("value"),
+        col("trend").cast("float").as("trend"),
+        when(col("trend").isNotNull, col("__seas")).cast("float")
+          .as("seasonal"),
+        when(col("trend").isNotNull, col("__det") - col("__seas"))
+          .cast("float").as("residual"))
+  }
+
+  /** CUSUM level-shift locator: S_t = running sum of (value - mean);
+    * the changepoint is the index maximizing |S_t| (ties to the
+    * smallest index). Emits one row: (n, mean, max_cusum,
+    * changepoint_idx). */
+  def cusumChangepoint(df: DataFrame, idxCol: String,
+                       valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val run = Window.orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(idxCol).isNotNull && v.isNotNull)
+    val mean = broadcast(base.agg(count(lit(1)).as("__n"),
+      (sum(v) / count(lit(1))).as("__mean")))
+    base.crossJoin(mean)
+      .withColumn("__s", sum(v - col("__mean")).over(run))
+      .agg(max(col("__n")).as("n"),
+        max(col("__mean")).cast("float").as("mean"),
+        max(abs(col("__s"))).cast("float").as("max_cusum"),
+        min(struct((-abs(col("__s"))).as("neg"), col(idxCol).as("i")))
+          .getField("i").as("changepoint_idx"))
+  }
+}
