@@ -446,4 +446,52 @@ class PlanShapeSpec extends SparkSpecBase {
       s"near-dup candidates must never go all-pairs: $plan")
     assert(plan.contains("Join"), s"expected a blocked equi-join: $plan")
   }
+
+  test("zero-UDF scans stay zero-UDF: code_stats/span_corrupt/pan_luhn/needle_insert") {
+    for (q <- Seq("code_stats", "span_corrupt", "pan_luhn", "needle_insert")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.toLowerCase.contains("scalaudf"),
+        s"$q fell back to a UDF: $plan")
+      assert(!plan.contains("Exchange"),
+        s"$q must stay a stateless scan: $plan")
+    }
+  }
+
+  test("ngram_novelty joins grams on the equi-key, never all-pairs") {
+    val plan = planOf(SparkEntry.queries("ngram_novelty")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate x corpus product: $plan")
+    assert(plan.contains("Join"), s"expected a gram equi-join: $plan")
+  }
+
+  test("kendall_tau self-joins on the prompt key only") {
+    val plan = planOf(SparkEntry.queries("kendall_tau")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration must ride the group equi-join: $plan")
+  }
+
+  test("prompt/user-key windows never global-sort: best_of_n/sessionize/scd2") {
+    for (q <- Seq("best_of_n", "sessionize", "scd2_history")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("rangepartitioning"),
+        s"$q plans a global sort exchange: $plan")
+      assert(plan.contains("Window"), s"$q lost its window: $plan")
+    }
+  }
+
+  test("pass_at_k aggregates two-phase (map-side combine)") {
+    val plan = planOf(SparkEntry.queries("pass_at_k")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation: $plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"the k-term product must stay codegen: $plan")
+  }
+
+  test("experiment readouts fuse to scan-aggregates: ab_ttest single pass") {
+    val plan = planOf(SparkEntry.queries("ab_ttest")(spark, dir))
+    assert(!plan.contains("Join"), s"t-test must not join arms: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation: $plan")
+  }
 }
