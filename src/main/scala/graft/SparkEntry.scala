@@ -13129,6 +13129,161 @@ object SparkEntry {
       |  CAST((SELECT max(abs(s1)) FROM c) AS REAL) AS max_cusum,
       |  (SELECT d FROM r WHERE rn = 1) AS changepoint_idx""".stripMargin
 
+  /** Difference-in-differences, FULL oracle — the 2x2 quasi-
+    * experimental contrast over a dial with a common trend plus a
+    * treated-post lift of exactly 5
+    * (`operators/Experiment.diffInDiff`): one fused scan-aggregate;
+    * means and the estimate float4. */
+  private def diffInDiffQ(s: SparkSession, dir: String): DataFrame =
+    operators.Experiment.diffInDiff(
+      Tables.read(s, dir, "events")
+        .select(when(col("user_id") % 2 === 0, "T").otherwise("C")
+            .as("arm"),
+          (col("event_id") % 2).cast("int").as("period"),
+          (((col("event_id") * 31) % 40).cast("double") +
+            (col("event_id") % 2).cast("double") * 2.0 +
+            when(col("user_id") % 2 === 0 && col("event_id") % 2 === 1,
+              5.0).otherwise(0.0)).as("value")),
+      "arm", "period", "value", armT = "T", armC = "C")
+
+  private val diffInDiffSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS arm,
+      |    event_id % 2 AS p,
+      |    CAST((event_id * 31) % 40 AS DOUBLE) +
+      |      CAST(event_id % 2 AS DOUBLE) * 2.0 +
+      |      (CASE WHEN user_id % 2 = 0 AND event_id % 2 = 1
+      |            THEN 5.0 ELSE 0.0 END) AS v
+      |  FROM events),
+      |g AS (SELECT
+      |  CAST(SUM(CASE WHEN arm = 'C' AND p = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nc0,
+      |  SUM(CASE WHEN arm = 'C' AND p = 0 THEN v ELSE 0 END) AS sc0,
+      |  CAST(SUM(CASE WHEN arm = 'C' AND p = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nc1,
+      |  SUM(CASE WHEN arm = 'C' AND p = 1 THEN v ELSE 0 END) AS sc1,
+      |  CAST(SUM(CASE WHEN arm = 'T' AND p = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nt0,
+      |  SUM(CASE WHEN arm = 'T' AND p = 0 THEN v ELSE 0 END) AS st0,
+      |  CAST(SUM(CASE WHEN arm = 'T' AND p = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nt1,
+      |  SUM(CASE WHEN arm = 'T' AND p = 1 THEN v ELSE 0 END) AS st1
+      |  FROM r)
+      |SELECT nc0 + nc1 + nt0 + nt1 AS n,
+      |  CAST(sc0 / nc0 AS REAL) AS mean_c_pre,
+      |  CAST(sc1 / nc1 AS REAL) AS mean_c_post,
+      |  CAST(st0 / nt0 AS REAL) AS mean_t_pre,
+      |  CAST(st1 / nt1 AS REAL) AS mean_t_post,
+      |  CAST((st1 / nt1 - st0 / nt0) - (sc1 / nc1 - sc0 / nc0) AS REAL)
+      |    AS did
+      |FROM g""".stripMargin
+
+  /** One-way ANOVA F, FULL oracle — five event-type arms with
+    * length-of-name shifts (`operators/Experiment.anovaF`): per-arm
+    * moments then one closing aggregate; SSB/SSW/F float4. */
+  private def anovaFQ(s: SparkSession, dir: String): DataFrame =
+    operators.Experiment.anovaF(
+      Tables.read(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          (((col("event_id") * 31) % 40) + length(col("event_type")))
+            .cast("double").as("v")),
+      "arm", "v")
+
+  private val anovaFSql =
+    """WITH r AS (
+      |  SELECT event_type AS arm,
+      |    CAST((event_id * 31) % 40 + length(event_type) AS DOUBLE) AS v
+      |  FROM events),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, SUM(v) AS s,
+      |        SUM(v * v) AS q
+      |      FROM r GROUP BY arm),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS ts,
+      |        SUM(s * s / n) AS b, SUM(q - s * s / n) AS w
+      |      FROM g)
+      |SELECT k, n, CAST(b - ts * ts / n AS REAL) AS ssb,
+      |  CAST(w AS REAL) AS ssw,
+      |  CAST(CASE WHEN k > 1 AND w > 0
+      |    THEN ((b - ts * ts / n) / (k - 1.0)) / (w / (n - k)) END AS REAL)
+      |    AS f
+      |FROM a""".stripMargin
+
+  /** Benjamini-Hochberg FDR, FULL oracle — step-up correction at
+    * q = 1/10 over a p-value dial where every tenth test carries a
+    * genuine sub-0.0005 signal
+    * (`operators/EvalConstruct.benjaminiHochberg`): one
+    * suite-sized rank window, broadcast k*, exact-rational
+    * thresholds. */
+  private def bhFdrQ(s: SparkSession, dir: String): DataFrame =
+    operators.EvalConstruct.benjaminiHochberg(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            ((col("doc_id") * 13) % 50).cast("double") / 100000.0)
+            .otherwise(((col("doc_id") * 13) % 1000).cast("double") / 1000.0)
+            .as("p")),
+      "doc_id", "p", qNum = 1, qDen = 10)
+
+  private val bhFdrSql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |      THEN CAST((doc_id * 13) % 50 AS DOUBLE) / 100000.0
+      |      ELSE CAST((doc_id * 13) % 1000 AS DOUBLE) / 1000.0 END AS p
+      |  FROM documents),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM r),
+      |rk AS (SELECT doc_id, p,
+      |         CAST(row_number() OVER (ORDER BY p, doc_id) AS BIGINT)
+      |           AS rank
+      |       FROM r),
+      |o AS (SELECT doc_id, p, rank,
+      |        p <= CAST(rank AS DOUBLE) * 1 / 10 / m AS ok
+      |      FROM rk, m),
+      |k AS (SELECT COALESCE(MAX(CASE WHEN ok THEN rank END),
+      |        CAST(0 AS BIGINT)) AS ks FROM o)
+      |SELECT doc_id, p, rank, rank <= ks AS rejected
+      |FROM o, k""".stripMargin
+
+  /** Kaplan-Meier, FULL oracle — the survival curve over a
+    * closed-form (time, event/censor) dial
+    * (`operators/Survival.kaplanMeier`): the stream collapses to one
+    * row per distinct time first; at-risk counts and the exp-of-
+    * log-sum product run over |times| rows; survival float4. */
+  private def survivalKmQ(s: SparkSession, dir: String): DataFrame =
+    operators.Survival.kaplanMeier(
+      Tables.read(s, dir, "events")
+        .select(((col("event_id") * 7) % 50 + 1).as("t"),
+          (col("event_id") % 4 =!= 0).cast("int").as("e")),
+      "t", "e")
+
+  private val survivalKmSql =
+    """WITH r AS (
+      |  SELECT CAST((event_id * 7) % 50 + 1 AS BIGINT) AS t,
+      |    CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+      |  FROM events),
+      |g AS (SELECT t,
+      |        CAST(SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |        CAST(SUM(CASE WHEN e = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |      FROM r GROUP BY t),
+      |w AS (SELECT t, d, c,
+      |        SUM(d + c) OVER () -
+      |          COALESCE(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+      |            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |      FROM g),
+      |s AS (SELECT t, d, c, n_risk,
+      |        MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+      |          OVER rw AS dead,
+      |        SUM(CASE WHEN d > 0 AND d < n_risk
+      |          THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+      |          ELSE 0.0 END) OVER rw AS ls
+      |      FROM w WINDOW rw AS (ORDER BY t ROWS BETWEEN
+      |        UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+      |  c AS n_censored,
+      |  CAST(CASE WHEN dead = 1 THEN 0.0 ELSE exp(ls) END AS REAL)
+      |    AS survival
+      |FROM s WHERE d > 0""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13343,6 +13498,10 @@ object SparkEntry {
     "forecast_accuracy" -> (forecastAccuracyQ(_, _)),
     "seasonal_decompose" -> (seasonalDecomposeQ(_, _)),
     "cusum_changepoint" -> (cusumChangepointQ(_, _)),
+    "diff_in_diff" -> (diffInDiffQ(_, _)),
+    "anova_f" -> (anovaFQ(_, _)),
+    "bh_fdr" -> (bhFdrQ(_, _)),
+    "survival_km" -> (survivalKmQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13745,6 +13904,10 @@ object SparkEntry {
     "forecast_accuracy" -> forecastAccuracySql,
     "seasonal_decompose" -> seasonalDecomposeSql,
     "cusum_changepoint" -> cusumChangepointSql,
+    "diff_in_diff" -> diffInDiffSql,
+    "anova_f" -> anovaFSql,
+    "bh_fdr" -> bhFdrSql,
+    "survival_km" -> survivalKmSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -37,6 +37,32 @@ object EvalConstruct {
       .withColumn("letter", expr("char(65 + correct_pos)"))
   }
 
+  /** Benjamini-Hochberg FDR correction: rank the m p-values ascending
+    * (ties to the smaller id), find the largest rank k with
+    * p_(k) <= k·q/m, reject everything at rank <= k. The
+    * multiple-testing gate for any eval suite that reports dozens of
+    * significance claims at once. Emits per test: (id, p, rank,
+    * rejected). The rank window is test-suite-sized, not corpus-sized.
+    * `qNum/qDen` give q as an exact rational (e.g. 1/10). */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+                        qNum: Int = 1, qDen: Int = 10): DataFrame = {
+    require(qNum >= 1 && qNum < qDen, s"q $qNum/$qDen")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.filter(col(pCol).isNotNull).count()
+    require(m > 0, "no tests")
+    val ranked = df.filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(pCol), col(idCol))).cast("long"))
+      .withColumn("__thresh",
+        col("rank").cast("double") * qNum / qDen / m)
+      .withColumn("__ok", col(pCol).cast("double") <= col("__thresh"))
+    val kStar = broadcast(ranked.agg(
+      coalesce(max(when(col("__ok"), col("rank"))), lit(0L)).as("__k")))
+    ranked.crossJoin(kStar)
+      .select(col(idCol), col(pCol).cast("double").as("p"), col("rank"),
+        (col("rank") <= col("__k")).as("rejected"))
+  }
+
   /** Split-conformal prediction threshold (Vovk et al.; Angelopoulos
     * & Bates 2021 tutorial form): from a calibration set of
     * nonconformity scores, qhat = the k-th smallest with

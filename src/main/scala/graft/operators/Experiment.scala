@@ -96,6 +96,66 @@ object Experiment {
         col("f.mean_adj").as("mean_adj"), col("f.var_ratio").as("var_ratio"))
   }
 
+  /** Difference-in-differences: the 2x2 (arm x period) contrast
+    * (treated post - treated pre) - (control post - control pre),
+    * the workhorse quasi-experimental estimator when assignment was
+    * not randomized. One fused scan-aggregate; means and the estimate
+    * emit float4. `periodCol` is 0 (pre) / 1 (post); `armT`/`armC`
+    * name the treated and control arms. */
+  def diffInDiff(df: DataFrame, armCol: String, periodCol: String,
+                 valueCol: String, armT: String, armC: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val p = col(periodCol).cast("int")
+    def cell(arm: String, period: Int, tag: String) = Seq(
+      sum(when(col(armCol) === arm && p === period, 1L).otherwise(0L))
+        .as(s"__n$tag"),
+      sum(when(col(armCol) === arm && p === period, v).otherwise(0.0))
+        .as(s"__s$tag"))
+    val aggs = cell(armC, 0, "c0") ++ cell(armC, 1, "c1") ++
+      cell(armT, 0, "t0") ++ cell(armT, 1, "t1")
+    df.filter(col(armCol).isNotNull && v.isNotNull && p.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        (col("__nc0") + col("__nc1") + col("__nt0") + col("__nt1")).as("n"), {
+          def m(tag: String) = col(s"__s$tag") / col(s"__n$tag")
+          struct(m("c0").cast("float").as("mean_c_pre"),
+            m("c1").cast("float").as("mean_c_post"),
+            m("t0").cast("float").as("mean_t_pre"),
+            m("t1").cast("float").as("mean_t_post"),
+            ((m("t1") - m("t0")) - (m("c1") - m("c0"))).cast("float")
+              .as("did")).as("f")
+        })
+      .select(col("n"), col("f.mean_c_pre").as("mean_c_pre"),
+        col("f.mean_c_post").as("mean_c_post"),
+        col("f.mean_t_pre").as("mean_t_pre"),
+        col("f.mean_t_post").as("mean_t_post"), col("f.did").as("did"))
+  }
+
+  /** One-way ANOVA F across all arms: between/within sums of squares
+    * from per-arm moments (SSB = Σs_g²/n_g - S²/N, SSW = Σ(q_g -
+    * s_g²/n_g)), F = (SSB/(k-1)) / (SSW/(N-k)). Emits one row:
+    * (k, n, ssb, ssw, f) — float4 (separate aggregate feeds). */
+  def anovaF(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(col(armCol).isNotNull && v.isNotNull && !isnan(v))
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__q"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__s")).as("__S"),
+        sum(col("__s") * col("__s") / col("__n")).as("__b"),
+        sum(col("__q") - col("__s") * col("__s") / col("__n")).as("__w"))
+      .select(col("k"), col("n"), {
+        val ssb = col("__b") - col("__S") * col("__S") / col("n")
+        val ssw = col("__w")
+        struct(ssb.cast("float").as("ssb"), ssw.cast("float").as("ssw"),
+          when(col("k") > 1 && ssw > 0,
+            (ssb / (col("k") - 1.0)) / (ssw / (col("n") - col("k"))))
+            .cast("float").as("f")).as("g")
+      })
+      .select(col("k"), col("n"), col("g.ssb").as("ssb"),
+        col("g.ssw").as("ssw"), col("g.f").as("f"))
+  }
+
   /** Sample-ratio-mismatch check: per arm the observed count, the
     * expected count under the declared split (exact rational
     * N·num/den), and the chi-square contribution (o-e)²/e — both

@@ -85,6 +85,28 @@ class EvalConstructSpec extends SparkSpecBase {
     }
   }
 
+  test("BH step-up: the textbook threshold walk rejects up to k*") {
+    import graft.operators.EvalConstruct.benjaminiHochberg
+    // m = 10, q = 1/10 -> thresholds k*0.01; p = 0.005, 0.015, 0.029
+    // qualify at ranks 1 and 3 (0.015 > 0.02? no: rank2 thresh 0.02 --
+    // 0.015 <= 0.02 qualifies too); k* = 3, everything above rejected
+    val ps = Seq(0.005, 0.015, 0.029, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
+    val df = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+    val out = benjaminiHochberg(df, "id", "p", 1, 10)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert((1L to 3L).forall(out(_)))
+    assert((4L to 10L).forall(!out(_)))
+  }
+
+  test("BH: nothing qualifies, nothing rejected") {
+    import graft.operators.EvalConstruct.benjaminiHochberg
+    val df = Seq((1L, 0.5), (2L, 0.9)).toDF("id", "p")
+    val out = benjaminiHochberg(df, "id", "p").collect()
+    assert(out.forall(!_.getAs[Boolean]("rejected")))
+  }
+
   test("bootstrap CI: b must be a positive multiple of 40") {
     val df = Seq((1L, 1L)).toDF("id", "score")
     intercept[IllegalArgumentException] {

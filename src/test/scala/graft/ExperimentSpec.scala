@@ -54,6 +54,36 @@ class ExperimentSpec extends SparkSpecBase {
     assert(out("b") == ((25L, 50.0, 12.5))) // chi2 total 25, way past 3.84
   }
 
+  test("diff-in-diff: recovers the injected lift net of the common trend") {
+    import graft.operators.Experiment.diffInDiff
+    // control: 10 -> 12 (trend +2); treated: 20 -> 27 (trend +2, lift +5)
+    val df = Seq(
+      ("C", 0, 10.0), ("C", 0, 10.0), ("C", 1, 12.0), ("C", 1, 12.0),
+      ("T", 0, 20.0), ("T", 0, 20.0), ("T", 1, 27.0), ("T", 1, 27.0)
+    ).toDF("arm", "p", "v")
+    val r = diffInDiff(df, "arm", "p", "v", "T", "C").collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Float]("mean_c_pre") == 10f)
+    assert(r.getAs[Float]("mean_t_post") == 27f)
+    assert(r.getAs[Float]("did") == 5f)
+  }
+
+  test("anova: identical groups give F = 0; textbook case checks out") {
+    import graft.operators.Experiment.anovaF
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("arm", "v")
+    assert(anovaF(same, "arm", "v").collect().head.getAs[Float]("f") == 0f)
+    // groups {1,2,3} and {4,5,6}: grand mean 3.5, SSB = 2*(2-3.5)^2 +
+    // 2*... = 3*(1.5^2)*2 = 13.5, SSW = 2+2 = 4, F = 13.5/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("arm", "v")
+    val r = anovaF(df, "arm", "v").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(math.abs(r.getAs[Float]("ssb") - 13.5f) < 1e-5)
+    assert(math.abs(r.getAs[Float]("ssw") - 4f) < 1e-5)
+    assert(math.abs(r.getAs[Float]("f") - 13.5f) < 1e-4)
+  }
+
   test("srm: undeclared arms are excluded") {
     val df = Seq("a", "a", "b", "rogue").toDF("arm")
     val out = Experiment.srmCheck(df, "arm", Seq(("a", 1, 2), ("b", 1, 2)))
