@@ -13284,6 +13284,90 @@ object SparkEntry {
       |    AS survival
       |FROM s WHERE d > 0""".stripMargin
 
+  /** IPS off-policy estimates, FULL oracle — IPS/SNIPS/clipped-IPS
+    * and the effective sample size over a logged-propensity dial
+    * where clipping genuinely binds
+    * (`operators/OffPolicy.ipsEstimate`): one single-pass aggregate,
+    * float4 outputs. */
+  private def ipsEstimateQ(s: SparkSession, dir: String): DataFrame =
+    operators.OffPolicy.ipsEstimate(
+      Tables.read(s, dir, "documents")
+        .select(((col("doc_id") * 13) % 5).cast("double").as("reward"),
+          (((col("doc_id") * 7) % 9 + 1).cast("double") / 10.0).as("pl"),
+          (((col("doc_id") * 11) % 9 + 1).cast("double") / 10.0).as("pt")),
+      "reward", "pl", "pt", clip = 2.0)
+
+  private val ipsEstimateSql =
+    """WITH r AS (
+      |  SELECT CAST((doc_id * 13) % 5 AS DOUBLE) AS rw,
+      |    CAST((doc_id * 7) % 9 + 1 AS DOUBLE) / 10.0 AS pl,
+      |    CAST((doc_id * 11) % 9 + 1 AS DOUBLE) / 10.0 AS pt
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(AVG((pt / pl) * rw) AS REAL) AS ips,
+      |  CAST(SUM((pt / pl) * rw) / SUM(pt / pl) AS REAL) AS snips,
+      |  CAST(AVG(least(pt / pl, 2.0) * rw) AS REAL) AS clipped_ips,
+      |  CAST(SUM(pt / pl) * SUM(pt / pl) /
+      |       SUM((pt / pl) * (pt / pl)) AS REAL) AS ess
+      |FROM r""".stripMargin
+
+  /** ACF, FULL oracle — the correlogram at lags 1..7 of daily event
+    * counts (`operators/TimeSeries.autocorrelation`): global-mean
+    * centered, biased denominator, one series-sized lag window per
+    * lag; acf float4. */
+  private def acfDailyQ(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.autocorrelation(dailyCounts(s, dir), "d", "v",
+      maxLag = 7)
+
+  private val acfDailySql: String = {
+    def one(l: Int) =
+      s"""SELECT CAST($l AS BIGINT) AS lag,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(c * pc$l) / (SELECT den FROM dn) AS REAL) AS acf
+         |FROM w WHERE pc$l IS NOT NULL""".stripMargin
+    s"""WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+       |             CAST(count(*) AS BIGINT) AS v
+       |           FROM events GROUP BY 1),
+       |m AS (SELECT SUM(CAST(v AS DOUBLE)) / count(*) AS mean FROM s),
+       |c0 AS (SELECT d, CAST(v AS DOUBLE) - (SELECT mean FROM m) AS c
+       |       FROM s),
+       |w AS (SELECT d, c,
+       |        ${(1 to 7).map(l =>
+             s"lag(c, $l) OVER (ORDER BY d) AS pc$l").mkString(", ")}
+       |      FROM c0),
+       |dn AS (SELECT SUM(c * c) AS den FROM c0)
+       |${(1 to 7).map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Theil-Sen slope, FULL oracle — the robust trend of daily counts
+    * with an injected +3/day drift
+    * (`operators/TimeSeries.theilSenSlope`): |days|² pairwise slopes,
+    * lower-median pick with total tiebreaks, round-6 of an exact
+    * division. */
+  private def theilSenQ(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.theilSenSlope(
+      dailyCounts(s, dir)
+        .select(col("d"), (col("v") + col("d") * 3).as("v")),
+      "d", "v")
+
+  private val theilSenSql =
+    """WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+      |             CAST(count(*) AS BIGINT) AS v
+      |           FROM events GROUP BY 1),
+      |x AS (SELECT d, CAST(v + d * 3 AS DOUBLE) AS v FROM s),
+      |p AS (SELECT a.d AS dl, b.d AS dr,
+      |        (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS sl
+      |      FROM x a JOIN x b ON a.d < b.d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS np FROM x),
+      |rk AS (SELECT sl,
+      |         CAST(row_number() OVER (ORDER BY sl, dl, dr) AS BIGINT)
+      |           AS rk
+      |       FROM p),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM rk)
+      |SELECT (SELECT np FROM n) AS n_points, (SELECT tp FROM t) AS n_pairs,
+      |  round((SELECT sl FROM rk, t WHERE rk = (tp + 1) // 2), 6) AS slope"""
+      .stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13502,6 +13586,9 @@ object SparkEntry {
     "anova_f" -> (anovaFQ(_, _)),
     "bh_fdr" -> (bhFdrQ(_, _)),
     "survival_km" -> (survivalKmQ(_, _)),
+    "ips_estimate" -> (ipsEstimateQ(_, _)),
+    "acf_daily" -> (acfDailyQ(_, _)),
+    "theil_sen" -> (theilSenQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13908,6 +13995,9 @@ object SparkEntry {
     "anova_f" -> anovaFSql,
     "bh_fdr" -> bhFdrSql,
     "survival_km" -> survivalKmSql,
+    "ips_estimate" -> ipsEstimateSql,
+    "acf_daily" -> acfDailySql,
+    "theil_sen" -> theilSenSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -73,6 +73,62 @@ object TimeSeries {
           .cast("float").as("residual"))
   }
 
+  /** Autocorrelation function at lags 1..maxLag: r_l = Σ(x_t - m)
+    * (x_{t+l} - m) / Σ(x_t - m)² with the GLOBAL mean m (the standard
+    * biased-denominator ACF every correlogram plots). One lag window
+    * per l over the series-sized frame; emits (lag, n_pairs, acf
+    * float4). */
+  def autocorrelation(df: DataFrame, idxCol: String, valCol: String,
+                      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag $maxLag")
+    val v = col(valCol).cast("double")
+    val base = df.filter(col(idxCol).isNotNull && v.isNotNull)
+    val stats = broadcast(base.agg(count(lit(1)).as("__n"),
+      (sum(v) / count(lit(1))).as("__m")))
+    val centered = base.crossJoin(stats)
+      .select(col(idxCol), (v - col("__m")).as("__c"))
+    val w = Window.orderBy(col(idxCol))
+    val denom = broadcast(centered.agg(sum(col("__c") * col("__c"))
+      .as("__den")))
+    (1 to maxLag).map { l =>
+      centered
+        .withColumn("__prev", lag(col("__c"), l).over(w))
+        .filter(col("__prev").isNotNull)
+        .crossJoin(denom)
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("__c") * col("__prev")) / max(col("__den")))
+            .cast("float").as("acf"))
+        .select(lit(l.toLong).as("lag"), col("n_pairs"), col("acf"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Theil-Sen slope — the median of all pairwise slopes, the robust
+    * trend a single outlier day cannot move (Sen 1968). The LOWER
+    * median at rank (n_pairs+1) div 2 with (slope, left index, right
+    * index) tiebreaks, so the pick is total and replayable. Pairs are
+    * |series|² — fine for the daily rollups this runs on, never raw
+    * streams. Emits one row: (n_points, n_pairs, slope round-6). */
+  def theilSenSlope(df: DataFrame, idxCol: String,
+                    valCol: String): DataFrame = {
+    val base = df.filter(col(idxCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idxCol).cast("long").as("__d"),
+        col(valCol).cast("double").as("__v"))
+    val l = base.select(col("__d").as("__dl"), col("__v").as("__vl"))
+    val r = base.select(col("__d").as("__dr"), col("__v").as("__vr"))
+    val pairs = l.crossJoin(r).filter(col("__dl") < col("__dr"))
+      .select(col("__dl"), col("__dr"),
+        ((col("__vr") - col("__vl")) /
+          (col("__dr") - col("__dl")).cast("double")).as("__s"))
+    val n = broadcast(base.agg(count(lit(1)).as("__np")))
+    val ranked = pairs.withColumn("__rk", row_number().over(
+      Window.orderBy(col("__s"), col("__dl"), col("__dr"))).cast("long"))
+    val total = broadcast(ranked.agg(count(lit(1)).as("__tp")))
+    ranked.crossJoin(total).crossJoin(n)
+      .filter(col("__rk") === expr("(__tp + 1) div 2"))
+      .select(col("__np").as("n_points"), col("__tp").as("n_pairs"),
+        round(col("__s"), 6).as("slope"))
+  }
+
   /** CUSUM level-shift locator: S_t = running sum of (value - mean);
     * the changepoint is the index maximizing |S_t| (ties to the
     * smallest index). Emits one row: (n, mean, max_cusum,

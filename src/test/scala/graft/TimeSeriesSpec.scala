@@ -47,6 +47,27 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out(5L).getAs[Float]("seasonal") == 10f)
   }
 
+  test("acf: an alternating series has acf(1) = -(n-1)/n, acf(2) = +(n-2)/n") {
+    val df = (0L until 10L).map(i => (i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("d", "v")
+    val out = TimeSeries.autocorrelation(df, "d", "v", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Float]("acf"))).toMap
+    assert(out(1L)._1 == 9L && out(2L)._1 == 8L)
+    assert(math.abs(out(1L)._2 - (-0.9f)) < 1e-6)
+    assert(math.abs(out(2L)._2 - 0.8f) < 1e-6)
+  }
+
+  test("theil-sen recovers an exact slope through one wild outlier") {
+    // y = 4x except one corrupted point; the median slope stays 4
+    val df = (0L until 9L).map(i => (i, if (i == 4) 999.0 else 4.0 * i))
+      .toDF("d", "v")
+    val r = TimeSeries.theilSenSlope(df, "d", "v").collect().head
+    assert(r.getAs[Long]("n_points") == 9L)
+    assert(r.getAs[Long]("n_pairs") == 36L)
+    assert(r.getAs[Double]("slope") == 4.0)
+  }
+
   test("cusum finds the injected level shift at the last low index") {
     val df = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0),
       (4L, 10.0), (5L, 10.0), (6L, 10.0)).toDF("d", "v")
