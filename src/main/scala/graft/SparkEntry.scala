@@ -13368,6 +13368,95 @@ object SparkEntry {
       |  round((SELECT sl FROM rk, t WHERE rk = (tp + 1) // 2), 6) AS slope"""
       .stripMargin
 
+  /** Caliper propensity matching, FULL oracle — 1-NN within-caliper
+    * matching through the banded block join
+    * (`operators/Experiment.propensityMatch`); the oracle PROVES the
+    * blocking loses nothing by brute-forcing all treated x control
+    * pairs in DuckDB and picking the same (|diff|, id) minimum. */
+  private def propensityMatchQ(s: SparkSession, dir: String): DataFrame =
+    operators.Experiment.propensityMatch(
+      Tables.read(s, dir, "events")
+        .select(when(col("user_id") % 2 === 0, "T").otherwise("C")
+            .as("arm"),
+          col("event_id").as("id"),
+          (((col("event_id") * 31) % 1000).cast("double") / 1000.0)
+            .as("score"),
+          ((col("event_id") * 13) % 20).cast("double").as("y")),
+      "arm", "id", "score", "y", armT = "T", armC = "C", caliper = 0.01)
+
+  private val propensityMatchSql =
+    """WITH r AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS arm,
+      |    event_id AS id,
+      |    CAST((event_id * 31) % 1000 AS DOUBLE) / 1000.0 AS s,
+      |    CAST((event_id * 13) % 20 AS DOUBLE) AS y
+      |  FROM events),
+      |tt AS (SELECT id AS t_id, s AS ts, y AS yt FROM r WHERE arm = 'T'),
+      |cc AS (SELECT id AS c_id, s AS cs, y AS yc FROM r WHERE arm = 'C'),
+      |j AS (SELECT t_id, c_id, abs(ts - cs) AS d, yt, yc
+      |      FROM tt, cc WHERE abs(ts - cs) <= 0.01),
+      |b AS (SELECT *, row_number() OVER (PARTITION BY t_id
+      |        ORDER BY d, c_id) AS rn FROM j)
+      |SELECT t_id, c_id, round(d, 6) AS score_diff, yt AS y_t, yc AS y_c
+      |FROM b WHERE rn = 1""".stripMargin
+
+  /** Ljung-Box, FULL oracle — the white-noise portmanteau at h = 7
+    * over daily counts (`operators/TimeSeries.ljungBox`): the same
+    * centered series as the ACF, Q = n(n+2)Σ r_k²/(n-k) float4. */
+  private def ljungBoxQ(s: SparkSession, dir: String): DataFrame =
+    operators.TimeSeries.ljungBox(dailyCounts(s, dir), "d", "v", h = 7)
+
+  private val ljungBoxSql: String = {
+    val terms = (1 to 7).map(l =>
+      s"(num$l / den) * (num$l / den) / (nd - $l)").mkString(" + ")
+    s"""WITH s AS (SELECT epoch_us(ts) // 86400000000 AS d,
+       |             CAST(count(*) AS BIGINT) AS v
+       |           FROM events GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |        SUM(CAST(v AS DOUBLE)) / count(*) AS mean FROM s),
+       |c0 AS (SELECT d, CAST(v AS DOUBLE) - (SELECT mean FROM m) AS c
+       |       FROM s),
+       |w AS (SELECT d, c,
+       |        ${(1 to 7).map(l =>
+             s"lag(c, $l) OVER (ORDER BY d) AS p$l").mkString(", ")}
+       |      FROM c0),
+       |a AS (SELECT SUM(c * c) AS den,
+       |        ${(1 to 7).map(l =>
+             s"SUM(c * p$l) AS num$l").mkString(", ")}
+       |      FROM w),
+       |f AS (SELECT (SELECT nd FROM m) AS nd, a.* FROM a)
+       |SELECT CAST(nd AS BIGINT) AS n, CAST(7 AS BIGINT) AS h,
+       |  CAST(nd * (nd + 2.0) * ($terms) AS REAL) AS q_stat
+       |FROM f""".stripMargin
+  }
+
+  /** Markov transitions, FULL oracle — the per-user event-type
+    * first-order chain (`operators/Markov.transitions`): one user-key
+    * lead window, one (state, next) groupBy, exact-rational row
+    * probabilities. */
+  private def markovTransitionsQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(s, dir, "events")
+    operators.Markov.transitions(
+      ev.select(col("user_id"), Tables.tsUs(ev).as("us"),
+        col("event_id"), col("event_type")),
+      "user_id", "us", "event_id", "event_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |             event_type
+      |           FROM events),
+      |w AS (SELECT event_type AS state,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id) AS next
+      |      FROM e),
+      |g AS (SELECT state, next, CAST(count(*) AS BIGINT) AS n
+      |      FROM w WHERE next IS NOT NULL GROUP BY state, next)
+      |SELECT state, next, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    SUM(n) OVER (PARTITION BY state), 6) AS prob
+      |FROM g""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13589,6 +13678,9 @@ object SparkEntry {
     "ips_estimate" -> (ipsEstimateQ(_, _)),
     "acf_daily" -> (acfDailyQ(_, _)),
     "theil_sen" -> (theilSenQ(_, _)),
+    "propensity_match" -> (propensityMatchQ(_, _)),
+    "ljung_box" -> (ljungBoxQ(_, _)),
+    "markov_transitions" -> (markovTransitionsQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -13998,6 +14090,9 @@ object SparkEntry {
     "ips_estimate" -> ipsEstimateSql,
     "acf_daily" -> acfDailySql,
     "theil_sen" -> theilSenSql,
+    "propensity_match" -> propensityMatchSql,
+    "ljung_box" -> ljungBoxSql,
+    "markov_transitions" -> markovTransitionsSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

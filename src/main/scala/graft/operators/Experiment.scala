@@ -156,6 +156,48 @@ object Experiment {
         col("g.ssw").as("ssw"), col("g.f").as("f"))
   }
 
+  /** Caliper 1-NN propensity matching (with replacement): each
+    * treated unit matches its nearest control by score within
+    * `caliper`, ties to the smallest control id. Candidates meet
+    * through a BLOCKED equi-join on floor(score/caliper) with the
+    * band trick (controls also register one block up), so a
+    * within-caliper pair can never sit more than one block away and
+    * nothing goes all-pairs — the [[EvalMetrics.editNearDup]]
+    * geometry applied to causal matching. Emits one row per matched
+    * treated unit: (t_id, c_id, score_diff, y_t, y_c); the ATT is
+    * avg(y_t - y_c) downstream. */
+  def propensityMatch(df: DataFrame, armCol: String, idCol: String,
+                      scoreCol: String, valueCol: String, armT: String,
+                      armC: String, caliper: Double): DataFrame = {
+    require(caliper > 0, s"caliper $caliper")
+    val sc = col(scoreCol).cast("double")
+    // block width 2x caliper: a within-caliper pair's block ratio gap
+    // is <= 0.5 + rounding, so adjacent registration provably covers
+    // it even at float boundaries (the editNearDup width>dist margin)
+    val blk = floor(sc / (2 * caliper)).cast("long")
+    val base = df.filter(col(armCol).isNotNull && sc.isNotNull)
+    val treated = base.filter(col(armCol) === armT)
+      .select(blk.as("__b"), col(idCol).as("t_id"), sc.as("__ts"),
+        col(valueCol).cast("double").as("y_t"))
+    val controls0 = base.filter(col(armCol) === armC)
+      .select(blk.as("__b"), col(idCol).as("c_id"), sc.as("__cs"),
+        col(valueCol).cast("double").as("y_c"))
+    // band trick: controls also register in the NEXT block, treated
+    // probes its own and (via the shifted copies) the one below/above
+    val controls = controls0
+      .union(controls0.withColumn("__b", col("__b") + 1))
+      .union(controls0.withColumn("__b", col("__b") - 1))
+    treated.join(controls, Seq("__b"))
+      .filter(abs(col("__ts") - col("__cs")) <= caliper)
+      .groupBy(col("t_id"))
+      .agg(min(struct(abs(col("__ts") - col("__cs")).as("d"),
+        col("c_id").as("c"), col("y_t").as("yt"), col("y_c").as("yc")))
+        .as("__m"))
+      .select(col("t_id"), col("__m.c").as("c_id"),
+        round(col("__m.d"), 6).as("score_diff"),
+        col("__m.yt").as("y_t"), col("__m.yc").as("y_c"))
+  }
+
   /** Sample-ratio-mismatch check: per arm the observed count, the
     * expected count under the declared split (exact rational
     * N·num/den), and the chi-square contribution (o-e)²/e — both

@@ -102,6 +102,36 @@ object TimeSeries {
     }.reduce(_.unionByName(_))
   }
 
+  /** Ljung-Box portmanteau statistic at horizon h:
+    * Q = n(n+2) Σ_{k<=h} r_k²/(n-k) over the same global-mean
+    * biased-denominator autocorrelations as [[autocorrelation]] —
+    * the "are the residuals white noise" gate after an ARIMA fit.
+    * Emits one row: (n, h, q_stat float4). Under H0, Q ~ chi²(h). */
+  def ljungBox(df: DataFrame, idxCol: String, valCol: String,
+               h: Int = 7): DataFrame = {
+    require(h >= 1, s"h $h")
+    val v = col(valCol).cast("double")
+    val base = df.filter(col(idxCol).isNotNull && v.isNotNull)
+    val stats = broadcast(base.agg(count(lit(1)).as("__n"),
+      (sum(v) / count(lit(1))).as("__m")))
+    val centered = base.crossJoin(stats)
+      .select(col(idxCol), col("__n"), (v - col("__m")).as("__c"))
+    val w = Window.orderBy(col(idxCol))
+    val withLags = (1 to h).foldLeft(centered) { (d, l) =>
+      d.withColumn(s"__p$l", lag(col("__c"), l).over(w))
+    }
+    val aggList = max(col("__n")).cast("double").as("__nd") +:
+      sum(col("__c") * col("__c")).as("__den") +:
+      (1 to h).map(l => sum(col("__c") * col(s"__p$l")).as(s"__num$l"))
+    val sums = withLags.agg(aggList.head, aggList.tail: _*)
+    val terms = (1 to h).map { l =>
+      val r = col(s"__num$l") / col("__den")
+      r * r / (col("__nd") - l)
+    }.reduce(_ + _)
+    sums.select(col("__nd").cast("long").as("n"), lit(h.toLong).as("h"),
+      (col("__nd") * (col("__nd") + 2.0) * terms).cast("float").as("q_stat"))
+  }
+
   /** Theil-Sen slope — the median of all pairwise slopes, the robust
     * trend a single outlier day cannot move (Sen 1968). The LOWER
     * median at rank (n_pairs+1) div 2 with (slope, left index, right

@@ -84,6 +84,31 @@ class ExperimentSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Float]("f") - 13.5f) < 1e-4)
   }
 
+  test("propensity match: nearest control, caliper cut, id tiebreak, cross-block pair") {
+    import graft.operators.Experiment.propensityMatch
+    val df = Seq(
+      ("T", 1L, 0.500, 10.0),
+      ("C", 2L, 0.505, 1.0),  // |d| = 0.005: nearest
+      ("C", 3L, 0.508, 2.0),  // |d| = 0.008: farther
+      ("T", 4L, 0.900, 20.0), // no control within 0.01
+      ("C", 5L, 0.950, 3.0),
+      ("T", 6L, 0.019, 30.0), // control sits across the 0.02 block edge
+      ("C", 7L, 0.021, 4.0),
+      ("T", 8L, 0.700, 40.0), // exact-tie distances: ids 9 vs 10
+      ("C", 9L, 0.703, 5.0),
+      ("C", 10L, 0.697, 6.0)
+    ).toDF("arm", "id", "s", "y")
+    val out = propensityMatch(df, "arm", "id", "s", "y", "T", "C", 0.01)
+      .collect().map(r => r.getAs[Long]("t_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("y_t"),
+          r.getAs[Double]("y_c"))).toMap
+    assert(out(1L)._1 == 2L)
+    assert(!out.contains(4L)) // outside every caliper
+    assert(out(6L)._1 == 7L)  // caught through the band registration
+    assert(out(8L)._1 == 9L)  // tie on 0.003 breaks to the smaller id
+    assert(out(1L)._2 == 10.0 && out(1L)._3 == 1.0)
+  }
+
   test("srm: undeclared arms are excluded") {
     val df = Seq("a", "a", "b", "rogue").toDF("arm")
     val out = Experiment.srmCheck(df, "arm", Seq(("a", 1, 2), ("b", 1, 2)))

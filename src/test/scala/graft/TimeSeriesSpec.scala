@@ -68,6 +68,16 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(r.getAs[Double]("slope") == 4.0)
   }
 
+  test("ljung-box: the alternating series gives the hand-computed Q") {
+    // r1 = -0.9, r2 = 0.8 (see the acf test): Q at h = 2, n = 10 is
+    // 10*12*(0.81/9 + 0.64/8) = 20.4
+    val df = (0L until 10L).map(i => (i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("d", "v")
+    val r = TimeSeries.ljungBox(df, "d", "v", h = 2).collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("h") == 2L)
+    assert(math.abs(r.getAs[Float]("q_stat") - 20.4f) < 1e-4)
+  }
+
   test("cusum finds the injected level shift at the last low index") {
     val df = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0),
       (4L, 10.0), (5L, 10.0), (6L, 10.0)).toDF("d", "v")
