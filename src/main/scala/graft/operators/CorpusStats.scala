@@ -78,7 +78,9 @@ object CorpusStats {
     val toks = filter(split(lower(col(textCol)), "[ \t\n\r]+"),
       t => length(t) > 0)
     val base = df.filter(col(textCol).isNotNull && col(idCol).isNotNull)
-    val maxId = base.agg(max(col(idCol))).head().getLong(0)
+    val maxRow = base.agg(max(col(idCol))).head()
+    require(!maxRow.isNullAt(0), "empty corpus")
+    val maxId = maxRow.getLong(0)
     val step = maxId / buckets + 1
     // exact integer division on long columns (Spark `/` is double):
     // (id - id % step) is exactly divisible, so the double quotient is

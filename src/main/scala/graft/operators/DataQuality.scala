@@ -37,9 +37,12 @@ object DataQuality {
       "no constraints given")
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce: on an EMPTY table sum() is NULL and the report must
+    // still read 0 violations over 0 rows, not NPE
     val aggs = count(lit(1)).as("__n") +:
       checks.zipWithIndex.map { case (c, i) =>
-        sum(when(c.violates, 1L).otherwise(0L)).as(s"__v$i")
+        coalesce(sum(when(c.violates, 1L).otherwise(0L)), lit(0L))
+          .as(s"__v$i")
       }
     val scanRow = df.agg(aggs.head, aggs.tail: _*).head()
     val n = scanRow.getLong(0)

@@ -47,9 +47,12 @@ object Experiment {
         val dof = (se2 * se2) /
           ((va / na) * (va / na) / (na - 1.0) +
             (vb / nb) * (vb / nb) / (nb - 1.0))
+        // an arm with n < 2 has no sample variance: emit NULLs, not
+        // the NaN that (q - s·m)/(n-1) would propagate
+        val ok = na >= 2.0 && nb >= 2.0 && se2 > 0
         struct(ma.cast("float").as("mean_a"), mb.cast("float").as("mean_b"),
-          when(se2 > 0, (ma - mb) / sqrt(se2)).cast("float").as("t"),
-          when(se2 > 0, dof).cast("float").as("dof")).as("f")
+          when(ok, (ma - mb) / sqrt(se2)).cast("float").as("t"),
+          when(ok, dof).cast("float").as("dof")).as("f")
       })
       .select(col("n_a"), col("n_b"), col("f.mean_a").as("mean_a"),
         col("f.mean_b").as("mean_b"), col("f.t").as("t"),

@@ -28,7 +28,9 @@ object Luhn {
         acc + when(i % 2 === 0,
           when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
       })
-    total % 10 === 0
+    // sequence(1, 0) raises on empty input — an empty string is not a
+    // PAN, short-circuit before the fold
+    when(length(pan) === 0, lit(false)).otherwise(total % 10 === 0)
   }
 
   /** Per-document PAN audit: digit runs of 13-19 as candidates, the

@@ -96,7 +96,9 @@ object TimeSeries {
         .filter(col("__prev").isNotNull)
         .crossJoin(denom)
         .agg(count(lit(1)).as("n_pairs"),
-          (sum(col("__c") * col("__prev")) / max(col("__den")))
+          // a constant series has zero variance: emit NULL, not 0/0 NaN
+          when(max(col("__den")) > 0,
+            sum(col("__c") * col("__prev")) / max(col("__den")))
             .cast("float").as("acf"))
         .select(lit(l.toLong).as("lag"), col("n_pairs"), col("acf"))
     }.reduce(_.unionByName(_))
@@ -129,7 +131,9 @@ object TimeSeries {
       r * r / (col("__nd") - l)
     }.reduce(_ + _)
     sums.select(col("__nd").cast("long").as("n"), lit(h.toLong).as("h"),
-      (col("__nd") * (col("__nd") + 2.0) * terms).cast("float").as("q_stat"))
+      when(col("__den") > 0,
+        col("__nd") * (col("__nd") + 2.0) * terms)
+        .cast("float").as("q_stat"))
   }
 
   /** Theil-Sen slope — the median of all pairwise slopes, the robust
