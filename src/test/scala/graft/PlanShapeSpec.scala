@@ -494,4 +494,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"no partial aggregation: $plan")
   }
+
+  test("propensity matching rides the blocked equi-join, never brute force") {
+    val plan = planOf(SparkEntry.queries("propensity_match")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"treated x control product: $plan")
+    assert(plan.contains("Join"), s"expected the block equi-join: $plan")
+  }
+
+  test("markov transitions window on the user key, no global sort") {
+    val plan = planOf(SparkEntry.queries("markov_transitions")(spark, dir))
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort exchange: $plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("off-policy estimates fuse into one scan-aggregate") {
+    val plan = planOf(SparkEntry.queries("ips_estimate")(spark, dir))
+    assert(!plan.contains("Join") && !plan.toLowerCase.contains("scalaudf"),
+      s"IPS must stay a single fused pass: $plan")
+  }
 }
