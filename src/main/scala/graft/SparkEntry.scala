@@ -13457,6 +13457,132 @@ object SparkEntry {
       |    SUM(n) OVER (PARTITION BY state), 6) AS prob
       |FROM g""".stripMargin
 
+  /** KNN-Shapley data valuation, FULL oracle — the closed-form Shapley
+    * value of every training embedding for a 10-NN classifier utility
+    * (Jia et al. VLDB 2019, `operators/DataValuation.knnShapley`):
+    * three probe points (vec_id &lt; 3), quantized-integer distances so
+    * every rank is engine-exact, one rank window + one descending
+    * running sum; values float4. */
+  private def knnShapleyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    operators.DataValuation.knnShapley(
+      e.filter(col("vec_id") >= 3), e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
+  private val knnShapleySql =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS iv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qy, iv AS qv
+      |      FROM e WHERE vec_id < 3),
+      |t AS (SELECT vec_id AS id, label AS y, iv FROM e WHERE vec_id >= 3),
+      |d AS (SELECT q.qid, t.id,
+      |        CASE WHEN t.y = q.qy THEN 1 ELSE 0 END AS m,
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(range(1, 65),
+      |            i -> (t.iv[i] - q.qv[i]) * (t.iv[i] - q.qv[i]))),
+      |          (a, b) -> a + b) AS sq
+      |      FROM t, q),
+      |r AS (SELECT qid, id, m,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sq, id) AS rnk,
+      |        count(*) OVER (PARTITION BY qid) AS n,
+      |        lead(m) OVER (PARTITION BY qid ORDER BY sq, id) AS lm
+      |      FROM d),
+      |v AS (SELECT qid, id, rnk, m, n,
+      |        CASE WHEN lm IS NULL THEN 0.0
+      |          ELSE CAST((m - lm) * least(rnk, 10) AS DOUBLE) / (rnk * 10)
+      |        END AS delta,
+      |        SUM(CASE WHEN rnk = n THEN CAST(m AS DOUBLE) / n ELSE 0.0 END)
+      |          OVER (PARTITION BY qid) AS tail
+      |      FROM r)
+      |SELECT qid, id, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(m AS BIGINT) AS matches,
+      |  CAST(tail + SUM(delta) OVER (PARTITION BY qid ORDER BY rnk DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL)
+      |    AS value
+      |FROM v""".stripMargin
+
+  /** Greedy k-center coreset, FULL oracle — 8 rounds of
+    * farthest-point selection over the embeddings (Gonzalez 1985;
+    * `operators/DataValuation.kcenterCoreset`), exact quantized
+    * squared-L2 so the selection path and covering radii are
+    * engine-deterministic integers. */
+  private def kcenterCoresetQ(s: SparkSession, dir: String): DataFrame =
+    operators.DataValuation.kcenterCoreset(
+      Tables.read(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
+  private val kcenterCoresetSql: String = {
+    val sq = (l: String, r: String) =>
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65),
+         |  i -> ($l.iv[i] - $r.iv[i]) * ($l.iv[i] - $r.iv[i]))),
+         |  (a, b) -> a + b)""".stripMargin
+    val steps = (2 to 8).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, iv, md FROM d${i - 1}
+         |  ORDER BY md DESC, id LIMIT 1),
+         |d$i AS MATERIALIZED (SELECT d.id, d.iv,
+         |  least(d.md, ${sq("d", "c")}) AS md FROM d${i - 1} d, c$i c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (2 to 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, id, md AS radius_sq FROM c$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, iv FROM e ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.id, e.iv, ${sq("e", "c")} AS md
+       |  FROM e, c1 c),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS step, id,
+       |  CAST(-1 AS BIGINT) AS radius_sq FROM c1
+       |UNION ALL
+       |$out""".stripMargin
+  }
+
+  /** Cook's distance, FULL oracle — per-example OLS influence +
+    * leverage over an integer fixture with injected outliers
+    * (`operators/DataValuation.cooksDistance`): exact integer moments,
+    * closed-form hat diagonal, SSE from the moment identity; float4. */
+  private def cooksDistanceQ(s: SparkSession, dir: String): DataFrame =
+    operators.DataValuation.cooksDistance(
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 37).as("x"),
+        ((col("doc_id") % 37) * 3 + col("doc_id") % 11 +
+          when(col("doc_id") % 97 === 0, 40L).otherwise(0L)).as("y")),
+      "doc_id", "x", "y")
+
+  private val cooksDistanceSql =
+    """WITH r AS (SELECT doc_id AS id, doc_id % 37 AS x,
+      |    (doc_id % 37) * 3 + doc_id % 11 +
+      |    CASE WHEN doc_id % 97 = 0 THEN 40 ELSE 0 END AS y
+      |  FROM documents),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx,
+      |        SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+      |        SUM(y * y) AS syy
+      |      FROM r),
+      |f AS (SELECT r.id, r.x, r.y, CAST(m.n AS DOUBLE) AS nd,
+      |        CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) / m.n AS cxx,
+      |        CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) / m.n AS cxy,
+      |        CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) / m.n AS cyy,
+      |        CAST(m.sx AS DOUBLE) / m.n AS mx,
+      |        CAST(m.sy AS DOUBLE) / m.n AS my
+      |      FROM r, m),
+      |g AS (SELECT id, x, y,
+      |        CAST(y AS DOUBLE) - (my - (cxy / cxx) * mx)
+      |          - (cxy / cxx) * CAST(x AS DOUBLE) AS res,
+      |        1.0 / nd + (CAST(x AS DOUBLE) - mx) *
+      |          (CAST(x AS DOUBLE) - mx) / cxx AS lev,
+      |        (cyy - (cxy / cxx) * cxy) / (nd - 2.0) AS s2
+      |      FROM f)
+      |SELECT id, x, y, CAST(res AS REAL) AS residual,
+      |  CAST(lev AS REAL) AS leverage,
+      |  CAST(res * res * lev /
+      |    (2.0 * s2 * (1.0 - lev) * (1.0 - lev)) AS REAL) AS cook_d
+      |FROM g""".stripMargin
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -13681,6 +13807,9 @@ object SparkEntry {
     "propensity_match" -> (propensityMatchQ(_, _)),
     "ljung_box" -> (ljungBoxQ(_, _)),
     "markov_transitions" -> (markovTransitionsQ(_, _)),
+    "knn_shapley" -> (knnShapleyQ(_, _)),
+    "kcenter_coreset" -> (kcenterCoresetQ(_, _)),
+    "cooks_distance" -> (cooksDistanceQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14093,6 +14222,9 @@ object SparkEntry {
     "propensity_match" -> propensityMatchSql,
     "ljung_box" -> ljungBoxSql,
     "markov_transitions" -> markovTransitionsSql,
+    "knn_shapley" -> knnShapleySql,
+    "kcenter_coreset" -> kcenterCoresetSql,
+    "cooks_distance" -> cooksDistanceSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

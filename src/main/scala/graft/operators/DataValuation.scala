@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Data valuation — the curation question a 100 TB training pipeline
+ * actually asks: WHICH examples are worth their tokens? Three public,
+ * closed-form methods, each distributed and oracle-replayable:
+ *
+ *  - KNN-Shapley (Jia et al., VLDB 2019): the exact Shapley value of
+ *    every training point for a K-NN classifier utility, computed by
+ *    the paper's O(N log N) sorted recursion instead of the 2^N naive
+ *    expansion — rank points by distance to a test query, then one
+ *    suffix scan assigns each point its marginal contribution.
+ *  - Greedy k-center coreset (Gonzalez 1985; Sener & Savarese, ICLR
+ *    2018 use it for active-learning coresets): iteratively pick the
+ *    point farthest from the chosen set — a diversity-maximizing
+ *    subset whose covering radius 2-approximates the optimum.
+ *  - Cook's distance (Cook 1977): per-example influence on an OLS fit
+ *    from the closed-form hat matrix — the classic "this row bends
+ *    the model" flag for label/feature outliers.
+ *
+ * Reference surface: the reference ships kNN classify/regress and
+ * OLS-backed ML (`NeuronDB/src/ml/`); valuation composes those same
+ * primitives into curation signals (public-method work, Spark-first).
+ *
+ * Scale shape: KNN-Shapley is one broadcast of the (tiny) probe set, a
+ * scan-stage distance fold, and ONE shuffle for the per-query rank
+ * window — the identical shape as distributed kNN ranking, run over a
+ * sampled probe set at 100 TB. k-center keeps only k centers on the
+ * driver (k tiny) and re-scans per round with the centers broadcast as
+ * literals — no shuffle at all. Cook's distance is one global moment
+ * aggregate (map-side combined) broadcast back over a stateless scan.
+ */
+object DataValuation {
+
+  /** Quantize a float-array column to integer milli-units so distance
+    * ranks are EXACT (the fixpoint-oracle playbook: floor(x*1000+0.5)
+    * is bit-identical half-up rounding in both engines). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+
+  /** Exact squared-L2 between two quantized long-array columns — an
+    * ordered fold, so both engines see the identical integer. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /**
+   * KNN-Shapley values of `train` points for each row of `probe`.
+   *
+   * Recursion (Jia et al. Theorem 1), over points sorted by distance
+   * ascending (rank r = 1..N, ties broken by id):
+   *   s_N = 1[y_N = y] / N
+   *   s_r = s_{r+1} + (1[y_r = y] - 1[y_{r+1} = y]) / K * min(K, r) / r
+   * so s_r = 1[y_N = y]/N + a suffix sum of per-rank deltas — one rank
+   * window plus one descending running sum, both engine-order
+   * deterministic; the float4 emit absorbs running-sum association.
+   *
+   * `train`/`probe` carry (idCol, vecCol: array&lt;float&gt;, labelCol);
+   * output (qid, id, rnk, matches, value) — one row per
+   * (probe, train) pair, value = the point's Shapley value for that
+   * probe's K-NN utility.
+   */
+  def knnShapley(train: DataFrame, probe: DataFrame, idCol: String,
+                 vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    val t = train.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("iv"), col(labelCol).cast("long").as("y"))
+    val q = probe.select(col(idCol).cast("long").as("qid"),
+      quantize(col(vecCol)).as("qv"), col(labelCol).cast("long").as("qy"))
+    val byRank = Window.partitionBy(col("qid")).orderBy(col("sq"), col("id"))
+    val part = Window.partitionBy(col("qid"))
+    val suffix = Window.partitionBy(col("qid"))
+      .orderBy(col("rnk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.crossJoin(broadcast(q))
+      .withColumn("sq", sqDist(col("iv"), col("qv")))
+      .withColumn("rnk", row_number().over(byRank))
+      .withColumn("m", (col("y") === col("qy")).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("lead_m", lead(col("m"), 1).over(byRank))
+      .withColumn("delta",
+        when(col("lead_m").isNull, lit(0.0)).otherwise(
+          ((col("m") - col("lead_m")) * least(col("rnk"), lit(k.toLong)))
+            .cast("double") / (col("rnk") * k).cast("double")))
+      .withColumn("tail",
+        sum(when(col("rnk") === col("n"),
+          col("m").cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0))).over(part))
+      .select(col("qid"), col("id"), col("rnk").cast("long").as("rnk"),
+        col("m").as("matches"),
+        (col("tail") + sum(col("delta")).over(suffix)).cast("float")
+          .as("value"))
+  }
+
+  /**
+   * Greedy k-center coreset over (idCol, vecCol): seed with the
+   * smallest id, then k-1 rounds of "add the point whose min distance
+   * to the chosen set is largest" (ties -> smallest id). Distances are
+   * exact quantized-integer squared-L2, so every selection is engine-
+   * deterministic. Returns (step, id, radius_sq) — radius_sq is the
+   * selected point's covering distance at selection time (-1 for the
+   * seed), the monotone radius curve a curator reads to pick k.
+   *
+   * Driver state is k ids + k vectors (tiny); each round is one scan
+   * with the centers as broadcast literals — no shuffle, no collect of
+   * data rows beyond the single argmax row per round.
+   */
+  def kcenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("iv"))
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("iv")).head()
+    var centers = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, -1L))
+    for (_ <- 1 until k) {
+      val minDist = centers.map { case (_, cv, _) => sqDist(col("iv"), lit(cv)) }
+        .reduce(least(_, _))
+      val next = base.withColumn("md", minDist)
+        .orderBy(col("md").desc, col("id")).limit(1)
+        .select(col("id"), col("iv"), col("md")).head()
+      centers :+= ((next.getLong(0), next.getSeq[Long](1).toArray,
+        next.getLong(2)))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1L, id, r) }
+      .toDF("step", "id", "radius_sq")
+  }
+
+  /**
+   * Cook's distance + leverage for simple OLS of `yCol` on `xCol`
+   * (integer-valued fixture columns keep every moment exact; the few
+   * closing divisions are correctly-rounded chains, emitted float4).
+   *
+   * Closed forms, no refit per point:
+   *   b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),  a = Sy/n - b*Sx/n
+   *   h_i = 1/n + (x_i - Sx/n)^2 / Cxx,  Cxx = (n*Sxx - Sx^2)/n
+   *   SSE = Cyy - b*Cxy  (moment identity — no per-row residual sum)
+   *   D_i = r_i^2 * h_i / (p * s^2 * (1 - h_i)^2),  p = 2, s^2 = SSE/(n-2)
+   */
+  def cooksDistance(df: DataFrame, idCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val m = rows.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val j = rows.crossJoin(broadcast(m))
+    val n = col("n").cast("double")
+    val cxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / n
+    val cxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / n
+    val cyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double") / n
+    val b = cxy / cxx
+    val a = col("sy").cast("double") / n - b * (col("sx").cast("double") / n)
+    val resid = col("y").cast("double") - a - b * col("x").cast("double")
+    val lev = lit(1.0) / n +
+      (col("x").cast("double") - col("sx").cast("double") / n) *
+        (col("x").cast("double") - col("sx").cast("double") / n) / cxx
+    val s2 = (cyy - b * cxy) / (n - 2.0)
+    val cook = resid * resid * lev / (lit(2.0) * s2 * (lit(1.0) - lev) * (lit(1.0) - lev))
+    j.select(col("id"), col("x"), col("y"),
+      resid.cast("float").as("residual"), lev.cast("float").as("leverage"),
+      cook.cast("float").as("cook_d"))
+  }
+}

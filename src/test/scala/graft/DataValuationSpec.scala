@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataValuation
+
+class DataValuationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 20 points on a line, two labels interleaved in blocks: ids 0..9
+    * label 0, ids 10..19 label 1; vector = (id, 0, ..). */
+  private def train = (0 until 20)
+    .map(i => (i.toLong, Array.fill(4)(0f).updated(0, i.toFloat), if (i < 10) 0 else 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("knn-shapley efficiency: per-query values sum to the full-set utility") {
+    val probe = Seq((100L, Array(0f, 0f, 0f, 0f), 0),
+      (101L, Array(19f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val k = 3
+    val vals = DataValuation.knnShapley(train, probe, "vec_id", "embedding",
+      "label", k).collect()
+    assert(vals.length == 40)
+    // v(N) = (matching labels among the k nearest) / k; both probes sit
+    // at a pure-label end of the line, so utility is exactly 1.
+    for (q <- Seq(100L, 101L)) {
+      val s = vals.filter(_.getLong(0) == q).map(_.getFloat(4).toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"query $q total $s")
+    }
+    // all ten same-label points are exchangeable here (one contiguous
+    // matching prefix), so each carries exactly 1/10 of the utility and
+    // every wrong-label point carries 0 — the Shapley symmetry axiom.
+    val v100 = vals.filter(_.getLong(0) == 100L)
+    assert(v100.filter(_.getLong(1) < 10L)
+      .forall(r => math.abs(r.getFloat(4) - 0.1f) < 1e-6))
+    assert(v100.filter(_.getLong(1) >= 10L)
+      .forall(r => math.abs(r.getFloat(4)) < 1e-6))
+  }
+
+  test("knn-shapley: an opposite-label nearest neighbor is valued negatively") {
+    val probe = Seq((100L, Array(9.6f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val vals = DataValuation.knnShapley(train, probe, "vec_id", "embedding",
+      "label", 3).collect()
+    // id 9 (label 0) is second-closest and wrong-label: negative value
+    val v9 = vals.find(_.getLong(1) == 9L).get.getFloat(4)
+    assert(v9 < 0f, s"id 9 value $v9")
+    val v10 = vals.find(_.getLong(1) == 10L).get.getFloat(4)
+    assert(v10 > 0f, s"id 10 value $v10")
+  }
+
+  test("k-center: seed is the min id, radii non-increasing, picks spread out") {
+    val rows = DataValuation.kcenterCoreset(train, "vec_id", "embedding", 4)
+      .orderBy("step").collect()
+    assert(rows.map(_.getLong(1)).distinct.length == 4)
+    assert(rows.head.getLong(1) == 0L && rows.head.getLong(2) == -1L)
+    // farthest-first from id 0 on a line: next pick is the far end (19)
+    assert(rows(1).getLong(1) == 19L)
+    val radii = rows.tail.map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radius curve not monotone: ${radii.toSeq}")
+  }
+
+  test("cook's distance flags the injected outlier with the top score") {
+    // y = 2x + 1 exactly, except one gross outlier at x=5
+    val df = (0 until 40)
+      .map(i => (i.toLong, (i % 8).toLong,
+        if (i == 13) 100L else 2L * (i % 8) + 1 + (i % 3)))
+      .toDF("id", "x", "y")
+    val out = DataValuation.cooksDistance(df, "id", "x", "y").collect()
+    val top = out.maxBy(_.getFloat(5))
+    assert(top.getLong(0) == 13L, s"top influence id ${top.getLong(0)}")
+    // leverage depends only on x: extreme x has higher leverage than the mean x
+    val lev0 = out.find(_.getLong(1) == 0L).get.getFloat(4)
+    val lev7 = out.find(_.getLong(1) == 7L).get.getFloat(4)
+    val lev4 = out.find(_.getLong(1) == 4L).get.getFloat(4)
+    assert(lev0 > lev4 && lev7 > lev4)
+  }
+}

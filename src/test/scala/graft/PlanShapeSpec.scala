@@ -515,4 +515,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Join") && !plan.toLowerCase.contains("scalaudf"),
       s"IPS must stay a single fused pass: $plan")
   }
+
+  test("knn-shapley broadcasts the probe set; the train side joins without a shuffle") {
+    val plan = planOf(SparkEntry.queries("knn_shapley")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast: $plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"train side must not shuffle to meet the probes: $plan")
+  }
+
+  test("cook's distance broadcasts the one-row moment aggregate over a stateless scan") {
+    val plan = planOf(SparkEntry.queries("cooks_distance")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"moments must broadcast: $plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.toLowerCase.contains("scalaudf"), plan)
+  }
 }
