@@ -13542,6 +13542,46 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** k-NN label-noise audit, FULL oracle — per-example agreement with
+    * its 10 nearest neighbors' labels
+    * (`operators/DataValuation.labelNoiseKnn`): the production plan is
+    * the exact two-pass `Ivf.knnJoin` (same cached nlists=16 index as
+    * `knn_classify_blocked`), the oracle brute-forces every pair and
+    * must agree exactly — integer agreement counts, no float output. */
+  private def labelNoiseKnnQ(s: SparkSession, dir: String): DataFrame =
+    operators.DataValuation.labelNoiseKnn(ivfModel(s, dir),
+      Tables.read(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      k = 10)
+
+  private val labelNoiseKnnSql =
+    """WITH d AS (SELECT a.vec_id AS id, a.label AS y, b.vec_id AS nid,
+      |    b.label AS ny,
+      |    list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      AS dist
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT id, y, ny,
+      |        row_number() OVER (PARTITION BY id ORDER BY dist, nid)
+      |          AS rn
+      |      FROM d)
+      |SELECT id, CAST(y AS BIGINT) AS label,
+      |  CAST(SUM(CASE WHEN ny = y THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |  SUM(CASE WHEN ny = y THEN 1 ELSE 0 END) * 2 < 10 AS suspect
+      |FROM r WHERE rn <= 10 GROUP BY id, y""".stripMargin
+
+  /** Dataset cartography, FULL oracle — per-example training dynamics
+    * (confidence / variability / correctness across 6 GD epoch
+    * snapshots, Swayamdipta et al. 2020;
+    * `ml/QualityClf.cartography`): the quality-classifier fixpoint
+    * machinery extended with per-snapshot score CTEs; float4 stats,
+    * exact integer correctness. */
+  private def dataMapQ(s: SparkSession, dir: String): DataFrame =
+    ml.QualityClf.cartography(Tables.read(s, dir, "documents"), "doc_id",
+      "text", (col("lang") === "en"), d = 16, epochs = 6, lr = 4.0)
+
+  private val dataMapSql = ml.QualityClf.cartographySql(
+    "documents", "doc_id", "text", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+    d = 16, epochs = 6, lr = 4.0)
+
   /** Cook's distance, FULL oracle — per-example OLS influence +
     * leverage over an integer fixture with injected outliers
     * (`operators/DataValuation.cooksDistance`): exact integer moments,
@@ -13810,6 +13850,8 @@ object SparkEntry {
     "knn_shapley" -> (knnShapleyQ(_, _)),
     "kcenter_coreset" -> (kcenterCoresetQ(_, _)),
     "cooks_distance" -> (cooksDistanceQ(_, _)),
+    "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
+    "data_map" -> (dataMapQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14225,6 +14267,8 @@ object SparkEntry {
     "knn_shapley" -> knnShapleySql,
     "kcenter_coreset" -> kcenterCoresetSql,
     "cooks_distance" -> cooksDistanceSql,
+    "label_noise_knn" -> labelNoiseKnnSql,
+    "data_map" -> dataMapSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -161,7 +161,20 @@ object QualityClf {
   /** Epoch-unrolled training + scoring for DuckDB; must mirror
     * [[trainScore]] bit-for-bit up to unordered-sum drift. */
   def oracleSql(table: String, idCol: String, textCol: String,
-                labelSql: String, d: Int, epochs: Int, lr: Double): String = {
+                labelSql: String, d: Int, epochs: Int, lr: Double): String =
+    trainChainSql(table, idCol, textCol, labelSql, d, epochs, lr) +
+      s"""
+      |SELECT x.id AS $idCol, CAST(x.y AS BIGINT) AS label,
+      |  CAST(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+      |    list_transform(range(1, ${d + 1}), j -> w.l[j] * x.xs[j])),
+      |    (a, b) -> a + b) + b.v))) AS REAL) AS score
+      |FROM xs x, (SELECT list(v ORDER BY j) AS l FROM w_$epochs) w, b_$epochs b""".stripMargin
+
+  /** The shared epoch-unrolled GD chain (docs → features → w_e/b_e per
+    * epoch), ending inside the WITH list so callers append their own
+    * final SELECT (and, for [[cartographySql]], per-epoch score CTEs). */
+  private def trainChainSql(table: String, idCol: String, textCol: String,
+                            labelSql: String, d: Int, epochs: Int, lr: Double): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH docs AS MATERIALIZED (
       |  SELECT $idCol AS id, CAST($labelSql AS DOUBLE) AS y,
@@ -204,12 +217,132 @@ object QualityClf {
         |  SELECT b.v - $lr * ((SELECT sum(r) FROM r_$e) / (SELECT n FROM nn)) AS v
         |  FROM b_$p b)""".stripMargin
     }
-    sb ++= s"""
-      |SELECT x.id AS $idCol, CAST(x.y AS BIGINT) AS label,
-      |  CAST(1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
-      |    list_transform(range(1, ${d + 1}), j -> w.l[j] * x.xs[j])),
-      |    (a, b) -> a + b) + b.v))) AS REAL) AS score
-      |FROM xs x, (SELECT list(v ORDER BY j) AS l FROM w_$epochs) w, b_$epochs b""".stripMargin
     sb.toString
+  }
+
+  /**
+   * Dataset cartography (Swayamdipta et al., EMNLP 2020): training
+   * dynamics as a curation map. Train the same GD classifier, but
+   * snapshot the model after EVERY epoch and score each example under
+   * all `epochs` snapshots:
+   *   confidence  = mean_e P_e(gold label)   (easy-to-learn when high)
+   *   variability = population std of those  (ambiguous when high)
+   *   correct     = #epochs the argmax matches gold (hard when low)
+   * Low-confidence low-variability examples are the classic
+   * mislabel/outlier region; high-variability ones are the
+   * most-informative training subset.
+   *
+   * Scale shape: identical to [[trainScore]] — `epochs` scans of the
+   * cached feature projection for training, then ONE stateless scoring
+   * pass carrying all snapshots (epochs × (d+1) doubles) in the task
+   * closure. Probability chains pass through exp (libm), so the two
+   * float stats emit float4; `correct` is an exact integer.
+   */
+  def cartography(df: DataFrame, idCol: String, textCol: String,
+                  labelCol: org.apache.spark.sql.Column,
+                  d: Int = 16, epochs: Int = 6, lr: Double = 4.0): DataFrame = {
+    val featUdf = udf((t: String) => features(t, d).toSeq)
+    val tr = df.select(col(idCol).cast("long").as("id"),
+      labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
+    try {
+      val n = tr.count()
+      // closure-captured mutable model, one udf instance (the
+      // trainScore JIT/shuffle-reuse convention)
+      val model = new Array[Double](d + 1)
+      val gradUdf = udf((xs: Seq[Double], y: Double) => {
+        var z = 0.0
+        var j = 0
+        while (j < d) { z += model(j) * xs(j); j += 1 }
+        val r = sigmoid(z + model(d)) - y
+        val g = new Array[Double](d + 1)
+        j = 0
+        while (j < d) { g(j) = r * xs(j); j += 1 }
+        g(d) = r
+        g.toSeq
+      })
+      val vecSum = udaf(new VecSum(d + 1))
+      def gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
+      val snaps = Array.ofDim[Double](epochs, d + 1)
+      for (e <- 0 until epochs) {
+        val sums = gradPlan.head().getSeq[Double](0)
+        var j = 0
+        while (j < d) { model(j) -= lr * (sums(j) / n); j += 1 }
+        model(d) -= lr * (sums(d) / n)
+        System.arraycopy(model, 0, snaps(e), 0, d + 1)
+      }
+      val mapUdf = udf((xs: Seq[Double], y: Double) => {
+        val pg = new Array[Double](epochs)
+        var correct = 0L
+        var e = 0
+        while (e < epochs) {
+          val w = snaps(e)
+          var z = 0.0
+          var j = 0
+          while (j < d) { z += w(j) * xs(j); j += 1 }
+          val p = sigmoid(z + w(d))
+          pg(e) = if (y == 1.0) p else 1.0 - p
+          if ((p > 0.5) == (y == 1.0)) correct += 1
+          e += 1
+        }
+        var s = 0.0
+        e = 0
+        while (e < epochs) { s += pg(e); e += 1 }
+        val conf = s / epochs
+        var v = 0.0
+        e = 0
+        while (e < epochs) { v += (pg(e) - conf) * (pg(e) - conf); e += 1 }
+        (conf, math.sqrt(v / epochs), correct)
+      })
+      tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
+          mapUdf(col("xs"), col("y")).as("m"))
+        .select(col(idCol), col("label"),
+          col("m._1").cast("float").as("confidence"),
+          col("m._2").cast("float").as("variability"),
+          col("m._3").as("correct"))
+        .localCheckpoint(true)
+    } finally tr.unpersist()
+  }
+
+  /** Epoch-unrolled cartography oracle: the [[trainChainSql]] chain
+    * plus one score CTE per snapshot and a left-associated fold over
+    * the per-epoch gold probabilities — the same evaluation order as
+    * the scoring udf, so only libm/unordered-sum drift remains (float4
+    * emits absorb it; `correct` is exact). */
+  def cartographySql(table: String, idCol: String, textCol: String,
+                     labelSql: String, d: Int, epochs: Int, lr: Double): String = {
+    val score = (e: Int) =>
+      s""",
+         |p_$e AS MATERIALIZED (
+         |  SELECT x.id, x.y,
+         |    1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, ${d + 1}), j -> w.l[j] * x.xs[j])),
+         |      (a, b) -> a + b) + b.v))) AS p
+         |  FROM xs x, (SELECT list(v ORDER BY j) AS l FROM w_$e) w, b_$e b)"""
+        .stripMargin
+    val pgCols = (1 to epochs).map(e =>
+      s"CASE WHEN p_1.y = 1.0 THEN p_$e.p ELSE 1.0 - p_$e.p END AS pg$e," +
+        s" p_$e.p AS pp$e").mkString(",\n    ")
+    val joins = (2 to epochs).map(e => s"JOIN p_$e ON p_$e.id = p_1.id")
+      .mkString(" ")
+    val pgSum = (1 to epochs).map(e => s"pg$e").mkString(" + ")
+    val varSum = (1 to epochs).map(e => s"(pg$e - conf) * (pg$e - conf)")
+      .mkString(" + ")
+    val correct = (1 to epochs).map(e =>
+      s"CASE WHEN (pp$e > 0.5) = (y = 1.0) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    trainChainSql(table, idCol, textCol, labelSql, d, epochs, lr) +
+      (1 to epochs).map(score).mkString +
+      s""",
+      |jj AS MATERIALIZED (
+      |  SELECT p_1.id, p_1.y,
+      |    $pgCols
+      |  FROM p_1 $joins),
+      |cc AS MATERIALIZED (
+      |  SELECT jj.*, ($pgSum) / $epochs.0 AS conf FROM jj)
+      |SELECT id AS $idCol, CAST(y AS BIGINT) AS label,
+      |  CAST(conf AS REAL) AS confidence,
+      |  CAST(sqrt(($varSum) / $epochs.0) AS REAL) AS variability,
+      |  CAST($correct AS BIGINT) AS correct
+      |FROM cc""".stripMargin
   }
 }

@@ -133,6 +133,39 @@ object DataValuation {
   }
 
   /**
+   * k-NN label-noise audit (the confident-learning signal, Northcutt
+   * et al. 2021, in its nearest-neighbor form): a training example
+   * whose k nearest neighbors mostly DISAGREE with its own label is a
+   * likely annotation error — the single highest-yield label-quality
+   * triage on classification corpora. Returns
+   * (id, label, agree, suspect): agree = same-label neighbors among
+   * the k nearest (self excluded), suspect = strict-minority agreement.
+   *
+   * Scale shape: rides the exact two-pass triangle-inequality
+   * [[Ivf.knnJoin]] — only centroids + radii broadcast, every
+   * candidate join is an equi-join on the posting list, so the
+   * all-points-as-queries audit never goes \|N\|² (the oracle
+   * brute-forces and must agree exactly).
+   */
+  def labelNoiseKnn(model: Ivf.IvfModel, df: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    val q = df.select(col(idCol).as("qid"), col(vecCol),
+      col(labelCol).cast("long").as("y"))
+    val j = Ivf.knnJoin(model, q, vecCol, "qid", k = k + 1,
+      tieBreak = Seq(idCol))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("distance"), col(s"t_$idCol"))
+    j.filter(col(s"t_$idCol") =!= col("qid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid").as("id"), col("y").as("label"))
+      .agg(sum((col(s"t_$labelCol").cast("long") === col("y")).cast("long"))
+        .as("agree"))
+      .withColumn("suspect", col("agree") * 2 < k)
+  }
+
+  /**
    * Cook's distance + leverage for simple OLS of `yCol` on `xCol`
    * (integer-valued fixture columns keep every moment exact; the few
    * closing divisions are correctly-rounded chains, emitted float4).

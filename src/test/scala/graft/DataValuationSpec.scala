@@ -60,6 +60,44 @@ class DataValuationSpec extends SparkSpecBase {
       s"radius curve not monotone: ${radii.toSeq}")
   }
 
+  test("label-noise audit flags a planted mislabel and clears clean points") {
+    // two tight clusters at x=0 and x=100; id 5 sits in cluster A with
+    // cluster B's label
+    val pts = (0 until 24).map { i =>
+      val inA = i < 12
+      val x = (if (inA) 0f else 100f) + i * 0.01f
+      val label = if (i == 5) 1 else if (inA) 0 else 1
+      (i.toLong, Array(x, 0f, 0f, 0f), label)
+    }.toDF("vec_id", "embedding", "label")
+    val model = graft.operators.Ivf.build(pts, "embedding", nlists = 2, seed = 1L)
+    val out = DataValuation.labelNoiseKnn(model, pts, "vec_id", "embedding",
+      "label", k = 5).collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(5L) == ((0L, true)), s"planted mislabel: ${out(5L)}")
+    assert(out(20L) == ((5L, false)))
+    // clean A-cluster points lose exactly one agreeing neighbor (id 5)
+    assert(out(4L)._1 == 4L && !out(4L)._2)
+  }
+
+  test("cartography: clean examples are confident, a mislabel is low-confidence") {
+    val docs = (0 until 30).map { i =>
+      val pos = i < 15
+      val text = if (pos) "alpha beta gamma" else "delta epsilon zeta"
+      // id 7 carries positive text with a negative label
+      (i.toLong, text, if (i == 7) 0 else if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val out = graft.ml.QualityClf.cartography(docs, "doc_id", "text",
+      col("y") === 1, d = 16, epochs = 6, lr = 4.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val clean = out(0L).getFloat(2)
+    val noisy = out(7L).getFloat(2)
+    assert(clean > noisy, s"clean $clean vs mislabeled $noisy")
+    // the mislabel never reaches majority-correct across snapshots
+    assert(out(7L).getLong(4) < 6L)
+    // variability is a population std: bounded by 0.5 for probabilities
+    assert(out.values.forall(r => r.getFloat(3) >= 0f && r.getFloat(3) <= 0.5f))
+  }
+
   test("cook's distance flags the injected outlier with the top score") {
     // y = 2x + 1 exactly, except one gross outlier at x=5
     val df = (0 until 40)

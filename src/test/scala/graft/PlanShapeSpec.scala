@@ -524,6 +524,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"train side must not shuffle to meet the probes: $plan")
   }
 
+  test("label-noise audit joins candidates on the posting list, never all-pairs") {
+    val plan = planOf(SparkEntry.queries("label_noise_knn")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audit must stay an equi-join on cluster_id: $plan")
+  }
+
   test("cook's distance broadcasts the one-row moment aggregate over a stateless scan") {
     val plan = planOf(SparkEntry.queries("cooks_distance")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"),
