@@ -838,6 +838,32 @@ object ScaleBench {
       val (n6, t6) = time(operators.TemporalJoins.asofBackward(views, clicks,
         Seq("user_id"), "lts", "rts", Seq("click_id")).count())
       add("asof_join", n6, t6)
+
+      // Data valuation at scale — the two curation-layer curves:
+      // KNN-Shapley keeps a FIXED 3-probe set against the growing train
+      // side (one broadcast + one rank window per probe, so the cost is
+      // the per-probe sort of |train|); the label-noise audit keeps a
+      // FIXED 500-example slice against the growing corpus through the
+      // exact two-pass knnJoin (cost rides pass-2 pruning, never
+      // |slice|·|N|). The audit's index build stays OUTSIDE the timer —
+      // the offline-build convention ivf_build already prices.
+      val labeled = emb.withColumn("label",
+        pmod(col("vec_id"), lit(10)).cast("int"))
+      val (nShp, tShp) = time(operators.DataValuation.knnShapley(
+        labeled.filter(col("vec_id") >= 3), labeled.filter(col("vec_id") < 3),
+        "vec_id", "embedding", "label", k = 10).count())
+      add("knn_shapley", nShp, tShp)
+      val auditModel = {
+        val m = operators.Ivf.build(labeled, "embedding", nlists = 100)
+        m.assigned.cache().count()
+        m
+      }
+      val (nLn, tLn) = time(operators.DataValuation.labelNoiseKnn(
+        auditModel, labeled.filter(col("vec_id") < 500), "vec_id",
+        "embedding", "label", k = 10).count())
+      add("label_noise_audit", nLn, tLn)
+      auditModel.assigned.unpersist()
+
       model.assigned.unpersist(); docs.unpersist(); emb.unpersist(); ev.unpersist()
       out.result()
     }

@@ -13519,7 +13519,10 @@ object SparkEntry {
          |  i -> ($l.iv[i] - $r.iv[i]) * ($l.iv[i] - $r.iv[i]))),
          |  (a, b) -> a + b)""".stripMargin
     val steps = (2 to 8).map { i =>
+      val prev = (1 until i).map(j => s"SELECT id FROM c$j")
+        .mkString(" UNION ALL ")
       s"""c$i AS MATERIALIZED (SELECT id, iv, md FROM d${i - 1}
+         |  WHERE id NOT IN ($prev)
          |  ORDER BY md DESC, id LIMIT 1),
          |d$i AS MATERIALIZED (SELECT d.id, d.iv,
          |  least(d.md, ${sq("d", "c")}) AS md FROM d${i - 1} d, c$i c)"""

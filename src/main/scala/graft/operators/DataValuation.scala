@@ -115,17 +115,26 @@ object DataValuation {
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("iv"))
-    val seed = base.orderBy(col("id")).limit(1)
-      .select(col("id"), col("iv")).head()
+    val seedRow = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("iv")).take(1)
+    if (seedRow.isEmpty) // empty input: empty selection, not a crash
+      return Seq.empty[(Long, Long, Long)].toDF("step", "id", "radius_sq")
+    val seed = seedRow.head
     var centers = Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, -1L))
-    for (_ <- 1 until k) {
+    // selection loop stops early when the table has fewer than k rows
+    // (argmax over already-chosen points would only re-pick a center)
+    var exhausted = false
+    for (_ <- 1 until k if !exhausted) {
+      val chosen = centers.map(_._1)
       val minDist = centers.map { case (_, cv, _) => sqDist(col("iv"), lit(cv)) }
         .reduce(least(_, _))
-      val next = base.withColumn("md", minDist)
+      val next = base.filter(!col("id").isin(chosen: _*))
+        .withColumn("md", minDist)
         .orderBy(col("md").desc, col("id")).limit(1)
-        .select(col("id"), col("iv"), col("md")).head()
-      centers :+= ((next.getLong(0), next.getSeq[Long](1).toArray,
-        next.getLong(2)))
+        .select(col("id"), col("iv"), col("md")).take(1)
+      if (next.isEmpty) exhausted = true
+      else centers :+= ((next.head.getLong(0), next.head.getSeq[Long](1).toArray,
+        next.head.getLong(2)))
     }
     centers.zipWithIndex
       .map { case ((id, _, r), i) => (i + 1L, id, r) }
