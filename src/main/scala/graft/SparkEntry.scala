@@ -13545,6 +13545,58 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** Facility-location greedy selection, FULL oracle — 5 rounds of
+    * the submodular total-distance objective over a 1-in-8 candidate
+    * pool (`operators/DataValuation.facilitySelect`): exact integer
+    * distances and totals, the oracle replays the selection path with
+    * the same cached |points|x|pool| table. */
+  private def facilitySelectQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    operators.DataValuation.facilitySelect(e,
+      e.filter(col("vec_id") % 8 === 0), "vec_id", "embedding", k = 5)
+  }
+
+  private val facilitySelectSql: String = {
+    val sq =
+      """list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 65),
+        |    i -> (e.iv[i] - c.iv[i]) * (e.iv[i] - c.iv[i]))),
+        |    (a, b) -> a + b)""".stripMargin
+    val steps = (2 to 5).map { i =>
+      val p = i - 1
+      val prev = (1 until i).map(j => s"SELECT cid FROM c$j")
+        .mkString(" UNION ALL ")
+      s""",
+         |s$i AS MATERIALIZED (
+         |  SELECT dm.cid, CAST(SUM(LEAST(cur$p.cur, dm.d)) AS BIGINT) AS tot
+         |  FROM dm JOIN cur$p ON dm.jid = cur$p.jid
+         |  WHERE dm.cid NOT IN ($prev) GROUP BY dm.cid),
+         |c$i AS MATERIALIZED (SELECT cid, tot FROM s$i
+         |  ORDER BY tot, cid LIMIT 1),
+         |cur$i AS MATERIALIZED (
+         |  SELECT cur$p.jid, LEAST(cur$p.cur, dm.d) AS cur
+         |  FROM cur$p JOIN dm ON dm.jid = cur$p.jid
+         |  JOIN c$i ON dm.cid = c$i.cid)""".stripMargin
+    }.mkString
+    val out = (2 to 5).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, cid AS id, tot AS total_sq FROM c$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |cand AS MATERIALIZED (SELECT id, iv FROM e WHERE id % 8 = 0),
+       |dm AS MATERIALIZED (SELECT e.id AS jid, c.id AS cid, $sq AS d
+       |  FROM e, cand c),
+       |s1 AS MATERIALIZED (SELECT cid, CAST(SUM(d) AS BIGINT) AS tot
+       |  FROM dm GROUP BY cid),
+       |c1 AS MATERIALIZED (SELECT cid, tot FROM s1 ORDER BY tot, cid LIMIT 1),
+       |cur1 AS MATERIALIZED (SELECT dm.jid, dm.d AS cur FROM dm
+       |  JOIN c1 ON dm.cid = c1.cid)$steps
+       |SELECT CAST(1 AS BIGINT) AS step, cid AS id, tot AS total_sq FROM c1
+       |UNION ALL
+       |$out""".stripMargin
+  }
+
   /** k-NN label-noise audit, FULL oracle — per-example agreement with
     * its 10 nearest neighbors' labels
     * (`operators/DataValuation.labelNoiseKnn`): the production plan is
@@ -13855,6 +13907,7 @@ object SparkEntry {
     "cooks_distance" -> (cooksDistanceQ(_, _)),
     "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
+    "facility_select" -> (facilitySelectQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14272,6 +14325,7 @@ object SparkEntry {
     "cooks_distance" -> cooksDistanceSql,
     "label_noise_knn" -> labelNoiseKnnSql,
     "data_map" -> dataMapSql,
+    "facility_select" -> facilitySelectSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -142,6 +142,63 @@ object DataValuation {
   }
 
   /**
+   * Greedy facility-location selection (the k-medoid/CRAIG-family
+   * submodular objective): pick k candidates minimizing the TOTAL
+   * distance of every point to its nearest selected center —
+   * representativeness, where [[kcenterCoreset]] maximizes diversity.
+   * Greedy is the classic (1 - 1/e) submodular approximation.
+   *
+   * Round 1 picks the 1-medoid (argmin of the distance-sum); each
+   * later round picks the candidate whose addition shrinks the total
+   * the most (ties -> smallest id). All distances are exact quantized
+   * integers, so every selection and every reported total is
+   * engine-deterministic.
+   *
+   * Scale shape: the candidate pool broadcasts once and the
+   * |points| × |pool| distance table is computed ONE time and cached;
+   * each round is a join with the |points|-sized coverage column and
+   * one pool-sized aggregate — no recomputation of distances, no
+   * all-pairs over the corpus (pool is sampled, never the corpus).
+   * Returns (step, id, total_sq) — total_sq is the objective AFTER
+   * adding that center, the monotone curve a curator reads to pick k.
+   */
+  def facilitySelect(points: DataFrame, candidates: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col(idCol).cast("long").as("jid"),
+      quantize(col(vecCol)).as("jv"))
+    val cand = candidates.select(col(idCol).cast("long").as("cid"),
+      quantize(col(vecCol)).as("cv"))
+    val dm = pts.crossJoin(broadcast(cand))
+      .select(col("jid"), col("cid"), sqDist(col("jv"), col("cv")).as("d"))
+      .persist()
+    try {
+      val first = dm.groupBy(col("cid")).agg(sum(col("d")).as("tot"))
+        .orderBy(col("tot"), col("cid")).limit(1).take(1)
+      if (first.isEmpty)
+        return Seq.empty[(Long, Long, Long)].toDF("step", "id", "total_sq")
+      var selected = Vector((first.head.getLong(0), first.head.getLong(1)))
+      for (_ <- 1 until k) {
+        val chosen = selected.map(_._1)
+        // coverage under the current set, from the cached table
+        val cur = dm.filter(col("cid").isin(chosen: _*))
+          .groupBy(col("jid")).agg(min(col("d")).as("cur"))
+        val next = dm.filter(!col("cid").isin(chosen: _*))
+          .join(cur, "jid")
+          .groupBy(col("cid")).agg(sum(least(col("cur"), col("d"))).as("tot"))
+          .orderBy(col("tot"), col("cid")).limit(1).take(1)
+        if (next.nonEmpty)
+          selected :+= ((next.head.getLong(0), next.head.getLong(1)))
+      }
+      selected.zipWithIndex
+        .map { case ((id, tot), i) => (i + 1L, id, tot) }
+        .toDF("step", "id", "total_sq")
+    } finally dm.unpersist()
+  }
+
+  /**
    * k-NN label-noise audit (the confident-learning signal, Northcutt
    * et al. 2021, in its nearest-neighbor form): a training example
    * whose k nearest neighbors mostly DISAGREE with its own label is a

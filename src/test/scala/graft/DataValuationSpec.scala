@@ -36,6 +36,34 @@ class DataValuationSpec extends SparkSpecBase {
       .forall(r => math.abs(r.getFloat(4)) < 1e-6))
   }
 
+  test("knn-shapley efficiency axiom holds on irregular random fixtures") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 17 + trial * 5
+      val k = 4
+      val pts = (0 until n).map(i => (i.toLong,
+        Array.fill(3)(rnd.nextInt(200).toFloat / 10f), rnd.nextInt(3)))
+      val qv = Array.fill(3)(rnd.nextInt(200).toFloat / 10f)
+      val qy = rnd.nextInt(3)
+      val rows = DataValuation.knnShapley(
+        pts.toDF("vec_id", "embedding", "label"),
+        Seq((999L, qv, qy)).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k).collect()
+      val total = rows.map(_.getFloat(4).toDouble).sum
+      // direct full-set utility with the operator's own quantization
+      def quant(v: Array[Float]) = v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+      val qq = quant(qv)
+      val util = pts
+        .map { case (id, v, y) =>
+          val d = quant(v).zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, id, y)
+        }
+        .sortBy { case (d, id, _) => (d, id) }
+        .take(k).count(_._3 == qy).toDouble / k
+      assert(math.abs(total - util) < 1e-5, s"trial $trial: $total vs $util")
+    }
+  }
+
   test("knn-shapley: an opposite-label nearest neighbor is valued negatively") {
     val probe = Seq((100L, Array(9.6f, 0f, 0f, 0f), 1))
       .toDF("vec_id", "embedding", "label")
@@ -58,6 +86,24 @@ class DataValuationSpec extends SparkSpecBase {
     val radii = rows.tail.map(_.getLong(2))
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
       s"radius curve not monotone: ${radii.toSeq}")
+  }
+
+  test("facility selection covers both clusters and its objective never rises") {
+    // two tight clusters; candidate pool = even ids only
+    val pts = (0 until 20).map { i =>
+      val x = (if (i < 10) 0f else 100f) + (i % 10) * 0.1f
+      (i.toLong, Array(x, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val out = DataValuation.facilitySelect(pts,
+      pts.filter($"vec_id" % 2 === 0), "vec_id", "embedding", 3)
+      .orderBy("step").collect()
+    assert(out.length == 3 && out.map(_.getLong(1)).distinct.length == 3)
+    val tots = out.map(_.getLong(2))
+    assert(tots.zip(tots.tail).forall { case (a, b) => b <= a },
+      s"objective rose: ${tots.toSeq}")
+    // after two rounds each cluster owns a center
+    val first2 = out.take(2).map(_.getLong(1))
+    assert(first2.exists(_ < 10) && first2.exists(_ >= 10), first2.toSeq)
   }
 
   test("label-noise audit flags a planted mislabel and clears clean points") {
