@@ -753,6 +753,69 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(score AS BIGINT) AS ppr_scaled FROM s3""".stripMargin
   }
 
+  /** Bounded sampled-Brandes betweenness over the kNN graph, FULL
+    * oracle — 4 pivot sources, depth-6 BFS with exact integer path
+    * counts, then the dependency recursion
+    * (`GraphAnalytics.betweennessBounded`); `paths` is the exact
+    * BIGINT sigma total, `betweenness` float4 (unordered dependency
+    * sums). Paths beyond 6 hops are ignored on BOTH sides — the
+    * sssp_bounded replayability convention. */
+  private def betweennessKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.betweennessBounded(edges,
+      sources = Seq(0L, 25L, 50L, 75L), maxDepth = 6)
+      .select(col("id").as("vec_id"), col("paths"), col("betweenness"))
+  }
+
+  private val betweennessKnnSql: String = {
+    val depth = 6
+    val fwd = (1 to depth).map { l =>
+      val p = l - 1
+      s""",
+         |f$l AS MATERIALIZED (
+         |  SELECT f$p.src, adj.b AS node, CAST(SUM(f$p.sigma) AS BIGINT)
+         |    AS sigma
+         |  FROM f$p JOIN adj ON adj.a = f$p.node
+         |  LEFT JOIN v$p ON v$p.src = f$p.src AND v$p.node = adj.b
+         |  WHERE v$p.node IS NULL GROUP BY 1, 2),
+         |v$l AS MATERIALIZED (SELECT * FROM v$p
+         |  UNION ALL SELECT src, node FROM f$l)""".stripMargin
+    }.mkString
+    val bwd = (0 until depth).reverse.map { l =>
+      s""",
+         |d$l AS MATERIALIZED (
+         |  SELECT f.src, f.node, f.sigma,
+         |    COALESCE(SUM((CAST(f.sigma AS DOUBLE) / CAST(x.sigma AS DOUBLE))
+         |      * (1.0 + x.delta)), 0.0) AS delta
+         |  FROM f$l f LEFT JOIN adj a ON a.a = f.node
+         |  LEFT JOIN d${l + 1} x ON x.node = a.b AND x.src = f.src
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString
+    val accUnion = (1 to depth).map(l =>
+      s"SELECT src, node, sigma, delta FROM d$l").mkString("\nUNION ALL\n")
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS MATERIALIZED (SELECT a, b FROM und
+       |  UNION ALL SELECT b AS a, a AS b FROM und),
+       |n AS (SELECT DISTINCT a AS id FROM adj),
+       |srcs AS (SELECT CAST(src AS BIGINT) AS src
+       |  FROM (VALUES (0), (25), (50), (75)) s(src)),
+       |f0 AS MATERIALIZED (SELECT srcs.src, srcs.src AS node,
+       |  CAST(1 AS BIGINT) AS sigma FROM srcs JOIN n ON n.id = srcs.src),
+       |v0 AS MATERIALIZED (SELECT src, node FROM f0)$fwd,
+       |d$depth AS MATERIALIZED (SELECT src, node, sigma, 0.0 AS delta
+       |  FROM f$depth)$bwd,
+       |acc AS MATERIALIZED (
+       |$accUnion),
+       |g AS (SELECT node, CAST(SUM(sigma) AS BIGINT) AS paths,
+       |        SUM(delta) AS bw
+       |      FROM acc GROUP BY node)
+       |SELECT n.id AS vec_id, CAST(COALESCE(g.paths, 0) AS BIGINT) AS paths,
+       |  CAST(COALESCE(g.bw, 0.0) AS REAL) AS betweenness
+       |FROM n LEFT JOIN g ON g.node = n.id""".stripMargin
+  }
+
   /** Per-node triangle counts over the kNN graph, FULL oracle — the
     * two-join enumeration (`GraphAnalytics.triangleCounts`; each
     * triangle found once as a<b<c, exploded to corners, reduced) against
@@ -13908,6 +13971,7 @@ object SparkEntry {
     "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
+    "betweenness_knn" -> (betweennessKnnQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14326,6 +14390,7 @@ object SparkEntry {
     "label_noise_knn" -> labelNoiseKnnSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
+    "betweenness_knn" -> betweennessKnnSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

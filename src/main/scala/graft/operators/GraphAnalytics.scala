@@ -362,4 +362,91 @@ object GraphAnalytics {
       .select(col("n_edges"), col("f.mean_deg").as("mean_deg"),
         col("f.r").as("r"))
   }
+
+  /**
+   * Bounded sampled-Brandes betweenness centrality (Brandes 2001;
+   * source-sampled per Brandes/Pich 2007) over the undirected graph:
+   * for each pivot source, a depth-bounded BFS counts shortest paths
+   * (sigma — exact integers), then the dependency recursion
+   * delta(v) = sum over successors w of (sigma_v/sigma_w)(1+delta_w)
+   * accumulates each node's share of the source's shortest paths.
+   * Betweenness = the per-node sum over pivots.
+   *
+   * The depth bound makes the operator replayable as unrolled SQL
+   * (the sssp_bounded/kcore_bounded convention): paths longer than
+   * `maxDepth` hops are ignored on BOTH engine and oracle. Returns
+   * every node with (paths — the exact total sigma over pivots,
+   * BIGINT — and betweenness float4; delta sums are unordered doubles,
+   * the REAL convention absorbs them).
+   *
+   * Scale shape: each forward level is one frontier-adjacency
+   * equi-join + anti-join against the visited set; each backward level
+   * one join on (pivot, node). Frontier state is (pivots x reached
+   * nodes) — the SpMV family, never all-pairs; at 100 TB pivots are a
+   * sample, exactly the published estimator.
+   */
+  def betweennessBounded(edges: DataFrame, sources: Seq[Long],
+                         maxDepth: Int): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1,
+      s"need pivots and positive depth: $sources, $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirected(edges)
+    val adj = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist() // loop-invariant adjacency, both directions
+    try {
+      val nodes = adj.select(col("a").as("id")).distinct()
+      val src = sources.toDF("src")
+      // forward: levels(l) = (src, node, sigma) at BFS depth l
+      var levels = Vector(
+        nodes.join(src, col("id") === col("src"), "inner")
+          .select(col("src"), col("id").as("node"), lit(1L).as("sigma"))
+          .localCheckpoint(true))
+      var visited = levels.head.select(col("src"), col("node"))
+        .localCheckpoint(true)
+      for (_ <- 1 to maxDepth) {
+        val seen = visited.select(col("src").as("__vs"), col("node").as("__v"))
+        val next = levels.last
+          .join(adj, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"), col("sigma"))
+          .join(seen,
+            col("node") === col("__v") && col("src") === col("__vs"),
+            "left_anti")
+          .groupBy(col("src"), col("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint(true)
+        levels :+= next
+        visited = visited.union(next.select(col("src"), col("node")))
+          .localCheckpoint(true)
+      }
+      // backward: delta at the deepest level is 0; each shallower level
+      // pulls (sigma_v/sigma_w)(1+delta_w) from its successors
+      var withDelta = levels.last.withColumn("delta", lit(0.0))
+      var acc = withDelta.select(col("src"), col("node"), col("sigma"),
+        col("delta"))
+      for (l <- (0 until maxDepth).reverse) {
+        val nxt = withDelta.select(col("src").as("nsrc"),
+          col("node").as("nnode"), col("sigma").as("nsigma"),
+          col("delta").as("ndelta"))
+        val cur = levels(l)
+        withDelta = cur
+          .join(adj, col("node") === col("a"), "left")
+          .join(nxt, col("b") === col("nnode") && col("src") === col("nsrc"),
+            "left")
+          .groupBy(col("src"), col("node"), col("sigma"))
+          .agg(coalesce(sum(
+            (col("sigma").cast("double") / col("nsigma").cast("double")) *
+              (lit(1.0) + col("ndelta"))), lit(0.0)).as("delta"))
+          .localCheckpoint(true)
+        if (l > 0) acc = acc.unionByName(withDelta)
+      }
+      nodes
+        .join(acc.groupBy(col("node")).agg(
+          sum(col("sigma")).as("paths"), sum(col("delta")).as("bw")),
+          col("id") === col("node"), "left")
+        .select(col("id"), coalesce(col("paths"), lit(0L)).as("paths"),
+          coalesce(col("bw"), lit(0.0)).cast("float").as("betweenness"))
+    } finally adj.unpersist()
+  }
 }

@@ -186,4 +186,32 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Float]("r") == 0f)
     assert(r.getAs[Float]("mean_deg") == 2f)
   }
+
+  test("betweenness: hand-computed dependencies on a path graph, two pivots") {
+    // 0-1-2-3-4; Brandes from 0: delta = 3,2,1,0; from 3: delta(2)=2,
+    // delta(1)=1. Sources never accumulate their own delta.
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.betweennessBounded(path, Seq(0L, 3L), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    assert(out(1L) == ((2L, 4f)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 4f)), s"node 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 1f)) && out(0L)._2 == 0f && out(4L)._2 == 0f)
+  }
+
+  test("betweenness: equal path splitting on a diamond") {
+    // 0-1-3 and 0-2-3: two shortest paths, each middle carries 1/2
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphAnalytics.betweennessBounded(diamond, Seq(0L), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    assert(out(1L) == 0.5f && out(2L) == 0.5f && out(3L) == 0f && out(0L) == 0f)
+  }
+
+  test("betweenness: the depth bound truncates longer paths on both sides") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.betweennessBounded(path, Seq(0L), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    // nodes 3,4 beyond depth 2 from pivot 0: unreached, zero everywhere
+    assert(out(3L) == ((0L, 0f)) && out(4L) == ((0L, 0f)))
+    assert(out(1L) == ((1L, 1f)) && out(2L) == ((1L, 0f)))
+  }
 }
