@@ -531,6 +531,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"audit must stay an equi-join on cluster_id: $plan")
   }
 
+  test("betweenness rides equi-joins only — frontier never meets the graph all-pairs") {
+    val plan = planOf(SparkEntry.queries("betweenness_knn")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"betweenness must stay SpMV-shaped: $plan")
+  }
+
   test("cook's distance broadcasts the one-row moment aggregate over a stateless scan") {
     val plan = planOf(SparkEntry.queries("cooks_distance")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"),
