@@ -753,6 +753,85 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(score AS BIGINT) AS ppr_scaled FROM s3""".stripMargin
   }
 
+  /** Katz centrality over the kNN graph, FULL oracle — 3 iterations of
+    * the un-normalized hub-amplifying recursion on the 10^6 integer
+    * grid (`GraphAnalytics.katzInt`); exact floor arithmetic, same
+    * replay convention as pagerank. */
+  private def katzKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.katzInt(edges, iterations = 3)
+      .select(col("id").as("vec_id"), col("score").as("katz_scaled"))
+  }
+
+  private val katzKnnSql = {
+    val iters = (1 to 3).map { t =>
+      s"""c$t AS (SELECT e.dst AS id, sum(s${t - 1}.score) AS contrib
+         |       FROM e JOIN s${t - 1} ON s${t - 1}.id = e.src GROUP BY 1),
+         |s$t AS (SELECT n.id,
+         |          100000 + (100000 * coalesce(c$t.contrib, 0)) // 1000000
+         |            AS score
+         |        FROM n LEFT JOIN c$t ON c$t.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) AS rank
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |n AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |s0 AS (SELECT id, CAST(100000 AS BIGINT) AS score FROM n),
+       |$iters
+       |SELECT id AS vec_id, CAST(score AS BIGINT) AS katz_scaled FROM s3""".stripMargin
+  }
+
+  /** Pivot-sampled harmonic centrality, FULL oracle — sum of 1/d(s,v)
+    * over 4 pivots, depth-6 exact BFS distances
+    * (`GraphAnalytics.harmonicBounded`); `reached` exact BIGINT,
+    * `harmonic` float4. */
+  private def harmonicKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.harmonicBounded(edges,
+      sources = Seq(0L, 25L, 50L, 75L), maxDepth = 6)
+      .select(col("id").as("vec_id"), col("reached"), col("harmonic"))
+  }
+
+  private val harmonicKnnSql: String = {
+    val depth = 6
+    val fwd = (1 to depth).map { l =>
+      val p = l - 1
+      s""",
+         |h$l AS MATERIALIZED (
+         |  SELECT DISTINCT f.src, adj.b AS node, CAST($l AS BIGINT) AS lvl
+         |  FROM h$p f JOIN adj ON adj.a = f.node
+         |  LEFT JOIN hv$p v ON v.src = f.src AND v.node = adj.b
+         |  WHERE v.node IS NULL),
+         |hv$l AS MATERIALIZED (SELECT * FROM hv$p
+         |  UNION ALL SELECT src, node, lvl FROM h$l)""".stripMargin
+    }.mkString
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS MATERIALIZED (SELECT a, b FROM und
+       |  UNION ALL SELECT b AS a, a AS b FROM und),
+       |n AS (SELECT DISTINCT a AS id FROM adj),
+       |srcs AS (SELECT CAST(src AS BIGINT) AS src
+       |  FROM (VALUES (0), (25), (50), (75)) s(src)),
+       |h0 AS MATERIALIZED (SELECT srcs.src, srcs.src AS node,
+       |  CAST(0 AS BIGINT) AS lvl FROM srcs JOIN n ON n.id = srcs.src),
+       |hv0 AS MATERIALIZED (SELECT src, node, lvl FROM h0)$fwd,
+       |g AS (SELECT node, CAST(count(*) AS BIGINT) AS reached,
+       |        SUM(1.0 / lvl) AS h
+       |      FROM hv$depth WHERE lvl > 0 GROUP BY node)
+       |SELECT n.id AS vec_id, CAST(COALESCE(g.reached, 0) AS BIGINT)
+       |    AS reached,
+       |  CAST(COALESCE(g.h, 0.0) AS REAL) AS harmonic
+       |FROM n LEFT JOIN g ON g.node = n.id""".stripMargin
+  }
+
   /** Bounded sampled-Brandes betweenness over the kNN graph, FULL
     * oracle — 4 pivot sources, depth-6 BFS with exact integer path
     * counts, then the dependency recursion
@@ -13972,6 +14051,8 @@ object SparkEntry {
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
+    "katz_knn" -> (katzKnnQ(_, _)),
+    "harmonic_knn" -> (harmonicKnnQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14391,6 +14472,8 @@ object SparkEntry {
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,
+    "katz_knn" -> katzKnnSql,
+    "harmonic_knn" -> harmonicKnnSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -364,6 +364,86 @@ object GraphAnalytics {
   }
 
   /**
+   * Katz centrality, integer fixed-point (Katz 1953): unlike PageRank
+   * there is NO degree normalization — a node's score feeds each
+   * out-neighbor whole, so high-degree hubs amplify rather than
+   * dilute. s_{t+1}(v) = base + (alpha * sum of in-neighbor scores)
+   * with the same scaled-integer floor arithmetic as [[pagerankInt]]
+   * (alpha = 0.1 scaled, base = 10^5 on the 10^6 grid), so a fixed
+   * iteration count replays exactly in SQL. Scale shape: the SpMV
+   * family — one edge-key join + one aggregate per iteration.
+   */
+  def katzInt(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      var s = nodes.withColumn("score", lit(100000L)).localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val contrib = e.join(s.select(col("id").as("src"), col("score")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("score")).as("c"))
+        s = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(100000L) + expr("(100000 * coalesce(c, 0)) div 1000000"))
+              .as("score"))
+          .localCheckpoint(true)
+      }
+      s
+    } finally e.unpersist()
+  }
+
+  /**
+   * Pivot-sampled harmonic centrality, depth-bounded: h(v) = sum over
+   * pivot sources s of 1/d(s, v) over the reached pivots (the
+   * Marchiori-Latora form — well-defined on disconnected graphs where
+   * classic closeness is not). BFS distances are exact integers from
+   * the same bounded frontier walk as [[betweennessBounded]]; the
+   * 1/d terms emit float4 (a sum over |pivots| values). Returns
+   * (id, reached, harmonic).
+   */
+  def harmonicBounded(edges: DataFrame, sources: Seq[Long],
+                      maxDepth: Int): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1,
+      s"need pivots and positive depth: $sources, $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirected(edges)
+    val adj = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    try {
+      val nodes = adj.select(col("a").as("id")).distinct()
+      val src = sources.toDF("src")
+      var frontier = nodes.join(src, col("id") === col("src"), "inner")
+        .select(col("src"), col("id").as("node"), lit(0L).as("lvl"))
+        .localCheckpoint(true)
+      var visited = frontier.localCheckpoint(true)
+      for (l <- 1 to maxDepth) {
+        val seen = visited.select(col("src").as("__vs"), col("node").as("__v"))
+        frontier = frontier
+          .join(adj, col("node") === col("a"))
+          .select(col("src"), col("b").as("node"))
+          .distinct()
+          .join(seen,
+            col("node") === col("__v") && col("src") === col("__vs"),
+            "left_anti")
+          .select(col("src"), col("node"), lit(l.toLong).as("lvl"))
+          .localCheckpoint(true)
+        visited = visited.union(frontier).localCheckpoint(true)
+      }
+      nodes
+        .join(visited.filter(col("lvl") > 0)
+          .groupBy(col("node")).agg(count(lit(1)).as("reached"),
+            sum(lit(1.0) / col("lvl").cast("double")).as("h")),
+          col("id") === col("node"), "left")
+        .select(col("id"), coalesce(col("reached"), lit(0L)).as("reached"),
+          coalesce(col("h"), lit(0.0)).cast("float").as("harmonic"))
+    } finally adj.unpersist()
+  }
+
+  /**
    * Bounded sampled-Brandes betweenness centrality (Brandes 2001;
    * source-sampled per Brandes/Pich 2007) over the undirected graph:
    * for each pivot source, a depth-bounded BFS counts shortest paths

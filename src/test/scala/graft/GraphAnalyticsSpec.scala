@@ -187,6 +187,24 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Float]("mean_deg") == 2f)
   }
 
+  test("katz: hand-computed one-iteration star scores, no degree dilution") {
+    // 1 receives from 2 and 3 (whole scores, unlike pagerank's deg split)
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = GraphAnalytics.katzInt(edges, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == 120000L, s"node 1: ${out(1L)}")
+    assert(out(2L) == 110000L && out(3L) == 100000L, out.toString)
+  }
+
+  test("harmonic: exact 1/d sums over two pivots on a path graph") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.harmonicBounded(path, Seq(0L, 4L), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2))).toMap
+    assert(out(2L) == ((2L, 1.0f)), s"center: ${out(2L)}") // 1/2 + 1/2
+    assert(out(0L) == ((1L, 0.25f)))                       // only pivot 4, d=4
+    assert(math.abs(out(1L)._2 - (1.0 + 1.0 / 3.0)) < 1e-6)
+  }
+
   test("betweenness: hand-computed dependencies on a path graph, two pivots") {
     // 0-1-2-3-4; Brandes from 0: delta = 3,2,1,0; from 3: delta(2)=2,
     // delta(1)=1. Sources never accumulate their own delta.
