@@ -832,6 +832,54 @@ object SparkEntry {
        |FROM n LEFT JOIN g ON g.node = n.id""".stripMargin
   }
 
+  /** Deterministic random-walk corpus over the kNN graph, FULL
+    * oracle — the DeepWalk sampling stage
+    * (`GraphAnalytics.randomWalks`): one 5-step uniform walk per node,
+    * step coins from the shared splitmix64 stream keyed
+    * (walk * 1000003 + step), neighbor choice = coin mod degree over
+    * dst-ranked adjacency — every hop replayed exactly through the
+    * Mix64Sql chain. */
+  private def deepwalkCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    operators.GraphAnalytics.randomWalks(edges, walkLength = 5)
+      .select(col("wid"), col("step"), col("node"))
+  }
+
+  private val deepwalkCorpusSql: String = {
+    val L = 5
+    val steps = (1 to L).map { t =>
+      val k = s"""k$t AS MATERIALIZED (SELECT wid, cur,
+         |  CAST(wid * 1000003 + $t AS BIGINT) AS key FROM w${t - 1})"""
+        .stripMargin
+      val mix = functions.Mix64Sql.ctes(s"m$t", s"k$t", Seq("wid", "cur"),
+        "key")
+      val w = s"""w$t AS MATERIALIZED (
+         |  SELECT m.wid, rk.nxt AS cur
+         |  FROM m${t}6 m JOIN dg ON dg.cur = m.cur
+         |  JOIN rk ON rk.cur = m.cur
+         |    AND rk.idx = CAST(m.z % dg.deg::HUGEINT AS BIGINT))"""
+        .stripMargin
+      Seq(k, mix, w).mkString(",\n")
+    }.mkString(",\n")
+    val out = (0 to L).map(t =>
+      s"SELECT wid, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS MATERIALIZED (SELECT a, b FROM und
+       |  UNION ALL SELECT b AS a, a AS b FROM und),
+       |rk AS MATERIALIZED (SELECT a AS cur, b AS nxt,
+       |  CAST(row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT)
+       |    AS idx
+       |  FROM adj),
+       |dg AS MATERIALIZED (SELECT cur, CAST(count(*) AS BIGINT) AS deg
+       |  FROM rk GROUP BY cur),
+       |w0 AS MATERIALIZED (SELECT DISTINCT cur AS wid, cur FROM rk),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** Bounded sampled-Brandes betweenness over the kNN graph, FULL
     * oracle — 4 pivot sources, depth-6 BFS with exact integer path
     * counts, then the dependency recursion
@@ -13739,6 +13787,60 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** RAKE keywords, FULL oracle — top-3 candidate phrases per document
+    * by the degree/frequency word-score sum (`operators/Rake.keywords`,
+    * Rose et al. 2010): stopword+punctuation phrase boundaries, exact
+    * integer deg/freq, float4 phrase scores, phrase-text tiebreak. */
+  private def rakeKeywordsQ(s: SparkSession, dir: String): DataFrame =
+    operators.Rake.keywords(Tables.read(s, dir, "documents"), "doc_id",
+      "text", k = 3)
+
+  private val rakeKeywordsSql = {
+    val stops = graft.functions.TextAnalysis.GopherStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS (SELECT doc_id AS id,
+       |    string_split_regex(coalesce(lower(text), ''), '[^a-z0-9 ]+')
+       |      AS segs
+       |  FROM documents),
+       |t1 AS (SELECT id,
+       |    CAST(unnest(range(1, len(segs) + 1)) - 1 AS BIGINT) AS si,
+       |    unnest(segs) AS seg
+       |  FROM t0),
+       |t1b AS (SELECT id, si,
+       |    list_filter(string_split_regex(seg, ' +'), w -> w <> '') AS ws
+       |  FROM t1),
+       |t2 AS (SELECT id, si,
+       |    CAST(unnest(range(1, len(ws) + 1)) - 1 AS BIGINT) AS wi,
+       |    unnest(ws) AS w
+       |  FROM t1b),
+       |t3 AS (SELECT id, si, wi, w, w IN ($stops) AS stop FROM t2),
+       |t4 AS (SELECT id, si, wi, w, stop,
+       |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY id
+       |      ORDER BY si, wi ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) AS grp
+       |  FROM t3),
+       |kept AS (SELECT id, si, grp, wi, w FROM t4 WHERE NOT stop),
+       |ph AS (SELECT id, si, grp, CAST(count(*) AS BIGINT) AS plen,
+       |    array_to_string(list(w ORDER BY wi), ' ') AS phrase
+       |  FROM kept GROUP BY id, si, grp),
+       |ws2 AS (SELECT k.id, k.w, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(SUM(p.plen) AS BIGINT) AS deg
+       |  FROM kept k JOIN ph p ON p.id = k.id AND p.si = k.si
+       |    AND p.grp = k.grp
+       |  GROUP BY k.id, k.w),
+       |sc AS (SELECT k.id, k.si, k.grp,
+       |    CAST(SUM(CAST(s.deg AS DOUBLE) / s.freq) AS REAL) AS score
+       |  FROM kept k JOIN ws2 s ON s.id = k.id AND s.w = k.w
+       |  GROUP BY k.id, k.si, k.grp),
+       |r AS (SELECT sc.id, ph.phrase, sc.score,
+       |    row_number() OVER (PARTITION BY sc.id
+       |      ORDER BY sc.score DESC, ph.phrase) AS rnk
+       |  FROM sc JOIN ph ON ph.id = sc.id AND ph.si = sc.si
+       |    AND ph.grp = sc.grp)
+       |SELECT id AS doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
   /** k-NN label-noise audit, FULL oracle — per-example agreement with
     * its 10 nearest neighbors' labels
     * (`operators/DataValuation.labelNoiseKnn`): the production plan is
@@ -14053,6 +14155,8 @@ object SparkEntry {
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
     "katz_knn" -> (katzKnnQ(_, _)),
     "harmonic_knn" -> (harmonicKnnQ(_, _)),
+    "deepwalk_corpus" -> (deepwalkCorpusQ(_, _)),
+    "rake_keywords" -> (rakeKeywordsQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14474,6 +14578,8 @@ object SparkEntry {
     "betweenness_knn" -> betweennessKnnSql,
     "katz_knn" -> katzKnnSql,
     "harmonic_knn" -> harmonicKnnSql,
+    "deepwalk_corpus" -> deepwalkCorpusSql,
+    "rake_keywords" -> rakeKeywordsSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,

@@ -364,6 +364,54 @@ object GraphAnalytics {
   }
 
   /**
+   * Deterministic uniform random-walk corpus (the DeepWalk/node2vec
+   * p=q=1 sampling stage, Perozzi et al. 2014): one `walkLength`-step
+   * walk per node, the step-t coin for walk w drawn from
+   * splitmix64(w * 1000003 + t) — reproducible, partition-order
+   * independent, and replayable in SQL through the shared
+   * [[graft.functions.Mix64Sql]] chain. Neighbors are indexed by
+   * (source, dst-rank), so `coin mod degree` picks the same edge in
+   * both engines. Returns (wid, step, node) — the token stream a
+   * skip-gram embedder consumes.
+   *
+   * Scale shape: each step is one equi-join of the walk frontier with
+   * the ranked adjacency (SpMV family); state is |nodes| rows; the
+   * coin is stateless arithmetic, so walks need no RNG state shuffle.
+   */
+  def randomWalks(edges: DataFrame, walkLength: Int): DataFrame = {
+    require(walkLength >= 1, s"walkLength $walkLength")
+    val und = undirected(edges)
+    val adj = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+    val ranked = adj.withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("b"))).cast("long") - 1L)
+      .select(col("a").as("cur"), col("idx"), col("b").as("nxt"))
+      .persist()
+    try {
+      val deg = ranked.groupBy(col("cur")).agg(count(lit(1)).as("deg"))
+      val nodes = ranked.select(col("cur").as("id")).distinct()
+      var state = nodes.select(col("id").as("wid"), col("id").as("cur"))
+        .localCheckpoint(true)
+      var out = state.select(col("wid"), lit(0L).as("step"),
+        col("cur").as("node"))
+      for (t <- 1 to walkLength) {
+        val coin = udf((wid: Long, d: Long) => java.lang.Long
+          .remainderUnsigned(graft.functions.DetRandom.mix64(
+            wid * 1000003L + t), d))
+        state = state.join(deg, "cur")
+          .withColumn("idx", coin(col("wid"), col("deg")))
+          .join(ranked, Seq("cur", "idx"))
+          .select(col("wid"), col("nxt").as("cur"))
+          .localCheckpoint(true)
+        out = out.unionByName(state.select(col("wid"),
+          lit(t.toLong).as("step"), col("cur").as("node")))
+      }
+      out
+    } finally ranked.unpersist()
+  }
+
+  /**
    * Katz centrality, integer fixed-point (Katz 1953): unlike PageRank
    * there is NO degree normalization — a node's score feeds each
    * out-neighbor whole, so high-degree hubs amplify rather than

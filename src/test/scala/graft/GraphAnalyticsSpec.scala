@@ -187,6 +187,22 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(r.getAs[Float]("mean_deg") == 2f)
   }
 
+  test("random walks: every hop rides a real edge, deterministic across runs") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val adj = Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    def run() = GraphAnalytics.randomWalks(edges, walkLength = 4)
+      .orderBy("wid", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = run()
+    assert(w.length == 4 * 5) // 4 nodes x (walkLength + 1) positions
+    for (Array((wid, s1, n1), (_, s2, n2)) <- w.grouped(5).flatMap(_.sliding(2))
+         if s2 == s1 + 1)
+      assert(adj.contains((n1, n2)), s"walk $wid hop $n1->$n2 not an edge")
+    assert(w.sameElements(run()), "walks not deterministic")
+  }
+
   test("katz: hand-computed one-iteration star scores, no degree dilution") {
     // 1 receives from 2 and 3 (whole scores, unlike pagerank's deg split)
     val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
