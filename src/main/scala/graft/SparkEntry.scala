@@ -13841,6 +13841,62 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** TextRank keywords, FULL oracle — per-document integer PageRank
+    * over the word co-occurrence graph (`operators/TextRank.keywords`,
+    * Mihalcea & Tarau 2004): window-2 edges with multiplicity weights,
+    * 3 iterations on the 10^6 grid with floor-division shares — every
+    * number an exact integer, ranking included. */
+  private def textrankKeywordsQ(s: SparkSession, dir: String): DataFrame =
+    operators.TextRank.keywords(Tables.read(s, dir, "documents"),
+      "doc_id", "text", k = 3, iterations = 3, window = 2)
+
+  private val textrankKeywordsSql = {
+    val stops = graft.functions.TextAnalysis.GopherStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    val iters = (1 to 3).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT e.id, e.v AS w, CAST(SUM((s.score // d.wdeg) * e.wt)
+         |    AS BIGINT) AS c
+         |  FROM e JOIN s${t - 1} s ON s.id = e.id AND s.w = e.u
+         |  JOIN d ON d.id = e.id AND d.u = e.u GROUP BY 1, 2),
+         |s$t AS MATERIALIZED (
+         |  SELECT n.id, n.w,
+         |    150000 + (850000 * coalesce(c.c, 0)) // 1000000 AS score
+         |  FROM n LEFT JOIN c$t c ON c.id = n.id AND c.w = n.w)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id AS id,
+       |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+       |  FROM documents),
+       |t1 AS (SELECT id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT)
+       |    AS pos, unnest(ws) AS w
+       |  FROM t0),
+       |t2 AS (SELECT id, w,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY pos) AS BIGINT)
+       |      AS r
+       |  FROM t1 WHERE w NOT IN ($stops)),
+       |p AS MATERIALIZED (SELECT a.id, a.w AS u, b.w AS v
+       |  FROM t2 a JOIN t2 b ON b.id = a.id AND b.r > a.r
+       |    AND b.r - a.r <= 2 AND a.w <> b.w),
+       |e AS MATERIALIZED (SELECT id, u, v, CAST(count(*) AS BIGINT) AS wt
+       |  FROM (SELECT id, u, v FROM p
+       |        UNION ALL SELECT id, v AS u, u AS v FROM p)
+       |  GROUP BY 1, 2, 3),
+       |d AS MATERIALIZED (SELECT id, u, CAST(SUM(wt) AS BIGINT) AS wdeg
+       |  FROM e GROUP BY 1, 2),
+       |n AS MATERIALIZED (SELECT id, u AS w FROM d),
+       |s0 AS MATERIALIZED (SELECT id, w, CAST(1000000 AS BIGINT) AS score
+       |  FROM n),
+       |$iters,
+       |rr AS (SELECT id, w, score,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, w) AS rnk
+       |  FROM s3)
+       |SELECT id AS doc_id, CAST(rnk AS BIGINT) AS rnk, w AS keyword,
+       |  CAST(score AS BIGINT) AS score_scaled
+       |FROM rr WHERE rnk <= 3""".stripMargin
+  }
+
   /** k-NN label-noise audit, FULL oracle — per-example agreement with
     * its 10 nearest neighbors' labels
     * (`operators/DataValuation.labelNoiseKnn`): the production plan is
@@ -14157,6 +14213,7 @@ object SparkEntry {
     "harmonic_knn" -> (harmonicKnnQ(_, _)),
     "deepwalk_corpus" -> (deepwalkCorpusQ(_, _)),
     "rake_keywords" -> (rakeKeywordsQ(_, _)),
+    "textrank_keywords" -> (textrankKeywordsQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14580,6 +14637,7 @@ object SparkEntry {
     "harmonic_knn" -> harmonicKnnSql,
     "deepwalk_corpus" -> deepwalkCorpusSql,
     "rake_keywords" -> rakeKeywordsSql,
+    "textrank_keywords" -> textrankKeywordsSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,
