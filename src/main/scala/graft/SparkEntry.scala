@@ -13841,6 +13841,62 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** Winsorized/trimmed robust stats, FULL oracle — exact decile-rank
+    * tail cuts on events.value (`operators/RobustStats.winsorize`);
+    * cut selection is integer-rank exact, means float4. */
+  private def winsorizeStatsQ(s: SparkSession, dir: String): DataFrame =
+    operators.RobustStats.winsorize(Tables.read(s, dir, "events"),
+      "value", "event_id", tailPct = 10)
+
+  private val winsorizeStatsSql =
+    """WITH r0 AS (SELECT value AS v, event_id AS id FROM events
+      |  WHERE value IS NOT NULL),
+      |r1 AS (SELECT v, id,
+      |    CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS r,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM r0),
+      |r2 AS (SELECT *, (n * 10) // 100 AS k FROM r1),
+      |r3 AS (SELECT r2.*,
+      |    MAX(CASE WHEN r = k + 1 THEN v END) OVER () AS lo,
+      |    MAX(CASE WHEN r = n - k THEN v END) OVER () AS hi
+      |  FROM r2)
+      |SELECT n, CAST(lo AS REAL) AS lo_cut, CAST(hi AS REAL) AS hi_cut,
+      |  CAST(AVG(CASE WHEN r > k AND r <= n - k THEN v END) AS REAL)
+      |    AS trimmed_mean,
+      |  CAST(AVG(LEAST(GREATEST(v, lo), hi)) AS REAL) AS winsorized_mean
+      |FROM r3 GROUP BY n, lo, hi""".stripMargin
+
+  /** Benford first-digit audit, FULL oracle — digit counts from
+    * integer-cent strings (exact), Benford shares + chi-square float4
+    * (`operators/RobustStats.benford`). */
+  private def benfordAuditQ(s: SparkSession, dir: String): DataFrame =
+    operators.RobustStats.benford(Tables.read(s, dir, "events"), "value")
+
+  private val benfordAuditSql =
+    """WITH c0 AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |d0 AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+      |    AS digit
+      |  FROM c0 WHERE c > 0),
+      |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM d0 GROUP BY digit),
+      |a AS (SELECT CAST(r.digit AS BIGINT) AS digit,
+      |    COALESCE(g.n_obs, 0) AS n_obs
+      |  FROM range(1, 10) r(digit)
+      |  LEFT JOIN g ON g.digit = r.digit),
+      |w AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n,
+      |    log10(1.0 + 1.0 / digit) AS expected
+      |  FROM a),
+      |x AS (SELECT *, (n_obs - n * expected) * (n_obs - n * expected)
+      |    / (n * expected) AS contrib
+      |  FROM w)
+      |SELECT digit, n_obs, CAST(CAST(n_obs AS DOUBLE) / n AS REAL)
+      |    AS obs_share,
+      |  CAST(expected AS REAL) AS benford_share,
+      |  CAST(contrib AS REAL) AS contrib,
+      |  CAST(SUM(contrib) OVER () AS REAL) AS chi2
+      |FROM x""".stripMargin
+
   /** TextRank keywords, FULL oracle — per-document integer PageRank
     * over the word co-occurrence graph (`operators/TextRank.keywords`,
     * Mihalcea & Tarau 2004): window-2 edges with multiplicity weights,
@@ -14214,6 +14270,8 @@ object SparkEntry {
     "deepwalk_corpus" -> (deepwalkCorpusQ(_, _)),
     "rake_keywords" -> (rakeKeywordsQ(_, _)),
     "textrank_keywords" -> (textrankKeywordsQ(_, _)),
+    "winsorize_stats" -> (winsorizeStatsQ(_, _)),
+    "benford_audit" -> (benfordAuditQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
     "psi_drift" -> (psiDrift(_, _)),
@@ -14638,6 +14696,8 @@ object SparkEntry {
     "deepwalk_corpus" -> deepwalkCorpusSql,
     "rake_keywords" -> rakeKeywordsSql,
     "textrank_keywords" -> textrankKeywordsSql,
+    "winsorize_stats" -> winsorizeStatsSql,
+    "benford_audit" -> benfordAuditSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
     "psi_drift" -> psiDriftSql,
