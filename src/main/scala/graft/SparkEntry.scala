@@ -13841,6 +13841,79 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
+  /** TextRank extractive summary, FULL oracle — top-2 sentences per
+    * document by integer PageRank over the shared-content-word
+    * sentence graph (`operators/TextRank.summary`): naive terminator
+    * split shared with the oracle, distinct-word-overlap edge weights,
+    * everything exact integers. */
+  private def textrankSummaryQ(s: SparkSession, dir: String): DataFrame =
+    // documents.text carries no terminators, so the fixture folds it
+    // into three overlapping-window sentences (shared vocabulary ->
+    // a connected sentence graph), replayed verbatim by the oracle
+    operators.TextRank.summary(
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 60), lit(". "),
+          substring(col("text"), 31, 60), lit(". "),
+          substring(col("text"), 61, 60), lit("!")).as("text")),
+      "doc_id", "text", k = 2, iterations = 3)
+
+  private val textrankSummarySql = {
+    val stops = graft.functions.TextAnalysis.GopherStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    val iters = (1 to 3).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT e.id, e.v AS u, CAST(SUM((s.score // d.wdeg) * e.wt)
+         |    AS BIGINT) AS c
+         |  FROM e JOIN p${t - 1} s ON s.id = e.id AND s.u = e.u
+         |  JOIN d ON d.id = e.id AND d.u = e.u GROUP BY 1, 2),
+         |p$t AS MATERIALIZED (
+         |  SELECT n.id, n.u,
+         |    150000 + (850000 * coalesce(c.c, 0)) // 1000000 AS score
+         |  FROM n LEFT JOIN c$t c ON c.id = n.id AND c.u = n.u)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH doc2 AS (SELECT doc_id,
+       |    concat(substr(text, 1, 60), '. ', substr(text, 31, 60), '. ',
+       |      substr(text, 61, 60), '!') AS text
+       |  FROM documents),
+       |sx AS (SELECT doc_id AS id,
+       |    string_split_regex(coalesce(text, ''), '[.!?]+') AS parts
+       |  FROM doc2),
+       |s1 AS (SELECT id,
+       |    CAST(unnest(range(1, len(parts) + 1)) - 1 AS BIGINT) AS si,
+       |    unnest(parts) AS raw
+       |  FROM sx),
+       |sents AS (SELECT id, si, trim(raw) AS sent FROM s1
+       |  WHERE length(trim(raw)) > 0),
+       |w0 AS (SELECT id, si,
+       |    unnest(regexp_extract_all(lower(sent), '[a-z0-9]+')) AS w
+       |  FROM sents),
+       |wds AS (SELECT DISTINCT id, si, w FROM w0
+       |  WHERE w NOT IN ($stops)),
+       |h AS MATERIALIZED (SELECT a.id, a.si, b.si AS sj,
+       |    CAST(count(*) AS BIGINT) AS wt
+       |  FROM wds a JOIN wds b ON b.id = a.id AND b.w = a.w
+       |    AND b.si > a.si
+       |  GROUP BY 1, 2, 3),
+       |e AS MATERIALIZED (SELECT id, si AS u, sj AS v, wt FROM h
+       |  UNION ALL SELECT id, sj AS u, si AS v, wt FROM h),
+       |d AS MATERIALIZED (SELECT id, u, CAST(SUM(wt) AS BIGINT) AS wdeg
+       |  FROM e GROUP BY 1, 2),
+       |n AS MATERIALIZED (SELECT id, u FROM d),
+       |p0 AS MATERIALIZED (SELECT id, u, CAST(1000000 AS BIGINT) AS score
+       |  FROM n),
+       |$iters,
+       |rr AS (SELECT id, u, score,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, u) AS rnk
+       |  FROM p3)
+       |SELECT rr.id AS doc_id, CAST(rr.rnk AS BIGINT) AS rnk,
+       |  rr.u AS sent_idx, sents.sent AS sentence,
+       |  CAST(rr.score AS BIGINT) AS score_scaled
+       |FROM rr JOIN sents ON sents.id = rr.id AND sents.si = rr.u
+       |WHERE rr.rnk <= 2""".stripMargin
+  }
+
   /** Winsorized/trimmed robust stats, FULL oracle — exact decile-rank
     * tail cuts on events.value (`operators/RobustStats.winsorize`);
     * cut selection is integer-rank exact, means float4. */
@@ -14271,6 +14344,7 @@ object SparkEntry {
     "rake_keywords" -> (rakeKeywordsQ(_, _)),
     "textrank_keywords" -> (textrankKeywordsQ(_, _)),
     "winsorize_stats" -> (winsorizeStatsQ(_, _)),
+    "textrank_summary" -> (textrankSummaryQ(_, _)),
     "benford_audit" -> (benfordAuditQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
@@ -14697,6 +14771,7 @@ object SparkEntry {
     "rake_keywords" -> rakeKeywordsSql,
     "textrank_keywords" -> textrankKeywordsSql,
     "winsorize_stats" -> winsorizeStatsSql,
+    "textrank_summary" -> textrankSummarySql,
     "benford_audit" -> benfordAuditSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,
