@@ -13914,6 +13914,60 @@ object SparkEntry {
        |WHERE rr.rnk <= 2""".stripMargin
   }
 
+  /** Deterministic bigram-LM sampling, FULL oracle — 5 walks of 8
+    * steps over the corpus bigram model
+    * (`operators/LmFilter.generate`): successor drawn by
+    * splitmix64(seed*1000003+step) mod context count into
+    * cumulative-count intervals — every generated token an exact
+    * integer decision, replayed through the Mix64Sql chain. */
+  private def lmGenerateQ(s: SparkSession, dir: String): DataFrame =
+    operators.LmFilter.generate(Tables.read(s, dir, "documents"), "text",
+      numSeeds = 5, steps = 8)
+
+  private val lmGenerateSql: String = {
+    val steps = (1 to 8).map { t =>
+      val k = s"""k$t AS MATERIALIZED (SELECT seed, cur,
+         |  CAST(seed * 1000003 + $t AS BIGINT) AS key FROM g${t - 1})"""
+        .stripMargin
+      val mix = functions.Mix64Sql.ctes(s"x$t", s"k$t", Seq("seed", "cur"),
+        "key")
+      val g = s"""g$t AS MATERIALIZED (
+         |  SELECT m.seed, s.w2 AS cur
+         |  FROM x${t}6 m JOIN c1 ON c1.w1 = m.cur
+         |  JOIN succ s ON s.w1 = m.cur
+         |    AND CAST(m.z % c1.c1::HUGEINT AS BIGINT) >= s.hi - s.c12
+         |    AND CAST(m.z % c1.c1::HUGEINT AS BIGINT) < s.hi)"""
+        .stripMargin
+      Seq(k, mix, g).mkString(",\n")
+    }.mkString(",\n")
+    val out = (0 to 8).map(t =>
+      s"SELECT seed, CAST($t AS BIGINT) AS step, cur AS token FROM g$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+       |    AS ts
+       |  FROM documents),
+       |pairs AS (SELECT t.ts[g.i] AS w1, t.ts[g.i + 1] AS w2
+       |  FROM toks t CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, len(t.ts))) AS i) g
+       |  WHERE len(t.ts) >= 2),
+       |c12x AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT)
+       |    AS c12
+       |  FROM pairs GROUP BY 1, 2),
+       |succ AS MATERIALIZED (SELECT w1, w2, c12,
+       |  CAST(SUM(c12) OVER (PARTITION BY w1 ORDER BY w2
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS hi
+       |  FROM c12x),
+       |c1 AS MATERIALIZED (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+       |  FROM c12x GROUP BY 1),
+       |g0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY c1 DESC, w1) - 1
+       |      AS BIGINT) AS seed, w1 AS cur
+       |  FROM c1 QUALIFY seed < 5),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** Winsorized/trimmed robust stats, FULL oracle — exact decile-rank
     * tail cuts on events.value (`operators/RobustStats.winsorize`);
     * cut selection is integer-rank exact, means float4. */
@@ -14345,6 +14399,7 @@ object SparkEntry {
     "textrank_keywords" -> (textrankKeywordsQ(_, _)),
     "winsorize_stats" -> (winsorizeStatsQ(_, _)),
     "textrank_summary" -> (textrankSummaryQ(_, _)),
+    "lm_generate" -> (lmGenerateQ(_, _)),
     "benford_audit" -> (benfordAuditQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
@@ -14772,6 +14827,7 @@ object SparkEntry {
     "textrank_keywords" -> textrankKeywordsSql,
     "winsorize_stats" -> winsorizeStatsSql,
     "textrank_summary" -> textrankSummarySql,
+    "lm_generate" -> lmGenerateSql,
     "benford_audit" -> benfordAuditSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,

@@ -123,4 +123,68 @@ object LmFilter {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
   }
+
+  /**
+   * Deterministic sampling from the corpus bigram model — the
+   * synthetic-data face of the perplexity filter: `numSeeds` walks of
+   * `steps` tokens, each step drawing the successor of the current
+   * token proportionally to its bigram count. The step-t coin for
+   * seed s is splitmix64(s * 1000003 + t); the draw lands in the
+   * successor's cumulative-count interval (dst-ordered window sum),
+   * so every generated token is an exact integer decision both
+   * engines replay. Seed s starts from the (s+1)-th most frequent
+   * context token (count desc, token asc). A walk that reaches a
+   * sink context (a token never seen as a bigram LEFT side) simply
+   * ends — emitted steps stop there.
+   *
+   * Scale shape: the successor table is distinct-bigram-sized with
+   * one cumulative window per context; each step is one equi-join of
+   * |seeds| rows against it. Generation cost is independent of the
+   * corpus after the one counting shuffle.
+   */
+  def generate(df: DataFrame, textCol: String, numSeeds: Int = 5,
+               steps: Int = 8): DataFrame = {
+    require(numSeeds >= 1 && steps >= 1, s"dials: $numSeeds/$steps")
+    val toks = df.select(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val succ = c12.withColumn("hi", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+          .orderBy(col("w2"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .persist()
+    try {
+      val c1 = succ.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val seeds = c1.withColumn("seed", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c1").desc, col("w1"))).cast("long") - 1L)
+        .filter(col("seed") < numSeeds)
+        .select(col("seed"), col("w1").as("cur"))
+      var state = seeds.localCheckpoint(true)
+      var out = state.select(col("seed"), lit(0L).as("step"),
+        col("cur").as("token"))
+      for (t <- 1 to steps) {
+        val coin = udf((seed: Long, total: Long) => java.lang.Long
+          .remainderUnsigned(graft.functions.DetRandom.mix64(
+            seed * 1000003L + t), total))
+        state = state
+          .join(c1.select(col("w1").as("cur"), col("c1")), "cur")
+          .withColumn("r", coin(col("seed"), col("c1")))
+          .join(succ.select(col("w1").as("cur"), col("w2"), col("c12"),
+            col("hi")), "cur")
+          .filter(col("r") >= col("hi") - col("c12") && col("r") < col("hi"))
+          .select(col("seed"), col("w2").as("cur"))
+          .localCheckpoint(true)
+        out = out.unionByName(state.select(col("seed"),
+          lit(t.toLong).as("step"), col("cur").as("token")))
+      }
+      out
+    } finally succ.unpersist()
+  }
 }
