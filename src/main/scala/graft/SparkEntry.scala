@@ -1030,6 +1030,60 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(label AS BIGINT) AS community FROM l3""".stripMargin
   }
 
+  /** Modularity of the label-propagation communities, FULL oracle —
+    * Newman Q on the 4m² integer grid (`GraphAnalytics.modularity`):
+    * per-community intra-edge/degree contributions exact BIGINT, only
+    * the final ratio float4; oracle = the labelprop chain + the
+    * modularity tail. */
+  private def modularityKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Knn.buildKnnGraph(
+      Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 3).select(col("src"), col("dst"))
+    val labels = operators.GraphAnalytics.labelPropagation(edges, iterations = 3)
+    operators.GraphAnalytics.modularity(edges, labels, "id", "community")
+  }
+
+  private val modularityKnnSql = {
+    val rounds = (1 to 3).map { t =>
+      s"""c$t AS (SELECT adj.node, l${t - 1}.label, count(*) AS c
+         |       FROM adj JOIN l${t - 1} ON l${t - 1}.id = adj.nb GROUP BY 1, 2),
+         |p$t AS (SELECT node AS id, label FROM (
+         |          SELECT node, label,
+         |            row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |          FROM c$t) WHERE rn = 1),
+         |l$t AS (SELECT n.id, coalesce(p$t.label, n.id) AS label
+         |        FROM n LEFT JOIN p$t ON p$t.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesUndCtes,
+       |adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+       |n AS (SELECT DISTINCT node AS id FROM adj),
+       |l0 AS (SELECT id, id AS label FROM n),
+       |$rounds,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |degs AS (SELECT node AS id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM adj GROUP BY 1),
+       |intra AS (SELECT la.label AS community,
+       |    CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM und JOIN l3 la ON la.id = und.a
+       |  JOIN l3 lb ON lb.id = und.b
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |dc AS (SELECT l3.label AS community,
+       |    CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(degs.deg) AS BIGINT) AS degree_sum
+       |  FROM l3 JOIN degs ON degs.id = l3.id GROUP BY 1),
+       |per AS (SELECT dc.community, dc.n_nodes,
+       |    COALESCE(intra.intra_edges, 0) AS intra_edges, dc.degree_sum,
+       |    4 * (SELECT m FROM mm) * COALESCE(intra.intra_edges, 0)
+       |      - dc.degree_sum * dc.degree_sum AS q_contrib_scaled
+       |  FROM dc LEFT JOIN intra ON intra.community = dc.community)
+       |SELECT CAST(community AS BIGINT) AS community, n_nodes,
+       |  CAST(intra_edges AS BIGINT) AS intra_edges, degree_sum,
+       |  CAST(q_contrib_scaled AS BIGINT) AS q_contrib_scaled,
+       |  CAST(CAST(SUM(q_contrib_scaled) OVER () AS DOUBLE) /
+       |    (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS REAL) AS q
+       |FROM per""".stripMargin
+  }
+
   /** Local clustering coefficients over the kNN graph, FULL oracle —
     * 2T(v)/(deg(v)(deg(v)−1)) from the triangle enumeration + one degree
     * aggregate (`GraphAnalytics.clusteringCoefficients`); the division
@@ -14400,6 +14454,7 @@ object SparkEntry {
     "winsorize_stats" -> (winsorizeStatsQ(_, _)),
     "textrank_summary" -> (textrankSummaryQ(_, _)),
     "lm_generate" -> (lmGenerateQ(_, _)),
+    "modularity_knn" -> (modularityKnnQ(_, _)),
     "benford_audit" -> (benfordAuditQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
@@ -14828,6 +14883,7 @@ object SparkEntry {
     "winsorize_stats" -> winsorizeStatsSql,
     "textrank_summary" -> textrankSummarySql,
     "lm_generate" -> lmGenerateSql,
+    "modularity_knn" -> modularityKnnSql,
     "benford_audit" -> benfordAuditSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,

@@ -412,6 +412,54 @@ object GraphAnalytics {
   }
 
   /**
+   * Newman modularity of a node labeling (Newman & Girvan 2004):
+   * Q = sum over communities of [e_c/m - (d_c/2m)^2] — how much
+   * denser inside-community edges are than a degree-preserving random
+   * rewiring. Everything is computed in EXACT integers on the common
+   * denominator 4m^2 (per-community contribution
+   * 4m*e_c - d_c^2), so community rows are engine-exact; only the
+   * final Q ratio emits float4. Returns one row per community:
+   * (community, n_nodes, intra_edges, degree_sum, q_contrib_scaled,
+   * q) with the global Q repeated per row.
+   *
+   * Scale shape: two equi-joins of the edge list against the label
+   * table plus one degree aggregate — the same key-partitioned passes
+   * as the community detection that produced the labels.
+   */
+  def modularity(edges: DataFrame, labels: DataFrame, idCol: String,
+                 labelCol: String): DataFrame = {
+    val und = undirected(edges).persist()
+    try {
+      val lab = labels.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("community"))
+      val m = und.count()
+      val adj = und.select(col("a"), col("b"))
+        .union(und.select(col("b").as("a"), col("a").as("b")))
+      val degs = adj.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val intra = und
+        .join(lab.select(col("id").as("a"), col("community").as("ca")), "a")
+        .join(lab.select(col("id").as("b"), col("community").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val dc = lab.join(degs, "id")
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+      val per = dc.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"),
+          (lit(4L * m) * coalesce(col("intra_edges"), lit(0L)) -
+            col("degree_sum") * col("degree_sum")).as("q_contrib_scaled"))
+      per.withColumn("q",
+        (sum(col("q_contrib_scaled"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double") / (4.0 * m * m)).cast("float"))
+    } finally und.unpersist()
+  }
+
+  /**
    * Katz centrality, integer fixed-point (Katz 1953): unlike PageRank
    * there is NO degree normalization — a node's score feeds each
    * out-neighbor whole, so high-degree hubs amplify rather than

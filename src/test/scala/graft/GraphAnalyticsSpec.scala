@@ -203,6 +203,21 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(w.sameElements(run()), "walks not deterministic")
   }
 
+  test("modularity: two clean triangles score 0.5; one blob scores 0") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")
+    val goodLabels = (0 to 5).map(i => (i.toLong, if (i < 3) 0L else 1L))
+      .toDF("id", "community")
+    val good = GraphAnalytics.modularity(edges, goodLabels, "id", "community")
+      .collect()
+    assert(good.forall(_.getFloat(5) == 0.5f), good.mkString(";"))
+    assert(good.forall(r => r.getLong(2) == 3L && r.getLong(3) == 6L))
+    val blob = (0 to 5).map(i => (i.toLong, 0L)).toDF("id", "community")
+    val q0 = GraphAnalytics.modularity(edges, blob, "id", "community")
+      .collect().head.getFloat(5)
+    assert(q0 == 0f, s"single community must score exactly 0, got $q0")
+  }
+
   test("katz: hand-computed one-iteration star scores, no degree dilution") {
     // 1 receives from 2 and 3 (whole scores, unlike pagerank's deg split)
     val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
