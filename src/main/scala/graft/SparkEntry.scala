@@ -13968,6 +13968,38 @@ object SparkEntry {
        |WHERE rr.rnk <= 2""".stripMargin
   }
 
+  /** PMI collocations, FULL oracle — top-20 bigrams by pointwise
+    * mutual information at min-count 5
+    * (`operators/LmFilter.pmiCollocations`): exact integer counts,
+    * only the ln emits float4; count columns pin the selection. */
+  private def pmiCollocationsQ(s: SparkSession, dir: String): DataFrame =
+    operators.LmFilter.pmiCollocations(Tables.read(s, dir, "documents"),
+      "text", minCount = 5, k = 20)
+
+  private val pmiCollocationsSql =
+    """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+      |    AS ts
+      |  FROM documents),
+      |words AS (SELECT unnest(ts) AS w FROM toks),
+      |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM words
+      |  GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM words),
+      |pairs AS (SELECT t.ts[g.i] AS w1, t.ts[g.i + 1] AS w2
+      |  FROM toks t CROSS JOIN LATERAL
+      |    (SELECT unnest(range(1, len(t.ts))) AS i) g
+      |  WHERE len(t.ts) >= 2),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |j AS (SELECT c12.w1, c12.w2, c12.c12, a.cw AS c1, b.cw AS c2,
+      |    CAST(ln((CAST(c12.c12 AS DOUBLE) / (SELECT n FROM nb)) /
+      |      ((CAST(a.cw AS DOUBLE) / (SELECT t FROM tt)) *
+      |       (CAST(b.cw AS DOUBLE) / (SELECT t FROM tt)))) AS REAL)
+      |      AS pmi
+      |  FROM c12 JOIN cw a ON a.w = c12.w1 JOIN cw b ON b.w = c12.w2)
+      |SELECT w1, w2, c12, c1, c2, pmi FROM j
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Deterministic bigram-LM sampling, FULL oracle — 5 walks of 8
     * steps over the corpus bigram model
     * (`operators/LmFilter.generate`): successor drawn by
@@ -14455,6 +14487,7 @@ object SparkEntry {
     "textrank_summary" -> (textrankSummaryQ(_, _)),
     "lm_generate" -> (lmGenerateQ(_, _)),
     "modularity_knn" -> (modularityKnnQ(_, _)),
+    "pmi_collocations" -> (pmiCollocationsQ(_, _)),
     "benford_audit" -> (benfordAuditQ(_, _)),
     "mp4_probe" -> (mp4Probe(_, _)),
     "hls_playlist" -> (hlsPlaylist(_, _)),
@@ -14884,6 +14917,7 @@ object SparkEntry {
     "textrank_summary" -> textrankSummarySql,
     "lm_generate" -> lmGenerateSql,
     "modularity_knn" -> modularityKnnSql,
+    "pmi_collocations" -> pmiCollocationsSql,
     "benford_audit" -> benfordAuditSql,
     "mp4_probe" -> mp4ProbeSql,
     "hls_playlist" -> hlsPlaylistSql,

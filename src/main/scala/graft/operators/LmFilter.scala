@@ -125,6 +125,47 @@ object LmFilter {
   }
 
   /**
+   * PMI collocations (Church & Hanks 1990): the corpus's multi-word
+   * expressions — bigrams whose joint probability beats the product of
+   * their unigram probabilities, ln(p(w1,w2)/(p(w1)p(w2))). The
+   * standard tokenizer-curation signal: high-PMI pairs are the phrases
+   * a vocabulary should keep whole. `minCount` suppresses the
+   * low-count PMI explosion (a hapax pair maxes the statistic).
+   *
+   * Counts are exact integers from one bigram shuffle (token counts
+   * fall out of the same stream); only the ln emits float4. Returns
+   * the top `k` by (float4 pmi desc, w1, w2) with the counts.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5,
+                      k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"dials: $minCount/$k")
+    val toks = df.select(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    val words = toks.select(explode(col("ts")).as("w"))
+    val cw = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val totalTokens = words.count()
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nBigrams = pairs.count()
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    c12
+      .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(cw.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .withColumn("pmi",
+        log((col("c12").cast("double") / nBigrams.toDouble) /
+          ((col("c1").cast("double") / totalTokens.toDouble) *
+            (col("c2").cast("double") / totalTokens.toDouble))).cast("float"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi"))
+  }
+
+  /**
    * Deterministic sampling from the corpus bigram model — the
    * synthetic-data face of the perplexity filter: `numSeeds` walks of
    * `steps` tokens, each step drawing the successor of the current

@@ -24,6 +24,21 @@ class LmGenerateSpec extends SparkSpecBase {
       assert(bigrams.contains((w1, w2)), s"seed $s1: $w1 -> $w2 unseen")
   }
 
+  test("pmi: an always-together pair beats a promiscuous one") {
+    // "zig zag" is exclusive; "the" spreads its mass over four partners
+    val pd = (1 to 6).map(i =>
+      (i.toLong, "zig zag the cat the dog the fox the cow"))
+      .toDF("doc_id", "text")
+    val out = LmFilter.pmiCollocations(pd, "text", minCount = 5, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getFloat(5)))
+    val m = out.toMap
+    assert(m.contains(("zig", "zag")), out.mkString(";"))
+    val zigzag = m(("zig", "zag"))
+    // every surviving "the"-pair must score below the exclusive pair
+    assert(out.filter(_._1._1 == "the").forall(_._2 < zigzag),
+      out.mkString(";"))
+  }
+
   test("seed 0 starts at the most frequent context; runs are bit-stable") {
     // contexts: "the" appears as w1 4 times — the top context
     def run() = LmFilter.generate(docs, "text", numSeeds = 2, steps = 4)
