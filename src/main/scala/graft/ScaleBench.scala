@@ -847,6 +847,14 @@ object ScaleBench {
       // exact two-pass knnJoin (cost rides pass-2 pruning, never
       // |slice|·|N|). The audit's index build stays OUTSIDE the timer —
       // the offline-build convention ivf_build already prices.
+      // Per-document graph family at scale: TextRank keywords build a
+      // co-occurrence graph PER DOC and iterate integer pagerank over
+      // (doc, word) keys — corpus-parallel, so the curve should be
+      // linear in documents (graphs are vocabulary-sized, never pooled).
+      val (nTrk, tTrk) = time(operators.TextRank.keywords(
+        docs, "doc_id", "text", k = 3).count())
+      add("textrank_keywords", nTrk, tTrk)
+
       val labeled = emb.withColumn("label",
         pmod(col("vec_id"), lit(10)).cast("int"))
       val (nShp, tShp) = time(operators.DataValuation.knnShapley(

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Augment, Bpe, Dsir, Sampling, Sharding, Zorder}
+import graft.operators.{Augment, Bpe, DataValuation, Dsir, GraphAnalytics,
+  LmFilter, Rake, RobustStats, Sampling, Sharding, TextRank, Zorder}
 
 /** The round's operators reject bad dials loudly (never silent
   * garbage): the same fail-fast contract the distance kernels pin. */
@@ -98,5 +99,39 @@ class ErrorContractSpec extends SparkSpecBase {
     // temperatureMixture: positive budget required
     intercept[IllegalArgumentException](
       Sampling.temperatureMixture(docs.withColumn("d", lit("x")), "d", "id", 0L))
+  }
+
+  test("valuation / text-graph operators reject degenerate dials") {
+    val emb = Seq((1L, Array(0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](
+      DataValuation.knnShapley(emb, emb, "vec_id", "embedding", "label", k = 0))
+    intercept[IllegalArgumentException](
+      DataValuation.kcenterCoreset(emb, "vec_id", "embedding", k = 0))
+    intercept[IllegalArgumentException](
+      DataValuation.facilitySelect(emb, emb, "vec_id", "embedding", k = 0))
+    intercept[IllegalArgumentException](
+      RobustStats.winsorize(docs, "w", "id", tailPct = 50))
+    intercept[IllegalArgumentException](
+      Rake.keywords(docs, "id", "text", k = 0))
+    intercept[IllegalArgumentException](
+      TextRank.keywords(docs, "id", "text", k = 1, iterations = 0))
+    intercept[IllegalArgumentException](
+      TextRank.summary(docs, "id", "text", k = 0))
+    intercept[IllegalArgumentException](
+      LmFilter.generate(docs, "text", numSeeds = 0))
+    intercept[IllegalArgumentException](
+      LmFilter.pmiCollocations(docs, "text", minCount = 0))
+    intercept[IllegalArgumentException](
+      GraphAnalytics.betweennessBounded(docs.select(col("id").as("src"),
+        col("w").as("dst")), Seq.empty, maxDepth = 3))
+    intercept[IllegalArgumentException](
+      GraphAnalytics.harmonicBounded(docs.select(col("id").as("src"),
+        col("w").as("dst")), Seq(1L), maxDepth = 0))
+    intercept[IllegalArgumentException](
+      GraphAnalytics.katzInt(docs.select(col("id").as("src"),
+        col("w").as("dst")), iterations = 0))
+    intercept[IllegalArgumentException](
+      GraphAnalytics.randomWalks(docs.select(col("id").as("src"),
+        col("w").as("dst")), walkLength = 0))
   }
 }
