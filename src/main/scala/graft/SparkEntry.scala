@@ -10076,6 +10076,76 @@ object SparkEntry {
     * window's grid answers point queries for a fixed probe set of user
     * ids. The batch oracle re-derives every probed estimate via bucket
     * sums — integer-exact. */
+  /** Streaming Benford monitor, FULL oracle — per-6-hour-window first
+    * digit counts of the event value feed through a REAL streaming
+    * aggregation (exact integer per-window state: 9 counters), then
+    * the chi-square against the Benford curve computed batch-side over
+    * the materialized counts on a full 1..9 scaffold — the
+    * ingest-drift tripwire as a stream. */
+  private def streamBenfordQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_ts", Tables.tsTimestamp(schema))
+      .withColumn("c", floor(col("value").cast("double") * 100.0 + 0.5)
+        .cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("digit",
+        substring(col("c").cast("string"), 1, 1).cast("long"))
+    val agg = stream.withWatermark("ts_ts", "12 hours")
+      .groupBy(window(col("ts_ts"), "6 hours"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val name = "stream_benford_sink"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val counts = s.table(name)
+      .select(col("window.start").cast("long").as("wstart"), col("digit"),
+        col("n_obs"))
+    val scaffold = counts.select(col("wstart")).distinct()
+      .crossJoin(s.range(1, 10).select(col("id").as("digit")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("wstart"))
+    scaffold.join(counts, Seq("wstart", "digit"), "left")
+      .select(col("wstart"), col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(w))
+      .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("contrib",
+        (col("n_obs") - col("n") * col("expected")) *
+          (col("n_obs") - col("n") * col("expected")) /
+          (col("n") * col("expected")))
+      .select(col("wstart"), col("digit"), col("n_obs"),
+        sum(col("contrib")).over(w).cast("float").as("chi2"))
+  }
+
+  private val streamBenfordSql =
+    """WITH d0 AS (SELECT
+      |    CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |g AS (SELECT wstart,
+      |    CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM d0 WHERE c > 0 GROUP BY 1, 2),
+      |sc AS (SELECT w.wstart, CAST(r.digit AS BIGINT) AS digit
+      |  FROM (SELECT DISTINCT wstart FROM g) w, range(1, 10) r(digit)),
+      |a AS (SELECT sc.wstart, sc.digit, COALESCE(g.n_obs, 0) AS n_obs
+      |  FROM sc LEFT JOIN g ON g.wstart = sc.wstart
+      |    AND g.digit = sc.digit),
+      |x AS (SELECT wstart, digit, n_obs,
+      |    SUM(n_obs) OVER (PARTITION BY wstart) AS n,
+      |    log10(1.0 + 1.0 / digit) AS expected
+      |  FROM a),
+      |y AS (SELECT wstart, digit, n_obs,
+      |    (n_obs - n * expected) * (n_obs - n * expected)
+      |      / (n * expected) AS contrib
+      |  FROM x)
+      |SELECT wstart, digit, n_obs,
+      |  CAST(SUM(contrib) OVER (PARTITION BY wstart) AS REAL) AS chi2
+      |FROM y""".stripMargin
+
   private def streamCmsTopkQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -14599,6 +14669,7 @@ object SparkEntry {
     "dataset_diff" -> (datasetDiffQ(_, _)),
     "stream_distinct" -> (streamDistinctQ(_, _)),
     "stream_cms_topk" -> (streamCmsTopkQ(_, _)),
+    "stream_benford" -> (streamBenfordQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -14982,6 +15053,7 @@ object SparkEntry {
     "dataset_diff" -> datasetDiffSql,
     "stream_distinct" -> streamDistinctSql,
     "stream_cms_topk" -> streamCmsTopkSql,
+    "stream_benford" -> streamBenfordSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,
