@@ -531,6 +531,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"audit must stay an equi-join on cluster_id: $plan")
   }
 
+  test("RAKE stays zero-UDF codegen algebra end to end") {
+    val plan = SparkEntry.queries("rake_keywords")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"RAKE must stay expression algebra: $plan")
+  }
+
+  test("numeric audits are UDF-free scans: winsorize + benford") {
+    for (q <- Seq("winsorize_stats", "benford_audit")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("scalaudf"), s"$q fell to UDF: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
   test("betweenness rides equi-joins only — frontier never meets the graph all-pairs") {
     val plan = planOf(SparkEntry.queries("betweenness_knn")(spark, dir))
     assert(!plan.contains("CartesianProduct"),
