@@ -3084,6 +3084,42 @@ object SparkEntry {
       |SELECT shard_id, count(*) AS n, min(k) AS min_key, max(k) AS max_key
       |FROM s GROUP BY 1""".stripMargin
 
+  /** Shard reproducibility manifest, FULL oracle — the artifact a
+    * pipeline publishes next to its output shards so a re-run (or a
+    * downstream consumer) can prove byte-identity without re-reading
+    * payloads: per balanced shard (the `assignShards` rank split), the
+    * row count, the ORDER-INDEPENDENT content checksum (sum of per-row
+    * djb2 hashes — the repo-wide replayable string hash), and the id
+    * envelope. One rank pass + one aggregate; everything exact
+    * integers. */
+  private def shardManifestQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sharding.assignShards(Tables.read(s, dir, "documents"),
+        col("doc_id"), col("doc_id"), numShards = 16)
+      .withColumn("h", operators.Sketches.djb2Udf(col("text")))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private lazy val shardManifestSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (ORDER BY doc_id, doc_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM documents),
+       |sh AS (SELECT doc_id, text,
+       |  CASE WHEN rn <= (n % 16) * (n // 16 + 1)
+       |       THEN (rn - 1) // (n // 16 + 1)
+       |       ELSE n % 16 + (rn - 1 - (n % 16) * (n // 16 + 1))
+       |         // greatest(n // 16, 1)
+       |  END AS shard_id FROM r),
+       |h AS (SELECT shard_id, doc_id,
+       |  ${djb2Fold(sqlBytesOf("text"))} AS h FROM sh)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(h) AS BIGINT) AS content_sum,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM h GROUP BY 1""".stripMargin
+
   /** Per-epoch training-order shuffle, FULL oracle — the "reshuffle the
     * corpus every epoch" loader step (`operators/EpochShuffle.scala`):
     * two epochs of a seeded splitmix64 permutation over `documents`,
@@ -14670,6 +14706,7 @@ object SparkEntry {
     "stream_distinct" -> (streamDistinctQ(_, _)),
     "stream_cms_topk" -> (streamCmsTopkQ(_, _)),
     "stream_benford" -> (streamBenfordQ(_, _)),
+    "shard_manifest" -> (shardManifestQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15054,6 +15091,7 @@ object SparkEntry {
     "stream_distinct" -> streamDistinctSql,
     "stream_cms_topk" -> streamCmsTopkSql,
     "stream_benford" -> streamBenfordSql,
+    "shard_manifest" -> shardManifestSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,
