@@ -7931,6 +7931,47 @@ object SparkEntry {
       |  'http://' || bh || '/dir/rel-' || (doc_id % 5) AS rel_resolved
       |FROM b""".stripMargin
 
+  /** HTML table-structure stats, FULL oracle — per page the table/
+    * row/cell counts, max row width, and header flag
+    * (`operators/HtmlMeta.tableStats`): the routing signal for
+    * table-heavy pages. Fixture builds 1-3 tables per doc with
+    * doc-keyed shapes via `repeat`; the oracle replays the counts
+    * closed-form. */
+  private def htmlTablesQ(s: SparkSession, dir: String): DataFrame = {
+    def tbl(k: Int) =
+      when(col("doc_id") % 3 + 1 > k, concat(
+        lit("<table><tr>"), expr(s"repeat('<th>h</th>', (doc_id + $k) % 4 + 1)"),
+        lit("</tr>"),
+        expr(s"repeat('<tr>' || repeat('<td>x</td>', (doc_id + $k) % 4 + 1) " +
+          s"|| '</tr>', (doc_id + $k) % 2 + 1)"),
+        lit("</table>"))).otherwise(lit(""))
+    val html = concat(lit("<html><body>"), tbl(0), tbl(1), tbl(2),
+      lit("</body></html>"))
+    val d = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), operators.HtmlMeta.tableStats(html).as("t"))
+    d.select(col("doc_id"), col("t.n_tables"), col("t.n_rows"),
+      col("t.n_cells"), col("t.max_cols"), col("t.has_header"))
+  }
+
+  private val htmlTablesSql = {
+    val inc = (k: Int) => s"(1 + doc_id % 3 > $k)"
+    val c = (k: Int) => s"(1 + (doc_id + $k) % 4)"
+    val rws = (k: Int) => s"(2 + (doc_id + $k) % 2)" // header + data rows
+    val rowSum = (0 to 2).map(k =>
+      s"CASE WHEN ${inc(k)} THEN ${rws(k)} ELSE 0 END").mkString(" + ")
+    val cellSum = (0 to 2).map(k =>
+      s"CASE WHEN ${inc(k)} THEN ${c(k)} * ${rws(k)} ELSE 0 END")
+      .mkString(" + ")
+    val maxCols = (0 to 2).map(k =>
+      s"CASE WHEN ${inc(k)} THEN ${c(k)} ELSE 0 END").mkString(", ")
+    s"""SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_tables,
+       |  CAST($rowSum AS BIGINT) AS n_rows,
+       |  CAST($cellSum AS BIGINT) AS n_cells,
+       |  CAST(GREATEST($maxCols) AS BIGINT) AS max_cols,
+       |  true AS has_header
+       |FROM documents""".stripMargin
+  }
+
   /** Ogg container framing, FULL oracle — the streaming-audio wrapper
     * rung (`operators/Ogg.scala`): per doc an Ogg stream of 2-4
     * packets whose lengths cross the 255 lacing boundary, paged at 5
@@ -14707,6 +14748,7 @@ object SparkEntry {
     "stream_cms_topk" -> (streamCmsTopkQ(_, _)),
     "stream_benford" -> (streamBenfordQ(_, _)),
     "shard_manifest" -> (shardManifestQ(_, _)),
+    "html_tables" -> (htmlTablesQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15092,6 +15134,7 @@ object SparkEntry {
     "stream_cms_topk" -> streamCmsTopkSql,
     "stream_benford" -> streamBenfordSql,
     "shard_manifest" -> shardManifestSql,
+    "html_tables" -> htmlTablesSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

@@ -93,4 +93,24 @@ object HtmlMeta {
       .groupBy(col("canon_key"))
       .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("keep_id"))
   }
+
+  /** Table-structure stats of one page — the signal table-heavy pages
+    * (data listings, schedules, league standings) are routed on in a
+    * curation pipeline: struct(n_tables, n_rows, n_cells, max_cols,
+    * has_header). Pure regexp/aggregate algebra over the row blocks,
+    * zero UDFs; counts are exact integers. */
+  def tableStats(html: Column): Column = {
+    val rows = regexp_extract_all(html, lit("(?is)<tr[^>]*>(.*?)</tr>"),
+      lit(1))
+    val cellsOf = (r: Column) =>
+      size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
+    struct(
+      size(regexp_extract_all(html, lit("(?i)<table\\b"), lit(0)))
+        .cast("long").as("n_tables"),
+      size(rows).cast("long").as("n_rows"),
+      aggregate(rows, lit(0L), (acc, r) => acc + cellsOf(r)).as("n_cells"),
+      coalesce(array_max(transform(rows, cellsOf)), lit(0L)).as("max_cols"),
+      (size(regexp_extract_all(html, lit("(?i)<th\\b"), lit(0))) > 0)
+        .as("has_header"))
+  }
 }
