@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.HtmlMeta
 
 /** Head-metadata extraction over real-crawl HTML forms: the three
@@ -77,5 +78,25 @@ class HtmlMetaSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!dedup.toLowerCase.contains("scalaudf"), dedup)
     assert("Exchange".r.findAllIn(dedup).length <= 1, dedup)
+  }
+
+  test("table stats: counts, widest row, header flag, and the no-table page") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<table><tr><th>A</th><th>B</th></tr>" +
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"),
+      (2L, "<p>no tables here</p>"),
+      (3L, "<TABLE><TR><TD>x</TD></TR></TABLE>")) // case-insensitive
+      .toDF("id", "html")
+    val out = pages.select(col("id"),
+        HtmlMeta.tableStats(col("html")).as("t"))
+      .select(col("id"), col("t.n_tables"), col("t.n_rows"),
+        col("t.n_cells"), col("t.max_cols"), col("t.has_header"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) == ((1L, 2L, 5L, 3L, true)), out(1L).toString)
+    assert(out(2L) == ((0L, 0L, 0L, 0L, false)))
+    assert(out(3L) == ((1L, 1L, 1L, 1L, false)))
   }
 }
