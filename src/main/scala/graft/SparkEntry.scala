@@ -7972,6 +7972,48 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** ICO/favicon container probe, FULL oracle — per doc an .ico
+    * wrapping 1-2 REAL native-PNG payloads (`operators/Ico.scala`):
+    * the directory walk, PNG-signature sniff, and a full PNG decode of
+    * every payload (dims cross-checked against the directory's
+    * declared sizes); the oracle replays the structural fields
+    * closed-form. */
+  private def icoProbeQ(s: SparkSession, dir: String): DataFrame = {
+    val run = udf((docId: Long) => {
+      val n = 1 + (docId % 2).toInt
+      val dims = (0 until n).map { j =>
+        val w = 4 + ((docId + j) % 3).toInt * 4
+        (w, w)
+      }
+      val payloads = dims.map { case (w, h) =>
+        operators.Png.encodePng(operators.Png.PngImage(w, h, 2,
+          Array.tabulate(w * h)(i =>
+            0xff000000 | (((docId + i) % 256).toInt << 16) |
+              (((docId * 7 + i) % 256).toInt << 8) |
+              ((i * 3) % 256))), filterMode = 1)
+      }
+      val ico = operators.Ico.encodeIco(dims, payloads)
+      val entries = operators.Ico.probeIco(ico)
+        .getOrElse(sys.error(s"unprobeable ico for doc $docId"))
+      (entries.length.toLong, entries.map(_.width.toLong).max,
+        entries.forall(_.isPng),
+        entries.map(_.width).zip(dims.map(_._1)).forall(p => p._1 == p._2))
+    })
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), run(col("doc_id")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_images"),
+        col("r._2").as("max_w"), col("r._3").as("all_png"),
+        col("r._4").as("dims_ok"))
+  }
+
+  private val icoProbeSql =
+    """SELECT doc_id, CAST(1 + doc_id % 2 AS BIGINT) AS n_images,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + (doc_id % 3) * 4
+      |    ELSE greatest(4 + (doc_id % 3) * 4, 4 + ((doc_id + 1) % 3) * 4)
+      |  END AS BIGINT) AS max_w,
+      |  true AS all_png, true AS dims_ok
+      |FROM documents""".stripMargin
+
   /** Ogg container framing, FULL oracle — the streaming-audio wrapper
     * rung (`operators/Ogg.scala`): per doc an Ogg stream of 2-4
     * packets whose lengths cross the 255 lacing boundary, paged at 5
@@ -14749,6 +14791,7 @@ object SparkEntry {
     "stream_benford" -> (streamBenfordQ(_, _)),
     "shard_manifest" -> (shardManifestQ(_, _)),
     "html_tables" -> (htmlTablesQ(_, _)),
+    "ico_probe" -> (icoProbeQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15135,6 +15178,7 @@ object SparkEntry {
     "stream_benford" -> streamBenfordSql,
     "shard_manifest" -> shardManifestSql,
     "html_tables" -> htmlTablesSql,
+    "ico_probe" -> icoProbeSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

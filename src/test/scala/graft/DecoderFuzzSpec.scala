@@ -110,6 +110,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
     sweep("mp4", Mp4.encode(1000, 5000, Seq(video)), Mp4.probe)
   }
 
+  test("ICO probe survives exhaustive truncation and bit flips") {
+    val p = Png.encodePng(Png.PngImage(4, 4, 2,
+      Array.tabulate(16)(i => 0xff000000 | (i * 17 % 256))), filterMode = 1)
+    sweep("ico", Ico.encodeIco(Seq((4, 4)), Seq(p)), Ico.probeIco)
+  }
+
   test("WebM probe survives exhaustive truncation and bit flips") {
     val meta = Ebml.WebmMeta("webm", 4, 1000000L, 4321.0, Seq(
       Ebml.Track(1, 1, "V_VP9", pixelWidth = 640, pixelHeight = 480)))
