@@ -7972,6 +7972,38 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** OpenGraph social-card extraction, FULL oracle — og:title/type/
+    * image with title fallback (`operators/HtmlMeta.ogCards`): fixture
+    * pages mix single-quoted, unquoted, and reversed-order meta
+    * attributes (the quote-normalization contract), one third carry no
+    * card at all; closed-form oracle. */
+  private def ogCardsQ(s: SparkSession, dir: String): DataFrame = {
+    val og = when(col("doc_id") % 3 =!= 0, concat(
+      lit("<meta property='og:title' content='OG "), col("doc_id") % 5,
+      lit("'><meta content=\"img-"), col("doc_id") % 4,
+      lit(".png\" property=og:image><meta property=\"og:type\" content=\""),
+      when(col("doc_id") % 2 === 0, lit("article")).otherwise(lit("website")),
+      lit("\">"))).otherwise(lit(""))
+    val html = concat(lit("<html><head><title>T"), col("doc_id") % 7,
+      lit("</title>"), og, lit("</head><body>x</body></html>"))
+    operators.HtmlMeta.ogCards(
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        html.as("html")),
+      "doc_id", "html")
+  }
+
+  private val ogCardsSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'T' || (doc_id % 7)
+      |       ELSE 'OG ' || (doc_id % 5) END AS card_title,
+      |  CASE WHEN doc_id % 3 = 0 THEN ''
+      |       WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website'
+      |  END AS og_type,
+      |  CASE WHEN doc_id % 3 = 0 THEN ''
+      |       ELSE 'img-' || (doc_id % 4) || '.png' END AS og_image,
+      |  doc_id % 3 <> 0 AS has_card
+      |FROM documents""".stripMargin
+
   /** ICO/favicon container probe, FULL oracle — per doc an .ico
     * wrapping 1-2 REAL native-PNG payloads (`operators/Ico.scala`):
     * the directory walk, PNG-signature sniff, and a full PNG decode of
@@ -14792,6 +14824,7 @@ object SparkEntry {
     "shard_manifest" -> (shardManifestQ(_, _)),
     "html_tables" -> (htmlTablesQ(_, _)),
     "ico_probe" -> (icoProbeQ(_, _)),
+    "og_cards" -> (ogCardsQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15179,6 +15212,7 @@ object SparkEntry {
     "shard_manifest" -> shardManifestSql,
     "html_tables" -> htmlTablesSql,
     "ico_probe" -> icoProbeSql,
+    "og_cards" -> ogCardsSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

@@ -66,6 +66,33 @@ object HtmlMeta {
     when(a =!= "", a).otherwise(b)
   }
 
+  /** `<meta property=… content=…>` value (the OpenGraph/Twitter-card
+    * attribute), either attribute order; empty when absent. Expects
+    * quote-normalized html. */
+  def metaProperty(n: Column, prop: String): Column = {
+    val a = regexp_extract(n,
+      s"(?is)<meta\\b[^>]*property=\"$prop\"[^>]*content=\"([^\"]*)\"", 1)
+    val b = regexp_extract(n,
+      s"(?is)<meta\\b[^>]*content=\"([^\"]*)\"[^>]*property=\"$prop\"", 1)
+    when(a =!= "", a).otherwise(b)
+  }
+
+  /** Social-card metadata per page — the OpenGraph og:title/og:image/
+    * og:type set social previews and many dedup pipelines key on
+    * (og:image is the site's own "this is the canonical picture"
+    * declaration), with the title falling back to the `<title>` tag
+    * when no card is declared. Stateless zero-UDF scan. */
+  def ogCards(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val n = normalizeAttrQuotes(col(htmlCol))
+    val og = (p: String) => metaProperty(n, p)
+    df.select(col(idCol),
+      when(og("og:title") =!= "", og("og:title")).otherwise(title(n))
+        .as("card_title"),
+      og("og:type").as("og_type"),
+      og("og:image").as("og_image"),
+      (og("og:title") =!= "").as("has_card"))
+  }
+
   /** Per-page head metadata: title, description, canonical target,
     * and the robots noindex/nofollow flags (directive match is
     * case-insensitive, comma lists welcome). Stateless scan. */
