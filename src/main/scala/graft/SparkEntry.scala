@@ -8004,6 +8004,41 @@ object SparkEntry {
       |  doc_id % 3 <> 0 AS has_card
       |FROM documents""".stripMargin
 
+  /** SVG asset probe, FULL oracle — root dims/viewBox + shape counts
+    * (`operators/HtmlMeta.svgStats`): fixture icons mix quoting forms
+    * and unit suffixes, repeat shape elements doc-keyed; closed-form
+    * oracle. */
+  private def svgProbeQ(s: SparkSession, dir: String): DataFrame = {
+    val vb = when(col("doc_id") % 2 === 0,
+      lit(" viewBox='0 0 24 24'")).otherwise(lit(""))
+    val wAttr = when(col("doc_id") % 3 === 0, lit(""))
+      .otherwise(concat(lit(" width="), (col("doc_id") % 5 + 1) * 8,
+        lit(" height=\""), (col("doc_id") % 5 + 1) * 8, lit("px\"")))
+    val svg = concat(lit("<svg"), wAttr, vb, lit(">"),
+      expr("repeat('<path d=\"M0 0\"/>', CAST(doc_id % 4 AS INT))"),
+      expr("repeat('<rect/>', CAST(doc_id % 3 AS INT))"),
+      lit("<circle r=\"4\"/><text>t</text></svg>"))
+    val d = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), operators.HtmlMeta.svgStats(svg).as("s"))
+    d.select(col("doc_id"), col("s.width"), col("s.height"),
+      col("s.has_viewbox"), col("s.n_paths"), col("s.n_rects"),
+      col("s.n_circles"), col("s.n_texts"))
+  }
+
+  private val svgProbeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN ''
+      |       ELSE CAST((doc_id % 5 + 1) * 8 AS VARCHAR) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN ''
+      |       ELSE CAST((doc_id % 5 + 1) * 8 AS VARCHAR) || 'px'
+      |  END AS height,
+      |  doc_id % 2 = 0 AS has_viewbox,
+      |  CAST(doc_id % 4 AS BIGINT) AS n_paths,
+      |  CAST(doc_id % 3 AS BIGINT) AS n_rects,
+      |  CAST(1 AS BIGINT) AS n_circles,
+      |  CAST(1 AS BIGINT) AS n_texts
+      |FROM documents""".stripMargin
+
   /** ICO/favicon container probe, FULL oracle — per doc an .ico
     * wrapping 1-2 REAL native-PNG payloads (`operators/Ico.scala`):
     * the directory walk, PNG-signature sniff, and a full PNG decode of
@@ -14825,6 +14860,7 @@ object SparkEntry {
     "html_tables" -> (htmlTablesQ(_, _)),
     "ico_probe" -> (icoProbeQ(_, _)),
     "og_cards" -> (ogCardsQ(_, _)),
+    "svg_probe" -> (svgProbeQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15213,6 +15249,7 @@ object SparkEntry {
     "html_tables" -> htmlTablesSql,
     "ico_probe" -> icoProbeSql,
     "og_cards" -> ogCardsSql,
+    "svg_probe" -> svgProbeSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

@@ -93,6 +93,31 @@ object HtmlMeta {
       (og("og:title") =!= "").as("has_card"))
   }
 
+  /** SVG asset probe — the vector-image sibling of the raster codecs:
+    * declared width/height (empty when the root relies on viewBox
+    * alone), the viewBox presence, and shape-element counts
+    * (path/rect/circle/text) — the features an asset pipeline uses to
+    * separate icons from illustrations from text-as-SVG. Zero-UDF
+    * regexp algebra over quote-normalized markup; `width`/`height`
+    * returned as the raw attribute strings (units vary: px, %, em). */
+  def svgStats(svg: Column): Column = {
+    val n = regexp_replace(
+      regexp_replace(svg, "(?i)\\b(width|height|viewBox)\\s*=\\s*'([^']*)'",
+        "$1=\"$2\""),
+      "(?i)\\b(width|height|viewBox)\\s*=\\s*([^\\s>\"'][^\\s>]*)",
+      "$1=\"$2\"")
+    val root = regexp_extract(n, "(?is)<svg\\b[^>]*>", 0)
+    val cnt = (el: String) =>
+      size(regexp_extract_all(n, lit(s"(?i)<$el\\b"), lit(0))).cast("long")
+    struct(
+      regexp_extract(root, "(?i)width=\"([^\"]*)\"", 1).as("width"),
+      regexp_extract(root, "(?i)height=\"([^\"]*)\"", 1).as("height"),
+      (regexp_extract(root, "(?i)viewBox=\"([^\"]*)\"", 1) =!= "")
+        .as("has_viewbox"),
+      cnt("path").as("n_paths"), cnt("rect").as("n_rects"),
+      cnt("circle").as("n_circles"), cnt("text").as("n_texts"))
+  }
+
   /** Per-page head metadata: title, description, canonical target,
     * and the robots noindex/nofollow flags (directive match is
     * case-insensitive, comma lists welcome). Stateless scan. */
