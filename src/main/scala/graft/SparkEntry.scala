@@ -8004,6 +8004,35 @@ object SparkEntry {
       |  doc_id % 3 <> 0 AS has_card
       |FROM documents""".stripMargin
 
+  /** RSS/Atom feed probe, FULL oracle — flavor, channel title, entry
+    * and link counts (`operators/HtmlMeta.feedStats`): fixture feeds
+    * alternate RSS items and Atom entries with doc-keyed counts;
+    * closed-form oracle. */
+  private def rssProbeQ(s: SparkSession, dir: String): DataFrame = {
+    val k = "CAST(doc_id % 4 + 1 AS INT)"
+    val rss = concat(lit("<rss version=\"2.0\"><channel><title>Feed "),
+      col("doc_id") % 7, lit("</title>"),
+      expr(s"repeat('<item><title>i</title><link>http://h/p</link></item>', $k)"),
+      lit("</channel></rss>"))
+    val atom = concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<title>Feed "), col("doc_id") % 7, lit("</title>"),
+      expr(s"repeat('<entry><link href=\"http://h/p\"/></entry>', $k)"),
+      lit("</feed>"))
+    val xml = when(col("doc_id") % 2 === 0, rss).otherwise(atom)
+    val d = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), operators.HtmlMeta.feedStats(xml).as("f"))
+    d.select(col("doc_id"), col("f.flavor"), col("f.feed_title"),
+      col("f.n_entries"), col("f.n_links"))
+  }
+
+  private val rssProbeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS flavor,
+      |  'Feed ' || (doc_id % 7) AS feed_title,
+      |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_entries,
+      |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links
+      |FROM documents""".stripMargin
+
   /** SVG asset probe, FULL oracle — root dims/viewBox + shape counts
     * (`operators/HtmlMeta.svgStats`): fixture icons mix quoting forms
     * and unit suffixes, repeat shape elements doc-keyed; closed-form
@@ -14861,6 +14890,7 @@ object SparkEntry {
     "ico_probe" -> (icoProbeQ(_, _)),
     "og_cards" -> (ogCardsQ(_, _)),
     "svg_probe" -> (svgProbeQ(_, _)),
+    "rss_probe" -> (rssProbeQ(_, _)),
     "stream_session_agg" -> (streamSessionAggQ(_, _)),
     "stream_stream_join" -> (streamStreamJoinQ(_, _)),
     "stream_quota" -> (streamQuotaQ(_, _)),
@@ -15250,6 +15280,7 @@ object SparkEntry {
     "ico_probe" -> icoProbeSql,
     "og_cards" -> ogCardsSql,
     "svg_probe" -> svgProbeSql,
+    "rss_probe" -> rssProbeSql,
     "stream_session_agg" -> streamSessionAggSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_quota" -> streamQuotaSql,

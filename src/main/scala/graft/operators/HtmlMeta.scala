@@ -118,6 +118,33 @@ object HtmlMeta {
       cnt("circle").as("n_circles"), cnt("text").as("n_texts"))
   }
 
+  /** RSS/Atom feed probe — crawl discovery's other input: feeds
+    * announce new URLs faster than recrawling, so a pipeline probes
+    * each candidate feed for its flavor (rss vs atom), channel title,
+    * entry count, and the entry links. Zero-UDF regexp algebra;
+    * flavor from the root element, entries = `<item>` (RSS) or
+    * `<entry>` (Atom), links from `<link>` text (RSS) or the Atom
+    * `href` attribute. */
+  def feedStats(xml: Column): Column = {
+    val isAtom = xml.rlike("(?is)<feed[\\s>]")
+    val isRss = xml.rlike("(?is)<rss[\\s>]")
+    val items = size(regexp_extract_all(xml, lit("(?i)<item[\\s>]"), lit(0)))
+    val entries = size(regexp_extract_all(xml, lit("(?i)<entry[\\s>]"), lit(0)))
+    val chTitle = trim(regexp_replace(
+      regexp_extract(xml, "(?is)<title[^>]*>(.*?)</title>", 1), "<[^>]*>", ""))
+    val rssLinks = regexp_extract_all(xml,
+      lit("(?is)<item[\\s>].*?<link>([^<]*)</link>"), lit(1))
+    val atomLinks = regexp_extract_all(xml,
+      lit("(?is)<link[^>]*href=\"([^\"]*)\""), lit(1))
+    struct(
+      when(isAtom, lit("atom")).when(isRss, lit("rss")).otherwise(lit(""))
+        .as("flavor"),
+      chTitle.as("feed_title"),
+      when(isAtom, entries).otherwise(items).cast("long").as("n_entries"),
+      when(isAtom, size(atomLinks)).otherwise(size(rssLinks)).cast("long")
+        .as("n_links"))
+  }
+
   /** Per-page head metadata: title, description, canonical target,
     * and the robots noindex/nofollow flags (directive match is
     * case-insensitive, comma lists welcome). Stateless scan. */
