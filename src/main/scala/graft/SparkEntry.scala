@@ -8015,8 +8015,9 @@ object SparkEntry {
       expr(s"repeat('<item><title>i</title><link>http://h/p</link></item>', $k)"),
       lit("</channel></rss>"))
     val atom = concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
-      "<title>Feed "), col("doc_id") % 7, lit("</title>"),
-      expr(s"repeat('<entry><link href=\"http://h/p\"/></entry>', $k)"),
+      "<title>Feed "), col("doc_id") % 7,
+      lit("</title><link rel=\"self\" href=\"http://h/feed\"/>"),
+      expr(s"repeat('<entry><link href=''http://h/p''/></entry>', $k)"),
       lit("</feed>"))
     val xml = when(col("doc_id") % 2 === 0, rss).otherwise(atom)
     val d = Tables.read(s, dir, "documents")
@@ -8030,7 +8031,8 @@ object SparkEntry {
       |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS flavor,
       |  'Feed ' || (doc_id % 7) AS feed_title,
       |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_entries,
-      |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 + 1
+      |       ELSE doc_id % 4 + 2 END AS BIGINT) AS n_links
       |FROM documents""".stripMargin
 
   /** SVG asset probe, FULL oracle — root dims/viewBox + shape counts
@@ -8043,7 +8045,7 @@ object SparkEntry {
     val wAttr = when(col("doc_id") % 3 === 0, lit(""))
       .otherwise(concat(lit(" width="), (col("doc_id") % 5 + 1) * 8,
         lit(" height=\""), (col("doc_id") % 5 + 1) * 8, lit("px\"")))
-    val svg = concat(lit("<svg"), wAttr, vb, lit(">"),
+    val svg = concat(lit("<svg stroke-width=\"2\""), wAttr, vb, lit(">"),
       expr("repeat('<path d=\"M0 0\"/>', CAST(doc_id % 4 AS INT))"),
       expr("repeat('<rect/>', CAST(doc_id % 3 AS INT))"),
       lit("<circle r=\"4\"/><text>t</text></svg>"))
@@ -14171,11 +14173,14 @@ object SparkEntry {
        |    CAST(SUM(CAST(s.deg AS DOUBLE) / s.freq) AS REAL) AS score
        |  FROM kept k JOIN ws2 s ON s.id = k.id AND s.w = k.w
        |  GROUP BY k.id, k.si, k.grp),
-       |r AS (SELECT sc.id, ph.phrase, sc.score,
-       |    row_number() OVER (PARTITION BY sc.id
-       |      ORDER BY sc.score DESC, ph.phrase) AS rnk
+       |uq AS (SELECT sc.id, ph.phrase, MAX(sc.score) AS score
        |  FROM sc JOIN ph ON ph.id = sc.id AND ph.si = sc.si
-       |    AND ph.grp = sc.grp)
+       |    AND ph.grp = sc.grp
+       |  GROUP BY sc.id, ph.phrase),
+       |r AS (SELECT id, phrase, score,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, phrase) AS rnk
+       |  FROM uq)
        |SELECT id AS doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score
        |FROM r WHERE rnk <= 3""".stripMargin
   }
@@ -14482,7 +14487,7 @@ object SparkEntry {
     * snapshots, Swayamdipta et al. 2020;
     * `ml/QualityClf.cartography`): the quality-classifier fixpoint
     * machinery extended with per-snapshot score CTEs; float4 stats,
-    * exact integer correctness. */
+    * correctness thresholded on the float4-cast probability. */
   private def dataMapQ(s: SparkSession, dir: String): DataFrame =
     ml.QualityClf.cartography(Tables.read(s, dir, "documents"), "doc_id",
       "text", (col("lang") === "en"), d = 16, epochs = 6, lr = 4.0)

@@ -236,7 +236,9 @@ object QualityClf {
    * cached feature projection for training, then ONE stateless scoring
    * pass carrying all snapshots (epochs × (d+1) doubles) in the task
    * closure. Probability chains pass through exp (libm), so the two
-   * float stats emit float4; `correct` is an exact integer.
+   * float stats emit float4; `correct` thresholds the float4-CAST
+   * probability at 0.5 on both sides (the drifted double rounds to
+   * the same float on both engines away from float4 boundaries).
    */
   def cartography(df: DataFrame, idCol: String, textCol: String,
                   labelCol: org.apache.spark.sql.Column,
@@ -281,7 +283,11 @@ object QualityClf {
           while (j < d) { z += w(j) * xs(j); j += 1 }
           val p = sigmoid(z + w(d))
           pg(e) = if (y == 1.0) p else 1.0 - p
-          if ((p > 0.5) == (y == 1.0)) correct += 1
+          // compare the float4-CAST probability: both engines round the
+          // drifted double to the same float unless it sits within the
+          // drift of a float4 boundary — strictly tighter than comparing
+          // raw doubles against 0.5 across engines
+          if ((p.toFloat > 0.5f) == (y == 1.0)) correct += 1
           e += 1
         }
         var s = 0.0
@@ -328,7 +334,7 @@ object QualityClf {
     val varSum = (1 to epochs).map(e => s"(pg$e - conf) * (pg$e - conf)")
       .mkString(" + ")
     val correct = (1 to epochs).map(e =>
-      s"CASE WHEN (pp$e > 0.5) = (y = 1.0) THEN 1 ELSE 0 END")
+      s"CASE WHEN (CAST(pp$e AS REAL) > 0.5) = (y = 1.0) THEN 1 ELSE 0 END")
       .mkString(" + ")
     trainChainSql(table, idCol, textCol, labelSql, d, epochs, lr) +
       (1 to epochs).map(score).mkString +

@@ -83,8 +83,10 @@ object DataValuation {
       .withColumn("lead_m", lead(col("m"), 1).over(byRank))
       .withColumn("delta",
         when(col("lead_m").isNull, lit(0.0)).otherwise(
-          ((col("m") - col("lead_m")) * least(col("rnk"), lit(k.toLong)))
-            .cast("double") / (col("rnk") * k).cast("double")))
+          ((col("m") - col("lead_m")) *
+            least(col("rnk").cast("long"), lit(k.toLong)))
+            .cast("double") /
+            (col("rnk").cast("long") * k).cast("double")))
       .withColumn("tail",
         sum(when(col("rnk") === col("n"),
           col("m").cast("double") / col("n").cast("double"))
@@ -241,6 +243,12 @@ object DataValuation {
    *   h_i = 1/n + (x_i - Sx/n)^2 / Cxx,  Cxx = (n*Sxx - Sx^2)/n
    *   SSE = Cyy - b*Cxy  (moment identity — no per-row residual sum)
    *   D_i = r_i^2 * h_i / (p * s^2 * (1 - h_i)^2),  p = 2, s^2 = SSE/(n-2)
+   *
+   * Degenerate-input contract: with fewer than 3 rows (s^2 divides by
+   * n-2) or a constant x column (Cxx = 0) the closed forms are
+   * undefined, and every statistic is emitted as an explicit NULL —
+   * the guard is a `when`, never a division whose NULL semantics the
+   * caller has to know.
    */
   def cooksDistance(df: DataFrame, idCol: String, xCol: String,
                     yCol: String): DataFrame = {
@@ -264,8 +272,10 @@ object DataValuation {
         (col("x").cast("double") - col("sx").cast("double") / n) / cxx
     val s2 = (cyy - b * cxy) / (n - 2.0)
     val cook = resid * resid * lev / (lit(2.0) * s2 * (lit(1.0) - lev) * (lit(1.0) - lev))
+    val defined = col("n") > 2 && cxx > 0.0
     j.select(col("id"), col("x"), col("y"),
-      resid.cast("float").as("residual"), lev.cast("float").as("leverage"),
-      cook.cast("float").as("cook_d"))
+      when(defined, resid.cast("float")).as("residual"),
+      when(defined, lev.cast("float")).as("leverage"),
+      when(defined, cook.cast("float")).as("cook_d"))
   }
 }

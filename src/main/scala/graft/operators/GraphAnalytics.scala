@@ -433,6 +433,7 @@ object GraphAnalytics {
       val lab = labels.select(col(idCol).cast("long").as("id"),
         col(labelCol).cast("long").as("community"))
       val m = und.count()
+      require(m > 0, "modularity of an empty edge set is undefined")
       val adj = und.select(col("a"), col("b"))
         .union(und.select(col("b").as("a"), col("a").as("b")))
       val degs = adj.groupBy(col("a").as("id"))

@@ -102,17 +102,20 @@ object HtmlMeta {
     * returned as the raw attribute strings (units vary: px, %, em). */
   def svgStats(svg: Column): Column = {
     val n = regexp_replace(
-      regexp_replace(svg, "(?i)\\b(width|height|viewBox)\\s*=\\s*'([^']*)'",
-        "$1=\"$2\""),
-      "(?i)\\b(width|height|viewBox)\\s*=\\s*([^\\s>\"'][^\\s>]*)",
-      "$1=\"$2\"")
+      regexp_replace(svg, "(?i)(\\s)(width|height|viewBox)\\s*=\\s*'([^']*)'",
+        "$1$2=\"$3\""),
+      "(?i)(\\s)(width|height|viewBox)\\s*=\\s*([^\\s>\"'][^\\s>]*)",
+      "$1$2=\"$3\"")
     val root = regexp_extract(n, "(?is)<svg\\b[^>]*>", 0)
     val cnt = (el: String) =>
       size(regexp_extract_all(n, lit(s"(?i)<$el\\b"), lit(0))).cast("long")
+    // attribute names must start at a whitespace boundary: \b alone
+    // matches inside "stroke-width" ('-' is a non-word char), and
+    // stroke-width on a real icon's root is the norm, not the exception
     struct(
-      regexp_extract(root, "(?i)width=\"([^\"]*)\"", 1).as("width"),
-      regexp_extract(root, "(?i)height=\"([^\"]*)\"", 1).as("height"),
-      (regexp_extract(root, "(?i)viewBox=\"([^\"]*)\"", 1) =!= "")
+      regexp_extract(root, "(?i)\\swidth=\"([^\"]*)\"", 1).as("width"),
+      regexp_extract(root, "(?i)\\sheight=\"([^\"]*)\"", 1).as("height"),
+      (regexp_extract(root, "(?i)\\sviewBox=\"([^\"]*)\"", 1) =!= "")
         .as("has_viewbox"),
       cnt("path").as("n_paths"), cnt("rect").as("n_rects"),
       cnt("circle").as("n_circles"), cnt("text").as("n_texts"))
@@ -121,11 +124,17 @@ object HtmlMeta {
   /** RSS/Atom feed probe — crawl discovery's other input: feeds
     * announce new URLs faster than recrawling, so a pipeline probes
     * each candidate feed for its flavor (rss vs atom), channel title,
-    * entry count, and the entry links. Zero-UDF regexp algebra;
+    * entry count, and hyperlink count. Zero-UDF regexp algebra;
     * flavor from the root element, entries = `<item>` (RSS) or
-    * `<entry>` (Atom), links from `<link>` text (RSS) or the Atom
-    * `href` attribute. */
+    * `<entry>` (Atom). `n_links` counts ALL href-carrying `<link>`
+    * elements for Atom (feed-level self/alternate links included —
+    * real feeds always carry them) and `<item>` link texts for RSS;
+    * href quoting is normalized first, so single-quoted Atom links
+    * count too. */
   def feedStats(xml: Column): Column = {
+    val nx = regexp_replace(
+      regexp_replace(xml, "(?i)(\\s)href\\s*=\\s*'([^']*)'", "$1href=\"$2\""),
+      "(?i)(\\s)href\\s*=\\s*([^\\s>\"'][^\\s>]*)", "$1href=\"$2\"")
     val isAtom = xml.rlike("(?is)<feed[\\s>]")
     val isRss = xml.rlike("(?is)<rss[\\s>]")
     val items = size(regexp_extract_all(xml, lit("(?i)<item[\\s>]"), lit(0)))
@@ -134,7 +143,7 @@ object HtmlMeta {
       regexp_extract(xml, "(?is)<title[^>]*>(.*?)</title>", 1), "<[^>]*>", ""))
     val rssLinks = regexp_extract_all(xml,
       lit("(?is)<item[\\s>].*?<link>([^<]*)</link>"), lit(1))
-    val atomLinks = regexp_extract_all(xml,
+    val atomLinks = regexp_extract_all(nx,
       lit("(?is)<link[^>]*href=\"([^\"]*)\""), lit(1))
     struct(
       when(isAtom, lit("atom")).when(isRss, lit("rss")).otherwise(lit(""))

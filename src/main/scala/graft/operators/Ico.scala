@@ -40,6 +40,8 @@ object Ico {
                 bpp: Int = 32): Array[Byte] = {
     require(dims.length == payloads.length && dims.nonEmpty,
       s"entries: ${dims.length} dims vs ${payloads.length} payloads")
+    require(dims.length <= 0xFFFF,
+      s"ICONDIR count is u16; got ${dims.length} entries")
     require(dims.forall { case (w, h) =>
       w >= 1 && w <= 256 && h >= 1 && h <= 256 }, s"dims out of range: $dims")
     val out = new java.io.ByteArrayOutputStream()

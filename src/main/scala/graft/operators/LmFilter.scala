@@ -139,30 +139,37 @@ object LmFilter {
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5,
                       k: Int = 20): DataFrame = {
     require(minCount >= 1 && k >= 1, s"dials: $minCount/$k")
+    // tokenize ONCE: the token list is cached so the word counts, the
+    // bigram counts, and the two driver-side totals all read the same
+    // materialization instead of four full regexp passes over the corpus
     val toks = df.select(
       regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
-    val words = toks.select(explode(col("ts")).as("w"))
-    val cw = words.groupBy("w").agg(count(lit(1)).as("cw"))
-    val totalTokens = words.count()
-    val pairs = toks.filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val nBigrams = pairs.count()
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    c12
-      .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
-      .join(cw.select(col("w").as("w2"), col("cw").as("c2")), "w2")
-      .withColumn("pmi",
-        log((col("c12").cast("double") / nBigrams.toDouble) /
-          ((col("c1").cast("double") / totalTokens.toDouble) *
-            (col("c2").cast("double") / totalTokens.toDouble))).cast("float"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(k)
-      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        col("pmi"))
+      .persist()
+    try {
+      val words = toks.select(explode(col("ts")).as("w"))
+      val cw = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      val totalTokens = words.count()
+      val pairs = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val nBigrams = pairs.count()
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= minCount)
+      c12
+        .join(cw.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(cw.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .withColumn("pmi",
+          log((col("c12").cast("double") / nBigrams.toDouble) /
+            ((col("c1").cast("double") / totalTokens.toDouble) *
+              (col("c2").cast("double") / totalTokens.toDouble))).cast("float"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(k)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          col("pmi"))
+        .localCheckpoint(true) // materialize the k rows before unpersist
+    } finally toks.unpersist()
   }
 
   /**

@@ -67,6 +67,12 @@ object Rake {
       .agg(sum(col("deg").cast("double") / col("freq").cast("double"))
         .cast("float").as("score"))
       .join(phrases, Seq("id", "si", "grp"))
+      // classic RAKE ranks UNIQUE candidate phrases (identical phrase
+      // text scores identically — same word multiset — so the dedupe
+      // is a plain group-by, and a phrase the document repeats cannot
+      // fill several top-k slots with copies of itself)
+      .groupBy(col("id"), col("phrase"))
+      .agg(max(col("score")).as("score"))
     val rank = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("phrase"))
     scored

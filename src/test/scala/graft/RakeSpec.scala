@@ -27,6 +27,16 @@ class RakeSpec extends SparkSpecBase {
     assert(!out.exists(_.contains("of")) && !out.exists(_.contains("and")))
   }
 
+  test("a repeated phrase holds one slot, not k copies of itself") {
+    // "zig zag" appears three times; classic RAKE ranks unique phrases
+    val docs = Seq((1L, "zig zag. zig zag. zig zag. other words here"))
+      .toDF("doc_id", "text")
+    val out = Rake.keywords(docs, "doc_id", "text", k = 3).collect()
+      .map(_.getString(2))
+    assert(out.distinct.length == out.length, out.toSeq.toString)
+    assert(out.count(_ == "zig zag") == 1, out.toSeq.toString)
+  }
+
   test("empty and null-ish documents emit no keyword rows") {
     val docs = Seq((1L, ""), (2L, "of and the"), (3L, "... !!!"))
       .toDF("doc_id", "text")
