@@ -144,6 +144,16 @@ class DataValuationSpec extends SparkSpecBase {
     assert(out.values.forall(r => r.getFloat(3) >= 0f && r.getFloat(3) <= 0.5f))
   }
 
+  test("cook's distance: degenerate inputs emit explicit NULLs, never garbage") {
+    // n = 2 (s2 divides by n-2) and constant x (Cxx = 0): both NULL out
+    val two = Seq((1L, 1L, 2L), (2L, 2L, 5L)).toDF("id", "x", "y")
+    assert(DataValuation.cooksDistance(two, "id", "x", "y").collect()
+      .forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+    val flat = (1 to 10).map(i => (i.toLong, 7L, i.toLong)).toDF("id", "x", "y")
+    assert(DataValuation.cooksDistance(flat, "id", "x", "y").collect()
+      .forall(_.isNullAt(5)))
+  }
+
   test("cook's distance flags the injected outlier with the top score") {
     // y = 2x + 1 exactly, except one gross outlier at x=5
     val df = (0 until 40)

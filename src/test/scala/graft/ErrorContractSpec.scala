@@ -133,5 +133,14 @@ class ErrorContractSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       GraphAnalytics.randomWalks(docs.select(col("id").as("src"),
         col("w").as("dst")), walkLength = 0))
+    // modularity of an empty edge set is undefined — refuse loudly
+    intercept[IllegalArgumentException](
+      GraphAnalytics.modularity(
+        docs.select(col("id").as("src"), col("w").as("dst")).limit(0),
+        docs.select(col("id"), col("w").as("community")), "id", "community"))
+    // ICONDIR count is u16 — 65536 entries must refuse, not truncate
+    intercept[IllegalArgumentException](
+      graft.operators.Ico.encodeIco(Seq.fill(65536)((4, 4)),
+        Seq.fill(65536)(Array[Byte](1))))
   }
 }
