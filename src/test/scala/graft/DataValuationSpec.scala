@@ -106,6 +106,38 @@ class DataValuationSpec extends SparkSpecBase {
     assert(first2.exists(_ < 10) && first2.exists(_ >= 10), first2.toSeq)
   }
 
+  test("facility selection refuses an over-budget points x pool product") {
+    val pts = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      DataValuation.facilitySelect(pts, pts, "vec_id", "embedding", 2,
+        maxPairs = 100L) // 20 x 20 = 400 > 100
+    }
+    assert(e.getMessage.contains("maxPairs"))
+    assert(e.getMessage.contains("IVF cell"))
+    // empty candidate pool: empty selection, not a divide-by-zero
+    assert(DataValuation.facilitySelect(pts, pts.filter($"vec_id" < 0),
+      "vec_id", "embedding", 2).count() == 0L)
+  }
+
+  test("k-center at larger k: the array-literal fold keeps selections exact") {
+    // 40 points on a line; farthest-first from 0 visits 39, 19|20, ...
+    val pts = (0 until 40).map(i => (i.toLong, Array(i.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = DataValuation.kcenterCoreset(pts, "vec_id", "embedding", 12)
+      .orderBy("step").collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getLong(1)).distinct.length == 12)
+    assert(rows.head.getLong(1) == 0L && rows(1).getLong(1) == 39L)
+    // ties break to the smaller id: midpoint pick is 19 (not 20)
+    assert(rows(2).getLong(1) == 19L)
+    val radii = rows.tail.map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radius curve not monotone: ${radii.toSeq}")
+    // covering radius halves as k doubles on a uniform line
+    assert(radii.last < radii.head)
+  }
+
   test("label-noise audit flags a planted mislabel and clears clean points") {
     // two tight clusters at x=0 and x=100; id 5 sits in cluster A with
     // cluster B's label
