@@ -850,8 +850,12 @@ object SparkEntry {
   private val deepwalkCorpusSql: String = {
     val L = 5
     val steps = (1 to L).map { t =>
+      // key wraps mod 2^64 like the JVM's Long multiply (HUGEINT fold,
+      // the epochShuffleSql pattern) — a plain BIGINT multiply RAISES
+      // in DuckDB for wids above ~9.2e12 where the engine wraps
       val k = s"""k$t AS MATERIALIZED (SELECT wid, cur,
-         |  CAST(wid * 1000003 + $t AS BIGINT) AS key FROM w${t - 1})"""
+         |  (wid::HUGEINT * 1000003 + $t) % 18446744073709551616::HUGEINT
+         |    AS key FROM w${t - 1})"""
         .stripMargin
       val mix = functions.Mix64Sql.ctes(s"m$t", s"k$t", Seq("wid", "cur"),
         "key")
@@ -12809,7 +12813,8 @@ object SparkEntry {
 
   private val mcqShuffleSql: String =
     s"""WITH q AS (SELECT doc_id AS qid FROM documents),
-       |${mix64Ctes("mc", "q", Seq("qid"), "qid * 1000003 + 42")}
+       |${mix64Ctes("mc", "q", Seq("qid"),
+          "(qid::HUGEINT * 1000003 + 42) % 18446744073709551616::HUGEINT")}
        |SELECT qid, CAST((z // 2048) % 4 AS BIGINT) AS correct_pos,
        |  chr(65 + CAST((z // 2048) % 4 AS INT)) AS letter
        |FROM mc6""".stripMargin
@@ -14302,8 +14307,11 @@ object SparkEntry {
 
   private val lmGenerateSql: String = {
     val steps = (1 to 8).map { t =>
+      // HUGEINT wrap-to-2^64 key: matches the JVM's wrapping multiply
+      // for any seed domain (see deepwalkCorpusSql / epochShuffleSql)
       val k = s"""k$t AS MATERIALIZED (SELECT seed, cur,
-         |  CAST(seed * 1000003 + $t AS BIGINT) AS key FROM g${t - 1})"""
+         |  (seed::HUGEINT * 1000003 + $t) % 18446744073709551616::HUGEINT
+         |    AS key FROM g${t - 1})"""
         .stripMargin
       val mix = functions.Mix64Sql.ctes(s"x$t", s"k$t", Seq("seed", "cur"),
         "key")
@@ -14390,14 +14398,16 @@ object SparkEntry {
       |w AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n,
       |    log10(1.0 + 1.0 / digit) AS expected
       |  FROM a),
-      |x AS (SELECT *, (n_obs - n * expected) * (n_obs - n * expected)
-      |    / (n * expected) AS contrib
+      |x AS (SELECT *, CASE WHEN n > 0 THEN
+      |      (n_obs - n * expected) * (n_obs - n * expected)
+      |      / (n * expected) END AS contrib
       |  FROM w)
-      |SELECT digit, n_obs, CAST(CAST(n_obs AS DOUBLE) / n AS REAL)
+      |SELECT digit, n_obs,
+      |  CASE WHEN n > 0 THEN CAST(CAST(n_obs AS DOUBLE) / n AS REAL) END
       |    AS obs_share,
       |  CAST(expected AS REAL) AS benford_share,
       |  CAST(contrib AS REAL) AS contrib,
-      |  CAST(SUM(contrib) OVER () AS REAL) AS chi2
+      |  CASE WHEN n > 0 THEN CAST(SUM(contrib) OVER () AS REAL) END AS chi2
       |FROM x""".stripMargin
 
   /** TextRank keywords, FULL oracle — per-document integer PageRank
@@ -14499,7 +14509,11 @@ object SparkEntry {
   /** Cook's distance, FULL oracle — per-example OLS influence +
     * leverage over an integer fixture with injected outliers
     * (`operators/DataValuation.cooksDistance`): exact integer moments,
-    * closed-form hat diagonal, SSE from the moment identity; float4. */
+    * closed-form hat diagonal, SSE from the moment identity; float4.
+    * The engine's degenerate-input NULL contract (n &lt;= 2 or Cxx = 0)
+    * is MIRRORED as a CASE guard so a fixture change to a constant x
+    * or &lt;3 rows cannot silently diverge (oracle inf/NaN vs engine
+    * NULL — ADVICE r12). */
   private def cooksDistanceQ(s: SparkSession, dir: String): DataFrame =
     operators.DataValuation.cooksDistance(
       Tables.read(s, dir, "documents").select(col("doc_id"),
@@ -14524,17 +14538,18 @@ object SparkEntry {
       |        CAST(m.sx AS DOUBLE) / m.n AS mx,
       |        CAST(m.sy AS DOUBLE) / m.n AS my
       |      FROM r, m),
-      |g AS (SELECT id, x, y,
+      |g AS (SELECT id, x, y, nd, cxx,
       |        CAST(y AS DOUBLE) - (my - (cxy / cxx) * mx)
       |          - (cxy / cxx) * CAST(x AS DOUBLE) AS res,
       |        1.0 / nd + (CAST(x AS DOUBLE) - mx) *
       |          (CAST(x AS DOUBLE) - mx) / cxx AS lev,
       |        (cyy - (cxy / cxx) * cxy) / (nd - 2.0) AS s2
       |      FROM f)
-      |SELECT id, x, y, CAST(res AS REAL) AS residual,
-      |  CAST(lev AS REAL) AS leverage,
-      |  CAST(res * res * lev /
-      |    (2.0 * s2 * (1.0 - lev) * (1.0 - lev)) AS REAL) AS cook_d
+      |SELECT id, x, y,
+      |  CASE WHEN nd > 2 AND cxx > 0 THEN CAST(res AS REAL) END AS residual,
+      |  CASE WHEN nd > 2 AND cxx > 0 THEN CAST(lev AS REAL) END AS leverage,
+      |  CASE WHEN nd > 2 AND cxx > 0 THEN CAST(res * res * lev /
+      |    (2.0 * s2 * (1.0 - lev) * (1.0 - lev)) AS REAL) END AS cook_d
       |FROM g""".stripMargin
 
   // ======================================================================

@@ -369,7 +369,11 @@ object GraphAnalytics {
    * walk per node, the step-t coin for walk w drawn from
    * splitmix64(w * 1000003 + t) — reproducible, partition-order
    * independent, and replayable in SQL through the shared
-   * [[graft.functions.Mix64Sql]] chain. Neighbors are indexed by
+   * [[graft.functions.Mix64Sql]] chain. The key multiply WRAPS mod
+   * 2^64 (JVM Long semantics) for node ids above ~9.2e12 — by design,
+   * and the oracle matches because its key is computed in HUGEINT and
+   * folded mod 2^64 (the epochShuffle pattern), never as a checked
+   * BIGINT multiply (ADVICE r12). Neighbors are indexed by
    * (source, dst-rank), so `coin mod degree` picks the same edge in
    * both engines. Returns (wid, step, node) — the token stream a
    * skip-gram embedder consumes.
@@ -422,9 +426,19 @@ object GraphAnalytics {
    * (community, n_nodes, intra_edges, degree_sum, q_contrib_scaled,
    * q) with the global Q repeated per row.
    *
+   * Label-coverage contract (ADVICE r12): every edge endpoint MUST
+   * appear in `labels` — a partial labeling would silently deflate Q
+   * (intra-edges and degree sums inner-join the label table), so an
+   * uncovered endpoint is REFUSED up front, like the empty-edge-set
+   * case. Labeled nodes with no incident edge are fine: they carry
+   * d_c = 0 and e_c = 0, contribute exactly 0 to Newman's Q, and are
+   * deliberately not counted in `n_nodes` (which counts edge-incident
+   * members — the denominator 2m only sees degrees).
+   *
    * Scale shape: two equi-joins of the edge list against the label
    * table plus one degree aggregate — the same key-partitioned passes
-   * as the community detection that produced the labels.
+   * as the community detection that produced the labels (the coverage
+   * require is one more anti-join aggregate over the same keys).
    */
   def modularity(edges: DataFrame, labels: DataFrame, idCol: String,
                  labelCol: String): DataFrame = {
@@ -434,6 +448,12 @@ object GraphAnalytics {
         col(labelCol).cast("long").as("community"))
       val m = und.count()
       require(m > 0, "modularity of an empty edge set is undefined")
+      val uncovered = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id"))).distinct()
+        .join(lab.select(col("id")), Seq("id"), "left_anti").count()
+      require(uncovered == 0L,
+        s"modularity labels miss $uncovered edge endpoint(s); a partial " +
+          "labeling silently deflates Q — label every edge-incident node")
       val adj = und.select(col("a"), col("b"))
         .union(und.select(col("b").as("a"), col("a").as("b")))
       val degs = adj.groupBy(col("a").as("id"))

@@ -177,7 +177,10 @@ object LmFilter {
    * synthetic-data face of the perplexity filter: `numSeeds` walks of
    * `steps` tokens, each step drawing the successor of the current
    * token proportionally to its bigram count. The step-t coin for
-   * seed s is splitmix64(s * 1000003 + t); the draw lands in the
+   * seed s is splitmix64(s * 1000003 + t) — the key multiply wraps
+   * mod 2^64 (JVM Long semantics) and the oracle computes it in
+   * HUGEINT folded mod 2^64, so engines agree for ANY seed domain
+   * (ADVICE r12); the draw lands in the
    * successor's cumulative-count interval (dst-ordered window sum),
    * so every generated token is an exact integer decision both
    * engines replay. Seed s starts from the (s+1)-th most frequent

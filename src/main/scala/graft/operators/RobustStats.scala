@@ -61,7 +61,14 @@ object RobustStats {
   /** Nine rows (digit 1..9): observed count, observed share, Benford
     * expected share, chi-square contribution, and the total chi-square
     * statistic repeated on every row. Digits come from the integer
-    * cents rendering, so assignment is exact; shares/chi2 are float4. */
+    * cents rendering, so assignment is exact; shares/chi2 are float4.
+    *
+    * Degenerate-input contract (the [[graft.operators.DataValuation
+    * .cooksDistance]] convention): with ZERO qualifying rows (every
+    * value rounds to &lt;= 0 cents) the shares and chi-square are
+    * undefined, and obs_share/contrib/chi2 are emitted as EXPLICIT
+    * NULLs behind a `when(n &gt; 0)` guard — never a 0/0 whose NULL
+    * semantics the caller has to know (ADVICE r12). */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val cents = floor(col(valueCol).cast("double") * 100.0 + 0.5).cast("long")
     val digits = df.select(cents.as("c"))
@@ -72,16 +79,18 @@ object RobustStats {
       .join(digits, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val total = Window.partitionBy()
+    val defined = col("n") > 0
     all
       .withColumn("n", sum(col("n_obs")).over(total))
       .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
       .withColumn("contrib",
-        (col("n_obs") - col("n") * col("expected")) *
-          (col("n_obs") - col("n") * col("expected")) /
-          (col("n") * col("expected")))
-      .withColumn("chi2", sum(col("contrib")).over(total))
+        when(defined,
+          (col("n_obs") - col("n") * col("expected")) *
+            (col("n_obs") - col("n") * col("expected")) /
+            (col("n") * col("expected"))))
+      .withColumn("chi2", when(defined, sum(col("contrib")).over(total)))
       .select(col("digit"), col("n_obs"),
-        (col("n_obs").cast("double") / col("n")).cast("float")
+        when(defined, (col("n_obs").cast("double") / col("n")).cast("float"))
           .as("obs_share"),
         col("expected").cast("float").as("benford_share"),
         col("contrib").cast("float").as("contrib"),

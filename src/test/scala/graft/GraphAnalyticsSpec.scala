@@ -218,6 +218,24 @@ class GraphAnalyticsSpec extends SparkSpecBase {
     assert(q0 == 0f, s"single community must score exactly 0, got $q0")
   }
 
+  test("modularity refuses a partial labeling instead of deflating Q") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    // node 2 unlabeled: the inner joins would silently drop its edges
+    val partial = Seq((0L, 0L), (1L, 0L)).toDF("id", "community")
+    val e = intercept[IllegalArgumentException] {
+      GraphAnalytics.modularity(edges, partial, "id", "community").collect()
+    }
+    assert(e.getMessage.contains("1 edge endpoint"))
+    // a labeled isolated node is allowed: zero-degree, contributes 0
+    val extra = Seq((0L, 0L), (1L, 0L), (2L, 0L), (9L, 1L))
+      .toDF("id", "community")
+    val rows = GraphAnalytics.modularity(edges, extra, "id", "community")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L),
+      "isolated-only community must not appear in edge-incident rows")
+    assert(rows.head.getFloat(5) == 0f)
+  }
+
   test("katz: hand-computed one-iteration star scores, no degree dilution") {
     // 1 receives from 2 and 3 (whole scores, unlike pagerank's deg split)
     val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")

@@ -34,6 +34,19 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(uni > 100f, s"uniform chi2 $uni should be large")
   }
 
+  test("benford: zero qualifying rows emit explicit NULL stats, never 0/0") {
+    // every value rounds to <= 0 cents -> no digits at all: the 9 rows
+    // still come back, counts are 0, and obs_share/contrib/chi2 are
+    // EXPLICIT NULLs (the cooksDistance when-guard convention) while
+    // the data-free benford_share column stays populated
+    val out = RobustStats.benford(
+      Seq(0.004, 0.0, -3.5).toDF("value"), "value").collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getLong(1) == 0L))
+    assert(out.forall(r => r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(5)))
+    assert(out.forall(r => !r.isNullAt(3)))
+  }
+
   test("benford: digit extraction is decimal-exact, no log10 on values") {
     // 0.99 -> 99 cents -> digit 9; 1.0 -> 100 -> 1; 0.01 -> 1 -> 1
     val out = RobustStats.benford(
