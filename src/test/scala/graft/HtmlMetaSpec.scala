@@ -99,4 +99,54 @@ class HtmlMetaSpec extends SparkSpecBase {
     assert(out(2L) == ((0L, 0L, 0L, 0L, false)))
     assert(out(3L) == ((1L, 1L, 1L, 1L, false)))
   }
+
+  test("table stats: max_cols honors colspan in all three quote styles") {
+    import spark.implicits._
+    val pages = Seq(
+      // one <td colspan=5> is FIVE columns wide (the r12 verdict case)
+      (1L, "<table><tr><td colspan=5>wide</td></tr>" +
+        "<tr><td>a</td><td>b</td></tr></table>"),
+      (2L, "<table><tr><td colspan='3'>x</td><td>y</td></tr></table>"),
+      (3L, "<table><tr><th colspan=\"2\">h</th><th>i</th></tr></table>"),
+      // colspan=0 (span-the-colgroup) clamps to 1: no colgroup answer
+      (4L, "<table><tr><td colspan=0>z</td><td>w</td></tr></table>"))
+      .toDF("id", "html")
+    val out = pages.select(col("id"),
+        HtmlMeta.tableStats(col("html")).as("t"))
+      .select(col("id"), col("t.n_cells"), col("t.max_cols"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((3L, 5L)), out(1L).toString) // physical 3 cells, width 5
+    assert(out(2L) == ((2L, 4L)))
+    assert(out(3L) == ((2L, 3L)))
+    assert(out(4L) == ((2L, 2L)))
+  }
+
+  test("table cells: exploded rows, tag-stripped text, colspan width, header flag") {
+    import spark.implicits._
+    val page =
+      "<html><body><table class='x'>" +
+        "<tr><th colspan='2'>Team <b>name</b></th><th>Pts</th></tr>" +
+        "<tr><td>FC <i>Alpha</i></td><td>3</td><td colspan=2>note\n here</td></tr>" +
+        "</table><p>between</p><table>" +
+        "<tr><td>solo</td></tr>" +
+        "</table></body></html>"
+    val out = HtmlMeta.tableCells(Seq((7L, page)).toDF("id", "html"),
+        "id", "html")
+      .orderBy("table_idx", "row_idx").collect()
+    assert(out.length == 3)
+    val r0 = out(0)
+    assert((r0.getLong(1), r0.getLong(2)) == ((0L, 0L)))
+    assert(r0.getSeq[String](3) == Seq("Team name", "Pts"))
+    assert(r0.getLong(4) == 3L && r0.getBoolean(5))
+    val r1 = out(1)
+    assert(r1.getSeq[String](3) == Seq("FC Alpha", "3", "note here"))
+    assert(r1.getLong(4) == 4L && !r1.getBoolean(5))
+    val r2 = out(2)
+    assert((r2.getLong(1), r2.getLong(2)) == ((1L, 0L)))
+    assert(r2.getSeq[String](3) == Seq("solo") && r2.getLong(4) == 1L)
+    // a page with no table contributes nothing (explode drops it)
+    assert(HtmlMeta.tableCells(Seq((8L, "<p>none</p>")).toDF("id", "html"),
+      "id", "html").count() == 0L)
+  }
 }
