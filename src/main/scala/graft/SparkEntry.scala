@@ -14539,6 +14539,52 @@ object SparkEntry {
       |  SUM(CASE WHEN ny = y THEN 1 ELSE 0 END) * 2 < 10 AS suspect
       |FROM r WHERE rn <= 10 GROUP BY id, y""".stripMargin
 
+  /** Streaming label-noise audit, FULL oracle — the INGEST-TIME face
+    * of `label_noise_knn` (`streaming/StreamLabelNoise.scala`, the
+    * r12 verdict ask): every third embeddings row re-arrives as a
+    * "new" labeled example (fresh id; label FLIPPED on every 13th
+    * source row — the planted annotation noise), streams through the
+    * file source into a `foreachBatch` scorer probing the SAME cached
+    * nlists=16 IVF index the batch audit uses, and lands as
+    * (id, label, agree, suspect) parquet. No self-exclusion — the
+    * arrival is not in the index, while its indexed twin carrying the
+    * ORIGINAL label is, which is exactly what flags the flips. The
+    * oracle brute-forces every (arrival, reference) pair; scoring is
+    * per-row stateless, so the streamed rows equal the batch rows
+    * (`StreamLabelNoiseSpec` pins two-micro-batch continuity). */
+  private def streamLabelNoiseQ(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        when(col("vec_id") % 13 === 0, col("label") + 1)
+          .otherwise(col("label")).as("label"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sln_").toString
+    val q = streaming.StreamLabelNoise.run(ivfModel(s, dir), stream,
+      "vec_id", "embedding", "label", k = 10, s"$out/res", s"$out/ckpt")
+    q.awaitTermination()
+    s.read.parquet(s"$out/res")
+  }
+
+  private val streamLabelNoiseSql =
+    """WITH sn AS (SELECT vec_id + 1000000 AS id,
+      |    CASE WHEN vec_id % 13 = 0 THEN label + 1 ELSE label END AS y,
+      |    embedding
+      |  FROM embeddings WHERE vec_id % 3 = 0),
+      |d AS (SELECT s.id, s.y, b.vec_id AS nid, b.label AS ny,
+      |    list_distance(s.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      AS dist
+      |  FROM sn s, embeddings b),
+      |r AS (SELECT id, y, ny,
+      |        row_number() OVER (PARTITION BY id ORDER BY dist, nid)
+      |          AS rn
+      |      FROM d)
+      |SELECT id, CAST(y AS BIGINT) AS label,
+      |  CAST(SUM(CASE WHEN ny = y THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |  SUM(CASE WHEN ny = y THEN 1 ELSE 0 END) * 2 < 10 AS suspect
+      |FROM r WHERE rn <= 10 GROUP BY id, y""".stripMargin
+
   /** Dataset cartography, FULL oracle — per-example training dynamics
     * (confidence / variability / correctness across 6 GD epoch
     * snapshots, Swayamdipta et al. 2020;
@@ -14827,6 +14873,7 @@ object SparkEntry {
     "kcenter_coreset" -> (kcenterCoresetQ(_, _)),
     "cooks_distance" -> (cooksDistanceQ(_, _)),
     "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
+    "stream_label_noise" -> (streamLabelNoiseQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
@@ -15265,6 +15312,7 @@ object SparkEntry {
     "kcenter_coreset" -> kcenterCoresetSql,
     "cooks_distance" -> cooksDistanceSql,
     "label_noise_knn" -> labelNoiseKnnSql,
+    "stream_label_noise" -> streamLabelNoiseSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,
