@@ -124,6 +124,10 @@ object Bench {
     // (pass_at_k/best_of_n/brier ~ two-phase aggs, code_stats/
     // span_corrupt ~ stateless array scans, mi_tokens/burstiness/
     // zipf_fit ~ tfidf_hashed's explode+groupBy).
+    // r13 additions follow the same precedent: html_table_cells is a
+    // stateless regexp scan (charset_decode/text_stats time that family;
+    // its cost curve is a SCALE_BENCH row) and stream_label_noise's
+    // per-batch scorer IS the knnJoin family ivf_join_* already times.
     "sessionize")                                         // gap sessions: lag + cumsum + rollup
 
   /** Quiet-box calibration reference (seconds for the fixed splitmix64

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, size, sum}
 import graft.operators.HtmlMeta
 
 /** Head-metadata extraction over real-crawl HTML forms: the three
@@ -148,5 +148,44 @@ class HtmlMetaSpec extends SparkSpecBase {
     // a page with no table contributes nothing (explode drops it)
     assert(HtmlMeta.tableCells(Seq((8L, "<p>none</p>")).toDF("id", "html"),
       "id", "html").count() == 0L)
+  }
+
+  test("tableCells and tableStats agree on random well-formed pages") {
+    import spark.implicits._
+    // seeded random pages: 1-3 tables, 1-4 rows each, 1-4 cells per row,
+    // random colspans in all three quote styles, random nested markup —
+    // the extraction's row count and per-row widths must reproduce the
+    // stats' n_rows and max_cols exactly (two independent code paths)
+    val rnd = new scala.util.Random(42)
+    val pages = (0 until 12).map { id =>
+      val tables = (0 until (1 + rnd.nextInt(3))).map { _ =>
+        val rows = (0 until (1 + rnd.nextInt(4))).map { _ =>
+          val cells = (0 until (1 + rnd.nextInt(4))).map { _ =>
+            val tag = if (rnd.nextInt(4) == 0) "th" else "td"
+            val span = rnd.nextInt(4) match {
+              case 0 => s" colspan=${1 + rnd.nextInt(3)}"
+              case 1 => s" colspan='${1 + rnd.nextInt(3)}'"
+              case 2 => s" colspan=\"${1 + rnd.nextInt(3)}\""
+              case _ => ""
+            }
+            val txt = if (rnd.nextBoolean()) "a <b>x</b> c" else "plain"
+            s"<$tag$span>$txt</$tag>"
+          }.mkString
+          s"<tr>$cells</tr>"
+        }.mkString
+        s"<table>$rows</table>"
+      }.mkString
+      (id.toLong, s"<html><body>$tables</body></html>")
+    }.toDF("id", "html")
+    val stats = pages.select(col("id"), HtmlMeta.tableStats(col("html")).as("t"))
+      .select(col("id"), col("t.n_rows"), col("t.max_cols"), col("t.n_cells"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cells = HtmlMeta.tableCells(pages, "id", "html")
+      .groupBy("id").agg(count(lit(1)).as("rows"), max(col("width")).as("w"),
+        sum(size(col("cells"))).as("cells"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((id, s) <- stats) assert(cells(id) == s, s"page $id: ${cells(id)} vs $s")
   }
 }
