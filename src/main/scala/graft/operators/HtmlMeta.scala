@@ -193,25 +193,34 @@ object HtmlMeta {
         "$1colspan=\"$2\""),
       "(?i)(\\s)colspan\\s*=\\s*([^\\s>\"'][^\\s>]*)", "$1colspan=\"$2\"")
 
-  /** Column width of one cell's markup: the declared `colspan`
-    * (clamped to &gt;= 1 — HTML's colspan=0 "span the colgroup" form
-    * has no column answer without a colgroup, so it counts as 1), or
-    * 1 when undeclared. Expects colspan-normalized markup. */
+  /** Declared colspans are clamped into [1, 1000]: the WHATWG cap is
+    * 1000; colspan=0 ("span the colgroup") has no column answer
+    * without a colgroup so it counts as 1; and the digit match is
+    * BOUNDED at 9 digits so a hostile `colspan="999…"` (a 20-digit
+    * crawl artifact) can never reach an ANSI `cast` overthrow — an
+    * unparseable span just falls back to width 1. */
+  private val SpanMax = 1000L
+  private val SpanRe = "\\scolspan=\"(\\d{1,9})\""
+
+  /** Column width of one cell's markup: the clamped declared
+    * `colspan`, or 1 when undeclared/unparseable. Expects
+    * colspan-normalized markup. */
   private def cellWidth(cell: Column): Column = {
-    val sp = regexp_extract(cell, "(?i)\\scolspan=\"(\\d+)\"", 1)
-    when(sp === "", lit(1L)).otherwise(greatest(sp.cast("long"), lit(1L)))
+    val sp = regexp_extract(cell, s"(?i)$SpanRe", 1)
+    when(sp === "", lit(1L))
+      .otherwise(least(greatest(sp.cast("long"), lit(1L)), lit(SpanMax)))
   }
 
   /** Row width honoring colspan: one column per plain cell plus the
-    * declared spans (each clamped &gt;= 1). Expects colspan-normalized
-    * row markup. */
+    * clamped declared spans. Expects colspan-normalized row markup. */
   private def rowWidth(r: Column): Column = {
     val spans = regexp_extract_all(r,
-      lit("(?is)<t[dh]\\b[^>]*?\\scolspan=\"(\\d+)\""), lit(1))
+      lit(s"(?is)<t[dh]\\b[^>]*?$SpanRe"), lit(1))
     size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long") -
       size(spans).cast("long") +
       aggregate(spans, lit(0L),
-        (acc, s) => acc + greatest(s.cast("long"), lit(1L)))
+        (acc, s) => acc + least(greatest(s.cast("long"), lit(1L)),
+          lit(SpanMax)))
   }
 
   /** Table-structure stats of one page — the signal table-heavy pages
