@@ -44,12 +44,20 @@ object Hls {
         val uri = !line.startsWith("#") && length(line) > 0
         val pending = acc.getField("pend") >= 0
         // regexp_extract yields "" on no match — null it BEFORE the cast
-        // (ANSI mode refuses ''-to-number); a malformed duration reads 0
+        // (ANSI mode refuses ''-to-number); a malformed duration reads 0.
+        // Numeric matches are BOUNDED with a boundary lookahead (the
+        // HtmlMeta colspan convention): an unbounded [0-9]+ would let a
+        // hostile 20-digit bandwidth throw the whole scan through the
+        // ANSI bigint cast, and [0-9.]+ would match "1.2.3" straight
+        // into an ANSI double-cast error — both now simply fail the
+        // match and read as 0.
         val dur = coalesce(
-          nullif(regexp_extract(line, "^#EXTINF:([0-9.]+)", 1), lit(""))
+          nullif(regexp_extract(line,
+            "^#EXTINF:([0-9]{1,9}(?:\\.[0-9]{1,9})?)(?![0-9.])", 1), lit(""))
             .cast("double"), lit(0.0))
         val bw = coalesce(
-          nullif(regexp_extract(line, "BANDWIDTH=([0-9]+)", 1), lit(""))
+          nullif(regexp_extract(line, "BANDWIDTH=([0-9]{1,15})(?![0-9])", 1),
+            lit(""))
             .cast("bigint"), lit(0L))
         struct(
           when(extinf, dur).when(uri, lit(-1.0))
@@ -70,7 +78,7 @@ object Hls {
     // comment or URI must not read as the target duration
     val target = coalesce(
       nullif(regexp_extract(col(textCol),
-        "(?m)^#EXT-X-TARGETDURATION:([0-9]+)", 1),
+        "(?m)^#EXT-X-TARGETDURATION:([0-9]{1,9})(?![0-9])", 1),
         lit("")).cast("bigint"), lit(0L))
     df.select(col(idCol),
       when(!header, lit("invalid"))

@@ -79,6 +79,35 @@ class HlsSpec extends SparkSpecBase {
     assert(t2._4 == 7L)
   }
 
+  test("hostile numerics never throw under ANSI: overlong digits, multi-dot durations") {
+    // a 20-digit bandwidth, a 20-digit target duration, and a "1.2.3"
+    // duration must all fail the BOUNDED match and read as 0 — before
+    // the digit bounds, each reached an ANSI cast error and killed the
+    // whole scan (the HtmlMeta colspan bug class)
+    val t = parse(
+      """#EXTM3U
+        |#EXT-X-TARGETDURATION:99999999999999999999
+        |#EXTINF:1.2.3,
+        |a.ts
+        |#EXTINF:4.0,
+        |b.ts""".stripMargin)
+    // the malformed EXTINF reads duration 0 but still pairs its URI
+    assert(t == (("media", 2L, 4.0, 0L, 0L, 0L)), t.toString)
+    val m = parse(
+      """#EXTM3U
+        |#EXT-X-STREAM-INF:BANDWIDTH=99999999999999999999
+        |v0.m3u8
+        |#EXT-X-STREAM-INF:BANDWIDTH=700000
+        |v1.m3u8""".stripMargin)
+    assert(m == (("master", 0L, 0.0, 0L, 2L, 700000L)), m.toString)
+    // boundary sanity: 15-digit bandwidths still parse whole
+    val big = parse(
+      s"""#EXTM3U
+         |#EXT-X-STREAM-INF:BANDWIDTH=999999999999999
+         |v.m3u8""".stripMargin)
+    assert(big._6 == 999999999999999L)
+  }
+
   test("parse is UDF-free and scan-shaped") {
     val df = Seq((1L, "#EXTM3U\n")).toDF("id", "pl")
     val plan = Hls.parse(df, "id", "pl").queryExecution.executedPlan.toString
