@@ -208,18 +208,22 @@ object Bench {
     * metaFileJson). The META line prints FIRST (sacrificed first if the
     * driver's 2000-char tail ever fills), the MAIN line LAST so it
     * always sits whole inside the tail; the FILE carries the complete
-    * named spread map + calibration history. */
+    * named spread map + the full calibration history — including the
+    * MID bracket that triggered a salvage, so "salvaged=12 but the
+    * final bracket looks quiet" stays self-explaining (the box drifted
+    * mid-run and settled during the salvage). `drift` in the file is
+    * the TRIGGERING ratio (before vs mid when a mid bracket exists). */
   private[graft] def buildArtifacts(results: Seq[Measure], runs: Int,
-                                    calibBefore: Double, calibAfter: Double,
+                                    calibBefore: Double, calibMid: Option[Double],
+                                    calibAfter: Double,
                                     salvaged: Seq[String], sfDir: String): (String, String, String) = {
     val qs = results.map(m => "\"" + m.name + "\":" + f2(m.min)).mkString("{", ",", "}")
     val total = results.collect { case m if m.min >= 0 => m.min }.sum
     val calibMean = (calibBefore + calibAfter) / 2.0
     val totalNorm = if (calibMean > 0) total * calibRef / calibMean else total
-    val drift =
-      if (math.min(calibBefore, calibAfter) > 0)
-        math.max(calibBefore, calibAfter) / math.min(calibBefore, calibAfter)
-      else 1.0
+    def ratio(a: Double, b: Double): Double =
+      if (math.min(a, b) > 0) math.max(a, b) / math.min(a, b) else 1.0
+    val drift = ratio(calibBefore, calibMid.getOrElse(calibAfter))
 
     // top-N noisiest rows, named, for the printed line (desc by pct,
     // then by absolute spread-seconds so capped rows order sensibly)
@@ -234,10 +238,13 @@ object Bench {
       s""""runs":$runs,"total_norm":${f4(totalNorm)},"sf":"$sfDir"}"""
 
     val spreadAll = results.map(m => "\"" + m.name + "\":" + m.pct).mkString("{", ",", "}")
+    val calibFull = s""""calib_sec":{"before":${f2(calibBefore)}""" +
+      calibMid.map(m => s""","mid":${f2(m)}""").getOrElse("") +
+      s""","after":${f2(calibAfter)},"ref":${f2(calibRef)}}"""
     val fileJson = s"""{"metric":"bench_meta_full","runs":$runs,""" +
       s""""spread_pct":$spreadAll,""" +
       s""""salvaged":${salvaged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s"""$calib,"drift":${f2(drift)},""" +
+      s"""$calibFull,"drift":${f2(drift)},""" +
       s""""total":${f4(total)},"total_norm":${f4(totalNorm)},"sf":"$sfDir"}"""
     (metaLine, mainLine, fileJson)
   }
@@ -318,6 +325,7 @@ object Bench {
       }
     }
     var calibAfter = calibrate()
+    var calibMid: Option[Double] = None
 
     // SALVAGE PASS (r12 verdict ask): the calibration bracket moved >15%
     // during the suite — the box drifted mid-run, so the noisiest heavy
@@ -331,6 +339,7 @@ object Bench {
       System.err.println(s"[bench] calib drift ${f2(calibBefore)} -> ${f2(calibAfter)}; " +
         s"salvage re-timing ${names.size} queries: ${names.mkString(",")}")
       val byName = names.toSet
+      calibMid = Some(calibAfter) // the TRIGGERING bracket, kept for the file
       results = results.map { m =>
         if (byName(m.name))
           m.copy(times = m.times ++
@@ -353,7 +362,7 @@ object Bench {
     // fit the tail). `BenchShapeSpec` pins all three budgets/shapes
     // against the actual headline list.
     val (metaLine, mainLine, fileJson) =
-      buildArtifacts(results, runs, calibBefore, calibAfter, salvaged, sfDir)
+      buildArtifacts(results, runs, calibBefore, calibMid, calibAfter, salvaged, sfDir)
     if (mainLine.length + metaLine.length > 1900)
       System.err.println(s"[bench] WARNING: main ${mainLine.length} + meta ${metaLine.length} chars — meta may truncate in driver tail")
     try {

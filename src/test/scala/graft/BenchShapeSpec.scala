@@ -70,13 +70,13 @@ class BenchShapeSpec extends AnyFunSuite {
 
   test("buildArtifacts: three valid JSON artifacts with the pinned keys") {
     val (meta, main, file) =
-      Bench.buildArtifacts(measures, 5, 0.22, 0.29, Seq("alpha"), "/tmp/sf")
+      Bench.buildArtifacts(measures, 5, 0.22, Some(0.29), 0.23, Seq("alpha"), "/tmp/sf")
     val m = mapper.readTree(meta)
     assert(m.get("metric").asText == "bench_meta")
     assert(m.get("salvaged").asInt == 1)
     assert(m.get("file").asText == Bench.metaFileName)
     assert(m.get("calib_sec").get("before").asDouble == 0.22)
-    assert(m.get("calib_sec").get("after").asDouble == 0.29)
+    assert(m.get("calib_sec").get("after").asDouble == 0.23) // post-salvage bracket
     assert(m.get("calib_sec").get("ref").asDouble == Bench.calibRef)
 
     val j = mapper.readTree(main)
@@ -85,19 +85,29 @@ class BenchShapeSpec extends AnyFunSuite {
     assert(j.get("queries").fieldNames.asScala.toSeq == measures.map(_.name))
     // total sums only successful mins: 1.0 + 0.5 + 0.1 + 0.05
     assert(math.abs(j.get("value").asDouble - 1.65) < 1e-9)
-    // total_norm = total * calibRef / mean(before, after)
-    val expectNorm = 1.65 * Bench.calibRef / ((0.22 + 0.29) / 2.0)
+    // total_norm = total * calibRef / mean(before, FINAL after)
+    val expectNorm = 1.65 * Bench.calibRef / ((0.22 + 0.23) / 2.0)
     assert(math.abs(j.get("total_norm").asDouble - expectNorm) < 2e-3)
 
     val f = mapper.readTree(file)
     assert(f.get("metric").asText == "bench_meta_full")
     assert(f.get("salvaged").get(0).asText == "alpha")
+    // the file keeps the TRIGGERING mid bracket and derives drift from
+    // it, so a salvage followed by a settled box stays self-explaining
+    assert(f.get("calib_sec").get("mid").asDouble == 0.29)
     assert(math.abs(f.get("drift").asDouble - 0.29 / 0.22) < 5e-3)
     assert(f.get("total_norm").asDouble == j.get("total_norm").asDouble)
   }
 
+  test("without a salvage there is no mid bracket; drift reads before-vs-after") {
+    val (_, _, file) = Bench.buildArtifacts(measures, 5, 0.22, None, 0.26, Nil, "x")
+    val f = mapper.readTree(file)
+    assert(f.get("calib_sec").get("mid") == null)
+    assert(math.abs(f.get("drift").asDouble - 0.26 / 0.22) < 5e-3)
+  }
+
   test("file spread_pct is an OBJECT keyed by every query name (judge ask r12)") {
-    val (_, _, file) = Bench.buildArtifacts(measures, 5, 0.22, 0.22, Nil, "x")
+    val (_, _, file) = Bench.buildArtifacts(measures, 5, 0.22, None, 0.22, Nil, "x")
     val sp = mapper.readTree(file).get("spread_pct")
     assert(sp.isObject, "spread_pct must be a name-keyed object, not a positional array")
     assert(sp.fieldNames.asScala.toSeq == measures.map(_.name))
@@ -110,7 +120,7 @@ class BenchShapeSpec extends AnyFunSuite {
   test("printed spread_top names the noisiest rows, capped at spreadTopN") {
     val many = (1 to 10).map(i =>
       Bench.Measure(s"q$i", Seq(1.0, 1.0 + i * 0.1))) // pct 10,20,...,99
-    val (meta, _, _) = Bench.buildArtifacts(many, 2, 0.22, 0.22, Nil, "x")
+    val (meta, _, _) = Bench.buildArtifacts(many, 2, 0.22, None, 0.22, Nil, "x")
     val top = mapper.readTree(meta).get("spread_top")
     val names = top.fieldNames.asScala.toSeq
     assert(names.length == Bench.spreadTopN)
