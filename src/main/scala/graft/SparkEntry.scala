@@ -5991,6 +5991,47 @@ object SparkEntry {
       |  END AS INT) AS allowed
       |FROM documents""".stripMargin
 
+  /** Robots.txt sitemap DISCOVERY, FULL oracle — the hop connecting
+    * `robots_filter` to `sitemap_parse` (`operators/Robots
+    * .sitemapDiscovery`): per host the declared `Sitemap:` URLs in
+    * document order. Fixture robots files mix field-name case
+    * (Sitemap/sitemap/SITEMAP), a no-space `SITEMAP:` separator, a
+    * trailing `#` comment on the value line, and a decoy
+    * "Sitemapfoo:" field that must NOT match; every third host also
+    * exercises the conditional second/third line so the position
+    * arithmetic is real. Closed-form oracle over the host scaffold. */
+  private def robotsSitemapsQ(s: SparkSession, dir: String): DataFrame = {
+    val hid = col("hid")
+    val txt = concat(
+      lit("# robots for h"), hid,
+      lit("\nUser-agent: *\nDisallow: /private\n"),
+      lit("Sitemap: https://h"), hid, lit(".example/sitemap.xml\n"),
+      when(hid % 2 === 0, concat(lit("sitemap: https://h"), hid,
+        lit(".example/news-"), hid % 3, lit(".xml\n"))).otherwise(lit("")),
+      lit("Sitemapfoo: https://bad.example/decoy.xml\n"),
+      when(hid % 5 === 0, concat(lit("SITEMAP:https://h"), hid,
+        lit(".example/extra.xml # from the index\n"))).otherwise(lit("")))
+    val robots = Tables.read(s, dir, "documents")
+      .select((col("doc_id") % 20).as("hid")).distinct()
+      .select(concat(lit("h"), hid).as("host"), txt.as("robots_txt"))
+    operators.Robots.sitemapDiscovery(robots)
+  }
+
+  private val robotsSitemapsSql =
+    """WITH h AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents)
+      |SELECT 'h' || hid AS host, CAST(0 AS BIGINT) AS pos,
+      |  'https://h' || hid || '.example/sitemap.xml' AS sitemap_url
+      |FROM h
+      |UNION ALL
+      |SELECT 'h' || hid, CAST(1 AS BIGINT),
+      |  'https://h' || hid || '.example/news-' || (hid % 3) || '.xml'
+      |FROM h WHERE hid % 2 = 0
+      |UNION ALL
+      |SELECT 'h' || hid,
+      |  CAST(CASE WHEN hid % 2 = 0 THEN 2 ELSE 1 END AS BIGINT),
+      |  'https://h' || hid || '.example/extra.xml'
+      |FROM h WHERE hid % 5 = 0""".stripMargin
+
   /** Charset detection + transcoding, FULL oracle — the byte-to-text
     * step between [[warcIngest]] and every text operator
     * (`operators/Charset.scala`): per doc a payload drawn from five
@@ -14922,6 +14963,7 @@ object SparkEntry {
     "audio_aiff" -> (audioAiff(_, _)),
     "audio_au" -> (audioAu(_, _)),
     "robots_filter" -> (robotsFilter(_, _)),
+    "robots_sitemaps" -> (robotsSitemapsQ(_, _)),
     "charset_decode" -> (charsetDecode(_, _)),
     "text_normalize" -> (textNormalize(_, _)),
     "url_idn" -> (urlIdn(_, _)),
@@ -15361,6 +15403,7 @@ object SparkEntry {
     "audio_aiff" -> audioAiffSql,
     "audio_au" -> audioAuSql,
     "robots_filter" -> robotsFilterSql,
+    "robots_sitemaps" -> robotsSitemapsSql,
     "charset_decode" -> charsetDecodeSql,
     "text_normalize" -> textNormalizeSql,
     "url_idn" -> urlIdnSql,

@@ -183,4 +183,34 @@ object Robots {
           .otherwise(decide(col("__rules"), col(pathCol))))
       .drop("__rules")
   }
+
+  /** Sitemap DISCOVERY — the hop that connects [[filterUrls]] to
+    * [[Sitemap]]: `Sitemap:` lines in robots.txt are how a crawler
+    * learns where a site's sitemaps live in the first place
+    * (sitemaps.org protocol; RFC 9309 carries the field through as a
+    * global, NON-group member — it applies regardless of which
+    * user-agent group surrounds it, which is why this is a separate
+    * pass from the group walk above). Field name case-insensitive,
+    * `#` comments stripped with the same rule as the group parser,
+    * the value is the first non-space run (URIs carry no spaces), and
+    * a field name that merely STARTS with "sitemap" (e.g.
+    * "Sitemapfoo:") does not match.
+    *
+    * Output: one row per declared sitemap — (host, pos, sitemap_url),
+    * pos = the line's rank among the file's sitemap lines, document
+    * order. Zero-UDF regexp algebra over the line array, so an oracle
+    * replays it; hosts declaring none emit nothing (posexplode drops
+    * the empty array). Scale shape: a stateless scan of the per-host
+    * robots table (tiny by construction). */
+  def sitemapDiscovery(robots: DataFrame, hostCol: String = "host",
+                       textCol: String = "robots_txt"): DataFrame = {
+    val urls = filter(
+      transform(split(col(textCol), "\n"),
+        l => regexp_extract(regexp_replace(l, "#.*", ""),
+          "(?i)^\\s*sitemap\\s*:\\s*(\\S+)", 1)),
+      u => u =!= "")
+    robots.select(col(hostCol).as("host"), posexplode(urls))
+      .select(col("host"), col("pos").cast("long").as("pos"),
+        col("col").as("sitemap_url"))
+  }
 }

@@ -116,4 +116,24 @@ class CrawlFrontierSpec extends SparkSpecBase {
     val shuffles = "Exchange".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected 1 shuffle, saw $shuffles:\n$plan")
   }
+
+  test("robots sitemap discovery: case, comments, decoy fields, document order") {
+    import graft.operators.Robots
+    val robots = Seq(
+      ("a.test",
+        "# hdr\nUser-agent: *\nDisallow: /x\n" +
+          "Sitemap: https://a.test/s1.xml\n" +
+          "sitemap:https://a.test/s2.xml # trailing comment\n" +
+          "Sitemapfoo: https://bad.example/decoy.xml\n" +
+          "  SITEMAP :  https://a.test/s3.xml\n"),
+      ("b.test", "User-agent: *\nDisallow: /\n"), // declares none
+      ("c.test", "#Sitemap: https://c.test/commented-out.xml\n"))
+      .toDF("host", "robots_txt")
+    val out = Robots.sitemapDiscovery(robots).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(out.toSeq == Seq(
+      ("a.test", 0L, "https://a.test/s1.xml"),
+      ("a.test", 1L, "https://a.test/s2.xml"),
+      ("a.test", 2L, "https://a.test/s3.xml")), out.mkString(";"))
+  }
 }
