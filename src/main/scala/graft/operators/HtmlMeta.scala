@@ -234,7 +234,9 @@ object HtmlMeta {
     * the physical cell-element count. */
   def tableStats(html: Column): Column = {
     val n = normalizeColspanQuotes(html)
-    val rows = regexp_extract_all(n, lit("(?is)<tr[^>]*>(.*?)</tr>"),
+    // closing-tag whitespace (</tr >) is legal markup; the row regex
+    // must match tableCells' exactly or the two paths diverge on it
+    val rows = regexp_extract_all(n, lit("(?is)<tr[^>]*>(.*?)</tr\\s*>"),
       lit(1))
     val cellsOf = (r: Column) =>
       size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
