@@ -121,4 +121,25 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Ebml.Track(1, 1, "V_VP9", pixelWidth = 640, pixelHeight = 480)))
     sweep("webm", Ebml.encodeWebm(meta), Ebml.probeWebm)
   }
+
+  test("Avro container probe survives exhaustive truncation and bit flips") {
+    // a FOREIGN stream (the Avro reference writer from the Spark jars),
+    // null codec so the sweep covers the framing walk, not the codec
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"t","fields":[
+        |{"name":"id","type":"long"},{"name":"s","type":"string"}]}"""
+        .stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out, Array.tabulate[Byte](16)(_.toByte))
+    (0 until 5).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong); r.put("s", s"row$i")
+      w.append(r)
+    }
+    w.close()
+    sweep("avro", out.toByteArray, AvroContainer.parse)
+  }
 }

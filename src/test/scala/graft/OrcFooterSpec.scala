@@ -67,4 +67,25 @@ class OrcFooterSpec extends SparkSpecBase {
     val t = OrcFooter.parseFile(scrub.toString).get
     assert(t.numRows == 20000L && t.fieldNames.length == 3)
   }
+
+  test("tail parse survives exhaustive truncation and bit flips (fuzz sweep)") {
+    // the DecoderFuzzSpec contract for the one probe that reads from a
+    // path: every strict prefix and every low-bit flip goes through a
+    // temp file; the parse may refuse (None) but must never throw
+    val path = writeOne("none", 25)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(OrcFooter.parseFile(path).isDefined)
+    val tmp = java.nio.file.Files.createTempFile("orc_fuzz", ".orc")
+    def run(b: Array[Byte], what: String): Unit = {
+      java.nio.file.Files.write(tmp, b)
+      try OrcFooter.parseFile(tmp.toString)
+      catch { case e: Throwable =>
+        fail(s"orc $what threw ${e.getClass.getName}: ${e.getMessage}") }
+    }
+    for (n <- 0 until bytes.length) run(bytes.take(n), s"truncation at $n")
+    for (i <- bytes.indices) {
+      val c = bytes.clone(); c(i) = (c(i) ^ 1).toByte
+      run(c, s"bit flip at $i")
+    }
+  }
 }
