@@ -588,6 +588,21 @@ object SparkEntry {
 
   private val ivfKnnExactSql = vL2KnnSql // identical contract to brute force
 
+  /** IVF incremental maintenance under the exhaustive oracle (the
+    * `hnsw_insert_exact` sibling, r13): build on the even half, route
+    * the odd half to existing centroids via `Ivf.insert` (no refit),
+    * and an all-lists probe must equal brute force over the FULL
+    * corpus — a misrouted insert or a dropped posting entry breaks the
+    * hash. */
+  private def ivfInsertExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val base = operators.Ivf.build(e.filter(col("vec_id") % 2 === 0),
+      "embedding", nlists = 8, seed = 42L)
+    val full = operators.Ivf.insert(base, e.filter(col("vec_id") % 2 === 1))
+    full.search(qvec(s, dir), k = 10, nprobe = 8)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   /** vec_join: all pairs within L2 threshold 1.2 (~1% of pairs). */
   private def vecJoinPairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -14715,6 +14730,7 @@ object SparkEntry {
     "va_sum" -> (vaSum(_, _)),
     "va_minmax" -> (vaMinMax(_, _)),
     "ivf_knn_exact" -> (ivfKnnExact(_, _)),
+    "ivf_insert_exact" -> (ivfInsertExact(_, _)),
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
@@ -15140,6 +15156,7 @@ object SparkEntry {
     "va_sum" -> vaSumSql,
     "va_minmax" -> vaMinMaxSql,
     "ivf_knn_exact" -> ivfKnnExactSql,
+    "ivf_insert_exact" -> vL2KnnSql, // maintained index == brute force
     // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force
