@@ -603,6 +603,24 @@ object SparkEntry {
       .select(col("vec_id"), round(col("distance"), 6).as("dist"))
   }
 
+  /** IVF deletion under the same oracle (the `hnsw_delete_exact`
+    * sibling, r13): plant 20 distance-0 decoy twins of the first 20
+    * originals (shifted ids — they would crowd the true top-k), build
+    * with them in the posting lists, delete them, and the exhaustive
+    * probe must again equal brute force over the ORIGINAL corpus — a
+    * leaked posting entry breaks the hash. */
+  private def ivfDeleteExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.Ivf.build(e.unionByName(decoys),
+      "embedding", nlists = 8, seed = 42L)
+    val cleaned = operators.Ivf.delete(planted, "vec_id",
+      (0L until 20L).map(_ + 5000000L))
+    cleaned.search(qvec(s, dir), k = 10, nprobe = 8)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   /** vec_join: all pairs within L2 threshold 1.2 (~1% of pairs). */
   private def vecJoinPairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -14731,6 +14749,7 @@ object SparkEntry {
     "va_minmax" -> (vaMinMax(_, _)),
     "ivf_knn_exact" -> (ivfKnnExact(_, _)),
     "ivf_insert_exact" -> (ivfInsertExact(_, _)),
+    "ivf_delete_exact" -> (ivfDeleteExact(_, _)),
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
@@ -15157,6 +15176,7 @@ object SparkEntry {
     "va_minmax" -> vaMinMaxSql,
     "ivf_knn_exact" -> ivfKnnExactSql,
     "ivf_insert_exact" -> vL2KnnSql, // maintained index == brute force
+    "ivf_delete_exact" -> vL2KnnSql, // decoys deleted == original brute force
     // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force

@@ -257,6 +257,19 @@ object Ivf {
       .repartition(col("cluster_id")))
   }
 
+  /** Incremental deletion (the DELETE-on-an-indexed-table analog,
+    * [[insert]]'s inverse): drop the rows from their posting lists —
+    * no refit, no tombstones (Spark rewrites the routed partitions on
+    * the next [[writePartitioned]]). Centroids keep their positions,
+    * same drift contract as [[insert]]. The literal `isin` suits
+    * DML-sized batches; join [[IvfModel.assigned]] against an id
+    * DataFrame (anti-join) for bulk purges instead. */
+  def delete(model: IvfModel, idCol: String, ids: Seq[Long]): IvfModel = {
+    require(ids.nonEmpty, "empty deletion batch")
+    model.copy(assigned =
+      model.assigned.filter(!col(idCol).isin(ids: _*)))
+  }
+
   /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */
   def build(df: DataFrame, vecCol: String, nlists: Int = 100, seed: Long = 42L,
             maxIter: Int = 20): IvfModel = {

@@ -133,4 +133,24 @@ class KnnIvfSpec extends SparkSpecBase {
     val ivf = model.search(qv, k = 5, nprobe = 8).select("vec_id").as[Long].collect().toSet
     assert(ivf == exact)
   }
+
+  test("Ivf.delete drops posting entries; distance-0 decoys stop shadowing top-k") {
+    val old = emb.filter($"vec_id" < 200)
+    // decoy twins of the first 5 vectors at shifted ids: distance 0 to
+    // their originals, so they WOULD enter any top-k near those points
+    val decoys = emb.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 900000L)
+    val planted = Ivf.build(old.unionByName(decoys), "embedding",
+      nlists = 8, seed = 42L)
+    val cleaned = Ivf.delete(planted, "vec_id", (0L until 5L).map(_ + 900000L))
+    assert(cleaned.assigned.count() == 200)
+    val qv = Tables.queryVector(spark, "/root/testdata/sf0.001", 0L)
+    val exact = Knn.search(old, "embedding", qv, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = cleaned.search(qv, k = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == exact)
+    assert(got.forall(_ < 900000L), s"decoy leaked: $got")
+    intercept[IllegalArgumentException](Ivf.delete(planted, "vec_id", Nil))
+  }
 }
