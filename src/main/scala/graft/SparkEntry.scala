@@ -571,6 +571,36 @@ object SparkEntry {
       .select(col("vec_id"), round(col("distance"), 6).as("dist"))
   }
 
+  /** IVFADC maintenance under the exhaustive oracle (r13, completing
+    * the insert/delete triple across all three index families): build
+    * on the even half, insert the odd half (existing centroids +
+    * existing codebook — no refit), and the exhaustive dial (all
+    * lists, corpus-sized rerank pool) must equal brute force over the
+    * full corpus; the delete face plants 20 distance-0 decoy twins,
+    * deletes them, and must equal brute force over the originals. */
+  private def ivfpqInsertExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val base = operators.IvfPq.build(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlists = 8, m = 8, seed = 42L)
+    val full = operators.IvfPq.insert(base, e.filter(col("vec_id") % 2 === 1))
+    operators.IvfPq.search(full, qvec(s, dir), k = 10, nprobe = 8,
+        rerankPool = full.encoded.count().toInt)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
+  private def ivfpqDeleteExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.IvfPq.build(e.unionByName(decoys),
+      "vec_id", "embedding", nlists = 8, m = 8, seed = 42L)
+    val cleaned = operators.IvfPq.delete(planted,
+      (0L until 20L).map(_ + 5000000L))
+    operators.IvfPq.search(cleaned, qvec(s, dir), k = 10, nprobe = 8,
+        rerankPool = cleaned.encoded.count().toInt)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   /** HNSW serve-path probe at the reference defaults (k=10, ef=64) —
     * rows-only: the walk is approximate by contract; recall evidence is
     * `hnsw_ann_recall`. */
@@ -14750,6 +14780,8 @@ object SparkEntry {
     "ivf_knn_exact" -> (ivfKnnExact(_, _)),
     "ivf_insert_exact" -> (ivfInsertExact(_, _)),
     "ivf_delete_exact" -> (ivfDeleteExact(_, _)),
+    "ivfpq_insert_exact" -> (ivfpqInsertExact(_, _)),
+    "ivfpq_delete_exact" -> (ivfpqDeleteExact(_, _)),
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
@@ -15177,6 +15209,8 @@ object SparkEntry {
     "ivf_knn_exact" -> ivfKnnExactSql,
     "ivf_insert_exact" -> vL2KnnSql, // maintained index == brute force
     "ivf_delete_exact" -> vL2KnnSql, // decoys deleted == original brute force
+    "ivfpq_insert_exact" -> vL2KnnSql, // exhaustive IVFADC == brute force
+    "ivfpq_delete_exact" -> vL2KnnSql,
     // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force

@@ -67,6 +67,34 @@ object IvfPq {
       .drop("cluster_id")
   }
 
+  /** Incremental maintenance ([[Ivf.insert]]'s IVFADC form): new rows
+    * route to their nearest EXISTING coarse centroid and encode with
+    * the EXISTING PQ codebook — no refit of either quantizer. Both
+    * drift from optimal as data accumulates; the rebuild trigger is
+    * the same `Ivf.statistics().imbalance` dial, plus rising ADC
+    * reconstruction error on inserted batches. */
+  def insert(model: IvfPqModel, df: DataFrame): IvfPqModel = {
+    // route ONLY the new rows (an empty-assigned shell reuses Ivf's
+    // argmin routing verbatim, so insert semantics cannot diverge)
+    val routedNew = Ivf.insert(
+      model.ivf.copy(assigned = model.ivf.assigned.limit(0)), df).assigned
+    val encodedNew = Pq.encodeTable(routedNew, model.ivf.vecCol, model.codebook)
+    model.copy(
+      ivf = model.ivf.copy(
+        assigned = model.ivf.assigned.unionByName(routedNew)),
+      encoded = model.encoded.unionByName(encodedNew))
+  }
+
+  /** Incremental deletion ([[Ivf.delete]]'s IVFADC form): drop the
+    * rows from both the raw posting lists and the code table. Literal
+    * `isin` suits DML-sized batches; anti-join for bulk purges. */
+  def delete(model: IvfPqModel, ids: Seq[Long]): IvfPqModel = {
+    require(ids.nonEmpty, "empty deletion batch")
+    model.copy(
+      ivf = Ivf.delete(model.ivf, model.idCol, ids),
+      encoded = model.encoded.filter(!col(model.idCol).isin(ids: _*)))
+  }
+
   /** Persist the IVFADC index: codes partitioned by cluster id (probes
     * prune at the FILE level), centroids and the PQ codebook as tiny side
     * tables — the serving layout where the scanned bytes per probe are

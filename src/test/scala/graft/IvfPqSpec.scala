@@ -38,4 +38,24 @@ class IvfPqSpec extends SparkSpecBase {
     val dists = IvfPq.search(model, q, k = 10).select("distance").as[Double].collect()
     assert(dists.sameElements(dists.sorted))
   }
+
+  test("insert encodes with the EXISTING codebook; delete purges codes too") {
+    val base = IvfPq.build(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      nlists = 8, m = 8)
+    val grown = IvfPq.insert(base, emb.filter($"vec_id" >= 300 && $"vec_id" < 350))
+    assert(grown.encoded.count() == 350 && grown.ivf.assigned.count() == 350)
+    // the codebook object is UNCHANGED (no refit) — same reference
+    assert(grown.codebook eq base.codebook)
+    // exhaustive dial over the maintained index == brute force over 350
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 320L)
+    val exact = Knn.search(emb.filter($"vec_id" < 350), "embedding", q, k = 5,
+      tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect()
+    val got = IvfPq.search(grown, q, k = 5, nprobe = 8, rerankPool = 350)
+      .select("vec_id").as[Long].collect()
+    assert(got.sameElements(exact))
+    // delete the inserted rows: back to the base corpus exactly
+    val purged = IvfPq.delete(grown, (300L until 350L).toSeq)
+    assert(purged.encoded.count() == 300 && purged.ivf.assigned.count() == 300)
+    intercept[IllegalArgumentException](IvfPq.delete(grown, Nil))
+  }
 }
