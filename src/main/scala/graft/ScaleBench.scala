@@ -858,11 +858,14 @@ object ScaleBench {
       // r13: table-cell extraction is a stateless per-page regexp scan
       // (posexplode over <table>/<tr> blocks + a transform/aggregate per
       // row) — the curve should be linear in pages, zero shuffles.
+      // r14: the fixture carries a rowspan so the priced scan includes
+      // the per-table layout fold (carry + start-column assignment).
       // stream_label_noise is NOT re-rowed: its per-batch scorer IS the
       // label_noise_audit knnJoin plan family already priced below (the
       // gif_codec_scan precedent for shared plan families).
       val tblHtml = concat(
-        lit("<table><tr><th colspan='2'>h</th><th>c</th></tr><tr><td>v <i>"),
+        lit("<table><tr><th rowspan=2>r</th><th colspan='2'>h</th>" +
+          "<th>c</th></tr><tr><td>v <i>"),
         col("doc_id") % 5, lit("</i></td><td colspan=2>w</td></tr></table>"))
       val (nHtc, tHtc) = time(operators.HtmlMeta.tableCells(
         docs.select(col("doc_id"), tblHtml.as("html")), "doc_id", "html")

@@ -8083,22 +8083,30 @@ object SparkEntry {
   /** HTML table CELL extraction, FULL oracle — the r12-verdict
     * promotion of html_tables from stats to content
     * (`operators/HtmlMeta.tableCells`): one row per `&lt;tr&gt;` with
-    * tag-stripped cell texts ('|'-joined for the compare), a
-    * colspan-honoring width, and the header flag. Fixture pages carry
-    * a SINGLE-quoted colspan in the header row, an UNQUOTED colspan
-    * in every data row, nested inline markup inside cells, and (every
-    * third doc) a second table; the oracle replays the exploded rows
+    * tag-stripped cell texts ('|'-joined for the compare), the LOGICAL
+    * width (own colspans + rowspan carries, VERDICT r13 ask #4), each
+    * cell's logical start column ('|'-joined), and the header flag.
+    * Fixture pages carry an UNQUOTED rowspan opening the header row
+    * (it occupies column 0 of the FIRST data row, which must start its
+    * cells at column 1 and report carry+own width), a SINGLE-quoted
+    * colspan in the header, an UNQUOTED colspan in every data row,
+    * nested inline markup inside cells, and (every third doc) a second
+    * table whose cell TEXT contains a colspan-like string that must
+    * NOT read as a declared span (ADVICE r13 — the quote normalizer
+    * rewrites it to colspan="8" inside the text, which is the pinned
+    * visible artifact); the oracle replays the exploded rows
     * closed-form. */
   private def htmlTableCellsQ(s: SparkSession, dir: String): DataFrame = {
     val dataRows = array_join(transform(
       sequence(lit(1L), col("doc_id") % 2 + 1),
       j => concat(lit("<tr><td>v"), j, lit(" <i>"), col("doc_id") % 5,
         lit("</i></td><td colspan=2>w"), j, lit("</td></tr>"))), "")
-    val t0 = concat(lit("<table class='data'><tr><th colspan='2'>h"),
+    val t0 = concat(lit("<table class='data'><tr><th rowspan=2>r</th>" +
+      "<th colspan='2'>h"),
       col("doc_id") % 5, lit(" <b>b</b></th><th>c</th></tr>"), dataRows,
       lit("</table>"))
     val t1 = when(col("doc_id") % 3 === 0,
-      lit("<table><tr><td>solo <span>s</span></td></tr></table>"))
+      lit("<table><tr><td>solo <span>s</span> colspan=8</td></tr></table>"))
       .otherwise(lit(""))
     val html = concat(lit("<html><body>"), t0, t1, lit("</body></html>"))
     operators.HtmlMeta.tableCells(
@@ -8107,6 +8115,7 @@ object SparkEntry {
       "doc_id", "html")
       .select(col("doc_id"), col("table_idx"), col("row_idx"),
         array_join(col("cells"), "|").as("cells"), col("width"),
+        array_join(col("col_starts"), "|").as("col_starts"),
         col("is_header"))
   }
 
@@ -8115,16 +8124,22 @@ object SparkEntry {
       |    doc_id % 5 AS m5 FROM documents)
       |SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
       |  CAST(0 AS BIGINT) AS row_idx,
-      |  'h' || m5 || ' b|c' AS cells, CAST(3 AS BIGINT) AS width,
-      |  true AS is_header
+      |  'r|h' || m5 || ' b|c' AS cells, CAST(4 AS BIGINT) AS width,
+      |  '0|1|3' AS col_starts, true AS is_header
       |FROM h
       |UNION ALL
+      |-- data row 1 inherits the header rowspan's column 0: carry 1,
+      |-- cells shift to start columns 1 and 2; row 2 (m2=1 docs) is
+      |-- past the span and lays out from column 0 at width 3
       |SELECT doc_id, CAST(0 AS BIGINT), CAST(j.j AS BIGINT),
-      |  'v' || j.j || ' ' || m5 || '|w' || j.j, CAST(3 AS BIGINT), false
+      |  'v' || j.j || ' ' || m5 || '|w' || j.j,
+      |  CAST(CASE WHEN j.j = 1 THEN 4 ELSE 3 END AS BIGINT),
+      |  CASE WHEN j.j = 1 THEN '1|2' ELSE '0|1' END, false
       |FROM h, range(1, 3) j(j) WHERE j.j <= m2 + 1
       |UNION ALL
-      |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'solo s',
-      |  CAST(1 AS BIGINT), false
+      |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      |  'solo s colspan="8"',
+      |  CAST(1 AS BIGINT), '0', false
       |FROM h WHERE m3 = 0""".stripMargin
 
   /** OpenGraph social-card extraction, FULL oracle — og:title/type/

@@ -182,8 +182,13 @@ object DataValuation {
    * sample/stratify the points side, or block points by IVF cell and
    * run per-cell — at 10¹⁰ points even a 10³ pool is a 10¹³-row cache,
    * which this require refuses instead of OOM-ing an executor. The two
-   * guard `count()`s are metadata-cheap next to the crossJoin they
-   * protect. Returns (step, id, total_sq) — total_sq is the objective
+   * guard `count()`s are FULL SCANS of both input frames (the inputs
+   * are arbitrary upstream plans — projections, quantized views — not
+   * bare parquet scans whose row counts a footer read would answer), so
+   * the guard itself costs one pass over each side; that is still the
+   * right trade (two linear scans beat materializing a 10¹³-row cache),
+   * and callers who already hold the counts can pre-check and pass a
+   * pool that fits. Returns (step, id, total_sq) — total_sq is the objective
    * AFTER adding that center, the monotone curve a curator reads to
    * pick k.
    */

@@ -50,11 +50,17 @@ object Hls {
         // hostile 20-digit bandwidth throw the whole scan through the
         // ANSI bigint cast, and [0-9.]+ would match "1.2.3" straight
         // into an ANSI double-cast error — both now simply fail the
-        // match and read as 0.
+        // match and read as 0. The INTEGER part keeps its strict 9-digit
+        // bound (a longer one fails the match entirely — that is the
+        // hostile case), but extra FRACTION digits are legitimate muxer
+        // output (some emit microsecond-precision durations), so the
+        // fractional alternative rejects only a following DOT (the
+        // "1.2.3" malformation stays 0) and a long fraction is
+        // TRUNCATED at 9 digits rather than zeroed (ADVICE r13).
         val dur = coalesce(
           nullif(regexp_extract(line,
-            "^#EXTINF:([0-9]{1,9}(?:\\.[0-9]{1,9})?)(?![0-9.])", 1), lit(""))
-            .cast("double"), lit(0.0))
+            "^#EXTINF:([0-9]{1,9}\\.[0-9]{1,9}(?!\\.)|[0-9]{1,9}(?![0-9.]))", 1),
+            lit("")).cast("double"), lit(0.0))
         val bw = coalesce(
           nullif(regexp_extract(line, "BANDWIDTH=([0-9]{1,15})(?![0-9])", 1),
             lit(""))

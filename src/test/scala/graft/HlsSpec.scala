@@ -108,6 +108,21 @@ class HlsSpec extends SparkSpecBase {
     assert(big._6 == 999999999999999L)
   }
 
+  test("long legitimate fractions truncate at 9 digits instead of zeroing") {
+    // some muxers emit microsecond-or-finer duration fractions; the
+    // bounded match must TRUNCATE those (keep the first 9 fraction
+    // digits), not reject the whole duration (ADVICE r13) — while a
+    // >9-digit INTEGER part stays the hostile case and reads 0
+    val t = parse(
+      """#EXTM3U
+        |#EXTINF:2.0166666666666666,
+        |a.ts
+        |#EXTINF:12345678901.5,
+        |b.ts""".stripMargin)
+    assert(t._2 == 2L, t.toString)
+    assert(math.abs(t._3 - 2.016666666) < 1e-9, t.toString)
+  }
+
   test("parse is UDF-free and scan-shaped") {
     val df = Seq((1L, "#EXTM3U\n")).toDF("id", "pl")
     val plan = Hls.parse(df, "id", "pl").queryExecution.executedPlan.toString
