@@ -601,6 +601,46 @@ object SparkEntry {
       .select(col("vec_id"), round(col("distance"), 6).as("dist"))
   }
 
+  /** Bulk-purge deletion under the exhaustive oracle (VERDICT r13 ask
+    * #2 — the GDPR-erasure / corpus-retraction path the scaladoc
+    * recommends for large deletions): plant 100 distance-0 decoy twins
+    * of the first 100 originals, build with them in the posting lists,
+    * purge them via `Ivf.deleteBulk`'s ANTI-JOIN against an erasure-id
+    * FRAME (not a literal list — the erasure set here is itself a
+    * derived DataFrame, as a real retraction manifest would be), and
+    * the exhaustive probe must equal brute force over the ORIGINAL
+    * corpus — one leaked posting entry breaks the hash. */
+  private def ivfDeleteBulk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.Ivf.build(e.unionByName(decoys),
+      "embedding", nlists = 8, seed = 42L)
+    val erasure = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+    val cleaned = operators.Ivf.deleteBulk(planted, "vec_id", erasure)
+    cleaned.search(qvec(s, dir), k = 10, nprobe = 8)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
+  /** [[ivfDeleteBulk]]'s IVFADC sibling: the anti-join must purge BOTH
+    * tables the index keeps — a code row surviving its raw row would
+    * resurrect the decoy through the ADC candidate scan and break the
+    * hash. */
+  private def ivfpqDeleteBulk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.IvfPq.build(e.unionByName(decoys),
+      "vec_id", "embedding", nlists = 8, m = 8, seed = 42L)
+    val erasure = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+    val cleaned = operators.IvfPq.deleteBulk(planted, erasure)
+    operators.IvfPq.search(cleaned, qvec(s, dir), k = 10, nprobe = 8,
+        rerankPool = cleaned.encoded.count().toInt)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   /** HNSW serve-path probe at the reference defaults (k=10, ef=64) —
     * rows-only: the walk is approximate by contract; recall evidence is
     * `hnsw_ann_recall`. */
@@ -14795,8 +14835,10 @@ object SparkEntry {
     "ivf_knn_exact" -> (ivfKnnExact(_, _)),
     "ivf_insert_exact" -> (ivfInsertExact(_, _)),
     "ivf_delete_exact" -> (ivfDeleteExact(_, _)),
+    "ivf_delete_bulk" -> (ivfDeleteBulk(_, _)),
     "ivfpq_insert_exact" -> (ivfpqInsertExact(_, _)),
     "ivfpq_delete_exact" -> (ivfpqDeleteExact(_, _)),
+    "ivfpq_delete_bulk" -> (ivfpqDeleteBulk(_, _)),
     "vec_join_pairs" -> (vecJoinPairs(_, _)),
     "knn_graph" -> (knnGraph(_, _)),
     "pagerank_knn" -> (pagerankKnnQ(_, _)),
@@ -15224,8 +15266,10 @@ object SparkEntry {
     "ivf_knn_exact" -> ivfKnnExactSql,
     "ivf_insert_exact" -> vL2KnnSql, // maintained index == brute force
     "ivf_delete_exact" -> vL2KnnSql, // decoys deleted == original brute force
+    "ivf_delete_bulk" -> vL2KnnSql,  // anti-join purge == original brute force
     "ivfpq_insert_exact" -> vL2KnnSql, // exhaustive IVFADC == brute force
     "ivfpq_delete_exact" -> vL2KnnSql,
+    "ivfpq_delete_bulk" -> vL2KnnSql,
     // ivf_disk_knn / hnsw_disk_knn / ivfpq_knn: approximate serve paths ->
     // rows-only; the *_disk_exact forms below carry the full oracle
     "ivf_disk_exact" -> ivfKnnExactSql,   // exhaustive disk probe == brute force

@@ -262,13 +262,26 @@ object Ivf {
     * no refit, no tombstones (Spark rewrites the routed partitions on
     * the next [[writePartitioned]]). Centroids keep their positions,
     * same drift contract as [[insert]]. The literal `isin` suits
-    * DML-sized batches; join [[IvfModel.assigned]] against an id
-    * DataFrame (anti-join) for bulk purges instead. */
+    * DML-sized batches; [[deleteBulk]] is the production path for
+    * large erasures. */
   def delete(model: IvfModel, idCol: String, ids: Seq[Long]): IvfModel = {
     require(ids.nonEmpty, "empty deletion batch")
     model.copy(assigned =
       model.assigned.filter(!col(idCol).isin(ids: _*)))
   }
+
+  /** Bulk-purge deletion — the GDPR-erasure / corpus-retraction shape
+    * of [[delete]]: anti-join the posting lists against an id FRAME,
+    * so a million-row erasure set never rides the plan as a literal.
+    * Same contract as [[delete]] (no refit, no tombstones, centroids
+    * keep their positions; rebuild trigger = `statistics().imbalance`).
+    * `ids` must carry a column named `idCol`; Catalyst broadcasts the
+    * erasure set when it is small and shuffles both sides on the id
+    * otherwise — either way ONE anti-join over the posting lists,
+    * never a per-id filter chain. */
+  def deleteBulk(model: IvfModel, idCol: String, ids: DataFrame): IvfModel =
+    model.copy(assigned = model.assigned
+      .join(ids.select(col(idCol)), Seq(idCol), "left_anti"))
 
   /** Batch index build. nlists/nprobe defaults match ivf_am.c:54-55. */
   def build(df: DataFrame, vecCol: String, nlists: Int = 100, seed: Long = 42L,

@@ -87,13 +87,24 @@ object IvfPq {
 
   /** Incremental deletion ([[Ivf.delete]]'s IVFADC form): drop the
     * rows from both the raw posting lists and the code table. Literal
-    * `isin` suits DML-sized batches; anti-join for bulk purges. */
+    * `isin` suits DML-sized batches; [[deleteBulk]] for bulk purges. */
   def delete(model: IvfPqModel, ids: Seq[Long]): IvfPqModel = {
     require(ids.nonEmpty, "empty deletion batch")
     model.copy(
       ivf = Ivf.delete(model.ivf, model.idCol, ids),
       encoded = model.encoded.filter(!col(model.idCol).isin(ids: _*)))
   }
+
+  /** Bulk-purge deletion ([[Ivf.deleteBulk]]'s IVFADC form): ONE
+    * anti-join against the erasure-id frame on EACH of the two tables
+    * the index keeps (raw posting lists AND the code table — a code
+    * row surviving its raw row would resurrect the vector through the
+    * ADC candidate scan). Same no-refit/no-tombstone contract. */
+  def deleteBulk(model: IvfPqModel, ids: DataFrame): IvfPqModel =
+    model.copy(
+      ivf = Ivf.deleteBulk(model.ivf, model.idCol, ids),
+      encoded = model.encoded
+        .join(ids.select(col(model.idCol)), Seq(model.idCol), "left_anti"))
 
   /** Persist the IVFADC index: codes partitioned by cluster id (probes
     * prune at the FILE level), centroids and the PQ codebook as tiny side

@@ -58,4 +58,28 @@ class IvfPqSpec extends SparkSpecBase {
     assert(purged.encoded.count() == 300 && purged.ivf.assigned.count() == 300)
     intercept[IllegalArgumentException](IvfPq.delete(grown, Nil))
   }
+
+  test("deleteBulk purges BOTH tables via one anti-join each") {
+    val base = IvfPq.build(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      nlists = 8, m = 8)
+    val grown = IvfPq.insert(base, emb.filter($"vec_id" >= 300 && $"vec_id" < 350))
+    val erasure = emb.filter($"vec_id" >= 300 && $"vec_id" < 350)
+      .select($"vec_id")
+    val purged = IvfPq.deleteBulk(grown, erasure)
+    // raw posting lists AND the code table both drop to the base corpus
+    // — a surviving code row would resurrect the vector through the ADC
+    // candidate scan
+    assert(purged.encoded.count() == 300 && purged.ivf.assigned.count() == 300)
+    val q = Tables.queryVector(spark, "/root/testdata/sf0.001", 320L)
+    val exact = Knn.search(emb.filter($"vec_id" < 300), "embedding", q, k = 5,
+      tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect()
+    val got = IvfPq.search(purged, q, k = 5, nprobe = 8, rerankPool = 300)
+      .select("vec_id").as[Long].collect()
+    assert(got.sameElements(exact))
+    // anti-join-shaped (Catalyst pushes it through the insert Union —
+    // one join per branch), never a per-id literal IN chain
+    val plan = purged.encoded.queryExecution.optimizedPlan.toString
+    assert("(?i)leftanti".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("vec_id IN ("), plan)
+  }
 }

@@ -153,4 +153,35 @@ class KnnIvfSpec extends SparkSpecBase {
     assert(got.forall(_ < 900000L), s"decoy leaked: $got")
     intercept[IllegalArgumentException](Ivf.delete(planted, "vec_id", Nil))
   }
+
+  test("Ivf.deleteBulk anti-joins an erasure frame; plan has ONE anti-join") {
+    val old = emb.filter($"vec_id" < 200)
+    val decoys = emb.filter($"vec_id" < 50)
+      .withColumn("vec_id", $"vec_id" + 900000L)
+    val planted = Ivf.build(old.unionByName(decoys), "embedding",
+      nlists = 8, seed = 42L)
+    // the erasure set is a derived FRAME (a retraction manifest), not
+    // a literal list — the production path the scaladoc recommends
+    val erasure = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 900000L).as("vec_id"))
+    val cleaned = Ivf.deleteBulk(planted, "vec_id", erasure)
+    assert(cleaned.assigned.count() == 200)
+    val qv = Tables.queryVector(spark, "/root/testdata/sf0.001", 0L)
+    val exact = Knn.search(old, "embedding", qv, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val got = cleaned.search(qv, k = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == exact)
+    assert(got.forall(_ < 900000L), s"decoy leaked: $got")
+    // the purge is an anti-join (Catalyst may replicate it through a
+    // Union branch — that is pushdown, still join-shaped), never a
+    // per-id literal IN chain
+    val plan = cleaned.assigned.queryExecution.optimizedPlan.toString
+    assert("(?i)leftanti".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("900000,"), plan)
+    // an empty erasure frame is a no-op, not an error (bulk contract:
+    // a retraction manifest may legitimately be empty)
+    assert(Ivf.deleteBulk(planted, "vec_id", erasure.limit(0))
+      .assigned.count() == 250)
+  }
 }
