@@ -14726,6 +14726,39 @@ object SparkEntry {
     s.read.parquet(s"$out/res")
   }
 
+  /** Streaming index ingest, FULL oracle — the production contract of
+    * continuous vector ingestion (VERDICT r13 ask #1, composing the
+    * r13 halves end-to-end): the even half of the corpus is indexed
+    * offline (`CREATE INDEX`), written partitioned by cluster; the odd
+    * half then ARRIVES AS A STREAM — two parquet files read with
+    * maxFilesPerTrigger=1, so the oracled run itself crosses at least
+    * two micro-batch boundaries — and each micro-batch is routed to
+    * the FIXED centroids and appended into the partitioned index
+    * (`streaming/StreamIndexIngest`). The maintained on-disk index is
+    * then LOADED FRESH and probed at the exhaustive dial: the result
+    * must equal brute force over the FULL corpus. A misrouted batch, a
+    * dropped append, a double-processed file, or a partition-layout
+    * mismatch between writer and loader each break the hash; routing
+    * is per-row stateless, so batch boundaries cannot move it
+    * (`StreamIndexIngestSpec` pins two-batch ≡ one-batch ≡ rebuilt). */
+  private def streamIndexIngestQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val base = operators.Ivf.build(e.filter(col("vec_id") % 2 === 0),
+      "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_sii_").toString
+    operators.Ivf.writePartitioned(base, s"$root/ivf")
+    e.filter(col("vec_id") % 2 === 1).repartition(2)
+      .write.parquet(s"$root/in")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = streaming.StreamIndexIngest.run(base.centroids, stream,
+      "embedding", s"$root/ivf", s"$root/ckpt")
+    q.awaitTermination()
+    val served = operators.Ivf.loadPartitioned(s, s"$root/ivf", "embedding")
+    served.search(qvec(s, dir), k = 10, nprobe = 8)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   private val streamLabelNoiseSql =
     """WITH sn AS (SELECT vec_id + 1000000 AS id,
       |    CASE WHEN vec_id % 13 = 0 THEN label + 1 ELSE label END AS y,
@@ -15039,6 +15072,7 @@ object SparkEntry {
     "cooks_distance" -> (cooksDistanceQ(_, _)),
     "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
     "stream_label_noise" -> (streamLabelNoiseQ(_, _)),
+    "stream_index_ingest" -> (streamIndexIngestQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
@@ -15485,6 +15519,9 @@ object SparkEntry {
     "cooks_distance" -> cooksDistanceSql,
     "label_noise_knn" -> labelNoiseKnnSql,
     "stream_label_noise" -> streamLabelNoiseSql,
+    // maintained-by-streaming-ingest index at the exhaustive dial ==
+    // brute force over the full corpus
+    "stream_index_ingest" -> vL2KnnSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,
