@@ -225,11 +225,15 @@ object Bench {
       if (math.min(a, b) > 0) math.max(a, b) / math.min(a, b) else 1.0
     val drift = ratio(calibBefore, calibMid.getOrElse(calibAfter))
 
-    // top-N noisiest rows, named, for the printed line (desc by pct,
-    // then by absolute spread-seconds so capped rows order sensibly)
-    val top = results.filter(_.pct > 0)
-      .sortBy(m => (-m.pct, -m.spread)).take(spreadTopN)
-      .map(m => "\"" + m.name + "\":" + m.pct).mkString("{", ",", "}")
+    // top-N noisiest rows, named, for the printed line — keyed by
+    // ABSOLUTE spread-seconds (VERDICT r13 ask #5, matching the
+    // salvage pass's own ranking): a percent key pegged sub-0.4 s
+    // jitter rows at the 99 cap while the real absolute movers hid in
+    // the file map. Values are spread SECONDS (2 dp); the full percent
+    // map stays in the meta FILE.
+    val top = results.filter(m => m.spread > 0 && m.min >= 0)
+      .sortBy(m => (-m.spread, m.name)).take(spreadTopN)
+      .map(m => "\"" + m.name + "\":" + f2(m.spread)).mkString("{", ",", "}")
     val calib = s""""calib_sec":{"before":${f2(calibBefore)},"after":${f2(calibAfter)},"ref":${f2(calibRef)}}"""
     val metaLine = s"""{"metric":"bench_meta","runs":$runs,"salvaged":${salvaged.length},""" +
       s""""spread_top":$top,$calib,"file":"$metaFileName"}"""

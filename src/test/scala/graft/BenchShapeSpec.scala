@@ -48,10 +48,11 @@ class BenchShapeSpec extends AnyFunSuite {
     val numBudget = 6
     val queriesLen = Bench.headline.map(n => n.length + 2 + 1 + numBudget).sum + 2
     val worstMain = 150 + queriesLen
-    // spread_top carries Bench.spreadTopN named integer-percent entries
-    // (longest possible headline name, "99" = 2 digits, punctuation 6)
+    // spread_top carries Bench.spreadTopN named spread-seconds entries
+    // (longest possible headline name, "12.34"-scale value ≤ 6 chars,
+    // punctuation 4)
     val maxName = Bench.headline.map(_.length).max
-    val spreadTopLen = Bench.spreadTopN * (maxName + 6 + 2) + 2
+    val spreadTopLen = Bench.spreadTopN * (maxName + 6 + 4) + 2
     val metaHeader = 130 // {"metric":"bench_meta","runs":N,"salvaged":NN,"spread_top":...,"calib_sec":{...,"ref":0.22},"file":"BENCH_META.json"}
     val worstBoth = worstMain + metaHeader + spreadTopLen + 2 /* newlines */
     assert(worstBoth < 1900,
@@ -119,13 +120,24 @@ class BenchShapeSpec extends AnyFunSuite {
 
   test("printed spread_top names the noisiest rows, capped at spreadTopN") {
     val many = (1 to 10).map(i =>
-      Bench.Measure(s"q$i", Seq(1.0, 1.0 + i * 0.1))) // pct 10,20,...,99
+      Bench.Measure(s"q$i", Seq(1.0, 1.0 + i * 0.1))) // spreads 0.1 .. 1.0
     val (meta, _, _) = Bench.buildArtifacts(many, 2, 0.22, None, 0.22, Nil, "x")
     val top = mapper.readTree(meta).get("spread_top")
     val names = top.fieldNames.asScala.toSeq
     assert(names.length == Bench.spreadTopN)
     assert(names.head == "q10") // largest spread first
-    assert(top.get("q10").asInt == 99)
+    assert(math.abs(top.get("q10").asDouble - 1.0) < 1e-9)
+  }
+
+  test("spread_top keys on ABSOLUTE seconds: a capped-pct jitter row never " +
+    "displaces the real mover (VERDICT r13 ask #5)") {
+    val rows = Seq(
+      Bench.Measure("tiny_jitter", Seq(0.10, 0.30)), // pct 99, spread 0.20
+      Bench.Measure("real_mover", Seq(1.50, 2.07)))  // pct 38, spread 0.57
+    val (meta, _, _) = Bench.buildArtifacts(rows, 2, 0.22, None, 0.22, Nil, "x")
+    val top = mapper.readTree(meta).get("spread_top")
+    assert(top.fieldNames.asScala.toSeq.head == "real_mover")
+    assert(math.abs(top.get("real_mover").asDouble - 0.57) < 1e-9)
   }
 
   test("salvageSet: noisy heavy rows only, ordered by absolute spread, bounded") {
