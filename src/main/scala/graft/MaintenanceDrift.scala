@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Evidence artifact (VERDICT r13 ask #3): what does route-don't-refit
+ * maintenance actually COST in recall, and does the documented rebuild
+ * trigger (`Ivf.statistics().imbalance`) move with it?
+ *
+ * [[operators.Ivf.insert]] / [[operators.IvfPq.insert]] route new rows
+ * to the nearest EXISTING centroid (and encode with the EXISTING PQ
+ * codebook) — no refit. The centroids drift from the true means as
+ * data accumulates; this main MEASURES the drift instead of asserting
+ * it: starting from a base index over the deterministic 128-d corpus
+ * ([[RecallAtScale.corpusSlice]], replicas 0..9 of the sf embeddings),
+ * it inserts 10% / 50% / 100% NEW data (replicas ≥ 10 — same
+ * distribution, fresh rows), and at each point reports recall@10 at
+ * the nprobe the tuner recommended AT BUILD TIME (the production dial
+ * nobody re-tunes after every ingest) for
+ *   (a) the MAINTAINED index (route-and-append), vs
+ *   (b) a FRESH REBUILD over the same combined corpus,
+ * alongside both indexes' imbalance statistic — so the rebuild trigger
+ * is calibrated by a measured curve. Queries are half base rows, half
+ * INSERTED rows (the inserted side is where misrouting hurts).
+ *
+ * An IVFADC leg measures the same maintained-vs-rebuilt recall with
+ * the additional stale-codebook effect (25 queries through the full
+ * ADC→rerank serve path at the production dials).
+ *
+ * Output: one JSON line per inserted fraction → MAINT_DRIFT.json
+ * (numbers summarized in SCALING.md). Deterministic corpus; k-means
+ * is seeded, so IVF legs reproduce exactly at fixed parallelism (the
+ * ADC sub-quantizers carry the usual float-accumulation caveat,
+ * RecallAtScale.scala:20-27).
+ */
+object MaintenanceDrift {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "MAINT_DRIFT.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val sf = Tables.read(spark, sfDir, "embeddings")
+    val baseReplicas = 10
+    val base = RecallAtScale.corpusSlice(sf, 0, baseReplicas).cache()
+    val nBase = base.count()
+
+    val ivfBase = operators.Ivf.build(base, "embedding", nlists = 100)
+    ivfBase.assigned.cache().count()
+    // the production dial, frozen at build time: recommended nprobe for
+    // 0.9 recall on the base corpus
+    val tuneQs = base.filter(col("vec_id") < 25)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val nprobe = operators.Ivf.recommendNprobe(
+      ivfBase, tuneQs.map(_._2).toSeq, k = 10, targetRecall = 0.9)
+
+    val adcBase = operators.IvfPq.build(base, "vec_id", "embedding",
+      nlists = 100, m = 8)
+    adcBase.encoded.cache().count()
+
+    def recallAt(model: operators.Ivf.IvfModel,
+                 qs: Array[(Long, Array[Float])]): Double =
+      operators.Ivf.recallCurve(model, qs, "vec_id", k = 10,
+          nprobes = Seq(nprobe))
+        .collect().head.getDouble(1)
+
+    def adcRecall(model: operators.IvfPq.IvfPqModel,
+                  corpus: org.apache.spark.sql.DataFrame,
+                  qs: Array[(Long, Array[Float])]): Double = {
+      val hits = qs.map { case (qid, q) =>
+        val truth = operators.Knn.search(corpus, "embedding", q, 10,
+          tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect().toSet
+        val got = operators.IvfPq.search(model, q, 10, nprobe,
+          rerankPool = 128).select("vec_id").as[Long].collect().toSet
+        (truth & got).size
+      }.sum
+      hits.toDouble / (qs.length * 10)
+    }
+
+    val lines = Seq(0.1, 0.5, 1.0).map { frac =>
+      val addReplicas = math.max(1, (baseReplicas * frac).toInt)
+      val fresh = RecallAtScale
+        .corpusSlice(sf, baseReplicas, baseReplicas + addReplicas).cache()
+      val nFresh = fresh.count()
+      val combined = base.unionByName(fresh).cache()
+      combined.count()
+
+      val maintained = operators.Ivf.insert(ivfBase, fresh)
+      maintained.assigned.cache().count()
+      val rebuilt = operators.Ivf.build(combined, "embedding", nlists = 100)
+      rebuilt.assigned.cache().count()
+
+      // queries: 50 base rows + the 50 replica-10 INSERTED rows of the
+      // same base ids (misrouting shows on the inserted side first) —
+      // both slices are id-determined, no order-dependent limit
+      val qs = (combined.filter(col("vec_id") < 50) unionByName
+          fresh.filter(col("vec_id") % 1000000L < 50 &&
+            col("vec_id") < (baseReplicas + 1) * 1000000L))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+      val rMaint = recallAt(maintained, qs)
+      val rRebuild = recallAt(rebuilt, qs)
+      val imbMaint = operators.Ivf.statistics(maintained)("imbalance")
+      val imbRebuild = operators.Ivf.statistics(rebuilt)("imbalance")
+
+      val adcMaint = operators.IvfPq.insert(adcBase, fresh)
+      adcMaint.encoded.cache().count()
+      val adcRebuilt = operators.IvfPq.build(combined, "vec_id", "embedding",
+        nlists = 100, m = 8)
+      adcRebuilt.encoded.cache().count()
+      val adcQs = qs.take(13) ++ qs.takeRight(12)
+      val aMaint = adcRecall(adcMaint, combined, adcQs)
+      val aRebuild = adcRecall(adcRebuilt, combined, adcQs)
+
+      maintained.assigned.unpersist(); rebuilt.assigned.unpersist()
+      adcMaint.encoded.unpersist(); adcRebuilt.encoded.unpersist()
+      fresh.unpersist(); combined.unpersist()
+
+      import graft.functions.DetRandom.fmt
+      s"""{"inserted_frac":$frac,"n_base":$nBase,"n_inserted":$nFresh,""" +
+        s""""nprobe":$nprobe,"ivf_recall_maintained":${fmt(rMaint, 4)},""" +
+        s""""ivf_recall_rebuilt":${fmt(rRebuild, 4)},""" +
+        s""""imbalance_maintained":${fmt(imbMaint, 3)},""" +
+        s""""imbalance_rebuilt":${fmt(imbRebuild, 3)},""" +
+        s""""ivfadc_recall_maintained":${fmt(aMaint, 4)},""" +
+        s""""ivfadc_recall_rebuilt":${fmt(aRebuild, 4)}}"""
+    }
+    val out = lines.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
+    println(out)
+    spark.stop()
+  }
+}

@@ -45,11 +45,19 @@ object RecallAtScale {
     out.toSeq
   })
 
-  private def corpusAt(base: DataFrame, scale: Int): DataFrame =
+  /** Replica slice [from, until): the same deterministic 128-d corpus,
+    * addressable by replica range so [[MaintenanceDrift]] can draw
+    * "new data" (replicas ≥ scale) from the SAME distribution the base
+    * index was built on — insert-drift measured against fresh rebuilds
+    * is meaningless if the inserted data is also distribution-shifted. */
+  private[graft] def corpusSlice(base: DataFrame, from: Int, until: Int): DataFrame =
     base.select(col("vec_id").cast("long").as("base_id"), col("embedding"))
-      .withColumn("r", explode(lit((0 until scale).toArray)))
+      .withColumn("r", explode(lit((from until until).toArray)))
       .select((col("base_id") + col("r").cast("long") * 1000000L).as("vec_id"),
         expandUdf(col("base_id"), col("r"), col("embedding")).as("embedding"))
+
+  private def corpusAt(base: DataFrame, scale: Int): DataFrame =
+    corpusSlice(base, 0, scale)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -176,6 +176,22 @@ object ScaleBench {
         m
       }
       add("ivf_build", emb.count(), t4)
+
+      // r14: streaming route-and-append ingest. The claim under test is
+      // O(batch) INDEPENDENT of index size: a FIXED batch (the raw sf
+      // rows, re-idd) ingests into the partitioned index built over the
+      // GROWING corpus — the time column should stay ~flat as the index
+      // grows 100×, because ingest touches one centroid broadcast, a
+      // stateless map over the batch, and an append of |batch| rows.
+      val ingestDir = java.nio.file.Files
+        .createTempDirectory("graft_sb_ingest_").toString
+      operators.Ivf.writePartitioned(model, ingestDir)
+      val ingestBatch = emb0
+        .select((col("vec_id") + 50000000L).as("vec_id"), col("embedding"))
+      val (_, tIxIng) = time(streaming.StreamIndexIngest.ingestBatch(
+        model.centroids, "embedding", ingestBatch, ingestDir))
+      add("index_ingest", ingestBatch.count(), tIxIng)
+
       val (n5, t5) = time(operators.Ivf.join(model, emb, "embedding",
         metric = "cosine", threshold = 0.02, nprobe = 1).count())
       add("ivf_blocked_join", n5, t5)
