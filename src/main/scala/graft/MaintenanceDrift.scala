@@ -88,10 +88,21 @@ object MaintenanceDrift {
       hits.toDouble / (qs.length * 10)
     }
 
-    val lines = Seq(0.1, 0.5, 1.0).map { frac =>
+    // fractions of same-distribution growth, plus one SHIFTED leg
+    // (shifted=true): the inserted rows are scaled+offset off the
+    // training distribution, so routing degrades and the imbalance
+    // statistic must EXCURT — the measured demonstration that
+    // imbalance detects distribution shift (where the flat
+    // same-distribution rows show it cannot detect volume growth)
+    val legs = Seq((0.1, false), (0.5, false), (1.0, false), (0.5, true))
+    val lines = legs.map { case (frac, shifted) =>
       val addReplicas = math.max(1, (baseReplicas * frac).toInt)
-      val fresh = RecallAtScale
-        .corpusSlice(sf, baseReplicas, baseReplicas + addReplicas).cache()
+      val freshRaw = RecallAtScale
+        .corpusSlice(sf, baseReplicas, baseReplicas + addReplicas)
+      val fresh = (if (!shifted) freshRaw
+        else freshRaw.select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f) + lit(2.0f))
+            .as("embedding"))).cache()
       val nFresh = fresh.count()
       val combined = base.unionByName(fresh).cache()
       combined.count()
@@ -129,7 +140,8 @@ object MaintenanceDrift {
       fresh.unpersist(); combined.unpersist()
 
       import graft.functions.DetRandom.fmt
-      s"""{"inserted_frac":$frac,"n_base":$nBase,"n_inserted":$nFresh,""" +
+      s"""{"inserted_frac":$frac,"shifted":$shifted,""" +
+        s""""n_base":$nBase,"n_inserted":$nFresh,""" +
         s""""nprobe":$nprobe,"ivf_recall_maintained":${fmt(rMaint, 4)},""" +
         s""""ivf_recall_rebuilt":${fmt(rRebuild, 4)},""" +
         s""""imbalance_maintained":${fmt(imbMaint, 3)},""" +

@@ -314,4 +314,58 @@ class HtmlMetaSpec extends SparkSpecBase {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     for ((id, s) <- stats) assert(cells(id) == s, s"page $id: ${cells(id)} vs $s")
   }
+
+  test("rowspan property: counts agree; logical width dominates physical max_cols") {
+    import spark.implicits._
+    // the documented semantic split: tableStats.max_cols is the
+    // PHYSICAL per-row declaration width, tableCells.width the LOGICAL
+    // carry-aware one — on random pages WITH rowspans the counts must
+    // still agree exactly, every logical width must dominate its own
+    // row's physical width (carry >= 0), and pages WITHOUT rowspans
+    // must collapse to equality
+    val rnd = new scala.util.Random(7)
+    val pages = (0 until 12).map { id =>
+      val tables = (0 until (1 + rnd.nextInt(2))).map { _ =>
+        val rows = (0 until (2 + rnd.nextInt(3))).map { _ =>
+          val cells = (0 until (1 + rnd.nextInt(3))).map { _ =>
+            val cs = if (rnd.nextInt(3) == 0) s" colspan=${1 + rnd.nextInt(3)}" else ""
+            val rs = if (rnd.nextInt(3) == 0) s" rowspan='${1 + rnd.nextInt(3)}'" else ""
+            s"<td$cs$rs>x</td>"
+          }.mkString
+          s"<tr>$cells</tr>"
+        }.mkString
+        s"<table>$rows</table>"
+      }.mkString
+      (id.toLong, s"<html><body>$tables</body></html>", id >= 6)
+    }
+    // ids >= 6: strip rowspans -> equality must hold there
+    val df = pages.map { case (id, html, strip) =>
+      (id, if (strip) html.replaceAll(" rowspan='[0-9]'", "") else html)
+    }.toDF("id", "html")
+    val stats = df.select(col("id"), HtmlMeta.tableStats(col("html")).as("t"))
+      .select(col("id"), col("t.n_rows"), col("t.n_cells"), col("t.max_cols"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cellAgg = HtmlMeta.tableCells(df, "id", "html")
+      .groupBy("id").agg(count(lit(1)).as("rows"),
+        sum(size(col("cells"))).as("cells"), max(col("width")).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((id, (nr, nc, mc)) <- stats) {
+      val (cr, cc, cw) = cellAgg(id)
+      assert(cr == nr && cc == nc, s"page $id counts: ($cr,$cc) vs ($nr,$nc)")
+      assert(cw >= mc, s"page $id: logical width $cw < physical max_cols $mc")
+      if (id >= 6) assert(cw == mc, s"page $id (no rowspan): $cw != $mc")
+    }
+  }
+
+  test("tableCells is UDF-free and scan-shaped (zero shuffles)") {
+    import spark.implicits._
+    val df = Seq((1L, "<table><tr><td rowspan=2>a</td></tr></table>"))
+      .toDF("id", "html")
+    val plan = HtmlMeta.tableCells(df, "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
