@@ -534,6 +534,26 @@ object SparkEntry {
         round(col("distance"), 6).as("dist"))
   }
 
+  /** [[hnswDeleteExact]]'s bulk-purge sibling (completing the r14
+    * `deleteBulk` triple across all three index families): 100 decoy
+    * twins purged via the anti-join erasure-FRAME path — only the
+    * affected shards rebuild, and the exhaustive walk must equal brute
+    * force over the originals. */
+  private def hnswDeleteBulk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val withDecoys = operators.Hnsw.build(e.unionByName(decoys),
+      "vec_id", "embedding", numShards = 4)
+    val erasure = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+    val cleaned = operators.Hnsw.deleteBulk(withDecoys, erasure, numShards = 4)
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    operators.Hnsw.searchBatch(cleaned, qs, k = 10, efSearch = 100000)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
   private val hnswExhaustiveSql =
     """WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -15160,6 +15180,7 @@ object SparkEntry {
     "hnsw_exhaustive" -> (hnswExhaustive(_, _)),
     "hnsw_insert_exact" -> (hnswInsertExact(_, _)),
     "hnsw_delete_exact" -> (hnswDeleteExact(_, _)),
+    "hnsw_delete_bulk" -> (hnswDeleteBulk(_, _)),
     "ivfpq_knn" -> (ivfpqKnn(_, _)),
     "ivfpq_disk_exact" -> (ivfpqDiskExact(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
@@ -15310,6 +15331,7 @@ object SparkEntry {
     "hnsw_exhaustive" -> hnswExhaustiveSql, // ef >= shard size == brute force
     "hnsw_insert_exact" -> hnswExhaustiveSql, // maintained index == brute force
     "hnsw_delete_exact" -> hnswExhaustiveSql, // decoys removed == brute force
+    "hnsw_delete_bulk" -> hnswExhaustiveSql,  // anti-join purge, same contract
     "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,

@@ -264,6 +264,31 @@ object Hnsw {
         .select("shard", "id", "vec", "nbrs"))
   }
 
+  /** Bulk-purge deletion ([[Ivf.deleteBulk]]'s HNSW form, the GDPR-
+    * erasure shape): the erasure set arrives as an id FRAME, the
+    * affected SHARDS are derived with the same hash expression the
+    * layout check uses (≤ numShards ints to the driver — never the
+    * ids themselves), survivors of those shards are anti-joined
+    * against the frame, and only the affected shards' graphs are
+    * rebuilt — untouched shards keep their adjacency verbatim, same
+    * contract as [[delete]]. An empty manifest is a no-op. */
+  def deleteBulk(index: DataFrame, ids: DataFrame, numShards: Int = 32,
+                 params: Params = Params(), metric: String = "l2"): DataFrame = {
+    checkShardLayout(index, numShards)
+    val del = ids.select(col(ids.columns.head).cast("long").as("id"))
+    val shards = del
+      .select(pmod(hash(col("id")), lit(numShards)).as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (shards.isEmpty) return index
+    val untouched = index.filter(!col("shard").isin(shards: _*))
+    val members = index.filter(col("shard").isin(shards: _*))
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"))
+    untouched.select("shard", "id", "vec", "nbrs")
+      .unionByName(build(members, "id", "vec", numShards, params, metric)
+        .select("shard", "id", "vec", "nbrs"))
+  }
+
   /** Maintenance ops must be called with the numShards the index was
     * BUILT with — a mismatch would route new rows mod numShards' while
     * existing shards are mod numShards, mixing two incompatible layouts

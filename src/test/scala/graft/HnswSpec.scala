@@ -171,6 +171,25 @@ class HnswSpec extends SparkSpecBase {
     assert(!after.select("id").as[Long].collect().toSet.exists(dropped.contains))
   }
 
+  test("deleteBulk (erasure frame) equals the literal delete and a fresh build") {
+    val base = Hnsw.build(emb.filter($"vec_id" < 450), "vec_id", "embedding",
+      numShards = 4)
+    val dropped = Seq(410L, 420L, 430L)
+    val manifest = dropped.toDF("vec_id")
+    val viaBulk = Hnsw.deleteBulk(base, manifest, numShards = 4)
+    val viaLiteral = Hnsw.delete(base, dropped, numShards = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"shard", $"id", $"nbrs".cast("string")).as[(Int, Long, String)]
+        .collect().toSet
+    assert(key(viaBulk) == key(viaLiteral))
+    // an empty manifest is a no-op (a retraction list may be empty)
+    assert(key(Hnsw.deleteBulk(base, manifest.limit(0), numShards = 4))
+      == key(base))
+    // layout mismatch still rejected loudly on the bulk path
+    intercept[IllegalArgumentException](
+      Hnsw.deleteBulk(base, manifest, numShards = 8))
+  }
+
   test("insert UPSERTS a re-sent id; shard-layout mismatch is rejected loudly") {
     val base = Hnsw.build(emb.filter($"vec_id" < 100), "vec_id", "embedding", numShards = 4)
     // re-send id 7 with a DIFFERENT vector: one node, the new vector wins
