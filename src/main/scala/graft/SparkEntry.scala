@@ -14779,6 +14779,32 @@ object SparkEntry {
       .select(col("vec_id"), round(col("distance"), 6).as("dist"))
   }
 
+  /** [[streamIndexIngestQ]]'s IVFADC sibling: arriving vectors are
+    * routed to the FIXED coarse centroids AND encoded with the FIXED
+    * PQ codebook per micro-batch (two forced batch boundaries), the
+    * maintained code table is loaded fresh, and the exhaustive
+    * ADC→rerank probe must equal brute force over the full corpus — a
+    * stale or misapplied codebook on EITHER batch breaks the hash. */
+  private def streamIvfpqIngestQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val base = operators.IvfPq.build(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlists = 8, m = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_spq_").toString
+    operators.IvfPq.writePartitioned(base, s"$root/ivfpq")
+    e.filter(col("vec_id") % 2 === 1).repartition(2)
+      .write.parquet(s"$root/in")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = streaming.StreamIndexIngest.runPq(base.ivf.centroids,
+      base.codebook, stream, "embedding", s"$root/ivfpq", s"$root/ckpt")
+    q.awaitTermination()
+    val served = operators.IvfPq.loadPartitioned(s, s"$root/ivfpq",
+      "embedding", "vec_id")
+    operators.IvfPq.search(served, qvec(s, dir), k = 10, nprobe = 8,
+        rerankPool = served.encoded.count().toInt)
+      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+  }
+
   private val streamLabelNoiseSql =
     """WITH sn AS (SELECT vec_id + 1000000 AS id,
       |    CASE WHEN vec_id % 13 = 0 THEN label + 1 ELSE label END AS y,
@@ -15093,6 +15119,7 @@ object SparkEntry {
     "label_noise_knn" -> (labelNoiseKnnQ(_, _)),
     "stream_label_noise" -> (streamLabelNoiseQ(_, _)),
     "stream_index_ingest" -> (streamIndexIngestQ(_, _)),
+    "stream_ivfpq_ingest" -> (streamIvfpqIngestQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
@@ -15544,6 +15571,7 @@ object SparkEntry {
     // maintained-by-streaming-ingest index at the exhaustive dial ==
     // brute force over the full corpus
     "stream_index_ingest" -> vL2KnnSql,
+    "stream_ivfpq_ingest" -> vL2KnnSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,

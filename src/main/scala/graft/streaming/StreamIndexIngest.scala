@@ -71,4 +71,43 @@ object StreamIndexIngest {
         ingestBatch(centroids, vecCol, batch, indexPath)
       }
       .start()
+
+  /** [[ingestBatch]]'s IVFADC form: route with the FIXED centroids AND
+    * encode with the FIXED PQ codebook (the [[graft.operators.IvfPq
+    * .insert]] no-refit contract, streaming), appending m-byte code
+    * rows into `indexPath/encoded` — the [[graft.operators.IvfPq
+    * .writePartitioned]] layout, so the serving side's codes-only ADC
+    * scan keeps pruning at the file level. Stale-codebook drift under
+    * distribution shift is measured in MAINT_DRIFT.json (ADC 0.54 on
+    * the shifted leg — the rebuild trigger matters MORE here). */
+  def ingestBatchPq(centroids: Array[Array[Float]],
+                    codebook: graft.operators.Pq.PqCodebook, vecCol: String,
+                    batch: DataFrame, indexPath: String): Unit = {
+    val shell = Ivf.IvfModel(centroids,
+      batch.limit(0).withColumn("cluster_id",
+        org.apache.spark.sql.functions.lit(0)), vecCol)
+    val routed = Ivf.insert(shell, batch).assigned
+    graft.operators.Pq.encodeTable(routed, vecCol, codebook)
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$indexPath/encoded")
+  }
+
+  /** Continuous IVFADC ingest ([[run]]'s code-table form). HNSW is
+    * deliberately NOT given a streaming face: its insert is a
+    * rebuild-touched-shards operation (graph repair), the wrong cost
+    * shape per micro-batch — batch `Hnsw.insert` on minute-scale
+    * intervals composes trivially with `foreachBatch` when a user
+    * wants it. */
+  def runPq(centroids: Array[Array[Float]],
+            codebook: graft.operators.Pq.PqCodebook, stream: DataFrame,
+            vecCol: String, indexPath: String, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatchPq(centroids, codebook, vecCol, batch, indexPath)
+      }
+      .start()
 }

@@ -81,6 +81,49 @@ class StreamIndexIngestSpec extends SparkSpecBase {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster_id=")), dirs)
   }
 
+  test("IVFADC streaming ingest: two micro-batches equal one-shot insert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.IvfPq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = IvfPq.build(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      nlists = 8, m = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("spq_spec_").toString
+    IvfPq.writePartitioned(base, s"$root/ivfpq")
+    val arrivals = emb.filter($"vec_id" >= 300 && $"vec_id" < 380)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val (b1, b2) = arrivals.splitAt(30)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamIndexIngest.runPq(base.ivf.centroids, base.codebook,
+      mem.toDF().toDF("vec_id", "embedding"), "embedding",
+      s"$root/ivfpq", s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val served = IvfPq.loadPartitioned(spark, s"$root/ivfpq",
+      "embedding", "vec_id")
+    assert(served.encoded.count() == 380)
+    // streamed codes == one-shot IvfPq.insert codes, id for id
+    val oneShot = IvfPq.insert(base,
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 380))
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id".cast("long"), $"cluster_id".cast("int"),
+        $"pq_codes".cast("string"))
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(codes(served.encoded) == codes(oneShot.encoded))
+    // exhaustive ADC -> rerank over the maintained code table == brute
+    // force over the full corpus
+    val qv = Tables.queryVector(spark, "/root/testdata/sf0.001", 350L)
+    val exact = Knn.search(emb.filter($"vec_id" < 380), "embedding", qv,
+        k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val got = IvfPq.search(served, qv, k = 10, nprobe = 8, rerankPool = 380)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
   test("ingestBatch routes with the FIXED centroids (no refit)") {
     val base = Ivf.build(emb.filter($"vec_id" < 200), "embedding",
       nlists = 8, seed = 42L)
