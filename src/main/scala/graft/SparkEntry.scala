@@ -3811,6 +3811,74 @@ object SparkEntry {
     * countDistinct. The oracle re-derives each column's kth-min hash and
     * estimate through the splitmix64 chain — the estimates themselves
     * are hash-checked, as in `kmv_distinct`. */
+  /** Routing-health dial, FULL oracle — the rebuild-trigger statistic
+    * the maintenance story hangs on (SCALING.md "route-don't-refit,
+    * quantified": imbalance excursts 1.88→33.4 under distribution
+    * shift), oracled end-to-end: the corpus routes to FOUR FIXED
+    * literal centroids through the PRODUCTION routing kernel
+    * (`Ivf.insert` on an empty shell — the same argmin every ingest
+    * path uses), and the output is the per-cluster posting size, mean
+    * routing distance (float4 — unordered double aggregate), and the
+    * max/avg imbalance. Literal centroids make the argmin
+    * SQL-replayable closed-form; a routing tie breaks to the LOWER
+    * cluster id on both engines (strict `<` in the kernel, `ORDER BY
+    * d, cid` in the oracle). */
+  private def routeHealthQ(s: SparkSession, dir: String): DataFrame = {
+    // ±e1/±e2 axis centroids: the fixture embeddings are unit-norm and
+    // zero-centered, so the argmin partitions by the sign of whichever
+    // of the first two coordinates dominates — four genuinely populated
+    // posting lists, not one degenerate bucket
+    val cents: Array[Array[Float]] = Array(
+      Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(64)(i => if (i == 0) -1.0f else 0.0f),
+      Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f),
+      Array.tabulate(64)(i => if (i == 1) -1.0f else 0.0f))
+    val e = Tables.read(s, dir, "embeddings")
+    val shell = operators.Ivf.IvfModel(cents,
+      e.limit(0).withColumn("cluster_id", lit(0)), "embedding")
+    val routed = operators.Ivf.insert(shell, e)
+    val dist = cents.zipWithIndex.tail.foldLeft(
+        when(col("cluster_id") === 0,
+          operators.Knn.distCol("l2")(col("embedding"), lit(cents(0))))) {
+      case (acc, (c, i)) =>
+        acc.when(col("cluster_id") === i,
+          operators.Knn.distCol("l2")(col("embedding"), lit(c)))
+    }
+    val g = routed.assigned.select(col("cluster_id"), dist.as("d"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), avg(col("d")).cast("float").as("mean_dist"))
+    val tot = g.agg(max(col("n")).as("__mx"), avg(col("n")).as("__av"))
+    g.crossJoin(tot)
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("n"),
+        col("mean_dist"),
+        (col("__mx") / col("__av")).cast("float").as("imbalance"))
+  }
+
+  private val routeHealthSql =
+    """WITH c AS (
+      |  SELECT 0 AS cid, list_transform(range(64),
+      |    x -> CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END) AS cv
+      |  UNION ALL SELECT 1, list_transform(range(64),
+      |    x -> CASE WHEN x = 0 THEN -1.0 ELSE 0.0 END)
+      |  UNION ALL SELECT 2, list_transform(range(64),
+      |    x -> CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END)
+      |  UNION ALL SELECT 3, list_transform(range(64),
+      |    x -> CASE WHEN x = 1 THEN -1.0 ELSE 0.0 END)),
+      |a AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_distance(e.embedding::DOUBLE[], c.cv) AS d,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.cid) AS rn
+      |  FROM embeddings e, c),
+      |g AS (
+      |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(AVG(d) AS REAL) AS mean_dist
+      |  FROM a WHERE rn = 1 GROUP BY cid),
+      |t AS (SELECT MAX(n) AS mx, AVG(n) AS av FROM g)
+      |SELECT CAST(g.cid AS BIGINT) AS cluster_id, g.n, g.mean_dist,
+      |  CAST(t.mx / t.av AS REAL) AS imbalance
+      |FROM g, t""".stripMargin
+
   private def analyzeTableQ(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.read(s, dir, "lineitem")
     val kmvL = udaf(new operators.Sketches.KmvAgg(64))
@@ -14986,6 +15054,7 @@ object SparkEntry {
     "kmv_merge_shards" -> (kmvMergeShardsQ(_, _)),
     "hll_distinct" -> (hllDistinctQ(_, _)),
     "analyze_table" -> (analyzeTableQ(_, _)),
+    "route_health" -> (routeHealthQ(_, _)),
     "systematic_sample" -> (systematicSampleQ(_, _)),
     "weighted_reservoir" -> (weightedReservoirQ(_, _)),
     "group_reservoir" -> (groupReservoirQ(_, _)),
@@ -15420,6 +15489,7 @@ object SparkEntry {
     "kmv_merge_shards" -> kmvMergeShardsSql,
     "hll_distinct" -> hllDistinctSql,
     "analyze_table" -> analyzeTableSql,
+    "route_health" -> routeHealthSql,
     "systematic_sample" -> systematicSampleSql,
     "weighted_reservoir" -> weightedReservoirSql,
     "group_reservoir" -> groupReservoirSql,
