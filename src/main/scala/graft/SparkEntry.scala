@@ -3816,8 +3816,8 @@ object SparkEntry {
     * quantified": imbalance excursts 1.88→33.4 under distribution
     * shift), oracled end-to-end: the corpus routes to FOUR FIXED
     * literal centroids through the PRODUCTION routing kernel
-    * (`Ivf.insert` on an empty shell — the same argmin every ingest
-    * path uses), and the output is the per-cluster posting size, mean
+    * (`Ivf.routeWith` — the ONE argmin kernel every ingest path
+    * shares), and the output is the per-cluster posting size, mean
     * routing distance (float4 — unordered double aggregate), and the
     * max/avg imbalance. Literal centroids make the argmin
     * SQL-replayable closed-form; a routing tie breaks to the LOWER

@@ -233,14 +233,16 @@ object Ivf {
     curve.collectFirst { case (p, r) if r >= targetRecall => p }.getOrElse(nlists)
   }
 
-  /** Incremental maintenance (the `ivfinsert` analog): new rows route to
-    * their nearest EXISTING centroid (broadcast, nlists-sized) and append
-    * to that posting list — no refit, no touch of existing rows. On the
-    * partitioned layout this is an append of new files into the routed
-    * clusters' directories. Centroids drift from the true means as data
-    * accumulates; `statistics().imbalance` is the rebuild trigger. */
-  def insert(model: IvfModel, df: DataFrame): IvfModel = {
-    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+  /** The ONE routing kernel: assign each row its nearest centroid
+    * (broadcast, nlists-sized; strict `<` argmin, so ties break to the
+    * LOWER cluster id). Shared verbatim by [[insert]], the streaming
+    * ingest paths ([[graft.streaming.StreamIndexIngest]]), IVFADC
+    * maintenance ([[IvfPq.insert]]), and the `route_health` dial —
+    * batch and stream routing cannot diverge because there is exactly
+    * one definition. Returns `df` + `cluster_id`. */
+  def routeWith(centroids: Array[Array[Float]], df: DataFrame,
+                vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
     val assign = udf((v: Seq[Float]) => {
       val q = v.toArray
       val cs = bc.value
@@ -252,10 +254,19 @@ object Ivf {
       }
       best
     })
-    val newAssigned = df.withColumn("cluster_id", assign(col(model.vecCol)))
-    model.copy(assigned = model.assigned.unionByName(newAssigned)
-      .repartition(col("cluster_id")))
+    df.withColumn("cluster_id", assign(col(vecCol)))
   }
+
+  /** Incremental maintenance (the `ivfinsert` analog): new rows route to
+    * their nearest EXISTING centroid via [[routeWith]] and append to that
+    * posting list — no refit, no touch of existing rows. On the
+    * partitioned layout this is an append of new files into the routed
+    * clusters' directories. Centroids drift from the true means as data
+    * accumulates; `statistics().imbalance` is the rebuild trigger. */
+  def insert(model: IvfModel, df: DataFrame): IvfModel =
+    model.copy(assigned = model.assigned
+      .unionByName(routeWith(model.centroids, df, model.vecCol))
+      .repartition(col("cluster_id")))
 
   /** Incremental deletion (the DELETE-on-an-indexed-table analog,
     * [[insert]]'s inverse): drop the rows from their posting lists —

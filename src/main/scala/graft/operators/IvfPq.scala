@@ -74,10 +74,9 @@ object IvfPq {
     * the same `Ivf.statistics().imbalance` dial, plus rising ADC
     * reconstruction error on inserted batches. */
   def insert(model: IvfPqModel, df: DataFrame): IvfPqModel = {
-    // route ONLY the new rows (an empty-assigned shell reuses Ivf's
-    // argmin routing verbatim, so insert semantics cannot diverge)
-    val routedNew = Ivf.insert(
-      model.ivf.copy(assigned = model.ivf.assigned.limit(0)), df).assigned
+    // route ONLY the new rows through the ONE shared routing kernel —
+    // insert semantics cannot diverge from the batch path
+    val routedNew = Ivf.routeWith(model.ivf.centroids, df, model.ivf.vecCol)
     val encodedNew = Pq.encodeTable(routedNew, model.ivf.vecCol, model.codebook)
     model.copy(
       ivf = model.ivf.copy(

@@ -9,7 +9,7 @@ import graft.operators.Ivf
  * Streaming index ingest — the production shape of CONTINUOUS vector
  * ingestion (VERDICT r13 ask #1, composing the two r13 halves): each
  * arriving micro-batch is routed to its nearest EXISTING centroid via
- * [[Ivf.insert]]'s argmin (reused verbatim on an empty shell, so
+ * [[Ivf.routeWith]]'s argmin (the ONE shared routing kernel, so
  * stream-ingest routing cannot diverge from batch-insert routing) and
  * APPENDED into the cluster-partitioned on-disk index that
  * [[Ivf.writePartitioned]] laid out — new parquet files land inside
@@ -44,16 +44,10 @@ object StreamIndexIngest {
     * `indexPath/assigned` (the [[Ivf.writePartitioned]] layout). Works
     * on static frames too — batch parity for the oracle gate. */
   def ingestBatch(centroids: Array[Array[Float]], vecCol: String,
-                  batch: DataFrame, indexPath: String): Unit = {
-    // empty shell carrying the live centroids: Ivf.insert's union with
-    // an empty assigned side IS the routing map, reused verbatim
-    val shell = Ivf.IvfModel(centroids,
-      batch.limit(0).withColumn("cluster_id",
-        org.apache.spark.sql.functions.lit(0)), vecCol)
-    Ivf.insert(shell, batch).assigned
+                  batch: DataFrame, indexPath: String): Unit =
+    Ivf.routeWith(centroids, batch, vecCol)
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/assigned")
-  }
 
   /** Run continuous ingest: `foreachBatch` routes each arriving
     * micro-batch and appends it to the partitioned index at
@@ -83,10 +77,7 @@ object StreamIndexIngest {
   def ingestBatchPq(centroids: Array[Array[Float]],
                     codebook: graft.operators.Pq.PqCodebook, vecCol: String,
                     batch: DataFrame, indexPath: String): Unit = {
-    val shell = Ivf.IvfModel(centroids,
-      batch.limit(0).withColumn("cluster_id",
-        org.apache.spark.sql.functions.lit(0)), vecCol)
-    val routed = Ivf.insert(shell, batch).assigned
+    val routed = Ivf.routeWith(centroids, batch, vecCol)
     graft.operators.Pq.encodeTable(routed, vecCol, codebook)
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/encoded")
