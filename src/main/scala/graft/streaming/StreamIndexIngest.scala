@@ -42,10 +42,19 @@ object StreamIndexIngest {
 
   /** Route one micro-batch with the FIXED centroids and append it into
     * `indexPath/assigned` (the [[Ivf.writePartitioned]] layout). Works
-    * on static frames too — batch parity for the oracle gate. */
+    * on static frames too — batch parity for the oracle gate.
+    *
+    * The pre-write `repartition(cluster_id)` is FILE HYGIENE, not
+    * correctness: `partitionBy` alone writes one file per (task ×
+    * routed cluster), so a 200-task micro-batch against nlists=1000
+    * would append up to 200k tiny files PER BATCH and the serving
+    * scan's file listing would grow without bound; co-locating each
+    * cluster first caps the append at ≤ nlists files per batch — one
+    * |batch|-row shuffle, the right trade at any real batch size. */
   def ingestBatch(centroids: Array[Array[Float]], vecCol: String,
                   batch: DataFrame, indexPath: String): Unit =
     Ivf.routeWith(centroids, batch, vecCol)
+      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/assigned")
 
@@ -79,6 +88,7 @@ object StreamIndexIngest {
                     batch: DataFrame, indexPath: String): Unit = {
     val routed = Ivf.routeWith(centroids, batch, vecCol)
     graft.operators.Pq.encodeTable(routed, vecCol, codebook)
+      .repartition(org.apache.spark.sql.functions.col("cluster_id"))
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/encoded")
   }

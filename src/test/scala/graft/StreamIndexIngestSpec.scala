@@ -146,4 +146,23 @@ class StreamIndexIngestSpec extends SparkSpecBase {
     assert(Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
       .centroids.map(_.toSeq) sameElements base.centroids.map(_.toSeq))
   }
+
+  test("one ingested batch appends at most ONE file per routed cluster") {
+    // file hygiene at scale: without the pre-write repartition a
+    // 200-task batch against nlists=1000 would append up to 200k tiny
+    // files PER BATCH; co-locating clusters caps it at <= nlists
+    val base = Ivf.build(emb.filter($"vec_id" < 200), "embedding",
+      nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("sii_files_").toString
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding",
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 300).repartition(16),
+      root)
+    val dirs = new java.io.File(s"$root/assigned").listFiles()
+      .filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 1, s"${d.getName}: $n files from one batch")
+    }
+  }
 }
