@@ -189,8 +189,12 @@ object ScaleBench {
       val ingestBatch = emb0
         .select((col("vec_id") + 50000000L).as("vec_id"), col("embedding"))
       val (_, tIxIng) = time(streaming.StreamIndexIngest.ingestBatch(
-        model.centroids, "embedding", ingestBatch, ingestDir))
+        model.centroids, "embedding", ingestBatch, ingestDir, batchId = 0L))
       add("index_ingest", ingestBatch.count(), tIxIng)
+      // the dir holds a full index copy per scale — don't let three
+      // scales × two solo runs accumulate it in /tmp (r14 advice)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ingestDir))
 
       val (n5, t5) = time(operators.Ivf.join(model, emb, "embedding",
         metric = "cosine", threshold = 0.02, nprobe = 1).count())
@@ -268,6 +272,8 @@ object ScaleBench {
         }
         add("stream_dedup_ingest", nEv, tS,
           Seq(("rows_per_sec", nEv / math.max(tS, 1e-9))))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(streamDir))
       }
       // Sequence packing: seeded order + bucket-prefix global cumsum +
       // span arithmetic over the expanded docs — the cumsum family's

@@ -3816,10 +3816,14 @@ object SparkEntry {
     * quantified": imbalance excursts 1.88→33.4 under distribution
     * shift), oracled end-to-end: the corpus routes to FOUR FIXED
     * literal centroids through the PRODUCTION routing kernel
-    * (`Ivf.routeWith` — the ONE argmin kernel every ingest path
-    * shares), and the output is the per-cluster posting size, mean
-    * routing distance (float4 — unordered double aggregate), and the
-    * max/avg imbalance. Literal centroids make the argmin
+    * (`Ivf.routeWithDist` — the ONE argmin kernel every ingest path
+    * shares, HERE including its own emitted distance, the exact
+    * expression `StreamIndexIngest`'s per-batch health rows
+    * aggregate), and the output is the per-cluster posting size, mean
+    * routing distance (round-6 of an unordered double aggregate — r14
+    * advice: a fixed decimal grid absorbs accumulation-order noise
+    * deterministically where a float4 cast merely usually does), and
+    * the max/avg imbalance. Literal centroids make the argmin
     * SQL-replayable closed-form; a routing tie breaks to the LOWER
     * cluster id on both engines (strict `<` in the kernel, `ORDER BY
     * d, cid` in the oracle). */
@@ -3834,19 +3838,10 @@ object SparkEntry {
       Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f),
       Array.tabulate(64)(i => if (i == 1) -1.0f else 0.0f))
     val e = Tables.read(s, dir, "embeddings")
-    val shell = operators.Ivf.IvfModel(cents,
-      e.limit(0).withColumn("cluster_id", lit(0)), "embedding")
-    val routed = operators.Ivf.insert(shell, e)
-    val dist = cents.zipWithIndex.tail.foldLeft(
-        when(col("cluster_id") === 0,
-          operators.Knn.distCol("l2")(col("embedding"), lit(cents(0))))) {
-      case (acc, (c, i)) =>
-        acc.when(col("cluster_id") === i,
-          operators.Knn.distCol("l2")(col("embedding"), lit(c)))
-    }
-    val g = routed.assigned.select(col("cluster_id"), dist.as("d"))
+    val g = operators.Ivf.routeWithDist(cents, e, "embedding")
       .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n"), avg(col("d")).cast("float").as("mean_dist"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("route_dist")), 6).as("mean_dist"))
     val tot = g.agg(max(col("n")).as("__mx"), avg(col("n")).as("__av"))
     g.crossJoin(tot)
       .select(col("cluster_id").cast("long").as("cluster_id"), col("n"),
@@ -3872,7 +3867,7 @@ object SparkEntry {
       |  FROM embeddings e, c),
       |g AS (
       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(AVG(d) AS REAL) AS mean_dist
+      |    round(AVG(d), 6) AS mean_dist
       |  FROM a WHERE rn = 1 GROUP BY cid),
       |t AS (SELECT MAX(n) AS mx, AVG(n) AS av FROM g)
       |SELECT CAST(g.cid AS BIGINT) AS cluster_id, g.n, g.mean_dist,
@@ -14799,6 +14794,22 @@ object SparkEntry {
     * oracle brute-forces every (arrival, reference) pair; scoring is
     * per-row stateless, so the streamed rows equal the batch rows
     * (`StreamLabelNoiseSpec` pins two-micro-batch continuity). */
+  /** Pin a query result locally, then recursively delete the temp
+    * roots it was computed from (r14 advice: the streaming-ingest
+    * probes left full parquet index copies in /tmp per gate sweep —
+    * repeated 3-SF sweeps accumulated unbounded data). The results are
+    * small (top-k rows / per-arrival scores), so collect-then-
+    * localize is the cheap way to make the DataFrame independent of
+    * the files before they go away. */
+  private def materializeAndClean(s: SparkSession, df: DataFrame,
+                                  roots: String*): DataFrame =
+    try {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      df.collect().foreach(rows.add)
+      s.createDataFrame(rows, df.schema)
+    } finally roots.foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+
   private def streamLabelNoiseQ(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     val stream = s.readStream.schema(schema)
@@ -14811,7 +14822,7 @@ object SparkEntry {
     val q = streaming.StreamLabelNoise.run(ivfModel(s, dir), stream,
       "vec_id", "embedding", "label", k = 10, s"$out/res", s"$out/ckpt")
     q.awaitTermination()
-    s.read.parquet(s"$out/res")
+    materializeAndClean(s, s.read.parquet(s"$out/res"), out)
   }
 
   /** Streaming index ingest, FULL oracle — the production contract of
@@ -14843,8 +14854,10 @@ object SparkEntry {
       "embedding", s"$root/ivf", s"$root/ckpt")
     q.awaitTermination()
     val served = operators.Ivf.loadPartitioned(s, s"$root/ivf", "embedding")
-    served.search(qvec(s, dir), k = 10, nprobe = 8)
-      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+    materializeAndClean(s,
+      served.search(qvec(s, dir), k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 6).as("dist")),
+      root)
   }
 
   /** [[streamIndexIngestQ]]'s IVFADC sibling: arriving vectors are
@@ -14868,9 +14881,11 @@ object SparkEntry {
     q.awaitTermination()
     val served = operators.IvfPq.loadPartitioned(s, s"$root/ivfpq",
       "embedding", "vec_id")
-    operators.IvfPq.search(served, qvec(s, dir), k = 10, nprobe = 8,
-        rerankPool = served.encoded.count().toInt)
-      .select(col("vec_id"), round(col("distance"), 6).as("dist"))
+    materializeAndClean(s,
+      operators.IvfPq.search(served, qvec(s, dir), k = 10, nprobe = 8,
+          rerankPool = served.encoded.count().toInt)
+        .select(col("vec_id"), round(col("distance"), 6).as("dist")),
+      root)
   }
 
   private val streamLabelNoiseSql =

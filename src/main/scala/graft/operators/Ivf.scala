@@ -62,21 +62,36 @@ object Ivf {
     }
   }
 
-  /** Persist the index partitioned by cluster id: probes then prune at
-    * the FILE level — `spark.read.parquet(...).filter(cluster_id IN ...)`
-    * reads only the probed clusters' directories. This is the on-disk
-    * shape the 100 TB deployment uses (SCALING.md); centroids ride along
-    * as a tiny side table. */
+  /** Persist the index partitioned by (ingest epoch, cluster id):
+    * probes prune at the FILE level — `spark.read.parquet(...)
+    * .filter(cluster_id IN ...)` reads only the probed clusters'
+    * directories under every epoch. This is the on-disk shape the
+    * 100 TB deployment uses (SCALING.md); centroids ride along as a
+    * tiny side table.
+    *
+    * The outer `ingest` partition column is the REPLAY-IDEMPOTENCE key
+    * of continuous ingestion (VERDICT r14 ask #1): the offline build
+    * owns `ingest=base`, and each streaming micro-batch owns
+    * `ingest=batch-<batchId>` written with DYNAMIC partition overwrite
+    * ([[graft.streaming.StreamIndexIngest.ingestBatch]]) — a
+    * crash-replayed micro-batch re-derives the same rows, routes them
+    * identically (stateless kernel, fixed centroids), and REPLACES
+    * exactly its own partitions instead of appending next to its first
+    * attempt, so the loaded index can never hold a vector twice. One
+    * scan relation regardless of batch count; a full (static-mode)
+    * [[writePartitioned]] folds accumulated epochs back into
+    * `ingest=base` — the compaction step, on the same cadence as
+    * centroid re-tunes. */
   def writePartitioned(model: IvfModel, path: String): Unit = {
-    model.assigned.write.mode("overwrite")
-      .partitionBy("cluster_id").parquet(s"$path/assigned")
+    model.assigned.withColumn("ingest", lit("base")).write.mode("overwrite")
+      .partitionBy("ingest", "cluster_id").parquet(s"$path/assigned")
     writeCentroids(model.assigned.sparkSession, model.centroids, s"$path/centroids")
   }
 
   def loadPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                       vecCol: String): IvfModel =
     IvfModel(readCentroids(spark, s"$path/centroids"),
-      spark.read.parquet(s"$path/assigned"), vecCol)
+      spark.read.parquet(s"$path/assigned").drop("ingest"), vecCol)
 
   /** The tiny centroid side table's ONE on-disk schema — shared with
     * [[IvfPq]] so the two layouts cannot drift. */
@@ -241,7 +256,18 @@ object Ivf {
     * batch and stream routing cannot diverge because there is exactly
     * one definition. Returns `df` + `cluster_id`. */
   def routeWith(centroids: Array[Array[Float]], df: DataFrame,
-                vecCol: String): DataFrame = {
+                vecCol: String): DataFrame =
+    routeWithDist(centroids, df, vecCol).drop("route_dist")
+
+  /** [[routeWith]] exposing the argmin's OWN distance as `route_dist` —
+    * the assignment already computes it, so emitting it is free. This is
+    * what the per-batch `route_health` emission in
+    * [[graft.streaming.StreamIndexIngest]] and the oracled
+    * `route_health` dial aggregate (mean routing distance is the drift
+    * signal imbalance alone can miss when clusters stay balanced but
+    * everything lands FAR from its centroid). */
+  def routeWithDist(centroids: Array[Array[Float]], df: DataFrame,
+                    vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
     val assign = udf((v: Seq[Float]) => {
       val q = v.toArray
@@ -252,9 +278,12 @@ object Ivf {
         if (d < bestD) { bestD = d; best = i }
         i += 1
       }
-      best
+      (best, bestD)
     })
-    df.withColumn("cluster_id", assign(col(vecCol)))
+    df.withColumn("__route", assign(col(vecCol)))
+      .withColumn("cluster_id", col("__route._1"))
+      .withColumn("route_dist", col("__route._2"))
+      .drop("__route")
   }
 
   /** Incremental maintenance (the `ivfinsert` analog): new rows route to

@@ -105,13 +105,16 @@ object IvfPq {
       encoded = model.encoded
         .join(ids.select(col(model.idCol)), Seq(model.idCol), "left_anti"))
 
-  /** Persist the IVFADC index: codes partitioned by cluster id (probes
-    * prune at the FILE level), centroids and the PQ codebook as tiny side
-    * tables — the serving layout where the scanned bytes per probe are
-    * m-byte codes, not float vectors. */
+  /** Persist the IVFADC index: codes partitioned by (ingest epoch,
+    * cluster id) — same layout and replay-idempotence contract as
+    * [[Ivf.writePartitioned]] (the streaming encode path owns
+    * `ingest=batch-<id>` partitions via dynamic overwrite); probes
+    * prune at the FILE level, centroids and the PQ codebook ride along
+    * as tiny side tables — the serving layout where the scanned bytes
+    * per probe are m-byte codes, not float vectors. */
   def writePartitioned(model: IvfPqModel, path: String): Unit = {
-    model.encoded.write.mode("overwrite")
-      .partitionBy("cluster_id").parquet(s"$path/encoded")
+    model.encoded.withColumn("ingest", lit("base")).write.mode("overwrite")
+      .partitionBy("ingest", "cluster_id").parquet(s"$path/encoded")
     val spark = model.encoded.sparkSession
     import spark.implicits._
     Ivf.writeCentroids(spark, model.ivf.centroids, s"$path/centroids")
@@ -130,7 +133,7 @@ object IvfPq {
     val codebooks = Array.tabulate(m) { s =>
       cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
     }
-    val encoded = spark.read.parquet(s"$path/encoded")
+    val encoded = spark.read.parquet(s"$path/encoded").drop("ingest")
     IvfPqModel(
       Ivf.IvfModel(centroids, encoded.drop("pq_codes"), vecCol),
       Pq.PqCodebook(m, codebooks.head.head.length, codebooks),

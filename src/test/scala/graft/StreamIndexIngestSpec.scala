@@ -74,11 +74,19 @@ class StreamIndexIngestSpec extends SparkSpecBase {
       .select("vec_id").as[Long].collect().toSeq
     assert(got == rebuilt)
 
-    // file-level layout: appends landed INSIDE cluster_id=* directories
-    // (probes keep pruning at the file level)
-    val dirs = new java.io.File(s"$root/ivf/assigned").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster_id=")), dirs)
+    // file-level layout: each micro-batch owns its own ingest=batch-<id>
+    // epoch partition whose children are cluster_id=* directories
+    // (probes keep pruning at the file level, and a replayed batch
+    // dynamic-overwrites its own partitions instead of appending)
+    val epochDirs = new java.io.File(s"$root/ivf/assigned").listFiles()
+      .filter(_.isDirectory).sortBy(_.getName)
+    assert(epochDirs.map(_.getName).toSeq ==
+      Seq("ingest=base", "ingest=batch-0", "ingest=batch-1"))
+    epochDirs.foreach { b =>
+      val clusters = b.listFiles().filter(_.isDirectory).map(_.getName)
+      assert(clusters.nonEmpty && clusters.forall(_.startsWith("cluster_id=")),
+        clusters.toSeq)
+    }
   }
 
   test("IVFADC streaming ingest: two micro-batches equal one-shot insert") {
@@ -157,12 +165,127 @@ class StreamIndexIngestSpec extends SparkSpecBase {
     StreamIndexIngest.ingestBatch(base.centroids, "embedding",
       emb.filter($"vec_id" >= 200 && $"vec_id" < 300).repartition(16),
       root)
-    val dirs = new java.io.File(s"$root/assigned").listFiles()
+    val dirs = new java.io.File(s"$root/assigned/ingest=batch-0").listFiles()
       .filter(_.isDirectory)
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(n <= 1, s"${d.getName}: $n files from one batch")
     }
+  }
+
+  test("replaying a batchId is a no-op: same-batch-twice == once (IVF)") {
+    // the crash-replay window of every parquet foreachBatch sink: the
+    // batch wrote, the checkpoint commit didn't land, the source
+    // replays the SAME epoch. The overwrite-keyed subtree makes the
+    // second write rewrite the first — the loaded index must be
+    // IDENTICAL, not doubled (a duplicated vector corrupts kNN output,
+    // not just storage).
+    val base = Ivf.build(emb.filter($"vec_id" < 300), "embedding",
+      nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("sii_replay_").toString
+    Ivf.writePartitioned(base, s"$root/ivf")
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding", batch,
+      s"$root/ivf", batchId = 7L)
+    def snapshot() = Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
+      .assigned.select($"vec_id".cast("long"), $"cluster_id".cast("int"))
+      .as[(Long, Int)].collect().sortBy(identity).toSeq
+    val once = snapshot()
+    assert(once.size == 400 && once.map(_._1).distinct.size == 400)
+    // replay the SAME epoch
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding", batch,
+      s"$root/ivf", batchId = 7L)
+    assert(snapshot() == once)
+    // and the served answer is still brute-force exact at the
+    // exhaustive dial after the replay
+    val qv = Tables.queryVector(spark, "/root/testdata/sf0.001", 350L)
+    val exact = Knn.search(emb.filter($"vec_id" < 400), "embedding", qv,
+        k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val got = Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
+      .search(qv, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("replaying a batchId is a no-op for the IVFADC code table too") {
+    import graft.operators.IvfPq
+    val base = IvfPq.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlists = 8, m = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("spq_replay_").toString
+    IvfPq.writePartitioned(base, s"$root/ivfpq")
+    val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 380)
+    def snapshot() = IvfPq.loadPartitioned(spark, s"$root/ivfpq",
+        "embedding", "vec_id")
+      .encoded.select($"vec_id".cast("long"), $"cluster_id".cast("int"),
+        $"pq_codes".cast("string"))
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    StreamIndexIngest.ingestBatchPq(base.ivf.centroids, base.codebook,
+      "embedding", batch, s"$root/ivfpq", batchId = 3L)
+    val once = snapshot()
+    assert(once.size == 380 && once.map(_._1).distinct.size == 380)
+    StreamIndexIngest.ingestBatchPq(base.ivf.centroids, base.codebook,
+      "embedding", batch, s"$root/ivfpq", batchId = 3L)
+    assert(snapshot() == once)
+  }
+
+  test("distinct batchIds accumulate; duplicate batchIds never double-count") {
+    val base = Ivf.build(emb.filter($"vec_id" < 300), "embedding",
+      nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("sii_ids_").toString
+    Ivf.writePartitioned(base, s"$root/ivf")
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding",
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 340), s"$root/ivf", 0L)
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding",
+      emb.filter($"vec_id" >= 340 && $"vec_id" < 400), s"$root/ivf", 1L)
+    assert(Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
+      .assigned.count() == 400)
+    StreamIndexIngest.ingestBatch(base.centroids, "embedding",
+      emb.filter($"vec_id" >= 340 && $"vec_id" < 400), s"$root/ivf", 1L)
+    assert(Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
+      .assigned.count() == 400)
+  }
+
+  test("per-batch route_health rows: continuity across two micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Ivf.build(emb.filter($"vec_id" < 300), "embedding",
+      nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("sii_rh_").toString
+    Ivf.writePartitioned(base, s"$root/ivf")
+    val arrivals = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val (b1, b2) = arrivals.splitAt(40)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamIndexIngest.run(base.centroids,
+      mem.toDF().toDF("vec_id", "embedding"), "embedding",
+      s"$root/ivf", s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val health = StreamIndexIngest.readRouteHealth(spark, s"$root/ivf")
+      .select($"batch_id".cast("long"), $"n_rows".cast("long"),
+        $"populated_lists".cast("long"), $"imbalance".cast("float"),
+        $"mean_dist".cast("double"))
+      .as[(Long, Long, Long, Float, Double)].collect().sortBy(_._1).toSeq
+    assert(health.map(_._1) == Seq(0L, 1L))
+    assert(health.map(_._2) == Seq(40L, 60L))
+    health.foreach { case (_, n, lists, imb, md) =>
+      assert(lists >= 1 && lists <= 8)
+      assert(imb >= 1.0f - 1e-6f) // max/avg >= 1 by construction
+      assert(md > 0.0 && md.isFinite)
+    }
+    // the dial is the ORACLED expression: batch-1 mean_dist equals
+    // avg(route_dist) of the same rows through the shared kernel
+    val expect = Ivf.routeWithDist(base.centroids,
+        b1.toSeq.toDF("vec_id", "embedding"), "embedding")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.avg($"route_dist"), 6))
+      .head().getDouble(0)
+    assert(health.head._5 == expect)
   }
 }
