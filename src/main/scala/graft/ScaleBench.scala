@@ -247,6 +247,32 @@ object ScaleBench {
         "vec_id", "embedding", numShards = 32).count())
       add("hnsw_insert_batch", nBatch, t7,
         Seq(("index_rows", emb.count().toDouble)))
+      // r15: the scattered-erasure cliff vs the lazy path. A FIXED
+      // 200-id erasure set of hash-scattered base ids touches ~every
+      // one of the 32 shards, so deleteBulk pays ~a full-graph rebuild
+      // no matter how small the erasure — the sec column should grow
+      // linearly with index size (the cliff). The tombstone path
+      // answers the SAME erasure with zero rebuild: its cost is the
+      // erasure-to-serveable latency (collect the id set + a 16-query
+      // ef=64 serve over the tombstoned index), which should stay
+      // ~flat — compact() pays the rebuild later, only for shards
+      // past the dead-fraction threshold.
+      val erasure = emb.filter(col("vec_id") < 200).select(col("vec_id"))
+      val nErase = erasure.count()
+      val (_, tHdb) = time(operators.Hnsw.deleteBulk(hnswIdx, erasure,
+        numShards = 32).count())
+      add("hnsw_delete_bulk", nErase, tHdb,
+        Seq(("index_rows", emb.count().toDouble)))
+      val eraseQs = emb.filter(col("vec_id") >= 1000 && col("vec_id") < 1016)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (_, tHlz) = time {
+        val tombs = operators.Hnsw.tombstoneSet(erasure)
+        operators.Hnsw.searchBatch(hnswIdx, eraseQs, k = 10, efSearch = 64,
+          tombstones = tombs).count()
+      }
+      add("hnsw_delete_lazy", nErase, tHlz,
+        Seq(("index_rows", emb.count().toDouble)))
       hnswIdx.unpersist()
       // Streaming ingest at scale: the STATEFUL dedup-at-ingest shape
       // (file source → dropDuplicates on the row key → noop sink,

@@ -554,6 +554,32 @@ object SparkEntry {
         round(col("distance"), 6).as("dist"))
   }
 
+  /** [[hnswDeleteBulk]]'s LAZY sibling (r15: the other half of the
+    * erasure trade SCALE_BENCH measures): the SAME 100 decoy twins are
+    * erased by TOMBSTONE — zero shard rebuilds, the ids are filtered
+    * from every shard's result heap at search time while still routing
+    * the walk — and the exhaustive search must STILL equal brute force
+    * over the originals (identical oracle SQL to the rebuild path:
+    * tombstoned ≡ rebuilt is the whole contract). A tombstone leak
+    * into the heap, or an over-eager filter that starves the beam,
+    * breaks the hash. `Hnsw.compact` is the spec-pinned second half
+    * (threshold-0 compaction is bit-identical to `deleteBulk`). */
+  private def hnswDeleteLazy(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val withDecoys = operators.Hnsw.build(e.unionByName(decoys),
+      "vec_id", "embedding", numShards = 4)
+    val tombs = operators.Hnsw.tombstoneSet(
+      e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 5000000L).as("vec_id")))
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    operators.Hnsw.searchBatch(withDecoys, qs, k = 10, efSearch = 100000,
+        tombstones = tombs)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("distance"), 6).as("dist"))
+  }
+
   private val hnswExhaustiveSql =
     """WITH q AS (
       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -15292,6 +15318,7 @@ object SparkEntry {
     "hnsw_insert_exact" -> (hnswInsertExact(_, _)),
     "hnsw_delete_exact" -> (hnswDeleteExact(_, _)),
     "hnsw_delete_bulk" -> (hnswDeleteBulk(_, _)),
+    "hnsw_delete_lazy" -> (hnswDeleteLazy(_, _)),
     "ivfpq_knn" -> (ivfpqKnn(_, _)),
     "ivfpq_disk_exact" -> (ivfpqDiskExact(_, _)),
     "hnsw_recall_curve" -> (hnswRecallCurve(_, _)),
@@ -15443,6 +15470,7 @@ object SparkEntry {
     "hnsw_insert_exact" -> hnswExhaustiveSql, // maintained index == brute force
     "hnsw_delete_exact" -> hnswExhaustiveSql, // decoys removed == brute force
     "hnsw_delete_bulk" -> hnswExhaustiveSql,  // anti-join purge, same contract
+    "hnsw_delete_lazy" -> hnswExhaustiveSql,  // tombstoned == rebuilt == brute force
     "ivfpq_disk_exact" -> ivfKnnExactSql, // nprobe=nlists + pool>=corpus == brute force
     "vec_join_pairs" -> vecJoinPairsSql,
     "knn_graph" -> knnGraphSql,

@@ -266,17 +266,28 @@ object Hnsw {
 
   /** Bulk-purge deletion ([[Ivf.deleteBulk]]'s HNSW form, the GDPR-
     * erasure shape): the erasure set arrives as an id FRAME, the
-    * affected SHARDS are derived with the same hash expression the
-    * layout check uses (≤ numShards ints to the driver — never the
-    * ids themselves), survivors of those shards are anti-joined
-    * against the frame, and only the affected shards' graphs are
-    * rebuilt — untouched shards keep their adjacency verbatim, same
-    * contract as [[delete]]. An empty manifest is a no-op. */
+    * affected SHARDS are derived from the manifest ids ACTUALLY
+    * PRESENT in the index (one semi-join — r14 advice: a retraction
+    * manifest full of stray or already-purged ids must not trigger
+    * rebuilds of shards that lose no members; ≤ numShards ints reach
+    * the driver, never the ids themselves), survivors of those shards
+    * are anti-joined against the frame, and only the affected shards'
+    * graphs are rebuilt — untouched shards keep their adjacency
+    * verbatim, same contract as [[delete]]. An empty or fully-stale
+    * manifest is a no-op.
+    *
+    * Cost shape: rebuild is O(affected shards × shard size) — a
+    * SCATTERED erasure (uniform ids) touches every shard and pays a
+    * full-index rebuild, measured as the `hnsw_delete_bulk` cliff in
+    * SCALE_BENCH.json; the lazy path ([[searchBatch]]'s `tombstones` +
+    * [[compact]]) answers the same erasure with zero immediate rebuild
+    * when that cliff is the wrong trade. */
   def deleteBulk(index: DataFrame, ids: DataFrame, numShards: Int = 32,
                  params: Params = Params(), metric: String = "l2"): DataFrame = {
     checkShardLayout(index, numShards)
     val del = ids.select(col(ids.columns.head).cast("long").as("id"))
-    val shards = del
+    val shards = index.select(col("id"))
+      .join(del, Seq("id"), "left_semi")
       .select(pmod(hash(col("id")), lit(numShards)).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (shards.isEmpty) return index
@@ -287,6 +298,56 @@ object Hnsw {
     untouched.select("shard", "id", "vec", "nbrs")
       .unionByName(build(members, "id", "vec", numShards, params, metric)
         .select("shard", "id", "vec", "nbrs"))
+  }
+
+  /** Collect an erasure-id frame into the broadcastable tombstone set
+    * the LAZY deletion path uses. Driver-sized by design: a tombstone
+    * set is bounded by [[compact]]'s threshold sweep (shards above
+    * `minDeadFraction` rebuild and consume their tombstones), so it
+    * stays erasure-batch-sized — millions of longs, not corpus-sized. */
+  def tombstoneSet(ids: DataFrame): Set[Long] = {
+    val c = ids.columns.head
+    ids.select(col(c).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Threshold-triggered compaction of lazily-deleted (tombstoned)
+    * shards — the second half of the mark-and-sweep deletion pair:
+    * shards whose tombstoned fraction is ≥ `minDeadFraction` rebuild
+    * WITHOUT their dead members (bit-identical to [[deleteBulk]] on
+    * those shards, because the per-shard build is deterministic);
+    * shards below the threshold keep their adjacency verbatim and
+    * their tombstones stay active. Returns (compacted index,
+    * surviving tombstones). `minDeadFraction = 0.0` compacts every
+    * shard holding at least one tombstone — exactly [[deleteBulk]].
+    * Driver sees only per-shard (size, dead) counts, ≤ numShards
+    * rows. */
+  def compact(index: DataFrame, tombstones: DataFrame, numShards: Int = 32,
+              params: Params = Params(), metric: String = "l2",
+              minDeadFraction: Double = 0.2): (DataFrame, DataFrame) = {
+    checkShardLayout(index, numShards)
+    val del = tombstones
+      .select(col(tombstones.columns.head).cast("long").as("id"))
+    val stats = index.select(col("shard"), col("id"))
+      .join(del.withColumn("dead", lit(1)), Seq("id"), "left_outer")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("dead"), lit(0))).as("d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val shards = stats.collect {
+      case (s, n, d) if d > 0 && d.toDouble / n >= minDeadFraction => s
+    }.toSeq
+    if (shards.isEmpty) return (index, del)
+    val untouched = index.filter(!col("shard").isin(shards: _*))
+    val members = index.filter(col("shard").isin(shards: _*))
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"))
+    val compacted = untouched.select("shard", "id", "vec", "nbrs")
+      .unionByName(build(members, "id", "vec", numShards, params, metric)
+        .select("shard", "id", "vec", "nbrs"))
+    // tombstones on compacted shards are consumed; the rest stay active
+    val surviving = del
+      .filter(!pmod(hash(col("id")), lit(numShards)).isin(shards: _*))
+    (compacted, surviving)
   }
 
   /** Maintenance ops must be called with the numShards the index was
@@ -321,7 +382,17 @@ object Hnsw {
       nodes.minBy(n => (-n.nbrs.length, n.id)) // max level, tie → min id
     private def vecOf(id: Long): Array[Float] = byId(id).vec.toArray
 
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    /** `dead` is the LAZY-deletion filter (mark-and-sweep, the classic
+      * HNSW answer to deletion): tombstoned nodes still ROUTE — the
+      * walk traverses them like any node, preserving graph
+      * connectivity — but never enter the result heap. At the
+      * exhaustive dial (ef ≥ |shard|) the scan guarantees exactly
+      * brute force over the SURVIVORS. At production ef the beam is
+      * live-results-sized, so heavily tombstoned shards effectively
+      * search a little wider; [[Hnsw.compact]] bounds that overhead by
+      * rebuilding shards past a dead-fraction threshold. */
+    def search(q: Array[Float], k: Int, ef: Int,
+               dead: Long => Boolean = _ => false): Seq[(Long, Double)] = {
       // ef >= |shard| is the documented exhaustive limit (reference ef
       // clamp contract, hnsw_am.c:938-941): make it a GUARANTEE by
       // scanning, not a property contingent on level-0 connectivity —
@@ -329,12 +400,13 @@ object Hnsw {
       // node's inbound edges, and the hnsw_exhaustive oracle family
       // asserts brute-force equality
       if (math.max(ef, k) >= byId.size)
-        return nodes.view.map(n => (dist(q, n.vec.toArray), n.id))
+        return nodes.view.filterNot(n => dead(n.id))
+          .map(n => (dist(q, n.vec.toArray), n.id))
           .toSeq.sorted.take(k).map { case (d, id) => (id, d) }
       var ep = entry.id
       var dEp = dist(q, vecOf(ep))
       var lc = entry.nbrs.length - 1
-      while (lc > 0) { // greedy descent to level 1
+      while (lc > 0) { // greedy descent to level 1 (dead nodes may route)
         var improved = true
         while (improved) {
           improved = false
@@ -349,17 +421,21 @@ object Hnsw {
       val visited = mutable.HashSet[Long](ep)
       val cand = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(t => (-t._1, -t._2)))
       val res = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(identity))
-      cand.enqueue((dEp, ep)); res.enqueue((dEp, ep))
+      cand.enqueue((dEp, ep))
+      if (!dead(ep)) res.enqueue((dEp, ep))
       while (cand.nonEmpty) {
         val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= efK) { cand.clear() }
+        if (res.size >= efK && dc > res.head._1) { cand.clear() }
         else byId(c).nbrs(0).foreach { e =>
           if (!visited(e)) {
             visited += e
             val de = dist(q, vecOf(e))
             if (res.size < efK || de < res.head._1) {
-              cand.enqueue((de, e)); res.enqueue((de, e))
-              if (res.size > efK) res.dequeue()
+              cand.enqueue((de, e))
+              if (!dead(e)) {
+                res.enqueue((de, e))
+                if (res.size > efK) res.dequeue()
+              }
             }
           }
         }
@@ -429,16 +505,26 @@ object Hnsw {
    * per-shard graphs in the executor JVM, so repeated batches against the
    * same index skip graph reconstruction; results are bit-identical
    * either way (the graph is a pure function of the shard's rows).
+   *
+   * `tombstones` is the LAZY-deletion filter ([[tombstoneSet]]): the
+   * set broadcasts with the queries and tombstoned ids are excluded
+   * from every shard's result heap while still routing the walk —
+   * erasure takes effect at the NEXT query with zero graph rebuild,
+   * and [[compact]] reclaims the space later. Because the filter never
+   * touches the graph rows, the executor graph cache stays valid
+   * across tombstone changes.
    */
   def searchBatch(index: DataFrame, queries: Array[(Long, Array[Float])],
                   k: Int = 10, efSearch: Int = 64, metric: String = "l2",
-                  cacheKey: Option[String] = None): DataFrame = {
+                  cacheKey: Option[String] = None,
+                  tombstones: Set[Long] = Set.empty): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
     val ef = math.min(math.max(efSearch, 1), 100000) // hnsw_am.c:938-941 clamp
     val spark = index.sparkSession
     import spark.implicits._
     val dist = distFn(metric)
     val bq = spark.sparkContext.broadcast(queries)
+    val bt = spark.sparkContext.broadcast(tombstones)
     index.select(col("shard"), col("id"), col("vec"), col("nbrs"))
       .repartition(col("shard"))
       .as[Node]
@@ -452,8 +538,10 @@ object Hnsw {
               }
             case None => new ShardGraph(ns, dist)
           }
+          val dead: Long => Boolean =
+            if (bt.value.isEmpty) _ => false else bt.value.contains
           bq.value.iterator.flatMap { case (qid, q) =>
-            g.search(q, k, ef).map { case (id, d) => (qid, id, d) }
+            g.search(q, k, ef, dead).map { case (id, d) => (qid, id, d) }
           }
         }
       }

@@ -236,4 +236,133 @@ class HnswSpec extends SparkSpecBase {
       .select("id").as[Long].head()
     assert(ann == exact)
   }
+
+  test("deleteBulk skips shards whose manifest ids are stray (r14 advice)") {
+    // an erasure manifest of ids NOT in the index must be a structural
+    // no-op: no shard rebuilds, rows verbatim (previously every hashed
+    // shard of every stray id rebuilt for nothing)
+    val stray = Seq(8000001L, 8000002L, 8000003L).toDF("vec_id")
+    val out = Hnsw.deleteBulk(index, stray, numShards = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard", $"id", $"nbrs".cast("string"))
+      .as[(Int, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(out) == rows(index))
+  }
+
+  test("lazy tombstones: never served, exhaustive == rebuilt == brute force") {
+    val decoys = emb.filter($"vec_id" < 30)
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    val planted = Hnsw.build(emb.unionByName(decoys), "vec_id", "embedding",
+      numShards = 4).cache()
+    val tombs = Hnsw.tombstoneSet(
+      decoys.select($"vec_id"))
+    val qs = Array(0L, 7L, 33L).map(i =>
+      (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
+    // production ef: tombstoned ids never appear even though their
+    // distance-0 twins would otherwise crowd out the true top-k
+    val prod = Hnsw.searchBatch(planted, qs, k = 10, efSearch = 64,
+        tombstones = tombs)
+      .select($"id").as[Long].collect()
+    assert(prod.forall(_ < 5000000L))
+    // exhaustive dial: tombstoned == the rebuilt (deleteBulk) index,
+    // row for row — the decoy-twin oracle contract
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val lazyRes = topk(Hnsw.searchBatch(planted, qs, k = 10,
+      efSearch = 100000, tombstones = tombs))
+    val rebuilt = Hnsw.deleteBulk(planted,
+      decoys.select($"vec_id"), numShards = 4)
+    assert(lazyRes == topk(Hnsw.searchBatch(rebuilt, qs, k = 10,
+      efSearch = 100000)))
+    planted.unpersist()
+  }
+
+  test("compact(minDeadFraction=0) is bit-identical to deleteBulk") {
+    val decoys = emb.filter($"vec_id" % 3 === 0 && $"vec_id" < 60)
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    val planted = Hnsw.build(emb.unionByName(decoys), "vec_id", "embedding",
+      numShards = 4).cache()
+    val erasure = decoys.select($"vec_id")
+    val (compacted, surviving) = Hnsw.compact(planted, erasure,
+      numShards = 4, minDeadFraction = 0.0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard", $"id", $"nbrs".cast("string"))
+      .as[(Int, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(compacted) == rows(Hnsw.deleteBulk(planted, erasure,
+      numShards = 4)))
+    assert(surviving.count() == 0) // all tombstones consumed
+    planted.unpersist()
+  }
+
+  test("partial compact: cold shards keep rows verbatim, tombstones stay active") {
+    // plant decoys whose ids all hash to ONE shard, plus one decoy
+    // elsewhere: a threshold between the two dead fractions compacts
+    // only the hot shard, and the surviving tombstones + compacted
+    // index still serve exactly the rebuilt answer
+    val decoys = emb.filter($"vec_id" < 40)
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    val planted = Hnsw.build(emb.unionByName(decoys), "vec_id", "embedding",
+      numShards = 4).cache()
+    val erasure = decoys.select($"vec_id")
+    val nShardOf = (0 until 4).map(s =>
+      s -> (0 until 40).count(i => Hnsw.idShard(i + 5000000L, 4) == s)).toMap
+    val shardSizes = planted.groupBy($"shard").count()
+      .as[(Int, Long)].collect().toMap
+    val fracs = nShardOf.map { case (s, d) =>
+      s -> d.toDouble / shardSizes(s) }
+    val mid = (fracs.values.min + fracs.values.max) / 2
+    val (compacted, surviving) = Hnsw.compact(planted, erasure,
+      numShards = 4, minDeadFraction = mid)
+    val hot = fracs.collect { case (s, f) if f >= mid => s }.toSet
+    assert(hot.nonEmpty && hot.size < 4, fracs)
+    // cold shards verbatim
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"shard", $"id", $"nbrs".cast("string"))
+      .as[(Int, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val coldCompacted = compacted.filter(!$"shard".isin(hot.toSeq: _*))
+    val coldOriginal = planted.filter(!$"shard".isin(hot.toSeq: _*))
+    assert(rows(coldCompacted) == rows(coldOriginal))
+    // surviving tombstones are exactly the cold shards' dead ids
+    val surv = surviving.as[Long].collect().toSet
+    val expect = (0 until 40).map(_ + 5000000L)
+      .filterNot(id => hot(Hnsw.idShard(id, 4))).toSet
+    assert(surv == expect)
+    // compacted + surviving tombstones == fully rebuilt, exhaustively
+    val qs = Array(0L, 7L).map(i =>
+      (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i)))
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"id").as[(Long, Int, Long)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val served = topk(Hnsw.searchBatch(compacted, qs, k = 10,
+      efSearch = 100000, tombstones = surv))
+    val rebuilt = topk(Hnsw.searchBatch(
+      Hnsw.deleteBulk(planted, erasure, numShards = 4), qs, k = 10,
+      efSearch = 100000))
+    assert(served == rebuilt)
+    planted.unpersist()
+  }
+
+  test("tombstones at production ef keep recall: beam holds live results only") {
+    // tombstone a third of the corpus; recall over the survivors at
+    // ef=64 must stay in the tuner band (the dead nodes still route,
+    // and the result heap is live-only, so the beam isn't starved)
+    val tombs = Hnsw.tombstoneSet(emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id"))
+    val survivors = emb.filter($"vec_id" % 3 =!= 0)
+    val qs = (0L until 20L).map(i =>
+      (i, Tables.queryVector(spark, "/root/testdata/sf0.001", i))).toArray
+    val got = Hnsw.searchBatch(index, qs, k = 10, efSearch = 64,
+        tombstones = tombs)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.values.forall(_.forall(id => id % 3 != 0)))
+    val hits = qs.map { case (qid, q) =>
+      val truth = Knn.search(survivors, "embedding", q, k = 10,
+          tieBreak = Seq("vec_id"))
+        .select("vec_id").as[Long].collect().toSet
+      (truth & got.getOrElse(qid, Set.empty)).size
+    }.sum
+    assert(hits.toDouble / (qs.length * 10) >= 0.9)
+  }
 }
