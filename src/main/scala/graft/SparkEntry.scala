@@ -8241,10 +8241,12 @@ object SparkEntry {
     * colspan in the header, an UNQUOTED colspan in every data row,
     * nested inline markup inside cells, and (every third doc) a second
     * table whose cell TEXT contains a colspan-like string that must
-    * NOT read as a declared span (ADVICE r13 — the quote normalizer
-    * rewrites it to colspan="8" inside the text, which is the pinned
-    * visible artifact); the oracle replays the exploded rows
-    * closed-form. */
+    * NOT read as a declared span AND must survive extraction VERBATIM
+    * (ADVICE r13 + r14: the r14 quote normalizer rewrote the text to
+    * colspan="8" — a silent mutation of extracted training data; span
+    * parsing is now quote-tolerant in place, so the text passes
+    * through untouched and the oracle pins the fidelity); the oracle
+    * replays the exploded rows closed-form. */
   private def htmlTableCellsQ(s: SparkSession, dir: String): DataFrame = {
     val dataRows = array_join(transform(
       sequence(lit(1L), col("doc_id") % 2 + 1),
@@ -8287,7 +8289,7 @@ object SparkEntry {
       |FROM h, range(1, 3) j(j) WHERE j.j <= m2 + 1
       |UNION ALL
       |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-      |  'solo s colspan="8"',
+      |  'solo s colspan=8',
       |  CAST(1 AS BIGINT), '0', false
       |FROM h WHERE m3 = 0""".stripMargin
 

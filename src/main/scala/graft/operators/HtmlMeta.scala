@@ -182,24 +182,6 @@ object HtmlMeta {
       .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("keep_id"))
   }
 
-  /** Rewrite single-quoted and unquoted `colspan`/`rowspan` values to
-    * the double-quoted form (the [[normalizeAttrQuotes]] contract,
-    * scoped to the two attributes the table extractors read — the
-    * shared normalizer's attribute set stays untouched so every other
-    * extractor's oracle replay is unaffected). The unquoted-value
-    * match additionally excludes `&lt;`: a colspan-like token in cell
-    * TEXT right before a closing tag (`…colspan=8&lt;/td&gt;`) must
-    * not capture `8&lt;/td` as its value and swallow the close tag —
-    * the rewrite inside text still happens (pinned oracle artifact:
-    * the text reads back as `colspan="8"`), but the markup around it
-    * stays intact. */
-  def normalizeColspanQuotes(html: Column): Column =
-    regexp_replace(
-      regexp_replace(html, "(?i)(\\s)(colspan|rowspan)\\s*=\\s*'([^']*)'",
-        "$1$2=\"$3\""),
-      "(?i)(\\s)(colspan|rowspan)\\s*=\\s*([^\\s><\"'][^\\s><]*)",
-      "$1$2=\"$3\"")
-
   /** Declared colspans are clamped into [1, 1000]: the WHATWG cap is
     * 1000; colspan=0 ("span the colgroup") has no column answer
     * without a colgroup so it counts as 1; and the digit match is
@@ -212,10 +194,17 @@ object HtmlMeta {
     * extractions are ANCHORED to the cell's OPENING TAG (`^<t[dh]
     * [^>]*?`) so a colspan-like string inside cell TEXT — plausible on
     * crawled pages that document HTML — can never read as a declared
-    * span (ADVICE r13). */
+    * span (ADVICE r13), and they accept all three attribute quote
+    * forms (double, single, none) IN PLACE via `["']?(\d{1,9})` plus a
+    * terminator lookahead — the r14 page-wide quote normalizer is
+    * gone, because rewriting quotes before extraction also rewrote
+    * colspan-like tokens inside cell TEXT, silently mutating extracted
+    * training-data content (ADVICE r14). The lookahead keeps the
+    * unparseable-value fallback intact: `colspan="007a"` has no
+    * terminator after the digits, so it still reads as width 1. */
   private val SpanMax = 1000L
   private val RowSpanMax = 65534L
-  private val SpanRe = "\\scolspan=\"(\\d{1,9})\""
+  private val SpanRe = "\\scolspan\\s*=\\s*[\"']?(\\d{1,9})(?=[\"'\\s>/])"
 
   /** Shared row-block regex: `\b` after `tr` so HTML5 `&lt;track&gt;`
     * (or any tag starting with "tr") never reads as a row opener, and
@@ -225,10 +214,10 @@ object HtmlMeta {
   private val RowRe = "(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"
 
   /** Row width honoring colspan: one column per plain cell plus the
-    * clamped declared spans. Expects colspan-normalized row markup.
-    * Span extraction is tag-scoped (`&lt;t[dh]\b[^&gt;]*?` cannot
-    * cross the opening tag's `&gt;`), so colspan-like cell TEXT never
-    * counts. */
+    * clamped declared spans. Span extraction is tag-scoped
+    * (`&lt;t[dh]\b[^&gt;]*?` cannot cross the opening tag's `&gt;`),
+    * so colspan-like cell TEXT never counts, and quote-tolerant in
+    * place (see [[SpanRe]]) so raw markup needs no rewriting first. */
   private def rowWidth(r: Column): Column = {
     val spans = regexp_extract_all(r,
       lit(s"(?is)<t[dh]\\b[^>]*?$SpanRe"), lit(1))
@@ -257,7 +246,7 @@ object HtmlMeta {
     * logical, carry-aware width is [[tableCells]]'s `width`, whose
     * per-table explode scopes the fold correctly. */
   def tableStats(html: Column): Column = {
-    val n = normalizeColspanQuotes(html)
+    val n = html
     val rows = regexp_extract_all(n, lit(RowRe), lit(1))
     val cellsOf = (r: Column) =>
       size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
@@ -275,10 +264,13 @@ object HtmlMeta {
   /** One span attribute of one cell OPENING TAG as SQL: the clamped
     * declared value, 1 when undeclared/unparseable. Anchored `^<t[dh]`
     * with `[^>]*?` so the extraction can never cross the opening tag's
-    * `>` into cell content (ADVICE r13). Doubled backslashes survive
-    * the SQL string literal's own escape pass. */
+    * `>` into cell content (ADVICE r13), quote-tolerant in place like
+    * [[SpanRe]] (doubled `''` is the SQL literal's own quote escape).
+    * Doubled backslashes survive the SQL string literal's escape
+    * pass. */
   private def sqlSpan(tagExpr: String, attr: String, cap: Long): String = {
-    val re = "'(?is)^<t[dh]\\\\b[^>]*?\\\\s" + attr + "=\"(\\\\d{1,9})\"'"
+    val re = "'(?is)^<t[dh]\\\\b[^>]*?\\\\s" + attr +
+      "\\\\s*=\\\\s*[\"'']?(\\\\d{1,9})(?=[\"''\\\\s>/])'"
     s"""if(regexp_extract($tagExpr, $re, 1) = '', 1L,
        |least(greatest(cast(regexp_extract($tagExpr, $re, 1) as bigint), 1L),
        |${cap}L))""".stripMargin
@@ -299,7 +291,15 @@ object HtmlMeta {
     * cursor-advance is one ordered pass (a span can only push the
     * cursor rightward onto the next span, which is processed next).
     * Cost per page is O(cells · live-spans) — bounded by the page's
-    * own cell count squared, never corpus-shaped. */
+    * own cell count squared, never corpus-shaped.
+    *
+    * Evaluation hygiene (ADVICE r14): the per-tag regexes (`colw`,
+    * `rsp`) run ONCE per cell in a `transform` BEFORE the fold, and
+    * the pend-scan `advance` aggregate binds once per cell through a
+    * single-element `transform` (SQL's let-binding idiom) — the r14
+    * form re-ran `advance` three times and each span regex 4-6 times
+    * per cell inside the `named_struct`, multiplying per-cell cost on
+    * span-heavy markup. */
   private def rowLayoutSql(rowsCol: String): String = {
     val pendT = "array<struct<pos:bigint,rem:bigint,w:bigint>>"
     val outT = "array<struct<carry:bigint,wsum:bigint,starts:array<bigint>>>"
@@ -316,20 +316,22 @@ object HtmlMeta {
        |    'pend', cast(array() as $pendT),
        |    'out',  cast(array() as $outT)),
        |  (st, r) -> aggregate(
-       |    regexp_extract_all(r, $tagsRe, 0),
+       |    transform(regexp_extract_all(r, $tagsRe, 0),
+       |      tg -> named_struct('colw', $colw, 'rsp', $rsp)),
        |    named_struct(
        |      'cursor', 0L,
        |      'wsum', 0L,
        |      'starts', cast(array() as array<bigint>),
        |      'fresh', cast(array() as $pendT)),
-       |    (a, tg) -> named_struct(
-       |      'cursor', $advance + $colw,
-       |      'wsum', a.wsum + $colw,
-       |      'starts', concat(a.starts, array($advance)),
-       |      'fresh', if($rsp > 1L,
-       |        concat(a.fresh, array(named_struct(
-       |          'pos', $advance, 'rem', $rsp - 1L, 'w', $colw))),
-       |        a.fresh)),
+       |    (a, tc) -> element_at(transform(array($advance),
+       |      adv -> named_struct(
+       |        'cursor', adv + tc.colw,
+       |        'wsum', a.wsum + tc.colw,
+       |        'starts', concat(a.starts, array(adv)),
+       |        'fresh', if(tc.rsp > 1L,
+       |          concat(a.fresh, array(named_struct(
+       |            'pos', adv, 'rem', tc.rsp - 1L, 'w', tc.colw))),
+       |          a.fresh))), 1),
        |    rf -> named_struct(
        |      'pend', array_sort(concat(
        |        filter(transform(st.pend,
@@ -372,7 +374,7 @@ object HtmlMeta {
     * Scale shape: a stateless per-page scan (zero shuffles, zero
     * UDFs); output size is the corpus's cell count, exploded. */
   def tableCells(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    val n = normalizeColspanQuotes(col(htmlCol))
+    val n = col(htmlCol)
     val tables = regexp_extract_all(n,
       lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
     val cellText = (c: Column) =>

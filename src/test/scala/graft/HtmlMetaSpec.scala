@@ -208,13 +208,18 @@ class HtmlMetaSpec extends SparkSpecBase {
         // HTML) must not read as a declared span (ADVICE r13): the
         // extraction anchors to the opening tag
         "<table><tr><td>use colspan=8 or rowspan='9' here</td></tr></table>"
-    val out = HtmlMeta.tableCells(Seq((1L, page)).toDF("id", "html"),
+    val rows = HtmlMeta.tableCells(Seq((1L, page)).toDF("id", "html"),
         "id", "html")
       .orderBy("table_idx").collect()
-      .map(r => (r.getLong(1), r.getLong(4), r.getSeq[Long](5)))
+    val out = rows.map(r => (r.getLong(1), r.getLong(4), r.getSeq[Long](5)))
     assert(out(0) == ((0L, 1L, Seq(0L))))
     assert(out(1) == ((1L, 1L, Seq(0L))), out(1).toString) // no carry leaked
     assert(out(2) == ((2L, 1L, Seq(0L))), out(2).toString) // text span ignored
+    // fidelity (ADVICE r14): the colspan-like TEXT passes through
+    // VERBATIM — the r14 quote normalizer silently rewrote it to
+    // colspan="8" / rowspan="9" in the extracted corpus
+    assert(rows(2).getSeq[String](3) ==
+      Seq("use colspan=8 or rowspan='9' here"))
   }
 
   test("<track> elements are not row openers in either path (ADVICE r13)") {
