@@ -142,13 +142,32 @@ object MaintenanceDrift {
       // stalls below the band (r14: 0.740) — so close the loop the way
       // production would: re-tune nprobe on the REBUILT index against
       // the leg's own query mix, and record recall at the re-tuned
-      // dial for both IVF and the ADC serve path. The runbook claim
-      // ("rebuild + re-tune restores the band") becomes a measured
-      // number instead of an assertion.
-      val nprobeRetuned = operators.Ivf.recommendNprobe(
-        rebuilt, qs.map(_._2).toSeq, k = 10, targetRecall = 0.9)
-      val rRetuned = recallAt(rebuilt, qs, nprobeRetuned)
+      // dial for both IVF and the ADC serve path. The re-tune walks
+      // the whole width ladder in ONE recallCurve pass and targets the
+      // SAME self-exclusive metric the row reports (recommendNprobe's
+      // self-inclusive sample would promise 0.9 and read back 0.89
+      // here). The ADC point also measures a 4x rerank pool, so when
+      // quantization error under shift keeps the codes-only path below
+      // the band, the row NAMES the remaining dial with a number
+      // instead of a guess.
+      val widths = Iterator.iterate(1)(_ * 2).takeWhile(_ < 100).toSeq :+ 100
+      val curve = operators.Ivf.recallCurve(rebuilt, qs, "vec_id", k = 10,
+          nprobes = widths)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val (nprobeRetuned, rRetuned) = curve
+        .collectFirst { case (p, r) if r >= 0.9 => (p, r) }
+        .getOrElse(curve.last)
       val aRetuned = adcRecall(adcRebuilt, combined, adcQs, nprobeRetuned)
+      val aRetunedPool512 = {
+        val hits = adcQs.map { case (_, q) =>
+          val truth = operators.Knn.search(combined, "embedding", q, 10,
+            tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect().toSet
+          val got = operators.IvfPq.search(adcRebuilt, q, 10, nprobeRetuned,
+            rerankPool = 512).select("vec_id").as[Long].collect().toSet
+          (truth & got).size
+        }.sum
+        hits.toDouble / (adcQs.length * 10)
+      }
 
       maintained.assigned.unpersist(); rebuilt.assigned.unpersist()
       adcMaint.encoded.unpersist(); adcRebuilt.encoded.unpersist()
@@ -165,7 +184,8 @@ object MaintenanceDrift {
         s""""ivfadc_recall_rebuilt":${fmt(aRebuild, 4)},""" +
         s""""nprobe_retuned":$nprobeRetuned,""" +
         s""""ivf_recall_retuned":${fmt(rRetuned, 4)},""" +
-        s""""ivfadc_recall_retuned":${fmt(aRetuned, 4)}}"""
+        s""""ivfadc_recall_retuned":${fmt(aRetuned, 4)},""" +
+        s""""ivfadc_recall_retuned_pool512":${fmt(aRetunedPool512, 4)}}"""
     }
     val out = lines.mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
