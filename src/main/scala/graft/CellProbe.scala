@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ScaleBench single-CELL variance probe (the ScaleBench analog of
+  * [[QueryProbe]]): rebuild ONE scale rung's inputs with the exact
+  * ScaleBench expansion, then time one cell N times in a single JVM,
+  * printing per-run wall seconds + GC time. This is the adjudication
+  * tool for 100× watch cells — it separates "the cell's plan got
+  * slower" (every run high, low GC) from "the suite's heap was noisy"
+  * (first run high, GC-dominated) without paying a full 61-row suite
+  * per data point. Usage:
+  * `runMain graft.CellProbe <cell> [sfDir] [scale] [runs]` —
+  * cells: knn_join_exact, ivf_blocked_join, index_ingest,
+  * image_neardup, label_noise_audit. */
+object CellProbe {
+  import ScaleBench.expandEmb
+
+  def main(args: Array[String]): Unit = {
+    val cell = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val scale = if (args.length > 2) args(2).toInt else 100
+    val runs = if (args.length > 3) args(3).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Sessions.localMeasurement(cpus)
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+    val emb0 = Tables.read(spark, sfDir, "embeddings")
+    val emb = expandEmb(emb0, scale).cache()
+    println(s"expanded rows=${emb.count()}")
+    lazy val model = {
+      val m = operators.Ivf.build(emb, "embedding", nlists = 100)
+      m.assigned.cache().count()
+      m
+    }
+    lazy val labeled = emb.withColumn("label",
+      pmod(col("vec_id"), lit(10)).cast("int"))
+    lazy val auditModel = {
+      val m = operators.Ivf.build(labeled, "embedding", nlists = 100)
+      m.assigned.cache().count()
+      m
+    }
+
+    var i = 0
+    while (i < runs) {
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      val n: Long = cell match {
+        case "knn_join_exact" =>
+          val queries = emb.filter(col("vec_id") < 500)
+            .select(col("vec_id").as("qid"), col("embedding")).cache()
+          queries.count()
+          val j = operators.Ivf.knnJoin(model, queries, "embedding", "qid",
+            k = 10, metric = "l2")
+          val c = j.count()
+          queries.unpersist()
+          c
+        case "ivf_blocked_join" =>
+          operators.Ivf.join(model, emb, "embedding",
+            metric = "cosine", threshold = 0.02, nprobe = 1).count()
+        case "index_ingest" =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_cellprobe_").toString
+          operators.Ivf.writePartitioned(model, dir)
+          val batch = emb0
+            .select((col("vec_id") + 50000000L).as("vec_id"), col("embedding"))
+          val t = System.nanoTime()
+          streaming.StreamIndexIngest.ingestBatch(
+            model.centroids, "embedding", batch, dir, batchId = 0L)
+          val sec = (System.nanoTime() - t) / 1e9
+          println(f"  ingest_only sec=$sec%.3f")
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(dir))
+          batch.count()
+        case "image_neardup" =>
+          val pngUdf = udf((v: Seq[Float]) =>
+            operators.Multimodal.encodePng8x8(v.map(x =>
+              math.max(0L, math.min(255L,
+                math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt)
+              .toArray))
+          val media = emb.select(col("vec_id"),
+            pngUdf(col("embedding")).as("payload"))
+          val sigs = operators.Multimodal.decodeImages(media)
+            .select(col("vec_id"), col("img_ahash"))
+          operators.Dedup.hammingBandPairs(sigs, "vec_id", "img_ahash", 8)
+            .count()
+        case "label_noise_audit" =>
+          // auditModel is built OUTSIDE the suite cell's timing too
+          operators.DataValuation.labelNoiseKnn(
+            auditModel, labeled.filter(col("vec_id") < 500), "vec_id",
+            "embedding", "label", k = 10).count()
+        case other => sys.error(s"unknown cell $other")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"run=$i%2d sec=$sec%.3f gc_ms=${gcMs - g0}%d rows=$n%d")
+      i += 1
+    }
+    spark.stop()
+  }
+}

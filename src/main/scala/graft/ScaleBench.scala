@@ -37,7 +37,7 @@ object ScaleBench {
           .otherwise(concat(col("text"), lit(" rep"), col("r"))).as("text")),
       "doc_id")
 
-  private def expandEmb(emb: DataFrame, s: Int): DataFrame = {
+  private[graft] def expandEmb(emb: DataFrame, s: Int): DataFrame = {
     val jitter = udf((id: Long, r: Int, v: Seq[Float]) => {
       val out = new Array[Float](v.length)
       val key = id * 1000003L + r * 7919L
