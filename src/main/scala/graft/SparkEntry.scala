@@ -14916,6 +14916,107 @@ object SparkEntry {
       root)
   }
 
+  /** Streaming retraction, FULL oracle — the ERASURE half of
+    * continuous index maintenance (r15, composing the replay-
+    * idempotent epoch layout with the lazy-erasure trade SCALE_BENCH
+    * measured): 100 distance-0 decoy twins are planted in the posting
+    * lists and written partitioned; their ids then ARRIVE AS A
+    * RETRACTION STREAM — two parquet files, maxFilesPerTrigger=1, so
+    * the run crosses two micro-batch boundaries and lands TWO
+    * tombstone epochs (`streaming/StreamRetraction`), with no posting
+    * file touched. The SERVING view (the oracled `Ivf.deleteBulk`
+    * anti-join applied lazily over the accumulated tombstone scan)
+    * probed at the exhaustive dial must equal brute force over the
+    * ORIGINALS — a dropped epoch, a double-applied replay, or a
+    * serving view reading stale tombstones each break the hash.
+    * `StreamRetractionSpec` pins two-batch ≡ one-batch ≡ direct
+    * deleteBulk, same-batchId-twice ≡ once, serve-between-batches
+    * prefix state, and compact-then-reload equality. */
+  private def streamIndexRetractQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.Ivf.build(e.unionByName(decoys),
+      "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_sir_").toString
+    operators.Ivf.writePartitioned(planted, s"$root/ivf")
+    e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+      .repartition(2).write.parquet(s"$root/in")
+    val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = streaming.StreamRetraction.run(stream, s"$root/ivf",
+      s"$root/ckpt")
+    q.awaitTermination()
+    val served = streaming.StreamRetraction.servingIvf(s, s"$root/ivf",
+      "embedding", "vec_id")
+    materializeAndClean(s,
+      served.search(qvec(s, dir), k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 6).as("dist")),
+      root)
+  }
+
+  /** [[streamIndexRetractQ]]'s IVFADC sibling: the tombstone anti-join
+    * must purge BOTH tables the serving view reads (codes and raw
+    * rows) — a code row surviving its raw row resurrects the erased
+    * decoy through the ADC candidate scan and breaks the hash. */
+  private def streamIvfpqRetractQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.IvfPq.build(e.unionByName(decoys),
+      "vec_id", "embedding", nlists = 8, m = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_spr_").toString
+    operators.IvfPq.writePartitioned(planted, s"$root/ivfpq")
+    e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+      .repartition(2).write.parquet(s"$root/in")
+    val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = streaming.StreamRetraction.run(stream, s"$root/ivfpq",
+      s"$root/ckpt")
+    q.awaitTermination()
+    val served = streaming.StreamRetraction.servingPq(s, s"$root/ivfpq",
+      "embedding", "vec_id")
+    materializeAndClean(s,
+      operators.IvfPq.search(served, qvec(s, dir), k = 10, nprobe = 8,
+          rerankPool = served.encoded.count().toInt)
+        .select(col("vec_id"), round(col("distance"), 6).as("dist")),
+      root)
+  }
+
+  /** [[streamIndexRetractQ]]'s HNSW sibling — the lazy-erasure serve
+    * path fed by the SAME tombstone stream: two retraction
+    * micro-batches accumulate epochs, `StreamRetraction.tombstoneSet`
+    * collects them into the broadcastable set `Hnsw.searchBatch`
+    * filters at serve time (zero shard rebuilds — the flat side of
+    * the measured cliff), and the exhaustive walk must equal brute
+    * force over the originals. */
+  private def streamHnswRetractQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val withDecoys = operators.Hnsw.build(e.unionByName(decoys),
+      "vec_id", "embedding", numShards = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_shr_").toString
+    e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"))
+      .repartition(2).write.parquet(s"$root/in")
+    val stream = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = streaming.StreamRetraction.run(stream, s"$root/hnsw",
+      s"$root/ckpt")
+    q.awaitTermination()
+    val tombs = streaming.StreamRetraction.tombstoneSet(s, s"$root/hnsw")
+    val qs = Array(0L, 7L, 33L, 99L).map(i => (i, Tables.queryVector(s, dir, i)))
+    materializeAndClean(s,
+      operators.Hnsw.searchBatch(withDecoys, qs, k = 10, efSearch = 100000,
+          tombstones = tombs)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("distance"), 6).as("dist")),
+      root)
+  }
+
   private val streamLabelNoiseSql =
     """WITH sn AS (SELECT vec_id + 1000000 AS id,
       |    CASE WHEN vec_id % 13 = 0 THEN label + 1 ELSE label END AS y,
@@ -15232,6 +15333,9 @@ object SparkEntry {
     "stream_label_noise" -> (streamLabelNoiseQ(_, _)),
     "stream_index_ingest" -> (streamIndexIngestQ(_, _)),
     "stream_ivfpq_ingest" -> (streamIvfpqIngestQ(_, _)),
+    "stream_index_retract" -> (streamIndexRetractQ(_, _)),
+    "stream_ivfpq_retract" -> (streamIvfpqRetractQ(_, _)),
+    "stream_hnsw_retract" -> (streamHnswRetractQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
@@ -15687,6 +15791,9 @@ object SparkEntry {
     // brute force over the full corpus
     "stream_index_ingest" -> vL2KnnSql,
     "stream_ivfpq_ingest" -> vL2KnnSql,
+    "stream_index_retract" -> vL2KnnSql,  // streamed tombstones == originals brute force
+    "stream_ivfpq_retract" -> vL2KnnSql,
+    "stream_hnsw_retract" -> hnswExhaustiveSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,
