@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * (first run high, GC-dominated) without paying a full 61-row suite
   * per data point. Usage:
   * `runMain graft.CellProbe <cell> [sfDir] [scale] [runs]` —
-  * cells: knn_join_exact, ivf_blocked_join, index_ingest,
+  * cells: knn_join_exact, ivf_blocked_join, index_ingest, stream_retract,
   * image_neardup, label_noise_audit. */
 object CellProbe {
   import ScaleBench.expandEmb
@@ -74,6 +74,31 @@ object CellProbe {
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(dir))
           batch.count()
+        case "stream_retract" =>
+          // the retraction-path cost claims: epoch write flat in index
+          // size; serving anti-join overhead vs the raw serve
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_cp_retract_").toString
+          operators.Ivf.writePartitioned(model, dir)
+          val t1 = System.nanoTime()
+          streaming.StreamRetraction.retractBatch(
+            emb.filter(col("vec_id") < 200).select(col("vec_id")),
+            dir, batchId = 0L)
+          println(f"  retract_sec=${(System.nanoTime() - t1) / 1e9}%.3f")
+          val q = emb.filter(col("vec_id") === 500L)
+            .select(col("embedding")).head().getSeq[Float](0).toArray
+          val t2 = System.nanoTime()
+          val nT = streaming.StreamRetraction
+            .servingIvf(spark, dir, "embedding", "vec_id")
+            .search(q, k = 10, nprobe = 10).count()
+          println(f"  serve_tomb_sec=${(System.nanoTime() - t2) / 1e9}%.3f")
+          val t3 = System.nanoTime()
+          val nR = operators.Ivf.loadPartitioned(spark, dir, "embedding")
+            .search(q, k = 10, nprobe = 10).count()
+          println(f"  serve_raw_sec=${(System.nanoTime() - t3) / 1e9}%.3f")
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(dir))
+          nT + nR
         case "image_neardup" =>
           val pngUdf = udf((v: Seq[Float]) =>
             operators.Multimodal.encodePng8x8(v.map(x =>

@@ -15017,6 +15017,43 @@ object SparkEntry {
       root)
   }
 
+  /** The retraction-side maintenance dial ([[routeHealthQ]]'s erasure
+    * sibling, closed-form oracled): 100 decoy twins are planted and
+    * written partitioned, their ids arrive as TWO tombstone epochs,
+    * and `StreamRetraction.health` reads back (index_rows, tombstones,
+    * dead_fraction) — the number that schedules compaction (the global
+    * form of `Hnsw.compact`'s per-shard threshold) and bounds the
+    * serving anti-join's broadcast side. The oracle recomputes all
+    * three from the corpus count; both engines divide the same two
+    * longs (one IEEE-exact double op), so float4 output is
+    * bit-stable. */
+  private def retractHealthQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.read(s, dir, "embeddings")
+    val decoys = e.filter(col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    val planted = operators.Ivf.build(e.unionByName(decoys),
+      "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("graft_rh_").toString
+    operators.Ivf.writePartitioned(planted, s"$root/ivf")
+    streaming.StreamRetraction.retractBatch(
+      e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id")),
+      s"$root/ivf", batchId = 0L)
+    streaming.StreamRetraction.retractBatch(
+      e.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+        .select((col("vec_id") + 5000000L).as("vec_id")),
+      s"$root/ivf", batchId = 1L)
+    materializeAndClean(s,
+      streaming.StreamRetraction.health(s, s"$root/ivf", "embedding"),
+      root)
+  }
+
+  private val retractHealthSql =
+    """SELECT (SELECT count(*) FROM embeddings) + 100 AS index_rows,
+      |  CAST(100 AS BIGINT) AS tombstones,
+      |  CAST(100.0 / ((SELECT count(*) FROM embeddings) + 100) AS REAL)
+      |    AS dead_fraction""".stripMargin
+
   private val streamLabelNoiseSql =
     """WITH sn AS (SELECT vec_id + 1000000 AS id,
       |    CASE WHEN vec_id % 13 = 0 THEN label + 1 ELSE label END AS y,
@@ -15336,6 +15373,7 @@ object SparkEntry {
     "stream_index_retract" -> (streamIndexRetractQ(_, _)),
     "stream_ivfpq_retract" -> (streamIvfpqRetractQ(_, _)),
     "stream_hnsw_retract" -> (streamHnswRetractQ(_, _)),
+    "retract_health" -> (retractHealthQ(_, _)),
     "data_map" -> (dataMapQ(_, _)),
     "facility_select" -> (facilitySelectQ(_, _)),
     "betweenness_knn" -> (betweennessKnnQ(_, _)),
@@ -15794,6 +15832,7 @@ object SparkEntry {
     "stream_index_retract" -> vL2KnnSql,  // streamed tombstones == originals brute force
     "stream_ivfpq_retract" -> vL2KnnSql,
     "stream_hnsw_retract" -> hnswExhaustiveSql,
+    "retract_health" -> retractHealthSql,
     "data_map" -> dataMapSql,
     "facility_select" -> facilitySelectSql,
     "betweenness_knn" -> betweennessKnnSql,

@@ -101,6 +101,27 @@ object StreamRetraction {
   def tombstoneSet(spark: SparkSession, indexPath: String): Set[Long] =
     Hnsw.tombstoneSet(readTombstones(spark, indexPath))
 
+  /** The compaction-trigger dial — [[StreamIndexIngest]]'s
+    * `route_health` sibling for the erasure side: one row of
+    * (index_rows, tombstones, dead_fraction) read from the index
+    * path. `dead_fraction` is what a pipeline alerts on and what
+    * schedules [[compactIvf]] (the global form of
+    * [[graft.operators.Hnsw.compact]]'s per-shard `minDeadFraction`);
+    * `tombstones` also bounds the serving anti-join's broadcast side,
+    * so the dial doubles as the serve-cost guard. Two counts and a
+    * division — cheap enough to run per retraction batch. */
+  def health(spark: SparkSession, indexPath: String,
+             vecCol: String): DataFrame = {
+    val base = Ivf.loadPartitioned(spark, indexPath, vecCol).assigned
+      .agg(count(lit(1)).as("index_rows"))
+    val tombs = readTombstones(spark, indexPath)
+      .agg(count(lit(1)).as("tombstones"))
+    base.crossJoin(tombs)
+      .select(col("index_rows"), col("tombstones"),
+        (col("tombstones") / col("index_rows")).cast("float")
+          .as("dead_fraction"))
+  }
+
   /** Fold the tombstones into the base: ONE static-mode
     * `writePartitioned` rewrite of the PURGED index (ingest epochs and
     * tombstones both collapse into `ingest=base`), then drop the

@@ -140,6 +140,48 @@ class StreamRetractionSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("ingest and retraction streams compose on one index path") {
+    // the production pipeline runs BOTH maintenance streams against
+    // the same served index: ingest owns assigned/ingest=batch-*,
+    // retraction owns tombstones/ingest=batch-* — disjoint subtrees,
+    // so neither can clobber the other's epochs, and the serving view
+    // is (base ∪ ingested) minus erased
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val decoys = emb.filter($"vec_id" < 30)
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    val base = Ivf.build(emb.filter($"vec_id" < 300).unionByName(decoys),
+      "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("srt_both_").toString
+    Ivf.writePartitioned(base, s"$root/ivf")
+
+    val arrivals = emb.filter($"vec_id" >= 300 && $"vec_id" < 380)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val ingestMem = MemoryStream[(Long, Array[Float])]
+    val retractMem = MemoryStream[Long]
+    val qi = graft.streaming.StreamIndexIngest.run(base.centroids,
+      ingestMem.toDF().toDF("vec_id", "embedding"), "embedding",
+      s"$root/ivf", s"$root/ckpt_in", trigger = Trigger.ProcessingTime(0))
+    val qr = StreamRetraction.run(retractMem.toDF().toDF("vec_id"),
+      s"$root/ivf", s"$root/ckpt_rt", trigger = Trigger.ProcessingTime(0))
+    try {
+      ingestMem.addData(arrivals.take(40): _*)
+      retractMem.addData((0L until 15L).map(_ + 5000000L): _*)
+      qi.processAllAvailable(); qr.processAllAvailable()
+      ingestMem.addData(arrivals.drop(40): _*)
+      retractMem.addData((15L until 30L).map(_ + 5000000L): _*)
+      qi.processAllAvailable(); qr.processAllAvailable()
+    } finally { qi.stop(); qr.stop() }
+
+    val served = StreamRetraction.servingIvf(spark, s"$root/ivf",
+      "embedding", "vec_id")
+    val ids = served.assigned.select($"vec_id".cast("long"))
+      .as[Long].collect().toSet
+    assert(ids == (0L until 380L).toSet) // base+ingested, decoys gone
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("hnsw tombstoneSet from accumulated epochs feeds the lazy serve") {
     val decoys = emb.filter($"vec_id" < 20)
       .withColumn("vec_id", $"vec_id" + 5000000L)
