@@ -132,34 +132,48 @@ object StreamRetraction {
   def compactIvf(spark: SparkSession, indexPath: String, vecCol: String,
                  idCol: String): Unit = {
     val purged = servingIvf(spark, indexPath, vecCol, idCol)
-    val frozen = purged.copy(assigned = localize(purged.assigned))
-    Ivf.writePartitioned(frozen, indexPath)
+    swapInCompacted(spark, indexPath, "assigned", purged.assigned)
     dropTombstones(spark, indexPath)
   }
 
-  /** [[compactIvf]]'s IVFADC form — both tables rewritten purged. */
+  /** [[compactIvf]]'s IVFADC form. Only the encoded table hits disk —
+    * `IvfPq.writePartitioned` reconstructs the raw view from it on
+    * load — and the anti-join already purged it, so one swap covers
+    * both serve paths. */
   def compactPq(spark: SparkSession, indexPath: String, vecCol: String,
                 idCol: String): Unit = {
     val purged = servingPq(spark, indexPath, vecCol, idCol)
-    // only the encoded table hits disk (writePartitioned reconstructs
-    // the raw view from it on load), so only it needs freezing
-    val frozen = purged.copy(encoded = localize(purged.encoded))
-    IvfPq.writePartitioned(frozen, indexPath)
+    swapInCompacted(spark, indexPath, "encoded", purged.encoded)
     dropTombstones(spark, indexPath)
   }
 
-  /** Pin a purged table locally before the overwrite that replaces the
-    * files it reads from (overwrite-input-path is the one hazard of
-    * in-place compaction; index tables at compaction granularity are
-    * the working set a rebuild already materializes). A 100 TB
-    * deployment compacts into a SIBLING directory and swaps a pointer
-    * instead — this keeps the single-path layout the rest of the
-    * library (and the oracle gate) serves from. */
-  private def localize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    df.collect().foreach(rows.add)
-    spark.createDataFrame(rows, df.schema)
+  /** Sibling-directory compaction swap: the purged table is written to
+    * `<table>.compacting` (the plan READS the live directory, so an
+    * in-place overwrite would consume its own input — Spark refuses
+    * or corrupts), then two renames swap it in. No row ever touches
+    * the driver, at any index size. The crash windows are explicit
+    * and recoverable by inspection: a crash before the first rename
+    * leaves the live table untouched (`.compacting` is garbage to
+    * delete); between the renames, the index is the `.old` directory
+    * (rename it back); after, only cleanup remains — and because
+    * tombstones are dropped LAST, every window replays to the same
+    * serving view (re-applying tombstones over purged rows is a
+    * no-op). */
+  private def swapInCompacted(spark: SparkSession, indexPath: String,
+                              table: String, purged: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+    val next = new org.apache.hadoop.fs.Path(s"$indexPath/$table.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/$table.old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    purged.withColumn("ingest", lit("base"))
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite")
+      .partitionBy("ingest", "cluster_id")
+      .parquet(next.toString)
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compaction swap: cannot retire $live")
+    require(fs.rename(next, live), s"compaction swap: cannot promote $next")
+    fs.delete(old, true)
   }
 
   private def dropTombstones(spark: SparkSession, indexPath: String): Unit = {
