@@ -560,4 +560,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.toLowerCase.contains("scalaudf"), plan)
   }
+
+  test("tombstone serving: anti-join BROADCASTS the id set, probe still file-prunes") {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val model = operators.Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("plan_rt_").toString
+    operators.Ivf.writePartitioned(model, s"$root/ivf")
+    streaming.StreamRetraction.retractBatch(
+      emb.filter(col("vec_id") < 30).select(col("vec_id")),
+      s"$root/ivf", batchId = 0L)
+    val served = streaming.StreamRetraction.servingIvf(spark, s"$root/ivf",
+      "embedding", "vec_id")
+    val df = served.search(Tables.queryVector(spark, dir, 0L), k = 5, nprobe = 3)
+    val plan = planOf(df)
+    // the tombstone side is statistics-small, so Catalyst must choose a
+    // broadcast LeftAnti — a shuffled anti-join here would re-shuffle
+    // the whole index per probe
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone anti-join must broadcast: $plan")
+    // the anti-join must not defeat cluster-level partition pruning
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"serving view lost file-level pruning: $plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
