@@ -35,6 +35,12 @@ object CellProbe {
       m.assigned.cache().count()
       m
     }
+    lazy val knnQueries = {
+      val q = emb.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("qid"), col("embedding")).cache()
+      q.count() // ScaleBench caches+counts the query side untimed too
+      q
+    }
     lazy val labeled = emb.withColumn("label",
       pmod(col("vec_id"), lit(10)).cast("int"))
     lazy val auditModel = {
@@ -43,20 +49,26 @@ object CellProbe {
       m
     }
 
+    // Force every cell's FIXTURES (model/cache builds — untimed in the
+    // ScaleBench cells too) before the loop: without this the lazy
+    // model materializes inside run 0's timed region and every
+    // model-dependent cell reads "first run high" even on a clean
+    // heap, which is precisely the signal this probe adjudicates.
+    cell match {
+      case "knn_join_exact" => model; knnQueries
+      case "ivf_blocked_join" | "index_ingest" | "stream_retract" => model
+      case "label_noise_audit" => auditModel
+      case _ => ()
+    }
+
     var i = 0
     while (i < runs) {
       val g0 = gcMs
       val t0 = System.nanoTime()
       val n: Long = cell match {
         case "knn_join_exact" =>
-          val queries = emb.filter(col("vec_id") < 500)
-            .select(col("vec_id").as("qid"), col("embedding")).cache()
-          queries.count()
-          val j = operators.Ivf.knnJoin(model, queries, "embedding", "qid",
-            k = 10, metric = "l2")
-          val c = j.count()
-          queries.unpersist()
-          c
+          operators.Ivf.knnJoin(model, knnQueries, "embedding", "qid",
+            k = 10, metric = "l2").count()
         case "ivf_blocked_join" =>
           operators.Ivf.join(model, emb, "embedding",
             metric = "cosine", threshold = 0.02, nprobe = 1).count()

@@ -76,15 +76,23 @@ object MaintenanceDrift {
           nprobes = Seq(probeWidth))
         .collect().head.getDouble(1)
 
+    // per-(corpus, query) brute-force truth sets, computed once and
+    // reused by every ADC recall point of a leg — the four recall
+    // reads (maintained / rebuilt / re-tuned / re-tuned@pool512) share
+    // the same 25 queries over the same combined corpus
+    val truthCache = collection.mutable.Map.empty[Long, Set[Long]]
     def adcRecall(model: operators.IvfPq.IvfPqModel,
                   corpus: org.apache.spark.sql.DataFrame,
                   qs: Array[(Long, Array[Float])],
-                  probeWidth: Int = nprobe): Double = {
+                  probeWidth: Int = nprobe,
+                  rerankPool: Int = 128): Double = {
       val hits = qs.map { case (qid, q) =>
-        val truth = operators.Knn.search(corpus, "embedding", q, 10,
-          tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect().toSet
+        val truth = truthCache.getOrElseUpdate(qid,
+          operators.Knn.search(corpus, "embedding", q, 10,
+              tieBreak = Seq("vec_id"))
+            .select("vec_id").as[Long].collect().toSet)
         val got = operators.IvfPq.search(model, q, 10, probeWidth,
-          rerankPool = 128).select("vec_id").as[Long].collect().toSet
+          rerankPool = rerankPool).select("vec_id").as[Long].collect().toSet
         (truth & got).size
       }.sum
       hits.toDouble / (qs.length * 10)
@@ -98,6 +106,7 @@ object MaintenanceDrift {
     // same-distribution rows show it cannot detect volume growth)
     val legs = Seq((0.1, false), (0.5, false), (1.0, false), (0.5, true))
     val lines = legs.map { case (frac, shifted) =>
+      truthCache.clear() // truth is per-leg: same qids, different corpus
       val addReplicas = math.max(1, (baseReplicas * frac).toInt)
       val freshRaw = RecallAtScale
         .corpusSlice(sf, baseReplicas, baseReplicas + addReplicas)
@@ -158,16 +167,9 @@ object MaintenanceDrift {
         .collectFirst { case (p, r) if r >= 0.9 => (p, r) }
         .getOrElse(curve.last)
       val aRetuned = adcRecall(adcRebuilt, combined, adcQs, nprobeRetuned)
-      val aRetunedPool512 = {
-        val hits = adcQs.map { case (_, q) =>
-          val truth = operators.Knn.search(combined, "embedding", q, 10,
-            tieBreak = Seq("vec_id")).select("vec_id").as[Long].collect().toSet
-          val got = operators.IvfPq.search(adcRebuilt, q, 10, nprobeRetuned,
-            rerankPool = 512).select("vec_id").as[Long].collect().toSet
-          (truth & got).size
-        }.sum
-        hits.toDouble / (adcQs.length * 10)
-      }
+      val aRetunedPool512 =
+        adcRecall(adcRebuilt, combined, adcQs, nprobeRetuned,
+          rerankPool = 512)
 
       maintained.assigned.unpersist(); rebuilt.assigned.unpersist()
       adcMaint.encoded.unpersist(); adcRebuilt.encoded.unpersist()

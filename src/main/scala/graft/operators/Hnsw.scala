@@ -326,8 +326,12 @@ object Hnsw {
               params: Params = Params(), metric: String = "l2",
               minDeadFraction: Double = 0.2): (DataFrame, DataFrame) = {
     checkShardLayout(index, numShards)
+    // dedup: the same id legitimately arrives in two retraction epochs
+    // (a re-submitted request) — counted twice it would inflate both a
+    // shard's size and its dead count through the left_outer fan-out
     val del = tombstones
       .select(col(tombstones.columns.head).cast("long").as("id"))
+      .distinct()
     val stats = index.select(col("shard"), col("id"))
       .join(del.withColumn("dead", lit(1)), Seq("id"), "left_outer")
       .groupBy("shard")

@@ -246,18 +246,17 @@ object HtmlMeta {
     * logical, carry-aware width is [[tableCells]]'s `width`, whose
     * per-table explode scopes the fold correctly. */
   def tableStats(html: Column): Column = {
-    val n = html
-    val rows = regexp_extract_all(n, lit(RowRe), lit(1))
+    val rows = regexp_extract_all(html, lit(RowRe), lit(1))
     val cellsOf = (r: Column) =>
       size(regexp_extract_all(r, lit("(?is)<t[dh]\\b"), lit(0))).cast("long")
     struct(
-      size(regexp_extract_all(n, lit("(?i)<table\\b"), lit(0)))
+      size(regexp_extract_all(html, lit("(?i)<table\\b"), lit(0)))
         .cast("long").as("n_tables"),
       size(rows).cast("long").as("n_rows"),
       aggregate(rows, lit(0L), (acc, r) => acc + cellsOf(r)).as("n_cells"),
       coalesce(array_max(transform(rows, rowWidth _)), lit(0L))
         .as("max_cols"),
-      (size(regexp_extract_all(n, lit("(?i)<th\\b"), lit(0))) > 0)
+      (size(regexp_extract_all(html, lit("(?i)<th\\b"), lit(0))) > 0)
         .as("has_header"))
   }
 
@@ -374,8 +373,7 @@ object HtmlMeta {
     * Scale shape: a stateless per-page scan (zero shuffles, zero
     * UDFs); output size is the corpus's cell count, exploded. */
   def tableCells(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    val n = col(htmlCol)
-    val tables = regexp_extract_all(n,
+    val tables = regexp_extract_all(col(htmlCol),
       lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
     val cellText = (c: Column) =>
       trim(regexp_replace(regexp_replace(c, TagRe, ""), "\\s+", " "))

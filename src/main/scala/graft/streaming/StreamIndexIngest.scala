@@ -74,10 +74,18 @@ object StreamIndexIngest {
     * would land up to 200k tiny files PER BATCH and the serving
     * scan's file listing would grow without bound; co-locating each
     * cluster first caps the batch at ≤ nlists files — one |batch|-row
-    * shuffle, the right trade at any real batch size. */
+    * shuffle, the right trade at any real batch size.
+    *
+    * `batchId` has no default ON PURPOSE: the epoch it names is the
+    * overwrite key, so two DIFFERENT batches sharing an id silently
+    * replace each other's clusters (partial data loss), while a
+    * REPLAYED batch reusing its id is exactly the no-op the contract
+    * wants. Callers must thread the checkpointed id (or number their
+    * batches) — `run` does. */
   def ingestBatch(centroids: Array[Array[Float]], vecCol: String,
                   batch: DataFrame, indexPath: String,
-                  batchId: Long = 0L): Unit = {
+                  batchId: Long): Unit = {
+    if (batch.isEmpty) return // an epoch with no rows writes nothing
     val routed = Ivf.routeWithDist(centroids, batch, vecCol).persist()
     try {
       routed.drop("route_dist")
@@ -152,7 +160,8 @@ object StreamIndexIngest {
   def ingestBatchPq(centroids: Array[Array[Float]],
                     codebook: graft.operators.Pq.PqCodebook, vecCol: String,
                     batch: DataFrame, indexPath: String,
-                    batchId: Long = 0L): Unit = {
+                    batchId: Long): Unit = {
+    if (batch.isEmpty) return // an epoch with no rows writes nothing
     val routed = Ivf.routeWithDist(centroids, batch, vecCol).persist()
     try {
       graft.operators.Pq.encodeTable(routed.drop("route_dist"), vecCol, codebook)

@@ -54,23 +54,34 @@ object StreamRetraction {
     * convention. Replay-idempotent: dynamic overwrite keyed by the
     * checkpointed `batchId`. `coalesce(1)` is file hygiene — an id
     * frame is kilobytes; one file per epoch keeps the tombstone scan's
-    * listing at one file per batch. */
-  def retractBatch(ids: DataFrame, indexPath: String, batchId: Long): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("id"))
-      .withColumn("ingest", lit(s"batch-$batchId"))
+    * listing at one file per batch. An EMPTY micro-batch (offset-only
+    * trigger, replayed empty range) writes nothing: a file-less epoch
+    * would still create the `tombstones` directory and a parquet read
+    * over zero files cannot infer a schema. */
+  def retractBatch(ids: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val frame = ids.select(col(ids.columns.head).cast("long").as("id"))
+    if (frame.isEmpty) return
+    frame.withColumn("ingest", lit(s"batch-$batchId"))
       .coalesce(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest")
       .parquet(s"$indexPath/tombstones")
+  }
 
   /** All accumulated tombstone epochs as ONE scan relation (column
-    * `id`); empty frame if no retraction has landed yet. */
+    * `id`), DEDUPLICATED — the same id legitimately arrives in two
+    * epochs (a re-submitted erasure request), and every consumer
+    * (serving anti-join, [[tombstoneSet]], [[health]],
+    * `Hnsw.compact`'s per-shard stats) must count it once. Empty frame
+    * if no retraction has landed yet; the explicit schema keeps the
+    * read total even over a directory with no data files. */
   def readTombstones(spark: SparkSession, indexPath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path))
-      spark.read.parquet(path.toString).select(col("id"))
+      spark.read.schema("id LONG, ingest STRING").parquet(path.toString)
+        .select(col("id")).distinct()
     else spark.range(0).select(col("id"))
   }
 
@@ -109,7 +120,12 @@ object StreamRetraction {
     * [[graft.operators.Hnsw.compact]]'s per-shard `minDeadFraction`);
     * `tombstones` also bounds the serving anti-join's broadcast side,
     * so the dial doubles as the serve-cost guard. Two counts and a
-    * division — cheap enough to run per retraction batch. */
+    * division — cheap enough to run per retraction batch. Ids are
+    * deduplicated by [[readTombstones]]; STRAY ids (never indexed, or
+    * already folded by a prior compact) still count, which biases
+    * `dead_fraction` upward — the conservative direction: the dial
+    * can only trigger compaction EARLY, and compaction consumes the
+    * strays. */
   def health(spark: SparkSession, indexPath: String,
              vecCol: String): DataFrame = {
     val base = Ivf.loadPartitioned(spark, indexPath, vecCol).assigned

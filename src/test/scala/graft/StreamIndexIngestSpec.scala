@@ -138,7 +138,7 @@ class StreamIndexIngestSpec extends SparkSpecBase {
     val root = java.nio.file.Files.createTempDirectory("sii_route_").toString
     Ivf.writePartitioned(base, s"$root/ivf")
     StreamIndexIngest.ingestBatch(base.centroids, "embedding",
-      emb.filter($"vec_id" >= 200 && $"vec_id" < 260), s"$root/ivf")
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 260), s"$root/ivf", 0L)
     val served = Ivf.loadPartitioned(spark, s"$root/ivf", "embedding")
     // every appended row sits in its argmin-nearest EXISTING centroid's
     // posting list — a drifted/refit centroid set would misplace some
@@ -164,7 +164,7 @@ class StreamIndexIngestSpec extends SparkSpecBase {
     val root = java.nio.file.Files.createTempDirectory("sii_files_").toString
     StreamIndexIngest.ingestBatch(base.centroids, "embedding",
       emb.filter($"vec_id" >= 200 && $"vec_id" < 300).repartition(16),
-      root)
+      root, 0L)
     val dirs = new java.io.File(s"$root/assigned/ingest=batch-0").listFiles()
       .filter(_.isDirectory)
     assert(dirs.nonEmpty)

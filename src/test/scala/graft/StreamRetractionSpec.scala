@@ -80,6 +80,29 @@ class StreamRetractionSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("empty retraction batch is a no-op; duplicate ids across epochs count once") {
+    val full = Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
+    val root = java.nio.file.Files.createTempDirectory("srt_edge_").toString
+    Ivf.writePartitioned(full, s"$root/ivf")
+    // an EMPTY micro-batch (offset-only trigger) must not create a
+    // file-less tombstones dir that breaks every subsequent read
+    StreamRetraction.retractBatch(spark.range(0).toDF("vec_id"),
+      s"$root/ivf", batchId = 0L)
+    assert(StreamRetraction.readTombstones(spark, s"$root/ivf").count() == 0)
+    assert(idPairs(StreamRetraction.servingIvf(spark, s"$root/ivf",
+      "embedding", "vec_id")) == idPairs(full))
+    // the same id re-submitted in a later epoch counts ONCE everywhere
+    StreamRetraction.retractBatch((0L until 20L).toDF("vec_id"),
+      s"$root/ivf", batchId = 1L)
+    StreamRetraction.retractBatch((10L until 30L).toDF("vec_id"),
+      s"$root/ivf", batchId = 2L)
+    assert(StreamRetraction.readTombstones(spark, s"$root/ivf").count() == 30)
+    val h = StreamRetraction.health(spark, s"$root/ivf", "embedding")
+      .head()
+    assert(h.getLong(1) == 30L, s"health must dedup: $h")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("no tombstones yet: serving view == full index") {
     val full = Ivf.build(emb, "embedding", nlists = 8, seed = 42L)
     val root = java.nio.file.Files.createTempDirectory("srt_empty_").toString
