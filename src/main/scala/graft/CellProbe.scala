@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * per data point. Usage:
   * `runMain graft.CellProbe <cell> [sfDir] [scale] [runs]` —
   * cells: knn_join_exact, ivf_blocked_join, index_ingest, stream_retract,
+  * hnsw_serve_tombstoned,
   * image_neardup, label_noise_audit. */
 object CellProbe {
   import ScaleBench.expandEmb
@@ -41,6 +42,12 @@ object CellProbe {
       q.count() // ScaleBench caches+counts the query side untimed too
       q
     }
+    lazy val hnswIdx = {
+      val ix = operators.Hnsw.build(emb, "vec_id", "embedding",
+        numShards = 32).cache()
+      ix.count()
+      ix
+    }
     lazy val labeled = emb.withColumn("label",
       pmod(col("vec_id"), lit(10)).cast("int"))
     lazy val auditModel = {
@@ -57,6 +64,7 @@ object CellProbe {
     cell match {
       case "knn_join_exact" => model; knnQueries
       case "ivf_blocked_join" | "index_ingest" | "stream_retract" => model
+      case "hnsw_serve_tombstoned" => hnswIdx
       case "label_noise_audit" => auditModel
       case _ => ()
     }
@@ -111,6 +119,29 @@ object CellProbe {
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(dir))
           nT + nR
+        case "hnsw_serve_tombstoned" =>
+          // serve cost at the compaction threshold: 20% of ids dead
+          // (the minDeadFraction=0.2 worst case — the most tombstones
+          // a shard carries before compact rebuilds it), 16 queries at
+          // production ef, vs the same serve with no tombstones
+          val idx = hnswIdx
+          val qs = emb.filter(col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val dead = emb.select(col("vec_id")).limit((
+            emb.count() / 5).toInt)
+          val t0c = System.nanoTime()
+          val tombs = operators.Hnsw.tombstoneSet(dead)
+          println(f"  tombset_collect_sec=${(System.nanoTime() - t0c) / 1e9}%.3f")
+          val t1 = System.nanoTime()
+          val nT = operators.Hnsw.searchBatch(idx, qs, k = 10,
+            efSearch = 64, tombstones = tombs).count()
+          println(f"  serve_tomb20_sec=${(System.nanoTime() - t1) / 1e9}%.3f")
+          val t2 = System.nanoTime()
+          val nC = operators.Hnsw.searchBatch(idx, qs, k = 10,
+            efSearch = 64).count()
+          println(f"  serve_clean_sec=${(System.nanoTime() - t2) / 1e9}%.3f")
+          nT + nC
         case "image_neardup" =>
           val pngUdf = udf((v: Seq[Float]) =>
             operators.Multimodal.encodePng8x8(v.map(x =>
