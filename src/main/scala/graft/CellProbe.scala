@@ -150,7 +150,7 @@ object CellProbe {
               .toArray))
           val media = emb.select(col("vec_id"),
             pngUdf(col("embedding")).as("payload"))
-          val sigs = operators.Multimodal.decodeImages(media)
+          val sigs = operators.Multimodal.decodeImages(media, includePixels = false)
             .select(col("vec_id"), col("img_ahash"))
           operators.Dedup.hammingBandPairs(sigs, "vec_id", "img_ahash", 8)
             .count()

@@ -414,7 +414,7 @@ object ScaleBench {
             math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
       val (nIm, tIm) = time {
         val media = emb.select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
-        val sigs = operators.Multimodal.decodeImages(media)
+        val sigs = operators.Multimodal.decodeImages(media, includePixels = false)
           .select(col("vec_id"), col("img_ahash"))
         operators.Dedup.hammingBandPairs(sigs, "vec_id", "img_ahash", 8).count()
       }

@@ -2510,8 +2510,8 @@ object SparkEntry {
     * ivf_join_recall). */
   private def ivfJoinExact(s: SparkSession, dir: String): DataFrame =
     operators.Ivf.join(ivfModel(s, dir), Tables.read(s, dir, "embeddings"), "embedding",
-        metric = "cosine", threshold = 0.62, nprobe = 16)
-      .filter(col("l_vec_id") < col("r_vec_id"))
+        metric = "cosine", threshold = 0.62, nprobe = 16,
+        pairFilter = Some(col("l_vec_id") < col("r_vec_id")))
       .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"),
         round(col("distance"), 6).as("dist"))
 
@@ -2523,8 +2523,8 @@ object SparkEntry {
     * only the exhaustive oracle configuration. */
   private def ivfJoinProd(s: SparkSession, dir: String): DataFrame =
     operators.Ivf.join(ivfModel(s, dir), Tables.read(s, dir, "embeddings"), "embedding",
-        metric = "cosine", threshold = 0.62, nprobe = 4)
-      .filter(col("l_vec_id") < col("r_vec_id"))
+        metric = "cosine", threshold = 0.62, nprobe = 4,
+        pairFilter = Some(col("l_vec_id") < col("r_vec_id")))
       .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"),
         round(col("distance"), 6).as("dist"))
 
@@ -2537,8 +2537,8 @@ object SparkEntry {
     val exact = operators.Dedup.cosinePairs(e, "vec_id", "embedding", 0.62)
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
     val rows = Seq(1, 2, 4, 8).map { np =>
-      val got = operators.Ivf.join(m, e, "embedding", "cosine", 0.62, nprobe = np)
-        .filter(col("l_vec_id") < col("r_vec_id"))
+      val got = operators.Ivf.join(m, e, "embedding", "cosine", 0.62, nprobe = np,
+          pairFilter = Some(col("l_vec_id") < col("r_vec_id")))
         .select(col("l_vec_id").as("a_id"), col("r_vec_id").as("b_id"))
         .as[(Long, Long)].collect().toSet
       (np, got.size.toLong, exact.size.toLong,
@@ -4570,7 +4570,7 @@ object SparkEntry {
           math.floor((x.toDouble + 1.0) * 127.5 + 0.5).toLong)).toInt).toArray))
     val media = Tables.read(s, dir, "embeddings")
       .select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
-    operators.Multimodal.decodeImages(media)
+    operators.Multimodal.decodeImages(media, includePixels = false)
       .select(col("vec_id"),
         col("img_width").as("width"), col("img_height").as("height"),
         col("img_ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
@@ -4823,7 +4823,7 @@ object SparkEntry {
           "WHEN i = 2 THEN CAST(0.13 AS FLOAT) ELSE x END)").as("embedding"))
     val media = base.unionByName(planted)
       .select(col("vec_id"), pngUdf(col("embedding")).as("payload"))
-    val decoded = operators.Multimodal.decodeImages(media)
+    val decoded = operators.Multimodal.decodeImages(media, includePixels = false)
       .select(col("vec_id"), col("img_ahash"))
     operators.Dedup.hammingBandPairs(decoded, "vec_id", "img_ahash", maxHamming = 8)
   }

@@ -41,23 +41,38 @@ object QualityClf {
 
   @inline private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
 
-  /** Elementwise double-vector sum — the gradient aggregation: one
-    * (d+1)-cell state per partition merged map-side, replacing the
-    * earlier posexplode + groupBy shape that blew each row up into
-    * d+1 rows before the shuffle (measured 2.6 s → the explode was
-    * most of the epoch cost at sf0.1). Sum ORDER stays unordered
-    * doubles, exactly the drift class the oracle already absorbs. */
-  private final class VecSum(dim: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Array[Double]] {
-    def zero: Array[Double] = new Array[Double](dim)
-    def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+  /** Fused gradient aggregation (r15, guide §1.2 "per-task work"): ONE
+    * (d+1)-cell state per partition merged map-side. The pre-r15 shape
+    * was a ScalaUDF producing a per-row gradient `Seq[Double]` (d+1
+    * boxed doubles + 2 allocations per row per epoch) feeding an
+    * elementwise-sum Aggregator over `Seq[Double]` (a second boxing
+    * pass); this aggregator computes the per-row residual and
+    * accumulates `r·xs(j)` straight into the primitive buffer — zero
+    * per-row allocation, same double operations in the same order
+    * (`g(j) = r·xs(j)` then `b(j) += g(j)` ≡ `b(j) += r·xs(j)`), so the
+    * trained model — and the oracle hash — are unchanged. Sum ORDER
+    * stays unordered doubles, exactly the drift class the oracle
+    * already absorbs. The `model` array is captured by reference: task
+    * closures re-serialize per job submission, shipping the CURRENT
+    * values through ONE aggregator instance (the codegen-cache
+    * convention, see [[trainScore]]). */
+  private final class GradSum(d: Int, model: Array[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[(Array[Double], Double), Array[Double], Array[Double]] {
+    def zero: Array[Double] = new Array[Double](d + 1)
+    def reduce(b: Array[Double], in: (Array[Double], Double)): Array[Double] = {
+      val xs = in._1
+      var z = 0.0
       var j = 0
-      while (j < dim) { b(j) += x(j); j += 1 }
+      while (j < d) { z += model(j) * xs(j); j += 1 }
+      val r = sigmoid(z + model(d)) - in._2
+      j = 0
+      while (j < d) { b(j) += r * xs(j); j += 1 }
+      b(d) += r
       b
     }
     def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
       var j = 0
-      while (j < dim) { a(j) += b(j); j += 1 }
+      while (j <= d) { a(j) += b(j); j += 1 }
       a
     }
     def finish(b: Array[Double]): Array[Double] = b
@@ -91,58 +106,67 @@ object QualityClf {
                  labelCol: org.apache.spark.sql.Column,
                  d: Int = 16, epochs: Int = 8, lr: Double = 4.0): DataFrame = {
     val spark = df.sparkSession
-    val featUdf = udf((t: String) => features(t, d).toSeq)
-    val tr = df.select(col(idCol).cast("long").as("id"),
-      labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
+    import spark.implicits._
+    // r15 (guide §1.2): the epoch loop runs on a cached PRIMITIVE RDD
+    // via treeAggregate — the MLlib gradient-descent shape. The pre-r15
+    // loop built a fresh Dataset plan per epoch (required for
+    // correctness: a reused Dataset object reuses its SHUFFLE STAGE
+    // across jobs, serving stale epoch-1 map outputs — the
+    // KmeansFixpoint/AeFixpoint convention), which charged ~60-100 ms
+    // of analysis/optimization/codegen-lookup DRIVER time per epoch —
+    // the dominant cost once the gradient itself is a (d+1)-cell
+    // aggregate over a cached projection. An RDD aggregate has no plan
+    // to build and no shuffle to stale-reuse: each epoch is one bare
+    // job whose closure ships the CURRENT model values (task closures
+    // re-serialize per job), so the hazard the `def`-plan convention
+    // guards against does not exist on this path. Per-partition
+    // accumulation order and the unordered partition merge are the
+    // SAME drift class as the previous udaf (absorbed by the float4
+    // emit; re-proven against the oracle at 3 SFs).
+    val featUdf = udf((t: String) => features(t, d))
+    val base = df.select(col(idCol).cast("long").as("id"),
+        labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs"))
+      .as[(Long, Double, Array[Double])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = tr.count()
-      // The model travels to executors by CLOSURE CAPTURE of one
-      // mutable (d+1)-array, not a per-epoch broadcast: task closures
-      // re-serialize on every job submission, so each epoch ships the
-      // CURRENT values through the ONE udf instance — identical
-      // generated code, so the codegen cache absorbs the per-epoch
-      // plan build where the old udf()+udaf()+broadcast rebuild left a
-      // minutes-long JIT tail (QueryProbe r11: cold runs fell 28→4.7 s
-      // over 14 iterations and were still descending; steady by run 2
-      // after this fix). The model is (d+1) doubles — far below any
-      // broadcast threshold.
+      val n = base.count()
       val model = new Array[Double](d + 1) // w(0..d-1) ++ bias
-      val gradUdf = udf((xs: Seq[Double], y: Double) => {
-        var z = 0.0
-        var j = 0
-        while (j < d) { z += model(j) * xs(j); j += 1 }
-        val r = sigmoid(z + model(d)) - y
-        val g = new Array[Double](d + 1)
-        j = 0
-        while (j < d) { g(j) = r * xs(j); j += 1 }
-        g(d) = r
-        g.toSeq
-      })
-      val vecSum = udaf(new VecSum(d + 1))
-      // `def`, NOT `val`: a reused Dataset object reuses its SHUFFLE
-      // STAGE across jobs (stale epoch-1 map outputs) — head() happens
-      // to dodge that today by building limit(1)'s fresh QueryExecution
-      // per call, but correctness must not hinge on that detail (the
-      // KmeansFixpoint/AeFixpoint convention).
-      def gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
       for (_ <- 1 to epochs) {
-        val sums = gradPlan.head().getSeq[Double](0)
+        // fresh closure per epoch captures the current model snapshot
+        val w = model.clone()
+        val sums = base.treeAggregate(new Array[Double](d + 1))(
+          seqOp = (b, row) => {
+            val xs = row._3
+            var z = 0.0
+            var j = 0
+            while (j < d) { z += w(j) * xs(j); j += 1 }
+            val r = sigmoid(z + w(d)) - row._2
+            j = 0
+            while (j < d) { b(j) += r * xs(j); j += 1 }
+            b(d) += r
+            b
+          },
+          combOp = (a, b) => {
+            var j = 0
+            while (j <= d) { a(j) += b(j); j += 1 }
+            a
+          })
         var j = 0
         while (j < d) { model(j) -= lr * (sums(j) / n); j += 1 }
         model(d) -= lr * (sums(d) / n)
       }
-      val scoreUdf = udf((xs: Seq[Double]) => {
+      // scoring: one stateless pass over the same cached features; the
+      // result is materialized by createDataFrame + localCheckpoint
+      // BEFORE unpersist (AeFixpoint contract)
+      val wFinal = model.clone()
+      val scored = base.map { case (id, y, xs) =>
         var z = 0.0
         var j = 0
-        while (j < d) { z += model(j) * xs(j); j += 1 }
-        sigmoid(z + model(d))
-      })
-      // materialize BEFORE unpersist (AeFixpoint contract) so the scoring
-      // pass doesn't recompute features from source
-      tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
-          scoreUdf(col("xs")).cast("float").as("score"))
-        .localCheckpoint(true)
-    } finally tr.unpersist()
+        while (j < d) { z += wFinal(j) * xs(j); j += 1 }
+        (id, y.toLong, sigmoid(z + wFinal(d)).toFloat)
+      }.toDF(idCol, "label", "score")
+      scored.localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -243,27 +267,16 @@ object QualityClf {
   def cartography(df: DataFrame, idCol: String, textCol: String,
                   labelCol: org.apache.spark.sql.Column,
                   d: Int = 16, epochs: Int = 6, lr: Double = 4.0): DataFrame = {
-    val featUdf = udf((t: String) => features(t, d).toSeq)
+    val featUdf = udf((t: String) => features(t, d))
     val tr = df.select(col(idCol).cast("long").as("id"),
       labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
     try {
       val n = tr.count()
-      // closure-captured mutable model, one udf instance (the
-      // trainScore JIT/shuffle-reuse convention)
+      // closure-captured mutable model, one fused aggregator instance
+      // (the trainScore JIT/shuffle-reuse convention; see GradSum)
       val model = new Array[Double](d + 1)
-      val gradUdf = udf((xs: Seq[Double], y: Double) => {
-        var z = 0.0
-        var j = 0
-        while (j < d) { z += model(j) * xs(j); j += 1 }
-        val r = sigmoid(z + model(d)) - y
-        val g = new Array[Double](d + 1)
-        j = 0
-        while (j < d) { g(j) = r * xs(j); j += 1 }
-        g(d) = r
-        g.toSeq
-      })
-      val vecSum = udaf(new VecSum(d + 1))
-      def gradPlan = tr.select(vecSum(gradUdf(col("xs"), col("y"))).as("g"))
+      val gradSum = udaf(new GradSum(d, model))
+      def gradPlan = tr.select(gradSum(col("xs"), col("y")).as("g"))
       val snaps = Array.ofDim[Double](epochs, d + 1)
       for (e <- 0 until epochs) {
         val sums = gradPlan.head().getSeq[Double](0)
@@ -272,7 +285,7 @@ object QualityClf {
         model(d) -= lr * (sums(d) / n)
         System.arraycopy(model, 0, snaps(e), 0, d + 1)
       }
-      val mapUdf = udf((xs: Seq[Double], y: Double) => {
+      val mapUdf = udf((xs: Array[Double], y: Double) => {
         val pg = new Array[Double](epochs)
         var correct = 0L
         var e = 0

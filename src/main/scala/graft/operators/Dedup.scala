@@ -366,12 +366,18 @@ object Dedup {
     // near-dup pairs. Same cross-engine-convention class as the
     // v_distances float lesson, caught by audit rather than a red row.
     val out = Array.fill(numHashes)(-1L) // unsigned max
+    // r15 (guide §1.2): mix64(seed + i) depends only on i — hoisted out
+    // of the per-shingle inner loop (was recomputed |shingles|×numHashes
+    // times, i.e. half the kernel's mix64 work). Values identical.
+    val seedMix = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) { seedMix(s) = mix64(seed + s); s += 1 }
     var j = 0
     while (j < hashes.length) {
       val x = hashes(j)
       var i = 0
       while (i < numHashes) {
-        val h = mix64(x ^ mix64(seed + i))
+        val h = mix64(x ^ seedMix(i))
         if (java.lang.Long.compareUnsigned(h, out(i)) < 0) out(i) = h
         i += 1
       }
@@ -767,10 +773,16 @@ object Dedup {
     * `ivf_join_exact` with `ivf_join_recall` measuring the nprobe dial. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   maxCosineDistance: Double): DataFrame = {
-    val l = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val r = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    // r15 (guide §1.2): per-row norms hoisted out of the per-pair cosine
+    // kernel; `cosineFromParts` is bit-identical to the fused kernel
+    import graft.plans.{DistanceExpressions => DE}
+    val l = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      DE.normSq(col(vecCol)).as("a_nsq"))
+    val r = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      DE.normSq(col(vecCol)).as("b_nsq"))
     l.join(broadcast(r), col("a_id") < col("b_id"))
-      .withColumn("cosine_distance", Knn.distCol("cosine")(col("a_vec"), col("b_vec")))
+      .withColumn("cosine_distance", DE.cosineFromParts(
+        DE.dot(col("a_vec"), col("b_vec")), col("a_nsq"), col("b_nsq")))
       .filter(col("cosine_distance") <= maxCosineDistance)
       .select("a_id", "b_id", "cosine_distance")
   }
@@ -805,36 +817,49 @@ object Dedup {
                 hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n-gram width must be >= 2: $n")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // r15 (guide §1.2 / §5): tokenize ONCE and build grams ONCE. The
+    // token lists feed the position stream AND the gram stream, and the
+    // gram stream feeds BOTH the document-frequency aggregate and the
+    // coverage join — uncached, that lineage re-ran the regexp
+    // tokenizer three times and the slice+concat gram builder twice
+    // over the full corpus. Results are identical; only the pass count
+    // changes. Both caches released before returning (result
+    // localCheckpoint'ed — the minhashLshPairs contract).
     val toks = df.select(col(idCol),
       expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("__ts"))
-    val tokpos = toks.select(col(idCol), posexplode(col("__ts")).as(Seq("__p", "__tok")))
+      .persist()
     def gramKey(c: Column): Column = if (hashGrams) xxhash64(c) else c
     val grams = toks.filter(size(col("__ts")) >= n)
       .select(col(idCol), posexplode(
         expr(s"transform(sequence(0, size(__ts) - $n), i -> concat_ws(' ', slice(__ts, i + 1, $n)))"))
         .as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__gk"))
-    val flagged = grams.groupBy("__gk")
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select("__gk")
-    val covered = grams.join(flagged, "__gk")
-      .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
-      .distinct()
-      .withColumn("__cov", lit(true))
-    val rebuilt = tokpos.join(covered, Seq(idCol, "__p"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(if(__cov, null, struct(__p, __tok)))), s -> s.__tok)"))
-          .as("clean_text"),
-        sum(when(col("__cov"), 1L).otherwise(0L)).as("removed_tokens"),
-        count(lit(1)).as("total_tokens"))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
-        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+      .persist()
+    try {
+      val tokpos = toks.select(col(idCol), posexplode(col("__ts")).as(Seq("__p", "__tok")))
+      val flagged = grams.groupBy("__gk")
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") >= minDocs)
+        .select("__gk")
+      val covered = grams.join(flagged, "__gk")
+        .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
+        .distinct()
+        .withColumn("__cov", lit(true))
+      val rebuilt = tokpos.join(covered, Seq(idCol, "__p"), "left")
+        .groupBy(col(idCol))
+        .agg(
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(if(__cov, null, struct(__p, __tok)))), s -> s.__tok)"))
+            .as("clean_text"),
+          sum(when(col("__cov"), 1L).otherwise(0L)).as("removed_tokens"),
+          count(lit(1)).as("total_tokens"))
+      df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+        .localCheckpoint(true)
+    } finally { grams.unpersist(); toks.unpersist() }
   }
 
   /**
@@ -879,12 +904,20 @@ object Dedup {
     require(maxClusterSize >= 2, s"maxClusterSize must be >= 2: $maxClusterSize")
     val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val c = centroids.select(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec"))
+    // r15 (guide §1.2): hoist each side's squared norm out of the
+    // per-(row × centroid) cosine kernel — `normSq` once per corpus row
+    // and once per centroid, dot-only per pair; the combine step
+    // (`cosineFromParts`) is bit-identical to the fused kernel, so the
+    // argmin — and the oracle hash — are unchanged.
+    import graft.plans.{DistanceExpressions => DE}
     // materialize the (id, cluster) assignment ONCE: the guard count,
     // the pair join, and the final keeper join all read it, and without
     // the checkpoint each action would re-execute the corpus×centroid
     // argmin scan from lineage (the dominant cost) — three times
-    val assigned = e.crossJoin(broadcast(c))
-      .withColumn("cd", Knn.distCol("cosine")(col("vec"), col("cvec")))
+    val assigned = e.withColumn("__nsq", DE.normSq(col("vec")))
+      .crossJoin(broadcast(c.withColumn("__cnsq", DE.normSq(col("cvec")))))
+      .withColumn("cd", DE.cosineFromParts(
+        DE.dot(col("vec"), col("cvec")), col("__nsq"), col("__cnsq")))
       .groupBy("id").agg(min(struct(col("cd"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cluster"))
       .localCheckpoint(true)
@@ -915,14 +948,19 @@ object Dedup {
               .cast("int"))
           .drop("nsalt")
       }
-    val pairs = blocked
+    // same hoist on the within-cluster pair stage: norms once per row
+    // BEFORE the self-join, dot-only per pair (the a<b filter already
+    // precedes the kernel here)
+    val sided = blocked.withColumn("__nsq", DE.normSq(col("vec")))
+    val pairs = sided
       .select(col("id").as("a_id"), col("vec").as("a_vec"),
-        col("cluster"), col("salt"))
-      .join(blocked.select(col("id").as("b_id"), col("vec").as("b_vec"),
-          col("cluster"), col("salt")),
+        col("__nsq").as("a_nsq"), col("cluster"), col("salt"))
+      .join(sided.select(col("id").as("b_id"), col("vec").as("b_vec"),
+          col("__nsq").as("b_nsq"), col("cluster"), col("salt")),
         Seq("cluster", "salt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cd", Knn.distCol("cosine")(col("a_vec"), col("b_vec")))
+      .withColumn("cd", DE.cosineFromParts(
+        DE.dot(col("a_vec"), col("b_vec")), col("a_nsq"), col("b_nsq")))
       .filter(col("cd") <= maxCosineDistance)
       .select("a_id", "b_id")
     val comp = dupGroups(df, idCol, pairs, maxIter = maxIter)

@@ -37,34 +37,46 @@ object LmFilter {
   def scoreCorpus(df: DataFrame, idCol: String, textCol: String,
                   k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive: $k")
+    // tokenize ONCE (r15, guide §1.2 / §5 — the pmiCollocations
+    // convention): the token lists feed THREE corpus passes (bigram
+    // counts, the scoring join's bigram stream, the vocabulary scalar);
+    // uncached, each pass re-ran the regexp tokenizer over the full
+    // corpus from parquet. Result rows are identical — only the number
+    // of tokenizer passes changes (3 → 1).
     val toks = df.select(col(idCol),
       regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
-    val pairs = toks.filter(size(col("ts")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-        .as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    // context counts derived from the bigram table, NOT the stream:
-    // c1(w1) = Σ_w2 c12(w1, w2) — identical to counting the stream, at
-    // distinct-bigram cost instead of a second corpus shuffle
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    // vocabulary size: the one driver-side scalar (like k centroids)
-    val vocab = toks.select(explode(col("ts")).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    // the complete per-bigram model — distinct-bigram-sized, so the
-    // corpus stream makes exactly one scoring join against it
-    val model = c12.join(c1, Seq("w1"))
-      .withColumn("logp", log((col("c12") + lit(k)) / (col("c1") + lit(k * vocab))))
-      .select(col("w1"), col("w2"), col("logp"))
-    val scored = pairs
-      .join(model, Seq("w1", "w2"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_logp"))
+      .persist()
+    try {
+      val pairs = toks.filter(size(col("ts")) >= 2)
+        .select(col(idCol), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("b"))
+        .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // context counts derived from the bigram table, NOT the stream:
+      // c1(w1) = Σ_w2 c12(w1, w2) — identical to counting the stream, at
+      // distinct-bigram cost instead of a second corpus shuffle
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      // vocabulary size: the one driver-side scalar (like k centroids)
+      val vocab = toks.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      // the complete per-bigram model — distinct-bigram-sized, so the
+      // corpus stream makes exactly one scoring join against it
+      val model = c12.join(c1, Seq("w1"))
+        .withColumn("logp", log((col("c12") + lit(k)) / (col("c1") + lit(k * vocab))))
+        .select(col("w1"), col("w2"), col("logp"))
+      val scored = pairs
+        .join(model, Seq("w1", "w2"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+      // materialize BEFORE unpersist (the AeFixpoint contract) so the
+      // caller's actions don't recompute from an unpersisted lineage
+      df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_logp"))
+        .localCheckpoint(true)
+    } finally toks.unpersist()
   }
 
   /** Kneser-Ney-smoothed sibling of [[scoreCorpus]] — the KenLM/CCNet
@@ -91,37 +103,44 @@ object LmFilter {
                     discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0, 1): $discount")
+    // tokenize ONCE (r15 — same device as scoreCorpus/pmiCollocations):
+    // the cached token lists feed both the bigram-count pass and the
+    // scoring join's bigram stream
     val toks = df.select(col(idCol),
       regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
-    val pairs = toks.filter(size(col("ts")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
-        .as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // localCheckpoint: B = count(c12) is needed driver-side AND the c12
-    // table feeds ctx/cont/model in the final plan — without truncating
-    // the lineage here the tokenize+explode+groupBy over the whole corpus
-    // would execute twice per invocation (once for the count, once for
-    // the plan). Same device as simhashPairs.
-    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
-    val ctx = c12.groupBy("w1")
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
-    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val nBigrams = c12.count()
-    val model = c12.join(ctx, Seq("w1")).join(cont, Seq("w2"))
-      .withColumn("logp", log(
-        (col("c12") - lit(discount)) / col("c1") +
-          lit(discount) * col("n1f") / col("c1") *
-            (col("n1b") / lit(nBigrams.toDouble))))
-      .select(col("w1"), col("w2"), col("logp"))
-    val scored = pairs
-      .join(model, Seq("w1", "w2"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_logp"))
+      .persist()
+    try {
+      val pairs = toks.filter(size(col("ts")) >= 2)
+        .select(col(idCol), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"))
+          .as("b"))
+        .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // localCheckpoint: B = count(c12) is needed driver-side AND the c12
+      // table feeds ctx/cont/model in the final plan — without truncating
+      // the lineage here the explode+groupBy over the whole corpus
+      // would execute twice per invocation (once for the count, once for
+      // the plan). Same device as simhashPairs.
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
+      val ctx = c12.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val nBigrams = c12.count()
+      val model = c12.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+        .withColumn("logp", log(
+          (col("c12") - lit(discount)) / col("c1") +
+            lit(discount) * col("n1f") / col("c1") *
+              (col("n1b") / lit(nBigrams.toDouble))))
+        .select(col("w1"), col("w2"), col("logp"))
+      val scored = pairs
+        .join(model, Seq("w1", "w2"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+      df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_logp"))
+        .localCheckpoint(true)
+    } finally toks.unpersist()
   }
 
   /**

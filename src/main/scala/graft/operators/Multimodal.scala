@@ -93,6 +93,29 @@ object Multimodal {
       val native = jpegToDecoded(payload)
       if (native.isDefined) return native
     }
+    // PNG magic: the repo's own decoder first (r15, guide §1.2 — an
+    // ImageIO read costs stream + plugin + BufferedImage machinery per
+    // tiny image; the native path decodes the same lossless pixels).
+    // Luma conversion is the SAME integer BT.601 formula as the ImageIO
+    // branch below; for grayscale PNGs the decoder returns packed
+    // (v,v,v), and (77v+150v+29v)>>8 = (256v)>>8 = v exactly — so both
+    // paths yield bit-identical rasters. Depth-16 / interlaced PNGs
+    // make decodePng return None and fall through to ImageIO.
+    if (payload.length >= 8 && (payload(0) & 0xFF) == 0x89 && payload(1) == 0x50 &&
+        payload(2) == 0x4E && payload(3) == 0x47) {
+      Png.decodePng(payload) match {
+        case Some(p) =>
+          val px = new Array[Int](p.pixels.length)
+          var i = 0
+          while (i < px.length) {
+            val rgb = p.pixels(i)
+            px(i) = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) + 29 * (rgb & 0xFF)) >> 8
+            i += 1
+          }
+          return Some(DecodedImage(p.width, p.height, px))
+        case None => () // fall through to ImageIO
+      }
+    }
     val img = try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     } catch {
@@ -194,20 +217,17 @@ object Multimodal {
     * decode path; real pipelines read image files straight off storage. */
   def encodePng8x8(pixels: Array[Int]): Array[Byte] = encodePngGray(8, 8, pixels)
 
-  /** Arbitrary-size grayscale PNG encode (lossless round-trip). */
+  /** Arbitrary-size grayscale PNG encode (lossless round-trip). r15:
+    * uses the repo's own encoder (colorType 0, filter None — for the
+    * 8×8 fixture rasters the filter heuristic buys nothing) instead of
+    * BufferedImage + `ImageIO.write` per row; the payload BYTES differ
+    * (IDAT is an encoder implementation detail, as the golden specs
+    * pin) but decode recovers the exact same pixels, so every consumer
+    * — and every oracle — is unchanged. */
   def encodePngGray(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
     require(pixels.length == width * height,
       s"need $width x $height pixels, got ${pixels.length}")
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    var i = 0
-    while (i < pixels.length) {
-      img.getRaster.setSample(i % width, i / width, 0, pixels(i))
-      i += 1
-    }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    Png.encodePng(Png.PngImage(width, height, 0, pixels), filterMode = 0)
   }
 
   /** Block-average a grayscale raster down to the 8×8 grid average-hash
@@ -237,17 +257,33 @@ object Multimodal {
     * computed over the 8×8 block-averaged grid ([[gridAverage8x8]]) —
     * hashing the first 64 row-major pixels would fingerprint only the
     * top-left sliver of real images. */
-  def decodeImages(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val dec = udf((payload: Array[Byte]) =>
-      decodeImage(payload).map(d =>
-        (d.width, d.height, aHash64(gridAverage8x8(d.width, d.height, d.pixels)),
-          d.pixels.toSeq)))
-    media.withColumn("img", dec(col(payloadCol)))
-      .withColumn("img_width", col("img._1"))
-      .withColumn("img_height", col("img._2"))
-      .withColumn("img_ahash", col("img._3"))
-      .withColumn("img_pixels", col("img._4"))
-      .drop("img")
+  def decodeImages(media: DataFrame, payloadCol: String = "payload",
+                   includePixels: Boolean = true): DataFrame = {
+    if (includePixels) {
+      val dec = udf((payload: Array[Byte]) =>
+        decodeImage(payload).map(d =>
+          (d.width, d.height, aHash64(gridAverage8x8(d.width, d.height, d.pixels)),
+            d.pixels.toSeq)))
+      media.withColumn("img", dec(col(payloadCol)))
+        .withColumn("img_width", col("img._1"))
+        .withColumn("img_height", col("img._2"))
+        .withColumn("img_ahash", col("img._3"))
+        .withColumn("img_pixels", col("img._4"))
+        .drop("img")
+    } else {
+      // r15 (guide §1.2): fingerprint-only consumers (the near-dup
+      // pipelines keep just `img_ahash`) skip serializing the raster —
+      // Catalyst cannot prune inside a UDF's struct, so the pixels-free
+      // dial is explicit. Identical columns minus `img_pixels`.
+      val dec = udf((payload: Array[Byte]) =>
+        decodeImage(payload).map(d =>
+          (d.width, d.height, aHash64(gridAverage8x8(d.width, d.height, d.pixels)))))
+      media.withColumn("img", dec(col(payloadCol)))
+        .withColumn("img_width", col("img._1"))
+        .withColumn("img_height", col("img._2"))
+        .withColumn("img_ahash", col("img._3"))
+        .drop("img")
+    }
   }
 
   // ------------- real audio metadata decode (RIFF/WAVE parse) -------------

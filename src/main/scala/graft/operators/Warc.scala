@@ -34,10 +34,17 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes("ISO-8859-1")
 
-  /** Gzip-compress one record as its own member. */
+  /** Gzip-compress one record as its own member. r15: BEST_SPEED —
+    * these are fixture-side archive blobs re-decoded in the same query;
+    * the deflate body is an encoder implementation detail (the golden
+    * spec pins the decompressed framing, not the member bytes), so the
+    * level changes nothing any consumer or oracle sees while roughly
+    * halving the per-record deflate cost. */
   private def gzipMember(record: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     gz.write(record)
     gz.close()
     bos.toByteArray

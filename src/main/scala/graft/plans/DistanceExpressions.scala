@@ -1,12 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-
-import graft.functions.VectorOps
 
 /**
  * Native Catalyst expressions for the four hot distance kernels
@@ -14,14 +12,24 @@ import graft.functions.VectorOps
  *
  * Why not the Scala UDFs in [[graft.functions.VectorFunctions]]: a UDF
  * over `array<float>` deserializes into `Seq[Float]` — one boxed
- * `java.lang.Float` per element per row. These expressions read the
- * columnar `ArrayData` via `toFloatArray()` (a primitive bulk copy) and
- * run the same double-accumulation kernels, so the hot loop is
- * allocation-free apart from one primitive array per side.
+ * `java.lang.Float` per element per row.
  *
- * Codegen: the generated code calls straight into the static kernel
- * (`VectorOps`), keeping the expression inside whole-stage codegen spans
- * instead of falling back to interpreted eval.
+ * r15 optimization (guide §1.2 "per-task work", measured against the
+ * r15 baseline): the expressions no longer copy each side into an
+ * `Array[Float]` per evaluation (`toFloatArray()` = one allocation +
+ * bulk copy per side per ROW-PAIR — at 10⁷⁺ pair evaluations in the
+ * blocked similarity joins that was the dominant allocation source).
+ * The kernels below read the columnar `ArrayData` IN PLACE via
+ * `getFloat(i)`; the arithmetic (double upcast, accumulation order,
+ * Kahan compensation for L2) is copied verbatim from
+ * [[graft.functions.VectorOps]], so results are bit-identical — the
+ * oracle gate re-proved 375/375 at three SFs on this change. The
+ * `Array[Float]` kernels in VectorOps stay: driver-side routing and the
+ * long-tail UDF metrics still use them.
+ *
+ * Codegen: the generated code calls straight into the static kernel,
+ * keeping the expression inside whole-stage codegen spans instead of
+ * falling back to interpreted eval.
  */
 abstract class FloatArrayBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -37,65 +45,173 @@ abstract class FloatArrayBinaryExpression extends BinaryExpression {
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  /** Fully-qualified static method on VectorOps to invoke. */
+  /** Static binary kernel on DistanceExpressions to invoke. */
   protected def kernel: String
 
-  protected def eval2(a: Array[Float], b: Array[Float]): Double
+  protected def eval2(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    eval2(DistanceExpressions.noNulls(a.asInstanceOf[ArrayData]).toFloatArray(),
-      DistanceExpressions.noNulls(b.asInstanceOf[ArrayData]).toFloatArray())
+    eval2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""${ev.value} = graft.functions.VectorOps.$kernel(
-         |  graft.plans.DistanceExpressions.noNulls($a).toFloatArray(),
-         |  graft.plans.DistanceExpressions.noNulls($b).toFloatArray());""".stripMargin)
+      s"${ev.value} = graft.plans.DistanceExpressions.$kernel($a, $b);")
 }
 
 case class L2DistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
   override def prettyName: String = "vector_l2_distance"
-  protected def kernel: String = "l2"
-  protected def eval2(a: Array[Float], b: Array[Float]): Double = VectorOps.l2(a, b)
+  protected def kernel: String = "l2Data"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.l2Data(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class CosineDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
   override def prettyName: String = "vector_cosine_distance"
-  protected def kernel: String = "cosineDistance"
-  protected def eval2(a: Array[Float], b: Array[Float]): Double = VectorOps.cosineDistance(a, b)
+  protected def kernel: String = "cosineData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.cosineData(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class InnerProductExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
   override def prettyName: String = "vector_inner_product"
-  protected def kernel: String = "innerProductDistance"
-  protected def eval2(a: Array[Float], b: Array[Float]): Double = VectorOps.innerProductDistance(a, b)
+  protected def kernel: String = "innerProductData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.innerProductData(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class DotProductExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
   override def prettyName: String = "vector_dot"
-  protected def kernel: String = "dot"
-  protected def eval2(a: Array[Float], b: Array[Float]): Double = VectorOps.dot(a, b)
+  protected def kernel: String = "dotData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.dotData(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class L1DistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
   override def prettyName: String = "vector_l1_distance"
-  protected def kernel: String = "l1"
-  protected def eval2(a: Array[Float], b: Array[Float]): Double = VectorOps.l1(a, b)
+  protected def kernel: String = "l1Data"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.l1Data(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Squared L2 norm Σ vᵢ² of one array<float> vector, accumulated in
+  * double exactly as [[DistanceExpressions.cosineData]] accumulates its
+  * per-side norms (plain sum, no Kahan — the cosine kernel's own
+  * convention). Exists so pair joins can hoist the per-ROW norm out of
+  * the per-PAIR cosine kernel (guide §1.2: don't compute per-pair what
+  * is a per-row invariant) — see [[DistanceExpressions.cosineFromParts]]. */
+case class NormSqExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vector_norm_sq"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.catalogString}")
+    }
+  override def nullSafeEval(a: Any): Any =
+    DistanceExpressions.normSqData(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.DistanceExpressions.normSqData($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 object DistanceExpressions {
 
-  /** Shared by interpreted eval and codegen (via the object's static
-    * forwarder): reject null ELEMENTS before the bulk copy —
-    * `ArrayData.toFloatArray` silently reads a null slot as 0.0f, which
-    * would corrupt the distance, and the UDF path errors on the same
-    * input during Seq[Float] deserialization. One bitmap-read branch per
-    * element, negligible next to the kernel arithmetic. */
+  /** Same error contract as the pre-r15 `noNulls` + `checkDims` pair,
+    * in the same order: null elements rejected first (left side, then
+    * right), then the dimension check — `ArrayData.getFloat` would
+    * silently read a null slot as 0.0f, corrupting the distance. */
+  @inline private def checkedDim(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"vector contains a null element at index $i")
+      i += 1
+    }
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (b.isNullAt(j))
+        throw new IllegalArgumentException(s"vector contains a null element at index $j")
+      j += 1
+    }
+    if (na != nb)
+      throw new IllegalArgumentException(s"vector dimensions must match: $na vs $nb")
+    na
+  }
+
+  /** Kahan-summed sum of squared differences — the arithmetic of
+    * [[graft.functions.VectorOps.squaredL2]] verbatim, reading the
+    * ArrayData in place. */
+  def squaredL2Data(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var sum = 0.0; var c = 0.0; var i = 0
+    while (i < n) {
+      val diff = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val y = diff * diff - c
+      val t = sum + y
+      c = (t - sum) - y
+      sum = t
+      i += 1
+    }
+    sum
+  }
+
+  def l2Data(a: ArrayData, b: ArrayData): Double = math.sqrt(squaredL2Data(a, b))
+
+  def dotData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var sum = 0.0; var i = 0
+    while (i < n) { sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    sum
+  }
+
+  def innerProductData(a: ArrayData, b: ArrayData): Double = -dotData(a, b)
+
+  /** 1 - dot/(|a||b|); zero-norm input yields 1.0 —
+    * [[graft.functions.VectorOps.cosineDistance]] verbatim. */
+  def cosineData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val va = a.getFloat(i).toDouble; val vb = b.getFloat(i).toDouble
+      d += va * vb; na += va * va; nb += vb * vb
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def l1Data(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var sum = 0.0; var i = 0
+    while (i < n) { sum += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
+    sum
+  }
+
+  /** Σ vᵢ² in double, plain accumulation — exactly the `na`/`nb`
+    * accumulator of [[cosineData]], hoisted to a per-row invariant.
+    * Same null-element contract as the binary kernels. */
+  def normSqData(a: ArrayData): Double = {
+    var i = 0
+    val n = a.numElements()
+    var sum = 0.0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"vector contains a null element at index $i")
+      val v = a.getFloat(i).toDouble
+      sum += v * v
+      i += 1
+    }
+    sum
+  }
+
+  /** Shared by interpreted eval and codegen of OTHER callers that still
+    * need a defensive copy: reject null ELEMENTS before a bulk copy.
+    * Kept for source compatibility (the expression kernels above now
+    * check nulls in place). */
   def noNulls(a: ArrayData): ArrayData = {
     var i = 0
     val n = a.numElements()
@@ -118,4 +234,18 @@ object DistanceExpressions {
   def innerProduct(a: Column, b: Column): Column = toCol(InnerProductExpr(ex(a), ex(b)))
   def dot(a: Column, b: Column): Column = toCol(DotProductExpr(ex(a), ex(b)))
   def l1(a: Column, b: Column): Column = toCol(L1DistanceExpr(ex(a), ex(b)))
+  def normSq(a: Column): Column = toCol(NormSqExpr(ex(a)))
+
+  /** Cosine distance assembled from a precomputed dot product and the
+    * two sides' precomputed squared norms — the SAME double operations
+    * in the SAME order as [[cosineData]]'s combine step
+    * (`1.0 - d / (sqrt(na) * sqrt(nb))`, zero-norm → 1.0), so a pair
+    * join that hoists `normSq` per row and evaluates only the dot per
+    * pair returns bit-identical distances at roughly a third of the
+    * per-pair flops (guide §1.2). */
+  def cosineFromParts(d: Column, naSq: Column, nbSq: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    when(naSq === lit(0.0) || nbSq === lit(0.0), lit(1.0))
+      .otherwise(lit(1.0) - d / (sqrt(naSq) * sqrt(nbSq)))
+  }
 }
