@@ -302,10 +302,15 @@ object Bench {
     // plan shape (epoch-loop aggregate, iterated SpMV, gzip/ustar codec
     // scan) nothing earlier compiles, and each showed first-run-codegen
     // spreads of 0.5-0.9 on steady sub-second mins in the r10 run
+    // pagerank_knn joined the warm list in r15: the fixed-point rounds
+    // now chain lazily into ONE deep plan (see GraphAnalytics), whose
+    // one-time whole-stage codegen is a ~10 s first-run tail on a 1 s
+    // steady-state query — exactly the rrf_fusion/lm_score precedent
     for (w <- Seq("q1_agg", "ivf_knn_exact", "hnsw_knn",
                   "ivf_disk_knn", "hnsw_disk_knn", "ivfpq_knn", "rrf_fusion",
                   "image_neardup", "lm_score", "semdedup", "training_feed",
                   "span_dedup_hashed", "quality_clf", "community_labelprop",
+                  "pagerank_knn",
                   "graphsage_agg", "warc_ingest", "wds_ingest"))
       try SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

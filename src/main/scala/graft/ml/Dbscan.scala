@@ -49,11 +49,15 @@ object Dbscan {
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min("label").as("nbr_label"))
+      // r15: LAZY checkpoint — the convergence count is the action that
+      // materializes it, so each round costs ONE job (the eager form
+      // paid a checkpoint job AND a count job per round). The blocks
+      // are cached either way; `labels` below reads them, not lineage.
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "label")
       i += 1

@@ -914,13 +914,17 @@ object Dedup {
     // the pair join, and the final keeper join all read it, and without
     // the checkpoint each action would re-execute the corpus×centroid
     // argmin scan from lineage (the dominant cost) — three times
+    // r15: LAZY checkpoint — the oversized-guard aggregate right below
+    // is the first action and materializes it, so assignment costs ONE
+    // job instead of checkpoint-then-count (the connectedComponents
+    // device)
     val assigned = e.withColumn("__nsq", DE.normSq(col("vec")))
       .crossJoin(broadcast(c.withColumn("__cnsq", DE.normSq(col("cvec")))))
       .withColumn("cd", DE.cosineFromParts(
         DE.dot(col("vec"), col("cvec")), col("__nsq"), col("__cnsq")))
       .groupBy("id").agg(min(struct(col("cd"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cluster"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val clustered = e.join(assigned, "id")
     val oversized = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxClusterSize).collect()

@@ -53,13 +53,13 @@ object GraphAnalytics {
           .join(deg, "src")
           .select(col("dst").as("id"), expr("score div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+        // r15: lazy round chaining — see pagerankInt
         s = nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (when(col("id") === source, lit(150000L)).otherwise(lit(0L)) +
               expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
-          .localCheckpoint(true)
       }
-      s
+      s.localCheckpoint(true)
     } finally e.unpersist()
   }
 
@@ -240,11 +240,13 @@ object GraphAnalytics {
         val pick = counts.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("node").as("id"), col("label"))
+        // r15: lazy round chaining — `lab` is read once per round; see
+        // pagerankInt
         lab = nodes.join(pick, Seq("id"), "left")
           .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-          .localCheckpoint(true)
       }
       lab.select(col("id"), col("label").as("community"))
+        .localCheckpoint(true)
     } finally adj.unpersist()
   }
 
@@ -269,15 +271,20 @@ object GraphAnalytics {
           .join(deg, "src")
           .select(col("dst").as("id"), expr("score div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-        // eager per-round cut: keeps the plan depth constant and lets the
-        // final result outlive the unpersist below
+        // r15: rounds chain LAZILY — `s` is referenced exactly once per
+        // round, so the composed plan executes each round once and the
+        // whole fixed-point runs as ONE job instead of one eager
+        // checkpoint job per round (guide §2.4: don't pay a
+        // materialization the dataflow doesn't need). Loops whose state
+        // is read 2-3× per round (sssp, k-core) keep the eager cut.
         s = nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (lit(150000L) +
               expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
-          .localCheckpoint(true)
       }
-      s
+      // materialize BEFORE unpersist so the caller's action does not
+      // re-derive the edges from scratch (AeFixpoint contract)
+      s.localCheckpoint(true)
     } finally e.unpersist()
   }
 
