@@ -291,19 +291,31 @@ object Dedup {
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
-    val freq = lines.groupBy("line")
+    // r15 (guide §2.3, the spanDedup rebuild device): the line FREQUENCY
+    // pass needs the exploded stream, but the rebuild doesn't — only the
+    // per-doc BOILER line indexes aggregate (small), and each doc
+    // re-assembles from its split-line array with order-preserving
+    // array_except instead of shuffling every line row into a
+    // collect_list + array_sort. Output identical (same surviving lines
+    // in position order; removed = boiler occurrences; total = lines;
+    // docs with NULL text still produce no row — the posexplode
+    // semantics the old shape had).
+    val ls = df.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+      .filter(col("__ls").isNotNull)
+    val lines = ls.select(col(idCol), posexplode(col("__ls")).as(Seq("idx", "line")))
+    val flagged = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("__df"))
-    lines.join(freq, "line")
-      .withColumn("__boiler", col("__df") >= minDocs)
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws("\n", expr(
-          "transform(array_sort(collect_list(if(__boiler, null, struct(idx, line)))), s -> s.line)"))
-          .as("clean_text"),
-        sum(when(col("__boiler"), 1L).otherwise(0L)).as("removed_lines"),
-        count(lit(1)).as("total_lines"))
+      .filter(col("__df") >= minDocs)
+      .select("line")
+    val boilerIdx = lines.join(flagged, "line")
+      .groupBy(col(idCol)).agg(collect_list(col("idx")).as("__bi"))
+    ls.join(boilerIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        expr("""concat_ws('\n', transform(
+                  array_except(sequence(0, size(__ls) - 1), coalesce(__bi, array())),
+                  i -> element_at(__ls, i + 1)))""").as("clean_text"),
+        expr("CAST(coalesce(size(__bi), 0) AS BIGINT)").as("removed_lines"),
+        expr("CAST(size(__ls) AS BIGINT)").as("total_lines"))
   }
 
   // ---------------- shingles / minhash ----------------
@@ -836,7 +848,6 @@ object Dedup {
       .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__gk"))
       .persist()
     try {
-      val tokpos = toks.select(col(idCol), posexplode(col("__ts")).as(Seq("__p", "__tok")))
       val flagged = grams.groupBy("__gk")
         .agg(countDistinct(col(idCol)).as("__df"))
         .filter(col("__df") >= minDocs)
@@ -844,15 +855,29 @@ object Dedup {
       val covered = grams.join(flagged, "__gk")
         .select(col(idCol), explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
         .distinct()
-        .withColumn("__cov", lit(true))
-      val rebuilt = tokpos.join(covered, Seq(idCol, "__p"), "left")
-        .groupBy(col(idCol))
-        .agg(
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(if(__cov, null, struct(__p, __tok)))), s -> s.__tok)"))
-            .as("clean_text"),
-          sum(when(col("__cov"), 1L).otherwise(0L)).as("removed_tokens"),
-          count(lit(1)).as("total_tokens"))
+      // r15 (guide §2.3 "shuffle fewer bytes"): the rebuild used to
+      // posexplode EVERY token into a (id, pos, token) row stream,
+      // left-join the covered positions, and re-assemble each doc with
+      // a collect_list + array_sort — one corpus-scale exploded shuffle
+      // plus a per-doc sort. The covered POSITIONS aggregate to one
+      // small list per affected doc instead, and the doc rebuilds from
+      // its cached token ARRAY with order-preserving array_except
+      // (positions are distinct; sequence order is kept), so the only
+      // corpus-scale payload moved is the compact token arrays. Output
+      // is identical: same surviving tokens in position order, removed
+      // = |distinct covered positions|, total = |tokens|.
+      val covAgg = covered.groupBy(col(idCol))
+        .agg(collect_list(col("__p")).as("__cov_ps"))
+      val rebuilt = toks.join(covAgg, Seq(idCol), "left")
+        .select(col(idCol),
+          expr("""CASE WHEN __ts IS NULL OR size(__ts) = 0 THEN ''
+                  ELSE concat_ws(' ', transform(
+                    array_except(sequence(0, size(__ts) - 1),
+                                 coalesce(__cov_ps, array())),
+                    i -> element_at(__ts, i + 1))) END""").as("clean_text"),
+          expr("CAST(coalesce(size(__cov_ps), 0) AS BIGINT)").as("removed_tokens"),
+          expr("CAST(CASE WHEN __ts IS NULL THEN 0 ELSE size(__ts) END AS BIGINT)")
+            .as("total_tokens"))
       df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("clean_text"), lit("")).as("clean_text"),
