@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's final stdout line as bare JSON. sbt's
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] " (BENCH_r12..r15 all have parsed:null because of it) and
+// appends a "[success] Total time: ..." line after the run. Inherit
+// stdout for forked runs and drop the success banner so the last line
+// a `runMain graft.Bench` emits is exactly the unprefixed
+// {"metric":"total",...} JSON (Bench prints it after spark.stop()).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

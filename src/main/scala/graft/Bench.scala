@@ -380,7 +380,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $metaFileName: ${e.getMessage}") }
     println(metaLine)
-    println(mainLine)
+    // The MAIN line is the driver's machine-readable artifact: print it
+    // AFTER spark.stop() so no Spark shutdown logging can follow it, and
+    // flush — it must be the LAST line on stdout (build.sbt inherits
+    // stdout for forked runs and suppresses sbt's success banner so the
+    // line arrives bare, not "[info] "-prefixed).
     spark.stop()
+    println(mainLine)
+    System.out.flush()
   }
 }

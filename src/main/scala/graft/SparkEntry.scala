@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Embeddings, VectorAggregates => VA, VectorFunctions => VF}
+import graft.plans.{DistanceExpressions => DE}
 
 /**
  * Driver contract: one `queries` entry (+ DuckDB `oracleSql` where
@@ -266,14 +267,16 @@ object SparkEntry {
     Tables.read(s, dir, "embeddings")
       .select(
         col("vec_id"),
-        VF.l1Udf(col("embedding"), qc).cast("float").as("l1"),
-        VF.chebyshevUdf(col("embedding"), qc).cast("float").as("chebyshev"),
-        VF.squaredL2Udf(col("embedding"), qc).cast("float").as("sq_l2"),
+        DE.l1(col("embedding"), qc).cast("float").as("l1"),
+        DE.chebyshev(col("embedding"), qc).cast("float").as("chebyshev"),
+        DE.squaredL2(col("embedding"), qc).cast("float").as("sq_l2"),
+        // minkowski keeps the UDF: its p-shortcut dispatch is scalar-arg
+        // logic the 2-arg native family doesn't model (r16 note)
         VF.minkowskiUdf(col("embedding"), qc, lit(3.0)).cast("float").as("minkowski3"),
         // LONG, not the UDF's double: the oracle's len() is BIGINT and the
         // driver's hash comparator is type-sensitive (37.0 != 37) — this,
         // not float rounding, was the r7/r8 red row.
-        VF.hammingUdf(col("embedding"), qc).cast("long").as("hamming"))
+        DE.hamming(col("embedding"), qc).cast("long").as("hamming"))
   }
 
   private val vDistancesSql =
@@ -292,14 +295,14 @@ object SparkEntry {
     Tables.read(s, dir, "embeddings")
       .select(
         col("vec_id"),
-        round(VF.jaccardUdf(col("embedding"), qc), 6).as("jaccard"),
-        round(VF.diceUdf(col("embedding"), qc), 6).as("dice"),
-        round(VF.canberraUdf(col("embedding"), qc), 6).as("canberra"),
-        round(VF.brayCurtisUdf(col("embedding"), qc), 6).as("braycurtis"),
-        round(VF.sokalMichenerUdf(col("embedding"), qc), 6).as("sokal"),
-        round(VF.rogersTanimotoUdf(col("embedding"), qc), 6).as("rogers"),
-        round(VF.russellRaoUdf(col("embedding"), qc), 6).as("russell"),
-        round(VF.matchingCoefficientUdf(col("embedding"), qc), 6).as("matching"))
+        round(DE.jaccard(col("embedding"), qc), 6).as("jaccard"),
+        round(DE.dice(col("embedding"), qc), 6).as("dice"),
+        round(DE.canberra(col("embedding"), qc), 6).as("canberra"),
+        round(DE.brayCurtis(col("embedding"), qc), 6).as("braycurtis"),
+        round(DE.sokalMichener(col("embedding"), qc), 6).as("sokal"),
+        round(DE.rogersTanimoto(col("embedding"), qc), 6).as("rogers"),
+        round(DE.russellRao(col("embedding"), qc), 6).as("russell"),
+        round(DE.matchingCoefficient(col("embedding"), qc), 6).as("matching"))
   }
 
   private val vDistances2Sql =

@@ -37,10 +37,15 @@ object Dbscan {
    * to the node's own id.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // r16: sym's checkpoint is LAZY — labels reads every sym partition
+    // (global distinct), so the ONE eager labels job materializes both
+    // pinned states; the eager-eager form paid two jobs for the same
+    // blocks (guide §2.4: don't pay a materialization the dataflow
+    // doesn't need). Rounds still read sym's cached blocks, not lineage.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
  */
 object GraphAnalytics {
 
+  /** Plan-depth bound for the lazily-chained fixed points (r16). Rounds
+    * chain LAZILY (the whole block runs as one job — see pagerankInt),
+    * but every `lazyBlockRounds` rounds the chain is cut with an eager
+    * localCheckpoint so logical-plan depth stays O(K) no matter how
+    * large the caller's iteration count is: unbounded laziness makes
+    * analyzer/codegen time linear in `iterations` and risks whole-stage
+    * codegen fallback on very deep plans. K=4 keeps the benched 3-round
+    * queries fully lazy — quiet-box A/B (solo min-of-8, sf0.1): lazy
+    * beats eager-per-round 1.23 vs 1.40 s on pagerank_knn and 1.44 vs
+    * 1.73 s on community_labelprop, so laziness stays the default and
+    * the cut only bounds the depth for large-iteration callers. */
+  private[graft] val lazyBlockRounds = 4
+
+  /** Eager cut at block boundaries only; the final round is left lazy —
+    * every caller materializes its own result (localCheckpoint before
+    * releasing the pinned edges, per the AeFixpoint contract). */
+  private def cutEvery(df: DataFrame, round: Int, last: Int): DataFrame =
+    if (round % lazyBlockRounds == 0 && round < last) df.localCheckpoint(true)
+    else df
+
   /** Personalized PageRank (random walk with restart) from one source —
     * the graph-proximity relevance measure retrieval systems layer on a
     * similarity graph. Same fixed-point integer frame as
@@ -47,17 +67,19 @@ object GraphAnalytics {
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var s = nodes.withColumn("score",
         when(col("id") === source, lit(1000000L)).otherwise(lit(0L)))
-      for (_ <- 1 to iterations) {
+      for (t <- 1 to iterations) {
         val contrib = e
           .join(s.withColumnRenamed("id", "src"), "src")
           .join(deg, "src")
           .select(col("dst").as("id"), expr("score div deg").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-        // r15: lazy round chaining — see pagerankInt
-        s = nodes.join(contrib, Seq("id"), "left")
+        // r15: lazy round chaining — see pagerankInt. r16: depth-bounded
+        // via cutEvery (a no-op for small fixed iteration counts).
+        s = cutEvery(nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (when(col("id") === source, lit(150000L)).otherwise(lit(0L)) +
-              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
+              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score")),
+          t, iterations)
       }
       s.localCheckpoint(true)
     } finally e.unpersist()
@@ -219,7 +241,16 @@ object GraphAnalytics {
     * + a per-node grouped top-1 (partitioned window over per-node label
     * counts — bounded by degree, never global). Returns (id, community)
     * after `iterations` rounds. */
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame =
+    labelPropagation(edges, iterations, materialize = true)
+
+  /** `materialize = false` skips the final eager localCheckpoint and
+    * returns the composed lazy plan — the PlanShapeSpec hook (the
+    * incrementalDedup convention); production callers always
+    * materialize (the AeFixpoint contract: the result must not
+    * re-derive the unpersisted adjacency). */
+  private[graft] def labelPropagation(edges: DataFrame, iterations: Int,
+                                      materialize: Boolean): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     // adj is loop-invariant: pin it, and cut each round's plan eagerly
     // (same rationale as pagerankInt)
@@ -232,22 +263,29 @@ object GraphAnalytics {
     try {
       val nodes = adj.select(col("node").as("id")).distinct().localCheckpoint(true)
       var lab = nodes.withColumn("label", col("id"))
-      for (_ <- 1 to iterations) {
+      for (t <- 1 to iterations) {
         val counts = adj.join(lab.select(col("id").as("nb"), col("label")), "nb")
           .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
-        val pick = counts.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("node").as("id"), col("label"))
+        // r16: the majority pick is a hash aggregate, not a ranking
+        // window — min(struct(-c, label)) is lexicographically the same
+        // choice as row_number() over (ORDER BY c DESC, label) = 1
+        // (largest count, ties to the SMALLEST label; negating the
+        // count is safe: c is count(*) >= 1). A hash aggregate gets
+        // map-side partial aggregation and skips the per-round sort the
+        // window needed (guide §2.3 "aggregate before you shuffle").
+        val pick = counts
+          .groupBy(col("node").as("id"))
+          .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("id"), col("m").getField("l").as("label"))
         // r15: lazy round chaining — `lab` is read once per round; see
-        // pagerankInt
-        lab = nodes.join(pick, Seq("id"), "left")
-          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        // pagerankInt. r16: depth bounded via cutEvery.
+        lab = cutEvery(nodes.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label")),
+          t, iterations)
       }
-      lab.select(col("id"), col("label").as("community"))
-        .localCheckpoint(true)
-    } finally adj.unpersist()
+      val out = lab.select(col("id"), col("label").as("community"))
+      if (materialize) out.localCheckpoint(true) else out
+    } finally { if (materialize) adj.unpersist() else () }
   }
 
   /** Integer PageRank over `edges(src, dst)`; returns (id, score) with
@@ -265,7 +303,7 @@ object GraphAnalytics {
         .localCheckpoint(true)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var s = nodes.withColumn("score", lit(1000000L))
-      for (_ <- 1 to iterations) {
+      for (t <- 1 to iterations) {
         val contrib = e
           .join(s.withColumnRenamed("id", "src"), "src")
           .join(deg, "src")
@@ -277,10 +315,12 @@ object GraphAnalytics {
         // checkpoint job per round (guide §2.4: don't pay a
         // materialization the dataflow doesn't need). Loops whose state
         // is read 2-3× per round (sssp, k-core) keep the eager cut.
-        s = nodes.join(contrib, Seq("id"), "left")
+        // r16: plan depth bounded via cutEvery (no-op below 5 rounds).
+        s = cutEvery(nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (lit(150000L) +
-              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score"))
+              expr("(850000 * coalesce(contrib, 0L)) div 1000000")).as("score")),
+          t, iterations)
       }
       // materialize BEFORE unpersist so the caller's action does not
       // re-derive the edges from scratch (AeFixpoint contract)

@@ -29,8 +29,8 @@ object Knn {
     case "cosine"               => graft.plans.DistanceExpressions.cosine(a, b)
     case "ip" | "inner_product" => graft.plans.DistanceExpressions.innerProduct(a, b)
     case "l1" | "manhattan"     => graft.plans.DistanceExpressions.l1(a, b)
-    case "hamming"              => VF.hammingUdf(a, b).cast("double")
-    case "chebyshev"            => VF.chebyshevUdf(a, b)
+    case "hamming"              => graft.plans.DistanceExpressions.hamming(a, b)
+    case "chebyshev"            => graft.plans.DistanceExpressions.chebyshev(a, b)
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 

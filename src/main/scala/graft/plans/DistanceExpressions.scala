@@ -93,6 +93,91 @@ case class L1DistanceExpr(left: Expression, right: Expression) extends FloatArra
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+// r16 (VERDICT r15 ask #7): the LONG-TAIL metrics join the native
+// family. They were the last interpreted-UDF hot-loop shape in the
+// repo (one boxed java.lang.Float per element per row through the
+// Seq[Float] UDF boundary); the kernels below read the columnar
+// ArrayData in place with the arithmetic copied verbatim from
+// VectorOps, so results are bit-identical (oracle re-proven on
+// v_distances / v_distances2 / every kNN face).
+
+case class SquaredL2DistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_squared_l2_distance"
+  protected def kernel: String = "squaredL2Data"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.squaredL2Data(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class ChebyshevDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_chebyshev_distance"
+  protected def kernel: String = "chebyshevData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.chebyshevData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class HammingDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_hamming_distance"
+  protected def kernel: String = "hammingData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.hammingData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class JaccardDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_jaccard_distance"
+  protected def kernel: String = "jaccardData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.jaccardData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class DiceDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_dice_distance"
+  protected def kernel: String = "diceData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.diceData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class BrayCurtisDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_bray_curtis_distance"
+  protected def kernel: String = "brayCurtisData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.brayCurtisData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class CanberraDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_canberra_distance"
+  protected def kernel: String = "canberraData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.canberraData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class SokalMichenerDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_sokal_michener_distance"
+  protected def kernel: String = "sokalMichenerData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.sokalMichenerData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class RogersTanimotoDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_rogers_tanimoto_distance"
+  protected def kernel: String = "rogersTanimotoData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.rogersTanimotoData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class RussellRaoDistanceExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_russell_rao_distance"
+  protected def kernel: String = "russellRaoData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.russellRaoData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class MatchingCoefficientExpr(left: Expression, right: Expression) extends FloatArrayBinaryExpression {
+  override def prettyName: String = "vector_matching_coefficient"
+  protected def kernel: String = "matchingCoefficientData"
+  protected def eval2(a: ArrayData, b: ArrayData): Double = DistanceExpressions.matchingCoefficientData(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Squared L2 norm Σ vᵢ² of one array<float> vector, accumulated in
   * double exactly as [[DistanceExpressions.cosineData]] accumulates its
   * per-side norms (plain sum, no Kahan — the cosine kernel's own
@@ -191,6 +276,151 @@ object DistanceExpressions {
     sum
   }
 
+  // ---- r16 long-tail kernels: VectorOps arithmetic verbatim, in place.
+
+  /** max |aᵢ−bᵢ| — [[graft.functions.VectorOps.chebyshev]] verbatim. */
+  def chebyshevData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var m = 0.0; var i = 0
+    while (i < n) {
+      val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  /** Count of unequal FLOAT coordinates (NaN ≠ NaN, like the UDF) —
+    * [[graft.functions.VectorOps.hamming]] verbatim, widened to the
+    * double the UDF boundary returned. */
+  def hammingData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var c = 0; var i = 0
+    while (i < n) { if (a.getFloat(i) != b.getFloat(i)) c += 1; i += 1 }
+    c.toDouble
+  }
+
+  private final val NonZeroEps = 1e-10
+
+  /** Set-style Jaccard over the |x|>1e-10 support; empty union → 0.0 —
+    * [[graft.functions.VectorOps.jaccard]] verbatim. */
+  def jaccardData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var inter = 0; var union = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an && bn) inter += 1
+      if (an || bn) union += 1
+      i += 1
+    }
+    if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+  }
+
+  /** [[graft.functions.VectorOps.dice]] verbatim. */
+  def diceData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var inter = 0; var ca = 0; var cb = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an && bn) inter += 1
+      if (an) ca += 1
+      if (bn) cb += 1
+      i += 1
+    }
+    if (ca == 0 && cb == 0) 0.0
+    else if (ca == 0 || cb == 0) 1.0
+    else 1.0 - 2.0 * inter / (ca + cb)
+  }
+
+  /** Σ|a−b| / Σ|a+b|; zero denominator errors —
+    * [[graft.functions.VectorOps.brayCurtis]] verbatim. */
+  def brayCurtisData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      num += math.abs(x - y); den += math.abs(x + y)
+      i += 1
+    }
+    if (den == 0.0)
+      throw new IllegalArgumentException("bray-curtis distance undefined for zero denominator")
+    num / den
+  }
+
+  /** Σ(|a−b|/(|a|+|b|)) skipping both-zero coords; all-zero errors —
+    * [[graft.functions.VectorOps.canberra]] verbatim. */
+  def canberraData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var sum = 0.0; var anyNonZero = false; var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble); val y = math.abs(b.getFloat(i).toDouble)
+      if (x + y > 0.0) {
+        anyNonZero = true
+        sum += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble) / (x + y)
+      }
+      i += 1
+    }
+    if (!anyNonZero)
+      throw new IllegalArgumentException("canberra distance undefined for all-zero vectors")
+    sum
+  }
+
+  /** (n10+n01)/dim — [[graft.functions.VectorOps.sokalMichener]]. */
+  def sokalMichenerData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var r = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an != bn) r += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else r.toDouble / n
+  }
+
+  /** 2R/(S+2R), R = mismatches, S = matches —
+    * [[graft.functions.VectorOps.rogersTanimoto]]. */
+  def rogersTanimotoData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var r = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an != bn) r += 1
+      i += 1
+    }
+    val denom = (n - r) + 2.0 * r
+    if (denom == 0.0) 0.0 else 2.0 * r / denom
+  }
+
+  /** 1 − n11/dim — [[graft.functions.VectorOps.russellRao]]. */
+  def russellRaoData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var n11 = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an && bn) n11 += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else 1.0 - n11.toDouble / n
+  }
+
+  /** (n11+n00)/dim — [[graft.functions.VectorOps.matchingCoefficient]]. */
+  def matchingCoefficientData(a: ArrayData, b: ArrayData): Double = {
+    val n = checkedDim(a, b)
+    var same = 0; var i = 0
+    while (i < n) {
+      val an = math.abs(a.getFloat(i).toDouble) > NonZeroEps
+      val bn = math.abs(b.getFloat(i).toDouble) > NonZeroEps
+      if (an == bn) same += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else same.toDouble / n
+  }
+
   /** Σ vᵢ² in double, plain accumulation — exactly the `na`/`nb`
     * accumulator of [[cosineData]], hoisted to a per-row invariant.
     * Same null-element contract as the binary kernels. */
@@ -235,6 +465,17 @@ object DistanceExpressions {
   def dot(a: Column, b: Column): Column = toCol(DotProductExpr(ex(a), ex(b)))
   def l1(a: Column, b: Column): Column = toCol(L1DistanceExpr(ex(a), ex(b)))
   def normSq(a: Column): Column = toCol(NormSqExpr(ex(a)))
+  def squaredL2(a: Column, b: Column): Column = toCol(SquaredL2DistanceExpr(ex(a), ex(b)))
+  def chebyshev(a: Column, b: Column): Column = toCol(ChebyshevDistanceExpr(ex(a), ex(b)))
+  def hamming(a: Column, b: Column): Column = toCol(HammingDistanceExpr(ex(a), ex(b)))
+  def jaccard(a: Column, b: Column): Column = toCol(JaccardDistanceExpr(ex(a), ex(b)))
+  def dice(a: Column, b: Column): Column = toCol(DiceDistanceExpr(ex(a), ex(b)))
+  def brayCurtis(a: Column, b: Column): Column = toCol(BrayCurtisDistanceExpr(ex(a), ex(b)))
+  def canberra(a: Column, b: Column): Column = toCol(CanberraDistanceExpr(ex(a), ex(b)))
+  def sokalMichener(a: Column, b: Column): Column = toCol(SokalMichenerDistanceExpr(ex(a), ex(b)))
+  def rogersTanimoto(a: Column, b: Column): Column = toCol(RogersTanimotoDistanceExpr(ex(a), ex(b)))
+  def russellRao(a: Column, b: Column): Column = toCol(RussellRaoDistanceExpr(ex(a), ex(b)))
+  def matchingCoefficient(a: Column, b: Column): Column = toCol(MatchingCoefficientExpr(ex(a), ex(b)))
 
   /** Cosine distance assembled from a precomputed dot product and the
     * two sides' precomputed squared norms — the SAME double operations

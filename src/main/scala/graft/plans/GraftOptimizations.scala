@@ -36,7 +36,20 @@ object PromoteDistanceUdfs extends Rule[LogicalPlan] {
     "vector_cosine_distance" -> (CosineDistanceExpr(_, _)),
     "vector_inner_product" -> (InnerProductExpr(_, _)),
     "vector_dot" -> (DotProductExpr(_, _)),
-    "vector_l1_distance" -> (L1DistanceExpr(_, _)))
+    "vector_l1_distance" -> (L1DistanceExpr(_, _)),
+    // r16: the long-tail metrics joined the native family (same
+    // kernels, ArrayData in place — see DistanceExpressions)
+    "vector_squared_l2_distance" -> (SquaredL2DistanceExpr(_, _)),
+    "vector_chebyshev_distance" -> (ChebyshevDistanceExpr(_, _)),
+    "vector_hamming_distance" -> (HammingDistanceExpr(_, _)),
+    "vector_jaccard_distance" -> (JaccardDistanceExpr(_, _)),
+    "vector_dice_distance" -> (DiceDistanceExpr(_, _)),
+    "vector_bray_curtis_distance" -> (BrayCurtisDistanceExpr(_, _)),
+    "vector_canberra_distance" -> (CanberraDistanceExpr(_, _)),
+    "vector_sokal_michener_distance" -> (SokalMichenerDistanceExpr(_, _)),
+    "vector_rogers_tanimoto_distance" -> (RogersTanimotoDistanceExpr(_, _)),
+    "vector_russell_rao_distance" -> (RussellRaoDistanceExpr(_, _)),
+    "vector_matching_coefficient" -> (MatchingCoefficientExpr(_, _)))
 
   private def isFloatArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e.dataType match {

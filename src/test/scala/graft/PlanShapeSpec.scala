@@ -48,6 +48,29 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.toLowerCase.contains("scalaudf"), s"hot path fell back to UDF: $plan")
   }
 
+  test("v_distances2 long-tail metrics run as native expressions — no ScalaUDF, one codegen scan") {
+    val df = SparkEntry.queries("v_distances2")(spark, dir)
+    val physical = planOf(df)
+    assert(!physical.contains("UDF("), s"boxed UDF in the metric scan: $physical")
+    for (m <- Seq("vector_jaccard_distance", "vector_dice_distance",
+      "vector_canberra_distance", "vector_bray_curtis_distance",
+      "vector_sokal_michener_distance", "vector_rogers_tanimoto_distance",
+      "vector_russell_rao_distance", "vector_matching_coefficient"))
+      assert(physical.contains(m), s"$m missing from: $physical")
+    assert(physical.contains("*("), s"no whole-stage codegen span: $physical")
+  }
+
+  test("label propagation rounds pick the majority by aggregate — no per-round ranking window") {
+    import spark.implicits._
+    val edges = (0 until 40).map(i => (i.toLong, ((i + 1) % 40).toLong))
+      .toDF("src", "dst")
+    val plan = planOf(operators.GraphAnalytics
+      .labelPropagation(edges, 2, materialize = false))
+    assert(!plan.contains("Window"), s"ranking window in the round: $plan")
+    // the min(struct(-c, label)) pick must combine map-side
+    assert(plan.contains("partial_min"), s"no map-side partial pick: $plan")
+  }
+
   test("aggregation plans two-phase partial/final (map-side combine)") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, dir))
     assert(plan.contains("HashAggregate"), plan)
