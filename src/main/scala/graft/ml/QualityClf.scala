@@ -41,46 +41,10 @@ object QualityClf {
 
   @inline private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
 
-  /** Fused gradient aggregation (r15, guide §1.2 "per-task work"): ONE
-    * (d+1)-cell state per partition merged map-side. The pre-r15 shape
-    * was a ScalaUDF producing a per-row gradient `Seq[Double]` (d+1
-    * boxed doubles + 2 allocations per row per epoch) feeding an
-    * elementwise-sum Aggregator over `Seq[Double]` (a second boxing
-    * pass); this aggregator computes the per-row residual and
-    * accumulates `r·xs(j)` straight into the primitive buffer — zero
-    * per-row allocation, same double operations in the same order
-    * (`g(j) = r·xs(j)` then `b(j) += g(j)` ≡ `b(j) += r·xs(j)`), so the
-    * trained model — and the oracle hash — are unchanged. Sum ORDER
-    * stays unordered doubles, exactly the drift class the oracle
-    * already absorbs. The `model` array is captured by reference: task
-    * closures re-serialize per job submission, shipping the CURRENT
-    * values through ONE aggregator instance (the codegen-cache
-    * convention, see [[trainScore]]). */
-  private final class GradSum(d: Int, model: Array[Double])
-      extends org.apache.spark.sql.expressions.Aggregator[(Array[Double], Double), Array[Double], Array[Double]] {
-    def zero: Array[Double] = new Array[Double](d + 1)
-    def reduce(b: Array[Double], in: (Array[Double], Double)): Array[Double] = {
-      val xs = in._1
-      var z = 0.0
-      var j = 0
-      while (j < d) { z += model(j) * xs(j); j += 1 }
-      val r = sigmoid(z + model(d)) - in._2
-      j = 0
-      while (j < d) { b(j) += r * xs(j); j += 1 }
-      b(d) += r
-      b
-    }
-    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      var j = 0
-      while (j <= d) { a(j) += b(j); j += 1 }
-      a
-    }
-    def finish(b: Array[Double]): Array[Double] = b
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  }
+  // (r16: the r15 GradSum udaf is gone — both trainScore and
+  // cartography run their epochs as treeAggregate over a cached
+  // primitive RDD with the identical seqOp/combOp arithmetic, each
+  // epoch shipping a fresh model clone in its closure.)
 
   /** Hashed-BoW feature vector; exactly mirrors the SQL in [[oracleSql]]. */
   private def features(text: String, d: Int): Array[Double] = {
@@ -267,25 +231,55 @@ object QualityClf {
   def cartography(df: DataFrame, idCol: String, textCol: String,
                   labelCol: org.apache.spark.sql.Column,
                   d: Int = 16, epochs: Int = 6, lr: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // r16 (ADVICE r15): the epoch loop is the [[trainScore]]
+    // treeAggregate over a cached primitive RDD — each epoch's closure
+    // ships a FRESH model snapshot (`w = model.clone()`), so nothing
+    // depends on Spark re-serializing one shared mutable Aggregator
+    // instance per job (the hazard ADVICE flagged on the r15 udaf
+    // form), and the per-epoch SQL plan build (~60-100 ms driver time
+    // per epoch) is gone — the same device that took quality_clf
+    // 3.4 s → 0.6 s in r15. seqOp/combOp are the old GradSum
+    // reduce/merge verbatim: same double ops, same order, same
+    // unordered partition-merge drift class (absorbed by the float4
+    // emit; data_map re-proven against the oracle).
     val featUdf = udf((t: String) => features(t, d))
-    val tr = df.select(col(idCol).cast("long").as("id"),
-      labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs")).persist()
+    val base = df.select(col(idCol).cast("long").as("id"),
+        labelCol.cast("double").as("y"), featUdf(col(textCol)).as("xs"))
+      .as[(Long, Double, Array[Double])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = tr.count()
-      // closure-captured mutable model, one fused aggregator instance
-      // (the trainScore JIT/shuffle-reuse convention; see GradSum)
+      val n = base.count()
       val model = new Array[Double](d + 1)
-      val gradSum = udaf(new GradSum(d, model))
-      def gradPlan = tr.select(gradSum(col("xs"), col("y")).as("g"))
       val snaps = Array.ofDim[Double](epochs, d + 1)
       for (e <- 0 until epochs) {
-        val sums = gradPlan.head().getSeq[Double](0)
+        val w = model.clone() // fresh closure per epoch
+        val sums = base.treeAggregate(new Array[Double](d + 1))(
+          seqOp = (b, row) => {
+            val xs = row._3
+            var z = 0.0
+            var j = 0
+            while (j < d) { z += w(j) * xs(j); j += 1 }
+            val r = sigmoid(z + w(d)) - row._2
+            j = 0
+            while (j < d) { b(j) += r * xs(j); j += 1 }
+            b(d) += r
+            b
+          },
+          combOp = (a, b) => {
+            var j = 0
+            while (j <= d) { a(j) += b(j); j += 1 }
+            a
+          })
         var j = 0
         while (j < d) { model(j) -= lr * (sums(j) / n); j += 1 }
         model(d) -= lr * (sums(d) / n)
         System.arraycopy(model, 0, snaps(e), 0, d + 1)
       }
-      val mapUdf = udf((xs: Array[Double], y: Double) => {
+      // one stateless scoring pass under all snapshots (epochs × (d+1)
+      // doubles in the task closure), same arithmetic as the r15 UDF
+      val scored = base.map { case (id, y, xs) =>
         val pg = new Array[Double](epochs)
         var correct = 0L
         var e = 0
@@ -310,16 +304,10 @@ object QualityClf {
         var v = 0.0
         e = 0
         while (e < epochs) { v += (pg(e) - conf) * (pg(e) - conf); e += 1 }
-        (conf, math.sqrt(v / epochs), correct)
-      })
-      tr.select(col("id").as(idCol), col("y").cast("long").as("label"),
-          mapUdf(col("xs"), col("y")).as("m"))
-        .select(col(idCol), col("label"),
-          col("m._1").cast("float").as("confidence"),
-          col("m._2").cast("float").as("variability"),
-          col("m._3").as("correct"))
-        .localCheckpoint(true)
-    } finally tr.unpersist()
+        (id, y.toLong, conf.toFloat, math.sqrt(v / epochs).toFloat, correct)
+      }.toDF(idCol, "label", "confidence", "variability", "correct")
+      scored.localCheckpoint(true)
+    } finally base.unpersist()
   }
 
   /** Epoch-unrolled cartography oracle: the [[trainChainSql]] chain
