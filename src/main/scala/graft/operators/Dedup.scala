@@ -827,6 +827,12 @@ object Dedup {
    * Returns (idCol, clean_text, removed_tokens, total_tokens) for EVERY
    * input row — tokenless docs come back with empty text and zero
    * counts.
+   *
+   * EAGER: executes at call time and returns a materialized
+   * (localCheckpoint'ed) result — the internal token/gram projections
+   * are cached and must be released before returning (the AeFixpoint
+   * contract, r15). Callers composing plans get a checkpoint scan, not
+   * a lazy lineage (ADVICE r15 documentation ask).
    */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 n: Int = 8, minDocs: Long = 2,

@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
 object LmFilter {
 
   /** Per-doc bigram-LM scores: `(idCol, n_bigrams, avg_logp)`.
-    * Docs with fewer than two tokens score `(0, null)`. */
+    * Docs with fewer than two tokens score `(0, null)`.
+    *
+    * EAGER: executes at call time and returns a materialized
+    * (localCheckpoint'ed) result — the internal token projection is
+    * cached and must be released before returning (the AeFixpoint
+    * contract, r15). Callers composing plans get a checkpoint scan,
+    * not a lazy lineage (ADVICE r15 documentation ask). */
   def scoreCorpus(df: DataFrame, idCol: String, textCol: String,
                   k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive: $k")
@@ -98,7 +104,10 @@ object LmFilter {
     *
     * Numerics: same float4 convention as [[scoreCorpus]] — `ln` is
     * libm, the per-doc mean an unordered double sum; callers/oracles
-    * CAST the mean to REAL. */
+    * CAST the mean to REAL.
+    *
+    * EAGER at call time, like [[scoreCorpus]] (materialized result,
+    * internal caches released before returning). */
   def scoreCorpusKn(df: DataFrame, idCol: String, textCol: String,
                     discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
